@@ -1,0 +1,15 @@
+package graft
+
+import graft.ops._
+
+/** Single assembly point for every engine query (SURVEY.md §2.2).
+  * `SparkEntry.queries`/`oracleSql` are derived views of this list —
+  * add a Q here and it is wired into the driver contract automatically.
+  */
+object Registry {
+  val all: Seq[Q] =
+    AggOps.all ++ CdcOps.all ++ SortSetOps.all
+
+  require(all.map(_.name).distinct.size == all.size,
+    "duplicate query names in Registry")
+}

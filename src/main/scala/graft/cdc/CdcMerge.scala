@@ -1,0 +1,83 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table-level CDC configuration [upstream `config.yaml`, SURVEY.md §2.1
+  * R10]: which columns identify a row, and which carry its value.
+  */
+final case class CdcConfig(keyCols: Seq[String], valueCols: Seq[String]) {
+  require(keyCols.nonEmpty, "CDC requires at least one key column")
+  def allCols: Seq[String] = keyCols ++ valueCols
+}
+
+/** The reference's core dataflow [upstream `cdc.py`, SURVEY.md §2.1
+  * R3+R5+R6+R7+R8], as pure DataFrame → DataFrame functions.
+  *
+  * One full-outer join on `keyhash` is the only shuffle; operation codes
+  * are derived in a single `when/otherwise` classifier column (no
+  * per-class count() jobs — counts come from one groupBy("op")).
+  *
+  * 100 TB design (SURVEY.md §4): the previous-state snapshot should be
+  * written hash-partitioned/bucketed by keyhash so the join's state side
+  * needs no shuffle; only the (much smaller) incremental extract moves.
+  * With `useXxhash64=true` the join key is an 8-byte long instead of a
+  * 32-char md5 hex string — markedly cheaper to shuffle and compare.
+  */
+object CdcMerge {
+  val KeyHash = "keyhash"
+  val NonKeyHash = "nonkeyhash"
+  val OpCol = "op"
+
+  val Insert = "I"
+  val Update = "U"
+  val Delete = "D"
+  val Unchanged = "N"
+
+  /** R3: project to the configured columns and add identity hashes. */
+  def withHashes(df: DataFrame, cfg: CdcConfig,
+                 useXxhash64: Boolean = false): DataFrame = {
+    val projected = df.select(cfg.allCols.map(col): _*)
+    val kh = if (useXxhash64) Hashing.keyhash64(projected, cfg.keyCols)
+             else Hashing.md5Hash(projected, cfg.keyCols)
+    val nkh = if (useXxhash64) Hashing.keyhash64(projected, cfg.valueCols)
+              else Hashing.md5Hash(projected, cfg.valueCols)
+    projected.withColumn(KeyHash, kh).withColumn(NonKeyHash, nkh)
+  }
+
+  /** R5+R6: full-outer join previous state with the incoming extract and
+    * classify every row as I/U/D/N. Output schema: the configured columns
+    * (current values for I/U/N, previous values for D) + keyhash + op.
+    */
+  def classify(prev: DataFrame, curr: DataFrame, cfg: CdcConfig,
+               useXxhash64: Boolean = false): DataFrame = {
+    val p = withHashes(prev, cfg, useXxhash64).alias("p")
+    val c = withHashes(curr, cfg, useXxhash64).alias("c")
+    val joined = p.join(c, col(s"p.$KeyHash") === col(s"c.$KeyHash"), "full_outer")
+    val op = when(col(s"p.$KeyHash").isNull, Insert)
+      .when(col(s"c.$KeyHash").isNull, Delete)
+      .when(col(s"p.$NonKeyHash") =!= col(s"c.$NonKeyHash"), Update)
+      .otherwise(Unchanged)
+    val outCols = cfg.allCols.map(n => coalesce(col(s"c.$n"), col(s"p.$n")).as(n)) ++
+      Seq(coalesce(col(s"c.$KeyHash"), col(s"p.$KeyHash")).as(KeyHash), op.as(OpCol))
+    joined.select(outCols: _*)
+  }
+
+  /** R8: per-operation row counts, derived from one aggregation over the
+    * classified feed (never count()-per-class — that is one job per op). */
+  def counts(classified: DataFrame): DataFrame =
+    classified.groupBy(OpCol).count()
+
+  /** R7: the next current-state snapshot — everything except deletes,
+    * carrying current values. */
+  def applyChanges(classified: DataFrame, cfg: CdcConfig): DataFrame =
+    classified.filter(col(OpCol) =!= Delete)
+      .select(cfg.allCols.map(col): _*)
+
+  /** Change feed (I/U/D only — the rows a downstream consumer needs),
+    * stamped with a caller-supplied batch id so checked outputs stay
+    * deterministic (no current_timestamp — SURVEY.md §7.5 rule 3). */
+  def changeFeed(classified: DataFrame, batchId: Long): DataFrame =
+    classified.filter(col(OpCol) =!= Unchanged)
+      .withColumn("batch_id", lit(batchId))
+}

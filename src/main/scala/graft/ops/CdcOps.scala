@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.cdc.{CdcConfig, CdcMerge, Hashing}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDC suite (SURVEY.md §2.2-I) — the reference's core semantics
+  * [upstream `cdc.py`], exercised as deterministic synthetic batches over
+  * the orders table so the DuckDB oracle can replay them exactly.
+  *
+  * Synthetic CDC fixture (fully deterministic, SURVEY §2.2 q_cdc_classify):
+  *   prev = orders where o_orderkey % 10 != 0
+  *   curr = orders where o_orderkey % 7  != 0,
+  *          with o_totalprice bumped +1.00 where o_orderkey % 5 == 0
+  * Key column: o_orderkey. Value columns: o_custkey, o_orderstatus,
+  * o_totalprice (canonicalized per [[graft.cdc.Hashing]]).
+  */
+object CdcOps {
+  private val cfg = CdcConfig(
+    keyCols = Seq("o_orderkey"),
+    valueCols = Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+
+  private def prev(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).filter(col("o_orderkey") % 10 =!= 0)
+
+  private def curr(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+
+  private def classified(s: SparkSession, dir: String): DataFrame =
+    CdcMerge.classify(prev(s, dir), curr(s, dir), cfg)
+
+  // ---- oracle SQL building blocks (mirror Hashing verbatim) ----
+  private val khSql = s"md5(${Hashing.canonicalSql("o_orderkey", isFloating = false)})"
+  private val nkhSql = "md5(concat_ws('|', " +
+    Hashing.canonicalSql("o_custkey", isFloating = false) + ", " +
+    Hashing.canonicalSql("o_orderstatus", isFloating = false) + ", " +
+    Hashing.canonicalSql("o_totalprice", isFloating = true) + "))"
+
+  /** WITH prev AS (...), curr AS (...), cls AS (full-outer classify) */
+  private val clsCte: String =
+    s"""WITH prev AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |         $khSql AS keyhash, $nkhSql AS nonkeyhash
+       |  FROM orders WHERE o_orderkey % 10 <> 0),
+       |curr AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |         $khSql AS keyhash, $nkhSql AS nonkeyhash
+       |  FROM (SELECT o_orderkey, o_custkey, o_orderstatus,
+       |          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+       |               ELSE o_totalprice END AS o_totalprice
+       |        FROM orders WHERE o_orderkey % 7 <> 0)),
+       |cls AS (
+       |  SELECT coalesce(c.o_orderkey, p.o_orderkey) AS o_orderkey,
+       |         coalesce(c.o_custkey, p.o_custkey) AS o_custkey,
+       |         coalesce(c.o_orderstatus, p.o_orderstatus) AS o_orderstatus,
+       |         coalesce(c.o_totalprice, p.o_totalprice) AS o_totalprice,
+       |         coalesce(c.keyhash, p.keyhash) AS keyhash,
+       |         CASE WHEN p.keyhash IS NULL THEN 'I'
+       |              WHEN c.keyhash IS NULL THEN 'D'
+       |              WHEN p.nonkeyhash <> c.nonkeyhash THEN 'U'
+       |              ELSE 'N' END AS op
+       |  FROM prev p FULL OUTER JOIN curr c ON p.keyhash = c.keyhash)""".stripMargin
+
+  /** R3 in scalar form: customer rows + keyhash + nonkeyhash. */
+  val cdcHash: Q = Q.checked(
+    "q_cdc_hash",
+    s"""SELECT c_custkey,
+       |  md5(${Hashing.canonicalSql("c_custkey", isFloating = false)}) AS keyhash,
+       |  md5(concat_ws('|', ${Hashing.canonicalSql("c_name", isFloating = false)},
+       |    ${Hashing.canonicalSql("c_nationkey", isFloating = false)},
+       |    ${Hashing.canonicalSql("c_acctbal", isFloating = true)},
+       |    ${Hashing.canonicalSql("c_mktsegment", isFloating = false)})) AS nonkeyhash
+       |FROM customer ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    val c = CdcConfig(Seq("c_custkey"),
+      Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    CdcMerge.withHashes(Tables.customer(s, dir), c)
+      .select("c_custkey", CdcMerge.KeyHash, CdcMerge.NonKeyHash)
+      .orderBy("c_custkey")
+  }
+
+  /** R5+R6 end-to-end classification. */
+  val cdcClassify: Q = Q.checked(
+    "q_cdc_classify",
+    s"""$clsCte
+       |SELECT o_orderkey, keyhash, op FROM cls ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    classified(s, dir)
+      .select(col("o_orderkey"), col(CdcMerge.KeyHash), col(CdcMerge.OpCol))
+      .orderBy("o_orderkey")
+  }
+
+  /** R8: one aggregation, never count()-per-class. */
+  val cdcCounts: Q = Q.checked(
+    "q_cdc_counts",
+    s"""$clsCte
+       |SELECT op, count(*) AS count FROM cls GROUP BY op ORDER BY op""".stripMargin
+  ) { (s, dir) => CdcMerge.counts(classified(s, dir)).orderBy("op") }
+
+  /** R7: apply — next snapshot is everything but deletes. */
+  val cdcApply: Q = Q.checked(
+    "q_cdc_apply",
+    s"""$clsCte
+       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+       |FROM cls WHERE op <> 'D' ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    CdcMerge.applyChanges(classified(s, dir), cfg).orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(cdcHash, cdcClassify, cdcCounts, cdcApply)
+}
