@@ -46,5 +46,139 @@ object AggOps {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  val all: Seq[Q] = Seq(aggGroup)
+  /** Distinct aggregates per group. */
+  val aggDistinct: Q = Q.checked(
+    "q_agg_distinct",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_suppkey) AS distinct_supp,
+      |  count(DISTINCT l_partkey) AS distinct_part,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("distinct_supp"),
+        countDistinct(col("l_partkey")).as("distinct_part"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Statistical moments per event_type, computed from exact decimal sums
+    * (sum, sum-of-squares) so variance/stddev are association-order-free
+    * — plain stddev_samp over doubles is partition-order-dependent and
+    * can flake the hash compare (SURVEY §7.4). */
+  val aggStats: Q = Q.checked(
+    "q_agg_stats",
+    Tables.EventsCte +
+      """
+        |SELECT event_type, count(*) AS n,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  (CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |   - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |     * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        |  / (count(*) - 1) AS var_v,
+        |  sqrt((CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |   - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |     * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        |  / (count(*) - 1)) AS std_v
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    val v = col("value").cast(D)
+    val sumSq = sum(v * v).cast(DoubleType)
+    val sumV = sum(v).cast(DoubleType)
+    val n = count(lit(1))
+    val variance = (sumSq - sumV * sumV / n) / (n - lit(1))
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min("value").as("min_v"), max("value").as("max_v"),
+        variance.as("var_v"), sqrt(variance).as("std_v"))
+      .orderBy("event_type")
+  }
+
+  /** ROLLUP (r_name ← n_name) with grouping_id. */
+  val aggRollup: Q = Q.checked(
+    "q_agg_rollup",
+    """SELECT r_name, n_name, count(*) AS n_cust,
+      |  CAST(grouping_id(r_name, n_name) AS BIGINT) AS gid
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup("r_name", "n_name")
+      .agg(count(lit(1)).as("n_cust"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** CUBE (returnflag × linestatus). */
+  val aggCube: Q = Q.checked(
+    "q_agg_cube",
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+       |FROM lineitem
+       |GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Explicit GROUPING SETS ((mktsegment),(n_name),()). */
+  val aggGroupingSets: Q = Q.checked(
+    "q_agg_grouping_sets",
+    s"""SELECT c_mktsegment, n_name, count(*) AS n_cust,
+       |  ${dsumSql("c_acctbal")} AS sum_bal,
+       |  CAST(grouping_id(c_mktsegment, n_name) AS BIGINT) AS gid
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+       |ORDER BY gid, c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment")), Seq(col("n_name")), Seq.empty),
+        col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("c_mktsegment").asc_nulls_first,
+        col("n_name").asc_nulls_first)
+  }
+
+  /** Portable pivot: event_type → columns via conditional counts.
+    * count(CASE …) (BIGINT in both engines) rather than sum(int), which
+    * DuckDB widens to HUGEINT. */
+  val pivotCase: Q = Q.checked(
+    "q_pivot_case",
+    Tables.EventsCte +
+      """
+        |SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  count(*) AS n
+        |FROM ev GROUP BY 1 ORDER BY day""".stripMargin
+  ) { (s, dir) =>
+    def cnt(t: String) = count(when(col("event_type") === t, 1)).as(s"n_$t")
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(cnt("click").as("n_click"), cnt("view").as("n_view"),
+        cnt("purchase").as("n_purchase"), cnt("signup").as("n_signup"),
+        cnt("error").as("n_error"), count(lit(1)).as("n"))
+      .orderBy("day")
+  }
+
+  val all: Seq[Q] = Seq(aggGroup, aggDistinct, aggStats, aggRollup, aggCube,
+    aggGroupingSets, pivotCase)
 }

@@ -1,0 +1,187 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2.2-C).
+  *
+  * Scale notes: fact⋈fact joins shuffle on the key and lean on AQE;
+  * dim-table joins are explicitly `broadcast()`-hinted so no shuffle of
+  * the fact side ever happens for them; the as-of join is a single
+  * window pass (one shuffle by user_id), never an O(n²) range probe.
+  */
+object JoinOps {
+
+  /** Fact ⋈ dim equi-join + aggregation per market segment. */
+  val joinInner: Q = Q.checked(
+    "q_join_inner",
+    s"""SELECT c_mktsegment, count(*) AS n_orders,
+       |  count(DISTINCT o_custkey) AS n_cust,
+       |  ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Star-schema dim chain with explicit broadcast hints. */
+  val joinBroadcast: Q = Q.checked(
+    "q_join_broadcast",
+    s"""SELECT r_name, n_name, count(*) AS n_cust,
+       |  ${dsumSql("c_acctbal")} AS sum_bal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+  ) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** LEFT JOIN preserving zero-order customers (null-extension check). */
+  val joinLeft: Q = Q.checked(
+    "q_join_left",
+    s"""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+       |  ${dsumSql("o_totalprice")} AS sum_price
+       |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+       |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("c_custkey")
+  }
+
+  /** Full-outer of two derived order sets — the CDC shape (R5). */
+  val joinFull: Q = Q.checked(
+    "q_join_full",
+    """SELECT coalesce(a.k, b.k) AS o_orderkey,
+      |  CASE WHEN a.k IS NULL THEN 'right_only'
+      |       WHEN b.k IS NULL THEN 'left_only'
+      |       ELSE 'both' END AS presence,
+      |  a.aprice, b.bprice
+      |FROM (SELECT o_orderkey AS k, o_totalprice AS aprice FROM orders WHERE o_orderkey % 3 = 0) a
+      |FULL OUTER JOIN (SELECT o_orderkey AS k, o_totalprice AS bprice FROM orders WHERE o_orderkey % 4 = 0) b
+      |ON a.k = b.k
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val a = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("ak"), col("o_totalprice").as("aprice"))
+    val b = o.filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey").as("bk"), col("o_totalprice").as("bprice"))
+    a.join(b, col("ak") === col("bk"), "full_outer")
+      .select(coalesce(col("ak"), col("bk")).as("o_orderkey"),
+        when(col("ak").isNull, "right_only")
+          .when(col("bk").isNull, "left_only")
+          .otherwise("both").as("presence"),
+        col("aprice"), col("bprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Left-semi: customers having at least one big order. */
+  val joinSemi: Q = Q.checked(
+    "q_join_semi",
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("o_custkey") === col("c_custkey") && col("o_totalprice") > 400000,
+        "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti: customers with no orders at all (delete-detection shape). */
+  val joinAnti: Q = Q.checked(
+    "q_join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"),
+        "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Theta self-join: nation pairs within a region (n1 < n2). */
+  val joinTheta: Q = Q.checked(
+    "q_join_theta",
+    """SELECT n1.n_regionkey AS r_key, n1.n_nationkey AS k1, n2.n_nationkey AS k2,
+      |       n1.n_name AS name1, n2.n_name AS name2
+      |FROM nation n1 JOIN nation n2
+      |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+      |ORDER BY k1, k2""".stripMargin
+  ) { (s, dir) =>
+    val n = Tables.nation(s, dir)
+    val n1 = n.select(col("n_nationkey").as("k1"), col("n_name").as("name1"),
+      col("n_regionkey").as("r_key"))
+    val n2 = n.select(col("n_nationkey").as("k2"), col("n_name").as("name2"),
+      col("n_regionkey").as("rk2"))
+    n1.join(n2, col("r_key") === col("rk2") && col("k1") < col("k2"))
+      .select("r_key", "k1", "k2", "name1", "name2")
+      .orderBy("k1", "k2")
+  }
+
+  /** As-of join: per purchase, the most recent prior click by the same
+    * user, in (ts, event_id) stream order. Implemented as ONE window pass
+    * (the 100 TB-safe plan: a single shuffle by user_id, no range probe);
+    * the oracle uses the identical window formulation, not DuckDB's ASOF
+    * JOIN, so tie-breaking is provably the same (SURVEY §7.4).
+    */
+  val joinAsof: Q = Q.checked(
+    "q_join_asof",
+    Tables.EventsCte +
+      """,
+        |w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER win AS last_click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER win AS last_click_ts
+        |  FROM ev
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |       last_click_id, last_click_ts
+        |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val win = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(win))
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(win))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("last_click_id"),
+        col("last_click_ts").cast("timestamp_ntz").as("last_click_ts"))
+      .orderBy("purchase_id")
+  }
+
+  val all: Seq[Q] = Seq(joinInner, joinBroadcast, joinLeft, joinFull,
+    joinSemi, joinAnti, joinTheta, joinAsof)
+}
