@@ -8,7 +8,9 @@ import graft.ops._
   */
 object Registry {
   val all: Seq[Q] =
-    AggOps.all ++ CdcOps.all ++ SortSetOps.all
+    ScanFilterOps.all ++ JoinOps.all ++ AggOps.all ++ WindowOps.all ++
+      SortSetOps.all ++ SetOps.all ++ ScalarOps.all ++ CdcOps.all ++
+      StreamShapeOps.all ++ TextSimOps.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

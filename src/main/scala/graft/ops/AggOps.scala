@@ -110,7 +110,14 @@ object AggOps {
     Tables.customer(s, dir)
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
-      .rollup("r_name", "n_name")
+      .select("r_name", "n_name")
+      // ROLLUP expressed as its grouping-sets expansion: Dataset.rollup on a
+      // join output trips Spark's ambiguous-self-join heuristic on the
+      // grouping columns; groupingSets resolves cleanly (same plan, same
+      // semantics)
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq.empty),
+        col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_cust"), grouping_id().as("gid"))
       .orderBy(col("gid"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }

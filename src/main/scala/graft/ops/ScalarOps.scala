@@ -1,0 +1,236 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar-function surface (SURVEY.md §2.2-H): string / date / math / json /
+  * hash / array / explode / map — all Spark built-ins (codegen'd, no UDFs).
+  *
+  * Cross-engine determinism notes (SURVEY §7.4/§7.5):
+  *  - int-returning Spark funcs (length, year, datediff, …) are cast to
+  *    BIGINT because the DuckDB twins return BIGINT and the driver
+  *    stringifies values ("3" vs "3", but a double would print "3.0").
+  *  - round() is applied ONLY to irrational-derived doubles (sqrt/ln/
+  *    cosine): for those a decimal tie is measure-zero, so Spark's
+  *    BigDecimal-string rounding and DuckDB's scaled-rint rounding agree.
+  *    Money (exact-2dp doubles) is never re-rounded at a coarser scale —
+  *    round(2.675, 2) is 2.68 in Spark but 2.67 in DuckDB.
+  *  - floats widen to double exactly; products of two floats are exact in
+  *    double (24+24 < 53 mantissa bits); sums go through DECIMAL where the
+  *    fold order is not provably identical.
+  */
+object ScalarOps {
+
+  /** String suite over part names. */
+  val strFuncs: Q = Q.checked(
+    "q_str_funcs",
+    """SELECT p_partkey,
+      |  upper(p_name) AS up,
+      |  lower(p_brand) AS lo,
+      |  substr(p_name, 1, 12) AS sub,
+      |  CAST(length(p_name) AS BIGINT) AS len,
+      |  trim(p_type) AS trm,
+      |  replace(p_name, ' ', '_') AS rep,
+      |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      |  concat_ws('-', p_brand, p_type) AS brand_type,
+      |  CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS has_red
+      |FROM part ORDER BY p_partkey""".stripMargin
+  ) { (s, dir) =>
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 1, 12).as("sub"),
+        length(col("p_name")).cast(LongType).as("len"),
+        trim(col("p_type")).as("trm"),
+        regexp_replace(col("p_name"), " ", "_").as("rep"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        when(col("p_name").like("%red%"), 1).otherwise(0).as("has_red"))
+      .orderBy("p_partkey")
+  }
+
+  /** Date suite over o_orderdate, aggregated per (year, month) so the
+    * output is bounded (~84 rows) at any scale factor. */
+  val dateFuncs: Q = Q.checked(
+    "q_date_funcs",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |  count(*) AS n,
+      |  CAST(min(day(o_orderdate)) AS BIGINT) AS min_day,
+      |  CAST(max(day(o_orderdate)) AS BIGINT) AS max_day,
+      |  CAST(min(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS min_day_num,
+      |  min(CAST(date_trunc('month', o_orderdate) AS DATE)) AS month_start,
+      |  min(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)) AS min_plus3m,
+      |  CAST(min(epoch(o_orderdate)) AS BIGINT) AS min_epoch
+      |FROM orders
+      |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mo"))
+      .agg(count(lit(1)).as("n"),
+        min(dayofmonth(col("o_orderdate"))).cast(LongType).as("min_day"),
+        max(dayofmonth(col("o_orderdate"))).cast(LongType).as("max_day"),
+        min(datediff(col("o_orderdate").cast(DateType),
+          lit("1992-01-01").cast(DateType))).cast(LongType).as("min_day_num"),
+        min(date_trunc("month", col("o_orderdate")).cast(DateType)).as("month_start"),
+        min(add_months(col("o_orderdate"), 3)).as("min_plus3m"),
+        min(unix_timestamp(col("o_orderdate"))).as("min_epoch"))
+      .orderBy("yr", "mo")
+  }
+
+  /** Math suite on a deterministic lineitem slice (o_orderkey % 997 = 0) so
+    * per-row output stays bounded; ORDER BY spans all columns because
+    * (l_orderkey, l_linenumber) is not unique in the testdata. */
+  val mathFuncs: Q = Q.checked(
+    "q_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_quantity - 25.0) AS q_abs,
+      |  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_ceil,
+      |  CAST(floor(l_discount * 100) AS BIGINT) AS disc_floor,
+      |  round(sqrt(l_extendedprice), 4) AS price_sqrt,
+      |  round(ln(l_quantity), 6) AS q_ln,
+      |  pow(l_quantity, 2) AS q_sq,
+      |  CAST(sign(l_discount - 0.04) AS BIGINT) AS disc_sign,
+      |  l_orderkey % 7 AS key_mod
+      |FROM lineitem
+      |WHERE l_orderkey % 997 = 0
+      |ORDER BY l_orderkey, l_linenumber, q_abs, disc_ceil, disc_floor,
+      |  price_sqrt, q_ln, q_sq, disc_sign, key_mod""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 997 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25.0).as("q_abs"),
+        ceil(col("l_discount") * 100).cast(LongType).as("disc_ceil"),
+        floor(col("l_discount") * 100).cast(LongType).as("disc_floor"),
+        round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
+        round(log(col("l_quantity")), 6).as("q_ln"),
+        pow(col("l_quantity"), 2).as("q_sq"),
+        signum(col("l_discount") - 0.04).cast(LongType).as("disc_sign"),
+        (col("l_orderkey") % 7).as("key_mod"))
+      .orderBy("l_orderkey", "l_linenumber", "q_abs", "disc_ceil",
+        "disc_floor", "price_sqrt", "q_ln", "q_sq", "disc_sign", "key_mod")
+  }
+
+  /** JSON extraction: events.props = {"k": <int>}, bucketed aggregate. */
+  val json: Q = Q.checked(
+    "q_json",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      |  count(*) AS n,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1 ORDER BY k_bucket""".stripMargin
+  ) { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    Tables.events(s, dir)
+      .groupBy((k % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min(k).as("min_k"), max(k).as("max_k"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("k_bucket")
+  }
+
+  /** md5 + sha256 over canonicalized customer columns — the identity-hash
+    * pattern (SURVEY §2.2-H q_hash; canonicalization per graft.cdc.Hashing). */
+  val hashFuncs: Q = Q.checked(
+    "q_hash",
+    """SELECT c_custkey,
+      |  md5(concat_ws('|', coalesce(CAST(c_custkey AS VARCHAR), '<NULL>'),
+      |                     coalesce(c_mktsegment, '<NULL>'))) AS h_md5,
+      |  sha256(concat_ws('|', coalesce(CAST(c_custkey AS VARCHAR), '<NULL>'),
+      |                        coalesce(c_mktsegment, '<NULL>'))) AS h_sha,
+      |  md5(coalesce(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), '<NULL>')) AS h_bal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    val payload = concat_ws("|",
+      coalesce(col("c_custkey").cast(StringType), lit("<NULL>")),
+      coalesce(col("c_mktsegment"), lit("<NULL>")))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        md5(payload).as("h_md5"),
+        sha2(payload, 256).as("h_sha"),
+        md5(coalesce(col("c_acctbal").cast(DecimalType(18, 2)).cast(StringType),
+          lit("<NULL>"))).as("h_bal"))
+      .orderBy("c_custkey")
+  }
+
+  /** Array higher-order functions over the embedding column — no UDFs:
+    * size / element_at / slice / transform+aggregate stay inside codegen. */
+  val array: Q = Q.checked(
+    "q_array",
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS BIGINT) AS dim,
+      |  CAST(embedding[1] AS DOUBLE) AS first_v,
+      |  CAST(embedding[64] AS DOUBLE) AS last_v,
+      |  round(list_sum(list_transform(embedding[1:8],
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS ss8
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        element_at(col("embedding"), 1).cast(DoubleType).as("first_v"),
+        element_at(col("embedding"), 64).cast(DoubleType).as("last_v"),
+        round(expr(
+          """aggregate(slice(embedding, 1, 8), CAST(0 AS DOUBLE),
+            |(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""".stripMargin),
+          4).as("ss8"))
+      .orderBy("vec_id")
+  }
+
+  /** Generator surface: posexplode the embedding array and aggregate per
+    * position. Float sums go through DECIMAL(18,8) (exact, fold-order-free);
+    * min/max are exact. Spark's 0-based pos is shifted to DuckDB's 1-based
+    * subscripts. */
+  val explode: Q = Q.checked(
+    "q_explode",
+    """SELECT pos, count(*) AS n,
+      |  CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE) AS sum_v,
+      |  CAST(min(val) AS DOUBLE) AS min_v,
+      |  CAST(max(val) AS DOUBLE) AS max_v
+      |FROM (SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+      |             unnest(embedding) AS val
+      |      FROM embeddings)
+      |GROUP BY pos ORDER BY pos""".stripMargin
+  ) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos0", "val")))
+      .select((col("pos0") + 1).cast(LongType).as("pos"), col("val"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        // float → DOUBLE → DECIMAL on BOTH sides: DuckDB's direct
+        // FLOAT→DECIMAL cast rounds at float precision and drifts
+        sum(col("val").cast(DoubleType).cast(DecimalType(18, 8)))
+          .cast(DoubleType).as("sum_v"),
+        min(col("val")).cast(DoubleType).as("min_v"),
+        max(col("val")).cast(DoubleType).as("max_v"))
+      .orderBy("pos")
+  }
+
+  /** MapType round-trip: parse props into a map, extract the scalar back
+    * out (maps never appear in checked output — SURVEY §7.5 rule 4). The
+    * oracle extracts the same scalar via JSON — semantic, not syntactic,
+    * equivalence. */
+  val mapOps: Q = Q.checked(
+    "q_map",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS k_mod,
+      |  count(*) AS n,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
+  ) { (s, dir) =>
+    val m = expr("str_to_map(regexp_replace(props, '[{}\" ]', ''), ',', ':')")
+    val k = element_at(m, "k").cast(LongType)
+    Tables.events(s, dir)
+      .withColumn("k", k)
+      .groupBy((col("k") % 5).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("k_mod")
+  }
+
+  val all: Seq[Q] = Seq(strFuncs, dateFuncs, mathFuncs, json, hashFuncs,
+    array, explode, mapOps)
+}

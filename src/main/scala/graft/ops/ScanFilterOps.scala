@@ -15,11 +15,16 @@ object ScanFilterOps {
   val scanProject: Q = Q.checked(
     "q_scan_project",
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
   ) { (s, dir) =>
+    // ORDER BY spans every output column: (l_orderkey, l_linenumber) is NOT
+    // unique in the driver testdata (45,832 distinct of 60,000 at sf0.01),
+    // so a shorter order would leave tie order engine-dependent and flake
+    // the hash compare (SURVEY §7.5 rule 1).
     Tables.lineitem(s, dir)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
   }
 
   /** Compound predicate: AND/OR, BETWEEN, IN, NOT, IS NOT NULL, equality. */
@@ -32,7 +37,7 @@ object ScanFilterOps {
       |  AND NOT (l_discount < 0.02)
       |  AND (l_linestatus = 'F' OR l_quantity > 15)
       |  AND l_shipdate IS NOT NULL
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin
   ) { (s, dir) =>
     Tables.lineitem(s, dir)
       .filter(col("l_returnflag").isin("A", "R")
@@ -42,7 +47,8 @@ object ScanFilterOps {
         && col("l_shipdate").isNotNull)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
         "l_returnflag")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_returnflag")
   }
 
   /** CASE WHEN classifier (scalar form of the CDC R6 pattern). */

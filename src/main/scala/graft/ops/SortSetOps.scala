@@ -24,5 +24,23 @@ object SortSetOps {
       .limit(10)
   }
 
-  val all: Seq[Q] = Seq(topk)
+  /** Multi-column sort with explicit null ordering; limit keeps the plan a
+    * TakeOrderedAndProject (per-partition top-k + driver merge, no global
+    * sort). The trailing o_orderkey makes the order total. */
+  val sortMulti: Q = Q.checked(
+    "q_sort_multi",
+    """SELECT o_orderpriority, o_orderstatus, o_totalprice, o_orderkey
+      |FROM orders
+      |ORDER BY o_orderpriority DESC NULLS LAST, o_totalprice ASC NULLS FIRST,
+      |  o_orderkey
+      |LIMIT 50""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select("o_orderpriority", "o_orderstatus", "o_totalprice", "o_orderkey")
+      .orderBy(col("o_orderpriority").desc_nulls_last,
+        col("o_totalprice").asc_nulls_first, col("o_orderkey"))
+      .limit(50)
+  }
+
+  val all: Seq[Q] = Seq(topk, sortMulti)
 }

@@ -1,0 +1,205 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window-function surface (SURVEY.md §2.2-E) plus the two window-shaped
+  * CDC consumer patterns (§2.2-I q_cdc_latest / q_cdc_scd2).
+  *
+  * Every window is a single hash-shuffle by its partition key followed by an
+  * in-partition sort — the 100 TB-safe shape (no self-join, no range probe).
+  * Window ORDER BYs are total within each partition (event_id / o_orderkey
+  * are unique — FIXTURES.md measured), so rank/lag/frames are deterministic
+  * and the DuckDB oracle can reproduce them bit-for-bit.
+  *
+  * Rank/row-number outputs are cast to BIGINT: Spark's rank() is INT while
+  * DuckDB's is BIGINT, and the driver compares schemas.
+  */
+object WindowOps {
+  private val D = DecimalType(18, 2)
+
+  /** rank / dense_rank / row_number per order-priority band, top-5 rows
+    * per band — bounded output (O(bands·5)), never the whole table. */
+  val winRank: Q = Q.checked(
+    "q_win_rank",
+    """WITH w AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    rank()       OVER win AS rnk,
+      |    dense_rank() OVER win AS drnk,
+      |    row_number() OVER win AS rn
+      |  FROM orders
+      |  WINDOW win AS (PARTITION BY o_orderpriority
+      |                 ORDER BY o_totalprice DESC, o_orderkey))
+      |SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk, rn
+      |FROM w WHERE rn <= 5
+      |ORDER BY o_orderpriority, rn""".stripMargin
+  ) { (s, dir) =>
+    val win = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .withColumn("rnk", rank().over(win).cast(LongType))
+      .withColumn("drnk", dense_rank().over(win).cast(LongType))
+      .withColumn("rn", row_number().over(win).cast(LongType))
+      .filter(col("rn") <= 5)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** lag / lead over the per-user event stream in (ts, event_id) order.
+    * Values pass through untouched (no arithmetic) so doubles stay exact. */
+  val winLag: Q = Q.checked(
+    "q_win_lag",
+    Tables.EventsCte +
+      """,
+        |w AS (
+        |  SELECT event_id, user_id, value,
+        |    lag(value)       OVER win AS prev_value,
+        |    lead(value)      OVER win AS next_value,
+        |    lag(event_id, 2) OVER win AS prev2_id
+        |  FROM ev
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, value, prev_value, next_value, prev2_id
+        |FROM w ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    val win = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_value", lag("value", 1).over(win))
+      .withColumn("next_value", lead("value", 1).over(win))
+      .withColumn("prev2_id", lag("event_id", 2).over(win))
+      .select("event_id", "user_id", "value", "prev_value", "next_value",
+        "prev2_id")
+      .orderBy("event_id")
+  }
+
+  /** Running money sum per customer, ROWS UNBOUNDED PRECEDING..CURRENT —
+    * summed over DECIMAL(18,2) so the cumulation is exact and
+    * association-order-free (SURVEY §7.4). */
+  val winFrameRows: Q = Q.checked(
+    "q_win_frame_rows",
+    """WITH w AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER win AS DOUBLE) AS run_sum,
+      |    row_number() OVER win AS rn
+      |  FROM orders
+      |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT o_orderkey, o_custkey, run_sum, rn FROM w ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val win = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("run_sum",
+        sum(col("o_totalprice").cast(D))
+          .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType))
+      .withColumn("rn", row_number().over(win).cast(LongType))
+      .select("o_orderkey", "o_custkey", "run_sum", "rn")
+      .orderBy("o_orderkey")
+  }
+
+  /** RANGE frame on a numeric key: per customer, how many of their orders
+    * fall in the trailing 7-day window (inclusive of same-day peers —
+    * RANGE semantics, identical in both engines). */
+  val winFrameRange: Q = Q.checked(
+    "q_win_frame_range",
+    """WITH d AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_num
+      |  FROM orders),
+      |w AS (
+      |  SELECT o_orderkey, o_custkey, day_num,
+      |    count(*) OVER (PARTITION BY o_custkey ORDER BY day_num
+      |                   RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS n_7d
+      |  FROM d)
+      |SELECT o_orderkey, o_custkey, day_num, n_7d FROM w ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val win = Window.partitionBy("o_custkey").orderBy(col("day_num"))
+      .rangeBetween(-7, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("day_num",
+        datediff(col("o_orderdate").cast(DateType),
+          lit("1990-01-01").cast(DateType)).cast(LongType))
+      .withColumn("n_7d", count(lit(1)).over(win))
+      .select("o_orderkey", "o_custkey", "day_num", "n_7d")
+      .orderBy("o_orderkey")
+  }
+
+  /** Top-3 orders per customer — the row_number≤k pattern; output is
+    * O(3·customers), bounded. */
+  val topkPerGroup: Q = Q.checked(
+    "q_topk_per_group",
+    """WITH w AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_custkey, rn, o_orderkey, o_totalprice
+      |FROM w WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+  ) { (s, dir) =>
+    val win = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(win).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Collapse a change feed to the latest record per key — the most common
+    * consumer of a CDC stream [SURVEY §2.2-I]. One shuffle by user_id. */
+  val cdcLatest: Q = Q.checked(
+    "q_cdc_latest",
+    Tables.EventsCte +
+      """,
+        |w AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM w WHERE rn = 1 ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    val win = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"), col("event_type"),
+        col("value"))
+      .orderBy("user_id")
+  }
+
+  /** SCD-type-2 history: per user, each event versioned with
+    * [effective_from, effective_to) via lead(); open interval = current. */
+  val cdcScd2: Q = Q.checked(
+    "q_cdc_scd2",
+    Tables.EventsCte +
+      """,
+        |w AS (
+        |  SELECT user_id, event_id, value,
+        |    ts AS effective_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS effective_to
+        |  FROM ev)
+        |SELECT user_id, event_id, value,
+        |  CAST(effective_from AS TIMESTAMP) AS effective_from,
+        |  CAST(effective_to AS TIMESTAMP) AS effective_to,
+        |  CASE WHEN effective_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM w ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    val win = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("effective_to", lead("ts", 1).over(win))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").cast("timestamp_ntz").as("effective_from"),
+        col("effective_to").cast("timestamp_ntz").as("effective_to"),
+        when(col("effective_to").isNull, 1).otherwise(0).as("is_current"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(winRank, winLag, winFrameRows, winFrameRange,
+    topkPerGroup, cdcLatest, cdcScd2)
+}
