@@ -182,6 +182,43 @@ object JoinOps {
       .orderBy("purchase_id")
   }
 
+  /** Range (interval) join: pairs of same-user events within 10 minutes.
+    * The oracle states it as a theta join; the engine runs the 100 TB-safe
+    * plan — bucketize ts into 10-min buckets and equi-join on
+    * (user_id, bucket) with one side exploded to its 3 neighbor buckets,
+    * so the shuffle is an equi-join and each qualifying pair matches
+    * exactly once (|bucket_a − bucket_b| ≤ 1 when |Δts| ≤ 10 min). */
+  val joinRange: Q = Q.checked(
+    "q_join_range",
+    Tables.EventsCte +
+      """
+        |SELECT a.user_id, a.event_id AS eid_a, b.event_id AS eid_b,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM ev a JOIN ev b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 600000000
+        |ORDER BY eid_a, eid_b""".stripMargin
+  ) { (s, dir) =>
+    val BucketUs = 600000000L // 10 minutes
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val a = ev.select(col("user_id"), col("event_id").as("eid_a"),
+        col("us").as("us_a"))
+      .withColumn("bucket_a", expr(s"us_a div $BucketUs"))
+    val b = ev.select(col("user_id").as("user_b"), col("event_id").as("eid_b"),
+        col("us").as("us_b"))
+      .withColumn("bucket0", expr(s"us_b div $BucketUs"))
+      .withColumn("bucket_b",
+        explode(array(col("bucket0") - 1, col("bucket0"), col("bucket0") + 1)))
+    a.join(b, col("user_id") === col("user_b")
+        && col("bucket_a") === col("bucket_b")
+        && col("eid_a") < col("eid_b")
+        && abs(col("us_b") - col("us_a")) <= BucketUs)
+      .select(col("user_id"), col("eid_a"), col("eid_b"),
+        (col("us_b") - col("us_a")).as("gap_us"))
+      .orderBy("eid_a", "eid_b")
+  }
+
   val all: Seq[Q] = Seq(joinInner, joinBroadcast, joinLeft, joinFull,
-    joinSemi, joinAnti, joinTheta, joinAsof)
+    joinSemi, joinAnti, joinTheta, joinAsof, joinRange)
 }

@@ -167,6 +167,193 @@ object TextSimOps {
       .orderBy("lang", "label")
   }
 
-  val all: Seq[Q] = Seq(textStats, dedupExact, dedupNear, simTopk,
-    simCentroid, multimodalJoin)
+  /** Per-document quality scoring: token counts, type-token ratio,
+    * stopword ratio, average token length — all exact integer counts with
+    * single IEEE divisions (bit-identical cross-engine, no rounding). */
+  val textQuality: Q = Q.checked(
+    "q_text_quality",
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS ttr,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    t -> t = 'a' OR t = 'the')) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS stop_ratio,
+      |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS avg_tok_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast(LongType)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        nTok.as("n_tokens"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct"),
+        (size(array_distinct(toks)).cast(DoubleType) / nTok).as("ttr"),
+        (size(filter(toks, t => t === "a" || t === "the")).cast(DoubleType) /
+          nTok).as("stop_ratio"),
+        (length(regexp_replace(col("text"), " ", "")).cast(DoubleType) / nTok)
+          .as("avg_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: score fixed marker-token lists per language,
+    * argmax with a deterministic lexicographic tie-break, then confusion
+    * counts vs the labeled lang. (The synthetic corpus shares one
+    * vocabulary across langs — the mechanism, not the accuracy, is what
+    * is under test.) */
+  val textLangid: Q = Q.checked(
+    "q_text_langid",
+    """WITH scored AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('agg','table','hash')))   AS s_de,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('scan','row','slow')))    AS s_en,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('stream','batch','group'))) AS s_es,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('line','window','order')))  AS s_fr,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('join','merge','big')))   AS s_zh
+      |  FROM documents),
+      |pred AS (
+      |  SELECT lang,
+      |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |         WHEN s_fr >= s_zh THEN 'fr'
+      |         ELSE 'zh' END AS pred_lang
+      |  FROM scored)
+      |SELECT lang, pred_lang, count(*) AS n
+      |FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  ) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    def score(markers: Seq[String]) =
+      size(filter(toks, t => markers.map(t === _).reduce(_ || _))).cast(LongType)
+    Tables.documents(s, dir)
+      .withColumn("s_de", score(Seq("agg", "table", "hash")))
+      .withColumn("s_en", score(Seq("scan", "row", "slow")))
+      .withColumn("s_es", score(Seq("stream", "batch", "group")))
+      .withColumn("s_fr", score(Seq("line", "window", "order")))
+      .withColumn("s_zh", score(Seq("join", "merge", "big")))
+      .withColumn("pred_lang",
+        when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es")
+          && col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr")
+            && col("s_en") >= col("s_zh"), "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Document fingerprint: the minimum md5 over 3-token shingles — a
+    * winnowing-style content signature, stable under doc_id reshuffles and
+    * cross-engine reproducible (md5 exists in both engines). */
+  val textFingerprint: Q = Q.checked(
+    "q_text_fingerprint",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) - 2 AS BIGINT) AS n_shingles,
+      |  list_aggregate(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |    i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' '))),
+      |    'min') AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    val shingleHashes = expr(
+      """transform(sequence(1, size(split(text, ' ')) - 2),
+        |i -> md5(concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (size(toks) - 2).cast(LongType).as("n_shingles"),
+        array_min(shingleHashes).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** n-gram Jaccard near-dup: exact 3-shingle Jaccard over prefix-blocked
+    * candidate pairs (the deterministic blocking keeps this O(block²), not
+    * O(n²)). jaccard is a single IEEE division of exact ints — no rounding
+    * (round() at a decimal tie like 1/32 diverges between engines). */
+  val dedupNgram: Q = Q.checked(
+    "q_dedup_ngram",
+    """WITH sh AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS prefix,
+      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_int,
+      |  CAST(len(a.shingles) + len(b.shingles)
+      |    - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_union,
+      |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      |    / (len(a.shingles) + len(b.shingles)
+      |       - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+      |FROM sh a JOIN sh b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"),
+        expr(
+          """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+            |i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin)
+          .as("shingles"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("prefix"),
+      col("shingles").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("prefix").as("prefix_b"),
+      col("shingles").as("sh_b"))
+    val nInt = size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType)
+    val nUnion = (size(col("sh_a")) + size(col("sh_b"))).cast(LongType) - nInt
+    a.join(b, col("prefix") === col("prefix_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), nInt.as("n_int"),
+        nUnion.as("n_union"),
+        (nInt.cast(DoubleType) / nUnion).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup: within-label blocking (deterministic),
+    * pairwise cosine over the block, threshold 0.35 (this corpus's
+    * embeddings are near-orthogonal; max within-label cosine ≈ 0.47).
+    * The unblocked scale path is LSH (graft.sim / graft.dedup, impl-only). */
+  val dedupEmbed: Q = Q.checked(
+    "q_dedup_embed",
+    """WITH n AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+      |  round(list_sum(list_transform(range(1, 65),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (a.nrm * b.nrm), 4) AS cos_sim
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(range(1, 65),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (a.nrm * b.nrm) >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin
+  ) { (s, dir) =>
+    val withNorm = Tables.embeddings(s, dir)
+      .withColumn("nrm", sqrt(expr(
+        """aggregate(embedding, CAST(0 AS DOUBLE),
+          |(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""".stripMargin)))
+    val a = withNorm.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = withNorm.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val cos = expr(
+      """aggregate(zip_with(emb_a, emb_b,
+        |(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
+      (col("nrm_a") * col("nrm_b"))
+    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_raw", cos)
+      .filter(col("cos_raw") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        round(col("cos_raw"), 4).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val all: Seq[Q] = Seq(textStats, textQuality, textLangid, textFingerprint,
+    dedupExact, dedupNear, dedupNgram, dedupEmbed, simTopk, simCentroid,
+    multimodalJoin)
 }
