@@ -1,0 +1,105 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** MinHash + LSH near-duplicate detection — the 100 TB dedup path
+  * (SURVEY.md §2.2-K impl row; north star BASELINE.json).
+  *
+  * Pipeline: word n-gram shingles → k-permutation minhash signature
+  * (xxhash64 family, seeded by permutation index) → banded bucket keys →
+  * equi-join on (band, bucket) for candidates → exact Jaccard verify.
+  *
+  * Scale design: the only shuffles are (a) the band-bucket equi-join and
+  * (b) the verify join-back — never an all-pairs comparison. Bucket keys
+  * are 8-byte longs (xxhash64), not strings. Candidate volume is bounded
+  * by the banding parameters (P[bucket-collision] = 1 − (1 − j^r)^b for
+  * Jaccard j), so skew from a hot bucket is the only risk — AQE's skew
+  * join handles it, and `bandBuckets` can be salted if a pathological
+  * corpus demands it. All expressions are built-ins inside codegen; no
+  * UDFs, no MLlib dependency.
+  *
+  * The LSH output is hash-seed sensitive, so it is impl-only: the
+  * DuckDB-checked oracle proxies are q_dedup_near / q_dedup_ngram
+  * (deterministic prefix blocking + exact Jaccard), and LshSpec asserts
+  * recall against exact n-gram Jaccard ground truth.
+  */
+object MinHashLsh {
+
+  /** Banding configuration. numHashes = bands · rowsPerBand. */
+  final case class Config(
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  /** Distinct word n-gram shingles per document (empty array for texts
+    * shorter than n tokens). */
+  def withShingles(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs.withColumn("shingles", expr(
+      s"""array_distinct(transform(
+         |  sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 0)),
+         |  i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))))""".stripMargin))
+
+  /** k-minhash signature as k flat columns m0..m{k-1}: mj = min over
+    * shingles of xxhash64(j, s). Seeding by the permutation index makes
+    * the k hash functions independent draws from the xxhash64 family.
+    *
+    * Execution shape: explode to one row per shingle, hash it k times in
+    * one projection, then a single groupBy(id) with k min-aggregates —
+    * map-side partials, one shuffle, fully codegen'd. (The original
+    * array-lambda fold allocated a k-element array per shingle and was
+    * ~40× slower at sf0.1; bench-driven rewrite.) */
+  def signatures(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(col("shingles")).as("sh"))
+    val minCols = (0 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
+    exploded.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Explode each signature into its band buckets:
+    * (id, band_id, band_hash) where band_hash = xxhash64 over the band's
+    * signature rows — an 8-byte join key. */
+  def bandBuckets(sigs: DataFrame, idCol: String, cfg: Config): DataFrame = {
+    val r = cfg.rowsPerBand
+    val bandHashes = (0 until cfg.bands).map { b =>
+      xxhash64((lit(b) +: (0 until r).map(i => col(s"m${b * r + i}"))): _*)
+    }
+    sigs.select(col(idCol),
+      posexplode(array(bandHashes: _*)).as(Seq("band_id", "band_hash")))
+  }
+
+  /** Candidate pairs: ids sharing any (band, bucket), a < b, deduped. */
+  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
+    val a = buckets.select(col(idCol).as("id_a"), col("band_id"), col("band_hash"))
+    val b = buckets.select(col(idCol).as("id_b"),
+      col("band_id").as("band_id_b"), col("band_hash").as("band_hash_b"))
+    a.join(b, col("band_id") === col("band_id_b")
+        && col("band_hash") === col("band_hash_b")
+        && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** End-to-end: candidates verified with exact Jaccard over the shingle
+    * sets, thresholded. Output: (id_a, id_b, jaccard). */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     cfg: Config = Config()): DataFrame = {
+    val sh = withShingles(docs.select(idCol, textCol), textCol, cfg.shingleSize)
+    val sigs = signatures(sh, idCol, cfg.numHashes)
+    val cands = candidatePairs(bandBuckets(sigs, idCol, cfg), idCol)
+    val shA = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val shB = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    val nInt = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = nInt.cast(DoubleType) /
+      (size(col("sh_a")) + size(col("sh_b")) - nInt)
+    cands.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= cfg.threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

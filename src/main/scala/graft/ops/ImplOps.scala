@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.dedup.{MinHashLsh, SimHash}
+import graft.multimodal.{DeterministicStubDecoder, Multimodal}
+import graft.sim.Ann
+import org.apache.spark.sql.functions._
+
+/** Impl-only query surfaces (SURVEY.md §2.2 ✗ rows): registered in
+  * `SparkEntry.queries` but intentionally absent from `oracleSql` — their
+  * semantics are not ANSI-SQL-expressible in DuckDB (hash-seed-sensitive
+  * LSH/SimHash buckets, HLL sketches, binary feature extraction), so the
+  * driver records a rows-only check and ScalaTest carries the real
+  * verification (LshSpec / MultimodalSpec compare against exact ground
+  * truth).
+  */
+object ImplOps {
+
+  /** MinHash-LSH near-dup pipeline over documents — the 100 TB dedup
+    * path. Jaccard values on emitted pairs are exact (verify step). */
+  val dedupMinhash: Q = Q.implOnly("q_dedup_minhash") { (s, dir) =>
+    MinHashLsh.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+        MinHashLsh.Config(numHashes = 32, bands = 8, shingleSize = 3,
+          threshold = 0.5))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs (Hamming ≤ 6 over 64-bit signatures). */
+  val dedupSimhash: Q = Q.implOnly("q_dedup_simhash") { (s, dir) =>
+    SimHash.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+        maxDist = 6)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** LSH-bucketed ANN top-10 for probe vec_id=0 (brute-force twin:
+    * q_sim_topk). */
+  val simAnn: Q = Q.implOnly("q_sim_ann") { (s, dir) =>
+    Ann.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      probeId = 0L, k = 10, nBits = 4)
+  }
+
+  /** Binary-payload feature extraction through the stubbed decoder —
+    * exercises the multimodal schema + per-partition batch shape. */
+  val multimodalFeatures: Q = Q.implOnly("q_multimodal_features") { (s, dir) =>
+    Multimodal.extractFeatures(
+        Multimodal.fixtureFromDocuments(Tables.documents(s, dir)),
+        DeterministicStubDecoder)(s)
+      .toDF()
+      .select("media_id", "modality", "n_bytes", "checksum")
+      .orderBy("media_id")
+  }
+
+  /** HLL approximate distinct vs exact — approx_count_distinct's sketch
+    * differs from DuckDB's, so never oracle-checked; ImplSpec bounds the
+    * relative error instead. */
+  val approxDistinct: Q = Q.implOnly("q_approx_distinct") { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, simAnn,
+    multimodalFeatures, approxDistinct)
+}

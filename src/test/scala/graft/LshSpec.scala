@@ -1,0 +1,93 @@
+package graft
+
+import graft.dedup.{MinHashLsh, SimHash}
+import graft.sim.Ann
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LSH-family verification against exact ground truth (SURVEY.md §5.2 —
+  * the hash-seed-sensitive paths that can never be DuckDB-oracled).
+  * xxhash64 is deterministic, so these asserts are exact, not flaky.
+  */
+class LshSpec extends AnyFunSuite with SparkFixture {
+
+  private def docs: DataFrame =
+    Tables.documents(spark, Sf).select("doc_id", "text")
+
+  /** Exact all-pairs Jaccard ≥ threshold over 3-shingles (O(n²) — fine at
+    * sf0.001's 500 docs, and only ever run in tests). */
+  private def exactPairs(threshold: Double): DataFrame = {
+    val sh = MinHashLsh.withShingles(docs, "text", 3)
+      .select(col("doc_id"), col("shingles"))
+    val a = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val nInt = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = nInt.cast(DoubleType) /
+      (size(col("sh_a")) + size(col("sh_b")) - nInt)
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  test("MinHash-LSH: emitted pairs carry exact Jaccard and are a subset of truth") {
+    val cfg = MinHashLsh.Config(numHashes = 32, bands = 8, threshold = 0.5)
+    val lsh = MinHashLsh.nearDuplicates(docs, "doc_id", "text", cfg)
+    val truth = exactPairs(0.5)
+    // verify step computes exact jaccard → every emitted pair must appear
+    // in the exact ground truth with the same value
+    assert(lsh.exceptAll(truth).count() === 0,
+      "LSH emitted a pair not in exact ground truth")
+  }
+
+  test("MinHash-LSH: high-similarity pairs are recalled") {
+    val cfg = MinHashLsh.Config(numHashes = 32, bands = 8, threshold = 0.5)
+    val lsh = MinHashLsh.nearDuplicates(docs, "doc_id", "text", cfg)
+      .select("id_a", "id_b")
+    val strong = exactPairs(0.8).select("id_a", "id_b")
+    val nStrong = strong.count()
+    val found = strong.intersect(lsh).count()
+    // P[miss | j ≥ 0.8] = (1 − j⁴)⁸ ≤ 0.76⁴·... ≈ 1.2% per pair — and
+    // xxhash64 is fixed, so this is a deterministic property of the corpus
+    assert(nStrong > 0, "corpus has no planted strong near-dups at sf0.001")
+    assert(found >= (nStrong * 0.8).toLong,
+      s"recall too low: $found of $nStrong strong pairs")
+  }
+
+  test("SimHash: banding recall is exact for Hamming ≤ 3 (pigeonhole)") {
+    val h = SimHash.signatures(docs, "doc_id", "text")
+    val a = h.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = h.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+    val blocked = SimHash.nearDuplicates(docs, "doc_id", "text", maxDist = 3)
+    assert(blocked.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(blocked).count() === 0)
+  }
+
+  test("ANN: bucket candidates rank with the same cosine as brute force") {
+    val e = Tables.embeddings(spark, Sf)
+    val ann = Ann.annTopK(e, "vec_id", "embedding", probeId = 0L, k = 10,
+      nBits = 4).collect()
+    assert(ann.nonEmpty, "probe bucket is empty at nBits=4")
+    val brute = Ann.bruteTopK(e, "vec_id", "embedding", probeId = 0L, k = 2000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach { r =>
+      val (id, cos) = (r.getLong(0), r.getDouble(2))
+      assert(math.abs(brute(id) - cos) < 1e-12,
+        s"ANN cosine for $id diverges from brute force")
+    }
+  }
+
+  test("ANN: identical vectors land in the same bucket") {
+    val e = Tables.embeddings(spark, Sf).limit(50)
+    val twice = e.union(e)
+    val buckets = Ann.withBucket(twice, "embedding", nBits = 8)
+      .groupBy("vec_id").agg(countDistinct("bucket").as("nb"))
+    assert(buckets.filter(col("nb") =!= 1).count() === 0)
+  }
+}

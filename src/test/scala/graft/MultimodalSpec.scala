@@ -1,0 +1,62 @@
+package graft
+
+import graft.multimodal.{DeterministicStubDecoder, Multimodal}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing checks (north-star brief): the decode itself is a
+  * stub, but the schema, binary payloads, per-partition batch shape and
+  * frame sampling are real. */
+class MultimodalSpec extends AnyFunSuite with SparkFixture {
+
+  private def fixture = Multimodal.fixtureFromDocuments(
+    Tables.documents(spark, Sf).limit(60))
+
+  test("fixture: payload bytes mirror the source text, metadata is typed") {
+    val docs = Tables.documents(spark, Sf).limit(60)
+    val joined = fixture
+      .select(col("media_id"), octet_length(col("payload")).as("n_bytes"),
+        col("meta.modality").as("modality"))
+      .join(docs, col("media_id") === col("doc_id"))
+    // synthetic text is ASCII → byte length == char length
+    assert(joined.filter(col("n_bytes") =!= col("n_chars")).count() === 0)
+    assert(joined.select("modality").distinct().count() === 3)
+  }
+
+  test("feature extraction is deterministic and partition-shaped") {
+    implicit val s = spark
+    val f1 = Multimodal.extractFeatures(fixture.repartition(4),
+      DeterministicStubDecoder).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(fixture.repartition(7),
+      DeterministicStubDecoder).collect().sortBy(_.media_id)
+    assert(f1.length === 60)
+    // partitioning must not affect the features (per-record decode)
+    assert(f1.map(_.checksum).toSeq === f2.map(_.checksum).toSeq)
+    assert(f1.forall(_.features.length === DeterministicStubDecoder.featureDim))
+  }
+
+  test("frame sampling keeps every nth fixed-size chunk") {
+    val frames = Multimodal.sampleFrames(fixture, frameBytes = 100, every = 2)
+    val perMedia = frames.groupBy("media_id").count()
+      .join(fixture.select(col("media_id"),
+        octet_length(col("payload")).as("len")), "media_id")
+    val wrong = perMedia.filter(
+      col("count") =!= ceil(ceil(col("len") / 100.0) / 2.0).cast("long"))
+    assert(wrong.count() === 0)
+    // frames are the right size except possibly the tail chunk
+    val bad = frames.join(fixture.select(col("media_id"),
+        octet_length(col("payload")).as("len")), "media_id")
+      .filter(octet_length(col("frame_payload")) =!= 100 &&
+        col("frame_id") =!= ceil(col("len") / 100.0).cast("long") - 1)
+    assert(bad.count() === 0)
+  }
+
+  test("approx_count_distinct stays within 15% of exact (HLL sanity)") {
+    val r = Tables.events(spark, Sf)
+      .agg(approx_count_distinct("user_id").as("a"),
+        countDistinct("user_id").as("e"))
+      .collect()(0)
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e <= 0.15, s"approx=$a exact=$e")
+  }
+}

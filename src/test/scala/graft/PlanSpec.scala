@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §4): pushdown, pruning, broadcast
+  * and top-k strategies must actually reach the plan — these are the
+  * 100 TB canaries. ScanFilterOps's Scaladoc promises exactly this suite.
+  */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q_scan_project prunes the parquet read schema to selected columns") {
+    val plan = formatted(ops.ScanFilterOps.scanProject.fn(spark, Sf))
+    assert(plan.contains("ReadSchema"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey"))
+    assert(!readSchema.contains("l_tax"), "unprojected column reached the scan")
+    assert(!readSchema.contains("l_returnflag"))
+  }
+
+  test("q_filter pushes predicates into the parquet scan") {
+    val plan = formatted(ops.ScanFilterOps.filter.fn(spark, Sf))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("In(l_returnflag"), s"missing pushdown: $pushed")
+    assert(pushed.contains("IsNotNull"), s"missing pushdown: $pushed")
+  }
+
+  test("q_join_broadcast broadcasts the dimension tables") {
+    val df = ops.JoinOps.joinBroadcast.fn(spark, Sf)
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "dim join degenerated to a sort-merge join")
+  }
+
+  test("q_topk plans TakeOrderedAndProject, not a global sort") {
+    val plan = formatted(ops.SortSetOps.topk.fn(spark, Sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  test("q_agg_group uses two-phase hash aggregation (map-side partial)") {
+    val plan = formatted(ops.AggOps.aggGroup.fn(spark, Sf))
+    val n = plan.linesIterator.count(_.matches(".*HashAggregate.*"))
+    assert(n >= 2, s"expected partial+final HashAggregate, got $n in:\n$plan")
+  }
+
+  test("oracle queries stay UDF-free (whole-stage codegen preserved)") {
+    Registry.all.filter(_.oracle.isDefined).foreach { q =>
+      val plan = q.fn(spark, Sf).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("UDF"), s"${q.name} contains a UDF")
+      assert(!plan.contains("pythonUDF"), s"${q.name} contains a python UDF")
+    }
+  }
+
+  test("registry names are unique and entry returns rows") {
+    assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

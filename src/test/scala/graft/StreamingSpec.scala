@@ -1,0 +1,164 @@
+package graft
+
+import graft.cdc.{CdcConfig, CdcMerge}
+import graft.streaming.{CdcStream, StreamOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+// top-level: Spark encoders cannot reach case classes nested in a Suite
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+final case class Ord(o_orderkey: Long, o_custkey: Long,
+                     o_orderstatus: String, o_totalprice: Double)
+
+/** Structured Streaming suite (SURVEY.md §5.2.4): batch↔stream parity for
+  * the windowed aggregates, the foreachBatch CDC merge, watermark late-row
+  * drops, streaming dedup, and an arbitrary stateful op.
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling aggregation: stream (complete mode) equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+
+    val ms = MemoryStream[Ev]
+    ms.addData(events)
+    val q = StreamOps.tumblingCounts(ms.toDF)
+      .writeStream.format("memory").queryName("tumb_parity")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("tumb_parity")
+      .orderBy("win_start", "event_type").collect().toSeq
+    val batch = StreamOps.tumblingCounts(
+        Tables.events(spark, Sf)
+          .select("event_id", "ts", "user_id", "event_type", "value"))
+      .orderBy("win_start", "event_type").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("foreachBatch CDC merge: snapshots track full extracts, feed records I/U/D") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("cdc_state").toString
+    val ckpt = Files.createTempDirectory("cdc_ckpt").toString
+    val cfg = CdcConfig(Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+
+    val extract1 = Seq(
+      Ord(1, 10, "O", 100.0), Ord(2, 20, "O", 200.0), Ord(3, 30, "F", 300.0))
+    val extract2 = Seq( // 1 unchanged, 2 updated, 3 deleted, 4 inserted
+      Ord(1, 10, "O", 100.0), Ord(2, 20, "F", 250.0), Ord(4, 40, "O", 400.0))
+
+    val ms = MemoryStream[Ord]
+    val q = CdcStream.start(ms.toDF, cfg, stateDir, ckpt)
+    try {
+      ms.addData(extract1)
+      q.processAllAvailable()
+      val v0 = spark.read.parquet(CdcStream.versionPath(stateDir, 0))
+      assert(v0.as[Ord].collect().toSet === extract1.toSet)
+
+      ms.addData(extract2)
+      q.processAllAvailable()
+      val v1 = spark.read.parquet(CdcStream.versionPath(stateDir, 1))
+      assert(v1.as[Ord].collect().toSet === extract2.toSet)
+
+      val changes = spark.read.parquet(CdcStream.changesPath(stateDir))
+      val b1 = changes.filter(col("batch_id") === 1)
+        .select("o_orderkey", CdcMerge.OpCol).as[(Long, String)].collect().toSet
+      assert(b1 === Set((2L, "U"), (3L, "D"), (4L, "I")))
+      // batch 0: everything is an insert against empty state
+      val b0ops = changes.filter(col("batch_id") === 0)
+        .select(CdcMerge.OpCol).distinct().as[String].collect().toSet
+      assert(b0ops === Set("I"))
+    } finally q.stop()
+  }
+
+  test("watermark: a too-late row is dropped from its closed window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.tumblingWithWatermark(ms.toDF, "1 hour")
+      .writeStream.format("memory").queryName("wm_drop")
+      .outputMode("append").start()
+    try {
+      // two day-1 rows, then day-2 02:00 advances the watermark past the
+      // day-1 window end (00:00 + 1h slack) → day-1 window closes at n=2
+      ms.addData(Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 11:00:00"), 1, "click", 1.0),
+        Ev(3, ts("2024-01-02 02:00:00"), 1, "click", 1.0)))
+      q.processAllAvailable()
+      // late day-1 row (behind the watermark) + day-3 row to close day 2
+      ms.addData(Seq(
+        Ev(4, ts("2024-01-01 12:00:00"), 1, "click", 1.0),
+        Ev(5, ts("2024-01-03 02:00:00"), 1, "click", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("wm_drop")
+      .select(col("win_start").cast("string"), col("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("2024-01-01 00:00:00") === 2, "late row leaked into closed window")
+    assert(rows("2024-01-02 00:00:00") === 1)
+  }
+
+  test("dropDuplicatesWithinWatermark removes same-id replays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.dedupWithinWatermark(ms.toDF, "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(1, ts("2024-01-01 10:00:01"), 1, "click", 1.0), // replay
+        Ev(2, ts("2024-01-01 10:05:00"), 2, "view", 2.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(
+        Ev(1, ts("2024-01-01 10:10:00"), 1, "click", 1.0), // replay, in wm
+        Ev(3, ts("2024-01-01 10:20:00"), 3, "view", 3.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
+  test("mapGroupsWithState: running totals match the batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.runningTotals(ms.toDF)
+      .writeStream.format("memory").queryName("run_totals")
+      .outputMode("update").start()
+    try {
+      ms.addData(Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:01:00"), 1, "click", 2.0),
+        Ev(3, ts("2024-01-01 10:02:00"), 2, "view", 3.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Ev(4, ts("2024-01-01 10:03:00"), 1, "click", 4.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last update per user is the final state
+    val finals = spark.table("run_totals")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total_value"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.total_value"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(finals === Set((1L, 3L, 7.0), (2L, 1L, 3.0)))
+  }
+}
