@@ -55,9 +55,14 @@ object MinHashLsh {
     * array-lambda fold allocated a k-element array per shingle and was
     * ~40× slower at sf0.1; bench-driven rewrite.) */
   def signatures(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    // hash the (variable-length) shingle string ONCE, then derive the k
+    // family members by mixing the 8-byte result with the permutation
+    // index — k-1 long-hashes instead of k string-hashes per shingle
     val exploded = df
       .select(col(idCol), explode(col("shingles")).as("sh"))
-    val minCols = (0 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
+      .withColumn("h0", xxhash64(col("sh")))
+    val minCols = (0 until k).map(j =>
+      min(xxhash64(lit(j), col("h0"))).as(s"m$j"))
     exploded.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
   }
 

@@ -126,10 +126,13 @@ object ScalarOps {
       |FROM events
       |GROUP BY 1 ORDER BY k_bucket""".stripMargin
   ) { (s, dir) =>
-    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    // project k once — three get_json_object calls per row would parse the
+    // JSON three times (no CSE across aggregate expressions)
     Tables.events(s, dir)
-      .groupBy((k % 10).as("k_bucket"))
-      .agg(count(lit(1)).as("n"), min(k).as("min_k"), max(k).as("max_k"),
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("k_bucket")
   }
@@ -222,7 +225,9 @@ object ScalarOps {
       |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
       |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
   ) { (s, dir) =>
-    val m = expr("str_to_map(regexp_replace(props, '[{}\" ]', ''), ',', ':')")
+    // translate (plain char mapping) instead of a regex scrub — same
+    // output, no per-row regex engine
+    val m = expr("""str_to_map(translate(props, '{}" ', ''), ',', ':')""")
     val k = element_at(m, "k").cast(LongType)
     Tables.events(s, dir)
       .withColumn("k", k)

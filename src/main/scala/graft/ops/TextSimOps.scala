@@ -340,10 +340,13 @@ object TextSimOps {
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = withNorm.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    // index-fold dot product: same left-to-right addition order as a
+    // zip_with+aggregate (bit-identical), but no per-pair array allocation
+    // — this runs once per candidate pair
     val cos = expr(
-      """aggregate(zip_with(emb_a, emb_b,
-        |(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
+      """aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+        |(acc, i) -> acc + CAST(element_at(emb_a, i) AS DOUBLE)
+        |  * CAST(element_at(emb_b, i) AS DOUBLE))""".stripMargin) /
       (col("nrm_a") * col("nrm_b"))
     a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
       .withColumn("cos_raw", cos)
