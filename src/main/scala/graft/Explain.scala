@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-audit helper: prints the formatted physical plan of the named
+  * queries (all oracle-checked queries if none given). Used to keep the
+  * §4 scale properties honest — pushdown reaching the scan, broadcasts on
+  * dim joins, TakeOrderedAndProject for top-k, no stray shuffles.
+  *
+  *   sbt "runMain graft.Explain q_agg_group q_cdc_apply"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Registry.all.filter(_.oracle.isDefined).map(_.name)
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      println(s"\n========== $n ==========")
+      println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+    }
+    spark.stop()
+  }
+}

@@ -31,6 +31,17 @@ object StreamOps {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Native session windows (gap-merged): per user, one row per session.
+    * Batch twin of the q_session_batch gaps-and-islands formulation; in
+    * streaming, call on a watermarked frame (append mode emits a session
+    * once the watermark passes its close). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** Arbitrary stateful op: running per-user totals via

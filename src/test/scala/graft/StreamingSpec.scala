@@ -136,6 +136,41 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(ids === Seq(1L, 2L, 3L))
   }
 
+  test("session_window: streaming sessions equal batch sessions equal gaps-and-islands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+    // batch session_window per-user session counts
+    val batchSessions = StreamOps.sessionWindows(events)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+
+    // gaps-and-islands twin (the q_session_batch formulation)
+    val gi = ops.StreamShapeOps.sessionBatch.fn(spark, Sf)
+      .select(col("user_id"), col("n_sessions"))
+    assert(batchSessions.exceptAll(gi).count() === 0)
+    assert(gi.exceptAll(batchSessions).count() === 0)
+
+    // streaming: same events + a far-future sentinel to flush the watermark
+    val evSeq = events.as[Ev].collect().toSeq
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.sessionWindows(ms.toDF.withWatermark("ts", "1 minute"))
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    try {
+      ms.addData(evSeq)
+      q.processAllAvailable()
+      ms.addData(Seq(Ev(-1, ts("2030-01-01 00:00:00"), -1, "click", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_parity")
+      .filter(col("user_id") =!= -1)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    assert(streamed.exceptAll(batchSessions).count() === 0)
+    assert(batchSessions.exceptAll(streamed).count() === 0)
+  }
+
   test("mapGroupsWithState: running totals match the batch aggregate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
