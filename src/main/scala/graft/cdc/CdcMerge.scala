@@ -50,9 +50,18 @@ object CdcMerge {
     * (current values for I/U/N, previous values for D) + keyhash + op.
     */
   def classify(prev: DataFrame, curr: DataFrame, cfg: CdcConfig,
-               useXxhash64: Boolean = false): DataFrame = {
-    val p = withHashes(prev, cfg, useXxhash64).alias("p")
-    val c = withHashes(curr, cfg, useXxhash64).alias("c")
+               useXxhash64: Boolean = false): DataFrame =
+    classifyHashed(withHashes(prev, cfg, useXxhash64),
+      withHashes(curr, cfg, useXxhash64), cfg)
+
+  /** classify() for inputs that already carry keyhash/nonkeyhash — the
+    * bucketed-state path ([[graft.streaming.CdcBucketed]]) persists the
+    * hashes with the snapshot so the merge join needs no re-hash AND no
+    * shuffle on the state side. */
+  def classifyHashed(prevHashed: DataFrame, currHashed: DataFrame,
+                     cfg: CdcConfig): DataFrame = {
+    val p = prevHashed.alias("p")
+    val c = currHashed.alias("c")
     val joined = p.join(c, col(s"p.$KeyHash") === col(s"c.$KeyHash"), "full_outer")
     val op = when(col(s"p.$KeyHash").isNull, Insert)
       .when(col(s"c.$KeyHash").isNull, Delete)

@@ -50,6 +50,13 @@ object ImplOps {
       .orderBy("media_id")
   }
 
+  /** IVF-style ANN top-10 for the same probe (label-seeded coarse
+    * quantizer, nProbe=3 of 10 lists; brute-force twin: q_sim_topk). */
+  val simIvf: Q = Q.implOnly("q_sim_ivf") { (s, dir) =>
+    graft.sim.Ivf.probeTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      "label", probeId = 0L, k = 10, nProbe = 3)
+  }
+
   /** HLL approximate distinct vs exact — approx_count_distinct's sketch
     * differs from DuckDB's, so never oracle-checked; ImplSpec bounds the
     * relative error instead. */
@@ -61,6 +68,6 @@ object ImplOps {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, simAnn,
+  val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, simAnn, simIvf,
     multimodalFeatures, approxDistinct)
 }

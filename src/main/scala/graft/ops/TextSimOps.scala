@@ -271,6 +271,29 @@ object TextSimOps {
       .orderBy("doc_id")
   }
 
+  /** Token counting with a BPE-ish pre-tokenizer regex (north-star
+    * brief): `\w+|[^\w\s]` — word runs plus single punctuation marks —
+    * alongside alpha/digit run counts. Whitespace tokenization lives in
+    * q_text_stats; this is the regex path. */
+  val textTokens: Q = Q.checked(
+    "q_text_tokens",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens_bpe,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(expr("""regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)"""))
+          .cast(LongType).as("n_tokens_bpe"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)"))
+          .cast(LongType).as("n_alpha_runs"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)"))
+          .cast(LongType).as("n_digit_runs"))
+      .orderBy("doc_id")
+  }
+
   /** n-gram Jaccard near-dup: exact 3-shingle Jaccard over prefix-blocked
     * candidate pairs (the deterministic blocking keeps this O(block²), not
     * O(n²)). jaccard is a single IEEE division of exact ints — no rounding
@@ -357,6 +380,6 @@ object TextSimOps {
   }
 
   val all: Seq[Q] = Seq(textStats, textQuality, textLangid, textFingerprint,
-    dedupExact, dedupNear, dedupNgram, dedupEmbed, simTopk, simCentroid,
-    multimodalJoin)
+    textTokens, dedupExact, dedupNear, dedupNgram, dedupEmbed, simTopk,
+    simCentroid, multimodalJoin)
 }

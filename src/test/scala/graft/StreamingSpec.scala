@@ -84,6 +84,41 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("CSV extracts arriving as files drive the streaming CDC merge (R1+R5)") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("csv_extracts")
+    val stateDir = Files.createTempDirectory("csv_cdc_state").toString
+    val ckpt = Files.createTempDirectory("csv_cdc_ckpt").toString
+    val cfg = CdcConfig(Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType)))
+
+    val q = CdcStream.start(
+      graft.sources.Sources.csvStream(spark, inDir.toString, schema),
+      cfg, stateDir, ckpt)
+    try {
+      Files.writeString(inDir.resolve("extract_0.csv"),
+        "o_orderkey,o_custkey,o_orderstatus,o_totalprice\n1,10,O,100.0\n2,20,O,200.0\n")
+      q.processAllAvailable()
+      Files.writeString(inDir.resolve("extract_1.csv"),
+        "o_orderkey,o_custkey,o_orderstatus,o_totalprice\n1,10,O,100.0\n2,20,F,250.0\n3,30,O,300.0\n")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val finalState = CdcStream.currentState(spark, stateDir).get
+      .as[Ord].collect().toSet
+    assert(finalState === Set(
+      Ord(1, 10, "O", 100.0), Ord(2, 20, "F", 250.0), Ord(3, 30, "O", 300.0)))
+    val ops1 = spark.read.parquet(CdcStream.changesPath(stateDir))
+      .filter(col("batch_id") === 1)
+      .select("o_orderkey", CdcMerge.OpCol).as[(Long, String)].collect().toSet
+    assert(ops1 === Set((2L, "U"), (3L, "I")))
+  }
+
   test("watermark: a too-late row is dropped from its closed window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
