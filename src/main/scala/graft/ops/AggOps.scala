@@ -186,6 +186,61 @@ object AggOps {
       .orderBy("day")
   }
 
+  /** Deterministic string aggregation: array_sort + array_join instead of
+    * collect_list order (which is partition-order-dependent); the oracle's
+    * string_agg carries an explicit ORDER BY. Output bounded: one row per
+    * (returnflag, linestatus). */
+  val aggStrAgg: Q = Q.checked(
+    "q_str_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  string_agg(DISTINCT CAST(l_shipmode_b AS VARCHAR), ',' ORDER BY CAST(l_shipmode_b AS VARCHAR)) AS buckets
+      |FROM (SELECT l_returnflag, l_linestatus, l_orderkey % 8 AS l_shipmode_b
+      |      FROM lineitem)
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("l_orderkey") % 8).cast(StringType).as("b"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(array_join(array_sort(collect_set(col("b"))), ",").as("buckets"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Pearson correlation from exact decimal component sums (the builtin
+    * corr() folds doubles in partition order — association-sensitive),
+    * combined with one fixed sequence of IEEE ops mirrored in the oracle. */
+  val aggCorr: Q = Q.checked(
+    "q_agg_corr",
+    """SELECT l_returnflag, count(*) AS n,
+      |  (count(*) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |      * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+      |  / (sqrt(count(*) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |      - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |        * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+      |   * sqrt(count(*) * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |        * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)))
+      |  AS corr_qty_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    val q = col("l_quantity").cast(D)
+    val p = col("l_extendedprice").cast(D)
+    val n = count(lit(1))
+    val sq = sum(q).cast(DoubleType)
+    val sp = sum(p).cast(DoubleType)
+    val sqp = sum(q * p).cast(DoubleType)
+    val sqq = sum(q * q).cast(DoubleType)
+    val spp = sum(p * p).cast(DoubleType)
+    val corr = (n * sqp - sq * sp) /
+      (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp))
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(n.as("n"), corr.as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(aggGroup, aggDistinct, aggStats, aggRollup, aggCube,
-    aggGroupingSets, pivotCase)
+    aggGroupingSets, pivotCase, aggStrAgg, aggCorr)
 }

@@ -116,5 +116,21 @@ object CdcOps {
     CdcMerge.applyChanges(classified(s, dir), cfg).orderBy("o_orderkey")
   }
 
-  val all: Seq[Q] = Seq(cdcHash, cdcClassify, cdcCounts, cdcApply)
+  /** The change feed a downstream consumer reads (R9): I/U/D rows only,
+    * stamped with a caller-supplied batch id (never current_timestamp —
+    * SURVEY §7.5 rule 3). */
+  val cdcFeed: Q = Q.checked(
+    "q_cdc_feed",
+    s"""$clsCte
+       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, op,
+       |       CAST(42 AS BIGINT) AS batch_id
+       |FROM cls WHERE op <> 'N' ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    CdcMerge.changeFeed(classified(s, dir), batchId = 42L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col(CdcMerge.OpCol), col("batch_id"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(cdcHash, cdcClassify, cdcCounts, cdcApply, cdcFeed)
 }

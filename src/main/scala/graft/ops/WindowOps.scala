@@ -200,6 +200,38 @@ object WindowOps {
       .orderBy("event_id")
   }
 
+  /** Distribution window functions: ntile / percent_rank / cume_dist.
+    * percent_rank and cume_dist are single IEEE divisions of exact ints —
+    * bit-identical cross-engine, no rounding needed. */
+  val winNtile: Q = Q.checked(
+    "q_win_ntile",
+    """WITH w AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    ntile(4)       OVER win AS quartile,
+      |    percent_rank() OVER win AS prank,
+      |    cume_dist()    OVER win AS cdist,
+      |    row_number()   OVER win AS rn
+      |  FROM orders
+      |  WINDOW win AS (PARTITION BY o_orderpriority
+      |                 ORDER BY o_totalprice, o_orderkey))
+      |SELECT o_orderpriority, o_orderkey, CAST(quartile AS BIGINT) AS quartile,
+      |       prank, cdist
+      |FROM w WHERE rn % 500 = 0
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val win = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(win).cast(LongType))
+      .withColumn("prank", percent_rank().over(win))
+      .withColumn("cdist", cume_dist().over(win))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") % 500 === 0)
+      .select("o_orderpriority", "o_orderkey", "quartile", "prank", "cdist")
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(winRank, winLag, winFrameRows, winFrameRange,
-    topkPerGroup, cdcLatest, cdcScd2)
+    topkPerGroup, cdcLatest, cdcScd2, winNtile)
 }
