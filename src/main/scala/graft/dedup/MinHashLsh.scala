@@ -37,13 +37,16 @@ object MinHashLsh {
     def rowsPerBand: Int = numHashes / bands
   }
 
-  /** Distinct word n-gram shingles per document (empty array for texts
-    * shorter than n tokens). */
+  /** Distinct word n-gram shingle expression over `textCol` (empty array
+    * for texts shorter than n tokens). */
+  def shingleExpr(textCol: String, n: Int): String =
+    s"""array_distinct(transform(
+       |  sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 0)),
+       |  i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))))""".stripMargin
+
+  /** Distinct word n-gram shingles per document. */
   def withShingles(docs: DataFrame, textCol: String, n: Int): DataFrame =
-    docs.withColumn("shingles", expr(
-      s"""array_distinct(transform(
-         |  sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 0)),
-         |  i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))))""".stripMargin))
+    docs.withColumn("shingles", expr(shingleExpr(textCol, n)))
 
   /** k-minhash signature as k flat columns m0..m{k-1}: mj = min over
     * shingles of xxhash64(j, s). Seeding by the permutation index makes
@@ -91,18 +94,26 @@ object MinHashLsh {
   }
 
   /** End-to-end: candidates verified with exact Jaccard over the shingle
-    * sets, thresholded. Output: (id_a, id_b, jaccard). */
+    * sets, thresholded. Output: (id_a, id_b, jaccard).
+    *
+    * The corpus-wide shingle pass runs ONCE (for signatures); the verify
+    * step re-derives shingles only for the candidate pairs, which are a
+    * vanishing fraction of the corpus — cheaper than shuffling the full
+    * shingle arrays through two join-backs. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      cfg: Config = Config()): DataFrame = {
     val sh = withShingles(docs.select(idCol, textCol), textCol, cfg.shingleSize)
     val sigs = signatures(sh, idCol, cfg.numHashes)
     val cands = candidatePairs(bandBuckets(sigs, idCol, cfg), idCol)
-    val shA = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
-    val shB = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    val texts = docs.select(col(idCol), col(textCol))
     val nInt = size(array_intersect(col("sh_a"), col("sh_b")))
     val jac = nInt.cast(DoubleType) /
       (size(col("sh_a")) + size(col("sh_b")) - nInt)
-    cands.join(shA, "id_a").join(shB, "id_b")
+    cands
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
+      .withColumn("sh_a", expr(shingleExpr("text_a", cfg.shingleSize)))
+      .withColumn("sh_b", expr(shingleExpr("text_b", cfg.shingleSize)))
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= cfg.threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

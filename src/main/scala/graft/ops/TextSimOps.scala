@@ -355,26 +355,40 @@ object TextSimOps {
       |    / (a.nrm * b.nrm) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
   ) { (s, dir) =>
+    // Sub-block decomposition: a join keyed on label alone has only 10
+    // distinct keys → at most 10 tasks regardless of cluster size (the
+    // real scale flaw bench surfaced). Each label block is split into S
+    // sub-blocks; every unordered sub-block pair (sa ≤ sb) becomes one
+    // join bucket → label·S(S+1)/2 parallel units, same pair set.
+    val S = 8
     val withNorm = Tables.embeddings(s, dir)
       .withColumn("nrm", sqrt(expr(
         """aggregate(embedding, CAST(0 AS DOUBLE),
           |(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""".stripMargin)))
+      .withColumn("salt", pmod(col("vec_id"), lit(S)))
     val a = withNorm.select(col("vec_id").as("vec_a"), col("label"),
-      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"),
+        col("salt").as("sa"))
+      .withColumn("sb", explode(sequence(col("sa"), lit(S - 1))))
     val b = withNorm.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
-      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    // index-fold dot product: same left-to-right addition order as a
-    // zip_with+aggregate (bit-identical), but no per-pair array allocation
-    // — this runs once per candidate pair
-    val cos = expr(
-      """aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
-        |(acc, i) -> acc + CAST(element_at(emb_a, i) AS DOUBLE)
-        |  * CAST(element_at(emb_b, i) AS DOUBLE))""".stripMargin) /
-      (col("nrm_a") * col("nrm_b"))
-    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"),
+      col("salt").as("sb2"))
+    // statically unrolled 64-term dot: HOF lambdas are interpreted per
+    // element (outside codegen); a flat ((p1+p2)+p3)… expression keeps the
+    // identical left-fold addition order, so the oracle still matches.
+    // Products commute exactly, so a/b orientation does not matter.
+    val cos = (1 to 64)
+      .map(i => element_at(col("emb_a"), i).cast(DoubleType) *
+        element_at(col("emb_b"), i).cast(DoubleType))
+      .reduce(_ + _) / (col("nrm_a") * col("nrm_b"))
+    a.join(b, col("label") === col("label_b") && col("sb") === col("sb2")
+        // same sub-block: order the pair; cross sub-blocks: already unique
+        && (col("sa") =!= col("sb2") || col("vec_a") < col("vec_b"))
+        && col("vec_a") =!= col("vec_b"))
       .withColumn("cos_raw", cos)
       .filter(col("cos_raw") >= 0.35)
-      .select(col("vec_a"), col("vec_b"), col("label"),
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("label"),
         round(col("cos_raw"), 4).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
