@@ -1,7 +1,9 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Benchmark harness: wall-times every registered query at the driver's
   * scale factor and emits ONE machine-readable JSON line (also written to
@@ -24,11 +26,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-query shuffle accounting: total shuffle bytes written across the
+    // query's stages — the scale-discipline number (a query whose shuffle
+    // grows superlinearly with SF is the one that dies at 100 TB)
+    val shuffleBytes = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    })
+
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val shuffles = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      Thread.sleep(50) // drain async listener events from the previous query
+      val s0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -38,7 +54,11 @@ object Bench {
               Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(50)
+      shuffles(name) =
+        math.round((shuffleBytes.get() - s0) / 1048576.0 * 1000) / 1000.0
+      name -> (if (ok) elapsed else -1.0)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -49,9 +69,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
+    val shfl = shuffles.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"shuffle_mb":$shfl,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()
     // last bare line on stdout, after the Spark shutdown noise

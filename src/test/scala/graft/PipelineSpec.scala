@@ -1,0 +1,53 @@
+package graft
+
+import graft.streaming.CdcStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end config-driven pipeline runs — the reference's main(config)
+  * shape [upstream `cdc.py`]: initial load, then an incremental merge,
+  * with the per-run op counts the reference logs (R8). */
+class PipelineSpec extends AnyFunSuite with SparkFixture {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("status", StringType),
+    StructField("amount", DoubleType)))
+
+  test("initial load then incremental merge, counts reconcile (R1-R9)") {
+    val dir = Files.createTempDirectory("pipeline")
+    val stateDir = s"$dir/state"
+
+    Files.writeString(dir.resolve("extract0.csv"),
+      "k,status,amount\n1,O,10.0\n2,O,20.0\n3,F,30.0\n")
+    val cfg0 = PipelineConfig(s"$dir/extract0.csv", "csv", schema,
+      keyCols = Seq("k"), valueCols = Seq("status", "amount"), stateDir)
+    val counts0 = Pipeline.run(spark, cfg0, batchId = 0L)
+    assert(counts0 === Map("I" -> 3L, "N" -> 0L))
+
+    Files.writeString(dir.resolve("extract1.csv"),
+      "k,status,amount\n1,O,10.0\n2,F,25.0\n4,O,40.0\n")
+    val counts1 = Pipeline.run(spark,
+      cfg0.copy(sourcePath = s"$dir/extract1.csv"), batchId = 1L)
+    assert(counts1 === Map("U" -> 1L, "D" -> 1L, "I" -> 1L, "N" -> 1L))
+
+    val state = CdcStream.currentState(spark, stateDir).get
+    assert(state.count() === 3)
+    assert(state.filter(col("k") === 2 && col("amount") === 25.0).count() === 1)
+    assert(state.filter(col("k") === 3).count() === 0) // deleted
+  }
+
+  test("json extract drives the same merge") {
+    val dir = Files.createTempDirectory("pipeline_json")
+    Files.writeString(dir.resolve("e0.json"),
+      """{"k":1,"status":"O","amount":1.5}
+        |{"k":2,"status":"F","amount":2.5}
+        |""".stripMargin)
+    val cfg = PipelineConfig(s"$dir/e0.json", "json", schema,
+      Seq("k"), Seq("status", "amount"), s"$dir/state")
+    assert(Pipeline.run(spark, cfg, 0L) === Map("I" -> 2L, "N" -> 0L))
+  }
+}
