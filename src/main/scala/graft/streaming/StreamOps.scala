@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Streaming transforms (SURVEY.md §2.2-J impl rows). Each is written to
@@ -41,6 +41,58 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
+
+  final case class Milestone(user_id: Long, milestone: Long)
+
+  /** flatMapGroupsWithState (0..n outputs per group per trigger): emit a
+    * row each time a user's cumulative event count crosses a multiple of
+    * `every`. Batch oracle: floor(count/every) milestones per user. */
+  def milestones(events: DataFrame, every: Int)
+                (implicit spark: SparkSession): Dataset[Milestone] = {
+    import spark.implicits._
+    events.selectExpr("user_id").as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, Milestone](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val before = state.getOption.getOrElse(0L)
+          val after = before + rows.size
+          state.update(after)
+          ((before / every + 1) to (after / every))
+            .map(m => Milestone(uid, m * every)).iterator
+      }
+  }
+
+  final case class UserMax(user_id: Long, max_value: Double)
+
+  /** transformWithState (Spark 4 StatefulProcessor API, RocksDB-backed
+    * state): running per-user maximum, one update row per key per batch. */
+  class RunningMaxProcessor
+      extends StatefulProcessor[Long, (Long, Double), UserMax] {
+    @transient private var maxState: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      maxState = getHandle.getValueState[Double]("max",
+        Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                 timerValues: TimerValues): Iterator[UserMax] = {
+      val prior =
+        if (maxState.exists()) maxState.get() else Double.NegativeInfinity
+      val mx = rows.foldLeft(prior)((a, r) => math.max(a, r._2))
+      maxState.update(mx)
+      Iterator.single(UserMax(key, mx))
+    }
+  }
+
+  /** Requires spark.sql.streaming.stateStore.providerClass =
+    * RocksDBStateStoreProvider (transformWithState's state-v2 backend). */
+  def runningMax(events: DataFrame)
+                (implicit spark: SparkSession): Dataset[UserMax] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningMaxProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 

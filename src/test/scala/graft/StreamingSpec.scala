@@ -206,6 +206,58 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(batchSessions.exceptAll(streamed).count() === 0)
   }
 
+  test("flatMapGroupsWithState: milestones fire once per threshold crossing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.milestones(ms.toDF, every = 2)
+      .writeStream.format("memory").queryName("milestones")
+      .outputMode("append").start()
+    try {
+      // user 1: 3 events (milestone 2), user 2: 2 events (milestone 2)
+      ms.addData((1 to 3).map(i => Ev(i, ts("2024-01-01 10:00:00"), 1, "c", 1.0))
+        ++ (4 to 5).map(i => Ev(i, ts("2024-01-01 10:00:00"), 2, "c", 1.0)))
+      q.processAllAvailable()
+      // user 1: +3 events → total 6 → milestones 4 and 6 in one batch
+      ms.addData((6 to 8).map(i => Ev(i, ts("2024-01-01 10:01:00"), 1, "c", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("milestones").as[StreamOps.Milestone]
+      .collect().map(m => m.user_id -> m.milestone).toSet
+    assert(got === Set((1L, 2L), (2L, 2L), (1L, 4L), (1L, 6L)))
+  }
+
+  test("transformWithState: RocksDB-backed running max per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.runningMax(ms.toDF)
+        .writeStream.format("memory").queryName("run_max")
+        .outputMode("update").start()
+      try {
+        ms.addData(Seq(
+          Ev(1, ts("2024-01-01 10:00:00"), 1, "c", 5.0),
+          Ev(2, ts("2024-01-01 10:00:01"), 1, "c", 9.0),
+          Ev(3, ts("2024-01-01 10:00:02"), 2, "c", 3.0)))
+        q.processAllAvailable()
+        ms.addData(Seq(Ev(4, ts("2024-01-01 10:00:03"), 1, "c", 7.0))) // below max
+        q.processAllAvailable()
+      } finally q.stop()
+      val finals = spark.table("run_max").as[StreamOps.UserMax].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.last.max_value }
+      assert(finals === Map(1L -> 9.0, 2L -> 3.0))
+    } finally prior match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("mapGroupsWithState: running totals match the batch aggregate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
