@@ -38,15 +38,20 @@ object MinHashLsh {
   }
 
   /** Distinct word n-gram shingle expression over `textCol` (empty array
-    * for texts shorter than n tokens). */
-  def shingleExpr(textCol: String, n: Int): String =
+    * for texts shorter than n tokens). NOTE: `split` inside a lambda is
+    * re-evaluated per element — always tokenize into a column first
+    * ([[withShingles]] does) and pass the token column name here. */
+  def shingleExpr(toksCol: String, n: Int): String =
     s"""array_distinct(transform(
-       |  sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 0)),
-       |  i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))))""".stripMargin
+       |  sequence(1, greatest(size($toksCol) - ${n - 1}, 0)),
+       |  i -> concat_ws(' ', slice($toksCol, i, $n))))""".stripMargin
 
   /** Distinct word n-gram shingles per document. */
   def withShingles(docs: DataFrame, textCol: String, n: Int): DataFrame =
-    docs.withColumn("shingles", expr(shingleExpr(textCol, n)))
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("shingles", expr(shingleExpr("__toks", n)))
+      .drop("__toks")
 
   /** k-minhash signature as k flat columns m0..m{k-1}: mj = min over
     * shingles of xxhash64(j, s). Seeding by the permutation index makes
@@ -112,8 +117,10 @@ object MinHashLsh {
     cands
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
       .join(texts.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
-      .withColumn("sh_a", expr(shingleExpr("text_a", cfg.shingleSize)))
-      .withColumn("sh_b", expr(shingleExpr("text_b", cfg.shingleSize)))
+      .withColumn("toks_a", split(col("text_a"), " "))
+      .withColumn("toks_b", split(col("text_b"), " "))
+      .withColumn("sh_a", expr(shingleExpr("toks_a", cfg.shingleSize)))
+      .withColumn("sh_b", expr(shingleExpr("toks_b", cfg.shingleSize)))
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= cfg.threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
