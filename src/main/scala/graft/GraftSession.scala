@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's recommended session defaults, shared by the
+  * three mains and available to library users.
+  *
+  * - shuffle partitions = cores on local mode (the 200 default leaves 168
+  *   empty tasks per shuffle at this box size); on a real cluster size to
+  *   ~2–3× total cores or let AQE coalesce from a higher initial number
+  * - AQE on (Spark 4 default) — runtime re-plan, skew-join splitting
+  * - UTC session timezone — the oracle contract (SURVEY §7.5 rule 6)
+  */
+object GraftSession {
+  def builder(cores: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Session for the driver-contract mains: cores from SPARK_GRAFT_CPUS. */
+  def forDriver(): SparkSession = {
+    val spark =
+      builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
