@@ -209,10 +209,15 @@ object AggOps {
 
   /** Pearson correlation from exact decimal component sums (the builtin
     * corr() folds doubles in partition order — association-sensitive),
-    * combined with one fixed sequence of IEEE ops mirrored in the oracle. */
+    * combined with one fixed sequence of IEEE ops mirrored in the oracle.
+    * The result is rounded to 9dp: sum(price²) exceeds 2^53 scale-units,
+    * where DuckDB's decimal→double conversion double-rounds (int128 →
+    * double, then ÷10^scale) while Spark's BigDecimal path rounds once —
+    * a 1-ulp divergence observed at sf0.001. */
   val aggCorr: Q = Q.checked(
     "q_agg_corr",
     """SELECT l_returnflag, count(*) AS n,
+      |  round(
       |  (count(*) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
       |    - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
       |      * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
@@ -222,7 +227,7 @@ object AggOps {
       |   * sqrt(count(*) * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
       |      - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
       |        * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)))
-      |  AS corr_qty_price
+      |  , 9) AS corr_qty_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   ) { (s, dir) =>
     val q = col("l_quantity").cast(D)
@@ -233,8 +238,8 @@ object AggOps {
     val sqp = sum(q * p).cast(DoubleType)
     val sqq = sum(q * q).cast(DoubleType)
     val spp = sum(p * p).cast(DoubleType)
-    val corr = (n * sqp - sq * sp) /
-      (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp))
+    val corr = round((n * sqp - sq * sp) /
+      (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 9)
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(n.as("n"), corr.as("corr_qty_price"))
