@@ -59,6 +59,30 @@ object Pipeline {
     opCounts + (CdcMerge.Unchanged -> (snapshotRows - iun))
   }
 
+  /** Many-table run — the reference's "at scale" deployment shape is
+    * hundreds of source tables per scheduled run [upstream `README.md`].
+    * Tables are independent merges, so they run concurrently on the
+    * driver (each submits its own jobs; the scheduler pool interleaves
+    * them — on a real cluster pair this with FAIR scheduling). Returns
+    * per-table op counts; a failed table is reported, not fatal to the
+    * rest. */
+  def runAll(spark: SparkSession, configs: Seq[PipelineConfig], batchId: Long,
+             parallelism: Int = 4): Map[String, Either[String, Map[String, Long]]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = configs.map { cfg =>
+        Future {
+          cfg.stateDir -> (try Right(run(spark, cfg, batchId))
+          catch { case e: Exception => Left(e.getMessage) })
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf).toMap
+    } finally pool.shutdown()
+  }
+
   /** The streaming shape: extracts arriving as files under sourcePath. */
   def runStream(spark: SparkSession, cfg: PipelineConfig,
                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {

@@ -67,6 +67,26 @@ object CdcStream {
     } finally classified.unpersist()
   }
 
+  /** Drop snapshot generations older than the newest `keep` — retention
+    * for the versioned state layout (at 100 TB each generation is a full
+    * table copy; unbounded history is an operational leak). Never removes
+    * the latest version. */
+  def pruneVersions(spark: SparkSession, stateDir: String, keep: Int): Unit = {
+    require(keep >= 1, "must keep at least the current snapshot")
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val versions = fs.listStatus(p).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+        .sorted
+      versions.dropRight(keep).foreach { v =>
+        fs.delete(new Path(versionPath(stateDir, v)), true)
+      }
+    }
+  }
+
   /** Wire a streaming extract feed into the merge via foreachBatch. */
   def start(incoming: DataFrame, cfg: CdcConfig, stateDir: String,
             checkpointDir: String): StreamingQuery =

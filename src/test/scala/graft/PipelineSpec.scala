@@ -40,6 +40,43 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(state.filter(col("k") === 3).count() === 0) // deleted
   }
 
+  test("runAll merges many tables concurrently, isolating failures") {
+    val dir = Files.createTempDirectory("pipeline_multi")
+    val cfgs = (0 until 6).map { i =>
+      Files.writeString(dir.resolve(s"t$i.csv"),
+        s"k,status,amount\n1,O,${i}0.0\n2,F,${i}5.0\n")
+      PipelineConfig(s"$dir/t$i.csv", "csv", schema,
+        Seq("k"), Seq("status", "amount"), s"$dir/state$i")
+    } :+ PipelineConfig(s"$dir/missing.csv", "csv", schema,
+      Seq("k"), Seq("status", "amount"), s"$dir/state_bad")
+
+    val results = Pipeline.runAll(spark, cfgs, batchId = 0L)
+    assert(results.size === 7)
+    (0 until 6).foreach { i =>
+      assert(results(s"$dir/state$i") === Right(Map("I" -> 2L, "N" -> 0L)))
+    }
+    assert(results(s"$dir/state_bad").isLeft, "missing extract must fail its table only")
+  }
+
+  test("pruneVersions keeps only the newest snapshots") {
+    val dir = Files.createTempDirectory("pipeline_prune")
+    val cfg = PipelineConfig(s"$dir/e.csv", "csv", schema,
+      Seq("k"), Seq("status", "amount"), s"$dir/state")
+    (0 to 3).foreach { b =>
+      Files.writeString(dir.resolve("e.csv"),
+        s"k,status,amount\n1,O,${b}1.0\n")
+      Pipeline.run(spark, cfg, batchId = b.toLong)
+    }
+    CdcStream.pruneVersions(spark, s"$dir/state", keep = 2)
+    assert(CdcStream.currentVersion(spark, s"$dir/state") === Some(3L))
+    val state = CdcStream.currentState(spark, s"$dir/state").get
+    assert(state.filter(col("amount") === 31.0).count() === 1)
+    // only v2 and v3 remain
+    assert(!new java.io.File(CdcStream.versionPath(s"$dir/state", 0)).exists())
+    assert(!new java.io.File(CdcStream.versionPath(s"$dir/state", 1)).exists())
+    assert(new java.io.File(CdcStream.versionPath(s"$dir/state", 2)).exists())
+  }
+
   test("json extract drives the same merge") {
     val dir = Files.createTempDirectory("pipeline_json")
     Files.writeString(dir.resolve("e0.json"),
