@@ -222,7 +222,7 @@ object ScalarOps {
     "q_map",
     """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS k_mod,
       |  count(*) AS n,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
   ) { (s, dir) =>
     // translate (plain char mapping) instead of a regex scrub — same

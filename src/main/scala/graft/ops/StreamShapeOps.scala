@@ -84,8 +84,9 @@ object StreamShapeOps {
         |  SELECT user_id, session_id, count(*) AS n_events,
         |    epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
         |  FROM sessions GROUP BY user_id, session_id)
-        |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
-        |  sum(span_us) AS total_span_us,
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(span_us) AS BIGINT) AS total_span_us,
         |  CAST(sum(span_us) AS DOUBLE) / count(*) / 1000000.0 AS avg_span_sec
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
   ) { (s, dir) =>

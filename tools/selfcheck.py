@@ -70,6 +70,16 @@ def main():
             continue
         wtypes = {c: str(want.schema.field(c).type) for c in wcols}
         gtypes = {c: str(got.schema.field(c).type) for c in gcols}
+        # The driver's canonical hash is dtype-sensitive (decimal128(38,0)
+        # != int64 even when every value matches) — so any arrow dtype
+        # mismatch is a hard FAIL here too, not a note. This is exactly how
+        # 4 red rows shipped in round 2 while selfcheck said 63/63.
+        tdrift = {k: (wtypes[k], gtypes[k]) for k in wcols
+                  if wtypes[k] != gtypes[k]}
+        if tdrift:
+            print(f"FAIL {name}: dtype mismatch (oracle, spark): {tdrift}")
+            fails.append(name)
+            continue
         w = want.select(wcols).to_pylist()
         g = got.select(gcols).to_pylist()
         bad = None
@@ -86,11 +96,7 @@ def main():
                   f"(types: want={wtypes[c]} got={gtypes[c]})")
             fails.append(name)
         else:
-            tnote = "" if wtypes == gtypes else \
-                f"  [type drift: {{k: (wtypes[k], gtypes[k]) for k in wcols if wtypes[k] != gtypes[k]}}]"
-            tdrift = {k: (wtypes[k], gtypes[k]) for k in wcols if wtypes[k] != gtypes[k]}
-            tnote = f"  [type drift: {tdrift}]" if tdrift else ""
-            print(f"OK   {name} ({want.num_rows} rows){tnote}")
+            print(f"OK   {name} ({want.num_rows} rows)")
     n = len([k for k in oracle if not only or k in only])
     print(f"\n{n - len(fails)}/{n} OK")
     sys.exit(1 if fails else 0)
