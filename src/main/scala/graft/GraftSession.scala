@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
   *   ~2–3× total cores or let AQE coalesce from a higher initial number
   * - AQE on (Spark 4 default) — runtime re-plan, skew-join splitting
   * - UTC session timezone — the oracle contract (SURVEY §7.5 rule 6)
+  * - subset co-partitioning allowed: the CDC merge joins on
+  *   (keyhash, key columns) while the state table is bucketed by keyhash
+  *   alone; equal keys imply equal keyhash, so clustering by the hash
+  *   prefix is sufficient and keeps the state side Exchange-free
+  *   (`requireAllClusterKeysForCoPartition=true`, the default, would
+  *   re-shuffle BOTH sides on the full key list)
   */
 object GraftSession {
   def builder(cores: String): SparkSession.Builder =
@@ -18,6 +24,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
 
   /** Session for the driver-contract mains: cores from SPARK_GRAFT_CPUS. */

@@ -26,7 +26,8 @@ final case class PipelineConfig(
     schema: StructType,
     keyCols: Seq[String],
     valueCols: Seq[String],
-    stateDir: String) {
+    stateDir: String,
+    strictSchema: Boolean = false) {
   def cdc: CdcConfig = CdcConfig(keyCols, valueCols)
 }
 
@@ -34,53 +35,61 @@ object Pipeline {
 
   private def readExtract(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
     val raw = cfg.format match {
-      case "csv"     => Sources.csv(spark, cfg.sourcePath, cfg.schema)
-      case "json"    => Sources.jsonLines(spark, cfg.sourcePath, cfg.schema)
-      case "parquet" => spark.read.schema(cfg.schema).parquet(cfg.sourcePath)
+      case "csv"     => Sources.csvRaw(spark, cfg.sourcePath)
+      case "json"    => spark.read.json(cfg.sourcePath)
+      case "parquet" => spark.read.parquet(cfg.sourcePath)
       case other     => throw new IllegalArgumentException(s"format: $other")
     }
-    raw.select(cfg.cdc.allCols.map(org.apache.spark.sql.functions.col): _*) // R2
+    // R2 + schema drift: project to the DECLARED schema by name. A real
+    // CDC source redeclares its config per table while upstream DDL
+    // drifts; tolerant mode nulls a dropped value column and ignores an
+    // added one, strict mode fails the run. Key columns must exist in
+    // either mode — a null-keyed merge would silently fuse rows.
+    Sources.alignToSchema(raw, cfg.schema, cfg.keyCols,
+      strict = cfg.strictSchema)
   }
 
-  /** One batch run. Returns the per-op counts (R8). */
+  /** One batch run. Returns the per-op counts (R8) — computed inside the
+    * merge from the cached classified frame, not by re-scanning the new
+    * snapshot (at 100 TB the old derivation was a full-table scan per
+    * merge). */
   def run(spark: SparkSession, cfg: PipelineConfig,
-          batchId: Long): Map[String, Long] = {
-    val incoming = readExtract(spark, cfg)
-    CdcStream.mergeBatch(incoming, batchId, cfg.cdc, cfg.stateDir)
-    val feed = spark.read.parquet(CdcStream.changesPath(cfg.stateDir))
-      .filter(org.apache.spark.sql.functions.col("batch_id") === batchId)
-    val opCounts = CdcMerge.counts(feed).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // N rows never reach the feed; derive them from the snapshot size
-    val snapshotRows = CdcStream.currentState(spark, cfg.stateDir)
-      .map(_.count()).getOrElse(0L)
-    val iun = opCounts.getOrElse(CdcMerge.Insert, 0L) +
-      opCounts.getOrElse(CdcMerge.Update, 0L)
-    opCounts + (CdcMerge.Unchanged -> (snapshotRows - iun))
-  }
+          batchId: Long): Map[String, Long] =
+    CdcStream.mergeBatch(readExtract(spark, cfg), batchId, cfg.cdc, cfg.stateDir)
 
   /** Many-table run — the reference's "at scale" deployment shape is
     * hundreds of source tables per scheduled run [upstream `README.md`].
     * Tables are independent merges, so they run concurrently on the
     * driver (each submits its own jobs; the scheduler pool interleaves
-    * them — on a real cluster pair this with FAIR scheduling). Returns
-    * per-table op counts; a failed table is reported, not fatal to the
-    * rest. */
+    * them — on a real cluster pair this with
+    * `spark.scheduler.mode=FAIR` so one huge table cannot starve the
+    * rest of executor slots). Returns per-table op counts; a failed OR
+    * timed-out table is reported, not fatal to the rest — `perTableTimeout`
+    * bounds each merge so one hung table cannot hang the whole fleet
+    * (the round-2 version awaited with Duration.Inf). */
   def runAll(spark: SparkSession, configs: Seq[PipelineConfig], batchId: Long,
-             parallelism: Int = 4): Map[String, Either[String, Map[String, Long]]] = {
+             parallelism: Int = 4,
+             perTableTimeout: scala.concurrent.duration.Duration =
+               scala.concurrent.duration.Duration(1, "hour"))
+      : Map[String, Either[String, Map[String, Long]]] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val futures = configs.map { cfg =>
-        Future {
-          cfg.stateDir -> (try Right(run(spark, cfg, batchId))
-          catch { case e: Exception => Left(e.getMessage) })
+        cfg.stateDir -> Future {
+          try Right(run(spark, cfg, batchId))
+          catch { case e: Exception => Left(e.getMessage) }
         }
       }
-      Await.result(Future.sequence(futures), Duration.Inf).toMap
-    } finally pool.shutdown()
+      futures.map { case (dir, f) =>
+        dir -> (try Await.result(f, perTableTimeout)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            Left(s"timed out after $perTableTimeout")
+        })
+      }.toMap
+    } finally pool.shutdownNow()
   }
 
   /** The streaming shape: extracts arriving as files under sourcePath. */

@@ -57,17 +57,36 @@ object CdcMerge {
   /** classify() for inputs that already carry keyhash/nonkeyhash — the
     * bucketed-state path ([[graft.streaming.CdcBucketed]]) persists the
     * hashes with the snapshot so the merge join needs no re-hash AND no
-    * shuffle on the state side. */
+    * shuffle on the state side.
+    *
+    * The join matches on keyhash AND the business key columns: the 64-bit
+    * xxhash64 keyhash alone has ~50% probability of at least one birthday
+    * collision by ~5 × 10⁹ distinct keys — at the 100 TB design point a
+    * collision would silently fuse two unrelated keys into one wrong
+    * U/D row. With the business keys in the join condition the hash is
+    * only a shuffle/bucket-narrowing prefix (the 8-byte compare rejects
+    * almost all non-matches before the wider key compare), and
+    * correctness no longer depends on hash uniqueness. Null-safe equality
+    * keeps rows with null key parts joinable, matching the hash path
+    * (hashing treats nulls deterministically). */
   def classifyHashed(prevHashed: DataFrame, currHashed: DataFrame,
                      cfg: CdcConfig): DataFrame = {
     val p = prevHashed.alias("p")
     val c = currHashed.alias("c")
-    val joined = p.join(c, col(s"p.$KeyHash") === col(s"c.$KeyHash"), "full_outer")
+    val joinCond = cfg.keyCols.foldLeft(col(s"p.$KeyHash") === col(s"c.$KeyHash")) {
+      (acc, k) => acc && (col(s"p.$k") <=> col(s"c.$k"))
+    }
+    val joined = p.join(c, joinCond, "full_outer")
     val op = when(col(s"p.$KeyHash").isNull, Insert)
       .when(col(s"c.$KeyHash").isNull, Delete)
       .when(col(s"p.$NonKeyHash") =!= col(s"c.$NonKeyHash"), Update)
       .otherwise(Unchanged)
-    val outCols = cfg.allCols.map(n => coalesce(col(s"c.$n"), col(s"p.$n")).as(n)) ++
+    // side selection switches on the MATCH (c.keyhash present), not on
+    // per-column coalesce: an update that legitimately sets a value column
+    // to NULL must land as NULL, not fall back to the previous value
+    val fromCurr = col(s"c.$KeyHash").isNotNull
+    val outCols = cfg.allCols.map(n =>
+      when(fromCurr, col(s"c.$n")).otherwise(col(s"p.$n")).as(n)) ++
       Seq(coalesce(col(s"c.$KeyHash"), col(s"p.$KeyHash")).as(KeyHash), op.as(OpCol))
     joined.select(outCols: _*)
   }

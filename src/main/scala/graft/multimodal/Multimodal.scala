@@ -92,9 +92,13 @@ object Multimodal {
 
   /** Frame sampling for video-shaped payloads: split the payload into
     * fixed-size chunks ("frames") and keep every `every`-th — pure
-    * column expressions, stays in codegen. Output one row per kept frame. */
+    * column expressions, stays in codegen. Output one row per kept frame.
+    * An empty payload yields ZERO rows — without the guard,
+    * `sequence(0, -1)` takes Spark's default step -1 and emits the
+    * spurious two-element ramp [0, -1]. */
   def sampleFrames(records: DataFrame, frameBytes: Int, every: Int): DataFrame =
     records
+      .filter(expr("octet_length(payload) > 0"))
       .select(col("media_id"),
         posexplode(expr(
           s"""transform(

@@ -58,10 +58,10 @@ object CdcOps {
        |               ELSE o_totalprice END AS o_totalprice
        |        FROM orders WHERE o_orderkey % 7 <> 0)),
        |cls AS (
-       |  SELECT coalesce(c.o_orderkey, p.o_orderkey) AS o_orderkey,
-       |         coalesce(c.o_custkey, p.o_custkey) AS o_custkey,
-       |         coalesce(c.o_orderstatus, p.o_orderstatus) AS o_orderstatus,
-       |         coalesce(c.o_totalprice, p.o_totalprice) AS o_totalprice,
+       |  SELECT CASE WHEN c.keyhash IS NOT NULL THEN c.o_orderkey ELSE p.o_orderkey END AS o_orderkey,
+       |         CASE WHEN c.keyhash IS NOT NULL THEN c.o_custkey ELSE p.o_custkey END AS o_custkey,
+       |         CASE WHEN c.keyhash IS NOT NULL THEN c.o_orderstatus ELSE p.o_orderstatus END AS o_orderstatus,
+       |         CASE WHEN c.keyhash IS NOT NULL THEN c.o_totalprice ELSE p.o_totalprice END AS o_totalprice,
        |         coalesce(c.keyhash, p.keyhash) AS keyhash,
        |         CASE WHEN p.keyhash IS NULL THEN 'I'
        |              WHEN c.keyhash IS NULL THEN 'D'

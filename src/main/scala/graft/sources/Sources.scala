@@ -26,6 +26,45 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Header CSV read AS-IS (every column string-typed, named by the
+    * header) — the schema-drift entry point: no positional schema binding,
+    * so [[alignToSchema]] can match by NAME and detect added/dropped
+    * columns. No inference scan (header line only). */
+  def csvRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  /** Project a source frame onto the DECLARED schema by column name —
+    * the schema-drift contract of the extract reader (a CDC source's
+    * upstream DDL changes between runs; the declared config is the
+    * truth):
+    *   - declared column present  → cast to the declared type
+    *   - declared VALUE column missing → null (tolerant) / fail (strict)
+    *   - undeclared extra column  → dropped (tolerant) / fail (strict)
+    *   - declared KEY column missing → always an error: a null-keyed
+    *     merge would silently fuse unrelated rows into one key.
+    * Cheap for csv (header-only) and parquet (footer schema); JSON pays
+    * its usual inference pass when read without a schema. */
+  def alignToSchema(df: DataFrame, schema: StructType, keyCols: Seq[String],
+                    strict: Boolean): DataFrame = {
+    val present = df.columns.toSet
+    val declared = schema.fieldNames.toSet
+    val missing = schema.fieldNames.filterNot(present)
+    val extra = df.columns.filterNot(declared)
+    val missingKeys = keyCols.filter(missing.contains)
+    if (missingKeys.nonEmpty)
+      throw new IllegalArgumentException(
+        s"extract is missing key column(s): ${missingKeys.mkString(", ")}")
+    if (strict && (missing.nonEmpty || extra.nonEmpty))
+      throw new IllegalArgumentException(
+        s"schema drift in strict mode: missing=${missing.mkString(",")} " +
+          s"extra=${extra.mkString(",")}")
+    val cols = schema.fields.map { f =>
+      if (present(f.name)) org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   /** Incremental-extract arrival as a file stream: new parquet files
     * dropped into `dir` become micro-batches. `maxFilesPerTrigger=1`
     * mirrors one-extract-per-batch CDC semantics. */
@@ -42,6 +81,27 @@ object Sources {
       .option("header", "true")
       .schema(schema)
       .csv(dir)
+
+  /** CDC-source-connector-shaped adapter (the "CDC source connectors" of
+    * BASELINE.json): turns a stream of change RECORDS — a serialized
+    * payload plus op/ts metadata, exactly the shape a Kafka/Debezium
+    * topic read yields after
+    * `.selectExpr("CAST(value AS STRING) AS value", ...)` — into typed
+    * envelope rows `(payload columns…, op, ts)` for
+    * [[graft.streaming.CdcStream.startFromEnvelope]]. No Kafka connector
+    * exists in this sandbox (zero egress), so the adapter takes any
+    * DataFrame with that shape — MemoryStream/rate/file streams included;
+    * on a real cluster the input is `spark.readStream.format("kafka")`. */
+  def cdcEnvelope(records: DataFrame, payloadSchema: StructType,
+                  valueCol: String = "value", opCol: String = "op",
+                  tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    records
+      .select(from_json(col(valueCol).cast("string"), payloadSchema).as("payload"),
+        col(opCol).as("op"), col(tsCol).as("ts"))
+      .select(payloadSchema.fieldNames.map(n => col(s"payload.$n")).toIndexedSeq
+        :+ col("op") :+ col("ts"): _*)
+  }
 
   /** Snapshot sink: overwrite-write a parquet snapshot (R9). */
   def writeSnapshot(df: DataFrame, path: String): Unit =

@@ -2,9 +2,10 @@ package graft.streaming
 
 import graft.cdc.{CdcConfig, CdcMerge}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
-/** Bucketed CDC state — the shuffle-free-merge design from SURVEY.md §4.
+/** Bucketed CDC state — the shuffle-free-merge design from SURVEY.md §4,
+  * and (since round 3) the ONE state representation behind both the batch
+  * pipeline and the streaming foreachBatch path ([[CdcStream]]).
   *
   * The current-state snapshot is persisted as a parquet table bucketed
   * (and sorted) by `keyhash`, with the hash columns materialized. On the
@@ -16,28 +17,52 @@ import org.apache.spark.sql.functions._
   *
   * Bucket count is a capacity decision: size so one bucket ≈ one HDFS/S3
   * object in the 100 MB–1 GB range at the target scale.
+  *
+  * Crash safety: a merge commits by writing the next generation to a
+  * `_stage` table and then DROP + RENAME. A crash between the two
+  * statements leaves only the stage; [[recoverStage]] (called on every
+  * merge entry) finishes the rename, so the state table is always
+  * reachable after one recovery step. A crash before the DROP leaves
+  * both tables; the stale stage is dropped and rebuilt by the replay
+  * (writeState clears both the catalog entry and any orphaned files).
   */
 object CdcBucketed {
 
   /** Persist a snapshot (with hashes) as the bucketed state table. Drops
     * any previous generation first — including an orphaned location left
     * by a crash between file-write and catalog-commit (the in-memory
-    * catalog forgets, the filesystem does not). */
+    * catalog forgets, the filesystem does not). With `location` the table
+    * is EXTERNAL at that path (dropping a later generation keeps the
+    * files — [[CdcStream]]'s versioned-snapshot retention relies on it);
+    * without, it is a managed table in the warehouse. */
   def writeState(snapshot: DataFrame, cfg: CdcConfig, table: String,
-                 buckets: Int, useXxhash64: Boolean = true): Unit = {
+                 buckets: Int, useXxhash64: Boolean = true,
+                 location: Option[String] = None): Unit = {
     val spark = snapshot.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val loc = location.map(new org.apache.hadoop.fs.Path(_)).getOrElse(
+      new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    CdcMerge.withHashes(snapshot, cfg, useXxhash64)
+    val writer = CdcMerge.withHashes(snapshot, cfg, useXxhash64)
       .write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, CdcMerge.KeyHash)
       .sortBy(CdcMerge.KeyHash)
-      .saveAsTable(table)
+    location.foreach(l => writer.option("path", l))
+    writer.saveAsTable(table)
+  }
+
+  /** Finish a half-committed swap: a crash between `DROP TABLE` and
+    * `ALTER TABLE RENAME` leaves only `${table}_stage` — adopt it as the
+    * live table. (Both-exist means the crash happened before the DROP;
+    * the stage is uncommitted and the replaying merge rebuilds it.) */
+  def recoverStage(spark: SparkSession, table: String): Unit = {
+    val stage = s"${table}_stage"
+    if (spark.catalog.tableExists(stage) && !spark.catalog.tableExists(table))
+      spark.sql(s"ALTER TABLE $stage RENAME TO $table")
   }
 
   /** Classify an incoming extract against the bucketed state. The state
@@ -52,22 +77,34 @@ object CdcBucketed {
       cfg)
 
   /** One full merge cycle: classify, commit the next bucketed snapshot,
-    * return the I/U/D change feed. */
+    * return the I/U/D change feed.
+    *
+    * `persistFeed` must MATERIALIZE the feed before it returns (the
+    * default localCheckpoint does; [[CdcStream]] writes it to the change
+    * log instead) — a lazy plan over the old table would recompute
+    * against dropped files after the swap. `onClassified` runs while the
+    * classified frame is cached (e.g. to collect per-op counts without a
+    * separate snapshot scan). `nextLocation` pins the new generation's
+    * files (external table); None keeps it managed. */
   def mergeIntoState(spark: SparkSession, table: String, incoming: DataFrame,
-                     cfg: CdcConfig, batchId: Long, buckets: Int): DataFrame = {
+                     cfg: CdcConfig, batchId: Long, buckets: Int,
+                     nextLocation: Option[String] = None,
+                     persistFeed: DataFrame => DataFrame =
+                       _.localCheckpoint(eager = true),
+                     onClassified: DataFrame => Unit = _ => ()): DataFrame = {
+    recoverStage(spark, table)
     val classified = classifyAgainstState(spark, table, incoming, cfg).cache()
-    // materialize the feed BEFORE the state swap: a lazy plan over the old
-    // table would recompute against dropped files
-    val feed = CdcMerge.changeFeed(classified, batchId)
-      .localCheckpoint(eager = true)
-    val next = CdcMerge.applyChanges(classified, cfg)
-    // stage the new generation, then swap the table name atomically-ish:
-    // parquet bucketed tables cannot be overwritten while being read
-    val staging = s"${table}_stage"
-    writeState(next, cfg, staging, buckets)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
-    classified.unpersist()
-    feed
+    try {
+      onClassified(classified)
+      val feed = persistFeed(CdcMerge.changeFeed(classified, batchId))
+      val next = CdcMerge.applyChanges(classified, cfg)
+      // stage the new generation, then swap the table name atomically-ish:
+      // parquet bucketed tables cannot be overwritten while being read
+      val staging = s"${table}_stage"
+      writeState(next, cfg, staging, buckets, location = nextLocation)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+      feed
+    } finally classified.unpersist()
   }
 }

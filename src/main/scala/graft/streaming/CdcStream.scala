@@ -2,7 +2,9 @@ package graft.streaming
 
 import graft.cdc.{CdcConfig, CdcMerge}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming CDC apply — the north-star pipeline (BASELINE.json
@@ -11,66 +13,142 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Each micro-batch is treated as one incoming full extract (the
   * reference's model: compare extract vs previous snapshot, R5): classify
-  * against the previous state snapshot, append the I/U/D change feed, and
-  * write the next snapshot.
+  * against the previous state snapshot, upsert the I/U/D change feed, and
+  * commit the next snapshot.
+  *
+  * Since round 3 the state lives in ONE representation for both this
+  * streaming path and the batch [[graft.Pipeline]]: the bucketed state
+  * table of [[CdcBucketed]] (shuffle-free on the state side, SURVEY §4),
+  * written as an EXTERNAL table whose location rotates through
+  * `stateDir/v{batchId}` — so the versioned-snapshot layout (retention,
+  * point-in-time reads via plain `spark.read.parquet`) and the
+  * bucketed-merge plan are the same files, not two code paths.
   *
   * State layout under `stateDir`:
-  *   v{batchId}/   — parquet snapshot after applying batch `batchId`
-  *   changes/      — appended change feed, stamped with batch_id
+  *   bootstrap/    — empty initial generation (before the first batch)
+  *   v{batchId}/   — bucketed parquet snapshot after applying `batchId`
+  *   changes/      — change feed, PARTITIONED BY batch_id
   *
-  * Idempotence/restart: snapshots are keyed by batchId, so re-processing
-  * a batch after a crash overwrites `v{id}` with identical content
-  * instead of double-applying (foreachBatch is at-least-once). At 100 TB
-  * the snapshot write would be hash-partitioned by keyhash so the next
-  * batch's full-outer join re-reads co-partitioned state without a
-  * shuffle (SURVEY §4); the merge itself is a single shuffle either way,
-  * with 8-byte xxhash64 join keys (`useXxhash64 = true`).
+  * Idempotence/restart (foreachBatch is at-least-once):
+  *   - the change feed is written with dynamic partition overwrite on
+  *     batch_id — replaying a batch rewrites its own partition instead of
+  *     appending duplicate I/U/D rows;
+  *   - a replayed batch whose version is already committed is skipped
+  *     outright (`currentVersion >= batchId`);
+  *   - a crash mid-swap is healed by [[CdcBucketed.recoverStage]] on the
+  *     next entry.
   */
 object CdcStream {
 
+  val DefaultBuckets = 8
+
   def versionPath(stateDir: String, v: Long): String = s"$stateDir/v$v"
   def changesPath(stateDir: String): String = s"$stateDir/changes"
+  def bootstrapPath(stateDir: String): String = s"$stateDir/bootstrap"
 
-  /** Latest committed snapshot version, if any (Hadoop FS — works on
-    * local paths and distributed stores alike). */
+  /** Catalog name of the bucketed state table for a state dir (stable:
+    * last path segment + md5 prefix of the full path). */
+  def stateTable(stateDir: String): String = {
+    val base = new Path(stateDir).getName.toLowerCase
+      .replaceAll("[^a-z0-9_]", "_").take(32)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(stateDir.getBytes("UTF-8")).take(6)
+      .map("%02x".format(_)).mkString
+    s"graft_state_${base}_$h"
+  }
+
+  /** Latest committed snapshot version, if any — read from the state
+    * table's current location (catalog = commit log), not from a dir
+    * listing, so a half-written generation never counts as committed. */
   def currentVersion(spark: SparkSession, stateDir: String): Option[Long] = {
-    val p = new Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    val t = stateTable(stateDir)
+    CdcBucketed.recoverStage(spark, t)
+    if (!spark.catalog.tableExists(t)) None
     else {
-      val versions = fs.listStatus(p).toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") => n.drop(1).toLong }
-      versions.sorted.lastOption
+      val loc = new Path(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .location).getName
+      if (loc.startsWith("v")) loc.drop(1).toLongOption else None
     }
   }
 
-  /** The current state snapshot, if one has been committed. */
-  def currentState(spark: SparkSession, stateDir: String): Option[DataFrame] =
-    currentVersion(spark, stateDir)
-      .map(v => spark.read.parquet(versionPath(stateDir, v)))
+  /** The current state snapshot (configured columns only), if committed. */
+  def currentState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val t = stateTable(stateDir)
+    CdcBucketed.recoverStage(spark, t)
+    if (spark.catalog.tableExists(t))
+      Some(spark.table(t).drop(CdcMerge.KeyHash, CdcMerge.NonKeyHash))
+    else None
+  }
 
-  /** Merge one micro-batch (a full extract) into the state dir. */
+  /** Write the I/U/D feed for one batch idempotently: dynamic partition
+    * overwrite on batch_id, so an at-least-once replay rewrites its own
+    * partition instead of double-appending (and downstream reads of one
+    * batch are partition-pruned). */
+  private def persistFeedPartitioned(spark: SparkSession, stateDir: String,
+                                     batchId: Long)(feed: DataFrame): DataFrame = {
+    feed.write.mode("overwrite")
+      .partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(changesPath(stateDir))
+    scala.util.Try(
+      spark.read.parquet(changesPath(stateDir))
+        .filter(col("batch_id") === batchId)
+    ).getOrElse( // empty feed on a fresh dir: nothing was written
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], feed.schema))
+  }
+
+  /** Bootstrap an empty first generation so every merge takes the same
+    * bucketed-state path (no special first-batch branch). */
+  private def ensureState(spark: SparkSession, table: String, like: DataFrame,
+                          cfg: CdcConfig, stateDir: String, buckets: Int): Unit =
+    if (!spark.catalog.tableExists(table))
+      CdcBucketed.writeState(like.limit(0), cfg, table, buckets,
+        location = Some(bootstrapPath(stateDir)))
+
+  /** Merge one micro-batch (a full extract) into the state dir. Returns
+    * the per-op row counts (R8) — derived from the cached classified
+    * frame, NOT from a re-scan of the snapshot. */
   def mergeBatch(batch: DataFrame, batchId: Long, cfg: CdcConfig,
-                 stateDir: String): Unit = {
+                 stateDir: String, buckets: Int = DefaultBuckets): Map[String, Long] = {
     val spark = batch.sparkSession
-    val prev = currentState(spark, stateDir)
-      .getOrElse(batch.limit(0)) // first batch: empty previous state
-    val classified =
-      CdcMerge.classify(prev, batch, cfg, useXxhash64 = true).cache()
-    try {
-      CdcMerge.changeFeed(classified, batchId)
-        .write.mode("append").parquet(changesPath(stateDir))
-      CdcMerge.applyChanges(classified, cfg)
-        .write.mode("overwrite").parquet(versionPath(stateDir, batchId))
-    } finally classified.unpersist()
+    val table = stateTable(stateDir)
+    CdcBucketed.recoverStage(spark, table)
+    if (currentVersion(spark, stateDir).exists(_ >= batchId))
+      return replayedCounts(spark, stateDir, batchId)
+    ensureState(spark, table, batch, cfg, stateDir, buckets)
+    var ops = Map.empty[String, Long]
+    CdcBucketed.mergeIntoState(spark, table, batch, cfg, batchId, buckets,
+      nextLocation = Some(versionPath(stateDir, batchId)),
+      persistFeed = persistFeedPartitioned(spark, stateDir, batchId),
+      onClassified = cl => ops = CdcMerge.counts(cl).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    if (ops.contains(CdcMerge.Unchanged)) ops
+    else ops + (CdcMerge.Unchanged -> 0L)
+  }
+
+  /** Counts for an already-committed (replayed) batch: its feed partition
+    * plus the snapshot size — the skip path does no merge work. */
+  private def replayedCounts(spark: SparkSession, stateDir: String,
+                             batchId: Long): Map[String, Long] = {
+    val fromFeed = scala.util.Try(
+      spark.read.parquet(changesPath(stateDir))
+        .filter(col("batch_id") === batchId)
+        .groupBy(CdcMerge.OpCol).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    ).getOrElse(Map.empty[String, Long])
+    if (currentVersion(spark, stateDir).contains(batchId)) {
+      val snapshotRows = currentState(spark, stateDir).map(_.count()).getOrElse(0L)
+      val iu = fromFeed.getOrElse(CdcMerge.Insert, 0L) +
+        fromFeed.getOrElse(CdcMerge.Update, 0L)
+      fromFeed + (CdcMerge.Unchanged -> (snapshotRows - iu))
+    } else fromFeed + (CdcMerge.Unchanged -> 0L)
   }
 
   /** Drop snapshot generations older than the newest `keep` — retention
     * for the versioned state layout (at 100 TB each generation is a full
     * table copy; unbounded history is an operational leak). Never removes
-    * the latest version. */
+    * the latest version (= the live external table's location). */
   def pruneVersions(spark: SparkSession, stateDir: String, keep: Int): Unit = {
     require(keep >= 1, "must keep at least the current snapshot")
     val p = new Path(stateDir)
@@ -79,7 +157,8 @@ object CdcStream {
       val versions = fs.listStatus(p).toSeq
         .filter(_.isDirectory)
         .map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+        .collect { case n if n.startsWith("v") && n.drop(1).toLongOption.isDefined =>
+          n.drop(1).toLong }
         .sorted
       versions.dropRight(keep).foreach { v =>
         fs.delete(new Path(versionPath(stateDir, v)), true)
@@ -89,11 +168,73 @@ object CdcStream {
 
   /** Wire a streaming extract feed into the merge via foreachBatch. */
   def start(incoming: DataFrame, cfg: CdcConfig, stateDir: String,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String, buckets: Int = DefaultBuckets): StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        mergeBatch(batch, id, cfg, stateDir)
+        mergeBatch(batch, id, cfg, stateDir, buckets); ()
+      }
+      .start()
+
+  // ---------------------------------------------------------------------
+  // CDC-source-shaped ingestion (keyed op/ts envelopes, not full extracts)
+  // ---------------------------------------------------------------------
+
+  /** Apply one micro-batch of a keyed CHANGE-EVENT stream — the shape a
+    * Kafka/Debezium-style CDC source connector emits (op ∈ I/U/D plus an
+    * event timestamp per key), adapted by
+    * [[graft.sources.Sources.cdcEnvelope]]. Unlike [[mergeBatch]] there is
+    * no full extract to diff: the latest event per key wins within the
+    * batch (ts, then op, descending — deterministic), deletes remove the
+    * key, upserts replace it. State/feed layout and idempotence rules are
+    * identical to the full-extract path; the anti-join that retires
+    * touched keys carries the keyhash prefix, so the state side again
+    * plans no Exchange. */
+  def applyEnvelopeBatch(batch: DataFrame, batchId: Long, cfg: CdcConfig,
+                         stateDir: String, buckets: Int = DefaultBuckets): Unit = {
+    val spark = batch.sparkSession
+    val table = stateTable(stateDir)
+    CdcBucketed.recoverStage(spark, table)
+    if (currentVersion(spark, stateDir).exists(_ >= batchId)) return
+    ensureState(spark, table, batch.select(cfg.allCols.map(col): _*), cfg,
+      stateDir, buckets)
+
+    val w = Window.partitionBy(cfg.keyCols.map(col): _*)
+      .orderBy(col("ts").desc, col(CdcMerge.OpCol).desc)
+    val latest = batch
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint(eager = true) // two consumers below; plan once
+    val touched = CdcMerge
+      .withHashes(latest.select(cfg.allCols.map(col): _*), cfg, useXxhash64 = true)
+      .select(CdcMerge.KeyHash, cfg.keyCols: _*)
+    val upserts = latest.filter(col(CdcMerge.OpCol) =!= CdcMerge.Delete)
+      .select(cfg.allCols.map(col): _*)
+    val next = spark.table(table)
+      .join(touched, Seq(CdcMerge.KeyHash) ++ cfg.keyCols, "left_anti")
+      .select(cfg.allCols.map(col): _*)
+      .unionByName(upserts)
+
+    persistFeedPartitioned(spark, stateDir, batchId)(
+      latest.select(cfg.allCols.map(col) :+ col(CdcMerge.OpCol): _*)
+        .withColumn("batch_id", lit(batchId)))
+    val staging = s"${table}_stage"
+    CdcBucketed.writeState(next, cfg, staging, buckets,
+      location = Some(versionPath(stateDir, batchId)))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
+  /** Wire a CDC-source-shaped envelope stream (see
+    * [[graft.sources.Sources.cdcEnvelope]]) into the state via
+    * foreachBatch. */
+  def startFromEnvelope(envelope: DataFrame, cfg: CdcConfig, stateDir: String,
+                        checkpointDir: String,
+                        buckets: Int = DefaultBuckets): StreamingQuery =
+    envelope.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyEnvelopeBatch(batch, id, cfg, stateDir, buckets)
       }
       .start()
 }

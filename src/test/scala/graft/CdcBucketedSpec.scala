@@ -38,6 +38,26 @@ class CdcBucketedSpec extends AnyFunSuite with SparkFixture {
       s"state scan is not bucket-aware:\n$plan")
   }
 
+  test("orphaned _stage from a mid-swap crash is adopted on the next entry") {
+    // simulate: writeState committed the stage, the process died between
+    // DROP TABLE and ALTER TABLE RENAME — only the stage exists. External
+    // locations, as in CdcStream's versioned layout (a managed rename
+    // would also relocate files).
+    val dir = java.nio.file.Files.createTempDirectory("crash_state").toString
+    spark.sql("DROP TABLE IF EXISTS state_crash_test")
+    CdcBucketed.writeState(extract1, cfg, "state_crash_test_stage", buckets = 4,
+      location = Some(s"$dir/v7"))
+    assert(!spark.catalog.tableExists("state_crash_test"))
+    CdcBucketed.recoverStage(spark, "state_crash_test")
+    assert(spark.catalog.tableExists("state_crash_test"))
+    assert(!spark.catalog.tableExists("state_crash_test_stage"))
+    // and the recovered table is fully usable as merge state
+    val feed = CdcBucketed.mergeIntoState(
+      spark, "state_crash_test", extract2, cfg, batchId = 8L, buckets = 4,
+      nextLocation = Some(s"$dir/v8"))
+    assert(feed.count() > 0)
+  }
+
   test("bucketed merge cycle matches the unbucketed classify") {
     CdcBucketed.writeState(extract1, cfg, "state_merge_test", buckets = 4)
     val feed = CdcBucketed.mergeIntoState(

@@ -51,6 +51,18 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(bad.count() === 0)
   }
 
+  test("frame sampling of an empty payload yields zero rows (no [0,-1] ramp)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array.empty[Byte]),
+      (2L, Array.fill[Byte](10)(1))).toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(df, frameBytes = 4, every = 1)
+      .groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!frames.contains(1L), s"empty payload emitted frames: $frames")
+    assert(frames(2L) === 3) // ceil(10/4)
+  }
+
   test("approx_count_distinct stays within 15% of exact (HLL sanity)") {
     val r = Tables.events(spark, Sf)
       .agg(approx_count_distinct("user_id").as("a"),

@@ -77,6 +77,55 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(new java.io.File(CdcStream.versionPath(s"$dir/state", 2)).exists())
   }
 
+  test("replaying a committed batch is a no-op with the same counts (at-least-once)") {
+    val dir = Files.createTempDirectory("pipeline_replay")
+    Files.writeString(dir.resolve("e.csv"), "k,status,amount\n1,O,10.0\n2,F,20.0\n")
+    val cfg = PipelineConfig(s"$dir/e.csv", "csv", schema,
+      Seq("k"), Seq("status", "amount"), s"$dir/state")
+    val first = Pipeline.run(spark, cfg, batchId = 0L)
+    val replay = Pipeline.run(spark, cfg, batchId = 0L) // foreachBatch redelivery
+    assert(first === Map("I" -> 2L, "N" -> 0L))
+    assert(replay === first)
+    // the feed partition was not double-appended
+    val feedRows = spark.read.parquet(CdcStream.changesPath(s"$dir/state"))
+      .filter(col("batch_id") === 0).count()
+    assert(feedRows === 2)
+    assert(CdcStream.currentState(spark, s"$dir/state").get.count() === 2)
+  }
+
+  test("schema drift: dropped value column nulls, added column ignored; strict fails") {
+    val dir = Files.createTempDirectory("pipeline_drift")
+    val stateDir = s"$dir/state"
+    Files.writeString(dir.resolve("e0.csv"),
+      "k,status,amount\n1,O,10.0\n2,O,20.0\n")
+    val cfg = PipelineConfig(s"$dir/e0.csv", "csv", schema,
+      Seq("k"), Seq("status", "amount"), stateDir)
+    assert(Pipeline.run(spark, cfg, 0L) === Map("I" -> 2L, "N" -> 0L))
+
+    // upstream DDL drift: `amount` dropped, `note` added
+    Files.writeString(dir.resolve("e1.csv"),
+      "k,status,note\n1,O,x\n2,F,y\n")
+    val counts1 = Pipeline.run(spark, cfg.copy(sourcePath = s"$dir/e1.csv"), 1L)
+    // both rows change: amount 10.0/20.0 -> null (and 2's status flips)
+    assert(counts1 === Map("U" -> 2L, "N" -> 0L))
+    val state = CdcStream.currentState(spark, stateDir).get
+    assert(state.filter(col("amount").isNull).count() === 2)
+    assert(state.columns.toSeq === Seq("k", "status", "amount"))
+
+    // strict mode refuses the same drift
+    val strictCfg = cfg.copy(sourcePath = s"$dir/e1.csv",
+      stateDir = s"$dir/state_strict", strictSchema = true)
+    val e = intercept[IllegalArgumentException](Pipeline.run(spark, strictCfg, 0L))
+    assert(e.getMessage.contains("schema drift"))
+
+    // a missing KEY column is an error even in tolerant mode
+    Files.writeString(dir.resolve("e2.csv"), "status,amount\nO,1.0\n")
+    val e2 = intercept[IllegalArgumentException](
+      Pipeline.run(spark, cfg.copy(sourcePath = s"$dir/e2.csv",
+        stateDir = s"$dir/state_nokey"), 0L))
+    assert(e2.getMessage.contains("key column"))
+  }
+
   test("json extract drives the same merge") {
     val dir = Files.createTempDirectory("pipeline_json")
     Files.writeString(dir.resolve("e0.json"),

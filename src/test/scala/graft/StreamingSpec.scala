@@ -14,6 +14,8 @@ final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
                     event_type: String, value: Double)
 final case class Ord(o_orderkey: Long, o_custkey: Long,
                      o_orderstatus: String, o_totalprice: Double)
+// a CDC-source-connector record: serialized payload + op/ts metadata
+final case class EnvRec(value: String, op: String, ts: Timestamp)
 
 /** Structured Streaming suite (SURVEY.md §5.2.4): batch↔stream parity for
   * the windowed aggregates, the foreachBatch CDC merge, watermark late-row
@@ -117,6 +119,51 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .filter(col("batch_id") === 1)
       .select("o_orderkey", CdcMerge.OpCol).as[(Long, String)].collect().toSet
     assert(ops1 === Set((2L, "U"), (3L, "I")))
+  }
+
+  test("CDC-source-shaped envelope stream (op/ts per key) drives the keyed merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("env_state").toString
+    val ckpt = Files.createTempDirectory("env_ckpt").toString
+    val cfg = CdcConfig(Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+    val payloadSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType)))
+
+    val ms = MemoryStream[EnvRec]
+    val envelope = graft.sources.Sources.cdcEnvelope(ms.toDF, payloadSchema)
+    val q = CdcStream.startFromEnvelope(envelope, cfg, stateDir, ckpt)
+    try {
+      ms.addData(Seq(
+        EnvRec("""{"o_orderkey":1,"o_custkey":10,"o_orderstatus":"O","o_totalprice":100.0}""",
+          "I", ts("2024-01-01 10:00:00")),
+        EnvRec("""{"o_orderkey":2,"o_custkey":20,"o_orderstatus":"O","o_totalprice":200.0}""",
+          "I", ts("2024-01-01 10:00:00"))))
+      q.processAllAvailable()
+      // batch 1: key 1 updated twice (latest ts wins), key 2 deleted, key 3 inserted
+      ms.addData(Seq(
+        EnvRec("""{"o_orderkey":1,"o_custkey":10,"o_orderstatus":"O","o_totalprice":110.0}""",
+          "U", ts("2024-01-01 10:01:00")),
+        EnvRec("""{"o_orderkey":1,"o_custkey":10,"o_orderstatus":"O","o_totalprice":120.0}""",
+          "U", ts("2024-01-01 10:02:00")),
+        EnvRec("""{"o_orderkey":2}""", "D", ts("2024-01-01 10:01:00")),
+        EnvRec("""{"o_orderkey":3,"o_custkey":30,"o_orderstatus":"F","o_totalprice":300.0}""",
+          "I", ts("2024-01-01 10:01:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val state = CdcStream.currentState(spark, stateDir).get
+      .as[Ord].collect().toSet
+    assert(state === Set(
+      Ord(1, 10, "O", 120.0), Ord(3, 30, "F", 300.0)))
+    val ops1 = spark.read.parquet(CdcStream.changesPath(stateDir))
+      .filter(col("batch_id") === 1)
+      .select("o_orderkey", CdcMerge.OpCol).as[(Long, String)].collect().toSet
+    assert(ops1 === Set((1L, "U"), (2L, "D"), (3L, "I")))
   }
 
   test("watermark: a too-late row is dropped from its closed window") {
