@@ -65,10 +65,21 @@ object Bench {
     val shfl = shuffles.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json =
+    // full detail (per-query shuffle bytes, error messages) → file only
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"shuffle_mb":$shfl,"sf":${jstr(sfDir)}}"""
-    Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    Files.writeString(Paths.get("bench_out.json"), fullJson + "\n")
+    // stdout line: the driver keeps only a bounded tail of stdout (~2 KB —
+    // round 2's full line overflowed it mid-JSON and parsed as null), so
+    // print the COMPACT contract JSON: ms-rounded times, no detail maps
+    val qsShort = results
+      .map { case (k, v) => s"${jstr(k)}:${math.round(v * 1000) / 1000.0}" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$qsShort,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
     spark.stop()
+    System.err.println(
+      s"[bench] stdout line: ${json.length} bytes; full detail: bench_out.json (${fullJson.length} bytes)")
     // last bare line on stdout, after the Spark shutdown noise
     println(json)
   }
