@@ -40,7 +40,13 @@ object MinHashLsh {
   /** Distinct word n-gram shingle expression over `textCol` (empty array
     * for texts shorter than n tokens). NOTE: `split` inside a lambda is
     * re-evaluated per element — always tokenize into a column first
-    * ([[withShingles]] does) and pass the token column name here. */
+    * ([[withShingles]] does) and pass the token column name here.
+    *
+    * These HOFs (`transform`/`slice`/`concat_ws`) run interpreted, not
+    * codegen'd, and allocate a string per shingle — fine for the
+    * candidate-verify stage and test ground truth (both touch a vanishing
+    * fraction of the corpus), but the corpus-wide signature pass must NOT
+    * go through them: [[signatures]] hashes token chains natively instead. */
   def shingleExpr(toksCol: String, n: Int): String =
     s"""array_distinct(transform(
        |  sequence(1, greatest(size($toksCol) - ${n - 1}, 0)),
@@ -53,26 +59,29 @@ object MinHashLsh {
       .withColumn("shingles", expr(shingleExpr("__toks", n)))
       .drop("__toks")
 
-  /** k-minhash signature as k flat columns m0..m{k-1}: mj = min over
-    * shingles of xxhash64(j, s). Seeding by the permutation index makes
-    * the k hash functions independent draws from the xxhash64 family.
+  /** k-minhash signature as k flat columns m0..m{k-1}, straight from the
+    * tokenized text: mj = min over n-token shingles of hashLong(chain, j),
+    * where `chain` left-folds the per-token xxhash64 values
+    * ([[graft.functions.HashExprs.MinHashSig]]). Mixing one 8-byte
+    * shingle hash with the permutation index makes the k hash functions
+    * independent draws from the xxhash64 family.
     *
-    * Execution shape: explode to one row per shingle, hash it k times in
-    * one projection, then a single groupBy(id) with k min-aggregates —
-    * map-side partials, one shuffle, fully codegen'd. (The original
-    * array-lambda fold allocated a k-element array per shingle and was
-    * ~40× slower at sf0.1; bench-driven rewrite.) */
-  def signatures(df: DataFrame, idCol: String, k: Int): DataFrame = {
-    // hash the (variable-length) shingle string ONCE, then derive the k
-    // family members by mixing the 8-byte result with the permutation
-    // index — k-1 long-hashes instead of k string-hashes per shingle
-    val exploded = df
-      .select(col(idCol), explode(col("shingles")).as("sh"))
-      .withColumn("h0", xxhash64(col("sh")))
-    val minCols = (0 until k).map(j =>
-      min(xxhash64(lit(j), col("h0"))).as(s"m$j"))
-    exploded.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
-  }
+    * Execution shape (round 3): ONE codegen'd loop per document — zero
+    * explode, zero shuffle, zero shingle-string allocation. The round-2
+    * explode → hash → groupBy(id)-with-k-min-aggs shape paid a full row
+    * explosion plus a shuffle to compute what is a pure per-row function,
+    * and the LSH candidate self-join evaluated that subplan twice (once
+    * per join side); its shingle-string HOF input was the residual
+    * bottleneck (interpreted, one string alloc per shingle per side). A
+    * document with fewer than n tokens yields a Long.MaxValue-sentinel
+    * signature (the explode shape dropped it); verify-stage Jaccard (NaN
+    * for empty sets) still excludes such pairs from the output. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int, k: Int): DataFrame =
+    docs.withColumn("__sig",
+        graft.functions.HashExprs.minHashSig(split(col(textCol), " "), n, k))
+      .select(col(idCol) +:
+        (0 until k).map(j => element_at(col("__sig"), j + 1).as(s"m$j")): _*)
 
   /** Explode each signature into its band buckets:
     * (id, band_id, band_hash) where band_hash = xxhash64 over the band's
@@ -101,14 +110,15 @@ object MinHashLsh {
   /** End-to-end: candidates verified with exact Jaccard over the shingle
     * sets, thresholded. Output: (id_a, id_b, jaccard).
     *
-    * The corpus-wide shingle pass runs ONCE (for signatures); the verify
-    * step re-derives shingles only for the candidate pairs, which are a
-    * vanishing fraction of the corpus — cheaper than shuffling the full
-    * shingle arrays through two join-backs. */
+    * The corpus-wide pass computes only token-chain signatures (no
+    * shingle strings); the verify step materializes string shingles only
+    * for the candidate pairs, which are a vanishing fraction of the
+    * corpus — cheaper than shuffling the full shingle arrays through two
+    * join-backs. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      cfg: Config = Config()): DataFrame = {
-    val sh = withShingles(docs.select(idCol, textCol), textCol, cfg.shingleSize)
-    val sigs = signatures(sh, idCol, cfg.numHashes)
+    val sigs = signatures(docs.select(idCol, textCol), idCol, textCol,
+      cfg.shingleSize, cfg.numHashes)
     val cands = candidatePairs(bandBuckets(sigs, idCol, cfg), idCol)
     val texts = docs.select(col(idCol), col(textCol))
     val nInt = size(array_intersect(col("sh_a"), col("sh_b")))

@@ -11,13 +11,13 @@ import org.apache.spark.sql.functions._
   * to its xxhash64 bits; bit i of the signature is 1 iff the vote sum is
   * positive.
   *
-  * Execution shape (the 100 TB-relevant part): explode to one row per
-  * token, hash each token ONCE, then a single groupBy(id) with 64 flat
-  * conditional-sum aggregates — map-side partial aggregation, one
-  * shuffle, everything inside whole-stage codegen. (A first version
-  * folded nested array lambdas per token — 64× redundant hashing plus an
-  * array allocation per token made it ~50× slower at sf0.1; bench-driven
-  * rewrite.)
+  * Execution shape (the 100 TB-relevant part): ONE codegen'd loop per
+  * document ([[graft.functions.HashExprs.SimHash64]]) — each token hashed
+  * once, 64 vote counters on the stack, zero explode, zero shuffle. (The
+  * round-2 shape exploded to one row per token and ran a groupBy(id)
+  * with 64 conditional-sum aggregates — map-side combined, but still a
+  * full row explosion plus a shuffle for a pure per-row function; the
+  * round-1 nested array-lambda fold was ~50× slower again.)
   *
   * Blocking: 4×16-bit bands. By pigeonhole, any pair with Hamming
   * distance ≤ 3 shares at least one full band, so candidate recall is
@@ -26,21 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** (idCol, simhash): 64-bit signature per document. */
-  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val voteCols: Seq[Column] = (0 until 64).map { i =>
-      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1).otherwise(-1)).as(s"v$i")
-    }
-    val bitCols: Column = (0 until 64)
-      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    toks.groupBy(col(idCol))
-      .agg(voteCols.head, voteCols.tail: _*)
-      .select(col(idCol), bitCols.as("simhash"))
-  }
+  /** (idCol, simhash): 64-bit signature per document. Token multiplicity
+    * votes, as before (no distinct). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.HashExprs.simHash64(split(col(textCol), " ")).as("simhash"))
 
   /** Pairs with Hamming(simhash_a, simhash_b) ≤ maxDist, blocked by
     * 16-bit bands. Output: (id_a, id_b, hamming). */
