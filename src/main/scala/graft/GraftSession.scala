@@ -10,6 +10,9 @@ import org.apache.spark.sql.SparkSession
   *   ~2–3× total cores or let AQE coalesce from a higher initial number
   * - AQE on (Spark 4 default) — runtime re-plan, skew-join splitting
   * - UTC session timezone — the oracle contract (SURVEY §7.5 rule 6)
+  * - graft SQL functions registered via `spark.sql.extensions`
+  *   ([[graft.functions.GraftExtensions]]) — the same conf line works on
+  *   any stock Spark cluster
   * - subset co-partitioning allowed: the CDC merge joins on
   *   (keyhash, key columns) while the state table is bucketed by keyhash
   *   alone; equal keys imply equal keyhash, so clustering by the hash
@@ -23,6 +26,7 @@ object GraftSession {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** SparkSessionExtensions hook registering graft's native expressions as
+  * SQL functions, so `spark.sql("SELECT simhash64(...)...")` and the
+  * Column API hit the exact same codegen'd Catalyst expressions:
+  *
+  *   - `minhash_sig(tokens, n, k)` → array<bigint> ([[HashExprs.MinHashSig]])
+  *   - `simhash64(tokens)`         → bigint        ([[HashExprs.SimHash64]])
+  *   - `dot_vec(a, b)`             → double        ([[VectorExprs.DotVec]])
+  *   - `norm2_sq(v)`               → double        ([[VectorExprs.Norm2]])
+  *
+  * Activated by [[graft.GraftSession]] via `spark.sql.extensions`, the
+  * standard deployment path (`--conf spark.sql.extensions=
+  * graft.functions.GraftExtensions` on any stock Spark cluster — no code
+  * changes, works from pure-SQL clients like Thrift/Connect).
+  *
+  * `n`/`k` must be integer literals: they size the generated code, so a
+  * per-row value cannot work by construction — rejected at analysis time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType)   => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${args.length}")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[HashExprs.MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        arity("minhash_sig", args, 3)
+        HashExprs.MinHashSig(args.head,
+          intLit(args(1), "minhash_sig", "n"),
+          intLit(args(2), "minhash_sig", "k"))
+      }))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[HashExprs.SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        arity("simhash64", args, 1)
+        HashExprs.SimHash64(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("dot_vec"),
+      new ExpressionInfo(classOf[VectorExprs.DotVec].getName, "dot_vec"),
+      (args: Seq[Expression]) => {
+        arity("dot_vec", args, 2)
+        VectorExprs.DotVec(args.head, args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("norm2_sq"),
+      new ExpressionInfo(classOf[VectorExprs.Norm2].getName, "norm2_sq"),
+      (args: Seq[Expression]) => {
+        arity("norm2_sq", args, 1)
+        VectorExprs.Norm2(args.head)
+      }))
+  }
+}

@@ -1,0 +1,268 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data curation operators (north-star brief: the ops a 100 TB
+  * LLM-pretraining pipeline runs between raw crawl and tokenizer):
+  * deterministic sampling/splits, corpus vocabulary + TF-IDF, n-gram
+  * statistics, sequence packing, quantile/dispersion profiling, and the
+  * composite quality→dedup→retention pipeline.
+  *
+  * Scale design notes per query are inline; the common rules: every
+  * per-document stage is a map-only projection (no shuffle), every
+  * corpus-wide stage is ONE hash shuffle with map-side partial
+  * aggregation, and top-k never global-sorts (TakeOrderedAndProject).
+  * Determinism follows SURVEY §7.5: integer-exact scores where possible
+  * (scaled integer idf, not ln), single IEEE divisions otherwise, total
+  * ORDER BY, BIGINT casts on every DuckDB integer sum.
+  */
+object CurateOps {
+
+  /** Deterministic train/eval split by content-independent key hash:
+    * split = first md5 hex nibble of the doc id, train ≈ 13/16. The split
+    * is reproducible across runs/engines/partitionings and stable under
+    * corpus growth (a doc's split never changes when neighbors arrive) —
+    * the property random() sampling lacks. Map-only + one tiny shuffle. */
+  val sampleSplit: Q = Q.checked(
+    "q_sample_split",
+    """SELECT lang,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+      |       THEN 'train' ELSE 'eval' END AS split,
+      |  count(*) AS n_docs,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast(StringType)), 1, 1) < "d",
+          "train").otherwise("eval"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("lang", "split")
+  }
+
+  /** Corpus vocabulary: term frequency + document frequency, top 100.
+    * explode → ONE groupBy(token) shuffle (map-side combined); df via
+    * count(DISTINCT doc_id) — Spark plans the standard two-phase distinct
+    * expansion. Top-k is TakeOrderedAndProject, never a global sort. */
+  val vocabTopk: Q = Q.checked(
+    "q_vocab_topk",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents)
+      |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM toks GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(100)
+  }
+
+  /** TF-IDF with an integer-exact scaled idf: idf_milli = (N·1000) div df
+    * (floor division — identical in both engines), score = tf·idf_milli.
+    * Integer arithmetic sidesteps ln()'s cross-engine last-ulp drift
+    * entirely (SURVEY §7.5). N is a 1-row broadcast, not a second pass
+    * over the big side. */
+  val tfidf: Q = Q.checked(
+    "q_tfidf",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |stats AS (
+      |  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |  FROM toks GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT token, tf, df, tf * ((n_docs * 1000) // df) AS tfidf_milli
+      |FROM stats, n
+      |ORDER BY tfidf_milli DESC, token LIMIT 50""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val stats = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    stats.crossJoin(broadcast(n))
+      .withColumn("tfidf_milli", col("tf") * expr("(n_docs * 1000) div df"))
+      .select("token", "tf", "df", "tfidf_milli")
+      .orderBy(col("tfidf_milli").desc, col("token"))
+      .limit(50)
+  }
+
+  /** Bigram (2-gram) counts, top 50 — n-gram LM corpus statistics.
+    * Docs with <2 tokens are filtered BEFORE the transform on the Spark
+    * side: sequence(1, 0) is a DESCENDING [1,0] in Spark (the
+    * sampleFrames footgun), while DuckDB's range(1,1) is empty. */
+  val ngramCounts: Q = Q.checked(
+    "q_ngram_counts",
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      |  FROM t)
+      |SELECT bigram, count(*) AS n
+      |FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+          .stripMargin)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+  }
+
+  /** Sequence packing: assign docs (per lang, in doc_id order) to
+    * fixed-budget token bins of 2048 — bin_id = floor(tokens-before /
+    * 2048), the deterministic offset-packing a tokenizer sharder runs.
+    * One window shuffle on lang (in-partition running sum), one tiny
+    * groupBy. At scale the window key would be (lang, shard) to bound
+    * partition width; the running sum itself is O(1) memory. */
+  val packBins: Q = Q.checked(
+    "q_pack_bins",
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, lang, n_tok,
+      |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) // 2048 AS bin_id
+      |  FROM d)
+      |SELECT lang, bin_id, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM w GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin
+  ) { (s, dir) =>
+    val win = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(win), lit(0L)))
+      .withColumn("bin_id", expr("cum_before div 2048"))
+      .groupBy("lang", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "bin_id")
+  }
+
+  /** The composite curation pipeline in one query: quality gate (token
+    * count in [20,400], type-token ratio ≥ 0.3) → exact dedup (survivor =
+    * min doc_id per md5(text)) → per-lang retention report. The quality
+    * stage is map-only; dedup is one hash shuffle on md5; the left join
+    * back is on the 8-byte survivor id. Retention is a single IEEE
+    * division of exact counts. */
+  val curate: Q = Q.checked(
+    "q_curate",
+    """WITH q AS (
+      |  SELECT doc_id, lang, text,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS ttr
+      |  FROM documents),
+      |flags AS (
+      |  SELECT doc_id, lang, text,
+      |    CASE WHEN n_tok BETWEEN 20 AND 400 AND ttr >= 0.3
+      |         THEN 1 ELSE 0 END AS is_kept
+      |  FROM q),
+      |surv AS (
+      |  SELECT min(doc_id) AS sid FROM flags WHERE is_kept = 1
+      |  GROUP BY md5(text))
+      |SELECT lang, count(*) AS n_total,
+      |  CAST(sum(is_kept) AS BIGINT) AS n_quality,
+      |  CAST(sum(CASE WHEN sid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_final,
+      |  CAST(sum(CASE WHEN sid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS retention
+      |FROM flags LEFT JOIN surv ON doc_id = sid
+      |GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    val flags = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(toks).cast(LongType).as("n_tok"),
+        (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("ttr"))
+      .withColumn("is_kept",
+        when(col("n_tok").between(20, 400) && col("ttr") >= 0.3, 1L)
+          .otherwise(0L))
+    val surv = flags.filter(col("is_kept") === 1)
+      .groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("sid"))
+      .select("sid")
+    flags.join(surv, col("doc_id") === col("sid"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("is_kept")).as("n_quality"),
+        sum(when(col("sid").isNotNull, 1L).otherwise(0L)).as("n_final"),
+        (sum(when(col("sid").isNotNull, 1L).otherwise(0L)).cast(DoubleType) /
+          count(lit(1))).as("retention"))
+      .orderBy("lang")
+  }
+
+  /** Discrete quantiles (p25/p50/p75 of account balance per market
+    * segment) via the rank-crossing formulation — the value at row
+    * ceil(q·n) of the (value, key)-ordered partition. No interpolation,
+    * so no cross-engine FP-combination drift: every output is an element
+    * of the data. One window shuffle + one tiny agg. */
+  val quantileDisc: Q = Q.checked(
+    "q_quantile_disc",
+    """WITH r AS (
+      |  SELECT c_mktsegment, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal, c_custkey) AS rn,
+      |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM customer)
+      |SELECT c_mktsegment,
+      |  min(CASE WHEN rn * 4 >= n THEN c_acctbal END) AS p25,
+      |  min(CASE WHEN rn * 2 >= n THEN c_acctbal END) AS p50,
+      |  min(CASE WHEN rn * 4 >= n * 3 THEN c_acctbal END) AS p75
+      |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    val wn = Window.partitionBy("c_mktsegment")
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_acctbal"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+      .groupBy("c_mktsegment")
+      .agg(
+        min(when(col("rn") * 4 >= col("n"), col("c_acctbal"))).as("p25"),
+        min(when(col("rn") * 2 >= col("n"), col("c_acctbal"))).as("p50"),
+        min(when(col("rn") * 4 >= col("n") * 3, col("c_acctbal"))).as("p75"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Distribution windows: percent_rank + cume_dist of account balance
+    * within nation. Both are rank-count ratios — single IEEE divisions of
+    * exact integers, bit-identical cross-engine. One window shuffle. */
+  val winCume: Q = Q.checked(
+    "q_win_cume",
+    """SELECT c_custkey, c_nationkey,
+      |  percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+      |    AS pr,
+      |  cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+      |    AS cd
+      |FROM customer ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .orderBy("c_custkey")
+  }
+
+  val all: Seq[Q] = Seq(sampleSplit, vocabTopk, tfidf, ngramCounts, packBins,
+    curate, quantileDisc, winCume)
+}
