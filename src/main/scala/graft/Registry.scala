@@ -10,7 +10,8 @@ object Registry {
   val all: Seq[Q] =
     ScanFilterOps.all ++ JoinOps.all ++ AggOps.all ++ WindowOps.all ++
       SortSetOps.all ++ SetOps.all ++ ScalarOps.all ++ CdcOps.all ++
-      StreamShapeOps.all ++ TextSimOps.all ++ CurateOps.all ++ ImplOps.all
+      StreamShapeOps.all ++ TextSimOps.all ++ CurateOps.all ++
+      SketchOps.all ++ ImplOps.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.SketchOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketch operators: error bounds vs exact ground truth, and the merge
+  * laws that make sketches the scale path (partials union to the whole,
+  * independent of partitioning/order). */
+class SketchSpec extends AnyFunSuite with SparkFixture {
+
+  test("q_sketch_hll: estimates within HLL error of exact; union covers global distinct") {
+    val rows = SketchOps.sketchHll.fn(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      // lgConfigK=12 → relative standard error ~1.04/sqrt(2^12) ≈ 1.6%;
+      // 5σ bound keeps the test deterministic-in-practice
+      assert(math.abs(est - exact) <= math.max(5, 0.08 * exact),
+        s"type ${r.getString(0)}: est $est vs exact $exact")
+    }
+    val globalExact = Tables.events(spark, Sf)
+      .agg(countDistinct(col("user_id"))).head.getLong(0)
+    val unionEst = rows.head.getLong(3)
+    assert(math.abs(unionEst - globalExact) <= math.max(5, 0.08 * globalExact))
+  }
+
+  test("q_sketch_hll: sketch union is partitioning-invariant (merge law)") {
+    val ev = Tables.events(spark, Sf).select("user_id")
+    def unionEst(parts: Int): Long = ev.repartition(parts)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))))
+      .head.getLong(0)
+    // HLL merge is max-per-register — associative, commutative, idempotent
+    assert(unionEst(1) === unionEst(7))
+  }
+
+  test("q_sketch_cms: point estimates over-count by at most eps * N") {
+    val row = SketchOps.sketchCms.fn(spark, Sf).head
+    val cms = CountMinSketch.readFrom(row.getAs[Array[Byte]]("cms"))
+    val n = row.getAs[Long]("n_tokens")
+    val exact = Tables.documents(spark, Sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(cms.totalCount() === n)
+    exact.foreach { case (tok, cnt) =>
+      val est = cms.estimateCount(tok)
+      assert(est >= cnt, s"CMS must never under-count ($tok)")
+      assert(est <= cnt + math.ceil(0.001 * n).toLong + 1, s"eps bound ($tok)")
+    }
+  }
+
+  test("q_sketch_cms: sketch is partitioning-invariant (cell-wise-add merge law)") {
+    def sketch(parts: Int): CountMinSketch = {
+      val row = Tables.documents(spark, Sf)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .repartition(parts)
+        .agg(count_min_sketch(col("token"), lit(0.001d), lit(0.99d), lit(42))
+          .as("cms")).head
+      CountMinSketch.readFrom(row.getAs[Array[Byte]]("cms"))
+    }
+    val (a, b) = (sketch(1), sketch(5))
+    // identical seed → identical hash rows; merge = cell-wise add, so the
+    // final table is exactly equal however the rows were partitioned
+    val probe = Seq("scan", "join", "the", "a", "nonexistent-token")
+    probe.foreach(t => assert(a.estimateCount(t) === b.estimateCount(t)))
+  }
+
+  test("q_sketch_quantile: approx quantiles bracket the exact discrete quantiles") {
+    val approx = SketchOps.sketchQuantile.fn(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getSeq[Double](1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    graft.ops.CurateOps.quantileDisc.fn(spark, Sf).collect().foreach { r =>
+      val seg = r.getString(0)
+      val (qs, lo, hi) = approx(seg)
+      assert(qs.length === 3 && qs(0) <= qs(1) && qs(1) <= qs(2))
+      // accuracy 10^4 on ~300 rows/segment → exact rank; values must lie
+      // within the segment's range and near the discrete quantiles
+      qs.foreach(q => assert(q >= lo && q <= hi))
+      assert(math.abs(qs(1) - r.getDouble(2)) <= (hi - lo) * 0.05,
+        s"$seg median drift")
+    }
+  }
+}
