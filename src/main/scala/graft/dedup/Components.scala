@@ -1,0 +1,68 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a candidate-pair graph — the clustering step
+  * between pairwise dedup (MinHash-LSH / blocking emits PAIRS) and
+  * survivor election (which needs CLUSTERS: near-dup similarity is not
+  * transitive, but retention policy is per-group).
+  *
+  * Algorithm: min-label propagation to a fixpoint — every node repeatedly
+  * takes the minimum component id over itself and its neighbors. The
+  * fixpoint labels each component by its minimum node id, a result that is
+  * unique and independent of partitioning, join order, and iteration
+  * schedule (min is associative/commutative/idempotent), so the output is
+  * deterministic even though the algorithm is iterative.
+  *
+  * Scale design: each round is ONE shuffle join of the (symmetric) edge
+  * list against the current labels plus a groupBy(min) — no collect, no
+  * driver-side graph. Rounds = component diameter, which for blocked
+  * dedup graphs is small (blocks are cliques; chains only arise across
+  * blocking passes). Lineage is truncated every round with an EAGER
+  * `localCheckpoint` — without it, iterative self-joins stack 2·k plan
+  * nodes after k rounds and analysis time explodes (the classic iterative
+  * Spark failure). At true 100 TB graph scale you would switch to the
+  * alternating small-star/large-star contraction (O(log n) rounds); the
+  * fixpoint label definition — min id per component — stays identical.
+  */
+object Components {
+
+  /** (id, component) for every node of `edges`; `edges` must be symmetric
+    * (both (a,b) and (b,a) present — [[symmetrize]] does). Component id =
+    * min node id in the component. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst", maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col(srcCol).as("e_src"), col(dstCol).as("e_dst"))
+    var labels = e.select(col("e_src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      val nbrMin = e.join(labels, e("e_dst") === labels("id"))
+        .groupBy(col("e_src").as("id"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.as("l")
+        .join(nbrMin.as("n"), col("l.id") === col("n.id"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.comp"), coalesce(col("n.nbr_comp"), col("l.comp")))
+            .as("comp"))
+        .localCheckpoint(true) // eager: truncate lineage every round
+      // existence check, not a count: isEmpty stops at the first changed row
+      val anyChanged = !next.as("a")
+        .join(labels.as("b"), col("a.id") === col("b.id"))
+        .filter(col("a.comp") =!= col("b.comp")).isEmpty
+      labels = next
+      converged = !anyChanged
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Both orientations of an undirected pair list (and nothing else). */
+  def symmetrize(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+}

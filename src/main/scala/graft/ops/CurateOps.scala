@@ -263,6 +263,48 @@ object CurateOps {
       .orderBy("c_custkey")
   }
 
+  /** Near-dup clustering: two blocking passes (40-char prefix + 40-char
+    * suffix) emit candidate pairs; connected components stitch pairs into
+    * clusters (similarity is not transitive — retention policy needs the
+    * transitive closure); component id = min doc_id. Spark side is
+    * iterative min-label propagation ([[graft.dedup.Components]] — one
+    * shuffle join per round, lineage checkpointed); the oracle is the
+    * same fixpoint via a recursive CTE. Both converge to the identical
+    * unique labeling. */
+  val dedupComponents: Q = Q.checked(
+    "q_dedup_components",
+    """WITH RECURSIVE
+      |k AS (SELECT doc_id, substr(text, 1, 40) AS k1,
+      |        substr(text, greatest(length(text) - 39, 1), 40) AS k2
+      |      FROM documents),
+      |e AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst FROM k a JOIN k b
+      |    ON a.k1 = b.k1 AND a.doc_id <> b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id FROM k a JOIN k b
+      |    ON a.k2 = b.k2 AND a.doc_id <> b.doc_id),
+      |reach(src, dst) AS (
+      |  SELECT src, src FROM e
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+      |SELECT src AS doc_id, min(dst) AS component_id
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val k = Tables.documents(s, dir).select(col("doc_id"),
+      substring(col("text"), 1, 40).as("k1"),
+      expr("substring(text, greatest(length(text) - 39, 1), 40)").as("k2"))
+    def pass(key: String) = {
+      val a = k.select(col("doc_id").as("src"), col(key).as("bk"))
+      val b = k.select(col("doc_id").as("dst"), col(key).as("bk_b"))
+      a.join(b, col("bk") === col("bk_b") && col("src") =!= col("dst"))
+        .select("src", "dst")
+    }
+    val edges = pass("k1").unionByName(pass("k2")).distinct()
+    graft.dedup.Components.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("comp").as("component_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(sampleSplit, vocabTopk, tfidf, ngramCounts, packBins,
-    curate, quantileDisc, winCume)
+    curate, quantileDisc, winCume, dedupComponents)
 }
