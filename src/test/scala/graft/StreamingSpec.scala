@@ -330,4 +330,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long, Double)].collect().toSet
     assert(finals === Set((1L, 3L, 7.0), (2L, 1L, 3.0)))
   }
+
+  test("streaming near-dup gate: native simhash64 runs in a stream; dropDuplicates on the signature") {
+    import graft.functions.HashExprs
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // curation exprs are stateless per-row Catalyst expressions, so the
+    // SAME column expression runs batch and stream — the streaming dedup
+    // state is keyed by the 8-byte signature, not the document text
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    val sig = HashExprs.simHash64(split(col("_2"), " ")).as("sig")
+    val q = ms.toDF.select(col("_1").as("doc_id"), sig)
+      .dropDuplicates("sig")
+      .writeStream.format("memory").queryName("sim_gate")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs)
+      q.processAllAvailable()
+      ms.addData(docs.take(10)) // full replay of earlier docs: all dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sim_gate")
+    val batch = Tables.documents(spark, Sf)
+      .select(col("doc_id"), HashExprs.simHash64(split(col("text"), " ")).as("sig"))
+      .dropDuplicates("sig")
+    assert(streamed.count() === batch.count())
+    // identical surviving signature sets (survivor doc_id may differ: batch
+    // dedup picks an arbitrary row per key, the stream keeps the first)
+    assert(streamed.select("sig").exceptAll(batch.select("sig")).isEmpty)
+  }
 }
