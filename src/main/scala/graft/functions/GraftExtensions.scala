@@ -14,6 +14,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *   - `dot_vec(a, b)`             → double        ([[VectorExprs.DotVec]])
   *   - `norm2_sq(v)`               → double        ([[VectorExprs.Norm2]])
   *
+  * Also injects the [[graft.plans.VectorRules.DotSelfToNorm]] optimizer
+  * rule (`dot_vec(a, a)` → `norm2_sq(a)` — bit-identical, half the array
+  * reads).
+  *
   * Activated by [[graft.GraftSession]] via `spark.sql.extensions`, the
   * standard deployment path (`--conf spark.sql.extensions=
   * graft.functions.GraftExtensions` on any stock Spark cluster — no code
@@ -36,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects $n arguments, got ${args.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.VectorRules.DotSelfToNorm)
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[HashExprs.MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => {

@@ -38,6 +38,34 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
   }
 
+  test("optimizer rewrites dot_vec(a, a) to norm2_sq(a), bit-identically") {
+    val df = Tables.embeddings(spark, Sf).limit(20)
+      .select(
+        VectorExprs.dotVec(col("embedding"), col("embedding")).as("d"),
+        VectorExprs.norm2(col("embedding")).as("n"))
+    // traverse every plan node — .expressions alone only sees the root
+    def dotsIn(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case n =>
+        n.expressions.flatMap(_.collect { case d: VectorExprs.DotVec => d })
+      }.flatten
+    assert(dotsIn(df.queryExecution.optimizedPlan).isEmpty,
+      "dot_vec(a,a) survived optimization")
+    df.collect().foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // distinct columns must NOT be rewritten
+    val df2 = Tables.embeddings(spark, Sf).limit(5)
+      .select(col("embedding").as("e2"), col("embedding"))
+      .select(VectorExprs.dotVec(col("embedding"), col("e2")).as("d"))
+    // e2 aliases the same attribute, so semanticEquals still holds after
+    // alias resolution — the rewrite is correct there too; use a genuinely
+    // different vector to assert non-rewrite
+    val diff = Tables.embeddings(spark, Sf).limit(5)
+      .select(VectorExprs.dotVec(col("embedding"),
+        expr("reverse(embedding)")).as("d"))
+    assert(dotsIn(diff.queryExecution.optimizedPlan).nonEmpty,
+      "distinct-vector dot_vec wrongly rewritten")
+    df2.collect() // and the alias case still executes fine
+  }
+
   test("minhash_sig rejects non-literal n/k at analysis time") {
     Tables.documents(spark, Sf).limit(5).createOrReplaceTempView("ext_docs2")
     val e = intercept[Exception] {
