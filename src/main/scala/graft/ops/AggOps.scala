@@ -246,6 +246,28 @@ object AggOps {
       .orderBy("l_returnflag")
   }
 
+  /** Boolean / conditional aggregates: bool_and, bool_or, count_if, and a
+    * deterministic any_value (made order-independent by aggregating a
+    * column that is constant within each group — the only way any_value
+    * is oracle-checkable). All exact integer/boolean logic. */
+  val aggBool: Q = Q.checked(
+    "q_agg_bool",
+    """SELECT o_orderpriority,
+      |  bool_and(o_totalprice > 1000)   AS all_over_1k,
+      |  bool_or(o_totalprice > 400000)  AS any_over_400k,
+      |  CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+      |  any_value(substr(o_orderpriority, 1, 1)) AS prio_digit
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+        count_if(col("o_orderstatus") === "F").as("n_finished"),
+        any_value(substring(col("o_orderpriority"), 1, 1)).as("prio_digit"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(aggGroup, aggDistinct, aggStats, aggRollup, aggCube,
-    aggGroupingSets, pivotCase, aggStrAgg, aggCorr)
+    aggGroupingSets, pivotCase, aggStrAgg, aggCorr, aggBool)
 }

@@ -219,6 +219,32 @@ object JoinOps {
       .orderBy("eid_a", "eid_b")
   }
 
-  val all: Seq[Q] = Seq(joinInner, joinBroadcast, joinLeft, joinFull,
+  /** Correlated scalar subqueries (per-customer order count + max price).
+    * The oracle states it as two correlated subqueries; the Spark side is
+    * the decorrelated form Catalyst itself rewrites to — ONE aggregate of
+    * the inner table + ONE left join, instead of n_customers probes. An
+    * empty correlation group yields count=0 / max=NULL→0.0 via coalesce,
+    * matching scalar-subquery semantics exactly. */
+  val subqueryScalar: Q = Q.checked(
+    "q_subquery_scalar",
+    """SELECT c_custkey,
+      |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
+      |    AS n_orders,
+      |  (SELECT coalesce(CAST(max(o_totalprice) AS DOUBLE), 0.0)
+      |   FROM orders WHERE o_custkey = c_custkey) AS max_price
+      |FROM customer ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    val per = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("mx"))
+    Tables.customer(s, dir)
+      .join(per, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("mx"), lit(0.0)).as("max_price"))
+      .orderBy("c_custkey")
+  }
+
+  val all: Seq[Q] = Seq(subqueryScalar, joinInner, joinBroadcast, joinLeft, joinFull,
     joinSemi, joinAnti, joinTheta, joinAsof, joinRange)
 }

@@ -232,6 +232,44 @@ object WindowOps {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** Navigation window functions: first/last/nth value over an explicit
+    * running frame. The frame must be pinned (ROWS UNBOUNDED PRECEDING …
+    * CURRENT ROW) on BOTH engines: last_value over the default frame is
+    * the current row, a classic cross-engine trap either way — pinning
+    * makes the intent unambiguous. Deterministic: the (o_totalprice,
+    * o_orderkey) sort is total. */
+  val winFirstLast: Q = Q.checked(
+    "q_win_first_last",
+    """WITH w AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    first_value(o_orderkey) OVER win AS cheapest_key,
+      |    last_value(o_orderkey)  OVER win AS running_key,
+      |    nth_value(o_orderkey, 3) OVER win AS third_key,
+      |    row_number() OVER win AS rn
+      |  FROM orders
+      |  WINDOW win AS (PARTITION BY o_orderpriority
+      |                 ORDER BY o_totalprice, o_orderkey
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT o_orderpriority, o_orderkey, cheapest_key, running_key,
+      |       third_key
+      |FROM w WHERE rn % 500 = 0
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val win = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("cheapest_key", first(col("o_orderkey")).over(win))
+      .withColumn("running_key", last(col("o_orderkey")).over(win))
+      .withColumn("third_key", nth_value(col("o_orderkey"), 3).over(win))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") % 500 === 0)
+      .select("o_orderpriority", "o_orderkey", "cheapest_key", "running_key",
+        "third_key")
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(winRank, winLag, winFrameRows, winFrameRange,
-    topkPerGroup, cdcLatest, cdcScd2, winNtile)
+    topkPerGroup, cdcLatest, cdcScd2, winNtile, winFirstLast)
 }

@@ -38,6 +38,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "dim join degenerated to a sort-merge join")
   }
 
+  test("partition pruning: a date-partitioned layout scans only matching partitions") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB layout: fact tables partitioned by a date-derived column;
+    // a filter on that column must reach PartitionFilters, not the data
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      Tables.orders(spark, Sf)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+      val pruned = spark.read.parquet(dir).filter(col("o_year") === 1995)
+      val plan = formatted(pruned)
+      val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+      assert(pf.contains("o_year"), s"no partition filter in: $pf")
+      // and the pruned scan reads strictly fewer files than the full scan
+      def files(df: DataFrame): Long =
+        df.queryExecution.executedPlan.collectLeaves().map {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics.get("numFiles").map(_.value).getOrElse(0L)
+          case _ => 0L
+        }.sum
+      pruned.collect(); val full = spark.read.parquet(dir); full.collect()
+      assert(files(pruned) > 0 && files(pruned) < files(full),
+        s"pruned=${files(pruned)} full=${files(full)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("q_topk plans TakeOrderedAndProject, not a global sort") {
     val plan = formatted(ops.SortSetOps.topk.fn(spark, Sf))
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")

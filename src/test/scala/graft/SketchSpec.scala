@@ -67,6 +67,37 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
     probe.foreach(t => assert(a.estimateCount(t) === b.estimateCount(t)))
   }
 
+  test("HLL sketch aggregates in a stream: complete-mode estimates equal batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, Sf)
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)].collect().toSeq
+    val ms = MemoryStream[(String, Long)]
+    val q = ms.toDF.toDF("event_type", "user_id")
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("approx_users"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = evs.splitAt(evs.length / 2)
+      ms.addData(a); q.processAllAvailable()
+      ms.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hll_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, Sf)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("approx_users")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // same sketch algorithm over the same rows — merge order cannot
+    // change HLL register maxima, so estimates are exactly equal
+    assert(streamed === batch)
+  }
+
   test("q_sketch_quantile: approx quantiles bracket the exact discrete quantiles") {
     val approx = SketchOps.sketchQuantile.fn(spark, Sf).collect()
       .map(r => r.getString(0) -> (r.getSeq[Double](1), r.getDouble(2),
