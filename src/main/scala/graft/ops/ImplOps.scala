@@ -68,6 +68,21 @@ object ImplOps {
       .orderBy("event_type")
   }
 
+  /** Bounded-shuffle top-3 per customer via the k-capped TopKAgg buffer —
+    * map-side partials carry ≤3 rows per group per partition, vs the
+    * window twin q_topk_per_group which shuffles+sorts every order row.
+    * FunctionsSpec asserts exact row parity with the window plan. */
+  val topkGroupAgg: Q = Q.implOnly("q_topk_group_agg") { (s, dir) =>
+    val top3 = udaf(new graft.functions.TopKAgg(3))
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rn"),
+        col("t._2").as("o_orderkey"), col("t._1").as("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
   val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, simAnn, simIvf,
-    multimodalFeatures, approxDistinct)
+    multimodalFeatures, approxDistinct, topkGroupAgg)
 }

@@ -41,4 +41,28 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(run(2) === run(11))
   }
+
+  test("TopKAgg reproduces the window top-k row-for-row, under any partitioning") {
+    val windowRows = graft.ops.WindowOps.topkPerGroup.fn(spark, Sf).collect()
+    val aggRows = graft.ops.ImplOps.topkGroupAgg.fn(spark, Sf).collect()
+    assert(aggRows.map(_.toSeq).toSeq === windowRows.map(_.toSeq).toSeq)
+    // merge path: a skewed repartition must not change the result
+    val top3 = udaf(new graft.functions.TopKAgg(3))
+    def run(parts: Int) = Tables.orders(spark, Sf).repartition(parts)
+      .groupBy("o_custkey")
+      .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(run(1) === run(13))
+  }
+
+  test("TopKAgg buffer is k-bounded even when a group exceeds k in one partition") {
+    import spark.implicits._
+    val top2 = udaf(new graft.functions.TopKAgg(2))
+    val rows = Seq.tabulate(100)(i => (1L, i.toDouble, i.toLong))
+      .toDF("g", "v", "id")
+      .groupBy("g").agg(top2(col("v"), col("id")).as("top"))
+      .select(posexplode(col("top"))).collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getStruct(1).getDouble(0)).toSeq === Seq(99.0, 98.0))
+  }
 }
