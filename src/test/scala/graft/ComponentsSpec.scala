@@ -5,9 +5,18 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Min-label propagation connected components: fixpoint correctness on
-  * known graphs, determinism under physical layout, and the convergence
-  * guard. */
+  * known graphs, determinism under physical layout, random-graph parity
+  * with union-find, and the convergence guard. */
 class ComponentsSpec extends AnyFunSuite with SparkFixture {
+
+  /** forAll via explicit seeds (scalatestplus bridge is not in the
+    * offline cache): deterministic, reproducible cases. */
+  private def forAllSeeded[A](gen: org.scalacheck.Gen[A], cases: Int = 6)(
+      body: A => Unit): Unit =
+    (0 until cases).foreach { i =>
+      body(gen.pureApply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)))
+    }
 
   private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
@@ -35,6 +44,33 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     val r2 = Components.connectedComponents(e1.repartition(13)).collect().toSet
     assert(r1 === r2)
     assert(r1.map(_.getLong(1)) === Set(1L)) // the 9-1 edge joins both chains
+  }
+
+  test("random graphs: labels equal union-find components (ScalaCheck-seeded)") {
+    import org.scalacheck.Gen
+    val edgesGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (a, b))
+    } yield es
+    forAllSeeded(edgesGen) { pairs =>
+      val got = cc(pairs)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+      assert(got === want, s"edges=$pairs")
+    }
   }
 
   test("q_dedup_components matches a driver-side union-find on the same edges") {
