@@ -305,6 +305,64 @@ object CurateOps {
       .orderBy("doc_id")
   }
 
+  /** Table profiling — the ANALYZE-TABLE primitive a pipeline runs before
+    * choosing partition counts and join strategies: per-column row count,
+    * nulls, distincts, min/max (stringified for a uniform schema). ONE
+    * scan computes every metric (Spark plans the multi-distinct via one
+    * expand, still a single pass over the parquet); the long output shape
+    * comes from unpivoting the single aggregated row, NOT from per-column
+    * passes. */
+  val profile: Q = Q.checked(
+    "q_profile",
+    """WITH m AS (
+      |  SELECT count(*) AS n,
+      |    count(c_name) AS nn_name, count(DISTINCT c_name) AS nd_name,
+      |      CAST(min(c_name) AS VARCHAR) AS mn_name,
+      |      CAST(max(c_name) AS VARCHAR) AS mx_name,
+      |    count(c_nationkey) AS nn_nat, count(DISTINCT c_nationkey) AS nd_nat,
+      |      CAST(min(c_nationkey) AS VARCHAR) AS mn_nat,
+      |      CAST(max(c_nationkey) AS VARCHAR) AS mx_nat,
+      |    count(c_mktsegment) AS nn_seg, count(DISTINCT c_mktsegment) AS nd_seg,
+      |      CAST(min(c_mktsegment) AS VARCHAR) AS mn_seg,
+      |      CAST(max(c_mktsegment) AS VARCHAR) AS mx_seg
+      |  FROM customer)
+      |SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, max_val
+      |FROM (
+      |  SELECT 'c_name' AS col_name, n AS n_rows, nn_name AS n_nonnull,
+      |         nd_name AS n_distinct, mn_name AS min_val, mx_name AS max_val
+      |  FROM m
+      |  UNION ALL
+      |  SELECT 'c_nationkey', n, nn_nat, nd_nat, mn_nat, mx_nat FROM m
+      |  UNION ALL
+      |  SELECT 'c_mktsegment', n, nn_seg, nd_seg, mn_seg, mx_seg FROM m)
+      |ORDER BY col_name""".stripMargin
+  ) { (s, dir) =>
+    val agg = Tables.customer(s, dir).agg(
+      count(lit(1)).as("n"),
+      count(col("c_name")).as("nn_name"),
+      countDistinct(col("c_name")).as("nd_name"),
+      min(col("c_name")).cast(StringType).as("mn_name"),
+      max(col("c_name")).cast(StringType).as("mx_name"),
+      count(col("c_nationkey")).as("nn_nat"),
+      countDistinct(col("c_nationkey")).as("nd_nat"),
+      min(col("c_nationkey")).cast(StringType).as("mn_nat"),
+      max(col("c_nationkey")).cast(StringType).as("mx_nat"),
+      count(col("c_mktsegment")).as("nn_seg"),
+      countDistinct(col("c_mktsegment")).as("nd_seg"),
+      min(col("c_mktsegment")).cast(StringType).as("mn_seg"),
+      max(col("c_mktsegment")).cast(StringType).as("mx_seg"))
+    agg.select(expr(
+      """stack(3,
+        |  'c_name',       nn_name, nd_name, mn_name, mx_name,
+        |  'c_nationkey',  nn_nat,  nd_nat,  mn_nat,  mx_nat,
+        |  'c_mktsegment', nn_seg,  nd_seg,  mn_seg,  mx_seg)
+        |AS (col_name, n_nonnull, n_distinct, min_val, max_val)""".stripMargin),
+      col("n").as("n_rows"))
+      .select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_val",
+        "max_val")
+      .orderBy("col_name")
+  }
+
   val all: Seq[Q] = Seq(sampleSplit, vocabTopk, tfidf, ngramCounts, packBins,
-    curate, quantileDisc, winCume, dedupComponents)
+    curate, quantileDisc, winCume, dedupComponents, profile)
 }

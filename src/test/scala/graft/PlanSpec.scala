@@ -71,6 +71,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
 
+  test("join strategy hints are honored (SHUFFLE_HASH vs MERGE) — the 100 TB tuning knob") {
+    import org.apache.spark.sql.functions._
+    // default for two large-ish sides is sort-merge; SHUFFLE_HASH skips
+    // both sorts when one side fits per-partition memory — at scale the
+    // choice is per-join, so the engine must let hints through
+    val o = Tables.orders(spark, Sf)
+    val l = Tables.lineitem(spark, Sf)
+    def planOf(hinted: DataFrame): String = {
+      hinted.collect()
+      hinted.queryExecution.executedPlan.toString
+    }
+    val shj = planOf(l.join(o.hint("SHUFFLE_HASH"),
+      col("l_orderkey") === col("o_orderkey")))
+    assert(shj.contains("ShuffledHashJoin"), s"hint ignored:\n$shj")
+    val smj = planOf(l.join(o.hint("MERGE"),
+      col("l_orderkey") === col("o_orderkey")))
+    assert(smj.contains("SortMergeJoin"), s"hint ignored:\n$smj")
+  }
+
   test("q_agg_group uses two-phase hash aggregation (map-side partial)") {
     val plan = formatted(ops.AggOps.aggGroup.fn(spark, Sf))
     val n = plan.linesIterator.count(_.matches(".*HashAggregate.*"))
