@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operations. The one every streaming sink needs:
+  * micro-batches and per-partition writers accumulate small files, and
+  * scan cost at 100 TB is dominated by file-open overhead once the
+  * average file falls under a few MB (a 1000-executor cluster opening
+  * 10 M 100 KB files spends its time in the namenode, not in Tungsten).
+  *
+  * `compact` rewrites a parquet directory into ⌈bytes / targetBytes⌉
+  * evenly-sized files. Sizing comes from the filesystem listing (exact,
+  * free), not from sampling rows. The rewrite stages into a sibling
+  * `_compact_tmp` directory and swaps via rename, so a crash mid-compact
+  * leaves the original table intact (the stale tmp dir is removed on the
+  * next run) — same stage-then-swap recipe as CdcBucketed's state writes.
+  */
+object Maintenance {
+
+  /** Number of data files currently in `dir` (non-recursive, parquet
+    * parts only — excludes _SUCCESS and hidden files). */
+  def dataFiles(spark: SparkSession, dir: String): Seq[Path] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(_.getPath)
+  }
+
+  /** Compact `dir` in place to ~targetBytes-sized files. Returns
+    * (filesBefore, filesAfter). No-op (no rewrite at all) if the table
+    * already has ≤ the target file count — compaction must be safe to
+    * run on a schedule. */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L << 20): (Int, Int) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = dataFiles(spark, dir)
+    val totalBytes = files.map(f => fs.getFileStatus(f).getLen).sum
+    val want = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (files.size <= want) return (files.size, files.size)
+
+    val tmp = new Path(p.getParent, s"_compact_tmp_${p.getName}")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale from a prior crash
+    spark.read.parquet(dir)
+      .repartition(want) // round-robin: even output sizes regardless of skew
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(p.getParent, s"_compact_old_${p.getName}")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(p, bak)) sys.error(s"compact: cannot stage out $p")
+    if (!fs.rename(tmp, p)) { // restore on failure — original is intact
+      fs.rename(bak, p)
+      sys.error(s"compact: cannot swap in $tmp")
+    }
+    fs.delete(bak, true)
+    (files.size, dataFiles(spark, dir).size)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.sources.Maintenance
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Compaction: fewer files, identical data, idempotent, crash-staged. */
+class MaintenanceSpec extends AnyFunSuite with SparkFixture {
+
+  test("compact merges a many-small-files table without changing its rows") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val src = Tables.orders(spark, Sf)
+    src.repartition(37).write.mode("overwrite").parquet(dir) // 37 small files
+    val nRows = spark.read.parquet(dir).count()
+
+    val (nBefore, nAfter) = Maintenance.compact(spark, dir, targetBytes = 1L << 30)
+    assert(nBefore === 37 && nAfter === 1, s"$nBefore -> $nAfter")
+
+    // exact multiset equality — the real integrity check (a double-sum
+    // compare would flake: fold order changes across repartitions)
+    val after = spark.read.parquet(dir)
+    assert(after.count() === nRows)
+    assert(after.exceptAll(src).isEmpty && src.exceptAll(after).isEmpty)
+
+    // idempotent: already-compact tables are left untouched (no rewrite)
+    val filesBefore = Maintenance.dataFiles(spark, dir).map(_.toString)
+    assert(Maintenance.compact(spark, dir, 1L << 30) === ((1, 1)))
+    assert(Maintenance.dataFiles(spark, dir).map(_.toString) === filesBefore)
+  }
+
+  test("compact respects the target size (splits instead of one giant file)") {
+    val dir = Files.createTempDirectory("graft_compact2").toString + "/t"
+    Tables.lineitem(spark, Sf).repartition(24).write.mode("overwrite").parquet(dir)
+    val total = Maintenance.dataFiles(spark, dir)
+      .map(f => new java.io.File(f.toUri).length).sum
+    val target = math.max(total / 4, 1L)
+    val (_, nAfter) = Maintenance.compact(spark, dir, target)
+    // ceil(total/target) = 4 give or take parquet overhead re-encoding
+    assert(nAfter >= 3 && nAfter <= 5, s"got $nAfter files")
+  }
+}
