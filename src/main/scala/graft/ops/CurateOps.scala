@@ -363,6 +363,47 @@ object CurateOps {
       .orderBy("col_name")
   }
 
+  /** Fuzzy entity matching (sorted-neighborhood ER): Levenshtein ≤ 1 over
+    * name pairs inside (nation, segment) blocks, restricted to a key
+    * window of W = 400 — pair count grows O(n·W), linear in n, where
+    * unwindowed within-block pairs grow O(block²) (the q_dedup_embed
+    * round-2 lesson, applied preemptively here). The exact-DP edit
+    * distance agrees cross-engine. Spark side bucketizes the window into
+    * an EQUI-join on (nation, segment, key div W) with side a exploded
+    * into {bucket, bucket+1} — no range probe, no nested loop. At real
+    * scale the neighborhood ordering comes from a phonetic/q-gram sort
+    * key rather than the surrogate key; the shape is identical. */
+  val fuzzyMatch: Q = Q.checked(
+    "q_fuzzy_match",
+    """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      |  a.c_name AS name_a, b.c_name AS name_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_nationkey = b.c_nationkey
+      |  AND a.c_mktsegment = b.c_mktsegment
+      |  AND b.c_custkey > a.c_custkey AND b.c_custkey <= a.c_custkey + 400
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY key_a, key_b""".stripMargin
+  ) { (s, dir) =>
+    val W = 400
+    val c = Tables.customer(s, dir)
+    val a = c.select(col("c_custkey").as("key_a"), col("c_name").as("name_a"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+        (col("c_custkey") / W).cast(LongType).as("bk"))
+      .withColumn("bucket", explode(array(col("bk"), col("bk") + 1)))
+    val b = c.select(col("c_custkey").as("key_b"), col("c_name").as("name_b"),
+      col("c_nationkey").as("nk_b"), col("c_mktsegment").as("seg_b"),
+      (col("c_custkey") / W).cast(LongType).as("bucket_b"))
+    a.join(b, col("nk") === col("nk_b") && col("seg") === col("seg_b")
+        && col("bucket") === col("bucket_b")
+        && col("key_b") > col("key_a") && col("key_b") <= col("key_a") + W)
+      .withColumn("edit_dist",
+        levenshtein(col("name_a"), col("name_b")).cast(LongType))
+      .filter(col("edit_dist") <= 1)
+      .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+      .orderBy("key_a", "key_b")
+  }
+
   val all: Seq[Q] = Seq(sampleSplit, vocabTopk, tfidf, ngramCounts, packBins,
-    curate, quantileDisc, winCume, dedupComponents, profile)
+    curate, quantileDisc, winCume, dedupComponents, profile, fuzzyMatch)
 }
