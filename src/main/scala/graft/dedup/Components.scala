@@ -33,7 +33,10 @@ object Components {
     * min node id in the component. */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
                           dstCol: String = "dst", maxIter: Int = 50): DataFrame = {
+    // materialize the edge list ONCE — it may be an arbitrary upstream
+    // derivation (blocking self-joins here), and every round joins it
     val e = edges.select(col(srcCol).as("e_src"), col(dstCol).as("e_dst"))
+      .localCheckpoint(true)
     var labels = e.select(col("e_src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
