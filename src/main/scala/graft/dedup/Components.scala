@@ -15,16 +15,15 @@ import org.apache.spark.sql.functions._
   * schedule (min is associative/commutative/idempotent), so the output is
   * deterministic even though the algorithm is iterative.
   *
-  * Scale design: each round is ONE shuffle join of the (symmetric) edge
-  * list against the current labels plus a groupBy(min) — no collect, no
-  * driver-side graph. Rounds = component diameter, which for blocked
-  * dedup graphs is small (blocks are cliques; chains only arise across
-  * blocking passes). Lineage is truncated every round with an EAGER
-  * `localCheckpoint` — without it, iterative self-joins stack 2·k plan
-  * nodes after k rounds and analysis time explodes (the classic iterative
-  * Spark failure). At true 100 TB graph scale you would switch to the
-  * alternating small-star/large-star contraction (O(log n) rounds); the
-  * fixpoint label definition — min id per component — stays identical.
+  * Scale design: each round is one shuffle join of the (symmetric) edge
+  * list against the current labels plus a groupBy(min), FOLLOWED BY a
+  * pointer-halving join (comp := comp-of-comp) — the halving step turns
+  * diameter-bound convergence into O(log n) rounds (a chain of length d
+  * converges in ~log₂ d + 1 rounds, not d), so a million-node chained
+  * component cannot outrun maxIter. No collect, no driver-side graph.
+  * Lineage is truncated every round with an EAGER `localCheckpoint` —
+  * without it, iterative self-joins stack 2·k plan nodes after k rounds
+  * and analysis time explodes (the classic iterative Spark failure).
   */
 object Components {
 
@@ -46,10 +45,18 @@ object Components {
       val nbrMin = e.join(labels, e("e_dst") === labels("id"))
         .groupBy(col("e_src").as("id"))
         .agg(min(col("comp")).as("nbr_comp"))
-      val next = labels.as("l")
+      val propagated = labels.as("l")
         .join(nbrMin.as("n"), col("l.id") === col("n.id"), "left")
         .select(col("l.id").as("id"),
           least(col("l.comp"), coalesce(col("n.nbr_comp"), col("l.comp")))
+            .as("comp"))
+      // pointer halving: comp := labels(comp).comp — every label is a node
+      // id, so the lookup hits; paths halve, giving O(log n) convergence
+      val next = propagated.as("x")
+        .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp"))
+          .as("y"), col("x.comp") === col("y.cid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.comp"), coalesce(col("y.ccomp"), col("x.comp")))
             .as("comp"))
         .localCheckpoint(true) // eager: truncate lineage every round
       // existence check, not a count: isEmpty stops at the first changed row

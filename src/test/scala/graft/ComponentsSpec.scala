@@ -30,6 +30,13 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     assert(got === (1L to 10L).map(_ -> 1L).toMap)
   }
 
+  test("a 300-node chain converges within maxIter (pointer halving: O(log n) rounds)") {
+    // without the halving step this needs 299 rounds and would blow the
+    // default maxIter=50; with it, ~log2(300)+1
+    val got = cc((1L to 299L).map(i => (i, i + 1)))
+    assert(got.size === 300 && got.values.forall(_ == 1L))
+  }
+
   test("disjoint components keep distinct labels; isolated pairs label by min") {
     val got = cc(Seq((5L, 3L), (3L, 9L), (20L, 21L), (40L, 30L)))
     assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
