@@ -71,12 +71,18 @@ object Bench {
     Files.writeString(Paths.get("bench_out.json"), fullJson + "\n")
     // stdout line: the driver keeps only a bounded tail of stdout (~2 KB —
     // round 2's full line overflowed it mid-JSON and parsed as null), so
-    // print the COMPACT contract JSON: ms-rounded times, no detail maps
-    val qsShort = results
-      .map { case (k, v) => s"${jstr(k)}:${math.round(v * 1000) / 1000.0}" }
-      .mkString("{", ",", "}")
-    val json =
+    // print the COMPACT contract JSON at the highest per-query decimal
+    // precision that fits a 1900-byte budget — the shape survives any
+    // future query-count growth instead of re-breaking at the margin
+    def lineAt(dp: Int): String = {
+      val p = math.pow(10, dp)
+      val qsShort = results
+        .map { case (k, v) => s"${jstr(k)}:${math.round(v * p) / p}" }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$qsShort,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+    }
+    val json = (3 to 0 by -1).map(lineAt).find(_.length <= 1900)
+      .getOrElse(lineAt(0))
     spark.stop()
     System.err.println(
       s"[bench] stdout line: ${json.length} bytes; full detail: bench_out.json (${fullJson.length} bytes)")

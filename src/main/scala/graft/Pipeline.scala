@@ -66,28 +66,50 @@ object Pipeline {
     * rest of executor slots). Returns per-table op counts; a failed OR
     * timed-out table is reported, not fatal to the rest — `perTableTimeout`
     * bounds each merge so one hung table cannot hang the whole fleet
-    * (the round-2 version awaited with Duration.Inf). */
+    * (the round-2 version awaited with Duration.Inf).
+    *
+    * Timeout semantics: the clock starts when the table's merge STARTS
+    * (not when it is queued behind the pool — a full pool must not eat a
+    * queued table's budget), and a timed-out table's Spark jobs are
+    * actually cancelled via its job group, so a "timed out" report means
+    * the merge stopped, not that it kept running and committed later. */
   def runAll(spark: SparkSession, configs: Seq[PipelineConfig], batchId: Long,
              parallelism: Int = 4,
              perTableTimeout: scala.concurrent.duration.Duration =
                scala.concurrent.duration.Duration(1, "hour"))
       : Map[String, Either[String, Map[String, Long]]] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future, Promise}
+    import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val futures = configs.map { cfg =>
-        cfg.stateDir -> Future {
+        val started = Promise[Long]() // start-of-run timestamp, millis
+        val group = s"graft-pipeline-${cfg.stateDir.hashCode}"
+        val f = Future {
+          started.trySuccess(System.currentTimeMillis())
+          spark.sparkContext.setJobGroup(group,
+            s"pipeline merge ${cfg.stateDir}", interruptOnCancel = true)
           try Right(run(spark, cfg, batchId))
           catch { case e: Exception => Left(e.getMessage) }
+          finally spark.sparkContext.clearJobGroup()
         }
+        (cfg.stateDir, group, started, f)
       }
-      futures.map { case (dir, f) =>
-        dir -> (try Await.result(f, perTableTimeout)
-        catch {
-          case _: java.util.concurrent.TimeoutException =>
-            Left(s"timed out after $perTableTimeout")
-        })
+      futures.map { case (dir, group, started, f) =>
+        // phase 1: wait (unbounded) for the task to leave the queue;
+        // phase 2: budget perTableTimeout from its actual start
+        val res =
+          try {
+            val t0 = Await.result(started.future, Duration.Inf)
+            val elapsed = Duration(System.currentTimeMillis() - t0, "ms")
+            Await.result(f, (perTableTimeout - elapsed) max Duration.Zero)
+          } catch {
+            case _: java.util.concurrent.TimeoutException =>
+              spark.sparkContext.cancelJobGroup(group) // stop its jobs
+              Left(s"timed out after $perTableTimeout")
+          }
+        dir -> res
       }.toMap
     } finally pool.shutdownNow()
   }

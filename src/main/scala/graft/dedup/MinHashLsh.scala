@@ -74,8 +74,10 @@ object MinHashLsh {
     * per join side); its shingle-string HOF input was the residual
     * bottleneck (interpreted, one string alloc per shingle per side). A
     * document with fewer than n tokens yields a Long.MaxValue-sentinel
-    * signature (the explode shape dropped it); verify-stage Jaccard (NaN
-    * for empty sets) still excludes such pairs from the output. */
+    * signature; [[nearDuplicates]] filters such docs out BEFORE banding —
+    * they have no shingles to compare (Jaccard undefined: 0/0 throws
+    * under Spark 4's default ANSI mode), and all of them share the one
+    * sentinel band bucket, which would otherwise grow O(m²) candidates. */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  n: Int, k: Int): DataFrame =
     docs.withColumn("__sig",
@@ -117,7 +119,11 @@ object MinHashLsh {
     * join-backs. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      cfg: Config = Config()): DataFrame = {
-    val sigs = signatures(docs.select(idCol, textCol), idCol, textCol,
+    // drop sub-n-token docs: no shingles → Jaccard is 0/0 (ANSI error),
+    // and their shared sentinel signature would bucket them all together
+    val eligible = docs.select(idCol, textCol)
+      .filter(size(split(col(textCol), " ")) >= cfg.shingleSize)
+    val sigs = signatures(eligible, idCol, textCol,
       cfg.shingleSize, cfg.numHashes)
     val cands = candidatePairs(bandBuckets(sigs, idCol, cfg), idCol)
     val texts = docs.select(col(idCol), col(textCol))

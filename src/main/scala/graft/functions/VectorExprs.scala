@@ -51,18 +51,24 @@ object VectorExprs {
       VectorExprs.requireFloatArray(prettyName, child)
     override protected def nullSafeEval(input: Any): Any = {
       val a = input.asInstanceOf[ArrayData]
+      // bound by BOTH lengths: UnsafeArrayData.getFloat is not
+      // bounds-checked, so a malformed shorter vector would otherwise
+      // silently read adjacent buffer bytes as floats
+      val n = math.min(a.numElements(), w.length)
       var s = 0.0
       var i = 0
-      while (i < w.length) { s += a.getFloat(i).toDouble * w(i); i += 1 }
+      while (i < n) { s += a.getFloat(i).toDouble * w(i); i += 1 }
       s
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val wRef = ctx.addReferenceObj("w", w, "double[]")
       nullSafeCodeGen(ctx, ev, c => {
         val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
         s"""
+           |int $n = java.lang.Math.min($c.numElements(), $wRef.length);
            |${ev.value} = 0.0;
-           |for (int $i = 0; $i < $wRef.length; $i++) {
+           |for (int $i = 0; $i < $n; $i++) {
            |  ${ev.value} += (double) $c.getFloat($i) * $wRef[$i];
            |}
          """.stripMargin
@@ -155,9 +161,10 @@ object VectorExprs {
       var j = 0
       while (j < cents.length) {
         val cj = cents(j)
+        val n = math.min(a.numElements(), cj.length) // no OOB reads
         var d2 = 0.0
         var i = 0
-        while (i < cj.length) {
+        while (i < n) {
           val d = a.getFloat(i).toDouble - cj(i); d2 += d * d; i += 1
         }
         if (d2 < bestD) { bestD = d2; best = j }
@@ -178,8 +185,9 @@ object VectorExprs {
            |int $best = 0;
            |for (int $j = 0; $j < $centsRef.length; $j++) {
            |  double[] $cj = $centsRef[$j];
+           |  int ${d2}_n = java.lang.Math.min($c.numElements(), $cj.length);
            |  double $d2 = 0.0;
-           |  for (int $i = 0; $i < $cj.length; $i++) {
+           |  for (int $i = 0; $i < ${d2}_n; $i++) {
            |    double $d = (double) $c.getFloat($i) - $cj[$i];
            |    $d2 += $d * $d;
            |  }

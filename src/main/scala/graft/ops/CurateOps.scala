@@ -385,22 +385,13 @@ object CurateOps {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY key_a, key_b""".stripMargin
   ) { (s, dir) =>
-    val W = 400
-    val c = Tables.customer(s, dir)
-    val a = c.select(col("c_custkey").as("key_a"), col("c_name").as("name_a"),
-        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
-        (col("c_custkey") / W).cast(LongType).as("bk"))
-      .withColumn("bucket", explode(array(col("bk"), col("bk") + 1)))
-    val b = c.select(col("c_custkey").as("key_b"), col("c_name").as("name_b"),
-      col("c_nationkey").as("nk_b"), col("c_mktsegment").as("seg_b"),
-      (col("c_custkey") / W).cast(LongType).as("bucket_b"))
-    a.join(b, col("nk") === col("nk_b") && col("seg") === col("seg_b")
-        && col("bucket") === col("bucket_b")
-        && col("key_b") > col("key_a") && col("key_b") <= col("key_a") + W)
+    BlockedSelfJoin.windowPairs(Tables.customer(s, dir), "c_custkey",
+        Seq("c_nationkey", "c_mktsegment"), Seq("c_name"), 400)
       .withColumn("edit_dist",
-        levenshtein(col("name_a"), col("name_b")).cast(LongType))
+        levenshtein(col("c_name_a"), col("c_name_b")).cast(LongType))
       .filter(col("edit_dist") <= 1)
-      .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+      .select(col("key_a"), col("key_b"), col("c_name_a").as("name_a"),
+        col("c_name_b").as("name_b"), col("edit_dist"))
       .orderBy("key_a", "key_b")
   }
 

@@ -356,30 +356,22 @@ object TextSimOps {
       |    / (a.nrm * b.nrm) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
   ) { (s, dir) =>
-    // Bucketized window join (the q_join_range technique): bucket =
-    // vec_id / W. A partner b with 0 < b - a ≤ W lives in a's bucket or
-    // the next one, so side a is exploded into {bucket, bucket+1} and the
-    // window becomes a plain shuffled EQUI-join on (label, bucket) — no
-    // range probe, no nested-loop, candidate volume 2·n rows per side.
-    // Bucket count grows with n, so parallelism scales with data.
+    // bounded-window equi-join via the shared BlockedSelfJoin helper
+    // (the q_join_range technique; see that object for the mechanics)
     import graft.functions.VectorExprs.{dotVec, norm2}
     val W = 200
     val withNorm = Tables.embeddings(s, dir)
       .withColumn("nrm", sqrt(norm2(col("embedding"))))
-    val a = withNorm.select(col("vec_id").as("vec_a"), col("label"),
-        col("embedding").as("emb_a"), col("nrm").as("nrm_a"),
-        (col("vec_id") / W).cast(LongType).as("bk"))
-      .withColumn("bucket", explode(array(col("bk"), col("bk") + 1)))
-    val b = withNorm.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
-      col("embedding").as("emb_b"), col("nrm").as("nrm_b"),
-      (col("vec_id") / W).cast(LongType).as("bucket_b"))
     // native codegen'd dot loop (VectorExprs.DotVec): same left-fold
     // addition order as the DuckDB list_sum fold, so the oracle matches
     // bit-for-bit; unlike the round-2 unrolled 64-term tree it doesn't
     // bloat the generated code (janino compile was the hidden cost).
-    val cos = dotVec(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))
-    a.join(b, col("label") === col("label_b") && col("bucket") === col("bucket_b")
-        && col("vec_b") > col("vec_a") && col("vec_b") <= col("vec_a") + W)
+    val cos = dotVec(col("embedding_a"), col("embedding_b")) /
+      (col("nrm_a") * col("nrm_b"))
+    BlockedSelfJoin.windowPairs(withNorm, "vec_id", Seq("label"),
+        Seq("embedding", "nrm"), W)
+      .withColumnRenamed("key_a", "vec_a")
+      .withColumnRenamed("key_b", "vec_b")
       .withColumn("cos_raw", cos)
       .filter(col("cos_raw") >= 0.35)
       .select(col("vec_a"), col("vec_b"), col("label"),

@@ -73,8 +73,22 @@ object Ivf {
   def probeTopK(df: DataFrame, idCol: String, embCol: String, seedCol: String,
                 probeId: Long, k: Int, nProbe: Int): DataFrame = {
     val cs = collectCentroids(centroids(df, embCol, seedCol))
-    val probe = df.filter(col(idCol) === probeId)
-      .select(col(embCol)).head().getSeq[Float](0).map(_.toDouble).toArray
+    // an absent probe id yields an empty result, not a crash — lookups
+    // for deleted/unknown ids are a normal caller path
+    val probeRow = df.filter(col(idCol) === probeId)
+      .select(col(embCol)).limit(1).collect().headOption match {
+      case Some(r) => r
+      case None => return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("list_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cos_sim",
+            org.apache.spark.sql.types.DoubleType))))
+    }
+    val probe = probeRow.getSeq[Float](0).map(_.toDouble).toArray
     val probedLists = cs.map { case (lid, c) =>
       val d2 = probe.indices.foldLeft(0.0) { (acc, i) =>
         acc + (probe(i) - c(i)) * (probe(i) - c(i))

@@ -19,17 +19,23 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
-  /** Number of data files currently in `dir` (non-recursive, parquet
-    * parts only — excludes _SUCCESS and hidden files). */
-  def dataFiles(spark: SparkSession, dir: String): Seq[Path] = {
+  /** One listing yields paths AND sizes — getFileStatus per file would
+    * re-ask the namenode for what listStatus already returned, at
+    * listing scale (the stated 10 M-file motivating case). */
+  private def listData(spark: SparkSession,
+                       dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith("."))
-      .map(_.getPath)
   }
+
+  /** Data files currently in `dir` (non-recursive, parquet parts only —
+    * excludes _SUCCESS and hidden files). */
+  def dataFiles(spark: SparkSession, dir: String): Seq[Path] =
+    listData(spark, dir).map(_.getPath)
 
   /** Compact `dir` in place to ~targetBytes-sized files. Returns
     * (filesBefore, filesAfter). No-op (no rewrite at all) if the table
@@ -39,8 +45,8 @@ object Maintenance {
               targetBytes: Long = 128L << 20): (Int, Int) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = dataFiles(spark, dir)
-    val totalBytes = files.map(f => fs.getFileStatus(f).getLen).sum
+    val files = listData(spark, dir)
+    val totalBytes = files.map(_.getLen).sum
     val want = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (files.size <= want) return (files.size, files.size)
 

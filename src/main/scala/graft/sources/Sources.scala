@@ -62,7 +62,17 @@ object Sources {
       if (present(f.name)) org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
       else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
     }
-    df.select(cols.toIndexedSeq: _*)
+    // a PERMISSIVE reader null-fills ragged rows, and the merge's
+    // null-safe key equality (<=>) would then fuse every null-keyed row
+    // many-to-many — reject them at the boundary: tolerant mode drops
+    // them, strict mode fails the run in-plan (assert_true: no extra
+    // scan, evaluated as rows stream through the merge)
+    import org.apache.spark.sql.functions.{assert_true, col, lit}
+    val keyNull = keyCols.map(col(_).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val aligned = df.select(cols.toIndexedSeq: _*)
+    if (strict) aligned.filter(assert_true(!keyNull).isNull)
+    else aligned.filter(!keyNull)
   }
 
   /** Incremental-extract arrival as a file stream: new parquet files

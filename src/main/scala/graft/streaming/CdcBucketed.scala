@@ -55,6 +55,22 @@ object CdcBucketed {
     writer.saveAsTable(table)
   }
 
+  /** Re-register an existing on-disk generation (written earlier by
+    * [[writeState]]) as the live table WITHOUT rewriting data — the
+    * JVM-restart recovery path: the default in-memory catalog forgets
+    * the table on restart, the filesystem does not. The caller must
+    * verify the generation is fully written (parquet `_SUCCESS`). */
+  def registerExisting(spark: SparkSession, table: String, location: String,
+                       buckets: Int): Unit = {
+    val schema = spark.read.parquet(location).schema
+    spark.sql(
+      s"""CREATE TABLE $table (${schema.toDDL})
+         |USING PARQUET
+         |CLUSTERED BY (${CdcMerge.KeyHash}) SORTED BY (${CdcMerge.KeyHash})
+         |INTO $buckets BUCKETS
+         |LOCATION '$location'""".stripMargin)
+  }
+
   /** Finish a half-committed swap: a crash between `DROP TABLE` and
     * `ALTER TABLE RENAME` leaves only `${table}_stage` — adopt it as the
     * live table. (Both-exist means the crash happened before the DROP;

@@ -57,12 +57,44 @@ object CdcStream {
     s"graft_state_${base}_$h"
   }
 
+  /** JVM-restart recovery: the default in-memory catalog forgets the
+    * state table on restart while the committed generations remain on
+    * disk — without this, the next merge would silently bootstrap EMPTY
+    * state and misclassify every stored key. Re-register the newest
+    * FULLY WRITTEN generation (parquet `_SUCCESS` marker — a generation
+    * whose write was cut short never has one, so a half-written vN is
+    * never adopted). Adopting vN equals replaying batch N's catalog
+    * swap, which the replay guard + partitioned feed make idempotent. */
+  private def recoverFromDisk(spark: SparkSession, stateDir: String,
+                              buckets: Int): Unit = {
+    val t = stateTable(stateDir)
+    if (spark.catalog.tableExists(t) ||
+      spark.catalog.tableExists(s"${t}_stage")) return
+    val base = new Path(stateDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    val committed = fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("v")) n.drop(1).toLongOption.map(_ -> s.getPath)
+        else None
+      }
+      .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+    if (committed.nonEmpty)
+      CdcBucketed.registerExisting(spark, t,
+        committed.maxBy(_._1)._2.toString, buckets)
+  }
+
   /** Latest committed snapshot version, if any — read from the state
-    * table's current location (catalog = commit log), not from a dir
-    * listing, so a half-written generation never counts as committed. */
-  def currentVersion(spark: SparkSession, stateDir: String): Option[Long] = {
+    * table's current location (catalog = commit log, healed from disk by
+    * [[recoverFromDisk]] after a restart), not from a raw dir listing,
+    * so a half-written generation never counts as committed. */
+  def currentVersion(spark: SparkSession, stateDir: String,
+                     buckets: Int = DefaultBuckets): Option[Long] = {
     val t = stateTable(stateDir)
     CdcBucketed.recoverStage(spark, t)
+    recoverFromDisk(spark, stateDir, buckets)
     if (!spark.catalog.tableExists(t)) None
     else {
       val loc = new Path(spark.sessionState.catalog
@@ -73,9 +105,11 @@ object CdcStream {
   }
 
   /** The current state snapshot (configured columns only), if committed. */
-  def currentState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+  def currentState(spark: SparkSession, stateDir: String,
+                   buckets: Int = DefaultBuckets): Option[DataFrame] = {
     val t = stateTable(stateDir)
     CdcBucketed.recoverStage(spark, t)
+    recoverFromDisk(spark, stateDir, buckets)
     if (spark.catalog.tableExists(t))
       Some(spark.table(t).drop(CdcMerge.KeyHash, CdcMerge.NonKeyHash))
     else None
@@ -91,9 +125,17 @@ object CdcStream {
       .partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(changesPath(stateDir))
+    // normalize the read-back to the writer's schema: partition-column
+    // inference types batch_id as INT and moves it to the end, so a
+    // consumer unioning against a CdcMerge.changeFeed frame (batch_id
+    // LONG, writer order) would hit a type/order mismatch that depends
+    // on whether the directory happened to be empty
     scala.util.Try(
       spark.read.parquet(changesPath(stateDir))
         .filter(col("batch_id") === batchId)
+        .select(feed.schema.fieldNames.toIndexedSeq.map(col): _*)
+        .withColumn("batch_id",
+          col("batch_id").cast(org.apache.spark.sql.types.LongType))
     ).getOrElse( // empty feed on a fresh dir: nothing was written
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], feed.schema))
   }
@@ -114,7 +156,7 @@ object CdcStream {
     val spark = batch.sparkSession
     val table = stateTable(stateDir)
     CdcBucketed.recoverStage(spark, table)
-    if (currentVersion(spark, stateDir).exists(_ >= batchId))
+    if (currentVersion(spark, stateDir, buckets).exists(_ >= batchId))
       return replayedCounts(spark, stateDir, batchId)
     ensureState(spark, table, batch, cfg, stateDir, buckets)
     var ops = Map.empty[String, Long]
@@ -195,7 +237,7 @@ object CdcStream {
     val spark = batch.sparkSession
     val table = stateTable(stateDir)
     CdcBucketed.recoverStage(spark, table)
-    if (currentVersion(spark, stateDir).exists(_ >= batchId)) return
+    if (currentVersion(spark, stateDir, buckets).exists(_ >= batchId)) return
     ensureState(spark, table, batch.select(cfg.allCols.map(col): _*), cfg,
       stateDir, buckets)
 

@@ -32,6 +32,24 @@ class LshSpec extends AnyFunSuite with SparkFixture {
       .select("id_a", "id_b", "jaccard")
   }
 
+  test("MinHash-LSH: sub-shingle-size docs neither crash the verify stage nor pair up") {
+    import spark.implicits._
+    // two docs below shingleSize share the sentinel signature; without the
+    // eligibility filter they become a candidate pair whose Jaccard is
+    // 0/0 — a DIVIDE_BY_ZERO crash under Spark 4's default ANSI mode
+    val corpus = Seq(
+      (1L, "hi"), (2L, "ok go"), // 1 and 2 tokens < shingleSize 3
+      (3L, "scan row slow table value part hash merge"),
+      (4L, "scan row slow table value part hash join")).toDF("doc_id", "text")
+    val pairs = MinHashLsh.nearDuplicates(corpus, "doc_id", "text",
+        MinHashLsh.Config(numHashes = 32, bands = 8, threshold = 0.2))
+      .collect()
+    assert(!pairs.exists(r => r.getLong(0) <= 2 || r.getLong(1) <= 2),
+      "short docs must not form candidate pairs")
+    assert(pairs.exists(r => r.getLong(0) == 3L && r.getLong(1) == 4L),
+      "real near-dup pair lost")
+  }
+
   test("MinHash-LSH: emitted pairs carry exact Jaccard and are a subset of truth") {
     val cfg = MinHashLsh.Config(numHashes = 32, bands = 8, threshold = 0.5)
     val lsh = MinHashLsh.nearDuplicates(docs, "doc_id", "text", cfg)

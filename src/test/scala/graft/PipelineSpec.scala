@@ -126,6 +126,31 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(e2.getMessage.contains("key column"))
   }
 
+  test("rows with null keys are rejected at the boundary, not fused by the merge") {
+    val dir = Files.createTempDirectory("pipeline_ragged")
+    // records missing the key field read as null keys; the merge's
+    // null-safe key equality would then fuse them many-to-many
+    Files.writeString(dir.resolve("e0.json"),
+      """{"k":1,"status":"O","amount":10.0}
+        |{"status":"O","amount":2.0}
+        |{"status":"F","amount":3.0}
+        |{"k":2,"status":"F","amount":20.0}
+        |""".stripMargin)
+    val cfg = PipelineConfig(s"$dir/e0.json", "json", schema,
+      Seq("k"), Seq("status", "amount"), s"$dir/state")
+    // tolerant: the two null-keyed rows are dropped, the rest merge
+    assert(Pipeline.run(spark, cfg, 0L) === Map("I" -> 2L, "N" -> 0L))
+    val state = CdcStream.currentState(spark, s"$dir/state").get
+    assert(state.count() === 2 && state.filter(col("k").isNull).count() === 0)
+    // strict: the same extract fails the run
+    val e = intercept[Exception](
+      Pipeline.run(spark, cfg.copy(stateDir = s"$dir/state_strict",
+        strictSchema = true), 0L))
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.toString +: chain(x.getCause))
+    assert(chain(e).exists(_.contains("is not true")), s"got: ${chain(e)}")
+  }
+
   test("json extract drives the same merge") {
     val dir = Files.createTempDirectory("pipeline_json")
     Files.writeString(dir.resolve("e0.json"),

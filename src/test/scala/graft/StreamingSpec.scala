@@ -331,6 +331,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(finals === Set((1L, 3L, 7.0), (2L, 1L, 3.0)))
   }
 
+  test("JVM-restart recovery: a forgotten catalog re-registers committed state from disk") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("restart_state").toString
+    val cfg = CdcConfig(Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+    val b0 = Seq(Ord(1, 10, "O", 100.0), Ord(2, 20, "O", 200.0)).toDF
+    val b1 = Seq(Ord(1, 10, "O", 100.0), Ord(2, 20, "F", 250.0)).toDF
+    CdcStream.mergeBatch(b0, 0, cfg, stateDir)
+    CdcStream.mergeBatch(b1, 1, cfg, stateDir)
+
+    // simulate a JVM restart: the in-memory catalog forgets the external
+    // table; the committed v0/v1 generations stay on disk
+    spark.sql(s"DROP TABLE ${CdcStream.stateTable(stateDir)}")
+
+    assert(CdcStream.currentVersion(spark, stateDir) === Some(1L))
+    val b2 = Seq(Ord(1, 10, "O", 100.0), Ord(3, 30, "O", 300.0)).toDF
+    val ops = CdcStream.mergeBatch(b2, 2, cfg, stateDir)
+    // against recovered state: 1=N, 3=I, 2=D — NOT all-inserts
+    assert(ops === Map("I" -> 1L, "D" -> 1L, "N" -> 1L))
+    val state = CdcStream.currentState(spark, stateDir).get.as[Ord].collect().toSet
+    assert(state === Set(Ord(1, 10, "O", 100.0), Ord(3, 30, "O", 300.0)))
+  }
+
   test("streaming near-dup gate: native simhash64 runs in a stream; dropDuplicates on the signature") {
     import graft.functions.HashExprs
     import spark.implicits._
