@@ -187,6 +187,40 @@ object CdcStream {
     } else fromFeed + (CdcMerge.Unchanged -> 0L)
   }
 
+  /** Point-in-time read: the state snapshot as of `version` (batch id),
+    * straight from the retained v{n} layout — plain parquet, no catalog
+    * involvement, so audits/backfills can read history concurrently with
+    * the live merge. None if that generation is absent or incomplete
+    * (pruned by [[pruneVersions]], or its write never finished). */
+  def stateAt(spark: SparkSession, stateDir: String,
+              version: Long): Option[DataFrame] = {
+    val p = new Path(versionPath(stateDir, version))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(p, "_SUCCESS")))
+      Some(spark.read.parquet(p.toString)
+        .drop(CdcMerge.KeyHash, CdcMerge.NonKeyHash))
+    else None
+  }
+
+  /** SCD2 view derived from the change feed: one row per key version
+    * with [valid_from_batch, valid_to_batch) validity and is_current.
+    * A key's I/U feed rows ordered by batch_id are its versions; a D row
+    * closes the last open version without opening a new one. ONE window
+    * shuffle over the feed — the feed is the small side (changed rows
+    * only), never the snapshot. */
+  def scd2View(spark: SparkSession, stateDir: String,
+               keyCols: Seq[String]): DataFrame = {
+    val feed = spark.read.parquet(changesPath(stateDir))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("batch_id"))
+    val nextBatch = lead(col("batch_id"), 1).over(w)
+    feed
+      .withColumn("valid_to_batch", nextBatch) // any successor closes
+      .filter(col(CdcMerge.OpCol) =!= CdcMerge.Delete) // D opens nothing
+      .withColumn("is_current", col("valid_to_batch").isNull)
+      .withColumnRenamed("batch_id", "valid_from_batch")
+      .drop(CdcMerge.OpCol, CdcMerge.KeyHash, CdcMerge.NonKeyHash)
+  }
+
   /** Drop snapshot generations older than the newest `keep` — retention
     * for the versioned state layout (at 100 TB each generation is a full
     * table copy; unbounded history is an operational leak). Never removes

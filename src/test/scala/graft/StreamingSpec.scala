@@ -354,6 +354,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(state === Set(Ord(1, 10, "O", 100.0), Ord(3, 30, "O", 300.0)))
   }
 
+  test("time travel + SCD2: versioned snapshots read back; feed folds to validity ranges") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("tt_state").toString
+    val cfg = CdcConfig(Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+    CdcStream.mergeBatch(
+      Seq(Ord(1, 10, "O", 100.0), Ord(2, 20, "O", 200.0)).toDF, 0, cfg, stateDir)
+    CdcStream.mergeBatch(
+      Seq(Ord(1, 10, "F", 110.0), Ord(3, 30, "O", 300.0)).toDF, 1, cfg, stateDir)
+
+    // point-in-time: v0 still shows the pre-update world
+    val v0 = CdcStream.stateAt(spark, stateDir, 0).get.as[Ord].collect().toSet
+    assert(v0 === Set(Ord(1, 10, "O", 100.0), Ord(2, 20, "O", 200.0)))
+    assert(CdcStream.stateAt(spark, stateDir, 7) === None)
+
+    // SCD2: key 1 has two versions (b0 closed by b1, b1 current);
+    // key 2 was deleted in b1 (version closed, no current row);
+    // key 3 opened in b1 and is current
+    val scd2 = CdcStream.scd2View(spark, stateDir, Seq("o_orderkey"))
+      .select("o_orderkey", "valid_from_batch", "valid_to_batch", "is_current")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSet
+    assert(scd2 === Set(
+      (1L, 0L, Some(1L), false), (1L, 1L, None, true),
+      (2L, 0L, Some(1L), false),
+      (3L, 1L, None, true)))
+  }
+
   test("streaming near-dup gate: native simhash64 runs in a stream; dropDuplicates on the signature") {
     import graft.functions.HashExprs
     import spark.implicits._
