@@ -96,6 +96,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(n >= 2, s"expected partial+final HashAggregate, got $n in:\n$plan")
   }
 
+  test("native expressions run inside WholeStageCodegen (no interpreted fallback)") {
+    // the custom doGenCode expressions must not break codegen spans:
+    // their stages should appear under a WholeStageCodegen subtree
+    for (q <- Seq(ops.TextSimOps.simTopk, ops.TextSimOps.dedupEmbed,
+        ops.ImplOps.dedupMinhash, ops.ImplOps.dedupSimhash)) {
+      val df = q.fn(spark, Sf)
+      df.collect()
+      // compact plan strings mark WholeStageCodegen stages as "*(n)"
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*("), s"${q.name}: no codegen span in plan")
+    }
+  }
+
   test("oracle queries stay UDF-free (whole-stage codegen preserved)") {
     Registry.all.filter(_.oracle.isDefined).foreach { q =>
       val plan = q.fn(spark, Sf).queryExecution.optimizedPlan.toString
