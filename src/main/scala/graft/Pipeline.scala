@@ -70,9 +70,14 @@ object Pipeline {
     *
     * Timeout semantics: the clock starts when the table's merge STARTS
     * (not when it is queued behind the pool — a full pool must not eat a
-    * queued table's budget), and a timed-out table's Spark jobs are
-    * actually cancelled via its job group, so a "timed out" report means
-    * the merge stopped, not that it kept running and committed later. */
+    * queued table's budget), with queue time itself bounded by the fleet
+    * budget (timeout × table count) so the caller always terminates even
+    * if every pool thread wedges outside Spark. On timeout the table's
+    * Spark jobs are cancelled via its job group AND its pool thread is
+    * interrupted — best-effort: a cancel landing exactly between two
+    * driver actions can still let the merge finish, in which case the
+    * batchId replay guard makes the late commit indistinguishable from a
+    * successful retry (same state, same counts). */
   def runAll(spark: SparkSession, configs: Seq[PipelineConfig], batchId: Long,
              parallelism: Int = 4,
              perTableTimeout: scala.concurrent.duration.Duration =
@@ -83,10 +88,14 @@ object Pipeline {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val futures = configs.map { cfg =>
+      val futures = configs.zipWithIndex.map { case (cfg, i) =>
         val started = Promise[Long]() // start-of-run timestamp, millis
-        val group = s"graft-pipeline-${cfg.stateDir.hashCode}"
+        val worker = new java.util.concurrent.atomic.AtomicReference[Thread]()
+        // index + full path: a hashCode-collision group id would let one
+        // table's timeout cancel another table's healthy jobs
+        val group = s"graft-pipeline-$i-${cfg.stateDir}"
         val f = Future {
+          worker.set(Thread.currentThread())
           started.trySuccess(System.currentTimeMillis())
           spark.sparkContext.setJobGroup(group,
             s"pipeline merge ${cfg.stateDir}", interruptOnCancel = true)
@@ -94,19 +103,21 @@ object Pipeline {
           catch { case e: Exception => Left(e.getMessage) }
           finally spark.sparkContext.clearJobGroup()
         }
-        (cfg.stateDir, group, started, f)
+        (cfg.stateDir, group, started, worker, f)
       }
-      futures.map { case (dir, group, started, f) =>
-        // phase 1: wait (unbounded) for the task to leave the queue;
-        // phase 2: budget perTableTimeout from its actual start
+      // phase-1 bound: even a fleet of wedged-outside-Spark threads must
+      // not block the caller forever
+      val queueBudget = perTableTimeout * configs.size.toLong
+      futures.map { case (dir, group, started, worker, f) =>
         val res =
           try {
-            val t0 = Await.result(started.future, Duration.Inf)
+            val t0 = Await.result(started.future, queueBudget)
             val elapsed = Duration(System.currentTimeMillis() - t0, "ms")
             Await.result(f, (perTableTimeout - elapsed) max Duration.Zero)
           } catch {
             case _: java.util.concurrent.TimeoutException =>
-              spark.sparkContext.cancelJobGroup(group) // stop its jobs
+              spark.sparkContext.cancelJobGroup(group) // stop active jobs
+              Option(worker.get()).foreach(_.interrupt()) // and driver code
               Left(s"timed out after $perTableTimeout")
           }
         dir -> res

@@ -50,6 +50,9 @@ object Components {
         .select(col("l.id").as("id"),
           least(col("l.comp"), coalesce(col("n.nbr_comp"), col("l.comp")))
             .as("comp"))
+        // materialize before the halving self-join: both sides reference
+        // this plan, and an uncached subplan would be computed twice
+        .localCheckpoint(true)
       // pointer halving: comp := labels(comp).comp — every label is a node
       // id, so the lookup hits; paths halve, giving O(log n) convergence
       val next = propagated.as("x")

@@ -81,8 +81,10 @@ object Ivf {
       case None => return df.sparkSession.createDataFrame(
         df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
+          // id keeps the INPUT's dtype — a content-dependent schema flip
+          // between the found and absent paths would break consumers
           org.apache.spark.sql.types.StructField(idCol,
-            org.apache.spark.sql.types.LongType),
+            df.schema(idCol).dataType),
           org.apache.spark.sql.types.StructField("list_id",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("cos_sim",

@@ -40,11 +40,23 @@ object Maintenance {
   /** Compact `dir` in place to ~targetBytes-sized files. Returns
     * (filesBefore, filesAfter). No-op (no rewrite at all) if the table
     * already has ≤ the target file count — compaction must be safe to
-    * run on a schedule. */
+    * run on a schedule.
+    *
+    * Crash safety: entry first heals a crash that landed between the two
+    * swap renames (table missing, `_compact_old_` present → restore the
+    * original). Concurrent writers: if new files appear in `dir` between
+    * the initial listing and the swap, the compaction ABORTS untouched —
+    * swapping would silently destroy the late arrivals. (A streaming
+    * sink that never pauses will keep winning that race; schedule
+    * compaction in its idle windows or between micro-batches.) */
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L << 20): (Int, Int) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(p.getParent, s"_compact_old_${p.getName}")
+    // heal a crash between the two renames: table gone, backup present
+    if (!fs.exists(p) && fs.exists(bak) && !fs.rename(bak, p))
+      sys.error(s"compact: cannot restore $bak to $p")
     val files = listData(spark, dir)
     val totalBytes = files.map(_.getLen).sum
     val want = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
@@ -55,7 +67,12 @@ object Maintenance {
     spark.read.parquet(dir)
       .repartition(want) // round-robin: even output sizes regardless of skew
       .write.mode("overwrite").parquet(tmp.toString)
-    val bak = new Path(p.getParent, s"_compact_old_${p.getName}")
+    // concurrent-writer guard: abort rather than destroy late arrivals
+    val now = listData(spark, dir).map(_.getPath.getName).toSet
+    if (now != files.map(_.getPath.getName).toSet) {
+      fs.delete(tmp, true)
+      return (files.size, now.size)
+    }
     if (fs.exists(bak)) fs.delete(bak, true)
     if (!fs.rename(p, bak)) sys.error(s"compact: cannot stage out $p")
     if (!fs.rename(tmp, p)) { // restore on failure — original is intact

@@ -53,6 +53,34 @@ object CdcBucketed {
       .sortBy(CdcMerge.KeyHash)
     location.foreach(l => writer.option("path", l))
     writer.saveAsTable(table)
+    // sidecar: the bucket count, so JVM-restart recovery re-registers the
+    // generation with the spec its files were actually hashed with
+    val tableLoc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val out = tableLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(new org.apache.hadoop.fs.Path(tableLoc, BucketMetaFile), true)
+    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Sidecar file (inside each generation dir) recording its bucket
+    * count — read back by restart recovery. */
+  val BucketMetaFile = "_graft_buckets"
+
+  /** The bucket count a generation's files were written with, if the
+    * sidecar survives. */
+  def bucketCountAt(spark: SparkSession, location: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(location, BucketMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val b = new Array[Byte](32)
+        val n = in.read(b)
+        new String(b, 0, math.max(n, 0), "UTF-8").trim.toIntOption
+      } finally in.close()
+    }
   }
 
   /** Re-register an existing on-disk generation (written earlier by

@@ -81,9 +81,13 @@ object CdcStream {
         else None
       }
       .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
-    if (committed.nonEmpty)
-      CdcBucketed.registerExisting(spark, t,
-        committed.maxBy(_._1)._2.toString, buckets)
+    if (committed.nonEmpty) {
+      val loc = committed.maxBy(_._1)._2.toString
+      // the sidecar knows what the files were actually hashed with; the
+      // caller's default is only a fallback for pre-sidecar generations
+      val actual = CdcBucketed.bucketCountAt(spark, loc).getOrElse(buckets)
+      CdcBucketed.registerExisting(spark, t, loc, actual)
+    }
   }
 
   /** Latest committed snapshot version, if any — read from the state
@@ -210,6 +214,13 @@ object CdcStream {
     * only), never the snapshot. */
   def scd2View(spark: SparkSession, stateDir: String,
                keyCols: Seq[String]): DataFrame = {
+    // the view's schema comes from the feed, so absent-feed cannot fall
+    // back to an empty frame like the Try-guarded siblings — fail with
+    // intent instead of an AnalysisException about a missing path
+    val cp = new Path(changesPath(stateDir))
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(cp),
+      s"scd2View: no change feed at $cp — run at least one merge first")
     val feed = spark.read.parquet(changesPath(stateDir))
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("batch_id"))
     val nextBatch = lead(col("batch_id"), 1).over(w)
