@@ -30,6 +30,20 @@ class MaintenanceSpec extends AnyFunSuite with SparkFixture {
     assert(Maintenance.dataFiles(spark, dir).map(_.toString) === filesBefore)
   }
 
+  test("compact heals a crash between the two swap renames on next entry") {
+    val base = Files.createTempDirectory("graft_crash")
+    val dir = base.toString + "/t"
+    Tables.orders(spark, Sf).repartition(5).write.mode("overwrite").parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+    // simulate the crash window: table staged out to the backup name,
+    // replacement never swapped in
+    Files.move(java.nio.file.Paths.get(dir),
+      base.resolve("_compact_old_t"))
+    val (nBefore, nAfter) = Maintenance.compact(spark, dir, 1L << 30)
+    assert(nBefore === 5 && nAfter === 1)
+    assert(spark.read.parquet(dir).count() === rows)
+  }
+
   test("compact respects the target size (splits instead of one giant file)") {
     val dir = Files.createTempDirectory("graft_compact2").toString + "/t"
     Tables.lineitem(spark, Sf).repartition(24).write.mode("overwrite").parquet(dir)

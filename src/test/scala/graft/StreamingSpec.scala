@@ -354,6 +354,27 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(state === Set(Ord(1, 10, "O", 100.0), Ord(3, 30, "O", 300.0)))
   }
 
+  test("restart recovery honors the generation's bucket sidecar (non-default count)") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("restart_bk").toString
+    val cfg = CdcConfig(Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+    CdcStream.mergeBatch(Seq(Ord(1, 10, "O", 100.0)).toDF, 0, cfg, stateDir,
+      buckets = 16)
+    spark.sql(s"DROP TABLE ${CdcStream.stateTable(stateDir)}")
+    // recover WITHOUT passing the right count — the sidecar must win
+    assert(CdcStream.currentVersion(spark, stateDir) === Some(0L))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        CdcStream.stateTable(stateDir)))
+    assert(meta.bucketSpec.map(_.numBuckets) === Some(16),
+      s"recovered with ${meta.bucketSpec} instead of the files' 16")
+    // and the next merge still classifies correctly against it
+    val ops = CdcStream.mergeBatch(
+      Seq(Ord(1, 10, "F", 110.0)).toDF, 1, cfg, stateDir, buckets = 16)
+    assert(ops === Map("U" -> 1L, "N" -> 0L))
+  }
+
   test("time travel + SCD2: versioned snapshots read back; feed folds to validity ranges") {
     import spark.implicits._
     val stateDir = Files.createTempDirectory("tt_state").toString
