@@ -395,6 +395,66 @@ object CurateOps {
       .orderBy("key_a", "key_b")
   }
 
-  val all: Seq[Q] = Seq(sampleSplit, vocabTopk, tfidf, ngramCounts, packBins,
-    curate, quantileDisc, winCume, dedupComponents, profile, fuzzyMatch)
+  /** Per-language quota sampling: exactly min(quota, n) docs per lang,
+    * chosen by md5-rank — deterministic, uniform-ish, and stable under
+    * corpus growth ordering (a doc's rank moves only when same-lang docs
+    * arrive). The window sorts (hash, doc_id) — a total order, so both
+    * engines pick the identical set. One window shuffle on lang. */
+  val sampleQuota: Q = Q.checked(
+    "q_sample_quota",
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, lang, rn FROM r WHERE rn <= 40
+      |ORDER BY lang, rn""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        row_number().over(w).cast(LongType).as("rn"))
+      .filter(col("rn") <= 40)
+      .orderBy("lang", "rn")
+  }
+
+  /** Data-mixing weights: per source, the up/down-sampling factor that
+    * moves its token share to a uniform target (1/n_sources) — the
+    * pretraining mixture computation. share and weight are single IEEE
+    * divisions of exact integer token counts (bit-identical
+    * cross-engine); the per-source aggregate is ONE shuffle and the
+    * totals join is a 1-row broadcast. */
+  val mixWeights: Q = Q.checked(
+    "q_mix_weights",
+    """WITH per_src AS (
+      |  SELECT source,
+      |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+      |      AS toks
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(sum(toks) AS BIGINT) AS all_toks,
+      |    count(*) AS n_src
+      |  FROM per_src)
+      |SELECT source, toks,
+      |  CAST(toks AS DOUBLE) / all_toks AS share,
+      |  (CAST(all_toks AS DOUBLE) / n_src) / toks AS weight
+      |FROM per_src, tot ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val perSrc = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("toks"))
+    val tot = perSrc.agg(sum(col("toks")).as("all_toks"),
+      count(lit(1)).as("n_src"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("toks"),
+        (col("toks").cast(DoubleType) / col("all_toks")).as("share"),
+        ((col("all_toks").cast(DoubleType) / col("n_src")) / col("toks"))
+          .as("weight"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(sampleSplit, sampleQuota, vocabTopk, tfidf,
+    ngramCounts, packBins, curate, quantileDisc, winCume, dedupComponents,
+    profile, fuzzyMatch, mixWeights)
 }
