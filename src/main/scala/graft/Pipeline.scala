@@ -91,24 +91,33 @@ object Pipeline {
       val futures = configs.zipWithIndex.map { case (cfg, i) =>
         val started = Promise[Long]() // start-of-run timestamp, millis
         val worker = new java.util.concurrent.atomic.AtomicReference[Thread]()
+        val abandoned = new java.util.concurrent.atomic.AtomicBoolean(false)
         // index + full path: a hashCode-collision group id would let one
         // table's timeout cancel another table's healthy jobs
         val group = s"graft-pipeline-$i-${cfg.stateDir}"
         val f = Future {
-          worker.set(Thread.currentThread())
-          started.trySuccess(System.currentTimeMillis())
-          spark.sparkContext.setJobGroup(group,
-            s"pipeline merge ${cfg.stateDir}", interruptOnCancel = true)
-          try Right(run(spark, cfg, batchId))
-          catch { case e: Exception => Left(e.getMessage) }
-          finally spark.sparkContext.clearJobGroup()
+          // a task whose queue wait already timed out must not run the
+          // merge when a slot finally frees — nobody is watching it
+          if (abandoned.get()) Left("abandoned after queue timeout")
+          else {
+            worker.set(Thread.currentThread())
+            started.trySuccess(System.currentTimeMillis())
+            spark.sparkContext.setJobGroup(group,
+              s"pipeline merge ${cfg.stateDir}", interruptOnCancel = true)
+            try Right(run(spark, cfg, batchId))
+            catch { case e: Exception => Left(e.getMessage) }
+            finally {
+              spark.sparkContext.clearJobGroup()
+              worker.set(null) // the pool recycles this thread — see below
+            }
+          }
         }
-        (cfg.stateDir, group, started, worker, f)
+        (cfg.stateDir, group, started, worker, abandoned, f)
       }
       // phase-1 bound: even a fleet of wedged-outside-Spark threads must
       // not block the caller forever
       val queueBudget = perTableTimeout * configs.size.toLong
-      futures.map { case (dir, group, started, worker, f) =>
+      futures.map { case (dir, group, started, worker, abandoned, f) =>
         val res =
           try {
             val t0 = Await.result(started.future, queueBudget)
@@ -116,9 +125,16 @@ object Pipeline {
             Await.result(f, (perTableTimeout - elapsed) max Duration.Zero)
           } catch {
             case _: java.util.concurrent.TimeoutException =>
+              abandoned.set(true) // a still-queued task must never start
               spark.sparkContext.cancelJobGroup(group) // stop active jobs
-              Option(worker.get()).foreach(_.interrupt()) // and driver code
-              Left(s"timed out after $perTableTimeout")
+              // interrupt the merge's own thread only: the worker ref is
+              // cleared in the task's finally, so a thread the pool has
+              // recycled to another table is never targeted (the residual
+              // window between body-exit and the finally is instructions)
+              if (!f.isCompleted) Option(worker.get()).foreach(_.interrupt())
+              val ran = started.future.isCompleted
+              if (ran) Left(s"timed out after $perTableTimeout")
+              else Left(s"never started within queue budget $queueBudget")
           }
         dir -> res
       }.toMap

@@ -67,14 +67,21 @@ object Maintenance {
     spark.read.parquet(dir)
       .repartition(want) // round-robin: even output sizes regardless of skew
       .write.mode("overwrite").parquet(tmp.toString)
-    // concurrent-writer guard: abort rather than destroy late arrivals
-    val now = listData(spark, dir).map(_.getPath.getName).toSet
-    if (now != files.map(_.getPath.getName).toSet) {
-      fs.delete(tmp, true)
-      return (files.size, now.size)
-    }
     if (fs.exists(bak)) fs.delete(bak, true)
     if (!fs.rename(p, bak)) sys.error(s"compact: cannot stage out $p")
+    // concurrent-writer guard AFTER the stage-out: anything that landed
+    // since the initial listing is now inside bak, so comparing bak's
+    // contents to the snapshot closes the race window completely — on a
+    // mismatch the original (incl. late arrivals) is renamed back intact
+    val staged = fs.listStatus(bak).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).toSet
+    if (staged != files.map(_.getPath.getName).toSet) {
+      if (!fs.rename(bak, p)) sys.error(s"compact: cannot restore $bak")
+      fs.delete(tmp, true)
+      return (files.size, staged.size)
+    }
     if (!fs.rename(tmp, p)) { // restore on failure — original is intact
       fs.rename(bak, p)
       sys.error(s"compact: cannot swap in $tmp")

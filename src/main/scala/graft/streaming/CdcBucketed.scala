@@ -76,9 +76,12 @@ object CdcBucketed {
     else {
       val in = fs.open(p)
       try {
-        val b = new Array[Byte](32)
-        val n = in.read(b)
-        new String(b, 0, math.max(n, 0), "UTF-8").trim.toIntOption
+        // read to EOF — a single read() may legally return a short count
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](64)
+        var n = in.read(b)
+        while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+        buf.toString("UTF-8").trim.toIntOption
       } finally in.close()
     }
   }
@@ -87,15 +90,24 @@ object CdcBucketed {
     * [[writeState]]) as the live table WITHOUT rewriting data — the
     * JVM-restart recovery path: the default in-memory catalog forgets
     * the table on restart, the filesystem does not. The caller must
-    * verify the generation is fully written (parquet `_SUCCESS`). */
+    * verify the generation is fully written (parquet `_SUCCESS`).
+    *
+    * `buckets = None` registers the table UNBUCKETED: declaring a bucket
+    * spec the files were not hashed with would make the shuffle-free
+    * merge silently misclassify rows, while an unbucketed state table is
+    * merely slower (one extra Exchange) and the next merge rewrites it
+    * properly bucketed — correctness over the fast plan when the layout
+    * metadata is uncertain. */
   def registerExisting(spark: SparkSession, table: String, location: String,
-                       buckets: Int): Unit = {
+                       buckets: Option[Int]): Unit = {
     val schema = spark.read.parquet(location).schema
+    val bucketClause = buckets.map(b =>
+      s"CLUSTERED BY (${CdcMerge.KeyHash}) SORTED BY (${CdcMerge.KeyHash}) " +
+        s"INTO $b BUCKETS").getOrElse("")
     spark.sql(
       s"""CREATE TABLE $table (${schema.toDDL})
          |USING PARQUET
-         |CLUSTERED BY (${CdcMerge.KeyHash}) SORTED BY (${CdcMerge.KeyHash})
-         |INTO $buckets BUCKETS
+         |$bucketClause
          |LOCATION '$location'""".stripMargin)
   }
 

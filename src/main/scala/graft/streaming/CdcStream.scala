@@ -65,8 +65,7 @@ object CdcStream {
     * whose write was cut short never has one, so a half-written vN is
     * never adopted). Adopting vN equals replaying batch N's catalog
     * swap, which the replay guard + partitioned feed make idempotent. */
-  private def recoverFromDisk(spark: SparkSession, stateDir: String,
-                              buckets: Int): Unit = {
+  private def recoverFromDisk(spark: SparkSession, stateDir: String): Unit = {
     val t = stateTable(stateDir)
     if (spark.catalog.tableExists(t) ||
       spark.catalog.tableExists(s"${t}_stage")) return
@@ -83,10 +82,13 @@ object CdcStream {
       .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
     if (committed.nonEmpty) {
       val loc = committed.maxBy(_._1)._2.toString
-      // the sidecar knows what the files were actually hashed with; the
-      // caller's default is only a fallback for pre-sidecar generations
-      val actual = CdcBucketed.bucketCountAt(spark, loc).getOrElse(buckets)
-      CdcBucketed.registerExisting(spark, t, loc, actual)
+      // the sidecar knows what the files were actually hashed with; if it
+      // is missing (crash between saveAsTable and sidecar write, or a
+      // pre-sidecar generation), register UNBUCKETED — a guessed bucket
+      // spec would silently misclassify, an unbucketed table only costs
+      // one Exchange until the next merge rewrites it properly
+      CdcBucketed.registerExisting(spark, t, loc,
+        CdcBucketed.bucketCountAt(spark, loc))
     }
   }
 
@@ -94,11 +96,10 @@ object CdcStream {
     * table's current location (catalog = commit log, healed from disk by
     * [[recoverFromDisk]] after a restart), not from a raw dir listing,
     * so a half-written generation never counts as committed. */
-  def currentVersion(spark: SparkSession, stateDir: String,
-                     buckets: Int = DefaultBuckets): Option[Long] = {
+  def currentVersion(spark: SparkSession, stateDir: String): Option[Long] = {
     val t = stateTable(stateDir)
     CdcBucketed.recoverStage(spark, t)
-    recoverFromDisk(spark, stateDir, buckets)
+    recoverFromDisk(spark, stateDir)
     if (!spark.catalog.tableExists(t)) None
     else {
       val loc = new Path(spark.sessionState.catalog
@@ -109,11 +110,10 @@ object CdcStream {
   }
 
   /** The current state snapshot (configured columns only), if committed. */
-  def currentState(spark: SparkSession, stateDir: String,
-                   buckets: Int = DefaultBuckets): Option[DataFrame] = {
+  def currentState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
     val t = stateTable(stateDir)
     CdcBucketed.recoverStage(spark, t)
-    recoverFromDisk(spark, stateDir, buckets)
+    recoverFromDisk(spark, stateDir)
     if (spark.catalog.tableExists(t))
       Some(spark.table(t).drop(CdcMerge.KeyHash, CdcMerge.NonKeyHash))
     else None
@@ -160,7 +160,7 @@ object CdcStream {
     val spark = batch.sparkSession
     val table = stateTable(stateDir)
     CdcBucketed.recoverStage(spark, table)
-    if (currentVersion(spark, stateDir, buckets).exists(_ >= batchId))
+    if (currentVersion(spark, stateDir).exists(_ >= batchId))
       return replayedCounts(spark, stateDir, batchId)
     ensureState(spark, table, batch, cfg, stateDir, buckets)
     var ops = Map.empty[String, Long]
@@ -221,7 +221,15 @@ object CdcStream {
     val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(cp),
       s"scd2View: no change feed at $cp — run at least one merge first")
-    val feed = spark.read.parquet(changesPath(stateDir))
+    // a feed dir can exist yet hold zero parts (only empty batches so
+    // far) — schema inference would then fail with a raw AnalysisException
+    val feed =
+      try spark.read.parquet(changesPath(stateDir))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"scd2View: change feed at $cp holds no data yet", e)
+      }
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("batch_id"))
     val nextBatch = lead(col("batch_id"), 1).over(w)
     feed
@@ -282,7 +290,7 @@ object CdcStream {
     val spark = batch.sparkSession
     val table = stateTable(stateDir)
     CdcBucketed.recoverStage(spark, table)
-    if (currentVersion(spark, stateDir, buckets).exists(_ >= batchId)) return
+    if (currentVersion(spark, stateDir).exists(_ >= batchId)) return
     ensureState(spark, table, batch.select(cfg.allCols.map(col): _*), cfg,
       stateDir, buckets)
 
