@@ -82,6 +82,17 @@ object Pipeline {
              parallelism: Int = 4,
              perTableTimeout: scala.concurrent.duration.Duration =
                scala.concurrent.duration.Duration(1, "hour"))
+      : Map[String, Either[String, Map[String, Long]]] =
+    runAllWith(run)(spark, configs, batchId, parallelism, perTableTimeout)
+
+  /** [[runAll]] with an injectable merge function — the testing seam for
+    * the timeout/abandon/interrupt machinery (a real hung merge cannot
+    * be staged deterministically in a unit test). */
+  private[graft] def runAllWith(
+      runFn: (SparkSession, PipelineConfig, Long) => Map[String, Long])(
+      spark: SparkSession, configs: Seq[PipelineConfig], batchId: Long,
+      parallelism: Int,
+      perTableTimeout: scala.concurrent.duration.Duration)
       : Map[String, Either[String, Map[String, Long]]] = {
     import scala.concurrent.{Await, ExecutionContext, Future, Promise}
     import scala.concurrent.duration.Duration
@@ -104,7 +115,7 @@ object Pipeline {
             started.trySuccess(System.currentTimeMillis())
             spark.sparkContext.setJobGroup(group,
               s"pipeline merge ${cfg.stateDir}", interruptOnCancel = true)
-            try Right(run(spark, cfg, batchId))
+            try Right(runFn(spark, cfg, batchId))
             catch { case e: Exception => Left(e.getMessage) }
             finally {
               spark.sparkContext.clearJobGroup()

@@ -151,6 +151,67 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(chain(e).exists(_.contains("is not true")), s"got: ${chain(e)}")
   }
 
+  test("runAll timeout machinery: hung table reported, fleet lives, queued work unaffected") {
+    import scala.concurrent.duration._
+    def cfgFor(name: String) = PipelineConfig(
+      s"/nonexistent/$name", "csv", schema, Seq("k"), Seq("status"),
+      s"/tmp/ra_$name")
+    val slow = cfgFor("slow")
+    val ok1 = cfgFor("ok1")
+    val ok2 = cfgFor("ok2")
+    val ranOk = new java.util.concurrent.atomic.AtomicInteger(0)
+    val runFn = (_: org.apache.spark.sql.SparkSession,
+                 cfg: PipelineConfig, _: Long) =>
+      if (cfg.stateDir.endsWith("slow")) {
+        Thread.sleep(30000); Map("I" -> 0L) // interrupted well before 30s
+      } else {
+        ranOk.incrementAndGet(); Map("I" -> 1L, "N" -> 0L)
+      }
+    val t0 = System.currentTimeMillis()
+    val res = Pipeline.runAllWith(runFn)(
+      spark, Seq(slow, ok1, ok2), 0L, parallelism = 2, 2.seconds)
+    val wall = System.currentTimeMillis() - t0
+    // the hung table is reported timed out, the healthy ones completed
+    assert(res(slow.stateDir).isLeft &&
+      res(slow.stateDir).swap.exists(_.contains("timed out")))
+    assert(res(ok1.stateDir) === Right(Map("I" -> 1L, "N" -> 0L)))
+    assert(res(ok2.stateDir) === Right(Map("I" -> 1L, "N" -> 0L)))
+    assert(ranOk.get() === 2)
+    // and the fleet returned promptly (budget + slack, nowhere near 30 s)
+    assert(wall < 15000, s"runAll blocked for ${wall}ms")
+  }
+
+  test("runAll abandons a task that never left the queue within the fleet budget") {
+    import scala.concurrent.duration._
+    def cfgFor(name: String) = PipelineConfig(
+      s"/nonexistent/$name", "csv", schema, Seq("k"), Seq("status"),
+      s"/tmp/rq_$name")
+    val q1Ran = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // one worker, wedged by a sleeper that IGNORES interrupts for ~6 s.
+    // q1's queue wait expires (queueBudget = 1s x 3) at ~4 s; when the
+    // worker frees at ~6 s — while the caller still awaits q2 — it
+    // dequeues q1 first, and the abandon flag must stop q1's merge from
+    // running unwatched. q2 then starts inside its own await and succeeds.
+    val runFn = (_: org.apache.spark.sql.SparkSession,
+                 cfg: PipelineConfig, _: Long) =>
+      if (cfg.stateDir.endsWith("wedged")) {
+        val end = System.currentTimeMillis() + 6000
+        while (System.currentTimeMillis() < end)
+          try Thread.sleep(100) catch { case _: InterruptedException => }
+        Map.empty[String, Long]
+      } else if (cfg.stateDir.endsWith("q1")) {
+        q1Ran.set(true); Map("I" -> 1L)
+      } else Map("I" -> 1L, "N" -> 0L)
+    val res = Pipeline.runAllWith(runFn)(
+      spark, Seq(cfgFor("wedged"), cfgFor("q1"), cfgFor("q2")), 0L,
+      parallelism = 1, 1.second)
+    assert(res("/tmp/rq_wedged").isLeft)
+    assert(res("/tmp/rq_q1").swap.exists(_.contains("never started")),
+      s"q1: ${res("/tmp/rq_q1")}")
+    assert(res("/tmp/rq_q2") === Right(Map("I" -> 1L, "N" -> 0L)))
+    assert(!q1Ran.get(), "abandoned task ran its merge after the report")
+  }
+
   test("json extract drives the same merge") {
     val dir = Files.createTempDirectory("pipeline_json")
     Files.writeString(dir.resolve("e0.json"),
