@@ -42,6 +42,37 @@ object StreamOps {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
+  /** Stream-stream interval join: click events matched to the view (by
+    * the same user) that happened at most `within` BEFORE them. Both
+    * sides carry watermarks, so Spark bounds the join state — buffered
+    * rows age out once the opposite side's watermark passes the interval
+    * (without the time bound the state grows forever; with it, state
+    * size ≈ rate × interval, the 100 TB-safe shape). Append mode: a pair
+    * is emitted once it can no longer change. The same code runs on
+    * batch frames (watermark is a no-op there), which is how
+    * StreamingSpec asserts parity. */
+  def clicksAfterViews(views: DataFrame, clicks: DataFrame,
+                       within: String = "1 hour",
+                       delay: String = "2 hours"): DataFrame = {
+    val v = views.withWatermark("ts", delay)
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", delay)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    c.join(v, col("c_user") === col("v_user") &&
+      col("view_ts") <= col("click_ts") &&
+      col("view_ts") >= col("click_ts") - expr(s"INTERVAL $within"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
+  /** Stream-static enrichment: a streaming feed joined to a static dim
+    * frame — the dim side is re-read per micro-batch (picks up slowly
+    * changing dims) and broadcast when small; no streaming state at all. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   final case class Milestone(user_id: Long, milestone: Long)
 
   /** flatMapGroupsWithState (0..n outputs per group per trigger): emit a

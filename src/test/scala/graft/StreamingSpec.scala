@@ -354,6 +354,56 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(state === Set(Ord(1, 10, "O", 100.0), Ord(3, 30, "O", 300.0)))
   }
 
+  test("stream-stream interval join equals the batch join; stream-static enriches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+      .collect().toSeq
+    val views = events.filter(_.event_type == "view")
+    val clicks = events.filter(_.event_type == "click")
+
+    val msV = MemoryStream[Ev]
+    val msC = MemoryStream[Ev]
+    val q = StreamOps.clicksAfterViews(msV.toDF, msC.toDF)
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      // two deliveries per side — pairs must survive the batch boundary
+      msV.addData(views.take(views.size / 2))
+      msC.addData(clicks.take(clicks.size / 2))
+      q.processAllAvailable()
+      msV.addData(views.drop(views.size / 2))
+      msC.addData(clicks.drop(clicks.size / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("ssj")
+    val batch = StreamOps.clicksAfterViews(
+      views.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      clicks.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"))
+    // append emits only pairs the watermark has finalized — every emitted
+    // pair must be a batch pair, and most of the corpus should be covered
+    assert(streamed.exceptAll(batch).isEmpty, "stream emitted a non-batch pair")
+    val (ns, nb) = (streamed.count(), batch.count())
+    assert(nb > 0 && ns >= nb / 2, s"stream emitted $ns of $nb batch pairs")
+
+    // stream-static: every streamed row picks up its dim attribute
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val msE = MemoryStream[Ev]
+    val qe = StreamOps.enrich(msE.toDF, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      msE.addData(Seq(Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:01:00"), 9, "view", 2.0)))
+      qe.processAllAvailable()
+    } finally qe.stop()
+    val tiers = spark.table("enriched").select("event_id", "tier")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(tiers === Map(1L -> Some("gold"), 2L -> None))
+  }
+
   test("restart recovery honors the generation's bucket sidecar (non-default count)") {
     import spark.implicits._
     val stateDir = Files.createTempDirectory("restart_bk").toString
