@@ -102,14 +102,18 @@ object Pipeline {
       val futures = configs.zipWithIndex.map { case (cfg, i) =>
         val started = Promise[Long]() // start-of-run timestamp, millis
         val worker = new java.util.concurrent.atomic.AtomicReference[Thread]()
-        val abandoned = new java.util.concurrent.atomic.AtomicBoolean(false)
+        // single CAS claim shared with the timeout handler — exactly one
+        // side wins, so a task dequeuing in the same instant the handler
+        // gives up on it can never run unwatched
+        val claimed = new java.util.concurrent.atomic.AtomicBoolean(false)
         // index + full path: a hashCode-collision group id would let one
         // table's timeout cancel another table's healthy jobs
         val group = s"graft-pipeline-$i-${cfg.stateDir}"
         val f = Future {
           // a task whose queue wait already timed out must not run the
           // merge when a slot finally frees — nobody is watching it
-          if (abandoned.get()) Left("abandoned after queue timeout")
+          if (!claimed.compareAndSet(false, true))
+            Left("abandoned after queue timeout")
           else {
             worker.set(Thread.currentThread())
             started.trySuccess(System.currentTimeMillis())
@@ -123,12 +127,12 @@ object Pipeline {
             }
           }
         }
-        (cfg.stateDir, group, started, worker, abandoned, f)
+        (cfg.stateDir, group, started, worker, claimed, f)
       }
       // phase-1 bound: even a fleet of wedged-outside-Spark threads must
       // not block the caller forever
       val queueBudget = perTableTimeout * configs.size.toLong
-      futures.map { case (dir, group, started, worker, abandoned, f) =>
+      futures.map { case (dir, group, started, worker, claimed, f) =>
         val res =
           try {
             val t0 = Await.result(started.future, queueBudget)
@@ -136,16 +140,20 @@ object Pipeline {
             Await.result(f, (perTableTimeout - elapsed) max Duration.Zero)
           } catch {
             case _: java.util.concurrent.TimeoutException =>
-              abandoned.set(true) // a still-queued task must never start
-              spark.sparkContext.cancelJobGroup(group) // stop active jobs
-              // interrupt the merge's own thread only: the worker ref is
-              // cleared in the task's finally, so a thread the pool has
-              // recycled to another table is never targeted (the residual
-              // window between body-exit and the finally is instructions)
-              if (!f.isCompleted) Option(worker.get()).foreach(_.interrupt())
-              val ran = started.future.isCompleted
-              if (ran) Left(s"timed out after $perTableTimeout")
-              else Left(s"never started within queue budget $queueBudget")
+              // CAS-claim: if we win, the task has not (and now cannot)
+              // start — report it abandoned. If the task already owns the
+              // claim it is live (or dequeued in this very window): cancel
+              // its jobs and interrupt so it never runs unwatched.
+              val taskRuns = !claimed.compareAndSet(false, true)
+              if (taskRuns) {
+                spark.sparkContext.cancelJobGroup(group) // stop active jobs
+                // interrupt the merge's own thread only: the worker ref is
+                // cleared in the task's finally, so a thread the pool has
+                // recycled to another table is never targeted (the residual
+                // window between body-exit and the finally is instructions)
+                if (!f.isCompleted) Option(worker.get()).foreach(_.interrupt())
+                Left(s"timed out after $perTableTimeout")
+              } else Left(s"never started within queue budget $queueBudget")
           }
         dir -> res
       }.toMap

@@ -30,9 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intLit(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType)   => v.toInt
+    // a Long literal outside Int range must be an analysis error, not a
+    // silent toInt truncation (minhash_sig(t, 3, 4294967297) ≠ k=1)
+    case Literal(v: Long, LongType)
+      if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
     case other => throw new IllegalArgumentException(
-      s"$fn: $arg must be an integer literal, got $other")
+      s"$fn: $arg must be an Int-range integer literal, got $other")
   }
 
   private def arity(fn: String, args: Seq[Expression], n: Int): Unit =

@@ -32,6 +32,21 @@ import org.apache.spark.sql.types._
   */
 object VectorExprs {
 
+  /** Length-mismatch policy: THROW, never truncate. A malformed or
+    * truncated embedding must surface as an error, not as a
+    * plausible-but-wrong partial dot product / centroid assignment
+    * (silent truncation hides data corruption). The runtime check also
+    * doubles as the OOB-read guard — `UnsafeArrayData.getFloat` is not
+    * bounds-checked.
+    *
+    * Public (not private[functions]): janino-generated code calls it via
+    * the companion's STATIC FORWARDER, which scalac only emits for public
+    * members — package-private would silently break codegen compilation
+    * and drop every vector expression to the interpreted fallback. */
+  def badLength(name: String, got: Int, want: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$name: vector length mismatch — got $got elements, expected $want")
+
   private[functions] def requireFloatArray(name: String,
                                            children: Expression*): TypeCheckResult = {
     val bad = children.find(c => !c.dataType.isInstanceOf[ArrayType] ||
@@ -51,10 +66,9 @@ object VectorExprs {
       VectorExprs.requireFloatArray(prettyName, child)
     override protected def nullSafeEval(input: Any): Any = {
       val a = input.asInstanceOf[ArrayData]
-      // bound by BOTH lengths: UnsafeArrayData.getFloat is not
-      // bounds-checked, so a malformed shorter vector would otherwise
-      // silently read adjacent buffer bytes as floats
-      val n = math.min(a.numElements(), w.length)
+      val n = w.length
+      if (a.numElements() != n)
+        VectorExprs.badLength(prettyName, a.numElements(), n)
       var s = 0.0
       var i = 0
       while (i < n) { s += a.getFloat(i).toDouble * w(i); i += 1 }
@@ -64,11 +78,12 @@ object VectorExprs {
       val wRef = ctx.addReferenceObj("w", w, "double[]")
       nullSafeCodeGen(ctx, ev, c => {
         val i = ctx.freshName("i")
-        val n = ctx.freshName("n")
         s"""
-           |int $n = java.lang.Math.min($c.numElements(), $wRef.length);
+           |if ($c.numElements() != $wRef.length)
+           |  graft.functions.VectorExprs.badLength("dotlit",
+           |    $c.numElements(), $wRef.length);
            |${ev.value} = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
+           |for (int $i = 0; $i < $wRef.length; $i++) {
            |  ${ev.value} += (double) $c.getFloat($i) * $wRef[$i];
            |}
          """.stripMargin
@@ -87,7 +102,9 @@ object VectorExprs {
     override protected def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      val n = a.numElements()
+      if (b.numElements() != n)
+        VectorExprs.badLength(prettyName, b.numElements(), n)
       var s = 0.0
       var i = 0
       while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -98,7 +115,10 @@ object VectorExprs {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n)
+           |  graft.functions.VectorExprs.badLength("dotvec",
+           |    $b.numElements(), $n);
            |${ev.value} = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  ${ev.value} += (double) $a.getFloat($i) * (double) $b.getFloat($i);
@@ -161,10 +181,11 @@ object VectorExprs {
       var j = 0
       while (j < cents.length) {
         val cj = cents(j)
-        val n = math.min(a.numElements(), cj.length) // no OOB reads
+        if (a.numElements() != cj.length)
+          VectorExprs.badLength(prettyName, a.numElements(), cj.length)
         var d2 = 0.0
         var i = 0
-        while (i < n) {
+        while (i < cj.length) {
           val d = a.getFloat(i).toDouble - cj(i); d2 += d * d; i += 1
         }
         if (d2 < bestD) { bestD = d2; best = j }
@@ -185,9 +206,11 @@ object VectorExprs {
            |int $best = 0;
            |for (int $j = 0; $j < $centsRef.length; $j++) {
            |  double[] $cj = $centsRef[$j];
-           |  int ${d2}_n = java.lang.Math.min($c.numElements(), $cj.length);
+           |  if ($c.numElements() != $cj.length)
+           |    graft.functions.VectorExprs.badLength("nearestcentroid",
+           |      $c.numElements(), $cj.length);
            |  double $d2 = 0.0;
-           |  for (int $i = 0; $i < ${d2}_n; $i++) {
+           |  for (int $i = 0; $i < $cj.length; $i++) {
            |    double $d = (double) $c.getFloat($i) - $cj[$i];
            |    $d2 += $d * $d;
            |  }

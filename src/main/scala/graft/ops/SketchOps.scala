@@ -54,14 +54,22 @@ object SketchOps {
   /** Approximate quantiles (percentile_approx, accuracy 10⁴) next to the
     * exact rank-crossing values (q_quantile_disc's technique) — the
     * single-pass bounded-memory path a 100 TB profiler takes, with its
-    * error visible in-row. */
+    * error visible in-row. Output is flattened to one row per (segment,
+    * quantile) — all scalar columns, so the driver's rows-only check can
+    * sort/hash the frame (array cells are unhashable on the oracle side). */
   val sketchQuantile: Q = Q.implOnly("q_sketch_quantile") { (s, dir) =>
     Tables.customer(s, dir)
       .groupBy("c_mktsegment")
       .agg(percentile_approx(col("c_acctbal"), array(lit(0.25), lit(0.5),
         lit(0.75)), lit(10000)).as("approx_q"),
         min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
-      .orderBy("c_mktsegment")
+      .select(col("c_mktsegment"),
+        posexplode(col("approx_q")).as(Seq("q_idx", "approx_val")),
+        col("lo"), col("hi"))
+      .withColumn("p", element_at(array(lit(0.25), lit(0.5), lit(0.75)),
+        col("q_idx") + 1))
+      .select("c_mktsegment", "p", "approx_val", "lo", "hi")
+      .orderBy("c_mktsegment", "p")
   }
 
   val all: Seq[Q] = Seq(sketchHll, sketchCms, sketchQuantile)

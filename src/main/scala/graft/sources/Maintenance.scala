@@ -50,7 +50,15 @@ object Maintenance {
     * sink that never pauses will keep winning that race; schedule
     * compaction in its idle windows or between micro-batches.) */
   def compact(spark: SparkSession, dir: String,
-              targetBytes: Long = 128L << 20): (Int, Int) = {
+              targetBytes: Long = 128L << 20): (Int, Int) =
+    compactWith(spark, dir, targetBytes)(() => ())
+
+  /** [[compact]] with a hook that fires between the stage-out rename and
+    * the swap-in — the testing seam for the concurrent-writer-recreates-
+    * the-directory race (un-stageable deterministically from outside). */
+  private[graft] def compactWith(spark: SparkSession, dir: String,
+                                 targetBytes: Long)
+                                (afterStageOut: () => Unit): (Int, Int) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bak = new Path(p.getParent, s"_compact_old_${p.getName}")
@@ -71,8 +79,8 @@ object Maintenance {
     if (!fs.rename(p, bak)) sys.error(s"compact: cannot stage out $p")
     // concurrent-writer guard AFTER the stage-out: anything that landed
     // since the initial listing is now inside bak, so comparing bak's
-    // contents to the snapshot closes the race window completely — on a
-    // mismatch the original (incl. late arrivals) is renamed back intact
+    // contents to the snapshot catches writers that raced the listing —
+    // on a mismatch the original (incl. late arrivals) is renamed back
     val staged = fs.listStatus(bak).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith("."))
@@ -82,10 +90,45 @@ object Maintenance {
       fs.delete(tmp, true)
       return (files.size, staged.size)
     }
+    afterStageOut()
+    // the staged-contents check above cannot see a writer that recreates
+    // `dir` AFTER the stage-out rename (its files land in a fresh `dir`,
+    // not in bak) — and Hadoop rename(tmp, p) with an existing destination
+    // directory nests tmp INSIDE p and returns true, after which deleting
+    // bak would discard the original rows. Guard: if `dir` reappeared,
+    // merge the staged-out files back next to the late writer's (part-file
+    // names are uuid-unique) and abort the compaction.
+    val tmpData = fs.listStatus(tmp).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).toSet
+    if (fs.exists(p)) {
+      fs.listStatus(bak).foreach { st =>
+        val dest = new Path(p, st.getPath.getName)
+        if (fs.exists(dest)) {
+          // only marker/hidden files (_SUCCESS) can legitimately collide
+          if (!st.getPath.getName.startsWith("_")
+            && !st.getPath.getName.startsWith("."))
+            sys.error(s"compact: restore collision on $dest; " +
+              s"original data preserved at $bak")
+        } else if (!fs.rename(st.getPath, dest))
+          sys.error(s"compact: cannot restore ${st.getPath} into $p; " +
+            s"original data preserved at $bak")
+      }
+      fs.delete(bak, true)
+      fs.delete(tmp, true)
+      return (files.size, dataFiles(spark, dir).size)
+    }
     if (!fs.rename(tmp, p)) { // restore on failure — original is intact
       fs.rename(bak, p)
       sys.error(s"compact: cannot swap in $tmp")
     }
+    // only drop the backup once the swap-in verifiably landed as a
+    // whole-directory rename: `dir`'s data listing must equal tmp's
+    val landed = listData(spark, dir).map(_.getPath.getName).toSet
+    if (landed != tmpData)
+      sys.error(s"compact: post-swap listing mismatch ($landed vs " +
+        s"$tmpData); original data preserved at $bak")
     fs.delete(bak, true)
     (files.size, dataFiles(spark, dir).size)
   }

@@ -280,8 +280,11 @@ object CdcStream {
     * event timestamp per key), adapted by
     * [[graft.sources.Sources.cdcEnvelope]]. Unlike [[mergeBatch]] there is
     * no full extract to diff: the latest event per key wins within the
-    * batch (ts, then op, descending — deterministic), deletes remove the
-    * key, upserts replace it. State/feed layout and idempotence rules are
+    * batch — ordered by (ts, op, payload-hash) descending, a TOTAL order:
+    * two rapid updates stamped with the same ts and op still elect one
+    * deterministic winner (xxhash64 over the full payload) instead of an
+    * arbitrary row_number pick. Deletes remove the key, upserts replace
+    * it. State/feed layout and idempotence rules are
     * identical to the full-extract path; the anti-join that retires
     * touched keys carries the keyhash prefix, so the state side again
     * plans no Exchange. */
@@ -295,7 +298,8 @@ object CdcStream {
       stateDir, buckets)
 
     val w = Window.partitionBy(cfg.keyCols.map(col): _*)
-      .orderBy(col("ts").desc, col(CdcMerge.OpCol).desc)
+      .orderBy(col("ts").desc, col(CdcMerge.OpCol).desc,
+        xxhash64(cfg.allCols.map(col): _*).desc)
     val latest = batch
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")

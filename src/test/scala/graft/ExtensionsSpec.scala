@@ -75,4 +75,16 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("minhash_sig rejects an out-of-Int-range Long literal (no silent toInt)") {
+    Tables.documents(spark, Sf).limit(5).createOrReplaceTempView("ext_docs3")
+    // 4294967297 = 2^32 + 1 → toInt would silently become 1
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT minhash_sig(split(text, ' '), 3, 4294967297) FROM ext_docs3")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"),
+      s"expected analysis error, got: ${e.getMessage}")
+  }
 }

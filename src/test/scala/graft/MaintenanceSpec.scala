@@ -44,6 +44,28 @@ class MaintenanceSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(dir).count() === rows)
   }
 
+  test("compact aborts losslessly when a writer recreates the dir after stage-out") {
+    val base = Files.createTempDirectory("graft_race")
+    val dir = base.toString + "/t"
+    val src = Tables.orders(spark, Sf)
+    src.repartition(5).write.mode("overwrite").parquet(dir)
+    val origRows = spark.read.parquet(dir).count()
+    // late writer lands INSIDE the race window: dir recreated between the
+    // stage-out rename and the swap-in. Without the guard, rename(tmp, p)
+    // nests tmp inside the fresh dir and the backup delete loses origRows.
+    val late = src.limit(7)
+    val (_, _) = Maintenance.compactWith(spark, dir, 1L << 30) { () =>
+      late.write.mode("overwrite").parquet(dir)
+    }
+    val after = spark.read.parquet(dir)
+    // nothing lost: original rows AND the late writer's rows all present
+    assert(after.count() === origRows + 7)
+    assert(spark.read.parquet(dir).exceptAll(src.unionAll(late)).isEmpty)
+    // no leftover staging/backup dirs
+    assert(!Files.exists(base.resolve("_compact_old_t")))
+    assert(!Files.exists(base.resolve("_compact_tmp_t")))
+  }
+
   test("compact respects the target size (splits instead of one giant file)") {
     val dir = Files.createTempDirectory("graft_compact2").toString + "/t"
     Tables.lineitem(spark, Sf).repartition(24).write.mode("overwrite").parquet(dir)

@@ -99,17 +99,23 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q_sketch_quantile: approx quantiles bracket the exact discrete quantiles") {
+    // flattened output: one row per (segment, p) — all scalar columns
     val approx = SketchOps.sketchQuantile.fn(spark, Sf).collect()
-      .map(r => r.getString(0) -> (r.getSeq[Double](1), r.getDouble(2),
-        r.getDouble(3))).toMap
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val segs = approx.keySet.map(_._1)
+    segs.foreach { seg =>
+      val qs = Seq(0.25, 0.5, 0.75).map(p => approx((seg, p))._1)
+      val (_, lo, hi) = approx((seg, 0.5))
+      // accuracy 10^4 on ~300 rows/segment → exact rank; values must be
+      // non-decreasing across p and lie within the segment's range
+      assert(qs(0) <= qs(1) && qs(1) <= qs(2))
+      qs.foreach(q => assert(q >= lo && q <= hi))
+    }
     graft.ops.CurateOps.quantileDisc.fn(spark, Sf).collect().foreach { r =>
       val seg = r.getString(0)
-      val (qs, lo, hi) = approx(seg)
-      assert(qs.length === 3 && qs(0) <= qs(1) && qs(1) <= qs(2))
-      // accuracy 10^4 on ~300 rows/segment → exact rank; values must lie
-      // within the segment's range and near the discrete quantiles
-      qs.foreach(q => assert(q >= lo && q <= hi))
-      assert(math.abs(qs(1) - r.getDouble(2)) <= (hi - lo) * 0.05,
+      val (med, lo, hi) = approx((seg, 0.5))
+      assert(math.abs(med - r.getDouble(2)) <= (hi - lo) * 0.05,
         s"$seg median drift")
     }
   }

@@ -166,6 +166,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(ops1 === Set((1L, "U"), (2L, "D"), (3L, "I")))
   }
 
+  test("envelope election is total: equal (ts, op) breaks ties by payload hash") {
+    import spark.implicits._
+    val cfg = CdcConfig(Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+    val t = ts("2024-01-01 10:00:00")
+    // two rapid updates with the SAME key, ts, and op but different
+    // payloads — row_number over (ts, op) alone would pick arbitrarily
+    val rows = Seq((1L, 10L, "O", 111.0, "U", t), (1L, 10L, "O", 222.0, "U", t))
+    val names = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", CdcMerge.OpCol, "ts")
+    val batch = rows.toDF(names: _*)
+    // expected winner: the larger xxhash64 over the full payload
+    val expected = batch
+      .withColumn("h", xxhash64(cfg.allCols.map(col): _*))
+      .orderBy(col("h").desc).limit(1)
+      .as[Ord].collect().toSet
+
+    val d1 = Files.createTempDirectory("env_tie1").toString
+    CdcStream.applyEnvelopeBatch(batch, 0L, cfg, d1)
+    assert(CdcStream.currentState(spark, d1).get.as[Ord].collect().toSet
+      === expected)
+    // and the election is input-order independent
+    val d2 = Files.createTempDirectory("env_tie2").toString
+    CdcStream.applyEnvelopeBatch(rows.reverse.toDF(names: _*), 0L, cfg, d2)
+    assert(CdcStream.currentState(spark, d2).get.as[Ord].collect().toSet
+      === expected)
+  }
+
   test("watermark: a too-late row is dropped from its closed window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -61,8 +61,12 @@ class VectorExprsSpec extends AnyFunSuite with SparkFixture {
       .withColumn("n", VectorExprs.norm2(col("embedding")))
       .select(sum(col("d") + col("n")))
     // AQE wraps stages in QueryStageExec whose children are opaque to
-    // plan.exists — turn it off for this plan-shape assertion only
+    // plan.exists — turn it off for this plan-shape assertion only.
+    // fallback=false: a janino compile error must FAIL here, not silently
+    // drop to interpreted execution (which is how a package-private
+    // badLength helper once shipped broken codegen past a green suite)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       val plan = df.queryExecution.executedPlan
       assert(plan.exists(_.isInstanceOf[WholeStageCodegenExec]),
@@ -71,7 +75,38 @@ class VectorExprsSpec extends AnyFunSuite with SparkFixture {
       val cg = org.apache.spark.sql.execution.debug.codegenString(plan)
       assert(cg.length < 200000, s"generated code unexpectedly large: ${cg.length}")
       df.collect() // force compile + run
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
+
+  test("length mismatch THROWS instead of computing a partial dot") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType), nullable = true),
+      StructField("b", ArrayType(FloatType), nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(Seq(1.0f, 2.0f), Seq(1.0f))), schema)
+    // a truncated embedding must surface as an error, not a plausible
+    // partial result (silent truncation hides data corruption)
+    val eVec = intercept[Exception] {
+      df.select(VectorExprs.dotVec(col("a"), col("b"))).collect()
+    }
+    assert(eVec.getMessage.contains("length mismatch")
+      || Option(eVec.getCause).exists(_.getMessage.contains("length mismatch")))
+    val eLit = intercept[Exception] {
+      df.select(VectorExprs.dotLit(col("a"), Array(1.0))).collect()
+    }
+    assert(eLit.getMessage.contains("length mismatch")
+      || Option(eLit.getCause).exists(_.getMessage.contains("length mismatch")))
+    val eCent = intercept[Exception] {
+      df.select(VectorExprs.nearestCentroid(col("a"),
+        Array(Array(1.0)), Array(0L))).collect()
+    }
+    assert(eCent.getMessage.contains("length mismatch")
+      || Option(eCent.getCause).exists(_.getMessage.contains("length mismatch")))
   }
 
   test("null array yields null; interpreted eval path agrees with codegen") {
