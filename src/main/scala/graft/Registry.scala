@@ -11,7 +11,8 @@ object Registry {
     ScanFilterOps.all ++ JoinOps.all ++ AggOps.all ++ WindowOps.all ++
       SortSetOps.all ++ SetOps.all ++ ScalarOps.all ++ CdcOps.all ++
       StreamShapeOps.all ++ TextSimOps.all ++ CurateOps.all ++
-      SketchOps.all ++ ImplOps.all
+      SketchOps.all ++ GovernOps.all ++ ReshapeOps.all ++
+      JoinScaleOps.all ++ ImplOps.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** SparkSessionExtensions hook registering graft's native expressions as
@@ -13,6 +14,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *   - `simhash64(tokens)`         → bigint        ([[HashExprs.SimHash64]])
   *   - `dot_vec(a, b)`             → double        ([[VectorExprs.DotVec]])
   *   - `norm2_sq(v)`               → double        ([[VectorExprs.Norm2]])
+  *   - `bloom_agg(k[, nItems[, nBits]])` / `bloom_contains(bf, k)` —
+  *     Spark's own runtime-filter bloom expressions
+  *     (`BloomFilterAggregate`/`BloomFilterMightContain`), which the
+  *     engine uses internally for join pruning but never registers for
+  *     SQL. Surfacing them lets a query build a bloom filter over a small
+  *     filtered dim ONCE (a few KB) and prefilter a 100 TB fact scan with
+  *     it — the manual counterpart of
+  *     `spark.sql.optimizer.runtime.bloomFilter`. `bloom_contains`
+  *     requires its filter arg to be foldable or a scalar subquery
+  *     (engine rule), e.g. `bloom_contains((SELECT bloom_agg(k) FROM d),
+  *     fact.k)`.
   *
   * Also injects the [[graft.plans.VectorRules.DotSelfToNorm]] optimizer
   * rule (`dot_vec(a, a)` → `norm2_sq(a)` — bit-identical, half the array
@@ -69,6 +81,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("norm2_sq", args, 1)
         VectorExprs.Norm2(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(k)       => new BloomFilterAggregate(k)
+        case Seq(k, n)    => new BloomFilterAggregate(k, n)
+        case Seq(k, n, m) => new BloomFilterAggregate(k, n, m)
+        case other => throw new IllegalArgumentException(
+          s"bloom_agg expects 1-3 arguments, got ${other.length}")
+      }))
+    ext.injectFunction((FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "bloom_contains"),
+      (args: Seq[Expression]) => {
+        arity("bloom_contains", args, 2)
+        BloomFilterMightContain(args.head, args(1))
       }))
   }
 }

@@ -75,6 +75,18 @@ object Sources {
     else aligned.filter(!keyNull)
   }
 
+  /** ORC read with an explicit schema — columnar alternative when the
+    * lakehouse standard is ORC (Hive estates); same pushdown/pruning
+    * behavior as parquet (predicate + column pruning reach the stripe
+    * reader). */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC snapshot writer (zlib by Spark default; bucketing/partitioning
+    * composes via the caller's writer options as with parquet). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Incremental-extract arrival as a file stream: new parquet files
     * dropped into `dir` become micro-batches. `maxFilesPerTrigger=1`
     * mirrors one-extract-per-batch CDC semantics. */

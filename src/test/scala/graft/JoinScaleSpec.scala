@@ -1,0 +1,76 @@
+package graft
+
+import graft.ops.JoinScaleOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-join techniques: the invariant under test is that salting and
+  * bloom pre-pruning change the PLAN but never the result, plus the bloom
+  * SQL surface's no-false-negative contract. */
+class JoinScaleSpec extends AnyFunSuite with SparkFixture {
+
+  private def plainRevenue(extraFilter: String): Seq[(Long, Double)] = {
+    val li = Tables.lineitem(spark, Sf)
+    val ord = Tables.orders(spark, Sf).where(extraFilter)
+    Seq(li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(24,6)")).cast("double"))
+      .collect()(0)).map(r => (r.getLong(0), r.getDouble(1)))
+  }
+
+  test("q_join_skew equals the plain (unsalted) join, row for row") {
+    val li = Tables.lineitem(spark, Sf)
+    val ord = Tables.orders(spark, Sf)
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(24,6)")).cast("double").as("revenue"))
+    val salted = JoinScaleOps.joinSkew.fn(spark, Sf)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("q_join_skew spreads each order key across salt buckets on the fact side") {
+    // the salt column must actually take many values for one join key's
+    // worth of fact rows — otherwise it isn't splitting a hot key
+    val distinctSalts = Tables.lineitem(spark, Sf)
+      .select(pmod(xxhash64(col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber")), lit(16)).as("salt"))
+      .distinct().count()
+    assert(distinctSalts === 16L)
+  }
+
+  test("q_join_bloom equals the plain join (bloom false positives are re-filtered)") {
+    val Seq((n, rev)) = plainRevenue("o_orderpriority = '1-URGENT'")
+    val r = JoinScaleOps.joinBloom.fn(spark, Sf).collect()(0)
+    assert(r.getLong(0) === n)
+    assert(r.getDouble(1) === rev)
+  }
+
+  test("bloom_agg/bloom_contains: no false negatives, and real pruning on misses") {
+    Tables.orders(spark, Sf).createOrReplaceTempView("js_orders")
+    Tables.lineitem(spark, Sf).createOrReplaceTempView("js_lineitem")
+    // every true member must pass the filter (bloom contract)
+    val missed = spark.sql(
+      """WITH dim AS (SELECT o_orderkey FROM js_orders
+        |             WHERE o_orderpriority = '1-URGENT')
+        |SELECT count(*) FROM js_lineitem l JOIN dim d
+        |  ON l.l_orderkey = d.o_orderkey
+        |WHERE NOT bloom_contains(
+        |  (SELECT bloom_agg(o_orderkey) FROM dim), l.l_orderkey)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(missed === 0L, "bloom filter dropped a true match")
+    // and the prefilter must actually prune: passed rows well under total
+    val total = spark.table("js_lineitem").count()
+    val passed = spark.sql(
+      """WITH dim AS (SELECT o_orderkey FROM js_orders
+        |             WHERE o_orderpriority = '1-URGENT')
+        |SELECT count(*) FROM js_lineitem
+        |WHERE bloom_contains(
+        |  (SELECT bloom_agg(o_orderkey) FROM dim), l_orderkey)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(passed < total / 2,
+      s"bloom prefilter pruned nothing: $passed of $total rows passed")
+  }
+}

@@ -70,6 +70,21 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(batchSizes.sum === 25)
   }
 
+  test("ORC round-trips with schema, filter pushdown intact") {
+    val dir = tmpDir("orc_src")
+    val n = Tables.nation(spark, Sf)
+    Sources.writeOrc(n, s"$dir/nation_orc")
+    val back = Sources.orc(spark, s"$dir/nation_orc", n.schema)
+    assert(back.count() === 25)
+    assert(back.exceptAll(n).isEmpty && n.exceptAll(back).isEmpty)
+    val filtered = back.filter(col("n_nationkey") === 7)
+    // pushed filter reaches the ORC scan (same contract as parquet)
+    val scan = filtered.queryExecution.executedPlan.toString()
+    assert(scan.contains("PushedFilters") && scan.contains("n_nationkey"),
+      s"expected pushdown in ORC scan:\n$scan")
+    assert(filtered.count() === 1)
+  }
+
   test("snapshot + change-feed sinks round-trip") {
     val dir = tmpDir("snap")
     val n = Tables.nation(spark, Sf)
