@@ -12,18 +12,22 @@ import org.apache.spark.sql.types._
   */
 object JoinScaleOps {
 
-  private val NSalt = 16
+  private val NSalt = 8
 
   /** Skew-salted fact→dim join: revenue per order priority. The fact side
-    * derives a deterministic salt in [0, 16) from non-join columns; the
-    * dim side replicates each row across all 16 salts (a generate, cheap —
+    * derives a deterministic salt in [0, 8) from non-join columns; the
+    * dim side replicates each row across all 8 salts (a generate, cheap —
     * you salt the SMALL side's copies, never the fact). The join key
-    * becomes (orderkey, salt), splitting any hot orderkey's rows across 16
+    * becomes (orderkey, salt), splitting any hot orderkey's rows across 8
     * reducers instead of one straggler task. Uniform keys here make it a
     * no-op semantically — which is the point: the oracle proves
     * salting-then-unsalting is invisible to results. (AQE's
     * skewedJoin handles MODERATE skew by splitting partitions; explicit
-    * salting is the tool when a single KEY exceeds one partition.) */
+    * salting is the tool when a single KEY exceeds one partition. The
+    * production two-path refinement — salt ONLY detected hot keys — is
+    * [[Salt.hotColdJoin]].) The dim side carries a SHUFFLE_HASH hint:
+    * salted keys are unique per (key, salt) by construction, so the
+    * sort-merge's two sorts buy nothing. */
   val joinSkew: Q = Q.checked(
     "q_join_skew",
     """SELECT o_orderpriority, count(*) AS n,
@@ -39,8 +43,9 @@ object JoinScaleOps {
     val dim = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("salt", explode(expr(s"sequence(0, ${NSalt - 1})")))
-    fact.join(dim, fact("l_orderkey") === dim("o_orderkey")
-      && fact("salt") === dim("salt"))
+    fact.join(dim.hint("shuffle_hash"),
+      fact("l_orderkey") === dim("o_orderkey")
+        && fact("salt") === dim("salt"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
         sum((col("l_extendedprice") * (lit(1) - col("l_discount")))

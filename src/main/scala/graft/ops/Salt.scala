@@ -37,4 +37,30 @@ object Salt {
           && saltedBig("__salt") === saltedSmall("__salt"))
       .drop("__salt", "__key_small")
   }
+
+  /** Production two-path skew join: replicate the small side ONLY for the
+    * detected hot keys; everything else joins plainly. Replication cost
+    * drops from n × |small| to n × |hot|, which is what makes n=64+
+    * affordable against a power-law key (the uniform-replication
+    * [[saltedJoin]] pays n × |small| regardless).
+    *
+    * `hotKeys` comes from a cheap pre-pass (e.g. approximate top-k key
+    * counts over a sample — at 100 TB you ALWAYS know your heavy hitters
+    * before the join); it is broadcast twice as a tiny literal-ish frame.
+    * Disjointness of the two paths makes the union exact: every big row
+    * goes through exactly one path. */
+  def hotColdJoin(big: DataFrame, small: DataFrame, key: String,
+                  hotKeys: DataFrame, n: Int): DataFrame = {
+    val hk = broadcast(hotKeys.select(col(key).as("__hot_key")).distinct())
+    val isHot = col(key) === col("__hot_key")
+    val bigHot = big.join(hk, isHot, "left_semi")
+    val bigCold = big.join(hk, isHot, "left_anti")
+    val smallHot = small.join(hk, isHot, "left_semi")
+    val smallCold = small.join(hk, isHot, "left_anti")
+    saltedJoin(bigHot, smallHot, key, n)
+      // align column order with saltedJoin output (big's ++ small's sans key)
+      .unionByName(bigCold.join(smallCold, key)
+        .select(bigCold.columns.map(col) ++
+          smallCold.columns.filterNot(_ == key).map(col): _*))
+  }
 }

@@ -36,9 +36,9 @@ class JoinScaleSpec extends AnyFunSuite with SparkFixture {
     // worth of fact rows — otherwise it isn't splitting a hot key
     val distinctSalts = Tables.lineitem(spark, Sf)
       .select(pmod(xxhash64(col("l_partkey"), col("l_suppkey"),
-        col("l_linenumber")), lit(16)).as("salt"))
+        col("l_linenumber")), lit(8)).as("salt"))
       .distinct().count()
-    assert(distinctSalts === 16L)
+    assert(distinctSalts === 8L)
   }
 
   test("q_join_bloom equals the plain join (bloom false positives are re-filtered)") {
