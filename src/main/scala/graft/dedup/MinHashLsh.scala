@@ -141,4 +141,49 @@ object MinHashLsh {
       .filter(col("jaccard") >= cfg.threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Cross-corpus near-duplicates: corpus docs whose Jaccard to any PROBE
+    * doc clears the threshold — near-dup decontamination (q_decontaminate
+    * flags exact n-gram overlap; this catches lightly-edited eval leaks
+    * that exact match misses). Output: (id_a = corpus id, id_b = probe id,
+    * jaccard).
+    *
+    * Scale shape: the probe set (an eval benchmark) is orders of
+    * magnitude smaller than the corpus, so its band buckets are BROADCAST
+    * — the 100 TB corpus side is map-only probed, never shuffled;
+    * signatures are one codegen'd pass per side as in [[nearDuplicates]].
+    * Ids may collide across tables (separate id spaces), so unlike the
+    * self-join there is no `a < b` trick — dedup is by the (id_a, id_b)
+    * pair itself. */
+  def crossNearDuplicates(corpus: DataFrame, probe: DataFrame,
+                          idCol: String, textCol: String,
+                          cfg: Config = Config()): DataFrame = {
+    def eligible(df: DataFrame): DataFrame = df.select(idCol, textCol)
+      .filter(size(split(col(textCol), " ")) >= cfg.shingleSize)
+    def buckets(df: DataFrame): DataFrame =
+      bandBuckets(signatures(eligible(df), idCol, textCol,
+        cfg.shingleSize, cfg.numHashes), idCol, cfg)
+    val bc = buckets(corpus).select(col(idCol).as("id_a"),
+      col("band_id"), col("band_hash"))
+    val bp = buckets(probe).select(col(idCol).as("id_b"),
+      col("band_id").as("band_id_b"), col("band_hash").as("band_hash_b"))
+    val cands = bc.join(broadcast(bp),
+        col("band_id") === col("band_id_b")
+          && col("band_hash") === col("band_hash_b"))
+      .select("id_a", "id_b").distinct()
+    val nInt = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = nInt.cast(DoubleType) /
+      (size(col("sh_a")) + size(col("sh_b")) - nInt)
+    cands
+      .join(corpus.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
+      .join(broadcast(probe.select(col(idCol).as("id_b"),
+        col(textCol).as("text_b"))), "id_b")
+      .withColumn("toks_a", split(col("text_a"), " "))
+      .withColumn("toks_b", split(col("text_b"), " "))
+      .withColumn("sh_a", expr(shingleExpr("toks_a", cfg.shingleSize)))
+      .withColumn("sh_b", expr(shingleExpr("toks_b", cfg.shingleSize)))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= cfg.threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

@@ -34,7 +34,8 @@ object CurateStream {
 
   final case class Config(idCol: String = "doc_id", textCol: String = "text",
                           minTok: Int = 20, maxTok: Int = 400,
-                          minTtr: Double = 0.3)
+                          minTtr: Double = 0.3,
+                          decontGram: Int = 4)
 
   def acceptedPath(outDir: String): String = s"$outDir/accepted"
   def sigPath(outDir: String): String = s"$outDir/sigs"
@@ -60,11 +61,46 @@ object CurateStream {
       StructType(Seq(StructField("sig", LongType), StructField("batch_id", LongType))))
   }
 
+  /** Decontamination gate: drop docs sharing any `decontGram`-gram with
+    * the eval set (same semantics as the batch q_decontaminate, as a
+    * stream-static anti-join). `evalGrams` is the PREcomputed distinct
+    * gram frame ([[evalGramSet]]) — tiny by construction, broadcast by
+    * the anti-join; compute it once at stream start, not per batch. */
+  def decontGate(docs: DataFrame, evalGrams: DataFrame,
+                 cfg: Config = Config()): DataFrame = {
+    val n = cfg.decontGram
+    // docs shorter than n tokens have no grams and can't hit the eval set
+    val hit = docs
+      .withColumn("__toks", split(col(cfg.textCol), " "))
+      .filter(size(col("__toks")) >= n)
+      .select(col(cfg.idCol), explode(
+        expr(s"transform(sequence(1, size(__toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(__toks, i, $n)))")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(cfg.idCol).distinct()
+    docs.join(hit, Seq(cfg.idCol), "left_anti")
+  }
+
+  /** Distinct `decontGram`-grams of an eval/benchmark table — the static
+    * side of [[decontGate]]. */
+  def evalGramSet(eval: DataFrame, cfg: Config = Config()): DataFrame = {
+    val n = cfg.decontGram
+    eval
+      .withColumn("__toks", split(col(cfg.textCol), " "))
+      .filter(size(col("__toks")) >= n)
+      .select(explode(expr(s"transform(sequence(1, size(__toks) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice(__toks, i, $n)))")).as("gram"))
+      .distinct()
+  }
+
   /** One micro-batch: returns the number of accepted documents. Callable
-    * directly for batch backfills — stream and batch share this code. */
+    * directly for batch backfills — stream and batch share this code.
+    * `evalGrams` (optional) switches on the decontamination gate. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-                 outDir: String, cfg: Config = Config()): Long = {
-    val gated = qualityGate(batch, cfg)
+                 outDir: String, cfg: Config = Config(),
+                 evalGrams: Option[DataFrame] = None): Long = {
+    val clean = evalGrams.map(decontGate(batch, _, cfg)).getOrElse(batch)
+    val gated = qualityGate(clean, cfg)
       .withColumn("sig", HashExprs.simHash64(split(col(cfg.textCol), " ")))
     // in-batch survivor per signature: min id — deterministic under any
     // partitioning (same election rule as exact dedup / components)
@@ -86,13 +122,16 @@ object CurateStream {
     fresh.count()
   }
 
-  /** Wire a streaming document feed into the curation merge. */
+  /** Wire a streaming document feed into the curation merge. `evalGrams`
+    * (optional) decontaminates every micro-batch against a static eval
+    * set. */
   def run(docs: DataFrame, outDir: String, checkpointDir: String,
-          cfg: Config = Config()): StreamingQuery =
+          cfg: Config = Config(),
+          evalGrams: Option[DataFrame] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        mergeBatch(batch.sparkSession, batch, id, outDir, cfg); ()
+        mergeBatch(batch.sparkSession, batch, id, outDir, cfg, evalGrams); ()
       }
       .start()
 }

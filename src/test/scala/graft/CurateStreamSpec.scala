@@ -59,6 +59,31 @@ class CurateStreamSpec extends AnyFunSuite with SparkFixture {
     assert(sigs.count() === 3 && sigs.select("sig").distinct().count() === 3)
   }
 
+  test("decontamination gate drops gram-overlapping docs per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("curate_dc_out").toString
+    val ckpt = Files.createTempDirectory("curate_dc_ckpt").toString
+
+    // eval doc shares a 4-gram window with good1's head, none with good2
+    val eval = Seq(Doc(1000, "alpha beta gamma delta UNRELATED")).toDF
+    val evalGrams = CurateStream.evalGramSet(eval)
+    assert(evalGrams.count() === 2) // two 4-grams in a 5-token doc
+
+    val ms = MemoryStream[Doc]
+    val q = CurateStream.run(ms.toDF, outDir, ckpt,
+      evalGrams = Some(evalGrams))
+    try {
+      ms.addData(Seq(Doc(1, good1), Doc(2, good2)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.read.parquet(CurateStream.acceptedPath(outDir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L),
+      s"doc 1 shares 'alpha beta gamma delta' with the eval set; got $ids")
+  }
+
   test("mergeBatch doubles as the batch backfill path and matches q_curate's gate") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("curate_bf").toString

@@ -74,6 +74,30 @@ class LshSpec extends AnyFunSuite with SparkFixture {
       s"recall too low: $found of $nStrong strong pairs")
   }
 
+  test("cross-corpus LSH: exact subset of truth, strong cross pairs recalled") {
+    // decontamination shape: probe = the ~1% eval split, corpus = the rest
+    val probe = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val cfg = MinHashLsh.Config(numHashes = 32, bands = 8, threshold = 0.5)
+    val cross = MinHashLsh.crossNearDuplicates(corpus, probe,
+      "doc_id", "text", cfg)
+    // ground truth: the same exact all-pairs Jaccard, restricted to
+    // (corpus, probe) pairs in either id order
+    val t = exactPairs(0.5)
+    val truth = t.unionByName(t.select(col("id_b").as("id_a"),
+        col("id_a").as("id_b"), col("jaccard")))
+      .join(probe.select(col("doc_id").as("id_b")), "id_b")
+      .join(corpus.select(col("doc_id").as("id_a")), "id_a")
+      .select("id_a", "id_b", "jaccard")
+    assert(cross.exceptAll(truth).count() === 0,
+      "cross-LSH emitted a pair not in exact cross ground truth")
+    val strong = truth.filter(col("jaccard") >= 0.8).select("id_a", "id_b")
+    val nStrong = strong.count()
+    val found = strong.intersect(cross.select("id_a", "id_b")).count()
+    assert(found >= (nStrong * 0.8).toLong,
+      s"cross recall too low: $found of $nStrong strong pairs")
+  }
+
   test("SimHash: banding recall is exact for Hamming ≤ 3 (pigeonhole)") {
     val h = SimHash.signatures(docs, "doc_id", "text")
     val a = h.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
