@@ -12,8 +12,9 @@ import org.apache.spark.sql.types.StructType
   * previous snapshot (R3–R7), persist the new snapshot + change feed
   * (R9), and return the per-op counts (R8) the reference logs per run.
   *
-  * Config is a plain case class (the YAML of the reference is an
-  * infra-side concern, not operator surface — SURVEY §2.1 R10).
+  * Config is a plain case class; the reference's config.yaml shape loads
+  * via [[ConfigFile.load]] (dependency-free subset parser), so a scheduled
+  * deployment is `Pipeline.runAll(spark, ConfigFile.load(path), batchId)`.
   *
   * Entry shapes:
   *  - initial load: no previous snapshot → everything classifies I
