@@ -93,7 +93,9 @@ object Bench {
     // "1.00"→"1") — JSON numbers, loss-free at the chosen precision
     def lineAt(dp: Int): String = {
       def fmt(v: Double): String = {
-        val s = s"%.${dp}f".format(v)
+        // Locale.ROOT: a comma-decimal default locale would emit "0,939"
+        // and corrupt the JSON line
+        val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", v)
         if (!s.contains('.')) s
         else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       }

@@ -136,9 +136,16 @@ object ConfigFile {
         if (!declared(c)) fail(itemLine,
           s"column '$c' in key_cols/value_cols is not in the declared schema")
       }
+      // validate the format VALUE at load: a typo must fail before a
+      // 50-table fleet run has mutated 36 state dirs (batch formats per
+      // Pipeline.readExtract; runStream supports the csv/parquet subset)
+      val format = req("format")
+      if (!Set("csv", "json", "parquet", "orc")(format))
+        fail(reqPair("format")._1,
+          s"format must be one of csv, json, parquet, orc — got '$format'")
       PipelineConfig(
         sourcePath = req("source_path"),
-        format = req("format"),
+        format = format,
         schema = schema,
         keyCols = keyCols,
         valueCols = valueCols,

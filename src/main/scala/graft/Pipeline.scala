@@ -39,6 +39,7 @@ object Pipeline {
       case "csv"     => Sources.csvRaw(spark, cfg.sourcePath)
       case "json"    => spark.read.json(cfg.sourcePath)
       case "parquet" => spark.read.parquet(cfg.sourcePath)
+      case "orc"     => spark.read.orc(cfg.sourcePath)
       case other     => throw new IllegalArgumentException(s"format: $other")
     }
     // R2 + schema drift: project to the DECLARED schema by name. A real

@@ -9,6 +9,9 @@ object Verify {
     // optional trailing query names: dump only those (fast iteration);
     // oracle_sql.json is always written in full
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val spark = GraftSession.forDriver()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

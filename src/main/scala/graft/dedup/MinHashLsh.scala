@@ -127,19 +127,10 @@ object MinHashLsh {
       cfg.shingleSize, cfg.numHashes)
     val cands = candidatePairs(bandBuckets(sigs, idCol, cfg), idCol)
     val texts = docs.select(col(idCol), col(textCol))
-    val nInt = size(array_intersect(col("sh_a"), col("sh_b")))
-    val jac = nInt.cast(DoubleType) /
-      (size(col("sh_a")) + size(col("sh_b")) - nInt)
-    cands
-      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
-      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
-      .withColumn("toks_a", split(col("text_a"), " "))
-      .withColumn("toks_b", split(col("text_b"), " "))
-      .withColumn("sh_a", expr(shingleExpr("toks_a", cfg.shingleSize)))
-      .withColumn("sh_b", expr(shingleExpr("toks_b", cfg.shingleSize)))
-      .withColumn("jaccard", jac)
-      .filter(col("jaccard") >= cfg.threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyJaccard(cands,
+      texts.select(col(idCol).as("id_a"), col(textCol).as("text_a")),
+      texts.select(col(idCol).as("id_b"), col(textCol).as("text_b")),
+      cfg)
   }
 
   /** Cross-corpus near-duplicates: corpus docs whose Jaccard to any PROBE
@@ -171,13 +162,24 @@ object MinHashLsh {
         col("band_id") === col("band_id_b")
           && col("band_hash") === col("band_hash_b"))
       .select("id_a", "id_b").distinct()
+    verifyJaccard(cands,
+      corpus.select(col(idCol).as("id_a"), col(textCol).as("text_a")),
+      broadcast(probe.select(col(idCol).as("id_b"), col(textCol).as("text_b"))),
+      cfg)
+  }
+
+  /** Shared exact-Jaccard verify stage: join candidate pairs back to both
+    * texts, shingle, threshold. The ONE copy of the verify math — the
+    * self-join ([[nearDuplicates]]) and cross-corpus
+    * ([[crossNearDuplicates]]) paths must never drift apart. */
+  private def verifyJaccard(cands: DataFrame, textsA: DataFrame,
+                            textsB: DataFrame, cfg: Config): DataFrame = {
     val nInt = size(array_intersect(col("sh_a"), col("sh_b")))
     val jac = nInt.cast(DoubleType) /
       (size(col("sh_a")) + size(col("sh_b")) - nInt)
     cands
-      .join(corpus.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
-      .join(broadcast(probe.select(col(idCol).as("id_b"),
-        col(textCol).as("text_b"))), "id_b")
+      .join(textsA, "id_a")
+      .join(textsB, "id_b")
       .withColumn("toks_a", split(col("text_a"), " "))
       .withColumn("toks_b", split(col("text_b"), " "))
       .withColumn("sh_a", expr(shingleExpr("toks_a", cfg.shingleSize)))

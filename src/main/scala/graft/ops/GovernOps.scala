@@ -52,10 +52,13 @@ object GovernOps {
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-    val grams = docs.filter(size(col("toks")) >= 4)
+    // one shared shingle expression across the engine (MinHashLsh,
+    // CurateStream.decontGate, here): empty array for sub-4-token docs
+    // (explode drops them), per-doc-distinct grams (hits are DISTINCT'd
+    // by doc anyway, so the dedup is free correctness)
+    val grams = docs
       .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, size(toks) - 3), " +
-          "i -> concat_ws(' ', slice(toks, i, 4)))")).as("gram"))
+        graft.dedup.MinHashLsh.shingleExpr("toks", 4))).as("gram"))
     val eval = grams.filter(col("doc_id") % 97 === 0).select("gram").distinct()
     // broadcast the small eval-gram set; LEFT SEMI keeps the big side
     // shuffle-free and never duplicates a training row

@@ -70,19 +70,30 @@ object JoinScaleOps {
       |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue
       |FROM lineitem JOIN dim ON l_orderkey = o_orderkey""".stripMargin
   ) { (s, dir) =>
-    Tables.orders(s, dir).createOrReplaceTempView("g_bloom_orders")
-    Tables.lineitem(s, dir).createOrReplaceTempView("g_bloom_lineitem")
-    s.sql(
-      """WITH dim AS (SELECT o_orderkey FROM g_bloom_orders
-        |             WHERE o_orderpriority = '1-URGENT')
-        |SELECT count(*) AS n,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-        |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue
-        |FROM (SELECT l_orderkey, l_extendedprice, l_discount
-        |      FROM g_bloom_lineitem
-        |      WHERE bloom_contains(
-        |        (SELECT bloom_agg(o_orderkey) FROM dim), l_orderkey)) l
-        |JOIN dim ON l.l_orderkey = dim.o_orderkey""".stripMargin)
+    // bloom_contains needs its filter as a scalar subquery (engine rule),
+    // which only SQL text can express — views get a per-invocation unique
+    // name and are dropped right after analysis (s.sql resolves the plan
+    // eagerly), so concurrent invocations on a shared session never read
+    // each other's tables
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (ordV, liV) = (s"g_bloom_orders_$tag", s"g_bloom_lineitem_$tag")
+    Tables.orders(s, dir).createOrReplaceTempView(ordV)
+    Tables.lineitem(s, dir).createOrReplaceTempView(liV)
+    try s.sql(
+      s"""WITH dim AS (SELECT o_orderkey FROM $ordV
+         |             WHERE o_orderpriority = '1-URGENT')
+         |SELECT count(*) AS n,
+         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+         |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         |FROM (SELECT l_orderkey, l_extendedprice, l_discount
+         |      FROM $liV
+         |      WHERE bloom_contains(
+         |        (SELECT bloom_agg(o_orderkey) FROM dim), l_orderkey)) l
+         |JOIN dim ON l.l_orderkey = dim.o_orderkey""".stripMargin)
+    finally {
+      s.catalog.dropTempView(ordV)
+      s.catalog.dropTempView(liV)
+    }
   }
 
   val all: Seq[Q] = Seq(joinSkew, joinBloom)

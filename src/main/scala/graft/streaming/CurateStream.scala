@@ -68,30 +68,28 @@ object CurateStream {
     * the anti-join; compute it once at stream start, not per batch. */
   def decontGate(docs: DataFrame, evalGrams: DataFrame,
                  cfg: Config = Config()): DataFrame = {
-    val n = cfg.decontGram
-    // docs shorter than n tokens have no grams and can't hit the eval set
+    // shingleExpr yields an empty array for sub-n-token docs — explode
+    // drops them, and they can't hit the eval set anyway; its
+    // array_distinct is also free correctness here (semi-join semantics)
     val hit = docs
       .withColumn("__toks", split(col(cfg.textCol), " "))
-      .filter(size(col("__toks")) >= n)
-      .select(col(cfg.idCol), explode(
-        expr(s"transform(sequence(1, size(__toks) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(__toks, i, $n)))")).as("gram"))
+      .select(col(cfg.idCol), explode(expr(
+        graft.dedup.MinHashLsh.shingleExpr("__toks", cfg.decontGram)))
+        .as("gram"))
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .select(cfg.idCol).distinct()
     docs.join(hit, Seq(cfg.idCol), "left_anti")
   }
 
   /** Distinct `decontGram`-grams of an eval/benchmark table — the static
-    * side of [[decontGate]]. */
-  def evalGramSet(eval: DataFrame, cfg: Config = Config()): DataFrame = {
-    val n = cfg.decontGram
+    * side of [[decontGate]]. [[run]] caches it once at stream start. */
+  def evalGramSet(eval: DataFrame, cfg: Config = Config()): DataFrame =
     eval
       .withColumn("__toks", split(col(cfg.textCol), " "))
-      .filter(size(col("__toks")) >= n)
-      .select(explode(expr(s"transform(sequence(1, size(__toks) - ${n - 1}), " +
-        s"i -> concat_ws(' ', slice(__toks, i, $n)))")).as("gram"))
+      .select(explode(expr(
+        graft.dedup.MinHashLsh.shingleExpr("__toks", cfg.decontGram)))
+        .as("gram"))
       .distinct()
-  }
 
   /** One micro-batch: returns the number of accepted documents. Callable
     * directly for batch backfills — stream and batch share this code.
@@ -127,11 +125,16 @@ object CurateStream {
     * set. */
   def run(docs: DataFrame, outDir: String, checkpointDir: String,
           cfg: Config = Config(),
-          evalGrams: Option[DataFrame] = None): StreamingQuery =
+          evalGrams: Option[DataFrame] = None): StreamingQuery = {
+    // cache the static side once: without it every micro-batch re-scans,
+    // re-explodes and re-DISTINCTs the whole eval table (cache is lazy —
+    // materialized by the first batch; lives until the session drops it)
+    val cached = evalGrams.map(_.cache())
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        mergeBatch(batch.sparkSession, batch, id, outDir, cfg, evalGrams); ()
+        mergeBatch(batch.sparkSession, batch, id, outDir, cfg, cached); ()
       }
       .start()
+  }
 }

@@ -80,5 +80,7 @@ class ConfigFileSpec extends AnyFunSuite with SparkFixture {
     assert(err(s"  - $base\n").contains("before 'tables:' root"))
     assert(err(s"tables:\n  - $base\n    strict_schema: maybe\n")
       .contains("strict_schema must be true/false"))
+    assert(err(s"tables:\n  - $base\n".replace("format: parquet", "format: parqet"))
+      .contains("format must be one of"))
   }
 }
