@@ -34,6 +34,10 @@ object CdcMerge {
   val Delete = "D"
   val Unchanged = "N"
 
+  /** Prefix of the prior-image columns emitted by
+    * `classifyHashed(..., withPriors = true)`. */
+  val OldPrefix = "__old_"
+
   /** R3: project to the configured columns and add identity hashes. */
   def withHashes(df: DataFrame, cfg: CdcConfig,
                  useXxhash64: Boolean = false): DataFrame = {
@@ -70,7 +74,18 @@ object CdcMerge {
     * keeps rows with null key parts joinable, matching the hash path
     * (hashing treats nulls deterministically). */
   def classifyHashed(prevHashed: DataFrame, currHashed: DataFrame,
-                     cfg: CdcConfig): DataFrame = {
+                     cfg: CdcConfig): DataFrame =
+    classifyHashed(prevHashed, currHashed, cfg, withPriors = false)
+
+  /** [[classifyHashed]] with an opt-in prior-image output: U rows
+    * additionally carry each value column's PREVIOUS value as
+    * `__old_<col>` (null on I; unused on D, whose regular columns already
+    * hold previous values). Downstream incremental maintenance
+    * ([[IncrementalAgg]]) needs the pre-image to retract an update's old
+    * contribution; key columns never need priors — the join matches on
+    * them, so they cannot change within a U. */
+  def classifyHashed(prevHashed: DataFrame, currHashed: DataFrame,
+                     cfg: CdcConfig, withPriors: Boolean): DataFrame = {
     val p = prevHashed.alias("p")
     val c = currHashed.alias("c")
     val joinCond = cfg.keyCols.foldLeft(col(s"p.$KeyHash") === col(s"c.$KeyHash")) {
@@ -85,8 +100,13 @@ object CdcMerge {
     // per-column coalesce: an update that legitimately sets a value column
     // to NULL must land as NULL, not fall back to the previous value
     val fromCurr = col(s"c.$KeyHash").isNotNull
+    val priorCols =
+      if (!withPriors) Seq.empty
+      else cfg.valueCols.map(n => when(fromCurr && col(s"p.$KeyHash").isNotNull,
+        col(s"p.$n")).as(s"$OldPrefix$n"))
     val outCols = cfg.allCols.map(n =>
       when(fromCurr, col(s"c.$n")).otherwise(col(s"p.$n")).as(n)) ++
+      priorCols ++
       Seq(coalesce(col(s"c.$KeyHash"), col(s"p.$KeyHash")).as(KeyHash), op.as(OpCol))
     joined.select(outCols: _*)
   }

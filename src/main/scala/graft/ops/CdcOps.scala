@@ -132,5 +132,40 @@ object CdcOps {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[Q] = Seq(cdcHash, cdcClassify, cdcCounts, cdcApply, cdcFeed)
+  /** Incrementally-maintained rollup ([[graft.cdc.IncrementalAgg]]):
+    * bootstrap per-status (count, decimal sum) from PREV, then apply the
+    * prev→curr change feed's signed deltas — never rescanning the table.
+    * The oracle is a plain GROUP BY over CURR because the maintenance
+    * algebra guarantees maintained == recompute exactly (decimal sums are
+    * associative; updates retract old and add new). O(|changes|) per
+    * batch is the CDC-at-scale payoff this engine exists for. */
+  val incrAgg: Q = Q.checked(
+    "q_incr_agg",
+    """WITH curr AS (
+      |  SELECT o_orderstatus,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 <> 0)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+      |    AS sum_o_totalprice
+      |FROM curr GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, dir) =>
+    import graft.cdc.IncrementalAgg
+    val spec = IncrementalAgg.Spec(groupCols = Seq("o_orderstatus"),
+      sumCols = Seq("o_totalprice"))
+    val state0 = IncrementalAgg.init(prev(s, dir), spec)
+    val feed = CdcMerge.classifyHashed(
+      CdcMerge.withHashes(prev(s, dir), cfg, useXxhash64 = true),
+      CdcMerge.withHashes(curr(s, dir), cfg, useXxhash64 = true),
+      cfg, withPriors = true)
+    IncrementalAgg.maintain(state0, feed, spec)
+      .select(col("o_orderstatus"), col("cnt"),
+        col("sum_o_totalprice").cast(org.apache.spark.sql.types.DoubleType)
+          .as("sum_o_totalprice"))
+      .orderBy("o_orderstatus")
+  }
+
+  val all: Seq[Q] = Seq(cdcHash, cdcClassify, cdcCounts, cdcApply, cdcFeed,
+    incrAgg)
 }

@@ -1,0 +1,79 @@
+package graft
+
+import graft.cdc.{CdcConfig, CdcMerge, IncrementalAgg}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+// top-level for encoders
+final case class IaRow(k: Long, grp: String, v: Double)
+
+/** Incremental aggregate maintenance: the maintained view must equal a
+  * fresh recompute EXACTLY (schema and values) after any sequence of
+  * inserts, updates (including group moves), and deletes. */
+class IncrementalAggSpec extends AnyFunSuite with SparkFixture {
+
+  private val cfg = CdcConfig(keyCols = Seq("k"), valueCols = Seq("grp", "v"))
+  private val spec = IncrementalAgg.Spec(groupCols = Seq("grp"), sumCols = Seq("v"))
+
+  private def feedOf(prev: DataFrame, curr: DataFrame): DataFrame =
+    CdcMerge.classifyHashed(
+      CdcMerge.withHashes(prev, cfg, useXxhash64 = true),
+      CdcMerge.withHashes(curr, cfg, useXxhash64 = true),
+      cfg, withPriors = true)
+
+  private def assertSame(maintained: DataFrame, recomputed: DataFrame): Unit = {
+    assert(maintained.schema === recomputed.schema,
+      "maintained state schema drifted from the recompute")
+    assert(maintained.exceptAll(recomputed).isEmpty
+      && recomputed.exceptAll(maintained).isEmpty,
+      "maintained state != recompute")
+  }
+
+  test("maintained view equals recompute across inserts, updates, group moves, deletes") {
+    import spark.implicits._
+    val v0 = (1L to 100L).map(k => IaRow(k, s"g${k % 5}", k * 1.25)).toDF()
+    // batch 1: delete k%10==0; update k%7==0 (v += 10); k%14==0 ALSO moves
+    // group; insert 101..110
+    val v1 = ((1L to 100L)
+      .filterNot(_ % 10 == 0)
+      .map { k =>
+        val moved = if (k % 14 == 0) s"g${(k + 1) % 5}" else s"g${k % 5}"
+        if (k % 7 == 0) IaRow(k, moved, k * 1.25 + 10) else IaRow(k, s"g${k % 5}", k * 1.25)
+      } ++ (101L to 110L).map(k => IaRow(k, s"g${k % 5}", k * 1.25))).toDF()
+
+    val state0 = IncrementalAgg.init(v0, spec)
+    assertSame(state0, IncrementalAgg.init(v0, spec))
+
+    val state1 = IncrementalAgg.maintain(state0, feedOf(v0, v1), spec)
+    assertSame(state1, IncrementalAgg.init(v1, spec))
+
+    // batch 2 chains on the MAINTAINED state: wipe out group g1 entirely,
+    // plus one more plain update
+    val v1rows = v1.as[IaRow].collect()
+    val v2 = v1rows.filterNot(_.grp == "g1")
+      .map(r => if (r.k == 3L) r.copy(v = r.v + 0.5) else r)
+      .toSeq.toDF()
+    val state2 = IncrementalAgg.maintain(state1, feedOf(v1, v2), spec)
+    assertSame(state2, IncrementalAgg.init(v2, spec))
+    assert(state2.filter($"grp" === "g1").isEmpty,
+      "a fully-deleted group must drop out of the maintained view")
+  }
+
+  test("deltas demand prior images — a priors-free feed fails loudly") {
+    import spark.implicits._
+    val a = Seq(IaRow(1, "g0", 1.0)).toDF()
+    val b = Seq(IaRow(1, "g0", 2.0)).toDF()
+    val noPriors = CdcMerge.classify(a, b, cfg, useXxhash64 = true)
+    val e = intercept[IllegalArgumentException](
+      IncrementalAgg.deltas(noPriors, spec))
+    assert(e.getMessage.contains("__old_v"))
+  }
+
+  test("an all-N feed is a no-op on the maintained state") {
+    import spark.implicits._
+    val v0 = (1L to 20L).map(k => IaRow(k, s"g${k % 3}", k * 2.0)).toDF()
+    val state0 = IncrementalAgg.init(v0, spec)
+    val state1 = IncrementalAgg.maintain(state0, feedOf(v0, v0), spec)
+    assertSame(state1, state0)
+  }
+}
