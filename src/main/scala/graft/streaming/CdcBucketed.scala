@@ -126,11 +126,12 @@ object CdcBucketed {
     * hashed and shuffled. */
   def classifyAgainstState(spark: SparkSession, table: String,
                            incoming: DataFrame, cfg: CdcConfig,
-                           useXxhash64: Boolean = true): DataFrame =
+                           useXxhash64: Boolean = true,
+                           withPriors: Boolean = false): DataFrame =
     CdcMerge.classifyHashed(
       spark.table(table),
       CdcMerge.withHashes(incoming, cfg, useXxhash64),
-      cfg)
+      cfg, withPriors)
 
   /** One full merge cycle: classify, commit the next bucketed snapshot,
     * return the I/U/D change feed.
@@ -147,9 +148,11 @@ object CdcBucketed {
                      nextLocation: Option[String] = None,
                      persistFeed: DataFrame => DataFrame =
                        _.localCheckpoint(eager = true),
-                     onClassified: DataFrame => Unit = _ => ()): DataFrame = {
+                     onClassified: DataFrame => Unit = _ => (),
+                     withPriors: Boolean = false): DataFrame = {
     recoverStage(spark, table)
-    val classified = classifyAgainstState(spark, table, incoming, cfg).cache()
+    val classified = classifyAgainstState(spark, table, incoming, cfg,
+      withPriors = withPriors).cache()
     try {
       onClassified(classified)
       val feed = persistFeed(CdcMerge.changeFeed(classified, batchId))

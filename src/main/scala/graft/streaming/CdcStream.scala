@@ -156,7 +156,8 @@ object CdcStream {
     * the per-op row counts (R8) — derived from the cached classified
     * frame, NOT from a re-scan of the snapshot. */
   def mergeBatch(batch: DataFrame, batchId: Long, cfg: CdcConfig,
-                 stateDir: String, buckets: Int = DefaultBuckets): Map[String, Long] = {
+                 stateDir: String, buckets: Int = DefaultBuckets,
+                 feedPriors: Boolean = false): Map[String, Long] = {
     val spark = batch.sparkSession
     val table = stateTable(stateDir)
     CdcBucketed.recoverStage(spark, table)
@@ -168,7 +169,8 @@ object CdcStream {
       nextLocation = Some(versionPath(stateDir, batchId)),
       persistFeed = persistFeedPartitioned(spark, stateDir, batchId),
       onClassified = cl => ops = CdcMerge.counts(cl).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      withPriors = feedPriors)
     if (ops.contains(CdcMerge.Unchanged)) ops
     else ops + (CdcMerge.Unchanged -> 0L)
   }
@@ -238,6 +240,9 @@ object CdcStream {
       .withColumn("is_current", col("valid_to_batch").isNull)
       .withColumnRenamed("batch_id", "valid_from_batch")
       .drop(CdcMerge.OpCol, CdcMerge.KeyHash, CdcMerge.NonKeyHash)
+      // a priors-carrying feed (feedPriors=true) holds __old_ pre-images —
+      // rollup-maintenance detail, not part of the SCD2 shape
+      .drop(feed.columns.filter(_.startsWith(CdcMerge.OldPrefix)).toIndexedSeq: _*)
   }
 
   /** Drop snapshot generations older than the newest `keep` — retention
@@ -261,15 +266,79 @@ object CdcStream {
     }
   }
 
-  /** Wire a streaming extract feed into the merge via foreachBatch. */
+  /** Wire a streaming extract feed into the merge via foreachBatch.
+    * `feedPriors = true` makes the persisted change feed carry `__old_`
+    * pre-images on U rows — the [[maintainRollup]] prerequisite. */
   def start(incoming: DataFrame, cfg: CdcConfig, stateDir: String,
-            checkpointDir: String, buckets: Int = DefaultBuckets): StreamingQuery =
+            checkpointDir: String, buckets: Int = DefaultBuckets,
+            feedPriors: Boolean = false): StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        mergeBatch(batch, id, cfg, stateDir, buckets); ()
+        mergeBatch(batch, id, cfg, stateDir, buckets, feedPriors); ()
       }
       .start()
+
+  // ---------------------------------------------------------------------
+  // Incrementally-maintained rollups over the change feed
+  // ---------------------------------------------------------------------
+
+  private def rollupVersionPath(rollupDir: String, v: Long): String =
+    s"$rollupDir/v$v"
+
+  /** Newest fully-written rollup generation (same `_SUCCESS` discipline
+    * as the state snapshots). */
+  private def currentRollup(spark: SparkSession,
+                            rollupDir: String): Option[(Long, DataFrame)] = {
+    val p = new Path(rollupDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.drop(1).toLongOption.isDefined =>
+        n.drop(1).toLong }
+      .filter(v => fs.exists(new Path(s"${rollupVersionPath(rollupDir, v)}/_SUCCESS")))
+      .sorted.lastOption
+      .map(v => v -> spark.read.parquet(rollupVersionPath(rollupDir, v)))
+  }
+
+  /** Advance an incrementally-maintained rollup
+    * ([[graft.cdc.IncrementalAgg]]) to the newest feed batch: apply the
+    * signed deltas of every change-feed partition AFTER the rollup's last
+    * applied batch — O(new changes), never a snapshot rescan. Returns the
+    * new rollup version (= max applied batch id), or None when there is
+    * nothing new.
+    *
+    * Bootstrap is the empty state: CDC bootstraps from empty too, so the
+    * complete feed replayed from batch 0 rebuilds the rollup exactly —
+    * which is also the recovery story (delete rollupDir, re-run).
+    * Requires the feed written with `feedPriors = true` (U retraction
+    * needs pre-images; [[graft.cdc.IncrementalAgg.deltas]] checks).
+    * Idempotent: re-running for the same feed prefix rewrites the same
+    * v{n} generation. */
+  def maintainRollup(spark: SparkSession, stateDir: String, rollupDir: String,
+                     spec: graft.cdc.IncrementalAgg.Spec): Option[Long] = {
+    val feed =
+      try spark.read.parquet(changesPath(stateDir))
+        // partition-column read-back infers INT while the writer stamped
+        // LONG (round-3 gotcha) — normalize before comparing/collecting
+        .withColumn("batch_id", col("batch_id").cast("long"))
+      catch { case _: org.apache.spark.sql.AnalysisException => return None }
+    val cur = currentRollup(spark, rollupDir)
+    val applied = cur.map(_._1).getOrElse(-1L)
+    val maxBatch = feed.agg(max(col("batch_id"))).collect()(0)
+    if (maxBatch.isNullAt(0) || maxBatch.getLong(0) <= applied) return None
+    val upTo = maxBatch.getLong(0)
+    val slice = feed.filter(col("batch_id") > applied)
+    val state = cur.map(_._2)
+      .getOrElse(graft.cdc.IncrementalAgg.init(feed.limit(0), spec))
+    graft.cdc.IncrementalAgg
+      .applyDeltas(state, graft.cdc.IncrementalAgg.deltas(slice, spec), spec)
+      // the new generation must be fully materialized before it becomes
+      // discoverable; parquet's _SUCCESS marker is the commit point
+      .write.mode("overwrite").parquet(rollupVersionPath(rollupDir, upTo))
+    Some(upTo)
+  }
 
   // ---------------------------------------------------------------------
   // CDC-source-shaped ingestion (keyed op/ts envelopes, not full extracts)

@@ -49,6 +49,56 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed === batch)
   }
 
+  test("maintainRollup: feed-driven rollup equals recompute over each snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("cdc_ru_state").toString
+    val rollupDir = Files.createTempDirectory("cdc_ru_roll").toString
+    val ckpt = Files.createTempDirectory("cdc_ru_ckpt").toString
+    val cfg = CdcConfig(Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+    val spec = graft.cdc.IncrementalAgg.Spec(
+      groupCols = Seq("o_orderstatus"), sumCols = Seq("o_totalprice"))
+
+    val extract1 = Seq(
+      Ord(1, 10, "O", 100.0), Ord(2, 20, "O", 200.0), Ord(3, 30, "F", 300.0))
+    // 2 moves group O→F (update), 3 deleted, 4 inserted
+    val extract2 = Seq(
+      Ord(1, 10, "O", 100.0), Ord(2, 20, "F", 250.0), Ord(4, 40, "O", 400.0))
+
+    def recompute(v: Long) = graft.cdc.IncrementalAgg.init(
+      CdcStream.stateAt(spark, stateDir, v).get, spec)
+
+    val ms = MemoryStream[Ord]
+    val q = CdcStream.start(ms.toDF, cfg, stateDir, ckpt, feedPriors = true)
+    try {
+      ms.addData(extract1)
+      q.processAllAvailable()
+      assert(CdcStream.maintainRollup(spark, stateDir, rollupDir, spec)
+        === Some(0L))
+      val r0 = spark.read.parquet(s"$rollupDir/v0")
+      assert(r0.exceptAll(recompute(0)).isEmpty
+        && recompute(0).exceptAll(r0).isEmpty)
+
+      ms.addData(extract2)
+      q.processAllAvailable()
+      assert(CdcStream.maintainRollup(spark, stateDir, rollupDir, spec)
+        === Some(1L))
+      val r1 = spark.read.parquet(s"$rollupDir/v1")
+      assert(r1.exceptAll(recompute(1)).isEmpty
+        && recompute(1).exceptAll(r1).isEmpty)
+      val r1Rows = r1.collect().toSet // materialize before the wipe below
+      // nothing new → no-op
+      assert(CdcStream.maintainRollup(spark, stateDir, rollupDir, spec).isEmpty)
+      // recovery story: wipe the rollup, replay the whole feed, same state
+      val p = new org.apache.hadoop.fs.Path(rollupDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      assert(CdcStream.maintainRollup(spark, stateDir, rollupDir, spec)
+        === Some(1L))
+      assert(spark.read.parquet(s"$rollupDir/v1").collect().toSet === r1Rows)
+    } finally q.stop()
+  }
+
   test("foreachBatch CDC merge: snapshots track full extracts, feed records I/U/D") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
