@@ -65,7 +65,9 @@ object IncrementalAgg {
         spec.sumCols.map(c =>
           sum(sum0(col(c))).cast(Sum).as(spec.sumCol(c))): _*)
 
-  /** Signed per-group deltas from one classified-with-priors feed. */
+  /** Signed per-group deltas from one classified-with-priors feed — ONE
+    * pass over the feed (each row explodes into its 1–2 contributions),
+    * one shuffle at group grain. */
   def deltas(feed: DataFrame, spec: Spec): DataFrame = {
     import CdcMerge.{Delete, Insert, OldPrefix, OpCol, Update}
     val missing = spec.sumCols.filterNot(c =>
@@ -73,19 +75,30 @@ object IncrementalAgg {
     require(missing.isEmpty,
       s"feed lacks prior images ${missing.map(OldPrefix + _).mkString(", ")} — " +
         "classify with withPriors = true")
+    // count-only specs still need priors: a group move's retraction needs
+    // the OLD group value, and a groupCol without an __old_ twin is only
+    // safe when the twin EXISTS for value columns (then no-twin ⇒ key ⇒
+    // immutable). A feed with no priors at all cannot make that promise.
+    require(feed.columns.exists(_.startsWith(OldPrefix)),
+      "feed carries no prior images at all — classify with withPriors = " +
+        "true (required even for count-only specs: retracting a group " +
+        "move needs the old group value)")
     def oldName(c: String): String =
       if (feed.columns.contains(s"$OldPrefix$c")) s"$OldPrefix$c" else c
-    def contrib(rows: DataFrame, sign: Int, name: String => String): DataFrame =
-      rows.select(
+    def contrib(sign: Int, name: String => String) =
+      struct(
         spec.groupCols.map(g => col(name(g)).as(g)) ++
           Seq(lit(sign.toLong).as("__dc")) ++
           spec.sumCols.map(c =>
             (sum0(col(name(c))) * sign).cast(Sum).as(s"__ds_$c")): _*)
-    val ins    = contrib(feed.filter(col(OpCol) === Insert), +1, identity)
-    val updNew = contrib(feed.filter(col(OpCol) === Update), +1, identity)
-    val updOld = contrib(feed.filter(col(OpCol) === Update), -1, oldName)
-    val del    = contrib(feed.filter(col(OpCol) === Delete), -1, identity)
-    ins.unionByName(updNew).unionByName(updOld).unionByName(del)
+    feed
+      .filter(col(OpCol).isin(Insert, Update, Delete))
+      .select(explode(
+        when(col(OpCol) === Insert, array(contrib(+1, identity)))
+          .when(col(OpCol) === Update,
+            array(contrib(+1, identity), contrib(-1, oldName)))
+          .otherwise(array(contrib(-1, identity)))).as("__c"))
+      .select(col("__c.*"))
       .groupBy(spec.groupCols.map(col): _*)
       .agg(sum(col("__dc")).cast(LongType).as("__dc"),
         spec.sumCols.map(c =>
@@ -96,16 +109,27 @@ object IncrementalAgg {
   def maintain(state: DataFrame, feed: DataFrame, spec: Spec): DataFrame =
     applyDeltas(state, deltas(feed, spec), spec)
 
-  /** state ⟗ deltas on the group key; zero-count groups drop out. */
+  /** state ⟗ deltas on the group key; zero-count groups drop out. The
+    * join is NULL-SAFE (`<=>`) — a nullable group column legitimately
+    * groups its nulls together ([[init]]'s groupBy does), and a plain
+    * equality join would strand the null group's retractions forever. */
   def applyDeltas(state: DataFrame, d: DataFrame, spec: Spec): DataFrame = {
-    val merged = state.join(d, spec.groupCols, "full_outer")
+    val s = state.alias("s")
+    val dd = d.select(
+      spec.groupCols.map(g => col(g).as(s"__d_$g")) ++
+        Seq(col("__dc")) ++ spec.sumCols.map(c => col(s"__ds_$c")): _*)
+    val cond = spec.groupCols
+      .map(g => col(s"s.$g") <=> col(s"__d_$g"))
+      .reduce(_ && _)
     val cnt = coalesce(col(spec.cntCol), lit(0L)) + coalesce(col("__dc"), lit(0L))
     val sums = spec.sumCols.map { c =>
       (sum0(col(spec.sumCol(c))) + sum0(col(s"__ds_$c")))
         .cast(Sum).as(spec.sumCol(c))
     }
-    merged
-      .select(spec.groupCols.map(col) ++ Seq(cnt.as(spec.cntCol)) ++ sums: _*)
+    s.join(dd, cond, "full_outer")
+      .select(spec.groupCols.map(g =>
+        coalesce(col(s"s.$g"), col(s"__d_$g")).as(g)) ++
+        Seq(cnt.as(spec.cntCol)) ++ sums: _*)
       .filter(col(spec.cntCol) > 0)
   }
 }

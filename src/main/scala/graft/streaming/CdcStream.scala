@@ -286,58 +286,79 @@ object CdcStream {
   private def rollupVersionPath(rollupDir: String, v: Long): String =
     s"$rollupDir/v$v"
 
-  /** Newest fully-written rollup generation (same `_SUCCESS` discipline
-    * as the state snapshots). */
-  private def currentRollup(spark: SparkSession,
-                            rollupDir: String): Option[(Long, DataFrame)] = {
-    val p = new Path(rollupDir)
+  /** Committed (`_SUCCESS`-marked) v{n} generations under `dir`, sorted —
+    * the one version-listing used by rollup discovery; the state side
+    * reads its version off the catalog ([[currentVersion]]) instead. */
+  private def committedVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.drop(1).toLongOption.isDefined =>
         n.drop(1).toLong }
-      .filter(v => fs.exists(new Path(s"${rollupVersionPath(rollupDir, v)}/_SUCCESS")))
-      .sorted.lastOption
-      .map(v => v -> spark.read.parquet(rollupVersionPath(rollupDir, v)))
+      .filter(v => fs.exists(new Path(s"$dir/v$v/_SUCCESS")))
+      .sorted
   }
 
+  /** Newest fully-written rollup generation. */
+  private def currentRollup(spark: SparkSession,
+                            rollupDir: String): Option[(Long, DataFrame)] =
+    committedVersions(spark, rollupDir).lastOption
+      .map(v => v -> spark.read.parquet(rollupVersionPath(rollupDir, v)))
+
   /** Advance an incrementally-maintained rollup
-    * ([[graft.cdc.IncrementalAgg]]) to the newest feed batch: apply the
-    * signed deltas of every change-feed partition AFTER the rollup's last
-    * applied batch — O(new changes), never a snapshot rescan. Returns the
-    * new rollup version (= max applied batch id), or None when there is
-    * nothing new.
+    * ([[graft.cdc.IncrementalAgg]]) to the newest COMMITTED feed batch:
+    * apply the signed deltas of every change-feed partition after the
+    * rollup's last applied batch — O(new changes), never a snapshot
+    * rescan. Returns the new rollup version (= max applied batch id), or
+    * None when there is nothing new.
+    *
+    * Completeness gate: only batches ≤ [[currentVersion]] are applied.
+    * The feed partition is written BEFORE its snapshot commits, so a
+    * committed version vouches for its feed partition; a feed partition
+    * from a crashed merge (snapshot never committed) will be rewritten on
+    * replay and must not be consumed early — without the gate it would be
+    * applied partially and then skipped forever by the `> applied`
+    * filter. (A replay REWRITING an already-committed partition while
+    * this advance reads it is the one remaining race — run advances from
+    * the stream's own foreachBatch or between merges, or wipe-and-replay.)
     *
     * Bootstrap is the empty state: CDC bootstraps from empty too, so the
     * complete feed replayed from batch 0 rebuilds the rollup exactly —
-    * which is also the recovery story (delete rollupDir, re-run).
-    * Requires the feed written with `feedPriors = true` (U retraction
-    * needs pre-images; [[graft.cdc.IncrementalAgg.deltas]] checks).
+    * which is also the recovery story (delete rollupDir, re-run), and the
+    * migration story for enabling `feedPriors` on an existing stream
+    * (priors must cover the WHOLE feed: pre-priors U rows would read null
+    * pre-images and silently retract 0 — wipe the state dir or start
+    * priors from batch 0). Requires the feed written with
+    * `feedPriors = true` ([[graft.cdc.IncrementalAgg.deltas]] checks).
     * Idempotent: re-running for the same feed prefix rewrites the same
-    * v{n} generation. */
+    * v{n} generation. Prune old rollup generations with
+    * [[pruneVersions]](spark, rollupDir, keep) — same v{n} layout. */
   def maintainRollup(spark: SparkSession, stateDir: String, rollupDir: String,
                      spec: graft.cdc.IncrementalAgg.Spec): Option[Long] = {
+    val committed = currentVersion(spark, stateDir).getOrElse(return None)
+    val cur = currentRollup(spark, rollupDir)
+    val applied = cur.map(_._1).getOrElse(-1L)
+    if (committed <= applied) return None
     val feed =
       try spark.read.parquet(changesPath(stateDir))
         // partition-column read-back infers INT while the writer stamped
         // LONG (round-3 gotcha) — normalize before comparing/collecting
         .withColumn("batch_id", col("batch_id").cast("long"))
       catch { case _: org.apache.spark.sql.AnalysisException => return None }
-    val cur = currentRollup(spark, rollupDir)
-    val applied = cur.map(_._1).getOrElse(-1L)
-    val maxBatch = feed.agg(max(col("batch_id"))).collect()(0)
-    if (maxBatch.isNullAt(0) || maxBatch.getLong(0) <= applied) return None
-    val upTo = maxBatch.getLong(0)
-    val slice = feed.filter(col("batch_id") > applied)
+    // both bounds prune at the partition column — only the new slice's
+    // files are read, not the feed history
+    val slice = feed.filter(col("batch_id") > applied
+      && col("batch_id") <= committed)
     val state = cur.map(_._2)
       .getOrElse(graft.cdc.IncrementalAgg.init(feed.limit(0), spec))
     graft.cdc.IncrementalAgg
       .applyDeltas(state, graft.cdc.IncrementalAgg.deltas(slice, spec), spec)
       // the new generation must be fully materialized before it becomes
       // discoverable; parquet's _SUCCESS marker is the commit point
-      .write.mode("overwrite").parquet(rollupVersionPath(rollupDir, upTo))
-    Some(upTo)
+      .write.mode("overwrite").parquet(rollupVersionPath(rollupDir, committed))
+    Some(committed)
   }
 
   // ---------------------------------------------------------------------

@@ -59,6 +59,35 @@ class IncrementalAggSpec extends AnyFunSuite with SparkFixture {
       "a fully-deleted group must drop out of the maintained view")
   }
 
+  test("null group keys retract correctly (null-safe state join)") {
+    import spark.implicits._
+    // grp null is a legitimate group — init groups nulls together; the
+    // maintenance join must match them too or retractions strand forever
+    val v0 = Seq(IaRow(1, null, 5.0), IaRow(2, null, 7.0), IaRow(3, "g0", 1.0)).toDF()
+    val v1 = Seq(IaRow(2, null, 9.0), IaRow(3, "g0", 1.0)).toDF() // 1 deleted, 2 updated
+    val state1 = IncrementalAgg.maintain(
+      IncrementalAgg.init(v0, spec), feedOf(v0, v1), spec)
+    assertSame(state1, IncrementalAgg.init(v1, spec))
+    val nullRow = state1.filter($"grp".isNull).collect()
+    assert(nullRow.length === 1 && nullRow(0).getLong(1) === 1L,
+      "null group must hold exactly the surviving row")
+  }
+
+  test("count-only spec: group moves retract from the OLD group") {
+    import spark.implicits._
+    val countSpec = IncrementalAgg.Spec(groupCols = Seq("grp"), sumCols = Nil)
+    val v0 = Seq(IaRow(1, "g0", 1.0), IaRow(2, "g0", 2.0)).toDF()
+    val v1 = Seq(IaRow(1, "g1", 1.0), IaRow(2, "g0", 2.0)).toDF() // 1 moves g0→g1
+    val state1 = IncrementalAgg.maintain(
+      IncrementalAgg.init(v0, countSpec), feedOf(v0, v1), countSpec)
+    assertSame(state1, IncrementalAgg.init(v1, countSpec))
+    // and a priors-free feed is rejected even though sumCols is empty
+    val noPriors = CdcMerge.classify(v0, v1, cfg, useXxhash64 = true)
+    val e = intercept[IllegalArgumentException](
+      IncrementalAgg.deltas(noPriors, countSpec))
+    assert(e.getMessage.contains("no prior images"))
+  }
+
   test("deltas demand prior images — a priors-free feed fails loudly") {
     import spark.implicits._
     val a = Seq(IaRow(1, "g0", 1.0)).toDF()
