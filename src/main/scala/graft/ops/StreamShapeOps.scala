@@ -114,5 +114,71 @@ object StreamShapeOps {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(tumbling, sliding, sessionBatch)
+  /** Ordered conversion funnel view→click→purchase: users whose FIRST
+    * click follows their first view, and first purchase follows that
+    * click. One shuffle on user_id, conditional-min aggregation (map-side
+    * partials), then a single global reduce — the plan shape that holds
+    * at any user count. Null stage times fall out of the comparisons
+    * (NULL > x is never counted) identically on both engines. */
+  val funnel: Q = Q.checked(
+    "q_funnel",
+    Tables.EventsCte +
+      """,
+        |f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM ev GROUP BY user_id)
+        |SELECT
+        |  CAST(count_if(t_view IS NOT NULL) AS BIGINT) AS n_view,
+        |  CAST(count_if(t_click > t_view) AS BIGINT) AS n_click_after_view,
+        |  CAST(count_if(t_click > t_view AND t_purchase > t_click) AS BIGINT)
+        |    AS n_full_funnel
+        |FROM f""".stripMargin
+  ) { (s, dir) =>
+    def firstOf(t: String) =
+      min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+      .agg(
+        count(when(col("t_view").isNotNull, 1)).as("n_view"),
+        count(when(col("t_click") > col("t_view"), 1))
+          .as("n_click_after_view"),
+        count(when(col("t_click") > col("t_view")
+          && col("t_purchase") > col("t_click"), 1)).as("n_full_funnel"))
+  }
+
+  /** Weekly cohort retention: cohort = a user's first active week (days
+    * since 2024-01-01 div 7 — integer division, no float week math);
+    * each (cohort, k) row counts users still active k weeks later.
+    * distinct(user, week) → min per user → one self-join back, all at
+    * user grain: the standard retention triangle with no window over the
+    * raw event stream. */
+  val retention: Q = Q.checked(
+    "q_retention",
+    Tables.EventsCte +
+      """,
+        |u AS (SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+        |      AS BIGINT) AS wk
+        |  FROM ev),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM u GROUP BY user_id)
+        |SELECT cohort, u.wk - cohort AS k, count(*) AS n_users
+        |FROM u JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val userWeeks = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("datediff(CAST(ts AS DATE), DATE'2024-01-01') div 7")
+          .cast(LongType).as("wk"))
+      .distinct()
+    val cohorts = userWeeks.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+    userWeeks.join(cohorts, "user_id")
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("k"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "k")
+  }
+
+  val all: Seq[Q] = Seq(tumbling, sliding, sessionBatch, funnel, retention)
 }
