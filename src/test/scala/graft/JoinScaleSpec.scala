@@ -1,13 +1,15 @@
 package graft
 
 import graft.ops.JoinScaleOps
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Scale-join techniques: the invariant under test is that salting and
   * bloom pre-pruning change the PLAN but never the result, plus the bloom
   * SQL surface's no-false-negative contract. */
-class JoinScaleSpec extends AnyFunSuite with SparkFixture {
+class JoinScaleSpec extends AnyFunSuite with SparkFixture
+    with AdaptiveSparkPlanHelper {
 
   private def plainRevenue(extraFilter: String): Seq[(Long, Double)] = {
     val li = Tables.lineitem(spark, Sf)
@@ -46,6 +48,30 @@ class JoinScaleSpec extends AnyFunSuite with SparkFixture {
     val r = JoinScaleOps.joinBloom.fn(spark, Sf).collect()(0)
     assert(r.getLong(0) === n)
     assert(r.getDouble(1) === rev)
+  }
+
+  test("q_join_skew plans the hinted shuffled hash join (no sorts on unique salted keys)") {
+    val df = JoinScaleOps.joinSkew.fn(spark, Sf)
+    df.collect()
+    val nodes = collect(df.queryExecution.executedPlan) { case n => n.nodeName }
+    assert(nodes.exists(_.contains("ShuffledHashJoin")),
+      s"expected ShuffledHashJoin from the hint, got: ${nodes.distinct}")
+    assert(!nodes.exists(_.contains("SortMergeJoin")),
+      "sort-merge crept back into the salted join")
+  }
+
+  test("q_join_bloom pushes the bloom probe into the fact-side filter") {
+    val df = JoinScaleOps.joinBloom.fn(spark, Sf)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    val filters = collect(exec) {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+    }
+    assert(filters.exists(_.contains("might_contain")),
+      s"no bloom probe in any Filter, plan:\n$exec")
+    assert(collect(exec) { case n => n.nodeName }
+      .exists(_.contains("BroadcastHashJoin")),
+      "the exact dim join should broadcast the filtered dim")
   }
 
   test("bloom_agg/bloom_contains: no false negatives, and real pruning on misses") {
