@@ -180,5 +180,42 @@ object StreamShapeOps {
       .orderBy("cohort", "k")
   }
 
-  val all: Seq[Q] = Seq(tumbling, sliding, sessionBatch, funnel, retention)
+  /** Multi-grain time rollup: hour/day/month × event_type counts in ONE
+    * pass — GROUPING SETS over precomputed date_trunc columns plan a
+    * single Expand + one shuffle, where the naive shape (the oracle's
+    * UNION ALL of three aggregations, value-identical) scans the table
+    * three times. ts is never null, so the surviving trunc column
+    * identifies the grain without `grouping()` bookkeeping. */
+  val timeRollup: Q = Q.checked(
+    "q_time_rollup",
+    Tables.EventsCte +
+      """
+        |SELECT grain, g_ts, event_type, count(*) AS n FROM (
+        |  SELECT 'hour' AS grain, date_trunc('hour', ts) AS g_ts, event_type
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT 'day', date_trunc('day', ts), event_type FROM ev
+        |  UNION ALL
+        |  SELECT 'month', date_trunc('month', ts), event_type FROM ev)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  ) { (s, dir) =>
+    val grains = Seq("hour" -> "h", "day" -> "d", "month" -> "m")
+    val pre = Tables.events(s, dir).select(
+      col("event_type") +: grains.map { case (g, c) =>
+        date_trunc(g, col("ts")).as(c) }: _*)
+    pre
+      .groupingSets(
+        grains.map { case (_, c) => Seq(col(c), col("event_type")) },
+        col("h"), col("d"), col("m"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        when(col("h").isNotNull, "hour").when(col("d").isNotNull, "day")
+          .otherwise("month").as("grain"),
+        coalesce(col("h"), col("d"), col("m")).as("g_ts"),
+        col("event_type"), col("n"))
+      .orderBy("grain", "g_ts", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(tumbling, sliding, sessionBatch, funnel, retention,
+    timeRollup)
 }
