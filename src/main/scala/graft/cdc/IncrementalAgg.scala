@@ -75,14 +75,19 @@ object IncrementalAgg {
     require(missing.isEmpty,
       s"feed lacks prior images ${missing.map(OldPrefix + _).mkString(", ")} — " +
         "classify with withPriors = true")
-    // count-only specs still need priors: a group move's retraction needs
-    // the OLD group value, and a groupCol without an __old_ twin is only
-    // safe when the twin EXISTS for value columns (then no-twin ⇒ key ⇒
-    // immutable). A feed with no priors at all cannot make that promise.
-    require(feed.columns.exists(_.startsWith(OldPrefix)),
-      "feed carries no prior images at all — classify with withPriors = " +
-        "true (required even for count-only specs: retracting a group " +
-        "move needs the old group value)")
+    // count-only specs still need priors for UPDATES: a group move's
+    // retraction needs the OLD group value, and a groupCol without an
+    // __old_ twin is only safe when twins exist for value columns (then
+    // no-twin ⇒ key ⇒ immutable within a U). A feed with no prior columns
+    // at all can still be legitimate — a key-only CdcConfig classifies
+    // with zero __old_ columns and can never produce U — so the guard is
+    // IN-PLAN: the first U row streaming through a priors-free feed
+    // fails the run (same assert_true discipline as alignToSchema).
+    val guarded =
+      if (feed.columns.exists(_.startsWith(OldPrefix))) feed
+      else feed.filter(assert_true(col(OpCol) =!= Update,
+        lit("feed has update rows but no prior images — classify with " +
+          "withPriors = true")).isNull)
     def oldName(c: String): String =
       if (feed.columns.contains(s"$OldPrefix$c")) s"$OldPrefix$c" else c
     def contrib(sign: Int, name: String => String) =
@@ -91,7 +96,7 @@ object IncrementalAgg {
           Seq(lit(sign.toLong).as("__dc")) ++
           spec.sumCols.map(c =>
             (sum0(col(name(c))) * sign).cast(Sum).as(s"__ds_$c")): _*)
-    feed
+    guarded
       .filter(col(OpCol).isin(Insert, Update, Delete))
       .select(explode(
         when(col(OpCol) === Insert, array(contrib(+1, identity)))

@@ -69,19 +69,8 @@ object CdcStream {
     val t = stateTable(stateDir)
     if (spark.catalog.tableExists(t) ||
       spark.catalog.tableExists(s"${t}_stage")) return
-    val base = new Path(stateDir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) return
-    val committed = fs.listStatus(base).toSeq
-      .filter(_.isDirectory)
-      .flatMap { s =>
-        val n = s.getPath.getName
-        if (n.startsWith("v")) n.drop(1).toLongOption.map(_ -> s.getPath)
-        else None
-      }
-      .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
-    if (committed.nonEmpty) {
-      val loc = committed.maxBy(_._1)._2.toString
+    committedVersions(spark, stateDir).lastOption.foreach { v =>
+      val loc = versionPath(stateDir, v)
       // the sidecar knows what the files were actually hashed with; if it
       // is missing (crash between saveAsTable and sidecar write, or a
       // pre-sidecar generation), register UNBUCKETED — a guessed bucket
@@ -287,8 +276,9 @@ object CdcStream {
     s"$rollupDir/v$v"
 
   /** Committed (`_SUCCESS`-marked) v{n} generations under `dir`, sorted —
-    * the one version-listing used by rollup discovery; the state side
-    * reads its version off the catalog ([[currentVersion]]) instead. */
+    * the one definition of "committed generation on disk", shared by
+    * rollup discovery and [[recoverFromDisk]]; the live state side reads
+    * its version off the catalog ([[currentVersion]]) instead. */
   private def committedVersions(spark: SparkSession, dir: String): Seq[Long] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -351,6 +341,10 @@ object CdcStream {
     // files are read, not the feed history
     val slice = feed.filter(col("batch_id") > applied
       && col("batch_id") <= committed)
+    // change-free batches persist no feed rows: advancing on them would
+    // rewrite a byte-identical generation (O(rollup) work) and report a
+    // phantom Some(n) to callers that trigger refreshes on advance
+    if (slice.isEmpty) return None
     val state = cur.map(_._2)
       .getOrElse(graft.cdc.IncrementalAgg.init(feed.limit(0), spec))
     graft.cdc.IncrementalAgg

@@ -81,11 +81,29 @@ class IncrementalAggSpec extends AnyFunSuite with SparkFixture {
     val state1 = IncrementalAgg.maintain(
       IncrementalAgg.init(v0, countSpec), feedOf(v0, v1), countSpec)
     assertSame(state1, IncrementalAgg.init(v1, countSpec))
-    // and a priors-free feed is rejected even though sumCols is empty
+    // a priors-free feed is rejected even though sumCols is empty — at
+    // RUN time, when the first U row streams through (a key-only config
+    // that can never produce U stays legal)
     val noPriors = CdcMerge.classify(v0, v1, cfg, useXxhash64 = true)
-    val e = intercept[IllegalArgumentException](
-      IncrementalAgg.deltas(noPriors, countSpec))
-    assert(e.getMessage.contains("no prior images"))
+    val e = intercept[Exception](
+      IncrementalAgg.deltas(noPriors, countSpec).collect())
+    assert(e.getMessage.contains("no prior images"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("a priors-free feed WITHOUT update rows is legal for count specs") {
+    import spark.implicits._
+    // an insert/delete-only feed (e.g. an append+retention log) carries
+    // no __old_ columns and needs none — the in-plan guard must let it
+    // through and only fail when an actual U row streams past
+    val cSpec = IncrementalAgg.Spec(groupCols = Seq("grp"), sumCols = Nil)
+    val state0 = IncrementalAgg.init(
+      Seq("g0", "g0", "g1").toDF("grp"), cSpec)
+    val feed = Seq(("g0", "D"), ("g1", "I"), ("g2", "I"))
+      .toDF("grp", CdcMerge.OpCol)
+    val state1 = IncrementalAgg.maintain(state0, feed, cSpec)
+    assertSame(state1, IncrementalAgg.init(
+      Seq("g0", "g1", "g1", "g2").toDF("grp"), cSpec))
   }
 
   test("deltas demand prior images — a priors-free feed fails loudly") {
