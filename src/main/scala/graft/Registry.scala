@@ -12,7 +12,8 @@ object Registry {
       SortSetOps.all ++ SetOps.all ++ ScalarOps.all ++ CdcOps.all ++
       StreamShapeOps.all ++ TextSimOps.all ++ CurateOps.all ++
       SketchOps.all ++ GovernOps.all ++ ReshapeOps.all ++
-      JoinScaleOps.all ++ VectorOps.all ++ ImplOps.all
+      JoinScaleOps.all ++ VectorOps.all ++ TextRankOps.all ++ StatOps.all ++
+      ImplOps.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")
