@@ -14,6 +14,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *   - `simhash64(tokens)`         → bigint        ([[HashExprs.SimHash64]])
   *   - `dot_vec(a, b)`             → double        ([[VectorExprs.DotVec]])
   *   - `norm2_sq(v)`               → double        ([[VectorExprs.Norm2]])
+  *   - `zorder2(x, y, bits)`       → bigint        ([[ZOrderExprs.ZOrder2]])
   *   - `bloom_agg(k[, nItems[, nBits]])` / `bloom_contains(bf, k)` —
   *     Spark's own runtime-filter bloom expressions
   *     (`BloomFilterAggregate`/`BloomFilterMightContain`), which the
@@ -81,6 +82,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("norm2_sq", args, 1)
         VectorExprs.Norm2(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrderExprs.ZOrder2].getName, "zorder2"),
+      (args: Seq[Expression]) => {
+        arity("zorder2", args, 3)
+        ZOrderExprs.ZOrder2(args.head, args(1),
+          intLit(args(2), "zorder2", "bits"))
       }))
     ext.injectFunction((FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),

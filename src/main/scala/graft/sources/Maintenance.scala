@@ -53,11 +53,35 @@ object Maintenance {
               targetBytes: Long = 128L << 20): (Int, Int) =
     compactWith(spark, dir, targetBytes)(() => ())
 
+  /** [[compact]] that also Z-order-clusters the rewrite on two columns
+    * ([[graft.functions.ZOrderExprs]]): output files are range-partitioned
+    * and sorted by the interleaved z-value, so each lands an axis-aligned
+    * box in BOTH columns and parquet min/max footer stats prune point/range
+    * predicates on EITHER one (a plain compact preserves arrival order —
+    * pruning quality is whatever the writer left behind). Columns are
+    * pmod-folded into the 2^bits grid: clustering is a layout heuristic,
+    * so folding distant keys to one cell costs locality, never
+    * correctness. Same stage-then-swap crash/concurrency story as
+    * [[compact]], including its ≤-target-file-count no-op — an
+    * already-compact but badly-clustered table re-clusters only if given
+    * a smaller targetBytes. */
+  def compactZOrdered(spark: SparkSession, dir: String,
+                      xCol: String, yCol: String, bits: Int = 16,
+                      targetBytes: Long = 128L << 20): (Int, Int) = {
+    val lim = lit(1L << bits)
+    val z = graft.functions.ZOrderExprs.zOrder2(
+      pmod(col(xCol).cast("long"), lim), pmod(col(yCol).cast("long"), lim),
+      bits)
+    compactWith(spark, dir, targetBytes, Some(z))(() => ())
+  }
+
   /** [[compact]] with a hook that fires between the stage-out rename and
     * the swap-in — the testing seam for the concurrent-writer-recreates-
     * the-directory race (un-stageable deterministically from outside). */
   private[graft] def compactWith(spark: SparkSession, dir: String,
-                                 targetBytes: Long)
+                                 targetBytes: Long,
+                                 clusterBy: Option[org.apache.spark.sql.Column]
+                                   = None)
                                 (afterStageOut: () => Unit): (Int, Int) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -72,9 +96,19 @@ object Maintenance {
 
     val tmp = new Path(p.getParent, s"_compact_tmp_${p.getName}")
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale from a prior crash
-    spark.read.parquet(dir)
-      .repartition(want) // round-robin: even output sizes regardless of skew
-      .write.mode("overwrite").parquet(tmp.toString)
+    val snapshot = spark.read.parquet(dir)
+    val rewrite = clusterBy match {
+      case None => snapshot.repartition(want) // round-robin: even sizes
+      case Some(z) =>
+        // range-partition + in-partition sort by z: globally z-ordered
+        // files (even by ROW count via sampling — clustering trades the
+        // byte-perfect sizing of round-robin for prunable layout)
+        snapshot.withColumn("__graft_z", z)
+          .repartitionByRange(want, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+    }
+    rewrite.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(bak)) fs.delete(bak, true)
     if (!fs.rename(p, bak)) sys.error(s"compact: cannot stage out $p")
     // concurrent-writer guard AFTER the stage-out: anything that landed

@@ -76,4 +76,36 @@ class MaintenanceSpec extends AnyFunSuite with SparkFixture {
     // ceil(total/target) = 4 give or take parquet overhead re-encoding
     assert(nAfter >= 3 && nAfter <= 5, s"got $nAfter files")
   }
+
+  test("compactZOrdered clusters both columns so either one prunes") {
+    val dir = Files.createTempDirectory("graft_zcompact").toString + "/t"
+    val src = Tables.lineitem(spark, Sf)
+      .select((col("l_partkey") % 256).as("px"), (col("l_orderkey") % 256).as("po"))
+    src.orderBy("px").repartition(24) // arrival order scrambles po entirely
+      .write.mode("overwrite").parquet(dir)
+    val nRows = spark.read.parquet(dir).count()
+
+    val bytes = Maintenance.dataFiles(spark, dir)
+      .map(f => f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(f).getLen).sum
+    val (nBefore, nAfter) =
+      Maintenance.compactZOrdered(spark, dir, "px", "po", bits = 8,
+        targetBytes = bytes / 8 + 1)
+    assert(nBefore === 24 && nAfter >= 4, s"$nBefore -> $nAfter")
+
+    // identical data after the clustered rewrite
+    val after = spark.read.parquet(dir)
+    assert(after.count() === nRows)
+    assert(after.exceptAll(src).isEmpty && src.exceptAll(after).isEmpty)
+
+    // per-file min/max boxes: a point predicate on the SECOND column
+    // must skip at least one file (round-robin arrival order never does)
+    val boxes = after.select(col("po"),
+        input_file_name().as("f"))
+      .groupBy("f").agg(min("po").as("lo"), max("po").as("hi"))
+      .collect()
+    val touched = boxes.count(r => r.getLong(1) <= 7 && r.getLong(2) >= 7)
+    assert(touched < boxes.length,
+      s"po=7 touched $touched of ${boxes.length} z-clustered files")
+  }
 }
