@@ -18,10 +18,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * merge of sorted buffers: associative, commutative, and idempotent-safe
   * under Spark's partial-aggregation contract.
   *
-  * The oracle-checked window twin stays q_topk_per_group (SQL-expressible,
-  * UDF-free plan); FunctionsSpec asserts this aggregator reproduces it
-  * row-for-row, and the impl-only q_topk_group_agg registers the bounded
-  * plan for the bench's shuffle accounting.
+  * Because that total order is deterministic, q_topk_group_agg is
+  * oracle-checked directly (the window-twin SQL is its oracle) — the one
+  * sanctioned non-built-in aggregate in an oracle path, exempted by name
+  * in PlanSpec's UDF scan. FunctionsSpec additionally asserts row parity
+  * with the in-engine window plan q_topk_per_group.
   */
 final case class TopKBuf(var items: List[(Double, Long)])
 

@@ -71,8 +71,19 @@ object ImplOps {
   /** Bounded-shuffle top-3 per customer via the k-capped TopKAgg buffer —
     * map-side partials carry ≤3 rows per group per partition, vs the
     * window twin q_topk_per_group which shuffles+sorts every order row.
-    * FunctionsSpec asserts exact row parity with the window plan. */
-  val topkGroupAgg: Q = Q.implOnly("q_topk_group_agg") { (s, dir) =>
+    * Oracle-checked since round 4: the aggregator's total order
+    * (value DESC, payload ASC) is exactly the window twin's SQL order,
+    * so the plain row_number query is a valid oracle. FunctionsSpec
+    * additionally asserts row parity against the in-engine window plan. */
+  val topkGroupAgg: Q = Q.checked(
+    "q_topk_group_agg",
+    """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+      |FROM r WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+  ) { (s, dir) =>
     val top3 = udaf(new graft.functions.TopKAgg(3))
     Tables.orders(s, dir)
       .groupBy("o_custkey")

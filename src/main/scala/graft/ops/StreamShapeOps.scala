@@ -216,6 +216,42 @@ object StreamShapeOps {
       .orderBy("grain", "g_ts", "event_type")
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * count (state → next state) pairs plus an integer-scaled row
+    * probability (p_milli = n·1000 div row total — floor division, the
+    * q_tfidf determinism recipe). One shuffle on user_id for the lead()
+    * window, then a 25-key aggregation; the row-total window runs over
+    * the 25-row aggregate, not the stream. The per-user sequence order
+    * (ts, event_id) is total, so next_type is deterministic. */
+  val transitions: Q = Q.checked(
+    "q_transitions",
+    Tables.EventsCte +
+      """,
+        |nxt AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM ev),
+        |pairs AS (
+        |  SELECT event_type, next_type, count(*) AS n
+        |  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  CAST((n * 1000) // (sum(n) OVER (PARTITION BY event_type))
+        |    AS BIGINT) AS p_milli
+        |FROM pairs ORDER BY event_type, next_type""".stripMargin
+  ) { (s, dir) =>
+    val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("event_type"), lead(col("event_type"), 1).over(seq)
+        .as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("p_milli", expr(
+        "(n * 1000) div (sum(n) OVER (PARTITION BY event_type))"))
+      .orderBy("event_type", "next_type")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, sessionBatch, funnel, retention,
-    timeRollup)
+    timeRollup, transitions)
 }

