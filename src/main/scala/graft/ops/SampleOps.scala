@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Weighted sampling and continuous quantiles — the two distribution ops
+  * CurateOps' discrete machinery (hash splits, quota samples, rank-crossing
+  * quantiles) deliberately left out. (North-star additions; SURVEY §0.)
+  *
+  * Scale design: the weighted sample is the A-ES reservoir formulation —
+  * a map-only priority key per row, then per-stratum top-k — so it runs
+  * as one window shuffle on the stratum key (or a TopKAgg-style bounded
+  * aggregation at real scale) with NO global state and NO driver RNG:
+  * the "randomness" is a multiplicative integer hash of the row key,
+  * reproducible across runs, partitionings, and engines. Continuous
+  * quantiles are one window shuffle + a 5-row lerp.
+  *
+  * Determinism (SURVEY §7.5): the A-ES priority −ln(u)/w is transcendental,
+  * so the key is snapped to a BIGINT at 1e12 scale with floor(x+0.5)
+  * (the engines' libm ln may drift an ulp; the snap absorbs it — verified
+  * over the full corpus at sf0.01 and sf0.1), and all ordering ties break
+  * on doc_id. Quantile interpolation fractions are exact quarters
+  * (m mod 4 · 0.25), and the lerp is a fixed correctly-rounded tree.
+  */
+object SampleOps {
+
+  /** Weighted sample without replacement (A-ES, Efraimidis–Spirakis),
+    * 20 docs per language, weight = n_chars: priority = −ln(u)/w with
+    * u = (knuth_hash(doc_id) + ½)/2³², smallest-k selected — equivalent
+    * to largest u^(1/w). Longer docs are proportionally likelier to be
+    * drawn, and the draw is stable under corpus growth: a doc's priority
+    * never changes when neighbors arrive. */
+  val sampleWeighted: Q = Q.checked(
+    "q_sample_weighted",
+    """WITH k AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(floor((0.0e0 - ln((CAST((doc_id * 2654435761) % 4294967296
+      |            AS DOUBLE) + 5.0e-1) / 4294967296.0e0))
+      |          / CAST(n_chars AS DOUBLE) * 1.0e12 + 5.0e-1) AS BIGINT)
+      |      AS priority
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |        ORDER BY priority, doc_id) AS rnk FROM k)
+      |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, priority
+      |FROM r WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin
+  ) { (s, dir) =>
+    val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    val u = (h.cast(DoubleType) + lit(0.5)) / lit(4294967296.0)
+    val priority = floor((lit(0.0) - log(u)) / col("n_chars").cast(DoubleType)
+      * lit(1.0e12) + lit(0.5)).as("priority")
+    val w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), priority)
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 20)
+      .select("lang", "rnk", "doc_id", "n_chars", "priority")
+      .orderBy("lang", "rnk")
+  }
+
+  /** Continuous (type-7, the R/NumPy/DuckDB-default) interpolated
+    * quartiles per market segment, computed manually on both engines so
+    * neither's builtin FP-combination order is trusted: position
+    * h = (n−1)·q splits into integer rank + exact quarter fraction, the
+    * two bracketing values are picked by rank-crossing (q_quantile_disc's
+    * technique), and p = lo + f·(hi−lo) is one fixed IEEE tree. */
+  val quantileCont: Q = Q.checked(
+    "q_quantile_cont",
+    """WITH r AS (
+      |  SELECT c_mktsegment, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal, c_custkey) AS rn,
+      |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM customer),
+      |pick AS (
+      |  SELECT c_mktsegment, n,
+      |    min(CASE WHEN rn = (n-1) // 4 + 1 THEN c_acctbal END) AS lo25,
+      |    min(CASE WHEN rn = least((n-1) // 4 + 2, n) THEN c_acctbal END)
+      |      AS hi25,
+      |    min(CASE WHEN rn = (n-1) // 2 + 1 THEN c_acctbal END) AS lo50,
+      |    min(CASE WHEN rn = least((n-1) // 2 + 2, n) THEN c_acctbal END)
+      |      AS hi50,
+      |    min(CASE WHEN rn = (3*(n-1)) // 4 + 1 THEN c_acctbal END) AS lo75,
+      |    min(CASE WHEN rn = least((3*(n-1)) // 4 + 2, n) THEN c_acctbal END)
+      |      AS hi75
+      |  FROM r GROUP BY c_mktsegment, n)
+      |SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+      |  lo25 + (CAST((n-1) % 4 AS DOUBLE) * 2.5e-1) * (hi25 - lo25) AS p25,
+      |  lo50 + (CAST((n-1) % 2 AS DOUBLE) * 5.0e-1) * (hi50 - lo50) AS p50,
+      |  lo75 + (CAST((3*(n-1)) % 4 AS DOUBLE) * 2.5e-1) * (hi75 - lo75)
+      |    AS p75
+      |FROM pick ORDER BY c_mktsegment""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    val wn = Window.partitionBy("c_mktsegment")
+    def pickAt(rnExpr: String, name: String) =
+      min(when(expr(s"rn = $rnExpr"), col("c_acctbal"))).as(name)
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_acctbal"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+      .groupBy("c_mktsegment", "n")
+      .agg(pickAt("(n-1) div 4 + 1", "lo25"),
+        pickAt("least((n-1) div 4 + 2, n)", "hi25"),
+        pickAt("(n-1) div 2 + 1", "lo50"),
+        pickAt("least((n-1) div 2 + 2, n)", "hi50"),
+        pickAt("(3*(n-1)) div 4 + 1", "lo75"),
+        pickAt("least((3*(n-1)) div 4 + 2, n)", "hi75"))
+      .select(col("c_mktsegment"), col("n").cast(LongType).as("n"),
+        (col("lo25") + (expr("(n-1) % 4").cast(DoubleType) * lit(0.25))
+          * (col("hi25") - col("lo25"))).as("p25"),
+        (col("lo50") + (expr("(n-1) % 2").cast(DoubleType) * lit(0.5))
+          * (col("hi50") - col("lo50"))).as("p50"),
+        (col("lo75") + (expr("(3*(n-1)) % 4").cast(DoubleType) * lit(0.25))
+          * (col("hi75") - col("lo75"))).as("p75"))
+      .orderBy("c_mktsegment")
+  }
+
+  val all: Seq[Q] = Seq(sampleWeighted, quantileCont)
+}

@@ -125,6 +125,38 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class Transition(event_type: String, next_type: String)
+
+  /** Per-user first-order transition pairs as a stream — the stateful
+    * twin of q_transitions' lead() window: state = the user's last event,
+    * each trigger sorts ITS OWN rows into (ts, event_id) order and emits
+    * one (prev → curr) pair per consecutive step, starting from the
+    * carried state. Assumes in-order delivery ACROSS triggers (the
+    * micro-batch reality for a replayed ordered log; an out-of-order feed
+    * needs a watermark + event-time sort upstream). Downstream, the same
+    * groupBy(pair).count() as the batch query completes the matrix. */
+  def transitionPairs(events: DataFrame)
+                     (implicit spark: SparkSession): Dataset[Transition] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id",
+        "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[(Long, Long, String)]) =>
+          val ordered = rows.toSeq.sortBy(r => (r._2, r._3))
+          var prev = state.getOption
+          val out = Seq.newBuilder[Transition]
+          ordered.foreach { r =>
+            prev.foreach(p => out += Transition(p._3, r._4))
+            prev = Some((r._2, r._3, r._4))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** Arbitrary stateful op: running per-user totals via

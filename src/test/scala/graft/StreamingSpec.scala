@@ -560,4 +560,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // dedup picks an arbitrary row per key, the stream keeps the first)
     assert(streamed.select("sig").exceptAll(batch.select("sig")).isEmpty)
   }
+
+  test("transitionPairs: stateful stream pair counts equal the batch lead() matrix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val events = Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id") // in-order feed, split into two triggers
+      .as[Ev].collect().toSeq
+    val (first, second) = events.splitAt(events.length / 2)
+
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.transitionPairs(ms.toDF)
+      .writeStream.format("memory").queryName("trans_parity")
+      .outputMode("append").start()
+    try {
+      ms.addData(first); q.processAllAvailable()
+      ms.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("trans_parity")
+      .groupBy("event_type", "next_type").count()
+      .orderBy("event_type", "next_type").collect().toSeq
+    // batch twin: q_transitions' pair counts (drop the p_milli column)
+    val batch = graft.ops.StreamShapeOps.transitions.fn(spark, Sf)
+      .select(col("event_type"), col("next_type"), col("n").as("count"))
+      .collect().toSeq
+    assert(streamed === batch)
+  }
 }
