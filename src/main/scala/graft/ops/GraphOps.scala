@@ -62,17 +62,12 @@ object GraphOps {
         (col("l_suppkey") * 2 + 1).as("dst"))
       .unionByName(e0.select((col("l_suppkey") * 2 + 1).as("src"),
         (col("l_partkey") * 2).as("dst")))
-      // hash-partition by src ONCE: localCheckpoint preserves the
-      // partitioning, every round's rank join keys on src, and each
-      // round's rank frame comes out of groupBy(dst) already hashed on
-      // the same node-id domain — so iterations add NO exchange on the
-      // edge list (the co-partitioned-iteration trick; only the per-round
-      // contribution aggregation shuffles, and that is node-sized). The
-      // in-partition pre-sort is likewise checkpoint-preserved, so each
-      // round's sort-merge join re-sorts only the node-sized rank frame,
-      // never the edge list.
-      .repartition(col("src"))
-      .sortWithinPartitions("src")
+      // (measured: pre-repartitioning edges by src to co-partition the
+      // per-round joins does NOT pay here — AQE coalesces the round's
+      // rank-frame partitioning so the join re-exchanges anyway, and the
+      // upfront repartition nearly tripled total shuffle for flat wall
+      // time. At real scale the equivalent win comes from bucket-storing
+      // the edge list, not an in-plan repartition.)
       .localCheckpoint(true)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)

@@ -124,5 +124,43 @@ object StatOps {
       .orderBy("o_orderstatus")
   }
 
-  val all: Seq[Q] = Seq(histogram, outliers, groupedMode)
+  /** 2-D skyline (Pareto frontier): parts where no other part is cheaper
+    * (≤) AND larger (≥) with one strict — minimize p_retailprice,
+    * maximize p_size. O(n²) dominance collapses to one prefix-max pass:
+    * group to one max-size row per distinct price (first shuffle, key
+    * space = distinct prices ≪ rows), running max over the price-ordered
+    * aggregate (a window over the SMALL frame, never the raw table),
+    * then a survivor is a part at its price group's max size that beats
+    * every strictly-cheaper group's max. Equal (price, size) twins both
+    * survive — neither strictly dominates. All comparisons are on raw
+    * column values, no derived floats. */
+  val skyline: Q = Q.checked(
+    "q_skyline",
+    """WITH per_price AS (
+      |  SELECT p_retailprice AS price, max(p_size) AS gmax
+      |  FROM part GROUP BY 1),
+      |pfx AS (
+      |  SELECT price, gmax,
+      |    max(gmax) OVER (ORDER BY price
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM per_price)
+      |SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+      |FROM part p JOIN pfx ON p.p_retailprice = pfx.price
+      |WHERE p.p_size = pfx.gmax AND (pfx.pmax IS NULL OR p.p_size > pfx.pmax)
+      |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin
+  ) { (s, dir) =>
+    val part = Tables.part(s, dir)
+    val perPrice = part.groupBy(col("p_retailprice").as("price"))
+      .agg(max(col("p_size")).as("gmax"))
+    val w = Window.orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pfx = perPrice.withColumn("pmax", max(col("gmax")).over(w))
+    part.join(pfx, part("p_retailprice") === pfx("price"))
+      .filter(col("p_size") === col("gmax") &&
+        (col("pmax").isNull || col("p_size") > col("pmax")))
+      .select("p_partkey", "p_name", "p_retailprice", "p_size")
+      .orderBy("p_retailprice", "p_partkey")
+  }
+
+  val all: Seq[Q] = Seq(histogram, outliers, groupedMode, skyline)
 }

@@ -252,6 +252,86 @@ object StreamShapeOps {
       .orderBy("event_type", "next_type")
   }
 
+  /** Peak concurrent sessions per day — the sweep-line classic, written
+    * to survive 100 TB: sessions (q_session_batch's gaps-and-islands)
+    * become ±1 boundary deltas, deltas are NETTED per timestamp (so no
+    * tie-ordering exists to disagree on), the running sum is computed
+    * WITHIN each day partition, and cross-day state is a carry frame of
+    * one net integer per day — the only global window runs over ~30 day
+    * rows, never the event stream. A naive global ORDER BY ts running
+    * sum would single-partition the whole table; this shape never does.
+    * Session ends are exclusive at end+1µs, so a 1-event session still
+    * occupies its instant and back-to-back sessions at the same
+    * microsecond count as overlapping for that instant. All integers. */
+  val peakConcurrency: Q = Q.checked(
+    "q_peak_concurrency",
+    Tables.EventsCte +
+      """,
+        |flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS sid
+        |  FROM flagged),
+        |spans AS (SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+        |          FROM sess GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT s_start AS ts, 1 AS d FROM spans
+        |  UNION ALL
+        |  SELECT s_end + INTERVAL 1 MICROSECOND, -1 FROM spans),
+        |net AS (SELECT ts, CAST(sum(d) AS BIGINT) AS d FROM deltas
+        |        GROUP BY ts),
+        |run AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, d,
+        |    sum(d) OVER (PARTITION BY date_trunc('day', ts) ORDER BY ts)
+        |      AS run_in_day
+        |  FROM net),
+        |daily AS (SELECT day, max(run_in_day) AS max_run,
+        |            CAST(sum(d) AS BIGINT) AS day_net
+        |          FROM run GROUP BY day)
+        |SELECT day,
+        |  CAST(coalesce(sum(day_net) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |       + max_run AS BIGINT) AS max_conc
+        |FROM daily ORDER BY day""".stripMargin
+  ) { (s, dir) =>
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val usec = unix_micros(col("ts"))
+    val newS = when(lag(col("ts"), 1).over(byUser).isNull
+        || usec - unix_micros(lag(col("ts"), 1).over(byUser)) > 1800000000L, 1)
+      .otherwise(0)
+    val spans = Tables.events(s, dir)
+      .withColumn("new_s", newS)
+      .withColumn("sid", sum(col("new_s"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val deltas = spans.select(col("s_start").as("ts"), lit(1).as("d"))
+      .unionByName(spans.select(
+        (col("s_end") + expr("INTERVAL 1 MICROSECOND")).as("ts"),
+        lit(-1).as("d")))
+    val net = deltas.groupBy("ts").agg(sum(col("d")).as("d"))
+    val inDay = Window.partitionBy(date_trunc("day", col("ts"))).orderBy("ts")
+    val daily = net
+      .select(date_trunc("day", col("ts")).cast(DateType).as("day"),
+        col("d"), sum(col("d")).over(inDay).as("run_in_day"))
+      .groupBy("day")
+      .agg(max(col("run_in_day")).as("max_run"), sum(col("d")).as("day_net"))
+    val carry = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .select(col("day"),
+        (coalesce(sum(col("day_net")).over(carry), lit(0L)) + col("max_run"))
+          .cast(LongType).as("max_conc"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, sessionBatch, funnel, retention,
-    timeRollup, transitions)
+    timeRollup, transitions, peakConcurrency)
 }

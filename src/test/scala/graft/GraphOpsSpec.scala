@@ -21,6 +21,47 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
       again.map(r => (r.getLong(0), r.getLong(2))).toSeq)
   }
 
+  test("q_peak_concurrency: equals a brute-force single-threaded sweep") {
+    val evs = Tables.events(spark, Sf)
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2)))
+    // sessions: 30-min gap islands per user, in (ts, event_id) order
+    val spans = evs.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.map(r => (r._2, r._3)).sortBy(identity).map(_._1)
+      val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
+      var (s0, prev) = (sorted.head, sorted.head)
+      sorted.tail.foreach { t =>
+        if (t - prev > 1800000000L) { out += ((s0, prev)); s0 = t }
+        prev = t
+      }
+      out += ((s0, prev))
+      out
+    }.toSeq
+    // brute sweep: net deltas per µs instant, walk in time order
+    val deltas = spans.flatMap { case (a, b) => Seq((a, 1), (b + 1, -1)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val dayOf = (us: Long) => us / 86400000000L
+    val expect = scala.collection.mutable.Map[Long, Long]()
+    var cur = 0L
+    deltas.foreach { case (t, d) =>
+      cur += d
+      val k = dayOf(t)
+      expect(k) = math.max(expect.getOrElse(k, Long.MinValue), cur)
+    }
+    // carry-only days never appear in the query output; compare on the
+    // days the query emits
+    val got = StreamShapeOps.peakConcurrency.fn(spark, Sf).collect()
+      .map(r => dayOf(r.getDate(0).toLocalDate.toEpochDay * 86400000000L)
+        -> r.getLong(1)).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (day, conc) =>
+      // the brute walk tracks concurrency AFTER each delta; within a day
+      // the max over prefix points matches the query's day-max exactly
+      assert(conc === expect(day), s"day $day")
+    }
+  }
+
   test("q_transitions: pair count conserves (events minus one per user); p_milli rows sum to ~1000") {
     val ev = Tables.events(spark, Sf)
     val expected = ev.count() - ev.select("user_id").distinct().count()

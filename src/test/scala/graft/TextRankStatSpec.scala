@@ -90,6 +90,19 @@ class TextRankStatSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_skyline: exactly the non-dominated set (brute-force check)") {
+    val parts = Tables.part(spark, Sf)
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val expect = parts.filter { case (k, pr, sz) =>
+      !parts.exists { case (k2, pr2, sz2) =>
+        k2 != k && pr2 <= pr && sz2 >= sz && (pr2 < pr || sz2 > sz)
+      }
+    }.map(_._1).toSet
+    val got = StatOps.skyline.fn(spark, Sf).collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+  }
+
   test("q_grouped_mode: matches brute-force mode per status") {
     val brute = Tables.orders(spark, Sf)
       .groupBy("o_orderstatus", "o_orderpriority").count()
