@@ -312,10 +312,14 @@ object StreamShapeOps {
         .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "sid")
       .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
-    val deltas = spans.select(col("s_start").as("ts"), lit(1).as("d"))
-      .unionByName(spans.select(
-        (col("s_end") + expr("INTERVAL 1 MICROSECOND")).as("ts"),
-        lit(-1).as("d")))
+    // ±1 deltas via ONE generate, not a self-union: a union of two
+    // selects over `spans` would recompute the whole sessionization
+    // subtree (and rescan events) twice — plan-audited, round 4
+    val deltas = spans.select(explode(array(
+        struct(col("s_start").as("ts"), lit(1).as("d")),
+        struct((col("s_end") + expr("INTERVAL 1 MICROSECOND")).as("ts"),
+          lit(-1).as("d")))).as("x"))
+      .select(col("x.ts").as("ts"), col("x.d").as("d"))
     val net = deltas.groupBy("ts").agg(sum(col("d")).as("d"))
     val inDay = Window.partitionBy(date_trunc("day", col("ts"))).orderBy("ts")
     val daily = net

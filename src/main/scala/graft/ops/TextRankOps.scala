@@ -110,10 +110,14 @@ object TextRankOps {
         explode(col("toks")).as("token"))
       .filter(col("token").isin("dup", "join", "spark"))
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
-    val dfr = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      // df as a window over the tf frame (one row per (doc, token), so
+      // rows-per-token = docs containing the token): a separate
+      // groupBy+join would recompute the whole tf subtree and rescan
+      // documents — plan-audited, round 4
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
     val n = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(split(col("text"), " ")).cast(LongType)).as("sum_dl"))
-    val scored = tf.join(broadcast(dfr), "token").crossJoin(broadcast(n))
+    val scored = tf.crossJoin(broadcast(n))
       .withColumn("idf6",
         expr("(((n_docs - df) * 2 + 1) * 1000000) div (df * 2 + 1)"))
       .withColumn("score",
