@@ -68,9 +68,15 @@ object GraphOps {
       // upfront repartition nearly tripled total shuffle for flat wall
       // time. At real scale the equivalent win comes from bucket-storing
       // the edge list, not an in-plan repartition.)
-      .localCheckpoint(true)
+      //
+      // LAZY checkpoints: the returned frame is already LogicalRDD-backed
+      // (plan truncation — the loop stays O(rounds), not O(2^rounds)),
+      // but no job runs until an action, so plan-only consumers
+      // (PlanSpec's UDF scan, graft.Explain) don't execute 5 Spark jobs
+      // just to read the plan; persistence still happens on first run.
+      .localCheckpoint(false)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to Iters) {
       r = edges.join(r, edges("src") === r("node"))
@@ -79,7 +85,7 @@ object GraphOps {
         .agg((lit(150000L) + sum(expr("((r * 17) div 20) div deg")))
           .cast(LongType).as("r"))
         .select(col("dst").as("node"), col("r"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     r.select(col("node"),
         when(col("node") % 2 === 0, "part").otherwise("supplier").as("kind"),

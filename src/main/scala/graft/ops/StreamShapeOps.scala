@@ -59,27 +59,47 @@ object StreamShapeOps {
       .orderBy("win_start")
   }
 
+  /** THE gaps-and-islands session definition (30-minute gap, total
+    * (ts, event_id) order), shared by q_session_batch and
+    * q_peak_concurrency — one definition on each engine, so the gap rule
+    * and the tiebreaker can never drift between the two queries. */
+  private val SessionSqlCtes: String =
+    """flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER win IS NULL
+      |              OR epoch_us(ts) - epoch_us(lag(ts) OVER win) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM ev
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_id
+      |  FROM flagged)""".stripMargin
+
+  /** Spark twin of [[SessionSqlCtes]]: events + a session_id column. */
+  private def withSessionIds(events: org.apache.spark.sql.DataFrame) = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val usec = unix_micros(col("ts"))
+    val newSession = when(lag(col("ts"), 1).over(byUser).isNull
+        || usec - unix_micros(lag(col("ts"), 1).over(byUser)) > 1800000000L, 1)
+      .otherwise(0)
+    events
+      .withColumn("new_session", newSession)
+      .withColumn("session_id",
+        sum(col("new_session"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts when the
     * per-user gap exceeds 30 minutes. Two window passes over one shuffle by
     * user_id, then a per-user rollup; span arithmetic stays in exact
     * BIGINT microseconds. */
   val sessionBatch: Q = Q.checked(
     "q_session_batch",
-    Tables.EventsCte +
+    Tables.EventsCte + ",\n" + SessionSqlCtes +
       """,
-        |flagged AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER win IS NULL
-        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER win) > 1800000000
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM ev
-        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sessions AS (
-        |  SELECT user_id, ts,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS session_id
-        |  FROM flagged),
         |per_session AS (
         |  SELECT user_id, session_id, count(*) AS n_events,
         |    epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
@@ -90,16 +110,7 @@ object StreamShapeOps {
         |  CAST(sum(span_us) AS DOUBLE) / count(*) / 1000000.0 AS avg_span_sec
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
   ) { (s, dir) =>
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val usec = unix_micros(col("ts"))
-    val newSession = when(lag(col("ts"), 1).over(byUser).isNull
-        || usec - unix_micros(lag(col("ts"), 1).over(byUser)) > 1800000000L, 1)
-      .otherwise(0)
-    Tables.events(s, dir)
-      .withColumn("new_session", newSession)
-      .withColumn("session_id",
-        sum(col("new_session"))
-          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSessionIds(Tables.events(s, dir))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
         (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("span_us"))
@@ -262,25 +273,21 @@ object StreamShapeOps {
     * sum would single-partition the whole table; this shape never does.
     * Session ends are exclusive at end+1µs, so a 1-event session still
     * occupies its instant and back-to-back sessions at the same
-    * microsecond count as overlapping for that instant. All integers. */
+    * microsecond count as overlapping for that instant. All integers.
+    *
+    * Sessions spanning midnight: a day's peak is at least its carry-in
+    * (concurrency holds from 00:00 until the first in-day boundary), so
+    * the day term is greatest(0, max_run), not max_run — an all-endings
+    * day must not under-report. A day with NO session boundary at all is
+    * omitted (emitting carry-only days needs a calendar join; with a
+    * 30-minute session gap such days cannot hold an open session anyway). */
   val peakConcurrency: Q = Q.checked(
     "q_peak_concurrency",
-    Tables.EventsCte +
+    Tables.EventsCte + ",\n" + SessionSqlCtes +
       """,
-        |flagged AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-        |         THEN 1 ELSE 0 END AS new_s
-        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS sid
-        |  FROM flagged),
-        |spans AS (SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
-        |          FROM sess GROUP BY 1, 2),
+        |spans AS (SELECT user_id, session_id,
+        |            min(ts) AS s_start, max(ts) AS s_end
+        |          FROM sessions GROUP BY 1, 2),
         |deltas AS (
         |  SELECT s_start AS ts, 1 AS d FROM spans
         |  UNION ALL
@@ -298,19 +305,11 @@ object StreamShapeOps {
         |SELECT day,
         |  CAST(coalesce(sum(day_net) OVER (ORDER BY day
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |       + max_run AS BIGINT) AS max_conc
+        |       + greatest(0, max_run) AS BIGINT) AS max_conc
         |FROM daily ORDER BY day""".stripMargin
   ) { (s, dir) =>
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val usec = unix_micros(col("ts"))
-    val newS = when(lag(col("ts"), 1).over(byUser).isNull
-        || usec - unix_micros(lag(col("ts"), 1).over(byUser)) > 1800000000L, 1)
-      .otherwise(0)
-    val spans = Tables.events(s, dir)
-      .withColumn("new_s", newS)
-      .withColumn("sid", sum(col("new_s"))
-        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "sid")
+    val spans = withSessionIds(Tables.events(s, dir))
+      .groupBy("user_id", "session_id")
       .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
     // ±1 deltas via ONE generate, not a self-union: a union of two
     // selects over `spans` would recompute the whole sessionization
@@ -331,7 +330,8 @@ object StreamShapeOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     daily
       .select(col("day"),
-        (coalesce(sum(col("day_net")).over(carry), lit(0L)) + col("max_run"))
+        (coalesce(sum(col("day_net")).over(carry), lit(0L)) +
+          greatest(lit(0L), col("max_run")))
           .cast(LongType).as("max_conc"))
       .orderBy("day")
   }

@@ -102,7 +102,12 @@ object Maintenance {
       case Some(z) =>
         // range-partition + in-partition sort by z: globally z-ordered
         // files (even by ROW count via sampling — clustering trades the
-        // byte-perfect sizing of round-robin for prunable layout)
+        // byte-perfect sizing of round-robin for prunable layout).
+        // A real column named like the scratch key would be silently
+        // REPLACED by withColumn and then dropped — data loss, so refuse.
+        require(!snapshot.columns.contains("__graft_z"),
+          s"compact: $dir already has a __graft_z column; " +
+            "rename it before a clustered compaction")
         snapshot.withColumn("__graft_z", z)
           .repartitionByRange(want, col("__graft_z"))
           .sortWithinPartitions("__graft_z")

@@ -128,12 +128,16 @@ object StreamOps {
   final case class Transition(event_type: String, next_type: String)
 
   /** Per-user first-order transition pairs as a stream — the stateful
-    * twin of q_transitions' lead() window: state = the user's last event,
-    * each trigger sorts ITS OWN rows into (ts, event_id) order and emits
-    * one (prev → curr) pair per consecutive step, starting from the
-    * carried state. Assumes in-order delivery ACROSS triggers (the
-    * micro-batch reality for a replayed ordered log; an out-of-order feed
-    * needs a watermark + event-time sort upstream). Downstream, the same
+    * twin of q_transitions' lead() window: state = the user's last event
+    * position + type, each trigger sorts ITS OWN rows into (ts, event_id)
+    * order and emits one (prev → curr) pair per consecutive step,
+    * starting from the carried state. A row at or behind the carried
+    * position (late data straddling a trigger boundary) is DROPPED, not
+    * silently appended out of order — the stored position is the
+    * enforcement point, so the sequence each pair is drawn from is
+    * guaranteed monotone even under a disordered feed (the late row's
+    * own transition is lost; a full repair needs a watermark +
+    * event-time sort upstream). Downstream, the same
     * groupBy(pair).count() as the batch query completes the matrix. */
   def transitionPairs(events: DataFrame)
                      (implicit spark: SparkSession): Dataset[Transition] = {
@@ -149,8 +153,12 @@ object StreamOps {
           var prev = state.getOption
           val out = Seq.newBuilder[Transition]
           ordered.foreach { r =>
-            prev.foreach(p => out += Transition(p._3, r._4))
-            prev = Some((r._2, r._3, r._4))
+            val pos = (r._2, r._3)
+            if (!prev.exists(p => Ordering[(Long, Long)]
+                .gteq((p._1, p._2), pos))) {
+              prev.foreach(p => out += Transition(p._3, r._4))
+              prev = Some((r._2, r._3, r._4))
+            }
           }
           prev.foreach(state.update)
           out.result().iterator

@@ -45,9 +45,13 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     val expect = scala.collection.mutable.Map[Long, Long]()
     var cur = 0L
     deltas.foreach { case (t, d) =>
-      cur += d
       val k = dayOf(t)
-      expect(k) = math.max(expect.getOrElse(k, Long.MinValue), cur)
+      // concurrency holds at the carry-in from midnight until the first
+      // in-day delta — an all-endings day peaks at its carry, and the
+      // query must not under-report it
+      if (!expect.contains(k)) expect(k) = cur
+      cur += d
+      expect(k) = math.max(expect(k), cur)
     }
     // carry-only days never appear in the query output; compare on the
     // days the query emits

@@ -578,6 +578,9 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     try {
       ms.addData(first); q.processAllAvailable()
       ms.addData(second); q.processAllAvailable()
+      // a late replay of an already-processed row must be DROPPED by the
+      // stored-position guard, not emitted as a bogus out-of-order pair
+      ms.addData(Seq(first.head)); q.processAllAvailable()
     } finally q.stop()
 
     val streamed = spark.table("trans_parity")
