@@ -13,7 +13,8 @@ object Registry {
       StreamShapeOps.all ++ TextSimOps.all ++ CurateOps.all ++
       SketchOps.all ++ GovernOps.all ++ ReshapeOps.all ++
       JoinScaleOps.all ++ VectorOps.all ++ TextRankOps.all ++ StatOps.all ++
-      LayoutOps.all ++ GraphOps.all ++ SampleOps.all ++ ImplOps.all
+      LayoutOps.all ++ GraphOps.all ++ SampleOps.all ++ SimJoinOps.all ++
+      LmOps.all ++ ImplOps.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

@@ -94,5 +94,93 @@ object GraphOps {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(pagerank)
+  /** Per-brand triangle census over the part price-proximity graph:
+    * parts are adjacent when they share a brand and their retail prices
+    * sit within ±0.50 — a sparse, data-derived similarity graph (the
+    * supplier co-supply graph is complete in this testdata, so it cannot
+    * exercise triangle machinery).
+    *
+    * Scale design: the edge builder is a brand-blocked self-join (never
+    * all-pairs — brands bound the block), and counting uses degree
+    * orientation: every edge points from the (degree, id)-smaller
+    * endpoint to the larger, so each triangle is enumerated exactly once
+    * AND the oriented out-degree is O(√m) (Schank & Wagner's classic
+    * bound), which caps the e1⋈e2 wedge fan-out — the difference between
+    * a feasible and an explosive plan on a 100 TB edge list. All three
+    * triangle joins are hash equi-joins on 8-byte node ids.
+    *
+    * Determinism: pure integer counts; the price-band predicate is a
+    * single IEEE subtraction both engines compute identically (§7.5
+    * rule 4); orientation's (deg, id) order is total because ids are
+    * unique. */
+  val triangles: Q = Q.checked(
+    "q_triangle",
+    """WITH e AS (
+      |  SELECT a.p_partkey AS u, b.p_partkey AS v, a.p_brand AS brand
+      |  FROM part a JOIN part b
+      |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |   AND abs(a.p_retailprice - b.p_retailprice) <= 0.5),
+      |deg AS (SELECT n, count(*) AS deg FROM (
+      |          SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+      |        GROUP BY n),
+      |o AS (
+      |  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v
+      |           END AS a,
+      |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u
+      |           END AS b,
+      |         brand
+      |  FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+      |tri AS (
+      |  SELECT e1.brand, count(*) AS n_tri
+      |  FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b < e2.b
+      |    JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b
+      |  GROUP BY e1.brand),
+      |eb AS (SELECT brand, count(*) AS n_edges FROM e GROUP BY brand)
+      |SELECT eb.brand, eb.n_edges, coalesce(tri.n_tri, 0) AS n_tri
+      |FROM eb LEFT JOIN tri ON eb.brand = tri.brand
+      |ORDER BY eb.brand""".stripMargin
+  ) { (s, dir) =>
+    val p = Tables.part(s, dir)
+      .select("p_partkey", "p_brand", "p_retailprice")
+    val a = p.select(col("p_partkey").as("u"), col("p_brand").as("brand"),
+      col("p_retailprice").as("pu"))
+    val b = p.select(col("p_partkey").as("v"), col("p_brand").as("brand_b"),
+      col("p_retailprice").as("pv"))
+    val e = a.join(b, col("brand") === col("brand_b") && col("u") < col("v")
+        && abs(col("pu") - col("pv")) <= 0.5)
+      .select("u", "v", "brand")
+      // edge list + degrees feed three joins each — materialize once
+      // (the PageRank/Components recipe)
+      .localCheckpoint(false)
+    val deg = e.select(col("u").as("n"))
+      .unionByName(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val o = e
+      .join(deg.select(col("n").as("nu"), col("deg").as("du")),
+        col("u") === col("nu"))
+      .join(deg.select(col("n").as("nv"), col("deg").as("dv")),
+        col("v") === col("nv"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("a"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("b"),
+        col("brand"))
+      .localCheckpoint(false)
+    val e1 = o.select(col("a").as("a1"), col("b").as("b1"), col("brand"))
+    val e2 = o.select(col("a").as("a2"), col("b").as("b2"))
+    val e3 = o.select(col("a").as("a3"), col("b").as("b3"))
+    val tri = e1
+      .join(e2, col("a1") === col("a2") && col("b1") < col("b2"))
+      .join(e3, col("a3") === col("b1") && col("b3") === col("b2"))
+      .groupBy("brand").agg(count(lit(1)).as("n_tri"))
+    val eb = e.groupBy("brand").agg(count(lit(1)).as("n_edges"))
+    eb.join(tri.withColumnRenamed("brand", "brand_t"),
+        col("brand") === col("brand_t"), "left")
+      .select(col("brand"), col("n_edges"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy("brand")
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles)
 }

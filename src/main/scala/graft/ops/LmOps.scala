@@ -1,0 +1,202 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Language-model-flavored corpus scoring: unigram-LM surprisal (the
+  * perplexity-proxy quality filter), PMI token association, and
+  * out-of-vocabulary rate — the statistical triage a pretraining corpus
+  * pass runs between raw text stats and the expensive model-based
+  * filters. (North-star LLM-pipeline surface per BASELINE.json:6; no
+  * reference file:line exists — SURVEY §0.)
+  *
+  * Determinism: every log2 is evaluated on an INTEGER argument and
+  * snapped to BIGINT at 1e10 scale (floor(x·1e10 + 0.5) — the
+  * q_text_entropy recipe, ulp-drift-proof), so ratios become exact
+  * BIGINT differences of snapped logs: log2(a/b) ≈ L(a) − L(b). Sums are
+  * integer (order-free); the only floating math is final single
+  * divisions — correctly rounded, bit-identical cross-engine.
+  */
+object LmOps {
+
+  /** Unigram-LM surprisal per document: nll10 = dl·L(T) − Σ_t tf_t·L(f_t)
+    * (surprisal of doc under the corpus unigram model, ×1e10), where f_t
+    * is the corpus frequency of token t and T the total token count. Top
+    * 20 most-surprising docs — the "statistical outlier" shortlist a
+    * quality pass reviews first.
+    *
+    * Scale design: L(f) is computed once per VOCAB entry, not per
+    * occurrence; the corpus total T is a 1-row broadcast; the per-doc
+    * reduce is one hash aggregation at (doc, token) grain then (doc) —
+    * shuffles carry counts, never text. limit(20) plans as
+    * TakeOrderedAndProject. */
+  val lmScore: Q = Q.checked(
+    "q_lm_score",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf
+      |       FROM toks GROUP BY doc_id, token),
+      |gf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS f FROM tf
+      |       GROUP BY token),
+      |tot AS (SELECT CAST(sum(f) AS BIGINT) AS t,
+      |          CAST(floor(log2(CAST(sum(f) AS DOUBLE)) * 1e10 + 5.0e-1)
+      |            AS BIGINT) AS lt
+      |        FROM gf),
+      |lf AS (SELECT token,
+      |         CAST(floor(log2(CAST(f AS DOUBLE)) * 1e10 + 5.0e-1)
+      |           AS BIGINT) AS lf
+      |       FROM gf),
+      |doc AS (
+      |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS dl,
+      |    CAST(sum(tf.tf * lf.lf) AS BIGINT) AS sum_lf
+      |  FROM tf JOIN lf ON tf.token = lf.token
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, dl, dl * tot.lt - sum_lf AS nll10,
+      |  CAST(dl * tot.lt - sum_lf AS DOUBLE) / 1e10 / CAST(dl AS DOUBLE)
+      |    AS nll_per_tok
+      |FROM doc, tot
+      |ORDER BY nll_per_tok DESC, doc_id LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val gf = tf.groupBy("token").agg(sum(col("tf")).as("f"))
+    val tot = gf.agg(
+      floor(log2(sum(col("f")).cast(DoubleType)) * lit(1e10) + lit(0.5))
+        .cast(LongType).as("lt"))
+    val lf = gf.select(col("token"),
+      floor(log2(col("f").cast(DoubleType)) * lit(1e10) + lit(0.5))
+        .cast(LongType).as("lf"))
+    tf.join(lf, "token")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast(LongType).as("dl"),
+        sum(col("tf") * col("lf")).cast(LongType).as("sum_lf"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("dl"),
+        (col("dl") * col("lt") - col("sum_lf")).as("nll10"),
+        ((col("dl") * col("lt") - col("sum_lf")).cast(DoubleType)
+          / lit(1e10) / col("dl").cast(DoubleType)).as("nll_per_tok"))
+      .orderBy(col("nll_per_tok").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Pointwise mutual information of token pairs over the 100 highest-df
+    * vocabulary tokens: pmi10 = L(c_ab·N) − L(c_a·c_b) for pairs
+    * co-occurring in ≥ 5 docs — the collocation detector behind phrase
+    * mining and tokenizer-merge candidates.
+    *
+    * Scale design: the vocabulary cap is the asymptotic guard — the
+    * per-doc pair generator fans out at most C(100,2) regardless of doc
+    * length or corpus size, and the vocab/df table is broadcast. Counts
+    * stay ≪ 2^53 so the integer products are exact doubles before log2. */
+  val pmi: Q = Q.checked(
+    "q_pmi",
+    """WITH dtok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |df AS (SELECT token, count(*) AS df FROM dtok GROUP BY token),
+      |voc AS (SELECT token, df FROM (
+      |          SELECT token, df,
+      |            row_number() OVER (ORDER BY df DESC, token) AS rn
+      |          FROM df) WHERE rn <= 100),
+      |dv AS (SELECT d.doc_id, d.token, v.df FROM dtok d
+      |       JOIN voc v ON d.token = v.token),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |pair AS (
+      |  SELECT a.token AS tok_a, b.token AS tok_b,
+      |    max(a.df) AS df_a, max(b.df) AS df_b, count(*) AS c_ab
+      |  FROM dv a JOIN dv b
+      |    ON a.doc_id = b.doc_id AND a.token < b.token
+      |  GROUP BY a.token, b.token HAVING count(*) >= 5)
+      |SELECT tok_a, tok_b, c_ab,
+      |  CAST(floor(log2(CAST(c_ab * n.n AS DOUBLE)) * 1e10 + 5.0e-1)
+      |    AS BIGINT)
+      |  - CAST(floor(log2(CAST(df_a * df_b AS DOUBLE)) * 1e10 + 5.0e-1)
+      |    AS BIGINT) AS pmi10
+      |FROM pair, n
+      |ORDER BY pmi10 DESC, tok_a, tok_b LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val dtok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val df = dtok.groupBy("token").agg(count(lit(1)).as("df"))
+    // vocab is vocab-sized: the single-partition rank window is over the
+    // df table, never the corpus
+    val voc = df
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("df").desc, col("token"))))
+      .filter(col("rn") <= 100).select("token", "df")
+    val dv = dtok.join(broadcast(voc), "token")
+    val n = docs.agg(count(lit(1)).as("n"))
+    val a = dv.select(col("doc_id"), col("token").as("tok_a"),
+      col("df").as("df_a"))
+    val b = dv.select(col("doc_id").as("doc_b"), col("token").as("tok_b"),
+      col("df").as("df_b"))
+    a.join(b, col("doc_id") === col("doc_b") && col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b")
+      .agg(max(col("df_a")).as("df_a"), max(col("df_b")).as("df_b"),
+        count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+      .crossJoin(broadcast(n))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"),
+        (floor(log2((col("c_ab") * col("n")).cast(DoubleType))
+            * lit(1e10) + lit(0.5)).cast(LongType)
+          - floor(log2((col("df_a") * col("df_b")).cast(DoubleType))
+            * lit(1e10) + lit(0.5)).cast(LongType)).as("pmi10"))
+      .orderBy(col("pmi10").desc, col("tok_a"), col("tok_b"))
+      .limit(20)
+  }
+
+  /** Out-of-vocabulary rate per (lang, source) against the top-500
+    * corpus vocabulary — the tokenizer-coverage health metric: a slice
+    * whose OOV rate spikes is a slice the tokenizer will shred into
+    * bytes. Exact integer sums; the rate is one IEEE division.
+    *
+    * Scale design: the vocabulary is built once (vocab-sized rank
+    * window) and broadcast; the corpus-side pass is a map-only explode +
+    * broadcast hash join + two-level aggregation — the big side never
+    * shuffles at token grain, only (lang, source) partials. */
+  val oovRate: Q = Q.checked(
+    "q_oov_rate",
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source,
+      |    unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |gf AS (SELECT token, count(*) AS f FROM toks GROUP BY token),
+      |voc AS (SELECT token FROM (
+      |          SELECT token, row_number() OVER (ORDER BY f DESC, token)
+      |            AS rn FROM gf) WHERE rn <= 500)
+      |SELECT lang, source, count(*) AS n_tok,
+      |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS oov_rate
+      |FROM toks t LEFT JOIN voc v ON t.token = v.token
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  ) { (s, dir) =>
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+    val gf = toks.groupBy("token").agg(count(lit(1)).as("f"))
+    val voc = gf
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("f").desc, col("token"))))
+      .filter(col("rn") <= 500)
+      .select(col("token").as("v_token"))
+    toks.join(broadcast(voc), col("token") === col("v_token"), "left")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("v_token").isNull, 1).otherwise(0)).cast(LongType)
+          .as("n_oov"))
+      .select(col("lang"), col("source"), col("n_tok"), col("n_oov"),
+        (col("n_oov").cast(DoubleType) / col("n_tok").cast(DoubleType))
+          .as("oov_rate"))
+      .orderBy("lang", "source")
+  }
+
+  val all: Seq[Q] = Seq(lmScore, pmi, oovRate)
+}

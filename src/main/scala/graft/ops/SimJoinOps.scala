@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join with prefix filtering (the PPJoin
+  * family's core filter, public literature: Chaudhuri et al. SSJoin /
+  * Xiao et al. PPJoin). Unlike the MinHash/SimHash paths
+  * ([[graft.dedup.MinHashLsh]]), the result here is EXACT — identical to
+  * the brute-force all-pairs Jaccard join — while never materializing
+  * all pairs.
+  *
+  * Filter: order each document's 3-word shingle set rarest-first by
+  * global frequency; for Jaccard ≥ τ = 3/5, two sets must share at least
+  * one token among each set's first |S| − ⌈τ·|S|⌉ + 1 tokens, so the
+  * candidate join runs only on that prefix. On this corpus the filter
+  * cuts C(n,2) ≈ 125 k pairs to ~170 candidates before verification —
+  * the difference between an O(n²) and an output-sized join at 100 TB.
+  *
+  * Scale design: the global-frequency table is vocab-sized (broadcast);
+  * prefix tokens are the rarest, so candidate fan-out per token is
+  * minimal by construction; verification shuffles only candidate pairs
+  * joined against their own token lists. Thresholding is exact integer
+  * arithmetic (5·|∩| ≥ 3·|∪|) — no floats anywhere.
+  */
+object SimJoinOps {
+
+  val simjoinPrefix: Q = Q.checked(
+    "q_simjoin_prefix",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1)))
+      |          AS i FROM t),
+      |toks AS (SELECT DISTINCT doc_id,
+      |           w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok FROM idx),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      |gf AS (SELECT tok, count(*) AS f FROM toks GROUP BY tok),
+      |rk AS (SELECT t.doc_id, t.tok,
+      |         row_number() OVER (PARTITION BY t.doc_id
+      |                            ORDER BY f.f, t.tok) AS rn, s.sz
+      |       FROM toks t JOIN gf f ON t.tok = f.tok
+      |         JOIN sz s ON t.doc_id = s.doc_id),
+      |pfx AS (SELECT doc_id, tok FROM rk
+      |        WHERE rn <= sz - ((3 * sz + 4) // 5) + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |         FROM pfx a JOIN pfx b
+      |           ON a.tok = b.tok AND a.doc_id < b.doc_id),
+      |inter AS (SELECT c.da, c.db, count(*) AS i
+      |          FROM cand c
+      |            JOIN toks ta ON ta.doc_id = c.da
+      |            JOIN toks tb ON tb.doc_id = c.db AND tb.tok = ta.tok
+      |          GROUP BY c.da, c.db)
+      |SELECT da AS doc_a, db AS doc_b, i AS n_inter,
+      |  sa.sz + sb.sz - i AS n_union,
+      |  CAST(i * 10000 // (sa.sz + sb.sz - i) AS BIGINT) AS j_bp
+      |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |WHERE 5 * i >= 3 * (sa.sz + sb.sz - i)
+      |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    // 3-word shingle set per doc. Spark's sequence() descends when
+    // start > stop, so guard size(w) >= 3 explicitly (DuckDB's range()
+    // is simply empty there — same effective rows: short docs have no
+    // shingles on either engine).
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2)," +
+          " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("tok"))
+      .distinct()
+      // toks feeds sizes, frequencies, the rank window, and the verify
+      // join — five consumers, one materialization
+      .localCheckpoint(false)
+    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val gf = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+    val pfx = toks.join(gf, "tok").join(sz, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("f"), col("tok"))))
+      .filter(expr("rn <= sz - ((3 * sz + 4) div 5) + 1"))
+      .select("doc_id", "tok")
+    val cand = pfx.select(col("doc_id").as("da"), col("tok"))
+      .join(pfx.select(col("doc_id").as("db"), col("tok").as("tok_b")),
+        col("tok") === col("tok_b") && col("da") < col("db"))
+      .select("da", "db").distinct()
+    val inter = cand
+      .join(toks.select(col("doc_id").as("da"), col("tok")), "da")
+      .join(toks.select(col("doc_id").as("db2"), col("tok").as("tok_b")),
+        col("db") === col("db2") && col("tok") === col("tok_b"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+      .filter(col("i") * 5 >= (col("sa") + col("sb") - col("i")) * 3)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("i").as("n_inter"),
+        (col("sa") + col("sb") - col("i")).as("n_union"),
+        expr("CAST(i * 10000 div (sa + sb - i) AS BIGINT)").as("j_bp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[Q] = Seq(simjoinPrefix)
+}
