@@ -454,7 +454,69 @@ object CurateOps {
       .orderBy("source")
   }
 
+  /** Canonical-document election per near-dup cluster — the retention
+    * step after q_dedup_components' transitive closure: inside every
+    * multi-member cluster keep the longest document (n_chars desc, then
+    * min doc_id — a total order, so the survivor is unique). This is the
+    * policy half of dedup: components say WHAT is duplicated, this says
+    * WHICH copy the corpus keeps.
+    *
+    * Scale design: the rank window runs at cluster grain over the
+    * (doc → component) frame, never the raw text; the documents join
+    * carries only (doc_id, n_chars). Every cluster in the frame has ≥ 2
+    * members by construction (components are built from edges). */
+  val clusterCanonical: Q = Q.checked(
+    "q_cluster_canonical",
+    """WITH RECURSIVE
+      |k AS (SELECT doc_id, substr(text, 1, 40) AS k1,
+      |        substr(text, greatest(length(text) - 39, 1), 40) AS k2
+      |      FROM documents),
+      |e AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst FROM k a JOIN k b
+      |    ON a.k1 = b.k1 AND a.doc_id <> b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id FROM k a JOIN k b
+      |    ON a.k2 = b.k2 AND a.doc_id <> b.doc_id),
+      |reach(src, dst) AS (
+      |  SELECT src, src FROM e
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component_id
+      |         FROM reach GROUP BY src),
+      |m AS (SELECT c.component_id, c.doc_id, d.n_chars,
+      |        row_number() OVER (PARTITION BY c.component_id
+      |          ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+      |        count(*) OVER (PARTITION BY c.component_id) AS n_members
+      |      FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+      |SELECT component_id, doc_id AS canonical_doc, n_chars AS canon_chars,
+      |  n_members
+      |FROM m WHERE rk = 1 ORDER BY component_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val k = docs.select(col("doc_id"),
+      substring(col("text"), 1, 40).as("k1"),
+      expr("substring(text, greatest(length(text) - 39, 1), 40)").as("k2"))
+    def pass(key: String) = {
+      val a = k.select(col("doc_id").as("src"), col(key).as("bk"))
+      val b = k.select(col("doc_id").as("dst"), col(key).as("bk_b"))
+      a.join(b, col("bk") === col("bk_b") && col("src") =!= col("dst"))
+        .select("src", "dst")
+    }
+    val edges = pass("k1").unionByName(pass("k2")).distinct()
+    val comp = graft.dedup.Components.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("comp").as("component_id"))
+    val wc = Window.partitionBy("component_id")
+    comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+      .withColumn("rk", row_number().over(
+        wc.orderBy(col("n_chars").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .filter(col("rk") === 1)
+      .select(col("component_id"), col("doc_id").as("canonical_doc"),
+        col("n_chars").as("canon_chars"), col("n_members"))
+      .orderBy("component_id")
+  }
+
   val all: Seq[Q] = Seq(sampleSplit, sampleQuota, vocabTopk, tfidf,
     ngramCounts, packBins, curate, quantileDisc, winCume, dedupComponents,
-    profile, fuzzyMatch, mixWeights)
+    profile, fuzzyMatch, mixWeights, clusterCanonical)
 }

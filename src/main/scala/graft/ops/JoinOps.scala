@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampType}
 
 /** Join surface (SURVEY.md §2.2-C).
   *
@@ -245,6 +246,51 @@ object JoinOps {
       .orderBy("c_custkey")
   }
 
+  /** Shipping-priority revenue (the TPC-H Q3 shape): unshipped revenue
+    * of BUILDING-segment orders placed before the cutoff, top 10 by
+    * revenue. The benchmark-classic 3-table join exercising the whole
+    * plan stack at once: both date filters push to the parquet scans,
+    * the filtered customer side broadcasts (≈1/5 of a dim table), the
+    * lineitem⋈orders join is the one real shuffle, revenue partials
+    * aggregate map-side, and the top-10 plans as TakeOrderedAndProject.
+    *
+    * Determinism: revenue summed in DECIMAL(24,6) (§7.5 rule 2) — the
+    * per-row product is one correctly-rounded IEEE multiply, identical
+    * cross-engine, then the decimal sum is order-free. */
+  val shipPriority: Q = Q.checked(
+    "q_ship_priority",
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") <
+        lit("1997-01-01 00:00:00").cast(TimestampType))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >
+        lit("1997-01-01 00:00:00").cast(TimestampType))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(24, 6))).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(subqueryScalar, joinInner, joinBroadcast, joinLeft, joinFull,
-    joinSemi, joinAnti, joinTheta, joinAsof, joinRange)
+    joinSemi, joinAnti, joinTheta, joinAsof, joinRange, shipPriority)
 }

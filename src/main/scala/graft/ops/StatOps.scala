@@ -162,5 +162,138 @@ object StatOps {
       .orderBy("p_retailprice", "p_partkey")
   }
 
-  val all: Seq[Q] = Seq(histogram, outliers, groupedMode, skyline)
+  /** Median-absolute-deviation outliers per market segment — the robust
+    * twin of q_outliers' 2σ cut (a single planted whale moves a mean/σ
+    * fence but not a median/MAD one). Balances live in exact integer
+    * cents (floor(x·100 + 0.5) — 2-dp money never ties, and floor
+    * rounds negatives half-up identically on both engines); both medians
+    * use the rank-crossing technique (smallest value whose rank crosses
+    * n/2 — the q_quantile_disc recipe), so no interpolation ever
+    * happens. Flag = |x − med| > 3·MAD in pure BIGINT.
+    *
+    * Scale note: exact per-group medians need a per-group sort (two
+    * window passes here, segment-keyed shuffles); at 100 TB the same
+    * shape swaps rank-crossing for approx_percentile and keeps the
+    * integer flag pass — q_sketch_quantile demonstrates that path. */
+  val madOutliers: Q = Q.checked(
+    "q_mad",
+    """WITH base AS (
+      |  SELECT c_mktsegment, c_custkey,
+      |    CAST(floor(c_acctbal * 100 + 5.0e-1) AS BIGINT) AS bal_c
+      |  FROM customer),
+      |r1 AS (SELECT *, row_number() OVER
+      |         (PARTITION BY c_mktsegment ORDER BY bal_c, c_custkey) AS rn,
+      |         count(*) OVER (PARTITION BY c_mktsegment) AS n
+      |       FROM base),
+      |med AS (SELECT c_mktsegment,
+      |          min(CASE WHEN 2 * rn >= n THEN bal_c END) AS med_c
+      |        FROM r1 GROUP BY c_mktsegment),
+      |dev AS (SELECT b.c_mktsegment, b.c_custkey,
+      |          abs(b.bal_c - m.med_c) AS dev_c
+      |        FROM base b JOIN med m ON b.c_mktsegment = m.c_mktsegment),
+      |r2 AS (SELECT *, row_number() OVER
+      |         (PARTITION BY c_mktsegment ORDER BY dev_c, c_custkey) AS rn,
+      |         count(*) OVER (PARTITION BY c_mktsegment) AS n
+      |       FROM dev),
+      |mad AS (SELECT c_mktsegment,
+      |          min(CASE WHEN 2 * rn >= n THEN dev_c END) AS mad_c
+      |        FROM r2 GROUP BY c_mktsegment)
+      |SELECT d.c_mktsegment, min(m2.med_c) AS med_c, min(a.mad_c) AS mad_c,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN d.dev_c > 3 * a.mad_c THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad a ON d.c_mktsegment = a.c_mktsegment
+      |  JOIN med m2 ON d.c_mktsegment = m2.c_mktsegment
+      |GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment""".stripMargin
+  ) { (s, dir) =>
+    val base = Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast(LongType).as("bal_c"))
+    val wSeg = Window.partitionBy("c_mktsegment")
+    def rankCross(df: org.apache.spark.sql.DataFrame, v: String,
+        out: String) = df
+      .withColumn("rn", row_number().over(
+        wSeg.orderBy(col(v), col("c_custkey"))))
+      .withColumn("n", count(lit(1)).over(wSeg))
+      .groupBy("c_mktsegment")
+      .agg(min(when(col("rn") * 2 >= col("n"), col(v))).as(out))
+    val med = rankCross(base, "bal_c", "med_c")
+    val dev = base.join(broadcast(med), "c_mktsegment")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        abs(col("bal_c") - col("med_c")).as("dev_c"))
+    val mad = rankCross(dev, "dev_c", "mad_c")
+    dev.join(broadcast(mad), "c_mktsegment")
+      .join(broadcast(med), "c_mktsegment")
+      .groupBy("c_mktsegment")
+      .agg(min(col("med_c")).as("med_c"), min(col("mad_c")).as("mad_c"),
+        count(lit(1)).as("n"),
+        sum(when(col("dev_c") > col("mad_c") * 3, 1).otherwise(0))
+          .cast(LongType).as("n_outliers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Exponentially-decayed per-user activity score with dyadic weights:
+    * at each user's LATEST event, score = v₀/2 + v₁/4 + … + v₇/256 over
+    * the 8 most recent events (missing history contributes 0). Dyadic
+    * denominators make every term an exact IEEE scaling (multiplying by
+    * 2⁻ᵏ only shifts the exponent), and the 8-term sum is one fixed
+    * left-associated expression tree — bit-identical cross-engine with
+    * NO aggregation-order exposure (a window sum() would be
+    * order-dependent in float).
+    *
+    * Scale design: both windows share the user_id partitioning — one
+    * shuffle, two in-partition sorts; the frame depth is a constant 8,
+    * so state per key is bounded (the same shape runs streaming via
+    * transformWithState with an 8-deep ring buffer). */
+  val decayScore: Q = Q.checked(
+    "q_decay",
+    Tables.EventsCte +
+      """,
+        |lagd AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(value, 1) OVER win AS v1, lag(value, 2) OVER win AS v2,
+        |    lag(value, 3) OVER win AS v3, lag(value, 4) OVER win AS v4,
+        |    lag(value, 5) OVER win AS v5, lag(value, 6) OVER win AS v6,
+        |    lag(value, 7) OVER win AS v7,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn_last,
+        |    count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM ev
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, n_events,
+        |  value / 2 + coalesce(v1, 0) / 4 + coalesce(v2, 0) / 8
+        |    + coalesce(v3, 0) / 16 + coalesce(v4, 0) / 32
+        |    + coalesce(v5, 0) / 64 + coalesce(v6, 0) / 128
+        |    + coalesce(v7, 0) / 256 AS decayed
+        |FROM lagd WHERE rn_last = 1 ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    val win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val last = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val lagd = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("v1", lag(col("value"), 1).over(win))
+      .withColumn("v2", lag(col("value"), 2).over(win))
+      .withColumn("v3", lag(col("value"), 3).over(win))
+      .withColumn("v4", lag(col("value"), 4).over(win))
+      .withColumn("v5", lag(col("value"), 5).over(win))
+      .withColumn("v6", lag(col("value"), 6).over(win))
+      .withColumn("v7", lag(col("value"), 7).over(win))
+      .withColumn("rn_last", row_number().over(last))
+      .withColumn("n_events",
+        count(lit(1)).over(Window.partitionBy("user_id")))
+    lagd.filter(col("rn_last") === 1)
+      .select(col("user_id"), col("n_events"),
+        (col("value") / 2 + coalesce(col("v1"), lit(0.0)) / 4
+          + coalesce(col("v2"), lit(0.0)) / 8
+          + coalesce(col("v3"), lit(0.0)) / 16
+          + coalesce(col("v4"), lit(0.0)) / 32
+          + coalesce(col("v5"), lit(0.0)) / 64
+          + coalesce(col("v6"), lit(0.0)) / 128
+          + coalesce(col("v7"), lit(0.0)) / 256).as("decayed"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(histogram, outliers, groupedMode, skyline, madOutliers, decayScore)
 }
