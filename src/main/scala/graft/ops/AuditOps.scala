@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality auditing over the warehouse shape itself: referential
+  * integrity, categorical independence, and join-cardinality estimation
+  * — the checks a pipeline runs BEFORE trusting or planning a 100 TB
+  * join, complementing ops/GovernOps (which audits content, not shape).
+  *
+  * Scale design: FK audits are broadcast anti-joins (key side only —
+  * the fact table never carries payload columns into the probe); the
+  * χ² statistic aggregates a ≤|lang|·|source| contingency frame; the
+  * join-size estimate reads BOTH tables once at key grain and never
+  * executes the join it sizes — Σₖ c₁(k)·c₂(k) is exactly what a
+  * planner needs to choose broadcast vs shuffle vs salt.
+  */
+object AuditOps {
+
+  /** Referential-integrity audit: orphan counts for the three fact→dim
+    * arrows of the schema (lineitem→orders, lineitem→part,
+    * orders→customer). One row per check — the shape of a nightly
+    * data-contract report. Anti-join probes carry only the key column;
+    * dims broadcast. */
+  val fkAudit: Q = Q.checked(
+    "q_fk_audit",
+    """SELECT 'lineitem->orders' AS fk, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_orphans
+      |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |UNION ALL
+      |SELECT 'lineitem->part', count(*),
+      |  CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      |UNION ALL
+      |SELECT 'orders->customer', count(*),
+      |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |ORDER BY fk""".stripMargin
+  ) { (s, dir) =>
+    def audit(name: String, fact: org.apache.spark.sql.DataFrame,
+        fk: String, dim: org.apache.spark.sql.DataFrame, pk: String) =
+      fact.select(col(fk))
+        .join(broadcast(dim.select(col(pk))), col(fk) === col(pk), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col(pk).isNull, 1).otherwise(0)).cast(LongType)
+            .as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+    val li = Tables.lineitem(s, dir)
+    audit("lineitem->orders", li, "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey")
+      .unionByName(audit("lineitem->part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey"))
+      .unionByName(audit("orders->customer", Tables.orders(s, dir),
+        "o_custkey", Tables.customer(s, dir), "c_custkey"))
+      .orderBy("fk")
+  }
+
+  /** χ² independence statistic for the lang × source contingency table.
+    * Each cell term (o−e)²/e is rearranged to integer arithmetic:
+    * (o·N − rt·ct)² / (rt·ct·N) — numerator and denominator are exact
+    * BIGINTs (≪ 2⁵³, so their doubles are exact), the division is one
+    * correctly-rounded IEEE op, and each term is snapped to BIGINT at
+    * 1e10 (the entropy recipe) so the cross-cell sum is order-free.
+    * The contingency frame is ≤ |lang|·|source| rows — every aggregate
+    * after the first groupBy is effectively free. */
+  val chisq: Q = Q.checked(
+    "q_chisq",
+    """WITH o AS (SELECT lang, source, count(*) AS o
+      |           FROM documents GROUP BY lang, source),
+      |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM o
+      |       GROUP BY lang),
+      |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM o
+      |       GROUP BY source),
+      |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+      |terms AS (
+      |  SELECT CAST(floor(
+      |      CAST((o.o * n.n - rt.rt * ct.ct) AS DOUBLE)
+      |        * CAST((o.o * n.n - rt.rt * ct.ct) AS DOUBLE)
+      |        / CAST(rt.rt * ct.ct * n.n AS DOUBLE)
+      |        * 1e10 + 5.0e-1) AS BIGINT) AS t10
+      |  FROM o JOIN rt ON o.lang = rt.lang
+      |    JOIN ct ON o.source = ct.source, n)
+      |SELECT CAST(sum(t10) AS DOUBLE) / 1e10 AS chi2,
+      |  (SELECT CAST((count(*) - 1) AS BIGINT) FROM rt)
+      |    * (SELECT CAST((count(*) - 1) AS BIGINT) FROM ct) AS dof,
+      |  (SELECT n FROM n) AS n
+      |FROM terms""".stripMargin
+  ) { (s, dir) =>
+    val o = Tables.documents(s, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rt = o.groupBy("lang").agg(sum(col("o")).cast(LongType).as("rt"))
+    val ct = o.groupBy("source").agg(sum(col("o")).cast(LongType).as("ct"))
+    val n = o.agg(sum(col("o")).cast(LongType).as("n"))
+    val dof = rt.agg((count(lit(1)) - 1).as("dl")).crossJoin(
+      ct.agg((count(lit(1)) - 1).as("ds")))
+      .select((col("dl") * col("ds")).as("dof"))
+    val num = col("o") * col("n") - col("rt") * col("ct")
+    o.join(broadcast(rt), "lang").join(broadcast(ct), "source")
+      .crossJoin(broadcast(n))
+      .select(floor(num.cast(DoubleType) * num.cast(DoubleType)
+          / (col("rt") * col("ct") * col("n")).cast(DoubleType)
+          * lit(1e10) + lit(0.5)).cast(LongType).as("t10"),
+        col("n"))
+      .agg((sum(col("t10")).cast(DoubleType) / lit(1e10)).as("chi2"),
+        max(col("n")).as("n"))
+      .crossJoin(broadcast(dof))
+      .select(col("chi2"), col("dof"), col("n"))
+  }
+
+  /** Exact join-cardinality computation WITHOUT executing the join:
+    * |lineitem ⋈ orders| = Σₖ c₁(k)·c₂(k) over per-key counts — the
+    * planner primitive behind broadcast/salt decisions (q_join_skew's
+    * NSalt and Salt.hotColdJoin's hot-key cut both start from exactly
+    * this frame). Also surfaces the max per-key fan-out (the skew
+    * signal) and the shared-key count. Each table is read ONCE at key
+    * grain; the output is one row regardless of input size. */
+  val joinSizeEst: Q = Q.checked(
+    "q_join_size_est",
+    """WITH c1 AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem
+      |            GROUP BY l_orderkey),
+      |c2 AS (SELECT o_orderkey AS k, count(*) AS c FROM orders
+      |       GROUP BY o_orderkey)
+      |SELECT CAST(sum(c1.c * c2.c) AS BIGINT) AS join_rows,
+      |  count(*) AS n_shared_keys,
+      |  CAST(max(c1.c * c2.c) AS BIGINT) AS max_key_fanout
+      |FROM c1 JOIN c2 ON c1.k = c2.k""".stripMargin
+  ) { (s, dir) =>
+    val c1 = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("c1"))
+    val c2 = Tables.orders(s, dir)
+      .groupBy(col("o_orderkey").as("k2")).agg(count(lit(1)).as("c2"))
+    c1.join(c2, col("k") === col("k2"))
+      .agg(sum(col("c1") * col("c2")).cast(LongType).as("join_rows"),
+        count(lit(1)).as("n_shared_keys"),
+        max(col("c1") * col("c2")).cast(LongType).as("max_key_fanout"))
+  }
+
+  val all: Seq[Q] = Seq(fkAudit, chisq, joinSizeEst)
+}

@@ -336,6 +336,86 @@ object StreamShapeOps {
       .orderBy("day")
   }
 
+  /** Last-touch purchase attribution: each purchase credits the
+    * event_type of the user's immediately-preceding event when it landed
+    * within 30 minutes, else 'direct' — the marketing-analytics sibling
+    * of q_transitions (same lag machinery, conversion-centric question).
+    * One user_id window shuffle, then a tiny channel rollup; the 30-min
+    * recency test is exact BIGINT microseconds.
+    *
+    * Determinism: the (ts, event_id) window order is total; purchases
+    * preceded by a same-timestamp event resolve by event_id — no
+    * arbitrary winners. */
+  val attribution: Q = Q.checked(
+    "q_attribution",
+    Tables.EventsCte +
+      """,
+        |lagd AS (
+        |  SELECT event_type, ts, user_id,
+        |    lag(event_type) OVER win AS prev_type,
+        |    lag(ts) OVER win AS prev_ts
+        |  FROM ev
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |attr AS (
+        |  SELECT CASE WHEN prev_ts IS NULL
+        |                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |              THEN 'direct' ELSE prev_type END AS channel
+        |  FROM lagd WHERE event_type = 'purchase')
+        |SELECT channel, count(*) AS n_purchases
+        |FROM attr GROUP BY channel ORDER BY channel""".stripMargin
+  ) { (s, dir) =>
+    val win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("event_type"), col("ts"), col("user_id"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(win))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(win))
+      .filter(col("event_type") === "purchase")
+      .select(when(col("prev_ts").isNull
+          || unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+            > 1800000000L, "direct")
+        .otherwise(col("prev_type")).as("channel"))
+      .groupBy("channel").agg(count(lit(1)).as("n_purchases"))
+      .orderBy("channel")
+  }
+
+  /** Trailing-7-day distinct active users per day — the DAU/WAU shape.
+    * Exact rolling distinct is not windowable (distinct doesn't
+    * decompose), so: distinct (day, user) first (the only corpus-sized
+    * shuffle), then each survivor fans out to the ≤7 window-end days it
+    * covers (map-only explode of a 7-element sequence), then a second
+    * distinct+count at (window_day, user) grain. Work is O(active-pairs
+    * × 7), independent of raw event volume — the 100 TB path; windows
+    * whose end day has no events are not emitted (both engines
+    * identically).
+    *
+    * Dates derive from UTC µs timestamps — both engines truncate the
+    * same values. */
+  val rollingDistinct: Q = Q.checked(
+    "q_rolling_distinct",
+    Tables.EventsCte +
+      """,
+        |du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM ev),
+        |days AS (SELECT DISTINCT day FROM du),
+        |fan AS (SELECT du.day + CAST(o.o AS INTEGER) AS win_end, du.user_id
+        |        FROM du, (SELECT unnest(range(0, 7)) AS o) o)
+        |SELECT f.win_end, count(DISTINCT f.user_id) AS n_users
+        |FROM fan f JOIN days d ON f.win_end = d.day
+        |GROUP BY f.win_end ORDER BY f.win_end""".stripMargin
+  ) { (s, dir) =>
+    val du = Tables.events(s, dir)
+      .select(col("ts").cast(DateType).as("day"), col("user_id"))
+      .distinct()
+    val days = du.select(col("day").as("d")).distinct()
+    val fan = du
+      .select(explode(expr("sequence(0, 6)")).as("o"), col("day"),
+        col("user_id"))
+      .select(date_add(col("day"), col("o")).as("win_end"), col("user_id"))
+    fan.join(broadcast(days), col("win_end") === col("d"))
+      .groupBy("win_end")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("win_end")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, sessionBatch, funnel, retention,
-    timeRollup, transitions, peakConcurrency)
+    timeRollup, transitions, peakConcurrency, attribution, rollingDistinct)
 }
