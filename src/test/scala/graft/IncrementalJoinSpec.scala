@@ -1,0 +1,85 @@
+package graft
+
+import graft.cdc.{CdcConfig, CdcMerge, IncrementalJoin}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The maintained join view must equal a fresh full re-join BIT-EXACTLY
+  * after every batch — inserts, value updates, deletes, dim-side churn,
+  * and FK moves (the join key itself changing under an update). */
+class IncrementalJoinSpec extends AnyFunSuite with SparkFixture {
+
+  private val cfgA = CdcConfig(Seq("line_id"), Seq("order_id", "qty"))
+  private val cfgB = CdcConfig(Seq("o_id"), Seq("status"))
+  private val spec = IncrementalJoin.Spec(Seq("order_id"), Seq("o_id"))
+
+  private def dfA(rows: Seq[(Long, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("line_id", "order_id", "qty")
+  }
+  private def dfB(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("o_id", "status")
+  }
+
+  private def feed(prev: DataFrame, curr: DataFrame, cfg: CdcConfig) =
+    CdcMerge.classifyHashed(CdcMerge.withHashes(prev, cfg),
+      CdcMerge.withHashes(curr, cfg), cfg, withPriors = true)
+
+  private def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+
+  test("maintained view tracks recompute through I/U/D on both sides") {
+    val a0 = dfA(Seq((1L, 10L, 5.0), (2L, 10L, 2.0), (3L, 20L, 1.0),
+      (4L, 30L, 4.0)))
+    val b0 = dfB(Seq((10L, "open"), (20L, "open"), (30L, "done")))
+    val view0 = IncrementalJoin.init(a0, b0, spec)
+    assert(rows(view0).size === 4)
+
+    // batch 1: fact insert + delete + value update; dim update + insert
+    // + delete (order 30 goes away — its lineitem must drop from the view)
+    val a1 = dfA(Seq((1L, 10L, 5.0), (3L, 20L, 9.0), (4L, 30L, 4.0),
+      (5L, 20L, 7.0)))
+    val b1 = dfB(Seq((10L, "hold"), (20L, "open"), (40L, "new")))
+    val view1 = IncrementalJoin.maintain(view0, a1, feed(a0, a1, cfgA),
+      b1, feed(b0, b1, cfgB), spec)
+    assert(rows(view1) === rows(IncrementalJoin.init(a1, b1, spec)))
+
+    // batch 2: FK MOVE — line 1 rehomes from order 10 to order 20; the
+    // update's prior image must touch BOTH keys (10 loses a row, 20
+    // gains one). Dim side quiet.
+    val a2 = dfA(Seq((1L, 20L, 5.0), (3L, 20L, 9.0), (4L, 30L, 4.0),
+      (5L, 20L, 7.0)))
+    val view2 = IncrementalJoin.maintain(view1, a2, feed(a1, a2, cfgA),
+      b1, feed(b1, b1, cfgB), spec)
+    assert(rows(view2) === rows(IncrementalJoin.init(a2, b1, spec)))
+
+    // batch 3: nothing changed — all-N feeds must leave the view intact
+    val view3 = IncrementalJoin.maintain(view2, a2, feed(a2, a2, cfgA),
+      b1, feed(b1, b1, cfgB), spec)
+    assert(rows(view3) === rows(view2))
+  }
+
+  test("fan-out change cannot double-count: new match arrives for touched key") {
+    // order 20 starts with one lineitem; a second arrives in the same
+    // batch as a dim-side status flip — the whole key group is rebuilt,
+    // exactly once
+    val a0 = dfA(Seq((1L, 20L, 1.0)))
+    val b0 = dfB(Seq((20L, "open")))
+    val a1 = dfA(Seq((1L, 20L, 1.0), (2L, 20L, 2.0)))
+    val b1 = dfB(Seq((20L, "shut")))
+    val v = IncrementalJoin.maintain(IncrementalJoin.init(a0, b0, spec),
+      a1, feed(a0, a1, cfgA), b1, feed(b0, b1, cfgB), spec)
+    assert(rows(v) === rows(IncrementalJoin.init(a1, b1, spec)))
+  }
+
+  test("maintenance plan is touched-key bounded: anti + two semi probes") {
+    val a0 = dfA(Seq((1L, 10L, 5.0))); val b0 = dfB(Seq((10L, "open")))
+    val a1 = dfA(Seq((1L, 10L, 6.0)))
+    val plan = IncrementalJoin.maintain(IncrementalJoin.init(a0, b0, spec),
+        a1, feed(a0, a1, cfgA), b0, feed(b0, b0, cfgB), spec)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), "survivors must anti-join touched keys")
+    assert("LeftSemi".r.findAllIn(plan).size >= 2,
+      "both recompute slices must semi-join down to touched keys")
+  }
+}
