@@ -15,6 +15,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *   - `dot_vec(a, b)`             → double        ([[VectorExprs.DotVec]])
   *   - `norm2_sq(v)`               → double        ([[VectorExprs.Norm2]])
   *   - `zorder2(x, y, bits)`       → bigint        ([[ZOrderExprs.ZOrder2]])
+  *   - `sorted_intersect_count(a, b)` → bigint     ([[SetExprs.SortedIntersectCount]])
   *   - `bloom_agg(k[, nItems[, nBits]])` / `bloom_contains(bf, k)` —
   *     Spark's own runtime-filter bloom expressions
   *     (`BloomFilterAggregate`/`BloomFilterMightContain`), which the
@@ -89,6 +90,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("zorder2", args, 3)
         ZOrderExprs.ZOrder2(args.head, args(1),
           intLit(args(2), "zorder2", "bits"))
+      }))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SetExprs.SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (args: Seq[Expression]) => {
+        arity("sorted_intersect_count", args, 2)
+        SetExprs.SortedIntersectCount(args.head, args(1))
       }))
     ext.injectFunction((FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),

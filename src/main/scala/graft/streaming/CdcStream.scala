@@ -356,6 +356,102 @@ object CdcStream {
   }
 
   // ---------------------------------------------------------------------
+  // Incrementally-maintained JOIN views over two CDC streams
+  // ---------------------------------------------------------------------
+
+  /** Newest committed join-view generation: needs BOTH parquet's
+    * `_SUCCESS` and the frontier marker (written after the parquet
+    * commit), so a crash between the two leaves a generation that is
+    * simply rewritten by the next advance. */
+  private def currentJoinView(spark: SparkSession, viewDir: String)
+      : Option[(Long, (Long, Long), DataFrame)] = {
+    val p = new Path(viewDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.drop(1).toLongOption.isDefined =>
+        n.drop(1).toLong }
+      .filter(v => fs.exists(new Path(s"$viewDir/v$v/_SUCCESS"))
+        && fs.exists(new Path(s"$viewDir/v$v/_frontier")))
+      .sorted.lastOption
+      .map { v =>
+        val in = fs.open(new Path(s"$viewDir/v$v/_frontier"))
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+        val Array(aL, aR) = txt.trim.split(",").map(_.toLong)
+        (v, (aL, aR), spark.read.parquet(s"$viewDir/v$v"))
+      }
+  }
+
+  /** Feed slice (batch_id in (from, to]) — partition-pruned; an absent
+    * changes dir (no batch ever wrote a feed row) degrades to an empty
+    * feed shaped like the state. */
+  private def feedSlice(spark: SparkSession, stateDir: String,
+      from: Long, to: Long, state: DataFrame): DataFrame = {
+    val p = new Path(changesPath(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      state.limit(0).withColumn(CdcMerge.OpCol, lit(CdcMerge.Unchanged))
+    else spark.read.parquet(changesPath(stateDir))
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .filter(col("batch_id") > from && col("batch_id") <= to)
+  }
+
+  /** Advance an incrementally-maintained JOIN VIEW
+    * ([[graft.cdc.IncrementalJoin]]) of two CDC streams' states to their
+    * newest committed snapshots: touched-key maintenance over the feed
+    * slices since the view's last applied (left, right) frontier —
+    * O(new changes), never a re-join of the two snapshots. Returns the
+    * new view version, or None when both frontiers are already applied
+    * (or only change-free batches arrived).
+    *
+    * Generation numbering: v(vL + vR) — strictly monotone (each real
+    * advance grows at least one frontier and neither ever decreases),
+    * with the exact applied pair recorded in the generation's
+    * `_frontier` marker. Bootstrap joins the two current snapshots once
+    * (the same cost a first full refresh would pay); every later
+    * advance is feed-sized. The same completeness gate as
+    * [[maintainRollup]] applies per side: only feed batches up to that
+    * side's committed version are consumed.
+    *
+    * Prior-image contract: run both streams with `feedPriors = true`
+    * when a JOIN KEY is a VALUE column on its side (an FK that can move
+    * under U) — [[graft.cdc.IncrementalJoin.touchedKeys]] reads the
+    * `__old_` twin to touch the move's source key; a join key that is a
+    * CDC key column never changes within a U, so key-only configs are
+    * safe without priors. */
+  def maintainJoinView(spark: SparkSession, leftStateDir: String,
+      rightStateDir: String, viewDir: String,
+      spec: graft.cdc.IncrementalJoin.Spec): Option[Long] = {
+    val vL = currentVersion(spark, leftStateDir).getOrElse(return None)
+    val vR = currentVersion(spark, rightStateDir).getOrElse(return None)
+    val sl = currentState(spark, leftStateDir).getOrElse(return None)
+    val sr = currentState(spark, rightStateDir).getOrElse(return None)
+    val fs = new Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def commit(df: DataFrame): Option[Long] = {
+      val v = vL + vR
+      df.write.mode("overwrite").parquet(s"$viewDir/v$v")
+      val out = fs.create(new Path(s"$viewDir/v$v/_frontier"), true)
+      try out.write(s"$vL,$vR".getBytes("UTF-8")) finally out.close()
+      Some(v)
+    }
+    currentJoinView(spark, viewDir) match {
+      case None =>
+        commit(graft.cdc.IncrementalJoin.init(sl, sr, spec))
+      case Some((_, (aL, aR), view)) =>
+        if (vL <= aL && vR <= aR) return None
+        val lf = feedSlice(spark, leftStateDir, aL, vL, sl)
+        val rf = feedSlice(spark, rightStateDir, aR, vR, sr)
+        // change-free batches persist no feed rows — advancing would
+        // rewrite a byte-identical generation (maintainRollup's rule)
+        if (lf.isEmpty && rf.isEmpty) return None
+        commit(graft.cdc.IncrementalJoin.maintain(view, sl, lf, sr, rf, spec))
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // CDC-source-shaped ingestion (keyed op/ts envelopes, not full extracts)
   // ---------------------------------------------------------------------
 

@@ -38,6 +38,25 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
   }
 
+  test("sorted_intersect_count is callable from SQL and equals array_intersect size") {
+    Tables.documents(spark, Sf).limit(60).createOrReplaceTempView("ext_si")
+    val sets = spark.sql(
+      """SELECT doc_id,
+        |  sort_array(array_distinct(transform(split(text, ' '), t -> xxhash64(t))))
+        |    AS s
+        |FROM ext_si""".stripMargin)
+    sets.createOrReplaceTempView("ext_sets")
+    val viaSql = spark.sql(
+      """SELECT a.doc_id, b.doc_id AS doc_b,
+        |  sorted_intersect_count(a.s, b.s) AS i,
+        |  CAST(size(array_intersect(a.s, b.s)) AS BIGINT) AS i_ref
+        |FROM ext_sets a JOIN ext_sets b ON b.doc_id = a.doc_id + 1""".stripMargin)
+      .collect()
+    assert(viaSql.nonEmpty)
+    viaSql.foreach(r => assert(r.getLong(2) === r.getLong(3),
+      s"pair (${r.getLong(0)}, ${r.getLong(1)}): merge count != builtin"))
+  }
+
   test("optimizer rewrites dot_vec(a, a) to norm2_sq(a), bit-identically") {
     val df = Tables.embeddings(spark, Sf).limit(20)
       .select(

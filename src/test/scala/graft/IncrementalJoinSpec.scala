@@ -72,6 +72,40 @@ class IncrementalJoinSpec extends AnyFunSuite with SparkFixture {
     assert(rows(v) === rows(IncrementalJoin.init(a1, b1, spec)))
   }
 
+  test("maintainJoinView tracks two on-disk CDC streams end-to-end") {
+    import java.nio.file.Files
+    import graft.streaming.CdcStream
+    val dirL = Files.createTempDirectory("ij_left").toString
+    val dirR = Files.createTempDirectory("ij_right").toString
+    val viewDir = Files.createTempDirectory("ij_view").toString
+
+    val a0 = dfA(Seq((1L, 10L, 5.0), (2L, 10L, 2.0), (3L, 20L, 1.0)))
+    val b0 = dfB(Seq((10L, "open"), (20L, "open")))
+    // feedPriors = true: order_id is a VALUE column on the left side (an
+    // FK that can move under U) — the maintainJoinView contract
+    CdcStream.mergeBatch(a0, 0, cfgA, dirL, buckets = 2, feedPriors = true)
+    CdcStream.mergeBatch(b0, 0, cfgB, dirR, buckets = 2, feedPriors = true)
+    val v0 = CdcStream.maintainJoinView(spark, dirL, dirR, viewDir, spec)
+    assert(v0.isDefined)
+    assert(rows(spark.read.parquet(s"$viewDir/v${v0.get}")) ===
+      rows(IncrementalJoin.init(a0, b0, spec)))
+
+    // batch 1: FK move (line 1: 10→20), fact delete (line 2), dim
+    // update + insert
+    val a1 = dfA(Seq((1L, 20L, 5.0), (3L, 20L, 1.0)))
+    val b1 = dfB(Seq((10L, "hold"), (20L, "open"), (30L, "new")))
+    CdcStream.mergeBatch(a1, 1, cfgA, dirL, buckets = 2, feedPriors = true)
+    CdcStream.mergeBatch(b1, 1, cfgB, dirR, buckets = 2, feedPriors = true)
+    val v1 = CdcStream.maintainJoinView(spark, dirL, dirR, viewDir, spec)
+    assert(v1.isDefined && v1.get > v0.get)
+    assert(rows(spark.read.parquet(s"$viewDir/v${v1.get}")) ===
+      rows(IncrementalJoin.init(a1, b1, spec)))
+
+    // no new committed batches → no phantom generation
+    assert(CdcStream.maintainJoinView(spark, dirL, dirR, viewDir, spec)
+      .isEmpty)
+  }
+
   test("maintenance plan is touched-key bounded: anti + two semi probes") {
     val a0 = dfA(Seq((1L, 10L, 5.0))); val b0 = dfB(Seq((10L, "open")))
     val a1 = dfA(Seq((1L, 10L, 6.0)))
