@@ -137,5 +137,48 @@ object AuditOps {
         max(col("c1") * col("c2")).cast(LongType).as("max_key_fanout"))
   }
 
-  val all: Seq[Q] = Seq(fkAudit, chisq, joinSizeEst)
+  /** Benford first-digit audit of order totals — the classic fabricated-
+    * numbers screen: observed share of each leading digit vs the Benford
+    * expectation log10(1 + 1/d). The leading digit comes from the
+    * STRING of the exact integer cents (floor(x·100 + 0.5) — 2-dp money
+    * never ties), never from float log10 of the raw value, whose
+    * behavior at powers of ten is a cross-engine hazard; the Benford
+    * constants are integer-argument log10 snapped at 1e10 (the entropy
+    * recipe). One hash aggregation with a 9-row key space — partials
+    * collapse map-side. */
+  val benford: Q = Q.checked(
+    "q_benford",
+    """WITH d AS (
+      |  SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 5.0e-1)
+      |    AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      |  FROM orders WHERE o_totalprice > 0),
+      |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+      |SELECT digit, n,
+      |  CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE) AS observed,
+      |  CAST(CAST(floor(log10(CAST(CAST(digit AS BIGINT) + 1 AS DOUBLE))
+      |      * 1e10 + 5.0e-1) AS BIGINT)
+      |    - CAST(floor(log10(CAST(digit AS DOUBLE)) * 1e10 + 5.0e-1)
+      |      AS BIGINT) AS DOUBLE) / 1e10 AS benford
+      |FROM c, t ORDER BY digit""".stripMargin
+  ) { (s, dir) =>
+    val c = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 0)
+      .select(substring(floor(col("o_totalprice") * 100 + lit(0.5))
+        .cast(LongType).cast(StringType), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val t = c.agg(sum(col("n")).cast(LongType).as("t"))
+    c.crossJoin(broadcast(t))
+      .select(col("digit"), col("n"),
+        (col("n").cast(DoubleType) / col("t").cast(DoubleType))
+          .as("observed"),
+        ((floor(log10((col("digit").cast(LongType) + 1).cast(DoubleType))
+            * lit(1e10) + lit(0.5)).cast(LongType)
+          - floor(log10(col("digit").cast(DoubleType)) * lit(1e10)
+            + lit(0.5)).cast(LongType)).cast(DoubleType) / lit(1e10))
+          .as("benford"))
+      .orderBy("digit")
+  }
+
+  val all: Seq[Q] = Seq(fkAudit, chisq, joinSizeEst, benford)
 }

@@ -416,6 +416,54 @@ object StreamShapeOps {
       .orderBy("win_end")
   }
 
+  /** Time-weighted average value per user — the metrics/IoT aggregate
+    * where a reading holds until the next one: Σ valueᵢ·Δtᵢ / Σ Δtᵢ over
+    * consecutive-event intervals (the last event carries no duration;
+    * single-event users have no intervals and are excluded identically
+    * on both engines).
+    *
+    * Determinism: the whole numerator stays in exact BIGINT
+    * cent-microseconds — v100 = floor(value·100 + 0.5) (2-dp money never
+    * ties) times Δt µs, summed order-free — because a DECIMAL numerator
+    * would drift: DuckDB's decimal→double conversion divides after an
+    * int128→double cast (two roundings) while the JVM converts in one,
+    * disagreeing at the last ulp (measured). int64→double is correctly
+    * rounded on both engines, so the final fixed tree
+    * num/100/span is bit-identical. One user_id window shuffle,
+    * aggregation at user grain. */
+  val timeWeighted: Q = Q.checked(
+    "q_time_weighted",
+    Tables.EventsCte +
+      """,
+        |iv AS (
+        |  SELECT user_id,
+        |    CAST(floor(value * 100 + 5.0e-1) AS BIGINT) AS v100,
+        |    epoch_us(lead(ts) OVER win) - epoch_us(ts) AS dt
+        |  FROM ev
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id,
+        |  CAST(sum(v100 * dt) AS DOUBLE) / 100
+        |    / CAST(sum(dt) AS DOUBLE) AS twa,
+        |  CAST(sum(dt) AS BIGINT) AS span_us
+        |FROM iv WHERE dt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    val win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        floor(col("value") * 100 + lit(0.5)).cast(LongType).as("v100"),
+        col("ts"), col("event_id"))
+      .withColumn("dt",
+        unix_micros(lead(col("ts"), 1).over(win)) - unix_micros(col("ts")))
+      .filter(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg((sum(col("v100") * col("dt")).cast(DoubleType) / lit(100)
+          / sum(col("dt")).cast(DoubleType)).as("twa"),
+        sum(col("dt")).cast(LongType).as("span_us"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, sessionBatch, funnel, retention,
-    timeRollup, transitions, peakConcurrency, attribution, rollingDistinct)
+    timeRollup, transitions, peakConcurrency, attribution, rollingDistinct,
+    timeWeighted)
 }
