@@ -72,5 +72,31 @@ object SketchOps {
       .orderBy("c_mktsegment", "p")
   }
 
-  val all: Seq[Q] = Seq(sketchHll, sketchCms, sketchQuantile)
+  /** Trailing-7-day distinct users per day from MERGED DAILY SKETCHES —
+    * the 100 TB twin of the exact q_rolling_distinct: the corpus is
+    * scanned ONCE into per-day HLL sketches (30 rows × ~KB), and every
+    * window is a union of ≤7 sketches — re-aggregation cost is
+    * days × 7 × KB, independent of user cardinality, where the exact
+    * path's fan-out grows with active (day, user) pairs. Impl-only
+    * (DataSketches estimates are implementation-defined; DuckDB's HLL
+    * differs) — SketchSpec bounds each window's estimate against the
+    * exact rolling distinct. */
+  val rollingHll: Q = Q.implOnly("q_rolling_hll") { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val days = daily.select(col("day").as("d"))
+    daily
+      .select(explode(expr("sequence(0, 6)")).as("o"), col("day"),
+        col("sk"))
+      .select(date_add(col("day"), col("o")).as("win_end"), col("sk"))
+      .join(broadcast(days), col("win_end") === col("d"), "left_semi")
+      .groupBy("win_end")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("est_users"))
+      .orderBy("win_end")
+  }
+
+  val all: Seq[Q] = Seq(sketchHll, sketchCms, sketchQuantile, rollingHll)
 }

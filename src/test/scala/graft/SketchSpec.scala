@@ -119,4 +119,21 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
         s"$seg median drift")
     }
   }
+
+  test("q_rolling_hll: merged daily sketches track exact rolling distinct") {
+    val exact = graft.ops.StreamShapeOps.rollingDistinct.fn(spark, Sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val est = SketchOps.rollingHll.fn(spark, Sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1).toDouble)
+      .toMap
+    assert(est.keySet === exact.keySet,
+      "sketch path must emit exactly the exact path's window-end days")
+    // lgK=12 → relative standard error ≈ 1.04/√2¹² ≈ 1.6%; allow 4σ plus
+    // integer slack for tiny windows
+    est.foreach { case (day, e) =>
+      val x = exact(day).toDouble
+      assert(math.abs(e - x) <= math.max(4, x * 0.065),
+        s"window $day: est $e vs exact $x")
+    }
+  }
 }
