@@ -166,6 +166,75 @@ object CdcOps {
       .orderBy("o_orderstatus")
   }
 
+  /** Incrementally-maintained JOIN view ([[graft.cdc.IncrementalJoin]]):
+    * bootstrap orders ⋈ customer from the PREV snapshots, then advance
+    * one batch of two-sided churn — fact deletes, an FK MOVE
+    * (o_custkey+1 on every 5th order — the case that must touch both the
+    * old and new join key), price updates, dim deletes and value updates
+    * — via affected-key maintenance. The oracle is a plain join+rollup
+    * over the CURR snapshots because maintained == recompute exactly;
+    * the rollup (5 rows, decimal sums) keeps the checked output compact
+    * while hashing the whole maintained view's content through it. */
+  val incrJoin: Q = Q.checked(
+    "q_incr_join",
+    """WITH lcurr AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 1
+      |         ELSE o_custkey END AS o_custkey,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |rcurr AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.0
+      |         ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey % 11 <> 0)
+      |SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+      |    AS sum_price
+      |FROM lcurr JOIN rcurr ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (s, dir) =>
+    import graft.cdc.IncrementalJoin
+    val lCfg = CdcConfig(Seq("o_orderkey"),
+      Seq("o_custkey", "o_totalprice"))
+    val rCfg = CdcConfig(Seq("c_custkey"),
+      Seq("c_acctbal", "c_mktsegment"))
+    val spec = IncrementalJoin.Spec(Seq("o_custkey"), Seq("c_custkey"))
+    val lPrev = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lCurr = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0, col("o_custkey") + 1)
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    val rPrev = Tables.customer(s, dir)
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+    val rCurr = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 11 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + lit(1.0))
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        col("c_mktsegment"))
+    def feed(p: DataFrame, c: DataFrame, cfg: CdcConfig) =
+      CdcMerge.classifyHashed(
+        CdcMerge.withHashes(p, cfg, useXxhash64 = true),
+        CdcMerge.withHashes(c, cfg, useXxhash64 = true),
+        cfg, withPriors = true)
+    val view0 = IncrementalJoin.init(lPrev, rPrev, spec)
+    IncrementalJoin.maintain(view0, lCurr, feed(lPrev, lCurr, lCfg),
+        rCurr, feed(rPrev, rCurr, rCfg), spec)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(cdcHash, cdcClassify, cdcCounts, cdcApply, cdcFeed,
-    incrAgg)
+    incrAgg, incrJoin)
 }
