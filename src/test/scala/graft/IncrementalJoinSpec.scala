@@ -2,6 +2,8 @@ package graft
 
 import graft.cdc.{CdcConfig, CdcMerge, IncrementalJoin}
 import org.apache.spark.sql.DataFrame
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The maintained join view must equal a fresh full re-join BIT-EXACTLY
@@ -70,6 +72,41 @@ class IncrementalJoinSpec extends AnyFunSuite with SparkFixture {
     val v = IncrementalJoin.maintain(IncrementalJoin.init(a0, b0, spec),
       a1, feed(a0, a1, cfgA), b1, feed(b0, b1, cfgB), spec)
     assert(rows(v) === rows(IncrementalJoin.init(a1, b1, spec)))
+  }
+
+  test("property: maintained == recompute over random multi-batch evolutions") {
+    // Small key domains force every event class — inserts, deletes,
+    // value updates, FK moves (order_id is drawn fresh each epoch, so a
+    // surviving line frequently rehomes), dim churn, dangling FKs, and
+    // M:N fan-out (several lines share an order). 8 seeds × 3 epochs,
+    // view threaded across epochs and compared to a fresh re-join after
+    // every one.
+    val lineGen: Gen[List[(Long, Long, Double)]] =
+      Gen.listOfN(24, for {
+        id <- Gen.choose(0L, 15L)
+        oid <- Gen.choose(0L, 7L)
+        qty <- Gen.choose(0, 999).map(_ / 10.0)
+      } yield (id, oid, qty)).map(_.groupBy(_._1).values.map(_.head).toList)
+    val dimGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(10, for {
+        oid <- Gen.choose(0L, 7L)
+        st <- Gen.oneOf("open", "hold", "done")
+      } yield (oid, st)).map(_.groupBy(_._1).values.map(_.head).toList)
+    val epochsGen = Gen.zip(Gen.listOfN(3, lineGen), Gen.listOfN(3, dimGen))
+    (0 until 8).foreach { i =>
+      val (as, bs) =
+        epochsGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      var aPrev = dfA(Nil); var bPrev = dfB(Nil)
+      var view = IncrementalJoin.init(aPrev, bPrev, spec)
+      as.zip(bs).foreach { case (aRows, bRows) =>
+        val (aCurr, bCurr) = (dfA(aRows), dfB(bRows))
+        view = IncrementalJoin.maintain(view, aCurr,
+          feed(aPrev, aCurr, cfgA), bCurr, feed(bPrev, bCurr, cfgB), spec)
+        assert(rows(view) === rows(IncrementalJoin.init(aCurr, bCurr, spec)),
+          s"seed $i diverged from recompute")
+        aPrev = aCurr; bPrev = bCurr
+      }
+    }
   }
 
   test("maintainJoinView tracks two on-disk CDC streams end-to-end") {
