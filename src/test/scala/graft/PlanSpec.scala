@@ -120,6 +120,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_ship_priority: both date filters push to scans; top-10 is TakeOrdered") {
+    val df = ops.JoinOps.shipPriority.fn(spark, Sf)
+    val plan = formatted(df)
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThan(l_shipdate"), s"lineitem filter not pushed: $pushed")
+    assert(pushed.contains("LessThan(o_orderdate"), s"orders filter not pushed: $pushed")
+    assert(plan.contains("TakeOrderedAndProject"), "top-10 degenerated to a global sort")
+    val read = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("o_totalprice") && !read.contains("c_name"),
+      "unprojected columns reached a scan")
+  }
+
+  test("q_simjoin_prefix: frequency table broadcasts; no token-grain verify shuffle") {
+    val df = ops.SimJoinOps.simjoinPrefix.fn(spark, Sf)
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "vocab-sized gf frame must broadcast, not shuffle the token relation")
+    assert(plan.contains("sorted_intersect_count") || plan.contains("sortedintersectcount"),
+      s"verification must use the native merge kernel")
+  }
+
+  test("q_incr_join maintenance keeps the touched-key shape end-to-end") {
+    val plan = formatted(ops.CdcOps.incrJoin.fn(spark, Sf))
+    assert(plan.contains("LeftAnti"), "survivors must anti-join touched keys")
+    assert(plan.contains("LeftSemi"), "recompute slices must semi-join touched keys")
+  }
+
   test("registry names are unique and entry returns rows") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
     assert(SparkEntry.entry(spark).count() > 0)
