@@ -294,6 +294,74 @@ object StatOps {
       .orderBy("user_id")
   }
 
+  /** Pareto concentration (the 80/20 report): per market segment, the
+    * smallest count of top customers whose revenue reaches 80% of the
+    * segment's total, plus the share they actually hold. Revenue lives
+    * in exact BIGINT cents end-to-end (floor(x·100+0.5); integer sums
+    * are order-free, and int64→double is correctly rounded on both
+    * engines — the q_time_weighted recipe), and the 80% test is pure
+    * integer arithmetic (5·cum ≥ 4·total). Only customers with ≥1 order
+    * participate (inner join).
+    *
+    * Scale shape: revenue aggregates to customer grain first (the only
+    * corpus-sized shuffle); every window below runs over the
+    * customer-grain frame partitioned by segment. */
+  val pareto: Q = Q.checked(
+    "q_pareto",
+    """WITH rc AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 5.0e-1) AS BIGINT))
+      |      AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY o_custkey),
+      |j AS (SELECT c.c_mktsegment, rc.o_custkey, rc.rev_c
+      |      FROM rc JOIN customer c ON rc.o_custkey = c.c_custkey),
+      |w AS (
+      |  SELECT c_mktsegment,
+      |    row_number() OVER win AS rn,
+      |    sum(rev_c) OVER (PARTITION BY c_mktsegment ORDER BY rev_c DESC,
+      |      o_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cum_c,
+      |    sum(rev_c) OVER (PARTITION BY c_mktsegment) AS tot_c,
+      |    count(*) OVER (PARTITION BY c_mktsegment) AS n_cust
+      |  FROM j
+      |  WINDOW win AS (PARTITION BY c_mktsegment ORDER BY rev_c DESC,
+      |                 o_custkey))
+      |SELECT c_mktsegment,
+      |  CAST(min(CASE WHEN 5 * cum_c >= 4 * tot_c THEN rn END) AS BIGINT)
+      |    AS n_top,
+      |  CAST(min(n_cust) AS BIGINT) AS n_cust,
+      |  CAST(min(CASE WHEN 5 * cum_c >= 4 * tot_c THEN cum_c END)
+      |      AS DOUBLE)
+      |    / CAST(min(tot_c) AS DOUBLE) AS top_share
+      |FROM w GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (s, dir) =>
+    val rc = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast(LongType))
+        .cast(LongType).as("rev_c"))
+    val j = rc.join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+      col("o_custkey") === col("c_custkey"))
+    val ord = Window.partitionBy("c_mktsegment")
+      .orderBy(col("rev_c").desc, col("o_custkey"))
+    val seg = Window.partitionBy("c_mktsegment")
+    j.withColumn("rn", row_number().over(ord))
+      .withColumn("cum_c", sum(col("rev_c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot_c", sum(col("rev_c")).over(seg))
+      .withColumn("n_cust", count(lit(1)).over(seg))
+      .groupBy("c_mktsegment")
+      .agg(
+        min(when(col("cum_c") * 5 >= col("tot_c") * 4, col("rn")))
+          .cast(LongType).as("n_top"),
+        min(col("n_cust")).cast(LongType).as("n_cust"),
+        (min(when(col("cum_c") * 5 >= col("tot_c") * 4, col("cum_c")))
+          .cast(DoubleType) / min(col("tot_c")).cast(DoubleType))
+          .as("top_share"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] =
-    Seq(histogram, outliers, groupedMode, skyline, madOutliers, decayScore)
+    Seq(histogram, outliers, groupedMode, skyline, madOutliers, decayScore,
+      pareto)
 }
