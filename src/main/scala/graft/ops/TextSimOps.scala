@@ -379,7 +379,48 @@ object TextSimOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Per-modality storage/shape profile of the multimodal fixture
+    * ([[graft.multimodal.Multimodal.fixtureFromDocuments]]) — the
+    * capacity-planning report a media corpus needs before decode ever
+    * runs: row counts, payload bytes, pixel area, frame totals. Pure
+    * integer aggregates over the typed metadata (the decode stub is NOT
+    * on this path — metadata is real), 3-row key space collapses
+    * map-side. The oracle reconstructs the same deterministic metadata
+    * derivation in SQL; byte lengths via octet_length on both engines. */
+  val multimodalProfile: Q = Q.checked(
+    "q_multimodal_profile",
+    """WITH m AS (
+      |  SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+      |      AS modality,
+      |    CAST(doc_id % 64 + 1 AS BIGINT) AS width,
+      |    CAST(doc_id % 48 + 1 AS BIGINT) AS height,
+      |    CAST(doc_id % 30 + 1 AS BIGINT) AS n_frames,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      |  FROM documents)
+      |SELECT modality, count(*) AS n,
+      |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+      |  CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+      |  CAST(sum(width * height) AS BIGINT) AS sum_pixels,
+      |  CAST(sum(n_frames) AS BIGINT) AS sum_frames
+      |FROM m GROUP BY modality ORDER BY modality""".stripMargin
+  ) { (s, dir) =>
+    graft.multimodal.Multimodal
+      .fixtureFromDocuments(Tables.documents(s, dir))
+      .select(col("meta.modality").as("modality"),
+        col("meta.width").cast(LongType).as("width"),
+        col("meta.height").cast(LongType).as("height"),
+        col("meta.nFrames").cast(LongType).as("n_frames"),
+        expr("CAST(octet_length(payload) AS BIGINT)").as("n_bytes"))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_bytes")).cast(LongType).as("sum_bytes"),
+        max(col("n_bytes")).cast(LongType).as("max_bytes"),
+        sum(col("width") * col("height")).cast(LongType).as("sum_pixels"),
+        sum(col("n_frames")).cast(LongType).as("sum_frames"))
+      .orderBy("modality")
+  }
+
   val all: Seq[Q] = Seq(textStats, textQuality, textLangid, textFingerprint,
     textTokens, dedupExact, dedupNear, dedupNgram, dedupEmbed, simTopk,
-    simCentroid, multimodalJoin)
+    simCentroid, multimodalJoin, multimodalProfile)
 }
