@@ -143,6 +143,33 @@ class IncrementalJoinSpec extends AnyFunSuite with SparkFixture {
       .isEmpty)
   }
 
+  test("maintainJoinView heals a crash between parquet commit and frontier") {
+    import java.nio.file.Files
+    import graft.streaming.CdcStream
+    val dirL = Files.createTempDirectory("ijc_left").toString
+    val dirR = Files.createTempDirectory("ijc_right").toString
+    val viewDir = Files.createTempDirectory("ijc_view").toString
+    val a0 = dfA(Seq((1L, 10L, 5.0))); val b0 = dfB(Seq((10L, "open")))
+    CdcStream.mergeBatch(a0, 0, cfgA, dirL, buckets = 2, feedPriors = true)
+    CdcStream.mergeBatch(b0, 0, cfgB, dirR, buckets = 2, feedPriors = true)
+    val v0 = CdcStream.maintainJoinView(spark, dirL, dirR, viewDir, spec).get
+    // simulate the crash: the NEXT generation's parquet landed but the
+    // frontier marker never did
+    val a1 = dfA(Seq((1L, 10L, 9.0)))
+    CdcStream.mergeBatch(a1, 1, cfgA, dirL, buckets = 2, feedPriors = true)
+    val orphan = new java.io.File(s"$viewDir/v${v0 + 1}")
+    IncrementalJoin.init(dfA(Seq((99L, 99L, 0.0))), dfB(Seq((99L, "bogus"))),
+      spec).write.mode("overwrite").parquet(orphan.toString)
+    assert(new java.io.File(orphan, "_SUCCESS").exists)
+    // advance must IGNORE the frontier-less orphan (discovery requires
+    // both markers), maintain from v0, and overwrite the orphan
+    val v1 = CdcStream.maintainJoinView(spark, dirL, dirR, viewDir, spec)
+    assert(v1.contains(v0 + 1))
+    assert(rows(spark.read.parquet(s"$viewDir/v${v1.get}")) ===
+      rows(IncrementalJoin.init(a1, b0, spec)),
+      "healed generation must hold the maintained view, not the orphan")
+  }
+
   test("maintenance plan is touched-key bounded: anti + two semi probes") {
     val a0 = dfA(Seq((1L, 10L, 5.0))); val b0 = dfB(Seq((10L, "open")))
     val a1 = dfA(Seq((1L, 10L, 6.0)))
