@@ -463,7 +463,44 @@ object StreamShapeOps {
       .orderBy("user_id")
   }
 
+  /** Interval self-join: ordered event pairs per user within a 5-minute
+    * horizon, counted by type pair — the batch twin of the stream-stream
+    * interval join ([[graft.streaming.StreamOps]]'s watermark-bounded
+    * state): identical semantics, so a batch backfill and the live
+    * stream agree. The join is user-keyed (one shuffle) with the time
+    * bound as a range predicate; per-user event counts bound the pair
+    * fan-out, and the total (ts, event_id) order makes the "ordered"
+    * predicate deterministic for same-timestamp events.
+    */
+  val intervalSelfJoin: Q = Q.checked(
+    "q_interval_join",
+    Tables.EventsCte +
+      """
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_pairs
+        |FROM ev a JOIN ev b
+        |  ON a.user_id = b.user_id
+        | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+        |GROUP BY type_a, type_b ORDER BY type_a, type_b""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select("user_id", "ts", "event_id", "event_type")
+    val a = ev.select(col("user_id"), col("ts").as("ts_a"),
+      col("event_id").as("id_a"), col("event_type").as("type_a"))
+    val b = ev.select(col("user_id").as("uid_b"), col("ts").as("ts_b"),
+      col("event_id").as("id_b"), col("event_type").as("type_b"))
+    a.join(b, col("user_id") === col("uid_b")
+        && (col("ts_a") < col("ts_b")
+          || (col("ts_a") === col("ts_b") && col("id_a") < col("id_b")))
+        && unix_micros(col("ts_b")) - unix_micros(col("ts_a"))
+          <= 300000000L)
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("type_a", "type_b")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, sessionBatch, funnel, retention,
     timeRollup, transitions, peakConcurrency, attribution, rollingDistinct,
-    timeWeighted)
+    timeWeighted, intervalSelfJoin)
 }
