@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -268,6 +269,41 @@ object AggOps {
       .orderBy("o_orderpriority")
   }
 
+  /** Ordered collect: the top-5 customers per segment by balance, joined
+    * into one comma-separated string per group. `collect_list` alone is
+    * partition-order-exposed, so the order is pinned BY CONSTRUCTION:
+    * rank first (total (balance desc, custkey) order), collect
+    * (rn, name) structs, `sort_array` on the struct (rn leads), then
+    * project names — same pinned order as the oracle's
+    * `string_agg(... ORDER BY rn)`. The collect runs over the ≤5-rows-
+    * per-group survivor frame, never the raw table. */
+  val collectTop: Q = Q.checked(
+    "q_collect",
+    """WITH r AS (
+      |  SELECT c_mktsegment, c_name, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer)
+      |SELECT c_mktsegment,
+      |  string_agg(c_name, ',' ORDER BY rn) AS top5_names,
+      |  CAST(min(c_acctbal) AS DOUBLE) AS bal_floor
+      |FROM r WHERE rn <= 5
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("c_mktsegment")
+      .agg(
+        array_join(expr(
+          "transform(sort_array(collect_list(struct(rn, c_name)))," +
+            " x -> x.c_name)"), ",").as("top5_names"),
+        min(col("c_acctbal")).cast(DoubleType).as("bal_floor"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(aggGroup, aggDistinct, aggStats, aggRollup, aggCube,
-    aggGroupingSets, pivotCase, aggStrAgg, aggCorr, aggBool)
+    aggGroupingSets, pivotCase, aggStrAgg, aggCorr, aggBool, collectTop)
 }

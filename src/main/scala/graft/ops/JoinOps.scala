@@ -291,6 +291,61 @@ object JoinOps {
       .limit(10)
   }
 
+  /** Local-supplier revenue (the TPC-H Q5 shape): revenue from lineitems
+    * where the supplier sits in the customer's own nation, by nation,
+    * for two regions and a two-year order window — the deepest join tree
+    * in the inventory (6 tables, one of them via a second condition on
+    * the fact row). Plan shape: region→nation→customer collapse into
+    * broadcast dims; supplier broadcasts against the lineitem scan; the
+    * single real shuffle is lineitem⋈orders; the same-nation predicate
+    * rides the supplier join, so no post-join filter pass exists.
+    * Revenue per §7.5 rule 2 (decimal partials). */
+  val localSupplier: Q = Q.checked(
+    "q_local_supplier",
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM region JOIN nation ON n_regionkey = r_regionkey
+      |  JOIN customer ON c_nationkey = n_nationkey
+      |  JOIN orders ON o_custkey = c_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |    AND s_nationkey = c_nationkey
+      |WHERE r_name IN ('ASIA', 'EUROPE')
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+  ) { (s, dir) =>
+    val nations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name").isin("ASIA", "EUROPE"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey", "n_name")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >=
+          lit("1995-01-01 00:00:00").cast(TimestampType)
+        && col("o_orderdate") <
+          lit("1997-01-01 00:00:00").cast(TimestampType))
+      .select("o_orderkey", "o_custkey")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+        && col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(24, 6))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val all: Seq[Q] = Seq(subqueryScalar, joinInner, joinBroadcast, joinLeft, joinFull,
-    joinSemi, joinAnti, joinTheta, joinAsof, joinRange, shipPriority)
+    joinSemi, joinAnti, joinTheta, joinAsof, joinRange, shipPriority,
+    localSupplier)
 }

@@ -236,6 +236,41 @@ object ScalarOps {
       .orderBy("k_mod")
   }
 
+  /** Null semantics in one frame: NULLIF-constructed nulls, null-safe
+    * equality (`<=>` / IS NOT DISTINCT FROM — true only when both sides
+    * are null here, since the domains are disjoint), null-skipping
+    * count/count(DISTINCT), and COALESCE fallback. The corner every
+    * engine port gets wrong somewhere; one row of exact integers pins
+    * all of it cross-engine. */
+  val nullSemantics: Q = Q.checked(
+    "q_null_semantics",
+    """WITH t AS (
+      |  SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS p1,
+      |    NULLIF(o_orderstatus, 'O') AS s1
+      |  FROM orders)
+      |SELECT count(*) AS n,
+      |  CAST(sum(CASE WHEN p1 IS NOT DISTINCT FROM s1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_nullsafe_eq,
+      |  CAST(sum(CASE WHEN p1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_null_p,
+      |  CAST(count(p1) AS BIGINT) AS n_nonnull_p,
+      |  CAST(count(DISTINCT p1) AS BIGINT) AS nd_p,
+      |  coalesce(min(p1), 'none') AS min_p
+      |FROM t""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("p1"),
+        nullif(col("o_orderstatus"), lit("O")).as("s1"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p1") <=> col("s1"), 1).otherwise(0)).cast(LongType)
+          .as("n_nullsafe_eq"),
+        sum(when(col("p1").isNull, 1).otherwise(0)).cast(LongType)
+          .as("n_null_p"),
+        count(col("p1")).as("n_nonnull_p"),
+        countDistinct(col("p1")).as("nd_p"),
+        coalesce(min(col("p1")), lit("none")).as("min_p"))
+  }
+
   val all: Seq[Q] = Seq(strFuncs, dateFuncs, mathFuncs, json, hashFuncs,
-    array, explode, mapOps)
+    array, explode, mapOps, nullSemantics)
 }
