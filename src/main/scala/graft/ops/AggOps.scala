@@ -304,6 +304,32 @@ object AggOps {
       .orderBy("c_mktsegment")
   }
 
+  /** GROUPING() markers on a rollup — the only way a consumer can tell a
+    * subtotal row's NULL from genuinely-null data; every BI layer on top
+    * of a rollup needs them. Markers also give subtotal rows a stable
+    * sort group. */
+  val groupingMarker: Q = Q.checked(
+    "q_grouping_marker",
+    """SELECT coalesce(o_orderstatus, '(all)') AS status,
+      |  coalesce(o_orderpriority, '(all)') AS prio,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+      |  count(*) AS n
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_prio, status, prio""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+        grouping(col("o_orderpriority")).cast(LongType).as("g_prio"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("prio"),
+        col("g_status"), col("g_prio"), col("n"))
+      .orderBy("g_status", "g_prio", "status", "prio")
+  }
+
   val all: Seq[Q] = Seq(aggGroup, aggDistinct, aggStats, aggRollup, aggCube,
-    aggGroupingSets, pivotCase, aggStrAgg, aggCorr, aggBool, collectTop)
+    aggGroupingSets, pivotCase, aggStrAgg, aggCorr, aggBool, collectTop,
+    groupingMarker)
 }

@@ -270,6 +270,68 @@ object WindowOps {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** Last-observation-carried-forward over an event stream: at every
+    * event, the user's most recent purchase amount (IGNORE NULLS over a
+    * running frame — `last(_, ignoreNulls)` in Spark, `last_value(...
+    * IGNORE NULLS)` in the oracle). Row-grain LOCF is the sensor/price
+    * carry-forward primitive; q_gapfill is its day-grain calendar twin.
+    * One user_id shuffle; total (ts, event_id) frame order. */
+  val winLocf: Q = Q.checked(
+    "q_locf",
+    Tables.EventsCte +
+      """
+        |SELECT user_id, event_id,
+        |  coalesce(last_value(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    CAST(-1 AS DECIMAL(18,2))) AS last_purchase
+        |FROM ev ORDER BY user_id, event_id""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(18, 2))).as("pv"))
+      .select(col("user_id"), col("event_id"),
+        coalesce(last(col("pv"), ignoreNulls = true).over(w),
+          lit(-1).cast(DecimalType(18, 2))).as("last_purchase"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Trailing-1-hour sliding aggregate at every event (count + exact
+    * money sum): a RANGE frame over time, not rows — ties at the same
+    * microsecond are frame PEERS on both engines (a ROWS frame would
+    * order them arbitrarily), which is why the Spark side orders by
+    * `unix_micros` with a numeric rangeBetween: identical peer semantics
+    * to the oracle's `RANGE INTERVAL '1 hour' PRECEDING`. */
+  val winTimeRange: Q = Q.checked(
+    "q_win_time_range",
+    Tables.EventsCte +
+      """
+        |SELECT user_id, event_id,
+        |  count(*) OVER win AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER win AS DOUBLE)
+        |    AS sum_1h
+        |FROM ev
+        |WINDOW win AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("sum_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(winRank, winLag, winFrameRows, winFrameRange,
-    topkPerGroup, cdcLatest, cdcScd2, winNtile, winFirstLast)
+    topkPerGroup, cdcLatest, cdcScd2, winNtile, winFirstLast, winLocf,
+    winTimeRange)
 }
