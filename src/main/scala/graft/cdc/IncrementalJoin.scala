@@ -68,11 +68,25 @@ object IncrementalJoin {
     import CdcMerge.{Delete, Insert, OldPrefix, OpCol, Update}
     def oldName(c: String): String =
       if (feed.columns.contains(s"$OldPrefix$c")) s"$OldPrefix$c" else c
+    // priors contract, guarded IN-PLAN (the IncrementalAgg.deltas
+    // discipline): a feed with NO prior columns at all cannot prove a
+    // U row's join key didn't move — if it was classified with
+    // withPriors = false over value columns, an FK-moving update would
+    // silently strand the old key's view rows. A key-only config is
+    // still fine: it can never produce U, so the assert never fires.
+    // When prior columns exist, a join key without an __old_ twin is a
+    // CDC key column — immutable within U by the classify join.
+    val guarded =
+      if (feed.columns.exists(_.startsWith(OldPrefix))) feed
+      else feed.filter(assert_true(col(OpCol) =!= Update,
+        lit("join-view feed has update rows but no prior images — run " +
+          "the stream with feedPriors = true (or classify withPriors)"))
+        .isNull)
     val newK = struct(keys.zip(outNames)
       .map { case (k, o) => col(k).as(o) }: _*)
     val oldK = struct(keys.zip(outNames)
       .map { case (k, o) => col(oldName(k)).as(o) }: _*)
-    feed.filter(col(OpCol).isin(Insert, Update, Delete))
+    guarded.filter(col(OpCol).isin(Insert, Update, Delete))
       .select(explode(
         when(col(OpCol) === Update, array(newK, oldK))
           .otherwise(array(newK))).as("__k"))

@@ -19,10 +19,19 @@ import org.apache.spark.sql.types._
   * tier as [[VectorExprs]]: a custom expression only where the built-in
   * is structurally wasteful on the hot path.
   *
-  * Inputs MUST be sorted ascending (produced via `sort_array`); elements
-  * are assumed non-null (hash signatures). A null array yields null.
+  * Inputs MUST be sorted ascending (produced via `sort_array`); a null
+  * ARRAY yields null, but a null ELEMENT throws — signatures are
+  * non-null by construction, and silently reading a null slot as 0
+  * (what a bare getLong would do) would count phantom matches for a
+  * SQL caller handing in a malformed array.
   */
 object SetExprs {
+
+  /** Public for janino static-forwarder reach (the VectorExprs.badLength
+    * rule). */
+  def nullElement(name: String): Nothing =
+    throw new IllegalArgumentException(
+      s"$name: null array element — signature arrays must be non-null")
 
   case class SortedIntersectCount(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -45,6 +54,8 @@ object SetExprs {
       var (i, j) = (0, 0)
       var n = 0L
       while (i < na && j < nb) {
+        if (a.isNullAt(i) || b.isNullAt(j))
+          SetExprs.nullElement(prettyName)
         val x = a.getLong(i); val y = b.getLong(j)
         if (x == y) { n += 1; i += 1; j += 1 }
         else if (x < y) i += 1
@@ -63,6 +74,8 @@ object SetExprs {
            |int $i = 0; int $j = 0;
            |${ev.value} = 0L;
            |while ($i < $a.numElements() && $j < $b.numElements()) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($j))
+           |    graft.functions.SetExprs.nullElement("sorted_intersect_count");
            |  long $x = $a.getLong($i); long $y = $b.getLong($j);
            |  if ($x == $y) { ${ev.value}++; $i++; $j++; }
            |  else if ($x < $y) { $i++; } else { $j++; }

@@ -136,11 +136,14 @@ object GraphOps {
       |           END AS a,
       |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u
       |           END AS b,
+      |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg
+      |           ELSE du.deg END AS db,
       |         brand
       |  FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
       |tri AS (
       |  SELECT e1.brand, count(*) AS n_tri
-      |  FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b < e2.b
+      |  FROM o e1 JOIN o e2
+      |    ON e1.a = e2.a AND (e1.db, e1.b) < (e2.db, e2.b)
       |    JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b
       |  GROUP BY e1.brand),
       |eb AS (SELECT brand, count(*) AS n_edges FROM e GROUP BY brand)
@@ -163,23 +166,31 @@ object GraphOps {
     val deg = e.select(col("u").as("n"))
       .unionByName(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
+    // the oriented edge carries its endpoint's degree: a wedge's two
+    // far vertices must be ordered by the SAME (deg, id) total order the
+    // orientation uses — ordering them by raw id would look up closing
+    // edges that are stored the other way around and silently undercount
+    // (review-caught: sf0.1 Brand#1 lost 2,400 of 6,986 triangles)
+    val lt = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     val o = e
       .join(deg.select(col("n").as("nu"), col("deg").as("du")),
         col("u") === col("nu"))
       .join(deg.select(col("n").as("nv"), col("deg").as("dv")),
         col("v") === col("nv"))
       .select(
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-          col("u")).otherwise(col("v")).as("a"),
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-          col("v")).otherwise(col("u")).as("b"),
+        when(lt, col("u")).otherwise(col("v")).as("a"),
+        when(lt, col("v")).otherwise(col("u")).as("b"),
+        when(lt, col("dv")).otherwise(col("du")).as("db"),
         col("brand"))
       .localCheckpoint(false)
-    val e1 = o.select(col("a").as("a1"), col("b").as("b1"), col("brand"))
-    val e2 = o.select(col("a").as("a2"), col("b").as("b2"))
+    val e1 = o.select(col("a").as("a1"), col("b").as("b1"),
+      col("db").as("db1"), col("brand"))
+    val e2 = o.select(col("a").as("a2"), col("b").as("b2"),
+      col("db").as("db2"))
     val e3 = o.select(col("a").as("a3"), col("b").as("b3"))
     val tri = e1
-      .join(e2, col("a1") === col("a2") && col("b1") < col("b2"))
+      .join(e2, col("a1") === col("a2")
+        && struct(col("db1"), col("b1")) < struct(col("db2"), col("b2")))
       .join(e3, col("a3") === col("b1") && col("b3") === col("b2"))
       .groupBy("brand").agg(count(lit(1)).as("n_tri"))
     val eb = e.groupBy("brand").agg(count(lit(1)).as("n_edges"))

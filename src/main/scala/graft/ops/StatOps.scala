@@ -218,12 +218,13 @@ object StatOps {
       .groupBy("c_mktsegment")
       .agg(min(when(col("rn") * 2 >= col("n"), col(v))).as(out))
     val med = rankCross(base, "bal_c", "med_c")
+    // med_c rides along in dev, so the final rollup needs only the mad
+    // frame joined back — not a second broadcast of med
     val dev = base.join(broadcast(med), "c_mktsegment")
-      .select(col("c_mktsegment"), col("c_custkey"),
+      .select(col("c_mktsegment"), col("c_custkey"), col("med_c"),
         abs(col("bal_c") - col("med_c")).as("dev_c"))
     val mad = rankCross(dev, "dev_c", "mad_c")
     dev.join(broadcast(mad), "c_mktsegment")
-      .join(broadcast(med), "c_mktsegment")
       .groupBy("c_mktsegment")
       .agg(min(col("med_c")).as("med_c"), min(col("mad_c")).as("mad_c"),
         count(lit(1)).as("n"),

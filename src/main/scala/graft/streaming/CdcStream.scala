@@ -374,14 +374,22 @@ object CdcStream {
         n.drop(1).toLong }
       .filter(v => fs.exists(new Path(s"$viewDir/v$v/_SUCCESS"))
         && fs.exists(new Path(s"$viewDir/v$v/_frontier")))
-      .sorted.lastOption
-      .map { v =>
+      .sorted.reverse
+      // a crash DURING the marker write can leave an empty/garbled
+      // _frontier; existence alone is not commitment — an unparsable
+      // marker means this generation never committed, fall back to the
+      // previous one (the next advance overwrites the orphan)
+      .flatMap { v =>
         val in = fs.open(new Path(s"$viewDir/v$v/_frontier"))
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                   finally in.close()
-        val Array(aL, aR) = txt.trim.split(",").map(_.toLong)
-        (v, (aL, aR), spark.read.parquet(s"$viewDir/v$v"))
+        txt.trim.split(",").map(_.toLongOption) match {
+          case Array(Some(aL), Some(aR)) =>
+            Some((v, (aL, aR), spark.read.parquet(s"$viewDir/v$v")))
+          case _ => None
+        }
       }
+      .headOption
   }
 
   /** Feed slice (batch_id in (from, to]) — partition-pruned; an absent
@@ -433,8 +441,14 @@ object CdcStream {
     def commit(df: DataFrame): Option[Long] = {
       val v = vL + vR
       df.write.mode("overwrite").parquet(s"$viewDir/v$v")
-      val out = fs.create(new Path(s"$viewDir/v$v/_frontier"), true)
+      // marker goes through temp + rename so a crash mid-write leaves a
+      // .tmp (never a half-written _frontier); discovery additionally
+      // refuses unparsable markers — belt and braces on the commit point
+      val tmp = new Path(s"$viewDir/v$v/_frontier.tmp")
+      val out = fs.create(tmp, true)
       try out.write(s"$vL,$vR".getBytes("UTF-8")) finally out.close()
+      fs.delete(new Path(s"$viewDir/v$v/_frontier"), false)
+      fs.rename(tmp, new Path(s"$viewDir/v$v/_frontier"))
       Some(v)
     }
     currentJoinView(spark, viewDir) match {

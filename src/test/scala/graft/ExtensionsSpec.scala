@@ -57,6 +57,21 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
       s"pair (${r.getLong(0)}, ${r.getLong(1)}): merge count != builtin"))
   }
 
+  test("sorted_intersect_count throws on null elements (no phantom 0 matches)") {
+    // sort_array places nulls FIRST, so a real malformed signature is
+    // visited immediately by the merge
+    val e = intercept[Exception] {
+      spark.sql("SELECT sorted_intersect_count(array(CAST(NULL AS BIGINT), " +
+        "CAST(1 AS BIGINT)), array(CAST(0 AS BIGINT), CAST(1 AS BIGINT)))")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("null array element")),
+      s"expected the null-element error, got: $e")
+  }
+
   test("optimizer rewrites dot_vec(a, a) to norm2_sq(a), bit-identically") {
     val df = Tables.embeddings(spark, Sf).limit(20)
       .select(

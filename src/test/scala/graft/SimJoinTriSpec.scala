@@ -31,8 +31,12 @@ class SimJoinTriSpec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty, "testdata plants near-dups; empty means broken")
   }
 
-  test("q_triangle equals brute-force unoriented triangle count") {
-    val parts = Tables.part(spark, Sf)
+  // sf0.01 as well as sf0.001: the degree/id-order disagreement that the
+  // original wedge ordering silently missed (review-caught undercount)
+  // does not occur at sf0.001 — the larger graph is the regression net
+  for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+  test(s"q_triangle equals brute-force unoriented triangle count ($sf)") {
+    val parts = Tables.part(spark, sf)
       .select("p_partkey", "p_brand", "p_retailprice").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
     val byBrand = parts.groupBy(_._2)
@@ -44,18 +48,19 @@ class SimJoinTriSpec extends AnyFunSuite with SparkFixture {
       val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
         .withDefaultValue(Set.empty[Long])
       // brute triangles: u<v<w with all three edges present (id order —
-      // orientation-free ground truth)
-      val tris = (for {
-        (u, v) <- edges
-        w <- adj(v) if adj(u).contains(w)
-      } yield 1).size
+      // orientation-free ground truth). NOTE: summed over a Seq — a
+      // for-comprehension over the edge SET would collapse the yielded
+      // 1s into {1} and report min(count, 1) (its own review-caught bug)
+      val tris = edges.toSeq.map { case (u, v) =>
+        adj(v).count(w => adj(u).contains(w))
+      }.sum
       brand -> (edges.size.toLong, tris.toLong)
     }
-    val got = GraphOps.triangles.fn(spark, Sf).collect()
+    val got = GraphOps.triangles.fn(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got === expect.filter(_._2._1 > 0),
       "degree orientation must count each triangle exactly once")
-    assert(got.values.map(_._2).sum > 0, "sf0.001 plants >=1 triangle")
+    assert(got.values.map(_._2).sum > 0, "testdata plants >=1 triangle")
   }
 
   test("q_lm_score surprisal matches a driver-side unigram model") {
