@@ -41,8 +41,16 @@ object IncrementalJoin {
 
   /** leftKeys(i) joins rightKeys(i). Column names must be disjoint
     * across the two sides — a materialized view needs an unambiguous
-    * flat schema. */
-  final case class Spec(leftKeys: Seq[String], rightKeys: Seq[String]) {
+    * flat schema.
+    *
+    * `broadcastKeyLimit` bounds the touched-key broadcast: a normal CDC
+    * batch is feed-sized and broadcasting it keeps the view/snapshot
+    * sides shuffle-free, but a pathological giant batch (a backfill
+    * replay touching most keys) must not be forced through the driver —
+    * above the limit [[maintain]] degrades to plain shuffle joins (AQE
+    * still broadcasts at runtime if the actual bytes allow). */
+  final case class Spec(leftKeys: Seq[String], rightKeys: Seq[String],
+      broadcastKeyLimit: Long = 4000000L) {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       "need matching, non-empty key lists")
   }
@@ -100,16 +108,23 @@ object IncrementalJoin {
   def maintain(view: DataFrame, leftNew: DataFrame, leftFeed: DataFrame,
       rightNew: DataFrame, rightFeed: DataFrame, spec: Spec): DataFrame = {
     val kn = spec.leftKeys.map(k => s"__t_$k")
+    // materialized once (localCheckpoint): the frame probes THREE joins
+    // below and its cardinality decides the broadcast — un-checkpointed
+    // it would re-derive the feed classification four times
     val touched = touchedKeys(leftFeed, spec.leftKeys, kn)
       .unionByName(touchedKeys(rightFeed, spec.rightKeys, kn))
       .distinct()
+      .localCheckpoint()
+    val hinted =
+      if (touched.count() <= spec.broadcastKeyLimit) broadcast(touched)
+      else touched
     def keyCond(df: DataFrame, keys: Seq[String]) =
       keys.zip(kn).map { case (k, t) => df(k) === col(t) }.reduce(_ && _)
-    val survivors = view.join(broadcast(touched),
+    val survivors = view.join(hinted,
       keyCond(view, spec.leftKeys), "left_anti")
-    val aSlice = leftNew.join(broadcast(touched),
+    val aSlice = leftNew.join(hinted,
       keyCond(leftNew, spec.leftKeys), "left_semi")
-    val bSlice = rightNew.join(broadcast(touched),
+    val bSlice = rightNew.join(hinted,
       keyCond(rightNew, spec.rightKeys), "left_semi")
     survivors.unionByName(init(aSlice, bSlice, spec))
   }

@@ -76,9 +76,12 @@ object AuditOps {
       |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
       |terms AS (
       |  SELECT CAST(floor(
-      |      CAST((o.o * n.n - rt.rt * ct.ct) AS DOUBLE)
-      |        * CAST((o.o * n.n - rt.rt * ct.ct) AS DOUBLE)
-      |        / CAST(rt.rt * ct.ct * n.n AS DOUBLE)
+      |      (CAST(o.o AS DOUBLE) * CAST(n.n AS DOUBLE)
+      |        - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE))
+      |        * (CAST(o.o AS DOUBLE) * CAST(n.n AS DOUBLE)
+      |          - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE))
+      |        / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+      |          * CAST(n.n AS DOUBLE))
       |        * 1e10 + 5.0e-1) AS BIGINT) AS t10
       |  FROM o JOIN rt ON o.lang = rt.lang
       |    JOIN ct ON o.source = ct.source, n)
@@ -96,11 +99,18 @@ object AuditOps {
     val dof = rt.agg((count(lit(1)) - 1).as("dl")).crossJoin(
       ct.agg((count(lit(1)) - 1).as("ds")))
       .select((col("dl") * col("ds")).as("dof"))
-    val num = col("o") * col("n") - col("rt") * col("ct")
+    // every factor goes int64→double BEFORE any multiply: a per-factor
+    // cast is correctly rounded and deterministic, whereas an int64
+    // product rt*ct*n wraps silently past n³ > 2^63 (Spark) while DuckDB
+    // raises — a latent cross-engine divergence at scale. Both engines
+    // now run the identical left-assoc IEEE op sequence.
+    val num = col("o").cast(DoubleType) * col("n").cast(DoubleType) -
+      col("rt").cast(DoubleType) * col("ct").cast(DoubleType)
     o.join(broadcast(rt), "lang").join(broadcast(ct), "source")
       .crossJoin(broadcast(n))
-      .select(floor(num.cast(DoubleType) * num.cast(DoubleType)
-          / (col("rt") * col("ct") * col("n")).cast(DoubleType)
+      .select(floor(num * num
+          / (col("rt").cast(DoubleType) * col("ct").cast(DoubleType)
+            * col("n").cast(DoubleType))
           * lit(1e10) + lit(0.5)).cast(LongType).as("t10"),
         col("n"))
       .agg((sum(col("t10")).cast(DoubleType) / lit(1e10)).as("chi2"),

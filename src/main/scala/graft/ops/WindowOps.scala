@@ -275,17 +275,24 @@ object WindowOps {
     * running frame — `last(_, ignoreNulls)` in Spark, `last_value(...
     * IGNORE NULLS)` in the oracle). Row-grain LOCF is the sensor/price
     * carry-forward primitive; q_gapfill is its day-grain calendar twin.
-    * One user_id shuffle; total (ts, event_id) frame order. */
+    * One user_id shuffle; total (ts, event_id) frame order.
+    *
+    * Output is exact integer CENTS (BIGINT), not DECIMAL: the decimal
+    * snap happens once per input value (value → DECIMAL(18,2) → ×100 →
+    * BIGINT, identical one-op chains on both engines), and the window
+    * then carries an integral long — so the checker only ever hashes an
+    * int64 column, same recipe as every other money output in the repo. */
   val winLocf: Q = Q.checked(
     "q_locf",
     Tables.EventsCte +
       """
         |SELECT user_id, event_id,
         |  coalesce(last_value(CASE WHEN event_type = 'purchase'
-        |      THEN CAST(value AS DECIMAL(18,2)) END IGNORE NULLS)
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END
+        |      IGNORE NULLS)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |    CAST(-1 AS DECIMAL(18,2))) AS last_purchase
+        |    -1) AS last_purchase_cents
         |FROM ev ORDER BY user_id, event_id""".stripMargin
   ) { (s, dir) =>
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -293,10 +300,11 @@ object WindowOps {
     Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("ts"),
         when(col("event_type") === "purchase",
-          col("value").cast(DecimalType(18, 2))).as("pv"))
+          (col("value").cast(DecimalType(18, 2)) * lit(100))
+            .cast(LongType)).as("pv"))
       .select(col("user_id"), col("event_id"),
         coalesce(last(col("pv"), ignoreNulls = true).over(w),
-          lit(-1).cast(DecimalType(18, 2))).as("last_purchase"))
+          lit(-1L)).as("last_purchase_cents"))
       .orderBy("user_id", "event_id")
   }
 

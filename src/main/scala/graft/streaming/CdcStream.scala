@@ -378,7 +378,12 @@ object CdcStream {
       // a crash DURING the marker write can leave an empty/garbled
       // _frontier; existence alone is not commitment — an unparsable
       // marker means this generation never committed, fall back to the
-      // previous one (the next advance overwrites the orphan)
+      // previous one (the next advance overwrites the orphan).
+      // `.iterator` keeps the scan lazy: only the newest parseable
+      // generation's marker is opened and only its DataFrame constructed
+      // — with the post-commit sweep in [[maintainJoinView]] that is
+      // O(1) generations touched per advance, not O(history)
+      .iterator
       .flatMap { v =>
         val in = fs.open(new Path(s"$viewDir/v$v/_frontier"))
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -389,7 +394,7 @@ object CdcStream {
           case _ => None
         }
       }
-      .headOption
+      .nextOption()
   }
 
   /** Feed slice (batch_id in (from, to]) — partition-pruned; an absent
@@ -448,7 +453,20 @@ object CdcStream {
       val out = fs.create(tmp, true)
       try out.write(s"$vL,$vR".getBytes("UTF-8")) finally out.close()
       fs.delete(new Path(s"$viewDir/v$v/_frontier"), false)
-      fs.rename(tmp, new Path(s"$viewDir/v$v/_frontier"))
+      // a silent rename failure would leave the generation uncommitted
+      // (discovery falls back to the prior one) while the caller believes
+      // the advance happened — the commit point must be loud
+      if (!fs.rename(tmp, new Path(s"$viewDir/v$v/_frontier")))
+        throw new java.io.IOException(
+          s"join-view commit failed: rename $tmp -> $viewDir/v$v/_frontier")
+      // retention: generations strictly older than the one just committed
+      // are superseded (including orphans from crashed advances) — sweep
+      // them so view history, and discovery cost, stay bounded
+      fs.listStatus(new Path(viewDir)).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") &&
+          n.drop(1).toLongOption.exists(_ < v) => n }
+        .foreach(n => fs.delete(new Path(s"$viewDir/$n"), true))
       Some(v)
     }
     currentJoinView(spark, viewDir) match {

@@ -170,6 +170,34 @@ class IncrementalJoinSpec extends AnyFunSuite with SparkFixture {
       "healed generation must hold the maintained view, not the orphan")
   }
 
+  test("broadcastKeyLimit guard: over-limit batch takes the shuffle path") {
+    // a "backfill replay" batch touching more keys than the limit must
+    // NOT be forced through the driver as a broadcast — with the hint
+    // withheld (and static auto-broadcast off) the plan degrades to
+    // shuffle joins, and the result is still bit-equal to the recompute
+    val a0 = dfA((1L to 40L).map(i => (i, i % 8, 1.0)))
+    val b0 = dfB((0L to 7L).map(i => (i, "open")))
+    val a1 = dfA((1L to 40L).map(i => (i, i % 8, 2.0)))  // every row updates
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val guarded = spec.copy(broadcastKeyLimit = 2L)
+      val v = IncrementalJoin.maintain(IncrementalJoin.init(a0, b0, spec),
+        a1, feed(a0, a1, cfgA), b0, feed(b0, b0, cfgB), guarded)
+      assert(!v.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        "over-limit touched set must not plan a static broadcast")
+      assert(rows(v) === rows(IncrementalJoin.init(a1, b0, spec)))
+      // and under the default limit the hint still forces the broadcast
+      // even with static auto-broadcast disabled
+      val hintedPlan = IncrementalJoin.maintain(
+          IncrementalJoin.init(a0, b0, spec), a1, feed(a0, a1, cfgA),
+          b0, feed(b0, b0, cfgB), spec)
+        .queryExecution.sparkPlan.toString
+      assert(hintedPlan.contains("BroadcastHashJoin"),
+        "feed-sized touched set must keep the broadcast hint")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("maintenance plan is touched-key bounded: anti + two semi probes") {
     val a0 = dfA(Seq((1L, 10L, 5.0))); val b0 = dfB(Seq((10L, "open")))
     val a1 = dfA(Seq((1L, 10L, 6.0)))
