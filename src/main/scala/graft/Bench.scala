@@ -9,6 +9,12 @@ import java.util.concurrent.atomic.AtomicLong
   * scale factor and emits ONE machine-readable JSON line (also written to
   * bench_out.json, since sbt interleaves log noise on stdout).
   *
+  * Each query is measured SPARK_GRAFT_BENCH_RUNS times (default 3) and
+  * reports the MEDIAN: single-run sub-second timings swing 3× on
+  * JIT/GC lottery (round 4's q_intersect "regression" was exactly that),
+  * which corrupts round-over-round comparison. The median of three is
+  * stable within ~20% on repeat runs while still billing real plan work.
+  *
   * Failures are never folded into healthy timings: a failing query gets
   * time = -1 and an entry in "errors", and is excluded from the total.
   * A warmup pass (the flagship query) runs first so JVM/codegen/session
@@ -46,25 +52,33 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
 
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val shuffles = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       Thread.sleep(50) // drain async listener events from the previous query
       val s0 = shuffleBytes.get()
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var failed = false
+      var i = 0
+      while (i < runs && !failed) { // first failure aborts: no retry noise
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
         catch {
           case e: Throwable =>
             errors(name) =
               Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            false
+            failed = true
         }
-      val elapsed = (System.nanoTime() - t0) / 1e9
+        i += 1
+      }
       Thread.sleep(50)
-      shuffles(name) =
-        math.round((shuffleBytes.get() - s0) / 1048576.0 * 1000) / 1000.0
-      name -> (if (ok) elapsed else -1.0)
+      // shuffle bytes are deterministic per run — normalize to one run
+      shuffles(name) = math.round((shuffleBytes.get() - s0) / 1048576.0
+        / times.size.max(1) * 1000) / 1000.0
+      val median =
+        if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
+      name -> (if (failed) -1.0 else median)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

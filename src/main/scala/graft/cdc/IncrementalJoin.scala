@@ -72,6 +72,14 @@ object IncrementalJoin {
     * twins when the key is mutable). One distinct over a feed-sized
     * frame. */
   def touchedKeys(feed: DataFrame, keys: Seq[String],
+      outNames: Seq[String]): DataFrame =
+    touchedKeysRaw(feed, keys, outNames).distinct()
+
+  /** [[touchedKeys]] without the trailing distinct — [[maintain]] unions
+    * both sides' raw key frames and dedups ONCE (one shuffle instead of
+    * three; the probes below are anti/semi joins, set-semantic either
+    * way — the distinct only bounds the broadcast). */
+  private def touchedKeysRaw(feed: DataFrame, keys: Seq[String],
       outNames: Seq[String]): DataFrame = {
     import CdcMerge.{Delete, Insert, OldPrefix, OpCol, Update}
     def oldName(c: String): String =
@@ -99,7 +107,6 @@ object IncrementalJoin {
         when(col(OpCol) === Update, array(newK, oldK))
           .otherwise(array(newK))).as("__k"))
       .select(col("__k.*"))
-      .distinct()
   }
 
   /** Advance the view by one batch: both feeds are the classified frames
@@ -110,9 +117,10 @@ object IncrementalJoin {
     val kn = spec.leftKeys.map(k => s"__t_$k")
     // materialized once (localCheckpoint): the frame probes THREE joins
     // below and its cardinality decides the broadcast — un-checkpointed
-    // it would re-derive the feed classification four times
-    val touched = touchedKeys(leftFeed, spec.leftKeys, kn)
-      .unionByName(touchedKeys(rightFeed, spec.rightKeys, kn))
+    // it would re-derive the feed classification four times. Raw (non-
+    // distinct) per-side frames union FIRST so the dedup is ONE shuffle.
+    val touched = touchedKeysRaw(leftFeed, spec.leftKeys, kn)
+      .unionByName(touchedKeysRaw(rightFeed, spec.rightKeys, kn))
       .distinct()
       .localCheckpoint()
     val hinted =

@@ -55,45 +55,58 @@ object GraphOps {
        |  r AS rank_micro
        |FROM r3 ORDER BY rank_micro DESC, node LIMIT 20""".stripMargin
   ) { (s, dir) =>
+    // (measured: pre-repartitioning edges by src to co-partition the
+    // per-round joins does NOT pay here — AQE coalesces the round's
+    // rank-frame partitioning so the join re-exchanges anyway, and the
+    // upfront repartition nearly tripled total shuffle for flat wall
+    // time. At real scale the equivalent win comes from bucket-storing
+    // the edge list, not an in-plan repartition.)
+    //
+    // LAZY checkpoints throughout (localCheckpoint(false)): the frame is
+    // already LogicalRDD-backed (plan truncation), but no job runs until
+    // an action, so plan-only consumers (PlanSpec's UDF scan,
+    // graft.Explain) don't execute Spark jobs just to read the plan.
     val e0 = Tables.lineitem(s, dir)
       .select("l_partkey", "l_suppkey").distinct()
-    val edges = e0
+      .localCheckpoint(false)
+    // the graph is bipartite, so a node's out-degree is its pair count
+    // in e0 — two HALF-SIZE aggregates over the pair list instead of one
+    // over the doubled edge list, and both are broadcast-sized
+    val degP = e0.groupBy("l_partkey").agg(count(lit(1)).as("dp"))
+    val degS = e0.groupBy("l_suppkey").agg(count(lit(1)).as("ds"))
+    // the SOURCE degree is stamped onto each directed edge as it is
+    // built (two broadcast joins over the pair list, then the
+    // direction-doubling union), so the rank frame stays a bare
+    // (node, r) pair and the damped division happens edge-side — each
+    // round is exactly ONE join (edgesD ⋈ ranks, rank side broadcast)
+    // plus one partial-aggregated groupBy. Earlier shapes paid a second
+    // node-sized deg re-join per round (r4: 3.26 s) and a full-size
+    // degree shuffle plus an extra edge-list materialization up front.
+    val e0d = e0.join(broadcast(degP), "l_partkey")
+      .join(broadcast(degS), "l_suppkey")
+    val edgesD = e0d
       .select((col("l_partkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .unionByName(e0.select((col("l_suppkey") * 2 + 1).as("src"),
-        (col("l_partkey") * 2).as("dst")))
-      // (measured: pre-repartitioning edges by src to co-partition the
-      // per-round joins does NOT pay here — AQE coalesces the round's
-      // rank-frame partitioning so the join re-exchanges anyway, and the
-      // upfront repartition nearly tripled total shuffle for flat wall
-      // time. At real scale the equivalent win comes from bucket-storing
-      // the edge list, not an in-plan repartition.)
-      //
-      // LAZY checkpoints: the returned frame is already LogicalRDD-backed
-      // (plan truncation — the loop stays O(rounds), not O(2^rounds)),
-      // but no job runs until an action, so plan-only consumers
-      // (PlanSpec's UDF scan, graft.Explain) don't execute 5 Spark jobs
-      // just to read the plan; persistence still happens on first run.
+        (col("l_suppkey") * 2 + 1).as("dst"), col("dp").as("dsrc"))
+      .unionByName(e0d.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst"), col("ds").as("dsrc")))
       .localCheckpoint(false)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("node"), col("deg"))
-      .localCheckpoint(false)
-    // degree rides IN the rank frame, so each round's damped
-    // contribution is a map-only projection over the node-sized frame
-    // and the ONLY join touching the edge list is edges ⋈ contribs —
-    // the old shape joined edges against ranks AND deg (two big-side
-    // joins per round; measured 3.5 s → ~2 s at sf0.1). Re-attaching
-    // deg costs a node-sized ⋈ node-sized join per round instead.
-    var r = deg.withColumn("r", lit(1000000L))
+    val deg = degP.select((col("l_partkey") * 2).as("node"), col("dp").as("deg"))
+      .unionByName(degS.select((col("l_suppkey") * 2 + 1).as("node"),
+        col("ds").as("deg")))
+    // the loop itself stays PURE PLAN — each round references edgesD
+    // (checkpointed) once and the previous rank frame once, so lineage
+    // grows linearly (3 joins + 3 aggs), not exponentially; skipping the
+    // per-round checkpoint removes three block-store materializations
+    // and their GC churn, and AQE still broadcasts the node-sized rank
+    // side from its shuffle's runtime stats each round.
+    var r = deg.select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to Iters) {
-      val contrib = r.select(col("node").as("cnode"),
-        expr("((r * 17) div 20) div deg").as("c"))
-      r = edges.join(contrib, edges("src") === col("cnode"))
+      r = edgesD.join(r.withColumnRenamed("node", "cnode"),
+          col("src") === col("cnode"))
         .groupBy(col("dst"))
-        .agg((lit(150000L) + sum(col("c"))).cast(LongType).as("r"))
+        .agg((lit(150000L) +
+          sum(expr("((r * 17) div 20) div dsrc"))).cast(LongType).as("r"))
         .select(col("dst").as("node"), col("r"))
-        .join(deg, "node")
-        .localCheckpoint(false)
     }
     r.select(col("node"),
         when(col("node") % 2 === 0, "part").otherwise("supplier").as("kind"),
