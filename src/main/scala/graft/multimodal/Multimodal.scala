@@ -10,9 +10,11 @@ import org.apache.spark.sql.types._
   * real codec wants — amortized model/codec init per partition, vectorized
   * inner loop).
   *
-  * THE DECODE STEP IS A STUB: this container ships no image/audio codecs,
-  * so [[DeterministicStubDecoder]] derives fake-but-deterministic features
-  * from the payload bytes. Everything around it — the schema, the binary
+  * Decoders: AUDIO decodes for real — [[WavPcmDecoder]] parses the
+  * RIFF/WAVE container (PCM 8/16-bit) with zero dependencies and emits
+  * RMS-energy-envelope features. IMAGE/VIDEO remain stubbed
+  * ([[DeterministicStubDecoder]]) because this container ships no image
+  * codec libraries; everything around the stub — the schema, the binary
   * column handling, the partitioning, the per-partition batch shape, the
   * frame-sampling chunker — is real and tested (MultimodalSpec).
   */

@@ -63,6 +63,61 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(frames(2L) === 3) // ceil(10/4)
   }
 
+  test("WAV decoder: real RIFF/WAVE payloads decode through the Spark pipeline") {
+    import graft.multimodal.{MediaMeta, WavPcm, WavPcmDecoder}
+    import spark.implicits._
+    implicit val s = spark
+    // synthesize three real WAV files: a 440 Hz half-amplitude sine, a
+    // full-amplitude sine, and digital silence
+    def sine(amp: Float, n: Int): Array[Float] =
+      Array.tabulate(n)(i => (amp * math.sin(2 * math.Pi * 440 * i / 8000.0)).toFloat)
+    val payloads = Seq(
+      1L -> WavPcm.encodePcm16(sine(0.5f, 8000), 8000, 1),
+      2L -> WavPcm.encodePcm16(sine(1.0f, 8000), 8000, 1),
+      3L -> WavPcm.encodePcm16(new Array[Float](8000), 8000, 1))
+    val records = payloads.toDF("media_id", "payload")
+      .select(col("media_id"),
+        struct(lit("audio").as("modality"), lit(0).as("width"),
+          lit(0).as("height"), lit(8000).as("sampleRateHz"),
+          lit(0).as("nFrames")).as("meta"),
+        col("payload"))
+    val feats = Multimodal.extractFeatures(records, WavPcmDecoder)
+      .collect().sortBy(_.media_id)
+    assert(feats.length === 3)
+    // RMS of a sine = amp/sqrt(2); every time bin holds many full periods
+    val rms05 = 0.5 / math.sqrt(2.0)
+    val rms10 = 1.0 / math.sqrt(2.0)
+    assert(feats(0).features.forall(f => math.abs(f - rms05) < 0.02),
+      s"half-amp bins: ${feats(0).features.toSeq}")
+    assert(feats(1).features.forall(f => math.abs(f - rms10) < 0.03),
+      s"full-amp bins: ${feats(1).features.toSeq}")
+    assert(feats(2).features.forall(_ === 0.0f))
+  }
+
+  test("WAV codec: header round-trip, chunk skipping, loud failures") {
+    import graft.multimodal.WavPcm
+    val samples = Array.tabulate(100)(i => (i - 50) / 64.0f)
+    val wav = WavPcm.decode(WavPcm.encodePcm16(samples, 16000, 1))
+    assert(wav.sampleRateHz === 16000 && wav.channels === 1
+      && wav.bitsPerSample === 16 && wav.samples.length === 100)
+    // 16-bit quantization: round-trip within 1 LSB
+    assert(wav.samples.zip(samples).forall { case (a, b) =>
+      math.abs(a - b) <= 1.5f / 32768f })
+    // an unknown chunk (LIST metadata) before data must be skipped: splice
+    // one into a valid file
+    val base = WavPcm.encodePcm16(samples, 16000, 1)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = base.take(36) ++ list ++ base.drop(36)
+    // RIFF size field is now stale, but the chunk walk is length-bounded
+    val wav2 = WavPcm.decode(spliced)
+    assert(wav2.samples.length === 100 && wav2.sampleRateHz === 16000)
+    // loud failures on non-WAV payloads
+    intercept[IllegalArgumentException](WavPcm.decode("hello".getBytes))
+    intercept[IllegalArgumentException](
+      WavPcm.decode("RIFFxxxxWAVE".getBytes ++ Array[Byte](1, 2, 3)))
+  }
+
   test("approx_count_distinct stays within 15% of exact (HLL sanity)") {
     val r = Tables.events(spark, Sf)
       .agg(approx_count_distinct("user_id").as("a"),

@@ -216,6 +216,63 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(ops1 === Set((1L, "U"), (2L, "D"), (3L, "I")))
   }
 
+  test("Debezium envelope stream: state equals the batch-CDC merge on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("dbz_state").toString
+    val ckpt = Files.createTempDirectory("dbz_ckpt").toString
+    val cfg = CdcConfig(Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+    val payloadSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType)))
+
+    // raw topic records: the standard Debezium wire envelope, one JSON
+    // string per change event (`value` is the only column, as a Kafka
+    // read would yield after CAST(value AS STRING))
+    val ms = MemoryStream[String]
+    val envelope = graft.sources.Sources.debeziumEnvelope(
+      ms.toDF, payloadSchema)
+    val q = CdcStream.startFromEnvelope(envelope, cfg, stateDir, ckpt)
+    try {
+      // batch 0: snapshot read (op r) + create — both must land as upserts
+      ms.addData(Seq(
+        """{"before":null,"after":{"o_orderkey":1,"o_custkey":10,"o_orderstatus":"O","o_totalprice":100.0},"op":"r","ts_ms":1704103200000}""",
+        """{"before":null,"after":{"o_orderkey":2,"o_custkey":20,"o_orderstatus":"O","o_totalprice":200.0},"op":"c","ts_ms":1704103200000}"""))
+      q.processAllAvailable()
+      // batch 1: two rapid updates on key 1 (latest ts_ms wins), a delete
+      // of key 2 carrying only its BEFORE image, a create of key 3, and a
+      // truncate event that row-grain CDC must ignore
+      ms.addData(Seq(
+        """{"before":{"o_orderkey":1,"o_custkey":10,"o_orderstatus":"O","o_totalprice":100.0},"after":{"o_orderkey":1,"o_custkey":10,"o_orderstatus":"O","o_totalprice":110.0},"op":"u","ts_ms":1704103260000}""",
+        """{"before":{"o_orderkey":1,"o_custkey":10,"o_orderstatus":"O","o_totalprice":110.0},"after":{"o_orderkey":1,"o_custkey":10,"o_orderstatus":"O","o_totalprice":120.0},"op":"u","ts_ms":1704103320000}""",
+        """{"before":{"o_orderkey":2,"o_custkey":20,"o_orderstatus":"O","o_totalprice":200.0},"after":null,"op":"d","ts_ms":1704103260000}""",
+        """{"before":null,"after":{"o_orderkey":3,"o_custkey":30,"o_orderstatus":"F","o_totalprice":300.0},"op":"c","ts_ms":1704103260000}""",
+        """{"before":null,"after":null,"op":"t","ts_ms":1704103260000}"""))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // oracle: the BATCH full-extract merge over the equivalent snapshots
+    // (prev = post-batch-0 table, curr = post-batch-1 table) must yield
+    // the exact same final state the envelope stream materialized
+    val prevExtract = Seq(Ord(1, 10, "O", 100.0), Ord(2, 20, "O", 200.0)).toDF
+    val currExtract = Seq(Ord(1, 10, "O", 120.0), Ord(3, 30, "F", 300.0)).toDF
+    val oracle = CdcMerge.applyChanges(
+      CdcMerge.classify(prevExtract, currExtract, cfg), cfg)
+      .as[Ord].collect().toSet
+    val state = CdcStream.currentState(spark, stateDir).get
+      .as[Ord].collect().toSet
+    assert(state === oracle)
+    assert(state === Set(Ord(1, 10, "O", 120.0), Ord(3, 30, "F", 300.0)))
+    // the change feed records the right per-key ops for batch 1
+    val ops1 = spark.read.parquet(CdcStream.changesPath(stateDir))
+      .filter(col("batch_id") === 1)
+      .select("o_orderkey", CdcMerge.OpCol).as[(Long, String)].collect().toSet
+    assert(ops1 === Set((1L, "U"), (2L, "D"), (3L, "I")))
+  }
+
   test("envelope election is total: equal (ts, op) breaks ties by payload hash") {
     import spark.implicits._
     val cfg = CdcConfig(Seq("o_orderkey"),
