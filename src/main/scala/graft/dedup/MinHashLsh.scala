@@ -16,8 +16,9 @@ import org.apache.spark.sql.types._
   * are 8-byte longs (xxhash64), not strings. Candidate volume is bounded
   * by the banding parameters (P[bucket-collision] = 1 − (1 − j^r)^b for
   * Jaccard j), so skew from a hot bucket is the only risk — AQE's skew
-  * join handles it, and `bandBuckets` can be salted if a pathological
-  * corpus demands it. All expressions are built-ins inside codegen; no
+  * join handles moderate cases, and [[candidatePairsSalted]] spreads a
+  * pathological bucket across s join keys (identical candidate set,
+  * LshSpec-verified) when a boilerplate-heavy corpus demands it. All expressions are built-ins inside codegen; no
   * UDFs, no MLlib dependency.
   *
   * The LSH output is hash-seed sensitive, so it is impl-only: the
@@ -104,6 +105,35 @@ object MinHashLsh {
       col("band_id").as("band_id_b"), col("band_hash").as("band_hash_b"))
     a.join(b, col("band_id") === col("band_id_b")
         && col("band_hash") === col("band_hash_b")
+        && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** [[candidatePairs]] with HOT-BUCKET SALTING — the skew mitigation for
+    * a pathological corpus (one boilerplate string shared by millions of
+    * docs puts them all in one (band, bucket) key, and that single
+    * reducer owns an m² pair blow-up). The left side takes
+    * salt = xxhash64(id) mod s; the right side replicates each bucket row
+    * to ALL s salts; the join key grows by salt. The candidate set is
+    * IDENTICAL to the unsalted join — every (a, b) pair still meets
+    * exactly once, at b's replica carrying a's salt — but a bucket of m
+    * members now spreads across s join keys of ~m/s build rows each, so
+    * no task sees the full m² fan-out. Costs an s× replication of the
+    * (8-byte, id-only) right side; use when AQE skew splitting alone
+    * cannot cut it. */
+  def candidatePairsSalted(buckets: DataFrame, idCol: String,
+      salts: Int): DataFrame = {
+    require(salts >= 1, "salts must be positive")
+    val a = buckets.select(col(idCol).as("id_a"), col("band_id"),
+      col("band_hash"), pmod(xxhash64(col(idCol)), lit(salts)).as("salt"))
+    val b = buckets.select(col(idCol).as("id_b"),
+        col("band_id").as("band_id_b"), col("band_hash").as("band_hash_b"))
+      .withColumn("salt_b",
+        explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    a.join(b, col("band_id") === col("band_id_b")
+        && col("band_hash") === col("band_hash_b")
+        && col("salt") === col("salt_b")
         && col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()

@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * quantizer partitions the corpus into inverted lists; a probe searches
   * only the nProbe nearest lists.
   *
-  * The coarse centroids here are one Lloyd iteration seeded by the label
-  * column (deterministic — no RNG, so tests are exact); a production
-  * build would iterate a few more times or plug in trained centroids. At
-  * 100 TB the list id becomes the partition/bucket key, so a probe reads
-  * nProbe partitions instead of the whole corpus, and list sizes are the
-  * skew knob (split hot lists, like IVF-PQ systems do).
+  * The quantizer trains with k DETERMINISTIC Lloyd iterations
+  * ([[centroidsIter]]): iteration 1 is the label-seeded means (no RNG,
+  * so tests are exact); each further iteration reassigns every vector to
+  * its nearest centroid and recomputes the per-list means — plain Lloyd,
+  * one distributed aggregate per iteration. Oversized lists split along
+  * their highest-variance dimension ([[splitHotLists]]): at 100 TB the
+  * list id becomes the partition/bucket key, so a probe reads nProbe
+  * partitions instead of the whole corpus, and list sizes are the skew
+  * knob (hot-list splitting, like IVF-PQ systems do).
   *
   * The quantizer itself is MODEL state, not data: lists × dim doubles
   * (4096 lists × 64 dims ≈ 2 MB), bounded and data-size-independent. It is
@@ -37,6 +40,66 @@ object Ivf {
         .as("pairs"))
       .select(col("list_id"),
         expr("transform(pairs, p -> p.mean_v)").as("centroid"))
+
+  /** k deterministic Lloyd iterations: iteration 1 is the label-seeded
+    * means; each further iteration reassigns every vector to its nearest
+    * centroid (ties to the smallest list_id) and recomputes per-list
+    * means. No RNG anywhere, so a given corpus + seed column always
+    * yields the same quantizer. A list that loses all members simply
+    * disappears (classic Lloyd). Cost: one aggregate over the corpus per
+    * iteration; the inter-iteration state is the bounded quantizer. */
+  def centroidsIter(df: DataFrame, embCol: String, seedCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one Lloyd iteration")
+    (2 to iters).foldLeft(centroids(df, embCol, seedCol)) { (c, _) =>
+      centroids(assign(df, c, "", embCol), embCol, "list_id")
+    }
+  }
+
+  /** One hot-list split round (the IVF skew knob): every list holding
+    * more than `maxListSize` vectors is cut in two at its mean along its
+    * highest-variance dimension (FP ties → smallest dimension index);
+    * the low half keeps the list id, the high half gets a fresh id above
+    * the current max, and BOTH children are re-centered to their member
+    * means. Cold lists keep their ids and centroids untouched.
+    * Deterministic — the split plane is derived, not sampled. Call again
+    * if a child is still hot (each round halves the worst case). */
+  def splitHotLists(df: DataFrame, cents: DataFrame, embCol: String,
+      maxListSize: Long): DataFrame = {
+    val cs = collectCentroids(cents)
+    val assigned = assignLit(df, cs, embCol)
+    // lists-sized model state: sizes, then per-hot-list split dimension
+    val sizes = assigned.groupBy("list_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hot = cs.map(_._1).filter(l => sizes.getOrElse(l, 0L) > maxListSize)
+    if (hot.isEmpty) return cents
+    val splitDim: Map[Long, Int] = assigned
+      .filter(col("list_id").isin(hot: _*))
+      .select(col("list_id"), posexplode(col(embCol)).as(Seq("pos", "v")))
+      .groupBy("list_id", "pos")
+      .agg(var_pop(col("v").cast(DoubleType)).as("varv"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (lid, rows) =>
+        lid -> rows.map(r => (-r.getDouble(2), r.getInt(1))).min._2
+      }
+    val centMap = cs.toMap
+    val newId: Map[Long, Long] = {
+      val maxLid = cs.map(_._1).max
+      hot.sorted.zipWithIndex.map { case (l, i) => l -> (maxLid + 1 + i) }.toMap
+    }
+    val reassigned = hot.foldLeft(col("list_id")) { (acc, l) =>
+      val d = splitDim(l)
+      when(col("list_id") === l &&
+        element_at(col(embCol), d + 1).cast(DoubleType) > centMap(l)(d),
+        lit(newId(l))).otherwise(acc)
+    }
+    val hotChildren = centroids(
+      assigned.filter(col("list_id").isin(hot: _*))
+        .withColumn("list_id", reassigned),
+      embCol, "list_id")
+    cents.filter(!col("list_id").isin(hot: _*)).unionByName(hotChildren)
+  }
 
   /** Materialize the (tiny, bounded) quantizer: (list_id, centroid) sorted
     * by list_id. */
@@ -71,8 +134,9 @@ object Ivf {
     * term-for-term so probed cosines are bit-identical to brute force
     * (IvfSpec asserts < 1e-12). */
   def probeTopK(df: DataFrame, idCol: String, embCol: String, seedCol: String,
-                probeId: Long, k: Int, nProbe: Int): DataFrame = {
-    val cs = collectCentroids(centroids(df, embCol, seedCol))
+                probeId: Long, k: Int, nProbe: Int,
+                iters: Int = 1): DataFrame = {
+    val cs = collectCentroids(centroidsIter(df, embCol, seedCol, iters))
     // an absent probe id yields an empty result, not a crash — lookups
     // for deleted/unknown ids are a normal caller path
     val probeRow = df.filter(col(idCol) === probeId)

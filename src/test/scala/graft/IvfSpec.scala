@@ -43,4 +43,64 @@ class IvfSpec extends AnyFunSuite with SparkFixture {
     // true neighbors; the exact value is deterministic for this corpus
     assert(recall > 0.0, s"zero recall: ivf=$ivfIds brute=$bruteIds")
   }
+
+  /** Deterministic clustered corpus with DELIBERATELY junk seed labels:
+    * 3 well-separated clusters on axes 0/1/2 (center value 10, jitter
+    * ±0.5 from a sine of the ids — no RNG), seed = vec_id % 5, which cuts
+    * across every cluster. Iteration 1's centroids are all near the
+    * global mean; Lloyd iterations must recover the real structure. */
+  private def clustered = {
+    import spark.implicits._
+    (0 until 150).map { i =>
+      val c = i / 50
+      val emb = Array.tabulate(8) { d =>
+        val jitter = (math.sin(i * (d + 1) + 0.7) * 0.5).toFloat
+        (if (d == c) 10.0f else 0.0f) + jitter
+      }
+      (i.toLong, i % 5, emb)
+    }.toDF("vec_id", "label", "embedding")
+  }
+
+  test("Lloyd iterations: recall improves monotonically on clustered data") {
+    val brute = Ann.bruteTopK(clustered, "vec_id", "embedding",
+      probeId = 0L, k = 10).collect().map(_.getLong(0)).toSet
+    def recallAt(iters: Int): Double = {
+      val ids = Ivf.probeTopK(clustered, "vec_id", "embedding", "label",
+        probeId = 0L, k = 10, nProbe = 1, iters = iters)
+        .collect().map(_.getLong(0)).toSet
+      (ids & brute).size / 10.0
+    }
+    val (r1, r3, r5) = (recallAt(1), recallAt(3), recallAt(5))
+    assert(r3 >= r1, s"recall fell with iterations: r1=$r1 r3=$r3")
+    assert(r5 >= r3, s"recall fell with iterations: r3=$r3 r5=$r5")
+    assert(r5 > r1, s"training never improved recall: r1=$r1 r5=$r5")
+    assert(r5 === 1.0, s"converged quantizer should nail this corpus: $r5")
+  }
+
+  test("splitHotLists: hot lists split deterministically, membership conserved") {
+    import org.apache.spark.sql.DataFrame
+    // seed everything into ONE list — maximally hot
+    val one = clustered.withColumn("label", lit(0))
+    val c0 = Ivf.centroids(one, "embedding", "label")
+    assert(c0.count() === 1)
+    def maxListSize(cents: DataFrame): Long =
+      Ivf.assign(one, cents, "vec_id", "embedding")
+        .groupBy("list_id").count().agg(max("count")).collect()(0).getLong(0)
+    // each round must cut the worst list; two rounds reach <= 60 here
+    val c1 = Ivf.splitHotLists(one, c0, "embedding", maxListSize = 60)
+    val c2 = Ivf.splitHotLists(one, c1, "embedding", maxListSize = 60)
+    assert(c1.count() === 2 && c2.count() >= 3)
+    assert(maxListSize(c1) < 150 && maxListSize(c2) <= 60,
+      s"sizes: round1=${maxListSize(c1)} round2=${maxListSize(c2)}")
+    // membership conserved: every vector in exactly one list
+    val a = Ivf.assign(one, c2, "vec_id", "embedding")
+    assert(a.count() === 150)
+    assert(a.groupBy("vec_id").count().filter(col("count") =!= 1).count() === 0)
+    // a quantizer with no hot lists is returned unchanged
+    assert(Ivf.splitHotLists(one, c2, "embedding", maxListSize = 60)
+      .collect().toSet === c2.collect().toSet)
+    // determinism: the same inputs split the same way
+    assert(Ivf.splitHotLists(one, c0, "embedding", maxListSize = 60)
+      .collect().toSet === c1.collect().toSet)
+  }
 }

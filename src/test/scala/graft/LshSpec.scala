@@ -98,6 +98,44 @@ class LshSpec extends AnyFunSuite with SparkFixture {
       s"cross recall too low: $found of $nStrong strong pairs")
   }
 
+  test("hot-bucket salting: identical candidate set, fan-out split across salts") {
+    import spark.implicits._
+    // plant a pathological bucket: 40 docs sharing the exact same
+    // boilerplate text land in the SAME (band, bucket) for every band,
+    // plus a few distinct docs as background
+    val boiler = "terms of service apply to all content on this page"
+    val corpus = ((0 until 40).map(i => (i.toLong, boiler)) ++ Seq(
+      (100L, "completely different text about spark shuffles and joins here"),
+      (101L, "completely different text about spark shuffles and joins there"),
+      (102L, "unrelated third document mentioning neither of the others")))
+      .toDF("doc_id", "text")
+    val cfg = MinHashLsh.Config(numHashes = 16, bands = 4)
+    val buckets = MinHashLsh.bandBuckets(
+      MinHashLsh.signatures(corpus, "doc_id", "text",
+        cfg.shingleSize, cfg.numHashes), "doc_id", cfg)
+    val salts = 8
+    val plain = MinHashLsh.candidatePairs(buckets, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = MinHashLsh.candidatePairsSalted(buckets, "doc_id", salts)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hot bucket really is hot (40·39/2 pairs), and salting must not
+    // change the answer by a single pair
+    assert(plain.size >= 40 * 39 / 2, s"hot bucket too cold: ${plain.size}")
+    assert(salted === plain)
+    // the skew is actually split: the hot bucket's 40 build rows spread
+    // across the salted join keys, so no single (band, bucket, salt) key
+    // holds more than a hash-uneven fraction of them
+    val perKey = buckets
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)))
+      .groupBy("band_id", "band_hash", "salt").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    val unsaltedMax = buckets.groupBy("band_id", "band_hash").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(unsaltedMax === 40L, s"expected one 40-member bucket: $unsaltedMax")
+    assert(perKey < unsaltedMax / 2,
+      s"salting failed to split the hot key: max/key = $perKey")
+  }
+
   test("SimHash: banding recall is exact for Hamming ≤ 3 (pigeonhole)") {
     val h = SimHash.signatures(docs, "doc_id", "text")
     val a = h.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
