@@ -99,12 +99,13 @@ object Bench {
     // stdout line: the driver keeps only a bounded tail of stdout (~2 KB —
     // round 2's full line overflowed it mid-JSON and parsed as null), so
     // print the COMPACT contract JSON at the highest per-query decimal
-    // precision that fits a 1900-byte budget — the shape survives any
-    // future query-count growth instead of re-breaking at the margin
-    // 96 queries × ~16-char names ≈ the whole 1900-byte budget, so the
-    // compact line (a) drops the uniform "q_" key prefix (bench_out.json
-    // keeps canonical names) and (b) strips trailing zeros ("0.50"→"0.5",
-    // "1.00"→"1") — JSON numbers, loss-free at the chosen precision
+    // precision that fits a 1900-byte budget. At 141 queries even a
+    // 0-decimal line with every name no longer fits (~2.2 KB of names
+    // alone — round 4's tail truncated mid-JSON), so the compact map
+    // additionally OMITS entries that round to "0" at the chosen
+    // precision (they carry no information the "value" total doesn't);
+    // failed queries (-1) always stay. n_queries records the full count;
+    // bench_out.json keeps every query at full precision.
     def lineAt(dp: Int): String = {
       def fmt(v: Double): String = {
         // Locale.ROOT: a comma-decimal default locale would emit "0,939"
@@ -114,9 +115,11 @@ object Bench {
         else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       }
       val qsShort = results
-        .map { case (k, v) => s"${jstr(k.stripPrefix("q_"))}:${fmt(v)}" }
+        .map { case (k, v) => (k, fmt(v)) }
+        .collect { case (k, f) if f != "0" =>
+          s"${jstr(k.stripPrefix("q_"))}:$f" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$qsShort,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$qsShort,"n_queries":${results.size},"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
     }
     val json = (3 to 0 by -1).map(lineAt).find(_.length <= 1900)
       .getOrElse(lineAt(0))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -62,45 +63,44 @@ object GraphOps {
     // time. At real scale the equivalent win comes from bucket-storing
     // the edge list, not an in-plan repartition.)
     //
-    // LAZY checkpoints throughout (localCheckpoint(false)): the frame is
-    // already LogicalRDD-backed (plan truncation), but no job runs until
-    // an action, so plan-only consumers (PlanSpec's UDF scan,
-    // graft.Explain) don't execute Spark jobs just to read the plan.
+    // EAGER checkpoint on the pair list: the doubling union below reads
+    // it from two branches, and with a lazy checkpoint concurrent stages
+    // RACE on the unmaterialized frame, each recomputing the distinct's
+    // reduce side (the stage dump showed four ~300 ms copies of that map
+    // work under the earlier broadcast-join shape). Materializing e0
+    // once up front (~0.4 s, billed to the query either way) makes every
+    // consumer a block read.
     val e0 = Tables.lineitem(s, dir)
       .select("l_partkey", "l_suppkey").distinct()
-      .localCheckpoint(false)
-    // the graph is bipartite, so a node's out-degree is its pair count
-    // in e0 — two HALF-SIZE aggregates over the pair list instead of one
-    // over the doubled edge list, and both are broadcast-sized
-    val degP = e0.groupBy("l_partkey").agg(count(lit(1)).as("dp"))
-    val degS = e0.groupBy("l_suppkey").agg(count(lit(1)).as("ds"))
-    // the SOURCE degree is stamped onto each directed edge as it is
-    // built (two broadcast joins over the pair list, then the
-    // direction-doubling union), so the rank frame stays a bare
-    // (node, r) pair and the damped division happens edge-side — each
-    // round is exactly ONE join (edgesD ⋈ ranks, rank side broadcast)
-    // plus one partial-aggregated groupBy. Earlier shapes paid a second
-    // node-sized deg re-join per round (r4: 3.26 s) and a full-size
-    // degree shuffle plus an extra edge-list materialization up front.
-    val e0d = e0.join(broadcast(degP), "l_partkey")
-      .join(broadcast(degS), "l_suppkey")
-    val edgesD = e0d
+      .localCheckpoint(eager = true)
+    // the SOURCE degree is a window count over the src partition — ONE
+    // src-shuffle of the edge list stamps dsrc onto every edge, with no
+    // degree aggregates, no broadcast-exchange jobs, and nothing for the
+    // driver to coordinate between stages (the earlier broadcast-join
+    // shape spent ~1.2 s of wall on four async degree/join stages). The
+    // rank frame stays a bare (node, r) pair; the damped division
+    // happens edge-side; each round is ONE join + one partial-aggregated
+    // groupBy (r4's shape paid a node-sized deg re-join per round).
+    val edgesD = e0
       .select((col("l_partkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"), col("dp").as("dsrc"))
-      .unionByName(e0d.select((col("l_suppkey") * 2 + 1).as("src"),
-        (col("l_partkey") * 2).as("dst"), col("ds").as("dsrc")))
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .unionByName(e0.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst")))
+      .withColumn("dsrc",
+        count(lit(1)).over(Window.partitionBy("src")))
       .localCheckpoint(false)
-    val deg = degP.select((col("l_partkey") * 2).as("node"), col("dp").as("deg"))
-      .unionByName(degS.select((col("l_suppkey") * 2 + 1).as("node"),
-        col("ds").as("deg")))
-    // the loop itself stays PURE PLAN — each round references edgesD
-    // (checkpointed) once and the previous rank frame once, so lineage
-    // grows linearly (3 joins + 3 aggs), not exponentially; skipping the
-    // per-round checkpoint removes three block-store materializations
-    // and their GC churn, and AQE still broadcasts the node-sized rank
-    // side from its shuffle's runtime stats each round.
-    var r = deg.select(col("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to Iters) {
+    // ROUND 1 NEEDS NO JOIN: the initial rank is the constant 1000000,
+    // so each edge's round-1 contribution ((1000000·17) div 20) div dsrc
+    // is a per-edge constant — one aggregate over the edge list replaces
+    // the first edge ⋈ ranks join outright. Rounds 2..k reference edgesD
+    // (checkpointed) once and the previous rank frame once — linear
+    // lineage, pure plan, AQE broadcasts the node-sized rank side from
+    // its shuffle's runtime stats.
+    var r = edgesD.groupBy(col("dst"))
+      .agg((lit(150000L) +
+        sum(expr("((1000000 * 17) div 20) div dsrc"))).cast(LongType).as("r"))
+      .select(col("dst").as("node"), col("r"))
+    for (_ <- 2 to Iters) {
       r = edgesD.join(r.withColumnRenamed("node", "cnode"),
           col("src") === col("cnode"))
         .groupBy(col("dst"))
