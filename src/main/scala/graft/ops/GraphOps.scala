@@ -214,5 +214,59 @@ object GraphOps {
       .orderBy("brand")
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles)
+  /** Bounded-depth reachability (BFS, 2 hops) from a fixed part over the
+    * price-proximity graph q_triangle builds — the unrolled equivalent of
+    * a WITH RECURSIVE traversal, which is how iterative graph expansion
+    * runs on Spark: one frontier ⋈ edges join per hop, with the visited
+    * set subtracted so every node reports its MINIMUM hop count. The
+    * frontier frame is hop-bounded (≤ the neighborhood size), so each hop
+    * is a broadcast probe of the edge list at scale, never an edge
+    * shuffle; depth is fixed (the oracle unrolls the same two hops as
+    * CTEs).
+    *
+    * Determinism: pure integer node ids and hop counts; the edge
+    * predicate is the same single-IEEE-subtraction band as q_triangle. */
+  val reach: Q = Q.checked(
+    "q_reach",
+    """WITH e0 AS (
+      |  SELECT a.p_partkey AS u, b.p_partkey AS v
+      |  FROM part a JOIN part b
+      |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |   AND abs(a.p_retailprice - b.p_retailprice) <= 5.0),
+      |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |h1 AS (SELECT DISTINCT v AS node FROM e WHERE u = 460),
+      |h2 AS (
+      |  SELECT DISTINCT e.v AS node
+      |  FROM e JOIN h1 ON e.u = h1.node
+      |  WHERE e.v <> 460 AND e.v NOT IN (SELECT node FROM h1))
+      |SELECT node, hops FROM (
+      |  SELECT node, CAST(1 AS BIGINT) AS hops FROM h1
+      |  UNION ALL
+      |  SELECT node, 2 FROM h2)
+      |ORDER BY hops, node""".stripMargin
+  ) { (s, dir) =>
+    val Source = 460L
+    val p = Tables.part(s, dir)
+      .select("p_partkey", "p_brand", "p_retailprice")
+    val a = p.select(col("p_partkey").as("u"), col("p_brand").as("brand"),
+      col("p_retailprice").as("pu"))
+    val b = p.select(col("p_partkey").as("v"), col("p_brand").as("brand_b"),
+      col("p_retailprice").as("pv"))
+    val e0 = a.join(b, col("brand") === col("brand_b")
+        && col("u") < col("v") && abs(col("pu") - col("pv")) <= 5.0)
+      .select("u", "v")
+    val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(false) // probed once per hop
+    val h1 = e.filter(col("u") === Source).select(col("v").as("node"))
+      .distinct()
+    val h2 = e.join(h1.withColumnRenamed("node", "f"), col("u") === col("f"))
+      .select(col("v").as("node")).distinct()
+      .filter(col("node") =!= Source)
+      .join(h1, Seq("node"), "left_anti")
+    h1.withColumn("hops", lit(1L))
+      .unionByName(h2.withColumn("hops", lit(2L)))
+      .orderBy("hops", "node")
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles, reach)
 }

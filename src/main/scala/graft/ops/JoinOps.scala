@@ -183,6 +183,54 @@ object JoinOps {
       .orderBy("purchase_id")
   }
 
+  /** As-of join with a STALENESS TOLERANCE — the feature-store lookup
+    * contract: per purchase, the user's most recent prior click, but only
+    * when it is at most 30 minutes stale, else NULL (a feature older than
+    * its freshness SLA must not leak into training rows). Same single
+    * user_id window shuffle as [[joinAsof]]; the tolerance is an exact
+    * BIGINT-microsecond comparison applied AFTER the carry-forward, so
+    * the match is "latest within tolerance", never "latest overall if in
+    * tolerance, else older one". */
+  val asofTolerance: Q = Q.checked(
+    "q_asof_tolerance",
+    Tables.EventsCte +
+      """,
+        |w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER win AS lc_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER win AS lc_ts
+        |  FROM ev
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS purchase_id, user_id,
+        |  CASE WHEN epoch_us(ts) - epoch_us(lc_ts) <= 1800000000
+        |       THEN lc_id END AS click_id,
+        |  CASE WHEN epoch_us(ts) - epoch_us(lc_ts) <= 1800000000
+        |       THEN epoch_us(ts) - epoch_us(lc_ts) END AS staleness_us
+        |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
+  ) { (s, dir) =>
+    val TolUs = 1800000000L // 30 minutes
+    val win = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fresh = (unix_micros(col("ts")) - unix_micros(col("lc_ts"))) <= TolUs
+    Tables.events(s, dir)
+      .withColumn("lc_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(win))
+      .withColumn("lc_ts",
+        last(when(col("event_type") === "click", col("ts")),
+          ignoreNulls = true).over(win))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        when(fresh, col("lc_id")).as("click_id"),
+        when(fresh, unix_micros(col("ts")) - unix_micros(col("lc_ts")))
+          .as("staleness_us"))
+      .orderBy("purchase_id")
+  }
+
   /** Range (interval) join: pairs of same-user events within 10 minutes.
     * The oracle states it as a theta join; the engine runs the 100 TB-safe
     * plan — bucketize ts into 10-min buckets and equi-join on
@@ -346,6 +394,6 @@ object JoinOps {
   }
 
   val all: Seq[Q] = Seq(subqueryScalar, joinInner, joinBroadcast, joinLeft, joinFull,
-    joinSemi, joinAnti, joinTheta, joinAsof, joinRange, shipPriority,
-    localSupplier)
+    joinSemi, joinAnti, joinTheta, joinAsof, asofTolerance, joinRange,
+    shipPriority, localSupplier)
 }

@@ -362,7 +362,57 @@ object StatOps {
       .orderBy("c_mktsegment")
   }
 
+  /** Mann-Whitney U rank-sum test per market segment: do urgent/high-
+    * priority orders carry larger totals than the rest? The standard
+    * nonparametric two-sample location test, computed EXACTLY in
+    * integers: with ties handled by midranks, 2·midrank = 2·rank() +
+    * tie_count − 1 is always integral, so the doubled rank sum
+    * 2R_A = Σ_A (2·rank + cnt − 1) and the doubled statistic
+    * 2U_A = 2R_A − n_A(n_A+1) never touch a float — both engines
+    * window-rank the same total (value) order and sum the same integers.
+    *
+    * Scale shape: ranks are windowed WITHIN each segment partition (a
+    * bounded number of segments; at 100 TB the rank window is the
+    * standard sort-based window over each partition — no global sort),
+    * then one segment-grain aggregate. */
+  val rankSum: Q = Q.checked(
+    "q_rank_sum",
+    """WITH r AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |         THEN 1 ELSE 0 END AS grp_a,
+      |    rank() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice)
+      |      AS rk,
+      |    count(*) OVER (PARTITION BY c_mktsegment, o_totalprice) AS cnt
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |SELECT seg,
+      |  CAST(sum(grp_a) AS BIGINT) AS n_a,
+      |  CAST(count(*) - sum(grp_a) AS BIGINT) AS n_b,
+      |  CAST(sum(CASE WHEN grp_a = 1 THEN 2 * rk + cnt - 1 END)
+      |       - sum(grp_a) * (sum(grp_a) + 1) AS BIGINT) AS u2x_a
+      |FROM r GROUP BY seg ORDER BY seg""".stripMargin
+  ) { (s, dir) =>
+    val rw = Window.partitionBy("seg").orderBy("o_totalprice")
+    val tw = Window.partitionBy("seg", "o_totalprice")
+    val r = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("grp_a"),
+        col("o_totalprice"))
+      .withColumn("rk", rank().over(rw).cast(LongType))
+      .withColumn("cnt", count(lit(1)).over(tw))
+    r.groupBy("seg")
+      .agg(sum(col("grp_a")).cast(LongType).as("n_a"),
+        (count(lit(1)) - sum(col("grp_a"))).cast(LongType).as("n_b"),
+        (sum(when(col("grp_a") === 1, lit(2) * col("rk") + col("cnt") - 1))
+          - sum(col("grp_a")) * (sum(col("grp_a")) + 1)).cast(LongType)
+          .as("u2x_a"))
+      .orderBy("seg")
+  }
+
   val all: Seq[Q] =
     Seq(histogram, outliers, groupedMode, skyline, madOutliers, decayScore,
-      pareto)
+      pareto, rankSum)
 }

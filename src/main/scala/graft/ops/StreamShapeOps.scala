@@ -227,6 +227,36 @@ object StreamShapeOps {
       .orderBy("grain", "g_ts", "event_type")
   }
 
+  /** Month-over-month revenue growth in basis points — the BI trend
+    * primitive every reporting layer needs. Revenue is summed in exact
+    * integer CENTS (one decimal snap per order, the q_locf recipe), the
+    * month series is one bounded aggregate (≈80 rows here; always
+    * calendar-bounded), and lag/growth run over that aggregate, never the
+    * fact table. growth_bp = (Δ·10000) div prev in integer floor
+    * division — deterministic, no float ratio. First month: NULL. */
+  val growthMom: Q = Q.checked(
+    "q_growth_mom",
+    """WITH m AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT month, rev_cents,
+      |  ((rev_cents - lag(rev_cents) OVER (ORDER BY month)) * 10000)
+      |    // lag(rev_cents) OVER (ORDER BY month) AS growth_bp
+      |FROM m ORDER BY month""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType)
+        .as("month"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast(LongType)).as("rev_cents"))
+      .withColumn("growth_bp",
+        expr("((rev_cents - lag(rev_cents) OVER (ORDER BY month)) * 10000)" +
+          " div lag(rev_cents) OVER (ORDER BY month)"))
+      .orderBy("month")
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * count (state → next state) pairs plus an integer-scaled row
     * probability (p_milli = n·1000 div row total — floor division, the
@@ -501,6 +531,6 @@ object StreamShapeOps {
   }
 
   val all: Seq[Q] = Seq(tumbling, sliding, sessionBatch, funnel, retention,
-    timeRollup, transitions, peakConcurrency, attribution, rollingDistinct,
-    timeWeighted, intervalSelfJoin)
+    timeRollup, growthMom, transitions, peakConcurrency, attribution,
+    rollingDistinct, timeWeighted, intervalSelfJoin)
 }

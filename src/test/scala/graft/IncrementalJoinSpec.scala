@@ -143,6 +143,34 @@ class IncrementalJoinSpec extends AnyFunSuite with SparkFixture {
       .isEmpty)
   }
 
+  test("maintainJoinView sweeps superseded generations after each commit") {
+    import java.nio.file.Files
+    import graft.streaming.CdcStream
+    val dirL = Files.createTempDirectory("ijr_left").toString
+    val dirR = Files.createTempDirectory("ijr_right").toString
+    val viewDir = Files.createTempDirectory("ijr_view").toString
+    def generations(): Set[String] =
+      Option(new java.io.File(viewDir).list()).map(_.toSet).getOrElse(Set())
+        .filter(_.startsWith("v"))
+    val a0 = dfA(Seq((1L, 10L, 5.0))); val b0 = dfB(Seq((10L, "open")))
+    CdcStream.mergeBatch(a0, 0, cfgA, dirL, buckets = 2, feedPriors = true)
+    CdcStream.mergeBatch(b0, 0, cfgB, dirR, buckets = 2, feedPriors = true)
+    val v0 = CdcStream.maintainJoinView(spark, dirL, dirR, viewDir, spec).get
+    assert(generations() === Set(s"v$v0"))
+    // two more advances: only the newest committed generation may remain
+    val a1 = dfA(Seq((1L, 10L, 6.0)))
+    CdcStream.mergeBatch(a1, 1, cfgA, dirL, buckets = 2, feedPriors = true)
+    val v1 = CdcStream.maintainJoinView(spark, dirL, dirR, viewDir, spec).get
+    assert(generations() === Set(s"v$v1"), s"v$v0 must be swept")
+    val b1 = dfB(Seq((10L, "hold")))
+    CdcStream.mergeBatch(b1, 1, cfgB, dirR, buckets = 2, feedPriors = true)
+    val v2 = CdcStream.maintainJoinView(spark, dirL, dirR, viewDir, spec).get
+    assert(generations() === Set(s"v$v2"), s"older generations must be swept")
+    // and the surviving generation is still the correct maintained view
+    assert(rows(spark.read.parquet(s"$viewDir/v$v2")) ===
+      rows(IncrementalJoin.init(a1, b1, spec)))
+  }
+
   test("maintainJoinView heals a crash between parquet commit and frontier") {
     import java.nio.file.Files
     import graft.streaming.CdcStream
