@@ -118,6 +118,26 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       WavPcm.decode("RIFFxxxxWAVE".getBytes ++ Array[Byte](1, 2, 3)))
   }
 
+  test("WAV decoder: corrupt inputs fail loudly, truncated data decodes bounded") {
+    import graft.multimodal.WavPcm
+    val base = WavPcm.encodePcm16(Array.tabulate(64)(i => i / 64.0f), 8000, 1)
+    // deterministic fuzz: flip/truncate at every interesting boundary —
+    // decode must either succeed or throw IllegalArgumentException;
+    // anything else (ArrayIndexOutOfBounds, infinite loop) is a bug
+    (0 until base.length by 3).foreach { cut =>
+      try { WavPcm.decode(base.take(cut)); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+    (0 until 44).foreach { i =>
+      val mutated = base.clone(); mutated(i) = (mutated(i) ^ 0x5a).toByte
+      try { WavPcm.decode(mutated); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+    // data chunk truncated mid-sample: decoder clamps to the bytes present
+    val wav = WavPcm.decode(base.take(44 + 33))
+    assert(wav.samples.length === 16, "truncated data must clamp, not throw")
+  }
+
   test("approx_count_distinct stays within 15% of exact (HLL sanity)") {
     val r = Tables.events(spark, Sf)
       .agg(approx_count_distinct("user_id").as("a"),
