@@ -190,5 +190,40 @@ object AuditOps {
       .orderBy("digit")
   }
 
-  val all: Seq[Q] = Seq(fkAudit, chisq, joinSizeEst, benford)
+  /** Join-key skew report — the pre-flight every big join should run
+    * before the planner commits to a strategy: per-key cardinality
+    * profile of a join column (here lineitem.l_suppkey), surfacing the
+    * top-5 heavy hitters plus the key count, total rows, max per-key
+    * count, and an integer skew ratio (max/avg in milli-units). This is
+    * the frame [[q_join_skew]]'s salt count and Salt.hotColdJoin's
+    * hot-key cut are derived from, exposed as a first-class diagnostic.
+    *
+    * Scale shape: ONE key-grain aggregation (partials collapse
+    * map-side), a broadcast singleton summary, and a
+    * TakeOrderedAndProject top-5 — output size is constant regardless of
+    * input size. All integers; heavy-hitter ties resolve by key. */
+  val skewReport: Q = Q.checked(
+    "q_skew_report",
+    """WITH c AS (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem
+      |           GROUP BY l_suppkey),
+      |s AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total,
+      |        CAST(max(cnt) AS BIGINT) AS max_c
+      |      FROM c)
+      |SELECT k, cnt, n_keys, total, max_c,
+      |  (max_c * 1000 * n_keys) // total AS skew_milli
+      |FROM c, s ORDER BY cnt DESC, k LIMIT 5""".stripMargin
+  ) { (s, dir) =>
+    val c = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("cnt"))
+    val summary = c.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).cast(LongType).as("total"),
+      max(col("cnt")).cast(LongType).as("max_c"))
+    c.crossJoin(broadcast(summary))
+      .withColumn("skew_milli",
+        expr("(max_c * 1000 * n_keys) div total"))
+      .orderBy(col("cnt").desc, col("k"))
+      .limit(5)
+  }
+
+  val all: Seq[Q] = Seq(fkAudit, chisq, joinSizeEst, benford, skewReport)
 }

@@ -200,6 +200,42 @@ object WindowOps {
       .orderBy("event_id")
   }
 
+  /** Point-in-time (time-travel) lookup over the SCD2 history: each
+    * user's ACTIVE row as of a fixed cutoff — the validity-interval probe
+    * behind "train only on features known at time T" (feature-store
+    * point-in-time correctness) and "reproduce the report as of T"
+    * (regulatory replay). Same single user_id window as [[cdcScd2]] plus
+    * a half-open interval filter; at scale the cutoff predicate prunes
+    * partitions when history is stored partitioned by validity date. */
+  val timeTravel: Q = Q.checked(
+    "q_time_travel",
+    Tables.EventsCte +
+      """,
+        |w AS (
+        |  SELECT user_id, event_id, value,
+        |    ts AS effective_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS effective_to
+        |  FROM ev)
+        |SELECT user_id, event_id, value,
+        |  CAST(effective_from AS TIMESTAMP) AS effective_from
+        |FROM w
+        |WHERE effective_from <= TIMESTAMP '2024-01-15 12:00:00'
+        |  AND (effective_to IS NULL
+        |       OR effective_to > TIMESTAMP '2024-01-15 12:00:00')
+        |ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    val cutoff = lit("2024-01-15 12:00:00").cast(TimestampType)
+    val win = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("effective_to", lead("ts", 1).over(win))
+      .filter(col("ts") <= cutoff
+        && (col("effective_to").isNull || col("effective_to") > cutoff))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").cast("timestamp_ntz").as("effective_from"))
+      .orderBy("user_id")
+  }
+
   /** Distribution window functions: ntile / percent_rank / cume_dist.
     * percent_rank and cume_dist are single IEEE divisions of exact ints —
     * bit-identical cross-engine, no rounding needed. */
@@ -340,6 +376,6 @@ object WindowOps {
   }
 
   val all: Seq[Q] = Seq(winRank, winLag, winFrameRows, winFrameRange,
-    topkPerGroup, cdcLatest, cdcScd2, winNtile, winFirstLast, winLocf,
-    winTimeRange)
+    topkPerGroup, cdcLatest, cdcScd2, timeTravel, winNtile, winFirstLast,
+    winLocf, winTimeRange)
 }
