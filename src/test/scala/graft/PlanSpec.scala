@@ -148,6 +148,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("LeftSemi"), "recompute slices must semi-join touched keys")
   }
 
+  test("q_skew_report: singleton summary broadcasts; top-5 is TakeOrdered") {
+    val df = ops.AuditOps.skewReport.fn(spark, Sf)
+    val plan = formatted(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-5 degenerated to a global sort")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "1-row summary must broadcast, not shuffle the key frame")
+  }
+
+  test("q_asof_tolerance / q_time_travel: one window shuffle, no joins") {
+    for (q <- Seq(ops.JoinOps.asofTolerance, ops.WindowOps.timeTravel)) {
+      val plan = q.fn(spark, Sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"),
+        s"${q.name}: point-in-time lookup must be a window pass, not a join")
+      assert(plan.contains("Window"), s"${q.name}: missing window operator")
+    }
+  }
+
+  test("q_reach: hop expansion is hash joins, never a cartesian product") {
+    val plan = ops.GraphOps.reach.fn(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"BFS frontier join degenerated:\n$plan")
+  }
+
   test("registry names are unique and entry returns rows") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
     assert(SparkEntry.entry(spark).count() > 0)
