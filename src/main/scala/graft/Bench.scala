@@ -12,8 +12,11 @@ import java.util.concurrent.atomic.AtomicLong
   * Each query is measured SPARK_GRAFT_BENCH_RUNS times (default 3) and
   * reports the MEDIAN: single-run sub-second timings swing 3× on
   * JIT/GC lottery (round 4's q_intersect "regression" was exactly that),
-  * which corrupts round-over-round comparison. The median of three is
-  * stable within ~20% on repeat runs while still billing real plan work.
+  * which corrupts round-over-round comparison. Box noise is ONE-SIDED
+  * (spikes, never dips), so the median needs a same-query spike majority
+  * to corrupt; a repeat-run comparison at 147 queries showed totals
+  * within 5% and median per-query deviation ~12%. Set the env var to 5
+  * for a tighter sub-second tail (+~90 s wall) when iterating locally.
   *
   * Failures are never folded into healthy timings: a failing query gets
   * time = -1 and an entry in "errors", and is excluded from the total.
