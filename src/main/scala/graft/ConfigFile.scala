@@ -138,11 +138,12 @@ object ConfigFile {
       }
       // validate the format VALUE at load: a typo must fail before a
       // 50-table fleet run has mutated 36 state dirs (batch formats per
-      // Pipeline.readExtract; runStream supports the csv/parquet subset)
+      // Pipeline.readExtract; runStream supports csv/parquet plus the
+      // stream-only 'debezium' envelope feed)
       val format = req("format")
-      if (!Set("csv", "json", "parquet", "orc")(format))
+      if (!Set("csv", "json", "parquet", "orc", "debezium")(format))
         fail(reqPair("format")._1,
-          s"format must be one of csv, json, parquet, orc — got '$format'")
+          s"format must be one of csv, json, parquet, orc, debezium — got '$format'")
       PipelineConfig(
         sourcePath = req("source_path"),
         format = format,

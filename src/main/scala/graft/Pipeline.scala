@@ -162,14 +162,27 @@ object Pipeline {
     } finally pool.shutdownNow()
   }
 
-  /** The streaming shape: extracts arriving as files under sourcePath. */
+  /** The streaming shape: extracts arriving as files under sourcePath —
+    * or, with `format: debezium`, a CDC SOURCE CONNECTOR feed: JSON-lines
+    * files of standard Debezium envelopes (before/after/op/ts_ms) parsed
+    * by [[Sources.debeziumEnvelope]] and applied as keyed change events
+    * (latest-per-key election, no full extract to diff). On a real
+    * cluster the text file-stream is the stand-in for
+    * `readStream.format("kafka")...selectExpr("CAST(value AS STRING)")` —
+    * everything downstream of the `value` column is identical. */
   def runStream(spark: SparkSession, cfg: PipelineConfig,
-                checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val stream = cfg.format match {
-      case "csv"     => Sources.csvStream(spark, cfg.sourcePath, cfg.schema)
-      case "parquet" => Sources.parquetStream(spark, cfg.sourcePath, cfg.schema)
-      case other     => throw new IllegalArgumentException(s"stream format: $other")
+                checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    cfg.format match {
+      case "csv" => CdcStream.start(
+        Sources.csvStream(spark, cfg.sourcePath, cfg.schema),
+        cfg.cdc, cfg.stateDir, checkpointDir)
+      case "parquet" => CdcStream.start(
+        Sources.parquetStream(spark, cfg.sourcePath, cfg.schema),
+        cfg.cdc, cfg.stateDir, checkpointDir)
+      case "debezium" => CdcStream.startFromEnvelope(
+        Sources.debeziumEnvelope(
+          spark.readStream.text(cfg.sourcePath), cfg.schema),
+        cfg.cdc, cfg.stateDir, checkpointDir)
+      case other => throw new IllegalArgumentException(s"stream format: $other")
     }
-    CdcStream.start(stream, cfg.cdc, cfg.stateDir, checkpointDir)
-  }
 }

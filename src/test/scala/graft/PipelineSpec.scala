@@ -212,6 +212,44 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(!q1Ran.get(), "abandoned task ran its merge after the report")
   }
 
+  test("config-driven debezium stream: envelope files drive the keyed merge") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pipeline_dbz")
+    val inDir = Files.createDirectory(dir.resolve("in"))
+    val cfg = PipelineConfig(inDir.toString, "debezium", schema,
+      keyCols = Seq("k"), valueCols = Seq("status", "amount"),
+      stateDir = s"$dir/state")
+    // the format value must also pass config-file validation
+    val parsed = ConfigFile.parse(Seq(
+      "tables:",
+      "  - name: t",
+      s"    source_path: $inDir",
+      "    format: debezium",
+      "    schema: \"k long, status string, amount double\"",
+      "    key_cols: [k]",
+      "    value_cols: [status, amount]",
+      s"    state_dir: $dir/state"), "inline")
+    assert(parsed.head.format === "debezium")
+
+    val q = Pipeline.runStream(spark, cfg, s"$dir/ckpt")
+    try {
+      Files.writeString(inDir.resolve("b0.jsonl"),
+        """{"before":null,"after":{"k":1,"status":"O","amount":10.0},"op":"r","ts_ms":1704103200000}
+          |{"before":null,"after":{"k":2,"status":"O","amount":20.0},"op":"c","ts_ms":1704103200000}
+          |""".stripMargin)
+      q.processAllAvailable()
+      Files.writeString(inDir.resolve("b1.jsonl"),
+        """{"before":{"k":1,"status":"O","amount":10.0},"after":{"k":1,"status":"F","amount":15.0},"op":"u","ts_ms":1704103260000}
+          |{"before":{"k":2,"status":"O","amount":20.0},"after":null,"op":"d","ts_ms":1704103260000}
+          |""".stripMargin)
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = CdcStream.currentState(spark, s"$dir/state").get
+      .select("k", "status", "amount").as[(Long, String, Double)]
+      .collect().toSet
+    assert(state === Set((1L, "F", 15.0)))
+  }
+
   test("json extract drives the same merge") {
     val dir = Files.createTempDirectory("pipeline_json")
     Files.writeString(dir.resolve("e0.json"),
