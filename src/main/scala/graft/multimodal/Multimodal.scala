@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * real codec wants — amortized model/codec init per partition, vectorized
   * inner loop).
   *
-  * Decoders: AUDIO decodes for real — [[WavPcmDecoder]] parses the
-  * RIFF/WAVE container (PCM 8/16-bit) with zero dependencies and emits
-  * RMS-energy-envelope features. IMAGE/VIDEO remain stubbed
-  * ([[DeterministicStubDecoder]]) because this container ships no image
-  * codec libraries; everything around the stub — the schema, the binary
+  * Decoders: AUDIO and IMAGE decode for real with zero dependencies —
+  * [[WavPcmDecoder]] parses the RIFF/WAVE container (PCM 8/16-bit) into
+  * RMS-energy-envelope features, and [[PngDecoder]] parses PNG
+  * (IHDR + zlib IDAT + scanline unfilter, JDK `Inflater`/`CRC32`) into
+  * per-channel mean/std features. Only VIDEO container parsing remains
+  * stubbed ([[DeterministicStubDecoder]]); the registry fixture also uses
+  * the stub because its payloads are document text bytes, not media
+  * containers. Everything around the decoders — the schema, the binary
   * column handling, the partitioning, the per-partition batch shape, the
   * frame-sampling chunker — is real and tested (MultimodalSpec).
   */

@@ -138,6 +138,131 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(wav.samples.length === 16, "truncated data must clamp, not throw")
   }
 
+  test("PNG codec: round-trips every supported color type") {
+    import graft.multimodal.Png
+    val rnd = new scala.util.Random(42)
+    for (channels <- Seq(1, 2, 3, 4); (w, h) <- Seq((1, 1), (7, 3), (32, 16))) {
+      val pixels = Array.fill[Byte](w * h * channels)(rnd.nextInt(256).toByte)
+      val img = Png.decode(Png.encode(w, h, channels, pixels))
+      assert(img.width === w && img.height === h && img.channels === channels)
+      assert(img.pixels.toSeq === pixels.toSeq,
+        s"round-trip mismatch at ${w}x$h/$channels")
+    }
+  }
+
+  test("PNG decoder: reverses scanline filters 1-4 (Sub/Up/Average/Paeth)") {
+    import graft.multimodal.Png
+    import java.util.zip.{CRC32, Deflater}
+    import java.nio.ByteBuffer
+    // hand-assemble a PNG whose rows use every non-zero filter, by
+    // forward-filtering known pixels the way a real encoder would
+    val (w, h, ch) = (6, 4, 3)
+    val pixels = Array.tabulate[Byte](w * h * ch)(i => ((i * 37 + 11) % 256).toByte)
+    val stride = w * ch
+    val filters = Array(1, 2, 3, 4)
+    val raw = new Array[Byte]((stride + 1) * h)
+    def px(y: Int, x: Int) = if (y < 0 || x < 0) 0 else pixels(y * stride + x) & 0xff
+    def paeth(a: Int, b: Int, c: Int) = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    for (y <- 0 until h) {
+      raw(y * (stride + 1)) = filters(y).toByte
+      for (x <- 0 until stride) {
+        val (cur, left, up, ul) =
+          (px(y, x), px(y, x - ch), px(y - 1, x), px(y - 1, x - ch))
+        val filtered = filters(y) match {
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(y * (stride + 1) + 1 + x) = (filtered & 0xff).toByte
+      }
+    }
+    val d = new Deflater(); d.setInput(raw); d.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+    d.end()
+    def chunk(typ: String, data: Array[Byte]) = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new CRC32(); crc.update(t); crc.update(data)
+      ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr.array()) ++ chunk("IDAT", comp.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    val img = Png.decode(png)
+    assert(img.pixels.toSeq === pixels.toSeq,
+      "filtered scanlines must reconstruct the original raster")
+  }
+
+  test("PNG decoder: real rasters decode through the Spark pipeline") {
+    import graft.multimodal.{Png, PngDecoder}
+    import spark.implicits._
+    implicit val s = spark
+    // three real PNGs: all-black, all-white, and a horizontal gradient
+    def flat(v: Int) = Png.encode(16, 16, 3, Array.fill[Byte](16 * 16 * 3)(v.toByte))
+    val gradient = Png.encode(256, 2, 1,
+      Array.tabulate[Byte](256 * 2)(i => (i % 256).toByte))
+    val payloads = Seq(1L -> flat(0), 2L -> flat(255), 3L -> gradient)
+    val records = payloads.toDF("media_id", "payload")
+      .select(col("media_id"),
+        struct(lit("image").as("modality"), lit(16).as("width"),
+          lit(16).as("height"), lit(0).as("sampleRateHz"),
+          lit(0).as("nFrames")).as("meta"),
+        col("payload"))
+    val feats = Multimodal.extractFeatures(records, PngDecoder)
+      .collect().sortBy(_.media_id)
+    assert(feats.length === 3)
+    // all-black: zero mean + zero std in the 3 used channels
+    assert(feats(0).features.forall(f => math.abs(f) < 1e-6))
+    // all-white: mean 1.0, std 0 per channel
+    assert((0 until 3).forall(c => math.abs(feats(1).features(c) - 1.0f) < 1e-6))
+    assert((4 until 7).forall(c => math.abs(feats(1).features(c)) < 1e-6))
+    // uniform gradient over [0,255]: mean ≈ 0.5, std ≈ 1/sqrt(12)
+    assert(math.abs(feats(2).features(0) - 0.5f) < 0.01)
+    assert(math.abs(feats(2).features(4) - 1.0 / math.sqrt(12.0)) < 0.01)
+  }
+
+  test("PNG decoder: corrupt inputs fail loudly, ancillary chunks skipped") {
+    import graft.multimodal.Png
+    val base = Png.encode(9, 5, 4,
+      Array.tabulate[Byte](9 * 5 * 4)(i => (i * 73 % 256).toByte))
+    // deterministic fuzz: truncate at every boundary and flip every header
+    // byte — decode must succeed or throw IllegalArgumentException only
+    (0 until base.length by 3).foreach { cut =>
+      try { Png.decode(base.take(cut)); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+    (0 until math.min(64, base.length)).foreach { i =>
+      val mutated = base.clone(); mutated(i) = (mutated(i) ^ 0x5a).toByte
+      try { Png.decode(mutated); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+    // ancillary chunk (tEXt) spliced before IDAT must be skipped
+    import java.util.zip.CRC32
+    import java.nio.ByteBuffer
+    val data = "k v".getBytes("ISO-8859-1")
+    val t = "tEXt".getBytes("US-ASCII")
+    val crc = new CRC32(); crc.update(t); crc.update(data)
+    val text = ByteBuffer.allocate(12 + data.length)
+      .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt).array()
+    val ihdrEnd = 8 + 12 + 13 // sig + IHDR chunk
+    val spliced = base.take(ihdrEnd) ++ text ++ base.drop(ihdrEnd)
+    assert(Png.decode(spliced).pixels.toSeq === Png.decode(base).pixels.toSeq)
+    // loud failures: paletted color type and interlace flag
+    intercept[IllegalArgumentException] {
+      val mutated = base.clone(); mutated(8 + 8 + 9) = 3.toByte // colorType
+      Png.decode(mutated) // (CRC catches it first — still IAE)
+    }
+  }
+
   test("approx_count_distinct stays within 15% of exact (HLL sanity)") {
     val r = Tables.events(spark, Sf)
       .agg(approx_count_distinct("user_id").as("a"),
