@@ -412,7 +412,69 @@ object StatOps {
       .orderBy("seg")
   }
 
+  /** Per-supplier winsorization: clip each line's price to that
+    * supplier's [p05, p95] (nearest-rank ⇒ the bound IS a data value —
+    * no interpolation, no floats anywhere), then report exact
+    * integer-cent sums before/after plus clipped-row counts — the
+    * outlier-robust revenue treatment a curation pass applies before
+    * training-mix weighting. Scale: the window partitions on l_suppkey,
+    * whose cardinality GROWS with the data (100 at sf0.01 → 10k at
+    * sf10) — per-group sort work stays bounded and parallelism scales,
+    * unlike a 3-key returnflag window that would cap at 3 tasks. The
+    * per-supplier bound frame (2 values × n_supp) is broadcast back for
+    * the clip; the final agg re-groups on the same key. */
+  val winsorize: Q = Q.checked(
+    "q_winsorize",
+    """WITH r AS (
+      |  SELECT l_suppkey,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    row_number() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+      |    count(*) OVER (PARTITION BY l_suppkey) AS n
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT l_suppkey, n,
+      |    min(CASE WHEN rn = greatest((5*n + 99) // 100, 1) THEN cents END)
+      |      AS lo,
+      |    min(CASE WHEN rn = (95*n + 99) // 100 THEN cents END) AS hi
+      |  FROM r GROUP BY 1, 2)
+      |SELECT r.l_suppkey, CAST(b.n AS BIGINT) AS n, b.lo AS lo_cents,
+      |  b.hi AS hi_cents,
+      |  CAST(sum(r.cents) AS BIGINT) AS sum_cents,
+      |  CAST(sum(least(greatest(r.cents, b.lo), b.hi)) AS BIGINT)
+      |    AS sum_wins_cents,
+      |  CAST(count(*) FILTER (WHERE r.cents < b.lo) AS BIGINT) AS n_clip_lo,
+      |  CAST(count(*) FILTER (WHERE r.cents > b.hi) AS BIGINT) AS n_clip_hi
+      |FROM r JOIN b USING (l_suppkey)
+      |GROUP BY 1, 2, 3, 4 ORDER BY l_suppkey""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    val wn = Window.partitionBy("l_suppkey")
+    val r = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+    val bounds = r.groupBy("l_suppkey", "n")
+      .agg(
+        min(when(expr("rn = greatest((5*n + 99) div 100, 1)"), col("cents")))
+          .as("lo"),
+        min(when(expr("rn = (95*n + 99) div 100"), col("cents"))).as("hi"))
+    r.select("l_suppkey", "cents")
+      .join(broadcast(bounds), "l_suppkey")
+      .groupBy(col("l_suppkey"), col("n").cast(LongType).as("n"),
+        col("lo").as("lo_cents"), col("hi").as("hi_cents"))
+      .agg(sum("cents").as("sum_cents"),
+        sum(least(greatest(col("cents"), col("lo")), col("hi")))
+          .as("sum_wins_cents"),
+        count(when(col("cents") < col("lo"), lit(1))).as("n_clip_lo"),
+        count(when(col("cents") > col("hi"), lit(1))).as("n_clip_hi"))
+      .orderBy("l_suppkey")
+  }
+
   val all: Seq[Q] =
     Seq(histogram, outliers, groupedMode, skyline, madOutliers, decayScore,
-      pareto, rankSum)
+      pareto, rankSum, winsorize)
 }

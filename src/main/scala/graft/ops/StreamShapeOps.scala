@@ -530,7 +530,43 @@ object StreamShapeOps {
       .orderBy("type_a", "type_b")
   }
 
+  /** Temporal dedup — the batch twin of streaming
+    * `dropDuplicatesWithinWatermark`: an event is dropped when the
+    * PREVIOUS event with the same (user_id, event_type) lies within 6
+    * hours, keeping the first of each burst (retry storms, double-fires,
+    * at-least-once replays). One shuffle on user_id for the lag window;
+    * the gap compare is exact integer microseconds (unix_micros /
+    * epoch_us — no float time arithmetic to diverge on). The per-key
+    * order (ts, event_id) is total, so prev_us is deterministic. At
+    * 100 TB this is the shape that works: hash-partition by user, sort
+    * within partition — never a global order. */
+  val eventDedupWindow: Q = Q.checked(
+    "q_event_dedup_window",
+    Tables.EventsCte +
+      """,
+        |lagged AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |      AS gap_us
+        |  FROM ev)
+        |SELECT event_id, user_id, event_type
+        |FROM lagged
+        |WHERE gap_us IS NULL OR gap_us >= 21600000000
+        |ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    val key = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(key))
+          .as("gap_us"))
+      .filter(col("gap_us").isNull || col("gap_us") >= 21600000000L)
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, sessionBatch, funnel, retention,
     timeRollup, growthMom, transitions, peakConcurrency, attribution,
-    rollingDistinct, timeWeighted, intervalSelfJoin)
+    rollingDistinct, timeWeighted, intervalSelfJoin, eventDedupWindow)
 }

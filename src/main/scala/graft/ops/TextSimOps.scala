@@ -420,7 +420,45 @@ object TextSimOps {
       .orderBy("modality")
   }
 
+  /** Boilerplate detection: the 50 most-repeated word 5-gram shingles
+    * appearing in ≥3 distinct documents — how a curation pass finds
+    * template headers/footers/navigation chrome to strip before
+    * training. Scale: explode fans each doc into (words−4) shingles,
+    * then ONE hash aggregation on the shingle key (partial aggregation
+    * collapses repeats map-side); the ≥3-doc HAVING cut shrinks the
+    * frame before the global top-50 (TakeOrdered — never a full sort).
+    * At 100 TB the shingle key would be xxhash64-hashed first (the
+    * q_simjoin_prefix trick) to cut shuffle bytes; kept as text here so
+    * the oracle can compare the human-readable shingles. Order is total:
+    * (n_total, n_docs, shingle) — shingle is unique in the output. */
+  val boilerplate: Q = Q.checked(
+    "q_boilerplate",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents),
+      |s AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+      |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-4))
+      |                       AS i) u
+      |      WHERE len(w) >= 5)
+      |SELECT shingle, CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM s GROUP BY shingle HAVING count(DISTINCT doc_id) >= 3
+      |ORDER BY n_total DESC, n_docs DESC, shingle LIMIT 50""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 4)," +
+          " i -> concat_ws(' ', slice(w, i, 5)))")).as("shingle"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 3)
+      .orderBy(col("n_total").desc, col("n_docs").desc, col("shingle"))
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(textStats, textQuality, textLangid, textFingerprint,
     textTokens, dedupExact, dedupNear, dedupNgram, dedupEmbed, simTopk,
-    simCentroid, multimodalJoin, multimodalProfile)
+    simCentroid, multimodalJoin, multimodalProfile, boilerplate)
 }

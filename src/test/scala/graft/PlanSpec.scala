@@ -175,6 +175,35 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"BFS frontier join degenerated:\n$plan")
   }
 
+  test("q_winsorize: bounds broadcast back; top output is one agg, no extra sort") {
+    val df = ops.StatOps.winsorize.fn(spark, Sf)
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-supplier bound frame must broadcast, not shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_boilerplate: shingle agg is two-phase hash; top-50 is TakeOrdered") {
+    val plan = formatted(ops.TextSimOps.boilerplate.fn(spark, Sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-50 degenerated to a full sort:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no hash aggregation:\n$plan")
+  }
+
+  test("q_event_dedup_window: one shuffle on the user key, never a global sort") {
+    val df = ops.StreamShapeOps.eventDedupWindow.fn(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly one hash exchange for the lag window (on user_id); the
+    // only other allowed exchange is the presentation ORDER BY's range
+    // partitioning
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.exists(l =>
+        l.contains("hashpartitioning") && l.contains("user_id")),
+      s"missing user-key hash exchange:\n$plan")
+    assert(exchanges.size <= 2, s"extra shuffles beyond window+present:\n$plan")
+  }
+
   test("registry names are unique and entry returns rows") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
     assert(SparkEntry.entry(spark).count() > 0)
