@@ -63,17 +63,13 @@ object GraphOps {
     // time. At real scale the equivalent win comes from bucket-storing
     // the edge list, not an in-plan repartition.)
     //
-    // EAGER checkpoint on the pair list: the doubling union below reads
-    // it from two branches, and with a lazy checkpoint concurrent stages
-    // RACE on the unmaterialized frame, each recomputing the distinct's
-    // reduce side (the stage dump showed four ~300 ms copies of that map
-    // work under the earlier broadcast-join shape). Materializing e0
-    // once up front (~0.4 s, billed to the query either way) makes every
-    // consumer a block read.
-    val e0 = Tables.lineitem(s, dir)
-      .select("l_partkey", "l_suppkey").distinct()
-      .localCheckpoint(eager = true)
-    // the SOURCE degree is a window count over the src partition — ONE
+    // Both edge directions come out of ONE pass over the distinct pair
+    // list via explode — the earlier union-of-two-branches shape read
+    // the pair frame twice, which forced a second (eager) checkpoint
+    // just to stop concurrent stages racing on the unmaterialized
+    // distinct. One branch ⇒ one materialization ⇒ one checkpoint.
+    //
+    // The SOURCE degree is a window count over the src partition — ONE
     // src-shuffle of the edge list stamps dsrc onto every edge, with no
     // degree aggregates, no broadcast-exchange jobs, and nothing for the
     // driver to coordinate between stages (the earlier broadcast-join
@@ -81,14 +77,17 @@ object GraphOps {
     // rank frame stays a bare (node, r) pair; the damped division
     // happens edge-side; each round is ONE join + one partial-aggregated
     // groupBy (r4's shape paid a node-sized deg re-join per round).
-    val edgesD = e0
-      .select((col("l_partkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .unionByName(e0.select((col("l_suppkey") * 2 + 1).as("src"),
-        (col("l_partkey") * 2).as("dst")))
+    val edgesD = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+      .select(explode(array(
+        struct((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")),
+        struct((col("l_suppkey") * 2 + 1).as("src"),
+          (col("l_partkey") * 2).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .withColumn("dsrc",
         count(lit(1)).over(Window.partitionBy("src")))
-      .localCheckpoint(false)
+      .localCheckpoint(eager = true)
     // ROUND 1 NEEDS NO JOIN: the initial rank is the constant 1000000,
     // so each edge's round-1 contribution ((1000000·17) div 20) div dsrc
     // is a per-edge constant — one aggregate over the edge list replaces
@@ -246,8 +245,19 @@ object GraphOps {
       |ORDER BY hops, node""".stripMargin
   ) { (s, dir) =>
     val Source = 460L
-    val p = Tables.part(s, dir)
+    val p0 = Tables.part(s, dir)
       .select("p_partkey", "p_brand", "p_retailprice")
+    // SEEDED-BFS PRUNING: every edge stays inside one brand (the edge
+    // predicate requires brand equality), so the whole k-hop ball around
+    // the source lives in the source's brand — restrict the edge build
+    // to it BEFORE the self-join via a broadcast semi-join (one 1-row
+    // frame, no collect). This divides the blocked self-join's work by
+    // the brand count (~25×) and is exactly the pruning a 100 TB seeded
+    // traversal needs: build frontier-relevant edges, not the graph.
+    val srcBrand = p0.filter(col("p_partkey") === Source)
+      .select(col("p_brand").as("sb"))
+    val p = p0.join(broadcast(srcBrand), col("p_brand") === col("sb"))
+      .drop("sb")
     val a = p.select(col("p_partkey").as("u"), col("p_brand").as("brand"),
       col("p_retailprice").as("pu"))
     val b = p.select(col("p_partkey").as("v"), col("p_brand").as("brand_b"),
