@@ -1,7 +1,8 @@
 package graft.streaming
 
-import graft.cdc.{CdcConfig, CdcMerge}
+import graft.cdc.{CdcConfig, CdcMerge, Hashing}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Bucketed CDC state — the shuffle-free-merge design from SURVEY.md §4,
   * and (since round 3) the ONE state representation behind both the batch
@@ -121,15 +122,64 @@ object CdcBucketed {
       spark.sql(s"ALTER TABLE $stage RENAME TO $table")
   }
 
+  /** SCHEMA EVOLUTION: align a persisted state generation to the CURRENT
+    * config before classifying against it. Upstream tables gain (and
+    * occasionally lose) value columns mid-stream; re-bootstrapping a
+    * 100 TB state for a column-add would be absurd, so the merge adapts:
+    *
+    *  - ADDED value columns are backfilled as typed nulls (the type comes
+    *    from the incoming batch — the only place the new column exists).
+    *  - DROPPED value columns are simply projected away (the config is
+    *    authoritative for the live column set).
+    *  - The persisted `keyhash` is REUSED — key columns cannot evolve
+    *    (enforced loudly below), so the hash and therefore the on-disk
+    *    bucket layout stay valid and the merge join stays shuffle-free
+    *    on the state side even across an evolution step.
+    *  - `nonkeyhash` is RECOMPUTED map-side over the new value-column
+    *    set, with the same canonicalization the incoming side uses: an
+    *    old row (email=null) and its unchanged incoming twin (email
+    *    still null) hash equal and classify as N — without the rehash,
+    *    the first post-evolution merge would mark EVERY row a spurious
+    *    Update and flood the change feed with a full-table rewrite.
+    *
+    * Fast path: when the state schema already matches the config
+    * column-for-column, the persisted hashes are trusted untouched. */
+  def alignStateToConfig(state: DataFrame, incoming: DataFrame,
+                         cfg: CdcConfig,
+                         useXxhash64: Boolean = true): DataFrame = {
+    val have = state.columns.toSet
+    val missingKeys = cfg.keyCols.filterNot(have)
+    require(missingKeys.isEmpty,
+      s"schema evolution cannot introduce key columns " +
+        s"(${missingKeys.mkString(", ")} absent from state) — changed key " +
+        s"semantics need a re-bootstrap, not a merge")
+    val expected = cfg.allCols ++ Seq(CdcMerge.KeyHash, CdcMerge.NonKeyHash)
+    if (state.columns.sameElements(expected)) state
+    else {
+      val inTypes = incoming.schema.fields.map(f => f.name -> f.dataType).toMap
+      val missing = cfg.valueCols.filterNot(have)
+      missing.foreach(c => require(inTypes.contains(c),
+        s"evolved column $c is in the config but absent from the incoming batch"))
+      val widened = missing.foldLeft(state)((df, c) =>
+        df.withColumn(c, lit(null).cast(inTypes(c))))
+      val projected = widened
+        .select((cfg.allCols :+ CdcMerge.KeyHash).map(col): _*)
+      val nkh = if (useXxhash64) Hashing.keyhash64(projected, cfg.valueCols)
+                else Hashing.md5Hash(projected, cfg.valueCols)
+      projected.withColumn(CdcMerge.NonKeyHash, nkh)
+    }
+  }
+
   /** Classify an incoming extract against the bucketed state. The state
-    * side is read pre-partitioned from its buckets; only `incoming` is
-    * hashed and shuffled. */
+    * side is read pre-partitioned from its buckets (and aligned to the
+    * current config first — see [[alignStateToConfig]]); only `incoming`
+    * is hashed and shuffled. */
   def classifyAgainstState(spark: SparkSession, table: String,
                            incoming: DataFrame, cfg: CdcConfig,
                            useXxhash64: Boolean = true,
                            withPriors: Boolean = false): DataFrame =
     CdcMerge.classifyHashed(
-      spark.table(table),
+      alignStateToConfig(spark.table(table), incoming, cfg, useXxhash64),
       CdcMerge.withHashes(incoming, cfg, useXxhash64),
       cfg, withPriors)
 
