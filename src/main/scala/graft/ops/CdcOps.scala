@@ -235,6 +235,75 @@ object CdcOps {
       .orderBy("c_mktsegment")
   }
 
+  /** Schema evolution through the merge
+    * ([[graft.streaming.CdcBucketed.alignStateToConfig]]): the state was
+    * hashed under the v1 config (no o_totalprice); the incoming batch
+    * arrives with the evolved v2 schema, where upstream backfills the new
+    * column LAZILY (every 3rd order) and also flips every 13th order's
+    * status — the realistic DDL-change rollout. The state side is aligned
+    * (null backfill + map-side value-hash recompute) and classified:
+    * a matched row is U iff a surviving column actually differs OR the
+    * new column arrived non-null; rows whose values are untouched and
+    * whose new column is still null stay N — no spurious full-table
+    * Update flood. Output: per-op row counts, backfill counts, exact
+    * cent sums of the evolved column. */
+  val cdcEvolve: Q = Q.checked(
+    "q_cdc_evolve",
+    """WITH prev AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 10 <> 0),
+      |curr AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END
+      |      AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |cls AS (
+      |  SELECT CASE WHEN p.o_orderkey IS NULL THEN 'I'
+      |              WHEN c.o_orderkey IS NULL THEN 'D'
+      |              WHEN (p.o_custkey IS DISTINCT FROM c.o_custkey)
+      |                OR (p.o_orderstatus IS DISTINCT FROM c.o_orderstatus)
+      |                OR (c.o_totalprice IS NOT NULL) THEN 'U'
+      |              ELSE 'N' END AS op,
+      |         CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice
+      |              END AS tp
+      |  FROM prev p FULL OUTER JOIN curr c ON p.o_orderkey = c.o_orderkey)
+      |SELECT op, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(tp) AS BIGINT) AS n_backfilled,
+      |  coalesce(CAST(sum(CAST(CAST(tp AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT), 0) AS sum_cents
+      |FROM cls GROUP BY op ORDER BY op""".stripMargin
+  ) { (s, dir) =>
+    import graft.streaming.CdcBucketed
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val cfgV1 = CdcConfig(Seq("o_orderkey"), Seq("o_custkey", "o_orderstatus"))
+    val cfgV2 = CdcConfig(Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+    // the persisted-state shape: v1 columns + hashes computed under cfgV1
+    val stateV1 = CdcMerge.withHashes(
+      Tables.orders(s, dir).filter(col("o_orderkey") % 10 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus"),
+      cfgV1, useXxhash64 = true)
+    val batchV2 = Tables.orders(s, dir).filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 13 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice"))
+          .as("o_totalprice"))
+    val classified = CdcMerge.classifyHashed(
+      CdcBucketed.alignStateToConfig(stateV1, batchV2, cfgV2),
+      CdcMerge.withHashes(batchV2, cfgV2, useXxhash64 = true),
+      cfgV2)
+    // D rows carry prev values, whose o_totalprice is the backfilled
+    // null — matching the oracle's curr-side-only tp
+    classified.groupBy(col(CdcMerge.OpCol).as("op"))
+      .agg(count(lit(1)).as("n"),
+        count(col("o_totalprice")).as("n_backfilled"),
+        coalesce(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType)), lit(0L)).as("sum_cents"))
+      .orderBy("op")
+  }
+
   val all: Seq[Q] = Seq(cdcHash, cdcClassify, cdcCounts, cdcApply, cdcFeed,
-    incrAgg, incrJoin)
+    incrAgg, incrJoin, cdcEvolve)
 }
