@@ -258,13 +258,21 @@ object CdcStream {
   /** Wire a streaming extract feed into the merge via foreachBatch.
     * `feedPriors = true` makes the persisted change feed carry `__old_`
     * pre-images on U rows — the [[maintainRollup]] prerequisite. */
+  /** `batchIdOffset` re-points a REBUILT stream (fresh checkpoint ⇒
+    * foreachBatch ids restart at 0) at existing state: pass the next
+    * unclaimed version so the replay guard doesn't silently swallow the
+    * new stream's first batches as already-committed. The operational
+    * case is a schema-evolution restart — a source schema change forces
+    * a new streaming query, while the state dir (aligned per
+    * [[CdcBucketed.alignStateToConfig]]) carries on. */
   def start(incoming: DataFrame, cfg: CdcConfig, stateDir: String,
             checkpointDir: String, buckets: Int = DefaultBuckets,
-            feedPriors: Boolean = false): StreamingQuery =
+            feedPriors: Boolean = false, batchIdOffset: Long = 0L): StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        mergeBatch(batch, id, cfg, stateDir, buckets, feedPriors); ()
+        mergeBatch(batch, id + batchIdOffset, cfg, stateDir, buckets,
+          feedPriors); ()
       }
       .start()
 

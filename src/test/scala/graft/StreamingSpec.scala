@@ -16,6 +16,10 @@ final case class Ord(o_orderkey: Long, o_custkey: Long,
                      o_orderstatus: String, o_totalprice: Double)
 // a CDC-source-connector record: serialized payload + op/ts metadata
 final case class EnvRec(value: String, op: String, ts: Timestamp)
+// the evolved extract schema: upstream DDL added o_channel
+final case class OrdV2(o_orderkey: Long, o_custkey: Long,
+                       o_orderstatus: String, o_totalprice: Double,
+                       o_channel: String)
 
 /** Structured Streaming suite (SURVEY.md §5.2.4): batch↔stream parity for
   * the windowed aggregates, the foreachBatch CDC merge, watermark late-row
@@ -134,6 +138,57 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         .select(CdcMerge.OpCol).distinct().as[String].collect().toSet
       assert(b0ops === Set("I"))
     } finally q.stop()
+  }
+
+  test("schema-evolution restart: new stream + evolved config carry existing state forward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("evo_stream_state").toString
+    val cfgV1 = CdcConfig(Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+
+    // phase 1: the original pipeline commits batch 0 under the v1 schema
+    val ms1 = MemoryStream[Ord]
+    val q1 = CdcStream.start(ms1.toDF, cfgV1, stateDir,
+      Files.createTempDirectory("evo_stream_ckpt1").toString)
+    try {
+      ms1.addData(Seq(
+        Ord(1, 10, "O", 100.0), Ord(2, 20, "O", 200.0), Ord(3, 30, "F", 300.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(CdcStream.currentVersion(spark, stateDir) === Some(0L))
+
+    // phase 2: upstream DDL adds o_channel — the source schema change
+    // forces a NEW streaming query (fresh checkpoint ⇒ foreachBatch ids
+    // restart at 0), re-pointed at the same state via batchIdOffset so
+    // the replay guard doesn't swallow the first evolved batch
+    val cfgV2 = CdcConfig(Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_channel"))
+    val ms2 = MemoryStream[OrdV2]
+    val q2 = CdcStream.start(ms2.toDF, cfgV2, stateDir,
+      Files.createTempDirectory("evo_stream_ckpt2").toString,
+      batchIdOffset = 1L)
+    try {
+      ms2.addData(Seq( // 1 untouched (channel unknown→null), 2 updated
+        OrdV2(1, 10, "O", 100.0, null), // with channel, 3 deleted, 4 new
+        OrdV2(2, 20, "F", 250.0, "web"),
+        OrdV2(4, 40, "O", 400.0, "app")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    assert(CdcStream.currentVersion(spark, stateDir) === Some(1L))
+    val state = CdcStream.currentState(spark, stateDir).get
+      .as[OrdV2].collect().toSet
+    assert(state === Set(
+      OrdV2(1, 10, "O", 100.0, null),
+      OrdV2(2, 20, "F", 250.0, "web"),
+      OrdV2(4, 40, "O", 400.0, "app")))
+    // the evolved batch's feed: the untouched row stayed N (absent),
+    // despite the state having been hashed under the v1 column set
+    val b1 = spark.read.parquet(CdcStream.changesPath(stateDir))
+      .filter(col("batch_id") === 1)
+      .select("o_orderkey", CdcMerge.OpCol).as[(Long, String)].collect().toSet
+    assert(b1 === Set((2L, "U"), (3L, "D"), (4L, "I")))
   }
 
   test("CSV extracts arriving as files drive the streaming CDC merge (R1+R5)") {
