@@ -40,6 +40,36 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(state.filter(col("k") === 3).count() === 0) // deleted
   }
 
+  test("config rollout with an added column evolves state through the merge") {
+    val dir = Files.createTempDirectory("pipeline_evo")
+    val stateDir = s"$dir/state"
+
+    // deployment 1: v1 config, two value columns
+    Files.writeString(dir.resolve("extract0.csv"),
+      "k,status,amount\n1,O,10.0\n2,O,20.0\n3,F,30.0\n")
+    val cfgV1 = PipelineConfig(s"$dir/extract0.csv", "csv", schema,
+      keyCols = Seq("k"), valueCols = Seq("status", "amount"), stateDir)
+    assert(Pipeline.run(spark, cfgV1, batchId = 0L) === Map("I" -> 3L, "N" -> 0L))
+
+    // deployment 2: upstream DDL added `channel`; the operator ships the
+    // v2 config (schema + value_cols grow) against the SAME state dir —
+    // no re-bootstrap. Row 1 is untouched (channel still absent), so it
+    // must stay N even though the state was hashed under v1 columns.
+    val schemaV2 = StructType(schema.fields :+ StructField("channel", StringType))
+    Files.writeString(dir.resolve("extract1.csv"),
+      "k,status,amount,channel\n1,O,10.0,\n2,F,25.0,web\n4,O,40.0,app\n")
+    val cfgV2 = PipelineConfig(s"$dir/extract1.csv", "csv", schemaV2,
+      keyCols = Seq("k"), valueCols = Seq("status", "amount", "channel"),
+      stateDir)
+    assert(Pipeline.run(spark, cfgV2, batchId = 1L) ===
+      Map("U" -> 1L, "D" -> 1L, "I" -> 1L, "N" -> 1L))
+
+    val state = CdcStream.currentState(spark, stateDir).get
+    assert(state.columns.contains("channel"))
+    assert(state.filter(col("k") === 1 && col("channel").isNull).count() === 1)
+    assert(state.filter(col("k") === 2 && col("channel") === "web").count() === 1)
+  }
+
   test("runAll merges many tables concurrently, isolating failures") {
     val dir = Files.createTempDirectory("pipeline_multi")
     val cfgs = (0 until 6).map { i =>
