@@ -198,5 +198,64 @@ object LmOps {
       .orderBy("lang", "source")
   }
 
-  val all: Seq[Q] = Seq(lmScore, pmi, oovRate)
+  /** Zipf slope per language: least-squares fit of ln(freq) against
+    * ln(rank) over the top-100 token ranks — the corpus-health signal a
+    * curation pass tracks (natural language sits near −1; templated or
+    * deduplicated-to-death corpora drift shallow). Scale: token
+    * frequency is ONE hash aggregation (vocab-sized output); the rank
+    * window runs over the per-lang VOCAB frame, never the token stream;
+    * the regression is a 5-row aggregate.
+    *
+    * Determinism (§7.5): each ln() is snapped once to integer 1e6-units
+    * (libm engines agree to 1 ulp ≈ 2e-9 at this scale — far below the
+    * 0.5 rounding threshold, the q_text_entropy recipe), every moment
+    * (Σx, Σy, Σxy, Σx²) is exact integer arithmetic bounded well inside
+    * int64 at the 1e6 snap, and the slope is ONE terminal IEEE division
+    * both engines compute identically. */
+  val textZipf: Q = Q.checked(
+    "q_text_zipf",
+    """WITH toks AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (SELECT lang, token, count(*) AS f FROM toks GROUP BY 1, 2),
+      |rk AS (SELECT lang, f,
+      |         row_number() OVER (PARTITION BY lang
+      |           ORDER BY f DESC, token) AS rn
+      |       FROM tf),
+      |top AS (
+      |  SELECT lang,
+      |    CAST(floor(ln(CAST(rn AS DOUBLE)) * 1e6 + 5.0e-1) AS BIGINT) AS x,
+      |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1e6 + 5.0e-1) AS BIGINT) AS y
+      |  FROM rk WHERE rn <= 100),
+      |mo AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x*y) AS BIGINT) AS sxy,
+      |         CAST(sum(x*x) AS BIGINT) AS sxx
+      |       FROM top GROUP BY lang)
+      |SELECT lang, n,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+      |    AS zipf_slope
+      |FROM mo ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    val tf = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy("lang").orderBy(col("f").desc, col("token"))
+    def snap(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast(DoubleType)) * lit(1e6) + lit(0.5)).cast(LongType)
+    tf.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 100)
+      .select(col("lang"), snap(col("rn")).as("x"), snap(col("f")).as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+          .as("zipf_slope"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(lmScore, pmi, oovRate, textZipf)
 }
