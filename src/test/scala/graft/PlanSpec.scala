@@ -204,6 +204,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges.size <= 2, s"extra shuffles beyond window+present:\n$plan")
   }
 
+  test("q_cdc_evolve: evolution alignment stays map-side above the state scan") {
+    val df = ops.CdcOps.cdcEvolve.fn(spark, Sf)
+    // executedPlan.toString: ONE representation per node (formatted mode
+    // lists tree + detail and double-counts)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // one full-outer merge join; the align step (null backfill + value
+    // hash recompute) must appear as Project expressions, never as an
+    // extra shuffle or a second join
+    val joins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(joins == 1, s"evolution must not add a join:\n$plan")
+    assert(plan.contains("FullOuter"), s"merge join lost full-outer:\n$plan")
+  }
+
+  test("q_text_zipf: rank window runs over the vocab frame, not the token stream") {
+    val df = ops.LmOps.textZipf.fn(spark, Sf)
+    val plan = formatted(df)
+    // the explode (token stream) must sit BELOW the first aggregation;
+    // the window sorts only the vocab-sized tf frame
+    val lines = plan.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate")) // explode
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(genIdx >= 0 && winIdx >= 0, s"missing explode/window:\n$plan")
+    assert(winIdx < genIdx,
+      s"window must be above (planned after) the exploded token stream:\n$plan")
+  }
+
   test("registry names are unique and entry returns rows") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
     assert(SparkEntry.entry(spark).count() > 0)
