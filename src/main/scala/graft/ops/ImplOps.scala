@@ -94,6 +94,44 @@ object ImplOps {
       .orderBy("o_custkey", "rn")
   }
 
+  /** REAL-codec round trip on a driver-visible path: each embedding is
+    * quantized into an 8×8 grayscale raster, ENCODED as an actual PNG
+    * (zlib IDAT, CRC'd chunks), then DECODED back through
+    * [[graft.multimodal.PngDecoder]]'s per-partition pipeline into
+    * brightness/contrast features — the codec the stub decoder used to
+    * stand in for, exercised end-to-end (encode half + decode half +
+    * Spark plumbing). Deterministic: quantization is integer, the codec
+    * is bit-exact, features sum in pixel order. Rows-only check by
+    * design (DuckDB has no PNG codec); MultimodalSpec carries the
+    * bit-level verification. */
+  val multimodalDecode: Q = Q.implOnly("q_multimodal_decode") { (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.{Png, PngDecoder}
+    val records = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")).limit(200)
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val px = v.take(64).map(f => (math.round(f * 127).toInt & 0xff).toByte)
+        (id, Png.encode(8, 8, 1, px.padTo(64, 0.toByte)))
+      }
+      .toDF("media_id", "payload")
+      .select(col("media_id"),
+        struct(lit("image").as("modality"), lit(8).as("width"),
+          lit(8).as("height"), lit(0).as("sampleRateHz"),
+          lit(0).as("nFrames")).as("meta"),
+        col("payload"))
+    Multimodal.extractFeatures(records, PngDecoder)(s)
+      .toDF()
+      .select(col("media_id"), col("n_bytes"),
+        // snap the two float features to integer milli-units so the
+        // rows-only dump is byte-stable across runs/partitionings
+        floor(element_at(col("features"), 1) * 1000).cast("long")
+          .as("mean_milli"),
+        floor(element_at(col("features"), 5) * 1000).cast("long")
+          .as("std_milli"))
+      .orderBy("media_id")
+  }
+
   val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, simAnn, simIvf,
-    multimodalFeatures, approxDistinct, topkGroupAgg)
+    multimodalFeatures, approxDistinct, topkGroupAgg, multimodalDecode)
 }

@@ -87,6 +87,21 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Media-file ingest: Spark's `binaryFile` source reads whole files as
+    * rows `(path, modificationTime, length, content: binary)` — the
+    * entry point that turns a directory of PNG/WAV/video files into the
+    * multimodal binary-payload column
+    * ([[graft.multimodal.Multimodal.extractFeatures]] decodes it).
+    * `pathGlobFilter` prunes by extension at the LISTING, so a mixed
+    * media lake never reads the wrong modality's bytes. At scale, set
+    * `spark.sql.files.maxPartitionBytes` so one partition batches many
+    * small media files (one decoder init per partition, not per file). */
+  def binaryFiles(spark: SparkSession, dir: String,
+                  glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+
   /** Incremental-extract arrival as a file stream: new parquet files
     * dropped into `dir` become micro-batches. `maxFilesPerTrigger=1`
     * mirrors one-extract-per-batch CDC semantics. */

@@ -263,6 +263,45 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("binaryFile source: PNG files on disk flow into the decode pipeline") {
+    import graft.multimodal.{Png, PngDecoder}
+    import spark.implicits._
+    implicit val s = spark
+    // three real PNG files in a mixed-media directory (plus a decoy the
+    // glob must prune at listing time)
+    val dir = java.nio.file.Files.createTempDirectory("media_lake")
+    def gray(v: Int) = Png.encode(4, 4, 1, Array.fill[Byte](16)(v.toByte))
+    java.nio.file.Files.write(dir.resolve("img_000.png"), gray(0))
+    java.nio.file.Files.write(dir.resolve("img_128.png"), gray(128))
+    java.nio.file.Files.write(dir.resolve("img_255.png"), gray(255))
+    java.nio.file.Files.writeString(dir.resolve("notes.txt"), "not media")
+
+    val files = graft.sources.Sources.binaryFiles(spark, dir.toString, "*.png")
+    assert(files.count() === 3, "glob must prune the decoy at listing")
+    val records = files
+      .select(regexp_extract(col("path"), "img_(\\d+)", 1).cast("long")
+          .as("media_id"),
+        struct(lit("image").as("modality"), lit(4).as("width"),
+          lit(4).as("height"), lit(0).as("sampleRateHz"),
+          lit(0).as("nFrames")).as("meta"),
+        col("content").as("payload"))
+    val feats = Multimodal.extractFeatures(records, PngDecoder)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq === Seq(0L, 128L, 255L))
+    assert(math.abs(feats(0).features(0)) < 1e-6)
+    assert(math.abs(feats(1).features(0) - 128f / 255f) < 1e-6)
+    assert(math.abs(feats(2).features(0) - 1.0f) < 1e-6)
+  }
+
+  test("q_multimodal_decode: embeddings round-trip through real PNG encode+decode") {
+    val out = ops.ImplOps.multimodalDecode.fn(spark, Sf).collect()
+    assert(out.length === 200)
+    // every payload is a real PNG: 8x8 gray => decoded stats exist and
+    // the run is deterministic (repeat equals itself)
+    val again = ops.ImplOps.multimodalDecode.fn(spark, Sf).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("approx_count_distinct stays within 15% of exact (HLL sanity)") {
     val r = Tables.events(spark, Sf)
       .agg(approx_count_distinct("user_id").as("a"),
