@@ -120,6 +120,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("no registered query plans a cartesian product (global sweep)") {
+    // q_join_theta is the sanctioned non-equi join (BroadcastNestedLoop
+    // over a 25-row dim — its whole point); everything else must plan
+    // hash/merge joins only. CartesianProduct is never acceptable: at
+    // 100 TB it is the plan that does not finish.
+    Registry.all.filterNot(_.name == "q_join_theta").foreach { q =>
+      val plan = q.fn(spark, Sf).queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct")
+    }
+  }
+
   test("q_ship_priority: both date filters push to scans; top-10 is TakeOrdered") {
     val df = ops.JoinOps.shipPriority.fn(spark, Sf)
     val plan = formatted(df)
