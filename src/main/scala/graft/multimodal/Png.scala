@@ -62,11 +62,20 @@ object Png {
           height = bb.getInt(pos + 12)
           val bitDepth = bytes(pos + 16) & 0xff
           val colorType = bytes(pos + 17) & 0xff
+          val compression = bytes(pos + 18) & 0xff
+          val filterMethod = bytes(pos + 19) & 0xff
           val interlace = bytes(pos + 20) & 0xff
           require(bitDepth == 8, s"only 8-bit PNG supported, got $bitDepth-bit")
+          require(compression == 0 && filterMethod == 0,
+            s"unknown compression/filter method $compression/$filterMethod")
           require(interlace == 0, "interlaced (Adam7) PNG not supported")
           require(width > 0 && height > 0, s"bad dims ${width}x$height")
           channels = channelsOf(colorType)
+          // a hostile IHDR must fail loudly here, not as a negative/huge
+          // array allocation downstream: bound the raster size so the
+          // (stride+1)*height arithmetic stays inside Int
+          require((width.toLong * channels + 1) * height < Int.MaxValue,
+            s"raster ${width}x$height/$channels exceeds decoder bounds")
         case "IDAT" =>
           verifyCrc(bytes, pos, len)
           idat.write(bytes, pos + 8, len)

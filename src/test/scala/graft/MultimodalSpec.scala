@@ -261,6 +261,16 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       val mutated = base.clone(); mutated(8 + 8 + 9) = 3.toByte // colorType
       Png.decode(mutated) // (CRC catches it first — still IAE)
     }
+    // a hostile IHDR claiming a gigantic raster must be an IAE, never a
+    // negative/huge array allocation: rewrite width and re-CRC the chunk
+    import java.util.zip.CRC32
+    import java.nio.ByteBuffer
+    val hostile = base.clone()
+    ByteBuffer.wrap(hostile).putInt(16, 0x40000000) // width = 2^30
+    val crc2 = new CRC32(); crc2.update(hostile, 12, 4 + 13)
+    ByteBuffer.wrap(hostile).putInt(29, crc2.getValue.toInt)
+    val e = intercept[IllegalArgumentException](Png.decode(hostile))
+    assert(e.getMessage.contains("decoder bounds"))
   }
 
   test("binaryFile source: PNG files on disk flow into the decode pipeline") {
