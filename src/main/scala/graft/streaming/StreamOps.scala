@@ -165,6 +165,46 @@ object StreamOps {
       }
   }
 
+  final case class Kept(event_id: Long, user_id: Long, event_type: String)
+
+  /** Kept-chain throttle as a STREAM — the stateful twin of the batch
+    * q_throttle_chain: state = the last survivor's event-time µs per
+    * (user, type); each trigger sorts ITS OWN rows into (ts, event_id)
+    * order and admits a row only ≥ `gapUs` after the last survivor.
+    * Like [[transitionPairs]], a row at or behind the carried position
+    * (late data straddling a trigger boundary) is dropped — the chain's
+    * greedy decision is already made, and replaying it out of order
+    * would admit events a correct sequential run rejected. Equality
+    * with the batch operator holds when triggers deliver events in
+    * event-time order across batches (StreamingSpec feeds exactly
+    * that); under disorder the late row's admission decision is lost
+    * and the stream's chain may diverge from the batch chain — the
+    * gap invariant on what IS emitted still holds. */
+  def throttleChain(events: DataFrame, gapUs: Long)
+                   (implicit spark: SparkSession): Dataset[Kept] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "user_id", "event_type",
+        "unix_micros(ts) AS us")
+      .as[(Long, Long, String, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Long, Kept](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[Long]) =>
+          val ordered = rows.toSeq.sortBy(r => (r._4, r._1))
+          var lastKept = state.getOption.getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[Kept]
+          ordered.foreach { case (id, u, t, us) =>
+            if (us > lastKept || lastKept == Long.MinValue) {
+              if (lastKept == Long.MinValue || us - lastKept >= gapUs) {
+                out += Kept(id, u, t); lastKept = us
+              }
+            } // at-or-behind the carried position: drop (late data)
+          }
+          if (lastKept != Long.MinValue) state.update(lastKept)
+          out.result().iterator
+      }
+  }
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** Arbitrary stateful op: running per-user totals via

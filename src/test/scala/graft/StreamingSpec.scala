@@ -704,4 +704,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .collect().toSeq
     assert(streamed === batch)
   }
+
+  test("throttleChain stream equals the batch kept-chain on an in-order feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val events = Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id") // in-order feed, three triggers
+      .as[Ev].collect().toSeq
+    val (a, rest) = events.splitAt(events.length / 3)
+    val (b, c) = rest.splitAt(rest.length / 2)
+
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.throttleChain(ms.toDF, gapUs = 21600000000L)
+      .writeStream.format("memory").queryName("throttle_parity")
+      .outputMode("append").start()
+    try {
+      ms.addData(a); q.processAllAvailable()
+      ms.addData(b); q.processAllAvailable()
+      ms.addData(c); q.processAllAvailable()
+      // replaying an old row must not re-admit it (carried position)
+      ms.addData(Seq(a.head)); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("throttle_parity")
+      .select("event_id").as[Long].collect().toSet
+    val batch = graft.ops.ImplOps.throttleChain.fn(spark, Sf)
+      .select("event_id").as[Long].collect().toSet
+    assert(streamed === batch)
+  }
 }
