@@ -85,6 +85,38 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(filtered.count() === 1)
   }
 
+  test("debezium envelope: hostile wire input is dropped, never misread") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val payload = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val wire = Seq(
+      // the four valid shapes
+      """{"before":null,"after":{"id":1,"name":"a"},"op":"c","ts_ms":1000}""",
+      """{"before":null,"after":{"id":2,"name":"b"},"op":"r","ts_ms":2000}""",
+      """{"before":{"id":1,"name":"a"},"after":{"id":1,"name":"a2"},"op":"u","ts_ms":3000}""",
+      """{"before":{"id":2,"name":"b"},"after":null,"op":"d","ts_ms":4000}""",
+      // hostile/ignorable: truncate op, message op, garbage, truncated
+      // JSON, empty string, null-ish tombstone, wrong-typed op
+      """{"op":"t","ts_ms":5000}""",
+      """{"op":"m","ts_ms":6000}""",
+      "not json at all",
+      """{"before":{"id":9""",
+      "",
+      "null",
+      """{"before":null,"after":{"id":9,"name":"z"},"op":7,"ts_ms":7000}""")
+    val out = graft.sources.Sources.debeziumEnvelope(
+      wire.toDF("value"), payload).collect()
+    assert(out.length === 4, s"expected only the 4 valid ops, got ${out.length}")
+    val byOp = out.groupBy(_.getAs[String]("op")).view.mapValues(_.length).toMap
+    assert(byOp === Map("I" -> 2, "U" -> 1, "D" -> 1))
+    // d carries the BEFORE image; u carries AFTER
+    val d = out.find(_.getAs[String]("op") == "D").get
+    assert(d.getAs[Long]("id") === 2L && d.getAs[String]("name") === "b")
+    val u = out.find(_.getAs[String]("op") == "U").get
+    assert(u.getAs[String]("name") === "a2")
+  }
+
   test("snapshot + change-feed sinks round-trip") {
     val dir = tmpDir("snap")
     val n = Tables.nation(spark, Sf)
