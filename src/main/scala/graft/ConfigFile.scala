@@ -34,10 +34,15 @@ import scala.jdk.CollectionConverters._
   */
 object ConfigFile {
 
-  def load(path: String): Seq[PipelineConfig] =
-    parse(Files.readAllLines(Paths.get(path)).asScala.toSeq, path)
+  /** Load pipeline configs. `streaming = true` widens the accepted
+    * format set with the stream-only `debezium` envelope feed; a batch
+    * load (runBatch/runMany) with a debezium config fails HERE, at
+    * config load — not at runtime inside the 50-table fleet run. */
+  def load(path: String, streaming: Boolean = false): Seq[PipelineConfig] =
+    parse(Files.readAllLines(Paths.get(path)).asScala.toSeq, path, streaming)
 
-  private[graft] def parse(rawLines: Seq[String], where: String): Seq[PipelineConfig] = {
+  private[graft] def parse(rawLines: Seq[String], where: String,
+      streaming: Boolean = false): Seq[PipelineConfig] = {
     def fail(i: Int, msg: String): Nothing =
       throw new IllegalArgumentException(s"$where:${i + 1}: $msg")
 
@@ -138,12 +143,21 @@ object ConfigFile {
       }
       // validate the format VALUE at load: a typo must fail before a
       // 50-table fleet run has mutated 36 state dirs (batch formats per
-      // Pipeline.readExtract; runStream supports csv/parquet plus the
-      // stream-only 'debezium' envelope feed)
+      // Pipeline.readExtract; runStream additionally accepts the
+      // stream-only 'debezium' envelope feed — mode-aware, so a batch
+      // load with a debezium config fails here, not inside readExtract)
       val format = req("format")
-      if (!Set("csv", "json", "parquet", "orc", "debezium")(format))
+      val allowed =
+        if (streaming) Set("csv", "json", "parquet", "orc", "debezium")
+        else Set("csv", "json", "parquet", "orc")
+      if (!allowed(format)) {
+        val hint = if (format == "debezium")
+          " ('debezium' is stream-only — load with streaming=true for runStream)"
+        else ""
         fail(reqPair("format")._1,
-          s"format must be one of csv, json, parquet, orc, debezium — got '$format'")
+          s"format must be one of ${allowed.toSeq.sorted.mkString(", ")} — " +
+            s"got '$format'$hint")
+      }
       PipelineConfig(
         sourcePath = req("source_path"),
         format = format,

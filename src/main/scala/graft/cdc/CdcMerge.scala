@@ -29,6 +29,14 @@ object CdcMerge {
   val NonKeyHash = "nonkeyhash"
   val OpCol = "op"
 
+  /** Schema-metadata key on the [[KeyHash]] column recording the exact
+    * key-column list (ordered, comma-joined) the hash was computed over.
+    * Parquet and the catalog both persist column metadata, so a state
+    * generation carries its own key provenance — alignStateToConfig
+    * compares it order-sensitively against the live config and refuses
+    * to reuse a keyhash computed over a different key set/order. */
+  val KeyColsMeta = "graft.cdc.keyCols"
+
   val Insert = "I"
   val Update = "U"
   val Delete = "D"
@@ -46,7 +54,10 @@ object CdcMerge {
              else Hashing.md5Hash(projected, cfg.keyCols)
     val nkh = if (useXxhash64) Hashing.keyhash64(projected, cfg.valueCols)
               else Hashing.md5Hash(projected, cfg.valueCols)
-    projected.withColumn(KeyHash, kh).withColumn(NonKeyHash, nkh)
+    val khMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(KeyColsMeta, cfg.keyCols.mkString(",")).build()
+    projected.select(projected.columns.map(col) :+
+      kh.as(KeyHash, khMeta) :+ nkh.as(NonKeyHash): _*)
   }
 
   /** R5+R6: full-outer join previous state with the incoming extract and

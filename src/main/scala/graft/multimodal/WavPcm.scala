@@ -46,10 +46,17 @@ object WavPcm {
             bb.getShort(body + 2) & 0xffff,
             bb.getInt(body + 4),
             bb.getShort(body + 14) & 0xffff))
-        case "data" => data = Some((body, size))
-        case _ => () // LIST, fact, cue … — skip
+        case "data" => data = Some((body, size)) // truncation clamped below
+        case _ => // LIST, fact, cue … — skipped, but bounded like Png's
+          // chunk walk: a declared size past the payload is hostile input
+          // and must be an IAE, never a silent skip or a wrapped index
+          require(size <= bytes.length - body,
+            s"chunk '$id' overruns payload ($size > ${bytes.length - body})")
       }
-      pos = body + size + (size & 1) // RIFF chunks are word-aligned
+      // word-aligned advance in Long: a size near Int.MaxValue must
+      // terminate the walk, never wrap pos negative into tag() territory
+      pos = math.min(body.toLong + size.toLong + (size & 1),
+        bytes.length.toLong).toInt
     }
     val (audioFormat, channels, rate, bits) =
       fmt.getOrElse(throw new IllegalArgumentException("no fmt chunk"))
@@ -58,7 +65,9 @@ object WavPcm {
     require(channels > 0 && rate > 0, s"bad fmt: channels=$channels rate=$rate")
     val (off, declared) =
       data.getOrElse(throw new IllegalArgumentException("no data chunk"))
-    val end = math.min(off + declared, bytes.length) // tolerate truncation
+    // tolerate truncation; Long arithmetic so a hostile declared size
+    // can't wrap (off + declared) negative and fake an empty data chunk
+    val end = math.min(off.toLong + declared.toLong, bytes.length.toLong).toInt
     val samples =
       if (bits == 16) {
         val n = math.max(end - off, 0) / 2

@@ -87,7 +87,15 @@ object GraphOps {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .withColumn("dsrc",
         count(lit(1)).over(Window.partitionBy("src")))
-      .localCheckpoint(eager = true)
+      // LAZY checkpoint: still truncates lineage for the loop, but
+      // plan-only consumers (PlanSpec's global sweeps, graft.Explain)
+      // never run the edge-build job just to read a plan. Lazy is
+      // race-free in THIS shape because every stage that scans edgesD is
+      // sequential — round-1's agg materializes it, each later round's
+      // join depends on the previous round's rank shuffle (the r4 eager
+      // requirement came from concurrent ASYNC broadcast jobs racing on
+      // an unmaterialized frame; that shape is gone).
+      .localCheckpoint(eager = false)
     // ROUND 1 NEEDS NO JOIN: the initial rank is the constant 1000000,
     // so each edge's round-1 contribution ((1000000·17) div 20) div dsrc
     // is a per-edge constant — one aggregate over the edge list replaces

@@ -124,12 +124,13 @@ object LmOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .distinct()
     val df = dtok.groupBy("token").agg(count(lit(1)).as("df"))
-    // vocab is vocab-sized: the single-partition rank window is over the
-    // df table, never the corpus
+    // top-K under a total order: orderBy+limit plans a fully parallel
+    // TakeOrderedAndProject (per-partition partial top-K, merged on the
+    // driver) — hash-identical to rank-window+filter under the same
+    // tie-break, but never moves the whole vocabulary to one partition.
     val voc = df
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("df").desc, col("token"))))
-      .filter(col("rn") <= 100).select("token", "df")
+      .orderBy(col("df").desc, col("token"))
+      .limit(100).select("token", "df")
     val dv = dtok.join(broadcast(voc), "token")
     val n = docs.agg(count(lit(1)).as("n"))
     val a = dv.select(col("doc_id"), col("token").as("tok_a"),
@@ -156,8 +157,8 @@ object LmOps {
     * whose OOV rate spikes is a slice the tokenizer will shred into
     * bytes. Exact integer sums; the rate is one IEEE division.
     *
-    * Scale design: the vocabulary is built once (vocab-sized rank
-    * window) and broadcast; the corpus-side pass is a map-only explode +
+    * Scale design: the vocabulary is built once (parallel
+    * TakeOrderedAndProject top-K) and broadcast; the corpus-side pass is a map-only explode +
     * broadcast hash join + two-level aggregation — the big side never
     * shuffles at token grain, only (lang, source) partials. */
   val oovRate: Q = Q.checked(
@@ -182,10 +183,12 @@ object LmOps {
       .select(col("doc_id"), col("lang"), col("source"),
         explode(split(col("text"), " ")).as("token"))
     val gf = toks.groupBy("token").agg(count(lit(1)).as("f"))
+    // orderBy+limit → TakeOrderedAndProject: parallel partial top-K,
+    // same rows as the rank window under the identical (f desc, token)
+    // total order, no single-partition sort of the vocabulary.
     val voc = gf
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("f").desc, col("token"))))
-      .filter(col("rn") <= 500)
+      .orderBy(col("f").desc, col("token"))
+      .limit(500)
       .select(col("token").as("v_token"))
     toks.join(broadcast(voc), col("token") === col("v_token"), "left")
       .groupBy("lang", "source")

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -128,12 +129,22 @@ object StatOps {
     * (≤) AND larger (≥) with one strict — minimize p_retailprice,
     * maximize p_size. O(n²) dominance collapses to one prefix-max pass:
     * group to one max-size row per distinct price (first shuffle, key
-    * space = distinct prices ≪ rows), running max over the price-ordered
-    * aggregate (a window over the SMALL frame, never the raw table),
-    * then a survivor is a part at its price group's max size that beats
-    * every strictly-cheaper group's max. Equal (price, size) twins both
-    * survive — neither strictly dominates. All comparisons are on raw
-    * column values, no derived floats. */
+    * space = distinct prices ≪ rows), then a survivor is a part at its
+    * price group's max size that beats every strictly-cheaper group's
+    * max. Equal (price, size) twins both survive — neither strictly
+    * dominates. All comparisons are on raw column values, no derived
+    * floats.
+    *
+    * Scale design for the prefix-max: distinct prices GROW with data, so
+    * a global `Window.orderBy(price)` would sort them on one partition.
+    * Instead: coarse price buckets (floor(price/100) — bucket count is
+    * bounded by the PRICE DOMAIN, not the row count), per-bucket max,
+    * prefix-max over the tiny bucket frame (the only unpartitioned
+    * window, genuinely bounded like a calendar frame), broadcast back,
+    * and the per-price prefix-max runs partitioned BY BUCKET — fully
+    * parallel. pmax(price) = max(prev-bucket cumulative, intra-bucket
+    * prefix), `greatest` skipping nulls exactly as the single window
+    * would. */
   val skyline: Q = Q.checked(
     "q_skyline",
     """WITH per_price AS (
@@ -152,9 +163,24 @@ object StatOps {
     val part = Tables.part(s, dir)
     val perPrice = part.groupBy(col("p_retailprice").as("price"))
       .agg(max(col("p_size")).as("gmax"))
-    val w = Window.orderBy("price")
+      .withColumn("bkt", floor(col("price") / 100).cast(LongType))
+    // Pass 1: per-bucket max, prefix-max over the bucket frame only
+    // (rows = price-domain/100 — bounded by the domain, not the data).
+    val bktCum = perPrice.groupBy("bkt").agg(max(col("gmax")).as("bmax"))
+      .withColumn("prev_cum", max(col("bmax")).over(
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("bkt", "prev_cum")
+    // Pass 2: intra-bucket prefix-max, partitioned by bucket (parallel);
+    // stitch with the broadcast cumulative frame. greatest() skips
+    // nulls, so pmax is null exactly when no strictly-cheaper price
+    // exists anywhere — identical to the single global window.
+    val wb = Window.partitionBy("bkt").orderBy("price")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val pfx = perPrice.withColumn("pmax", max(col("gmax")).over(w))
+    val pfx = perPrice
+      .withColumn("imax", max(col("gmax")).over(wb))
+      .join(broadcast(bktCum), "bkt")
+      .withColumn("pmax", greatest(col("prev_cum"), col("imax")))
+      .select("price", "gmax", "pmax")
     part.join(pfx, part("p_retailprice") === pfx("price"))
       .filter(col("p_size") === col("gmax") &&
         (col("pmax").isNull || col("p_size") > col("pmax")))
@@ -422,7 +448,13 @@ object StatOps {
     * sf10) — per-group sort work stays bounded and parallelism scales,
     * unlike a 3-key returnflag window that would cap at 3 tasks. The
     * per-supplier bound frame (2 values × n_supp) is broadcast back for
-    * the clip; the final agg re-groups on the same key. */
+    * the clip ONLY under a key-count guard (the IncrementalJoin
+    * `broadcastKeyLimit` pattern): n_supp GROWS with the data, so past
+    * the threshold the hint is dropped and the join shuffles on
+    * l_suppkey — a key `r` is already partitioned by, so the exchange is
+    * reused (and AQE still broadcasts genuinely small frames). The guard
+    * probe is an approx_count_distinct over the pruned one-column scan,
+    * not a second evaluation of the bound frame. */
   val winsorize: Q = Q.checked(
     "q_winsorize",
     """WITH r AS (
@@ -448,11 +480,17 @@ object StatOps {
       |  CAST(count(*) FILTER (WHERE r.cents > b.hi) AS BIGINT) AS n_clip_hi
       |FROM r JOIN b USING (l_suppkey)
       |GROUP BY 1, 2, 3, 4 ORDER BY l_suppkey""".stripMargin
-  ) { (s, dir) =>
+  ) { (s, dir) => winsorized(Tables.lineitem(s, dir)) }
+
+  /** q_winsorize body with an explicit broadcast guard, testable at both
+    * thresholds (JoinScaleSpec forces the shuffle fallback with limit=0
+    * and asserts value identity with the broadcast path). */
+  def winsorized(li: DataFrame,
+      broadcastKeyLimit: Long = 4000000L): DataFrame = {
     val w = Window.partitionBy("l_suppkey")
       .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
     val wn = Window.partitionBy("l_suppkey")
-    val r = Tables.lineitem(s, dir)
+    val r = li
       .select(col("l_suppkey"),
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("cents"),
@@ -462,8 +500,15 @@ object StatOps {
         min(when(expr("rn = greatest((5*n + 99) div 100, 1)"), col("cents")))
           .as("lo"),
         min(when(expr("rn = (95*n + 99) div 100"), col("cents"))).as("hi"))
+    // Guard probe: ±5% HLL estimate over the pruned key column — far
+    // cheaper than materializing bounds twice, and a 5% miss near the
+    // threshold only flips which safe plan runs.
+    val nSupp = li.select("l_suppkey")
+      .agg(approx_count_distinct(col("l_suppkey"))).head.getLong(0)
+    val boundsSide =
+      if (nSupp <= broadcastKeyLimit) broadcast(bounds) else bounds
     r.select("l_suppkey", "cents")
-      .join(broadcast(bounds), "l_suppkey")
+      .join(boundsSide, "l_suppkey")
       .groupBy(col("l_suppkey"), col("n").cast(LongType).as("n"),
         col("lo").as("lo_cents"), col("hi").as("hi_cents"))
       .agg(sum("cents").as("sum_cents"),

@@ -57,13 +57,24 @@ object Ivf {
   }
 
   /** One hot-list split round (the IVF skew knob): every list holding
-    * more than `maxListSize` vectors is cut in two at its mean along its
-    * highest-variance dimension (FP ties → smallest dimension index);
-    * the low half keeps the list id, the high half gets a fresh id above
-    * the current max, and BOTH children are re-centered to their member
-    * means. Cold lists keep their ids and centroids untouched.
-    * Deterministic — the split plane is derived, not sampled. Call again
-    * if a child is still hot (each round halves the worst case). */
+    * more than `maxListSize` vectors is cut in two at its MEMBER mean
+    * along its highest-variance dimension (FP ties → smallest dimension
+    * index); the low half keeps the list id, the high half gets a fresh
+    * id above the current max, and BOTH children are re-centered to
+    * their member means. Splitting at the member mean (not the possibly
+    * stale input centroid) guarantees both halves are non-empty whenever
+    * the dimension has any variance. Cold lists keep their ids and
+    * centroids untouched. Deterministic — the split plane is derived,
+    * not sampled. Call again if a child is still hot (each round halves
+    * the worst case).
+    *
+    * Degenerate hot lists — every member identical, zero variance on
+    * every dimension — cannot be separated by any plane (and splitting
+    * exact duplicates would not reduce probe cost anyway: one probe
+    * would just hit both children). Such a list is returned UNCHANGED,
+    * so `splitHotLists(df, cents, …) == cents` is the explicit
+    * termination signal: a caller looping until no list is hot must also
+    * stop at this fixpoint instead of iterating forever. */
   def splitHotLists(df: DataFrame, cents: DataFrame, embCol: String,
       maxListSize: Long): DataFrame = {
     val cs = collectCentroids(cents)
@@ -73,32 +84,41 @@ object Ivf {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hot = cs.map(_._1).filter(l => sizes.getOrElse(l, 0L) > maxListSize)
     if (hot.isEmpty) return cents
-    val splitDim: Map[Long, Int] = assigned
+    // per hot list: highest-variance dimension + the MEMBER mean along it
+    // (ties → smallest index). var == 0 on the best dimension means every
+    // member is identical — unsplittable, excluded below.
+    val splitPlane: Map[Long, (Int, Double, Double)] = assigned
       .filter(col("list_id").isin(hot: _*))
       .select(col("list_id"), posexplode(col(embCol)).as(Seq("pos", "v")))
       .groupBy("list_id", "pos")
-      .agg(var_pop(col("v").cast(DoubleType)).as("varv"))
+      .agg(var_pop(col("v").cast(DoubleType)).as("varv"),
+        avg(col("v").cast(DoubleType)).as("meanv"))
       .collect()
       .groupBy(_.getLong(0))
       .map { case (lid, rows) =>
-        lid -> rows.map(r => (-r.getDouble(2), r.getInt(1))).min._2
+        val (negVar, pos, mean) =
+          rows.map(r => (-r.getDouble(2), r.getInt(1), r.getDouble(3))).min
+        lid -> ((pos, mean, -negVar))
       }
-    val centMap = cs.toMap
+    val splittable = hot.filter(l => splitPlane(l)._3 > 0.0)
+    if (splittable.isEmpty) return cents // all-duplicate fixpoint: signal
     val newId: Map[Long, Long] = {
       val maxLid = cs.map(_._1).max
-      hot.sorted.zipWithIndex.map { case (l, i) => l -> (maxLid + 1 + i) }.toMap
+      splittable.sorted.zipWithIndex
+        .map { case (l, i) => l -> (maxLid + 1 + i) }.toMap
     }
-    val reassigned = hot.foldLeft(col("list_id")) { (acc, l) =>
-      val d = splitDim(l)
+    val reassigned = splittable.foldLeft(col("list_id")) { (acc, l) =>
+      val (d, mean, _) = splitPlane(l)
       when(col("list_id") === l &&
-        element_at(col(embCol), d + 1).cast(DoubleType) > centMap(l)(d),
+        element_at(col(embCol), d + 1).cast(DoubleType) > mean,
         lit(newId(l))).otherwise(acc)
     }
     val hotChildren = centroids(
-      assigned.filter(col("list_id").isin(hot: _*))
+      assigned.filter(col("list_id").isin(splittable: _*))
         .withColumn("list_id", reassigned),
       embCol, "list_id")
-    cents.filter(!col("list_id").isin(hot: _*)).unionByName(hotChildren)
+    cents.filter(!col("list_id").isin(splittable: _*))
+      .unionByName(hotChildren)
   }
 
   /** Materialize the (tiny, bounded) quantizer: (list_id, centroid) sorted

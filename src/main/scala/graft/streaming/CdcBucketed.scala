@@ -153,6 +153,28 @@ object CdcBucketed {
       s"schema evolution cannot introduce key columns " +
         s"(${missingKeys.mkString(", ")} absent from state) — changed key " +
         s"semantics need a re-bootstrap, not a merge")
+    // Key evolution in ANY direction (add, REMOVE, REORDER) invalidates
+    // the persisted keyhash. The state's KeyHash column carries the exact
+    // ordered key list it was hashed over (CdcMerge.KeyColsMeta);
+    // compare it order-sensitively. Legacy states without the metadata
+    // fall back to the layout invariant (key columns lead the schema).
+    val khField = state.schema.fields.find(_.name == CdcMerge.KeyHash)
+    val persistedKeys = khField
+      .filter(_.metadata.contains(CdcMerge.KeyColsMeta))
+      .map(_.metadata.getString(CdcMerge.KeyColsMeta).split(",", -1).toSeq)
+    persistedKeys match {
+      case Some(ks) => require(ks == cfg.keyCols,
+        s"key evolution: state keyhash was computed over " +
+          s"(${ks.mkString(", ")}) but the config keys are " +
+          s"(${cfg.keyCols.mkString(", ")}) — changed key semantics need " +
+          s"a re-bootstrap, not a merge")
+      case None => require(
+        state.columns.take(cfg.keyCols.size).sameElements(cfg.keyCols),
+        s"key evolution: state's leading columns " +
+          s"(${state.columns.take(cfg.keyCols.size).mkString(", ")}) do " +
+          s"not match the config keys (${cfg.keyCols.mkString(", ")}) — " +
+          s"changed key semantics need a re-bootstrap, not a merge")
+    }
     val expected = cfg.allCols ++ Seq(CdcMerge.KeyHash, CdcMerge.NonKeyHash)
     if (state.columns.sameElements(expected)) state
     else {

@@ -96,6 +96,33 @@ class CdcEvolutionSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("re-bootstrap"))
   }
 
+  test("key REMOVAL and REORDER are rejected too (stale keyhash never reused)") {
+    import spark.implicits._
+    // two-key state: the persisted keyhash is computed over (id, region)
+    val cfgV1 = CdcConfig(Seq("id", "region"), Seq("name"))
+    val v1 = Seq((1L, "r1", "a"), (2L, "r2", "b")).toDF("id", "region", "name")
+    CdcBucketed.writeState(v1, cfgV1, "evo_key2_state", buckets = 2)
+    val batch = Seq((1L, "r1", "a")).toDF("id", "region", "name")
+    // removal: config demotes region to a value column — every cfg key
+    // still exists in the state, so only the key-provenance check can
+    // catch the stale hash
+    val removed = CdcConfig(Seq("id"), Seq("region", "name"))
+    val e1 = intercept[IllegalArgumentException] {
+      CdcBucketed.classifyAgainstState(spark, "evo_key2_state", batch, removed)
+    }
+    assert(e1.getMessage.contains("re-bootstrap"), e1.getMessage)
+    // reorder: same key SET, different order — a concat-style keyhash is
+    // order-sensitive, so this is stale too
+    val reordered = CdcConfig(Seq("region", "id"), Seq("name"))
+    val e2 = intercept[IllegalArgumentException] {
+      CdcBucketed.classifyAgainstState(spark, "evo_key2_state", batch, reordered)
+    }
+    assert(e2.getMessage.contains("re-bootstrap"), e2.getMessage)
+    // and the untouched config still classifies fine
+    assert(CdcBucketed.classifyAgainstState(
+      spark, "evo_key2_state", batch, cfgV1).count() === 2)
+  }
+
   test("evolved column missing from the batch is rejected loudly") {
     import spark.implicits._
     val cfgV1 = CdcConfig(Seq("id"), Seq("name"))

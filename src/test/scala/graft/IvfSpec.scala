@@ -103,4 +103,34 @@ class IvfSpec extends AnyFunSuite with SparkFixture {
     assert(Ivf.splitHotLists(one, c0, "embedding", maxListSize = 60)
       .collect().toSet === c1.collect().toSet)
   }
+
+  test("splitHotLists: all-duplicate hot list is a fixpoint, not an infinite loop") {
+    import spark.implicits._
+    // 100 identical vectors: no plane can separate them — the documented
+    // degenerate case. splitHotLists must return the quantizer UNCHANGED
+    // (the explicit termination signal), not a silent no-op child that
+    // keeps a caller loop spinning with ever-growing list ids.
+    val dup = (0 until 100)
+      .map(i => (i.toLong, Array(1.0f, 2.0f, 3.0f, 4.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val c0 = Ivf.centroids(dup, "embedding", "label")
+    val c1 = Ivf.splitHotLists(dup, c0, "embedding", maxListSize = 10)
+    assert(c1.collect().toSet === c0.collect().toSet,
+      "degenerate split must be the identity")
+    // mixed case: a splittable hot list still splits even when a
+    // degenerate one is present; the degenerate list keeps its centroid
+    // far-away tight cluster with spread on dim 0 only, so nearest-
+    // centroid assignment keeps the two families separate
+    val mixed = dup.unionByName((0 until 100)
+      .map(i => (1000L + i,
+        Array(1000f + i * 0.01f, 0.0f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label"))
+    val m0 = Ivf.centroids(mixed, "embedding", "label")
+    val m1 = Ivf.splitHotLists(mixed, m0, "embedding", maxListSize = 60)
+    assert(m1.count() === 3, "splittable list did not split")
+    val dupCent = c0.collect().head.getSeq[Double](1)
+    assert(m1.filter(col("list_id") === 0).collect()
+      .head.getSeq[Double](1) === dupCent,
+      "degenerate list's centroid must be untouched")
+  }
 }

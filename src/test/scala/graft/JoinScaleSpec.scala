@@ -99,4 +99,32 @@ class JoinScaleSpec extends AnyFunSuite with SparkFixture
     assert(passed < total / 2,
       s"bloom prefilter pruned nothing: $passed of $total rows passed")
   }
+
+  test("winsorize broadcast guard: limit=0 forces the shuffle fallback, values identical") {
+    val li = Tables.lineitem(spark, Sf)
+    val hinted = ops.StatOps.winsorized(li) // under the default limit
+    val fallback = ops.StatOps.winsorized(li, broadcastKeyLimit = 0L)
+    // past the key-count threshold OUR broadcast hint must be gone; at
+    // test scale the planner still auto-broadcasts the tiny frames (that
+    // is the designed behavior), so observe the fallback shape with
+    // auto-broadcast off — without the hint it must plan a shuffle join
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = ops.StatOps.winsorized(li, broadcastKeyLimit = 0L)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"limit=0 still broadcast the bounds frame:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"fallback did not plan a shuffle join:\n$plan")
+      // and the hint survives auto-broadcast-off when under the limit
+      val hintedPlan = ops.StatOps.winsorized(li)
+        .queryExecution.sparkPlan.toString
+      assert(hintedPlan.contains("BroadcastHashJoin"),
+        s"under-limit path lost the broadcast hint:\n$hintedPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert(hinted.exceptAll(fallback).isEmpty &&
+      fallback.exceptAll(hinted).isEmpty,
+      "guarded paths disagree on values")
+  }
 }

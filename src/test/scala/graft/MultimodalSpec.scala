@@ -138,6 +138,26 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(wav.samples.length === 16, "truncated data must clamp, not throw")
   }
 
+  test("WAV decoder: hostile chunk sizes can't overflow int arithmetic") {
+    import graft.multimodal.WavPcm
+    import java.nio.{ByteBuffer, ByteOrder}
+    val base = WavPcm.encodePcm16(Array.tabulate(64)(i => i / 64.0f), 8000, 1)
+    // data size = Int.MaxValue: off + declared would wrap negative in int
+    // math and fake an empty data chunk — must clamp to the real bytes
+    val hugeData = base.clone()
+    ByteBuffer.wrap(hugeData).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue)
+    assert(WavPcm.decode(hugeData).samples.length === 64,
+      "hostile data size silently decoded as zero samples")
+    // an unknown chunk declaring a size past the payload is hostile input:
+    // IAE, never a silent skip or a wrapped index into tag()
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, 0x7f) ++ "INFO".getBytes("US-ASCII")
+    val hostileList = base.take(36) ++ list ++ base.drop(36)
+    val e = intercept[IllegalArgumentException](WavPcm.decode(hostileList))
+    assert(e.getMessage.contains("overruns"), e.getMessage)
+  }
+
   test("PNG codec: round-trips every supported color type") {
     import graft.multimodal.Png
     val rnd = new scala.util.Random(42)

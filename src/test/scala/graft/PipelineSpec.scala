@@ -249,8 +249,10 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     val cfg = PipelineConfig(inDir.toString, "debezium", schema,
       keyCols = Seq("k"), valueCols = Seq("status", "amount"),
       stateDir = s"$dir/state")
-    // the format value must also pass config-file validation
-    val parsed = ConfigFile.parse(Seq(
+    // the format value must also pass config-file validation — but ONLY
+    // under a streaming load; a batch load must reject it at parse time
+    val parsed = ConfigFile.parse(streaming = true, where = "inline",
+      rawLines = Seq(
       "tables:",
       "  - name: t",
       s"    source_path: $inDir",
@@ -258,8 +260,21 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       "    schema: \"k long, status string, amount double\"",
       "    key_cols: [k]",
       "    value_cols: [status, amount]",
-      s"    state_dir: $dir/state"), "inline")
+      s"    state_dir: $dir/state"))
     assert(parsed.head.format === "debezium")
+    // same config under a batch load: rejected at load time, before any
+    // state dir is touched
+    val batchErr = intercept[IllegalArgumentException](
+      ConfigFile.parse(Seq(
+        "tables:",
+        "  - name: t",
+        s"    source_path: $inDir",
+        "    format: debezium",
+        "    schema: \"k long, status string, amount double\"",
+        "    key_cols: [k]",
+        "    value_cols: [status, amount]",
+        s"    state_dir: $dir/state"), "inline")).getMessage
+    assert(batchErr.contains("stream-only"), batchErr)
 
     val q = Pipeline.runStream(spark, cfg, s"$dir/ckpt")
     try {

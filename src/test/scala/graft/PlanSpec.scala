@@ -244,6 +244,40 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"window must be above (planned after) the exploded token stream:\n$plan")
   }
 
+  test("q_pmi / q_oov_rate: vocab top-K is TakeOrdered, no partition-less window") {
+    // the r5 rank-window formulation sorted the WHOLE distinct-token
+    // vocabulary on one partition; top-K under a total order must plan
+    // TakeOrderedAndProject (parallel partial top-K) instead
+    for (q <- Seq(ops.LmOps.pmi, ops.LmOps.oovRate)) {
+      val qe = q.fn(spark, Sf).queryExecution
+      assert(qe.sparkPlan.toString.contains("TakeOrderedAndProject"),
+        s"${q.name}: vocab top-K degenerated to a sort")
+      val wins = qe.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.isEmpty, s"${q.name}: unexpected window operator")
+    }
+  }
+
+  test("q_skyline: prefix-max windows partition by bucket; only the bucket frame is unpartitioned") {
+    val qe = ops.StatOps.skyline.fn(spark, Sf).queryExecution
+    val wins = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "missing prefix-max windows")
+    val (bounded, scaled) = wins.partition(_.partitionSpec.isEmpty)
+    // the data-scaled per-price frame must be partitioned (by bkt)
+    assert(scaled.nonEmpty &&
+      scaled.forall(_.partitionSpec.exists(_.toString.contains("bkt"))),
+      s"per-price prefix-max not partitioned by bucket:\n${qe.sparkPlan}")
+    // any unpartitioned window may run only over the bucket frame, whose
+    // row count is bounded by the price DOMAIN (bkt/bmax), never by data
+    assert(bounded.forall { w =>
+      val cols = w.child.output.map(_.name).toSet
+      cols.contains("bmax") && !cols.contains("price")
+    }, s"partition-less window over a data-scaled frame:\n${qe.sparkPlan}")
+  }
+
   test("registry names are unique and entry returns rows") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
     assert(SparkEntry.entry(spark).count() > 0)
