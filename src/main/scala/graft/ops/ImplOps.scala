@@ -139,30 +139,21 @@ object ImplOps {
     * steady drizzle of sub-6 h events still yields one kept event per
     * 6 h instead of one per burst. Greedy chains are inherently
     * sequential — no window/prefix-sum expresses them (and no ANSI
-    * oracle: rows-only by design; ThrottleSpec carries the laws) — so
-    * this is the sanctioned `flatMapGroups` shape: hash-shuffle on the
-    * key, one in-group sort, linear scan. At 100 TB the per-key event
-    * list must fit a task (fine for per-user keys); a pathological hot
-    * key would move to `mapGroupsWithState` over time buckets. */
+    * oracle: rows-only by design; ThrottleSpec carries the laws).
+    * Routed via [[ThrottleScale.guardedChain]]: per-user keys take the
+    * sanctioned `flatMapGroups` shape (hash-shuffle on the key, one
+    * in-group sort, linear scan); a pathological hot key whose event
+    * list would blow a task falls back to
+    * [[ThrottleScale.bucketedChain]] — gap-width time buckets + pointer
+    * doubling, exact, with no task ever holding more than one bucket of
+    * one key (ThrottleSpec proves both paths identical). */
   val throttleChain: Q = Q.implOnly("q_throttle_chain") { (s, dir) =>
-    import s.implicits._
     val gapUs = 21600000000L // 6 h
-    Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
-      .as[(Long, Long, String, Long)]
-      .groupByKey { case (_, u, t, _) => (u, t) }
-      .flatMapGroups { (_: (Long, String), it: Iterator[(Long, Long, String, Long)]) =>
-        val evs = it.toArray.sortBy(e => (e._4, e._1)) // total: (ts, id)
-        val out = Seq.newBuilder[(Long, Long, String)]
-        var lastKept = Long.MinValue
-        for ((id, u, t, us) <- evs)
-          if (lastKept == Long.MinValue || us - lastKept >= gapUs) {
-            out += ((id, u, t)); lastKept = us
-          }
-        out.result()
-      }
-      .toDF("event_id", "user_id", "event_type")
+    ThrottleScale.guardedChain(
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us")),
+      gapUs)
       .orderBy("event_id")
   }
 

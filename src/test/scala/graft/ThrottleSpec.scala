@@ -66,4 +66,57 @@ class ThrottleSpec extends AnyFunSuite with SparkFixture {
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(got === expected)
   }
+
+  private def eventsUs = Tables.events(spark, Sf)
+    .select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+
+  test("bucketedChain equals sequentialChain on the whole events table") {
+    val seq = ops.ThrottleScale.sequentialChain(eventsUs, GapUs)
+    val bkt = ops.ThrottleScale.bucketedChain(eventsUs, GapUs)
+    assert(seq.exceptAll(bkt).isEmpty && bkt.exceptAll(seq).isEmpty,
+      "bucketed fallback disagrees with the sequential shape")
+  }
+
+  test("planted hot key routes through the bucketed path and stays exact") {
+    import spark.implicits._
+    // a bot key firing every ~17 min for ~90 days: 7680 events — hot
+    // under a 1000-event threshold while every organic key stays cold.
+    // Sub-gap drizzle means survivors depend on true chain semantics.
+    val t0 = 1704103200000000L
+    val bot = (0 until 7680)
+      .map(i => (10000000L + i, 999999L, "bot_ping", t0 + i * 1013000000L))
+      .toDF("event_id", "user_id", "event_type", "us")
+    val mixed = eventsUs.unionByName(bot)
+    val guarded = ops.ThrottleScale
+      .guardedChain(mixed, GapUs, hotKeyThreshold = 1000L)
+    val reference = ops.ThrottleScale.sequentialChain(mixed, GapUs)
+    assert(guarded.exceptAll(reference).isEmpty &&
+      reference.exceptAll(guarded).isEmpty,
+      "guarded routing changed the survivor set")
+    // the planted key really is the hot route: survivors every
+    // ceil(6h/1013s)·1013s = 22286 s, so the ~90-day window keeps
+    // 7680·1013/22286 ≈ 350, not 7680
+    val botKept = guarded.filter(col("user_id") === 999999L).count()
+    assert(botKept === 350L, s"bot survivors: $botKept")
+  }
+
+  test("bucketedChain edges: empty input, single event, exact-gap spacing") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, String, Long)]
+      .toDF("event_id", "user_id", "event_type", "us")
+    assert(ops.ThrottleScale.bucketedChain(empty, GapUs).count() === 0)
+    val one = Seq((1L, 7L, "a", 123456789L))
+      .toDF("event_id", "user_id", "event_type", "us")
+    assert(ops.ThrottleScale.bucketedChain(one, GapUs).count() === 1)
+    // events exactly gap apart: ALL kept (>= gap opens the gate); one
+    // event gap-1 after a survivor: dropped
+    val spaced = (0 until 5).map(i => (i.toLong, 7L, "a", i * GapUs)) :+
+      ((99L, 7L, "a", 2 * GapUs + GapUs - 1))
+    val out = ops.ThrottleScale
+      .bucketedChain(spaced.toDF("event_id", "user_id", "event_type", "us"),
+        GapUs)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(0L, 1L, 2L, 3L, 4L), s"got $out")
+  }
 }
