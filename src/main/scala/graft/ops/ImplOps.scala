@@ -5,6 +5,7 @@ import graft.dedup.{MinHashLsh, SimHash}
 import graft.multimodal.{DeterministicStubDecoder, Multimodal}
 import graft.sim.Ann
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Impl-only query surfaces (SURVEY.md §2.2 ✗ rows): registered in
   * `SparkEntry.queries` but intentionally absent from `oracleSql` — their
@@ -157,7 +158,40 @@ object ImplOps {
       .orderBy("event_id")
   }
 
+  /** VIDEO leg of the multimodal set: synthesize deterministic MP4
+    * containers (one per embedding row — duration/track layout derived
+    * from vec_id), run [[graft.multimodal.Mp4MetaDecoder]]'s container
+    * parse through the same per-partition plumbing as the PNG/WAV legs,
+    * and emit the triage columns a curation pass filters on. Rows-only
+    * check by design (DuckDB has no ISO-BMFF parser); MultimodalSpec
+    * carries the byte-level round-trip + hostile-input verification. */
+  val multimodalVideo: Q = Q.implOnly("q_multimodal_video") { (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.{Mp4, Mp4MetaDecoder}
+    val records = Tables.embeddings(s, dir)
+      .select(col("vec_id")).limit(200).as[Long]
+      .map { id =>
+        val tracks = Mp4.Track("vide", "avc1") ::
+          (if (id % 3 != 0) List(Mp4.Track("soun", "mp4a")) else Nil)
+        (id, Mp4.encodeMeta("isom", timescaleHz = 1000,
+          durationTicks = 1000L + (id % 600) * 1000L, tracks))
+      }
+      .toDF("media_id", "payload")
+      .select(col("media_id"),
+        struct(lit("video").as("modality"), lit(0).as("width"),
+          lit(0).as("height"), lit(0).as("sampleRateHz"),
+          lit(0).as("nFrames")).as("meta"),
+        col("payload"))
+    Multimodal.extractFeatures(records, Mp4MetaDecoder)(s)
+      .toDF()
+      .select(col("media_id"), col("n_bytes"),
+        element_at(col("features"), 1).cast(LongType).as("duration_s"),
+        element_at(col("features"), 2).cast(LongType).as("n_tracks"),
+        element_at(col("features"), 4).cast(LongType).as("has_audio"))
+      .orderBy("media_id")
+  }
+
   val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, simAnn, simIvf,
     multimodalFeatures, approxDistinct, topkGroupAgg, multimodalDecode,
-    throttleChain)
+    throttleChain, multimodalVideo)
 }

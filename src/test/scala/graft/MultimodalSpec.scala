@@ -332,6 +332,66 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("MP4 parser: metadata round-trips through encodeMeta") {
+    import graft.multimodal.Mp4
+    val tracks = Seq(Mp4.Track("vide", "avc1"), Mp4.Track("soun", "mp4a"))
+    val bytes = Mp4.encodeMeta("isom", 90000, 2700000L, tracks)
+    val m = Mp4.parse(bytes)
+    assert(m.majorBrand === "isom")
+    assert(m.timescaleHz === 90000L && m.durationTicks === 2700000L)
+    assert(m.durationMs === 30000L)
+    assert(m.tracks === tracks)
+    // audio-only container
+    val a = Mp4.parse(Mp4.encodeMeta("M4A ", 44100, 441000L,
+      Seq(Mp4.Track("soun", "mp4a"))))
+    assert(a.tracks === Seq(Mp4.Track("soun", "mp4a")) &&
+      a.durationMs === 10000L)
+  }
+
+  test("MP4 parser: hostile box sizes fail loudly, never wrap or loop") {
+    import graft.multimodal.Mp4
+    import java.nio.ByteBuffer
+    val base = Mp4.encodeMeta("isom", 1000, 5000L,
+      Seq(Mp4.Track("vide", "avc1")))
+    // non-BMFF payloads
+    intercept[IllegalArgumentException](Mp4.parse("hello".getBytes))
+    intercept[IllegalArgumentException](
+      Mp4.parse(Array.fill[Byte](32)(0x41)))
+    // moov size claiming past the payload: IAE, not a wrapped index
+    val huge = base.clone()
+    ByteBuffer.wrap(huge).putInt(16, Int.MaxValue) // moov box size field
+    val e = intercept[IllegalArgumentException](Mp4.parse(huge))
+    assert(e.getMessage.contains("overruns"), e.getMessage)
+    // size < 8 (would loop forever without the bound)
+    val tiny = base.clone()
+    ByteBuffer.wrap(tiny).putInt(16, 3)
+    intercept[IllegalArgumentException](Mp4.parse(tiny))
+    // deterministic fuzz over every truncation boundary
+    (0 until base.length by 5).foreach { cut =>
+      try { Mp4.parse(base.take(cut)); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+    // and every single-byte corruption either parses or throws IAE
+    base.indices.foreach { i =>
+      val mutated = base.clone(); mutated(i) = (mutated(i) ^ 0x5a).toByte
+      try { Mp4.parse(mutated); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
+  test("q_multimodal_video: container metadata flows through the decode plumbing") {
+    val out = ops.ImplOps.multimodalVideo.fn(spark, Sf).collect()
+    assert(out.length === 200)
+    // derived fields follow the synthesis rule: duration 1+id%600 s,
+    // audio track present unless id % 3 == 0
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(2) === 1L + id % 600, s"duration for $id")
+      assert(r.getLong(3) === (if (id % 3 != 0) 2L else 1L))
+      assert(r.getLong(4) === (if (id % 3 != 0) 1L else 0L))
+    }
+  }
+
   test("approx_count_distinct stays within 15% of exact (HLL sanity)") {
     val r = Tables.events(spark, Sf)
       .agg(approx_count_distinct("user_id").as("a"),
