@@ -112,7 +112,8 @@ object ConfigFile {
     if (!sawRoot) fail(0, "missing 'tables:' root")
 
     val known = Set("name", "source_path", "format", "schema",
-      "key_cols", "value_cols", "state_dir", "strict_schema")
+      "key_cols", "value_cols", "state_dir", "strict_schema",
+      "kafka_bootstrap", "kafka_topic", "kafka_starting_offsets")
 
     tables.toSeq.map { case (itemLine, m) =>
       m.foreach { case (k, (li, _)) =>
@@ -158,6 +159,26 @@ object ConfigFile {
           s"format must be one of ${allowed.toSeq.sorted.mkString(", ")} — " +
             s"got '$format'$hint")
       }
+      // Kafka binding (production Debezium source): both bootstrap and
+      // topic or neither, and only meaningful on the debezium format —
+      // a kafka key on a file format is a config mistake, fail loudly
+      val kafkaKeys = Seq("kafka_bootstrap", "kafka_topic",
+        "kafka_starting_offsets").filter(m.contains)
+      val kafka =
+        if (kafkaKeys.isEmpty) None
+        else {
+          if (format != "debezium")
+            fail(m(kafkaKeys.head)._1,
+              s"${kafkaKeys.head} requires format: debezium (got '$format')")
+          if (!m.contains("kafka_bootstrap") || !m.contains("kafka_topic"))
+            fail(m(kafkaKeys.head)._1,
+              "a kafka binding needs BOTH kafka_bootstrap and kafka_topic")
+          Some(KafkaBinding(
+            bootstrapServers = req("kafka_bootstrap"),
+            topic = req("kafka_topic"),
+            startingOffsets = m.get("kafka_starting_offsets")
+              .map { case (_, v) => unquote(v) }.getOrElse("earliest")))
+        }
       PipelineConfig(
         sourcePath = req("source_path"),
         format = format,
@@ -165,7 +186,8 @@ object ConfigFile {
         keyCols = keyCols,
         valueCols = valueCols,
         stateDir = req("state_dir"),
-        strictSchema = strict)
+        strictSchema = strict,
+        kafka = kafka)
     }
   }
 }

@@ -21,6 +21,16 @@ import org.apache.spark.sql.types.StructType
   *  - incremental merge: full extract vs previous snapshot
   *  - [[runStream]]: the same merge per arriving file via foreachBatch
   */
+/** Production Kafka binding for a `format: debezium` stream: when set,
+  * the envelope feed reads `format("kafka")` instead of the JSON-lines
+  * file stand-in. Config-dead in this sandbox (no Kafka jars — the
+  * reader fails at `load()`, not at config parse), a one-line binding
+  * on a real cluster with `spark-sql-kafka-0-10` on the classpath. */
+final case class KafkaBinding(
+    bootstrapServers: String,
+    topic: String,
+    startingOffsets: String = "earliest")
+
 final case class PipelineConfig(
     sourcePath: String,
     format: String, // "csv" | "json" | "parquet"
@@ -28,7 +38,8 @@ final case class PipelineConfig(
     keyCols: Seq[String],
     valueCols: Seq[String],
     stateDir: String,
-    strictSchema: Boolean = false) {
+    strictSchema: Boolean = false,
+    kafka: Option[KafkaBinding] = None) {
   def cdc: CdcConfig = CdcConfig(keyCols, valueCols)
 }
 
@@ -179,10 +190,16 @@ object Pipeline {
       case "parquet" => CdcStream.start(
         Sources.parquetStream(spark, cfg.sourcePath, cfg.schema),
         cfg.cdc, cfg.stateDir, checkpointDir)
-      case "debezium" => CdcStream.startFromEnvelope(
-        Sources.debeziumEnvelope(
-          spark.readStream.text(cfg.sourcePath), cfg.schema),
-        cfg.cdc, cfg.stateDir, checkpointDir)
+      case "debezium" =>
+        // with a Kafka binding the feed comes off the topic; otherwise
+        // the JSON-lines file stream stands in (wire format identical)
+        val records = cfg.kafka match {
+          case Some(k) => Sources.kafkaRecords(spark, k)
+          case None => spark.readStream.text(cfg.sourcePath)
+        }
+        CdcStream.startFromEnvelope(
+          Sources.debeziumEnvelope(records, cfg.schema),
+          cfg.cdc, cfg.stateDir, checkpointDir)
       case other => throw new IllegalArgumentException(s"stream format: $other")
     }
 }

@@ -184,6 +184,24 @@ object Sources {
         :+ timestamp_millis(col("e.ts_ms")).as("ts"): _*)
   }
 
+  /** Kafka topic reader for the Debezium adapter — the production
+    * binding [[debeziumEnvelope]] plugs into. Builds the standard
+    * `format("kafka")` reader and projects the record `value` (the
+    * envelope JSON); everything downstream is identical to the file
+    * stand-in. COMPILED but config-dead in this sandbox: no Kafka jars
+    * ship here (zero egress), so `load()` throws
+    * "Failed to find data source: kafka" — on a real cluster add
+    * `spark-sql-kafka-0-10` to the classpath and set the
+    * `kafka_bootstrap`/`kafka_topic` config keys; nothing else changes. */
+  def kafkaRecords(spark: SparkSession,
+      k: graft.KafkaBinding): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", k.bootstrapServers)
+      .option("subscribe", k.topic)
+      .option("startingOffsets", k.startingOffsets)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
   /** Snapshot sink: overwrite-write a parquet snapshot (R9). */
   def writeSnapshot(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

@@ -83,4 +83,41 @@ class ConfigFileSpec extends AnyFunSuite with SparkFixture {
     assert(err(s"tables:\n  - $base\n".replace("format: parquet", "format: parqet"))
       .contains("format must be one of"))
   }
+
+  test("kafka binding parses on debezium streams; misuse fails at load") {
+    val dbz =
+      """name: t
+        |    source_path: /x
+        |    format: debezium
+        |    schema: "a int, b string"
+        |    key_cols: [a]
+        |    value_cols: [b]
+        |    state_dir: /s""".stripMargin
+    def parse(body: String, streaming: Boolean = true) =
+      ConfigFile.parse(body.linesIterator.toSeq, "inline", streaming)
+    // full binding
+    val cfg = parse(s"""tables:
+        |  - $dbz
+        |    kafka_bootstrap: broker1:9092,broker2:9092
+        |    kafka_topic: cdc.inventory.orders
+        |    kafka_starting_offsets: latest
+        |""".stripMargin).head
+    assert(cfg.kafka === Some(KafkaBinding(
+      "broker1:9092,broker2:9092", "cdc.inventory.orders", "latest")))
+    // offsets default
+    assert(parse(s"tables:\n  - $dbz\n    kafka_bootstrap: b:9092\n" +
+      "    kafka_topic: t1\n").head.kafka.get.startingOffsets === "earliest")
+    // no binding → None (file stand-in path)
+    assert(parse(s"tables:\n  - $dbz\n").head.kafka === None)
+    def err(body: String, streaming: Boolean = true): String =
+      intercept[IllegalArgumentException](parse(body, streaming)).getMessage
+    // half a binding
+    assert(err(s"tables:\n  - $dbz\n    kafka_topic: t1\n")
+      .contains("BOTH kafka_bootstrap and kafka_topic"))
+    // kafka keys on a file format
+    assert(err(("tables:\n  - " + dbz.replace("format: debezium",
+      "format: parquet") + "\n    kafka_bootstrap: b:9092\n" +
+      "    kafka_topic: t1\n"))
+      .contains("requires format: debezium"))
+  }
 }
