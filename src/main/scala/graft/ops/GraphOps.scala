@@ -107,8 +107,16 @@ object GraphOps {
       .agg((lit(150000L) +
         sum(expr("((1000000 * 17) div 20) div dsrc"))).cast(LongType).as("r"))
       .select(col("dst").as("node"), col("r"))
+    // The rank side is SHUFFLE-HASH hinted, not broadcast: edgesD is
+    // already hash-partitioned on src (the degree window's partitioning
+    // survives the checkpoint) and r comes out of groupBy(dst) hash-
+    // partitioned on the join key, so the SHJ plans with ZERO exchanges
+    // and no per-round async broadcast job — and unlike a broadcast
+    // hint it stays safe when the node frame is data-scaled at 100 TB
+    // (each task builds one rank PARTITION, not the whole frame).
     for (_ <- 2 to Iters) {
-      r = edgesD.join(r.withColumnRenamed("node", "cnode"),
+      r = edgesD.join(r.withColumnRenamed("node", "cnode")
+            .hint("shuffle_hash"),
           col("src") === col("cnode"))
         .groupBy(col("dst"))
         .agg((lit(150000L) +
