@@ -58,6 +58,17 @@ object ImplOps {
       "label", probeId = 0L, k = 10, nProbe = 3)
   }
 
+  /** PQ/ADC ANN top-10 for the same probe (m=8 one-byte codes per
+    * 64-dim vector — the 32× memory-compression leg of the ANN set;
+    * brute-force twin: q_sim_topk). Snapped to integer 1e6-units for a
+    * byte-stable rows-only dump. */
+  val simPq: Q = Q.implOnly("q_sim_pq") { (s, dir) =>
+    graft.sim.Pq.probeTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        probeId = 0L, k = 10, refine = 50)
+      .select(col("vec_id"),
+        floor(col("approx_cos") * 1e6 + 0.5).cast(LongType).as("cos6"))
+  }
+
   /** HLL approximate distinct vs exact — approx_count_distinct's sketch
     * differs from DuckDB's, so never oracle-checked; ImplSpec bounds the
     * relative error instead. */
@@ -193,5 +204,5 @@ object ImplOps {
 
   val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, simAnn, simIvf,
     multimodalFeatures, approxDistinct, topkGroupAgg, multimodalDecode,
-    throttleChain, multimodalVideo)
+    throttleChain, multimodalVideo, simPq)
 }
