@@ -260,5 +260,53 @@ object LmOps {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(lmScore, pmi, oovRate, textZipf)
+  /** Per-source bigram novelty: of each source's DISTINCT bigrams, the
+    * share that appears in NO other source — the cross-slice overlap
+    * triage a corpus-mixing pass runs before weighting a new crawl slice
+    * (a slice whose n-grams are all shared adds diversity, not volume).
+    *
+    * Scale design: the corpus never self-joins at document grain. Stage 1
+    * dedups to (source, bigram) pairs — one hash shuffle with map-side
+    * partial dedup; stage 2 counts sources per bigram on the SAME
+    * bigram-keyed exchange (AQE reuses the partitioning for the join
+    * back); stage 3 is a source-grain aggregate over ≤ sources×bigrams
+    * rows. Novelty is an exact integer ratio (×1000, floor div) — no
+    * float drift. */
+  val ngramNovelty: Q = Q.checked(
+    "q_ngram_novelty",
+    """WITH pairs AS (
+      |  SELECT DISTINCT source, bigram FROM (
+      |    SELECT source,
+      |      unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |        i -> string_split(text, ' ')[i] || ' ' ||
+      |             string_split(text, ' ')[i+1])) AS bigram
+      |    FROM documents)),
+      |spread AS (
+      |  SELECT bigram, count(*) AS n_src FROM pairs GROUP BY bigram)
+      |SELECT source,
+      |  count(*) AS n_bigrams,
+      |  CAST(count_if(n_src = 1) AS BIGINT) AS n_novel,
+      |  CAST(count_if(n_src = 1) AS BIGINT) * 1000 // count(*)
+      |    AS novelty_milli
+      |FROM pairs JOIN spread USING (bigram)
+      |GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val pairs = Tables.documents(s, dir)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+          .stripMargin)).as("bigram"))
+      .distinct()
+    val spread = pairs.groupBy("bigram").agg(count(lit(1)).as("n_src"))
+    pairs.join(spread, "bigram")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("n_src") === 1, 1)).as("n_novel"))
+      .withColumn("novelty_milli", expr("n_novel * 1000 div n_bigrams"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(lmScore, pmi, oovRate, textZipf, ngramNovelty)
 }

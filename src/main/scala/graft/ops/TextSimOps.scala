@@ -458,7 +458,66 @@ object TextSimOps {
       .limit(50)
   }
 
+  /** INCREMENTAL near-dup: an incoming batch (docs with doc_id % 5 = 0 —
+    * a deterministic 20% "new crawl" slice) is checked against the
+    * standing corpus (the other 80%) WITHOUT re-comparing the corpus to
+    * itself — the O(Δ) shape a daily-ingest dedup pass needs at 100 TB,
+    * where re-running the full self-join per batch is a non-starter.
+    *
+    * Scale design: only the DELTA side drives the join; the corpus side
+    * is the prefix-blocked index frame a production pipeline would keep
+    * materialized (bucketed by prefix, so the per-batch join is
+    * shuffle-free on the corpus side). Candidates = prefix-block matches
+    * (never all-pairs); verification is exact trigram Jaccard, reported
+    * as an integer milli-ratio (floor div — no float drift), with the
+    * ≥ 0.5 duplicate flag the apply step would act on. */
+  val dedupIncr: Q = Q.checked(
+    "q_dedup_incr",
+    """WITH sh AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS prefix,
+      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
+      |  FROM documents)
+      |SELECT d.doc_id AS delta_doc, c.doc_id AS corpus_doc,
+      |  CAST(len(list_intersect(d.shingles, c.shingles)) AS BIGINT) AS n_int,
+      |  CAST(len(d.shingles) + len(c.shingles)
+      |    - len(list_intersect(d.shingles, c.shingles)) AS BIGINT) AS n_union,
+      |  CAST(len(list_intersect(d.shingles, c.shingles)) AS BIGINT) * 1000
+      |    // CAST(len(d.shingles) + len(c.shingles)
+      |         - len(list_intersect(d.shingles, c.shingles)) AS BIGINT)
+      |    AS jaccard_milli,
+      |  CASE WHEN CAST(len(list_intersect(d.shingles, c.shingles)) AS BIGINT) * 1000
+      |    // CAST(len(d.shingles) + len(c.shingles)
+      |         - len(list_intersect(d.shingles, c.shingles)) AS BIGINT) >= 500
+      |    THEN 1 ELSE 0 END AS is_dup
+      |FROM sh d JOIN sh c
+      |  ON d.prefix = c.prefix AND d.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+      |ORDER BY delta_doc, corpus_doc""".stripMargin
+  ) { (s, dir) =>
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"),
+        expr(
+          """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+            |i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin)
+          .as("shingles"))
+    val delta = sh.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("delta_doc"), col("prefix"),
+        col("shingles").as("sh_d"))
+    val corpus = sh.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("corpus_doc"), col("prefix").as("prefix_c"),
+        col("shingles").as("sh_c"))
+    val nInt = size(array_intersect(col("sh_d"), col("sh_c"))).cast(LongType)
+    val nUnion = (size(col("sh_d")) + size(col("sh_c"))).cast(LongType) - nInt
+    delta.join(corpus, col("prefix") === col("prefix_c"))
+      .select(col("delta_doc"), col("corpus_doc"), nInt.as("n_int"),
+        nUnion.as("n_union"))
+      .withColumn("jaccard_milli", expr("n_int * 1000 div n_union"))
+      .withColumn("is_dup",
+        when(col("jaccard_milli") >= 500, 1).otherwise(0))
+      .orderBy("delta_doc", "corpus_doc")
+  }
+
   val all: Seq[Q] = Seq(textStats, textQuality, textLangid, textFingerprint,
     textTokens, dedupExact, dedupNear, dedupNgram, dedupEmbed, simTopk,
-    simCentroid, multimodalJoin, multimodalProfile, boilerplate)
+    simCentroid, multimodalJoin, multimodalProfile, boilerplate, dedupIncr)
 }

@@ -60,5 +60,52 @@ object VectorOps {
       .orderBy("label")
   }
 
-  val all: Seq[Q] = Seq(vecQuantize)
+  /** Per-label L2-norm audit of the embedding store: vector count plus
+    * min / max / mean norm, the pre-flight a pipeline runs before cosine
+    * math (an un-normalized or degenerate shard shows up here as a norm
+    * range far from 1). The per-vector reduce is the `aggregate` HOF —
+    * MAP-ONLY, no explode shuffle: at 100 TB the embeddings table never
+    * shuffles at vector grain, only the label-grain partial aggregates
+    * move.
+    *
+    * Determinism: each squared term is float×float (exact in double)
+    * snapped to DECIMAL(28,10); decimal addition is exact and
+    * associative, so the HOF's left fold and DuckDB's unnest-groupBy sum
+    * agree regardless of order. sqrt of bit-equal doubles is correctly
+    * rounded (IEEE 754) — identical cross-engine. The mean is one final
+    * IEEE division of a DECIMAL(18,9)-snapped sum; round(·,4) guards the
+    * output. */
+  val embedNorm: Q = Q.checked(
+    "q_embed_norm",
+    """WITH sq AS (
+      |  SELECT vec_id, label,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id, label,
+      |    sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE)) AS nrm
+      |  FROM sq GROUP BY vec_id, label)
+      |SELECT label, count(*) AS n_vecs,
+      |  round(min(nrm), 4) AS min_norm,
+      |  round(max(nrm), 4) AS max_norm,
+      |  round(CAST(sum(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE) / count(*), 4)
+      |    AS avg_norm
+      |FROM norms GROUP BY label ORDER BY label""".stripMargin
+  ) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .withColumn("nrm", sqrt(expr(
+        """CAST(aggregate(embedding, CAST(0 AS DECIMAL(28,10)),
+          |  (acc, x) -> CAST(acc +
+          |    CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,10))
+          |    AS DECIMAL(28,10))) AS DOUBLE)""".stripMargin)))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(min(col("nrm")), 4).as("min_norm"),
+        round(max(col("nrm")), 4).as("max_norm"),
+        round(sum(col("nrm").cast(DecimalType(18, 9))).cast(DoubleType) /
+          count(lit(1)), 4).as("avg_norm"))
+      .orderBy("label")
+  }
+
+  val all: Seq[Q] = Seq(vecQuantize, embedNorm)
 }
