@@ -265,13 +265,17 @@ object LmOps {
     * triage a corpus-mixing pass runs before weighting a new crawl slice
     * (a slice whose n-grams are all shared adds diversity, not volume).
     *
-    * Scale design: the corpus never self-joins at document grain. Stage 1
-    * dedups to (source, bigram) pairs — one hash shuffle with map-side
-    * partial dedup; stage 2 counts sources per bigram on the SAME
-    * bigram-keyed exchange (AQE reuses the partitioning for the join
-    * back); stage 3 is a source-grain aggregate over ≤ sources×bigrams
-    * rows. Novelty is an exact integer ratio (×1000, floor div) — no
-    * float drift. */
+    * Scale design: ONE heavy exchange. The corpus explodes once and
+    * aggregates straight to bigram grain with `collect_set(source)` —
+    * the set is bounded by the SOURCE COUNT (a config-sized dimension,
+    * never data-sized), and the partial-aggregate side dedups sources
+    * map-side, so the shuffle carries ≤ |sources| entries per bigram.
+    * Re-exploding the set yields every (bigram, source) pair already
+    * tagged with its spread — no second corpus scan, no self-join (the
+    * naïve pairs⋈spread formulation scans and explodes the corpus
+    * TWICE). The final source-grain aggregate is dimension-sized.
+    * Novelty is an exact integer ratio (×1000, floor div) — no float
+    * drift. */
   val ngramNovelty: Q = Q.checked(
     "q_ngram_novelty",
     """WITH pairs AS (
@@ -291,16 +295,16 @@ object LmOps {
       |FROM pairs JOIN spread USING (bigram)
       |GROUP BY source ORDER BY source""".stripMargin
   ) { (s, dir) =>
-    val pairs = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("source"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("source"), explode(expr(
         """transform(sequence(1, size(toks) - 1),
           |i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
           .stripMargin)).as("bigram"))
-      .distinct()
-    val spread = pairs.groupBy("bigram").agg(count(lit(1)).as("n_src"))
-    pairs.join(spread, "bigram")
+      .groupBy("bigram")
+      .agg(collect_set(col("source")).as("srcs"))
+      .select(explode(col("srcs")).as("source"), size(col("srcs")).as("n_src"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_bigrams"),
         count(when(col("n_src") === 1, 1)).as("n_novel"))
