@@ -14,7 +14,7 @@ object Registry {
       SketchOps.all ++ GovernOps.all ++ ReshapeOps.all ++
       JoinScaleOps.all ++ VectorOps.all ++ TextRankOps.all ++ StatOps.all ++
       LayoutOps.all ++ GraphOps.all ++ SampleOps.all ++ SimJoinOps.all ++
-      LmOps.all ++ AuditOps.all ++ ImplOps.all
+      LmOps.all ++ AuditOps.all ++ ImplOps.all ++ BpeOps.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding merge training — the tokenizer-construction step of
+  * an LLM data pipeline (north-star surface; no reference file:line
+  * exists — SURVEY §0). Classic BPE: start from characters, repeatedly
+  * merge the most frequent adjacent symbol pair; the ordered merge list
+  * IS the tokenizer.
+  *
+  * Scale design — the distributed shape real BPE trainers use: the
+  * corpus is touched ONCE, collapsing to the word-frequency table (one
+  * hash shuffle, map-side combined; at 100 TB the word-freq frame is
+  * vocabulary-sized, orders of magnitude smaller than the corpus). Every
+  * merge round then runs on that bounded frame: adjacent-pair counts are
+  * a vocab-sized two-phase aggregate weighted by word frequency, the
+  * winning pair is a TakeOrdered(1) with a total tie-break
+  * (count DESC, left, right — deterministic across partitionings), and
+  * the merge is applied map-side as a left fold over each word's symbol
+  * array. Driver state per round is exactly ONE row (the winner) — the
+  * same bounded-model-state pattern as Ivf/Pq. The vocab frame is
+  * re-persisted each round so round k+1 reads a materialized O(vocab)
+  * input, not a k-deep lineage.
+  *
+  * The greedy left-to-right fold matches the reference sub-after-sub
+  * semantics: merging (l, r) in [a,a,a] yields [la+r, a] because the
+  * just-merged symbol (the concatenation l+r) can never equal l again
+  * (r is non-empty), so a fresh merge cannot chain onto its own output
+  * within the same pass.
+  */
+object BpeOps {
+
+  /** One greedy left-to-right merge pass of pair (l, r) over a symbol
+    * array: fold each symbol in, replacing a trailing `l` with `l+r`
+    * when `r` arrives. */
+  private def mergePass(syms: Column, l: String, r: String): Column =
+    aggregate(
+      syms,
+      lit(Array.empty[String]),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Train `k` BPE merges over the token stream of `documents.text`.
+    * Returns the ordered merge table: (rank, left, right, merged,
+    * pair_count). Deterministic: ties on pair count break on (left,
+    * right) lexicographically. */
+  def trainMerges(s: SparkSession, dir: String, k: Int): DataFrame =
+    trainMergesFrom(s, Tables.documents(s, dir), k)
+
+  /** [[trainMerges]] over an arbitrary documents frame (text column) —
+    * the testable seam: results must not depend on the input's physical
+    * layout. */
+  def trainMergesFrom(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    // corpus → word-frequency table: the ONLY corpus-sized stage
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        transform(split(col("word"), ""), c => c).cast(ArrayType(StringType)))
+      .select("syms", "freq")
+      .persist()
+    vocab.count() // materialize before the loop
+
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to k) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |i -> struct(element_at(syms, i) AS l,
+            |            element_at(syms, i + 1) AS r))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .collect() // exactly one row: the round's model state
+      if (top.nonEmpty) {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((rank, l, r, n))
+        val next = vocab
+          .withColumn("syms", mergePass(col("syms"), l, r))
+          .persist()
+        next.count() // materialize: bound the lineage to one round
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    import s.implicits._
+    merges.result().toDF("rank", "left", "right", "pair_count")
+      .withColumn("merged", concat(col("left"), col("right")))
+      .select("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
+  /** Top-8 BPE merges over the corpus (impl-only: iterative training is
+    * not single-statement-SQL-expressible; BpeSpec pins it against a
+    * sequential reference implementation). */
+  val bpeTrain: Q = Q.implOnly("q_bpe_train") { (s, dir) =>
+    trainMerges(s, dir, 8)
+  }
+
+  val all: Seq[Q] = Seq(bpeTrain)
+}
