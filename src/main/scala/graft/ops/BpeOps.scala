@@ -56,8 +56,12 @@ object BpeOps {
     * the testable seam: results must not depend on the input's physical
     * layout. */
   def trainMergesFrom(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
-    // corpus → word-frequency table: the ONLY corpus-sized stage
-    var vocab = docs
+    // corpus → word-frequency table: the ONLY corpus-sized stage, and the
+    // only thing ever cached — each round re-derives its symbol arrays by
+    // applying the accumulated merge list as a CHAINED column expression
+    // over this base (vocab-sized compute, trivially cheap), which costs
+    // one Spark job per round instead of a persist+materialize pair
+    val base = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -65,11 +69,13 @@ object BpeOps {
         transform(split(col("word"), ""), c => c).cast(ArrayType(StringType)))
       .select("syms", "freq")
       .persist()
-    vocab.count() // materialize before the loop
+    base.count() // materialize before the loop
 
+    var symsCol: Column = col("syms") // base symbols + merges so far
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (rank <- 1 to k) {
-      val top = vocab
+      val top = base
+        .withColumn("syms", symsCol)
         .filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
           """transform(sequence(1, size(syms) - 1),
@@ -85,15 +91,10 @@ object BpeOps {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += ((rank, l, r, n))
-        val next = vocab
-          .withColumn("syms", mergePass(col("syms"), l, r))
-          .persist()
-        next.count() // materialize: bound the lineage to one round
-        vocab.unpersist()
-        vocab = next
+        symsCol = mergePass(symsCol, l, r)
       }
     }
-    vocab.unpersist()
+    base.unpersist()
     import s.implicits._
     merges.result().toDF("rank", "left", "right", "pair_count")
       .withColumn("merged", concat(col("left"), col("right")))
