@@ -516,7 +516,108 @@ object CurateOps {
       .orderBy("component_id")
   }
 
+  /** Per-source adaptive quality cut: drop each source's bottom 30% by
+    * an exact integer quality score (type-token ratio in milli — the
+    * q_text_quality signal, integer-floored so the rank order is
+    * engine-independent), report kept/dropped counts and the realized
+    * threshold per source. Unlike the global gate in q_curate, the
+    * cutoff ADAPTS to each source's own score distribution — the "keep
+    * the best 70% of every domain" policy that prevents one noisy crawl
+    * slice from being wiped out by a corpus-wide threshold.
+    *
+    * Scale: ONE window shuffle partitioned by source (never
+    * partition-less) + a source-grain aggregate. Ties break on doc_id —
+    * total order, deterministic cut line. */
+  val qualityCut: Q = Q.checked(
+    "q_quality_cut",
+    """WITH scored AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000
+      |      // len(string_split(text, ' ')) AS score_milli
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source, doc_id, score_milli,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY score_milli, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM scored),
+      |flagged AS (
+      |  SELECT source, score_milli,
+      |    CASE WHEN rn <= n * 3 // 10 THEN 1 ELSE 0 END AS dropped
+      |  FROM ranked)
+      |SELECT source, count(*) AS n_total,
+      |  CAST(sum(dropped) AS BIGINT) AS n_dropped,
+      |  CAST(count(*) - sum(dropped) AS BIGINT) AS n_kept,
+      |  min(CASE WHEN dropped = 0 THEN score_milli END) AS cut_milli
+      |FROM flagged GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    val w = Window.partitionBy("source").orderBy("score_milli", "doc_id")
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000" +
+          " div size(split(text, ' '))").as("score_milli"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("dropped",
+        when(col("rn") <= expr("n * 3 div 10"), 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("dropped")).as("n_dropped"),
+        (count(lit(1)) - sum(col("dropped"))).as("n_kept"),
+        min(when(col("dropped") === 0, col("score_milli"))).as("cut_milli"))
+      .orderBy("source")
+  }
+
+  /** Temperature-sampled mixture schedule (α = 0.5): sampling weight
+    * w_s ∝ share_s^α, the standard up/down-sampling of multilingual /
+    * multi-source pretraining mixes (low-resource slices sampled above
+    * their natural share). Epochs per source = w_s · T / toks_s — how
+    * many passes over each slice one "epoch" of the mixed corpus makes.
+    *
+    * Determinism: share^0.5 = sqrt(share) is IEEE-correctly-rounded on
+    * bit-equal inputs (single divisions of exact integer token counts);
+    * each sqrt is snapped to DECIMAL(18,12) BEFORE normalizing, so the
+    * normalizer is an exact decimal sum (order-free) and every output is
+    * a single IEEE division of deterministic operands. */
+  val mixSchedule: Q = Q.checked(
+    "q_mix_schedule",
+    """WITH per_src AS (
+      |  SELECT source,
+      |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+      |      AS toks
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS all_toks FROM per_src),
+      |sq AS (
+      |  SELECT source, toks, all_toks,
+      |    CAST(sqrt(CAST(toks AS DOUBLE) / all_toks) AS DECIMAL(18,12)) AS sw
+      |  FROM per_src, tot),
+      |norm AS (SELECT CAST(sum(sw) AS DECIMAL(22,12)) AS z FROM sq)
+      |SELECT source, toks,
+      |  CAST(sw AS DOUBLE) / CAST(z AS DOUBLE) AS weight,
+      |  (CAST(sw AS DOUBLE) / CAST(z AS DOUBLE)) * all_toks / toks
+      |    AS epochs
+      |FROM sq, norm ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val perSrc = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("toks"))
+    val tot = perSrc.agg(sum(col("toks")).as("all_toks"))
+    val sq = perSrc.crossJoin(broadcast(tot))
+      .withColumn("sw",
+        sqrt(col("toks").cast(DoubleType) / col("all_toks"))
+          .cast(DecimalType(18, 12)))
+    val norm = sq.agg(sum(col("sw")).cast(DecimalType(22, 12)).as("z"))
+    sq.crossJoin(broadcast(norm))
+      .select(col("source"), col("toks"),
+        (col("sw").cast(DoubleType) / col("z").cast(DoubleType)).as("weight"),
+        ((col("sw").cast(DoubleType) / col("z").cast(DoubleType)) *
+          col("all_toks") / col("toks")).as("epochs"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(sampleSplit, sampleQuota, vocabTopk, tfidf,
     ngramCounts, packBins, curate, quantileDisc, winCume, dedupComponents,
-    profile, fuzzyMatch, mixWeights, clusterCanonical)
+    profile, fuzzyMatch, mixWeights, clusterCanonical, qualityCut,
+    mixSchedule)
 }

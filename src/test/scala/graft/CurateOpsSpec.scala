@@ -82,4 +82,29 @@ class CurateOpsSpec extends AnyFunSuite with SparkFixture {
     out.groupBy("c_nationkey").agg(max("cd").as("m")).collect()
       .foreach(r => assert(r.getDouble(1) === 1.0))
   }
+
+  test("q_quality_cut: drops exactly floor(0.3 n) per source, cut line is real") {
+    CurateOps.qualityCut.fn(spark, Sf).collect().foreach { r =>
+      val (n, dropped, kept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dropped === n * 3 / 10, s"source ${r.getString(0)}")
+      assert(kept === n - dropped)
+      assert(!r.isNullAt(4), "a source kept nothing") // kept >= 1 ⇒ threshold exists
+    }
+  }
+
+  test("q_mix_schedule: weights normalize; smaller slices get more epochs") {
+    val rows = CurateOps.mixSchedule.fn(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9, "weights must sum to 1")
+    rows.foreach { case (_, toks, w, ep) =>
+      assert(toks > 0 && w > 0 && ep > 0)
+    }
+    // α = 0.5 up-samples low-resource slices: epochs ordering is the
+    // REVERSE of token-count ordering (strictly, when counts differ)
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array((_, t1, _, e1), (_, t2, _, e2)) if t1 < t2 =>
+        assert(e1 > e2, s"smaller slice ($t1 toks) must out-epoch $t2")
+      case _ =>
+    }
+  }
 }
