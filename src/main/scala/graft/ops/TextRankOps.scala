@@ -178,5 +178,73 @@ object TextRankOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(chunkDocs, bm25, textEntropy)
+  /** Multi-term BM25 retrieval — the actual search/RAG primitive on top
+    * of q_bm25's per-term machinery: score every document against the
+    * fixed query {join, fast, table} as the SUM of its per-term BM25
+    * contributions, return the top-10 (doc, score, terms matched).
+    *
+    * Scale design: identical single-pass shape to q_bm25 — tf only for
+    * query terms (the explode filters to a 3-token IN list before any
+    * shuffle), df as a window over the tf frame (rows-per-token = docs
+    * containing it; never a documents rescan), corpus totals a 1-row
+    * broadcast, final top-k a TakeOrderedAndProject. The per-doc sum
+    * folds ≤ |query| term scores: each term score is snapped to
+    * DECIMAL(18,6) first, so the sum is exact and order-free
+    * cross-engine (a raw double sum would depend on fold order). */
+  val bm25Query: Q = Q.checked(
+    "q_bm25_query",
+    """WITH toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |         unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM toks
+      |       WHERE token IN ('join', 'fast', 'table') GROUP BY 1, 2, 3),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs,
+      |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+      |      FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST(CAST((((n_docs - df) * 2 + 1) * 1000000) // (df * 2 + 1)
+      |           AS DOUBLE)
+      |      * (CAST(tf AS DOUBLE) * 2.2e0)
+      |      / (CAST(tf AS DOUBLE) + 3.0e-1 + 9.0e-1
+      |         * (CAST(dl AS DOUBLE)
+      |            * (CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))
+      |      AS DECIMAL(18,6)) AS term_score
+      |  FROM tf JOIN df USING (token), n)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(sum(term_score) AS DOUBLE) AS score
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
+        explode(col("toks")).as("token"))
+      .filter(col("token").isin("join", "fast", "table"))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+    val n = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast(LongType)).as("sum_dl"))
+    tf.crossJoin(broadcast(n))
+      .withColumn("idf6",
+        expr("(((n_docs - df) * 2 + 1) * 1000000) div (df * 2 + 1)"))
+      .withColumn("term_score",
+        (col("idf6").cast(DoubleType) *
+          (col("tf").cast(DoubleType) * lit(2.2)) /
+          (col("tf").cast(DoubleType) + lit(0.3) +
+            lit(0.9) * (col("dl").cast(DoubleType) *
+              (col("n_docs").cast(DoubleType) /
+                col("sum_dl").cast(DoubleType)))))
+          .cast(DecimalType(18, 6)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("term_score")).cast(DoubleType).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(chunkDocs, bm25, textEntropy, bm25Query)
 }
