@@ -1,0 +1,80 @@
+package graft.dedup
+
+import graft.sim.Ivf
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Semantic deduplication — cluster-then-dedup over an embedding column
+  * (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): quantize the corpus
+  * with a k-means coarse quantizer, then compare vectors ONLY within
+  * their cluster; a vector is a semantic duplicate if some lower-id
+  * cluster-mate lies within the cosine threshold. Completes the dedup
+  * suite's embedding leg: exact (hash), prefix, n-gram, MinHash-LSH,
+  * SimHash, bounded-window cosine (q_dedup_embed) — and now
+  * cluster-blocked cosine, the published shape for "these two documents
+  * say the same thing in different words".
+  *
+  * Scale design: the quantizer is bounded model state (the Ivf pattern —
+  * k centroid rows collected once, assignment a zero-shuffle codegen'd
+  * [[graft.functions.VectorExprs.NearestCentroid]] map). The pair stage
+  * is an EQUI-join on list_id — never all-pairs across the corpus; its
+  * per-cluster cost is quadratic in cluster size, which is the knob the
+  * caller controls: k grows with the corpus (clusters stay
+  * constant-sized) and [[graft.sim.Ivf.splitHotLists]] splits any list
+  * the seeding left hot, so no single task ever sees a super-sized
+  * cluster. Cosines are snapped to integer micro-units before the
+  * threshold compare, so the dup decision is an integer compare —
+  * deterministic across engines, layouts and fold-order-preserving
+  * re-runs.
+  */
+object SemDedup {
+
+  /** Per-vector dup verdicts: input columns + (list_id, is_dup).
+    * `tauMicro` is the cosine threshold in 1e-6 units (e.g. 950000 =
+    * 0.95). A vector is a dup iff a lower-`idCol` member of its cluster
+    * has snapped cosine ≥ tauMicro — the deterministic "keep the
+    * smallest id per semantic ball" election. `maxListSize` > 0 runs one
+    * hot-list split round before pairing (call sites with adversarial
+    * skew should loop until the quantizer reaches its fixpoint). */
+  def verdicts(df: DataFrame, idCol: String, embCol: String,
+               seedCol: String, tauMicro: Long, iters: Int = 2,
+               maxListSize: Int = 0): DataFrame = {
+    import graft.functions.VectorExprs.{dotVec, norm2}
+    val cents0 = Ivf.centroidsIter(df, embCol, seedCol, iters)
+    val cents =
+      if (maxListSize > 0) Ivf.splitHotLists(df, cents0, embCol, maxListSize)
+      else cents0
+    val assigned = Ivf.assign(df, cents, idCol, embCol)
+      .withColumn("nrm", sqrt(norm2(col(embCol))))
+    val a = assigned.select(col("list_id"), col(idCol).as("id_a"),
+      col(embCol).as("emb_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("list_id").as("list_b"), col(idCol).as("id_b"),
+      col(embCol).as("emb_b"), col("nrm").as("nrm_b"))
+    // equi-join on the cluster id; the id inequality only prunes pairs.
+    // Snap BEFORE the threshold so the verdict is an integer compare.
+    val dupIds = a.join(b,
+        col("list_id") === col("list_b") && col("id_a") < col("id_b"))
+      .withColumn("cos6",
+        floor(dotVec(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b")) * 1e6 + 0.5).cast(LongType))
+      .filter(col("cos6") >= tauMicro)
+      .select(col("id_b").as("dup_id"))
+      .distinct()
+    assigned.join(dupIds, col(idCol) === col("dup_id"), "left")
+      .withColumn("is_dup", col("dup_id").isNotNull)
+      .drop("dup_id")
+  }
+
+  /** Per-cluster dedup report: (list_id, n_vecs, n_dups, n_kept),
+    * ordered by list_id. The aggregate is cluster-grain — bounded by the
+    * quantizer size, not the corpus. */
+  def report(df: DataFrame, idCol: String, embCol: String, seedCol: String,
+             tauMicro: Long, iters: Int = 2, maxListSize: Int = 0): DataFrame =
+    verdicts(df, idCol, embCol, seedCol, tauMicro, iters, maxListSize)
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+        sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_kept"))
+      .orderBy("list_id")
+}

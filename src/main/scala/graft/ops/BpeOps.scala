@@ -109,5 +109,56 @@ object BpeOps {
     trainMerges(s, dir, 8)
   }
 
-  val all: Seq[Q] = Seq(bpeTrain)
+  /** Tokenize a documents frame with an ordered merge list and report
+    * per-source token economics: word/token/char totals plus integer
+    * milli-ratios (tokens per word, chars per token — the "compression"
+    * a tokenizer buys, the number that decides whose corpus fits the
+    * training budget).
+    *
+    * Scale design — encode where the VOCABULARY is, not where the corpus
+    * is: the greedy merge fold (k chained per-word passes) runs once per
+    * DISTINCT word on the vocab frame, and the corpus-sized side only
+    * does an equi-join back to (n_chars, n_tok) — at 100 TB the vocab is
+    * orders of magnitude smaller than the token stream, and Catalyst
+    * broadcasts it from AQE size stats (the frame is two ints per
+    * distinct word; a web-scale vocab still fits, and if it ever did
+    * not, the join key is already the shuffle key). The per-source
+    * aggregate is map-side combined; every ratio is integer `div`
+    * arithmetic — no FP, no fold-order sensitivity. */
+  def encodeReport(s: SparkSession, docs: DataFrame,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val encoded = merges.foldLeft(
+      transform(split(col("word"), ""), c => c)
+        .cast(ArrayType(StringType))) { case (acc, (l, r)) =>
+      mergePass(acc, l, r)
+    }
+    val vocabTok = words.select("word").distinct()
+      .select(col("word"), length(col("word")).cast(LongType).as("w_chars"),
+        size(encoded).cast(LongType).as("w_tok"))
+    words.join(vocabTok, "word")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("w_tok")).as("sum_tokens"),
+        sum(col("w_chars")).as("sum_chars"))
+      .withColumn("milli_tok_per_word",
+        expr("sum_tokens * 1000 div n_words"))
+      .withColumn("milli_chars_per_tok",
+        expr("sum_chars * 1000 div sum_tokens"))
+      .orderBy("source")
+  }
+
+  /** BPE APPLY — the other half of the tokenizer story: train 8 merges,
+    * encode the corpus with them, report per-source token economics.
+    * Impl-only (the merge table is iterative model state); BpeSpec pins
+    * the encode against a sequential greedy reference. */
+  val bpeEncode: Q = Q.implOnly("q_bpe_encode") { (s, dir) =>
+    val merges = trainMerges(s, dir, 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    encodeReport(s, Tables.documents(s, dir), merges)
+  }
+
+  val all: Seq[Q] = Seq(bpeTrain, bpeEncode)
 }

@@ -616,8 +616,100 @@ object CurateOps {
       .orderBy("source")
   }
 
+  /** Sequential quality-rule FUNNEL with per-rule attribution — "which
+    * filter costs us the data": five C4/Gopher-style rules applied in a
+    * fixed order (min length → mean word length → type-token ratio →
+    * stopword presence → single-token repetition), each doc charged to
+    * the FIRST rule it fails; output one row per stage with the docs
+    * dropped there and the docs that entered it (stage 99 = survivors).
+    * q_curate answers "what survives"; this answers "why the rest died",
+    * the report a pipeline owner reads before retuning a threshold.
+    *
+    * Scale shape: one corpus scan computes four of the five signals as
+    * per-row expressions; the repetition signal (per-doc mode count) is
+    * the one explode + two map-side-combined aggregates at doc grain.
+    * The funnel itself is integer CASE arithmetic folded into a 6-row
+    * stage frame — the only window runs on those ≤6 rows (bounded, per
+    * the ARCHITECTURE rule on partition-less windows), and the corpus
+    * total joins in as a 1-row broadcast. All thresholds are integer
+    * milli-ratios — no FP anywhere. */
+  val filterFunnel: Q = Q.checked(
+    "q_filter_funnel",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(string_split(text,' ')) AS n_tok,
+      |    len(replace(text,' ','')) AS n_chr,
+      |    len(list_distinct(string_split(text,' '))) AS n_dis,
+      |    list_contains(string_split(text,' '), 'the')
+      |      OR list_contains(string_split(text,' '), 'a') AS has_stop
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, max(cnt) AS max_tok FROM (
+      |    SELECT doc_id, count(*) AS cnt
+      |    FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+      |          FROM documents)
+      |    GROUP BY doc_id, tok) GROUP BY doc_id),
+      |f AS (
+      |  SELECT CASE
+      |      WHEN NOT (n_tok >= 25)                             THEN 1
+      |      WHEN NOT (n_chr*1000//n_tok BETWEEN 4000 AND 5200) THEN 2
+      |      WHEN NOT (n_dis*1000 >= 400*n_tok)                 THEN 3
+      |      WHEN NOT has_stop                                  THEN 4
+      |      WHEN NOT (max_tok*1000 <= 150*n_tok)               THEN 5
+      |      ELSE 99 END AS stage
+      |  FROM t JOIN m USING (doc_id)),
+      |c AS (SELECT stage, count(*) AS n_docs FROM f GROUP BY stage),
+      |tot AS (SELECT count(*) AS n FROM documents)
+      |SELECT CAST(stage AS INTEGER) AS stage,
+      |  CASE stage WHEN 1 THEN 'min_len' WHEN 2 THEN 'mean_word_len'
+      |       WHEN 3 THEN 'ttr' WHEN 4 THEN 'stopword'
+      |       WHEN 5 THEN 'repetition' ELSE 'kept' END AS rule,
+      |  n_docs,
+      |  CAST(n - coalesce(sum(n_docs) OVER (ORDER BY stage
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS n_in
+      |FROM c, tot ORDER BY stage""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val toks = split(col("text"), " ")
+    val t = docs.select(col("doc_id"),
+      size(toks).cast(LongType).as("n_tok"),
+      length(translate(col("text"), " ", "")).cast(LongType).as("n_chr"),
+      size(array_distinct(toks)).cast(LongType).as("n_dis"),
+      (array_contains(toks, "the") || array_contains(toks, "a"))
+        .as("has_stop"))
+    val m = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max(col("cnt")).as("max_tok"))
+    val staged = t.join(m, "doc_id")
+      .withColumn("stage",
+        when(expr("NOT (n_tok >= 25)"), 1)
+          .when(expr("NOT (n_chr * 1000 div n_tok BETWEEN 4000 AND 5200)"), 2)
+          .when(expr("NOT (n_dis * 1000 >= 400 * n_tok)"), 3)
+          .when(!col("has_stop"), 4)
+          .when(expr("NOT (max_tok * 1000 <= 150 * n_tok)"), 5)
+          .otherwise(99))
+    val c = staged.groupBy("stage").agg(count(lit(1)).as("n_docs"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    c.crossJoin(broadcast(tot)) // 1-row total: BroadcastNestedLoop, not cartesian
+      .withColumn("rule",
+        when(col("stage") === 1, "min_len")
+          .when(col("stage") === 2, "mean_word_len")
+          .when(col("stage") === 3, "ttr")
+          .when(col("stage") === 4, "stopword")
+          .when(col("stage") === 5, "repetition")
+          .otherwise("kept"))
+      .withColumn("n_in",
+        (col("n") - coalesce(
+          sum(col("n_docs")).over(Window.orderBy("stage")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .cast(LongType))
+      .select(col("stage"), col("rule"), col("n_docs"), col("n_in"))
+      .orderBy("stage")
+  }
+
   val all: Seq[Q] = Seq(sampleSplit, sampleQuota, vocabTopk, tfidf,
     ngramCounts, packBins, curate, quantileDisc, winCume, dedupComponents,
     profile, fuzzyMatch, mixWeights, clusterCanonical, qualityCut,
-    mixSchedule)
+    mixSchedule, filterFunnel)
 }

@@ -202,7 +202,19 @@ object ImplOps {
       .orderBy("media_id")
   }
 
+  /** SemDeDup cluster-then-dedup over the embeddings table: label-seeded
+    * 2-iteration Lloyd quantizer, within-cluster snapped-cosine dup rule
+    * at τ=0.35 (the q_dedup_embed threshold, so the two legs are
+    * comparable), per-cluster kept/dropped report. Impl-only: the
+    * k-means quantizer is iterative model state DuckDB SQL cannot
+    * express; SemDedupSpec pins verdicts against a sequential
+    * reference. */
+  val dedupSemantic: Q = Q.implOnly("q_dedup_semantic") { (s, dir) =>
+    graft.dedup.SemDedup.report(Tables.embeddings(s, dir), "vec_id",
+      "embedding", "label", tauMicro = 350000L, iters = 2)
+  }
+
   val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, simAnn, simIvf,
     multimodalFeatures, approxDistinct, topkGroupAgg, multimodalDecode,
-    throttleChain, multimodalVideo, simPq)
+    throttleChain, multimodalVideo, simPq, dedupSemantic)
 }

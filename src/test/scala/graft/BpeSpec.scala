@@ -58,6 +58,42 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     got.foreach { case (_, _, _, n) => assert(n > 0 && n <= totalToks) }
   }
 
+  /** Sequential greedy encode of one word under an ordered merge list —
+    * the reference for the vocab-collapsed distributed encode. */
+  private def referenceEncode(word: String,
+                              merges: Seq[(String, String)]): Int =
+    merges.foldLeft(word.split("").toVector) { case (syms, (l, r)) =>
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+        else acc :+ s
+      }
+    }.length
+
+  test("q_bpe_encode equals the sequential greedy encode, per source") {
+    val merges = BpeOps.trainMerges(spark, Sf, 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val docs = Tables.documents(spark, Sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs
+      .flatMap { case (src, text) =>
+        text.split(" ").filter(_.nonEmpty).map(w =>
+          (src, 1L, referenceEncode(w, merges).toLong, w.length.toLong))
+      }
+      .groupBy(_._1).view.mapValues { ws =>
+        val (n, tok, ch) =
+          (ws.map(_._2).sum, ws.map(_._3).sum, ws.map(_._4).sum)
+        (n, tok, ch, tok * 1000 / n, ch * 1000 / tok)
+      }.toMap
+    val got = BpeOps.bpeEncode.fn(spark, Sf).collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }.toMap
+    assert(got === want)
+    // merges must actually compress: fewer tokens than characters
+    got.values.foreach { case (_, tok, ch, _, _) => assert(tok < ch) }
+  }
+
   test("BPE trainer is layout-invariant (repartitioned corpus, same merges)") {
     val docs = Tables.documents(spark, Sf)
     val a = BpeOps.trainMergesFrom(spark, docs.repartition(17), 4)
