@@ -329,7 +329,37 @@ object AggOps {
       .orderBy("g_status", "g_prio", "status", "prio")
   }
 
+  /** FILTER-clause aggregates (SQL:2003) — several differently-filtered
+    * aggregates out of ONE scan and ONE shuffle, the idiom that replaces
+    * N self-joins in reporting queries. Spark's DataFrame spelling is
+    * `agg(f(when(cond, x)))`: `when` without otherwise yields NULL, and
+    * every aggregate skips NULLs, which is exactly FILTER semantics
+    * (incl. count(DISTINCT col) FILTER — nulls never form a group).
+    * Money goes through the DECIMAL(18,2) recipe before summing. */
+  val aggFilter: Q = Q.checked(
+    "q_agg_filter",
+    """SELECT l_returnflag,
+      |  count(*) AS n_lines,
+      |  count(*) FILTER (WHERE l_discount >= 0.05) AS n_highdisc,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE l_shipdate < TIMESTAMP '1998-01-01') AS DOUBLE)
+      |    AS rev_pre98,
+      |  count(DISTINCT l_suppkey) FILTER (WHERE l_quantity >= 45)
+      |    AS n_bulk_supp
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("l_discount") >= 0.05, 1)).as("n_highdisc"),
+        sum(when(expr("l_shipdate < TIMESTAMP '1998-01-01'"),
+          col("l_extendedprice").cast(D))).cast(DoubleType).as("rev_pre98"),
+        countDistinct(when(col("l_quantity") >= 45, col("l_suppkey")))
+          .as("n_bulk_supp"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(aggGroup, aggDistinct, aggStats, aggRollup, aggCube,
     aggGroupingSets, pivotCase, aggStrAgg, aggCorr, aggBool, collectTop,
-    groupingMarker)
+    groupingMarker, aggFilter)
 }

@@ -116,5 +116,39 @@ object SampleOps {
       .orderBy("c_mktsegment")
   }
 
-  val all: Seq[Q] = Seq(sampleWeighted, quantileCont)
+  /** Deterministic EPOCH SHUFFLE sharding — "globally shuffle 100 TB
+    * without a global sort": order key = md5 of (epoch salt, doc_id), a
+    * uniform pseudo-random permutation that changes per epoch (vary the
+    * salt) and is identical across runs and engines; shard = the key's
+    * first hex nibble. Writers `partitionBy(shard)` and sort WITHIN each
+    * shard by the remaining key — a map-only pass plus one local sort,
+    * no global exchange — and readers stream shards in any order for a
+    * uniformly shuffled epoch. The report proves the two properties the
+    * layout depends on: shard sizes are balanced (count per shard) and
+    * shard key ranges partition the keyspace (min/max per shard are
+    * disjoint across shards by construction of the nibble split). */
+  val shuffleShards: Q = Q.checked(
+    "q_shuffle_shards",
+    """WITH k AS (
+      |  SELECT md5(concat('epoch1:', CAST(doc_id AS VARCHAR))) AS okey,
+      |    len(string_split(text,' ')) AS n_tok
+      |  FROM documents)
+      |SELECT substr(okey, 1, 1) AS shard, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+      |  min(okey) AS key_lo, max(okey) AS key_hi
+      |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val k = Tables.documents(s, dir)
+      .select(md5(concat(lit("epoch1:"), col("doc_id").cast(StringType)))
+          .as("okey"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    k.groupBy(substring(col("okey"), 1, 1).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        min(col("okey")).as("key_lo"),
+        max(col("okey")).as("key_hi"))
+      .orderBy("shard")
+  }
+
+  val all: Seq[Q] = Seq(sampleWeighted, quantileCont, shuffleShards)
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table-maintenance operations. The one every streaming sink needs:
@@ -171,4 +171,46 @@ object Maintenance {
     fs.delete(bak, true)
     (files.size, dataFiles(spark, dir).size)
   }
+
+  /** Persist `df` as a parquet table bucketed AND sorted by `key` — the
+    * co-location contract: two tables written this way with the SAME
+    * bucket count equi-join on `key` with ZERO Exchange above either
+    * scan (Spark's bucketing guarantees hash-compatible layouts, so the
+    * join reads both sides in place). At 100 TB this turns the fact⋈fact
+    * join — the one shuffle AQE cannot make disappear — into a local
+    * merge per bucket pair; re-bucketing cost is paid ONCE at write time
+    * and amortized over every subsequent join. Same generalized recipe
+    * as [[graft.streaming.CdcBucketed]]'s state tables (which add the
+    * stage/swap crash protocol); MaintenanceSpec asserts the
+    * zero-Exchange plan and row parity with the plain join.
+    *
+    * Bucket count is capacity math, exactly as for CDC state: one bucket
+    * ≈ one 100 MB–1 GB object at the target scale. Also drops any
+    * orphaned files at the table location first — the in-memory catalog
+    * forgets a crashed write, the filesystem does not. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new Path(spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Persist `df` hive-partitioned by `partCol` — directory-level layout
+    * for LOW-cardinality routing columns (source, date, lang): a filter
+    * on `partCol` prunes whole directories at PLANNING time
+    * (PartitionFilters on the scan — zero I/O for pruned partitions,
+    * before parquet footers are even opened). Cardinality discipline:
+    * every partition value costs a directory and at least one file per
+    * writing task — partition by the column queries FILTER on, bucket
+    * ([[writeBucketed]]) or Z-order ([[compactZOrdered]]) by the columns
+    * they JOIN or range-scan on. MaintenanceSpec proves the pruning via
+    * the scan's numFiles metric, not just the plan string. */
+  def writePartitioned(df: DataFrame, dir: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(dir)
 }

@@ -108,4 +108,60 @@ class MaintenanceSpec extends AnyFunSuite with SparkFixture {
     assert(touched < boxes.length,
       s"po=7 touched $touched of ${boxes.length} z-clustered files")
   }
+
+  test("bucketed co-located join: zero Exchange, rows equal the plain join") {
+    val o = Tables.orders(spark, Sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    Maintenance.writeBucketed(o, "bkt_orders_spec", "o_orderkey", 4)
+    Maintenance.writeBucketed(l, "bkt_lineitem_spec", "o_orderkey", 4)
+    // disable broadcast so the test proves the SHUFFLE is gone, not hidden
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bkt_orders_spec")
+        .join(spark.table("bkt_lineitem_spec"), "o_orderkey")
+      val n = j.count() // finalize AQE
+      val plan = j.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+        s"bucketed join still shuffles:\n$plan")
+      assert("Bucketed: true".r.findAllIn(plan).size === 2,
+        s"expected both scans bucket-aware:\n$plan")
+      val plain = o.join(l, "o_orderkey")
+      assert(n === plain.count())
+      assert(j.exceptAll(plain).isEmpty && plain.exceptAll(j).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+    }
+  }
+
+  test("hive-partitioned layout prunes directories: numFiles metric, not just the plan") {
+    val dir = Files.createTempDirectory("part_prune").toString + "/events"
+    Maintenance.writePartitioned(
+      Tables.events(spark, Sf).select("event_id", "user_id", "event_type"),
+      dir, "event_type")
+    val total = spark.read.parquet(dir)
+    val totalFiles = total.select(input_file_name()).distinct().count()
+    assert(totalFiles >= 5, s"expected >=1 file per event_type, got $totalFiles")
+    // AQE off so the scan node (and its metrics) are directly reachable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = spark.read.parquet(dir).filter(col("event_type") === "click")
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec in plan"))
+      assert(scan.partitionFilters.nonEmpty,
+        "partition filter did not reach the scan (would read every directory)")
+      val n = q.count()
+      assert(n === Tables.events(spark, Sf)
+        .filter(col("event_type") === "click").count())
+      val filesRead = scan.metrics("numFiles").value
+      assert(filesRead < totalFiles,
+        s"pruning read $filesRead of $totalFiles files — no directory was skipped")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
