@@ -80,5 +80,44 @@ object SetOps {
       .orderBy("o_custkey")
   }
 
-  val all: Seq[Q] = Seq(unionAll, unionDistinct, intersect, except)
+  /** Multiset difference (EXCEPT ALL): a customer with three 1995 orders
+    * and one 1996 order survives TWICE — bag semantics the distinct
+    * variant destroys (the difference that matters when rows are events,
+    * not members). Output grouped with multiplicities so the bag
+    * structure is visible and the hash total-ordered. Spark `exceptAll`
+    * plans the same hash-agg + generate shape both engines use — no
+    * join, one shuffle on the value. */
+  val exceptAll: Q = Q.checked(
+    "q_except_all",
+    """SELECT o_custkey, count(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    custkeysOfYear(s, dir, 1995)
+      .exceptAll(custkeysOfYear(s, dir, 1996))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+  }
+
+  /** Multiset intersection (INTERSECT ALL): min(multiplicity) per side —
+    * "how many order-events repeat across both years", not just which
+    * customers do. */
+  val intersectAll: Q = Q.checked(
+    "q_intersect_all",
+    """SELECT o_custkey, count(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    custkeysOfYear(s, dir, 1995)
+      .intersectAll(custkeysOfYear(s, dir, 1996))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+  }
+
+  val all: Seq[Q] = Seq(unionAll, unionDistinct, intersect, except,
+    exceptAll, intersectAll)
 }

@@ -278,6 +278,53 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }, s"partition-less window over a data-scaled frame:\n${qe.sparkPlan}")
   }
 
+  test("q_shuffle_shards: one hash exchange, no global sort of the corpus") {
+    val df = ops.SampleOps.shuffleShards.fn(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx === 1, s"epoch sharding must cost ONE shuffle, got $hashEx:\n$plan")
+    // allowed sorts: the 16-row presentation ORDER BY (on shard) and the
+    // SortAggregate's LOCAL per-partition sorts on the 1-char nibble key
+    // (string min/max buffers are not hash-agg-able; no exchange under
+    // them, so the corpus is never globally sorted)
+    val sorts = plan.linesIterator.filter(_.contains("Sort ")).toSeq
+    assert(sorts.forall(l =>
+        l.contains("shard") || l.contains("_groupingexpression")),
+      s"unexpected sort of a non-shard frame (global corpus sort?):\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("Sort [okey")),
+      s"corpus sorted by the full order key — that IS the global sort:\n$plan")
+  }
+
+  test("q_filter_funnel: the only partition-less window runs on the stage frame") {
+    val qe = ops.CurateOps.filterFunnel.fn(spark, Sf).queryExecution
+    val wins = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "missing funnel cumulative window")
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val cols = w.child.output.map(_.name).toSet
+      assert(cols.contains("n_docs") && !cols.contains("doc_id"),
+        s"partition-less window over a data-scaled frame:\n${qe.sparkPlan}")
+    }
+  }
+
+  test("q_agg_filter: all filtered aggregates come from ONE lineitem scan") {
+    val qe = ops.AggOps.aggFilter.fn(spark, Sf).queryExecution
+    val scans = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size === 1,
+      s"FILTER aggregates re-scanned the table (${scans.size} scans):\n${qe.sparkPlan}")
+  }
+
+  test("multiset set-ops plan aggregates, never joins") {
+    for (q <- Seq(ops.SetOps.exceptAll, ops.SetOps.intersectAll)) {
+      val plan = q.fn(spark, Sf).queryExecution.sparkPlan.toString
+      assert(!plan.contains("Join"), s"${q.name} planned a join:\n$plan")
+    }
+  }
+
   test("registry names are unique and entry returns rows") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
     assert(SparkEntry.entry(spark).count() > 0)
