@@ -77,4 +77,67 @@ object SemDedup {
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
         sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_kept"))
       .orderBy("list_id")
+
+  /** INCREMENTAL semantic dedup — the daily-ingest shape (the embedding
+    * twin of the q_dedup_incr text path): classify ONLY the incoming
+    * `delta` against the standing `corpus`, under the corpus-trained
+    * (frozen) quantizer. The ingest rule: a delta vector is a dup iff
+    * some same-cluster CORPUS vector (corpus members always win — they
+    * are already accepted) or some LOWER-id same-cluster delta vector
+    * lies within the snapped-cosine threshold.
+    *
+    * Cost is O(Δ · cluster), never corpus² and never corpus-driven: the
+    * pair join is delta-driven on the cluster id, the corpus side
+    * arrives pre-assigned from its catalog/parquet home (here re-derived
+    * for a self-contained call), and re-training is a deliberate
+    * OFFLINE event — a frozen quantizer is what makes yesterday's
+    * verdicts stable under today's ingest. SemDedupSpec pins the
+    * verdicts against a sequential reference of exactly this rule and
+    * proves the closure law: no kept delta vector is within τ of any
+    * corpus cluster-mate. */
+  def incrementalVerdicts(corpus: DataFrame, delta: DataFrame, idCol: String,
+                          embCol: String, seedCol: String, tauMicro: Long,
+                          iters: Int = 2): DataFrame = {
+    import graft.functions.VectorExprs.{dotVec, norm2}
+    val cents = Ivf.centroidsIter(corpus, embCol, seedCol, iters)
+    val ca = Ivf.assign(corpus, cents, idCol, embCol)
+      .withColumn("nrm", sqrt(norm2(col(embCol))))
+    val da = Ivf.assign(delta, cents, idCol, embCol)
+      .withColumn("nrm", sqrt(norm2(col(embCol))))
+    // candidate "a" side: every corpus member, plus delta members (the id
+    // inequality below restricts those to lower ids)
+    val aSide = ca.select(col("list_id"), col(idCol).as("id_a"),
+        col(embCol).as("emb_a"), col("nrm").as("nrm_a"),
+        lit(true).as("is_corpus_a"))
+      .unionByName(da.select(col("list_id"), col(idCol).as("id_a"),
+        col(embCol).as("emb_a"), col("nrm").as("nrm_a"),
+        lit(false).as("is_corpus_a")))
+    val bSide = da.select(col("list_id").as("list_b"), col(idCol).as("id_b"),
+      col(embCol).as("emb_b"), col("nrm").as("nrm_b"))
+    val dupIds = aSide.join(bSide,
+        col("list_id") === col("list_b") &&
+          (col("is_corpus_a") || col("id_a") < col("id_b")))
+      .withColumn("cos6",
+        floor(dotVec(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b")) * 1e6 + 0.5).cast(LongType))
+      .filter(col("cos6") >= tauMicro)
+      .select(col("id_b").as("dup_id"))
+      .distinct()
+    da.join(dupIds, col(idCol) === col("dup_id"), "left")
+      .withColumn("is_dup", col("dup_id").isNotNull)
+      .drop("dup_id")
+  }
+
+  /** Per-cluster report over [[incrementalVerdicts]]:
+    * (list_id, n_delta, n_dups, n_kept), ordered by list_id. */
+  def incrementalReport(corpus: DataFrame, delta: DataFrame, idCol: String,
+                        embCol: String, seedCol: String, tauMicro: Long,
+                        iters: Int = 2): DataFrame =
+    incrementalVerdicts(corpus, delta, idCol, embCol, seedCol, tauMicro,
+        iters)
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_delta"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+        sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_kept"))
+      .orderBy("list_id")
 }

@@ -214,7 +214,19 @@ object ImplOps {
       "embedding", "label", tauMicro = 350000L, iters = 2)
   }
 
+  /** Incremental SemDeDup — the daily-ingest twin of q_dedup_semantic
+    * (and the embedding twin of q_dedup_incr): the deterministic mod-5
+    * "incoming batch" classified against the standing corpus under the
+    * corpus-trained frozen quantizer, O(Δ·cluster) per batch. Corpus
+    * members always win; within the batch, lowest id wins. */
+  val dedupSemanticIncr: Q = Q.implOnly("q_dedup_semantic_incr") { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    graft.dedup.SemDedup.incrementalReport(
+      e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", "label", tauMicro = 350000L, iters = 2)
+  }
+
   val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, simAnn, simIvf,
     multimodalFeatures, approxDistinct, topkGroupAgg, multimodalDecode,
-    throttleChain, multimodalVideo, simPq, dedupSemantic)
+    throttleChain, multimodalVideo, simPq, dedupSemantic, dedupSemanticIncr)
 }

@@ -164,4 +164,33 @@ class MaintenanceSpec extends AnyFunSuite with SparkFixture {
         s"pruning read $filesRead of $totalFiles files — no directory was skipped")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // static pruning (previous test) needs the literal in the query;
+    // DPP covers the production join shape — fact partitioned on the
+    // join key, selective filter only on the DIM side — by planting a
+    // runtime subquery filter into the fact scan's PartitionFilters.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dpp").toString + "/lineitem"
+    Maintenance.writePartitioned(
+      Tables.lineitem(spark, Sf)
+        .select("l_orderkey", "l_quantity", "l_returnflag"),
+      dir, "l_returnflag")
+    val fact = spark.read.parquet(dir)
+    // the dim must be a real source (not a LocalRelation — the optimizer
+    // would fold the filter into it and DPP has no Filter node to see)
+    val dimDir = Files.createTempDirectory("dpp_dim").toString + "/flags"
+    Seq(("A", "accept"), ("N", "neutral"), ("R", "reject"))
+      .toDF("flag", "meaning").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val j = fact.join(dim, fact("l_returnflag") === dim("flag"))
+      .filter(col("meaning") === "accept") // selective predicate on DIM only
+      .agg(count(lit(1)).as("n"))
+    val n = j.collect()(0).getLong(0)
+    assert(n === Tables.lineitem(spark, Sf)
+      .filter(col("l_returnflag") === "A").count())
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan has no runtime partition filter (DPP did not fire):\n$plan")
+  }
 }

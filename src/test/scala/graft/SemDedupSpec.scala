@@ -93,4 +93,53 @@ class SemDedupSpec extends AnyFunSuite with SparkFixture {
     val n = rep.agg(sum("n_vecs")).collect()(0).getLong(0)
     assert(n === e.count())
   }
+
+  test("incremental verdicts equal the sequential ingest rule; kept delta is closed vs corpus") {
+    val corpus = e.filter(col("vec_id") % 5 =!= 0)
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    val got = SemDedup.incrementalVerdicts(corpus, delta, "vec_id",
+        "embedding", "label", Tau, iters = 2)
+      .select("vec_id", "list_id", "is_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length === delta.count())
+
+    // sequential reference under the SAME frozen corpus-trained quantizer
+    val cents = Ivf.centroidsIter(corpus, "embedding", "label", iters = 2)
+    def assigned(df: org.apache.spark.sql.DataFrame) =
+      Ivf.assign(df, cents, "vec_id", "embedding")
+        .select("vec_id", "list_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val ca = assigned(corpus)
+    val da = assigned(delta)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos6(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        * 1e6 + 0.5).toLong
+    val want = da.map { case (id, lid, emb) =>
+      val vsCorpus = ca.exists { case (_, clid, cemb) =>
+        clid == lid && cos6(cemb, emb) >= Tau }
+      val vsDelta = da.exists { case (oid, olid, oemb) =>
+        olid == lid && oid < id && cos6(oemb, emb) >= Tau }
+      id -> (vsCorpus || vsDelta)
+    }.toMap
+    got.foreach { case (id, _, isDup) =>
+      assert(isDup === want(id), s"incremental verdict mismatch for $id")
+    }
+    assert(want.values.exists(identity), "fixture degenerate: no delta dup")
+
+    // closure law: no KEPT delta vector lies within tau of a corpus
+    // cluster-mate (kept means genuinely novel vs the standing corpus)
+    val daById = da.map(t => t._1 -> t).toMap
+    got.filter(!_._3).foreach { case (id, lid, _) =>
+      val (_, _, emb) = daById(id)
+      ca.foreach { case (cid, clid, cemb) =>
+        assert(!(clid == lid && cos6(cemb, emb) >= Tau),
+          s"kept delta $id is within tau of corpus $cid")
+      }
+    }
+  }
 }
