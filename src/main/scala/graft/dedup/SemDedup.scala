@@ -1,9 +1,9 @@
 package graft.dedup
 
 import graft.sim.Ivf
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.LongType
 
 /** Semantic deduplication — cluster-then-dedup over an embedding column
   * (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): quantize the corpus
@@ -23,12 +23,47 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * caller controls: k grows with the corpus (clusters stay
   * constant-sized) and [[graft.sim.Ivf.splitHotLists]] splits any list
   * the seeding left hot, so no single task ever sees a super-sized
-  * cluster. Cosines are snapped to integer micro-units before the
-  * threshold compare, so the dup decision is an integer compare —
-  * deterministic across engines, layouts and fold-order-preserving
-  * re-runs.
+  * cluster. The assigned+normed frame is lazily localCheckpoint'ed
+  * (the GraphOps precedent): it feeds three consumers (both join sides
+  * and the final verdict join), and without truncation each would
+  * re-scan the corpus and re-run assignment. Cosines are snapped to
+  * integer micro-units before the threshold compare, so the dup
+  * decision is an integer compare — deterministic across engines,
+  * layouts and fold-order-preserving re-runs.
   */
 object SemDedup {
+
+  /** `list_id` (from Ivf.assign) and `nrm` are working columns; inputs
+    * carrying either would be silently clobbered — refuse instead. */
+  private def requireCleanColumns(df: DataFrame, who: String): Unit =
+    Seq("list_id", "nrm").foreach(c =>
+      require(!df.columns.contains(c),
+        s"$who: input already has a '$c' column — rename it first " +
+          "(it is a reserved working column here)"))
+
+  /** The one snapped-cosine rule both dedup paths share: cosine of the
+    * (emb_a, emb_b) pair in integer micro-units, floor(x·1e6 + 0.5). */
+  private def cos6: Column =
+    floor(graft.functions.VectorExprs.dotVec(col("emb_a"), col("emb_b")) /
+      (col("nrm_a") * col("nrm_b")) * 1e6 + 0.5).cast(LongType)
+
+  /** Assign to the quantizer + attach the L2 norm, lazily checkpointed
+    * so the three downstream consumers share one materialization. */
+  private def assignNormed(df: DataFrame, cents: DataFrame, idCol: String,
+                           embCol: String): DataFrame =
+    Ivf.assign(df, cents, idCol, embCol)
+      .withColumn("nrm", sqrt(graft.functions.VectorExprs.norm2(col(embCol))))
+      .localCheckpoint(false)
+
+  private def aProjection(assigned: DataFrame, idCol: String,
+                          embCol: String): DataFrame =
+    assigned.select(col("list_id"), col(idCol).as("id_a"),
+      col(embCol).as("emb_a"), col("nrm").as("nrm_a"))
+
+  private def bProjection(assigned: DataFrame, idCol: String,
+                          embCol: String): DataFrame =
+    assigned.select(col("list_id").as("list_b"), col(idCol).as("id_b"),
+      col(embCol).as("emb_b"), col("nrm").as("nrm_b"))
 
   /** Per-vector dup verdicts: input columns + (list_id, is_dup).
     * `tauMicro` is the cosine threshold in 1e-6 units (e.g. 950000 =
@@ -40,30 +75,24 @@ object SemDedup {
   def verdicts(df: DataFrame, idCol: String, embCol: String,
                seedCol: String, tauMicro: Long, iters: Int = 2,
                maxListSize: Int = 0): DataFrame = {
-    import graft.functions.VectorExprs.{dotVec, norm2}
+    requireCleanColumns(df, "SemDedup.verdicts")
     val cents0 = Ivf.centroidsIter(df, embCol, seedCol, iters)
     val cents =
       if (maxListSize > 0) Ivf.splitHotLists(df, cents0, embCol, maxListSize)
       else cents0
-    val assigned = Ivf.assign(df, cents, idCol, embCol)
-      .withColumn("nrm", sqrt(norm2(col(embCol))))
-    val a = assigned.select(col("list_id"), col(idCol).as("id_a"),
-      col(embCol).as("emb_a"), col("nrm").as("nrm_a"))
-    val b = assigned.select(col("list_id").as("list_b"), col(idCol).as("id_b"),
-      col(embCol).as("emb_b"), col("nrm").as("nrm_b"))
+    val assigned = assignNormed(df, cents, idCol, embCol)
     // equi-join on the cluster id; the id inequality only prunes pairs.
     // Snap BEFORE the threshold so the verdict is an integer compare.
-    val dupIds = a.join(b,
+    val dupIds = aProjection(assigned, idCol, embCol)
+      .join(bProjection(assigned, idCol, embCol),
         col("list_id") === col("list_b") && col("id_a") < col("id_b"))
-      .withColumn("cos6",
-        floor(dotVec(col("emb_a"), col("emb_b")) /
-          (col("nrm_a") * col("nrm_b")) * 1e6 + 0.5).cast(LongType))
+      .withColumn("cos6", cos6)
       .filter(col("cos6") >= tauMicro)
       .select(col("id_b").as("dup_id"))
       .distinct()
     assigned.join(dupIds, col(idCol) === col("dup_id"), "left")
       .withColumn("is_dup", col("dup_id").isNotNull)
-      .drop("dup_id")
+      .drop("dup_id", "nrm")
   }
 
   /** Per-cluster dedup report: (list_id, n_vecs, n_dups, n_kept),
@@ -94,38 +123,31 @@ object SemDedup {
     * verdicts stable under today's ingest. SemDedupSpec pins the
     * verdicts against a sequential reference of exactly this rule and
     * proves the closure law: no kept delta vector is within τ of any
-    * corpus cluster-mate. */
+    * corpus cluster-mate. Output: delta columns + (list_id, is_dup). */
   def incrementalVerdicts(corpus: DataFrame, delta: DataFrame, idCol: String,
                           embCol: String, seedCol: String, tauMicro: Long,
                           iters: Int = 2): DataFrame = {
-    import graft.functions.VectorExprs.{dotVec, norm2}
+    requireCleanColumns(corpus, "SemDedup.incrementalVerdicts")
+    requireCleanColumns(delta, "SemDedup.incrementalVerdicts")
     val cents = Ivf.centroidsIter(corpus, embCol, seedCol, iters)
-    val ca = Ivf.assign(corpus, cents, idCol, embCol)
-      .withColumn("nrm", sqrt(norm2(col(embCol))))
-    val da = Ivf.assign(delta, cents, idCol, embCol)
-      .withColumn("nrm", sqrt(norm2(col(embCol))))
+    val ca = assignNormed(corpus, cents, idCol, embCol)
+    val da = assignNormed(delta, cents, idCol, embCol)
     // candidate "a" side: every corpus member, plus delta members (the id
     // inequality below restricts those to lower ids)
-    val aSide = ca.select(col("list_id"), col(idCol).as("id_a"),
-        col(embCol).as("emb_a"), col("nrm").as("nrm_a"),
-        lit(true).as("is_corpus_a"))
-      .unionByName(da.select(col("list_id"), col(idCol).as("id_a"),
-        col(embCol).as("emb_a"), col("nrm").as("nrm_a"),
-        lit(false).as("is_corpus_a")))
-    val bSide = da.select(col("list_id").as("list_b"), col(idCol).as("id_b"),
-      col(embCol).as("emb_b"), col("nrm").as("nrm_b"))
-    val dupIds = aSide.join(bSide,
+    val aSide = aProjection(ca, idCol, embCol)
+      .withColumn("is_corpus_a", lit(true))
+      .unionByName(aProjection(da, idCol, embCol)
+        .withColumn("is_corpus_a", lit(false)))
+    val dupIds = aSide.join(bProjection(da, idCol, embCol),
         col("list_id") === col("list_b") &&
           (col("is_corpus_a") || col("id_a") < col("id_b")))
-      .withColumn("cos6",
-        floor(dotVec(col("emb_a"), col("emb_b")) /
-          (col("nrm_a") * col("nrm_b")) * 1e6 + 0.5).cast(LongType))
+      .withColumn("cos6", cos6)
       .filter(col("cos6") >= tauMicro)
       .select(col("id_b").as("dup_id"))
       .distinct()
     da.join(dupIds, col(idCol) === col("dup_id"), "left")
       .withColumn("is_dup", col("dup_id").isNotNull)
-      .drop("dup_id")
+      .drop("dup_id", "nrm")
   }
 
   /** Per-cluster report over [[incrementalVerdicts]]:

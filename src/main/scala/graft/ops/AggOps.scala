@@ -352,8 +352,8 @@ object AggOps {
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_lines"),
         count(when(col("l_discount") >= 0.05, 1)).as("n_highdisc"),
-        sum(when(expr("l_shipdate < TIMESTAMP '1998-01-01'"),
-          col("l_extendedprice").cast(D))).cast(DoubleType).as("rev_pre98"),
+        dsum(when(expr("l_shipdate < TIMESTAMP '1998-01-01'"),
+          col("l_extendedprice"))).as("rev_pre98"),
         countDistinct(when(col("l_quantity") >= 45, col("l_suppkey")))
           .as("n_bulk_supp"))
       .orderBy("l_returnflag")

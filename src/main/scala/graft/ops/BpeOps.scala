@@ -33,6 +33,12 @@ import org.apache.spark.sql.types._
   */
 object BpeOps {
 
+  /** Word → its character symbol array. Train and encode MUST split
+    * identically (encode parity with the trained merges breaks
+    * otherwise), so this is the single definition both use. */
+  private def charSyms(word: Column): Column =
+    split(word, "").cast(ArrayType(StringType))
+
   /** One greedy left-to-right merge pass of pair (l, r) over a symbol
     * array: fold each symbol in, replacing a trailing `l` with `l+r`
     * when `r` arrives. */
@@ -65,8 +71,7 @@ object BpeOps {
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("syms",
-        transform(split(col("word"), ""), c => c).cast(ArrayType(StringType)))
+      .withColumn("syms", charSyms(col("word")))
       .select("syms", "freq")
       .persist()
     base.count() // materialize before the loop
@@ -130,10 +135,8 @@ object BpeOps {
     val words = docs
       .select(col("source"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
-    val encoded = merges.foldLeft(
-      transform(split(col("word"), ""), c => c)
-        .cast(ArrayType(StringType))) { case (acc, (l, r)) =>
-      mergePass(acc, l, r)
+    val encoded = merges.foldLeft(charSyms(col("word"))) {
+      case (acc, (l, r)) => mergePass(acc, l, r)
     }
     val vocabTok = words.select("word").distinct()
       .select(col("word"), length(col("word")).cast(LongType).as("w_chars"),

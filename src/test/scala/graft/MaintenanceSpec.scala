@@ -148,6 +148,7 @@ class MaintenanceSpec extends AnyFunSuite with SparkFixture {
     val totalFiles = total.select(input_file_name()).distinct().count()
     assert(totalFiles >= 5, s"expected >=1 file per event_type, got $totalFiles")
     // AQE off so the scan node (and its metrics) are directly reachable
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val q = spark.read.parquet(dir).filter(col("event_type") === "click")
@@ -162,7 +163,7 @@ class MaintenanceSpec extends AnyFunSuite with SparkFixture {
       val filesRead = scan.metrics("numFiles").value
       assert(filesRead < totalFiles,
         s"pruning read $filesRead of $totalFiles files — no directory was skipped")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
