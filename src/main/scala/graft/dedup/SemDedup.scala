@@ -130,8 +130,18 @@ object SemDedup {
     requireCleanColumns(corpus, "SemDedup.incrementalVerdicts")
     requireCleanColumns(delta, "SemDedup.incrementalVerdicts")
     val cents = Ivf.centroidsIter(corpus, embCol, seedCol, iters)
-    val ca = assignNormed(corpus, cents, idCol, embCol)
-    val da = assignNormed(delta, cents, idCol, embCol)
+    ingestVerdicts(assignNormed(corpus, cents, idCol, embCol),
+      assignNormed(delta, cents, idCol, embCol), idCol, embCol, tauMicro)
+  }
+
+  /** The ingest rule over PRE-ASSIGNED frames (both carrying list_id +
+    * nrm): the seam [[graft.streaming.SemDedupStream]] uses so its
+    * accepted-vector store — persisted with assignment and norm — never
+    * re-runs the quantizer on the state side. Output: `da`'s columns
+    * with is_dup, nrm dropped. */
+  private[graft] def ingestVerdicts(ca: DataFrame, da: DataFrame,
+                                    idCol: String, embCol: String,
+                                    tauMicro: Long): DataFrame = {
     // candidate "a" side: every corpus member, plus delta members (the id
     // inequality below restricts those to lower ids)
     val aSide = aProjection(ca, idCol, embCol)
@@ -148,6 +158,16 @@ object SemDedup {
     da.join(dupIds, col(idCol) === col("dup_id"), "left")
       .withColumn("is_dup", col("dup_id").isNotNull)
       .drop("dup_id", "nrm")
+  }
+
+  /** Assignment + norm as a PUBLIC projection for state persistence:
+    * (input columns + list_id + nrm). What [[ingestVerdicts]] expects on
+    * both sides; a stream's accepted store writes exactly this. */
+  def assignForStore(df: DataFrame, cents: DataFrame, idCol: String,
+                     embCol: String): DataFrame = {
+    requireCleanColumns(df, "SemDedup.assignForStore")
+    Ivf.assign(df, cents, idCol, embCol)
+      .withColumn("nrm", sqrt(graft.functions.VectorExprs.norm2(col(embCol))))
   }
 
   /** Per-cluster report over [[incrementalVerdicts]]:

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.dedup.SemDedup
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Streaming semantic dedup — [[graft.dedup.SemDedup]]'s ingest rule run
+  * continuously over an arriving embedding stream (the vector twin of
+  * [[CurateStream]]'s simhash gate): per micro-batch, classify the batch
+  * against the accepted-vector store under a FROZEN quantizer; accepted
+  * members always win, in-batch ties go to the lowest id; append the
+  * kept vectors (with their assignment and norm) to the store.
+  *
+  * State design: the store persists (id, embedding, list_id, nrm,
+  * batch_id) — assignment and norm computed ONCE at accept time, so the
+  * state side of every later batch's verdict join arrives pre-assigned
+  * ([[SemDedup.ingestVerdicts]]'s contract) and the quantizer runs only
+  * over the new batch. The store is cluster-joinable as-is; at 100 TB it
+  * would hold PQ codes ([[graft.sim.Pq]]) with exact-refine on the
+  * shortlist instead of raw floats, and be bucketed by list_id (the
+  * [[CdcBucketed]] treatment) so the state side never re-shuffles — the
+  * layout already supports both without changing this contract.
+  *
+  * The quantizer is trained OFFLINE (e.g. `Ivf.centroidsIter` over a
+  * reference corpus) and passed in frozen — re-training mid-stream would
+  * silently re-cluster history and destabilize every verdict after it.
+  * Idempotence under foreachBatch's at-least-once replay: dynamic
+  * partition overwrite on batch_id + `batch_id < current` on the state
+  * read, the [[CurateStream]]/[[CdcStream]] recipe.
+  */
+object SemDedupStream {
+
+  final case class Config(idCol: String = "vec_id",
+                          embCol: String = "embedding",
+                          tauMicro: Long = 350000L)
+
+  def storePath(outDir: String): String = s"$outDir/accepted_vecs"
+
+  private def storeSchema(cfg: Config): StructType = StructType(Seq(
+    StructField(cfg.idCol, LongType),
+    StructField(cfg.embCol, ArrayType(FloatType)),
+    StructField("list_id", LongType),
+    StructField("nrm", DoubleType),
+    StructField("batch_id", LongType)))
+
+  private def readStore(spark: SparkSession, dir: String,
+                        cfg: Config): DataFrame = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(storeSchema(cfg)).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      storeSchema(cfg))
+  }
+
+  /** One micro-batch: returns the number of newly accepted vectors.
+    * Callable directly for batch backfills — stream and batch share this
+    * code. `cents` is the frozen quantizer (list_id, centroid). */
+  def mergeBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                 outDir: String, cents: DataFrame,
+                 cfg: Config = Config()): Long = {
+    val da = SemDedup.assignForStore(batch, cents, cfg.idCol, cfg.embCol)
+      .localCheckpoint(true) // feeds both verdict-join sides + the write
+    val seen = readStore(spark, storePath(outDir), cfg)
+      .filter(col("batch_id") < batchId)
+      .drop("batch_id")
+    val keptIds = SemDedup
+      .ingestVerdicts(seen, da, cfg.idCol, cfg.embCol, cfg.tauMicro)
+      .filter(!col("is_dup"))
+      .select(cfg.idCol)
+    val kept = da.join(keptIds, Seq(cfg.idCol), "left_semi")
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint(true) // one evaluation feeds the write + count
+    kept.write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(storePath(outDir))
+    kept.count()
+  }
+
+  /** Wire a streaming embedding feed into the semantic-dedup merge. The
+    * tiny quantizer frame is cached once at stream start (its centroids
+    * are collected per batch by the assignment). */
+  def run(vecs: DataFrame, outDir: String, checkpointDir: String,
+          cents: DataFrame, cfg: Config = Config()): StreamingQuery = {
+    val frozen = cents.cache()
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch.sparkSession, batch, id, outDir, frozen, cfg); ()
+      }
+      .start()
+  }
+}
