@@ -144,6 +144,42 @@ object ImplOps {
       .orderBy("media_id")
   }
 
+  /** AUDIO leg of the real-codec round trip (PNG: q_multimodal_decode,
+    * MP4: q_multimodal_video): embeddings quantized to 16-bit PCM
+    * waveforms, ENCODED as actual RIFF/WAVE files, decoded back through
+    * [[graft.multimodal.WavPcmDecoder]]'s per-partition pipeline into
+    * 8-bin RMS energy envelopes — the silence/clipping/loudness triage
+    * features a curation pass filters on. Deterministic end to end
+    * (integer quantization, bit-exact codec, sample-order bin sums);
+    * energy snapped to integer micro-units for a byte-stable rows-only
+    * dump. MultimodalSpec carries the bit-level codec verification. */
+  val multimodalAudio: Q = Q.implOnly("q_multimodal_audio") { (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.{WavPcm, WavPcmDecoder}
+    val records = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")).limit(200)
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        // clamp to [-1, 1] then encode as 16-bit PCM at 8 kHz mono
+        val samples = v.map(f => math.max(-1.0f, math.min(1.0f, f)))
+        (id, WavPcm.encodePcm16(samples, sampleRateHz = 8000, channels = 1))
+      }
+      .toDF("media_id", "payload")
+      .select(col("media_id"),
+        struct(lit("audio").as("modality"), lit(0).as("width"),
+          lit(0).as("height"), lit(8000).as("sampleRateHz"),
+          lit(0).as("nFrames")).as("meta"),
+        col("payload"))
+    Multimodal.extractFeatures(records, WavPcmDecoder)(s)
+      .toDF()
+      .select(col("media_id"), col("n_bytes"),
+        floor(element_at(col("features"), 1) * 1e6).cast(LongType)
+          .as("rms_bin1_micro"),
+        floor(element_at(col("features"), 8) * 1e6).cast(LongType)
+          .as("rms_bin8_micro"))
+      .orderBy("media_id")
+  }
+
   /** Kept-chain throttle: drop an event within 6 h of the last KEPT
     * event for its (user, type) — true per-key rate limiting. Unlike
     * q_event_dedup_window's lag filter (≡ keep-first-of-session), the
@@ -228,5 +264,6 @@ object ImplOps {
 
   val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, simAnn, simIvf,
     multimodalFeatures, approxDistinct, topkGroupAgg, multimodalDecode,
-    throttleChain, multimodalVideo, simPq, dedupSemantic, dedupSemanticIncr)
+    throttleChain, multimodalVideo, simPq, dedupSemantic, dedupSemanticIncr,
+    multimodalAudio)
 }
