@@ -14,7 +14,8 @@ object Registry {
       SketchOps.all ++ GovernOps.all ++ ReshapeOps.all ++
       JoinScaleOps.all ++ VectorOps.all ++ TextRankOps.all ++ StatOps.all ++
       LayoutOps.all ++ GraphOps.all ++ SampleOps.all ++ SimJoinOps.all ++
-      LmOps.all ++ AuditOps.all ++ ImplOps.all ++ BpeOps.all
+      LmOps.all ++ AuditOps.all ++ ImplOps.all ++ BpeOps.all ++
+      RetrievalOps.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

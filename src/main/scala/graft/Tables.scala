@@ -22,17 +22,26 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
 
-  /** events.ts is TIMESTAMP(NANOS) on disk, which Spark's parquet reader
-    * rejects. We read nanos as Long (legacy conf) and truncate to
-    * microseconds — the same truncation DuckDB applies with
-    * CAST(ts AS TIMESTAMP) — so both engines see identical µs values.
-    * `div` is integer division: ts values are positive, so this truncates
-    * toward zero exactly like DuckDB's ns→µs cast.
+  /** events.ts has shipped in two physical layouts across driver testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects —
+    * read nanos as Long via the legacy conf and truncate to µs, the same
+    * truncation DuckDB applies with CAST(ts AS TIMESTAMP)) and plain
+    * timestamp[us] (which Spark reads as TIMESTAMP_NTZ — cast to session-TZ
+    * TIMESTAMP, value-identical under the engine's fixed UTC session TZ).
+    * Both branches land on identical µs instants in both engines.
+    * `div` is integer division: ts values are positive, so the nanos branch
+    * truncates toward zero exactly like DuckDB's ns→µs cast.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = read(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** DuckDB-side equivalent of [[events]]: a CTE normalizing ts to µs.

@@ -1,0 +1,187 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus retrieval & passage-grain dedup — two pillars of a pretraining
+  * data pipeline the document-grain operators don't cover:
+  *
+  *  - [[passageDedup]] finds EXACT duplicated passages *inside* otherwise
+  *    distinct documents (the Lee et al. 2022 "Deduplicating Training Data
+  *    Makes Language Models Better" signal: memorization risk lives at the
+  *    n-gram span level, not the document level — two distinct pages
+  *    sharing a boilerplate paragraph still teach the model that paragraph
+  *    twice).
+  *  - [[rrfFusion]] fuses a lexical (BM25) ranking with a dense
+  *    (embedding-cosine) ranking by Reciprocal Rank Fusion
+  *    (Cormack et al. 2009) — the standard hybrid-retrieval primitive for
+  *    RAG / eval-set construction on top of q_bm25_query + q_sim_topk.
+  *
+  * (Reference surface: the upstream repo is a CDC composition script;
+  * these are north-star LLM-pipeline additions per BASELINE.json:6 — no
+  * reference file:line exists, SURVEY §0.)
+  *
+  * Scale design, passage dedup: the only corpus-sized stages are the
+  * shingle explode (map-only generate) and two hash aggregations — first
+  * to (doc, shingle) grain, then to doc grain — plus ONE window
+  * partitioned by the shingle hash (thousands of rows per key at worst,
+  * never a global frame). The shuffle carries 32-byte md5 hex, never
+  * document text. At 100 TB the same plan holds: cardinality is
+  * Σ tokens ≈ corpus size, all keys hash-distributed; a production
+  * variant would shrink the shuffle payload to xxhash64(shingle) — md5
+  * is kept here because it is the one shingle hash both engines compute
+  * bit-identically (the q_chunk_docs fingerprint recipe).
+  *
+  * Scale design, RRF: both input rankings reduce to 50-row frames via
+  * `orderBy().limit()` (TakeOrderedAndProject — parallel partial top-k,
+  * never a global sort); the only partition-less windows run on those
+  * ≤50-row stage frames (the q_filter_funnel boundedness precedent), and
+  * the fusion join is a 50×50 full-outer merge. Rank arithmetic is exact
+  * integer floor division (1e6 div (60+rank)) so fused scores and their
+  * ordering are engine-independent.
+  *
+  * Determinism: BM25 scores are DECIMAL(18,6)-snapped before the per-doc
+  * sum (TextRankOps recipe); cosine is the bit-identical dotVec/norm2
+  * left-fold rounded to 4 dp (TextSimOps recipe); every rank and the
+  * final order carry a doc_id tie-break.
+  */
+object RetrievalOps {
+
+  /** Per-document duplicated-passage report: of a document's distinct
+    * 8-token shingles, how many also appear in at least one OTHER
+    * document (n_dup), and the integer dup fraction in milli-units.
+    * Documents shorter than 8 tokens have no 8-shingle and are excluded
+    * by construction (`sequence` is only generated when size ≥ 8 — Spark's
+    * `sequence(0, n)` would count DOWN for n < 0, so the guard is
+    * correctness, not just hygiene). */
+  val passageDedup: Q = Q.checked(
+    "q_dedup_passage",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |starts AS (SELECT doc_id, t,
+      |             unnest(range(0, greatest(len(t) - 7, 0))) AS i
+      |           FROM toks),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         md5(array_to_string(t[i + 1 : i + 8], ' ')) AS h
+      |       FROM starts),
+      |marked AS (SELECT doc_id, h,
+      |             count(*) OVER (PARTITION BY h) AS n_docs
+      |           FROM sh)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(count(*) FILTER (WHERE n_docs >= 2) AS BIGINT) AS n_dup,
+      |  (count(*) FILTER (WHERE n_docs >= 2)) * 1000 // count(*) AS dup_milli
+      |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 8)).as("i"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("t"), col("i") + 1, lit(8)), " ")
+          .cast(BinaryType)).as("h"))
+      .distinct() // (doc, shingle) grain: one vote per doc per shingle
+    // #docs containing h, as a window over the distinct pairs — one
+    // h-partitioned shuffle instead of a groupBy+self-join that would
+    // recompute the whole shingle subtree (the q_bm25 df-window recipe)
+    sh.withColumn("n_docs", count(lit(1)).over(Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("n_docs") >= 2, 1)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        expr("n_dup * 1000 div n_shingles").as("dup_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** Hybrid retrieval: top-20 documents by Reciprocal Rank Fusion of the
+    * BM25 top-50 (query {join, fast, table}) and the cosine top-50
+    * (probe = vec_id 0), k=60, contributions in exact integer micro-units
+    * (1e6 div (60+rank); absent from a list contributes 0). Emits both
+    * source ranks so the report shows WHY a doc won (lexical, dense, or
+    * both). */
+  val rrfFusion: Q = Q.checked(
+    "q_rrf_fusion",
+    """WITH toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |         unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM toks
+      |       WHERE token IN ('join', 'fast', 'table') GROUP BY 1, 2, 3),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs,
+      |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+      |      FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST(CAST((((n_docs - df) * 2 + 1) * 1000000) // (df * 2 + 1)
+      |           AS DOUBLE)
+      |      * (CAST(tf AS DOUBLE) * 2.2e0)
+      |      / (CAST(tf AS DOUBLE) + 3.0e-1 + 9.0e-1
+      |         * (CAST(dl AS DOUBLE)
+      |            * (CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))
+      |      AS DECIMAL(18,6)) AS term_score
+      |  FROM tf JOIN df USING (token), n),
+      |lex AS (SELECT doc_id, sum(term_score) AS score FROM scored
+      |        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+      |lexr AS (SELECT doc_id,
+      |           CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+      |                AS BIGINT) AS lex_rank
+      |         FROM lex),
+      |v0 AS (SELECT embedding AS e0 FROM embeddings WHERE vec_id = 0),
+      |sims AS (
+      |  SELECT vec_id,
+      |    round(list_sum(list_transform(range(1, 65),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(e0[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(e0,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+      |  FROM embeddings, v0 WHERE vec_id <> 0),
+      |vtop AS (SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 50),
+      |vecr AS (SELECT vec_id,
+      |           CAST(row_number() OVER (ORDER BY sim DESC, vec_id)
+      |                AS BIGINT) AS vec_rank
+      |         FROM vtop),
+      |fused AS (
+      |  SELECT coalesce(l.doc_id, v.vec_id) AS doc_id, l.lex_rank, v.vec_rank,
+      |    coalesce(1000000 // (60 + l.lex_rank), 0)
+      |      + coalesce(1000000 // (60 + v.vec_rank), 0) AS rrf6
+      |  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.vec_id)
+      |SELECT doc_id, lex_rank, vec_rank, CAST(rrf6 AS BIGINT) AS rrf6
+      |FROM fused ORDER BY rrf6 DESC, doc_id LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.VectorExprs.{dotVec, norm2}
+    // lexical leg: per-doc DECIMAL BM25 scores (shared scorer), parallel
+    // partial top-50 (TakeOrderedAndProject), then ranks on the 50-row
+    // stage frame — the partition-less window is bounded by the LIMIT
+    val lexr = TextRankOps
+      .bm25DocScores(Tables.documents(s, dir), Seq("join", "fast", "table"))
+      .orderBy(col("score_dec").desc, col("doc_id")).limit(50)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("score_dec").desc, col("doc_id")))
+        .cast(LongType))
+      .select("doc_id", "lex_rank")
+    val e = Tables.embeddings(s, dir)
+    val v0 = e.filter(col("vec_id") === 0).select(col("embedding").as("e0"))
+    val vecr = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(v0))
+      .select(col("vec_id"),
+        round(dotVec(col("embedding"), col("e0")) /
+          (sqrt(norm2(col("embedding"))) * sqrt(norm2(col("e0")))), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(50)
+      .withColumn("vec_rank", row_number()
+        .over(Window.orderBy(col("sim").desc, col("vec_id")))
+        .cast(LongType))
+      .select("vec_id", "vec_rank")
+    lexr.join(vecr, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        col("lex_rank"), col("vec_rank"),
+        (coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L))).as("rrf6"))
+      .orderBy(col("rrf6").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(passageDedup, rrfFusion)
+}

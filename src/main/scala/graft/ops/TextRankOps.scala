@@ -191,6 +191,41 @@ object TextRankOps {
     * folds ≤ |query| term scores: each term score is snapped to
     * DECIMAL(18,6) first, so the sum is exact and order-free
     * cross-engine (a raw double sum would depend on fold order). */
+  /** Shared per-doc BM25 scorer over a fixed term set (the q_bm25_query
+    * pipeline up to the per-doc aggregate): tf only for query terms, df as
+    * a window over the tf frame, corpus totals a 1-row broadcast, each
+    * term score snapped to DECIMAL(18,6) before the per-doc sum so the
+    * fold is exact and order-free. Returns (doc_id, n_terms, score_dec)
+    * with score_dec still DECIMAL — callers order on it exactly
+    * ([[bm25Query]] casts to double only for display; q_rrf_fusion ranks
+    * on the decimal). */
+  private[graft] def bm25DocScores(docs: org.apache.spark.sql.DataFrame,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
+        explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+    val n = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast(LongType)).as("sum_dl"))
+    tf.crossJoin(broadcast(n))
+      .withColumn("idf6",
+        expr("(((n_docs - df) * 2 + 1) * 1000000) div (df * 2 + 1)"))
+      .withColumn("term_score",
+        (col("idf6").cast(DoubleType) *
+          (col("tf").cast(DoubleType) * lit(2.2)) /
+          (col("tf").cast(DoubleType) + lit(0.3) +
+            lit(0.9) * (col("dl").cast(DoubleType) *
+              (col("n_docs").cast(DoubleType) /
+                col("sum_dl").cast(DoubleType)))))
+          .cast(DecimalType(18, 6)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("term_score")).as("score_dec"))
+  }
+
   val bm25Query: Q = Q.checked(
     "q_bm25_query",
     """WITH toks AS (
@@ -218,30 +253,9 @@ object TextRankOps {
       |FROM scored GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   ) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    val tf = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
-        explode(col("toks")).as("token"))
-      .filter(col("token").isin("join", "fast", "table"))
-      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
-    val n = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(split(col("text"), " ")).cast(LongType)).as("sum_dl"))
-    tf.crossJoin(broadcast(n))
-      .withColumn("idf6",
-        expr("(((n_docs - df) * 2 + 1) * 1000000) div (df * 2 + 1)"))
-      .withColumn("term_score",
-        (col("idf6").cast(DoubleType) *
-          (col("tf").cast(DoubleType) * lit(2.2)) /
-          (col("tf").cast(DoubleType) + lit(0.3) +
-            lit(0.9) * (col("dl").cast(DoubleType) *
-              (col("n_docs").cast(DoubleType) /
-                col("sum_dl").cast(DoubleType)))))
-          .cast(DecimalType(18, 6)))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"),
-        sum(col("term_score")).cast(DoubleType).as("score"))
+    bm25DocScores(Tables.documents(s, dir), Seq("join", "fast", "table"))
+      .select(col("doc_id"), col("n_terms"),
+        col("score_dec").cast(DoubleType).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(10)
   }

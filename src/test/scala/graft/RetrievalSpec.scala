@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.{RetrievalOps, TextRankOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the retrieval/passage operators (cross-engine
+  * value equality is the driver's DuckDB gate; these pin the semantics the
+  * oracle can't see — brute-force parity, rank laws, fusion arithmetic). */
+class RetrievalSpec extends AnyFunSuite with SparkFixture {
+
+  test("q_dedup_passage: matches a brute-force shingle cross-check") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .as[(Long, Seq[String])].collect()
+    // brute force: per-doc distinct 8-gram set, then cross-doc membership
+    val sets = docs.collect { case (id, t) if t.length >= 8 =>
+      id -> t.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val expect = sets.map { case (id, sh) =>
+      val others = sets.filter(_._1 != id)
+      val dup = sh.count(g => others.exists(_._2.contains(g)))
+      (id, sh.size.toLong, dup.toLong, dup.toLong * 1000 / sh.size)
+    }.sortBy(_._1).toSeq
+    val got = RetrievalOps.passageDedup.fn(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expect)
+    // short docs (< 8 tokens) are excluded by construction, not zeroed
+    val shortIds = docs.collect { case (id, t) if t.length < 8 => id }.toSet
+    assert(got.map(_._1).toSet.intersect(shortIds).isEmpty)
+  }
+
+  test("q_rrf_fusion: fused score is exactly the sum of the two rank legs") {
+    val lexTop = TextRankOps
+      .bm25DocScores(Tables.documents(spark, Sf), Seq("join", "fast", "table"))
+      .orderBy(col("score_dec").desc, col("doc_id")).limit(50)
+      .collect().map(_.getLong(0)).toSeq
+    val rows = RetrievalOps.rrfFusion.fn(spark, Sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val lexRank = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val vecRank = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(lexRank.isDefined || vecRank.isDefined) // full-outer, never both-null
+      val want = lexRank.map(x => 1000000L / (60 + x)).getOrElse(0L) +
+        vecRank.map(x => 1000000L / (60 + x)).getOrElse(0L)
+      assert(r.getLong(3) === want, s"doc ${r.getLong(0)}")
+      // lex_rank must agree with the scorer's own top-50 ordering
+      lexRank.foreach { lr =>
+        assert(lexTop(lr.toInt - 1) === r.getLong(0), s"lex rank $lr")
+      }
+    }
+    // output is ordered by fused score desc with doc_id tiebreak
+    val keys = rows.map(r => (-r.getLong(3), r.getLong(0))).toSeq
+    assert(keys === keys.sorted)
+  }
+
+  test("rrf ranks are dense 1..k within each leg (no gaps from the limit)") {
+    val rows = RetrievalOps.rrfFusion.fn(spark, Sf).collect()
+    def ranks(i: Int) =
+      rows.collect { case r if !r.isNullAt(i) => r.getLong(i) }.sorted.toSeq
+    // the top-20 needn't contain a full prefix of either leg, but every
+    // present rank must be within 1..50 and distinct
+    Seq(1, 2).foreach { i =>
+      val rs = ranks(i)
+      assert(rs.distinct === rs)
+      assert(rs.forall(r => r >= 1 && r <= 50))
+    }
+  }
+}
