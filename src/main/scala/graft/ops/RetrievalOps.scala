@@ -94,6 +94,77 @@ object RetrievalOps {
       .orderBy("doc_id")
   }
 
+  /** The passage-dedup TREATMENT to [[passageDedup]]'s report: rewrite the
+    * corpus with cross-doc duplicated passages REMOVED from every
+    * non-canonical holder (canonical = lowest doc_id containing the
+    * shingle — it keeps its copy, so each passage survives exactly once
+    * corpus-wide; within-doc repeats inside the canonical doc are kept,
+    * the rule is cross-doc only). A token is removed iff it lies inside
+    * any removed 8-token shingle span, i.e. some marked start i with
+    * i ≤ p ≤ i+7 — computed as a per-doc rows-frame window max over the
+    * marked flag, never an interval join.
+    *
+    * Scale: one token-grain pass (posexplode), then exactly two
+    * corpus-grain hash shuffles — by shingle hash (canonical-owner
+    * window; tail positions with no shingle bypass it via union, so there
+    * is no giant null-hash partition) and by doc_id (coverage window +
+    * the final per-doc fold, same key ⇒ one exchange, reused). Doc
+    * reconstruction is the sort_array(collect_list(struct)) recipe
+    * (AggOps top-N-names precedent) — per-doc frames bounded by doc
+    * length. */
+  val passageClean: Q = Q.checked(
+    "q_dedup_passage_clean",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pos AS (SELECT doc_id, t, unnest(range(0, len(t))) AS p FROM toks),
+      |sh AS (SELECT doc_id, p, t[p + 1] AS token,
+      |         CASE WHEN p <= len(t) - 8
+      |              THEN md5(array_to_string(t[p + 1 : p + 8], ' ')) END AS h
+      |       FROM pos),
+      |mk AS (SELECT doc_id, p, token,
+      |         CASE WHEN h IS NOT NULL
+      |              AND min(doc_id) OVER (PARTITION BY h) < doc_id
+      |              THEN 1 ELSE 0 END AS marked
+      |       FROM sh),
+      |cov AS (SELECT doc_id, p, token,
+      |          max(marked) OVER (PARTITION BY doc_id ORDER BY p
+      |            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+      |        FROM mk)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |  CAST(sum(covered) AS BIGINT) AS n_removed,
+      |  coalesce(string_agg(token, ' ' ORDER BY p)
+      |             FILTER (WHERE covered = 0), '') AS clean_text
+      |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("p", "token")))
+      .select(col("doc_id"), col("p"), col("token"),
+        when(col("p") <= size(col("t")) - 8,
+          md5(array_join(slice(col("t"), col("p") + 1, lit(8)), " ")
+            .cast(BinaryType))).as("h"))
+    // canonical-owner window only over rows that HAVE a shingle — the
+    // tail positions union back around it so no null-h mega-partition
+    // ever reaches the exchange
+    val starts = pos.filter(col("h").isNotNull)
+      .withColumn("marked",
+        (min(col("doc_id")).over(Window.partitionBy("h")) < col("doc_id"))
+          .cast(IntegerType))
+    val tails = pos.filter(col("h").isNull).withColumn("marked", lit(0))
+    starts.select("doc_id", "p", "token", "marked")
+      .unionByName(tails.select("doc_id", "p", "token", "marked"))
+      .withColumn("covered",
+        max(col("marked")).over(Window.partitionBy("doc_id").orderBy("p")
+          .rowsBetween(-7, 0)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("covered")).as("n_removed"),
+        array_join(expr(
+          "transform(sort_array(collect_list(" +
+            "CASE WHEN covered = 0 THEN struct(p, token) END)), x -> x.token)"),
+          " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Hybrid retrieval: top-20 documents by Reciprocal Rank Fusion of the
     * BM25 top-50 (query {join, fast, table}) and the cosine top-50
     * (probe = vec_id 0), k=60, contributions in exact integer micro-units
@@ -183,5 +254,5 @@ object RetrievalOps {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(passageDedup, rrfFusion)
+  val all: Seq[Q] = Seq(passageDedup, passageClean, rrfFusion)
 }

@@ -32,6 +32,45 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     assert(got.map(_._1).toSet.intersect(shortIds).isEmpty)
   }
 
+  test("q_dedup_passage_clean: matches a sequential reference of the removal rule") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    // sequential reference: owner(h) = lowest doc_id containing shingle h;
+    // in every other doc, tokens under any occurrence of h are removed
+    val owner = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (id, t) =>
+      if (t.length >= 8)
+        t.sliding(8).foreach { g =>
+          val k = g.mkString(" ")
+          if (!owner.contains(k)) owner(k) = id
+        }
+    }
+    val expect = docs.map { case (id, t) =>
+      val covered = Array.fill(t.length)(false)
+      if (t.length >= 8)
+        t.sliding(8).zipWithIndex.foreach { case (g, i) =>
+          if (owner(g.mkString(" ")) < id)
+            (i until i + 8).foreach(covered(_) = true)
+        }
+      val kept = t.indices.filterNot(covered).map(t)
+      (id, t.length.toLong, covered.count(identity).toLong, kept.mkString(" "))
+    }.toSeq
+    val got = RetrievalOps.passageClean.fn(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got === expect)
+    // treatment/report consistency: n_removed > 0 exactly when the report
+    // found at least one cross-doc duplicated shingle in that doc
+    val dupDocs = RetrievalOps.passageDedup.fn(spark, Sf).collect()
+      .collect { case r if r.getLong(2) > 0 => r.getLong(0) }.toSet
+    val removedDocs = got.collect { case (id, _, rm, _) if rm > 0 => id }.toSet
+    // a doc with dup shingles but which is canonical owner of ALL of them
+    // removes nothing, so removedDocs ⊆ dupDocs (strict subset allowed)
+    assert(removedDocs.subsetOf(dupDocs))
+  }
+
   test("q_rrf_fusion: fused score is exactly the sum of the two rank legs") {
     val lexTop = TextRankOps
       .bm25DocScores(Tables.documents(spark, Sf), Seq("join", "fast", "table"))
