@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Model-based quality filtering — the fasttext-shaped leg of a curation
+  * stack (the heuristic legs are CurateOps/TextRankOps): documents are
+  * scored by a LINEAR model over hash-bucketed token features (the
+  * "hashing trick": j = md5(token) mod B, so the feature space is fixed
+  * at B regardless of vocabulary size — no vocabulary table, no OOV
+  * path, nothing to ship but B weights).
+  *
+  * Two surfaces:
+  *  - [[qualityScore]] applies a model as a closed-form weight
+  *    EXPRESSION — zero joins, the scoring pass is map-only + one per-doc
+  *    aggregate. Production swaps the derived weights for trained ones
+  *    via the same literal-array pattern [[qualityTrain]] demonstrates
+  *    (and Ivf/Pq use for centroids): B numbers inlined into the plan,
+  *    never a shuffle-side model.
+  *  - [[qualityTrain]] TRAINS the model distributed: full-batch gradient
+  *    descent on logistic loss, one aggregate pass per iteration over a
+  *    (doc × bucket) feature frame that is collapsed from the corpus
+  *    once and checkpoint-reused (the pagerank/Components recipe).
+  *    Inter-iteration state is the B+1 weights on the driver — bounded
+  *    model state, collected once per round (the Ivf contract).
+  *
+  * (Reference surface: upstream is a CDC composition script; this is a
+  * north-star LLM-pipeline addition per BASELINE.json:6 — no reference
+  * file:line exists, SURVEY §0.)
+  *
+  * Determinism (SURVEY §7.5): bucket ids and score weights are exact
+  * integer arithmetic in both engines; every floating contribution that
+  * crosses an aggregation boundary during training (margin terms,
+  * gradient contributions) is snapped to DECIMAL(28,12) FIRST so the
+  * distributed sums are exact and fold-order-free, and weights are
+  * re-snapped to micro-units after every update so inter-iteration state
+  * is exactly representable. ClassifierSpec pins bit-equality of the
+  * trained weights against a sequential reference doing the same snapped
+  * arithmetic.
+  */
+object ClassifierOps {
+
+  /** Feature-space size (hash buckets). 64 keeps spec brute-forcing fast;
+    * production would use 2^18+ — nothing in either plan depends on B
+    * beyond the literal array length. */
+  val B = 64
+
+  /** Deterministic per-bucket milli-weights for the scoring demo: an LCG
+    * step of the bucket id, mapped into [-1000, 1000]. Shared by the
+    * Spark plan, the oracle SQL, and the spec's reference. */
+  def demoWeightMilli(j: Long): Long = ((j * 1103515245L + 12345L) % 2001L) - 1000L
+
+  /** Hash-bucket id: first 4 hex chars of md5 as an int, mod B — the one
+    * token→bucket map both engines compute bit-identically. */
+  private def bucketCol(token: org.apache.spark.sql.Column) =
+    (conv(substring(md5(token.cast(BinaryType)), 1, 4), 16, 10)
+      .cast(LongType) % B).as("j")
+
+  /** Score every document with the hash-derived linear model: per-token
+    * bucket weight in milli-units, per-doc exact integer weight sum,
+    * label = sign. The weight lookup is a pure expression of the bucket
+    * id, so the plan is Generate → map → one hash aggregate: no join, no
+    * model broadcast, nothing grows with vocabulary OR corpus. */
+  val qualityScore: Q = Q.checked(
+    "q_quality_model",
+    s"""WITH toks AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |         unnest(string_split(text, ' ')) AS token FROM documents),
+      |b AS (SELECT doc_id, dl,
+      |        (('0x' || substr(md5(token), 1, 4))::BIGINT) % $B AS j
+      |      FROM toks)
+      |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+      |  CAST(sum(((j * 1103515245 + 12345) % 2001) - 1000) AS BIGINT)
+      |    AS sum_w_milli,
+      |  CAST(CASE WHEN sum(((j * 1103515245 + 12345) % 2001) - 1000) > 0
+      |       THEN 1 ELSE 0 END AS BIGINT) AS label
+      |FROM b GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
+        explode(col("toks")).as("token"))
+      .select(col("doc_id"), col("dl"), bucketCol(col("token")))
+      .select(col("doc_id"), col("dl"),
+        (col("j") * 1103515245L + 12345L) % 2001L - 1000L)
+      .toDF("doc_id", "dl", "w_milli")
+      .groupBy("doc_id", "dl")
+      .agg(sum("w_milli").as("sum_w_milli"))
+      .select(col("doc_id"), col("dl"), col("sum_w_milli"),
+        when(col("sum_w_milli") > 0, 1L).otherwise(0L).as("label"))
+      .orderBy("doc_id")
+  }
+
+  /** Number of full-batch GD iterations and the (fixed) learning rate.
+    * Small on purpose: the point is the distributed-training SHAPE; any
+    * (iters, lr) pair trains the same way. */
+  val Iters = 4
+  val Lr = 4.0
+
+  private val Dec = DecimalType(28, 12)
+  private def snap(c: org.apache.spark.sql.Column) = c.cast(Dec)
+
+  /** Build the (doc_id, j, x, y) training frame: x = tf_j / dl for the
+    * token buckets plus a bias feature (j = B, x = 1), y = 1 iff the doc's
+    * type-token ratio ≥ 0.5 (a deterministic integer label rule — in
+    * production y comes from human/LLM labels; the training path is
+    * identical). One explode + two hash aggregates; ≤ B+1 rows per doc. */
+  private[ops] def featureFrame(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
+        explode(col("toks")).as("token"))
+      .select(col("doc_id"), col("dl"), col("token"),
+        bucketCol(col("token")))
+    val lab = tok.groupBy("doc_id")
+      .agg(max("dl").as("dl"), countDistinct("token").as("types"))
+      .select(col("doc_id"), col("dl"),
+        when(col("types") * 2 >= col("dl"), 1).otherwise(0).as("y"))
+    val feats = tok.groupBy("doc_id", "dl", "j")
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("j"),
+        (col("tf").cast(DoubleType) / col("dl").cast(DoubleType)).as("x"))
+    val bias = lab.select(col("doc_id"), lit(B.toLong).as("j"),
+      lit(1.0).as("x"))
+    feats.unionByName(bias)
+      .join(lab.select("doc_id", "y"), "doc_id")
+  }
+
+  /** One GD step: margin per doc (decimal-exact window sum of snapped
+    * x·w terms), sigmoid, residual, per-bucket mean gradient
+    * (decimal-exact), weight update re-snapped to micro-units. `w` is
+    * B+1 micro-unit weights indexed by j. */
+  private[ops] def step(feats: DataFrame, w: Array[Long], nDocs: Long): Array[Long] = {
+    val wLit = array(w.map(v => lit(v.toDouble / 1e6)): _*)
+    val grads = feats
+      .withColumn("term", snap(col("x") * element_at(wLit, col("j").cast(IntegerType) + 1)))
+      .withColumn("margin", sum(col("term")).over(Window.partitionBy("doc_id")))
+      .withColumn("resid",
+        lit(1.0) / (lit(1.0) + exp(-col("margin").cast(DoubleType)))
+          - col("y").cast(DoubleType))
+      .groupBy("j")
+      .agg(sum(snap(col("resid") * col("x"))).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    w.indices.map { j =>
+      val g = grads.getOrElse(j.toLong, 0.0)
+      math.round((w(j).toDouble / 1e6 - Lr * g / nDocs) * 1e6)
+    }.toArray
+  }
+
+  /** Full training loop: returns the trained weight table (j, w_micro),
+    * bias last. The feature frame is materialized once and every
+    * iteration is one window + one aggregate over it; the only driver
+    * state is the B+1 weights. */
+  def train(docs: DataFrame): Array[Long] = {
+    val feats = featureFrame(docs).localCheckpoint(false)
+    val nDocs = feats.select("doc_id").distinct().count()
+    (1 to Iters).foldLeft(Array.fill(B + 1)(0L)) { (w, _) =>
+      step(feats, w, nDocs)
+    }
+  }
+
+  /** Registered impl-only surface: the trained weights as a table.
+    * No SQL oracle — 4 GD iterations are not ANSI-expressible; the
+    * ground truth is ClassifierSpec's sequential reference. */
+  val qualityTrain: Q = Q.implOnly("q_quality_train") { (s, dir) =>
+    val w = train(Tables.documents(s, dir))
+    import s.implicits._
+    w.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toSeq
+      .toDF("j", "w_micro").orderBy("j")
+  }
+
+  val all: Seq[Q] = Seq(qualityScore, qualityTrain)
+}
