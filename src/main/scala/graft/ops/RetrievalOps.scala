@@ -254,5 +254,74 @@ object RetrievalOps {
       .limit(20)
   }
 
+  /** Materialized inverted index — "build once, query many", the layout
+    * that turns every BM25 query from a corpus scan into a
+    * few-directories read:
+    *
+    *  - `dir/postings/` — (token, doc_id, tf, dl, df), hive-partitioned
+    *    by `bucket` = md5-nibble-pair of the token mod [[IndexBuckets]].
+    *    df is denormalized onto each posting (one long per row) so query
+    *    time needs NO lexicon join; production would split a lexicon
+    *    table at a larger B.
+    *  - `dir/stats/` — the 1-row (n_docs, sum_dl) corpus totals.
+    *
+    * At query time the bucket predicate is a LITERAL list derived from
+    * the query terms, so directory pruning happens at planning time (a
+    * B-bucket index reads |distinct term buckets| directories, never the
+    * corpus), and the token IN list is pushed to the parquet scan inside
+    * the surviving buckets. At 100 TB: postings shard by bucket across
+    * the fleet; a 3-term query touches ≤3 shards. RetrievalSpec proves
+    * query-over-index == scan-over-corpus exactly (they share
+    * TextRankOps.bm25Score) AND that the scan reads strictly fewer files
+    * than the index holds (real pruning, not just a plan string).
+    */
+  val IndexBuckets = 16
+
+  private def bucketOf(token: org.apache.spark.sql.Column) =
+    (conv(substring(md5(token.cast(BinaryType)), 1, 2), 16, 10)
+      .cast(IntegerType) % IndexBuckets).as("bucket")
+
+  /** Driver-side mirror of [[bucketOf]] for deriving the pruning list. */
+  private[graft] def bucketOf(token: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes("UTF-8"))
+    ((d(0) & 0xff) % IndexBuckets + IndexBuckets) % IndexBuckets
+  }
+
+  /** Build the index from a documents frame. One explode + one tf
+    * aggregate + one df window (both hash-partitioned on the token);
+    * the write shuffles once more on bucket so each directory is one
+    * writer task's output, not nBuckets small files per task. */
+  def writeInvertedIndex(docs: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    val tf = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
+        explode(col("toks")).as("token"))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      .withColumn("bucket", bucketOf(col("token")))
+    tf.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    TextRankOps.corpusStats(docs)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Score `terms` against the index: bucket-pruned, token-pushed-down
+    * postings read → the SAME bm25Score arithmetic as q_bm25_query →
+    * top-k. Never touches the documents table. */
+  def queryInvertedIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+      terms: Seq[String], k: Int = 10): org.apache.spark.sql.DataFrame = {
+    val buckets = terms.map(bucketOf).distinct
+    val postings = s.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("token").isin(terms: _*))
+    TextRankOps.bm25Score(postings, s.read.parquet(s"$dir/stats"))
+      .select(col("doc_id"), col("n_terms"),
+        col("score_dec").cast(DoubleType).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val all: Seq[Q] = Seq(passageDedup, passageClean, rrfFusion)
 }

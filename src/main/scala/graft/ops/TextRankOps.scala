@@ -208,9 +208,24 @@ object TextRankOps {
       .filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
-    val n = docs.agg(count(lit(1)).as("n_docs"),
+    bm25Score(tf, corpusStats(docs))
+  }
+
+  /** 1-row corpus totals frame (n_docs, sum_dl) — the broadcast side of
+    * every BM25 scoring path. */
+  private[graft] def corpusStats(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
       sum(size(split(col("text"), " ")).cast(LongType)).as("sum_dl"))
-    tf.crossJoin(broadcast(n))
+
+  /** The BM25 arithmetic proper, shared by the corpus path above and the
+    * inverted-index path (RetrievalOps): input is a posting-shaped frame
+    * (doc_id, dl, token, tf, df) + the 1-row stats frame. Keeping this a
+    * single function is what makes "query the index" provably equal to
+    * "scan the corpus" — both paths run the same snapped expressions. */
+  private[graft] def bm25Score(postings: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    postings.crossJoin(broadcast(stats))
       .withColumn("idf6",
         expr("(((n_docs - df) * 2 + 1) * 1000000) div (df * 2 + 1)"))
       .withColumn("term_score",
@@ -224,7 +239,6 @@ object TextRankOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
         sum(col("term_score")).as("score_dec"))
-  }
 
   val bm25Query: Q = Q.checked(
     "q_bm25_query",

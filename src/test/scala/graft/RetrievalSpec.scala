@@ -95,6 +95,41 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     assert(keys === keys.sorted)
   }
 
+  test("inverted index: query-over-index equals scan-over-corpus, with real pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("invidx").toString + "/idx"
+    val docs = Tables.documents(spark, Sf)
+    RetrievalOps.writeInvertedIndex(docs, dir)
+    val terms = Seq("join", "fast", "table")
+    // exact equality with the corpus-scan path (shared bm25Score)
+    val fromIndex = RetrievalOps.queryInvertedIndex(spark, dir, terms).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val fromCorpus = graft.ops.TextRankOps.bm25Query.fn(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fromIndex === fromCorpus)
+    // pruning is physical, not cosmetic: the postings scan reads only the
+    // query terms' bucket directories (AQE off so scan metrics are
+    // reachable — the MaintenanceSpec recipe)
+    val totalFiles = spark.read.parquet(s"$dir/postings")
+      .select(input_file_name()).distinct().count()
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = RetrievalOps.queryInvertedIndex(spark, dir, terms)
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.schema.fieldNames.contains("token") => f
+      }.getOrElse(fail("no postings FileSourceScanExec in plan"))
+      assert(scan.partitionFilters.nonEmpty,
+        "bucket filter did not reach partition pruning")
+      assert(scan.metadata("PushedFilters").contains("In(token"),
+        s"token IN list not pushed down: ${scan.metadata("PushedFilters")}")
+      q.collect()
+      val filesRead = scan.metrics("numFiles").value
+      assert(filesRead < totalFiles,
+        s"pruning read $filesRead of $totalFiles files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("rrf ranks are dense 1..k within each leg (no gaps from the limit)") {
     val rows = RetrievalOps.rrfFusion.fn(spark, Sf).collect()
     def ranks(i: Int) =
