@@ -23,16 +23,17 @@ import org.apache.spark.sql.types._
   * these are north-star LLM-pipeline additions per BASELINE.json:6 — no
   * reference file:line exists, SURVEY §0.)
   *
-  * Scale design, passage dedup: the only corpus-sized stages are the
-  * shingle explode (map-only generate) and two hash aggregations — first
-  * to (doc, shingle) grain, then to doc grain — plus ONE window
-  * partitioned by the shingle hash (thousands of rows per key at worst,
-  * never a global frame). The shuffle carries 32-byte md5 hex, never
-  * document text. At 100 TB the same plan holds: cardinality is
-  * Σ tokens ≈ corpus size, all keys hash-distributed; a production
-  * variant would shrink the shuffle payload to xxhash64(shingle) — md5
-  * is kept here because it is the one shingle hash both engines compute
-  * bit-identically (the q_chunk_docs fingerprint recipe).
+  * Scale design, passage dedup: every corpus-sized stage is either a
+  * map-only generate (shingle explode) or a hash AGGREGATE — cross-doc
+  * counts/owners are computed as groupBy(h) + equi-join back, never as a
+  * window over the shingle hash: a boilerplate passage present in 1% of
+  * a 100 TB corpus would put every copy into one combiner-less window
+  * task, while the aggregate emits one partial row per h per map task
+  * and AQE skew-splits the join's probe side. The price is a second
+  * evaluation of the shingle subtree (linear, parallel) instead of a
+  * straggler cliff. The shuffle carries a 16-byte unhex(md5) binary,
+  * never document text — 128 bits so collisions stay negligible at
+  * trillions of distinct shingles (xxhash64 would birthday-collide).
   *
   * Scale design, RRF: both input rankings reduce to 50-row frames via
   * `orderBy().limit()` (TakeOrderedAndProject — parallel partial top-k,
@@ -79,13 +80,16 @@ object RetrievalOps {
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), size(col("t")) - 8)).as("i"))
       .select(col("doc_id"),
-        md5(array_join(slice(col("t"), col("i") + 1, lit(8)), " ")
-          .cast(BinaryType)).as("h"))
+        unhex(md5(array_join(slice(col("t"), col("i") + 1, lit(8)), " ")
+          .cast(BinaryType))).as("h"))
       .distinct() // (doc, shingle) grain: one vote per doc per shingle
-    // #docs containing h, as a window over the distinct pairs — one
-    // h-partitioned shuffle instead of a groupBy+self-join that would
-    // recompute the whole shingle subtree (the q_bm25 df-window recipe)
-    sh.withColumn("n_docs", count(lit(1)).over(Window.partitionBy("h")))
+    // #docs containing h: an AGGREGATE + equi-join back, deliberately NOT
+    // a count-over-Window.partitionBy(h). A boilerplate shingle present
+    // in 1% of a 100 TB corpus puts every copy in ONE window task with no
+    // combiner; the aggregate gets map-side partial rows (1 per h per map
+    // task) and AQE skew-split handles the probe side of the join.
+    val counts = sh.groupBy("h").agg(count(lit(1)).as("n_docs"))
+    sh.join(counts, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         count(when(col("n_docs") >= 2, 1)).as("n_dup"))
@@ -104,14 +108,14 @@ object RetrievalOps {
     * i ≤ p ≤ i+7 — computed as a per-doc rows-frame window max over the
     * marked flag, never an interval join.
     *
-    * Scale: one token-grain pass (posexplode), then exactly two
-    * corpus-grain hash shuffles — by shingle hash (canonical-owner
-    * window; tail positions with no shingle bypass it via union, so there
-    * is no giant null-hash partition) and by doc_id (coverage window +
-    * the final per-doc fold, same key ⇒ one exchange, reused). Doc
-    * reconstruction is the sort_array(collect_list(struct)) recipe
-    * (AggOps top-N-names precedent) — per-doc frames bounded by doc
-    * length. */
+    * Scale: one token-grain pass (posexplode); the canonical owner per
+    * shingle is an aggregate + equi-join back (the [[passageDedup]]
+    * hot-shingle rationale — never a min-over-window on h), tail
+    * positions with no shingle bypass that join via union so no
+    * null-hash mega-partition exists, and the coverage window + final
+    * per-doc fold share one doc_id exchange. Doc reconstruction is the
+    * sort_array(collect_list(struct)) recipe (AggOps top-N-names
+    * precedent) — per-doc frames bounded by doc length. */
   val passageClean: Q = Q.checked(
     "q_dedup_passage_clean",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -140,15 +144,18 @@ object RetrievalOps {
       .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("p", "token")))
       .select(col("doc_id"), col("p"), col("token"),
         when(col("p") <= size(col("t")) - 8,
-          md5(array_join(slice(col("t"), col("p") + 1, lit(8)), " ")
-            .cast(BinaryType))).as("h"))
-    // canonical-owner window only over rows that HAVE a shingle — the
-    // tail positions union back around it so no null-h mega-partition
-    // ever reaches the exchange
-    val starts = pos.filter(col("h").isNotNull)
+          unhex(md5(array_join(slice(col("t"), col("p") + 1, lit(8)), " ")
+            .cast(BinaryType)))).as("h"))
+    // canonical owner per shingle: aggregate + equi-join back (not a
+    // min-over-Window.partitionBy(h) — see passageDedup's hot-shingle
+    // note: the aggregate combines map-side, the join AQE-skew-splits),
+    // and only over rows that HAVE a shingle — the tail positions union
+    // back around it so no null-h mega-partition ever reaches an exchange
+    val withH = pos.filter(col("h").isNotNull)
+    val owners = withH.groupBy("h").agg(min(col("doc_id")).as("min_doc"))
+    val starts = withH.join(owners, "h")
       .withColumn("marked",
-        (min(col("doc_id")).over(Window.partitionBy("h")) < col("doc_id"))
-          .cast(IntegerType))
+        (col("min_doc") < col("doc_id")).cast(IntegerType))
     val tails = pos.filter(col("h").isNull).withColumn("marked", lit(0))
     starts.select("doc_id", "p", "token", "marked")
       .unionByName(tails.select("doc_id", "p", "token", "marked"))
