@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal multi-version table format: atomic snapshot commits with
+  * file-level time travel, no metastore, no dependencies — the property
+  * Maintenance's stage-then-swap gives a SINGLE generation, extended to
+  * a retained history (the Iceberg/Delta essence in one file).
+  *
+  * Layout under the table root:
+  * {{{
+  *   data/<commit-uuid>/part-*.parquet   immutable once committed
+  *   _log/v<N>.manifest                  one line per data file (absolute)
+  * }}}
+  *
+  * The COMMIT POINT is the manifest rename: data files are written first
+  * (invisible — readers only open files a manifest names), the manifest
+  * is staged as a dot-file and renamed into place. Filesystem rename is
+  * atomic and fails if the destination exists, which doubles as
+  * optimistic concurrency: two committers racing for v<N> cannot both
+  * win — the loser re-reads the log and retries at v<N+1>, never
+  * clobbering. A crash before the rename leaves only unreferenced data
+  * files; readers are unaffected and [[vacuum]] reclaims them.
+  *
+  * Why manifests and not directory listing at 100 TB: a snapshot read
+  * plans from ONE small file instead of a recursive listing over
+  * millions of objects; concurrent writers never make a reader see a
+  * half-written table (no `_temporary` races, no partial-directory
+  * reads); and retention is an explicit, crash-safe operation instead
+  * of "hope nobody reads while we delete".
+  */
+object SnapshotLog {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(dir: String) = new Path(dir, "_log")
+
+  private val V = """v(\d+)\.manifest""".r
+
+  /** Committed versions, ascending (empty for a fresh/nonexistent table). */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    val ld = logDir(dir)
+    if (!f.exists(ld)) Seq.empty
+    else f.listStatus(ld).toSeq.flatMap(s => s.getPath.getName match {
+      case V(n) => Some(n.toLong)
+      case _    => None
+    }).sorted
+  }
+
+  private def manifestPath(dir: String, v: Long) =
+    new Path(logDir(dir), s"v$v.manifest")
+
+  private def filesOf(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    val f = fs(spark, dir)
+    val in = f.open(manifestPath(dir, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Commit `df` as the next version; returns the version number.
+    * Data lands in a fresh uuid directory first; the manifest rename is
+    * the only visible transition. Retries the version claim until the
+    * rename wins (bounded by the number of concurrent committers). */
+  def commit(spark: SparkSession, dir: String, df: DataFrame): Long = {
+    val f = fs(spark, dir)
+    val commitId = java.util.UUID.randomUUID().toString
+    val dataDir = new Path(dir, s"data/$commitId")
+    df.write.parquet(dataDir.toString)
+    val files = f.listStatus(dataDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+    f.mkdirs(logDir(dir))
+    val body = files.mkString("\n").getBytes("UTF-8")
+    var attempt = 0
+    while (true) {
+      val v = versions(spark, dir).lastOption.getOrElse(0L) + 1
+      val stage = new Path(logDir(dir), s".v$v.$commitId.staging")
+      val out = f.create(stage, true)
+      try out.write(body) finally out.close()
+      // rename-if-absent is the atomic claim (HDFS rename does not
+      // overwrite; the exists pre-check covers local-FS semantics);
+      // losing just means someone else took v — re-list and try v+1
+      // with the same data files
+      val target = manifestPath(dir, v)
+      if (!f.exists(target) && f.rename(stage, target)) return v
+      f.delete(stage, false)
+      attempt += 1
+      require(attempt < 1000, s"snapshot commit livelock under $dir")
+    }
+    -1 // unreachable
+  }
+
+  /** Read a specific version (default: latest). Plans from the
+    * manifest's exact file list — orphaned or in-flight data files are
+    * invisible by construction. Fails loudly on a vacuumed/unknown
+    * version rather than returning a partial table. */
+  def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"version $v of $dir does not exist (have ${vs.mkString(",")})")
+    val files = filesOf(spark, dir, v)
+    val f = fs(spark, dir)
+    files.foreach(p => require(f.exists(new Path(p)),
+      s"manifest v$v names a vacuumed file: $p — version retained but data gone"))
+    spark.read.parquet(files: _*)
+  }
+
+  /** Drop all but the newest `keepLast` versions and delete every data
+    * file no retained manifest references (covers crash orphans too).
+    * Deletion order is crash-safe: manifests first (a version stops
+    * being readable before its files vanish), then unreferenced data. */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1, "must retain at least one version")
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    val (drop, keep) = vs.splitAt(math.max(vs.size - keepLast, 0))
+    drop.foreach(v => f.delete(manifestPath(dir, v), false))
+    val live = keep.flatMap(filesOf(spark, dir, _)).toSet
+    val dataRoot = new Path(dir, "data")
+    var removedFiles = 0
+    if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { d =>
+      val parts = f.listStatus(d.getPath).toSeq.filter(_.isFile)
+      val (keepP, dropP) = parts.partition(s => live(s.getPath.toString))
+      dropP.foreach { s => f.delete(s.getPath, false); removedFiles += 1 }
+      if (keepP.isEmpty) f.delete(d.getPath, true) // whole commit dead
+    }
+    (drop.size, removedFiles)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.sources.SnapshotLog
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Runtime proof of the snapshot log's contract: atomic visibility,
+  * file-level time travel, optimistic version claims, crash-orphan
+  * invisibility, and vacuum's reader-safe deletion order. */
+class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshDir() =
+    Files.createTempDirectory("snaplog").toString + "/tbl"
+
+  test("commit/read/time-travel: each version returns exactly its data") {
+    import spark.implicits._
+    val dir = freshDir()
+    val v1 = SnapshotLog.commit(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val v2 = SnapshotLog.commit(spark, dir, Seq((1L, "a2"), (3L, "c")).toDF("k", "v"))
+    assert(v1 === 1L && v2 === 2L)
+    assert(SnapshotLog.versions(spark, dir) === Seq(1L, 2L))
+    val r1 = SnapshotLog.read(spark, dir, Some(1)).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val latest = SnapshotLog.read(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(r1 === Seq((1L, "a"), (2L, "b")))
+    assert(latest === Seq((1L, "a2"), (3L, "c")))
+  }
+
+  test("uncommitted data files are invisible; vacuum reclaims them") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    // simulate a crash mid-commit: data written, manifest never renamed
+    Seq((9L, "orphan")).toDF("k", "v")
+      .write.parquet(s"$dir/data/crashed-commit")
+    assert(SnapshotLog.read(spark, dir).count() === 1) // orphan invisible
+    val (droppedVs, droppedFiles) = SnapshotLog.vacuum(spark, dir, keepLast = 1)
+    assert(droppedVs === 0 && droppedFiles >= 1)
+    assert(!new java.io.File(s"$dir/data/crashed-commit").exists())
+    assert(SnapshotLog.read(spark, dir).count() === 1) // survivor intact
+  }
+
+  test("version claim is optimistic: a squatted manifest forces the next slot") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    // another committer already holds v2
+    val f = new Path(s"$dir/_log/v2.manifest")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(f, false); out.close()
+    val v = SnapshotLog.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    assert(v === 3L, "commit must skip the claimed slot, not clobber it")
+    assert(SnapshotLog.read(spark, dir, Some(3)).count() === 1)
+  }
+
+  test("vacuum drops old versions manifest-first and read fails loudly after") {
+    import spark.implicits._
+    val dir = freshDir()
+    (1 to 4).foreach { i =>
+      SnapshotLog.commit(spark, dir,
+        spark.range(i).select(col("id"), lit(s"gen$i").as("v")))
+    }
+    val (droppedVs, droppedFiles) = SnapshotLog.vacuum(spark, dir, keepLast = 2)
+    assert(droppedVs === 2 && droppedFiles >= 2)
+    assert(SnapshotLog.versions(spark, dir) === Seq(3L, 4L))
+    assert(SnapshotLog.read(spark, dir, Some(3)).count() === 3)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.read(spark, dir, Some(1))
+    }
+    assert(e.getMessage.contains("does not exist"))
+    // shared commit directories: files still referenced by v3/v4 survive
+    assert(SnapshotLog.read(spark, dir).count() === 4)
+  }
+}
