@@ -61,18 +61,25 @@ object SnapshotLog {
     finally in.close()
   }
 
-  /** Commit `df` as the next version; returns the version number.
-    * Data lands in a fresh uuid directory first; the manifest rename is
-    * the only visible transition. Retries the version claim until the
-    * rename wins (bounded by the number of concurrent committers). */
-  def commit(spark: SparkSession, dir: String, df: DataFrame): Long = {
+  /** Write `df` into a fresh immutable commit directory; returns the
+    * new part-file paths (not yet visible — nothing references them
+    * until a manifest names them). */
+  private def writeData(spark: SparkSession, dir: String, df: DataFrame,
+      commitId: String): Seq[String] = {
     val f = fs(spark, dir)
-    val commitId = java.util.UUID.randomUUID().toString
     val dataDir = new Path(dir, s"data/$commitId")
     df.write.parquet(dataDir.toString)
-    val files = f.listStatus(dataDir).toSeq
+    f.listStatus(dataDir).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString).sorted
+  }
+
+  /** Claim the next version for an explicit file list; returns the
+    * version won. Retries until the rename lands (bounded by the number
+    * of concurrent committers). */
+  private def commitFiles(spark: SparkSession, dir: String,
+      files: Seq[String], commitId: String): Long = {
+    val f = fs(spark, dir)
     f.mkdirs(logDir(dir))
     val body = files.mkString("\n").getBytes("UTF-8")
     var attempt = 0
@@ -94,6 +101,52 @@ object SnapshotLog {
     -1 // unreachable
   }
 
+  /** Commit `df` as the next version; returns the version number.
+    * Data lands in a fresh uuid directory first; the manifest rename is
+    * the only visible transition. */
+  def commit(spark: SparkSession, dir: String, df: DataFrame): Long = {
+    val commitId = java.util.UUID.randomUUID().toString
+    commitFiles(spark, dir, writeData(spark, dir, df, commitId), commitId)
+  }
+
+  /** Copy-on-write targeted delete: commit a new version with every row
+    * matching `pred` removed, REWRITING ONLY the files that contain a
+    * match — untouched files are carried into the new manifest by
+    * reference (file paths shared across versions; [[vacuum]] already
+    * reasons per-file, so sharing is retention-safe). Returns the new
+    * version, or the current one unchanged when nothing matches.
+    *
+    * This is the right-to-be-forgotten shape at 100 TB: locating
+    * affected files is one pushdown-filtered scan (parquet footer
+    * min/max skips most files without reading rows — pair with
+    * compactZOrdered clustering on the delete key to keep the affected
+    * set small), and the rewrite cost is proportional to the files the
+    * key actually lives in, not the table. Old versions still see the
+    * deleted rows until vacuumed — retention policy, not a leak: run
+    * `vacuum(keepLast=1)` for hard deletion. */
+  def deleteWhere(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.input_file_name
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    val current = filesOf(spark, dir, vs.last)
+    val affected = spark.read.parquet(current: _*)
+      .filter(pred).select(input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    // input_file_name returns URIs; manifests may store schemeless paths
+    def hit(p: String) = affected.contains(p) ||
+      affected.contains(new Path(p).toUri.toString) ||
+      affected.exists(a => new Path(a).toUri.getPath == new Path(p).toUri.getPath)
+    val (rewrite, carry) = current.partition(hit)
+    if (rewrite.isEmpty) return vs.last
+    val commitId = java.util.UUID.randomUUID().toString
+    val survivors = spark.read.parquet(rewrite: _*).filter(!pred)
+    val newFiles =
+      if (survivors.isEmpty) Seq.empty
+      else writeData(spark, dir, survivors, commitId)
+    commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId)
+  }
+
   /** Read a specific version (default: latest). Plans from the
     * manifest's exact file list — orphaned or in-flight data files are
     * invisible by construction. Fails loudly on a vacuumed/unknown
@@ -105,6 +158,8 @@ object SnapshotLog {
     require(vs.contains(v),
       s"version $v of $dir does not exist (have ${vs.mkString(",")})")
     val files = filesOf(spark, dir, v)
+    require(files.nonEmpty,
+      s"version $v of $dir is an empty table (every row was deleted)")
     val f = fs(spark, dir)
     files.foreach(p => require(f.exists(new Path(p)),
       s"manifest v$v names a vacuumed file: $p — version retained but data gone"))

@@ -57,6 +57,34 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(SnapshotLog.read(spark, dir, Some(3)).count() === 1)
   }
 
+  test("deleteWhere rewrites only affected files and shares the rest by reference") {
+    import spark.implicits._
+    val dir = freshDir()
+    // 4 files, keys range-partitioned so the delete key lives in one file
+    val df = spark.range(0, 400).select(col("id").as("k"),
+      (col("id") % 7).as("v")).repartitionByRange(4, col("k"))
+    SnapshotLog.commit(spark, dir, df)
+    val before = SnapshotLog.read(spark, dir).count()
+    val filesV1 = spark.read.textFile(s"$dir/_log/v1.manifest").collect().toSet
+    val v = SnapshotLog.deleteWhere(spark, dir, col("k") >= 350)
+    assert(v === 2L)
+    val filesV2 = spark.read.textFile(s"$dir/_log/v2.manifest").collect().toSet
+    // untouched files carried by reference, affected file gone, ≥1 new
+    val shared = filesV1.intersect(filesV2)
+    assert(shared.size === 3, s"expected 3 shared files, got ${shared.size}")
+    assert(filesV2.diff(filesV1).nonEmpty)
+    // values: new version lacks the keys, old version still has them
+    assert(SnapshotLog.read(spark, dir).count() === before - 50)
+    assert(SnapshotLog.read(spark, dir).filter(col("k") >= 350).count() === 0)
+    assert(SnapshotLog.read(spark, dir, Some(1)).count() === before)
+    // no-match delete is a no-op returning the current version
+    assert(SnapshotLog.deleteWhere(spark, dir, col("k") === -1) === 2L)
+    assert(SnapshotLog.versions(spark, dir) === Seq(1L, 2L))
+    // vacuum after share: v1-only files die, shared files survive
+    SnapshotLog.vacuum(spark, dir, keepLast = 1)
+    assert(SnapshotLog.read(spark, dir).count() === before - 50)
+  }
+
   test("vacuum drops old versions manifest-first and read fails loudly after") {
     import spark.implicits._
     val dir = freshDir()
