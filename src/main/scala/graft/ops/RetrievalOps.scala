@@ -284,7 +284,7 @@ object RetrievalOps {
     */
   val IndexBuckets = 16
 
-  private def bucketOf(token: org.apache.spark.sql.Column) =
+  private[graft] def bucketCol(token: org.apache.spark.sql.Column) =
     (conv(substring(md5(token.cast(BinaryType)), 1, 2), 16, 10)
       .cast(IntegerType) % IndexBuckets).as("bucket")
 
@@ -306,7 +306,7 @@ object RetrievalOps {
         explode(col("toks")).as("token"))
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
-      .withColumn("bucket", bucketOf(col("token")))
+      .withColumn("bucket", bucketCol(col("token")))
     tf.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
