@@ -1,0 +1,86 @@
+package graft
+
+import graft.streaming.CdcIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The CDC-maintained index must answer every query exactly as a fresh
+  * corpus scan over the CURRENT document state — through inserts,
+  * updates, deletes, replay, and physical compaction. */
+class CdcIndexSpec extends AnyFunSuite with SparkFixture {
+
+  private val Terms = Seq("join", "fast", "table")
+
+  /** Ground truth: score the given current-state docs with the corpus
+    * scorer (shared arithmetic), top-10. */
+  private def expectTop10(docs: org.apache.spark.sql.DataFrame) =
+    graft.ops.TextRankOps.bm25DocScores(docs, Terms)
+      .select(col("doc_id"), col("n_terms"),
+        col("score_dec").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  private def indexTop10(dir: String) =
+    CdcIndex.query(spark, dir, Terms).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("insert/update/delete feed matches a fresh scan of the current state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdcidx").toString + "/idx"
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+
+    // batch 0: all docs inserted
+    CdcIndex.applyChanges(spark,
+      docs.withColumn("op", lit("I")).select("op", "doc_id", "text"), 0L, dir)
+    assert(indexTop10(dir) === expectTop10(docs))
+
+    // batch 1: delete the current top-1 doc, rewrite doc 7 to score high
+    val top1 = indexTop10(dir).head._1
+    val newText = "join fast table join fast table join"
+    val changes = Seq(
+      ("D", top1, null.asInstanceOf[String]),
+      ("U", 7L, newText)
+    ).toDF("op", "doc_id", "text")
+    CdcIndex.applyChanges(spark, changes, 1L, dir)
+    val current = docs.filter(col("doc_id") =!= top1 && col("doc_id") =!= 7L)
+      .unionByName(Seq((7L, newText)).toDF("doc_id", "text"))
+    assert(indexTop10(dir) === expectTop10(current))
+    assert(indexTop10(dir).exists(_._1 === 7L), "updated doc must rank")
+    assert(!indexTop10(dir).exists(_._1 === top1), "deleted doc must vanish")
+
+    // replay batch 1 (at-least-once): byte-identical partitions, same answer
+    CdcIndex.applyChanges(spark, changes, 1L, dir)
+    assert(indexTop10(dir) === expectTop10(current))
+
+    // compact: physical apply, tombstones cleared, same answer
+    val (dropped, cleared) = CdcIndex.compact(spark, dir)
+    assert(dropped > 0 && cleared === 2L)
+    assert(!new java.io.File(CdcIndex.tombstonesPath(dir)).exists())
+    assert(indexTop10(dir) === expectTop10(current))
+
+    // post-compaction life continues: a new delete works on generation -1
+    CdcIndex.applyChanges(spark,
+      Seq(("D", 7L, null.asInstanceOf[String])).toDF("op", "doc_id", "text"),
+      2L, dir)
+    val afterDel = current.filter(col("doc_id") =!= 7L)
+    assert(indexTop10(dir) === expectTop10(afterDel))
+  }
+
+  test("update in the same batch as older postings masks old, keeps new") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdcidx2").toString + "/idx"
+    CdcIndex.applyChanges(spark,
+      Seq(("I", 1L, "alpha join beta"), ("I", 2L, "fast gamma"))
+        .toDF("op", "doc_id", "text"), 0L, dir)
+    // U twice across batches: only the latest version scores
+    CdcIndex.applyChanges(spark,
+      Seq(("U", 1L, "join join join")).toDF("op", "doc_id", "text"), 1L, dir)
+    CdcIndex.applyChanges(spark,
+      Seq(("U", 1L, "table")).toDF("op", "doc_id", "text"), 2L, dir)
+    val expect = expectTop10(
+      Seq((1L, "table"), (2L, "fast gamma")).toDF("doc_id", "text"))
+    assert(indexTop10(dir) === expect)
+  }
+}
