@@ -1,0 +1,59 @@
+package graft
+
+import graft.sim.{Ivf, IvfIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The persisted IVF index must answer probes bit-identically to the
+  * per-call IVF (same quantizer parameters), and its reads must prune to
+  * the probed list directories physically. */
+class IvfIndexSpec extends AnyFunSuite with SparkFixture {
+
+  test("index query == per-call Ivf.probeTopK exactly; scans prune to probed lists") {
+    val dir = Files.createTempDirectory("ivfidx").toString + "/idx"
+    val e = Tables.embeddings(spark, Sf)
+    IvfIndex.write(e, dir, "vec_id", "embedding", "label", iters = 2)
+
+    val fromIndex = IvfIndex
+      .queryById(spark, dir, probeId = 0L, "vec_id", "embedding", k = 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val perCall = Ivf
+      .probeTopK(e, "vec_id", "embedding", "label", probeId = 0L, k = 10,
+        nProbe = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fromIndex === perCall) // bit-identical, not approximately equal
+
+    // physical pruning: the vectors scan reads only the probed lists'
+    // directories (AQE off so the scan node's metrics are reachable)
+    val totalFiles = spark.read.parquet(IvfIndex.vectorsPath(dir))
+      .select(input_file_name()).distinct().count()
+    val nLists = spark.read.parquet(IvfIndex.centroidsPath(dir)).count()
+    assert(nLists > 3, s"need >3 lists for pruning to mean anything, got $nLists")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = Array.fill(64)(0.1)
+      val q = IvfIndex.query(spark, dir, probe, "vec_id", "embedding",
+        k = 10, nProbe = 3)
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec in plan"))
+      assert(scan.partitionFilters.nonEmpty, "list_id filter not a partition filter")
+      q.collect()
+      assert(scan.metrics("numFiles").value < totalFiles,
+        s"read ${scan.metrics("numFiles").value} of $totalFiles files — no pruning")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("unknown probe id fails loudly") {
+    val dir = Files.createTempDirectory("ivfidx2").toString + "/idx"
+    IvfIndex.write(Tables.embeddings(spark, Sf), dir, "vec_id", "embedding",
+      "label", iters = 1)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.queryById(spark, dir, probeId = -42L, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("not in index"))
+  }
+}
