@@ -261,6 +261,156 @@ object RetrievalOps {
       .limit(20)
   }
 
+  /** Retrieval-quality evaluation: NDCG@10 of the BM25 ranking, with
+    * graded relevance = number of distinct query terms the doc matches
+    * (1..3 — coverage as a label proxy; a production eval substitutes
+    * human/LLM judgments through the identical arithmetic). All float
+    * hazards are removed up front: the rank discount 1/log2(rank+1) is a
+    * FIXED micro-unit lookup (authored constants, identical literals in
+    * both engines), gains are 2^rel−1 integers, so DCG/IDCG are exact
+    * integer sums and NDCG an integer milli-ratio — hash-stable
+    * cross-engine with zero transcendental calls at query time.
+    *
+    * Scale: the ranking is the shared scorer + TakeOrdered(10); the eval
+    * itself runs on the 10-row frame (partition-less windows bounded by
+    * the LIMIT — the q_filter_funnel precedent). */
+  val evalNdcg: Q = {
+    // floor(1e6 / log2(rank+1)) for rank 1..10 — authored once, used as
+    // literals in BOTH engines so no runtime log2 exists anywhere
+    val w = Seq(1000000L, 630929L, 500000L, 430676L, 386852L,
+      356207L, 333333L, 315464L, 301029L, 289064L)
+    val caseSql = w.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+    Q.checked(
+      "q_eval_ndcg",
+      s"""WITH toks AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |         unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM toks
+        |       WHERE token IN ('join', 'fast', 'table') GROUP BY 1, 2, 3),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs,
+        |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+        |      FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(CAST((((n_docs - df) * 2 + 1) * 1000000) // (df * 2 + 1)
+        |           AS DOUBLE)
+        |      * (CAST(tf AS DOUBLE) * 2.2e0)
+        |      / (CAST(tf AS DOUBLE) + 3.0e-1 + 9.0e-1
+        |         * (CAST(dl AS DOUBLE)
+        |            * (CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))
+        |      AS DECIMAL(18,6)) AS term_score
+        |  FROM tf JOIN df USING (token), n),
+        |perdoc AS (SELECT doc_id, count(*) AS rel, sum(term_score) AS score
+        |           FROM scored GROUP BY doc_id
+        |           ORDER BY score DESC, doc_id LIMIT 10),
+        |ranked AS (SELECT doc_id, rel,
+        |             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |                  AS BIGINT) AS rnk
+        |           FROM perdoc),
+        |ideal AS (SELECT rel,
+        |            CAST(row_number() OVER (ORDER BY rel DESC) AS BIGINT)
+        |              AS irnk
+        |          FROM ranked),
+        |g AS (SELECT
+        |        sum((power(2, rel) - 1)
+        |            * (CASE rnk $caseSql END)) AS dcg_micro
+        |      FROM ranked),
+        |ig AS (SELECT
+        |         sum((power(2, rel) - 1)
+        |             * (CASE irnk $caseSql END)) AS idcg_micro
+        |       FROM ideal)
+        |SELECT CAST(dcg_micro AS BIGINT) AS dcg_micro,
+        |  CAST(idcg_micro AS BIGINT) AS idcg_micro,
+        |  CAST(dcg_micro * 1000 // idcg_micro AS BIGINT) AS ndcg_milli
+        |FROM g, ig""".stripMargin
+    ) { (s, dir) =>
+      val wCol = w.zipWithIndex.foldLeft(lit(0L)) { case (acc, (v, i)) =>
+        when(col("rnk") === (i + 1), lit(v)).otherwise(acc)
+      }
+      val ranked = TextRankOps
+        .bm25DocScores(Tables.documents(s, dir), Seq("join", "fast", "table"))
+        .orderBy(col("score_dec").desc, col("doc_id")).limit(10)
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("score_dec").desc, col("doc_id")))
+          .cast(LongType))
+        .select(col("n_terms").as("rel"), col("rnk"))
+      val ideal = ranked
+        .withColumn("irnk", row_number()
+          .over(Window.orderBy(col("rel").desc)).cast(LongType))
+      val gain = expr("shiftleft(1L, cast(rel as int)) - 1")
+      val dcg = ranked.agg(sum(gain * wCol).as("dcg_micro"))
+      val idcg = ideal
+        .withColumn("rnk", col("irnk"))
+        .agg(sum(gain * wCol).as("idcg_micro"))
+      dcg.crossJoin(broadcast(idcg))
+        .select(col("dcg_micro"), col("idcg_micro"),
+          expr("dcg_micro * 1000 div idcg_micro").as("ndcg_milli"))
+    }
+  }
+
+  /** Cross-source contamination matrix at passage grain: for every
+    * source pair, how many distinct 8-token shingle TYPES they share,
+    * plus the overlap as a milli-fraction of the smaller side — the
+    * "which corpus leaked into which" report read before mixing sources
+    * into a training set (the passage-grain sibling of document-grain
+    * decontamination).
+    *
+    * Scale: distinct (source, h) collapses the corpus to shingle-type
+    * grain per source FIRST (hash aggregate, map-side combined); the
+    * self-join on h then produces at most |sources|² rows per shingle
+    * type — bounded by the source count, not the corpus, so the
+    * notorious all-pairs blowup cannot occur. Output is |sources|²/2
+    * rows. */
+  val crossSource: Q = Q.checked(
+    "q_dedup_cross_source",
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      |starts AS (SELECT source, t,
+      |             unnest(range(0, greatest(len(t) - 7, 0))) AS i
+      |           FROM toks),
+      |sh AS (SELECT DISTINCT source,
+      |         md5(array_to_string(t[i + 1 : i + 8], ' ')) AS h
+      |       FROM starts),
+      |tot AS (SELECT source, count(*) AS n_types FROM sh GROUP BY source),
+      |shared AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+      |  CAST(ta.n_types AS BIGINT) AS types_a,
+      |  CAST(tb.n_types AS BIGINT) AS types_b,
+      |  CAST(n_shared * 1000 // least(ta.n_types, tb.n_types) AS BIGINT)
+      |    AS overlap_milli
+      |FROM shared
+      |JOIN tot ta ON ta.source = src_a
+      |JOIN tot tb ON tb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+  ) { (s, dir) =>
+    val sh = Tables.documents(s, dir)
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("source"),
+        explode(sequence(lit(0), size(col("t")) - 8)).as("i"),
+        col("t"))
+      .select(col("source"),
+        unhex(md5(array_join(slice(col("t"), col("i") + 1, lit(8)), " ")
+          .cast(BinaryType))).as("h"))
+      .distinct()
+    val tot = sh.groupBy("source").agg(count(lit(1)).as("n_types"))
+    val a = sh.toDF("src_a", "h")
+    val b = sh.toDF("src_b", "h2")
+    a.join(b, col("h") === col("h2") && col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(tot.toDF("src_a", "types_a"), "src_a")
+      .join(tot.toDF("src_b", "types_b"), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("types_a"), col("types_b"),
+        expr("n_shared * 1000 div least(types_a, types_b)")
+          .as("overlap_milli"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Materialized inverted index — "build once, query many", the layout
     * that turns every BM25 query from a corpus scan into a
     * few-directories read:
@@ -330,5 +480,6 @@ object RetrievalOps {
       .limit(k)
   }
 
-  val all: Seq[Q] = Seq(passageDedup, passageClean, rrfFusion)
+  val all: Seq[Q] =
+    Seq(passageDedup, passageClean, rrfFusion, evalNdcg, crossSource)
 }

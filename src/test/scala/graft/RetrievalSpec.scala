@@ -95,6 +95,48 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     assert(keys === keys.sorted)
   }
 
+  test("q_eval_ndcg: DCG ≤ IDCG always; equality iff ranking sorts by relevance") {
+    val r = RetrievalOps.evalNdcg.fn(spark, Sf).collect()
+    assert(r.length === 1)
+    val (dcg, idcg, milli) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    assert(dcg > 0 && idcg >= dcg, s"dcg=$dcg idcg=$idcg")
+    assert(milli === dcg * 1000 / idcg && milli <= 1000)
+    // cross-check against a double-precision NDCG of the same top-10:
+    // integer micro-weights approximate 1/log2(rank+1) to ≤1e-6, so the
+    // milli value must match the float computation to ±1 milli
+    val ranked = TextRankOps
+      .bm25DocScores(Tables.documents(spark, Sf), Seq("join", "fast", "table"))
+      .orderBy(col("score_dec").desc, col("doc_id")).limit(10)
+      .collect().map(_.getLong(1)).toSeq // rel = n_terms, in rank order
+    def dcgF(rels: Seq[Long]) = rels.zipWithIndex.map { case (rel, i) =>
+      (math.pow(2, rel.toDouble) - 1) / (math.log(i + 2.0) / math.log(2.0))
+    }.sum
+    val expect = dcgF(ranked) / dcgF(ranked.sorted.reverse) * 1000
+    assert(math.abs(milli - expect) <= 1.0, s"milli=$milli float=$expect")
+  }
+
+  test("q_dedup_cross_source: matches brute-force shingle-type intersection") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf)
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .as[(String, Seq[String])].collect()
+    val bySrc = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap { case (_, t) =>
+        if (t.length >= 8) t.sliding(8).map(_.mkString(" ")).toSeq else Seq.empty
+      }.toSet
+    }
+    val expect = (for {
+      (a, sa) <- bySrc; (b, sb) <- bySrc if a < b
+      shared = sa.intersect(sb).size if shared > 0
+    } yield (a, b, shared.toLong, sa.size.toLong, sb.size.toLong,
+      shared.toLong * 1000 / math.min(sa.size, sb.size)))
+      .toSeq.sortBy(x => (x._1, x._2))
+    val got = RetrievalOps.crossSource.fn(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expect)
+  }
+
   test("inverted index: query-over-index equals scan-over-corpus, with real pruning") {
     val dir = java.nio.file.Files.createTempDirectory("invidx").toString + "/idx"
     val docs = Tables.documents(spark, Sf)
