@@ -225,5 +225,65 @@ object AuditOps {
       .limit(5)
   }
 
-  val all: Seq[Q] = Seq(fkAudit, chisq, joinSizeEst, benford, skewReport)
+  /** Embedding-distribution drift monitor: split the corpus into two
+    * cohorts (vec_id parity stands in for "reference window" vs "current
+    * window" — production substitutes an ingestion-date predicate) and
+    * report, per label cluster, the L1 distance between the cohorts'
+    * per-dimension mean vectors in exact micro-units — the "did the
+    * embedding distribution shift under me" alarm every
+    * similarity-search/dedup deployment needs before its thresholds
+    * silently rot.
+    *
+    * Exactness: per-element contributions snap to floor(x·1e6) BEFORE
+    * summing (floor is toward −inf in both engines, values may be
+    * negative), the per-dim mean is integer `div` (truncation toward
+    * zero in both), so every emitted number is engine-exact. Scale: one
+    * posexplode (map-only) + ONE (cohort,label,dim)-grain aggregation
+    * (map-side combined, 2·|labels|·64 output rows), then a dim-grain
+    * pivot-diff on that bounded frame. */
+  val embedDrift: Q = Q.checked(
+    "q_embed_drift",
+    """WITH e AS (SELECT vec_id % 2 AS cohort, label, embedding
+      |           FROM embeddings),
+      |d AS (SELECT cohort, label,
+      |        unnest(range(1, 65)) AS dim,
+      |        embedding[unnest(range(1, 65))] AS x
+      |      FROM e),
+      |m AS (SELECT cohort, label, dim,
+      |        CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+      |             AS BIGINT) AS s,
+      |        count(*) AS n
+      |      FROM d GROUP BY 1, 2, 3),
+      |p AS (SELECT label, dim,
+      |        min(CASE WHEN cohort = 0 THEN s // n END) AS mean_ref,
+      |        min(CASE WHEN cohort = 1 THEN s // n END) AS mean_cur,
+      |        min(CASE WHEN cohort = 0 THEN n END) AS n_ref,
+      |        min(CASE WHEN cohort = 1 THEN n END) AS n_cur
+      |      FROM m GROUP BY 1, 2)
+      |SELECT label, CAST(min(n_ref) AS BIGINT) AS n_ref,
+      |  CAST(min(n_cur) AS BIGINT) AS n_cur,
+      |  CAST(sum(abs(mean_ref - mean_cur)) AS BIGINT) AS drift_micro
+      |FROM p GROUP BY label ORDER BY label""".stripMargin
+  ) { (s, dir) =>
+    val d = Tables.embeddings(s, dir)
+      .select((col("vec_id") % 2).as("cohort"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim0", "x")))
+      .select(col("cohort"), col("label"), (col("dim0") + 1).as("dim"),
+        floor(col("x").cast(DoubleType) * 1000000).cast(LongType).as("x6"))
+    val m = d.groupBy("cohort", "label", "dim")
+      .agg(sum("x6").as("s"), count(lit(1)).as("n"))
+    val p = m.groupBy("label", "dim")
+      .agg(
+        min(when(col("cohort") === 0, expr("s div n"))).as("mean_ref"),
+        min(when(col("cohort") === 1, expr("s div n"))).as("mean_cur"),
+        min(when(col("cohort") === 0, col("n"))).as("n_ref"),
+        min(when(col("cohort") === 1, col("n"))).as("n_cur"))
+    p.groupBy("label")
+      .agg(min("n_ref").as("n_ref"), min("n_cur").as("n_cur"),
+        sum(abs(col("mean_ref") - col("mean_cur"))).as("drift_micro"))
+      .orderBy("label")
+  }
+
+  val all: Seq[Q] =
+    Seq(fkAudit, chisq, joinSizeEst, benford, skewReport, embedDrift)
 }

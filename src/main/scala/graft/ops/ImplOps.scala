@@ -262,8 +262,37 @@ object ImplOps {
       "vec_id", "embedding", "label", tauMicro = 350000L, iters = 2)
   }
 
+  /** ANN quality dashboard: recall@10 of every approximate leg (LSH,
+    * IVF, PQ+re-rank) against the exact brute-force top-10 for the
+    * standard probe — the one number an operator watches when tuning
+    * nProbe/bands/refine. Each leg's candidate generation is the
+    * registered query's own code path; the set intersection runs on the
+    * four collected 10-row frames (bounded model-state collect, the Ivf
+    * contract). Rows-only by design: the approximate legs are iterative
+    * model state no SQL oracle can express (their bounds live in
+    * IvfSpec/PqSpec/AnnSpec). */
+  val evalAnnRecall: Q = Q.implOnly("q_eval_ann_recall") { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    def ids(df: org.apache.spark.sql.DataFrame, idCol: String = "vec_id") =
+      df.select(idCol).collect().map(_.getLong(0)).toSet
+    val brute = ids(graft.sim.Ann.bruteTopK(e, "vec_id", "embedding", 0L, 10))
+    val legs = Seq(
+      "lsh" -> ids(graft.sim.Ann.annTopK(e, "vec_id", "embedding",
+        probeId = 0L, k = 10, nBits = 4)),
+      "ivf" -> ids(graft.sim.Ivf.probeTopK(e, "vec_id", "embedding", "label",
+        probeId = 0L, k = 10, nProbe = 3, iters = 2)),
+      "pq_rerank" -> ids(graft.sim.Pq.probeTopK(e, "vec_id", "embedding",
+        probeId = 0L, k = 10, refine = 50)))
+    import s.implicits._
+    legs.map { case (m, got) =>
+      val hit = got.intersect(brute).size.toLong
+      (m, 10L, hit, hit * 1000 / 10)
+    }.toDF("method", "k", "n_hit", "recall_milli")
+      .orderBy("method")
+  }
+
   val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, simAnn, simIvf,
     multimodalFeatures, approxDistinct, topkGroupAgg, multimodalDecode,
     throttleChain, multimodalVideo, simPq, dedupSemantic, dedupSemanticIncr,
-    multimodalAudio)
+    multimodalAudio, evalAnnRecall)
 }

@@ -47,6 +47,22 @@ class IvfIndexSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q_eval_ann_recall: deterministic, bounded, and exact vs the leg outputs") {
+    val rows = graft.ops.ImplOps.evalAnnRecall.fn(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.map(_._1) === Seq("ivf", "lsh", "pq_rerank"))
+    rows.foreach { case (m, hit, milli) =>
+      assert(hit >= 0 && hit <= 10 && milli === hit * 100, m)
+    }
+    // deterministic end to end (no RNG anywhere in the legs)
+    val again = graft.ops.ImplOps.evalAnnRecall.fn(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(again === rows)
+    // the re-ranked PQ leg must beat a recall floor on this fixture (its
+    // candidate shortlist covers the corpus 4x over at refine=50)
+    assert(rows.collect { case ("pq_rerank", h, _) => h }.head >= 5)
+  }
+
   test("unknown probe id fails loudly") {
     val dir = Files.createTempDirectory("ivfidx2").toString + "/idx"
     IvfIndex.write(Tables.embeddings(spark, Sf), dir, "vec_id", "embedding",
