@@ -325,6 +325,58 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("passage dedup plans: zero data-scaled windows; aggregates do the counting") {
+    // the hot-boilerplate-shingle hardening: cross-doc counts/owners must
+    // be groupBy+join (map-side combined, AQE-skew-splittable), never a
+    // window partitioned by the shingle hash
+    Seq(ops.RetrievalOps.passageDedup, ops.RetrievalOps.crossSource)
+      .foreach { q =>
+        val wins = q.fn(spark, Sf).queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+        assert(wins.isEmpty,
+          s"${q.name}: expected window-free plan, found ${wins.size} WindowExec")
+      }
+    // passageClean keeps exactly its two intended windows: the per-doc
+    // coverage frame (partitioned by doc_id) — never one over the hash
+    val cleanWins = ops.RetrievalOps.passageClean.fn(spark, Sf)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    assert(cleanWins.nonEmpty)
+    cleanWins.foreach { w =>
+      val keys = w.partitionSpec.map(_.toString).mkString(",")
+      assert(keys.contains("doc_id"),
+        s"coverage window not partitioned by doc_id: $keys")
+    }
+  }
+
+  test("q_eval_ndcg: ranking reduces via TakeOrdered; eval windows are post-limit") {
+    val qe = ops.RetrievalOps.evalNdcg.fn(spark, Sf).queryExecution
+    val plan = qe.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 should be a parallel partial top-k:\n$plan")
+    // any partition-less window must sit above the 10-row limit, i.e.
+    // its child carries the rank/eval columns, not raw corpus columns
+    qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }.foreach { w =>
+      val cols = w.child.output.map(_.name).toSet
+      assert(!cols.contains("token") && !cols.contains("text"),
+        s"eval window over a corpus-scaled frame: ${cols.mkString(",")}")
+    }
+  }
+
+  test("q_embed_drift: one two-phase aggregation over the exploded dims") {
+    val plan = formatted(ops.AuditOps.embedDrift.fn(spark, Sf))
+    // partial + final HashAggregate pairs and no join anywhere — the
+    // pivot-diff is CASE aggregation on the bounded (label, dim) frame
+    assert(!plan.contains("Join"), s"drift should not plan a join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "expected two-phase aggregation chains")
+  }
+
   test("registry names are unique and entry returns rows") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
     assert(SparkEntry.entry(spark).count() > 0)
