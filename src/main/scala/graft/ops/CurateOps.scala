@@ -146,12 +146,31 @@ object CurateOps {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM w GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin
   ) { (s, dir) =>
-    val win = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
+    // Two-pass bucketed prefix sum (the q_skyline treatment): a plain
+    // Window.partitionBy(lang) running sum puts one LANGUAGE's whole
+    // corpus in one task — parallelism capped at #languages, per-task
+    // work corpus-scale. Instead: coarse doc_id buckets → per-bucket
+    // totals → prefix offsets over the BUCKET frame (corpus/4096 rows)
+    // → broadcast back → intra-bucket running sum partitioned by
+    // (lang, bucket). Same cum_before values, hash-identical bins.
+    val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast(LongType).as("n_tok"))
-      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(win), lit(0L)))
+      .withColumn("bkt", expr("doc_id div 4096"))
+    val offsets = d.groupBy("lang", "bkt")
+      .agg(sum("n_tok").as("bkt_tok"))
+      .withColumn("offset", coalesce(
+        sum(col("bkt_tok")).over(Window.partitionBy("lang").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "bkt", "offset")
+    val intra = Window.partitionBy("lang", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // no forced broadcast: the offsets frame is corpus/4096 rows — tiny
+    // until it isn't (the q_winsorize guard lesson); AQE broadcasts it
+    // while small and falls back to a shuffle join past the threshold
+    d.join(offsets, Seq("lang", "bkt"))
+      .withColumn("cum_before",
+        col("offset") + coalesce(sum(col("n_tok")).over(intra), lit(0L)))
       .withColumn("bin_id", expr("cum_before div 2048"))
       .groupBy("lang", "bin_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
