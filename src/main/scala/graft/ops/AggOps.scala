@@ -290,11 +290,21 @@ object AggOps {
       |FROM r WHERE rn <= 5
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   ) { (s, dir) =>
-    val w = Window.partitionBy("c_mktsegment")
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
-    Tables.customer(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+    // k-bounded TopKAgg instead of a row_number window: the window twin
+    // sorts EVERY customer of a segment in one task (5 segments ⇒
+    // parallelism 5, corpus-scale per task); the aggregator's buffer
+    // caps the shuffle at 5 rows per segment per map partition and the
+    // 25-row result broadcasts back for the name lookup. Same total
+    // order (acctbal desc, custkey asc) ⇒ hash-identical output.
+    val top5 = udaf(new graft.functions.TopKAgg(5))
+    val c = Tables.customer(s, dir)
+    val top = c.groupBy("c_mktsegment")
+      .agg(top5(col("c_acctbal"), col("c_custkey")).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("c_mktsegment"), (col("pos") + 1).as("rn"),
+        col("t._2").as("c_custkey"), col("t._1").as("c_acctbal"))
+    c.select("c_custkey", "c_name")
+      .join(broadcast(top), "c_custkey")
       .groupBy("c_mktsegment")
       .agg(
         array_join(expr(

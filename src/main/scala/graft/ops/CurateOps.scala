@@ -429,12 +429,20 @@ object CurateOps {
       |SELECT doc_id, lang, rn FROM r WHERE rn <= 40
       |ORDER BY lang, rn""".stripMargin
   ) { (s, dir) =>
-    val w = Window.partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    // k-bounded bottom-40 per language via BottomKStrAgg instead of a
+    // row_number window: lang cardinality is ~dozens, so the window twin
+    // sorts a language's whole corpus in one task; the aggregator's
+    // buffer caps the shuffle at 40 (hash, id) pairs per lang per map
+    // partition. Same order (md5 asc, doc_id asc) ⇒ hash-identical.
+    val bot40 = udaf(new graft.functions.KAggs.BottomKStrAgg(40))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
-        row_number().over(w).cast(LongType).as("rn"))
-      .filter(col("rn") <= 40)
+        md5(col("doc_id").cast(StringType)).as("hx"))
+      .groupBy("lang")
+      .agg(bot40(col("hx"), col("doc_id")).as("bot"))
+      .select(col("lang"), posexplode(col("bot")).as(Seq("pos", "t")))
+      .select(col("t._2").as("doc_id"), col("lang"),
+        (col("pos") + 1).cast(LongType).as("rn"))
       .orderBy("lang", "rn")
   }
 

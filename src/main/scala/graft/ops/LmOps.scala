@@ -243,11 +243,20 @@ object LmOps {
     val tf = Tables.documents(s, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("token"))
       .groupBy("lang", "token").agg(count(lit(1)).as("f"))
-    val w = Window.partitionBy("lang").orderBy(col("f").desc, col("token"))
     def snap(c: org.apache.spark.sql.Column) =
       floor(log(c.cast(DoubleType)) * lit(1e6) + lit(0.5)).cast(LongType)
-    tf.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 100)
+    // k-bounded top-100 per language via TopKDoubleStrAgg instead of a
+    // rank window: the window twin sorts a language's ENTIRE vocabulary
+    // in one task (lang count is ~dozens ⇒ that is the parallelism cap);
+    // the aggregator's buffer caps the shuffle at 100 (f, token) pairs
+    // per lang per map partition. Counts < 2^52 are exact as Double, and
+    // the order (f desc, token asc) matches the window twin ⇒
+    // hash-identical regression inputs.
+    val top100 = udaf(new graft.functions.KAggs.TopKDoubleStrAgg(100))
+    tf.groupBy("lang")
+      .agg(top100(col("f").cast(DoubleType), col("token")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("lang"), (col("pos") + 1).as("rn"), col("t._1").as("f"))
       .select(col("lang"), snap(col("rn")).as("x"), snap(col("f")).as("y"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),

@@ -65,4 +65,30 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.length === 2)
     assert(rows.map(_.getStruct(1).getDouble(0)).toSeq === Seq(99.0, 98.0))
   }
+
+  test("BottomKStrAgg: matches the asc window order under any partitioning") {
+    import spark.implicits._
+    val bot3 = udaf(new graft.functions.KAggs.BottomKStrAgg(3))
+    val data = Seq(("b", 2L), ("a", 9L), ("a", 1L), ("c", 5L), ("a", 9L),
+      ("b", 7L), ("aa", 4L)).map { case (s, i) => (1L, s, i) }
+    def run(parts: Int) = data.toDF("g", "s", "id").repartition(parts)
+      .groupBy("g").agg(bot3(col("s"), col("id")).as("bot"))
+      .select(posexplode(col("bot"))).collect()
+      .map(r => (r.getStruct(1).getString(0), r.getStruct(1).getLong(1))).toSeq
+    val expect = data.map(t => (t._2, t._3)).sorted.take(3)
+    assert(run(1) === expect && run(5) === expect)
+  }
+
+  test("TopKDoubleStrAgg: f desc with string-asc tie-break, partition-invariant") {
+    import spark.implicits._
+    val top3 = udaf(new graft.functions.KAggs.TopKDoubleStrAgg(3))
+    val data = Seq((5.0, "zeta"), (5.0, "alpha"), (9.0, "mid"), (1.0, "low"),
+      (5.0, "beta")).map { case (v, s) => (1L, v, s) }
+    def run(parts: Int) = data.toDF("g", "v", "s").repartition(parts)
+      .groupBy("g").agg(top3(col("v"), col("s")).as("top"))
+      .select(posexplode(col("top"))).collect()
+      .map(r => (r.getStruct(1).getDouble(0), r.getStruct(1).getString(1))).toSeq
+    val expect = Seq((9.0, "mid"), (5.0, "alpha"), (5.0, "beta"))
+    assert(run(1) === expect && run(4) === expect)
+  }
 }

@@ -231,17 +231,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("FullOuter"), s"merge join lost full-outer:\n$plan")
   }
 
-  test("q_text_zipf: rank window runs over the vocab frame, not the token stream") {
-    val df = ops.LmOps.textZipf.fn(spark, Sf)
-    val plan = formatted(df)
-    // the explode (token stream) must sit BELOW the first aggregation;
-    // the window sorts only the vocab-sized tf frame
-    val lines = plan.linesIterator.toSeq
-    val genIdx = lines.indexWhere(_.contains("Generate")) // explode
-    val winIdx = lines.indexWhere(_.contains("Window"))
-    assert(genIdx >= 0 && winIdx >= 0, s"missing explode/window:\n$plan")
-    assert(winIdx < genIdx,
-      s"window must be above (planned after) the exploded token stream:\n$plan")
+  test("q_text_zipf / q_collect / q_sample_quota: per-group top-K is a k-bounded aggregate, no rank window") {
+    // the rank-window twin sorts a whole group (one language / segment)
+    // in a single task — parallelism capped at the group count; the
+    // k-capped Aggregator buffer combines map-side instead
+    for (q <- Seq(ops.LmOps.textZipf, ops.AggOps.collectTop,
+        ops.CurateOps.sampleQuota)) {
+      val qe = q.fn(spark, Sf).queryExecution
+      val wins = qe.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.isEmpty, s"${q.name}: rank window survived the rewrite")
+      assert(qe.sparkPlan.toString.contains("ObjectHashAggregate"),
+        s"${q.name}: expected the k-bounded Aggregator plan")
+    }
   }
 
   test("q_pmi / q_oov_rate: vocab top-K is TakeOrdered, no partition-less window") {
