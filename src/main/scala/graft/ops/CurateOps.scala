@@ -250,11 +250,12 @@ object CurateOps {
       |  min(CASE WHEN rn * 4 >= n * 3 THEN c_acctbal END) AS p75
       |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   ) { (s, dir) =>
-    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    val wn = Window.partitionBy("c_mktsegment")
-    Tables.customer(s, dir)
-      .select(col("c_mktsegment"), col("c_acctbal"),
-        row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+    // global rank via the bucketed two-pass (RankedFrames) — a direct
+    // per-segment window would sort the whole corpus on ~5 tasks
+    RankedFrames.rankedByValue(
+        Tables.customer(s, dir)
+          .select("c_mktsegment", "c_acctbal", "c_custkey"),
+        "c_mktsegment", "c_acctbal", "c_custkey")
       .groupBy("c_mktsegment")
       .agg(
         min(when(col("rn") * 4 >= col("n"), col("c_acctbal"))).as("p25"),
@@ -578,21 +579,31 @@ object CurateOps {
       |  min(CASE WHEN dropped = 0 THEN score_milli END) AS cut_milli
       |FROM flagged GROUP BY source ORDER BY source""".stripMargin
   ) { (s, dir) =>
-    val toks = split(col("text"), " ")
-    val w = Window.partitionBy("source").orderBy("score_milli", "doc_id")
-    Tables.documents(s, dir)
+    // Score-grain two-pass instead of a per-source rank window: TTR
+    // milli-scores live in 0..1000, so per-(source, score) counts are a
+    // ≤|sources|·1001-row frame — the ONLY window (the cumulative) runs
+    // there, never over the corpus. The rank-window twin sorts a whole
+    // source in one task; this is one map-side-combined aggregate.
+    // Identity: with cum_before(s) = docs scoring < s, a score's docs
+    // hold ranks cum_before+1..cum_before+c, so rn <= k drops exactly
+    // k = n*3 div 10 docs and the kept minimum is the first score whose
+    // cumulative count exceeds k — the same numbers the rank plan emits.
+    val scored = Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
         expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000" +
           " div size(split(text, ' '))").as("score_milli"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
-      .withColumn("dropped",
-        when(col("rn") <= expr("n * 3 div 10"), 1L).otherwise(0L))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_total"),
-        sum(col("dropped")).as("n_dropped"),
-        (count(lit(1)) - sum(col("dropped"))).as("n_kept"),
-        min(when(col("dropped") === 0, col("score_milli"))).as("cut_milli"))
+    val grain = scored.groupBy("source", "score_milli")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("source").orderBy("score_milli")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+      .withColumn("k", expr("n * 3 div 10"))
+    grain.groupBy("source")
+      .agg(max(col("n")).as("n_total"),
+        max(col("k")).as("n_dropped"),
+        (max(col("n")) - max(col("k"))).as("n_kept"),
+        min(when(col("cum") > col("k"), col("score_milli"))).as("cut_milli"))
       .orderBy("source")
   }
 

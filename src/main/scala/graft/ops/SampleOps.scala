@@ -50,11 +50,23 @@ object SampleOps {
     val u = (h.cast(DoubleType) + lit(0.5)) / lit(4294967296.0)
     val priority = floor((lit(0.0) - log(u)) / col("n_chars").cast(DoubleType)
       * lit(1.0e12) + lit(0.5)).as("priority")
-    val w = Window.partitionBy("lang").orderBy("priority", "doc_id")
-    Tables.documents(s, dir)
+    // smallest-20 per lang via TopKAgg on the NEGATED priority (priority
+    // ≤ ~1e13 < 2^52 is exact as Double, and negation preserves the
+    // doc_id tie-break): k-bounded map-side buffers instead of a rank
+    // window that sorts a language's whole corpus in one task. n_chars
+    // re-attaches via a broadcast of the ≤20·|langs| winners.
+    val bot20 = udaf(new graft.functions.TopKAgg(20))
+    val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"), priority)
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 20)
+    val top = d.groupBy("lang")
+      .agg(bot20((col("priority") * -1).cast(DoubleType), col("doc_id"))
+        .as("bot"))
+      .select(col("lang"), posexplode(col("bot")).as(Seq("pos", "t")))
+      .select(col("lang"), (col("pos") + 1).cast(LongType).as("rnk"),
+        col("t._2").as("doc_id"),
+        (col("t._1") * -1).cast(LongType).as("priority"))
+    d.select("doc_id", "n_chars")
+      .join(broadcast(top), "doc_id")
       .select("lang", "rnk", "doc_id", "n_chars", "priority")
       .orderBy("lang", "rnk")
   }
@@ -92,13 +104,14 @@ object SampleOps {
       |    AS p75
       |FROM pick ORDER BY c_mktsegment""".stripMargin
   ) { (s, dir) =>
-    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    val wn = Window.partitionBy("c_mktsegment")
     def pickAt(rnExpr: String, name: String) =
       min(when(expr(s"rn = $rnExpr"), col("c_acctbal"))).as(name)
-    Tables.customer(s, dir)
-      .select(col("c_mktsegment"), col("c_acctbal"),
-        row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+    // global rank via the bucketed two-pass (RankedFrames) — a direct
+    // per-segment window would sort the whole corpus on ~5 tasks
+    graft.ops.RankedFrames.rankedByValue(
+        Tables.customer(s, dir)
+          .select("c_mktsegment", "c_acctbal", "c_custkey"),
+        "c_mktsegment", "c_acctbal", "c_custkey")
       .groupBy("c_mktsegment", "n")
       .agg(pickAt("(n-1) div 4 + 1", "lo25"),
         pickAt("least((n-1) div 4 + 2, n)", "hi25"),
