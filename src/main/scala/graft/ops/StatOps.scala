@@ -397,10 +397,17 @@ object StatOps {
     * 2U_A = 2R_A − n_A(n_A+1) never touch a float — both engines
     * window-rank the same total (value) order and sum the same integers.
     *
-    * Scale shape: ranks are windowed WITHIN each segment partition (a
-    * bounded number of segments; at 100 TB the rank window is the
-    * standard sort-based window over each partition — no global sort),
-    * then one segment-grain aggregate. */
+    * Scale shape (r6 de-cliffing): rank() is never computed at row
+    * grain — a per-segment window would sort a segment's whole corpus
+    * in one task (~5 segments ⇒ parallelism 5). Tie-aware rank depends
+    * only on the VALUE prefix: rank(v) = 1 + #rows with smaller value,
+    * and every row of value v shares it, so the doubled rank sum
+    * collapses onto the (seg, value) frame: Σ_A (2·rk + cnt − 1)
+    * = Σ_values a_c · (2·(before+1) + c − 1). `before` comes from the
+    * bucketed two-pass (RankedFrames pattern): bounded bucket-frame
+    * prefix + intra-bucket cumulative partitioned by (seg, bucket). The
+    * whole statistic is assembled from value-grain rows — the corpus is
+    * touched exactly once, by the first aggregate. */
   val rankSum: Q = Q.checked(
     "q_rank_sum",
     """WITH r AS (
@@ -418,22 +425,34 @@ object StatOps {
       |       - sum(grp_a) * (sum(grp_a) + 1) AS BIGINT) AS u2x_a
       |FROM r GROUP BY seg ORDER BY seg""".stripMargin
   ) { (s, dir) =>
-    val rw = Window.partitionBy("seg").orderBy("o_totalprice")
-    val tw = Window.partitionBy("seg", "o_totalprice")
-    val r = Tables.orders(s, dir)
+    // value-grain collapse: one corpus aggregate, then bounded frames
+    val vals = Tables.orders(s, dir)
       .join(Tables.customer(s, dir),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("seg"),
         when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
           .otherwise(0L).as("grp_a"),
         col("o_totalprice"))
-      .withColumn("rk", rank().over(rw).cast(LongType))
-      .withColumn("cnt", count(lit(1)).over(tw))
-    r.groupBy("seg")
-      .agg(sum(col("grp_a")).cast(LongType).as("n_a"),
-        (count(lit(1)) - sum(col("grp_a"))).cast(LongType).as("n_b"),
-        (sum(when(col("grp_a") === 1, lit(2) * col("rk") + col("cnt") - 1))
-          - sum(col("grp_a")) * (sum(col("grp_a")) + 1)).cast(LongType)
+      .groupBy("seg", "o_totalprice")
+      .agg(count(lit(1)).as("c"), sum("grp_a").as("a_c"))
+      .withColumn("bkt", floor(col("o_totalprice") / 10000).cast(LongType))
+    val bktBefore = vals.groupBy("seg", "bkt")
+      .agg(sum("c").as("bc"))
+      .withColumn("b_before", coalesce(
+        sum(col("bc")).over(Window.partitionBy("seg").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("seg", "bkt", "b_before")
+    val intra = Window.partitionBy("seg", "bkt").orderBy("o_totalprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    vals.join(bktBefore, Seq("seg", "bkt"))
+      .withColumn("before",
+        col("b_before") + coalesce(sum(col("c")).over(intra), lit(0L)))
+      // rk = before + 1 for every row of this value; cnt = c
+      .groupBy("seg")
+      .agg(sum(col("a_c")).cast(LongType).as("n_a"),
+        (sum(col("c")) - sum(col("a_c"))).cast(LongType).as("n_b"),
+        (sum(col("a_c") * (lit(2) * (col("before") + 1) + col("c") - 1))
+          - sum(col("a_c")) * (sum(col("a_c")) + 1)).cast(LongType)
           .as("u2x_a"))
       .orderBy("seg")
   }
