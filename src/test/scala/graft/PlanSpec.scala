@@ -380,6 +380,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "expected two-phase aggregation chains")
   }
 
+  test("de-cliffed group ops: no window partitioned ONLY by a tiny group key") {
+    // every converted site may still use windows, but only over bounded
+    // frames (score/value/bucket grain) or with a bucket in the key —
+    // never `partition by <5-value column>` over the raw corpus
+    val tinyKeys = Set("c_mktsegment", "lang", "source", "seg")
+    val converted = Seq(ops.CurateOps.quantileDisc, ops.SampleOps.quantileCont,
+      ops.SampleOps.sampleWeighted, ops.CurateOps.qualityCut,
+      ops.StatOps.rankSum)
+    converted.foreach { q =>
+      q.fn(spark, Sf).queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.foreach { w =>
+        val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+        val rowGrainInput = w.child.output.map(_.name)
+          .exists(c => c == "doc_id" || c == "c_custkey" || c == "o_orderkey")
+        assert(!(keys.subsetOf(tinyKeys) && rowGrainInput),
+          s"${q.name}: corpus-grain window partitioned only by $keys")
+      }
+    }
+  }
+
   test("registry names are unique and entry returns rows") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
     assert(SparkEntry.entry(spark).count() > 0)
