@@ -198,7 +198,17 @@ object TextRankOps {
     * fold is exact and order-free. Returns (doc_id, n_terms, score_dec)
     * with score_dec still DECIMAL — callers order on it exactly
     * ([[bm25Query]] casts to double only for display; q_rrf_fusion ranks
-    * on the decimal). */
+    * on the decimal).
+    *
+    * Scale note on the df window: it runs over ≤|query terms| partitions
+    * whose size is docs-containing-the-term — fine for analysis terms,
+    * hot for stopwords. The alternative (df as groupBy + join back)
+    * recomputes the tf subtree — a second corpus scan on EVERY query.
+    * The production answer is neither: serve repeated queries from the
+    * materialized inverted index (RetrievalOps.writeInvertedIndex /
+    * IndexStream / CdcIndex), where df is stored or derived from the
+    * bucket-pruned postings and this window never runs. This corpus-scan
+    * path is the build-time / ad-hoc form. */
   private[graft] def bm25DocScores(docs: org.apache.spark.sql.DataFrame,
       terms: Seq[String]): org.apache.spark.sql.DataFrame = {
     val tf = docs

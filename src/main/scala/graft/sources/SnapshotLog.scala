@@ -16,12 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The COMMIT POINT is the manifest rename: data files are written first
   * (invisible — readers only open files a manifest names), the manifest
-  * is staged as a dot-file and renamed into place. Filesystem rename is
-  * atomic and fails if the destination exists, which doubles as
-  * optimistic concurrency: two committers racing for v<N> cannot both
-  * win — the loser re-reads the log and retries at v<N+1>, never
-  * clobbering. A crash before the rename leaves only unreferenced data
-  * files; readers are unaffected and [[vacuum]] reclaims them.
+  * is staged as a dot-file and renamed into place. Version ownership is
+  * decided BEFORE that rename by an atomic create-exclusive CLAIM file
+  * (POSIX O_EXCL via NIO locally, namenode-enforced exclusive create on
+  * HDFS), so two committers racing for v<N> cannot both win — the loser
+  * waits for the winner's manifest and retries at v<N+1>, never
+  * clobbering (SnapshotLogSpec races real concurrent committers). A
+  * crash before the rename leaves only unreferenced data files (and a
+  * claim that goes stale and is adopted); readers are unaffected and
+  * [[vacuum]] reclaims the orphans.
   *
   * Why manifests and not directory listing at 100 TB: a snapshot read
   * plans from ONE small file instead of a recursive listing over
@@ -74,31 +77,71 @@ object SnapshotLog {
       .map(_.getPath.toString).sorted
   }
 
+  /** Atomic create-exclusive — the one primitive the claim needs.
+    * Local paths go through NIO (POSIX O_CREAT|O_EXCL, genuinely
+    * atomic; Hadoop's RawLocalFileSystem create(overwrite=false) is a
+    * racy exists-then-create). Remote schemes use the filesystem's own
+    * exclusive create, which HDFS enforces at the namenode. */
+  private def atomicClaim(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Boolean =
+    if (f.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { f.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+
   /** Claim the next version for an explicit file list; returns the
-    * version won. Retries until the rename lands (bounded by the number
-    * of concurrent committers). */
+    * version won. Protocol per attempt: (1) atomically create the
+    * version's CLAIM file — exactly one committer can; (2) the winner
+    * stages the manifest and renames it into place (uncontended — only
+    * the claim holder writes that name), then drops its claim; (3) a
+    * loser waits briefly for the winner's manifest to appear and
+    * retries at the next version. A claim whose manifest never appears
+    * (claimant crashed mid-commit) is adopted after 60 s of staleness —
+    * the adopter deletes it and re-runs the atomic claim, which again
+    * has exactly one winner. */
   private def commitFiles(spark: SparkSession, dir: String,
       files: Seq[String], commitId: String): Long = {
     val f = fs(spark, dir)
     f.mkdirs(logDir(dir))
     val body = files.mkString("\n").getBytes("UTF-8")
     var attempt = 0
-    while (true) {
-      val v = versions(spark, dir).lastOption.getOrElse(0L) + 1
-      val stage = new Path(logDir(dir), s".v$v.$commitId.staging")
-      val out = f.create(stage, true)
-      try out.write(body) finally out.close()
-      // rename-if-absent is the atomic claim (HDFS rename does not
-      // overwrite; the exists pre-check covers local-FS semantics);
-      // losing just means someone else took v — re-list and try v+1
-      // with the same data files
-      val target = manifestPath(dir, v)
-      if (!f.exists(target) && f.rename(stage, target)) return v
-      f.delete(stage, false)
+    while (attempt < 1000) {
       attempt += 1
-      require(attempt < 1000, s"snapshot commit livelock under $dir")
+      val v = versions(spark, dir).lastOption.getOrElse(0L) + 1
+      val claim = new Path(logDir(dir), s".claim.v$v")
+      if (atomicClaim(f, claim)) {
+        // the claim can be WON STALE: the true owner manifested v and
+        // dropped its claim before our (older) version listing caught
+        // up, and we just re-created the claim file. The owner's
+        // manifest rename strictly precedes its claim delete, so the
+        // manifest is visible by now — check and step aside.
+        if (f.exists(manifestPath(dir, v))) f.delete(claim, false)
+        else {
+          val stage = new Path(logDir(dir), s".v$v.$commitId.staging")
+          val out = f.create(stage, true)
+          try out.write(body) finally out.close()
+          require(f.rename(stage, manifestPath(dir, v)),
+            s"manifest rename failed for v$v under $dir")
+          f.delete(claim, false) // manifest is live; claim no longer needed
+          return v
+        }
+      }
+      // v is claimed: wait for its manifest, or adopt a stale claim
+      if (!f.exists(manifestPath(dir, v))) {
+        val age = try System.currentTimeMillis() -
+          f.getFileStatus(claim).getModificationTime
+        catch { case _: java.io.IOException => Long.MaxValue } // claim gone
+        if (age > 60000L) f.delete(claim, false) // abandoned — retake v
+        else Thread.sleep(20)
+      }
     }
-    -1 // unreachable
+    throw new IllegalStateException(s"snapshot commit livelock under $dir")
   }
 
   /** Commit `df` as the next version; returns the version number.

@@ -85,6 +85,29 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(SnapshotLog.read(spark, dir).count() === before - 50)
   }
 
+  test("concurrent committers: every commit lands exactly once, versions dense") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir()
+    val n = 6
+    val futures = (1 to n).map { i =>
+      Future(SnapshotLog.commit(spark, dir,
+        Seq((i.toLong, s"writer$i")).toDF("k", "v")))
+    }
+    val versions = futures.map(Await.result(_, Duration("120s")))
+    // read-back-verified claims: every writer got a DISTINCT version and
+    // the log is dense 1..n — no clobbered manifests, no lost commits
+    assert(versions.sorted === (1L to n.toLong))
+    assert(SnapshotLog.versions(spark, dir) === (1L to n.toLong))
+    val all = (1L to n.toLong).flatMap { v =>
+      SnapshotLog.read(spark, dir, Some(v)).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+    }.toSet
+    assert(all === (1 to n).map(i => (i.toLong, s"writer$i")).toSet)
+  }
+
   test("vacuum drops old versions manifest-first and read fails loudly after") {
     import spark.implicits._
     val dir = freshDir()
