@@ -56,13 +56,24 @@ object SnapshotLog {
   private def manifestPath(dir: String, v: Long) =
     new Path(logDir(dir), s"v$v.manifest")
 
-  private def filesOf(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+  private def manifestLines(spark: SparkSession, dir: String,
+      v: Long): Seq[String] = {
     val f = fs(spark, dir)
     val in = f.open(manifestPath(dir, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  private def filesOf(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    manifestLines(spark, dir, v).filterNot(_.startsWith("#"))
+
+  /** The stream batch id a version was committed under, if any
+    * (`#batch=<id>` header line — see [[commitBatch]]). */
+  def batchOf(spark: SparkSession, dir: String, v: Long): Option[Long] =
+    manifestLines(spark, dir, v)
+      .collectFirst { case l if l.startsWith("#batch=") =>
+        l.stripPrefix("#batch=").toLong }
 
   /** Write `df` into a fresh immutable commit directory; returns the
     * new part-file paths (not yet visible — nothing references them
@@ -106,10 +117,11 @@ object SnapshotLog {
     * the adopter deletes it and re-runs the atomic claim, which again
     * has exactly one winner. */
   private def commitFiles(spark: SparkSession, dir: String,
-      files: Seq[String], commitId: String): Long = {
+      files: Seq[String], commitId: String,
+      header: Seq[String] = Seq.empty): Long = {
     val f = fs(spark, dir)
     f.mkdirs(logDir(dir))
-    val body = files.mkString("\n").getBytes("UTF-8")
+    val body = (header ++ files).mkString("\n").getBytes("UTF-8")
     var attempt = 0
     while (attempt < 1000) {
       attempt += 1
@@ -151,6 +163,41 @@ object SnapshotLog {
     val commitId = java.util.UUID.randomUUID().toString
     commitFiles(spark, dir, writeData(spark, dir, df, commitId), commitId)
   }
+
+  /** Streaming-table append commit: version N = EVERYTHING ingested
+    * through stream batch `batchId` (the new batch's files plus the
+    * previous version's list by reference), stamped with a `#batch=`
+    * header. Idempotent under foreachBatch's at-least-once replay: a
+    * batchId at or below the latest committed header returns the
+    * existing version untouched (Spark replays only from the last
+    * uncommitted batch, in order). Gives a streaming sink per-batch
+    * snapshot isolation, time travel ("the table as of batch k"),
+    * [[vacuum]] retention and [[deleteWhere]] — none of which a plain
+    * parquet append sink has. */
+  def commitBatch(spark: SparkSession, dir: String, df: DataFrame,
+      batchId: Long): Long = {
+    val vs = versions(spark, dir)
+    val latest = vs.lastOption
+    latest.flatMap(batchOf(spark, dir, _)).foreach { last =>
+      if (batchId <= last) return latest.get // replayed batch: no-op
+    }
+    val commitId = java.util.UUID.randomUUID().toString
+    val prev = latest.map(filesOf(spark, dir, _)).getOrElse(Seq.empty)
+    val fresh = writeData(spark, dir, df, commitId)
+    commitFiles(spark, dir, (prev ++ fresh).sorted, commitId,
+      header = Seq(s"#batch=$batchId"))
+  }
+
+  /** Wire a stream into a versioned table: one snapshot version per
+    * micro-batch via [[commitBatch]]. */
+  def sink(df: DataFrame, dir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitBatch(batch.sparkSession, dir, batch, id); ()
+      }
+      .start()
 
   /** Copy-on-write targeted delete: commit a new version with every row
     * matching `pred` removed, REWRITING ONLY the files that contain a

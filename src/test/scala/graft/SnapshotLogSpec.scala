@@ -108,6 +108,39 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(all === (1 to n).map(i => (i.toLong, s"writer$i")).toSet)
   }
 
+  test("streaming sink: one cumulative version per batch, replay-idempotent, time travel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = freshDir()
+    val ck = Files.createTempDirectory("snapck").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val q = SnapshotLog.sink(ms.toDF().withColumnRenamed("value", "k"), dir, ck)
+    try {
+      (0 until 3).foreach { b =>
+        ms.addData((b * 10L until b * 10L + 5).toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(SnapshotLog.versions(spark, dir) === Seq(1L, 2L, 3L))
+    assert((1 to 3).map(v => SnapshotLog.batchOf(spark, dir, v.toLong)) ===
+      Seq(Some(0L), Some(1L), Some(2L)))
+    // cumulative: version v holds batches 0..v-1; latest holds all 15
+    assert(SnapshotLog.read(spark, dir, Some(2)).count() === 10)
+    assert(SnapshotLog.read(spark, dir).count() === 15)
+    // at-least-once replay of the last batch: same version, untouched
+    assert(SnapshotLog.commitBatch(spark, dir,
+      Seq(20L, 21L, 22L, 23L, 24L).toDF("k"), 2L) === 3L)
+    assert(SnapshotLog.versions(spark, dir) === Seq(1L, 2L, 3L))
+    assert(SnapshotLog.read(spark, dir).count() === 15)
+    // the table format's other verbs work on the streamed table
+    assert(SnapshotLog.deleteWhere(spark, dir, col("k") >= 20) === 4L)
+    assert(SnapshotLog.read(spark, dir).count() === 10)
+    assert(SnapshotLog.read(spark, dir, Some(3)).count() === 15) // still visible
+    SnapshotLog.vacuum(spark, dir, keepLast = 1)
+    assert(SnapshotLog.read(spark, dir).count() === 10)
+  }
+
   test("vacuum drops old versions manifest-first and read fails loudly after") {
     import spark.implicits._
     val dir = freshDir()
