@@ -171,5 +171,42 @@ object ClassifierOps {
       .toDF("j", "w_micro").orderBy("j")
   }
 
-  val all: Seq[Q] = Seq(qualityScore, qualityTrain)
+  /** Held-out evaluation of the trained classifier — the loop's third
+    * verb (train → apply → EVAL): docs split by the deterministic
+    * md5-parity rule (the q_sample_split recipe) into train/test
+    * halves, weights fit on train only, then the confusion matrix and
+    * integer milli-metrics on the UNSEEN half. The apply pass scores
+    * test docs with the trained weights as a literal array — the same
+    * zero-join shape as [[qualityScore]]. Rows-only by design (training
+    * is iterative); ClassifierSpec pins the numbers against a
+    * sequential train+apply reference. */
+  val qualityEval: Q = Q.implOnly("q_quality_eval") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val inTrain = substring(md5(col("doc_id").cast(StringType)), 1, 1) < "8"
+    val w = train(docs.filter(inTrain))
+    val wLit = array(w.map(v => lit(v.toDouble / 1e6)): _*)
+    val feats = featureFrame(docs.filter(!inTrain))
+    val scored = feats
+      .withColumn("term", snap(col("x") *
+        element_at(wLit, col("j").cast(IntegerType) + 1)))
+      .groupBy("doc_id", "y")
+      .agg(sum(col("term")).as("margin"))
+      .select(col("y"), when(col("margin") > 0, 1).otherwise(0).as("pred"))
+    scored.groupBy("y", "pred").agg(count(lit(1)).as("n"))
+      .groupBy()
+      .agg(
+        sum(when(col("y") === 1 && col("pred") === 1, col("n"))).as("tp"),
+        sum(when(col("y") === 0 && col("pred") === 0, col("n"))).as("tn"),
+        sum(when(col("y") === 0 && col("pred") === 1, col("n"))).as("fp"),
+        sum(when(col("y") === 1 && col("pred") === 0, col("n"))).as("fn"))
+      .select(
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("tn"), lit(0L)).as("tn"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"))
+      .withColumn("accuracy_milli",
+        expr("(tp + tn) * 1000 div (tp + tn + fp + fn)"))
+  }
+
+  val all: Seq[Q] = Seq(qualityScore, qualityTrain, qualityEval)
 }

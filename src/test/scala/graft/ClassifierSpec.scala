@@ -83,6 +83,45 @@ class ClassifierSpec extends AnyFunSuite with SparkFixture {
     assert(loss(trained) < loss(Array.fill(ClassifierOps.B + 1)(0L)))
   }
 
+  test("q_quality_eval: held-out confusion matrix matches sequential train+apply") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    def hexHead(id: Long): Char = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      f"${d(0)}%02x".charAt(0)
+    }
+    def featsOf(ds: Seq[(Long, String)]) = ds.map { case (_, text) =>
+      val toks = text.split(" ").toSeq
+      val dl = toks.length
+      val y = if (toks.distinct.length * 2 >= dl) 1 else 0
+      val tf = toks.groupBy(bucket).map { case (j, g) =>
+        j -> g.length.toDouble / dl
+      }
+      (tf + (ClassifierOps.B -> 1.0), y)
+    }
+    val (trainDocs, testDocs) = docs.partition(d => hexHead(d._1) < '8')
+    val w = seqTrain(featsOf(trainDocs))
+    var (tp, tn, fp, fn) = (0L, 0L, 0L, 0L)
+    featsOf(testDocs).foreach { case (x, y) =>
+      val margin = x.toSeq.map { case (j, xv) =>
+        snap12(xv * (w(j).toDouble / 1e6))
+      }.foldLeft(JBig.ZERO)(_.add(_))
+      val pred = if (margin.signum() > 0) 1 else 0
+      (y, pred) match {
+        case (1, 1) => tp += 1; case (0, 0) => tn += 1
+        case (0, 1) => fp += 1; case _ => fn += 1
+      }
+    }
+    val r = ClassifierOps.qualityEval.fn(spark, Sf).collect()
+    assert(r.length === 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+      === ((tp, tn, fp, fn)))
+    assert(r(0).getLong(4) === (tp + tn) * 1000 / (tp + tn + fp + fn))
+    assert(tp + tn + fp + fn === testDocs.length.toLong)
+  }
+
   test("q_quality_model: bucket weights match the shared LCG rule") {
     import spark.implicits._
     val byDoc = Tables.documents(spark, Sf).select("doc_id", "text")
