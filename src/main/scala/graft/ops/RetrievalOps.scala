@@ -98,6 +98,63 @@ object RetrievalOps {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL passage dedup — the daily-ingest twin of
+    * [[passageDedup]] (the shape q_dedup_incr / q_dedup_semantic_incr
+    * establish): the deterministic mod-5 "incoming batch" is screened
+    * against the STANDING corpus only — for each incoming doc, how many
+    * of its distinct 8-token shingles already exist anywhere in the
+    * standing set, and the milli-fraction that are novel. Incoming docs
+    * never vote against each other (the batch is screened, not
+    * deduped — in-batch passage dedup is [[passageDedup]] run on the
+    * accepted set afterwards).
+    *
+    * Scale: the standing side collapses to DISTINCT shingle hashes
+    * (type grain, far smaller than occurrences) before a left-semi-
+    * style membership join on the 16-byte hash; per-batch cost is
+    * O(batch shingles + matched types), never standing². In production
+    * the standing shingle-type set is a persisted bucketed table
+    * appended per accepted batch — the IndexStream layout note. */
+  val passageIncr: Q = Q.checked(
+    "q_dedup_passage_incr",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         md5(array_to_string(t[i + 1 : i + 8], ' ')) AS h
+      |       FROM (SELECT doc_id, t,
+      |               unnest(range(0, greatest(len(t) - 7, 0))) AS i
+      |             FROM toks)),
+      |standing AS (SELECT DISTINCT h FROM sh WHERE doc_id % 5 <> 0),
+      |incoming AS (SELECT doc_id, h FROM sh WHERE doc_id % 5 = 0),
+      |m AS (SELECT i.doc_id, i.h,
+      |        CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END AS seen
+      |      FROM incoming i LEFT JOIN standing s ON i.h = s.h)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(sum(seen) AS BIGINT) AS n_seen,
+      |  CAST((count(*) - sum(seen)) * 1000 // count(*) AS BIGINT)
+      |    AS novel_milli
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 8)).as("i"))
+      .select(col("doc_id"),
+        unhex(md5(array_join(slice(col("t"), col("i") + 1, lit(8)), " ")
+          .cast(BinaryType))).as("h"))
+      .distinct()
+    val standing = sh.filter(col("doc_id") % 5 =!= 0)
+      .select(col("h").as("sh_h")).distinct()
+    sh.filter(col("doc_id") % 5 === 0)
+      .join(standing, col("h") === col("sh_h"), "left_outer")
+      .select(col("doc_id"),
+        when(col("sh_h").isNotNull, 1L).otherwise(0L).as("seen"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sum("seen").as("n_seen"))
+      .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+        expr("(n_shingles - n_seen) * 1000 div n_shingles").as("novel_milli"))
+      .orderBy("doc_id")
+  }
+
   /** The passage-dedup TREATMENT to [[passageDedup]]'s report: rewrite the
     * corpus with cross-doc duplicated passages REMOVED from every
     * non-canonical holder (canonical = lowest doc_id containing the
@@ -481,5 +538,6 @@ object RetrievalOps {
   }
 
   val all: Seq[Q] =
-    Seq(passageDedup, passageClean, rrfFusion, evalNdcg, crossSource)
+    Seq(passageDedup, passageIncr, passageClean, rrfFusion, evalNdcg,
+      crossSource)
 }

@@ -32,6 +32,30 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     assert(got.map(_._1).toSet.intersect(shortIds).isEmpty)
   }
 
+  test("q_dedup_passage_incr: matches a brute-force screen of batch vs standing") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .as[(Long, Seq[String])].collect()
+    def shingles(t: Seq[String]) =
+      if (t.length >= 8) t.sliding(8).map(_.mkString(" ")).toSet
+      else Set.empty[String]
+    val standing = docs.collect { case (id, t) if id % 5 != 0 => shingles(t) }
+      .fold(Set.empty[String])(_ ++ _)
+    val expect = docs.collect { case (id, t) if id % 5 == 0 && t.length >= 8 =>
+      val sh = shingles(t)
+      val seen = sh.count(standing)
+      (id, sh.size.toLong, seen.toLong,
+        (sh.size - seen).toLong * 1000 / sh.size)
+    }.sortBy(_._1).toSeq
+    val got = RetrievalOps.passageIncr.fn(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+    // screening, not in-batch dedup: two incoming docs sharing a shingle
+    // absent from standing both count it as novel
+    assert(got.nonEmpty)
+  }
+
   test("q_dedup_passage_clean: matches a sequential reference of the removal rule") {
     import spark.implicits._
     val docs = Tables.documents(spark, Sf)
