@@ -332,7 +332,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // the hot-boilerplate-shingle hardening: cross-doc counts/owners must
     // be groupBy+join (map-side combined, AQE-skew-splittable), never a
     // window partitioned by the shingle hash
-    Seq(ops.RetrievalOps.passageDedup, ops.RetrievalOps.crossSource)
+    Seq(ops.RetrievalOps.passageDedup, ops.RetrievalOps.crossSource,
+      ops.RetrievalOps.passageIncr)
       .foreach { q =>
         val wins = q.fn(spark, Sf).queryExecution.sparkPlan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec => w
