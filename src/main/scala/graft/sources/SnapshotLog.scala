@@ -1,7 +1,9 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** A minimal multi-version table format: atomic snapshot commits with
   * file-level time travel, no metastore, no dependencies — the property
@@ -14,6 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   _log/v<N>.manifest                  one line per data file (absolute)
   * }}}
   *
+  * Manifests may carry `#key=value` header lines before the file list:
+  *  - `#batch=<id>`   the stream batch a version was committed under
+  *                    ([[commitBatch]] replay idempotence);
+  *  - `#schema=<json>` the table schema AS OF that version (Spark
+  *    StructType json, single line). Readers plan with this schema, so a
+  *    version committed after a column add reads its OLDER files with
+  *    typed nulls in the new column — schema evolution is a property of
+  *    the format, not of parquet merge luck. Manifests without the
+  *    header (pre-schema logs) read schema-inferred as before.
+  *
   * The COMMIT POINT is the manifest rename: data files are written first
   * (invisible — readers only open files a manifest names), the manifest
   * is staged as a dot-file and renamed into place. Version ownership is
@@ -25,6 +37,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * crash before the rename leaves only unreferenced data files (and a
   * claim that goes stale and is adopted); readers are unaffected and
   * [[vacuum]] reclaims the orphans.
+  *
+  * Commits whose body DEPENDS on the previous version ([[commitBatch]]
+  * append, [[deleteWhere]], [[optimize]]) are optimistic-concurrency
+  * transactions: the claim protocol additionally verifies, while holding
+  * the claim, that the latest version is still the one the body was
+  * computed against; if another commit slipped in, the attempt aborts
+  * and the caller REBASES (re-reads the new latest, recomputes its file
+  * list) and retries — the Delta/Iceberg conflict-retry loop. Without
+  * this, a concurrent append vs delete would silently drop the other
+  * committer's files (lost update).
   *
   * Why manifests and not directory listing at 100 TB: a snapshot read
   * plans from ONE small file instead of a recursive listing over
@@ -75,6 +97,45 @@ object SnapshotLog {
       .collectFirst { case l if l.startsWith("#batch=") =>
         l.stripPrefix("#batch=").toLong }
 
+  /** The newest batch id committed ANYWHERE in the retained log — scans
+    * versions newest-first for a `#batch=` header. The replay guard must
+    * use this, not `batchOf(latest)`: a non-batch commit (deleteWhere,
+    * optimize, plain commit) landing between a batch commit and its
+    * at-least-once replay would otherwise blind the guard and the
+    * replayed batch's rows would be committed twice. */
+  def lastBatch(spark: SparkSession, dir: String): Option[Long] =
+    versions(spark, dir).reverseIterator
+      .flatMap(batchOf(spark, dir, _)).nextOption()
+
+  /** The table schema as of a version, if the manifest recorded one
+    * (`#schema=` header; logs written before schema tracking have none). */
+  def schemaOf(spark: SparkSession, dir: String, v: Long): Option[StructType] =
+    manifestLines(spark, dir, v)
+      .collectFirst { case l if l.startsWith("#schema=") =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("#schema=")).asInstanceOf[StructType] }
+
+  private def schemaHeader(s: StructType): String = s"#schema=${s.json}"
+
+  /** Widen `prev` with any columns `next` adds. Existing columns must
+    * keep their type (a silent type change would corrupt every older
+    * file's read); added columns are nullable — older files lack them
+    * and read as typed nulls. */
+  private[sources] def mergeSchemas(prev: StructType, next: StructType): StructType = {
+    val byName = next.fields.map(f => f.name -> f).toMap
+    val kept = prev.fields.map { pf =>
+      byName.get(pf.name).foreach { nf =>
+        require(nf.dataType == pf.dataType,
+          s"schema evolution cannot change column '${pf.name}' from " +
+            s"${pf.dataType.simpleString} to ${nf.dataType.simpleString}")
+      }
+      pf
+    }
+    val added = next.fields.filterNot(f => prev.fieldNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    StructType(kept ++ added)
+  }
+
   /** Write `df` into a fresh immutable commit directory; returns the
     * new part-file paths (not yet visible — nothing references them
     * until a manifest names them). */
@@ -107,18 +168,30 @@ object SnapshotLog {
     }
 
   /** Claim the next version for an explicit file list; returns the
-    * version won. Protocol per attempt: (1) atomically create the
-    * version's CLAIM file — exactly one committer can; (2) the winner
-    * stages the manifest and renames it into place (uncontended — only
-    * the claim holder writes that name), then drops its claim; (3) a
-    * loser waits briefly for the winner's manifest to appear and
-    * retries at the next version. A claim whose manifest never appears
-    * (claimant crashed mid-commit) is adopted after 60 s of staleness —
-    * the adopter deletes it and re-runs the atomic claim, which again
-    * has exactly one winner. */
+    * version won, or None when `base` is given and the latest version is
+    * no longer `base` (the body is stale — the caller must rebase and
+    * retry). Protocol per attempt: (1) atomically create the version's
+    * CLAIM file — exactly one committer can; (2) the winner verifies the
+    * base (see below), stages the manifest and renames it into place
+    * (uncontended — only the claim holder writes that name), then drops
+    * its claim; (3) a loser waits briefly for the winner's manifest to
+    * appear and retries at the next version. A claim whose manifest
+    * never appears (claimant crashed mid-commit) is adopted after 60 s
+    * of staleness — the adopter deletes it and re-runs the atomic claim,
+    * which again has exactly one winner.
+    *
+    * Base verification: holding the claim for v excludes every other
+    * protocol commit at v, and versions are claimed densely (last+1), so
+    * re-listing the log WHILE holding the claim gives a stable answer —
+    * if the latest differs from `base`, another commit landed after the
+    * caller computed its body; abort without manifesting (the claim is
+    * dropped, the slot re-claimable) so the caller can rebase. This is
+    * the compare-and-swap that makes read-modify-write commits
+    * (commitBatch/deleteWhere/optimize) lose-nothing under concurrency. */
   private def commitFiles(spark: SparkSession, dir: String,
       files: Seq[String], commitId: String,
-      header: Seq[String] = Seq.empty): Long = {
+      header: Seq[String] = Seq.empty,
+      base: Option[Option[Long]] = None): Option[Long] = {
     val f = fs(spark, dir)
     f.mkdirs(logDir(dir))
     val body = (header ++ files).mkString("\n").getBytes("UTF-8")
@@ -135,13 +208,17 @@ object SnapshotLog {
         // manifest is visible by now — check and step aside.
         if (f.exists(manifestPath(dir, v))) f.delete(claim, false)
         else {
+          base.foreach { expected =>
+            val latestNow = versions(spark, dir).lastOption
+            if (latestNow != expected) { f.delete(claim, false); return None }
+          }
           val stage = new Path(logDir(dir), s".v$v.$commitId.staging")
           val out = f.create(stage, true)
           try out.write(body) finally out.close()
           require(f.rename(stage, manifestPath(dir, v)),
             s"manifest rename failed for v$v under $dir")
           f.delete(claim, false) // manifest is live; claim no longer needed
-          return v
+          return Some(v)
         }
       }
       // v is claimed: wait for its manifest, or adopt a stale claim
@@ -158,34 +235,66 @@ object SnapshotLog {
 
   /** Commit `df` as the next version; returns the version number.
     * Data lands in a fresh uuid directory first; the manifest rename is
-    * the only visible transition. */
+    * the only visible transition. Replace semantics — the body does not
+    * depend on the previous version, so no base check is needed (two
+    * racing replaces serialize into two versions, either order valid). */
   def commit(spark: SparkSession, dir: String, df: DataFrame): Long = {
     val commitId = java.util.UUID.randomUUID().toString
-    commitFiles(spark, dir, writeData(spark, dir, df, commitId), commitId)
+    commitFiles(spark, dir, writeData(spark, dir, df, commitId), commitId,
+      header = Seq(schemaHeader(df.schema))).get
   }
 
   /** Streaming-table append commit: version N = EVERYTHING ingested
     * through stream batch `batchId` (the new batch's files plus the
     * previous version's list by reference), stamped with a `#batch=`
     * header. Idempotent under foreachBatch's at-least-once replay: a
-    * batchId at or below the latest committed header returns the
-    * existing version untouched (Spark replays only from the last
-    * uncommitted batch, in order). Gives a streaming sink per-batch
-    * snapshot isolation, time travel ("the table as of batch k"),
-    * [[vacuum]] retention and [[deleteWhere]] — none of which a plain
-    * parquet append sink has. */
+    * batchId at or below the newest committed `#batch=` header ANYWHERE
+    * in the log (not just the latest version — a deleteWhere/optimize
+    * may have landed since) returns the current version untouched
+    * (Spark replays only from the last uncommitted batch, in order).
+    * Concurrency-safe: the previous version's file list is re-read and
+    * the commit re-based whenever another committer lands first, so an
+    * append racing a delete loses neither side's files. Gives a
+    * streaming sink per-batch snapshot isolation, time travel ("the
+    * table as of batch k"), [[vacuum]] retention and [[deleteWhere]] —
+    * none of which a plain parquet append sink has. */
   def commitBatch(spark: SparkSession, dir: String, df: DataFrame,
       batchId: Long): Long = {
-    val vs = versions(spark, dir)
-    val latest = vs.lastOption
-    latest.flatMap(batchOf(spark, dir, _)).foreach { last =>
-      if (batchId <= last) return latest.get // replayed batch: no-op
-    }
     val commitId = java.util.UUID.randomUUID().toString
-    val prev = latest.map(filesOf(spark, dir, _)).getOrElse(Seq.empty)
-    val fresh = writeData(spark, dir, df, commitId)
-    commitFiles(spark, dir, (prev ++ fresh).sorted, commitId,
-      header = Seq(s"#batch=$batchId"))
+    var fresh: Seq[String] = null // batch data written once, on first need
+    while (true) {
+      val vs = versions(spark, dir)
+      if (lastBatch(spark, dir).exists(batchId <= _))
+        return vs.last // replayed batch: no-op (orphan data vacuumable)
+      val latest = vs.lastOption
+      if (fresh == null) fresh = writeData(spark, dir, df, commitId)
+      val schema = latest.flatMap(schemaOf(spark, dir, _))
+        .map(mergeSchemas(_, df.schema)).getOrElse(df.schema)
+      val prev = latest.map(filesOf(spark, dir, _)).getOrElse(Seq.empty)
+      commitFiles(spark, dir, (prev ++ fresh).sorted, commitId,
+        header = Seq(s"#batch=$batchId", schemaHeader(schema)),
+        base = Some(latest)) match {
+        case Some(v) => return v
+        case None    => () // lost the race — rebase on the new latest
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Streaming-table REPLACE commit: version N = the full snapshot as of
+    * stream batch `batchId` (fresh files only, nothing carried), with
+    * the same `#batch=` replay idempotence as [[commitBatch]]. This is
+    * the shape a CDC merge wants — each micro-batch produces a complete
+    * next state, not an increment — and is what
+    * [[graft.streaming.CdcStream]] commits through to give the CDC
+    * pillar atomic versions, table-grain time travel and vacuum. */
+  def commitBatchReplace(spark: SparkSession, dir: String, df: DataFrame,
+      batchId: Long): Long = {
+    val vs0 = versions(spark, dir)
+    if (lastBatch(spark, dir).exists(batchId <= _)) return vs0.last
+    val commitId = java.util.UUID.randomUUID().toString
+    commitFiles(spark, dir, writeData(spark, dir, df, commitId), commitId,
+      header = Seq(s"#batch=$batchId", schemaHeader(df.schema))).get
   }
 
   /** Wire a stream into a versioned table: one snapshot version per
@@ -206,40 +315,149 @@ object SnapshotLog {
     * reasons per-file, so sharing is retention-safe). Returns the new
     * version, or the current one unchanged when nothing matches.
     *
+    * NULL semantics: a row where `pred` evaluates to NULL was NOT
+    * matched for deletion and MUST survive. Survivors are therefore
+    * every row where the predicate is not definitely true —
+    * `!coalesce(pred, false)` — because under SQL three-valued logic a
+    * bare `filter(!pred)` would ALSO drop the NULL rows (both `pred`
+    * and `!pred` are NULL there), silently losing data the caller never
+    * asked to delete.
+    *
+    * Concurrency: the affected-file computation is a read-modify-write
+    * against the latest version; if another commit lands before ours,
+    * the base check aborts the manifest and the WHOLE operation rebases
+    * (recomputes affected files against the new latest) — a delete
+    * racing an append can never drop the append's files.
+    *
     * This is the right-to-be-forgotten shape at 100 TB: locating
     * affected files is one pushdown-filtered scan (parquet footer
     * min/max skips most files without reading rows — pair with
-    * compactZOrdered clustering on the delete key to keep the affected
+    * [[optimize]] clustering on the delete key to keep the affected
     * set small), and the rewrite cost is proportional to the files the
     * key actually lives in, not the table. Old versions still see the
     * deleted rows until vacuumed — retention policy, not a leak: run
     * `vacuum(keepLast=1)` for hard deletion. */
   def deleteWhere(spark: SparkSession, dir: String,
-      pred: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.input_file_name
-    val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"no committed snapshot under $dir")
-    val current = filesOf(spark, dir, vs.last)
-    val affected = spark.read.parquet(current: _*)
-      .filter(pred).select(input_file_name().as("f"))
-      .distinct().collect().map(_.getString(0)).toSet
-    // input_file_name returns URIs; manifests may store schemeless paths
-    def hit(p: String) = affected.contains(p) ||
-      affected.contains(new Path(p).toUri.toString) ||
-      affected.exists(a => new Path(a).toUri.getPath == new Path(p).toUri.getPath)
-    val (rewrite, carry) = current.partition(hit)
-    if (rewrite.isEmpty) return vs.last
-    val commitId = java.util.UUID.randomUUID().toString
-    val survivors = spark.read.parquet(rewrite: _*).filter(!pred)
-    val newFiles =
-      if (survivors.isEmpty) Seq.empty
-      else writeData(spark, dir, survivors, commitId)
-    commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId)
+      pred: Column): Long = {
+    while (true) {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"no committed snapshot under $dir")
+      val latest = vs.last
+      val schema = schemaOf(spark, dir, latest)
+      val current = filesOf(spark, dir, latest)
+      def readCur(paths: Seq[String]) = schema match {
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None    => spark.read.parquet(paths: _*)
+      }
+      val affected = readCur(current)
+        .filter(pred).select(input_file_name().as("f"))
+        .distinct().collect().map(_.getString(0)).toSet
+      // input_file_name returns URIs; manifests may store schemeless paths
+      def hit(p: String) = affected.contains(p) ||
+        affected.contains(new Path(p).toUri.toString) ||
+        affected.exists(a => new Path(a).toUri.getPath == new Path(p).toUri.getPath)
+      val (rewrite, carry) = current.partition(hit)
+      if (rewrite.isEmpty) return latest
+      val commitId = java.util.UUID.randomUUID().toString
+      val survivors = readCur(rewrite).filter(!coalesce(pred, lit(false)))
+      val newFiles =
+        if (survivors.isEmpty) Seq.empty
+        else writeData(spark, dir, survivors, commitId)
+      commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
+        header = schema.map(schemaHeader).toSeq,
+        base = Some(Some(latest))) match {
+        case Some(v) => return v
+        case None    => () // raced — recompute against the new latest
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Compaction as a commit: rewrite the latest version's SMALL files
+    * (length < `smallFileBytes`) into `targetFiles` larger, optionally
+    * clustered files, committed as a new version that carries every
+    * already-large file by reference. Returns the new version, or the
+    * current one when fewer than two files qualify (nothing to gain).
+    *
+    * Clustering: with `clusterBy` columns the rewrite is
+    * range-partitioned and sorted on them, so parquet footer min/max
+    * prunes subsequent reads on those columns; with EXACTLY two numeric
+    * columns and `zorder = true` the sort key is the interleaved
+    * Z-value ([[graft.functions.ZOrderExprs.zOrder2]] over
+    * `width_bucket` cells — one bounded min/max aggregate, no global
+    * rank window), so min/max prunes on EITHER column, the
+    * [[graft.ops.LayoutOps]] q_zorder property applied to table layout.
+    *
+    * Same no-lost-update discipline as [[deleteWhere]]: base-checked
+    * commit, full rebase on a lost race. Prior versions keep referencing
+    * the replaced small files until [[vacuum]] reclaims them — compaction
+    * never breaks time travel. Rows are bit-identical (a pure rewrite);
+    * no `#batch=` header is stamped, and the replay guard scans the whole
+    * log, so compacting a streamed table never un-guards replays. */
+  def optimize(spark: SparkSession, dir: String,
+      smallFileBytes: Long = 128L * 1024 * 1024,
+      targetFiles: Int = 1,
+      clusterBy: Seq[String] = Seq.empty,
+      zorder: Boolean = false): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val f = fs(spark, dir)
+    while (true) {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"no committed snapshot under $dir")
+      val latest = vs.last
+      val schema = schemaOf(spark, dir, latest)
+      val current = filesOf(spark, dir, latest)
+      val (small, large) = current.partition(p =>
+        f.getFileStatus(new Path(p)).getLen < smallFileBytes)
+      if (small.size < 2) return latest
+      val base = schema match {
+        case Some(s) => spark.read.schema(s).parquet(small: _*)
+        case None    => spark.read.parquet(small: _*)
+      }
+      val clustered =
+        if (clusterBy.isEmpty) base.repartition(targetFiles)
+        else if (zorder && clusterBy.size == 2) {
+          // bucket both dims into 2^12 uniform cells off one bounded
+          // min/max aggregate (4 driver-side scalars, never a rank
+          // window), interleave, then range-cluster on the z-value
+          val (a, b) = (clusterBy.head, clusterBy(1))
+          val bounds = base.agg(
+            min(col(a).cast("double")), max(col(a).cast("double")),
+            min(col(b).cast("double")), max(col(b).cast("double")))
+            .collect()(0).toSeq.map(v => Option(v).map(_.toString.toDouble)
+              .getOrElse(0.0))
+          val (lo1, hi1, lo2, hi2) = (bounds(0), bounds(1), bounds(2), bounds(3))
+          val cells = 1 << 12
+          // width_bucket yields 1..cells (upper bound nudged past max so
+          // the max value stays in-range); shift to 0..cells-1 so the
+          // 12-bit interleave never wraps the top cell
+          val z = graft.functions.ZOrderExprs.zOrder2(
+            width_bucket(col(a).cast("double"), lit(lo1), lit(hi1 + 1e-9), lit(cells)) - 1,
+            width_bucket(col(b).cast("double"), lit(lo2), lit(hi2 + 1e-9), lit(cells)) - 1,
+            12)
+          base.withColumn("__z", z)
+            .repartitionByRange(targetFiles, col("__z"))
+            .sortWithinPartitions("__z").drop("__z")
+        } else base
+          .repartitionByRange(targetFiles, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      val commitId = java.util.UUID.randomUUID().toString
+      val fresh = writeData(spark, dir, clustered, commitId)
+      commitFiles(spark, dir, (large ++ fresh).sorted, commitId,
+        header = schema.map(schemaHeader).toSeq,
+        base = Some(Some(latest))) match {
+        case Some(v) => return v
+        case None    => () // raced — rebase (rewrite is vacuumable orphan)
+      }
+    }
+    -1L // unreachable
   }
 
   /** Read a specific version (default: latest). Plans from the
     * manifest's exact file list — orphaned or in-flight data files are
-    * invisible by construction. Fails loudly on a vacuumed/unknown
+    * invisible by construction — and, when the manifest recorded a
+    * schema, with THAT schema: files written before a column add read
+    * typed nulls in the new column. Fails loudly on a vacuumed/unknown
     * version rather than returning a partial table. */
   def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
     val vs = versions(spark, dir)
@@ -253,25 +471,46 @@ object SnapshotLog {
     val f = fs(spark, dir)
     files.foreach(p => require(f.exists(new Path(p)),
       s"manifest v$v names a vacuumed file: $p — version retained but data gone"))
-    spark.read.parquet(files: _*)
+    schemaOf(spark, dir, v) match {
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None    => spark.read.parquet(files: _*)
+    }
   }
 
   /** Drop all but the newest `keepLast` versions and delete every data
     * file no retained manifest references (covers crash orphans too).
     * Deletion order is crash-safe: manifests first (a version stops
-    * being readable before its files vanish), then unreferenced data. */
-  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): (Int, Int) = {
+    * being readable before its files vanish), then unreferenced data.
+    *
+    * In-flight-commit safety: a committer writes data files BEFORE its
+    * manifest rename, so a file referenced by NO manifest at all may be
+    * a commit in flight, not garbage. Such never-referenced files are
+    * only reclaimed once older than `orphanGraceMs` (the Delta/Iceberg
+    * retention-window rule); files that WERE referenced — by a manifest
+    * this vacuum just dropped — are provably dead and reclaimed
+    * immediately regardless of age. */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
+      orphanGraceMs: Long = 15L * 60 * 1000): (Int, Int) = {
     require(keepLast >= 1, "must retain at least one version")
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(vs.size - keepLast, 0))
+    // capture dropped manifests' references BEFORE deleting them: these
+    // files are known-dead (their last referencing version is going away)
+    // and exempt from the orphan grace period
+    val droppedRefs = drop.flatMap(filesOf(spark, dir, _)).toSet
     drop.foreach(v => f.delete(manifestPath(dir, v), false))
     val live = keep.flatMap(filesOf(spark, dir, _)).toSet
     val dataRoot = new Path(dir, "data")
+    val now = System.currentTimeMillis()
     var removedFiles = 0
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { d =>
       val parts = f.listStatus(d.getPath).toSeq.filter(_.isFile)
-      val (keepP, dropP) = parts.partition(s => live(s.getPath.toString))
+      val (keepP, dropP) = parts.partition { s =>
+        val p = s.getPath.toString
+        live(p) ||
+          (!droppedRefs(p) && now - s.getModificationTime <= orphanGraceMs)
+      }
       dropP.foreach { s => f.delete(s.getPath, false); removedFiles += 1 }
       if (keepP.isEmpty) f.delete(d.getPath, true) // whole commit dead
     }

@@ -38,7 +38,14 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     Seq((9L, "orphan")).toDF("k", "v")
       .write.parquet(s"$dir/data/crashed-commit")
     assert(SnapshotLog.read(spark, dir).count() === 1) // orphan invisible
-    val (droppedVs, droppedFiles) = SnapshotLog.vacuum(spark, dir, keepLast = 1)
+    // with the default grace period the fresh orphan is PROTECTED — it
+    // could be a commit in flight (data lands before the manifest)
+    val (v0, f0) = SnapshotLog.vacuum(spark, dir, keepLast = 1)
+    assert(v0 === 0 && f0 === 0)
+    assert(new java.io.File(s"$dir/data/crashed-commit").exists())
+    // once past the grace window (forced to 0 here) it is reclaimed
+    val (droppedVs, droppedFiles) =
+      SnapshotLog.vacuum(spark, dir, keepLast = 1, orphanGraceMs = 0L)
     assert(droppedVs === 0 && droppedFiles >= 1)
     assert(!new java.io.File(s"$dir/data/crashed-commit").exists())
     assert(SnapshotLog.read(spark, dir).count() === 1) // survivor intact
@@ -65,10 +72,12 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
       (col("id") % 7).as("v")).repartitionByRange(4, col("k"))
     SnapshotLog.commit(spark, dir, df)
     val before = SnapshotLog.read(spark, dir).count()
-    val filesV1 = spark.read.textFile(s"$dir/_log/v1.manifest").collect().toSet
+    val filesV1 = spark.read.textFile(s"$dir/_log/v1.manifest").collect()
+      .filterNot(_.startsWith("#")).toSet
     val v = SnapshotLog.deleteWhere(spark, dir, col("k") >= 350)
     assert(v === 2L)
-    val filesV2 = spark.read.textFile(s"$dir/_log/v2.manifest").collect().toSet
+    val filesV2 = spark.read.textFile(s"$dir/_log/v2.manifest").collect()
+      .filterNot(_.startsWith("#")).toSet
     // untouched files carried by reference, affected file gone, ≥1 new
     val shared = filesV1.intersect(filesV2)
     assert(shared.size === 3, s"expected 3 shared files, got ${shared.size}")
@@ -158,5 +167,147 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("does not exist"))
     // shared commit directories: files still referenced by v3/v4 survive
     assert(SnapshotLog.read(spark, dir).count() === 4)
+  }
+
+  test("deleteWhere keeps rows where the predicate is NULL (3VL safety)") {
+    import spark.implicits._
+    val dir = freshDir()
+    // email is null for half the rows; deleting email='x' must only
+    // remove the definite matches — NULL-predicate rows are NOT matches
+    val df = Seq((1L, "x"), (2L, null), (3L, "y"), (4L, null))
+      .toDF("k", "email")
+    SnapshotLog.commit(spark, dir, df)
+    SnapshotLog.deleteWhere(spark, dir, col("email") === "x")
+    val left = SnapshotLog.read(spark, dir).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left === Seq(2L, 3L, 4L),
+      "rows with NULL predicate must survive a deleteWhere")
+  }
+
+  test("batch replay guard survives an intervening non-batch commit") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotLog.commitBatch(spark, dir, Seq(1L, 2L).toDF("k"), 0L)
+    SnapshotLog.commitBatch(spark, dir, Seq(3L, 4L).toDF("k"), 1L)
+    // a deleteWhere lands between batch 1 and its at-least-once replay:
+    // the latest manifest now has NO #batch header
+    SnapshotLog.deleteWhere(spark, dir, col("k") === 1L)
+    val before = SnapshotLog.read(spark, dir).count()
+    val v = SnapshotLog.commitBatch(spark, dir, Seq(3L, 4L).toDF("k"), 1L)
+    assert(v === SnapshotLog.versions(spark, dir).last)
+    assert(SnapshotLog.read(spark, dir).count() === before,
+      "replayed batch must not double-commit after a non-batch commit")
+  }
+
+  test("concurrent append vs delete: the loser rebases, nothing is lost") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir()
+    SnapshotLog.commitBatch(spark, dir,
+      spark.range(0, 100).select(col("id").as("k")), 0L)
+    // race a batch append (new rows 100..199) against a targeted delete
+    // (drop k < 10): whatever order they serialize in, the final table
+    // must hold exactly 10..199 — a lost update would drop one side
+    val fa = Future(SnapshotLog.commitBatch(spark, dir,
+      spark.range(100, 200).select(col("id").as("k")), 1L))
+    val fd = Future(SnapshotLog.deleteWhere(spark, dir, col("k") < 10))
+    Await.result(fa, Duration("120s")); Await.result(fd, Duration("120s"))
+    // whichever order they serialize in, the loser rebases: delete-first
+    // ⇒ the append carries the delete's survivors; append-first ⇒ the
+    // delete recomputes over the appended table. Both end at 10..199.
+    val ks = SnapshotLog.read(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(ks === (10L until 200L).toSet,
+      s"lost update: got ${ks.size} rows, missing=${(10L until 200L).toSet.diff(ks).take(5)}")
+  }
+
+  test("schema evolution: old versions read with typed nulls in added columns") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotLog.commitBatch(spark, dir, Seq((1L, "a")).toDF("k", "v"), 0L)
+    SnapshotLog.commitBatch(spark, dir,
+      Seq((2L, "b", 7.5)).toDF("k", "v", "score"), 1L)
+    // latest version: union schema, old files backfilled with nulls
+    val latest = SnapshotLog.read(spark, dir)
+    assert(latest.columns.toSeq === Seq("k", "v", "score"))
+    val rows = latest.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(rows === Seq((1L, "a", None), (2L, "b", Some(7.5))))
+    // time travel to v1 keeps the NARROW schema it was committed under
+    assert(SnapshotLog.read(spark, dir, Some(1)).columns.toSeq === Seq("k", "v"))
+    // a type CHANGE on an existing column fails loudly, never corrupts
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.commitBatch(spark, dir, Seq((3, "c", 1.0)).toDF("k", "v", "score"), 2L)
+    }
+    assert(e.getMessage.contains("schema evolution"))
+  }
+
+  test("optimize compacts small files into a clustered version; history intact") {
+    import spark.implicits._
+    val dir = freshDir()
+    // 8 small files, keys shuffled so pre-compaction min/max is useless
+    val df = spark.range(0, 800)
+      .select((col("id") * 389 % 800).as("k"), (col("id") % 7).as("v"))
+      .repartition(8)
+    SnapshotLog.commit(spark, dir, df)
+    val filesBefore = spark.read.textFile(s"$dir/_log/v1.manifest")
+      .collect().count(!_.startsWith("#"))
+    assert(filesBefore === 8)
+    val v = SnapshotLog.optimize(spark, dir, targetFiles = 2,
+      clusterBy = Seq("k"))
+    assert(v === 2L)
+    val filesAfter = spark.read.textFile(s"$dir/_log/v2.manifest")
+      .collect().count(!_.startsWith("#"))
+    assert(filesAfter === 2, s"expected 2 compacted files, got $filesAfter")
+    // identical rows, both versions readable
+    val sum1 = SnapshotLog.read(spark, dir, Some(1)).agg(sum("k")).head.getLong(0)
+    val sum2 = SnapshotLog.read(spark, dir, Some(2)).agg(sum("k")).head.getLong(0)
+    assert(sum1 === sum2)
+    assert(SnapshotLog.read(spark, dir, Some(2)).count() === 800)
+    // range clustering: each compacted file's k-span covers ~half the
+    // domain, so a point lookup prunes to one file (footer min/max)
+    val byFile = SnapshotLog.read(spark, dir, Some(2))
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi")).collect()
+    assert(byFile.length === 2)
+    val spans = byFile.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(spans(0)._2 < spans(1)._1, "compacted files must not overlap in k")
+    // a second optimize is a no-op (2 large-enough... still small files —
+    // but fewer than the minimum of 2 after filtering? they are 2 small
+    // files, so it would re-compact; verify idempotent row identity)
+    val v3 = SnapshotLog.optimize(spark, dir, targetFiles = 2, clusterBy = Seq("k"))
+    assert(v3 === 3L)
+    assert(SnapshotLog.read(spark, dir).count() === 800)
+    // vacuum reclaims the replaced small files once history is dropped
+    val (dv, dfs) = SnapshotLog.vacuum(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    assert(dv >= 1 && dfs >= 8)
+    assert(SnapshotLog.read(spark, dir).count() === 800)
+  }
+
+  test("optimize zorder clusters two dims so either column prunes") {
+    import spark.implicits._
+    val dir = freshDir()
+    val df = spark.range(0, 4096)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+      .repartition(16)
+    SnapshotLog.commit(spark, dir, df)
+    SnapshotLog.optimize(spark, dir, targetFiles = 4,
+      clusterBy = Seq("x", "y"), zorder = true)
+    val byFile = SnapshotLog.read(spark, dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("xlo"), max("x").as("xhi"),
+        min("y").as("ylo"), max("y").as("yhi")).collect()
+    assert(byFile.length === 4)
+    assert(SnapshotLog.read(spark, dir).count() === 4096)
+    // z-clustering bounds BOTH dims per file: every file's x-span and
+    // y-span must each be a strict subset of the full domain (a linear
+    // sort on x alone would leave y-spans full-width in every file)
+    val fullX = 63L; val fullY = 63L
+    val xTight = byFile.count(r => r.getLong(2) - r.getLong(1) < fullX)
+    val yTight = byFile.count(r => r.getLong(4) - r.getLong(3) < fullY)
+    assert(xTight >= 2 && yTight >= 2,
+      s"z-order must tighten both dims: xTight=$xTight yTight=$yTight")
   }
 }
