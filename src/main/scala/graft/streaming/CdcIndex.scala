@@ -59,12 +59,37 @@ object CdcIndex {
     StructField("doc_id", LongType), StructField("asof", LongType)))
 
   /** Apply one change batch: rows (op ∈ I/U/D, doc_id, text — text may
-    * be null for D). Returns the number of live documents ingested. */
+    * be null for D; optional `seq` = intra-batch order, e.g. a Kafka
+    * offset). Returns the number of live documents ingested.
+    *
+    * Intra-batch collapse: a batch may carry SEVERAL events for one
+    * doc_id (insert then delete, two rapid updates). The tombstone
+    * mask is doc-grain with strict `batch_id < asof`, so same-batch
+    * postings survive their own batch's tombstones by design (an U's
+    * new version must outlive its own mask) — which means multiple
+    * same-batch versions of a doc would all stay live and double-count
+    * tf/df, and a same-batch I-then-D would leave the doc resurrected.
+    * So each batch is first collapsed to ONE winning event per doc_id:
+    * ordered by `seq` descending when present; at equal seq (or
+    * without the column) D outranks I/U — a delete named in the batch
+    * is honored, the conservative choice for an index — and remaining
+    * ties break on a payload hash, a total order (the
+    * [[CdcStream.applyEnvelopeBatch]] recipe), never an arbitrary
+    * row_number pick. The window partitions by doc_id over ONE batch —
+    * batch-sized, not corpus-sized. */
   def applyChanges(spark: SparkSession, changes: DataFrame, batchId: Long,
       dir: String): Long = {
-    val upserts = changes.filter(col("op").isin("I", "U"))
+    val seqCol = if (changes.columns.contains("seq")) col("seq") else lit(0L)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(seqCol.desc,
+        when(col("op") === "D", 1).otherwise(0).desc,
+        xxhash64(col("op"), coalesce(col("text"), lit(""))).desc)
+    val last = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val upserts = last.filter(col("op").isin("I", "U"))
       .select("doc_id", "text")
-    val masks = changes.filter(col("op").isin("U", "D"))
+    val masks = last.filter(col("op").isin("U", "D"))
       .select(col("doc_id"), lit(batchId).as("asof"))
     val postings = upserts
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

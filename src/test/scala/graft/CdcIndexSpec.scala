@@ -83,4 +83,41 @@ class CdcIndexSpec extends AnyFunSuite with SparkFixture {
       Seq((1L, "table"), (2L, "fast gamma")).toDF("doc_id", "text"))
     assert(indexTop10(dir) === expect)
   }
+
+  test("same-batch insert-then-delete leaves the doc dead, not resurrected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdcidx3").toString + "/idx"
+    // one batch carries the doc's whole life: I at seq 0, D at seq 1
+    CdcIndex.applyChanges(spark,
+      Seq(("I", 1L, "join fast table", 0L),
+          ("D", 1L, null.asInstanceOf[String], 1L),
+          ("I", 2L, "fast gamma", 2L))
+        .toDF("op", "doc_id", "text", "seq"), 0L, dir)
+    val expect = expectTop10(Seq((2L, "fast gamma")).toDF("doc_id", "text"))
+    assert(indexTop10(dir) === expect)
+    assert(!indexTop10(dir).exists(_._1 === 1L),
+      "a doc inserted and deleted within one batch must not be live")
+  }
+
+  test("two same-batch versions of a doc: only the last one's postings count") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdcidx4").toString + "/idx"
+    CdcIndex.applyChanges(spark,
+      Seq(("I", 1L, "alpha", 0L), ("I", 2L, "fast gamma", 1L))
+        .toDF("op", "doc_id", "text", "seq"), 0L, dir)
+    // batch 1: doc 1 updated twice — only the seq-later version may score
+    // (pre-fix both wrote postings, double-counting tf/df)
+    CdcIndex.applyChanges(spark,
+      Seq(("U", 1L, "join join join", 0L), ("U", 1L, "table", 1L))
+        .toDF("op", "doc_id", "text", "seq"), 1L, dir)
+    val expect = expectTop10(
+      Seq((1L, "table"), (2L, "fast gamma")).toDF("doc_id", "text"))
+    assert(indexTop10(dir) === expect)
+    // without a seq column a same-batch D still beats its sibling events
+    CdcIndex.applyChanges(spark,
+      Seq(("U", 2L, "fast fast"), ("D", 2L, null.asInstanceOf[String]))
+        .toDF("op", "doc_id", "text"), 2L, dir)
+    val expect2 = expectTop10(Seq((1L, "table")).toDF("doc_id", "text"))
+    assert(indexTop10(dir) === expect2)
+  }
 }
