@@ -154,7 +154,20 @@ object ClassifierOps {
     * iteration is one window + one aggregate over it; the only driver
     * state is the B+1 weights. */
   def train(docs: DataFrame): Array[Long] = {
-    val feats = featureFrame(docs).localCheckpoint(false)
+    // The loop scans the feature frame once per iteration, so its
+    // lineage must be truncated AND its blocks must survive the loop.
+    // With a configured checkpoint dir (any real cluster: durable
+    // storage) use a RELIABLE eager checkpoint — executor loss
+    // mid-training recomputes nothing and kills nothing. Without one
+    // (bare local session) fall back to an EAGER local checkpoint:
+    // executor-local blocks, fine single-node, documented trade-off —
+    // never the lazy variant, whose first materialization races the
+    // first step's window and aggregate stages.
+    val raw = featureFrame(docs)
+    val spark = docs.sparkSession
+    val feats =
+      if (spark.sparkContext.getCheckpointDir.isDefined) raw.checkpoint()
+      else raw.localCheckpoint(eager = true)
     val nDocs = feats.select("doc_id").distinct().count()
     (1 to Iters).foldLeft(Array.fill(B + 1)(0L)) { (w, _) =>
       step(feats, w, nDocs)
