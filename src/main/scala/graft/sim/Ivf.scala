@@ -175,6 +175,16 @@ object Ivf {
             org.apache.spark.sql.types.DoubleType))))
     }
     val probe = probeRow.getSeq[Float](0).map(_.toDouble).toArray
+    probeOne(df, cs, idCol, embCol, probe, probeId, k, nProbe)
+  }
+
+  /** One probe against an ALREADY-TRAINED quantizer — the scoring core
+    * shared by [[probeTopK]] and [[multiProbeTopK]]. Driver-side: the
+    * nProbe nearest lists; executor-side: one filtered scan feeding
+    * TakeOrderedAndProject. */
+  private def probeOne(df: DataFrame, cs: Seq[(Long, Array[Double])],
+      idCol: String, embCol: String, probe: Array[Double], probeId: Long,
+      k: Int, nProbe: Int): DataFrame = {
     val probedLists = cs.map { case (lid, c) =>
       val d2 = probe.indices.foldLeft(0.0) { (acc, i) =>
         acc + (probe(i) - c(i)) * (probe(i) - c(i))
@@ -193,5 +203,29 @@ object Ivf {
       .select(col(idCol), col("list_id"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Batch-of-probes IVF top-k: train the quantizer ONCE, then answer
+    * every probe against it — the shape a recall dashboard or an
+    * offline eval wants ([[probeTopK]] re-trains per call, which is k
+    * probes × k-means at scale). Output: (probe_id, idCol, list_id,
+    * cos_sim), k rows per FOUND probe id (absent ids contribute no
+    * rows). Each probe's cosines are bit-identical to its single-probe
+    * call — same quantizer, same fold shapes. */
+  def multiProbeTopK(df: DataFrame, idCol: String, embCol: String,
+      seedCol: String, probeIds: Seq[Long], k: Int, nProbe: Int,
+      iters: Int = 1): DataFrame = {
+    require(probeIds.nonEmpty, "need at least one probe id")
+    val cs = collectCentroids(centroidsIter(df, embCol, seedCol, iters))
+    // bounded collect: |probeIds| vectors
+    val probes = df.filter(col(idCol).isin(probeIds: _*))
+      .select(col(idCol), col(embCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    probeIds.filter(probes.contains).map { pid =>
+      probeOne(df, cs, idCol, embCol, probes(pid), pid, k, nProbe)
+        .select(lit(pid).as("probe_id"), col(idCol), col("list_id"),
+          col("cos_sim"))
+    }.reduce(_.unionByName(_))
   }
 }

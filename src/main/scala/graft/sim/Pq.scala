@@ -129,8 +129,19 @@ object Pq {
             org.apache.spark.sql.types.StructField(idCol, LongType),
             org.apache.spark.sql.types.StructField("approx_cos", DoubleType)))))
     val probe = probeRow.getSeq[Float](0).map(_.toDouble).toArray
-    val probeNorm = math.sqrt(probe.map(x => x * x).sum)
     val model = train(df, embCol, m, subDim, codes, iters)
+    adcOne(df, encode(df, idCol, embCol, model), idCol, embCol, model,
+      probe, probeId, k, refine)
+  }
+
+  /** ADC + optional exact refine for ONE probe against an
+    * already-trained model and already-encoded corpus — the scoring
+    * core shared by [[probeTopK]] and [[multiProbeTopK]]. */
+  private def adcOne(df: DataFrame, encoded: DataFrame, idCol: String,
+      embCol: String, model: Model, probe: Array[Double], probeId: Long,
+      k: Int, refine: Int): DataFrame = {
+    val probeNorm = math.sqrt(probe.map(x => x * x).sum)
+    val subDim = model.subDim
     // driver-side LUTs: tiny (m × codes doubles each)
     def lutCols(j: Int): (Column, Column) = {
       val pj = probe.slice(j * subDim, (j + 1) * subDim)
@@ -141,11 +152,11 @@ object Pq {
       (element_at(array(dots.map(lit).toIndexedSeq: _*), idx),
         element_at(array(norms.map(lit).toIndexedSeq: _*), idx))
     }
-    val (dotSum, normSum) = (0 until m).map(lutCols)
+    val (dotSum, normSum) = (0 until model.m).map(lutCols)
       .reduce[(Column, Column)] { case ((d1, n1), (d2, n2)) =>
         (d1 + d2, n1 + n2)
       }
-    val adc = encode(df.filter(col(idCol) =!= probeId), idCol, embCol, model)
+    val adc = encoded.filter(col(idCol) =!= probeId)
       .select(col(idCol),
         (dotSum / (lit(probeNorm) * sqrt(normSum))).as("raw"))
       // zero-norm reconstruction (all-zero vector) scores NaN → floor it
@@ -164,5 +175,32 @@ object Pq {
         .orderBy(col("approx_cos").desc, col(idCol))
         .limit(k)
     }
+  }
+
+  /** Batch-of-probes PQ top-k: train the codebooks and encode the
+    * corpus ONCE, then run each probe's LUT scoring over the shared
+    * encoded frame — [[probeTopK]] pays train+encode per call, which a
+    * multi-probe eval must not. Output: (probe_id, idCol, approx_cos),
+    * k rows per FOUND probe id. Per-probe results are bit-identical to
+    * the single-probe call (same model, same encode, same LUT math). */
+  def multiProbeTopK(df: DataFrame, idCol: String, embCol: String,
+      probeIds: Seq[Long], k: Int, m: Int = 8, codes: Int = 16,
+      iters: Int = 2, refine: Int = 0): DataFrame = {
+    require(probeIds.nonEmpty, "need at least one probe id")
+    val dim = df.select(size(col(embCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val model = train(df, embCol, m, dim / m, codes, iters)
+    // encoded once, materialized once — every probe scans these blocks
+    val encoded = encode(df, idCol, embCol, model).localCheckpoint(true)
+    val probes = df.filter(col(idCol).isin(probeIds: _*))
+      .select(col(idCol), col(embCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    probeIds.filter(probes.contains).map { pid =>
+      adcOne(df, encoded, idCol, embCol, model, probes(pid), pid, k, refine)
+        .withColumn("probe_id", lit(pid))
+        .select("probe_id", idCol, "approx_cos")
+    }.reduce(_.unionByName(_))
   }
 }

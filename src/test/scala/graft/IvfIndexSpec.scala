@@ -49,18 +49,47 @@ class IvfIndexSpec extends AnyFunSuite with SparkFixture {
 
   test("q_eval_ann_recall: deterministic, bounded, and exact vs the leg outputs") {
     val rows = graft.ops.ImplOps.evalAnnRecall.fn(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
     assert(rows.map(_._1) === Seq("ivf", "lsh", "pq_rerank"))
-    rows.foreach { case (m, hit, milli) =>
-      assert(hit >= 0 && hit <= 10 && milli === hit * 100, m)
+    rows.foreach { case (m, nProbes, macroR, minR, maxR) =>
+      assert(nProbes === 8L, m)
+      assert(minR >= 0 && maxR <= 1000, m)
+      assert(minR <= macroR && macroR <= maxR,
+        s"$m: macro $macroR outside [$minR, $maxR]")
     }
     // deterministic end to end (no RNG anywhere in the legs)
     val again = graft.ops.ImplOps.evalAnnRecall.fn(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
     assert(again === rows)
-    // the re-ranked PQ leg must beat a recall floor on this fixture (its
-    // candidate shortlist covers the corpus 4x over at refine=50)
-    assert(rows.collect { case ("pq_rerank", h, _) => h }.head >= 5)
+    // the re-ranked PQ leg must beat a macro recall floor on this fixture
+    // (its candidate shortlist covers the corpus 4x over at refine=50)
+    assert(rows.collect { case ("pq_rerank", _, m, _, _) => m }.head >= 500)
+  }
+
+  test("multi-probe IVF/PQ are bit-identical to their single-probe calls") {
+    val e = Tables.embeddings(spark, Sf)
+    val probes = Seq(3L, 17L, 42L)
+    val ivfMulti = graft.sim.Ivf.multiProbeTopK(e, "vec_id", "embedding",
+      "label", probes, k = 5, nProbe = 3, iters = 2).collect()
+      .groupBy(_.getLong(0))
+    probes.foreach { p =>
+      val single = graft.sim.Ivf.probeTopK(e, "vec_id", "embedding", "label",
+        p, k = 5, nProbe = 3, iters = 2).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val multi = ivfMulti(p).map(r => (r.getLong(1), r.getDouble(3))).toSeq
+      assert(multi === single, s"ivf probe $p diverged")
+    }
+    val pqMulti = graft.sim.Pq.multiProbeTopK(e, "vec_id", "embedding",
+      probes, k = 5, refine = 20).collect().groupBy(_.getLong(0))
+    probes.foreach { p =>
+      val single = graft.sim.Pq.probeTopK(e, "vec_id", "embedding",
+        p, k = 5, refine = 20).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val multi = pqMulti(p).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(multi === single, s"pq probe $p diverged")
+    }
   }
 
   test("unknown probe id fails loudly") {
