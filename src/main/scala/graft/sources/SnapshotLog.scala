@@ -297,6 +297,38 @@ object SnapshotLog {
       header = Seq(s"#batch=$batchId", schemaHeader(df.schema))).get
   }
 
+  /** The committed version carrying stream batch `batchId`'s `#batch=`
+    * header, if retained — table-grain time travel by batch id. */
+  def versionOfBatch(spark: SparkSession, dir: String,
+      batchId: Long): Option[Long] =
+    versions(spark, dir).reverseIterator
+      .find(v => batchOf(spark, dir, v).contains(batchId))
+
+  /** Commit an EXTERNALLY-MANAGED file set as the next version (replace
+    * semantics, `#batch=` replay idempotence, explicit schema). The
+    * files are REFERENCED, not copied — the caller produced them (e.g. a
+    * bucketed CDC merge generation) and owns their lifecycle; this turns
+    * an existing directory-per-generation layout into atomic log
+    * versions without a second copy of the data. [[vacuum]] only ever
+    * deletes under this table's own `data/` root, so it will drop
+    * manifests of expired external versions but never their files — pair
+    * caller-side retention with [[referencedFiles]] to know which
+    * external files retained versions still need. */
+  def commitBatchExternal(spark: SparkSession, dir: String,
+      files: Seq[String], schema: StructType, batchId: Long): Long = {
+    val vs0 = versions(spark, dir)
+    if (lastBatch(spark, dir).exists(batchId <= _)) return vs0.last
+    commitFiles(spark, dir, files.sorted,
+      java.util.UUID.randomUUID().toString,
+      header = Seq(s"#batch=$batchId", schemaHeader(schema))).get
+  }
+
+  /** Every file any RETAINED manifest references — the caller-side
+    * retention contract for [[commitBatchExternal]] files: anything not
+    * in this set (and not the caller's live copy) is safe to reclaim. */
+  def referencedFiles(spark: SparkSession, dir: String): Set[String] =
+    versions(spark, dir).flatMap(filesOf(spark, dir, _)).toSet
+
   /** Wire a stream into a versioned table: one snapshot version per
     * micro-batch via [[commitBatch]]. */
   def sink(df: DataFrame, dir: String,

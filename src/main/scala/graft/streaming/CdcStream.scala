@@ -143,15 +143,27 @@ object CdcStream {
 
   /** Merge one micro-batch (a full extract) into the state dir. Returns
     * the per-op row counts (R8) — derived from the cached classified
-    * frame, NOT from a re-scan of the snapshot. */
+    * frame, NOT from a re-scan of the snapshot.
+    *
+    * With `logDir` set, the merged generation is ALSO committed as a
+    * [[graft.sources.SnapshotLog]] version (see [[commitStateToLog]]):
+    * the CDC state gains atomic table-grain commits, "state as of batch
+    * k" time travel, and log vacuum — by REFERENCE to the generation's
+    * own files, never a second copy. The log commit runs on the replay
+    * path too, so a crash between merge and log commit heals on the
+    * at-least-once redelivery (the log's own `#batch=` guard makes the
+    * healed commit a no-op when it already landed). */
   def mergeBatch(batch: DataFrame, batchId: Long, cfg: CdcConfig,
                  stateDir: String, buckets: Int = DefaultBuckets,
-                 feedPriors: Boolean = false): Map[String, Long] = {
+                 feedPriors: Boolean = false,
+                 logDir: Option[String] = None): Map[String, Long] = {
     val spark = batch.sparkSession
     val table = stateTable(stateDir)
     CdcBucketed.recoverStage(spark, table)
-    if (currentVersion(spark, stateDir).exists(_ >= batchId))
+    if (currentVersion(spark, stateDir).exists(_ >= batchId)) {
+      logDir.foreach(commitStateToLog(spark, stateDir, _, batchId))
       return replayedCounts(spark, stateDir, batchId)
+    }
     ensureState(spark, table, batch, cfg, stateDir, buckets)
     var ops = Map.empty[String, Long]
     CdcBucketed.mergeIntoState(spark, table, batch, cfg, batchId, buckets,
@@ -160,8 +172,66 @@ object CdcStream {
       onClassified = cl => ops = CdcMerge.counts(cl).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap,
       withPriors = feedPriors)
+    logDir.foreach(commitStateToLog(spark, stateDir, _, batchId))
     if (ops.contains(CdcMerge.Unchanged)) ops
     else ops + (CdcMerge.Unchanged -> 0L)
+  }
+
+  // ---------------------------------------------------------------------
+  // Snapshot-log commits over the merged state (table-grain time travel)
+  // ---------------------------------------------------------------------
+
+  /** Commit the v{batchId} merged generation into a
+    * [[graft.sources.SnapshotLog]] at `logDir` — by reference to the
+    * generation's part files (zero data copied; the log manifest is the
+    * atomic commit point over files the bucketed merge already wrote).
+    * Returns the log version, or None when the generation is absent or
+    * incomplete (pruned away, or its write never finished — never
+    * commit a half-written generation). Idempotent via the log's
+    * `#batch=` guard: replays and heal-on-restart commits are no-ops. */
+  def commitStateToLog(spark: SparkSession, stateDir: String,
+      logDir: String, batchId: Long): Option[Long] = {
+    val p = new Path(versionPath(stateDir, batchId))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(p, "_SUCCESS"))) return None
+    val files = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+    if (files.isEmpty) return None // empty state: nothing to version yet
+    val schema = spark.read.parquet(p.toString).schema
+    Some(graft.sources.SnapshotLog.commitBatchExternal(
+      spark, logDir, files, schema, batchId))
+  }
+
+  /** Table-grain time travel: the merged state EXACTLY as committed for
+    * stream batch `batchId`, read through the snapshot log's manifest
+    * (so it cannot see a half-written or in-flight generation), with
+    * the internal hash columns dropped. None if that batch's version
+    * was never logged or has been vacuumed. */
+  def stateAsOfBatch(spark: SparkSession, logDir: String,
+      batchId: Long): Option[DataFrame] =
+    graft.sources.SnapshotLog.versionOfBatch(spark, logDir, batchId)
+      .map(v => graft.sources.SnapshotLog.read(spark, logDir, Some(v))
+        .drop(CdcMerge.KeyHash, CdcMerge.NonKeyHash))
+
+  /** Combined retention for a snapshot-logged state dir: vacuum the log
+    * to `keepLast` versions, then delete every v{n} generation whose
+    * files no RETAINED manifest references — except the CURRENT
+    * generation (the live external table's location), which always
+    * survives. This replaces [[pruneVersions]] when a log is in play:
+    * count-based pruning would delete generations the log still lets
+    * readers time-travel into. */
+  def expireLogged(spark: SparkSession, stateDir: String, logDir: String,
+      keepLast: Int): Unit = {
+    graft.sources.SnapshotLog.vacuum(spark, logDir, keepLast)
+    val referenced = graft.sources.SnapshotLog.referencedFiles(spark, logDir)
+      .map(f => new Path(f).getParent.getName)
+    val current = currentVersion(spark, stateDir)
+    committedVersions(spark, stateDir)
+      .filterNot(v => current.contains(v) || referenced.contains(s"v$v"))
+      .foreach(v => new Path(versionPath(stateDir, v))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new Path(versionPath(stateDir, v)), true))
   }
 
   /** Counts for an already-committed (replayed) batch: its feed partition
@@ -267,12 +337,13 @@ object CdcStream {
     * [[CdcBucketed.alignStateToConfig]]) carries on. */
   def start(incoming: DataFrame, cfg: CdcConfig, stateDir: String,
             checkpointDir: String, buckets: Int = DefaultBuckets,
-            feedPriors: Boolean = false, batchIdOffset: Long = 0L): StreamingQuery =
+            feedPriors: Boolean = false, batchIdOffset: Long = 0L,
+            logDir: Option[String] = None): StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         mergeBatch(batch, id + batchIdOffset, cfg, stateDir, buckets,
-          feedPriors); ()
+          feedPriors, logDir); ()
       }
       .start()
 
