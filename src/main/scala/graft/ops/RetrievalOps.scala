@@ -112,8 +112,10 @@ object RetrievalOps {
     * (type grain, far smaller than occurrences) before a left-semi-
     * style membership join on the 16-byte hash; per-batch cost is
     * O(batch shingles + matched types), never standing². In production
-    * the standing shingle-type set is a persisted bucketed table
-    * appended per accepted batch — the IndexStream layout note. */
+    * the standing shingle-type set is the PERSISTED bucketed store of
+    * [[graft.dedup.ShingleStore]] — appended per accepted batch, screen
+    * reads prune to matched buckets; ShingleStoreSpec proves the
+    * store-backed screen row-identical to this formulation. */
   val passageIncr: Q = Q.checked(
     "q_dedup_passage_incr",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
