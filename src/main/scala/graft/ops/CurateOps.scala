@@ -746,8 +746,72 @@ object CurateOps {
       .orderBy("stage")
   }
 
+  /** Per-source token-budget fill: order each source's docs by quality
+    * (integer milli TTR, doc_id tie-break) and greedily keep the prefix
+    * whose cumulative token count fits a fixed 600-token budget — the
+    * "fill the training budget with the best of every domain" allocation
+    * run after q_mix_schedule decides the budgets. Prefix semantics are
+    * deliberate: the first doc that would overflow the budget is cut and
+    * so is everything after it (deterministic, engine-identical — no
+    * knapsack backtracking).
+    *
+    * Scale: ONE window shuffle partitioned by source (never
+    * partition-less), integer-only arithmetic (milli TTR via integer
+    * div, exact BIGINT prefix sums), then a per-source hash aggregate of
+    * the windowed frame reusing the same exchange. */
+  val tokenBudget: Q = Q.checked(
+    "q_token_budget",
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+      |    CAST(1000 * len(list_distinct(string_split(text, ' ')))
+      |      // len(string_split(text, ' ')) AS BIGINT) AS ttr_milli
+      |  FROM documents),
+      |w AS (
+      |  SELECT source, doc_id, ntok, ttr_milli,
+      |    CAST(sum(ntok) OVER (PARTITION BY source
+      |      ORDER BY ttr_milli DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tok
+      |  FROM d)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN cum_tok <= 600 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(sum(CASE WHEN cum_tok <= 600 THEN ntok ELSE 0 END) AS BIGINT)
+      |    AS tokens_kept,
+      |  CAST(min(CASE WHEN cum_tok <= 600 THEN ttr_milli END) AS BIGINT)
+      |    AS ttr_floor_milli,
+      |  1000 * CAST(sum(CASE WHEN cum_tok <= 600 THEN ntok ELSE 0 END)
+      |    AS BIGINT) // 600 AS util_milli
+      |FROM w GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        split(col("text"), " ").as("toks"))
+      .select(col("source"), col("doc_id"),
+        size(col("toks")).cast(LongType).as("ntok"),
+        expr("CAST(1000 * size(array_distinct(toks)) div size(toks) AS BIGINT)")
+          .as("ttr_milli"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("ttr_milli").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = col("cum_tok") <= 600
+    d.withColumn("cum_tok", sum(col("ntok")).over(w).cast(LongType))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(kept, 1).otherwise(0)).cast(LongType).as("n_kept"),
+        sum(when(kept, col("ntok")).otherwise(0)).cast(LongType)
+          .as("tokens_kept"),
+        min(when(kept, col("ttr_milli"))).cast(LongType)
+          .as("ttr_floor_milli"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("tokens_kept"), col("ttr_floor_milli"),
+        expr("1000 * tokens_kept div 600").as("util_milli"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(sampleSplit, sampleQuota, vocabTopk, tfidf,
     ngramCounts, packBins, curate, quantileDisc, winCume, dedupComponents,
     profile, fuzzyMatch, mixWeights, clusterCanonical, qualityCut,
-    mixSchedule, filterFunnel)
+    mixSchedule, filterFunnel, tokenBudget)
 }

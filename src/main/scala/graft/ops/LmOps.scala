@@ -321,5 +321,139 @@ object LmOps {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(lmScore, pmi, oovRate, textZipf, ngramNovelty)
+  /** Vocabulary-growth (Heaps-law) curve over the corpus in arrival
+    * order: cumulative distinct bigram types vs cumulative bigram tokens
+    * across 20 fixed doc-id buckets — the saturation signal that tells a
+    * crawl "new data has stopped adding new language" before another
+    * 10 TB is ingested.
+    *
+    * Scale design: a bigram's FIRST document (min doc_id) is a vocab-
+    * sized hash aggregate with map-side combine — the cumulative-distinct
+    * problem never touches a data-scaled window. The bucket count is
+    * FIXED at 20 regardless of corpus size (doc_id·20 div n_docs), so
+    * the prefix-sum window runs over exactly ≤20 rows — a bounded stage
+    * frame (q_filter_funnel precedent), never a per-doc frame. */
+  val vocabGrowth: Q = Q.checked(
+    "q_vocab_growth",
+    """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' ' ||
+      |           string_split(text, ' ')[i+1])) AS bigram
+      |  FROM documents),
+      |bgfirst AS (SELECT bigram, min(doc_id) AS first_doc FROM bg
+      |            GROUP BY bigram),
+      |firsts AS (
+      |  SELECT first_doc * 20 // tot.n_docs AS b, count(*) AS nt
+      |  FROM bgfirst, tot GROUP BY 1),
+      |toks AS (
+      |  SELECT doc_id * 20 // tot.n_docs AS b, count(*) AS nbg
+      |  FROM bg, tot GROUP BY 1),
+      |cum AS (
+      |  SELECT t.b AS bucket,
+      |    CAST(sum(t.nbg) OVER (ORDER BY t.b ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bigrams,
+      |    CAST(sum(coalesce(f.nt, 0)) OVER (ORDER BY t.b ROWS BETWEEN
+      |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+      |  FROM toks t LEFT JOIN firsts f ON t.b = f.b)
+      |SELECT bucket, cum_bigrams, cum_types,
+      |  1000 * cum_types // cum_bigrams AS growth_milli
+      |FROM cum ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val tot = docs.agg(count(lit(1)).as("n_docs"))
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+          .stripMargin)).as("bigram"))
+    val firsts = bg.groupBy("bigram").agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(tot))
+      .groupBy(expr("first_doc * 20 div n_docs").as("b"))
+      .agg(count(lit(1)).as("nt"))
+    val toks = bg.crossJoin(broadcast(tot))
+      .groupBy(expr("doc_id * 20 div n_docs").as("b"))
+      .agg(count(lit(1)).as("nbg"))
+    // ≤20-row stage frame: the partition-less prefix sum is bounded by
+    // the FIXED bucket count, not the corpus (BASELINE.md warning note)
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(firsts, Seq("b"), "left")
+      .select(col("b").as("bucket"),
+        sum(col("nbg")).over(w).cast(LongType).as("cum_bigrams"),
+        sum(coalesce(col("nt"), lit(0))).over(w).cast(LongType)
+          .as("cum_types"))
+      .select(col("bucket"), col("cum_bigrams"), col("cum_types"),
+        expr("1000 * cum_types div cum_bigrams").as("growth_milli"))
+      .orderBy("bucket")
+  }
+
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * KL(p_source ‖ p_corpus) in bits: the "which slice diverges from the
+    * mix" drift number read next to q_ngram_novelty before reweighting a
+    * source. Identical integer-snapped-log recipe as lmScore: each log2
+    * is evaluated once on an integer count and snapped to BIGINT 1e10
+    * micro-units, so every per-token term f_st·(L(f_st)−L(n_s)−L(f_t)+
+    * L(N)) is an exact integer, sums are fold-order-free, and the only
+    * IEEE ops are the two terminal divisions.
+    *
+    * Scale: token-grain frames are vocab-sized hash aggregates (map-side
+    * combined); the source totals (|sources| rows) and the 1-row corpus
+    * total broadcast back — nothing data-scaled past the first agg. */
+  val klSource: Q = Q.checked(
+    "q_kl_source",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS f_st
+      |       FROM tok GROUP BY 1, 2),
+      |t AS (SELECT token, CAST(count(*) AS BIGINT) AS f_t FROM tok
+      |      GROUP BY 1),
+      |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM tok
+      |       GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+      |terms AS (
+      |  SELECT st.source,
+      |    st.f_st * (
+      |      CAST(floor(log2(CAST(st.f_st AS DOUBLE)) * 1e10 + 5.0e-1)
+      |        AS BIGINT)
+      |      - CAST(floor(log2(CAST(ns.n_s AS DOUBLE)) * 1e10 + 5.0e-1)
+      |        AS BIGINT)
+      |      - CAST(floor(log2(CAST(t.f_t AS DOUBLE)) * 1e10 + 5.0e-1)
+      |        AS BIGINT)
+      |      + CAST(floor(log2(CAST(tot.n AS DOUBLE)) * 1e10 + 5.0e-1)
+      |        AS BIGINT)) AS t10,
+      |    ns.n_s AS n_s
+      |  FROM st JOIN t ON st.token = t.token
+      |    JOIN ns ON st.source = ns.source, tot)
+      |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+      |  CAST(sum(t10) AS DOUBLE) / 1e10 / CAST(max(n_s) AS DOUBLE)
+      |    AS kl_bits
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    def snap10(c: org.apache.spark.sql.Column) =
+      floor(log2(c.cast(DoubleType)) * lit(1e10) + lit(0.5)).cast(LongType)
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val st = tok.groupBy("source", "token").agg(count(lit(1)).as("f_st"))
+    val t = tok.groupBy("token").agg(count(lit(1)).as("f_t"))
+    val ns = tok.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val tot = tok.agg(count(lit(1)).as("n"))
+    st.join(t, "token").join(broadcast(ns), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"),
+        (col("f_st") * (snap10(col("f_st")) - snap10(col("n_s"))
+          - snap10(col("f_t")) + snap10(col("n")))).as("t10"))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"),
+        (sum(col("t10")).cast(DoubleType) / lit(1e10)
+          / max(col("n_s")).cast(DoubleType)).as("kl_bits"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(lmScore, pmi, oovRate, textZipf, ngramNovelty,
+    vocabGrowth, klSource)
 }

@@ -271,6 +271,46 @@ object ScalarOps {
         coalesce(min(col("p1")), lit("none")).as("min_p"))
   }
 
+  /** Bitwise scalar + aggregate suite (SQL:2016 bit_and/bit_or/bit_xor):
+    * per event type, a 16-bit user-presence mask (bit_or of a shifted
+    * one-hot), its popcount, the xor-fold of the props integer k, and the
+    * and-fold of (k | 256) — the compact-bitmap idioms (presence masks,
+    * permission folds, parity checks) that replace collect_set at scale.
+    * One hash aggregation with map-side combine; bit folds are
+    * associative+commutative, so partial aggregation is exact.
+    *
+    * Both engines evaluate identical integer ops — no floats anywhere.
+    * Spark's `^` is DuckDB's POWER: the oracle must use DuckDB's xor()/
+    * bit_xor() spellings, never `^` (a silent cross-dialect trap). */
+  val bitOps: Q = Q.checked(
+    "q_bit_ops",
+    """WITH e AS (
+      |  SELECT event_type, user_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(bit_or(1 << CAST(user_id % 16 AS INT)) AS BIGINT) AS user_mask,
+      |  CAST(bit_count(CAST(bit_or(1 << CAST(user_id % 16 AS INT))
+      |    AS BIGINT)) AS BIGINT) AS user_mask_bits,
+      |  CAST(bit_xor(k) AS BIGINT) AS k_xor,
+      |  CAST(bit_and(k | 256) AS BIGINT) AS k_and
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(bit_or(shiftleft(1, CAST(user_id % 16 AS INT))) AS BIGINT)")
+          .as("user_mask"),
+        expr("""CAST(bit_count(CAST(bit_or(shiftleft(1,
+          CAST(user_id % 16 AS INT))) AS BIGINT)) AS BIGINT)""")
+          .as("user_mask_bits"),
+        expr("CAST(bit_xor(k) AS BIGINT)").as("k_xor"),
+        expr("CAST(bit_and(k | 256) AS BIGINT)").as("k_and"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(strFuncs, dateFuncs, mathFuncs, json, hashFuncs,
-    array, explode, mapOps, nullSemantics)
+    array, explode, mapOps, nullSemantics, bitOps)
 }

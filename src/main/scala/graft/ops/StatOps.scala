@@ -538,7 +538,62 @@ object StatOps {
       .orderBy("l_suppkey")
   }
 
+  /** Per-event-type OLS fit of value (cents) against the props integer k
+    * — the "does this metric trend with the knob" screen run before
+    * trusting a correlation at 100 TB. One hash aggregation computes the
+    * five exact BIGINT moments (n, Σx, Σy, Σxy, Σx²) with map-side
+    * combine; the slope/intercept are closed-form ratios of those
+    * moments, so the whole fit is one shuffle of ≤|event_type| rows —
+    * no per-row window, no second pass, nothing driver-side.
+    *
+    * Determinism (§7.5): x = k (integer), y = floor(value·100 + 0.5)
+    * cents; all five moments are exact BIGINTs (bounded ≪ 2⁶³ by
+    * |rows|·max(x·y), checked against FIXTURES ranges); the normal-
+    * equation numerators/denominator are exact BIGINT products (the
+    * intercept numerator may exceed 2⁵³ — its int64→double cast is
+    * correctly rounded identically in both engines); slope and intercept
+    * are then ONE IEEE division each, snapped to 1e6 micro-units. */
+  val regrSlope: Q = Q.checked(
+    "q_regr_slope",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS x,
+      |    CAST(floor(value * 100 + 5.0e-1) AS BIGINT) AS y
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CAST(CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE)
+      |      / CAST(n*sxx - sx*sx AS DOUBLE) * 1e6 + 5.0e-1) AS BIGINT)
+      |    AS DOUBLE) / 1e6 AS slope,
+      |  CAST(CAST(floor(CAST(sy*sxx - sx*sxy AS DOUBLE)
+      |      / CAST(n*sxx - sx*sx AS DOUBLE) * 1e6 + 5.0e-1) AS BIGINT)
+      |    AS DOUBLE) / 1e6 AS intercept
+      |FROM s ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    val e = Tables.events(s, dir).select(col("event_type"),
+      get_json_object(col("props"), "$.k").cast(LongType).as("x"),
+      floor(col("value") * 100 + lit(0.5)).cast(LongType).as("y"))
+    val m = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    def snap6(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column) =
+      floor(num.cast(DoubleType) / den.cast(DoubleType) * lit(1e6)
+        + lit(0.5)).cast(LongType).cast(DoubleType) / lit(1e6)
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    m.select(col("event_type"), col("n"),
+        snap6(col("n") * col("sxy") - col("sx") * col("sy"), den).as("slope"),
+        snap6(col("sy") * col("sxx") - col("sx") * col("sxy"), den)
+          .as("intercept"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] =
     Seq(histogram, outliers, groupedMode, skyline, madOutliers, decayScore,
-      pareto, rankSum, winsorize)
+      pareto, rankSum, winsorize, regrSlope)
 }
