@@ -24,6 +24,9 @@ import scala.jdk.CollectionConverters._
   *     value_cols: [c_name, c_acctbal]
   *     state_dir: /data/state/customer
   *     strict_schema: false             # optional, default false
+  *     log_dir: /data/log/customer      # optional: SnapshotLog-backed
+  *                                      # state (atomic commits, batch-k
+  *                                      # time travel, vacuum retention)
   * }}}
   *
   * Supported: `tables:` root, `- ` item starts, `key: value` pairs,
@@ -113,7 +116,8 @@ object ConfigFile {
 
     val known = Set("name", "source_path", "format", "schema",
       "key_cols", "value_cols", "state_dir", "strict_schema",
-      "kafka_bootstrap", "kafka_topic", "kafka_starting_offsets")
+      "kafka_bootstrap", "kafka_topic", "kafka_starting_offsets",
+      "log_dir")
 
     tables.toSeq.map { case (itemLine, m) =>
       m.foreach { case (k, (li, _)) =>
@@ -179,6 +183,15 @@ object ConfigFile {
             startingOffsets = m.get("kafka_starting_offsets")
               .map { case (_, v) => unquote(v) }.getOrElse("earliest")))
         }
+      // snapshot-log binding: a log_dir equal to the state_dir would
+      // interleave manifests with merge generations — reject at load
+      val logDir = m.get("log_dir").map { case (li, v) =>
+        val d = unquote(v)
+        if (d == req("state_dir"))
+          fail(li, "log_dir must differ from state_dir (manifests would " +
+            "collide with merge generations)")
+        d
+      }
       PipelineConfig(
         sourcePath = req("source_path"),
         format = format,
@@ -187,7 +200,8 @@ object ConfigFile {
         valueCols = valueCols,
         stateDir = req("state_dir"),
         strictSchema = strict,
-        kafka = kafka)
+        kafka = kafka,
+        logDir = logDir)
     }
   }
 }

@@ -39,7 +39,13 @@ final case class PipelineConfig(
     valueCols: Seq[String],
     stateDir: String,
     strictSchema: Boolean = false,
-    kafka: Option[KafkaBinding] = None) {
+    kafka: Option[KafkaBinding] = None,
+    // with `log_dir` set, every merged generation also commits as a
+    // SnapshotLog version: atomic table-grain commits, "state as of
+    // batch k" time travel, and log-driven retention for the whole
+    // configured fleet (CdcStream.commitStateToLog — by reference to
+    // the generation's files, zero data copied)
+    logDir: Option[String] = None) {
   def cdc: CdcConfig = CdcConfig(keyCols, valueCols)
 }
 
@@ -68,7 +74,8 @@ object Pipeline {
     * merge). */
   def run(spark: SparkSession, cfg: PipelineConfig,
           batchId: Long): Map[String, Long] =
-    CdcStream.mergeBatch(readExtract(spark, cfg), batchId, cfg.cdc, cfg.stateDir)
+    CdcStream.mergeBatch(readExtract(spark, cfg), batchId, cfg.cdc,
+      cfg.stateDir, logDir = cfg.logDir)
 
   /** Many-table run — the reference's "at scale" deployment shape is
     * hundreds of source tables per scheduled run [upstream `README.md`].
@@ -186,10 +193,10 @@ object Pipeline {
     cfg.format match {
       case "csv" => CdcStream.start(
         Sources.csvStream(spark, cfg.sourcePath, cfg.schema),
-        cfg.cdc, cfg.stateDir, checkpointDir)
+        cfg.cdc, cfg.stateDir, checkpointDir, logDir = cfg.logDir)
       case "parquet" => CdcStream.start(
         Sources.parquetStream(spark, cfg.sourcePath, cfg.schema),
-        cfg.cdc, cfg.stateDir, checkpointDir)
+        cfg.cdc, cfg.stateDir, checkpointDir, logDir = cfg.logDir)
       case "debezium" =>
         // with a Kafka binding the feed comes off the topic; otherwise
         // the JSON-lines file stream stands in (wire format identical)
@@ -199,7 +206,7 @@ object Pipeline {
         }
         CdcStream.startFromEnvelope(
           Sources.debeziumEnvelope(records, cfg.schema),
-          cfg.cdc, cfg.stateDir, checkpointDir)
+          cfg.cdc, cfg.stateDir, checkpointDir, logDir = cfg.logDir)
       case other => throw new IllegalArgumentException(s"stream format: $other")
     }
 }

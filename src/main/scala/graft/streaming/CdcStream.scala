@@ -580,11 +580,18 @@ object CdcStream {
     * touched keys carries the keyhash prefix, so the state side again
     * plans no Exchange. */
   def applyEnvelopeBatch(batch: DataFrame, batchId: Long, cfg: CdcConfig,
-                         stateDir: String, buckets: Int = DefaultBuckets): Unit = {
+                         stateDir: String, buckets: Int = DefaultBuckets,
+                         logDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val table = stateTable(stateDir)
     CdcBucketed.recoverStage(spark, table)
-    if (currentVersion(spark, stateDir).exists(_ >= batchId)) return
+    if (currentVersion(spark, stateDir).exists(_ >= batchId)) {
+      // heal-on-replay: a crash between state rename and log commit
+      // leaves the generation unlogged — the redelivery commits it
+      // (no-op when it already landed, via the log's #batch= guard)
+      logDir.foreach(commitStateToLog(spark, stateDir, _, batchId))
+      return
+    }
     ensureState(spark, table, batch.select(cfg.allCols.map(col): _*), cfg,
       stateDir, buckets)
 
@@ -613,6 +620,7 @@ object CdcStream {
       location = Some(versionPath(stateDir, batchId)))
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    logDir.foreach(commitStateToLog(spark, stateDir, _, batchId))
   }
 
   /** Wire a CDC-source-shaped envelope stream (see
@@ -620,11 +628,12 @@ object CdcStream {
     * foreachBatch. */
   def startFromEnvelope(envelope: DataFrame, cfg: CdcConfig, stateDir: String,
                         checkpointDir: String,
-                        buckets: Int = DefaultBuckets): StreamingQuery =
+                        buckets: Int = DefaultBuckets,
+                        logDir: Option[String] = None): StreamingQuery =
     envelope.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyEnvelopeBatch(batch, id, cfg, stateDir, buckets)
+        applyEnvelopeBatch(batch, id, cfg, stateDir, buckets, logDir)
       }
       .start()
 }

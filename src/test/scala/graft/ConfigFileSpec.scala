@@ -120,4 +120,23 @@ class ConfigFileSpec extends AnyFunSuite with SparkFixture {
       "    kafka_topic: t1\n"))
       .contains("requires format: debezium"))
   }
+
+  test("log_dir parses into a snapshot-log binding; state_dir collision fails") {
+    val base =
+      """name: t
+        |    source_path: /x
+        |    format: parquet
+        |    schema: "a int, b string"
+        |    key_cols: [a]
+        |    value_cols: [b]
+        |    state_dir: /s""".stripMargin
+    def parse(body: String) =
+      ConfigFile.parse(body.linesIterator.toSeq, "inline")
+    assert(parse(s"tables:\n  - $base\n    log_dir: /log/t\n")
+      .head.logDir === Some("/log/t"))
+    assert(parse(s"tables:\n  - $base\n").head.logDir === None)
+    val e = intercept[IllegalArgumentException](
+      parse(s"tables:\n  - $base\n    log_dir: /s\n"))
+    assert(e.getMessage.contains("must differ from state_dir"))
+  }
 }

@@ -40,6 +40,43 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(state.filter(col("k") === 3).count() === 0) // deleted
   }
 
+  test("log_dir config: fleet merges commit snapshot-log versions with batch-k time travel") {
+    val dir = Files.createTempDirectory("pipeline_log")
+    val stateDir = s"$dir/state"
+    val logDir = s"$dir/log"
+
+    Files.writeString(dir.resolve("extract0.csv"),
+      "k,status,amount\n1,O,10.0\n2,O,20.0\n3,F,30.0\n")
+    val cfg = PipelineConfig(s"$dir/extract0.csv", "csv", schema,
+      keyCols = Seq("k"), valueCols = Seq("status", "amount"), stateDir,
+      logDir = Some(logDir))
+    assert(Pipeline.run(spark, cfg, batchId = 0L) === Map("I" -> 3L, "N" -> 0L))
+
+    Files.writeString(dir.resolve("extract1.csv"),
+      "k,status,amount\n1,O,10.0\n2,F,25.0\n4,O,40.0\n")
+    assert(Pipeline.run(spark,
+      cfg.copy(sourcePath = s"$dir/extract1.csv"), batchId = 1L) ===
+      Map("U" -> 1L, "D" -> 1L, "I" -> 1L, "N" -> 1L))
+
+    // table-grain time travel through the log: batch 0 still shows the
+    // pre-churn table, batch 1 equals the live state
+    val asOf0 = CdcStream.stateAsOfBatch(spark, logDir, 0L).get
+    assert(asOf0.count() === 3)
+    assert(asOf0.filter(col("k") === 3).count() === 1) // not yet deleted
+    val asOf1 = CdcStream.stateAsOfBatch(spark, logDir, 1L).get
+    val live = CdcStream.currentState(spark, stateDir).get
+    assert(asOf1.orderBy("k").collect().toSeq ===
+      live.orderBy("k").collect().toSeq)
+
+    // replaying a committed batch is a no-op for state AND log
+    val versionsBefore = graft.sources.SnapshotLog.versions(spark, logDir)
+    assert(Pipeline.run(spark,
+      cfg.copy(sourcePath = s"$dir/extract1.csv"), batchId = 1L)
+      .get("N").isDefined)
+    assert(graft.sources.SnapshotLog.versions(spark, logDir) ===
+      versionsBefore)
+  }
+
   test("config rollout with an added column evolves state through the merge") {
     val dir = Files.createTempDirectory("pipeline_evo")
     val stateDir = s"$dir/state"
