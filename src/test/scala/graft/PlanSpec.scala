@@ -402,6 +402,49 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_vocab_growth: the prefix-sum window runs on the 20-bucket frame, not the corpus") {
+    val qe = ops.LmOps.vocabGrowth.fn(spark, Sf).queryExecution
+    val wins = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "missing cumulative window")
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val cols = w.child.output.map(_.name).toSet
+      // the bounded frame carries bucket-grain counts only — a doc_id or
+      // bigram column here would mean the window sees corpus-grain rows
+      assert(!cols.contains("doc_id") && !cols.contains("bigram"),
+        s"partition-less window over a data-scaled frame:\n${qe.sparkPlan}")
+    }
+  }
+
+  test("q_token_budget: every window is partitioned by source (never partition-less)") {
+    val qe = ops.CurateOps.tokenBudget.fn(spark, Sf).queryExecution
+    val wins = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "missing budget prefix-sum window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"partition-less window in the budget fill:\n${qe.sparkPlan}")
+  }
+
+  test("q_regr_slope / q_bit_ops / q_kl_source: single-pass shapes — no windows, no sorts before the output ORDER BY") {
+    for (q <- Seq(ops.StatOps.regrSlope, ops.ScalarOps.bitOps)) {
+      val plan = q.fn(spark, Sf).queryExecution.sparkPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"${q.name} planned a window")
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.size === 1, s"${q.name}: expected one events scan")
+    }
+    // KL reads the token frame three ways but must never window it
+    val kl = ops.LmOps.klSource.fn(spark, Sf).queryExecution.sparkPlan
+    assert(kl.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "q_kl_source planned a window")
+  }
+
   test("registry names are unique and entry returns rows") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
     assert(SparkEntry.entry(spark).count() > 0)
