@@ -105,6 +105,32 @@ object Pipeline {
       : Map[String, Either[String, Map[String, Long]]] =
     runAllWith(run)(spark, configs, batchId, parallelism, perTableTimeout)
 
+  /** Fleet run with a CROSS-TABLE consistent commit: [[runAll]] over
+    * snapshot-logged tables, then pin batch `batchId` across the fleet
+    * as a [[graft.sources.FleetLog]] run manifest. When every table's
+    * merge committed, the run becomes visible atomically and
+    * `FleetLog.readRun` serves all tables AS OF this batch; when any
+    * table failed/timed out, the run stays INVISIBLE (readers keep
+    * resolving the previous complete run) until the failed table is
+    * healed and this method (or `FleetLog.commitRun`) is retried —
+    * at-least-once safe end to end. Returns the per-table results plus
+    * whether the run committed. Tables are keyed by state_dir, the same
+    * key [[runAll]] reports under. */
+  def runFleet(spark: SparkSession, configs: Seq[PipelineConfig],
+               batchId: Long, fleetDir: String, parallelism: Int = 4,
+               perTableTimeout: scala.concurrent.duration.Duration =
+                 scala.concurrent.duration.Duration(1, "hour"))
+      : (Map[String, Either[String, Map[String, Long]]], Boolean) = {
+    val unlogged = configs.filter(_.logDir.isEmpty).map(_.stateDir)
+    require(unlogged.isEmpty,
+      s"runFleet requires log_dir on every table; missing on: " +
+        unlogged.mkString(", "))
+    val results = runAll(spark, configs, batchId, parallelism, perTableTimeout)
+    val committed = graft.sources.FleetLog.commitRun(spark, fleetDir, batchId,
+      configs.map(c => c.stateDir -> c.logDir.get).toMap)
+    (results, committed)
+  }
+
   /** [[runAll]] with an injectable merge function — the testing seam for
     * the timeout/abandon/interrupt machinery (a real hung merge cannot
     * be staged deterministically in a unit test). */
