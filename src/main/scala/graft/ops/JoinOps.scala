@@ -393,7 +393,124 @@ object JoinOps {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** SQL text through a per-invocation temp view, dropped after eager
+    * analysis — the JoinScaleOps bloom recipe for queries only SQL can
+    * express (correlated EXISTS, NOT IN, LATERAL). */
+  private def sqlWith(s: org.apache.spark.sql.SparkSession,
+      views: Map[String, org.apache.spark.sql.DataFrame])(
+      mk: Map[String, String] => String): org.apache.spark.sql.DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val named = views.keys.map(k => k -> s"g_${k}_$tag").toMap
+    views.foreach { case (k, df) => df.createOrReplaceTempView(named(k)) }
+    try s.sql(mk(named))
+    finally named.values.foreach(s.catalog.dropTempView(_))
+  }
+
+  /** Correlated EXISTS / NOT EXISTS through the SQL entry: per segment,
+    * customers active in 1995 and customers who never ordered. Catalyst
+    * decorrelates both predicates into semi/anti joins — the point of
+    * the row is proving the SQL surface plans the same scale-safe
+    * shapes the DSL twins (q_join_semi/q_join_anti) use. */
+  val existsSubquery: Q = Q.checked(
+    "q_exists_subquery",
+    """SELECT c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND year(o.o_orderdate) = 1995) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_active_1995,
+      |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_never_ordered
+      |FROM customer c GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+      .stripMargin
+  ) { (s, dir) =>
+    sqlWith(s, Map("customer" -> Tables.customer(s, dir),
+        "orders" -> Tables.orders(s, dir))) { v =>
+      s"""SELECT c_mktsegment,
+         |  CAST(count(*) AS BIGINT) AS n_customers,
+         |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ${v("orders")} o
+         |    WHERE o.o_custkey = c.c_custkey
+         |      AND year(o.o_orderdate) = 1995) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_active_1995,
+         |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM ${v("orders")} o
+         |    WHERE o.o_custkey = c.c_custkey) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_never_ordered
+         |FROM ${v("customer")} c
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    }
+  }
+
+  /** The NOT IN + NULL trap, pinned cross-engine: a NOT IN subquery
+    * whose result set contains a NULL matches NOTHING (three-valued
+    * logic — x <> NULL is unknown for every x), while the NOT EXISTS
+    * twin and the IS NOT NULL-cleaned NOT IN return the true
+    * complement. One row, three counts — the regression pin that keeps
+    * an optimizer "simplification" from quietly changing delete-
+    * detection semantics (the CDC anti-join is exactly this shape). */
+  val notInNulls: Q = Q.checked(
+    "q_not_in_nulls",
+    """SELECT
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders))
+      |    AS n_not_in_with_null,
+      |  (SELECT count(*) FROM customer c
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders
+      |     WHERE nullif(o_custkey, 7) = c.c_custkey)) AS n_not_exists,
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                           WHERE o_custkey IS NOT NULL))
+      |    AS n_not_in_clean""".stripMargin
+  ) { (s, dir) =>
+    sqlWith(s, Map("customer" -> Tables.customer(s, dir),
+        "orders" -> Tables.orders(s, dir))) { v =>
+      s"""SELECT
+         |  (SELECT count(*) FROM ${v("customer")}
+         |   WHERE c_custkey NOT IN
+         |     (SELECT nullif(o_custkey, 7) FROM ${v("orders")}))
+         |    AS n_not_in_with_null,
+         |  (SELECT count(*) FROM ${v("customer")} c
+         |   WHERE NOT EXISTS (SELECT 1 FROM ${v("orders")}
+         |     WHERE nullif(o_custkey, 7) = c.c_custkey)) AS n_not_exists,
+         |  (SELECT count(*) FROM ${v("customer")}
+         |   WHERE c_custkey NOT IN (SELECT o_custkey FROM ${v("orders")}
+         |                           WHERE o_custkey IS NOT NULL))
+         |    AS n_not_in_clean""".stripMargin
+    }
+  }
+
+  /** LATERAL correlated subquery (SQL:1999): top-2 nations by customer
+    * count PER region, the per-row-driven subquery join both engines
+    * plan as a lateral join. Semantically the q_topk_per_group shape —
+    * the row proves the SQL lateral surface; the dims are tiny, so the
+    * correlated agg is bounded per region. */
+  val lateralTopk: Q = Q.checked(
+    "q_lateral",
+    """SELECT r.r_name, l.n_name, l.n_customers
+      |FROM region r, LATERAL (
+      |  SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+      |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  GROUP BY n.n_name
+      |  ORDER BY n_customers DESC, n.n_name LIMIT 2) l
+      |ORDER BY r.r_name, l.n_customers DESC, l.n_name""".stripMargin
+  ) { (s, dir) =>
+    sqlWith(s, Map("region" -> Tables.region(s, dir),
+        "nation" -> Tables.nation(s, dir),
+        "customer" -> Tables.customer(s, dir))) { v =>
+      s"""SELECT r.r_name, l.n_name, l.n_customers
+         |FROM ${v("region")} r, LATERAL (
+         |  SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+         |  FROM ${v("nation")} n
+         |    JOIN ${v("customer")} c ON c.c_nationkey = n.n_nationkey
+         |  WHERE n.n_regionkey = r.r_regionkey
+         |  GROUP BY n.n_name
+         |  ORDER BY n_customers DESC, n.n_name LIMIT 2) l
+         |ORDER BY r.r_name, l.n_customers DESC, l.n_name""".stripMargin
+    }
+  }
+
   val all: Seq[Q] = Seq(subqueryScalar, joinInner, joinBroadcast, joinLeft, joinFull,
     joinSemi, joinAnti, joinTheta, joinAsof, asofTolerance, joinRange,
-    shipPriority, localSupplier)
+    shipPriority, localSupplier, existsSubquery, notInNulls, lateralTopk)
 }

@@ -593,7 +593,111 @@ object StatOps {
       .orderBy("event_type")
   }
 
+  /** Pairwise Pearson correlation matrix (quantity / price / discount)
+    * per returnflag — the feature-correlation screen run before
+    * trusting a model input at 100 TB. ONE hash aggregation computes
+    * all eleven exact BIGINT moments with map-side combine; the three
+    * correlations are closed-form over those moments.
+    *
+    * Determinism: units chosen so every squared sum stays < 2⁵³
+    * (quantity integral, price whole dollars, discount basis points);
+    * per the chisq recipe every moment is cast int64→double BEFORE any
+    * multiply (an int64 product n·Σy² would overflow at bench scale),
+    * so both engines run the identical correctly-rounded IEEE sequence;
+    * final snap at 1e6. */
+  val corrMatrix: Q = Q.checked(
+    "q_corr_matrix",
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(floor(l_quantity + 5.0e-1) AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice + 5.0e-1) AS BIGINT) AS y,
+      |    CAST(floor(l_discount * 10000 + 5.0e-1) AS BIGINT) AS z
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(z) AS BIGINT) AS sz,
+      |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+      |    CAST(sum(z*z) AS BIGINT) AS szz,
+      |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*z) AS BIGINT) AS sxz,
+      |    CAST(sum(y*z) AS BIGINT) AS syz
+      |  FROM b GROUP BY flag)
+      |SELECT flag,
+      |  CAST(CAST(floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+      |     * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+      |    * 1e6 + 5.0e-1) AS BIGINT) AS DOUBLE) / 1e6 AS corr_qty_price,
+      |  CAST(CAST(floor((CAST(n AS DOUBLE)*CAST(sxz AS DOUBLE)
+      |      - CAST(sx AS DOUBLE)*CAST(sz AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+      |     * sqrt(CAST(n AS DOUBLE)*CAST(szz AS DOUBLE)
+      |        - CAST(sz AS DOUBLE)*CAST(sz AS DOUBLE)))
+      |    * 1e6 + 5.0e-1) AS BIGINT) AS DOUBLE) / 1e6 AS corr_qty_disc,
+      |  CAST(CAST(floor((CAST(n AS DOUBLE)*CAST(syz AS DOUBLE)
+      |      - CAST(sy AS DOUBLE)*CAST(sz AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))
+      |     * sqrt(CAST(n AS DOUBLE)*CAST(szz AS DOUBLE)
+      |        - CAST(sz AS DOUBLE)*CAST(sz AS DOUBLE)))
+      |    * 1e6 + 5.0e-1) AS BIGINT) AS DOUBLE) / 1e6 AS corr_price_disc,
+      |  n
+      |FROM m ORDER BY flag""".stripMargin
+  ) { (s, dir) =>
+    val b = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("flag"),
+      floor(col("l_quantity") + lit(0.5)).cast(LongType).as("x"),
+      floor(col("l_extendedprice") + lit(0.5)).cast(LongType).as("y"),
+      floor(col("l_discount") * 10000 + lit(0.5)).cast(LongType).as("z"))
+    val m = b.groupBy("flag").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("z")).as("sxz"),
+      sum(col("y") * col("z")).as("syz"))
+    def d(c: String) = col(c).cast(DoubleType)
+    def corr6(sab: String, a: String, b2: String, saa: String, sbb: String) =
+      floor((d("n") * d(sab) - d(a) * d(b2))
+        / (sqrt(d("n") * d(saa) - d(a) * d(a))
+          * sqrt(d("n") * d(sbb) - d(b2) * d(b2)))
+        * lit(1e6) + lit(0.5)).cast(LongType).cast(DoubleType) / lit(1e6)
+    m.select(col("flag"),
+        corr6("sxy", "sx", "sy", "sxx", "syy").as("corr_qty_price"),
+        corr6("sxz", "sx", "sz", "sxx", "szz").as("corr_qty_disc"),
+        corr6("syz", "sy", "sz", "syy", "szz").as("corr_price_disc"),
+        col("n"))
+      .orderBy("flag")
+  }
+
+  /** 2-D fixed-grid histogram (quantity band × discount band) with
+    * exact decimal revenue per cell — the heatmap profile behind the
+    * skew/pricing dashboards. Cell key space is constant (≤ 6×6), so
+    * partial aggregation collapses each map task to the grid before the
+    * shuffle; integer banding never ties. */
+  val hist2d: Q = Q.checked(
+    "q_hist2d",
+    s"""SELECT CAST(floor(l_quantity + 5.0e-1) AS BIGINT) // 10 AS qty_band,
+      |  CAST(floor(l_discount * 100 + 5.0e-1) AS BIGINT) // 2 AS disc_band,
+      |  count(*) AS n,
+      |  ${dsumSql("l_extendedprice")} AS revenue
+      |FROM lineitem GROUP BY 1, 2 ORDER BY qty_band, disc_band"""
+      .stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(
+        expr("CAST(floor(l_quantity + 0.5d) AS BIGINT) div 10")
+          .as("qty_band"),
+        expr("CAST(floor(l_discount * 100 + 0.5d) AS BIGINT) div 2")
+          .as("disc_band"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("qty_band", "disc_band")
+  }
+
   val all: Seq[Q] =
     Seq(histogram, outliers, groupedMode, skyline, madOutliers, decayScore,
-      pareto, rankSum, winsorize, regrSlope)
+      pareto, rankSum, winsorize, regrSlope, corrMatrix, hist2d)
 }
