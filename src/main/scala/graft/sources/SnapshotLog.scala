@@ -509,6 +509,124 @@ object SnapshotLog {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Per-file column stats (zone maps) — planning-time file skipping
+  // -------------------------------------------------------------------
+
+  /** Manifest stat header: `#filestat=<path>\t<col>:<min>:<max>[\t...]`.
+    * Integral columns only (exact compares, no float-rounding edge at
+    * the bounds); a column that is all-NULL in a file is omitted (the
+    * file is conservatively kept by every prune). */
+  private def statLine(path: String, stats: Seq[(String, Long, Long)]) =
+    s"#filestat=$path" + stats.map { case (c, lo, hi) => s"\t$c:$lo:$hi" }
+      .mkString
+
+  /** Compute per-file min/max for `statCols` over freshly written
+    * `files` — ONE scan of the new files only (the Delta write-time
+    * stats rule: cost ∝ the commit, never the table). The collected
+    * frame is bounded by the commit's file count (≤ shuffle
+    * partitions per write), not by rows. */
+  private def statHeaders(spark: SparkSession, files: Seq[String],
+      statCols: Seq[String]): Seq[String] = {
+    if (statCols.isEmpty || files.isEmpty) return Seq.empty
+    val df = spark.read.parquet(files: _*)
+    statCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType,
+        s"file stats support integral columns only; '$c' is ${dt.simpleString}")
+    }
+    val aggs = statCols.flatMap(c => Seq(
+      min(col(c)).cast(org.apache.spark.sql.types.LongType).as(s"__min_$c"),
+      max(col(c)).cast(org.apache.spark.sql.types.LongType).as(s"__max_$c")))
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    // input_file_name URIs vs manifest path strings: join on the
+    // scheme-independent path (the deleteWhere normalization)
+    val byPath = rows.map(r => new Path(r.getString(0)).toUri.getPath -> r).toMap
+    files.flatMap { p =>
+      byPath.get(new Path(p).toUri.getPath).map { r =>
+        val stats = statCols.flatMap { c =>
+          val (lo, hi) = (r.getAs[Any](s"__min_$c"), r.getAs[Any](s"__max_$c"))
+          if (lo == null || hi == null) None
+          else Some((c, lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
+        }
+        statLine(p, stats)
+      }
+      // a file absent from the scan (zero rows) gets no stat line and is
+      // conservatively kept by every prune
+    }
+  }
+
+  /** [[commit]] with per-file zone-map stats for `statCols` recorded in
+    * the manifest, enabling [[readBetween]] to skip files at PLANNING
+    * time — before any parquet footer opens. At 100 TB the difference
+    * is real: footer min/max still costs one open per file; manifest
+    * stats cost one small-file read per TABLE. Pair with a
+    * range-clustered write (repartitionByRange + sortWithinPartitions
+    * on the stat column, or [[optimize]] clustering) — stats on a
+    * randomly-laid-out table prune nothing. */
+  def commitWithStats(spark: SparkSession, dir: String, df: DataFrame,
+      statCols: Seq[String]): Long = {
+    val commitId = java.util.UUID.randomUUID().toString
+    val files = writeData(spark, dir, df, commitId)
+    commitFiles(spark, dir, files, commitId,
+      header = Seq(schemaHeader(df.schema)) ++
+        statHeaders(spark, files, statCols)).get
+  }
+
+  private def fileStatsOf(spark: SparkSession, dir: String,
+      v: Long): Map[String, Map[String, (Long, Long)]] =
+    manifestLines(spark, dir, v)
+      .filter(_.startsWith("#filestat="))
+      .map { l =>
+        val parts = l.stripPrefix("#filestat=").split("\t")
+        val stats = parts.tail.map { s =>
+          val Array(c, lo, hi) = s.split(":", 3)
+          c -> ((lo.toLong, hi.toLong))
+        }.toMap
+        parts.head -> stats
+      }.toMap
+
+  /** Range read with manifest-stats file skipping: rows of `column` in
+    * [lo, hi], scanning ONLY files whose recorded [min,max] intersects
+    * the range (files without stats are kept — prune is always
+    * conservative, the residual filter guarantees exactness). Returns
+    * (frame, filesScanned, filesTotal) so callers — and the spec — can
+    * hold the prune accountable. */
+  def readBetween(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long,
+      version: Option[Long] = None): (DataFrame, Int, Int) = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"version $v of $dir does not exist (have ${vs.mkString(",")})")
+    val files = filesOf(spark, dir, v)
+    val stats = fileStatsOf(spark, dir, v)
+    val kept = files.filter { p =>
+      stats.get(p).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true // no stats — cannot prune
+      }
+    }
+    val pred = col(column).between(lo, hi)
+    val schema = schemaOf(spark, dir, v)
+    val df =
+      if (kept.nonEmpty) (schema match {
+        case Some(s) => spark.read.schema(s).parquet(kept: _*)
+        case None    => spark.read.parquet(kept: _*)
+      }).filter(pred)
+      else schema match {
+        // every file pruned: an empty frame with the version's schema
+        case Some(s) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None => read(spark, dir, Some(v)).filter(pred).limit(0)
+      }
+    (df, kept.size, files.size)
+  }
+
   /** Drop all but the newest `keepLast` versions and delete every data
     * file no retained manifest references (covers crash orphans too).
     * Deletion order is crash-safe: manifests first (a version stops

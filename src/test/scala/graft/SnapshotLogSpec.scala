@@ -310,4 +310,42 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(xTight >= 2 && yTight >= 2,
       s"z-order must tighten both dims: xTight=$xTight yTight=$yTight")
   }
+
+  test("commitWithStats: range reads skip files from manifest stats, results exact") {
+    val dir = freshDir()
+    // range-clustered layout: 8 files with disjoint k ranges
+    val df = spark.range(100)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("k"))
+
+    val (res, scanned, total) = SnapshotLog.readBetween(spark, dir, "k", 10, 19)
+    assert(res.orderBy("k").collect().map(_.getLong(0)).toSeq
+      === (10L to 19L))
+    assert(total >= 4 && scanned < total,
+      s"stats pruned nothing: $scanned of $total files scanned")
+
+    // full range: everything scanned, everything returned
+    val (all, s2, t2) = SnapshotLog.readBetween(spark, dir, "k", 0, 99)
+    assert(all.count() === 100 && s2 === t2)
+
+    // disjoint range: zero files scanned, empty frame with the schema
+    val (none, s3, _) = SnapshotLog.readBetween(spark, dir, "k", 1000, 2000)
+    assert(none.count() === 0 && s3 === 0)
+    assert(none.columns.toSeq === Seq("k", "v"))
+
+    // a stats-less commit stays readable — prune degrades to scan-all
+    SnapshotLog.commit(spark, dir, df)
+    val (res2, s4, t4) = SnapshotLog.readBetween(spark, dir, "k", 10, 19)
+    assert(s4 === t4 && res2.count() === 10)
+  }
+
+  test("commitWithStats rejects non-integral stat columns") {
+    import spark.implicits._
+    val dir = freshDir()
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.commitWithStats(spark, dir,
+        Seq((1L, 0.5)).toDF("k", "x"), Seq("x")))
+    assert(e.getMessage.contains("integral"))
+  }
 }
