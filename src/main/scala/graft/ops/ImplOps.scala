@@ -312,8 +312,32 @@ object ImplOps {
       .orderBy("method")
   }
 
+  /** Distributed PCA over the embedding corpus (k=8): per-label mean of
+    * the top-2 principal coordinates plus the model's explained-variance
+    * share — the decorrelate-then-index pre-flight for a 100 TB
+    * embedding store. Model = one integer-snapped moment pass + driver
+    * Jacobi (`sim/Pca.scala`, layout-invariant by construction); the
+    * projection is map-only literal dots; per-label means go through
+    * per-row 1e6 snapping so the distributed sums are order-free. */
+  val embedPca: Q = Q.implOnly("q_embed_pca") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val model = graft.sim.Pca.fit(emb, "embedding", k = 8)
+    val evr = model.explainedVarianceRatio
+    graft.sim.Pca.project(emb, "embedding", model)
+      .select(col("label"),
+        floor(col("pc1") * 1e6 + 0.5).cast(LongType).as("p1"),
+        floor(col("pc2") * 1e6 + 0.5).cast(LongType).as("p2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(p1) div count(1)").as("pc1_mean_micro"),
+        expr("sum(p2) div count(1)").as("pc2_mean_micro"))
+      .withColumn("evr_top2_milli",
+        lit(math.floor((evr(0) + evr(1)) * 1000 + 0.5).toLong))
+      .orderBy("label")
+  }
+
   val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, simAnn, simIvf,
     multimodalFeatures, approxDistinct, topkGroupAgg, multimodalDecode,
     throttleChain, multimodalVideo, simPq, dedupSemantic, dedupSemanticIncr,
-    multimodalAudio, evalAnnRecall)
+    multimodalAudio, evalAnnRecall, embedPca)
 }

@@ -396,7 +396,8 @@ object SnapshotLog {
         if (survivors.isEmpty) Seq.empty
         else writeData(spark, dir, survivors, commitId)
       commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
-        header = schema.map(schemaHeader).toSeq,
+        header = schema.map(schemaHeader).toSeq ++
+          propagatedStatHeaders(spark, dir, latest, carry, newFiles),
         base = Some(Some(latest))) match {
         case Some(v) => return v
         case None    => () // raced — recompute against the new latest
@@ -476,7 +477,8 @@ object SnapshotLog {
       val commitId = java.util.UUID.randomUUID().toString
       val fresh = writeData(spark, dir, clustered, commitId)
       commitFiles(spark, dir, (large ++ fresh).sorted, commitId,
-        header = schema.map(schemaHeader).toSeq,
+        header = schema.map(schemaHeader).toSeq ++
+          propagatedStatHeaders(spark, dir, latest, large, fresh),
         base = Some(Some(latest))) match {
         case Some(v) => return v
         case None    => () // raced — rebase (rewrite is vacuumable orphan)
@@ -557,6 +559,27 @@ object SnapshotLog {
       // a file absent from the scan (zero rows) gets no stat line and is
       // conservatively kept by every prune
     }
+  }
+
+  /** Stat headers for a version that CARRIES files from `prevV` and adds
+    * `newFiles`: carried files keep their recorded stats verbatim, new
+    * files get stats computed over the SAME column set — so zone maps
+    * survive deleteWhere/optimize instead of dying at the first rewrite.
+    * Empty when the previous version had no stats (nothing to keep
+    * alive). */
+  private def propagatedStatHeaders(spark: SparkSession, dir: String,
+      prevV: Long, carried: Seq[String],
+      newFiles: Seq[String]): Seq[String] = {
+    val prev = fileStatsOf(spark, dir, prevV)
+    if (prev.isEmpty) return Seq.empty
+    val cols = prev.values.flatMap(_.keys).toSeq.distinct.sorted
+    val carriedLines = carried.flatMap { p =>
+      prev.get(p).filter(_.nonEmpty).map { st =>
+        statLine(p, cols.flatMap(c => st.get(c).map {
+          case (lo, hi) => (c, lo, hi) }))
+      }
+    }
+    carriedLines ++ statHeaders(spark, newFiles, cols)
   }
 
   /** [[commit]] with per-file zone-map stats for `statCols` recorded in

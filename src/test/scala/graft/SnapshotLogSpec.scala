@@ -340,6 +340,23 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(s4 === t4 && res2.count() === 10)
   }
 
+  test("zone maps survive deleteWhere: carried files keep stats, rewrites recompute") {
+    val dir = freshDir()
+    val df = spark.range(100)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("k"))
+    // delete from one narrow range — most files carry, one rewrites
+    SnapshotLog.deleteWhere(spark, dir, col("k").between(40, 44))
+    val (res, scanned, total) = SnapshotLog.readBetween(spark, dir, "k", 10, 19)
+    assert(res.count() === 10)
+    assert(scanned < total,
+      s"stats died at the rewrite: $scanned of $total files scanned")
+    // the deleted range reads empty AND still prunes
+    val (gone, s2, t2) = SnapshotLog.readBetween(spark, dir, "k", 40, 44)
+    assert(gone.count() === 0 && s2 < t2)
+  }
+
   test("commitWithStats rejects non-integral stat columns") {
     import spark.implicits._
     val dir = freshDir()
