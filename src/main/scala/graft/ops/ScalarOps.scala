@@ -311,6 +311,35 @@ object ScalarOps {
       .orderBy("event_type")
   }
 
+  /** regexp_extract_all + global regexp_replace — the PII-shaped scrub
+    * pair: per segment, digit-group counts and the distinct masked-name
+    * space after replacing every digit with '#'. Dialect pin: Spark's
+    * regexp_replace is global by default, DuckDB's needs the 'g' flag —
+    * the oracle says so explicitly (first-match-only would silently
+    * leave PII in suffixes). Map-only expressions + one hash agg. */
+  val regexpAll: Q = Q.checked(
+    "q_regexp_all",
+    """SELECT c_mktsegment,
+      |  count(*) AS n,
+      |  CAST(sum(len(regexp_extract_all(c_name, '[0-9]+'))) AS BIGINT)
+      |    AS n_digit_groups,
+      |  count(DISTINCT regexp_replace(c_name, '[0-9]', '#', 'g'))
+      |    AS n_masked,
+      |  min(regexp_extract(c_name, '([0-9]+)', 1)) AS min_digits
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+      .stripMargin
+  ) { (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(size(expr("regexp_extract_all(c_name, '[0-9]+', 0)")))
+          .cast(LongType).as("n_digit_groups"),
+        countDistinct(regexp_replace(col("c_name"), "[0-9]", "#"))
+          .as("n_masked"),
+        min(regexp_extract(col("c_name"), "([0-9]+)", 1)).as("min_digits"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(strFuncs, dateFuncs, mathFuncs, json, hashFuncs,
-    array, explode, mapOps, nullSemantics, bitOps)
+    array, explode, mapOps, nullSemantics, bitOps, regexpAll)
 }

@@ -375,7 +375,46 @@ object WindowOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** nth_value over a full-partition frame: per customer with ≥3
+    * orders, the first / third / last order key — the "milestone order"
+    * digest (onboarding analyses read exactly this shape). One
+    * user-keyed window shuffle; the per-customer digest collapses via
+    * the same exchange; bounded top-50 output. */
+  val winNth: Q = Q.checked(
+    "q_win_nth",
+    """WITH w AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    nth_value(o_orderkey, 3) OVER win AS third_order,
+      |    first_value(o_orderkey) OVER win AS first_order,
+      |    last_value(o_orderkey) OVER win AS last_order,
+      |    count(*) OVER (PARTITION BY o_custkey) AS n
+      |  FROM orders
+      |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |SELECT o_custkey, CAST(max(n) AS BIGINT) AS n_orders,
+      |  max(first_order) AS first_order, max(third_order) AS third_order,
+      |  max(last_order) AS last_order
+      |FROM w WHERE n >= 3 GROUP BY o_custkey
+      |ORDER BY o_custkey LIMIT 50""".stripMargin
+  ) { (s, dir) =>
+    val win = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        nth_value(col("o_orderkey"), 3).over(win).as("third_order"),
+        first(col("o_orderkey")).over(win).as("first_order"),
+        last(col("o_orderkey")).over(win).as("last_order"),
+        count(lit(1)).over(Window.partitionBy("o_custkey")).as("n"))
+      .filter(col("n") >= 3)
+      .groupBy("o_custkey")
+      .agg(max(col("n")).cast(LongType).as("n_orders"),
+        max(col("first_order")).as("first_order"),
+        max(col("third_order")).as("third_order"),
+        max(col("last_order")).as("last_order"))
+      .orderBy("o_custkey").limit(50)
+  }
+
   val all: Seq[Q] = Seq(winRank, winLag, winFrameRows, winFrameRange,
     topkPerGroup, cdcLatest, cdcScd2, timeTravel, winNtile, winFirstLast,
-    winLocf, winTimeRange)
+    winLocf, winTimeRange, winNth)
 }

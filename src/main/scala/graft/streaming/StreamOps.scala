@@ -67,6 +67,33 @@ object StreamOps {
         col("click_ts"), col("view_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every view paired with the
+    * clicks it produced within `within` — or emitted ONCE with NULL
+    * click columns after the click-side watermark proves no match can
+    * arrive. The unmatched-row emission is what the inner join cannot
+    * express ("which views never converted" — the funnel-drop feed),
+    * and the watermark is what makes it legal in append mode: a NULL
+    * pair is final only once click event time has provably passed
+    * view_ts + within. State stays bounded exactly as in
+    * [[clicksAfterViews]] (rate × interval); the same code runs on
+    * batch frames, where the outer join needs no watermark at all. */
+  def viewsWithClicks(views: DataFrame, clicks: DataFrame,
+                      within: String = "1 hour",
+                      delay: String = "2 hours"): DataFrame = {
+    val v = views.withWatermark("ts", delay)
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", delay)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    v.join(c, col("c_user") === col("v_user") &&
+      col("click_ts") >= col("view_ts") &&
+      col("click_ts") <= col("view_ts") + expr(s"INTERVAL $within"),
+      "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Stream-static enrichment: a streaming feed joined to a static dim
     * frame — the dim side is re-read per micro-batch (picks up slowly
     * changing dims) and broadcast when small; no streaming state at all. */

@@ -594,6 +594,78 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(tiers === Map(1L -> Some("gold"), 2L -> None))
   }
 
+  test("left-outer stream-stream join emits unmatched views once the watermark closes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val msV = MemoryStream[Ev]
+    val msC = MemoryStream[Ev]
+    val q = StreamOps.viewsWithClicks(msV.toDF, msC.toDF)
+      .writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    try {
+      // user 1: view + in-window click (a match); user 2: view, no click
+      msV.addData(Seq(
+        Ev(10, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Ev(11, ts("2024-01-01 10:00:00"), 2, "view", 1.0)))
+      msC.addData(Seq(Ev(20, ts("2024-01-01 10:30:00"), 1, "click", 1.0)))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past view_ts + within + delay so the
+      // unmatched view is provably final; a second nudge triggers the
+      // batch that actually emits the null-padded row
+      msV.addData(Seq(Ev(98, ts("2024-01-01 20:00:00"), 99, "view", 0.0)))
+      msC.addData(Seq(Ev(99, ts("2024-01-01 20:00:00"), 99, "click", 0.0)))
+      q.processAllAvailable()
+      msV.addData(Seq(Ev(96, ts("2024-01-01 21:00:00"), 99, "view", 0.0)))
+      msC.addData(Seq(Ev(97, ts("2024-01-01 21:00:00"), 99, "click", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("ssj_outer")
+      .select("user_id", "view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    // the match emitted with its click; the no-click view emitted null
+    assert(out.contains((1L, 10L, Some(20L))), s"missing matched pair: ${out.toSeq}")
+    assert(out.contains((2L, 11L, None)), s"missing null-padded view: ${out.toSeq}")
+    // batch twin agrees on the same frame (no watermark needed there)
+    val views = Seq(Ev(10, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Ev(11, ts("2024-01-01 10:00:00"), 2, "view", 1.0)).toDF
+    val clicks = Seq(Ev(20, ts("2024-01-01 10:30:00"), 1, "click", 1.0)).toDF
+    val batch = StreamOps.viewsWithClicks(views, clicks)
+      .select("user_id", "view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(batch === Set((1L, 10L, Some(20L)), (2L, 11L, None)))
+  }
+
+  test("rebuildFromFeed: the change feed alone reconstructs any historical state") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("rebuild_feed").toString
+    val cfg = CdcConfig(Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+    // churn: insert, update+delete, re-insert of a deleted key
+    CdcStream.mergeBatch(Seq(Ord(1, 10, "O", 100.0), Ord(2, 20, "O", 200.0),
+      Ord(3, 30, "O", 300.0)).toDF, 0, cfg, stateDir)
+    CdcStream.mergeBatch(Seq(Ord(1, 10, "F", 150.0),
+      Ord(3, 30, "O", 300.0)).toDF, 1, cfg, stateDir) // 2 deleted, 1 updated
+    CdcStream.mergeBatch(Seq(Ord(1, 10, "F", 150.0), Ord(2, 21, "O", 999.0),
+      Ord(3, 30, "O", 300.0)).toDF, 2, cfg, stateDir) // 2 re-inserted
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .as[Ord].collect().toSet
+    // rebuild of the LATEST state equals the live snapshot
+    assert(canon(CdcStream.rebuildFromFeed(spark, stateDir, cfg, 2L)) ===
+      canon(CdcStream.currentState(spark, stateDir).get))
+    // rebuild of EVERY historical batch equals the versioned state
+    for (b <- 0L to 1L)
+      assert(canon(CdcStream.rebuildFromFeed(spark, stateDir, cfg, b)) ===
+        canon(CdcStream.stateAt(spark, stateDir, b).get), s"batch $b")
+    // the delete really disappears at batch 1
+    assert(!canon(CdcStream.rebuildFromFeed(spark, stateDir, cfg, 1L))
+      .exists(_.o_orderkey == 2L))
+  }
+
   test("restart recovery honors the generation's bucket sidecar (non-default count)") {
     import spark.implicits._
     val stateDir = Files.createTempDirectory("restart_bk").toString
