@@ -283,14 +283,38 @@ object ImplOps {
     def byProbe(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().map(r => r.getLong(0) -> r.getLong(1))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val brute = byProbe(probes.map(p =>
-      graft.sim.Ann.bruteTopK(e, "vec_id", "embedding", p, 10)
-        .select(lit(p).as("probe_id"), col("vec_id")))
-      .reduce(_.unionByName(_)))
+    // fetch all probe vectors in ONE job; per-probe similarity is then a
+    // LITERAL dot (no per-branch broadcast future — the 16 tiny
+    // broadcast stages were half this dashboard's wall, TimeQ-measured)
+    import graft.functions.VectorExprs.{dotLit, norm2}
+    val probeVecs: Map[Long, Array[Double]] =
+      e.filter(col("vec_id").isin(probes: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def litCos(p: Long): org.apache.spark.sql.Column = {
+      val w = probeVecs(p)
+      val wNorm = math.sqrt(w.map(x => x * x).sum)
+      dotLit(col("embedding"), w) /
+        (sqrt(norm2(col("embedding"))) * lit(wNorm))
+    }
+    def litTopK(src: org.apache.spark.sql.DataFrame, p: Long) =
+      src.filter(col("vec_id") =!= p)
+        .select(lit(p).as("probe_id"), col("vec_id"), litCos(p).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+        .select("probe_id", "vec_id")
+    val brute = byProbe(probes.map(litTopK(e, _)).reduce(_.unionByName(_)))
+    // LSH: bucket signatures computed ONCE for the corpus (the nBits
+    // interpreted plane folds were previously re-evaluated per probe)
+    val bucketed = graft.sim.Ann.withBucket(e, "embedding", nBits = 4)
+      .select("vec_id", "embedding", "bucket")
+    val probeBuckets: Map[Long, Long] =
+      bucketed.filter(col("vec_id").isin(probes: _*))
+        .select("vec_id", "bucket").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val legs = Seq(
       "lsh" -> byProbe(probes.map(p =>
-        graft.sim.Ann.annTopK(e, "vec_id", "embedding", p, k = 10, nBits = 4)
-          .select(lit(p).as("probe_id"), col("vec_id")))
+        litTopK(bucketed.filter(col("bucket") === probeBuckets(p)), p))
         .reduce(_.unionByName(_))),
       "ivf" -> byProbe(graft.sim.Ivf.multiProbeTopK(e, "vec_id", "embedding",
         "label", probes, k = 10, nProbe = 3, iters = 2)

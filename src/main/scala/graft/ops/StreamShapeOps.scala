@@ -566,7 +566,95 @@ object StreamShapeOps {
       .orderBy("event_id")
   }
 
+  /** Day-of-week seasonality profile per event type: counts + integer
+    * milli share — the weekly-rhythm fingerprint behind capacity
+    * planning and anomaly baselines. One (dow × type) hash aggregate
+    * (≤ 7·|types| keys, map-side collapsed); totals re-aggregate from
+    * the tiny profile frame. Dialect pin: Spark dayofweek is 1=Sunday,
+    * DuckDB's is 0=Sunday — the Spark side shifts by one so both
+    * engines emit the 0-6 convention. */
+  val seasonality: Q = Q.checked(
+    "q_seasonality",
+    Tables.EventsCte +
+      """,
+        |dcounts AS (
+        |  SELECT dayofweek(ts) AS dow, event_type AS et, count(*) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |t AS (SELECT et, CAST(sum(n) AS BIGINT) AS tot FROM dcounts
+        |      GROUP BY 1)
+        |SELECT dcounts.et AS event_type, CAST(dow AS BIGINT) AS dow,
+        |  CAST(n AS BIGINT) AS n,
+        |  1000 * CAST(n AS BIGINT) // t.tot AS share_milli
+        |FROM dcounts JOIN t ON dcounts.et = t.et
+        |ORDER BY event_type, dow""".stripMargin
+  ) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy((dayofweek(col("ts")) - 1).cast(LongType).as("dow"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val t = d.groupBy("event_type").agg(sum(col("n")).cast(LongType).as("tot"))
+    d.join(broadcast(t), "event_type")
+      .select(col("event_type"), col("dow"), col("n").cast(LongType).as("n"),
+        expr("1000 * CAST(n AS BIGINT) div tot").as("share_milli"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** Lag-1 autocorrelation of the daily event count — "does yesterday
+    * predict today", the one-number seasonality/trend screen a metrics
+    * pipeline alarms on. The corpus collapses to calendar-day grain
+    * FIRST (bounded by the time span, not the data — the documented
+    * calendar-frame exception), so the lag window and the closed-form
+    * Pearson over exact BIGINT moments run on a tiny frame; the only
+    * IEEE ops are the chisq-recipe double casts + one division. */
+  val autocorrDaily: Q = Q.checked(
+    "q_autocorr_daily",
+    Tables.EventsCte +
+      """,
+        |daily AS (
+        |  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1),
+        |lagged AS (
+        |  SELECT n, lag(n) OVER (ORDER BY day) AS pn FROM daily),
+        |p AS (SELECT n, pn FROM lagged WHERE pn IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS sx, CAST(sum(pn) AS BIGINT) AS sy,
+        |    CAST(sum(n*pn) AS BIGINT) AS sxy,
+        |    CAST(sum(n*n) AS BIGINT) AS sxx, CAST(sum(pn*pn) AS BIGINT) AS syy
+        |  FROM p)
+        |SELECT k,
+        |  CAST(CAST(floor((CAST(k AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(k AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(k AS DOUBLE)*CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+        |    * 1e6 + 5.0e-1) AS BIGINT) AS DOUBLE) / 1e6 AS autocorr_lag1
+        |FROM m""".stripMargin
+  ) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+    // calendar-day frame: bounded by the time span, never the corpus
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    val p = daily.withColumn("pn", lag(col("n"), 1).over(w))
+      .filter(col("pn").isNotNull)
+    def d(c: String) = col(c).cast(DoubleType)
+    p.agg(count(lit(1)).as("k"),
+        sum(col("n")).as("sx"), sum(col("pn")).as("sy"),
+        sum(col("n") * col("pn")).as("sxy"),
+        sum(col("n") * col("n")).as("sxx"),
+        sum(col("pn") * col("pn")).as("syy"))
+      .select(col("k"),
+        (floor((d("k") * d("sxy") - d("sx") * d("sy"))
+          / (sqrt(d("k") * d("sxx") - d("sx") * d("sx"))
+            * sqrt(d("k") * d("syy") - d("sy") * d("sy")))
+          * lit(1e6) + lit(0.5)).cast(LongType).cast(DoubleType) / lit(1e6))
+          .as("autocorr_lag1"))
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, sessionBatch, funnel, retention,
     timeRollup, growthMom, transitions, peakConcurrency, attribution,
-    rollingDistinct, timeWeighted, intervalSelfJoin, eventDedupWindow)
+    rollingDistinct, timeWeighted, intervalSelfJoin, eventDedupWindow,
+    seasonality, autocorrDaily)
 }

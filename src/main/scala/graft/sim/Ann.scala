@@ -35,19 +35,18 @@ object Ann {
          |                 ELSE acc END)""".stripMargin))
 
   private def cosineTo(probe: DataFrame, df: DataFrame, idCol: String,
-                       embCol: String): DataFrame =
+                       embCol: String): DataFrame = {
+    // native codegen'd folds (VectorExprs) instead of interpreted HOF
+    // lambdas — same left-to-right double accumulation, bit-identical
+    // (VectorExprsSpec), ~10× less per-row overhead; with 8 probes
+    // unioned into one stage the interpreted form dominated the
+    // q_eval_ann_recall wall (2.9 s single-task stage, TimeQ-measured)
+    import graft.functions.VectorExprs.{dotVec, norm2}
     df.crossJoin(broadcast(probe))
       .withColumn("cos_sim",
-        expr(
-          s"""aggregate(zip_with($embCol, probe_emb,
-             |(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-             |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
-          (sqrt(expr(
-            s"""aggregate($embCol, CAST(0 AS DOUBLE),
-               |(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""".stripMargin)) *
-            sqrt(expr(
-              """aggregate(probe_emb, CAST(0 AS DOUBLE),
-                |(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""".stripMargin))))
+        dotVec(col(embCol), col("probe_emb")) /
+          (sqrt(norm2(col(embCol))) * sqrt(norm2(col("probe_emb")))))
+  }
 
   /** Exact brute-force cosine top-k for probeId (the recall baseline). */
   def bruteTopK(df: DataFrame, idCol: String, embCol: String,
