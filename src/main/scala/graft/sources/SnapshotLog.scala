@@ -406,6 +406,159 @@ object SnapshotLog {
     -1L // unreachable
   }
 
+  /** Keyed MERGE INTO as a copy-on-write commit (the Delta/Iceberg
+    * upsert shape): every target row whose `keys` match a row of
+    * `changes` is REPLACED by that change row (full-row semantics — the
+    * change row is the new post-image, not a column patch), change rows
+    * matching nothing are INSERTED, and change rows where `deleteWhen`
+    * is true DELETE their match (and are never inserted). Returns the
+    * new version, or the current one unchanged when the merge is a
+    * no-op (only deletes of absent keys; 0 when the table additionally
+    * has no committed version at all). Merging into an empty log
+    * bootstraps it — the first CDC batch needs no special-case sink.
+    *
+    * Cost model at 100 TB: locating affected files is ONE column-pruned
+    * scan of the key columns semi-joined against the change keys (a
+    * small, usually broadcast side), and the rewrite touches ONLY files
+    * that contain a matched key — untouched files are carried into the
+    * new manifest by reference, inserts land in fresh files without
+    * touching anything. Pair with [[optimize]] clustering on the merge
+    * key so matched keys concentrate in few files; a random layout makes
+    * every file "affected". This is what [[commitBatchReplace]] is not:
+    * a sparse CDC batch against a huge table rewrites a handful of
+    * files, not the table.
+    *
+    * Contract guards (both Delta-style loud failures, never silent):
+    * `changes` must have no NULL merge key (NULL never equals anything
+    * under SQL semantics — such a row could only ever insert, which is
+    * almost always an upstream bug) and no duplicate key (two change
+    * rows matching one target row make the merge ambiguous).
+    *
+    * `dropCols` names control columns of `changes` (e.g. a CDC `op`
+    * flag) that `deleteWhen` may reference but that must not be stored.
+    * Schema evolution: columns `changes` adds beyond the table schema
+    * widen it (nullable, [[mergeSchemas]] rules); carried-by-reference
+    * and rewritten old files read typed nulls there.
+    *
+    * Concurrency: same optimistic read-modify-write discipline as
+    * [[deleteWhere]] — base-checked commit, full recompute on a lost
+    * race. Stats: carried files keep their zone-map stats, rewritten
+    * and inserted files get fresh ones over the same columns. */
+  def merge(spark: SparkSession, dir: String, changes: DataFrame,
+      keys: Seq[String], deleteWhen: Option[Column] = None,
+      dropCols: Seq[String] = Seq.empty): Long =
+    mergeImpl(spark, dir, changes, keys, deleteWhen, dropCols, Seq.empty)
+
+  /** [[merge]] stamped with a `#batch=` header — the replay-idempotent
+    * form for at-least-once stream feeds ([[commitBatch]] semantics): a
+    * batch at or below the newest committed `#batch=` anywhere in the
+    * log returns the current version untouched. This is the CDC
+    * apply-changes sink for a snapshot-logged table: each micro-batch
+    * of keyed upserts/tombstones merges in at file grain. */
+  def mergeBatch(spark: SparkSession, dir: String, changes: DataFrame,
+      keys: Seq[String], batchId: Long,
+      deleteWhen: Option[Column] = None,
+      dropCols: Seq[String] = Seq.empty): Long = {
+    val vs = versions(spark, dir)
+    if (lastBatch(spark, dir).exists(batchId <= _)) return vs.last
+    mergeImpl(spark, dir, changes, keys, deleteWhen, dropCols,
+      Seq(s"#batch=$batchId"))
+  }
+
+  /** Project `df` onto `schema`: present columns cast-free, absent ones
+    * as typed nulls (how pre-evolution rows acquire an added column). */
+  private def alignTo(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.toSeq.map { fld =>
+      if (df.columns.contains(fld.name)) col(fld.name)
+      else lit(null).cast(fld.dataType).as(fld.name)
+    }: _*)
+
+  private def mergeImpl(spark: SparkSession, dir: String,
+      changes0: DataFrame, keys: Seq[String], deleteWhen: Option[Column],
+      dropCols: Seq[String], extraHeader: Seq[String]): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val isDelete = deleteWhen.map(c => coalesce(c, lit(false)))
+      .getOrElse(lit(false))
+    // one materialization of the (small) change side; reused across the
+    // affected-file scan, the rewrite and any rebase retries
+    val changes = changes0.withColumn("__del", isDelete)
+      .drop(dropCols: _*).persist()
+    try {
+      val nullKeyed = changes
+        .filter(keys.map(col(_).isNull).reduce(_ || _)).limit(1).count()
+      require(nullKeyed == 0,
+        s"merge changes carry a NULL key in (${keys.mkString(",")}) — " +
+          "NULL matches nothing under SQL equality; fix the feed")
+      val dup = changes.groupBy(keys.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        "merge changes carry duplicate keys — ambiguous merge " +
+          "(collapse the batch to one winning row per key first)")
+      val upserts = changes.filter(!col("__del")).drop("__del")
+      val keyFrame = changes.select(keys.map(col): _*)
+      while (true) {
+        val vs = versions(spark, dir)
+        if (vs.isEmpty) {
+          // bootstrap: merging into an empty table is just the inserts.
+          // 0 = "still no committed version" (deletes against nothing).
+          if (upserts.isEmpty) return 0L
+          val commitId = java.util.UUID.randomUUID().toString
+          commitFiles(spark, dir, writeData(spark, dir, upserts, commitId),
+            commitId,
+            header = extraHeader :+ schemaHeader(upserts.schema),
+            base = Some(None)) match {
+            case Some(v) => return v
+            case None    => () // raced a concurrent first commit — remerge
+          }
+        } else {
+          val latest = vs.last
+          val tableSchema = schemaOf(spark, dir, latest)
+          val current = filesOf(spark, dir, latest)
+          def readCur(paths: Seq[String]) = tableSchema match {
+            case Some(s) => spark.read.schema(s).parquet(paths: _*)
+            case None    => spark.read.parquet(paths: _*)
+          }
+          // ONE key-column-pruned scan finds the files that hold any
+          // matched key; everything else is carried by reference
+          val affected = readCur(current)
+            .select((input_file_name().as("__f")) +: keys.map(col): _*)
+            .join(keyFrame, keys, "left_semi")
+            .select("__f").distinct().collect().map(_.getString(0)).toSet
+          def hit(p: String) = affected.contains(p) ||
+            affected.contains(new Path(p).toUri.toString) ||
+            affected.exists(a =>
+              new Path(a).toUri.getPath == new Path(p).toUri.getPath)
+          val (rewrite, carry) = current.partition(hit)
+          if (rewrite.isEmpty && upserts.isEmpty) return latest // all-miss deletes
+          val outSchema = mergeSchemas(
+            tableSchema.getOrElse(readCur(current).schema),
+            upserts.schema)
+          // survivors: unmatched rows of the rewritten files (matched
+          // rows are replaced or deleted — either way they drop here)
+          val survivors =
+            if (rewrite.isEmpty) None
+            else Some(alignTo(
+              readCur(rewrite).join(keyFrame, keys, "left_anti"), outSchema))
+          val body = survivors match {
+            case Some(s) => s.unionByName(alignTo(upserts, outSchema))
+            case None    => alignTo(upserts, outSchema)
+          }
+          val commitId = java.util.UUID.randomUUID().toString
+          val newFiles =
+            if (body.isEmpty) Seq.empty else writeData(spark, dir, body, commitId)
+          commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
+            header = extraHeader ++ Seq(schemaHeader(outSchema)) ++
+              propagatedStatHeaders(spark, dir, latest, carry, newFiles),
+            base = Some(Some(latest))) match {
+            case Some(v) => return v
+            case None    => () // lost the race — recompute against new latest
+          }
+        }
+      }
+      0L // unreachable
+    } finally changes.unpersist()
+  }
+
   /** Compaction as a commit: rewrite the latest version's SMALL files
     * (length < `smallFileBytes`) into `targetFiles` larger, optionally
     * clustered files, committed as a new version that carries every
@@ -510,6 +663,111 @@ object SnapshotLog {
       case None    => spark.read.parquet(files: _*)
     }
   }
+
+  // -------------------------------------------------------------------
+  // Change data feed — row-level diffs between versions at file grain
+  // -------------------------------------------------------------------
+
+  /** Row-level changes from version `fromV` (exclusive) to `toV`
+    * (inclusive) — the Delta/Iceberg change-data-feed shape, derived
+    * purely from the manifests: columns of `toV`'s schema plus
+    * `_change_type` ∈ insert|delete (and, when `keys` are given,
+    * update_preimage|update_postimage).
+    *
+    * File-grain cost model: only files ADDED or REMOVED between the two
+    * manifests are read — files carried by reference across every
+    * intermediate commit (the vast majority at 100 TB under COW
+    * merge/delete) are never opened. Within the changed files, a row
+    * rewritten verbatim (a COW survivor: its file was rewritten but the
+    * row didn't change) cancels out via `exceptAll` between the two row
+    * multisets, so survivors don't masquerade as churn:
+    * {{{
+    *   inserts = rows(added files) exceptAll rows(removed files)
+    *   deletes = rows(removed files) exceptAll rows(added files)
+    * }}}
+    * `exceptAll` here is one hash aggregation over the CHANGED rows only
+    * (the count-difference plan the engine's own q_except_all uses) —
+    * never a scan of the table.
+    *
+    * With `keys`, a delete and an insert sharing a key are re-labelled
+    * as the pre/post images of an UPDATE (one additional
+    * changed-rows-sized join); a consumer applying the feed elsewhere
+    * ([[merge]] on a replica) can then upsert post-images and delete
+    * true deletes — see the replica-sync law in SnapshotCdfSpec.
+    *
+    * Schema evolution: both sides are read under their OWN version's
+    * schema and aligned to `toV`'s (typed nulls in added columns), so a
+    * feed spanning a column add is well-typed. Requires both versions
+    * still retained (loud failure otherwise — a vacuumed `fromV` cannot
+    * yield a sound diff). */
+  def changesBetween(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long, keys: Seq[String] = Seq.empty): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.contains(fromV) && vs.contains(toV),
+      s"changesBetween needs both versions retained; have ${vs.mkString(",")}")
+    require(fromV <= toV, s"fromV $fromV must not exceed toV $toV")
+    val outSchema = schemaOf(spark, dir, toV)
+      .orElse(schemaOf(spark, dir, fromV))
+    def readSide(v: Long, paths: Seq[String]): DataFrame = {
+      val raw =
+        if (paths.isEmpty) {
+          val s = schemaOf(spark, dir, v)
+            .getOrElse(read(spark, dir, Some(v)).schema)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        } else schemaOf(spark, dir, v) match {
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          case None    => spark.read.parquet(paths: _*)
+        }
+      outSchema.map(alignTo(raw, _)).getOrElse(raw)
+    }
+    val before = filesOf(spark, dir, fromV)
+    val after = filesOf(spark, dir, toV)
+    val added = after.filterNot(before.contains(_))
+    val removed = before.filterNot(after.contains(_))
+    val addedRows = readSide(toV, added)
+    val removedRows = readSide(fromV, removed)
+    // survivor cancellation only matters when a commit both added AND
+    // removed files (a COW rewrite); pure appends and pure drops —
+    // streaming's common case — are one scan of the changed files with
+    // zero shuffle (removedRows/addedRows is the empty relation there)
+    val both = added.nonEmpty && removed.nonEmpty
+    val ins = (if (both) addedRows.exceptAll(removedRows) else addedRows)
+      .withColumn("_change_type", lit("insert"))
+    val del = (if (both) removedRows.exceptAll(addedRows) else removedRows)
+      .withColumn("_change_type", lit("delete"))
+    if (keys.isEmpty) ins.unionByName(del)
+    else {
+      // a key present on BOTH sides is an update; re-label its images.
+      // Both join sides are changed-rows-sized (and key-pruned).
+      val updKeys = ins.select(keys.map(col): _*)
+        .intersect(del.select(keys.map(col): _*))
+      def relabel(side: DataFrame, asUpdate: String) = {
+        val flagged = side.join(updKeys.withColumn("__u", lit(true)),
+          keys, "left_outer")
+        flagged.withColumn("_change_type",
+          when(col("__u"), lit(asUpdate)).otherwise(col("_change_type")))
+          .drop("__u")
+      }
+      relabel(ins, "update_postimage")
+        .unionByName(relabel(del, "update_preimage"))
+    }
+  }
+
+  /** Apply a keyed [[changesBetween]] feed to ANOTHER snapshot log — the
+    * replica-sync verb. Post-images and inserts upsert, deletes delete,
+    * pre-images are informational and ignored; one [[merge]] commit, so
+    * the replica advances atomically and the rewrite touches only its
+    * files that hold a changed key. `SnapshotCdfSpec` pins the law:
+    * replica ∘ applyChanges(feed) == source, version over version. */
+  def applyChanges(spark: SparkSession, dir: String, feed: DataFrame,
+      keys: Seq[String]): Long =
+    merge(spark, dir,
+      feed.filter(col("_change_type") =!= "update_preimage")
+        .withColumn("__is_del", col("_change_type") === "delete")
+        .drop("_change_type"),
+      keys,
+      deleteWhen = Some(col("__is_del")), dropCols = Seq("__is_del"))
 
   // -------------------------------------------------------------------
   // Per-file column stats (zone maps) — planning-time file skipping

@@ -283,6 +283,50 @@ object CdcStream {
     } else fromFeed + (CdcMerge.Unchanged -> 0L)
   }
 
+  /** COW replica of the CDC state, driven by the persisted change feed:
+    * every not-yet-applied feed batch becomes one
+    * [[graft.sources.SnapshotLog.mergeBatch]] commit on `logDir` —
+    * I/U post-images upsert, D tombstones delete, keyed on the CDC key.
+    * Returns the log versions committed (empty when already caught up).
+    *
+    * This is the write-amplification dual of [[commitStateToLog]]: the
+    * bucketed merge rewrites the full state per batch and the log
+    * references those generations for free, while this path rewrites
+    * ONLY the replica files that hold a changed key — at 100 TB with
+    * sparse batches (the normal CDC regime) the per-batch write is
+    * proportional to the churn's file footprint, not the table. The
+    * price is no bucketed layout on the replica (use the log's
+    * `optimize` clustering on the key to keep merge's affected-file
+    * sets small). Sound because classify emits exactly one winning row
+    * per key per batch (merge's duplicate guard would otherwise refuse)
+    * and the feed carries full post-images. Replays are no-ops via the
+    * log's `#batch=` guard; a crash mid-catch-up resumes at the first
+    * unapplied batch. */
+  def applyFeedToCowLog(spark: SparkSession, stateDir: String,
+      logDir: String, cfg: CdcConfig,
+      upTo: Option[Long] = None): Seq[Long] = {
+    val p = new Path(changesPath(stateDir))
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fsys.exists(p), s"no change feed under $stateDir")
+    val feed = spark.read.parquet(changesPath(stateDir))
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val applied = graft.sources.SnapshotLog.lastBatch(spark, logDir)
+      .getOrElse(-1L)
+    // one row per feed batch (partition values), never data-scaled
+    val pending = feed.select("batch_id").distinct().collect()
+      .map(_.getLong(0)).filter(b => b > applied && upTo.forall(b <= _))
+      .sorted
+    pending.flatMap { b =>
+      val slice = feed.filter(col("batch_id") === b) // partition-pruned
+        .select((cfg.allCols :+ CdcMerge.OpCol).map(col): _*)
+      val v = graft.sources.SnapshotLog.mergeBatch(spark, logDir, slice,
+        cfg.keyCols, b,
+        deleteWhen = Some(col(CdcMerge.OpCol) === CdcMerge.Delete),
+        dropCols = Seq(CdcMerge.OpCol))
+      if (v == 0L) None else Some(v) // 0 = delete-only batch on empty log
+    }.toSeq
+  }
+
   /** Point-in-time read: the state snapshot as of `version` (batch id),
     * straight from the retained v{n} layout — plain parquet, no catalog
     * involvement, so audits/backfills can read history concurrently with

@@ -1,0 +1,134 @@
+package graft
+
+import graft.sources.SnapshotLog
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Contract of [[SnapshotLog.changesBetween]] — the snapshot log's
+  * change data feed: row-accurate insert/delete/update images derived
+  * from manifests alone, COW-survivor cancellation, file-grain read
+  * cost, schema-evolution alignment, and the replica-sync law
+  * (applyChanges ∘ feed == source). */
+class SnapshotCdfSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshDir() =
+    Files.createTempDirectory("snapcdf").toString + "/tbl"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(r.fieldIndex("_change_type")))).toSet
+
+  test("append feeds inserts; COW delete feeds ONLY the deleted rows (survivors cancel)") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, spark.range(0, 400)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("k")))
+    SnapshotLog.commitBatch(spark, dir, spark.range(400, 410)
+      .select(col("id").as("k"), lit(99L).as("v")), 0L)
+    val appendFeed = SnapshotLog.changesBetween(spark, dir, 1L, 2L)
+    assert(rows(appendFeed) ===
+      (400L until 410L).map(k => (k, 99L, "insert")).toSet)
+    // deleteWhere rewrites the whole top file (100 rows) to drop 50;
+    // the 50 surviving rewritten rows must NOT appear in the feed
+    SnapshotLog.deleteWhere(spark, dir, col("k") >= 350 && col("k") < 400)
+    val delFeed = SnapshotLog.changesBetween(spark, dir, 2L, 3L)
+    assert(rows(delFeed) ===
+      (350L until 400L).map(k => (k, k % 7, "delete")).toSet)
+    // spanning feed composes: (1 → 3) = append minus the later deletes
+    assert(rows(SnapshotLog.changesBetween(spark, dir, 1L, 3L)) ===
+      ((400L until 410L).map(k => (k, 99L, "insert")) ++
+        (350L until 400L).map(k => (k, k % 7, "delete"))).toSet)
+    // zero-length window: empty feed
+    assert(SnapshotLog.changesBetween(spark, dir, 2L, 2L).count() === 0)
+  }
+
+  test("keyed feed labels update pre/post images; inserts and deletes keep their type") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") % 7).as("v")))
+    val changes = Seq((10L, 1000L, false), (60L, -1L, true),
+      (5000L, 7L, false)).toDF("k", "v", "is_del")
+    SnapshotLog.merge(spark, dir, changes, Seq("k"),
+      deleteWhen = Some(col("is_del")), dropCols = Seq("is_del"))
+    val feed = SnapshotLog.changesBetween(spark, dir, 1L, 2L, keys = Seq("k"))
+    assert(rows(feed) === Set(
+      (10L, 3L, "update_preimage"), (10L, 1000L, "update_postimage"),
+      (60L, 4L, "delete"), (5000L, 7L, "insert")))
+  }
+
+  test("replica-sync law: applyChanges reproduces the source version over version") {
+    import spark.implicits._
+    val srcDir = freshDir(); val repDir = freshDir()
+    val seed = spark.range(0, 300).select(col("id").as("k"),
+      (col("id") % 13).as("v")).repartitionByRange(3, col("k"))
+    SnapshotLog.commit(spark, srcDir, seed)
+    SnapshotLog.commit(spark, repDir, seed)
+    // source evolves: a churny merge, then a predicate delete
+    SnapshotLog.merge(spark, srcDir,
+      Seq((7L, 700L, false), (8L, 800L, false), (100L, -1L, true),
+        (900L, 9L, false)).toDF("k", "v", "is_del"),
+      Seq("k"), deleteWhen = Some(col("is_del")), dropCols = Seq("is_del"))
+    SnapshotLog.deleteWhere(spark, srcDir, col("k") % 29 === 0)
+    def table(dir: String) = SnapshotLog.read(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // replay each source version transition onto the replica
+    SnapshotLog.applyChanges(spark, repDir,
+      SnapshotLog.changesBetween(spark, srcDir, 1L, 2L, Seq("k")), Seq("k"))
+    assert(table(repDir) === SnapshotLog.read(spark, srcDir, Some(2L))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    SnapshotLog.applyChanges(spark, repDir,
+      SnapshotLog.changesBetween(spark, srcDir, 2L, 3L, Seq("k")), Seq("k"))
+    assert(table(repDir) === table(srcDir))
+  }
+
+  test("file-grain cost: a feed between appends opens only the appended files") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, spark.range(0, 4000)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(8, col("k")))
+    SnapshotLog.commitBatch(spark, dir, spark.range(4000, 4010)
+      .select(col("id").as("k"), lit(1L).as("v")).coalesce(1), 0L)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val feed = SnapshotLog.changesBetween(spark, dir, 1L, 2L)
+      // collect() drives feed's OWN cached execution — count() would
+      // plan a separate job whose scan metrics we can't reach
+      assert(feed.collect().length === 10)
+      val scans = feed.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val filesRead = scans.map(_.metrics("numFiles").value).sum
+      assert(filesRead === 1,
+        s"feed must open ONLY the appended commit's file, read $filesRead; " +
+          s"scans=${scans.map(s => s.metrics("numFiles").value + ":" +
+            s.relation.location.inputFiles.mkString("|")).mkString(" ;; ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("feed spanning a schema widening aligns both sides to the later schema") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, Seq((1L, 5L), (2L, 6L)).toDF("k", "v"))
+    SnapshotLog.merge(spark, dir,
+      Seq((2L, 60L, 0.5), (3L, 70L, 0.9)).toDF("k", "v", "score"), Seq("k"))
+    val feed = SnapshotLog.changesBetween(spark, dir, 1L, 2L, keys = Seq("k"))
+    assert(feed.columns.toSeq === Seq("k", "v", "score", "_change_type"))
+    val got = feed.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+      r.getString(3))).toSet
+    assert(got === Set(
+      (2L, 6L, None, "update_preimage"),
+      (2L, 60L, Some(0.5), "update_postimage"),
+      (3L, 70L, Some(0.9), "insert")))
+    // vacuumed fromV: the feed refuses rather than fabricating a diff
+    SnapshotLog.vacuum(spark, dir, keepLast = 1)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.changesBetween(spark, dir, 1L, 2L)
+    }
+    assert(e.getMessage.contains("retained"))
+  }
+}
