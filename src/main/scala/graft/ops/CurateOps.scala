@@ -482,6 +482,28 @@ object CurateOps {
       .orderBy("source")
   }
 
+  /** Near-dup components from 40-char prefix/suffix blocking keys —
+    * the shared transitive-closure frame under q_cluster_canonical and
+    * q_split_leakfree: equal prefix OR equal suffix is an edge,
+    * checkpoint-truncated min-label propagation closes it. Only docs
+    * with a blocking-key collision enter the edge frame — a tiny slice
+    * of the corpus; everyone else never touches the iteration. */
+  private def prefixSuffixComponents(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = docs.select(col("doc_id"),
+      substring(col("text"), 1, 40).as("k1"),
+      expr("substring(text, greatest(length(text) - 39, 1), 40)").as("k2"))
+    def pass(key: String) = {
+      val a = k.select(col("doc_id").as("src"), col(key).as("bk"))
+      val b = k.select(col("doc_id").as("dst"), col(key).as("bk_b"))
+      a.join(b, col("bk") === col("bk_b") && col("src") =!= col("dst"))
+        .select("src", "dst")
+    }
+    val edges = pass("k1").unionByName(pass("k2")).distinct()
+    graft.dedup.Components.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("comp").as("component_id"))
+  }
+
   /** Canonical-document election per near-dup cluster — the retention
     * step after q_dedup_components' transitive closure: inside every
     * multi-member cluster keep the longest document (n_chars desc, then
@@ -521,18 +543,7 @@ object CurateOps {
       |FROM m WHERE rk = 1 ORDER BY component_id""".stripMargin
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val k = docs.select(col("doc_id"),
-      substring(col("text"), 1, 40).as("k1"),
-      expr("substring(text, greatest(length(text) - 39, 1), 40)").as("k2"))
-    def pass(key: String) = {
-      val a = k.select(col("doc_id").as("src"), col(key).as("bk"))
-      val b = k.select(col("doc_id").as("dst"), col(key).as("bk_b"))
-      a.join(b, col("bk") === col("bk_b") && col("src") =!= col("dst"))
-        .select("src", "dst")
-    }
-    val edges = pass("k1").unionByName(pass("k2")).distinct()
-    val comp = graft.dedup.Components.connectedComponents(edges)
-      .select(col("id").as("doc_id"), col("comp").as("component_id"))
+    val comp = prefixSuffixComponents(docs)
     val wc = Window.partitionBy("component_id")
     comp.join(docs.select("doc_id", "n_chars"), "doc_id")
       .withColumn("rk", row_number().over(
@@ -542,6 +553,69 @@ object CurateOps {
       .select(col("component_id"), col("doc_id").as("canonical_doc"),
         col("n_chars").as("canon_chars"), col("n_members"))
       .orderBy("component_id")
+  }
+
+  /** Leak-free train/eval split: the q_sample_split hash split made
+    * contamination-safe — near-duplicate documents must land in the
+    * SAME split (a near-copy of a training doc in the eval set is a
+    * leaked answer), so the split key is the doc's near-dup COMPONENT
+    * id (singletons: the doc's own id), not the doc id. Same
+    * first-md5-nibble rule as q_sample_split (train ≈ 13/16); report
+    * per (lang, split): docs, distinct split groups, clustered docs.
+    *
+    * Leak-freedom is by construction, not by check: every member of a
+    * component shares gid, so shares the hash, so shares the split.
+    *
+    * Scale: the split decision is a map-only hash of the group id. The
+    * transitive-closure machinery only ever sees docs with a blocking
+    * key collision ([[prefixSuffixComponents]]); the rest of the corpus
+    * takes the left-join + coalesce fast path — at 100 TB the iteration
+    * runs on the collision slice, the split itself on a single pass. */
+  val splitLeakfree: Q = Q.checked(
+    "q_split_leakfree",
+    """WITH RECURSIVE
+      |k AS (SELECT doc_id, substr(text, 1, 40) AS k1,
+      |        substr(text, greatest(length(text) - 39, 1), 40) AS k2
+      |      FROM documents),
+      |e AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst FROM k a JOIN k b
+      |    ON a.k1 = b.k1 AND a.doc_id <> b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id FROM k a JOIN k b
+      |    ON a.k2 = b.k2 AND a.doc_id <> b.doc_id),
+      |reach(src, dst) AS (
+      |  SELECT src, src FROM e
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component_id
+      |         FROM reach GROUP BY src),
+      |assigned AS (
+      |  SELECT d.lang, coalesce(c.component_id, d.doc_id) AS gid,
+      |    (c.doc_id IS NOT NULL) AS clustered
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+      |SELECT lang,
+      |  CASE WHEN substr(md5(CAST(gid AS VARCHAR)), 1, 1) < 'd'
+      |       THEN 'train' ELSE 'eval' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(count(DISTINCT gid) AS BIGINT) AS n_groups,
+      |  CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clustered
+      |FROM assigned GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val comp = prefixSuffixComponents(docs)
+    docs.select("doc_id", "lang")
+      .join(comp, Seq("doc_id"), "left_outer")
+      .withColumn("gid", coalesce(col("component_id"), col("doc_id")))
+      .withColumn("clustered", col("component_id").isNotNull)
+      .withColumn("split",
+        when(substring(md5(col("gid").cast(StringType)), 1, 1) < "d",
+          "train").otherwise("eval"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("gid")).as("n_groups"),
+        sum(when(col("clustered"), 1L).otherwise(0L)).as("n_clustered"))
+      .orderBy("lang", "split")
   }
 
   /** Per-source adaptive quality cut: drop each source's bottom 30% by
@@ -813,5 +887,5 @@ object CurateOps {
   val all: Seq[Q] = Seq(sampleSplit, sampleQuota, vocabTopk, tfidf,
     ngramCounts, packBins, curate, quantileDisc, winCume, dedupComponents,
     profile, fuzzyMatch, mixWeights, clusterCanonical, qualityCut,
-    mixSchedule, filterFunnel, tokenBudget)
+    mixSchedule, filterFunnel, tokenBudget, splitLeakfree)
 }
