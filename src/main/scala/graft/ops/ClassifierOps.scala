@@ -154,24 +154,24 @@ object ClassifierOps {
     * iteration is one window + one aggregate over it; the only driver
     * state is the B+1 weights. */
   def train(docs: DataFrame): Array[Long] = {
-    // The loop scans the feature frame once per iteration, so its
-    // lineage must be truncated AND its blocks must survive the loop.
-    // With a configured checkpoint dir (any real cluster: durable
-    // storage) use a RELIABLE eager checkpoint — executor loss
-    // mid-training recomputes nothing and kills nothing. Without one
-    // (bare local session) fall back to an EAGER local checkpoint:
-    // executor-local blocks, fine single-node, documented trade-off —
-    // never the lazy variant, whose first materialization races the
-    // first step's window and aggregate stages.
-    val raw = featureFrame(docs)
-    val spark = docs.sparkSession
-    val feats =
-      if (spark.sparkContext.getCheckpointDir.isDefined) raw.checkpoint()
-      else raw.localCheckpoint(eager = true)
-    val nDocs = feats.select("doc_id").distinct().count()
-    (1 to Iters).foldLeft(Array.fill(B + 1)(0L)) { (w, _) =>
-      step(feats, w, nDocs)
-    }
+    // The loop re-reads the feature frame once per iteration with a
+    // STATIC plan — the weights enter each step as literals, so lineage
+    // never compounds (unlike pagerank's iterate-on-own-output, which
+    // genuinely needs checkpoint truncation). persist() is therefore
+    // the correct durability tool, not a checkpoint: blocks are reused
+    // across iterations, and an executor loss recomputes the lost
+    // partitions from lineage instead of killing the job — the failure
+    // mode a truncated-lineage localCheckpoint cannot recover from.
+    // MEMORY_AND_DISK so a tight executor spills rather than thrashes;
+    // unpersist releases the storage the moment training ends.
+    val feats = featureFrame(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = feats.select("doc_id").distinct().count()
+      (1 to Iters).foldLeft(Array.fill(B + 1)(0L)) { (w, _) =>
+        step(feats, w, nDocs)
+      }
+    } finally feats.unpersist(false)
   }
 
   /** Registered impl-only surface: the trained weights as a table.

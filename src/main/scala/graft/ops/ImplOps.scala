@@ -298,12 +298,23 @@ object ImplOps {
       dotLit(col("embedding"), w) /
         (sqrt(norm2(col("embedding"))) * lit(wNorm))
     }
-    def litTopK(src: org.apache.spark.sql.DataFrame, p: Long) =
-      src.filter(col("vec_id") =!= p)
-        .select(lit(p).as("probe_id"), col("vec_id"), litCos(p).as("cos"))
-        .orderBy(col("cos").desc, col("vec_id")).limit(10)
-        .select("probe_id", "vec_id")
-    val brute = byProbe(probes.map(litTopK(e, _)).reduce(_.unionByName(_)))
+    // ALL probes in ONE corpus pass: each row evaluates its 8 literal
+    // cosines, explodes to (probe_id, vec_id, cos), and a k-bounded
+    // TopKAgg keeps 10 per probe — map-side combine caps the shuffle at
+    // 8×10 rows per map partition. The previous shape (one
+    // orderBy-limit job per probe, unioned) scanned the corpus 8 times
+    // for brute and 8 more for LSH; per-probe wall was this dashboard's
+    // entire regression when the probe set grew from 1 to 8.
+    val top10 = udaf(new graft.functions.TopKAgg(10))
+    def onePassTopK(src: org.apache.spark.sql.DataFrame,
+        branches: Seq[org.apache.spark.sql.Column],
+        extraFilter: org.apache.spark.sql.Column = lit(true)) =
+      src.select(col("vec_id"), explode(array(branches: _*)).as("pc"))
+        .filter(col("vec_id") =!= col("pc.probe_id") && extraFilter)
+        .groupBy(col("pc.probe_id").as("probe_id"))
+        .agg(top10(col("pc.cos"), col("vec_id")).as("top"))
+        .select(col("probe_id"), explode(col("top")).as("t"))
+        .select(col("probe_id"), col("t._2").as("vec_id"))
     // LSH: bucket signatures computed ONCE for the corpus (the nBits
     // interpreted plane folds were previously re-evaluated per probe)
     val bucketed = graft.sim.Ann.withBucket(e, "embedding", nBits = 4)
@@ -312,16 +323,31 @@ object ImplOps {
       bucketed.filter(col("vec_id").isin(probes: _*))
         .select("vec_id", "bucket").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val legs = Seq(
-      "lsh" -> byProbe(probes.map(p =>
-        litTopK(bucketed.filter(col("bucket") === probeBuckets(p)), p))
-        .reduce(_.unionByName(_))),
-      "ivf" -> byProbe(graft.sim.Ivf.multiProbeTopK(e, "vec_id", "embedding",
-        "label", probes, k = 10, nProbe = 3, iters = 2)
-        .select("probe_id", "vec_id")),
-      "pq_rerank" -> byProbe(graft.sim.Pq.multiProbeTopK(e, "vec_id",
+    // the four legs are independent job chains dominated by SEQUENTIAL
+    // tiny model-state stages (kmeans rounds, broadcast futures) that
+    // leave a 32-way executor idle — submit them as concurrent Spark
+    // jobs from separate threads (the supported multi-job pattern) so
+    // one leg's scheduling gaps overlap another's work; results are
+    // per-leg deterministic so concurrency cannot change the output
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val bruteF = Future(byProbe(onePassTopK(e,
+      probes.map(p => struct(lit(p).as("probe_id"), litCos(p).as("cos"))))))
+    val legFs = Seq(
+      "lsh" -> Future(byProbe(onePassTopK(bucketed,
+        probes.map(p => struct(lit(p).as("probe_id"),
+          lit(probeBuckets(p)).as("pb"), litCos(p).as("cos"))),
+        extraFilter = col("bucket") === col("pc.pb")))),
+      "ivf" -> Future(byProbe(graft.sim.Ivf.multiProbeTopK(e, "vec_id",
+        "embedding", "label", probes, k = 10, nProbe = 3, iters = 2)
+        .select("probe_id", "vec_id"))),
+      "pq_rerank" -> Future(byProbe(graft.sim.Pq.multiProbeTopK(e, "vec_id",
         "embedding", probes, k = 10, refine = 50)
-        .select("probe_id", "vec_id")))
+        .select("probe_id", "vec_id"))))
+    val brute = Await.result(bruteF, Duration("600s"))
+    val legs = legFs.map { case (m, f) =>
+      m -> Await.result(f, Duration("600s")) }
     import s.implicits._
     legs.map { case (m, got) =>
       val recalls = probes.map { p =>
