@@ -25,6 +25,49 @@ object Png {
   final case class Image(width: Int, height: Int, channels: Int,
       pixels: Array[Byte])
 
+  /** Deterministic box-average resize in pure integer arithmetic: each
+    * output pixel averages (floor division) the input box
+    * `[x·W/newW, (x+1)·W/newW) × [y·H/newH, (y+1)·H/newH)` per channel;
+    * a degenerate box (upscale) collapses to the nearest source pixel.
+    * Integer-exact, so resized rasters are bit-identical across JVMs,
+    * partitionings and architectures — the property a float bilinear
+    * kernel cannot give a checked pipeline. The downscale every training
+    * ingest needs (thumbnail/normalize-resolution) without an image
+    * dependency. */
+  def resizeBox(img: Image, newW: Int, newH: Int): Image = {
+    require(newW > 0 && newH > 0, s"bad resize target ${newW}x$newH")
+    val (w, h, c) = (img.width, img.height, img.channels)
+    val out = new Array[Byte](newW * newH * c)
+    var y = 0
+    while (y < newH) {
+      val y0 = y * h / newH
+      val y1 = math.max(((y + 1) * h / newH), y0 + 1)
+      var x = 0
+      while (x < newW) {
+        val x0 = x * w / newW
+        val x1 = math.max(((x + 1) * w / newW), x0 + 1)
+        var ch = 0
+        while (ch < c) {
+          var sum = 0L; var n = 0
+          var yy = y0
+          while (yy < y1) {
+            var xx = x0
+            while (xx < x1) {
+              sum += img.pixels((yy * w + xx) * c + ch) & 0xff
+              n += 1; xx += 1
+            }
+            yy += 1
+          }
+          out((y * newW + x) * c + ch) = (sum / n).toByte
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Image(newW, newH, c, out)
+  }
+
   private def channelsOf(colorType: Int): Int = colorType match {
     case 0 => 1 // grayscale
     case 2 => 3 // RGB

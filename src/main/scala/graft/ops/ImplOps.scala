@@ -144,6 +144,38 @@ object ImplOps {
       .orderBy("media_id")
   }
 
+  /** RESIZE leg of the multimodal set — the normalize-resolution step a
+    * training ingest runs on every image: decode each 8×8 PNG, box-
+    * average it to 4×4 ([[graft.multimodal.Png.resizeBox]], pure
+    * integer arithmetic ⇒ bit-identical across partitionings), re-encode
+    * as a real PNG, and prove the round trip by decoding the RESIZED
+    * payload for the emitted stats. Per-partition Dataset map — the
+    * same no-driver-bytes plumbing as the decode/audio/video legs;
+    * at 100 TB the resize is embarrassingly parallel and shuffle-free.
+    * Rows-only by design (no PNG codec in DuckDB); MultimodalSpec pins
+    * the box-average arithmetic and the codec round trip bit-level. */
+  val multimodalResize: Q = Q.implOnly("q_multimodal_resize") { (s, dir) =>
+    import s.implicits._
+    import graft.multimodal.Png
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")).limit(200)
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val px = v.take(64).map(f => (math.round(f * 127).toInt & 0xff).toByte)
+        val full = Png.encode(8, 8, 1, px.padTo(64, 0.toByte))
+        val small = Png.encode(4, 4, 1,
+          Png.resizeBox(Png.decode(full), 4, 4).pixels)
+        val back = Png.decode(small)
+        val sum = back.pixels.map(_ & 0xff).map(_.toLong).sum
+        (id, full.length.toLong, small.length.toLong,
+          back.width.toLong, back.height.toLong,
+          sum * 1000L / (back.width * back.height))
+      }
+      .toDF("media_id", "bytes_full", "bytes_resized", "w", "h",
+        "mean_milli")
+      .orderBy("media_id")
+  }
+
   /** AUDIO leg of the real-codec round trip (PNG: q_multimodal_decode,
     * MP4: q_multimodal_video): embeddings quantized to 16-bit PCM
     * waveforms, ENCODED as actual RIFF/WAVE files, decoded back through
@@ -389,5 +421,5 @@ object ImplOps {
   val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, simAnn, simIvf,
     multimodalFeatures, approxDistinct, topkGroupAgg, multimodalDecode,
     throttleChain, multimodalVideo, simPq, dedupSemantic, dedupSemanticIncr,
-    multimodalAudio, evalAnnRecall, embedPca)
+    multimodalAudio, evalAnnRecall, embedPca, multimodalResize)
 }

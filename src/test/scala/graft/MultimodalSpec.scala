@@ -392,6 +392,43 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("resizeBox: exact integer box averages, identity, 1x1 collapse, PNG round trip") {
+    import graft.multimodal.Png
+    // 4x2 grayscale, hand-checkable: 2x1 output boxes are 2x2 input
+    // blocks averaged with floor division
+    val px = Array[Byte](10, 20, 30, 40,
+                         50, 60, 70, 80)
+    val img = Png.Image(4, 2, 1, px)
+    val half = Png.resizeBox(img, 2, 1)
+    // box1 = {10,20,50,60} -> 140/4 = 35; box2 = {30,40,70,80} -> 55
+    assert(half.pixels.map(_ & 0xff).toSeq === Seq(35, 55))
+    // identity resize is bit-identical
+    assert(Png.resizeBox(img, 4, 2).pixels.toSeq === px.toSeq)
+    // 1x1 collapse = floor of the global mean (360/8 = 45)
+    assert(Png.resizeBox(img, 1, 1).pixels.map(_ & 0xff).toSeq === Seq(45))
+    // upscale degenerates to nearest-pixel (no invented values)
+    val up = Png.resizeBox(half, 4, 1)
+    assert(up.pixels.map(_ & 0xff).toSeq === Seq(35, 35, 55, 55))
+    // multi-channel: channels resize independently
+    val rgb = Png.Image(2, 1, 3,
+      Array[Byte](100, 0, 50, 2, 10, 52))
+    assert(Png.resizeBox(rgb, 1, 1).pixels.map(_ & 0xff).toSeq ===
+      Seq(51, 5, 51))
+    // the resized raster survives a real encode/decode round trip
+    val enc = Png.encode(2, 1, 1, half.pixels)
+    assert(Png.decode(enc).pixels.toSeq === half.pixels.toSeq)
+    // registered query: deterministic rows, resized shape as declared
+    val rows = graft.ops.ImplOps.multimodalResize.fn(spark, Sf).collect()
+    assert(rows.length === 200)
+    rows.foreach { r =>
+      assert(r.getLong(3) === 4L && r.getLong(4) === 4L)
+      assert(r.getLong(2) < r.getLong(1),
+        "resized payload must be smaller than the original PNG")
+    }
+    val again = graft.ops.ImplOps.multimodalResize.fn(spark, Sf).collect()
+    assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+  }
+
   test("approx_count_distinct stays within 15% of exact (HLL sanity)") {
     val r = Tables.events(spark, Sf)
       .agg(approx_count_distinct("user_id").as("a"),
