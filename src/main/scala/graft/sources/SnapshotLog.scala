@@ -473,6 +473,24 @@ object SnapshotLog {
       else lit(null).cast(fld.dataType).as(fld.name)
     }: _*)
 
+  /** [[merge]]'s planning-time candidate prune: keep a file iff its
+    * recorded zone map for `k` could contain ANY of the sorted change
+    * keys (binary search for the first key ≥ file-min, check ≤
+    * file-max); stat-less files are conservatively kept. Exposed for
+    * the spec to hold the prune accountable. */
+  private[graft] def pruneByStats(files: Seq[String],
+      stats: Map[String, Map[String, (Long, Long)]], k: String,
+      ks: Array[Long]): Seq[String] =
+    files.filter { p =>
+      stats.get(p).flatMap(_.get(k)) match {
+        case Some((mn, mx)) =>
+          val i = java.util.Arrays.binarySearch(ks, mn)
+          val from = if (i >= 0) i else -i - 1
+          from < ks.length && ks(from) <= mx
+        case None => true
+      }
+    }
+
   private def mergeImpl(spark: SparkSession, dir: String,
       changes0: DataFrame, keys: Seq[String], deleteWhen: Option[Column],
       dropCols: Seq[String], extraHeader: Seq[String]): Long = {
@@ -519,11 +537,45 @@ object SnapshotLog {
             case None    => spark.read.parquet(paths: _*)
           }
           // ONE key-column-pruned scan finds the files that hold any
-          // matched key; everything else is carried by reference
-          val affected = readCur(current)
-            .select((input_file_name().as("__f")) +: keys.map(col): _*)
-            .join(keyFrame, keys, "left_semi")
-            .select("__f").distinct().collect().map(_.getString(0)).toSet
+          // matched key; everything else is carried by reference. Fast
+          // path: a SPARSE single-integer-key batch against a table with
+          // manifest zone maps on that key (the optimize-clustered
+          // regime this verb is built for) collects the change keys
+          // once, prunes candidate files at PLANNING time by each
+          // file's recorded [min,max] (binary search over the sorted
+          // keys), and scans only the survivors with a literal isin —
+          // parquet row-group min/max pushdown then prunes inside them.
+          // Cold files are never opened at all, versus the general
+          // semi-join path whose join-shaped filter cannot skip files.
+          val stats = fileStatsOf(spark, dir, latest)
+          // LongType only: an isin of Long literals against a Long
+          // column needs no cast, so parquet pushdown stays intact
+          val statKey = keys match {
+            case Seq(k) if stats.nonEmpty && stats.values.exists(_.contains(k))
+              && changes.schema(k).dataType ==
+                org.apache.spark.sql.types.LongType => Some(k)
+            case _ => None
+          }
+          val sortedKeys: Option[Array[Long]] = statKey.flatMap { k =>
+            val n = keyFrame.limit(100001).count()
+            if (n > 100000) None // not sparse — use the general path
+            else Some(keyFrame.select(col(k)).collect()
+              .map(_.getLong(0)).sorted)
+          }
+          val affected = (statKey, sortedKeys) match {
+            case (Some(k), Some(ks)) =>
+              val candidates = pruneByStats(current, stats, k, ks)
+              if (candidates.isEmpty) Set.empty[String]
+              else readCur(candidates)
+                .filter(col(k).isin(ks.map(Long.box): _*))
+                .select(input_file_name().as("__f"))
+                .distinct().collect().map(_.getString(0)).toSet
+            case _ =>
+              readCur(current)
+                .select((input_file_name().as("__f")) +: keys.map(col): _*)
+                .join(keyFrame, keys, "left_semi")
+                .select("__f").distinct().collect().map(_.getString(0)).toSet
+          }
           def hit(p: String) = affected.contains(p) ||
             affected.contains(new Path(p).toUri.toString) ||
             affected.exists(a =>
@@ -857,7 +909,7 @@ object SnapshotLog {
         statHeaders(spark, files, statCols)).get
   }
 
-  private def fileStatsOf(spark: SparkSession, dir: String,
+  private[graft] def fileStatsOf(spark: SparkSession, dir: String,
       v: Long): Map[String, Map[String, (Long, Long)]] =
     manifestLines(spark, dir, v)
       .filter(_.startsWith("#filestat="))

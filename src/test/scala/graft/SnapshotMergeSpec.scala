@@ -166,6 +166,48 @@ class SnapshotMergeSpec extends AnyFunSuite with SparkFixture {
     assert(latest.filter(col("k") === 500L).count() === 1)
   }
 
+  test("zone-map fast path: a sparse merge prunes candidate files at planning time") {
+    import spark.implicits._
+    val dir = freshDir()
+    val base = spark.range(0, 400).select(col("id").as("k"),
+      (col("id") % 7).as("v")).repartitionByRange(4, col("k"))
+    SnapshotLog.commitWithStats(spark, dir, base, Seq("k"))
+    val files = SnapshotLog.read(spark, dir).inputFiles.toSeq.sorted
+    val stats = SnapshotLog.fileStatsOf(spark, dir, 1L)
+    assert(stats.nonEmpty)
+    // the prune the merge fast path runs: keys {10, 17} live in the
+    // first range file only — exactly one candidate survives
+    def normStats = stats.map { case (p, m) =>
+      files.find(f => f.endsWith(p.split('/').last)).getOrElse(p) -> m }
+    val kept = SnapshotLog.pruneByStats(normStats.keys.toSeq.sorted,
+      normStats, "k", Array(10L, 17L))
+    assert(kept.size === 1, s"expected 1 candidate, got ${kept.size}")
+    // prune laws: stat-less files always kept; out-of-range keys prune all
+    assert(SnapshotLog.pruneByStats(Seq("nostats"), Map.empty, "k",
+      Array(1L)) === Seq("nostats"))
+    assert(SnapshotLog.pruneByStats(normStats.keys.toSeq, normStats, "k",
+      Array(100000L)).isEmpty)
+    // boundary keys (exact file min / max) are candidates, never missed
+    val (mn, mx) = normStats.values.map(_("k")).minBy(_._1)
+    assert(SnapshotLog.pruneByStats(normStats.keys.toSeq, normStats, "k",
+      Array(mn)).nonEmpty)
+    assert(SnapshotLog.pruneByStats(normStats.keys.toSeq, normStats, "k",
+      Array(mx)).nonEmpty)
+    // end to end: the fast-path merge result matches the general path's
+    // semantics exactly (update + insert + miss-delete)
+    val changes = Seq((10L, 999L, false), (17L, 888L, false),
+      (9999L, 1L, false), (5000L, -1L, true)).toDF("k", "v", "is_del")
+    SnapshotLog.merge(spark, dir, changes, Seq("k"),
+      deleteWhen = Some(col("is_del")), dropCols = Seq("is_del"))
+    val got = SnapshotLog.read(spark, dir)
+    assert(got.count() === 401)
+    assert(got.filter(col("k") === 10L).select("v").as[Long].head() === 999L)
+    assert(got.filter(col("k") === 17L).select("v").as[Long].head() === 888L)
+    assert(got.filter(col("k") === 9999L).count() === 1)
+    // and the zone maps survived for the NEXT merge's prune
+    assert(SnapshotLog.fileStatsOf(spark, dir, 2L).nonEmpty)
+  }
+
   test("merge propagates zone-map stats: carried files keep them, new files gain them") {
     import spark.implicits._
     val dir = freshDir()
