@@ -909,6 +909,36 @@ object SnapshotLog {
         statHeaders(spark, files, statCols)).get
   }
 
+  /** ANALYZE TABLE as a commit: re-publish the latest version's EXACT
+    * file list (shared 100% by reference — zero data written) with
+    * freshly computed zone-map stats for `statCols`, so an existing
+    * table retroactively gains planning-time file skipping
+    * ([[readBetween]], [[merge]]'s fast path) without waiting for its
+    * next [[commitWithStats]] rewrite. One scan of the table's stat
+    * columns (column-pruned), one manifest write. Pair with
+    * [[optimize]] clustering first — stats on a random layout prune
+    * nothing. Base-checked like every read-modify-write commit: a
+    * concurrent append/delete wins and analyze recomputes. */
+  def analyze(spark: SparkSession, dir: String,
+      statCols: Seq[String]): Long = {
+    require(statCols.nonEmpty, "analyze needs at least one column")
+    while (true) {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"no committed snapshot under $dir")
+      val latest = vs.last
+      val files = filesOf(spark, dir, latest)
+      val commitId = java.util.UUID.randomUUID().toString
+      commitFiles(spark, dir, files, commitId,
+        header = schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
+          statHeaders(spark, files, statCols),
+        base = Some(Some(latest))) match {
+        case Some(v) => return v
+        case None    => () // raced — recompute over the new latest
+      }
+    }
+    0L // unreachable
+  }
+
   private[graft] def fileStatsOf(spark: SparkSession, dir: String,
       v: Long): Map[String, Map[String, (Long, Long)]] =
     manifestLines(spark, dir, v)

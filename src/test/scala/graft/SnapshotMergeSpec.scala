@@ -208,6 +208,28 @@ class SnapshotMergeSpec extends AnyFunSuite with SparkFixture {
     assert(SnapshotLog.fileStatsOf(spark, dir, 2L).nonEmpty)
   }
 
+  test("analyze retrofits zone maps: same files by reference, prune turns on") {
+    import spark.implicits._
+    val dir = freshDir()
+    val base = spark.range(0, 400).select(col("id").as("k"),
+      (col("id") % 7).as("v")).repartitionByRange(4, col("k"))
+    SnapshotLog.commit(spark, dir, base) // plain commit: no stats
+    val (_, scanned0, total0) = SnapshotLog.readBetween(spark, dir, "k", 0L, 10L)
+    assert(scanned0 === total0, "no stats yet — nothing can prune")
+    val v = SnapshotLog.analyze(spark, dir, Seq("k"))
+    assert(v === 2L)
+    assert(manifestFiles(dir, 1L) === manifestFiles(dir, 2L),
+      "analyze must share every data file by reference")
+    val (df, scanned1, total1) = SnapshotLog.readBetween(spark, dir, "k", 0L, 10L)
+    assert(scanned1 < total1, s"analyze stats must prune: $scanned1/$total1")
+    assert(df.count() === 11)
+    // rows identical before/after
+    assert(SnapshotLog.read(spark, dir).count() === 400)
+    // vacuum after analyze: shared files survive the dropped version
+    SnapshotLog.vacuum(spark, dir, keepLast = 1)
+    assert(SnapshotLog.read(spark, dir).count() === 400)
+  }
+
   test("merge propagates zone-map stats: carried files keep them, new files gain them") {
     import spark.implicits._
     val dir = freshDir()
