@@ -109,6 +109,27 @@ class SnapshotCdfSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("compaction is CDF-silent: optimize's pure rewrite yields an empty feed") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, spark.range(0, 300)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartition(6, col("k"))) // 6 small files, hash-scattered
+    val vOpt = SnapshotLog.optimize(spark, dir, targetFiles = 1,
+      clusterBy = Seq("k"))
+    assert(vOpt === 2L)
+    // every row moved files, yet NO row changed — survivor cancellation
+    // must make the feed exactly empty, not 300 deletes + 300 inserts
+    assert(SnapshotLog.changesBetween(spark, dir, 1L, 2L).count() === 0)
+    // and a feed SPANNING the compaction carries only the real change
+    SnapshotLog.merge(spark, dir,
+      spark.range(5, 6).select(col("id").as("k"), lit(999L).as("v")),
+      Seq("k"))
+    val feed = SnapshotLog.changesBetween(spark, dir, 1L, 3L, keys = Seq("k"))
+    assert(feed.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2))).toSet ===
+      Set((5L, 5L, "update_preimage"), (5L, 999L, "update_postimage")))
+  }
+
   test("feed spanning a schema widening aligns both sides to the later schema") {
     import spark.implicits._
     val dir = freshDir()
