@@ -27,6 +27,9 @@ import scala.jdk.CollectionConverters._
   *     log_dir: /data/log/customer      # optional: SnapshotLog-backed
   *                                      # state (atomic commits, batch-k
   *                                      # time travel, vacuum retention)
+  *     cow_dir: /data/cow/customer      # optional: feed-maintained
+  *                                      # copy-on-write replica (per-batch
+  *                                      # writes ∝ churn, not table size)
   * }}}
   *
   * Supported: `tables:` root, `- ` item starts, `key: value` pairs,
@@ -117,7 +120,7 @@ object ConfigFile {
     val known = Set("name", "source_path", "format", "schema",
       "key_cols", "value_cols", "state_dir", "strict_schema",
       "kafka_bootstrap", "kafka_topic", "kafka_starting_offsets",
-      "log_dir")
+      "log_dir", "cow_dir")
 
     tables.toSeq.map { case (itemLine, m) =>
       m.foreach { case (k, (li, _)) =>
@@ -192,6 +195,17 @@ object ConfigFile {
             "collide with merge generations)")
         d
       }
+      // COW replica binding: its log must own its directory exclusively
+      val cowDir = m.get("cow_dir").map { case (li, v) =>
+        val d = unquote(v)
+        if (d == req("state_dir"))
+          fail(li, "cow_dir must differ from state_dir (replica files " +
+            "would collide with merge generations)")
+        if (logDir.contains(d))
+          fail(li, "cow_dir must differ from log_dir (two logs cannot " +
+            "share one manifest directory)")
+        d
+      }
       PipelineConfig(
         sourcePath = req("source_path"),
         format = format,
@@ -201,7 +215,8 @@ object ConfigFile {
         stateDir = req("state_dir"),
         strictSchema = strict,
         kafka = kafka,
-        logDir = logDir)
+        logDir = logDir,
+        cowDir = cowDir)
     }
   }
 }

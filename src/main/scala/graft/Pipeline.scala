@@ -45,7 +45,13 @@ final case class PipelineConfig(
     // batch k" time travel, and log-driven retention for the whole
     // configured fleet (CdcStream.commitStateToLog — by reference to
     // the generation's files, zero data copied)
-    logDir: Option[String] = None) {
+    logDir: Option[String] = None,
+    // with `cow_dir` set, the change feed additionally maintains a
+    // copy-on-write snapshot-log replica (CdcStream.applyFeedToCowLog):
+    // per-batch writes proportional to the churn's file footprint
+    // instead of the bucketed merge's full-state generation — the
+    // sparse-batch serving copy at 100 TB
+    cowDir: Option[String] = None) {
   def cdc: CdcConfig = CdcConfig(keyCols, valueCols)
 }
 
@@ -75,7 +81,7 @@ object Pipeline {
   def run(spark: SparkSession, cfg: PipelineConfig,
           batchId: Long): Map[String, Long] =
     CdcStream.mergeBatch(readExtract(spark, cfg), batchId, cfg.cdc,
-      cfg.stateDir, logDir = cfg.logDir)
+      cfg.stateDir, logDir = cfg.logDir, cowDir = cfg.cowDir)
 
   /** Many-table run — the reference's "at scale" deployment shape is
     * hundreds of source tables per scheduled run [upstream `README.md`].
@@ -219,10 +225,12 @@ object Pipeline {
     cfg.format match {
       case "csv" => CdcStream.start(
         Sources.csvStream(spark, cfg.sourcePath, cfg.schema),
-        cfg.cdc, cfg.stateDir, checkpointDir, logDir = cfg.logDir)
+        cfg.cdc, cfg.stateDir, checkpointDir, logDir = cfg.logDir,
+        cowDir = cfg.cowDir)
       case "parquet" => CdcStream.start(
         Sources.parquetStream(spark, cfg.sourcePath, cfg.schema),
-        cfg.cdc, cfg.stateDir, checkpointDir, logDir = cfg.logDir)
+        cfg.cdc, cfg.stateDir, checkpointDir, logDir = cfg.logDir,
+        cowDir = cfg.cowDir)
       case "debezium" =>
         // with a Kafka binding the feed comes off the topic; otherwise
         // the JSON-lines file stream stands in (wire format identical)
@@ -232,7 +240,8 @@ object Pipeline {
         }
         CdcStream.startFromEnvelope(
           Sources.debeziumEnvelope(records, cfg.schema),
-          cfg.cdc, cfg.stateDir, checkpointDir, logDir = cfg.logDir)
+          cfg.cdc, cfg.stateDir, checkpointDir, logDir = cfg.logDir,
+          cowDir = cfg.cowDir)
       case other => throw new IllegalArgumentException(s"stream format: $other")
     }
 }

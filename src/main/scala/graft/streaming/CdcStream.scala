@@ -152,16 +152,27 @@ object CdcStream {
     * own files, never a second copy. The log commit runs on the replay
     * path too, so a crash between merge and log commit heals on the
     * at-least-once redelivery (the log's own `#batch=` guard makes the
-    * healed commit a no-op when it already landed). */
+    * healed commit a no-op when it already landed).
+    *
+    * With `cowDir` set, the persisted change feed is additionally
+    * caught up into a copy-on-write snapshot-log replica
+    * ([[applyFeedToCowLog]]) after each merge — same heal-on-replay
+    * discipline, so a crash between merge and catch-up repairs itself
+    * on redelivery. */
   def mergeBatch(batch: DataFrame, batchId: Long, cfg: CdcConfig,
                  stateDir: String, buckets: Int = DefaultBuckets,
                  feedPriors: Boolean = false,
-                 logDir: Option[String] = None): Map[String, Long] = {
+                 logDir: Option[String] = None,
+                 cowDir: Option[String] = None): Map[String, Long] = {
     val spark = batch.sparkSession
     val table = stateTable(stateDir)
     CdcBucketed.recoverStage(spark, table)
     if (currentVersion(spark, stateDir).exists(_ >= batchId)) {
       logDir.foreach(commitStateToLog(spark, stateDir, _, batchId))
+      // heal the COW replica too: a crash between merge and catch-up
+      // resumes here, and an already-applied batch is a #batch= no-op
+      cowDir.foreach(applyFeedToCowLog(spark, stateDir, _, cfg,
+        upTo = Some(batchId)))
       return replayedCounts(spark, stateDir, batchId)
     }
     ensureState(spark, table, batch, cfg, stateDir, buckets)
@@ -173,6 +184,8 @@ object CdcStream {
         .map(r => r.getString(0) -> r.getLong(1)).toMap,
       withPriors = feedPriors)
     logDir.foreach(commitStateToLog(spark, stateDir, _, batchId))
+    cowDir.foreach(applyFeedToCowLog(spark, stateDir, _, cfg,
+      upTo = Some(batchId)))
     if (ops.contains(CdcMerge.Unchanged)) ops
     else ops + (CdcMerge.Unchanged -> 0L)
   }
@@ -413,12 +426,13 @@ object CdcStream {
   def start(incoming: DataFrame, cfg: CdcConfig, stateDir: String,
             checkpointDir: String, buckets: Int = DefaultBuckets,
             feedPriors: Boolean = false, batchIdOffset: Long = 0L,
-            logDir: Option[String] = None): StreamingQuery =
+            logDir: Option[String] = None,
+            cowDir: Option[String] = None): StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         mergeBatch(batch, id + batchIdOffset, cfg, stateDir, buckets,
-          feedPriors, logDir); ()
+          feedPriors, logDir, cowDir); ()
       }
       .start()
 
@@ -656,7 +670,8 @@ object CdcStream {
     * plans no Exchange. */
   def applyEnvelopeBatch(batch: DataFrame, batchId: Long, cfg: CdcConfig,
                          stateDir: String, buckets: Int = DefaultBuckets,
-                         logDir: Option[String] = None): Unit = {
+                         logDir: Option[String] = None,
+                         cowDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val table = stateTable(stateDir)
     CdcBucketed.recoverStage(spark, table)
@@ -665,6 +680,8 @@ object CdcStream {
       // leaves the generation unlogged — the redelivery commits it
       // (no-op when it already landed, via the log's #batch= guard)
       logDir.foreach(commitStateToLog(spark, stateDir, _, batchId))
+      cowDir.foreach(applyFeedToCowLog(spark, stateDir, _, cfg,
+        upTo = Some(batchId)))
       return
     }
     ensureState(spark, table, batch.select(cfg.allCols.map(col): _*), cfg,
@@ -696,6 +713,8 @@ object CdcStream {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
     logDir.foreach(commitStateToLog(spark, stateDir, _, batchId))
+    cowDir.foreach(applyFeedToCowLog(spark, stateDir, _, cfg,
+      upTo = Some(batchId)))
   }
 
   /** Wire a CDC-source-shaped envelope stream (see
@@ -704,11 +723,12 @@ object CdcStream {
   def startFromEnvelope(envelope: DataFrame, cfg: CdcConfig, stateDir: String,
                         checkpointDir: String,
                         buckets: Int = DefaultBuckets,
-                        logDir: Option[String] = None): StreamingQuery =
+                        logDir: Option[String] = None,
+                        cowDir: Option[String] = None): StreamingQuery =
     envelope.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyEnvelopeBatch(batch, id, cfg, stateDir, buckets, logDir)
+        applyEnvelopeBatch(batch, id, cfg, stateDir, buckets, logDir, cowDir)
       }
       .start()
 }

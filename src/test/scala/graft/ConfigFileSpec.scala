@@ -139,4 +139,26 @@ class ConfigFileSpec extends AnyFunSuite with SparkFixture {
       parse(s"tables:\n  - $base\n    log_dir: /s\n"))
     assert(e.getMessage.contains("must differ from state_dir"))
   }
+
+  test("cow_dir parses into a COW-replica binding; collisions fail loudly") {
+    val base =
+      """name: t
+        |    source_path: /x
+        |    format: parquet
+        |    schema: "a int, b string"
+        |    key_cols: [a]
+        |    value_cols: [b]
+        |    state_dir: /s""".stripMargin
+    def parse(body: String) =
+      ConfigFile.parse(body.linesIterator.toSeq, "inline")
+    assert(parse(s"tables:\n  - $base\n    cow_dir: /cow/t\n")
+      .head.cowDir === Some("/cow/t"))
+    assert(parse(s"tables:\n  - $base\n").head.cowDir === None)
+    val e1 = intercept[IllegalArgumentException](
+      parse(s"tables:\n  - $base\n    cow_dir: /s\n"))
+    assert(e1.getMessage.contains("must differ from state_dir"))
+    val e2 = intercept[IllegalArgumentException](
+      parse(s"tables:\n  - $base\n    log_dir: /log/t\n    cow_dir: /log/t\n"))
+    assert(e2.getMessage.contains("must differ from log_dir"))
+  }
 }

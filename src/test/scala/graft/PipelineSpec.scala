@@ -77,6 +77,38 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       versionsBefore)
   }
 
+  test("cow_dir config: the feed maintains a COW snapshot-log replica equal to the state") {
+    val dir = Files.createTempDirectory("pipeline_cow")
+    val stateDir = s"$dir/state"
+    val cowDir = s"$dir/cow"
+
+    Files.writeString(dir.resolve("extract0.csv"),
+      "k,status,amount\n1,O,10.0\n2,O,20.0\n3,F,30.0\n")
+    val cfg = PipelineConfig(s"$dir/extract0.csv", "csv", schema,
+      keyCols = Seq("k"), valueCols = Seq("status", "amount"), stateDir,
+      cowDir = Some(cowDir))
+    Pipeline.run(spark, cfg, batchId = 0L)
+    Files.writeString(dir.resolve("extract1.csv"),
+      "k,status,amount\n1,O,10.0\n2,F,25.0\n4,O,40.0\n")
+    Pipeline.run(spark,
+      cfg.copy(sourcePath = s"$dir/extract1.csv"), batchId = 1L)
+
+    // replica latest == live state, and batch-0 time travel works
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "status", "amount").orderBy("k").collect()
+        .map(_.toSeq).toSeq
+    val live = CdcStream.currentState(spark, stateDir).get
+    assert(rows(graft.sources.SnapshotLog.read(spark, cowDir)) === rows(live))
+    val v0 = graft.sources.SnapshotLog.versionOfBatch(spark, cowDir, 0L).get
+    assert(graft.sources.SnapshotLog.read(spark, cowDir, Some(v0))
+      .count() === 3)
+    // replay heals/no-ops the replica too
+    val before = graft.sources.SnapshotLog.versions(spark, cowDir)
+    Pipeline.run(spark,
+      cfg.copy(sourcePath = s"$dir/extract1.csv"), batchId = 1L)
+    assert(graft.sources.SnapshotLog.versions(spark, cowDir) === before)
+  }
+
   test("config rollout with an added column evolves state through the merge") {
     val dir = Files.createTempDirectory("pipeline_evo")
     val stateDir = s"$dir/state"
