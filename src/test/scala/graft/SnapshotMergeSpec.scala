@@ -208,6 +208,45 @@ class SnapshotMergeSpec extends AnyFunSuite with SparkFixture {
     assert(SnapshotLog.fileStatsOf(spark, dir, 2L).nonEmpty)
   }
 
+  test("composite-key merge: matching needs BOTH columns; fast path stands down") {
+    import spark.implicits._
+    val dir = freshDir()
+    // (region, id) composite key; same id exists under both regions
+    val base = Seq(("eu", 1L, 10L), ("eu", 2L, 20L),
+      ("us", 1L, 30L), ("us", 2L, 40L)).toDF("region", "id", "v")
+    SnapshotLog.commitWithStats(spark, dir, base.repartition(2), Seq("id"))
+    val changes = Seq(("eu", 1L, 999L, false), ("us", 2L, -1L, true),
+      ("ap", 1L, 50L, false)).toDF("region", "id", "v", "is_del")
+    SnapshotLog.merge(spark, dir, changes, Seq("region", "id"),
+      deleteWhen = Some(col("is_del")), dropCols = Seq("is_del"))
+    val got = SnapshotLog.read(spark, dir).orderBy("region", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // us/1 untouched even though id=1 matched in eu — the key is the PAIR
+    assert(got === Seq(("ap", 1L, 50L), ("eu", 1L, 999L), ("eu", 2L, 20L),
+      ("us", 1L, 30L)))
+  }
+
+  test("two merges racing on disjoint keys: rebase keeps both updates") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir,
+      spark.range(0, 200).select(col("id").as("k"), lit(0L).as("v")))
+    val f1 = Future(SnapshotLog.merge(spark, dir,
+      Seq((10L, 111L)).toDF("k", "v"), Seq("k")))
+    val f2 = Future(SnapshotLog.merge(spark, dir,
+      Seq((150L, 222L)).toDF("k", "v"), Seq("k")))
+    Await.result(f1, Duration("120s")); Await.result(f2, Duration("120s"))
+    val latest = SnapshotLog.read(spark, dir)
+    assert(latest.count() === 200)
+    assert(latest.filter(col("k") === 10L).select("v").as[Long].head() === 111L,
+      "first merge's update must survive the race")
+    assert(latest.filter(col("k") === 150L).select("v").as[Long].head() === 222L,
+      "second merge's update must survive the race")
+  }
+
   test("analyze retrofits zone maps: same files by reference, prune turns on") {
     import spark.implicits._
     val dir = freshDir()
