@@ -454,6 +454,103 @@ object LmOps {
       .orderBy("source")
   }
 
+  /** Bigram LM with stupid backoff, trained on the in-corpus docs
+    * (doc_id % 5 ≠ 0 — the established held-out convention) and scored
+    * on the held-out fifth: per held-out doc,
+    * nll = Σ over its bigrams of
+    *   seen (w1,w2) in train:  L(c(w1)) − L(c(w1,w2))   [−log2 c12/c1]
+    *   unseen:                 L(T) − L(c(w2)) + K      [−log2 α·c2/T]
+    * with α = 0.4 (Brants et al. stupid backoff), K = round(−log2 0.4 ·
+    * 1e10) = 13219280949 hardcoded identically in both engines, and an
+    * OOV w2 counted as 1 (L = 0). Top 20 most-surprising held-out docs —
+    * the KenLM-style fluency filter one rung above q_lm_score's unigram.
+    *
+    * Scale design: snapped logs are computed once per DISTINCT unigram /
+    * bigram TYPE, never per occurrence; the train total is a 1-row
+    * broadcast; the only data-grain operations are the doc-partitioned
+    * lag window (scales with doc count, no tiny-key cliff) and the
+    * held-bigram ⋈ count-table joins, which carry counts — never text
+    * bodies. Integer nll terms sum fold-order-free; the single terminal
+    * division is correctly rounded IEEE. */
+  val lmBigram: Q = Q.checked(
+    "q_lm_bigram",
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |    unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, lag(token) OVER (PARTITION BY doc_id ORDER BY pos)
+      |    AS w1, token AS w2
+      |  FROM toks),
+      |tbig AS (
+      |  SELECT w1, w2,
+      |    CAST(floor(log2(CAST(count(*) AS DOUBLE)) * 1e10 + 5.0e-1)
+      |      AS BIGINT) AS l12
+      |  FROM big WHERE w1 IS NOT NULL AND doc_id % 5 <> 0 GROUP BY w1, w2),
+      |tuni AS (SELECT token AS w, count(*) AS c FROM toks
+      |         WHERE doc_id % 5 <> 0 GROUP BY token),
+      |luni AS (SELECT w,
+      |    CAST(floor(log2(CAST(c AS DOUBLE)) * 1e10 + 5.0e-1) AS BIGINT)
+      |      AS lc
+      |  FROM tuni),
+      |tot AS (SELECT CAST(floor(log2(CAST(sum(c) AS DOUBLE)) * 1e10
+      |          + 5.0e-1) AS BIGINT) AS lt FROM tuni),
+      |held AS (SELECT doc_id, w1, w2 FROM big
+      |         WHERE w1 IS NOT NULL AND doc_id % 5 = 0),
+      |scored AS (
+      |  SELECT h.doc_id,
+      |    CASE WHEN tb.l12 IS NOT NULL THEN u1.lc - tb.l12
+      |         ELSE tot.lt - coalesce(u2.lc, 0) + 13219280949 END AS nll
+      |  FROM held h
+      |  LEFT JOIN tbig tb ON h.w1 = tb.w1 AND h.w2 = tb.w2
+      |  LEFT JOIN luni u1 ON h.w1 = u1.w
+      |  LEFT JOIN luni u2 ON h.w2 = u2.w
+      |  CROSS JOIN tot)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(nll) AS BIGINT) AS nll10,
+      |  CAST(sum(nll) AS DOUBLE) / 1e10 / count(*) AS nll_per_bigram
+      |FROM scored GROUP BY doc_id
+      |ORDER BY nll_per_bigram DESC, doc_id LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    def snapLog2(c: org.apache.spark.sql.Column) =
+      floor(log2(c.cast(DoubleType)) * lit(1e10) + lit(0.5)).cast(LongType)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+    val big = toks.withColumn("w1",
+        lag(col("token"), 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+      .withColumnRenamed("token", "w2")
+    val trainBig = big
+      .filter(col("w1").isNotNull && col("doc_id") % 5 =!= 0)
+      .groupBy("w1", "w2").agg(snapLog2(count(lit(1))).as("l12"))
+    val trainUni = toks.filter(col("doc_id") % 5 =!= 0)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val luni = trainUni.select(col("token").as("w"), snapLog2(col("c")).as("lc"))
+    val tot = trainUni.agg(snapLog2(sum(col("c"))).as("lt"))
+    val held = big.filter(col("w1").isNotNull && col("doc_id") % 5 === 0)
+      .select("doc_id", "w1", "w2")
+    held
+      .join(trainBig, Seq("w1", "w2"), "left_outer")
+      .join(luni.select(col("w").as("w1"), col("lc").as("lc1")),
+        Seq("w1"), "left_outer")
+      .join(luni.select(col("w").as("w2"), col("lc").as("lc2")),
+        Seq("w2"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .withColumn("nll",
+        when(col("l12").isNotNull, col("lc1") - col("l12"))
+          .otherwise(col("lt") - coalesce(col("lc2"), lit(0L))
+            + lit(13219280949L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll")).cast(LongType).as("nll10"),
+        (sum(col("nll")).cast(DoubleType) / lit(1e10)
+          / count(lit(1)).cast(DoubleType)).as("nll_per_bigram"))
+      .orderBy(col("nll_per_bigram").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(lmScore, pmi, oovRate, textZipf, ngramNovelty,
-    vocabGrowth, klSource)
+    vocabGrowth, klSource, lmBigram)
 }
