@@ -488,11 +488,18 @@ object CurateOps {
     * checkpoint-truncated min-label propagation closes it. Only docs
     * with a blocking-key collision enter the edge frame — a tiny slice
     * of the corpus; everyone else never touches the iteration. */
-  private def prefixSuffixComponents(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val k = docs.select(col("doc_id"),
+  /** 40-char prefix/suffix blocking keys per doc — the near-dup edge
+    * grain shared by q_cluster_canonical, q_split_leakfree and
+    * q_split_contamination. */
+  private def blockingKeys(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
       substring(col("text"), 1, 40).as("k1"),
       expr("substring(text, greatest(length(text) - 39, 1), 40)").as("k2"))
+
+  private def prefixSuffixComponents(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = blockingKeys(docs)
     def pass(key: String) = {
       val a = k.select(col("doc_id").as("src"), col(key).as("bk"))
       val b = k.select(col("doc_id").as("dst"), col(key).as("bk_b"))
@@ -616,6 +623,113 @@ object CurateOps {
         countDistinct(col("gid")).as("n_groups"),
         sum(when(col("clustered"), 1L).otherwise(0L)).as("n_clustered"))
       .orderBy("lang", "split")
+  }
+
+  /** Split-contamination audit: measure cross-split near-dup LEAKAGE —
+    * eval docs sharing a blocking key (40-char prefix or suffix) with
+    * any train doc — under BOTH split rules side by side: the naive
+    * per-doc hash (q_sample_split) leaks wherever a near-dup pair
+    * straddles the hash boundary, while the component-keyed split
+    * (q_split_leakfree) must show EXACTLY zero, because a shared
+    * blocking key IS an edge, so both endpoints share a component and
+    * therefore a split. The zero is structural, and this query makes it
+    * measurable next to the naive rule's real leak count — the audit a
+    * data team runs before trusting an eval set.
+    *
+    * Scale: leak detection is two equi-joins on the blocking keys
+    * (never an OR-join — Spark would plan a nested loop), key-grain
+    * frames only; the component machinery again touches only the
+    * collision slice. */
+  val splitContamination: Q = Q.checked(
+    "q_split_contamination",
+    """WITH RECURSIVE
+      |k AS (SELECT doc_id, substr(text, 1, 40) AS k1,
+      |        substr(text, greatest(length(text) - 39, 1), 40) AS k2
+      |      FROM documents),
+      |e AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst FROM k a JOIN k b
+      |    ON a.k1 = b.k1 AND a.doc_id <> b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id FROM k a JOIN k b
+      |    ON a.k2 = b.k2 AND a.doc_id <> b.doc_id),
+      |reach(src, dst) AS (
+      |  SELECT src, src FROM e
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component_id
+      |         FROM reach GROUP BY src),
+      |assigned AS (
+      |  SELECT d.doc_id, d.lang, k.k1, k.k2,
+      |    CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < 'd'
+      |         THEN 'train' ELSE 'eval' END AS naive_split,
+      |    CASE WHEN substr(md5(CAST(coalesce(c.component_id, d.doc_id)
+      |           AS VARCHAR)), 1, 1) < 'd'
+      |         THEN 'train' ELSE 'eval' END AS safe_split
+      |  FROM documents d JOIN k ON d.doc_id = k.doc_id
+      |  LEFT JOIN comp c ON d.doc_id = c.doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS ev, a.naive_split AS a_n, a.safe_split AS a_s,
+      |    b.naive_split AS b_n, b.safe_split AS b_s
+      |  FROM assigned a JOIN assigned b
+      |    ON a.k1 = b.k1 AND a.doc_id <> b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, a.naive_split, a.safe_split,
+      |    b.naive_split, b.safe_split
+      |  FROM assigned a JOIN assigned b
+      |    ON a.k2 = b.k2 AND a.doc_id <> b.doc_id),
+      |leak_n AS (SELECT DISTINCT ev FROM pairs
+      |           WHERE a_n = 'eval' AND b_n = 'train'),
+      |leak_s AS (SELECT DISTINCT ev FROM pairs
+      |           WHERE a_s = 'eval' AND b_s = 'train')
+      |SELECT a.lang,
+      |  CAST(sum(CASE WHEN a.naive_split = 'eval' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_eval_naive,
+      |  CAST(count(ln.ev) AS BIGINT) AS n_leak_naive,
+      |  CAST(sum(CASE WHEN a.safe_split = 'eval' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_eval_safe,
+      |  CAST(count(ls.ev) AS BIGINT) AS n_leak_safe
+      |FROM assigned a
+      |LEFT JOIN leak_n ln ON a.doc_id = ln.ev
+      |LEFT JOIN leak_s ls ON a.doc_id = ls.ev
+      |GROUP BY a.lang ORDER BY a.lang""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val k = blockingKeys(docs)
+    val comp = prefixSuffixComponents(docs)
+    def nibbleSplit(c: org.apache.spark.sql.Column) =
+      when(substring(md5(c.cast(StringType)), 1, 1) < "d", "train")
+        .otherwise("eval")
+    val assigned = docs.select("doc_id", "lang").join(k, "doc_id")
+      .join(comp, Seq("doc_id"), "left_outer")
+      .withColumn("naive_split", nibbleSplit(col("doc_id")))
+      .withColumn("safe_split",
+        nibbleSplit(coalesce(col("component_id"), col("doc_id"))))
+      .select("doc_id", "lang", "k1", "k2", "naive_split", "safe_split")
+    def pairPass(key: String) = {
+      val a = assigned.select(col("doc_id").as("ev"), col(key).as("bk"),
+        col("naive_split").as("a_n"), col("safe_split").as("a_s"))
+      val b = assigned.select(col("doc_id").as("other"), col(key).as("bk_b"),
+        col("naive_split").as("b_n"), col("safe_split").as("b_s"))
+      a.join(b, col("bk") === col("bk_b") && col("ev") =!= col("other"))
+        .select("ev", "a_n", "a_s", "b_n", "b_s")
+    }
+    val pairs = pairPass("k1").unionByName(pairPass("k2")).distinct()
+    val leakN = pairs.filter(col("a_n") === "eval" && col("b_n") === "train")
+      .select(col("ev")).distinct()
+    val leakS = pairs.filter(col("a_s") === "eval" && col("b_s") === "train")
+      .select(col("ev").as("ev_s")).distinct()
+    assigned
+      .join(leakN, col("doc_id") === col("ev"), "left_outer")
+      .join(leakS, col("doc_id") === col("ev_s"), "left_outer")
+      .groupBy("lang")
+      .agg(
+        sum(when(col("naive_split") === "eval", 1L).otherwise(0L))
+          .as("n_eval_naive"),
+        count(col("ev")).as("n_leak_naive"),
+        sum(when(col("safe_split") === "eval", 1L).otherwise(0L))
+          .as("n_eval_safe"),
+        count(col("ev_s")).as("n_leak_safe"))
+      .orderBy("lang")
   }
 
   /** Per-source adaptive quality cut: drop each source's bottom 30% by
@@ -887,5 +1001,6 @@ object CurateOps {
   val all: Seq[Q] = Seq(sampleSplit, sampleQuota, vocabTopk, tfidf,
     ngramCounts, packBins, curate, quantileDisc, winCume, dedupComponents,
     profile, fuzzyMatch, mixWeights, clusterCanonical, qualityCut,
-    mixSchedule, filterFunnel, tokenBudget, splitLeakfree)
+    mixSchedule, filterFunnel, tokenBudget, splitLeakfree,
+    splitContamination)
 }
