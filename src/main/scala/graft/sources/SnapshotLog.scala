@@ -340,6 +340,28 @@ object SnapshotLog {
       }
       .start()
 
+  /** Streaming UPSERT sink: each micro-batch [[mergeBatch]]es into the
+    * table by key — later batches REPLACE earlier rows with the same key
+    * instead of appending duplicates (what [[sink]] cannot express), and
+    * rows where `deleteWhen` is true are tombstones. The streaming
+    * MERGE shape of the Delta/Iceberg world: at-least-once replays
+    * no-op via `#batch=`, per-batch write cost is COW (∝ files holding
+    * a changed key), and the first batch bootstraps the table. The
+    * caller must guarantee one row per key per batch (aggregate or
+    * dedup upstream) — merge's duplicate guard fails the batch loudly
+    * otherwise. */
+  def mergeSink(df: DataFrame, dir: String, checkpointDir: String,
+      keys: Seq[String], deleteWhen: Option[Column] = None,
+      dropCols: Seq[String] = Seq.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch.sparkSession, dir, batch, keys, id,
+          deleteWhen, dropCols); ()
+      }
+      .start()
+
   /** Copy-on-write targeted delete: commit a new version with every row
     * matching `pred` removed, REWRITING ONLY the files that contain a
     * match — untouched files are carried into the new manifest by

@@ -247,6 +247,36 @@ class SnapshotMergeSpec extends AnyFunSuite with SparkFixture {
       "second merge's update must survive the race")
   }
 
+  test("mergeSink: streaming upsert replaces by key, tombstones delete, time travel works") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = freshDir()
+    val ck = Files.createTempDirectory("mergeck").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Boolean)]
+    val q = SnapshotLog.mergeSink(
+      ms.toDF().toDF("k", "v", "is_del"), dir, ck, Seq("k"),
+      deleteWhen = Some(col("is_del")), dropCols = Seq("is_del"))
+    try {
+      ms.addData((1L, 10L, false), (2L, 20L, false)) // bootstrap
+      q.processAllAvailable()
+      ms.addData((2L, 21L, false), (3L, 30L, false)) // upsert 2, insert 3
+      q.processAllAvailable()
+      ms.addData((1L, -1L, true))                    // tombstone 1
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(v: Option[Long]) = SnapshotLog.read(spark, dir, v).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows(None) === Seq((2L, 21L), (3L, 30L)))
+    // each batch is one atomic version; batch-1 time travel sees key 1
+    val v1 = SnapshotLog.versionOfBatch(spark, dir, 1L).get
+    assert(rows(Some(v1)) === Seq((1L, 10L), (2L, 21L), (3L, 30L)))
+    assert(SnapshotLog.versions(spark, dir).size === 3)
+    // no duplicate keys ever: the sink upserted, never appended
+    assert(SnapshotLog.read(spark, dir).groupBy("k").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+
   test("analyze retrofits zone maps: same files by reference, prune turns on") {
     import spark.implicits._
     val dir = freshDir()
