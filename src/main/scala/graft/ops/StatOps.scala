@@ -697,7 +697,91 @@ object StatOps {
       .orderBy("qty_band", "disc_band")
   }
 
+  /** Welch's two-sample t-test (unequal variances) comparing click vs
+    * purchase event values — the parametric twin of q_rank_sum's
+    * Wilcoxon: t = (m₁−m₂)/√(v₁/n₁+v₂/n₂) with the Welch–Satterthwaite
+    * df. One row: the A/B-comparison primitive an experimentation pass
+    * runs per metric.
+    *
+    * Determinism: values snap to integer CENTS once (floor(x·100+0.5) —
+    * the q_mad recipe), so n/Σ/Σ² are exact BIGINTs (cents² sums peak
+    * ~6e13 ≪ 2⁶³); every downstream mean/var/t/df is ONE fixed IEEE
+    * expression tree written identically in both engines (correctly
+    * rounded ops ⇒ bit-identical). The cents unit cancels in t and df.
+    *
+    * Scale: one hash aggregation with a 2-row result — conditional
+    * aggregates collapse map-side; no window, no sort, no second pass. */
+  val ttestWelch: Q = Q.checked(
+    "q_ttest_welch",
+    Tables.EventsCte +
+      """,
+        |c AS (SELECT event_type,
+        |        CAST(floor(value * 100 + 5.0e-1) AS BIGINT) AS v_c
+        |      FROM ev WHERE event_type IN ('click', 'purchase')),
+        |st AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n1,
+        |    CAST(sum(v_c) FILTER (WHERE event_type = 'click') AS BIGINT) AS s1,
+        |    CAST(sum(v_c * v_c) FILTER (WHERE event_type = 'click') AS BIGINT) AS q1,
+        |    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n2,
+        |    CAST(sum(v_c) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS s2,
+        |    CAST(sum(v_c * v_c) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS q2
+        |  FROM c),
+        |m AS (
+        |  SELECT n1, n2,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |       * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+        |      / CAST(n1 - 1 AS DOUBLE) AS v1,
+        |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+        |       * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+        |      / CAST(n2 - 1 AS DOUBLE) AS v2
+        |  FROM st)
+        |SELECT n1, n2, m1 / 1.0e2 AS mean_click, m2 / 1.0e2 AS mean_purchase,
+        |  (m1 - m2) / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+        |    AS t_stat,
+        |  ((v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+        |    * (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)))
+        |  / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+        |       / CAST(n1 - 1 AS DOUBLE)
+        |     + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+        |       / CAST(n2 - 1 AS DOUBLE)) AS df_welch
+        |FROM m""".stripMargin
+  ) { (s, dir) =>
+    val c = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("v_c",
+        floor(col("value") * 100 + lit(0.5)).cast(LongType))
+    def cnt(t: String) = count(when(col("event_type") === t, 1)).cast(LongType)
+    def sm(t: String) =
+      sum(when(col("event_type") === t, col("v_c"))).cast(LongType)
+    def sq(t: String) =
+      sum(when(col("event_type") === t, col("v_c") * col("v_c")))
+        .cast(LongType)
+    val st = c.agg(cnt("click").as("n1"), sm("click").as("s1"),
+      sq("click").as("q1"), cnt("purchase").as("n2"),
+      sm("purchase").as("s2"), sq("purchase").as("q2"))
+    def d(cn: org.apache.spark.sql.Column) = cn.cast(DoubleType)
+    val m = st.select(col("n1"), col("n2"),
+      (d(col("s1")) / d(col("n1"))).as("m1"),
+      (d(col("s2")) / d(col("n2"))).as("m2"),
+      ((d(col("q1")) - d(col("s1")) * (d(col("s1")) / d(col("n1"))))
+        / d(col("n1") - 1)).as("v1"),
+      ((d(col("q2")) - d(col("s2")) * (d(col("s2")) / d(col("n2"))))
+        / d(col("n2") - 1)).as("v2"))
+    val se1 = d(col("v1")) / d(col("n1"))
+    val se2 = d(col("v2")) / d(col("n2"))
+    m.select(col("n1"), col("n2"),
+      (col("m1") / lit(1.0e2)).as("mean_click"),
+      (col("m2") / lit(1.0e2)).as("mean_purchase"),
+      ((col("m1") - col("m2")) / sqrt(se1 + se2)).as("t_stat"),
+      (((se1 + se2) * (se1 + se2))
+        / (se1 * se1 / d(col("n1") - 1) + se2 * se2 / d(col("n2") - 1)))
+        .as("df_welch"))
+  }
+
   val all: Seq[Q] =
     Seq(histogram, outliers, groupedMode, skyline, madOutliers, decayScore,
-      pareto, rankSum, winsorize, regrSlope, corrMatrix, hist2d)
+      pareto, rankSum, winsorize, regrSlope, corrMatrix, hist2d, ttestWelch)
 }
