@@ -653,8 +653,68 @@ object StreamShapeOps {
           .as("autocorr_lag1"))
   }
 
+  /** CUSUM changepoint per event type: the day where the cumulative
+    * daily-count sum deviates most from the uniform-rate line — the
+    * classic "when did behavior shift" screen over a metric stream. The
+    * statistic is kept EXACT by clearing denominators: with k days,
+    * total S and prefix S_i at day i, the deviation is
+    * |k·S_i − i·S| (the CUSUM distance ×k — same argmax, pure BIGINT),
+    * argmax ties broken by the EARLIEST day. Reported per type with the
+    * day, the scaled statistic, and the day count.
+    *
+    * Scale: the corpus collapses to (type, day) counts FIRST (the
+    * bounded calendar-grain collapse), so the prefix-sum and argmax
+    * windows run over ≤ span-days rows per type — never the events. */
+  val changepoint: Q = Q.checked(
+    "q_changepoint",
+    Tables.EventsCte +
+      """,
+        |daily AS (
+        |  SELECT event_type AS et, date_trunc('day', ts) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT et, day, c,
+        |    CAST(sum(c) OVER (PARTITION BY et ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS s_i,
+        |    CAST(row_number() OVER (PARTITION BY et ORDER BY day) AS BIGINT)
+        |      AS i,
+        |    CAST(sum(c) OVER (PARTITION BY et) AS BIGINT) AS s,
+        |    CAST(count(*) OVER (PARTITION BY et) AS BIGINT) AS k
+        |  FROM daily),
+        |stat AS (
+        |  SELECT et, day, k, abs(k * s_i - i * s) AS d,
+        |    row_number() OVER (PARTITION BY et
+        |      ORDER BY abs(k * s_i - i * s) DESC, day) AS rk
+        |  FROM pre)
+        |SELECT et AS event_type, CAST(day AS DATE) AS cp_day,
+        |  d AS cusum_k, k AS n_days
+        |FROM stat WHERE rk = 1 ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).cast(LongType).as("c"))
+    val byType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val ordered = byType.orderBy("day")
+    val pre = daily
+      .withColumn("s_i", sum(col("c")).over(ordered.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("i", row_number().over(ordered).cast(LongType))
+      .withColumn("s", sum(col("c")).over(byType))
+      .withColumn("k", count(lit(1)).over(byType))
+      .withColumn("d", abs(col("k") * col("s_i") - col("i") * col("s")))
+    pre.withColumn("rk", row_number().over(
+        byType.orderBy(col("d").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").cast(DateType).as("cp_day"),
+        col("d").as("cusum_k"), col("k").as("n_days"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, sessionBatch, funnel, retention,
     timeRollup, growthMom, transitions, peakConcurrency, attribution,
     rollingDistinct, timeWeighted, intervalSelfJoin, eventDedupWindow,
-    seasonality, autocorrDaily)
+    seasonality, autocorrDaily, changepoint)
 }
