@@ -931,6 +931,31 @@ object SnapshotLog {
         statHeaders(spark, files, statCols)).get
   }
 
+  /** RESTORE as a commit (the Delta `RESTORE TABLE ... TO VERSION`
+    * verb): re-publish version `toV`'s exact file list, schema and
+    * zone-map stats as the NEW latest version — an undo that shares
+    * every data file by reference, writes nothing but a manifest, and
+    * keeps the botched versions readable for forensics until vacuumed.
+    * Fails loudly if `toV` is not retained. Base-checked: a commit
+    * racing the restore wins and the caller decides whether the
+    * rollback still applies (an undo computed against a stale latest
+    * must not silently clobber newer data). */
+  def restore(spark: SparkSession, dir: String, toV: Long): Long = {
+    val vs = versions(spark, dir)
+    require(vs.contains(toV),
+      s"cannot restore to version $toV; have ${vs.mkString(",")}")
+    val latest = vs.last
+    if (toV == latest) return latest // already there
+    val files = filesOf(spark, dir, toV)
+    val header = manifestLines(spark, dir, toV)
+      .filter(l => l.startsWith("#schema=") || l.startsWith("#filestat="))
+    commitFiles(spark, dir, files, java.util.UUID.randomUUID().toString,
+      header = header, base = Some(Some(latest)))
+      .getOrElse(throw new IllegalStateException(
+        s"restore to v$toV lost a race with a concurrent commit on $dir — " +
+          "re-examine the new latest before retrying the rollback"))
+  }
+
   /** ANALYZE TABLE as a commit: re-publish the latest version's EXACT
     * file list (shared 100% by reference — zero data written) with
     * freshly computed zone-map stats for `statCols`, so an existing

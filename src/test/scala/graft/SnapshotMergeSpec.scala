@@ -247,6 +247,34 @@ class SnapshotMergeSpec extends AnyFunSuite with SparkFixture {
       "second merge's update must survive the race")
   }
 
+  test("restore publishes an old version as the new latest, files shared, stats alive") {
+    import spark.implicits._
+    val dir = freshDir()
+    val base = spark.range(0, 400).select(col("id").as("k"),
+      (col("id") % 7).as("v")).repartitionByRange(4, col("k"))
+    SnapshotLog.commitWithStats(spark, dir, base, Seq("k"))           // v1
+    SnapshotLog.merge(spark, dir,                                     // v2 (bad)
+      Seq((10L, -999L)).toDF("k", "v"), Seq("k"))
+    val v = SnapshotLog.restore(spark, dir, 1L)                       // v3 = v1
+    assert(v === 3L)
+    assert(SnapshotLog.read(spark, dir).filter(col("k") === 10L)
+      .select("v").as[Long].head() === 3L, "rollback must undo the merge")
+    // same files by reference; botched v2 still readable for forensics
+    assert(manifestFiles(dir, 1L) === manifestFiles(dir, 3L))
+    assert(SnapshotLog.read(spark, dir, Some(2L))
+      .filter(col("k") === 10L).select("v").as[Long].head() === -999L)
+    // zone maps travelled with the restore: prune still engages
+    val (_, scanned, total) = SnapshotLog.readBetween(spark, dir, "k", 0L, 10L)
+    assert(scanned < total)
+    // restoring to the current latest is a no-op
+    assert(SnapshotLog.restore(spark, dir, 3L) === 3L)
+    // unknown version fails loudly
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.restore(spark, dir, 99L)
+    }
+    assert(e.getMessage.contains("cannot restore"))
+  }
+
   test("mergeSink: streaming upsert replaces by key, tombstones delete, time travel works") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
