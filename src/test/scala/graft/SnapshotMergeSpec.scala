@@ -247,6 +247,35 @@ class SnapshotMergeSpec extends AnyFunSuite with SparkFixture {
       "second merge's update must survive the race")
   }
 
+  test("model-based: random upsert/delete batch sequences match a Map fold") {
+    import spark.implicits._
+    // deterministic seed — the point is breadth of interleavings, not
+    // flakiness; 60 batches across 3 tables, keys colliding heavily
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 3).foreach { table =>
+      val dir = freshDir()
+      var model = Map.empty[Long, Long]
+      (0 until 20).foreach { i =>
+        val n = 1 + rnd.nextInt(8)
+        val batch = Seq.fill(n)(rnd.nextInt(25).toLong)
+          .distinct // merge requires unique keys per batch
+          .map(k => (k, rnd.nextInt(1000).toLong, rnd.nextInt(4) == 0))
+        val v = SnapshotLog.merge(spark, dir, batch.toDF("k", "v", "is_del"),
+          Seq("k"), deleteWhen = Some(col("is_del")),
+          dropCols = Seq("is_del"))
+        model = batch.foldLeft(model) { case (m, (k, value, del)) =>
+          if (del) m - k else m.updated(k, value)
+        }
+        if (model.isEmpty) ()
+        else if (v > 0L) {
+          val got = SnapshotLog.read(spark, dir).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got === model, s"table $table diverged after batch $i")
+        }
+      }
+    }
+  }
+
   test("restore publishes an old version as the new latest, files shared, stats alive") {
     import spark.implicits._
     val dir = freshDir()
