@@ -44,6 +44,47 @@ class SaltSpec extends AnyFunSuite with SparkFixture {
     assert(plain.exceptAll(twoPath).count() === 0)
   }
 
+  test("AQE skew-join rescue engages: skewed SMJ partitions split at runtime") {
+    // the automatic complement to manual salting: prove Spark's own
+    // OptimizeSkewedJoin actually fires on an unsalted skewed join when
+    // the thresholds are sized to the fixture (the prod knobs, scaled
+    // down), by reading the final adaptive plan — not by trusting docs
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption
+        .flatMap(Option(_))).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // 100k rows, 90% on one key — the hot partition dwarfs the rest
+      val left = spark.range(0, 100000)
+        .select(when(col("id") % 10 =!= 0, 7L).otherwise(col("id") % 97)
+          .as("k"), col("id").as("payload"))
+      val right = spark.range(0, 97).select(col("id").as("k"),
+        concat(lit("dim"), col("id")).as("name"))
+      val joined = left.join(right, "k")
+      // drive joined's OWN execution (count() would plan separately and
+      // leave this AdaptiveSparkPlan unexecuted / non-final)
+      assert(joined.collect().length === 100000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not engage; plan:\n${finalPlan.take(2000)}")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("salt spreads a hot key across all n buckets") {
     // a worst-case skew: every row has the same join key
     val hot = Tables.lineitem(spark, Sf)
