@@ -340,6 +340,52 @@ object ScalarOps {
       .orderBy("c_mktsegment")
   }
 
+  /** Spark 4 VARIANT path over semi-structured data: synthesize a
+    * nested JSON document per event (byte-identical string concat in
+    * both engines — never engine-side JSON serialization, whose field
+    * order/spacing differ), `parse_json` it ONCE into a VariantType
+    * column, and extract typed nested fields with `variant_get`. The
+    * oracle reads the same bytes with DuckDB's json_extract — proving
+    * the variant decode agrees with a classic JSON engine on values.
+    *
+    * Why variant at 100 TB: a variant column is parsed once at ingest
+    * into a shredded binary encoding, so N downstream `variant_get`s
+    * are field reads, not N re-parses of the text — the q_json comment
+    * ("no CSE across aggregate expressions") is the problem variant
+    * exists to solve. Plan shape: map-only synth+parse, one hash
+    * aggregation, 5-row result. */
+  val variantOps: Q = Q.checked(
+    "q_variant",
+    """WITH js AS (
+      |  SELECT event_type,
+      |    '{"u":' || CAST(user_id AS VARCHAR) || ',"inner":' || props || '}'
+      |      AS doc
+      |  FROM events)
+      |SELECT event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(doc, '$.inner.k') AS BIGINT))
+      |    AS BIGINT) AS sum_k,
+      |  CAST(max(CAST(json_extract_string(doc, '$.u') AS BIGINT))
+      |    AS BIGINT) AS max_u,
+      |  CAST(count(DISTINCT CAST(json_extract_string(doc, '$.inner.k')
+      |    AS BIGINT) % 7) AS BIGINT) AS k_res
+      |FROM js GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    val v = Tables.events(s, dir)
+      .select(col("event_type"),
+        parse_json(concat(lit("{\"u\":"), col("user_id").cast(StringType),
+          lit(",\"inner\":"), col("props"), lit("}"))).as("doc"))
+      .select(col("event_type"),
+        try_variant_get(col("doc"), "$.inner.k", "bigint").as("k"),
+        try_variant_get(col("doc"), "$.u", "bigint").as("u"))
+    v.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast(LongType).as("sum_k"),
+        max(col("u")).as("max_u"),
+        countDistinct(col("k") % 7).as("k_res"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(strFuncs, dateFuncs, mathFuncs, json, hashFuncs,
-    array, explode, mapOps, nullSemantics, bitOps, regexpAll)
+    array, explode, mapOps, nullSemantics, bitOps, regexpAll, variantOps)
 }
