@@ -130,5 +130,45 @@ object GovernOps {
       .orderBy("c_nationkey", "bal_bucket")
   }
 
-  val all: Seq[Q] = Seq(decontaminate, textRepetition, anonymize)
+  /** Free-ride ingest audit through the driver contract: tag the
+    * lineitem scan with observed metrics (row count, exact decimal
+    * quantity checksum, null-date tally), drive it with a DOWNSTREAM
+    * revenue aggregate — the query a job would run anyway — and emit
+    * the audit row the observation produced. The oracle computes the
+    * same three aggregates directly; equality proves the piggybacked
+    * audit measures exactly what a dedicated pass would, for zero extra
+    * scans ([[graft.sources.Observe]]). The revenue result itself is
+    * carried in the row so the driving action is visibly real work. */
+  val auditFreeride: Q = Q.checked(
+    "q_audit_freeride",
+    """SELECT count(*) AS rows_seen,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE)
+      |    AS qty_checksum,
+      |  CAST(count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT)
+      |    AS null_ship,
+      |  CAST(sum(CASE WHEN l_quantity > 10
+      |    THEN CAST(l_extendedprice AS DECIMAL(28,12)) END) AS DOUBLE)
+      |    AS revenue_gt10
+      |FROM lineitem""".stripMargin
+  ) { (s, dir) =>
+    import graft.sources.Observe
+    val tagged = Observe.tagged(Tables.lineitem(s, dir), "ingest",
+      "rows_seen" -> count(lit(1)),
+      "qty_checksum" -> sum(col("l_quantity").cast("decimal(28,12)")),
+      "null_ship" -> count(when(col("l_shipdate").isNull, 1)))
+    val driving = tagged.filter(col("l_quantity") > 10)
+      .agg(sum(col("l_extendedprice").cast("decimal(28,12)")).as("rev"))
+    val revenue = driving.collect()(0).getDecimal(0)
+    val m = Observe.metricsOf(driving, "ingest")
+      .getOrElse(sys.error("observed metrics missing"))
+    import s.implicits._
+    Seq((m("rows_seen").asInstanceOf[Long],
+      m("qty_checksum").asInstanceOf[java.math.BigDecimal].doubleValue(),
+      m("null_ship").asInstanceOf[Long],
+      revenue.doubleValue()))
+      .toDF("rows_seen", "qty_checksum", "null_ship", "revenue_gt10")
+  }
+
+  val all: Seq[Q] = Seq(decontaminate, textRepetition, anonymize,
+    auditFreeride)
 }
