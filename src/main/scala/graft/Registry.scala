@@ -15,7 +15,8 @@ object Registry {
       JoinScaleOps.all ++ VectorOps.all ++ TextRankOps.all ++ StatOps.all ++
       LayoutOps.all ++ GraphOps.all ++ SampleOps.all ++ SimJoinOps.all ++
       LmOps.all ++ AuditOps.all ++ ImplOps.all ++ BpeOps.all ++
-      RetrievalOps.all ++ ClassifierOps.all ++ TpchOps.all
+      RetrievalOps.all ++ ClassifierOps.all ++ TpchOps.all ++
+      RecursiveOps.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Recursive CTE surface (SQL:1999 WITH RECURSIVE, Spark 4's
+  * cteRecursion support): the iterate-until-empty query class that no
+  * single window/join composition expresses — a warehouse user's
+  * hierarchy walks, graph reachability and chain-following queries.
+  *
+  * Engine constraints pinned here (probed, not assumed): Spark supports
+  * UNION ALL recursion only (UNION-distinct raises
+  * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so a terminating query must
+  * walk a DAG — every step strictly advances a monotone key. The walk
+  * below advances a per-customer order rank, so depth = the longest
+  * consecutive-order run (~max orders per customer, which TPC-H-like
+  * generators hold CONSTANT as rows scale: ~24 at sf0.1 — at 100 TB the
+  * iteration count stays ~25, each iteration one (ck, rn)-keyed join
+  * whose frontier only shrinks, and total rows touched across ALL
+  * iterations is O(|orders|), each order belonging to exactly one
+  * chain). `spark.sql.cteRecursionLevelLimit` (default 100) bounds the
+  * worst case loudly, never silently.
+  */
+object RecursiveOps {
+
+  private def sqlWith(s: SparkSession, views: Map[String, DataFrame])(
+      mk: Map[String, String] => String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val named = views.keys.map(k => k -> s"g_${k}_$tag").toMap
+    views.foreach { case (k, df) => df.createOrReplaceTempView(named(k)) }
+    try s.sql(mk(named))
+    finally named.values.foreach(s.catalog.dropTempView(_))
+  }
+
+  private def streakSql(orders: String): String =
+    s"""WITH RECURSIVE ranked AS (
+       |  SELECT o_custkey AS ck, o_orderdate AS d,
+       |    row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_orderdate, o_orderkey) AS rn
+       |  FROM $orders),
+       |streak AS (
+       |  SELECT r.ck, r.rn, r.d, 1 AS len
+       |  FROM ranked r LEFT JOIN ranked p ON p.ck = r.ck AND p.rn = r.rn - 1
+       |  WHERE p.rn IS NULL OR r.d > p.d + INTERVAL 180 DAY
+       |  UNION ALL
+       |  SELECT n.ck, n.rn, n.d, s.len + 1
+       |  FROM streak s JOIN ranked n ON n.ck = s.ck AND n.rn = s.rn + 1
+       |    AND n.d <= s.d + INTERVAL 180 DAY)
+       |SELECT CAST(max_len AS BIGINT) AS streak_len,
+       |  CAST(count(*) AS BIGINT) AS n_customers
+       |FROM (SELECT ck, max(len) AS max_len FROM streak GROUP BY ck) t
+       |GROUP BY max_len ORDER BY streak_len""".stripMargin
+
+  /** Reorder-streak distribution via WITH RECURSIVE: how many customers'
+    * longest run of orders, each placed within 180 days of the previous
+    * one, is k orders long — the retention-curve shape computed by
+    * CHAIN-FOLLOWING recursion. The anchor is every chain start (first
+    * order, or a gap > 180 days behind it); each recursive step follows
+    * the customer's next order rank while the gap condition holds,
+    * carrying the path-dependent streak length that makes this the
+    * recursion showcase. Identical SQL text runs in both engines —
+    * DuckDB executes the same WITH RECURSIVE — and RecursiveSpec pins
+    * the result against the independent gaps-and-islands window
+    * formulation (which a cost-conscious user would run instead; the
+    * row exists to prove the recursion SURFACE, semantics and plan
+    * discipline, not to replace the cheaper formulation). */
+  val reorderStreak: Q = Q.checked(
+    "q_reorder_streak", streakSql("orders")
+  ) { (s, dir) =>
+    sqlWith(s, Map("orders" -> Tables.orders(s, dir)))(v =>
+      streakSql(v("orders")))
+  }
+
+  val all: Seq[Q] = Seq(reorderStreak)
+}
