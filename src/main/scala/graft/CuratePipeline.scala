@@ -1,0 +1,356 @@
+package graft
+
+import graft.sources.SnapshotLog
+import graft.streaming.CurateStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Config-driven CURATION pipeline — the LLM-data twin of the CDC
+  * [[Pipeline]]: a scheduled "crawl slice in, training shard out" run
+  * declared in the same dependency-free YAML subset [[ConfigFile]]
+  * parses, composing the engine's curation operators in a user-chosen
+  * order:
+  *
+  * {{{
+  * curate:
+  *   input: /data/crawl/slice42      # parquet documents table
+  *   out_dir: /data/train/slice42
+  *   id_col: doc_id                  # optional (default doc_id)
+  *   text_col: text                  # optional (default text)
+  *   log_dir: /data/train/_log      # optional: atomic SnapshotLog publish
+  *   shards: 8                       # optional: hash-sharded output
+  * stages:
+  *   - stage: lang_keep
+  *     langs: [en, de]
+  *   - stage: quality                # token-count band + TTR floor
+  *     min_tok: 20
+  *     max_tok: 400
+  *     min_ttr_milli: 300            # integer milli-units — no float cfg
+  *   - stage: dedup_exact            # min-id election per md5(text)
+  *   - stage: dedup_near             # min-id election per simhash64
+  *   - stage: decontaminate          # drop docs sharing an n-gram w/ eval
+  *     eval_path: /data/benchmarks
+  *     gram: 4
+  *   - stage: source_quota           # keep first N docs per source
+  *     per_source: 100
+  * }}}
+  *
+  * Execution model — why this composes well at 100 TB:
+  *  - Stages build ONE lazy plan. Filter-shaped stages (lang_keep,
+  *    quality) fuse into the input scan under Catalyst — a 6-stage
+  *    config does not mean 6 passes.
+  *  - Both dedup elections are key-partitioned windows (md5 / simhash
+  *    keys — never partition-less), the same min-id survivor rule as
+  *    [[graft.streaming.CurateStream]]'s batch election.
+  *  - decontaminate broadcasts the DISTINCT'd eval gram set and
+  *    anti-joins map-side (the [[graft.ops.GovernOps]] asymmetric-join
+  *    shape) — the corpus side never shuffles.
+  *  - source_quota is one window partitioned by source, doc-id ordered —
+  *    the deterministic cut line.
+  *  - Per-stage audit counts ride the single output write via
+  *    `Dataset.observe` (the `Observation` listener API — the write-side
+  *    twin of [[graft.sources.Observe]]): the funnel report costs ZERO
+  *    extra passes — where a naive per-stage count() would re-scan the
+  *    corpus once per stage.
+  *  - With `log_dir` the written shard files are committed BY REFERENCE
+  *    as one atomic [[SnapshotLog]] version stamped `#batch=runId`
+  *    (commitBatchExternal): downstream trainers switch snapshots
+  *    atomically, replays of a finished run are no-ops, and old slices
+  *    time-travel until vacuumed.
+  */
+object CuratePipeline {
+
+  final case class Stage(name: String, params: Map[String, String])
+
+  final case class CurateConfig(
+      inputPath: String,
+      outDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      logDir: Option[String] = None,
+      shards: Option[Int] = None,
+      stages: Seq[Stage] = Seq.empty)
+
+  /** Per-run report: the stage funnel (ordered, first entry = raw input)
+    * and, when publishing through a snapshot log, the committed
+    * version. */
+  final case class CurateReport(
+      stageRows: Seq[(String, Long)],
+      finalRows: Long,
+      logVersion: Option[Long])
+
+  // ------------------------------------------------------------------
+  // config
+  // ------------------------------------------------------------------
+
+  def load(path: String): CurateConfig =
+    parse(Files.readAllLines(Paths.get(path)).asScala.toSeq, path)
+
+  private val StageKeys: Map[String, (Set[String], Set[String])] = Map(
+    // name -> (required params, optional params)
+    "lang_keep" -> ((Set("langs"), Set.empty[String])),
+    "quality" -> ((Set("min_tok", "max_tok", "min_ttr_milli"),
+      Set.empty[String])),
+    "dedup_exact" -> ((Set.empty[String], Set.empty[String])),
+    "dedup_near" -> ((Set.empty[String], Set.empty[String])),
+    "decontaminate" -> ((Set("eval_path"), Set("gram"))),
+    "source_quota" -> ((Set("per_source"), Set.empty[String])))
+
+  private[graft] def parse(rawLines: Seq[String],
+      where: String): CurateConfig = {
+    def fail(i: Int, msg: String): Nothing =
+      throw new IllegalArgumentException(s"$where:${i + 1}: $msg")
+
+    def stripComment(s: String): String = {
+      var q: Char = 0; val out = new StringBuilder; var done = false
+      for (c <- s if !done) {
+        if (q != 0) { if (c == q) q = 0; out += c }
+        else if (c == '\'' || c == '"') { q = c; out += c }
+        else if (c == '#') done = true
+        else out += c
+      }
+      out.result()
+    }
+    def unquote(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 && (t.head == '"' || t.head == '\'') && t.last == t.head)
+        t.substring(1, t.length - 1)
+      else t
+    }
+
+    val lines = rawLines.map(stripComment)
+    val root = scala.collection.mutable.LinkedHashMap[String, (Int, String)]()
+    val stages = scala.collection.mutable.ArrayBuffer[
+      (Int, scala.collection.mutable.LinkedHashMap[String, (Int, String)])]()
+    var section: String = "" // "", "curate", "stages"
+
+    def addPair(li: Int, kv: String,
+        into: scala.collection.mutable.LinkedHashMap[String, (Int, String)])
+        : Unit = {
+      val idx = kv.indexOf(':')
+      if (idx <= 0) fail(li, s"expected 'key: value', got '$kv'")
+      val k = kv.substring(0, idx).trim
+      val v = kv.substring(idx + 1).trim
+      if (v.isEmpty) fail(li, s"'$k' has no value")
+      if (into.contains(k)) fail(li, s"duplicate key '$k'")
+      into += k -> ((li, v))
+    }
+
+    lines.zipWithIndex.foreach { case (line, i) =>
+      val t = line.trim
+      if (t.nonEmpty) {
+        if (t == "curate:") {
+          if (section.nonEmpty) fail(i, "'curate:' must come first, once")
+          section = "curate"
+        } else if (t == "stages:") {
+          if (section != "curate") fail(i, "'stages:' must follow 'curate:'")
+          section = "stages"
+        } else if (t.startsWith("- ")) {
+          if (section != "stages") fail(i, "list item outside 'stages:'")
+          stages += ((i, scala.collection.mutable.LinkedHashMap()))
+          val rest = t.drop(2).trim
+          if (rest.nonEmpty) addPair(i, rest, stages.last._2)
+        } else if (t.contains(":")) {
+          section match {
+            case "curate" => addPair(i, t, root)
+            case "stages" =>
+              if (stages.isEmpty) fail(i, s"key outside a '- stage:' item: '$t'")
+              addPair(i, t, stages.last._2)
+            case _ => fail(i, s"key before 'curate:' root: '$t'")
+          }
+        } else fail(i, s"unparseable line: '$t'")
+      }
+    }
+    if (section.isEmpty) fail(0, "missing 'curate:' root")
+
+    val knownRoot = Set("input", "out_dir", "id_col", "text_col",
+      "log_dir", "shards")
+    root.foreach { case (k, (li, _)) =>
+      if (!knownRoot(k)) fail(li,
+        s"unknown key '$k' (known: ${knownRoot.toSeq.sorted.mkString(", ")})")
+    }
+    def req(k: String): String = unquote(root.getOrElse(k,
+      fail(0, s"missing required key '$k' under curate:"))._2)
+    def opt(k: String): Option[String] =
+      root.get(k).map { case (_, v) => unquote(v) }
+    def intOf(li: Int, k: String, v: String): Int =
+      try v.toInt
+      catch { case _: NumberFormatException =>
+        fail(li, s"'$k' must be an integer, got '$v'") }
+
+    val parsedStages = stages.toSeq.map { case (itemLine, m) =>
+      val (nameLi, nameV) = m.getOrElse("stage",
+        fail(itemLine, "stage item missing 'stage: <name>'"))
+      val name = unquote(nameV)
+      val (required, optional) = StageKeys.getOrElse(name,
+        fail(nameLi, s"unknown stage '$name' " +
+          s"(known: ${StageKeys.keys.toSeq.sorted.mkString(", ")})"))
+      val params = m.toMap - "stage"
+      params.foreach { case (k, (li, _)) =>
+        if (!required(k) && !optional(k))
+          fail(li, s"stage '$name' does not take parameter '$k'")
+      }
+      required.foreach { k =>
+        if (!params.contains(k))
+          fail(itemLine, s"stage '$name' requires parameter '$k'")
+      }
+      // integer params validate at LOAD — a typo must fail before the
+      // run has mutated the output directory
+      params.foreach { case (k, (li, v)) =>
+        if (Set("min_tok", "max_tok", "min_ttr_milli", "gram",
+            "per_source")(k)) { intOf(li, k, unquote(v)); () }
+      }
+      Stage(name, params.map { case (k, (_, v)) => k -> unquote(v) })
+    }
+    if (parsedStages.isEmpty) fail(0, "config declares no stages")
+
+    val shards = root.get("shards").map { case (li, v) =>
+      val n = intOf(li, "shards", unquote(v))
+      if (n < 1) fail(li, s"shards must be >= 1, got $n")
+      n
+    }
+    val outDir = req("out_dir")
+    val logDir = opt("log_dir")
+    if (logDir.contains(outDir))
+      fail(0, "log_dir must differ from out_dir (manifests would " +
+        "interleave with shard files)")
+    CurateConfig(
+      inputPath = req("input"),
+      outDir = outDir,
+      idCol = opt("id_col").getOrElse("doc_id"),
+      textCol = opt("text_col").getOrElse("text"),
+      logDir = logDir,
+      shards = shards,
+      stages = parsedStages)
+  }
+
+  // ------------------------------------------------------------------
+  // stages
+  // ------------------------------------------------------------------
+
+  /** Minimum-id survivor election per `key` — the engine's one dedup
+    * rule (CurateStream / Components / exact dedup all use it):
+    * deterministic under any partitioning, key-partitioned window. */
+  private def electMin(df: DataFrame, key: org.apache.spark.sql.Column,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private[graft] def applyStage(spark: SparkSession, df: DataFrame,
+      st: Stage, cfg: CurateConfig): DataFrame = st.name match {
+    case "lang_keep" =>
+      val langs = {
+        val t = st.params("langs").trim
+        require(t.startsWith("[") && t.endsWith("]"),
+          s"langs must be an inline [a, b] list, got '$t'")
+        val body = t.substring(1, t.length - 1).trim
+        require(body.nonEmpty, "langs list is empty")
+        body.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\"")).toSeq
+      }
+      df.filter(col("lang").isin(langs: _*))
+    case "quality" =>
+      CurateStream.qualityGate(df, CurateStream.Config(
+        idCol = cfg.idCol, textCol = cfg.textCol,
+        minTok = st.params("min_tok").toInt,
+        maxTok = st.params("max_tok").toInt,
+        minTtr = st.params("min_ttr_milli").toInt / 1000.0))
+    case "dedup_exact" =>
+      electMin(df, md5(col(cfg.textCol)), cfg.idCol)
+    case "dedup_near" =>
+      electMin(df,
+        graft.functions.HashExprs.simHash64(split(col(cfg.textCol), " ")),
+        cfg.idCol)
+    case "decontaminate" =>
+      val scfg = CurateStream.Config(idCol = cfg.idCol,
+        textCol = cfg.textCol,
+        decontGram = st.params.get("gram").map(_.toInt).getOrElse(4))
+      val eval = spark.read.parquet(st.params("eval_path"))
+      CurateStream.decontGate(df, CurateStream.evalGramSet(eval, scfg), scfg)
+    case "source_quota" =>
+      val n = st.params("per_source").toInt
+      val w = Window.partitionBy("source").orderBy(col(cfg.idCol))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n).drop("__rn")
+    case other =>
+      throw new IllegalArgumentException(s"unknown stage '$other'")
+  }
+
+  // ------------------------------------------------------------------
+  // run
+  // ------------------------------------------------------------------
+
+  /** Execute the configured run. ONE action materializes the output
+    * shards AND every stage's audit count (observe free-ride); with
+    * `log_dir`, the shard files then commit as one atomic snapshot
+    * version stamped `#batch=runId`.
+    *
+    * Replay discipline (log mode): a runId at or below the log's newest
+    * committed `#batch=` returns the already-committed version WITHOUT
+    * rewriting the output directory — rewriting would replace (delete +
+    * recreate under new names) the very files the committed manifest
+    * references, corrupting the published version. Such a replay report
+    * carries `finalRows = -1` and no stage funnel (the run didn't
+    * execute). A crash BETWEEN the shard write and the log commit heals
+    * on replay: nothing was committed, so the rerun rewrites the
+    * (unreferenced) shards and commits normally. */
+  def run(spark: SparkSession, cfg: CurateConfig,
+      runId: Long = 0L): CurateReport = {
+    cfg.logDir.foreach { ld =>
+      if (SnapshotLog.lastBatch(spark, ld).exists(runId <= _)) {
+        val v = SnapshotLog.versionOfBatch(spark, ld, runId)
+          .getOrElse(SnapshotLog.versions(spark, ld).last)
+        return CurateReport(Seq.empty, -1L, Some(v))
+      }
+    }
+    val input = spark.read.parquet(cfg.inputPath)
+    // a WRITE action runs under its own QueryExecution, so plan-side
+    // observedMetrics (Observe.metricsOf — the aggregate-driven free
+    // ride) never see it; the Observation listener API is the sanctioned
+    // write-side channel: each stage registers one named observation and
+    // get() returns its metrics once the write completes. Unique names
+    // per run (Spark requires them session-globally for the listener).
+    val runTag = java.util.UUID.randomUUID().toString.take(8)
+    val observations = scala.collection.mutable.ArrayBuffer[
+      (String, org.apache.spark.sql.Observation)]()
+    def tagged(df: DataFrame, tag: String): DataFrame = {
+      val o = new org.apache.spark.sql.Observation(s"$tag-$runTag")
+      observations += tag -> o
+      df.observe(o, count(lit(1)).as("rows"))
+    }
+    var df = tagged(input, "s00_input")
+    cfg.stages.zipWithIndex.foreach { case (st, i) =>
+      df = tagged(applyStage(spark, df, st, cfg),
+        f"s${i + 1}%02d_${st.name}")
+    }
+    val sharded = cfg.shards match {
+      case Some(n) => df.repartition(n, col(cfg.idCol))
+      case None    => df
+    }
+    sharded.write.mode("overwrite").parquet(cfg.outDir)
+
+    val stageRows = observations.toSeq.map { case (t, o) =>
+      t -> o.get("rows").asInstanceOf[Long]
+    }
+    val version = cfg.logDir.map { ld =>
+      val fs = new org.apache.hadoop.fs.Path(cfg.outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(cfg.outDir))
+        .toSeq.filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString).sorted
+      SnapshotLog.commitBatchExternal(spark, ld, files,
+        sharded.schema, runId)
+    }
+    CurateReport(stageRows, stageRows.last._2, version)
+  }
+
+  /** Load + run in one call — the scheduled-deployment entry. */
+  def runFile(spark: SparkSession, configPath: String,
+      runId: Long = 0L): CurateReport =
+    run(spark, load(configPath), runId)
+}

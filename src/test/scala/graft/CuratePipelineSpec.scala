@@ -1,0 +1,155 @@
+package graft
+
+import graft.sources.SnapshotLog
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Config-driven curation pipeline ([[CuratePipeline]]): the composed run
+  * must equal applying the stages by hand, the observe-riding funnel must
+  * equal per-stage recounts (proving the zero-extra-pass audit is exact),
+  * the snapshot-log publish must be atomic + replay-idempotent, and every
+  * config mistake must fail at LOAD, before any directory is touched.
+  */
+class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val goodConfig =
+    s"""# training-slice curation run
+       |curate:
+       |  input: $Sf/documents.parquet
+       |  out_dir: OUT
+       |  shards: 3
+       |stages:
+       |  - stage: lang_keep
+       |    langs: [en, de]
+       |  - stage: quality
+       |    min_tok: 20
+       |    max_tok: 400
+       |    min_ttr_milli: 300
+       |  - stage: dedup_exact
+       |  - stage: dedup_near
+       |  - stage: source_quota
+       |    per_source: 8
+       |""".stripMargin
+
+  private def cfgWith(out: String, log: Option[String] = None) = {
+    val base = CuratePipeline.parse(
+      goodConfig.replace("OUT", out).linesIterator.toSeq, "test.yaml")
+    log.map(l => base.copy(logDir = Some(l))).getOrElse(base)
+  }
+
+  test("run == hand-composed stages, and the funnel == per-stage recounts") {
+    val out = tmp("curate-out")
+    val cfg = cfgWith(out)
+    val report = CuratePipeline.run(spark, cfg)
+
+    // hand composition, one stage at a time (same public stage fns)
+    var df = spark.read.parquet(s"$Sf/documents.parquet")
+    val expected = scala.collection.mutable.ArrayBuffer[Long](df.count())
+    cfg.stages.foreach { st =>
+      df = CuratePipeline.applyStage(spark, df, st, cfg)
+      expected += df.count()
+    }
+
+    assert(report.stageRows.map(_._2) === expected.toSeq)
+    assert(report.finalRows === expected.last)
+    // stage tags are ordered and named
+    assert(report.stageRows.map(_._1) === Seq("s00_input", "s01_lang_keep",
+      "s02_quality", "s03_dedup_exact", "s04_dedup_near",
+      "s05_source_quota"))
+    // monotone funnel: no stage adds rows
+    assert(report.stageRows.map(_._2).sliding(2).forall(p => p(1) <= p(0)))
+
+    // written output == composed frame (set equality on ids)
+    val written = spark.read.parquet(out)
+    assert(written.count() === report.finalRows)
+    assert(written.select("doc_id").exceptAll(df.select("doc_id")).isEmpty)
+
+    // shard count honored
+    val files = new java.io.File(out).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(files === 3)
+  }
+
+  test("decontaminate stage drops exactly the gram-sharing docs") {
+    val out = tmp("curate-out2")
+    val evalDir = tmp("curate-eval")
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    // eval set = the deterministic ~1% split the batch oracle uses
+    docs.filter(col("doc_id") % 97 === 0).write.mode("overwrite")
+      .parquet(evalDir)
+    val cfg = CuratePipeline.CurateConfig(
+      inputPath = s"$Sf/documents.parquet", outDir = out,
+      stages = Seq(CuratePipeline.Stage("decontaminate",
+        Map("eval_path" -> evalDir, "gram" -> "4"))))
+    val report = CuratePipeline.run(spark, cfg)
+    // the eval docs trivially share all their grams with themselves, so
+    // they all drop; survivors must share NO 4-gram with the eval set
+    val survivors = spark.read.parquet(out)
+    val scfg = graft.streaming.CurateStream.Config()
+    val evalGrams = graft.streaming.CurateStream.evalGramSet(
+      spark.read.parquet(evalDir), scfg)
+    val leaked = graft.streaming.CurateStream
+      .decontGate(survivors, evalGrams, scfg)
+    assert(leaked.count() === survivors.count(),
+      "a survivor still shares a gram with the eval set")
+    assert(report.finalRows < docs.count())
+  }
+
+  test("snapshot-log publish: atomic version, replay no-op, next run advances") {
+    val out = tmp("curate-out3")
+    val log = tmp("curate-log")
+    val cfg = cfgWith(out, log = Some(log))
+    val r1 = CuratePipeline.run(spark, cfg, runId = 1L)
+    assert(r1.logVersion === Some(1L))
+    val published = SnapshotLog.read(spark, log)
+    assert(published.count() === r1.finalRows)
+
+    // replay of runId 1: no new version, no rewrite (mtimes untouched)
+    val mtimes = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified).toMap
+    val r2 = CuratePipeline.run(spark, cfg, runId = 1L)
+    assert(r2.logVersion === Some(1L) && r2.finalRows === -1L)
+    val after = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified).toMap
+    assert(after === mtimes, "a replayed run rewrote the published shards")
+
+    // a NEW run commits a new version atomically
+    val r3 = CuratePipeline.run(spark, cfg, runId = 2L)
+    assert(r3.logVersion === Some(2L))
+    assert(SnapshotLog.versions(spark, log) === Seq(1L, 2L))
+  }
+
+  test("config mistakes fail at load, with the offending line") {
+    def bad(mutate: String => String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        CuratePipeline.parse(mutate(goodConfig).linesIterator.toSeq, "t.yaml")
+      }
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    bad(_.replace("- stage: dedup_exact", "- stage: dedup_exactly"),
+      "unknown stage")
+    bad(_.replace("    min_tok: 20\n", ""), "requires parameter 'min_tok'")
+    bad(_.replace("min_tok: 20", "min_tok: twenty"), "must be an integer")
+    bad(_.replace("    per_source: 8", "    per_source: 8\n    extra: 1"),
+      "does not take parameter")
+    bad(_.replace("  input: ", "  in_put: "), "unknown key")
+    bad(_.replace("curate:\n", ""), "key before 'curate:' root")
+    // decontaminate without eval_path
+    bad(_ + "  - stage: decontaminate\n", "requires parameter 'eval_path'")
+  }
+
+  test("log_dir colliding with out_dir is rejected at load") {
+    val e = intercept[IllegalArgumentException] {
+      CuratePipeline.parse(
+        goodConfig.replace("OUT", "/tmp/x")
+          .replace("stages:", "  log_dir: /tmp/x\nstages:")
+          .linesIterator.toSeq, "t.yaml")
+    }
+    assert(e.getMessage.contains("log_dir must differ"))
+  }
+}
