@@ -641,11 +641,11 @@ object SnapshotLog {
     *
     * Clustering: with `clusterBy` columns the rewrite is
     * range-partitioned and sorted on them, so parquet footer min/max
-    * prunes subsequent reads on those columns; with EXACTLY two numeric
+    * prunes subsequent reads on those columns; with TWO OR MORE numeric
     * columns and `zorder = true` the sort key is the interleaved
-    * Z-value ([[graft.functions.ZOrderExprs.zOrder2]] over
+    * Z-value ([[graft.functions.ZOrderExprs.zOrderN]] over
     * `width_bucket` cells — one bounded min/max aggregate, no global
-    * rank window), so min/max prunes on EITHER column, the
+    * rank window), so min/max prunes on ANY of the columns, the
     * [[graft.ops.LayoutOps]] q_zorder property applied to table layout.
     *
     * Same no-lost-update discipline as [[deleteWhere]]: base-checked
@@ -676,25 +676,30 @@ object SnapshotLog {
       }
       val clustered =
         if (clusterBy.isEmpty) base.repartition(targetFiles)
-        else if (zorder && clusterBy.size == 2) {
-          // bucket both dims into 2^12 uniform cells off one bounded
-          // min/max aggregate (4 driver-side scalars, never a rank
-          // window), interleave, then range-cluster on the z-value
-          val (a, b) = (clusterBy.head, clusterBy(1))
-          val bounds = base.agg(
-            min(col(a).cast("double")), max(col(a).cast("double")),
-            min(col(b).cast("double")), max(col(b).cast("double")))
+        else if (zorder && clusterBy.size >= 2) {
+          // bucket every dim into uniform cells off ONE bounded min/max
+          // aggregate (2·ndims driver-side scalars, never a rank
+          // window), N-ary interleave (ZOrderN — bit-identical to the
+          // historical 2-D path at ndims=2), then range-cluster on the
+          // z-value. Cell bits shrink as dims grow (bits·ndims ≤ 63 —
+          // 12 bits up to 5 dims, then 63/ndims).
+          val nd = clusterBy.size
+          val zbits = math.min(12, 63 / nd)
+          val cells = 1 << zbits
+          val aggs = clusterBy.flatMap(c => Seq(
+            min(col(c).cast("double")), max(col(c).cast("double"))))
+          val bounds = base.agg(aggs.head, aggs.tail: _*)
             .collect()(0).toSeq.map(v => Option(v).map(_.toString.toDouble)
               .getOrElse(0.0))
-          val (lo1, hi1, lo2, hi2) = (bounds(0), bounds(1), bounds(2), bounds(3))
-          val cells = 1 << 12
           // width_bucket yields 1..cells (upper bound nudged past max so
           // the max value stays in-range); shift to 0..cells-1 so the
-          // 12-bit interleave never wraps the top cell
-          val z = graft.functions.ZOrderExprs.zOrder2(
-            width_bucket(col(a).cast("double"), lit(lo1), lit(hi1 + 1e-9), lit(cells)) - 1,
-            width_bucket(col(b).cast("double"), lit(lo2), lit(hi2 + 1e-9), lit(cells)) - 1,
-            12)
+          // interleave never wraps the top cell
+          val cellCols = clusterBy.zipWithIndex.map { case (c, d) =>
+            width_bucket(col(c).cast("double"),
+              lit(bounds(2 * d)), lit(bounds(2 * d + 1) + 1e-9),
+              lit(cells)) - 1
+          }
+          val z = graft.functions.ZOrderExprs.zOrderN(cellCols, zbits)
           base.withColumn("__z", z)
             .repartitionByRange(targetFiles, col("__z"))
             .sortWithinPartitions("__z").drop("__z")

@@ -86,4 +86,115 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     assert(zTouched < lexTouched,
       s"z-order touched $zTouched files, lexicographic $lexTouched")
   }
+
+  // ----------------------------------------------------------------
+  // ZOrderN — the 2..8-dim generalization
+  // ----------------------------------------------------------------
+
+  private def modelN(vals: Seq[Long], bits: Int): Long = {
+    val n = vals.size
+    var z = 0L
+    for (d <- 0 until n; i <- 0 until bits)
+      z |= ((vals(d) >> i) & 1L) << (i * n + d)
+    z
+  }
+
+  test("zorderN matches the model and round-trips at 3 and 5 dims") {
+    import spark.implicits._
+    val triples = for {
+      a <- Seq(0L, 1L, 7L, 15L); b <- Seq(0L, 9L, 15L); c <- Seq(3L, 15L)
+    } yield (a, b, c)
+    val got3 = triples.toDF("a", "b", "c")
+      .withColumn("z", ZOrderExprs.zOrderN(
+        Seq(col("a"), col("b"), col("c")), 4))
+      .as[(Long, Long, Long, Long)].collect()
+    got3.foreach { case (a, b, c, z) =>
+      assert(z === modelN(Seq(a, b, c), 4), s"($a,$b,$c)")
+      assert(ZOrderExprs.unpackN(z, 4, 3, 0) === a)
+      assert(ZOrderExprs.unpackN(z, 4, 3, 1) === b)
+      assert(ZOrderExprs.unpackN(z, 4, 3, 2) === c)
+    }
+    val z5 = Seq((1L, 2L, 3L, 4L, 5L)).toDF("a", "b", "c", "d", "e")
+      .select(ZOrderExprs.zOrderN(
+        Seq(col("a"), col("b"), col("c"), col("d"), col("e")), 3))
+      .head.getLong(0)
+    (0 until 5).zip(Seq(1L, 2L, 3L, 4L, 5L)).foreach { case (d, v) =>
+      assert(ZOrderExprs.unpackN(z5, 3, 5, d) === v)
+    }
+  }
+
+  test("zorderN at 2 dims is bit-identical to zorder2") {
+    import spark.implicits._
+    val pairs = Seq((0L, 0L), (1L, 2L), (200L, 55L), (255L, 255L))
+    val both = pairs.toDF("x", "y").select(
+      ZOrderExprs.zOrder2(col("x"), col("y"), 8).as("z2"),
+      ZOrderExprs.zOrderN(Seq(col("x"), col("y")), 8).as("zn"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (z2, zn) => assert(z2 === zn) }
+  }
+
+  test("zorderN rejects NULL coordinates and out-of-range values loudly") {
+    import spark.implicits._
+    val nullE = intercept[Exception] {
+      Seq((Some(1L), Option.empty[Long], Some(2L))).toDF("a", "b", "c")
+        .select(ZOrderExprs.zOrderN(
+          Seq(col("a"), col("b"), col("c")), 4)).collect()
+    }
+    assert(nullE.getMessage != null)
+    val rangeE = intercept[Exception] {
+      Seq((16L, 0L, 0L)).toDF("a", "b", "c")
+        .select(ZOrderExprs.zOrderN(
+          Seq(col("a"), col("b"), col("c")), 4)).collect()
+    }
+    assert(rangeE.getMessage != null)
+  }
+
+  test("3-dim z-sort bounds ALL THREE dims where lexicographic serves one") {
+    // 16 simulated files; a point predicate on the THIRD column — the
+    // dimension a lexicographic (a, b, c) sort cannot prune at all
+    val df = Tables.lineitem(spark, Sf)
+      .select((col("l_partkey") % 64).as("a"),
+        (col("l_suppkey") % 64).as("b"),
+        (col("l_orderkey") % 64).as("c"))
+    val n = df.count()
+    def filesTouched(ordered: org.apache.spark.sql.DataFrame): Long = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("ord")
+      ordered.withColumn("rn", row_number().over(w))
+        .withColumn("file", ((col("rn") - 1) * 16 / n).cast("long"))
+        .groupBy("file").agg(min("c").as("lo"), max("c").as("hi"))
+        .filter(col("lo") <= 7 && col("hi") >= 7).count()
+    }
+    val zTouched = filesTouched(df.withColumn("ord",
+      ZOrderExprs.zOrderN(Seq(col("a"), col("b"), col("c")), 6)))
+    val lexTouched = filesTouched(df.withColumn("ord",
+      col("a") * 4096 + col("b") * 64 + col("c")))
+    assert(zTouched < lexTouched,
+      s"3-dim z-order touched $zTouched files, lexicographic $lexTouched")
+  }
+
+  test("SnapshotLog.optimize z-orders THREE cluster columns (prune on any dim)") {
+    val dir = java.nio.file.Files.createTempDirectory("zn-log").toString
+    import spark.implicits._
+    val rows = (0 until 4096).map { i =>
+      (i.toLong, (i * 37 % 64).toLong, (i * 11 % 64).toLong,
+        (i * 53 % 64).toLong)
+    }
+    // many small files so optimize has something to rewrite
+    val df = rows.toDF("id", "a", "b", "c").repartition(8)
+    graft.sources.SnapshotLog.commit(spark, dir, df)
+    val v = graft.sources.SnapshotLog.optimize(spark, dir,
+      targetFiles = 8, clusterBy = Seq("a", "b", "c"), zorder = true)
+    val out = graft.sources.SnapshotLog.read(spark, dir, Some(v))
+    // identity: same multiset of rows
+    assert(out.count() === 4096)
+    assert(out.exceptAll(df).isEmpty && df.exceptAll(out).isEmpty)
+    // locality: for EACH dim, a point predicate must avoid most files
+    val withFile = out.withColumn("f", input_file_name())
+    Seq("a", "b", "c").foreach { dim =>
+      val touched = withFile.groupBy("f")
+        .agg(min(dim).as("lo"), max(dim).as("hi"))
+        .filter(col("lo") <= 7 && col("hi") >= 7).count()
+      assert(touched < 8, s"dim $dim: every file intersects the probe")
+    }
+  }
 }
