@@ -32,20 +32,27 @@ object RecursiveOps {
     finally named.values.foreach(s.catalog.dropTempView(_))
   }
 
+  /** Full-text form (oracle side): `ranked` inlined as a plain CTE. */
   private def streakSql(orders: String): String =
     s"""WITH RECURSIVE ranked AS (
        |  SELECT o_custkey AS ck, o_orderdate AS d,
        |    row_number() OVER (PARTITION BY o_custkey
        |      ORDER BY o_orderdate, o_orderkey) AS rn
        |  FROM $orders),
-       |streak AS (
+       |${streakBody("ranked")}""".stripMargin
+
+  /** Recursive body over an already-available `ranked` relation. */
+  private def streakBody(ranked: String): String =
+    s"""streak AS (
        |  SELECT r.ck, r.rn, r.d, 1 AS len
-       |  FROM ranked r LEFT JOIN ranked p ON p.ck = r.ck AND p.rn = r.rn - 1
+       |  FROM $ranked r LEFT JOIN $ranked p
+       |    ON p.ck = r.ck AND p.rn = r.rn - 1
        |  WHERE p.rn IS NULL OR r.d > p.d + INTERVAL 180 DAY
        |  UNION ALL
-       |  SELECT n.ck, n.rn, n.d, s.len + 1
-       |  FROM streak s JOIN ranked n ON n.ck = s.ck AND n.rn = s.rn + 1
-       |    AND n.d <= s.d + INTERVAL 180 DAY)
+       |  SELECT /*+ BROADCAST(n) */ n.ck, n.rn, n.d, s.len + 1
+       |  FROM streak s JOIN $ranked n ON n.ck = s.ck AND n.rn = s.rn + 1
+       |    AND n.d <= s.d + INTERVAL 180 DAY
+       |  WHERE s.len < 8)
        |SELECT CAST(max_len AS BIGINT) AS streak_len,
        |  CAST(count(*) AS BIGINT) AS n_customers
        |FROM (SELECT ck, max(len) AS max_len FROM streak GROUP BY ck) t
@@ -53,22 +60,43 @@ object RecursiveOps {
 
   /** Reorder-streak distribution via WITH RECURSIVE: how many customers'
     * longest run of orders, each placed within 180 days of the previous
-    * one, is k orders long — the retention-curve shape computed by
-    * CHAIN-FOLLOWING recursion. The anchor is every chain start (first
-    * order, or a gap > 180 days behind it); each recursive step follows
-    * the customer's next order rank while the gap condition holds,
-    * carrying the path-dependent streak length that makes this the
-    * recursion showcase. Identical SQL text runs in both engines —
-    * DuckDB executes the same WITH RECURSIVE — and RecursiveSpec pins
-    * the result against the independent gaps-and-islands window
-    * formulation (which a cost-conscious user would run instead; the
-    * row exists to prove the recursion SURFACE, semantics and plan
-    * discipline, not to replace the cheaper formulation). */
+    * one, is k orders long (k capped at 8 — bucket 8 reads "8 or
+    * longer") — the retention-curve shape computed by CHAIN-FOLLOWING
+    * recursion. The anchor is every chain start (first order, or a gap
+    * > 180 days behind it); each recursive step follows the customer's
+    * next order rank while the gap condition holds, carrying the
+    * path-dependent streak length that makes this the recursion
+    * showcase. The DuckDB oracle runs the whole thing as one recursive
+    * SQL text; RecursiveSpec additionally pins the result against the
+    * independent gaps-and-islands window formulation.
+    *
+    * Iteration cost — the recursion scale discipline, measured:
+    *  (a) Spark re-evaluates a plain CTE under EVERY recursive step, so
+    *      leaving `ranked` (a window over the fact table) inline costs
+    *      one re-window of the corpus per iteration (7.3 s / 65 MB
+    *      shuffle at sf0.1). The engine side materializes `ranked` ONCE
+    *      (localCheckpoint — orders-sized, 3 columns) and recurses over
+    *      the materialized relation.
+    *  (b) Even with cached inputs, each iteration pays a fixed
+    *      driver-side replan/codegen/schedule cost (~200 ms here) — so
+    *      UNCAPPED depth means data-dependent driver time, the real
+    *      100 TB risk (one 100-order customer = 100 sequential driver
+    *      round-trips). The step therefore caps depth IN THE QUERY
+    *      (`s.len < 8`): the histogram's tail bucket absorbs longer
+    *      runs, depth becomes a query constant, and the iteration
+    *      count no longer scales with the data. Workloads needing the
+    *      unbounded tail use the window twin (RecursiveSpec pins
+    *      equality under the cap). */
   val reorderStreak: Q = Q.checked(
     "q_reorder_streak", streakSql("orders")
   ) { (s, dir) =>
-    sqlWith(s, Map("orders" -> Tables.orders(s, dir)))(v =>
-      streakSql(v("orders")))
+    val ranked = Tables.orders(s, dir)
+      .selectExpr("o_custkey AS ck", "o_orderdate AS d",
+        """row_number() OVER (PARTITION BY o_custkey
+          |  ORDER BY o_orderdate, o_orderkey) AS rn""".stripMargin)
+      .localCheckpoint(true)
+    sqlWith(s, Map("ranked" -> ranked))(v =>
+      s"WITH RECURSIVE ${streakBody(v("ranked"))}")
   }
 
   val all: Seq[Q] = Seq(reorderStreak)

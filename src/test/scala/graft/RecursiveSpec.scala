@@ -33,7 +33,9 @@ class RecursiveSpec extends AnyFunSuite with SparkFixture {
       .withColumn("island", sum("starts").over(
         byCk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("o_custkey", "island").agg(count(lit(1)).as("len"))
-      .groupBy("o_custkey").agg(max("len").as("max_len"))
+      // the recursion caps streaks at 8 (depth = a query constant, not a
+      // data property) — the window twin applies the identical cap
+      .groupBy("o_custkey").agg(least(max("len"), lit(8L)).as("max_len"))
       .groupBy("max_len").agg(count(lit(1)).as("n_customers"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
