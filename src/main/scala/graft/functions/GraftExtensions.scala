@@ -58,6 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.VectorRules.DotSelfToNorm)
+    // whole-operator tier: plans graft.plans.AsOfJoin.AsOfJoinPlan as a
+    // partition-wise ordered merge (AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoin.Strategy)
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[HashExprs.MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => {

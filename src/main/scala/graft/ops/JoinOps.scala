@@ -150,22 +150,23 @@ object JoinOps {
     * the oracle uses the identical window formulation, not DuckDB's ASOF
     * JOIN, so tie-breaking is provably the same (SURVEY §7.4).
     */
+  private val AsOfOracle: String = Tables.EventsCte +
+    """,
+      |w AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER win AS last_click_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |      OVER win AS last_click_ts
+      |  FROM ev
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+      |       last_click_id, last_click_ts
+      |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
+
   val joinAsof: Q = Q.checked(
-    "q_join_asof",
-    Tables.EventsCte +
-      """,
-        |w AS (
-        |  SELECT event_id, user_id, ts, event_type,
-        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-        |      OVER win AS last_click_id,
-        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-        |      OVER win AS last_click_ts
-        |  FROM ev
-        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
-        |       last_click_id, last_click_ts
-        |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
+    "q_join_asof", AsOfOracle
   ) { (s, dir) =>
     val ev = Tables.events(s, dir)
     val win = Window.partitionBy("user_id")
@@ -180,6 +181,36 @@ object JoinOps {
         col("ts").cast("timestamp_ntz").as("purchase_ts"),
         col("last_click_id"),
         col("last_click_ts").cast("timestamp_ntz").as("last_click_ts"))
+      .orderBy("purchase_id")
+  }
+
+  /** The SAME as-of semantics through the NATIVE operator
+    * ([[graft.plans.AsOfJoin]] — custom LogicalPlan + SparkStrategy +
+    * partition-wise merge SparkPlan, injected via
+    * SparkSessionExtensions): purchases as the probe side, clicks as
+    * the reference side, matched on user_id by the last click strictly
+    * before the purchase in (ts, event_id) order. Checked against the
+    * identical DuckDB oracle as q_join_asof, so the custom operator's
+    * semantics — including the tie-break — are oracle-pinned, not just
+    * spec-pinned. Plan: each side shuffles ONCE on user_id and merges
+    * sorted partition pairs holding one buffered row — no union
+    * materialization, no window buffer (AsOfJoin scaladoc). */
+  val asofNative: Q = Q.checked(
+    "q_asof_native", AsOfOracle
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+        key = ("user_id", "r_user_id"), time = ("ts", "r_ts"),
+        tie = ("event_id", "r_event_id"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("r_event_id").as("last_click_id"),
+        col("r_ts").cast("timestamp_ntz").as("last_click_ts"))
       .orderBy("purchase_id")
   }
 
@@ -511,6 +542,7 @@ object JoinOps {
   }
 
   val all: Seq[Q] = Seq(subqueryScalar, joinInner, joinBroadcast, joinLeft, joinFull,
-    joinSemi, joinAnti, joinTheta, joinAsof, asofTolerance, joinRange,
-    shipPriority, localSupplier, existsSubquery, notInNulls, lateralTopk)
+    joinSemi, joinAnti, joinTheta, joinAsof, asofNative, asofTolerance,
+    joinRange, shipPriority, localSupplier, existsSubquery, notInNulls,
+    lateralTopk)
 }
