@@ -222,6 +222,49 @@ object JoinOps {
     * BIGINT-microsecond comparison applied AFTER the carry-forward, so
     * the match is "latest within tolerance", never "latest overall if in
     * tolerance, else older one". */
+  private val AsOfTolOracle: String = Tables.EventsCte +
+    """,
+      |w AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER win AS lc_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |      OVER win AS lc_ts
+      |  FROM ev
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id AS purchase_id, user_id,
+      |  CASE WHEN epoch_us(ts) - epoch_us(lc_ts) <= 1800000000
+      |       THEN lc_id END AS click_id,
+      |  CASE WHEN epoch_us(ts) - epoch_us(lc_ts) <= 1800000000
+      |       THEN epoch_us(ts) - epoch_us(lc_ts) END AS staleness_us
+      |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
+
+  /** The tolerance path of the NATIVE operator, oracle-pinned: same
+    * output as q_asof_tolerance but computed by [[graft.plans.AsOfJoin]]
+    * with `toleranceUs` — proving the exec's latest-then-SLA rule (a
+    * stale latest yields NULL, never an older in-tolerance row) equals
+    * the window twin's post-carry-forward comparison. */
+  val asofNativeTol: Q = Q.checked(
+    "q_asof_native_tol", AsOfTolOracle
+  ) { (s, dir) =>
+    val TolUs = 1800000000L
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+        key = ("user_id", "r_user_id"), time = ("ts", "r_ts"),
+        tie = ("event_id", "r_event_id"), toleranceUs = Some(TolUs))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("r_event_id").as("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("r_ts")))
+          .as("staleness_us"))
+      .orderBy("purchase_id")
+  }
+
   val asofTolerance: Q = Q.checked(
     "q_asof_tolerance",
     Tables.EventsCte +
@@ -542,7 +585,7 @@ object JoinOps {
   }
 
   val all: Seq[Q] = Seq(subqueryScalar, joinInner, joinBroadcast, joinLeft, joinFull,
-    joinSemi, joinAnti, joinTheta, joinAsof, asofNative, asofTolerance,
-    joinRange, shipPriority, localSupplier, existsSubquery, notInNulls,
+    joinSemi, joinAnti, joinTheta, joinAsof, asofNative, asofNativeTol,
+    asofTolerance, joinRange, shipPriority, localSupplier, existsSubquery, notInNulls,
     lateralTopk)
 }
