@@ -53,5 +53,47 @@ object LayoutOps {
       .orderBy("cell")
   }
 
-  val all: Seq[Q] = Seq(zorder)
+  private def zTerms3Sql(a: String, b: String, c: String): String =
+    (0 until 6).flatMap(i => Seq(
+      s"((($a >> $i) & 1) << ${3 * i})",
+      s"((($b >> $i) & 1) << ${3 * i + 1})",
+      s"((($c >> $i) & 1) << ${3 * i + 2})")).mkString(" + ")
+
+  /** Three-dimensional z-cells (the [[graft.functions.ZOrderExprs.ZOrderN]]
+    * interleave, oracle-checked bit for bit): 64 cells of the 18-bit
+    * (6+6+6) z-space, each a contiguous z-range AND a tight 16×16×16
+    * box — so a table clustered on THREE columns prunes on any of them.
+    * The oracle recomputes the interleave with explicit shift/mask
+    * arithmetic, so the native expression's bit layout is pinned
+    * cross-engine, not just against the Scala model in ZOrderSpec. */
+  val zorder3: Q = Q.checked(
+    "q_zorder3",
+    s"""WITH b AS (SELECT l_partkey % 64 AS pa, l_suppkey % 64 AS pb,
+       |                  l_orderkey % 64 AS pc
+       |           FROM lineitem),
+       |z AS (SELECT pa, pb, pc, ${zTerms3Sql("pa", "pb", "pc")} AS zval
+       |      FROM b)
+       |SELECT CAST(zval >> 12 AS BIGINT) AS cell, count(*) AS n,
+       |  CAST(min(zval) AS BIGINT) AS z_lo, CAST(max(zval) AS BIGINT) AS z_hi,
+       |  CAST(min(pa) AS BIGINT) AS pa_lo, CAST(max(pa) AS BIGINT) AS pa_hi,
+       |  CAST(min(pb) AS BIGINT) AS pb_lo, CAST(max(pb) AS BIGINT) AS pb_hi,
+       |  CAST(min(pc) AS BIGINT) AS pc_lo, CAST(max(pc) AS BIGINT) AS pc_hi
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select((col("l_partkey") % 64).as("pa"),
+        (col("l_suppkey") % 64).as("pb"),
+        (col("l_orderkey") % 64).as("pc"))
+      .withColumn("zval", ZOrderExprs.zOrderN(
+        Seq(col("pa"), col("pb"), col("pc")), 6))
+      .groupBy(shiftright(col("zval"), 12).as("cell"))
+      .agg(count(lit(1)).as("n"),
+        min("zval").as("z_lo"), max("zval").as("z_hi"),
+        min("pa").as("pa_lo"), max("pa").as("pa_hi"),
+        min("pb").as("pb_lo"), max("pb").as("pb_hi"),
+        min("pc").as("pc_lo"), max("pc").as("pc_hi"))
+      .orderBy("cell")
+  }
+
+  val all: Seq[Q] = Seq(zorder, zorder3)
 }
