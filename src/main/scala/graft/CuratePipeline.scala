@@ -31,11 +31,18 @@ import scala.jdk.CollectionConverters._
   *     min_ttr_milli: 300            # integer milli-units — no float cfg
   *   - stage: dedup_exact            # min-id election per md5(text)
   *   - stage: dedup_near             # min-id election per simhash64
+  *   - stage: dedup_jaccard          # MinHash-LSH + exact-Jaccard verify,
+  *     threshold_milli: 800          #   component closure, min-id canonical
+  *     shingle: 4                    #   (optional, default 4)
+  *   - stage: chunk                  # re-grain into fixed-token chunks
+  *     chunk_tokens: 64
   *   - stage: decontaminate          # drop docs sharing an n-gram w/ eval
   *     eval_path: /data/benchmarks
   *     gram: 4
   *   - stage: source_quota           # keep first N docs per source
   *     per_source: 100
+  *   - stage: token_budget           # greedy per-source token-budget fill
+  *     per_source_tokens: 5000
   * }}}
   *
   * Execution model — why this composes well at 100 TB:
@@ -96,8 +103,11 @@ object CuratePipeline {
       Set.empty[String])),
     "dedup_exact" -> ((Set.empty[String], Set.empty[String])),
     "dedup_near" -> ((Set.empty[String], Set.empty[String])),
+    "dedup_jaccard" -> ((Set("threshold_milli"), Set("shingle"))),
+    "chunk" -> ((Set("chunk_tokens"), Set.empty[String])),
     "decontaminate" -> ((Set("eval_path"), Set("gram"))),
-    "source_quota" -> ((Set("per_source"), Set.empty[String])))
+    "source_quota" -> ((Set("per_source"), Set.empty[String])),
+    "token_budget" -> ((Set("per_source_tokens"), Set.empty[String])))
 
   private[graft] def parse(rawLines: Seq[String],
       where: String): CurateConfig = {
@@ -201,7 +211,8 @@ object CuratePipeline {
       // run has mutated the output directory
       params.foreach { case (k, (li, v)) =>
         if (Set("min_tok", "max_tok", "min_ttr_milli", "gram",
-            "per_source")(k)) { intOf(li, k, unquote(v)); () }
+            "per_source", "threshold_milli", "shingle", "chunk_tokens",
+            "per_source_tokens")(k)) { intOf(li, k, unquote(v)); () }
       }
       Stage(name, params.map { case (k, (_, v)) => k -> unquote(v) })
     }
@@ -266,6 +277,51 @@ object CuratePipeline {
       electMin(df,
         graft.functions.HashExprs.simHash64(split(col(cfg.textCol), " ")),
         cfg.idCol)
+    case "dedup_jaccard" =>
+      // the production-grade near dedup: MinHash-LSH candidate pairs
+      // verified by exact Jaccard, transitively closed, one canonical
+      // (min id) elected per component — everything else drops. Pairs /
+      // components run over (id, text) only; the anti-join brings the
+      // verdict back to the full row.
+      val lshCfg = graft.dedup.MinHashLsh.Config(
+        shingleSize = st.params.get("shingle").map(_.toInt).getOrElse(4),
+        threshold = st.params("threshold_milli").toInt / 1000.0)
+      val pairs = graft.dedup.MinHashLsh.nearDuplicates(
+        df, cfg.idCol, cfg.textCol, lshCfg)
+      val comps = graft.dedup.Components.connectedComponents(
+        graft.dedup.Components.symmetrize(pairs, "id_a", "id_b"))
+      val losers = comps.filter(col("id") =!= col("comp")).select("id")
+      df.join(losers, df(cfg.idCol) === losers("id"), "left_anti")
+    case "chunk" =>
+      // re-grain documents into fixed-size non-overlapping token chunks
+      // (the tokenize-and-pack ingest shape): text becomes the chunk,
+      // id becomes doc_id * 100000 + chunk_ix (ids stay unique while a
+      // doc has < 100000 chunks — 2M-token docs at 20-token chunks;
+      // longer docs should chunk upstream), all other columns ride
+      // along. Map-side only — one explode, no shuffle.
+      val n = st.params("chunk_tokens").toInt
+      require(n >= 1, s"chunk_tokens must be >= 1, got $n")
+      val others = df.columns.toSeq
+        .filterNot(c => c == cfg.idCol || c == cfg.textCol)
+      df.withColumn("__toks", split(col(cfg.textCol), " "))
+        .withColumn("__ix", explode(sequence(lit(0L),
+          greatest(expr(s"(size(__toks) - 1) div $n"), lit(0L)))))
+        .select(
+          (col(cfg.idCol) * 100000L + col("__ix")).as(cfg.idCol) +:
+          array_join(expr(s"slice(__toks, int(__ix) * $n + 1, $n)"), " ")
+            .as(cfg.textCol) +:
+          others.map(col): _*)
+    case "token_budget" =>
+      // greedy per-source prefix fill: order docs by id within source,
+      // keep while the running token total fits the budget — the
+      // q_token_budget policy as a pipeline stage. ONE window shuffle
+      // partitioned by source.
+      val budget = st.params("per_source_tokens").toInt
+      val w = Window.partitionBy("source").orderBy(col(cfg.idCol))
+      df.withColumn("__n", size(split(col(cfg.textCol), " ")))
+        .withColumn("__cum", sum("__n").over(w))
+        .filter(col("__cum") <= budget)
+        .drop("__n", "__cum")
     case "decontaminate" =>
       val scfg = CurateStream.Config(idCol = cfg.idCol,
         textCol = cfg.textCol,
