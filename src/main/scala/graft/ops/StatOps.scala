@@ -781,7 +781,76 @@ object StatOps {
         .as("df_welch"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance between the click and
+    * purchase value distributions — the nonparametric "did the whole
+    * DISTRIBUTION shift" A/B primitive next to q_rank_sum (location) and
+    * q_ttest_welch (mean): D = max_v |F̂₁(v) − F̂₂(v)|, with the argmax
+    * value reported (where the distributions diverge most).
+    *
+    * Exactness: values snap once to integer cents; the sup statistic is
+    * computed with denominators CLEARED — max |c₁·n₂ − c₂·n₁| over
+    * exact BIGINT cumulative counts — so the maximizer is decided in
+    * integer arithmetic and only the published D performs one IEEE
+    * division (identical cross-engine). Ties on the max break to the
+    * SMALLEST cents value (total order).
+    *
+    * Scale: the corpus collapses FIRST to (cents, side-counts) grain —
+    * one hash aggregation with map-side combine. The cumulative window
+    * that follows is partition-less but runs over the DISTINCT CENTS
+    * GRID, whose size is bounded by the value domain (≤ ~56k cells for
+    * this feed), not by the row count — the q_skyline coarse-frame
+    * class, constant as the corpus scales. The final argmax is a
+    * TakeOrdered top-1, never a global sort. */
+  val ksTest: Q = Q.checked(
+    "q_ks_test",
+    Tables.EventsCte +
+      """,
+        |g AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |        CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+        |          AS c1,
+        |        CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+        |          AS c2
+        |      FROM ev WHERE event_type IN ('click', 'purchase')
+        |      GROUP BY 1),
+        |cum AS (SELECT cents,
+        |          sum(c1) OVER (ORDER BY cents) AS f1,
+        |          sum(c2) OVER (ORDER BY cents) AS f2,
+        |          (SELECT sum(c1) FROM g) AS n1,
+        |          (SELECT sum(c2) FROM g) AS n2
+        |        FROM g)
+        |SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+        |  CAST(abs(f1 * n2 - f2 * n1) AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat,
+        |  cents AS at_cents
+        |FROM cum
+        |ORDER BY abs(f1 * n2 - f2 * n1) DESC, cents LIMIT 1""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(round(col("value") * 100).cast(LongType).as("cents"),
+        col("event_type"))
+    val g = ev.groupBy("cents").agg(
+      count_if(col("event_type") === "click").as("c1"),
+      count_if(col("event_type") === "purchase").as("c2"))
+    val w = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = g.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    g.withColumn("f1", sum("c1").over(w))
+      .withColumn("f2", sum("c2").over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("n1").as("n_click"), col("n2").as("n_purchase"),
+        (abs(col("f1") * col("n2") - col("f2") * col("n1")).cast(DoubleType)
+          / (col("n1").cast(DoubleType) * col("n2").cast(DoubleType)))
+          .as("d_stat"),
+        col("cents").as("at_cents"),
+        abs(col("f1") * col("n2") - col("f2") * col("n1")).as("__m"))
+      .orderBy(col("__m").desc, col("at_cents"))
+      .limit(1)
+      .drop("__m")
+  }
+
   val all: Seq[Q] =
     Seq(histogram, outliers, groupedMode, skyline, madOutliers, decayScore,
-      pareto, rankSum, winsorize, regrSlope, corrMatrix, hist2d, ttestWelch)
+      pareto, rankSum, winsorize, regrSlope, corrMatrix, hist2d, ttestWelch,
+      ksTest)
 }
