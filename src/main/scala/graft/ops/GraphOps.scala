@@ -294,5 +294,68 @@ object GraphOps {
       .orderBy("hops", "node")
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles, reach)
+  /** Market-basket association mining over the part co-order graph:
+    * support / confidence / lift for the 15 strongest part pairs — the
+    * retail "customers who bought A also bought B" primitive, and a
+    * co-occurrence-edge weighting the dedup/graph pillar doesn't
+    * otherwise exercise.
+    *
+    * Exactness: support counts are plain BIGINTs; lift and confidence
+    * are single IEEE divisions of exact integers (n_ab·N / n_a·n_b ≤
+    * ~10^13 — far inside exact double range), identical cross-engine.
+    * Ranking is by the exact pair count with (p_a, p_b) tie-break — no
+    * float ever decides membership.
+    *
+    * Scale: itemsets collapse to DISTINCT (order, part) grain first;
+    * the pair generation is an equi-join on o_orderkey (ONE shuffle —
+    * never a cartesian: pairs per order ~ C(items,2) with items ~4),
+    * per-item supports are a part-grain aggregate BROADCAST back, and
+    * the top-15 plans as TakeOrdered. At 100 TB the (a,b) pair space is
+    * bounded by |parts|², and the hot path (pair counting) is one
+    * map-side-combined hash aggregation. */
+  val basketPairs: Q = Q.checked(
+    "q_basket_pairs",
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |               FROM lineitem),
+      |n_orders AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM items),
+      |supp AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_p FROM items
+      |         GROUP BY pk),
+      |pairs AS (SELECT a.pk AS p_a, b.pk AS p_b,
+      |            CAST(count(*) AS BIGINT) AS n_ab
+      |          FROM items a JOIN items b
+      |            ON a.ok = b.ok AND a.pk < b.pk
+      |          GROUP BY a.pk, b.pk)
+      |SELECT p_a, p_b, n_ab, sa.n_p AS n_a, sb.n_p AS n_b,
+      |  CAST(n_ab AS DOUBLE) / CAST(sa.n_p AS DOUBLE) AS conf_a_b,
+      |  CAST(n_ab * n AS DOUBLE) / (CAST(sa.n_p AS DOUBLE) * CAST(sb.n_p AS DOUBLE))
+      |    AS lift
+      |FROM pairs JOIN supp sa ON sa.pk = p_a
+      |  JOIN supp sb ON sb.pk = p_b, n_orders
+      |ORDER BY n_ab DESC, p_a, p_b LIMIT 15""".stripMargin
+  ) { (s, dir) =>
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = items.agg(countDistinct("ok").as("n"))
+    val supp = items.groupBy("pk").agg(count(lit(1)).as("n_p"))
+    val a = items.select(col("ok"), col("pk").as("p_a"))
+    val b = items.select(col("ok").as("ok_b"), col("pk").as("p_b"))
+    a.join(b, col("ok") === col("ok_b") && col("p_a") < col("p_b"))
+      .groupBy("p_a", "p_b").agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(supp.select(col("pk").as("pk_a"),
+        col("n_p").as("n_a"))), col("p_a") === col("pk_a"))
+      .join(broadcast(supp.select(col("pk").as("pk_b"),
+        col("n_p").as("n_b"))), col("p_b") === col("pk_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("p_a"), col("p_b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast(DoubleType) / col("n_a").cast(DoubleType))
+          .as("conf_a_b"),
+        ((col("n_ab") * col("n")).cast(DoubleType)
+          / (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)))
+          .as("lift"))
+      .orderBy(col("n_ab").desc, col("p_a"), col("p_b"))
+      .limit(15)
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles, reach, basketPairs)
 }
