@@ -255,16 +255,7 @@ object CuratePipeline {
   private[graft] def applyStage(spark: SparkSession, df: DataFrame,
       st: Stage, cfg: CurateConfig): DataFrame = st.name match {
     case "lang_keep" =>
-      val langs = {
-        val t = st.params("langs").trim
-        require(t.startsWith("[") && t.endsWith("]"),
-          s"langs must be an inline [a, b] list, got '$t'")
-        val body = t.substring(1, t.length - 1).trim
-        require(body.nonEmpty, "langs list is empty")
-        body.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")
-          .stripPrefix("\"").stripSuffix("\"")).toSeq
-      }
-      df.filter(col("lang").isin(langs: _*))
+      df.filter(col("lang").isin(parseLangs(st.params("langs")): _*))
     case "quality" =>
       CurateStream.qualityGate(df, CurateStream.Config(
         idCol = cfg.idCol, textCol = cfg.textCol,
@@ -409,4 +400,58 @@ object CuratePipeline {
   def runFile(spark: SparkSession, configPath: String,
       runId: Long = 0L): CurateReport =
     run(spark, load(configPath), runId)
+
+  /** The SAME config driving a STREAMING curation run — the
+    * batch/stream duality the CDC [[Pipeline]] has (runBatch/runStream),
+    * for the curation pillar: `docs` is a streaming document frame; the
+    * config's `quality` stage parameterizes the per-batch gate, a
+    * `decontaminate` stage binds the static eval gram set, and
+    * [[graft.streaming.CurateStream]] supplies the cross-batch near-dup
+    * state + replay idempotence. Stages OUTSIDE the streaming engine's
+    * vocabulary (lang_keep runs map-side and is applied here too;
+    * dedup_exact/dedup_near are subsumed by CurateStream's signature
+    * store; anything else — jaccard/chunk/quotas — is batch-only and
+    * rejected loudly: a silent drop of a configured stage would ship an
+    * uncurated stream). */
+  def runStream(spark: SparkSession, cfg: CurateConfig, docs: DataFrame,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val streamable = Set("lang_keep", "quality", "dedup_exact",
+      "dedup_near", "decontaminate")
+    val bad = cfg.stages.map(_.name).filterNot(streamable)
+    require(bad.isEmpty,
+      s"stages [${bad.mkString(", ")}] are batch-only — " +
+        "runStream supports lang_keep/quality/dedup_exact/dedup_near/" +
+        "decontaminate (the CurateStream vocabulary)")
+    val quality = cfg.stages.find(_.name == "quality")
+    val scfg = CurateStream.Config(
+      idCol = cfg.idCol, textCol = cfg.textCol,
+      minTok = quality.map(_.params("min_tok").toInt).getOrElse(0),
+      maxTok = quality.map(_.params("max_tok").toInt)
+        .getOrElse(Int.MaxValue),
+      minTtr = quality.map(_.params("min_ttr_milli").toInt / 1000.0)
+        .getOrElse(0.0),
+      decontGram = cfg.stages.find(_.name == "decontaminate")
+        .flatMap(_.params.get("gram")).map(_.toInt).getOrElse(4))
+    val evalGrams = cfg.stages.find(_.name == "decontaminate").map { st =>
+      CurateStream.evalGramSet(
+        spark.read.parquet(st.params("eval_path")), scfg)
+    }
+    val gated = cfg.stages.find(_.name == "lang_keep") match {
+      case Some(st) =>
+        docs.filter(col("lang").isin(parseLangs(st.params("langs")): _*))
+      case None => docs
+    }
+    CurateStream.run(gated, cfg.outDir, checkpointDir, scfg, evalGrams)
+  }
+
+  private def parseLangs(v: String): Seq[String] = {
+    val t = v.trim
+    require(t.startsWith("[") && t.endsWith("]"),
+      s"langs must be an inline [a, b] list, got '$t'")
+    val body = t.substring(1, t.length - 1).trim
+    require(body.nonEmpty, "langs list is empty")
+    body.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")
+      .stripPrefix("\"").stripSuffix("\"")).toSeq
+  }
 }

@@ -201,6 +201,39 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
       expect.exceptAll(out.select("doc_id")).isEmpty)
   }
 
+  test("runStream: the same config drives the streaming engine; batch-only stages rejected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = tmp("curate-stream-out")
+    val ckpt = tmp("curate-stream-ckpt")
+    val good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    val cfg = CuratePipeline.CurateConfig(
+      inputPath = "unused", outDir = out,
+      stages = Seq(
+        CuratePipeline.Stage("quality", Map("min_tok" -> "20",
+          "max_tok" -> "400", "min_ttr_milli" -> "300")),
+        CuratePipeline.Stage("dedup_near", Map.empty)))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Doc]
+    val q = CuratePipeline.runStream(spark, cfg, ms.toDF, ckpt)
+    try {
+      ms.addData(Seq(Doc(1, good), Doc(2, good), Doc(3, "too short")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.read
+      .parquet(graft.streaming.CurateStream.acceptedPath(out))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L)) // 2 deduped, 3 gated
+
+    val batchOnly = cfg.copy(stages = cfg.stages :+
+      CuratePipeline.Stage("chunk", Map("chunk_tokens" -> "16")))
+    val e = intercept[IllegalArgumentException] {
+      CuratePipeline.runStream(spark, batchOnly, ms.toDF, ckpt)
+    }
+    assert(e.getMessage.contains("batch-only"))
+  }
+
   test("config mistakes fail at load, with the offending line") {
     def bad(mutate: String => String, needle: String): Unit = {
       val e = intercept[IllegalArgumentException] {
