@@ -43,6 +43,13 @@ import scala.jdk.CollectionConverters._
   *     per_source: 100
   *   - stage: token_budget           # greedy per-source token-budget fill
   *     per_source_tokens: 5000
+  * expect:                            # publish gate: the OUTPUT must pass
+  *   - check: not_null                #   every declared expectation or the
+  *     col: text                      #   snapshot-log version is never
+  *   - check: unique                  #   committed (shards stay on disk
+  *     col: doc_id                    #   for debugging, unpublished)
+  *   - check: min_rows
+  *     n: 100
   * }}}
   *
   * Execution model — why this composes well at 100 TB:
@@ -79,7 +86,8 @@ object CuratePipeline {
       textCol: String = "text",
       logDir: Option[String] = None,
       shards: Option[Int] = None,
-      stages: Seq[Stage] = Seq.empty)
+      stages: Seq[Stage] = Seq.empty,
+      expect: Seq[Expectations.Check] = Seq.empty)
 
   /** Per-run report: the stage funnel (ordered, first entry = raw input)
     * and, when publishing through a snapshot log, the committed
@@ -87,7 +95,8 @@ object CuratePipeline {
   final case class CurateReport(
       stageRows: Seq[(String, Long)],
       finalRows: Long,
-      logVersion: Option[Long])
+      logVersion: Option[Long],
+      expectations: Seq[(String, Long, Boolean)] = Seq.empty)
 
   // ------------------------------------------------------------------
   // config
@@ -135,7 +144,9 @@ object CuratePipeline {
     val root = scala.collection.mutable.LinkedHashMap[String, (Int, String)]()
     val stages = scala.collection.mutable.ArrayBuffer[
       (Int, scala.collection.mutable.LinkedHashMap[String, (Int, String)])]()
-    var section: String = "" // "", "curate", "stages"
+    val expects = scala.collection.mutable.ArrayBuffer[
+      (Int, scala.collection.mutable.LinkedHashMap[String, (Int, String)])]()
+    var section: String = "" // "", "curate", "stages", "expect"
 
     def addPair(li: Int, kv: String,
         into: scala.collection.mutable.LinkedHashMap[String, (Int, String)])
@@ -158,17 +169,25 @@ object CuratePipeline {
         } else if (t == "stages:") {
           if (section != "curate") fail(i, "'stages:' must follow 'curate:'")
           section = "stages"
+        } else if (t == "expect:") {
+          if (section != "stages") fail(i, "'expect:' must follow 'stages:'")
+          section = "expect"
         } else if (t.startsWith("- ")) {
-          if (section != "stages") fail(i, "list item outside 'stages:'")
-          stages += ((i, scala.collection.mutable.LinkedHashMap()))
+          if (section != "stages" && section != "expect")
+            fail(i, "list item outside 'stages:'/'expect:'")
+          val target = if (section == "stages") stages else expects
+          target += ((i, scala.collection.mutable.LinkedHashMap()))
           val rest = t.drop(2).trim
-          if (rest.nonEmpty) addPair(i, rest, stages.last._2)
+          if (rest.nonEmpty) addPair(i, rest, target.last._2)
         } else if (t.contains(":")) {
           section match {
             case "curate" => addPair(i, t, root)
             case "stages" =>
               if (stages.isEmpty) fail(i, s"key outside a '- stage:' item: '$t'")
               addPair(i, t, stages.last._2)
+            case "expect" =>
+              if (expects.isEmpty) fail(i, s"key outside a '- check:' item: '$t'")
+              addPair(i, t, expects.last._2)
             case _ => fail(i, s"key before 'curate:' root: '$t'")
           }
         } else fail(i, s"unparseable line: '$t'")
@@ -228,6 +247,37 @@ object CuratePipeline {
     if (logDir.contains(outDir))
       fail(0, "log_dir must differ from out_dir (manifests would " +
         "interleave with shard files)")
+    def parseList2(i: Int, v: String): Seq[String] = {
+      val t = v.trim
+      if (!(t.startsWith("[") && t.endsWith("]")))
+        fail(i, s"expected an inline [a, b] list, got '$v'")
+      val body = t.substring(1, t.length - 1).trim
+      if (body.isEmpty) fail(i, "empty list")
+      body.split(",").map(unquote).map(_.trim).toSeq
+    }
+    val parsedChecks: Seq[Expectations.Check] =
+      expects.toSeq.map { case (itemLine, m) =>
+        val (kindLi, kindV) = m.getOrElse("check",
+          fail(itemLine, "expect item missing 'check: <kind>'"))
+        def p(k: String): (Int, String) = m.getOrElse(k,
+          fail(itemLine, s"check '${unquote(kindV)}' requires '$k'"))
+        def pv(k: String): String = unquote(p(k)._2)
+        unquote(kindV) match {
+          case "not_null" => Expectations.NotNull(pv("col"))
+          case "unique" => Expectations.Unique(Seq(pv("col")))
+          case "accepted_values" =>
+            Expectations.AcceptedValues(pv("col"),
+              { val (li, v) = p("values"); parseList2(li, v) })
+          case "in_range" =>
+            Expectations.InRange(pv("col"),
+              intOf(p("lo")._1, "lo", pv("lo")).toDouble,
+              intOf(p("hi")._1, "hi", pv("hi")).toDouble)
+          case "min_rows" =>
+            Expectations.MinRows(intOf(p("n")._1, "n", pv("n")).toLong)
+          case other => fail(kindLi, s"unknown check '$other' (known: " +
+            "accepted_values, in_range, min_rows, not_null, unique)")
+        }
+      }
     CurateConfig(
       inputPath = req("input"),
       outDir = outDir,
@@ -235,7 +285,8 @@ object CuratePipeline {
       textCol = opt("text_col").getOrElse("text"),
       logDir = logDir,
       shards = shards,
-      stages = parsedStages)
+      stages = parsedStages,
+      expect = parsedChecks)
   }
 
   // ------------------------------------------------------------------
@@ -384,6 +435,24 @@ object CuratePipeline {
     val stageRows = observations.toSeq.map { case (t, o) =>
       t -> o.get("rows").asInstanceOf[Long]
     }
+    // PUBLISH GATE: declared expectations validate the WRITTEN output
+    // (one pass over the curated shards — post-funnel-sized, not the
+    // corpus) BEFORE any snapshot-log commit. On failure the shards
+    // stay on disk for debugging but the version is never published —
+    // a trainer reading the log can never see a slice that failed its
+    // own quality contract.
+    val expectReport: Seq[(String, Long, Boolean)] =
+      if (cfg.expect.isEmpty) Seq.empty
+      else Expectations.run(spark.read.parquet(cfg.outDir), cfg.expect)
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val failed = expectReport.filterNot(_._3)
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        "curation output failed its expectations — shards written to " +
+          s"${cfg.outDir} but NOT published: " +
+          failed.map { case (n, v, _) => s"$n ($v violations)" }
+            .mkString(", "))
     val version = cfg.logDir.map { ld =>
       val fs = new org.apache.hadoop.fs.Path(cfg.outDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -393,7 +462,7 @@ object CuratePipeline {
       SnapshotLog.commitBatchExternal(spark, ld, files,
         sharded.schema, runId)
     }
-    CurateReport(stageRows, stageRows.last._2, version)
+    CurateReport(stageRows, stageRows.last._2, version, expectReport)
   }
 
   /** Load + run in one call — the scheduled-deployment entry. */

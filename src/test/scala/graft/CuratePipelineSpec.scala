@@ -234,6 +234,55 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("batch-only"))
   }
 
+  test("expect publish gate: passing checks publish + report; failing checks quarantine") {
+    val out = tmp("curate-out-exp")
+    val log = tmp("curate-log-exp")
+    val passCfg = cfgWith(out, log = Some(log)).copy(expect = Seq(
+      Expectations.NotNull("text"),
+      Expectations.Unique(Seq("doc_id")),
+      Expectations.MinRows(10)))
+    val r = CuratePipeline.run(spark, passCfg, runId = 1L)
+    assert(r.logVersion === Some(1L))
+    assert(r.expectations.length === 3 && r.expectations.forall(_._3))
+
+    val out2 = tmp("curate-out-exp2")
+    val log2 = tmp("curate-log-exp2")
+    val failCfg = cfgWith(out2, log = Some(log2)).copy(expect = Seq(
+      Expectations.AcceptedValues("lang", Seq("zz")))) // everything violates
+    val e = intercept[IllegalStateException] {
+      CuratePipeline.run(spark, failCfg, runId = 1L)
+    }
+    assert(e.getMessage.contains("NOT published"))
+    // quarantine: shards exist, log has NO version
+    assert(new java.io.File(out2).listFiles()
+      .exists(_.getName.startsWith("part-")))
+    assert(graft.sources.SnapshotLog.versions(spark, log2).isEmpty)
+  }
+
+  test("expect section parses from config text; unknown check fails at load") {
+    val text = goodConfig.replace("OUT", "/tmp/x") +
+      "expect:\n" +
+      "  - check: not_null\n    col: text\n" +
+      "  - check: accepted_values\n    col: lang\n    values: [en, de]\n" +
+      "  - check: in_range\n    col: n_chars\n    lo: 0\n    hi: 100000\n" +
+      "  - check: min_rows\n    n: 5\n" +
+      "  - check: unique\n    col: doc_id\n"
+    val cfg = CuratePipeline.parse(text.linesIterator.toSeq, "t.yaml")
+    assert(cfg.expect.map(_.name) === Seq("not_null(text)",
+      "accepted_values(lang)", "in_range(n_chars)", "min_rows(5)",
+      "unique(doc_id)"))
+    val e = intercept[IllegalArgumentException] {
+      CuratePipeline.parse((goodConfig.replace("OUT", "/tmp/x") +
+        "expect:\n  - check: exactly_one\n").linesIterator.toSeq, "t.yaml")
+    }
+    assert(e.getMessage.contains("unknown check"))
+    val e2 = intercept[IllegalArgumentException] {
+      CuratePipeline.parse((goodConfig.replace("OUT", "/tmp/x") +
+        "expect:\n  - check: in_range\n    col: x\n    lo: 0\n").linesIterator.toSeq, "t.yaml")
+    }
+    assert(e2.getMessage.contains("requires 'hi'"))
+  }
+
   test("config mistakes fail at load, with the offending line") {
     def bad(mutate: String => String, needle: String): Unit = {
       val e = intercept[IllegalArgumentException] {
