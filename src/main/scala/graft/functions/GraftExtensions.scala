@@ -61,6 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator tier: plans graft.plans.AsOfJoin.AsOfJoinPlan as a
     // partition-wise ordered merge (AsOfJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoin.Strategy)
+    // transparent materialized-view rollup rewrite (no-op while the
+    // MvRewrite registry is empty)
+    ext.injectOptimizerRule(s => new graft.plans.MvRewrite.RewriteRule(s))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[HashExprs.MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => {

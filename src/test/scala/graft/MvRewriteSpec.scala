@@ -1,0 +1,139 @@
+package graft
+
+import graft.plans.MvRewrite
+import graft.plans.MvRewrite.Mv
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Transparent materialized-view rewrite ([[MvRewrite]]): a grouped
+  * aggregate over the fact scan silently re-plans onto the registered
+  * rollup — results identical, the physical plan reads the summary path
+  * and never the fact path — while every out-of-scope shape (filters,
+  * distinct, unregistered columns, global aggregates, expression
+  * groupings) is left untouched. The misfire-impossibility guards ARE
+  * the feature; each one gets a test.
+  */
+class MvRewriteSpec extends AnyFunSuite with SparkFixture {
+
+  private val srcPath = s"$Sf/lineitem.parquet"
+  private lazy val summaryPath = {
+    val dir = Files.createTempDirectory("mv-summary").toString
+    val mv = Mv(
+      sourcePath = srcPath, summaryPath = s"$dir/sum",
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      sumCols = Seq("l_quantity", "l_extendedprice"),
+      minCols = Seq("l_orderkey"), maxCols = Seq("l_orderkey"))
+    MvRewrite.materialize(spark, mv)
+    s"$dir/sum"
+  }
+
+  private def fact = spark.read.parquet(srcPath)
+
+  private def scans(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("rollup answers a coarser grouping: same values, summary scanned, fact not") {
+    summaryPath // force registration
+    try {
+      val q = fact.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"),
+          min("l_orderkey").as("first_ok"), max("l_orderkey").as("last_ok"))
+        .orderBy("l_returnflag")
+      val plan = scans(q)
+      assert(plan.contains("mv-summary"), s"summary not scanned:\n$plan")
+      assert(!plan.contains("lineitem.parquet"),
+        s"fact table still scanned:\n$plan")
+
+      MvRewrite.clear()
+      val direct = fact.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"),
+          min("l_orderkey").as("first_ok"), max("l_orderkey").as("last_ok"))
+        .orderBy("l_returnflag")
+      assert(scans(direct).contains("lineitem.parquet"))
+      assert(q.collect().map(_.toSeq) === direct.collect().map(_.toSeq))
+    } finally MvRewrite.clear()
+  }
+
+  test("exact-grouping rewrite and SQL-path rewrite both fire") {
+    summaryPath
+    MvRewrite.register(Mv(srcPath, summaryPath,
+      Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity", "l_extendedprice"), Seq("l_orderkey"),
+      Seq("l_orderkey")))
+    try {
+      val q = fact.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_extendedprice").as("rev"))
+      assert(scans(q).contains("mv-summary"))
+      fact.createOrReplaceTempView("li_mv_test")
+      val sqlQ = spark.sql(
+        "SELECT l_linestatus, count(*) AS n FROM li_mv_test GROUP BY 1")
+      assert(scans(sqlQ).contains("mv-summary"))
+      spark.catalog.dropTempView("li_mv_test")
+    } finally MvRewrite.clear()
+  }
+
+  test("out-of-scope shapes are never rewritten") {
+    summaryPath
+    MvRewrite.register(Mv(srcPath, summaryPath,
+      Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity", "l_extendedprice"), Seq("l_orderkey"),
+      Seq("l_orderkey")))
+    try {
+      // residual filter: the summary collapsed the filtered rows
+      assert(scans(fact.filter(col("l_quantity") > 10)
+        .groupBy("l_returnflag").agg(sum("l_quantity")))
+        .contains("lineitem.parquet"))
+      // grouping outside the MV's columns
+      assert(scans(fact.groupBy("l_partkey").agg(sum("l_quantity")))
+        .contains("lineitem.parquet"))
+      // unregistered aggregate column
+      assert(scans(fact.groupBy("l_returnflag").agg(sum("l_tax")))
+        .contains("lineitem.parquet"))
+      // distinct aggregate
+      assert(scans(fact.groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey"))).contains("lineitem.parquet"))
+      // global (group-less) aggregate — the empty-source asymmetry
+      assert(scans(fact.agg(sum("l_quantity")))
+        .contains("lineitem.parquet"))
+      // expression grouping
+      assert(scans(fact.groupBy((col("l_returnflag") === "R").as("r"))
+        .agg(sum("l_quantity"))).contains("lineitem.parquet"))
+      // avg is not re-expressible from these partials (no avg rule)
+      assert(scans(fact.groupBy("l_returnflag").agg(avg("l_quantity")))
+        .contains("lineitem.parquet"))
+    } finally MvRewrite.clear()
+  }
+
+  test("empty registry: zero-overhead no-op; downstream operators survive id preservation") {
+    MvRewrite.clear()
+    val q = fact.groupBy("l_returnflag").agg(sum("l_quantity").as("qty"))
+    assert(scans(q).contains("lineitem.parquet"))
+
+    summaryPath
+    MvRewrite.register(Mv(srcPath, summaryPath,
+      Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity", "l_extendedprice")))
+    try {
+      // parent operators above the aggregate (join + filter + sort)
+      // must not notice the substitution — exprId preservation law
+      val rewritten = fact.groupBy("l_returnflag").agg(
+        sum("l_quantity").as("qty"))
+      val joined = rewritten.filter(col("qty") > 0)
+        .join(rewritten.select(col("l_returnflag").as("rf2"),
+          col("qty").as("qty2")), col("l_returnflag") === col("rf2"))
+        .orderBy("l_returnflag")
+      val got = joined.collect()
+      MvRewrite.clear()
+      val expect = fact.groupBy("l_returnflag").agg(
+        sum("l_quantity").as("qty")).filter(col("qty") > 0)
+      val expect2 = expect
+        .join(expect.select(col("l_returnflag").as("rf2"),
+          col("qty").as("qty2")), col("l_returnflag") === col("rf2"))
+        .orderBy("l_returnflag").collect()
+      assert(got.map(_.toSeq) === expect2.map(_.toSeq))
+    } finally MvRewrite.clear()
+  }
+}
