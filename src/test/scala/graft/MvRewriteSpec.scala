@@ -107,6 +107,70 @@ class MvRewriteSpec extends AnyFunSuite with SparkFixture {
     } finally MvRewrite.clear()
   }
 
+  test("loop closed: an IncrementalAgg-maintained rollup keeps serving rewritten queries through CDC churn") {
+    import spark.implicits._
+    MvRewrite.clear()
+    val base = Files.createTempDirectory("mv-incr").toString
+    val (srcDir, sumDir) = (s"$base/src", s"$base/sum")
+    // integral LONG measure: IncrementalAgg's DECIMAL(28,6) partials
+    // cast back to LONG exactly, so sum(qty) keeps its type AND value
+    val rows0 = Seq(
+      ("R", "F", 5L, 1L), ("R", "F", 7L, 2L), ("N", "O", 3L, 3L),
+      ("A", "F", 10L, 4L))
+    rows0.toDF("flag", "status", "qty", "id")
+      .write.mode("overwrite").parquet(srcDir)
+    val spec = graft.cdc.IncrementalAgg.Spec(Seq("flag", "status"), Seq("qty"))
+    // eager-materialize states: they are LAZY plans over srcDir, which
+    // this test later overwrites (the churn) — without the checkpoint a
+    // later action would re-read replaced files
+    val state0 = graft.cdc.IncrementalAgg.init(
+      spark.read.parquet(srcDir), spec).localCheckpoint(true)
+    def publish(state: org.apache.spark.sql.DataFrame): Unit = {
+      state.select(col("flag"), col("status"), col("cnt"),
+          col("sum_qty").cast("long").as("sum_qty"))
+        .write.mode("overwrite").parquet(sumDir)
+      MvRewrite.register(Mv(srcDir, sumDir, Seq("flag", "status"),
+        Seq("qty")))
+    }
+    publish(state0)
+    try {
+      def query: org.apache.spark.sql.DataFrame =
+        spark.read.parquet(srcDir).groupBy("flag")
+          .agg(count(lit(1)).as("n"), sum("qty").as("q")).orderBy("flag")
+      val pl0 = scans(query)
+      assert(pl0.contains("/sum") && !pl0.contains("/src"),
+        s"expected summary-only scan:\n$pl0")
+
+      // CDC churn: insert a row, delete one, move one across groups
+      val feed = Seq(
+        ("I", "N", "O", 20L, 9L, null.asInstanceOf[java.lang.Long],
+          null.asInstanceOf[String], null.asInstanceOf[String]),
+        ("D", "A", "F", 10L, 4L, null.asInstanceOf[java.lang.Long],
+          null.asInstanceOf[String], null.asInstanceOf[String]),
+        // U: id=2 moves from (R,F,7) to (N,F,8) — group move
+        ("U", "N", "F", 8L, 2L, java.lang.Long.valueOf(7L), "R", "F"))
+        .toDF("op", "flag", "status", "qty", "id",
+          "__old_qty", "__old_flag", "__old_status")
+      val state1 = graft.cdc.IncrementalAgg.maintain(state0, feed, spec)
+        .localCheckpoint(true)
+      // churned source, written alongside the maintained summary
+      val src1 = Seq(("R", "F", 5L, 1L), ("N", "F", 8L, 2L),
+        ("N", "O", 3L, 3L), ("N", "O", 20L, 9L))
+      src1.toDF("flag", "status", "qty", "id")
+        .write.mode("overwrite").parquet(srcDir)
+      publish(state1)
+
+      val got = query
+      val pl1 = scans(got)
+      assert(pl1.contains("/sum") && !pl1.contains("/src"),
+        s"maintained summary no longer serving the rewrite:\n$pl1")
+      val gotRows = got.collect().map(_.toSeq)
+      MvRewrite.clear()
+      assert(gotRows === query.collect().map(_.toSeq),
+        "maintained rollup diverged from a recompute over churned source")
+    } finally MvRewrite.clear()
+  }
+
   test("empty registry: zero-overhead no-op; downstream operators survive id preservation") {
     MvRewrite.clear()
     val q = fact.groupBy("l_returnflag").agg(sum("l_quantity").as("qty"))
