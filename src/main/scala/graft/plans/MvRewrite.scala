@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -17,8 +17,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * when) the summary can answer it exactly:
   *
   *  - the query scans the MV's registered source path (single-root
-  *    parquet relation, no residual Filter — a filtered query may need
-  *    rows the summary collapsed);
+  *    parquet relation). Residual Filters are allowed when DETERMINISTIC
+  *    and referencing ONLY the MV's group columns (the summary holds
+  *    every distinct group tuple, so the predicate selects exactly the
+  *    groups it would over the source — `WHERE region = 'ASIA' GROUP BY
+  *    nation` rewrites); any predicate touching a measure needs rows the
+  *    summary collapsed and blocks the rewrite;
   *  - it groups by a SUBSET of the MV's group columns (plain column
   *    references only), with at least one group column (global
   *    aggregates are excluded: over an empty source `count(*)` is 0 but
@@ -100,14 +104,21 @@ object MvRewrite {
       }
 
     /** The scan under `child`, seen through column-pruning Projects of
-      * plain attributes only. */
-    private def scanOf(child: LogicalPlan): Option[LogicalRelation] =
+      * plain attributes and Filters — returns the relation plus every
+      * filter condition collected on the way down. The CALLER decides
+      * whether those conditions are answerable from the summary
+      * (deterministic, group-columns-only); collecting here keeps the
+      * walk total. */
+    private def scanOf(child: LogicalPlan)
+        : Option[(LogicalRelation, Seq[Expression])] =
       child match {
-        case lr: LogicalRelation => Some(lr)
+        case lr: LogicalRelation => Some((lr, Seq.empty))
         case Project(exprs, inner) if exprs.forall {
           case _: AttributeReference => true
           case _ => false
         } => scanOf(inner)
+        case Filter(cond, inner) =>
+          scanOf(inner).map { case (lr, cs) => (lr, cond +: cs) }
         case _ => None
       }
 
@@ -119,9 +130,17 @@ object MvRewrite {
       }
 
     private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-      val lr = scanOf(agg.child).getOrElse(return None)
+      val (lr, filterConds) = scanOf(agg.child).getOrElse(return None)
       val mv = Option(registry.get(sourcePathOf(lr).getOrElse(return None)))
         .getOrElse(return None)
+
+      // filters are answerable iff DETERMINISTIC and referencing ONLY
+      // the MV's group columns — the summary holds every distinct group
+      // tuple, so a group-column predicate selects exactly the same
+      // groups it would over the source. Anything touching a measure or
+      // an unregistered column needs rows the summary collapsed.
+      if (!filterConds.forall(c => c.deterministic && c.references.forall(
+        a => mv.groupCols.contains(a.name)))) return None
 
       // groupings: plain source columns, subset of the MV's group cols,
       // and at least one (global aggregates excluded — see scaladoc)
@@ -174,9 +193,16 @@ object MvRewrite {
         case _ => return None
       }
       val newGroupings = groupAttrs.map(a => s(a.name))
+      // group-column filters rebase by NAME onto the summary's attrs
+      val rebasedChild =
+        if (filterConds.isEmpty) summary
+        else Filter(filterConds.map(_.transform {
+          case a: AttributeReference => s(a.name)
+        }).reduce(org.apache.spark.sql.catalyst.expressions.And),
+          summary)
       // count(*)-shaped outputs change nullability (sum of partials is
       // nullable); that is advisory metadata, value-identical per group
-      Some(Aggregate(newGroupings, newResult, summary))
+      Some(Aggregate(newGroupings, newResult, rebasedChild))
     }
   }
 }

@@ -72,6 +72,25 @@ class MvRewriteSpec extends AnyFunSuite with SparkFixture {
         "SELECT l_linestatus, count(*) AS n FROM li_mv_test GROUP BY 1")
       assert(scans(sqlQ).contains("mv-summary"))
       spark.catalog.dropTempView("li_mv_test")
+
+      // group-column FILTER rewrites — including a filter column the
+      // query does not group by (WHERE status GROUP BY flag)
+      val filtered = fact.filter(col("l_linestatus") === "F")
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+      assert(scans(filtered).contains("mv-summary"))
+      val gotF = filtered.collect().map(_.toSeq)
+      MvRewrite.clear()
+      val directF = fact.filter(col("l_linestatus") === "F")
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag").collect().map(_.toSeq)
+      assert(gotF === directF)
+      MvRewrite.register(Mv(srcPath, summaryPath,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity", "l_extendedprice"), Seq("l_orderkey"),
+        Seq("l_orderkey")))
     } finally MvRewrite.clear()
   }
 
@@ -82,8 +101,13 @@ class MvRewriteSpec extends AnyFunSuite with SparkFixture {
       Seq("l_quantity", "l_extendedprice"), Seq("l_orderkey"),
       Seq("l_orderkey")))
     try {
-      // residual filter: the summary collapsed the filtered rows
+      // residual filter on a MEASURE: the summary collapsed those rows
       assert(scans(fact.filter(col("l_quantity") > 10)
+        .groupBy("l_returnflag").agg(sum("l_quantity")))
+        .contains("lineitem.parquet"))
+      // non-deterministic filter on a group col (0.999: a rand()<k
+      // with k >= 1 is constant-folded away and WOULD legally rewrite)
+      assert(scans(fact.filter(col("l_returnflag") === "R" && rand() < 0.999)
         .groupBy("l_returnflag").agg(sum("l_quantity")))
         .contains("lineitem.parquet"))
       // grouping outside the MV's columns
