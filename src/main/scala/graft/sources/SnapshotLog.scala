@@ -1042,6 +1042,147 @@ object SnapshotLog {
     (df, kept.size, files.size)
   }
 
+  // -------------------------------------------------------------------
+  // Per-file bloom filters (sidecar) — point-lookup file skipping
+  // -------------------------------------------------------------------
+
+  /** Sidecar location for version `v`'s per-file blooms. Blooms live in
+    * a parquet SIDECAR, not manifest header lines: a useful filter is
+    * tens of KB per (file, column) — fine as one small parquet per
+    * version (the Iceberg/Puffin shape), ruinous inlined into the
+    * manifest every reader parses. */
+  private def bloomPath(dir: String, v: Long) =
+    new Path(logDir(dir), s"blooms/v$v.parquet")
+
+  /** Compute per-file bloom filters over `bloomCols` (BIGINT columns)
+    * for the LATEST version and write them as that version's sidecar —
+    * the point-lookup complement of [[analyze]]'s zone maps: min/max
+    * stats prune RANGE predicates on clustered layouts, blooms prune
+    * EQUALITY probes on high-cardinality columns under ANY layout
+    * (`fpp` trades sidecar size for false-positive file reads; skipping
+    * is planning-time, before any parquet footer opens). ONE
+    * column-pruned scan of the table. Blooms attach to the version —
+    * a later COW rewrite commits a new version without a sidecar, and
+    * [[readPoint]] degrades to conservative full planning until the
+    * next analyzeBlooms. */
+  def analyzeBlooms(spark: SparkSession, dir: String,
+      bloomCols: Seq[String], expectedItems: Long = 100000L,
+      fpp: Double = 0.01): Long = {
+    require(bloomCols.nonEmpty, "analyzeBlooms needs at least one column")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    val latest = vs.last
+    val files = filesOf(spark, dir, latest)
+    val df = spark.read.parquet(files: _*)
+    bloomCols.foreach { c =>
+      require(df.schema(c).dataType == org.apache.spark.sql.types.LongType,
+        s"bloom columns must be BIGINT; '$c' is " +
+          df.schema(c).dataType.simpleString)
+    }
+    val n = expectedItems
+    val items = df.select(
+      (input_file_name().as("__f")) +: bloomCols.map(col): _*)
+    val rows = items.rdd.mapPartitions { it =>
+      val perFile = scala.collection.mutable.Map[
+        String, Array[org.apache.spark.util.sketch.BloomFilter]]()
+      it.foreach { r =>
+        val bfs = perFile.getOrElseUpdate(r.getString(0),
+          Array.fill(bloomCols.size)(
+            org.apache.spark.util.sketch.BloomFilter.create(n, fpp)))
+        var i = 0
+        while (i < bloomCols.size) {
+          if (!r.isNullAt(i + 1)) bfs(i).putLong(r.getLong(i + 1))
+          i += 1
+        }
+      }
+      perFile.iterator.flatMap { case (f, bfs) =>
+        bloomCols.indices.map { i =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bfs(i).writeTo(bos)
+          (f, bloomCols(i), bos.toByteArray)
+        }
+      }
+    }
+    // partial blooms (same file seen by several partitions) OR-merge
+    val merged = spark.createDataFrame(rows.map {
+      case (f, c, b) => org.apache.spark.sql.Row(f, c, b)
+    }, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("col",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bloom",
+        org.apache.spark.sql.types.BinaryType))))
+      .rdd.groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case ((f, c), grp) =>
+        val it = grp.iterator
+        val first = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(it.next().getAs[Array[Byte]](2))
+        it.foreach { r =>
+          first.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+            .readFrom(r.getAs[Array[Byte]](2)))
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        first.writeTo(bos)
+        org.apache.spark.sql.Row(f, c, bos.toByteArray)
+      }
+    spark.createDataFrame(merged,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("col",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("bloom",
+          org.apache.spark.sql.types.BinaryType))))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(bloomPath(dir, latest).toString)
+    latest
+  }
+
+  /** Point lookup with bloom file skipping: rows where `column == value`
+    * at `version` (default latest), scanning only files whose bloom
+    * might contain the probe (files without blooms — or versions without
+    * a sidecar — are kept conservatively; the residual filter guarantees
+    * exactness). Returns (frame, filesScanned, filesTotal) for
+    * accountability, the [[readBetween]] contract. */
+  def readPoint(spark: SparkSession, dir: String, column: String,
+      value: Long, version: Option[Long] = None): (DataFrame, Int, Int) = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"version $v of $dir does not exist (have ${vs.mkString(",")})")
+    val files = filesOf(spark, dir, v)
+    val f = fs(spark, dir)
+    val blooms: Map[String, Array[Byte]] =
+      if (!f.exists(bloomPath(dir, v))) Map.empty
+      else spark.read.parquet(bloomPath(dir, v).toString)
+        .filter(col("col") === column)
+        .collect()
+        .map(r => new Path(r.getString(0)).toUri.getPath ->
+          r.getAs[Array[Byte]]("bloom")).toMap
+    val kept = files.filter { p =>
+      blooms.get(new Path(p).toUri.getPath) match {
+        case Some(bytes) => org.apache.spark.util.sketch.BloomFilter
+          .readFrom(bytes).mightContainLong(value)
+        case None => true // no bloom — cannot prune
+      }
+    }
+    val schema = schemaOf(spark, dir, v)
+    val pred = col(column) === value
+    val df =
+      if (kept.nonEmpty) (schema match {
+        case Some(s) => spark.read.schema(s).parquet(kept: _*)
+        case None    => spark.read.parquet(kept: _*)
+      }).filter(pred)
+      else schema match {
+        case Some(s) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None => read(spark, dir, Some(v)).filter(pred).limit(0)
+      }
+    (df, kept.size, files.size)
+  }
+
   /** Drop all but the newest `keepLast` versions and delete every data
     * file no retained manifest references (covers crash orphans too).
     * Deletion order is crash-safe: manifests first (a version stops
@@ -1064,7 +1205,10 @@ object SnapshotLog {
     // files are known-dead (their last referencing version is going away)
     // and exempt from the orphan grace period
     val droppedRefs = drop.flatMap(filesOf(spark, dir, _)).toSet
-    drop.foreach(v => f.delete(manifestPath(dir, v), false))
+    drop.foreach { v =>
+      f.delete(manifestPath(dir, v), false)
+      f.delete(bloomPath(dir, v), true) // version-scoped bloom sidecar
+    }
     val live = keep.flatMap(filesOf(spark, dir, _)).toSet
     val dataRoot = new Path(dir, "data")
     val now = System.currentTimeMillis()
