@@ -1042,6 +1042,25 @@ object SnapshotLog {
     (df, kept.size, files.size)
   }
 
+  /** DESCRIBE HISTORY for a snapshot log: one row per retained version —
+    * (version, batch_id, n_files, n_columns, committed_at) — read from
+    * manifests alone (no data file opens; committed_at = the manifest's
+    * rename time, the commit point by construction). The operational
+    * "what happened to this table" view next to [[versions]]. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val f = fs(spark, dir)
+    val rows = versions(spark, dir).map { v =>
+      val batch = batchOf(spark, dir, v)
+      val nFiles = filesOf(spark, dir, v).size.toLong
+      val nCols = schemaOf(spark, dir, v).map(_.fields.length.toLong)
+      val mtime = f.getFileStatus(manifestPath(dir, v)).getModificationTime
+      (v, batch, nFiles, nCols, new java.sql.Timestamp(mtime))
+    }
+    import spark.implicits._
+    rows.toDF("version", "batch_id", "n_files", "n_columns",
+      "committed_at")
+  }
+
   // -------------------------------------------------------------------
   // Per-file bloom filters (sidecar) — point-lookup file skipping
   // -------------------------------------------------------------------

@@ -365,4 +365,21 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
         Seq((1L, 0.5)).toDF("k", "x"), Seq("x")))
     assert(e.getMessage.contains("integral"))
   }
+  test("history(): one row per version from manifests alone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hist-log").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    graft.sources.SnapshotLog.commit(spark, dir, df)
+    graft.sources.SnapshotLog.commitBatch(spark, dir, df, batchId = 7L)
+    graft.sources.SnapshotLog.deleteWhere(spark, dir, col("k") === 1L)
+    val h = graft.sources.SnapshotLog.history(spark, dir)
+      .orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(h.map(r => Option(r.get(1))).toSeq ===
+      Seq(None, Some(7L), None)) // only the batch commit is stamped
+    assert(h.forall(_.getLong(2) > 0))   // n_files
+    assert(h.forall(r => r.getLong(3) === 2L)) // n_columns from #schema=
+    assert(h.forall(!_.isNullAt(4)))     // committed_at
+  }
+
 }
