@@ -15,6 +15,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *   - `dot_vec(a, b)`             → double        ([[VectorExprs.DotVec]])
   *   - `norm2_sq(v)`               → double        ([[VectorExprs.Norm2]])
   *   - `zorder2(x, y, bits)`       → bigint        ([[ZOrderExprs.ZOrder2]])
+  *   - `zordern(array(a,b,...), bits)` → bigint     ([[ZOrderExprs.ZOrderN]],
+  *     2..8 dims from the inline array's arity)
   *   - `sorted_intersect_count(a, b)` → bigint     ([[SetExprs.SortedIntersectCount]])
   *   - `bloom_agg(k[, nItems[, nBits]])` / `bloom_contains(bf, k)` —
   *     Spark's own runtime-filter bloom expressions
@@ -103,6 +105,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("sorted_intersect_count", args, 2)
         SetExprs.SortedIntersectCount(args.head, args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("zordern"),
+      new ExpressionInfo(classOf[ZOrderExprs.ZOrderN].getName, "zordern"),
+      (args: Seq[Expression]) => {
+        arity("zordern", args, 2)
+        // dims come from the array literal's arity — a runtime-varying
+        // array cannot size the interleave, reject at analysis
+        val ndims = args.head match {
+          case ca: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+            ca.children.size
+          case other => throw new IllegalArgumentException(
+            s"zordern expects an inline array(...) of coordinates, got $other")
+        }
+        ZOrderExprs.ZOrderN(
+          org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+            org.apache.spark.sql.types.ArrayType(LongType)),
+          ndims, intLit(args(1), "zordern", "bits"))
       }))
     ext.injectFunction((FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression pins for the late-round-7 oracle queries whose
+  * scale guarantees aren't already asserted elsewhere (TpchSpec covers
+  * four TPC-H members; AsOfJoinSpec covers the native operator). Each
+  * assertion is a claim the scaladoc makes — breaking the plan must
+  * break the build, not wait for a 100 TB incident.
+  */
+class LateQueryPlanSpec extends AnyFunSuite with SparkFixture {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q_volume_shipping / q_market_share / q_product_profit: dims broadcast, ONE fact shuffle") {
+    Seq(ops.TpchOps.volumeShipping, ops.TpchOps.marketShare,
+      ops.TpchOps.productProfit).foreach { q =>
+      val plan = q.fn(spark, Sf).queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"${q.name}: dims must broadcast:\n$plan")
+      // the fact side may shuffle for lineitem⋈orders + the final agg +
+      // output sort; what must NOT happen is a shuffle per dim join
+      val exchanges = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 4,
+        s"${q.name}: $exchanges hash exchanges — a dim join shuffled the fact:\n$plan")
+    }
+  }
+
+  test("q_large_orders: HAVING filters at order grain before any dim join") {
+    val plan = formatted(ops.TpchOps.largeOrders.fn(spark, Sf))
+    // the quantity-sum filter must sit directly on the first aggregate,
+    // not after the customer join
+    val aggIdx = plan.indexOf("HashAggregate")
+    val joinIdx = plan.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-100 degenerated to a global sort")
+  }
+
+  test("q_waiting_supplier: two key-grain aggregations, no window, TakeOrdered") {
+    val plan = ops.TpchOps.waitingSupplier.fn(spark, Sf)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window"),
+      s"waiting-supplier must not plan a window:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_ks_test: corpus collapses to cents grain BEFORE the bounded cumulative window") {
+    val df = ops.StatOps.ksTest.fn(spark, Sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the window input must be the (cents, c1, c2) aggregate, never the
+    // raw event rows: in the optimized plan the Window sits above the
+    // grain-collapsing Aggregate
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("Aggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < aggIdx,
+      s"window does not sit above the cents-grain aggregate:\n$plan")
+    assert(formatted(df).contains("TakeOrderedAndProject"),
+      "argmax degenerated to a global sort")
+  }
+
+  test("q_basket_pairs: ONE pair-generation shuffle, supports broadcast back, TakeOrdered") {
+    val df = ops.GraphOps.basketPairs.fn(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-item supports must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-15 degenerated to a global sort")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_reorder_streak: the recursion reads the materialized ranked relation, not re-windows") {
+    val df = ops.RecursiveOps.reorderStreak.fn(spark, Sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // exactly ONE Window may appear (none — ranked was materialized
+    // before the SQL ran); a window inside the recursive plan would be
+    // re-evaluated once per iteration
+    assert(!plan.contains("windowspecdefinition"),
+      s"a window leaked inside the recursion (re-evaluated per step):\n$plan")
+  }
+}

@@ -133,6 +133,17 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     both.foreach { case (z2, zn) => assert(z2 === zn) }
   }
 
+  test("zordern registered as SQL function; matches the Column API") {
+    val viaSql = spark.sql("SELECT zordern(array(3, 5, 9), 4) AS z")
+      .head.getLong(0)
+    assert(viaSql === modelN(Seq(3L, 5L, 9L), 4))
+    val e = intercept[Exception] {
+      spark.sql("SELECT zordern(sequence(1, 3), 4)").collect()
+    }
+    assert(e.getMessage.contains("inline array"),
+      s"runtime-sized arrays must be rejected at analysis: ${e.getMessage}")
+  }
+
   test("zorderN rejects NULL coordinates and out-of-range values loudly") {
     import spark.implicits._
     val nullE = intercept[Exception] {
