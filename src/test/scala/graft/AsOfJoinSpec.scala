@@ -128,6 +128,33 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(badType.getMessage.contains("must be BIGINT or TIMESTAMP"))
   }
 
+  test("asymmetric sides under AQE: tiny left vs large right stays co-partitioned") {
+    // AQE coalesces shuffle reads; a custom binary node must land in ONE
+    // coalesce group or zipPartitions throws on unequal partition counts.
+    // 5 probe rows vs the full click table is the worst asymmetry the
+    // coalescer could split.
+    val ev = Tables.events(spark, Sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts").limit(5)
+    val out = AsOfJoin.asof(probes, clicks,
+      ("user_id", "r_user_id"), ("ts", "r_ts"),
+      ("event_id", "r_event_id"))
+    assert(out.count() === 5)
+    // values spot-check against the window twin restricted to the probes
+    val ids = out.select("event_id").collect().map(_.getLong(0)).toSet
+    val twin = ops.JoinOps.joinAsof.fn(spark, Sf)
+      .filter(col("purchase_id").isin(ids.toSeq: _*))
+      .select(col("purchase_id"),
+        coalesce(col("last_click_id"), lit(-1L)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.select(col("event_id"),
+        coalesce(col("r_event_id"), lit(-1L)).as("c")).collect()
+      .foreach(r => assert(twin(r.getLong(0)) === r.getLong(1)))
+  }
+
   test("empty right side: every left row null-extends") {
     val left = mkLeft(Seq((1L, 1L, 1L), (2L, 2L, 2L)))
     val right = mkRight(Seq.empty)
