@@ -120,7 +120,7 @@ object ConfigFile {
     val known = Set("name", "source_path", "format", "schema",
       "key_cols", "value_cols", "state_dir", "strict_schema",
       "kafka_bootstrap", "kafka_topic", "kafka_starting_offsets",
-      "log_dir", "cow_dir")
+      "log_dir", "cow_dir", "dead_letter_dir")
 
     tables.toSeq.map { case (itemLine, m) =>
       m.foreach { case (k, (li, _)) =>
@@ -206,6 +206,16 @@ object ConfigFile {
             "share one manifest directory)")
         d
       }
+      // dead-letter quarantine: only meaningful on the envelope feed —
+      // file/parquet extracts have no parse step to reject from
+      val deadLetterDir = m.get("dead_letter_dir").map { case (li, v) =>
+        if (format != "debezium")
+          fail(li, s"dead_letter_dir requires format: debezium (got '$format')")
+        val d = unquote(v)
+        if (d == req("state_dir"))
+          fail(li, "dead_letter_dir must differ from state_dir")
+        d
+      }
       PipelineConfig(
         sourcePath = req("source_path"),
         format = format,
@@ -216,7 +226,8 @@ object ConfigFile {
         strictSchema = strict,
         kafka = kafka,
         logDir = logDir,
-        cowDir = cowDir)
+        cowDir = cowDir,
+        deadLetterDir = deadLetterDir)
     }
   }
 }

@@ -51,7 +51,13 @@ final case class PipelineConfig(
     // per-batch writes proportional to the churn's file footprint
     // instead of the bucketed merge's full-state generation — the
     // sparse-batch serving copy at 100 TB
-    cowDir: Option[String] = None) {
+    cowDir: Option[String] = None,
+    // with `dead_letter_dir` set on a debezium stream, records the
+    // envelope adapter would silently drop (unparsable lines, missing /
+    // unsupported ops) are quarantined there with a reason instead —
+    // one misconfigured connector otherwise nulls out EVERY record and
+    // the merge "succeeds" on zero rows (Sources.debeziumDeadLetters)
+    deadLetterDir: Option[String] = None) {
   def cdc: CdcConfig = CdcConfig(keyCols, valueCols)
 }
 
@@ -234,9 +240,21 @@ object Pipeline {
       case "debezium" =>
         // with a Kafka binding the feed comes off the topic; otherwise
         // the JSON-lines file stream stands in (wire format identical)
-        val records = cfg.kafka match {
+        def records = cfg.kafka match {
           case Some(k) => Sources.kafkaRecords(spark, k)
           case None => spark.readStream.text(cfg.sourcePath)
+        }
+        // dead-letter side sink: its own source read + checkpoint (file
+        // and Kafka sources are both re-readable), registered in
+        // spark.streams alongside the merge query; the main query is
+        // returned, the quarantine query is discoverable by name
+        cfg.deadLetterDir.foreach { dl =>
+          Sources.debeziumDeadLetters(records, cfg.schema).writeStream
+            .queryName(s"deadletter-${new java.io.File(cfg.stateDir).getName}")
+            .option("checkpointLocation", s"$checkpointDir-deadletter")
+            .format("parquet")
+            .option("path", dl)
+            .start()
         }
         CdcStream.startFromEnvelope(
           Sources.debeziumEnvelope(records, cfg.schema),

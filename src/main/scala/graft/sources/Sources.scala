@@ -184,6 +184,46 @@ object Sources {
         :+ timestamp_millis(col("e.ts_ms")).as("ts"): _*)
   }
 
+  /** The DEAD-LETTER complement of [[debeziumEnvelope]]: every input
+    * record the adapter would silently drop, with the RAW payload and a
+    * reason — `unparsable` (from_json rejected the line / tombstone),
+    * `missing_op` (valid JSON, no op field), or `unsupported_op:<op>`
+    * (truncate/message events a keyed merge cannot apply). Silent drops
+    * are invisible data loss at 100 TB: one misconfigured connector
+    * serializing Avro instead of JSON nulls out EVERY record and the
+    * merge "succeeds" on zero rows; quarantining the rejects (and
+    * alerting on their count) is the ops contract real CDC platforms
+    * ship. Conservation law (spec-pinned): envelope rows + dead letters
+    * == input rows, exactly. Same narrow map-only shape as the adapter;
+    * runs identically on batch and streaming frames. */
+  def debeziumDeadLetters(records: DataFrame, payloadSchema: StructType,
+                          valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val envSchema = StructType(Seq(
+      StructField("before", payloadSchema),
+      StructField("after", payloadSchema),
+      StructField("op", StringType),
+      StructField("ts_ms", LongType)))
+    records
+      .select(col(valueCol).cast("string").as("value"))
+      .select(col("value"),
+        from_json(col("value"), envSchema).as("e"))
+      .filter(col("e").isNull || col("e.op").isNull ||
+        !col("e.op").isin("c", "r", "u", "d"))
+      // PERMISSIVE from_json yields an ALL-NULL struct (not a null
+      // struct) for an unparsable line — distinguish it from valid JSON
+      // that merely lacks an op by the whole envelope being empty (an
+      // empty {} envelope classifies as unparsable too, which it is)
+      .select(col("value"),
+        when(col("e").isNull || (col("e.op").isNull &&
+            col("e.before").isNull && col("e.after").isNull &&
+            col("e.ts_ms").isNull), lit("unparsable"))
+          .when(col("e.op").isNull, lit("missing_op"))
+          .otherwise(concat(lit("unsupported_op:"), col("e.op")))
+          .as("reason"))
+  }
+
   /** Kafka topic reader for the Debezium adapter — the production
     * binding [[debeziumEnvelope]] plugs into. Builds the standard
     * `format("kafka")` reader and projects the record `value` (the
