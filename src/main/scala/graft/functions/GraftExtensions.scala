@@ -66,6 +66,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // transparent materialized-view rollup rewrite (no-op while the
     // MvRewrite registry is empty)
     ext.injectOptimizerRule(s => new graft.plans.MvRewrite.RewriteRule(s))
+    // SQL TABLE functions over the snapshot log — time travel and table
+    // history from pure SQL clients (Thrift/Connect), no Scala API
+    // needed: SELECT * FROM snapshot_of('/path'[, version]);
+    //         SELECT * FROM snapshot_history('/path')
+    def strLit(e: Expression, fn: String): String = e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: path must be a string literal, got $other")
+    }
+    def longLit(e: Expression, fn: String): Long = e match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, LongType)   => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: version must be an integer literal, got $other")
+    }
+    ext.injectTableFunction((FunctionIdentifier("snapshot_of"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_of"),
+      (args: Seq[Expression]) => {
+        if (args.isEmpty || args.length > 2) throw new IllegalArgumentException(
+          s"snapshot_of expects (path[, version]), got ${args.length} args")
+        val dir = strLit(args.head, "snapshot_of")
+        val version = args.lift(1).map(longLit(_, "snapshot_of"))
+        graft.sources.SnapshotLog
+          .read(org.apache.spark.sql.SparkSession.active, dir, version)
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("snapshot_history"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_history"),
+      (args: Seq[Expression]) => {
+        arity("snapshot_history", args, 1)
+        graft.sources.SnapshotLog
+          .history(org.apache.spark.sql.SparkSession.active,
+            strLit(args.head, "snapshot_history"))
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[HashExprs.MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => {

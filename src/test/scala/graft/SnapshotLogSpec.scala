@@ -382,4 +382,35 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(h.forall(!_.isNullAt(4)))     // committed_at
   }
 
+  test("SQL table functions: snapshot_of time travel and snapshot_history") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tvf-log").toString
+    graft.sources.SnapshotLog.commit(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    graft.sources.SnapshotLog.commit(spark, dir,
+      Seq((1L, "a2")).toDF("k", "v"))
+
+    val latest = spark.sql(s"SELECT k, v FROM snapshot_of('$dir') ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(latest === Seq((1L, "a2")))
+    val v1 = spark.sql(s"SELECT k, v FROM snapshot_of('$dir', 1) ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v1 === Seq((1L, "a"), (2L, "b")))
+    // composes with plain SQL (joins, aggregates) like any relation
+    val joined = spark.sql(
+      s"""SELECT count(*) FROM snapshot_of('$dir', 1) a
+         |JOIN snapshot_of('$dir', 2) b ON a.k = b.k""".stripMargin)
+      .head.getLong(0)
+    assert(joined === 1L)
+
+    val hist = spark.sql(s"SELECT version, n_files FROM snapshot_history('$dir')")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(hist === Seq(1L, 2L))
+
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_of('$dir', 99)").collect()
+    }
+    assert(bad.getMessage.contains("does not exist"))
+  }
+
 }
