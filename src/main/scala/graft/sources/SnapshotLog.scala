@@ -271,8 +271,12 @@ object SnapshotLog {
       val schema = latest.flatMap(schemaOf(spark, dir, _))
         .map(mergeSchemas(_, df.schema)).getOrElse(df.schema)
       val prev = latest.map(filesOf(spark, dir, _)).getOrElse(Seq.empty)
+      // a deletion vector on the previous version must ride along —
+      // dropping the header here would resurrect MoR-deleted rows
+      val dvHeader = latest.flatMap(dvOf(spark, dir, _))
+        .map(n => s"#dv=$n").toSeq
       commitFiles(spark, dir, (prev ++ fresh).sorted, commitId,
-        header = Seq(s"#batch=$batchId", schemaHeader(schema)),
+        header = Seq(s"#batch=$batchId", schemaHeader(schema)) ++ dvHeader,
         base = Some(latest)) match {
         case Some(v) => return v
         case None    => () // lost the race — rebase on the new latest
@@ -397,6 +401,7 @@ object SnapshotLog {
       val vs = versions(spark, dir)
       require(vs.nonEmpty, s"no committed snapshot under $dir")
       val latest = vs.last
+      requireNoDv(spark, dir, latest, "deleteWhere (COW)")
       val schema = schemaOf(spark, dir, latest)
       val current = filesOf(spark, dir, latest)
       def readCur(paths: Seq[String]) = schema match {
@@ -552,6 +557,7 @@ object SnapshotLog {
           }
         } else {
           val latest = vs.last
+          requireNoDv(spark, dir, latest, "merge")
           val tableSchema = schemaOf(spark, dir, latest)
           val current = filesOf(spark, dir, latest)
           def readCur(paths: Seq[String]) = tableSchema match {
@@ -665,6 +671,7 @@ object SnapshotLog {
       val vs = versions(spark, dir)
       require(vs.nonEmpty, s"no committed snapshot under $dir")
       val latest = vs.last
+      requireNoDv(spark, dir, latest, "optimize")
       val schema = schemaOf(spark, dir, latest)
       val current = filesOf(spark, dir, latest)
       val (small, large) = current.partition(p =>
@@ -737,10 +744,7 @@ object SnapshotLog {
     val f = fs(spark, dir)
     files.foreach(p => require(f.exists(new Path(p)),
       s"manifest v$v names a vacuumed file: $p — version retained but data gone"))
-    schemaOf(spark, dir, v) match {
-      case Some(s) => spark.read.schema(s).parquet(files: _*)
-      case None    => spark.read.parquet(files: _*)
-    }
+    readFiles(spark, dir, v, files)
   }
 
   // -------------------------------------------------------------------
@@ -1029,10 +1033,7 @@ object SnapshotLog {
     val pred = col(column).between(lo, hi)
     val schema = schemaOf(spark, dir, v)
     val df =
-      if (kept.nonEmpty) (schema match {
-        case Some(s) => spark.read.schema(s).parquet(kept: _*)
-        case None    => spark.read.parquet(kept: _*)
-      }).filter(pred)
+      if (kept.nonEmpty) readFiles(spark, dir, v, kept).filter(pred)
       else schema match {
         // every file pruned: an empty frame with the version's schema
         case Some(s) => spark.createDataFrame(
@@ -1040,6 +1041,156 @@ object SnapshotLog {
         case None => read(spark, dir, Some(v)).filter(pred).limit(0)
       }
     (df, kept.size, files.size)
+  }
+
+  // -------------------------------------------------------------------
+  // Merge-on-read DELETION VECTORS — O(matches) deletes, no file rewrite
+  // -------------------------------------------------------------------
+
+  /** The DV sidecar a version references, if any (`#dv=<name>` header;
+    * sidecars live under `_log/dv/` with version-independent uuid names
+    * so the claim protocol never needs to know its version number before
+    * writing). */
+  private[sources] def dvOf(spark: SparkSession, dir: String,
+      v: Long): Option[String] =
+    manifestLines(spark, dir, v)
+      .collectFirst { case l if l.startsWith("#dv=") => l.stripPrefix("#dv=") }
+
+  private def dvPath(dir: String, name: String) =
+    new Path(logDir(dir), s"dv/$name")
+
+  /** Read `paths` under version `v`'s schema with that version's
+    * deletion vector applied (if any) — THE single read primitive
+    * [[read]]/[[readBetween]]/[[readPoint]] share, so no read path can
+    * resurrect deleted rows. The DV anti-join keys on the scan's own
+    * `_metadata` (file_path, row_index) — deletes are sparse by
+    * construction, so AQE broadcasts the DV side. */
+  private def readFiles(spark: SparkSession, dir: String, v: Long,
+      paths: Seq[String]): DataFrame = {
+    val base = schemaOf(spark, dir, v) match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None    => spark.read.parquet(paths: _*)
+    }
+    dvOf(spark, dir, v) match {
+      case None => base
+      case Some(name) =>
+        val dv = spark.read.parquet(dvPath(dir, name).toString)
+        val cols = base.columns.toSeq
+        base
+          .withColumn("__dv_f", col("_metadata.file_path"))
+          .withColumn("__dv_i", col("_metadata.row_index"))
+          .join(dv, col("__dv_f") === col("path") &&
+            col("__dv_i") === col("row_index"), "left_anti")
+          .select(cols.map(col): _*)
+    }
+  }
+
+  private def requireNoDv(spark: SparkSession, dir: String, v: Long,
+      verb: String): Unit =
+    require(dvOf(spark, dir, v).isEmpty,
+      s"$verb cannot run on a version carrying a deletion vector — " +
+        "rewriting files while a DV references their row positions would " +
+        s"resurrect deleted rows; run applyDeletionVectors($dir) first")
+
+  /** MERGE-ON-READ targeted delete: commit a new version in which every
+    * row matching `pred` is dead WITHOUT rewriting any data file — the
+    * matches' (file, row_index) positions land in a deletion-vector
+    * sidecar the read paths anti-apply. Returns the new version, or the
+    * current one unchanged when nothing matches.
+    *
+    * Cost model vs [[deleteWhere]] (copy-on-write): write cost is
+    * O(matched rows) — a 3-row GDPR delete against a 100 TB table
+    * writes a 3-row sidecar — while every read pays one sparse anti-join
+    * until [[applyDeletionVectors]] compacts. COW inverts that: the
+    * delete rewrites whole files, reads stay join-free. Pick per table
+    * churn; both share NULL semantics (rows where `pred` is NULL were
+    * not matched and survive).
+    *
+    * Composition contract (enforced loudly, never silently): APPEND
+    * commits ([[commitBatch]]) carry the DV forward; REWRITING verbs
+    * ([[deleteWhere]], [[merge]], [[optimize]]) refuse on a DV-bearing
+    * version until [[applyDeletionVectors]] runs — a rewrite would
+    * change row positions out from under the vector. Consecutive MoR
+    * deletes accumulate (new sidecar = old ∪ new matches). */
+  def deleteWhereMoR(spark: SparkSession, dir: String,
+      pred: Column): Long = {
+    while (true) {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"no committed snapshot under $dir")
+      val latest = vs.last
+      val current = filesOf(spark, dir, latest)
+      // matches are located on the DV-APPLIED view: a row already dead
+      // in the current vector must not be re-matched (harmless but
+      // inflates the sidecar); metadata rides the same scan
+      val base = schemaOf(spark, dir, latest) match {
+        case Some(s) => spark.read.schema(s).parquet(current: _*)
+        case None    => spark.read.parquet(current: _*)
+      }
+      val withMeta = base
+        .withColumn("__dv_f", col("_metadata.file_path"))
+        .withColumn("__dv_i", col("_metadata.row_index"))
+      val priorDv = dvOf(spark, dir, latest)
+      val alive = priorDv match {
+        case None => withMeta
+        case Some(name) =>
+          val dv = spark.read.parquet(dvPath(dir, name).toString)
+          withMeta.join(dv, col("__dv_f") === col("path") &&
+            col("__dv_i") === col("row_index"), "left_anti")
+      }
+      val newMatches = alive.filter(coalesce(pred, lit(false)))
+        .select(col("__dv_f").as("path"), col("__dv_i").as("row_index"))
+      if (newMatches.isEmpty) return latest
+      val cumulative = priorDv match {
+        case None => newMatches
+        case Some(name) => spark.read.parquet(dvPath(dir, name).toString)
+          .unionByName(newMatches)
+      }
+      val dvName = s"${java.util.UUID.randomUUID().toString}.parquet"
+      cumulative.coalesce(1)
+        .write.mode("overwrite").parquet(dvPath(dir, dvName).toString)
+      val header = Seq(s"#dv=$dvName") ++
+        schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
+        manifestLines(spark, dir, latest).filter(_.startsWith("#filestat="))
+      commitFiles(spark, dir, current, dvName, header = header,
+        base = Some(Some(latest))) match {
+        case Some(v) => return v
+        case None    => () // raced — recompute (orphan sidecar vacuumable)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Compact the latest version's deletion vector away: rewrite ONLY the
+    * files the DV references (survivor rows), carry every untouched file
+    * by reference, and commit a DV-free version — after which the
+    * rewriting verbs work again and reads drop the anti-join. Returns
+    * the new version (or the current one when no DV exists). */
+  def applyDeletionVectors(spark: SparkSession, dir: String): Long = {
+    while (true) {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"no committed snapshot under $dir")
+      val latest = vs.last
+      val name = dvOf(spark, dir, latest).getOrElse(return latest)
+      val dv = spark.read.parquet(dvPath(dir, name).toString)
+      val dead = dv.select("path").distinct()
+        .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+      val current = filesOf(spark, dir, latest)
+      val (rewrite, carry) = current.partition(p =>
+        dead.contains(new Path(p).toUri.getPath))
+      val commitId = java.util.UUID.randomUUID().toString
+      val survivors = readFiles(spark, dir, latest, rewrite)
+      val newFiles =
+        if (survivors.isEmpty) Seq.empty
+        else writeData(spark, dir, survivors, commitId)
+      commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
+        header = schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
+          propagatedStatHeaders(spark, dir, latest, carry, newFiles),
+        base = Some(Some(latest))) match {
+        case Some(v) => return v
+        case None    => () // raced — recompute
+      }
+    }
+    -1L // unreachable
   }
 
   /** DESCRIBE HISTORY for a snapshot log: one row per retained version —
@@ -1190,10 +1341,7 @@ object SnapshotLog {
     val schema = schemaOf(spark, dir, v)
     val pred = col(column) === value
     val df =
-      if (kept.nonEmpty) (schema match {
-        case Some(s) => spark.read.schema(s).parquet(kept: _*)
-        case None    => spark.read.parquet(kept: _*)
-      }).filter(pred)
+      if (kept.nonEmpty) readFiles(spark, dir, v, kept).filter(pred)
       else schema match {
         case Some(s) => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -1227,6 +1375,16 @@ object SnapshotLog {
     drop.foreach { v =>
       f.delete(manifestPath(dir, v), false)
       f.delete(bloomPath(dir, v), true) // version-scoped bloom sidecar
+    }
+    // DV sidecars are uuid-named and manifest-referenced: reclaim any not
+    // referenced by a RETAINED manifest (covers dropped versions, lost
+    // commit races and compacted-away vectors)
+    val dvRoot = new Path(logDir(dir), "dv")
+    if (f.exists(dvRoot)) {
+      val referenced = keep.flatMap(dvOf(spark, dir, _)).toSet
+      f.listStatus(dvRoot).foreach { st =>
+        if (!referenced(st.getPath.getName)) f.delete(st.getPath, true)
+      }
     }
     val live = keep.flatMap(filesOf(spark, dir, _)).toSet
     val dataRoot = new Path(dir, "data")

@@ -1,0 +1,117 @@
+package graft
+
+import graft.sources.SnapshotLog
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Merge-on-read deletion vectors ([[SnapshotLog.deleteWhereMoR]] /
+  * [[SnapshotLog.applyDeletionVectors]]): MoR results == COW results with
+  * ZERO data files rewritten (path+mtime law), every read path honors the
+  * vector, appends carry it forward, rewriting verbs refuse loudly until
+  * compaction, accumulation across consecutive deletes, NULL-predicate
+  * survival, time travel, and vacuum reclaim of orphaned sidecars. */
+class SnapshotDvSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def mkLog(): (String, org.apache.spark.sql.DataFrame) = {
+    val dir = Files.createTempDirectory("dv-log").toString
+    val df = (0L until 1000L)
+      .map(i => (i, i % 7, if (i % 13 == 0) None else Some(s"e$i")))
+      .toDF("id", "grp", "email")
+    SnapshotLog.commit(spark, dir, df.repartition(4, col("id")))
+    (dir, df)
+  }
+
+  private def dataFileStates(dir: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(s"$dir/data"))
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getPath -> f.lastModified).toMap
+  }
+
+  test("MoR delete == COW delete, with zero data files rewritten") {
+    val (dirM, df) = mkLog()
+    val (dirC, _) = mkLog()
+    val before = dataFileStates(dirM)
+    val vM = SnapshotLog.deleteWhereMoR(spark, dirM, col("grp") === 3)
+    val vC = SnapshotLog.deleteWhere(spark, dirC, col("grp") === 3)
+    assert(dataFileStates(dirM) === before,
+      "MoR delete touched a data file")
+    val gotM = SnapshotLog.read(spark, dirM, Some(vM))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val gotC = SnapshotLog.read(spark, dirC, Some(vC))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotM === gotC)
+    assert(gotM === (0L until 1000L).filterNot(_ % 7 == 3).toSet)
+    // time travel: the pre-delete version still sees everything
+    assert(SnapshotLog.read(spark, dirM, Some(1L)).count() === 1000L)
+  }
+
+  test("NULL predicate rows survive MoR deletes (three-valued logic)") {
+    val (dir, _) = mkLog()
+    SnapshotLog.deleteWhereMoR(spark, dir, col("email") === "e1")
+    val left = SnapshotLog.read(spark, dir)
+    assert(left.count() === 999L)
+    // null-email rows (id % 13 == 0) were never matched and all survive
+    assert(left.filter(col("email").isNull).count() ===
+      (0L until 1000L).count(_ % 13 == 0))
+  }
+
+  test("consecutive MoR deletes accumulate; readBetween/readPoint honor the vector") {
+    val (dir, _) = mkLog()
+    SnapshotLog.analyze(spark, dir, Seq("id"))
+    SnapshotLog.deleteWhereMoR(spark, dir, col("id") === 10L)
+    SnapshotLog.deleteWhereMoR(spark, dir, col("id") === 11L)
+    assert(SnapshotLog.read(spark, dir).count() === 998L)
+    val (between, _, _) = SnapshotLog.readBetween(spark, dir, "id", 9L, 12L)
+    assert(between.select("id").collect().map(_.getLong(0)).toSet ===
+      Set(9L, 12L))
+    SnapshotLog.analyzeBlooms(spark, dir, Seq("id"), expectedItems = 1000)
+    val (point, _, _) = SnapshotLog.readPoint(spark, dir, "id", 10L)
+    assert(point.count() === 0L, "readPoint resurrected a MoR-deleted row")
+  }
+
+  test("appends carry the vector forward; rewriting verbs refuse until compaction") {
+    val (dir, _) = mkLog()
+    SnapshotLog.deleteWhereMoR(spark, dir, col("id") < 5L)
+    SnapshotLog.commitBatch(spark, dir,
+      Seq((5000L, 1L, Some("x"))).toDF("id", "grp", "email"), batchId = 1L)
+    val rows = SnapshotLog.read(spark, dir)
+    assert(rows.count() === 996L)
+    assert(rows.filter(col("id") < 5L).count() === 0L,
+      "an append resurrected MoR-deleted rows")
+
+    Seq[(String, () => Any)](
+      ("deleteWhere", () =>
+        SnapshotLog.deleteWhere(spark, dir, col("id") === 7L)),
+      ("merge", () => SnapshotLog.merge(spark, dir,
+        Seq((7L, 1L, Some("y"))).toDF("id", "grp", "email"), Seq("id"))),
+      ("optimize", () => SnapshotLog.optimize(spark, dir))
+    ).foreach { case (verb, run) =>
+      val e = intercept[IllegalArgumentException] { run() }
+      assert(e.getMessage.contains("deletion vector"), s"$verb: ${e.getMessage}")
+    }
+
+    val v = SnapshotLog.applyDeletionVectors(spark, dir)
+    val compacted = SnapshotLog.read(spark, dir, Some(v))
+    assert(compacted.count() === 996L)
+    assert(compacted.filter(col("id") < 5L).count() === 0L)
+    // verbs work again, and reads need no anti-join (no #dv header)
+    SnapshotLog.deleteWhere(spark, dir, col("id") === 7L)
+    assert(SnapshotLog.read(spark, dir).count() === 995L)
+  }
+
+  test("vacuum reclaims sidecars no retained manifest references") {
+    val (dir, df) = mkLog()
+    SnapshotLog.deleteWhereMoR(spark, dir, col("id") === 1L)
+    val dvDir = new java.io.File(s"$dir/_log/dv")
+    assert(dvDir.listFiles().nonEmpty)
+    // replace-commit drops the DV lineage; vacuum to 1 version reclaims
+    SnapshotLog.commit(spark, dir, df.limit(10))
+    SnapshotLog.vacuum(spark, dir, keepLast = 1)
+    assert(!dvDir.exists() || dvDir.listFiles().isEmpty,
+      "orphaned DV sidecar survived vacuum")
+  }
+}
