@@ -34,6 +34,7 @@ import scala.jdk.CollectionConverters._
   *   - stage: dedup_jaccard          # MinHash-LSH + exact-Jaccard verify,
   *     threshold_milli: 800          #   component closure, min-id canonical
   *     shingle: 4                    #   (optional, default 4)
+  *   - stage: pii_scrub              # email/IP/number-run redaction
   *   - stage: chunk                  # re-grain into fixed-token chunks
   *     chunk_tokens: 64
   *   - stage: decontaminate          # drop docs sharing an n-gram w/ eval
@@ -115,6 +116,7 @@ object CuratePipeline {
     "dedup_jaccard" -> ((Set("threshold_milli"), Set("shingle"))),
     "chunk" -> ((Set("chunk_tokens"), Set.empty[String])),
     "decontaminate" -> ((Set("eval_path"), Set("gram"))),
+    "pii_scrub" -> ((Set.empty[String], Set.empty[String])),
     "source_quota" -> ((Set("per_source"), Set.empty[String])),
     "token_budget" -> ((Set("per_source_tokens"), Set.empty[String])))
 
@@ -370,6 +372,20 @@ object CuratePipeline {
         decontGram = st.params.get("gram").map(_.toInt).getOrElse(4))
       val eval = spark.read.parquet(st.params("eval_path"))
       CurateStream.decontGate(df, CurateStream.evalGramSet(eval, scfg), scfg)
+    case "pii_scrub" =>
+      // deterministic map-only redaction of the PII shapes a crawl-slice
+      // ingest must not train on: emails, long digit runs (phone/card/
+      // SSN-ish), and bare IPv4s each collapse to a typed placeholder.
+      // Regex-only (codegen'd regexp_replace, no UDF); recall-oriented
+      // patterns — a redacted false positive costs one token, a missed
+      // true positive trains the model on someone's number.
+      df.withColumn(cfg.textCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(cfg.textCol),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+          "[+]?\\b\\d[\\d() .-]{5,}\\d\\b", "<NUM>"))
     case "source_quota" =>
       val n = st.params("per_source").toInt
       val w = Window.partitionBy("source").orderBy(col(cfg.idCol))

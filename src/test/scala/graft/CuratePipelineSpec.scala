@@ -234,6 +234,26 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("batch-only"))
   }
 
+  test("pii_scrub: emails, IPs and number runs redact; clean text untouched") {
+    import spark.implicits._
+    val cfg = CuratePipeline.CurateConfig(inputPath = "unused",
+      outDir = "unused")
+    val st = CuratePipeline.Stage("pii_scrub", Map.empty)
+    val docs = Seq(
+      (1L, "contact me at jane.doe+x@example.co.uk for details"),
+      (2L, "server at 10.0.255.7 responded"),
+      (3L, "call +1 (555) 123-4567 now or 555 867 5309"),
+      (4L, "plain text with a year 2024 and a price of 99 stays"),
+      (5L, "no pii here at all")).toDF("doc_id", "text")
+    val out = CuratePipeline.applyStage(spark, docs, st, cfg)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "contact me at <EMAIL> for details")
+    assert(out(2L) === "server at <IP> responded")
+    assert(out(3L) === "call <NUM> now or <NUM>")
+    assert(out(4L) === "plain text with a year 2024 and a price of 99 stays")
+    assert(out(5L) === "no pii here at all")
+  }
+
   test("expect publish gate: passing checks publish + report; failing checks quarantine") {
     val out = tmp("curate-out-exp")
     val log = tmp("curate-log-exp")
