@@ -798,10 +798,7 @@ object SnapshotLog {
             .getOrElse(read(spark, dir, Some(v)).schema)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-        } else schemaOf(spark, dir, v) match {
-          case Some(s) => spark.read.schema(s).parquet(paths: _*)
-          case None    => spark.read.parquet(paths: _*)
-        }
+        } else readFiles(spark, dir, v, paths) // applies v's deletion vector
       outSchema.map(alignTo(raw, _)).getOrElse(raw)
     }
     val before = filesOf(spark, dir, fromV)
@@ -817,8 +814,45 @@ object SnapshotLog {
     val both = added.nonEmpty && removed.nonEmpty
     val ins = (if (both) addedRows.exceptAll(removedRows) else addedRows)
       .withColumn("_change_type", lit("insert"))
-    val del = (if (both) removedRows.exceptAll(addedRows) else removedRows)
+    // MoR deletes change NO files — they grow the deletion vector. Rows
+    // tombstoned between the versions (positions in toV's DV but not
+    // fromV's) are read back by (file, row_index) and join the delete
+    // leg; a compaction that APPLIES a DV is already silent through the
+    // file diff (removed files read DV-applied cancel against the
+    // rewritten survivors).
+    val dvDeletes: Option[DataFrame] = {
+      val toDvName = dvOf(spark, dir, toV)
+      val fromDvName = dvOf(spark, dir, fromV)
+      if (toDvName.isEmpty || toDvName == fromDvName) None
+      else {
+        val toDv = spark.read.parquet(dvPath(dir, toDvName.get).toString)
+        val fromDv = fromDvName.map(n =>
+          spark.read.parquet(dvPath(dir, n).toString))
+        val delta = fromDv.map(toDv.exceptAll).getOrElse(toDv)
+        val paths = delta.select("path").distinct()
+          .collect().map(_.getString(0))
+        if (paths.isEmpty) None
+        else {
+          val raw = schemaOf(spark, dir, fromV) match {
+            case Some(s0) => spark.read.schema(s0).parquet(paths: _*)
+            case None     => spark.read.parquet(paths: _*)
+          }
+          val cols = raw.columns.toSeq
+          val rows = raw
+            .withColumn("__dv_f", col("_metadata.file_path"))
+            .withColumn("__dv_i", col("_metadata.row_index"))
+            .join(delta, col("__dv_f") === col("path") &&
+              col("__dv_i") === col("row_index"), "left_semi")
+            .select(cols.map(col): _*)
+          Some(outSchema.map(alignTo(rows, _)).getOrElse(rows)
+            .withColumn("_change_type", lit("delete")))
+        }
+      }
+    }
+    val delBase = (if (both) removedRows.exceptAll(addedRows)
+      else removedRows)
       .withColumn("_change_type", lit("delete"))
+    val del = dvDeletes.map(delBase.unionByName(_)).getOrElse(delBase)
     if (keys.isEmpty) ins.unionByName(del)
     else {
       // a key present on BOTH sides is an update; re-label its images.
@@ -957,7 +991,8 @@ object SnapshotLog {
     if (toV == latest) return latest // already there
     val files = filesOf(spark, dir, toV)
     val header = manifestLines(spark, dir, toV)
-      .filter(l => l.startsWith("#schema=") || l.startsWith("#filestat="))
+      .filter(l => l.startsWith("#schema=") || l.startsWith("#filestat=") ||
+        l.startsWith("#dv=")) // dropping the DV would resurrect deletes
     commitFiles(spark, dir, files, java.util.UUID.randomUUID().toString,
       header = header, base = Some(Some(latest)))
       .getOrElse(throw new IllegalStateException(

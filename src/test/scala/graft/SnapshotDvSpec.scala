@@ -114,4 +114,38 @@ class SnapshotDvSpec extends AnyFunSuite with SparkFixture {
     assert(!dvDir.exists() || dvDir.listFiles().isEmpty,
       "orphaned DV sidecar survived vacuum")
   }
+  test("change data feed sees MoR deletes; replica sync law holds across one") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("dv-cdf-src").toString
+    val rep = Files.createTempDirectory("dv-cdf-rep").toString
+    val rows = (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    SnapshotLog.commit(spark, src, rows.repartition(4, col("k")))
+    // bootstrap the replica at v1 parity
+    SnapshotLog.merge(spark, rep, rows, Seq("k"))
+    val v1 = SnapshotLog.versions(spark, src).last
+    val v2 = SnapshotLog.deleteWhereMoR(spark, src, col("k") < 10L)
+
+    val feed = SnapshotLog.changesBetween(spark, src, v1, v2, keys = Seq("k"))
+    val deletes = feed.filter(col("_change_type") === "delete")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(deletes === (0L until 10L).toSet,
+      "the feed must surface exactly the MoR-tombstoned rows")
+    assert(feed.filter(col("_change_type") =!= "delete").count() === 0)
+
+    SnapshotLog.applyChanges(spark, rep, feed, Seq("k"))
+    val replica = SnapshotLog.read(spark, rep)
+      .select("k").collect().map(_.getLong(0)).toSet
+    val source = SnapshotLog.read(spark, src)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(replica === source, "replica diverged across a MoR delete")
+
+    // restore to the DV-bearing version keeps the vector (no resurrection)
+    val v3 = SnapshotLog.commitBatch(spark, src,
+      Seq((500L, "x")).toDF("k", "v"), batchId = 1L)
+    val v4 = SnapshotLog.restore(spark, src, v2)
+    val restored = SnapshotLog.read(spark, src, Some(v4))
+    assert(restored.filter(col("k") < 10L).count() === 0L,
+      "restore dropped the deletion vector and resurrected rows")
+  }
+
 }
