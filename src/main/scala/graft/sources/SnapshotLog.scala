@@ -1019,9 +1019,12 @@ object SnapshotLog {
       val latest = vs.last
       val files = filesOf(spark, dir, latest)
       val commitId = java.util.UUID.randomUUID().toString
+      // the DV header must ride along — analyze republished the same
+      // file list, and dropping the vector would resurrect MoR deletes
+      val dvHeader = dvOf(spark, dir, latest).map(n => s"#dv=$n").toSeq
       commitFiles(spark, dir, files, commitId,
         header = schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
-          statHeaders(spark, files, statCols),
+          dvHeader ++ statHeaders(spark, files, statCols),
         base = Some(Some(latest))) match {
         case Some(v) => return v
         case None    => () // raced — recompute over the new latest

@@ -65,6 +65,10 @@ class SnapshotDvSpec extends AnyFunSuite with SparkFixture {
     SnapshotLog.deleteWhereMoR(spark, dir, col("id") === 10L)
     SnapshotLog.deleteWhereMoR(spark, dir, col("id") === 11L)
     assert(SnapshotLog.read(spark, dir).count() === 998L)
+    // ANALYZE republishes the file list — the vector must ride along
+    SnapshotLog.analyze(spark, dir, Seq("id"))
+    assert(SnapshotLog.read(spark, dir).count() === 998L,
+      "analyze dropped the deletion vector")
     val (between, _, _) = SnapshotLog.readBetween(spark, dir, "id", 9L, 12L)
     assert(between.select("id").collect().map(_.getLong(0)).toSet ===
       Set(9L, 12L))
