@@ -1232,7 +1232,8 @@ object SnapshotLog {
   }
 
   /** DESCRIBE HISTORY for a snapshot log: one row per retained version —
-    * (version, batch_id, n_files, n_columns, committed_at) — read from
+    * (version, batch_id, n_files, n_columns, has_dv, committed_at) —
+    * read from
     * manifests alone (no data file opens; committed_at = the manifest's
     * rename time, the commit point by construction). The operational
     * "what happened to this table" view next to [[versions]]. */
@@ -1243,10 +1244,11 @@ object SnapshotLog {
       val nFiles = filesOf(spark, dir, v).size.toLong
       val nCols = schemaOf(spark, dir, v).map(_.fields.length.toLong)
       val mtime = f.getFileStatus(manifestPath(dir, v)).getModificationTime
-      (v, batch, nFiles, nCols, new java.sql.Timestamp(mtime))
+      (v, batch, nFiles, nCols, dvOf(spark, dir, v).isDefined,
+        new java.sql.Timestamp(mtime))
     }
     import spark.implicits._
-    rows.toDF("version", "batch_id", "n_files", "n_columns",
+    rows.toDF("version", "batch_id", "n_files", "n_columns", "has_dv",
       "committed_at")
   }
 

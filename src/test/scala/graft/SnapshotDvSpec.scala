@@ -152,4 +152,15 @@ class SnapshotDvSpec extends AnyFunSuite with SparkFixture {
       "restore dropped the deletion vector and resurrected rows")
   }
 
+  test("the DV anti-join broadcasts the sparse vector (read-cost claim)") {
+    val (dir, _) = mkLog()
+    SnapshotLog.deleteWhereMoR(spark, dir, col("id") === 3L)
+    val df = SnapshotLog.read(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"sparse DV must broadcast, not shuffle the table:\n$plan")
+  }
+
 }

@@ -379,7 +379,8 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
       Seq(None, Some(7L), None)) // only the batch commit is stamped
     assert(h.forall(_.getLong(2) > 0))   // n_files
     assert(h.forall(r => r.getLong(3) === 2L)) // n_columns from #schema=
-    assert(h.forall(!_.isNullAt(4)))     // committed_at
+    assert(h.forall(!_.getBoolean(4)))   // no deletion vectors here
+    assert(h.forall(!_.isNullAt(5)))     // committed_at
   }
 
   test("SQL table functions: snapshot_of time travel and snapshot_history") {
