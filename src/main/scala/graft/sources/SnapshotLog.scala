@@ -829,8 +829,15 @@ object SnapshotLog {
         val fromDv = fromDvName.map(n =>
           spark.read.parquet(dvPath(dir, n).toString))
         val delta = fromDv.map(toDv.exceptAll).getOrElse(toDv)
+        // only positions in files CARRIED across both versions: a row
+        // tombstoned in a file that was itself added/removed within the
+        // span is already accounted by the DV-applied file diff above —
+        // reading it here would emit the delete twice
+        val carried = before.map(p => new Path(p).toUri.getPath).toSet
+          .intersect(after.map(p => new Path(p).toUri.getPath).toSet)
         val paths = delta.select("path").distinct()
           .collect().map(_.getString(0))
+          .filter(p => carried.contains(new Path(p).toUri.getPath))
         if (paths.isEmpty) None
         else {
           val raw = schemaOf(spark, dir, fromV) match {
@@ -869,6 +876,60 @@ object SnapshotLog {
       relabel(ins, "update_postimage")
         .unionByName(relabel(del, "update_preimage"))
     }
+  }
+
+  /** Incremental change-feed SUBSCRIPTION over a snapshot log — the
+    * "stream the table's changes" verb without a custom streaming
+    * source: each [[pollChanges]] call returns the row-level feed since
+    * the subscriber's last acknowledged version, and [[ackChanges]]
+    * advances the cursor AFTER the subscriber has durably applied the
+    * batch — the two-phase shape that makes the loop at-least-once
+    * (crash between poll and ack ⇒ the next poll re-delivers; pair with
+    * an idempotent apply like [[merge]]'s keyed upsert or [[mergeBatch]]
+    * replay guards). The cursor is one tiny text file owned by the
+    * SUBSCRIBER (each consumer its own cursor — fan-out without
+    * coordination), not by the log.
+    *
+    * Cost model: a poll reads manifests + only the files ADDED/REMOVED
+    * (or DV-delta positions) between cursor and latest — the
+    * [[changesBetween]] contract — so an idle poll is one small-file
+    * read and a busy poll is ∝ the churn. The cursor version must stay
+    * retained ([[vacuum]] keepLast ≥ the subscriber's lag) or the poll
+    * fails loudly rather than emit an unsound diff. */
+  def pollChanges(spark: SparkSession, dir: String, cursorFile: String,
+      keys: Seq[String] = Seq.empty): Option[(DataFrame, Long)] = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    val latest = vs.last
+    val f = fs(spark, dir)
+    val cp = new Path(cursorFile)
+    val from: Option[Long] =
+      if (!f.exists(cp)) None
+      else {
+        val in = f.open(cp)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next().trim.toLong)
+        finally in.close()
+      }
+    from match {
+      case Some(v) if v == latest => None // caught up
+      case Some(v) =>
+        Some((changesBetween(spark, dir, v, latest, keys), latest))
+      case None =>
+        // first poll: the whole current table is the initial feed
+        Some((read(spark, dir, Some(latest))
+          .withColumn("_change_type", lit("insert")), latest))
+    }
+  }
+
+  /** Advance the subscriber's cursor to `version` — call AFTER the
+    * polled batch is durably applied. Overwrite-then-rename would be
+    * nicer, but a cursor is single-writer by contract. */
+  def ackChanges(spark: SparkSession, dir: String, cursorFile: String,
+      version: Long): Unit = {
+    val f = fs(spark, dir)
+    val out = f.create(new Path(cursorFile), true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Apply a keyed [[changesBetween]] feed to ANOTHER snapshot log — the

@@ -152,4 +152,56 @@ class SnapshotCdfSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("retained"))
   }
+  test("poll/ack subscription: replica loop converges; re-poll after crash re-delivers") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("poll-src").toString
+    val rep = java.nio.file.Files.createTempDirectory("poll-rep").toString
+    val cursor = s"$rep/_cursor"
+
+    def syncOnce(): Unit =
+      SnapshotLog.pollChanges(spark, src, cursor, keys = Seq("k")).foreach {
+        case (feed, upto) =>
+          SnapshotLog.applyChanges(spark, rep, feed, Seq("k"))
+          SnapshotLog.ackChanges(spark, src, cursor, upto)
+      }
+    def assertParity(): Unit = {
+      val a = SnapshotLog.read(spark, src).orderBy("k")
+        .collect().map(_.toSeq).toSeq
+      val b = SnapshotLog.read(spark, rep).orderBy("k")
+        .collect().map(_.toSeq).toSeq
+      assert(a === b, "replica != source after sync")
+    }
+
+    SnapshotLog.commit(spark, src,
+      (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v"))
+    syncOnce(); assertParity()
+    // caught up: next poll is None
+    assert(SnapshotLog.pollChanges(spark, src, cursor, Seq("k")).isEmpty)
+
+    // churn: keyed merge (update + insert) then a MoR delete
+    SnapshotLog.merge(spark, src,
+      Seq((1L, "v1b"), (999L, "new")).toDF("k", "v"), Seq("k"))
+    SnapshotLog.deleteWhereMoR(spark, src, col("k") === 2L)
+    syncOnce(); assertParity()
+
+    // compact the vector away (rewriting verbs refuse while it stands);
+    // the compaction version itself is feed-silent but advances the
+    // cursor through the loop
+    SnapshotLog.applyDeletionVectors(spark, src)
+    syncOnce(); assertParity()
+
+    // crash between poll and ack: re-delivery is harmless (keyed apply)
+    SnapshotLog.merge(spark, src, Seq((3L, "v3b")).toDF("k", "v"), Seq("k"))
+    val (feed1, upto1) =
+      SnapshotLog.pollChanges(spark, src, cursor, Seq("k")).get
+    SnapshotLog.applyChanges(spark, rep, feed1, Seq("k"))
+    // crash: no ack — the next poll re-delivers the same span
+    val (feed2, upto2) =
+      SnapshotLog.pollChanges(spark, src, cursor, Seq("k")).get
+    assert(upto2 === upto1)
+    SnapshotLog.applyChanges(spark, rep, feed2, Seq("k"))
+    SnapshotLog.ackChanges(spark, src, cursor, upto2)
+    assertParity()
+  }
+
 }
