@@ -284,6 +284,71 @@ object AuditOps {
       .orderBy("label")
   }
 
+  /** Per-source training-data datasheet — the "dataset card" table a
+    * data curator publishes alongside a corpus release (Datasheets for
+    * Datasets, Gebru et al. 2021): per source, the document count,
+    * character and whitespace-token volume, language breadth, exact-dup
+    * rate, and share of the whole corpus. One aggregate answers the
+    * release-review questions (is any source dominating the mix? which
+    * source carries the duplication debt?) that otherwise take a query
+    * per metric.
+    *
+    * Exactness: every measure is an exact BIGINT off one scan — the
+    * token estimate is `length - length(replace(text,' ','')) + 1`
+    * (identical integer semantics cross-engine, no regex dialect risk),
+    * dup detection is count(DISTINCT md5(text)) (same hex in both
+    * engines). The two ratios are single IEEE divisions of exact
+    * integers — deterministic, never membership-deciding.
+    *
+    * Scale: ONE pass over documents builds the per-source frame (the
+    * multi-distinct plans as one expand, map-side combined); the frame
+    * is then eagerly materialized (it is SOURCE-GRAIN — bounded by the
+    * source count, not the corpus) so the corpus total re-aggregates the
+    * ~|sources|-row checkpoint instead of replanning a second scan of
+    * the table (without the checkpoint Catalyst derives `tot` from the
+    * raw scan again — column-pruned to one column, but still a full
+    * corpus pass at 100 TB). The total broadcasts back as a 1-row cross
+    * join. */
+  val datasetCard: Q = Q.checked(
+    "q_dataset_card",
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |    CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+      |         AS BIGINT) AS n_tokens,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_uniq_texts
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM per)
+      |SELECT source, n_docs, n_chars, n_tokens, n_langs, n_uniq_texts,
+      |  CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE) AS corpus_share,
+      |  1.0 - CAST(n_uniq_texts AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |    AS dup_rate
+      |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val per = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(expr("length(text) - length(replace(text, ' ', '')) + 1"))
+          .as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(md5(col("text"))).as("n_uniq_texts"))
+      .localCheckpoint(true) // source-grain (~|sources| rows): one corpus scan
+    val tot = per.agg(sum("n_docs").as("n"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        col("n_langs"), col("n_uniq_texts"),
+        (col("n_docs").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("corpus_share"),
+        (lit(1.0) - col("n_uniq_texts").cast(DoubleType)
+          / col("n_docs").cast(DoubleType)).as("dup_rate"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
-    Seq(fkAudit, chisq, joinSizeEst, benford, skewReport, embedDrift)
+    Seq(fkAudit, chisq, joinSizeEst, benford, skewReport, embedDrift,
+      datasetCard)
 }

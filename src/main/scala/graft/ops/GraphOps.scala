@@ -357,5 +357,81 @@ object GraphOps {
       .limit(15)
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles, reach, basketPairs)
+  /** Bounded-hop weighted single-source shortest path (Bellman-Ford
+    * relaxation) over the q_reach brand-banded part graph — the min-COST
+    * twin of q_reach's min-HOP traversal, and the relaxation pattern
+    * (carry a monotone aggregate along edges, group-min per node each
+    * round) that hop counting never exercises.
+    *
+    * Determinism: edge weight is pure integer arithmetic on node ids
+    * (`1 + (u+v) % 7`) — no float ever enters a path cost, so the
+    * group-min is fold-order-free and bit-identical cross-engine. The
+    * band predicate reuses q_reach's single-IEEE-subtraction test.
+    *
+    * Scale: the SAME seeded pruning as q_reach — every edge stays inside
+    * one brand, so the ≤K-hop ball around the source lives in the
+    * source's brand and the edge build is semi-joined down ~25× BEFORE
+    * the banded self-join. Depth is a QUERY CONSTANT (K=4): each round
+    * is one equi-join of the bounded distance frame against the
+    * checkpointed brand-local edge list plus one group-min — never a
+    * frontier that scales with the corpus, and never a data-dependent
+    * driver round count (the q_reorder_streak recursion discipline). The
+    * oracle unrolls the same four relaxation rounds as plain CTEs. */
+  val shortestPath: Q = Q.checked(
+    "q_shortest_path", {
+      def relax(prev: String, out: String): String =
+        s"""$out AS (
+           |  SELECT node, min(cost) AS cost FROM (
+           |    SELECT node, cost FROM $prev
+           |    UNION ALL
+           |    SELECT e.v AS node, p.cost + e.w AS cost
+           |    FROM $prev p JOIN e ON e.u = p.node)
+           |  GROUP BY node)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT CAST(a.p_partkey AS BIGINT) AS u,
+         |         CAST(b.p_partkey AS BIGINT) AS v
+         |  FROM part a JOIN part b
+         |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         |   AND abs(a.p_retailprice - b.p_retailprice) <= 5.0),
+         |ew AS (SELECT u, v, 1 + (u + v) % 7 AS w FROM e0),
+         |e AS (SELECT u, v, w FROM ew UNION ALL SELECT v, u, w FROM ew),
+         |d1 AS (SELECT v AS node, CAST(min(w) AS BIGINT) AS cost
+         |       FROM e WHERE u = 460 GROUP BY v),
+         |${relax("d1", "d2")},
+         |${relax("d2", "d3")},
+         |${relax("d3", "d4")}
+         |SELECT node, cost FROM d4 WHERE node <> 460
+         |ORDER BY node""".stripMargin
+    }
+  ) { (s, dir) =>
+    val Source = 460L
+    val K = 4
+    val p0 = Tables.part(s, dir)
+      .select("p_partkey", "p_brand", "p_retailprice")
+    val srcBrand = p0.filter(col("p_partkey") === Source)
+      .select(col("p_brand").as("sb"))
+    val p = p0.join(broadcast(srcBrand), col("p_brand") === col("sb"))
+      .drop("sb")
+    val a = p.select(col("p_partkey").cast(LongType).as("u"),
+      col("p_brand").as("brand"), col("p_retailprice").as("pu"))
+    val b = p.select(col("p_partkey").cast(LongType).as("v"),
+      col("p_brand").as("brand_b"), col("p_retailprice").as("pv"))
+    val ew = a.join(b, col("brand") === col("brand_b")
+        && col("u") < col("v") && abs(col("pu") - col("pv")) <= 5.0)
+      .select(col("u"), col("v"), (lit(1L) + (col("u") + col("v")) % 7).as("w"))
+    val e = ew.unionByName(ew.select(col("v").as("u"), col("u").as("v"),
+        col("w")))
+      .localCheckpoint(false) // probed once per relaxation round
+    var d = e.filter(col("u") === Source)
+      .groupBy(col("v").as("node")).agg(min(col("w")).as("cost"))
+    for (_ <- 2 to K) {
+      val step = d.join(e.withColumnRenamed("u", "du"),
+          col("node") === col("du"))
+        .select(col("v").as("node"), (col("cost") + col("w")).as("cost"))
+      d = d.unionByName(step).groupBy("node").agg(min("cost").as("cost"))
+    }
+    d.filter(col("node") =!= Source).orderBy("node")
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles, reach, basketPairs, shortestPath)
 }

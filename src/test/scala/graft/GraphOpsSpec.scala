@@ -21,6 +21,44 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
       again.map(r => (r.getLong(0), r.getLong(2))).toSeq)
   }
 
+  test("q_shortest_path: equals a sequential bounded Bellman-Ford") {
+    val Source = 460L
+    val K = 4
+    // sf0.01, not Sf: the query's source node (460, shared with q_reach)
+    // only exists from sf0.01 up — the brand ball is still ~80 parts
+    val dir = "/root/testdata/sf0.01"
+    // rebuild the brand-banded graph sequentially from the raw table
+    val parts = Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_retailprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val srcBrand = parts.find(_._1 == Source).get._2
+    val ball = parts.filter(_._2 == srcBrand)
+    val edges = for {
+      (u, _, pu) <- ball; (v, _, pv) <- ball
+      if u != v && math.abs(pu - pv) <= 5.0
+    } yield (u, v, 1L + (u + v) % 7)
+    // K rounds of relaxation from the source
+    var dist = Map.empty[Long, Long]
+    edges.filter(_._1 == Source).foreach { case (_, v, w) =>
+      dist = dist.updated(v, math.min(dist.getOrElse(v, Long.MaxValue), w))
+    }
+    for (_ <- 2 to K) {
+      var next = dist
+      for ((u, v, w) <- edges; du <- dist.get(u)) {
+        val c = du + w
+        if (c < next.getOrElse(v, Long.MaxValue)) next = next.updated(v, c)
+      }
+      dist = next
+    }
+    val expect = dist.removed(Source).toSeq.sortBy(_._1)
+    val got = ops.GraphOps.shortestPath.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expect)
+    // every cost is a real path cost: at least one edge weight (≥1) and
+    // no node costs more than K × the max weight along any K-hop path
+    got.foreach { case (_, c) => assert(c >= 1L && c <= K * 7L) }
+  }
+
   test("q_peak_concurrency: equals a brute-force single-threaded sweep") {
     val evs = Tables.events(spark, Sf)
       .select("user_id", "ts", "event_id").collect()
