@@ -239,9 +239,11 @@ object SnapshotLog {
     * depend on the previous version, so no base check is needed (two
     * racing replaces serialize into two versions, either order valid). */
   def commit(spark: SparkSession, dir: String, df: DataFrame): Long = {
+    val checks = carriedChecks(spark, dir)
+    requireChecksPass(checks, df, s"commit into $dir")
     val commitId = java.util.UUID.randomUUID().toString
     commitFiles(spark, dir, writeData(spark, dir, df, commitId), commitId,
-      header = Seq(schemaHeader(df.schema))).get
+      header = Seq(schemaHeader(df.schema)) ++ checkHeaders(checks)).get
   }
 
   /** Streaming-table append commit: version N = EVERYTHING ingested
@@ -267,6 +269,8 @@ object SnapshotLog {
       if (lastBatch(spark, dir).exists(batchId <= _))
         return vs.last // replayed batch: no-op (orphan data vacuumable)
       val latest = vs.lastOption
+      val checks = latest.map(checksOf(spark, dir, _)).getOrElse(Seq.empty)
+      requireChecksPass(checks, df, s"batch $batchId into $dir")
       if (fresh == null) fresh = writeData(spark, dir, df, commitId)
       val schema = latest.flatMap(schemaOf(spark, dir, _))
         .map(mergeSchemas(_, df.schema)).getOrElse(df.schema)
@@ -276,7 +280,8 @@ object SnapshotLog {
       val dvHeader = latest.flatMap(dvOf(spark, dir, _))
         .map(n => s"#dv=$n").toSeq
       commitFiles(spark, dir, (prev ++ fresh).sorted, commitId,
-        header = Seq(s"#batch=$batchId", schemaHeader(schema)) ++ dvHeader,
+        header = Seq(s"#batch=$batchId", schemaHeader(schema)) ++
+          dvHeader ++ checkHeaders(checks),
         base = Some(latest)) match {
         case Some(v) => return v
         case None    => () // lost the race — rebase on the new latest
@@ -296,9 +301,12 @@ object SnapshotLog {
       batchId: Long): Long = {
     val vs0 = versions(spark, dir)
     if (lastBatch(spark, dir).exists(batchId <= _)) return vs0.last
+    val checks = carriedChecks(spark, dir)
+    requireChecksPass(checks, df, s"batch $batchId into $dir")
     val commitId = java.util.UUID.randomUUID().toString
     commitFiles(spark, dir, writeData(spark, dir, df, commitId), commitId,
-      header = Seq(s"#batch=$batchId", schemaHeader(df.schema))).get
+      header = Seq(s"#batch=$batchId", schemaHeader(df.schema)) ++
+        checkHeaders(checks)).get
   }
 
   /** The committed version carrying stream batch `batchId`'s `#batch=`
@@ -322,9 +330,15 @@ object SnapshotLog {
       files: Seq[String], schema: StructType, batchId: Long): Long = {
     val vs0 = versions(spark, dir)
     if (lastBatch(spark, dir).exists(batchId <= _)) return vs0.last
+    val checks = carriedChecks(spark, dir)
+    if (checks.nonEmpty && files.nonEmpty)
+      requireChecksPass(checks,
+        spark.read.schema(schema).parquet(files: _*),
+        s"external batch $batchId into $dir")
     commitFiles(spark, dir, files.sorted,
       java.util.UUID.randomUUID().toString,
-      header = Seq(s"#batch=$batchId", schemaHeader(schema))).get
+      header = Seq(s"#batch=$batchId", schemaHeader(schema)) ++
+        checkHeaders(checks)).get
   }
 
   /** Every file any RETAINED manifest references — the caller-side
@@ -424,7 +438,8 @@ object SnapshotLog {
         else writeData(spark, dir, survivors, commitId)
       commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++
-          propagatedStatHeaders(spark, dir, latest, carry, newFiles),
+          propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
+          checkHeaders(checksOf(spark, dir, latest)),
         base = Some(Some(latest))) match {
         case Some(v) => return v
         case None    => () // raced — recompute against the new latest
@@ -543,6 +558,12 @@ object SnapshotLog {
       val keyFrame = changes.select(keys.map(col): _*)
       while (true) {
         val vs = versions(spark, dir)
+        // incoming post-images must honor the table's checks (tombstones
+        // remove rows — nothing to validate on them)
+        vs.lastOption.foreach { latest =>
+          requireChecksPass(checksOf(spark, dir, latest), upserts,
+            s"merge into $dir")
+        }
         if (vs.isEmpty) {
           // bootstrap: merging into an empty table is just the inserts.
           // 0 = "still no committed version" (deletes against nothing).
@@ -628,7 +649,8 @@ object SnapshotLog {
             if (body.isEmpty) Seq.empty else writeData(spark, dir, body, commitId)
           commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
             header = extraHeader ++ Seq(schemaHeader(outSchema)) ++
-              propagatedStatHeaders(spark, dir, latest, carry, newFiles),
+              propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
+              checkHeaders(checksOf(spark, dir, latest)),
             base = Some(Some(latest))) match {
             case Some(v) => return v
             case None    => () // lost the race — recompute against new latest
@@ -717,7 +739,8 @@ object SnapshotLog {
       val fresh = writeData(spark, dir, clustered, commitId)
       commitFiles(spark, dir, (large ++ fresh).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++
-          propagatedStatHeaders(spark, dir, latest, large, fresh),
+          propagatedStatHeaders(spark, dir, latest, large, fresh) ++
+          checkHeaders(checksOf(spark, dir, latest)),
         base = Some(Some(latest))) match {
         case Some(v) => return v
         case None    => () // raced — rebase (rewrite is vacuumable orphan)
@@ -1028,11 +1051,13 @@ object SnapshotLog {
     * randomly-laid-out table prune nothing. */
   def commitWithStats(spark: SparkSession, dir: String, df: DataFrame,
       statCols: Seq[String]): Long = {
+    val checks = carriedChecks(spark, dir)
+    requireChecksPass(checks, df, s"commit into $dir")
     val commitId = java.util.UUID.randomUUID().toString
     val files = writeData(spark, dir, df, commitId)
     commitFiles(spark, dir, files, commitId,
       header = Seq(schemaHeader(df.schema)) ++
-        statHeaders(spark, files, statCols)).get
+        statHeaders(spark, files, statCols) ++ checkHeaders(checks)).get
   }
 
   /** RESTORE as a commit (the Delta `RESTORE TABLE ... TO VERSION`
@@ -1053,7 +1078,8 @@ object SnapshotLog {
     val files = filesOf(spark, dir, toV)
     val header = manifestLines(spark, dir, toV)
       .filter(l => l.startsWith("#schema=") || l.startsWith("#filestat=") ||
-        l.startsWith("#dv=")) // dropping the DV would resurrect deletes
+        l.startsWith("#dv=") || // dropping the DV would resurrect deletes
+        l.startsWith("#check=")) // constraints travel with the table state
     commitFiles(spark, dir, files, java.util.UUID.randomUUID().toString,
       header = header, base = Some(Some(latest)))
       .getOrElse(throw new IllegalStateException(
@@ -1085,7 +1111,8 @@ object SnapshotLog {
       val dvHeader = dvOf(spark, dir, latest).map(n => s"#dv=$n").toSeq
       commitFiles(spark, dir, files, commitId,
         header = schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
-          dvHeader ++ statHeaders(spark, files, statCols),
+          dvHeader ++ statHeaders(spark, files, statCols) ++
+          checkHeaders(checksOf(spark, dir, latest)),
         base = Some(Some(latest))) match {
         case Some(v) => return v
         case None    => () // raced — recompute over the new latest
@@ -1249,7 +1276,8 @@ object SnapshotLog {
         .write.mode("overwrite").parquet(dvPath(dir, dvName).toString)
       val header = Seq(s"#dv=$dvName") ++
         schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
-        manifestLines(spark, dir, latest).filter(_.startsWith("#filestat="))
+        manifestLines(spark, dir, latest).filter(l =>
+          l.startsWith("#filestat=") || l.startsWith("#check="))
       commitFiles(spark, dir, current, dvName, header = header,
         base = Some(Some(latest))) match {
         case Some(v) => return v
@@ -1283,7 +1311,8 @@ object SnapshotLog {
         else writeData(spark, dir, survivors, commitId)
       commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
         header = schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
-          propagatedStatHeaders(spark, dir, latest, carry, newFiles),
+          propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
+          checkHeaders(checksOf(spark, dir, latest)),
         base = Some(Some(latest))) match {
         case Some(v) => return v
         case None    => () // raced — recompute
@@ -1291,6 +1320,33 @@ object SnapshotLog {
     }
     -1L // unreachable
   }
+
+  /** TIMESTAMP AS OF resolution (the Delta time-travel twin of
+    * version-numbered reads): the newest retained version whose commit
+    * point — the manifest's rename mtime, the atomic visibility
+    * transition by construction — is at or before `tsMillis`. Loud when
+    * the table didn't exist yet at that instant (Delta's
+    * "timestamp before earliest version" error): silently returning the
+    * oldest version would fabricate pre-creation history. Monotonicity
+    * caveat at the edges: commit mtimes come from the filesystem clock,
+    * so sub-clock-resolution commits can share a timestamp — resolution
+    * takes the NEWEST version at the instant, matching "the table as an
+    * observer saw it then". */
+  def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    val at = vs.filter(v =>
+      f.getFileStatus(manifestPath(dir, v)).getModificationTime <= tsMillis)
+    require(at.nonEmpty,
+      s"no version of $dir existed at $tsMillis (earliest committed " +
+        s"later); cannot time-travel before table creation")
+    at.last
+  }
+
+  /** [[read]] at a point in time — `SELECT ... TIMESTAMP AS OF`. */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    read(spark, dir, Some(versionAsOf(spark, dir, tsMillis)))
 
   /** DESCRIBE HISTORY for a snapshot log: one row per retained version —
     * (version, batch_id, n_files, n_columns, has_dv, committed_at) —
@@ -1505,6 +1561,119 @@ object SnapshotLog {
   }
 
   // -------------------------------------------------------------------
+  // CHECK CONSTRAINTS — commit-time row validation (Delta ADD CONSTRAINT)
+  // -------------------------------------------------------------------
+
+  /** CHECK constraints of a version, in declaration order: (name, SQL
+    * expression). Recorded as `#check=<name>=<expr>` manifest headers,
+    * carried by every commit verb like the schema — a constraint is
+    * table state, not a side register. */
+  def checksOf(spark: SparkSession, dir: String,
+      v: Long): Seq[(String, String)] =
+    manifestLines(spark, dir, v).collect {
+      case l if l.startsWith("#check=") =>
+        val body = l.stripPrefix("#check=")
+        val i = body.indexOf('=')
+        (body.take(i), body.drop(i + 1))
+    }
+
+  private def checkHeaders(checks: Seq[(String, String)]): Seq[String] =
+    checks.map { case (n, s) => s"#check=$n=$s" }
+
+  /** The latest version's checks — what an incoming commit must honor
+    * (empty for a fresh table). */
+  private def carriedChecks(spark: SparkSession,
+      dir: String): Seq[(String, String)] =
+    versions(spark, dir).lastOption
+      .map(checksOf(spark, dir, _)).getOrElse(Seq.empty)
+
+  /** Enforce `checks` on `df` — ONE fused aggregation over the commit's
+    * rows (the [[graft.Expectations]] cost rule: never a pass per
+    * check), loud failure naming every violated constraint with its
+    * violation count, nothing committed on failure. SQL CHECK
+    * three-valued logic: a row violates only when the expression is
+    * definitely FALSE — NULL passes (declare a `col IS NOT NULL` check
+    * to forbid nulls), matching Delta/ANSI CHECK semantics. */
+  private def requireChecksPass(checks: Seq[(String, String)],
+      df: DataFrame, what: String): Unit = {
+    if (checks.isEmpty) return
+    val aggs = checks.zipWithIndex.map { case ((_, s), i) =>
+      sum(when(coalesce(expr(s), lit(true)) === false, 1L)
+        .otherwise(0L)).as(s"__c$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val viols = checks.zipWithIndex.flatMap { case ((n, s), i) =>
+      val c = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (c > 0) Some(s"$n ($s): $c row(s)") else None
+    }
+    require(viols.isEmpty,
+      s"CHECK constraint violated by $what: ${viols.mkString("; ")}")
+  }
+
+  /** ADD CONSTRAINT as a commit: validate that `sqlExpr` already HOLDS
+    * on the table (one scan — a constraint that existing data violates
+    * would make every future commit of those rows unreproducible), then
+    * re-publish the latest version's exact file list with the new
+    * `#check=` header — zero data written, base-checked like every
+    * read-modify-write commit. Every subsequent row-adding verb
+    * ([[commit]], [[commitBatch]], [[commitBatchReplace]],
+    * [[commitBatchExternal]], [[merge]]) validates its incoming rows in
+    * one fused pass and refuses the whole commit on violation. */
+  def addCheck(spark: SparkSession, dir: String, name: String,
+      sqlExpr: String): Long = {
+    require(name.nonEmpty && !name.contains('=') && !name.contains('\n'),
+      s"check name '$name' must be non-empty without '=' or newline")
+    require(!sqlExpr.contains('\n'),
+      "check expression must be a single line")
+    while (true) {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"no committed snapshot under $dir")
+      val latest = vs.last
+      val existing = checksOf(spark, dir, latest)
+      require(!existing.exists(_._1 == name),
+        s"check '$name' already exists on $dir")
+      requireChecksPass(Seq((name, sqlExpr)),
+        read(spark, dir, Some(latest)), s"existing data of $dir")
+      val carried = manifestLines(spark, dir, latest).filter(l =>
+        l.startsWith("#schema=") || l.startsWith("#filestat=") ||
+          l.startsWith("#dv="))
+      commitFiles(spark, dir, filesOf(spark, dir, latest),
+        java.util.UUID.randomUUID().toString,
+        header = carried ++ checkHeaders(existing :+ (name -> sqlExpr)),
+        base = Some(Some(latest))) match {
+        case Some(v) => return v
+        case None    => () // raced — revalidate against the new latest
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** DROP CONSTRAINT as a commit — the inverse of [[addCheck]]; loud on
+    * an unknown name (dropping a constraint you don't have is a bug). */
+  def dropCheck(spark: SparkSession, dir: String, name: String): Long = {
+    while (true) {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"no committed snapshot under $dir")
+      val latest = vs.last
+      val existing = checksOf(spark, dir, latest)
+      require(existing.exists(_._1 == name),
+        s"no check named '$name' on $dir " +
+          s"(have ${existing.map(_._1).mkString(",")})")
+      val carried = manifestLines(spark, dir, latest).filter(l =>
+        l.startsWith("#schema=") || l.startsWith("#filestat=") ||
+          l.startsWith("#dv="))
+      commitFiles(spark, dir, filesOf(spark, dir, latest),
+        java.util.UUID.randomUUID().toString,
+        header = carried ++ checkHeaders(existing.filterNot(_._1 == name)),
+        base = Some(Some(latest))) match {
+        case Some(v) => return v
+        case None    => ()
+      }
+    }
+    -1L // unreachable
+  }
+
+  // -------------------------------------------------------------------
   // SHALLOW CLONE — zero-copy table branching
   // -------------------------------------------------------------------
 
@@ -1555,7 +1724,8 @@ object SnapshotLog {
     }
     val header = manifestLines(spark, srcDir, v).filter(l =>
       l.startsWith("#schema=") || l.startsWith("#filestat=") ||
-        l.startsWith("#dv=") || l.startsWith("#batch="))
+        l.startsWith("#dv=") || l.startsWith("#batch=") ||
+        l.startsWith("#check="))
     commitFiles(spark, dstDir, filesOf(spark, srcDir, v),
       java.util.UUID.randomUUID().toString, header = header).get
   }
@@ -1593,7 +1763,8 @@ object SnapshotLog {
       val fresh = writeData(spark, dir, base, commitId)
       commitFiles(spark, dir, (own ++ fresh).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++
-          propagatedStatHeaders(spark, dir, latest, own, fresh),
+          propagatedStatHeaders(spark, dir, latest, own, fresh) ++
+          checkHeaders(checksOf(spark, dir, latest)),
         base = Some(Some(latest))) match {
         case Some(v) => return v
         case None    => () // raced — recompute against the new latest

@@ -141,6 +141,24 @@ class SnapshotCloneSpec extends AnyFunSuite with SparkFixture {
       s"read must name the vacuumed file, got: ${e.getMessage}")
   }
 
+  test("readAsOf resolves timestamps to the version an observer saw") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(25) // put v2's mtime strictly after the captured instant
+    SnapshotLog.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    assert(SnapshotLog.versionAsOf(spark, dir, afterV1) === 1L)
+    assert(rows(dir, Some(SnapshotLog.versionAsOf(spark, dir,
+      System.currentTimeMillis()))) === Seq((2L, "b")))
+    assert(SnapshotLog.readAsOf(spark, dir, afterV1)
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // before table creation: loud, never fabricated history
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.versionAsOf(spark, dir, 0L))
+    assert(e.getMessage.contains("time-travel before table creation"))
+  }
+
   test("guards: non-empty target and unknown version refuse") {
     import spark.implicits._
     val (src, dst) = (freshDir(), freshDir())
