@@ -187,6 +187,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"BFS frontier join degenerated:\n$plan")
   }
 
+  test("q_shortest_path: relaxation rounds are hash joins over the checkpointed edges") {
+    val plan = ops.GraphOps.shortestPath.fn(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"relaxation join degenerated:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      "edge list must come from the one-time checkpoint, not a re-derive per round")
+  }
+
   test("q_winsorize: bounds broadcast back; top output is one agg, no extra sort") {
     val df = ops.StatOps.winsorize.fn(spark, Sf)
     df.collect() // let AQE finalize
