@@ -1,0 +1,85 @@
+package graft
+
+import graft.sources.SnapshotLog
+import org.apache.spark.sql.functions.expr
+
+/** Deployment entry for snapshot-log table maintenance — the operations
+  * an owner schedules against a production table, one verb per run:
+  *
+  * {{{
+  * sbt "runMain graft.Maintain <tableDir> history"
+  * sbt "runMain graft.Maintain <tableDir> optimize [targetFiles [col...]]"
+  * sbt "runMain graft.Maintain <tableDir> analyze <col> [col...]"
+  * sbt "runMain graft.Maintain <tableDir> vacuum [keepLast]"
+  * sbt "runMain graft.Maintain <tableDir> restore <version>"
+  * sbt "runMain graft.Maintain <tableDir> clone <dstDir> [version]"
+  * sbt "runMain graft.Maintain <tableDir> materialize"
+  * sbt "runMain graft.Maintain <tableDir> apply-dv"
+  * sbt "runMain graft.Maintain <tableDir> add-check <name> <sqlExpr>"
+  * sbt "runMain graft.Maintain <tableDir> drop-check <name>"
+  * sbt "runMain graft.Maintain <tableDir> delete-where <sqlPred>"
+  * }}}
+  *
+  * Every verb is the library call a scheduler would script — this main
+  * only parses arguments, prints the outcome, and exits non-zero on the
+  * library's loud failures (the alerting hook). Z-order compaction:
+  * `optimize` with two or more cluster columns interleaves them.
+  */
+object Maintain {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.forDriver()
+    try run(spark, args.toSeq)
+    finally spark.stop()
+  }
+
+  /** The verb dispatcher, session-injected so specs drive it without
+    * owning the session lifecycle. */
+  def run(spark: org.apache.spark.sql.SparkSession,
+      args: Seq[String]): Unit = {
+    require(args.length >= 2, "usage: graft.Maintain <tableDir> <verb> [...]")
+    val (dir, verb) = (args(0), args(1))
+    val rest = args.drop(2)
+    verb match {
+        case "history" =>
+          SnapshotLog.history(spark, dir).show(100, false)
+        case "optimize" =>
+          val target = rest.headOption.map(_.toInt).getOrElse(1)
+          val cols = rest.drop(1)
+          val v = SnapshotLog.optimize(spark, dir, targetFiles = target,
+            clusterBy = cols, zorder = cols.size >= 2)
+          println(s"[maintain] optimize -> v$v")
+        case "analyze" =>
+          require(rest.nonEmpty, "analyze needs at least one column")
+          println(s"[maintain] analyze -> v${
+            SnapshotLog.analyze(spark, dir, rest)}")
+        case "vacuum" =>
+          val keep = rest.headOption.map(_.toInt).getOrElse(3)
+          val (vs, files) = SnapshotLog.vacuum(spark, dir, keepLast = keep)
+          println(s"[maintain] vacuum dropped $vs version(s), $files file(s)")
+        case "restore" =>
+          println(s"[maintain] restore -> v${
+            SnapshotLog.restore(spark, dir, rest.head.toLong)}")
+        case "clone" =>
+          val v = SnapshotLog.shallowClone(spark, dir, rest.head,
+            rest.lift(1).map(_.toLong))
+          println(s"[maintain] cloned -> ${rest.head} v$v")
+        case "materialize" =>
+          println(s"[maintain] materialize -> v${
+            SnapshotLog.materialize(spark, dir)}")
+        case "apply-dv" =>
+          println(s"[maintain] apply-dv -> v${
+            SnapshotLog.applyDeletionVectors(spark, dir)}")
+        case "add-check" =>
+          println(s"[maintain] add-check -> v${SnapshotLog.addCheck(
+            spark, dir, rest.head, rest.drop(1).mkString(" "))}")
+        case "drop-check" =>
+          println(s"[maintain] drop-check -> v${
+            SnapshotLog.dropCheck(spark, dir, rest.head)}")
+        case "delete-where" =>
+          println(s"[maintain] delete-where -> v${SnapshotLog.deleteWhere(
+            spark, dir, expr(rest.mkString(" ")))}")
+        case other =>
+          throw new IllegalArgumentException(s"unknown verb '$other'")
+    }
+  }
+}

@@ -1618,7 +1618,10 @@ object SnapshotLog {
     * read-modify-write commit. Every subsequent row-adding verb
     * ([[commit]], [[commitBatch]], [[commitBatchReplace]],
     * [[commitBatchExternal]], [[merge]]) validates its incoming rows in
-    * one fused pass and refuses the whole commit on violation. */
+    * one fused pass and refuses the whole commit on violation.
+    * [[restore]] rolls back table STATE — data and metadata together —
+    * so restoring to a pre-constraint version drops the constraint
+    * (Delta semantics; MaintainSpec pins it). */
   def addCheck(spark: SparkSession, dir: String, name: String,
       sqlExpr: String): Long = {
     require(name.nonEmpty && !name.contains('=') && !name.contains('\n'),

@@ -1,0 +1,43 @@
+package graft
+
+import graft.sources.SnapshotLog
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The graft.Maintain deployment entry drives every maintenance verb
+  * end-to-end against a real table — argument parsing included, since
+  * that is the part only this main owns. */
+class MaintainSpec extends AnyFunSuite with SparkFixture {
+
+  test("maintenance verbs run end-to-end through the CLI surface") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("maintain").toString + "/tbl"
+    SnapshotLog.commit(spark, dir,
+      (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v").repartition(4))
+    Maintain.run(spark, Seq(dir, "add-check", "k_pos", "k", ">", "0"))
+    Maintain.run(spark, Seq(dir, "optimize", "1", "k"))
+    Maintain.run(spark, Seq(dir, "analyze", "k"))
+    Maintain.run(spark, Seq(dir, "delete-where", "k", "=", "7"))
+    Maintain.run(spark, Seq(dir, "history"))
+    assert(SnapshotLog.read(spark, dir).count() === 19)
+    // checks carried through the whole verb chain
+    assert(SnapshotLog.checksOf(spark, dir,
+      SnapshotLog.versions(spark, dir).last) === Seq("k_pos" -> "k > 0"))
+    val dst = Files.createTempDirectory("maintain").toString + "/branch"
+    Maintain.run(spark, Seq(dir, "clone", dst))
+    Maintain.run(spark, Seq(dst, "materialize"))
+    assert(SnapshotLog.read(spark, dst).count() === 19)
+    Maintain.run(spark, Seq(dir, "drop-check", "k_pos"))
+    // restore rolls back table STATE — data and metadata: v1 predates
+    // the constraint, so the restored table has none (Delta semantics)
+    Maintain.run(spark, Seq(dir, "restore", "1"))
+    assert(SnapshotLog.read(spark, dir).count() === 20)
+    assert(SnapshotLog.checksOf(spark, dir,
+      SnapshotLog.versions(spark, dir).last).isEmpty)
+    Maintain.run(spark, Seq(dir, "vacuum", "1"))
+    assert(SnapshotLog.versions(spark, dir).size === 1)
+    intercept[IllegalArgumentException](
+      Maintain.run(spark, Seq(dir, "frobnicate")))
+  }
+}
