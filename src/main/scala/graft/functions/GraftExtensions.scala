@@ -104,6 +104,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strLit(args.head, "snapshot_history"))
           .queryExecution.analyzed
       }))
+    // SELECT * FROM snapshot_checks('/path') — the table's CHECK
+    // constraints as a relation (name, expr), latest version's state
+    ext.injectTableFunction((FunctionIdentifier("snapshot_checks"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_checks"),
+      (args: Seq[Expression]) => {
+        arity("snapshot_checks", args, 1)
+        val s = org.apache.spark.sql.SparkSession.active
+        val dir = strLit(args.head, "snapshot_checks")
+        val latest = graft.sources.SnapshotLog.versions(s, dir).last
+        import s.implicits._
+        graft.sources.SnapshotLog.checksOf(s, dir, latest)
+          .toDF("name", "expr").queryExecution.analyzed
+      }))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[HashExprs.MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => {

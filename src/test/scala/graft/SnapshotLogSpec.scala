@@ -412,6 +412,14 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"SELECT * FROM snapshot_of('$dir', 99)").collect()
     }
     assert(bad.getMessage.contains("does not exist"))
+
+    // snapshot_checks exposes the constraint register to pure SQL
+    assert(spark.sql(s"SELECT * FROM snapshot_checks('$dir')").count() === 0)
+    graft.sources.SnapshotLog.addCheck(spark, dir, "k_pos", "k > 0")
+    val checks = spark.sql(
+      s"SELECT name, expr FROM snapshot_checks('$dir')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(checks === Seq(("k_pos", "k > 0")))
   }
 
 }
