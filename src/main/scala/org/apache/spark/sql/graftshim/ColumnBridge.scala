@@ -15,6 +15,12 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Render an (unresolved) Column as parseable SQL text: the lazy
+    * [[expression]] wrapper prints as `columnnodeexpression(...)` before
+    * analysis, so go through the eager node converter instead. */
+  def sqlOf(c: Column): String =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node).sql
+
   /** Wrap a (resolved) logical plan as a DataFrame — the `Dataset.ofRows`
     * bridge custom operators need to hand their plan node back to the
     * public API ([[graft.plans.AsOfJoin]]). Same visibility-only

@@ -100,4 +100,33 @@ class ExpectationsSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e2.getMessage.contains("distinct-shaped"))
   }
+
+  test("toCheckSql bridges row-scalar expectations onto snapshot-log CHECKs") {
+    val dir = java.nio.file.Files.createTempDirectory("dq-log").toString
+    graft.sources.SnapshotLog.commit(spark, dir,
+      Seq((1L, "a", 5.0), (2L, "b", 9.5)).toDF("id", "name", "score"))
+    Seq[Check](NotNull("name"), AcceptedValues("name", Seq("a", "b")),
+      InRange("score", 0.0, 10.0),
+      Predicate("pos_id", col("id") > 0)).foreach { c =>
+      graft.sources.SnapshotLog.addCheck(spark, dir, c.name
+        .replace("=", "").replaceAll("[^a-z_0-9]", "_"),
+        Expectations.toCheckSql(c))
+    }
+    // good rows pass all four bridged constraints
+    graft.sources.SnapshotLog.commit(spark, dir,
+      Seq((3L, "a", 0.0)).toDF("id", "name", "score"))
+    // each violation class is refused at the table boundary
+    def refused(rows: Seq[(Long, Option[String], Double)]) =
+      intercept[IllegalArgumentException](graft.sources.SnapshotLog.commit(
+        spark, dir, rows.toDF("id", "name", "score")))
+    assert(refused(Seq((4L, None, 1.0))).getMessage.contains("not_null"))
+    assert(refused(Seq((4L, Some("zz"), 1.0))).getMessage
+      .contains("accepted_values"))
+    assert(refused(Seq((4L, Some("a"), 11.0))).getMessage.contains("in_range"))
+    assert(refused(Seq((-4L, Some("a"), 1.0))).getMessage.contains("predicate"))
+    // table-shaped checks refuse the bridge loudly
+    intercept[IllegalArgumentException](
+      Expectations.toCheckSql(Unique(Seq("id"))))
+    intercept[IllegalArgumentException](Expectations.toCheckSql(MinRows(1)))
+  }
 }
