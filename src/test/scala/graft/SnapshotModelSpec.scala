@@ -7,11 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
 /** Model-based randomized testing of the snapshot log: a seeded random
-  * program of table verbs (append / COW delete / keyed merge with
-  * tombstones / compaction / restore / vacuum) runs against BOTH the log
-  * and a sequential in-memory model; after every step the table must
-  * equal the model, and a randomly chosen RETAINED version must equal
-  * the model's recorded history for that version. Example-based specs
+  * program of table verbs (append / schema-widening append / COW delete /
+  * keyed merge with tombstones / compaction / restore / vacuum) runs
+  * against BOTH the log and a sequential in-memory model; after every
+  * step the table must equal the model, and a randomly chosen RETAINED
+  * version must equal the model's recorded history for that version —
+  * including its schema width (restore rolls metadata back with data, so
+  * a pre-evolution version reads two columns again). Example-based specs
   * pin each verb alone — this pins their COMPOSITION under orderings no
   * example author would enumerate. Seeds are fixed: failures reproduce.
   */
@@ -20,44 +22,62 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
   private def freshDir() =
     Files.createTempDirectory("snapmodel").toString + "/tbl"
 
-  private def tableRows(dir: String, v: Option[Long] = None): Seq[(Long, String)] =
-    SnapshotLog.read(spark, dir, v)
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+  // a model row: key -> (v, optional w) — w appears via schema evolution
+  private type Row3 = (Long, String, Option[Long])
+
+  private def tableRows(dir: String, v: Option[Long] = None): Seq[Row3] = {
+    val df = SnapshotLog.read(spark, dir, v)
+    val hasW = df.columns.contains("w")
+    df.collect().map { r =>
+      (r.getLong(r.fieldIndex("k")), r.getString(r.fieldIndex("v")),
+        if (hasW && !r.isNullAt(r.fieldIndex("w")))
+          Some(r.getLong(r.fieldIndex("w"))) else None)
+    }.toSeq.sorted
+  }
 
   private def run(seed: Int, steps: Int): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
     val dir = freshDir()
-    var model = Map.empty[Long, String] // keys constructed unique per step
-    var history = Map.empty[Long, Seq[(Long, String)]]
+    var model = Map.empty[Long, (String, Option[Long])] // unique keys/step
+    var history = Map.empty[Long, Seq[Row3]]
     var nextBatch = 0L
     var step = 0
 
-    def df(rows: Seq[(Long, String)]) = rows.toDF("k", "v")
-    def record(v: Long): Unit = history += v -> model.toSeq.sorted
+    def df2(rows: Seq[(Long, String)]) = rows.toDF("k", "v")
+    def snap: Seq[Row3] =
+      model.toSeq.map { case (k, (v, w)) => (k, v, w) }.sorted
+    def record(v: Long): Unit = history += v -> snap
 
     // start non-empty so read() never hits the loud empty-table guard
-    model = Map(1L -> "seed")
-    record(SnapshotLog.commit(spark, dir, df(model.toSeq)))
+    model = Map(1L -> ("seed", None))
+    record(SnapshotLog.commit(spark, dir, df2(Seq((1L, "seed")))))
 
     while (step < steps) {
       step += 1
-      rnd.nextInt(8) match {
-        case 0 | 1 => // append a batch of fresh-keyed rows
+      rnd.nextInt(9) match {
+        case 0 | 1 => // append a batch of fresh-keyed rows (base schema)
           val rows = (0 until 1 + rnd.nextInt(4))
             .map(j => (step * 100L + j, s"a$step-$j"))
-          model ++= rows
-          record(SnapshotLog.commitBatch(spark, dir, df(rows), nextBatch))
+          model ++= rows.map { case (k, v) => k -> (v, None) }
+          record(SnapshotLog.commitBatch(spark, dir, df2(rows), nextBatch))
           nextBatch += 1
-        case 2 => // COW delete of a residue class, never the whole table
+        case 2 => // schema-widening append: adds column w
+          val rows = (0 until 1 + rnd.nextInt(3))
+            .map(j => (step * 100L + j, s"w$step-$j", step.toLong))
+          model ++= rows.map { case (k, v, w) => k -> (v, Some(w)) }
+          record(SnapshotLog.commitBatch(spark, dir,
+            rows.toDF("k", "v", "w"), nextBatch))
+          nextBatch += 1
+        case 3 => // COW delete of a residue class, never the whole table
           val (m, r) = (3 + rnd.nextInt(4), rnd.nextInt(3))
           val survivors = model.filterNot { case (k, _) => k % m == r }
           if (survivors.nonEmpty) {
             model = survivors
             record(SnapshotLog.deleteWhere(spark, dir, col("k") % m === r))
           }
-        case 3 => // keyed merge: replace some existing keys, insert fresh,
-          // tombstone some existing
+        case 4 => // keyed merge: replace some existing keys, insert fresh,
+          // tombstone some existing (base-schema changes — merge aligns)
           val existing = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
           val inserts = (0 until rnd.nextInt(3))
             .map(j => (step * 100L + 50 + j, s"i$step-$j"))
@@ -66,32 +86,33 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
             inserts.map { case (k, v) => (k, v, false) } ++
             toDelete.map(k => (k, "", true))
           val next = (model -- toDelete) ++
-            toReplace.map(k => k -> s"u$step") ++ inserts
+            toReplace.map(k => k -> (s"u$step", None: Option[Long])) ++
+            inserts.map { case (k, v) => k -> (v, None: Option[Long]) }
           if (changes.nonEmpty && next.nonEmpty) {
             model = next
             record(SnapshotLog.merge(spark, dir,
               changes.toDF("k", "v", "del"), keys = Seq("k"),
               deleteWhen = Some(col("del")), dropCols = Seq("del")))
           }
-        case 4 => // compaction: rows must be untouched
+        case 5 => // compaction: rows must be untouched
           record(SnapshotLog.optimize(spark, dir, targetFiles = 2))
-        case 5 => // restore to a random retained version
+        case 6 => // restore to a random retained version — data AND schema
           val vs = SnapshotLog.versions(spark, dir)
           val toV = vs(rnd.nextInt(vs.size))
-          model = history(toV).toMap
+          model = history(toV).map { case (k, v, w) => k -> (v, w) }.toMap
           record(SnapshotLog.restore(spark, dir, toV))
-        case 6 => // vacuum: drops history, never the current state
+        case 7 => // vacuum: drops history, never the current state
           val keep = 1 + rnd.nextInt(4)
           SnapshotLog.vacuum(spark, dir, keepLast = keep, orphanGraceMs = 0L)
           val retained = SnapshotLog.versions(spark, dir).toSet
           history = history.filter { case (v, _) => retained(v) }
-        case 7 => // timestamp time travel must resolve to the newest version
+        case 8 => // timestamp time travel must resolve to the newest version
           val v = SnapshotLog.versionAsOf(spark, dir, System.currentTimeMillis())
           assert(v === SnapshotLog.versions(spark, dir).last,
             s"[seed $seed step $step] asOf(now) must be the latest version")
       }
       // invariant 1: the table equals the model after every step
-      assert(tableRows(dir) === model.toSeq.sorted,
+      assert(tableRows(dir) === snap,
         s"[seed $seed step $step] table diverged from model")
       // invariant 2: a random retained version equals its recorded history
       val vs = SnapshotLog.versions(spark, dir)
