@@ -21,6 +21,10 @@ import scala.jdk.CollectionConverters._
   *   id_col: doc_id                  # optional (default doc_id)
   *   text_col: text                  # optional (default text)
   *   log_dir: /data/train/_log      # optional: atomic SnapshotLog publish
+  *   persist_checks: true            # optional: install row-scalar expect
+  *                                   #   rules as table CHECK constraints,
+  *                                   #   so the published table refuses ANY
+  *                                   #   writer violating the contract
   *   shards: 8                       # optional: hash-sharded output
   * stages:
   *   - stage: lang_keep
@@ -88,7 +92,8 @@ object CuratePipeline {
       logDir: Option[String] = None,
       shards: Option[Int] = None,
       stages: Seq[Stage] = Seq.empty,
-      expect: Seq[Expectations.Check] = Seq.empty)
+      expect: Seq[Expectations.Check] = Seq.empty,
+      persistChecks: Boolean = false)
 
   /** Per-run report: the stage funnel (ordered, first entry = raw input)
     * and, when publishing through a snapshot log, the committed
@@ -198,7 +203,7 @@ object CuratePipeline {
     if (section.isEmpty) fail(0, "missing 'curate:' root")
 
     val knownRoot = Set("input", "out_dir", "id_col", "text_col",
-      "log_dir", "shards")
+      "log_dir", "shards", "persist_checks")
     root.foreach { case (k, (li, _)) =>
       if (!knownRoot(k)) fail(li,
         s"unknown key '$k' (known: ${knownRoot.toSeq.sorted.mkString(", ")})")
@@ -288,7 +293,14 @@ object CuratePipeline {
       logDir = logDir,
       shards = shards,
       stages = parsedStages,
-      expect = parsedChecks)
+      expect = parsedChecks,
+      persistChecks = opt("persist_checks") match {
+        case None          => false
+        case Some("true")  => true
+        case Some("false") => false
+        case Some(other) =>
+          fail(0, s"persist_checks must be true/false, got '$other'")
+      })
   }
 
   // ------------------------------------------------------------------
@@ -475,8 +487,30 @@ object CuratePipeline {
       val files = fs.listStatus(new org.apache.hadoop.fs.Path(cfg.outDir))
         .toSeq.filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
         .map(_.getPath.toString).sorted
-      SnapshotLog.commitBatchExternal(spark, ld, files,
+      val v = SnapshotLog.commitBatchExternal(spark, ld, files,
         sharded.schema, runId)
+      // persist_checks: install every ROW-SCALAR expectation as a table
+      // CHECK constraint, so the table's own commit boundary re-enforces
+      // the pipeline contract against ANY writer (a direct commitBatch
+      // bypassing this pipeline is refused the same way). Table-shaped
+      // expectations (unique/min_rows) stay publish-gate-only — they are
+      // not row-scalar CHECKs. Idempotent across runs: already-installed
+      // names are skipped, so replays and daily runs never duplicate.
+      if (cfg.persistChecks) {
+        val installed = SnapshotLog
+          .checksOf(spark, ld, SnapshotLog.versions(spark, ld).last)
+          .map(_._1).toSet
+        cfg.expect.foreach { c =>
+          val sql =
+            try Some(Expectations.toCheckSql(c))
+            catch { case _: IllegalArgumentException => None }
+          sql.foreach { s =>
+            val nm = c.name.replace("=", "_")
+            if (!installed(nm)) SnapshotLog.addCheck(spark, ld, nm, s)
+          }
+        }
+      }
+      v
     }
     CurateReport(stageRows, stageRows.last._2, version, expectReport)
   }

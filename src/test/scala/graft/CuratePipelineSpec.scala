@@ -279,6 +279,34 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(graft.sources.SnapshotLog.versions(spark, log2).isEmpty)
   }
 
+  test("persist_checks installs row-scalar expectations as table CHECKs") {
+    import spark.implicits._
+    val out = tmp("curate-out-pc")
+    val log = tmp("curate-log-pc")
+    val cfg = cfgWith(out, log = Some(log)).copy(
+      expect = Seq(Expectations.NotNull("text"),
+        Expectations.MinRows(1)), // table-shaped: must NOT become a CHECK
+      persistChecks = true)
+    CuratePipeline.run(spark, cfg, runId = 1L)
+    val checksNow = graft.sources.SnapshotLog.checksOf(spark, log,
+      graft.sources.SnapshotLog.versions(spark, log).last)
+    assert(checksNow.map(_._1) === Seq("not_null(text)"),
+      s"row-scalar bridged, table-shaped skipped; got $checksNow")
+    // the table boundary now refuses ANY writer violating the contract,
+    // not just this pipeline
+    val bad = intercept[IllegalArgumentException] {
+      graft.sources.SnapshotLog.commitBatch(spark, log,
+        Seq((99L, null: String)).toDF("doc_id", "text"), batchId = 50L)
+    }
+    assert(bad.getMessage.contains("not_null"))
+    // a second run never duplicates the installed checks
+    CuratePipeline.run(spark, cfg.copy(outDir = tmp("curate-out-pc2")),
+      runId = 2L)
+    assert(graft.sources.SnapshotLog.checksOf(spark, log,
+      graft.sources.SnapshotLog.versions(spark, log).last)
+      .map(_._1) === Seq("not_null(text)"))
+  }
+
   test("expect section parses from config text; unknown check fails at load") {
     val text = goodConfig.replace("OUT", "/tmp/x") +
       "expect:\n" +
@@ -291,6 +319,16 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(cfg.expect.map(_.name) === Seq("not_null(text)",
       "accepted_values(lang)", "in_range(n_chars)", "min_rows(5)",
       "unique(doc_id)"))
+    assert(!cfg.persistChecks)
+    // persist_checks is a curate-root key, not an expect-item key
+    def withRoot(v: String) =
+      text.replace("  out_dir:", s"  persist_checks: $v\n  out_dir:")
+    assert(CuratePipeline.parse(withRoot("true").linesIterator.toSeq,
+      "t.yaml").persistChecks)
+    val eb = intercept[IllegalArgumentException] {
+      CuratePipeline.parse(withRoot("yes").linesIterator.toSeq, "t.yaml")
+    }
+    assert(eb.getMessage.contains("persist_checks"))
     val e = intercept[IllegalArgumentException] {
       CuratePipeline.parse((goodConfig.replace("OUT", "/tmp/x") +
         "expect:\n  - check: exactly_one\n").linesIterator.toSeq, "t.yaml")
