@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions.expr
   * sbt "runMain graft.Maintain <tableDir> add-check <name> <sqlExpr>"
   * sbt "runMain graft.Maintain <tableDir> drop-check <name>"
   * sbt "runMain graft.Maintain <tableDir> delete-where <sqlPred>"
+  * sbt "runMain graft.Maintain <tableDir> update-where <col> <valueExpr> <sqlPred>"
   * }}}
   *
   * Every verb is the library call a scheduler would script — this main
@@ -78,6 +79,12 @@ object Maintain {
         case "delete-where" =>
           println(s"[maintain] delete-where -> v${SnapshotLog.deleteWhere(
             spark, dir, expr(rest.mkString(" ")))}")
+        case "update-where" => // <col> '<value expr>' <pred...>
+          require(rest.length >= 3,
+            "update-where needs <col> <valueExpr> <pred>")
+          println(s"[maintain] update-where -> v${SnapshotLog.updateWhere(
+            spark, dir, expr(rest.drop(2).mkString(" ")),
+            Map(rest.head -> expr(rest(1))))}")
         case other =>
           throw new IllegalArgumentException(s"unknown verb '$other'")
     }

@@ -448,6 +448,83 @@ object SnapshotLog {
     -1L // unreachable
   }
 
+  /** UPDATE ... SET ... WHERE as a copy-on-write commit — the third
+    * row-level verb beside [[deleteWhere]] and [[merge]]: every row
+    * where `pred` is definitely TRUE gets each `set` column replaced by
+    * its expression (evaluated against the row — `set` values may
+    * reference other columns); NULL-pred rows are untouched (the
+    * [[deleteWhere]] three-valued rule, mirrored). Only files holding a
+    * matched row are rewritten — everything else carries by reference,
+    * so a sparse update against a clustered 100 TB table rewrites a
+    * handful of files. Loud guards: `set` may not name an unknown
+    * column, and each expression is cast to the column's existing type
+    * (an UPDATE must never mutate the schema — that is [[merge]]'s
+    * widening job). CHECK constraints validate the POST-IMAGES of
+    * matched rows in one fused pass before anything commits. Returns
+    * the current version unchanged when nothing matches. Refuses on a
+    * DV-bearing version like every rewriting verb. */
+  def updateWhere(spark: SparkSession, dir: String, pred: Column,
+      set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    while (true) {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"no committed snapshot under $dir")
+      val latest = vs.last
+      requireNoDv(spark, dir, latest, "updateWhere (COW)")
+      val schema = schemaOf(spark, dir, latest)
+      val current = filesOf(spark, dir, latest)
+      def readCur(paths: Seq[String]) = schema match {
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None    => spark.read.parquet(paths: _*)
+      }
+      val tableSchema = schema.getOrElse(readCur(current).schema)
+      val unknown = set.keySet.diff(tableSchema.fieldNames.toSet)
+      require(unknown.isEmpty,
+        s"UPDATE sets unknown column(s) ${unknown.mkString(",")} — " +
+          "schema changes go through merge, not updateWhere")
+      val affected = readCur(current)
+        .filter(pred).select(input_file_name().as("f"))
+        .distinct().collect().map(_.getString(0)).toSet
+      def hitF(p: String) = affected.contains(p) ||
+        affected.contains(new Path(p).toUri.toString) ||
+        affected.exists(a =>
+          new Path(a).toUri.getPath == new Path(p).toUri.getPath)
+      val (rewrite, carry) = current.partition(hitF)
+      if (rewrite.isEmpty) return latest
+      val hit = coalesce(pred, lit(false))
+      val rewritten = readCur(rewrite).select(
+        tableSchema.fields.toSeq.map { fld =>
+          set.get(fld.name) match {
+            case Some(e) =>
+              when(hit, e.cast(fld.dataType)).otherwise(col(fld.name))
+                .as(fld.name)
+            case None => col(fld.name)
+          }
+        }: _*)
+      // post-images for validation: filter on the PRE-image predicate
+      // first, then apply the SET unconditionally — filtering `rewritten`
+      // would re-evaluate the predicate against already-updated rows
+      val matchedPost = readCur(rewrite).filter(hit).select(
+        tableSchema.fields.toSeq.map { fld =>
+          set.get(fld.name).map(_.cast(fld.dataType).as(fld.name))
+            .getOrElse(col(fld.name))
+        }: _*)
+      requireChecksPass(checksOf(spark, dir, latest),
+        matchedPost, s"UPDATE post-images in $dir")
+      val commitId = java.util.UUID.randomUUID().toString
+      val newFiles = writeData(spark, dir, rewritten, commitId)
+      commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
+        header = schema.map(schemaHeader).toSeq ++
+          propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
+          checkHeaders(checksOf(spark, dir, latest)),
+        base = Some(Some(latest))) match {
+        case Some(v) => return v
+        case None    => () // raced — recompute against the new latest
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Keyed MERGE INTO as a copy-on-write commit (the Delta/Iceberg
     * upsert shape): every target row whose `keys` match a row of
     * `changes` is REPLACED by that change row (full-row semantics — the

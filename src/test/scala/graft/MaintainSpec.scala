@@ -19,8 +19,12 @@ class MaintainSpec extends AnyFunSuite with SparkFixture {
     Maintain.run(spark, Seq(dir, "optimize", "1", "k"))
     Maintain.run(spark, Seq(dir, "analyze", "k"))
     Maintain.run(spark, Seq(dir, "delete-where", "k", "=", "7"))
+    Maintain.run(spark, Seq(dir, "update-where", "v", "'patched'", "k = 3"))
     Maintain.run(spark, Seq(dir, "history"))
     assert(SnapshotLog.read(spark, dir).count() === 19)
+    assert(SnapshotLog.read(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("k") === 3L)
+      .head.getString(1) === "patched")
     // checks carried through the whole verb chain
     assert(SnapshotLog.checksOf(spark, dir,
       SnapshotLog.versions(spark, dir).last) === Seq("k_pos" -> "k > 0"))

@@ -8,7 +8,8 @@ import java.nio.file.Files
 
 /** Model-based randomized testing of the snapshot log: a seeded random
   * program of table verbs (append / schema-widening append / COW delete /
-  * keyed merge with tombstones / compaction / restore / vacuum) runs
+  * COW update / keyed merge with tombstones / compaction / restore /
+  * vacuum) runs
   * against BOTH the log and a sequential in-memory model; after every
   * step the table must equal the model, and a randomly chosen RETAINED
   * version must equal the model's recorded history for that version —
@@ -55,7 +56,7 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
 
     while (step < steps) {
       step += 1
-      rnd.nextInt(9) match {
+      rnd.nextInt(10) match {
         case 0 | 1 => // append a batch of fresh-keyed rows (base schema)
           val rows = (0 until 1 + rnd.nextInt(4))
             .map(j => (step * 100L + j, s"a$step-$j"))
@@ -106,7 +107,17 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
           SnapshotLog.vacuum(spark, dir, keepLast = keep, orphanGraceMs = 0L)
           val retained = SnapshotLog.versions(spark, dir).toSet
           history = history.filter { case (v, _) => retained(v) }
-        case 8 => // timestamp time travel must resolve to the newest version
+        case 8 => // COW UPDATE of a residue class (expressions see pre-image)
+          val (m, r) = (3 + rnd.nextInt(4), rnd.nextInt(3))
+          if (model.exists { case (k, _) => k % m == r }) {
+            model = model.map {
+              case (k, (_, w)) if k % m == r => k -> (s"U$step-${k % m}", w)
+              case kv => kv
+            }
+            record(SnapshotLog.updateWhere(spark, dir, col("k") % m === r,
+              Map("v" -> concat(lit(s"U$step-"), col("k") % m))))
+          }
+        case 9 => // timestamp time travel must resolve to the newest version
           val v = SnapshotLog.versionAsOf(spark, dir, System.currentTimeMillis())
           assert(v === SnapshotLog.versions(spark, dir).last,
             s"[seed $seed step $step] asOf(now) must be the latest version")
