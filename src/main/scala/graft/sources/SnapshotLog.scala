@@ -239,11 +239,31 @@ object SnapshotLog {
     * depend on the previous version, so no base check is needed (two
     * racing replaces serialize into two versions, either order valid). */
   def commit(spark: SparkSession, dir: String, df: DataFrame): Long = {
-    val checks = carriedChecks(spark, dir)
-    requireChecksPass(checks, df, s"commit into $dir")
     val commitId = java.util.UUID.randomUUID().toString
-    commitFiles(spark, dir, writeData(spark, dir, df, commitId), commitId,
-      header = Seq(schemaHeader(df.schema)) ++ checkHeaders(checks)).get
+    var files: Seq[String] = null
+    var validated: Option[Seq[(String, String)]] = None
+    while (true) {
+      // replace semantics for the DATA (the body never depends on the
+      // previous file list) — but constraints are table METADATA this
+      // commit carries forward, so the commit is base-checked: a
+      // concurrent addCheck must not be silently dropped from the new
+      // latest (a metadata lost-update). Validation re-runs only when a
+      // rebase actually changed the check set.
+      val latest = versions(spark, dir).lastOption
+      val checks = latest.map(checksOf(spark, dir, _)).getOrElse(Seq.empty)
+      if (!validated.contains(checks)) {
+        requireChecksPass(checks, df, s"commit into $dir")
+        validated = Some(checks)
+      }
+      if (files == null) files = writeData(spark, dir, df, commitId)
+      commitFiles(spark, dir, files, commitId,
+        header = Seq(schemaHeader(df.schema)) ++ checkHeaders(checks),
+        base = Some(latest)) match {
+        case Some(v) => return v
+        case None    => () // raced — re-read the carried metadata
+      }
+    }
+    -1L // unreachable
   }
 
   /** Streaming-table append commit: version N = EVERYTHING ingested
@@ -299,14 +319,29 @@ object SnapshotLog {
     * pillar atomic versions, table-grain time travel and vacuum. */
   def commitBatchReplace(spark: SparkSession, dir: String, df: DataFrame,
       batchId: Long): Long = {
-    val vs0 = versions(spark, dir)
-    if (lastBatch(spark, dir).exists(batchId <= _)) return vs0.last
-    val checks = carriedChecks(spark, dir)
-    requireChecksPass(checks, df, s"batch $batchId into $dir")
     val commitId = java.util.UUID.randomUUID().toString
-    commitFiles(spark, dir, writeData(spark, dir, df, commitId), commitId,
-      header = Seq(s"#batch=$batchId", schemaHeader(df.schema)) ++
-        checkHeaders(checks)).get
+    var files: Seq[String] = null
+    var validated: Option[Seq[(String, String)]] = None
+    while (true) {
+      val vs0 = versions(spark, dir)
+      if (lastBatch(spark, dir).exists(batchId <= _)) return vs0.last
+      // base-checked for the same metadata-carry reason as [[commit]]
+      val checks = vs0.lastOption.map(checksOf(spark, dir, _))
+        .getOrElse(Seq.empty)
+      if (!validated.contains(checks)) {
+        requireChecksPass(checks, df, s"batch $batchId into $dir")
+        validated = Some(checks)
+      }
+      if (files == null) files = writeData(spark, dir, df, commitId)
+      commitFiles(spark, dir, files, commitId,
+        header = Seq(s"#batch=$batchId", schemaHeader(df.schema)) ++
+          checkHeaders(checks),
+        base = Some(vs0.lastOption)) match {
+        case Some(v) => return v
+        case None    => () // raced — re-read the carried metadata
+      }
+    }
+    -1L // unreachable
   }
 
   /** The committed version carrying stream batch `batchId`'s `#batch=`
@@ -328,17 +363,29 @@ object SnapshotLog {
     * external files retained versions still need. */
   def commitBatchExternal(spark: SparkSession, dir: String,
       files: Seq[String], schema: StructType, batchId: Long): Long = {
-    val vs0 = versions(spark, dir)
-    if (lastBatch(spark, dir).exists(batchId <= _)) return vs0.last
-    val checks = carriedChecks(spark, dir)
-    if (checks.nonEmpty && files.nonEmpty)
-      requireChecksPass(checks,
-        spark.read.schema(schema).parquet(files: _*),
-        s"external batch $batchId into $dir")
-    commitFiles(spark, dir, files.sorted,
-      java.util.UUID.randomUUID().toString,
-      header = Seq(s"#batch=$batchId", schemaHeader(schema)) ++
-        checkHeaders(checks)).get
+    var validated: Option[Seq[(String, String)]] = None
+    while (true) {
+      val vs0 = versions(spark, dir)
+      if (lastBatch(spark, dir).exists(batchId <= _)) return vs0.last
+      // base-checked for the same metadata-carry reason as [[commit]]
+      val checks = vs0.lastOption.map(checksOf(spark, dir, _))
+        .getOrElse(Seq.empty)
+      if (checks.nonEmpty && files.nonEmpty && !validated.contains(checks)) {
+        requireChecksPass(checks,
+          spark.read.schema(schema).parquet(files: _*),
+          s"external batch $batchId into $dir")
+        validated = Some(checks)
+      }
+      commitFiles(spark, dir, files.sorted,
+        java.util.UUID.randomUUID().toString,
+        header = Seq(s"#batch=$batchId", schemaHeader(schema)) ++
+          checkHeaders(checks),
+        base = Some(vs0.lastOption)) match {
+        case Some(v) => return v
+        case None    => () // raced — re-read the carried metadata
+      }
+    }
+    -1L // unreachable
   }
 
   /** Every file any RETAINED manifest references — the caller-side
