@@ -118,6 +118,32 @@ class SnapshotCheckSpec extends AnyFunSuite with SparkFixture {
     assert(rows(dir) === Seq((-7L, "z")))
   }
 
+  test("a streaming sink is constraint-governed: a bad batch fails the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = freshDir()
+    val ck = Files.createTempDirectory("snapcheck-ck").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    SnapshotLog.commit(spark, dir, Seq((1L, "seed")).toDF("k", "v"))
+    SnapshotLog.addCheck(spark, dir, "k_pos", "k > 0")
+    val ms = MemoryStream[(Long, String)]
+    val q = SnapshotLog.sink(ms.toDF().toDF("k", "v"), dir, ck)
+    try {
+      ms.addData((2L, "ok"))
+      q.processAllAvailable()
+      assert(SnapshotLog.read(spark, dir).count() === 2)
+      // the violating micro-batch must fail the QUERY loudly — never a
+      // silently-skipped batch, never a partially-visible version
+      ms.addData((-3L, "bad"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.processAllAvailable())
+      assert(e.getCause.getMessage.contains("k_pos"),
+        s"stream must surface the constraint: ${e.getCause.getMessage}")
+    } finally q.stop()
+    assert(SnapshotLog.read(spark, dir).count() === 2,
+      "the refused batch must not be visible in any version")
+  }
+
   test("multiple checks validate in one pass; failure names each") {
     import spark.implicits._
     val dir = freshDir()
