@@ -87,11 +87,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "snapshot_of"),
       (args: Seq[Expression]) => {
         if (args.isEmpty || args.length > 2) throw new IllegalArgumentException(
-          s"snapshot_of expects (path[, version]), got ${args.length} args")
+          s"snapshot_of expects (path[, version | timestamp]), got ${args.length} args")
+        val s = org.apache.spark.sql.SparkSession.active
         val dir = strLit(args.head, "snapshot_of")
-        val version = args.lift(1).map(longLit(_, "snapshot_of"))
-        graft.sources.SnapshotLog
-          .read(org.apache.spark.sql.SparkSession.active, dir, version)
+        // second arg: integer literal = version number; TIMESTAMP
+        // literal = TIMESTAMP AS OF resolution (readAsOf semantics)
+        val version = args.lift(1).map {
+          case Literal(micros: Long, _: org.apache.spark.sql.types.TimestampType) =>
+            graft.sources.SnapshotLog.versionAsOf(s, dir, micros / 1000L)
+          case other => longLit(other, "snapshot_of")
+        }
+        graft.sources.SnapshotLog.read(s, dir, version)
           .queryExecution.analyzed
       }))
     ext.injectTableFunction((FunctionIdentifier("snapshot_history"),

@@ -413,6 +413,19 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     }
     assert(bad.getMessage.contains("does not exist"))
 
+    // TIMESTAMP AS OF from pure SQL: a timestamp after v1's commit and
+    // before v2's resolves to v1 (manifest-mtime commit points)
+    val t1 = new java.io.File(s"$dir/_log/v1.manifest").lastModified()
+    val iso = java.time.Instant.ofEpochMilli(t1)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val asOf = spark.sql(
+      s"SELECT k, v FROM snapshot_of('$dir', TIMESTAMP '$iso') ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(asOf === Seq((1L, "a"), (2L, "b")),
+      "TIMESTAMP AS OF must resolve to the version live at that instant")
+
     // snapshot_checks exposes the constraint register to pure SQL
     assert(spark.sql(s"SELECT * FROM snapshot_checks('$dir')").count() === 0)
     graft.sources.SnapshotLog.addCheck(spark, dir, "k_pos", "k > 0")
