@@ -251,11 +251,18 @@ object SnapshotLog {
       // rebase actually changed the check set.
       val latest = versions(spark, dir).lastOption
       val checks = latest.map(checksOf(spark, dir, _)).getOrElse(Seq.empty)
-      if (!validated.contains(checks)) {
+      if (files == null) {
+        // first attempt: validation rides the write (zero extra passes)
+        val (wired, assertChecks) =
+          observedChecks(df, checks, commitId, s"commit into $dir")
+        files = writeData(spark, dir, wired, commitId)
+        assertChecks()
+        validated = Some(checks)
+      } else if (!validated.contains(checks)) {
+        // a rebase changed the check set: dedicated validation pass
         requireChecksPass(checks, df, s"commit into $dir")
         validated = Some(checks)
       }
-      if (files == null) files = writeData(spark, dir, df, commitId)
       commitFiles(spark, dir, files, commitId,
         header = Seq(schemaHeader(df.schema)) ++ checkHeaders(checks),
         base = Some(latest)) match {
@@ -284,14 +291,23 @@ object SnapshotLog {
       batchId: Long): Long = {
     val commitId = java.util.UUID.randomUUID().toString
     var fresh: Seq[String] = null // batch data written once, on first need
+    var validatedChecks: Option[Seq[(String, String)]] = None
     while (true) {
       val vs = versions(spark, dir)
       if (lastBatch(spark, dir).exists(batchId <= _))
         return vs.last // replayed batch: no-op (orphan data vacuumable)
       val latest = vs.lastOption
       val checks = latest.map(checksOf(spark, dir, _)).getOrElse(Seq.empty)
-      requireChecksPass(checks, df, s"batch $batchId into $dir")
-      if (fresh == null) fresh = writeData(spark, dir, df, commitId)
+      if (fresh == null) {
+        val (wired, assertChecks) =
+          observedChecks(df, checks, commitId, s"batch $batchId into $dir")
+        fresh = writeData(spark, dir, wired, commitId)
+        assertChecks()
+        validatedChecks = Some(checks)
+      } else if (!validatedChecks.contains(checks)) {
+        requireChecksPass(checks, df, s"batch $batchId into $dir")
+        validatedChecks = Some(checks)
+      }
       val schema = latest.flatMap(schemaOf(spark, dir, _))
         .map(mergeSchemas(_, df.schema)).getOrElse(df.schema)
       val prev = latest.map(filesOf(spark, dir, _)).getOrElse(Seq.empty)
@@ -328,11 +344,16 @@ object SnapshotLog {
       // base-checked for the same metadata-carry reason as [[commit]]
       val checks = vs0.lastOption.map(checksOf(spark, dir, _))
         .getOrElse(Seq.empty)
-      if (!validated.contains(checks)) {
+      if (files == null) {
+        val (wired, assertChecks) =
+          observedChecks(df, checks, commitId, s"batch $batchId into $dir")
+        files = writeData(spark, dir, wired, commitId)
+        assertChecks()
+        validated = Some(checks)
+      } else if (!validated.contains(checks)) {
         requireChecksPass(checks, df, s"batch $batchId into $dir")
         validated = Some(checks)
       }
-      if (files == null) files = writeData(spark, dir, df, commitId)
       commitFiles(spark, dir, files, commitId,
         header = Seq(s"#batch=$batchId", schemaHeader(df.schema)) ++
           checkHeaders(checks),
@@ -1734,6 +1755,36 @@ object SnapshotLog {
       s"CHECK constraint violated by $what: ${viols.mkString("; ")}")
   }
 
+  /** Free-ride form of [[requireChecksPass]] for verbs that WRITE `df`:
+    * the violation counts ride the write action itself via
+    * `Dataset.observe` (the [[graft.sources.Observe]] recipe — zero
+    * extra passes over the input, where the dedicated pass costs one
+    * full read per constrained commit at 100 TB). Returns the
+    * instrumented frame plus a thunk to call AFTER the write: it throws
+    * the same loud per-constraint report on violation. Refusal then
+    * leaves the just-written files as unreferenced orphans (no manifest
+    * ever names them — invisible by construction) for the grace-period
+    * vacuum, the documented orphan class of every lost-race write. */
+  private def observedChecks(df: DataFrame, checks: Seq[(String, String)],
+      commitId: String, what: String): (DataFrame, () => Unit) = {
+    if (checks.isEmpty) return (df, () => ())
+    val obs = new org.apache.spark.sql.Observation(s"graft-checks-$commitId")
+    val aggs = checks.zipWithIndex.map { case ((_, s), i) =>
+      sum(when(coalesce(expr(s), lit(true)) === false, 1L)
+        .otherwise(0L)).as(s"__c$i")
+    }
+    val wired = df.observe(obs, aggs.head, aggs.tail: _*)
+    (wired, () => {
+      val m = obs.get
+      val viols = checks.zipWithIndex.flatMap { case ((n, s), i) =>
+        val c = Option(m(s"__c$i")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        if (c > 0) Some(s"$n ($s): $c row(s)") else None
+      }
+      require(viols.isEmpty,
+        s"CHECK constraint violated by $what: ${viols.mkString("; ")}")
+    })
+  }
+
   /** ADD CONSTRAINT as a commit: validate that `sqlExpr` already HOLDS
     * on the table (one scan — a constraint that existing data violates
     * would make every future commit of those rows unreproducible), then
@@ -1742,7 +1793,10 @@ object SnapshotLog {
     * read-modify-write commit. Every subsequent row-adding verb
     * ([[commit]], [[commitBatch]], [[commitBatchReplace]],
     * [[commitBatchExternal]], [[merge]]) validates its incoming rows in
-    * one fused pass and refuses the whole commit on violation.
+    * one fused aggregation and refuses the whole commit on violation —
+    * and for the df-writing verbs the aggregation RIDES THE WRITE
+    * ([[observedChecks]]), so a constrained ingest pays zero extra
+    * passes over its input.
     * [[restore]] rolls back table STATE — data and metadata together —
     * so restoring to a pre-constraint version drops the constraint
     * (Delta semantics; MaintainSpec pins it). */
