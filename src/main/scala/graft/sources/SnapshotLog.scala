@@ -1196,13 +1196,32 @@ object SnapshotLog {
     * randomly-laid-out table prune nothing. */
   def commitWithStats(spark: SparkSession, dir: String, df: DataFrame,
       statCols: Seq[String]): Long = {
-    val checks = carriedChecks(spark, dir)
-    requireChecksPass(checks, df, s"commit into $dir")
     val commitId = java.util.UUID.randomUUID().toString
-    val files = writeData(spark, dir, df, commitId)
-    commitFiles(spark, dir, files, commitId,
-      header = Seq(schemaHeader(df.schema)) ++
-        statHeaders(spark, files, statCols) ++ checkHeaders(checks)).get
+    var files: Seq[String] = null
+    var validated: Option[Seq[(String, String)]] = None
+    while (true) {
+      // same metadata base-check + ride-the-write validation as [[commit]]
+      val latest = versions(spark, dir).lastOption
+      val checks = latest.map(checksOf(spark, dir, _)).getOrElse(Seq.empty)
+      if (files == null) {
+        val (wired, assertChecks) =
+          observedChecks(df, checks, commitId, s"commit into $dir")
+        files = writeData(spark, dir, wired, commitId)
+        assertChecks()
+        validated = Some(checks)
+      } else if (!validated.contains(checks)) {
+        requireChecksPass(checks, df, s"commit into $dir")
+        validated = Some(checks)
+      }
+      commitFiles(spark, dir, files, commitId,
+        header = Seq(schemaHeader(df.schema)) ++
+          statHeaders(spark, files, statCols) ++ checkHeaders(checks),
+        base = Some(latest)) match {
+        case Some(v) => return v
+        case None    => () // raced — re-read the carried metadata
+      }
+    }
+    -1L // unreachable
   }
 
   /** RESTORE as a commit (the Delta `RESTORE TABLE ... TO VERSION`
