@@ -59,6 +59,20 @@ class SnapshotCdfSpec extends AnyFunSuite with SparkFixture {
       (60L, 4L, "delete"), (5000L, 7L, "insert")))
   }
 
+  test("COW UPDATE feeds as update pre/post images; untouched rows cancel") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") % 7).as("v")).coalesce(2))
+    SnapshotLog.updateWhere(spark, dir, col("k") === 10L || col("k") === 60L,
+      Map("v" -> (col("v") + 1000L)))
+    val feed = SnapshotLog.changesBetween(spark, dir, 1L, 2L, keys = Seq("k"))
+    assert(rows(feed) === Set(
+      (10L, 3L, "update_preimage"), (10L, 1003L, "update_postimage"),
+      (60L, 4L, "update_preimage"), (60L, 1004L, "update_postimage")),
+      "COW survivors rewritten verbatim must cancel out of the feed")
+  }
+
   test("replica-sync law: applyChanges reproduces the source version over version") {
     import spark.implicits._
     val srcDir = freshDir(); val repDir = freshDir()
