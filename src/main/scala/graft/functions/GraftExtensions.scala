@@ -110,6 +110,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strLit(args.head, "snapshot_history"))
           .queryExecution.analyzed
       }))
+    // SELECT * FROM snapshot_changes('/path', fromV, toV[, 'key,cols'])
+    // — the change data feed as a relation: rows + _change_type, with
+    // keyed update pre/post-image labelling when key columns are given
+    ext.injectTableFunction((FunctionIdentifier("snapshot_changes"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_changes"),
+      (args: Seq[Expression]) => {
+        if (args.length < 3 || args.length > 4)
+          throw new IllegalArgumentException("snapshot_changes expects " +
+            s"(path, fromVersion, toVersion[, 'key,cols']), got ${args.length} args")
+        val keys = args.lift(3)
+          .map(strLit(_, "snapshot_changes").split(",").map(_.trim).toSeq)
+          .getOrElse(Seq.empty)
+        graft.sources.SnapshotLog.changesBetween(
+          org.apache.spark.sql.SparkSession.active,
+          strLit(args.head, "snapshot_changes"),
+          longLit(args(1), "snapshot_changes"),
+          longLit(args(2), "snapshot_changes"), keys)
+          .queryExecution.analyzed
+      }))
     // SELECT * FROM snapshot_checks('/path') — the table's CHECK
     // constraints as a relation (name, expr), latest version's state
     ext.injectTableFunction((FunctionIdentifier("snapshot_checks"),

@@ -73,6 +73,24 @@ class SnapshotCdfSpec extends AnyFunSuite with SparkFixture {
       "COW survivors rewritten verbatim must cancel out of the feed")
   }
 
+  test("snapshot_changes TVF: the feed is queryable from pure SQL") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    SnapshotLog.merge(spark, dir, Seq((2L, "b2"), (3L, "c")).toDF("k", "v"),
+      keys = Seq("k"))
+    val got = spark.sql(
+      s"""SELECT k, v, _change_type FROM snapshot_changes('$dir', 1, 2, 'k')
+         |ORDER BY k, _change_type""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    assert(got === Seq((2L, "b2", "update_postimage"),
+      (2L, "b", "update_preimage"), (3L, "c", "insert")))
+    // composes with SQL aggregates like any relation
+    assert(spark.sql(s"""SELECT count(*) FROM snapshot_changes('$dir', 1, 2)
+      |WHERE _change_type = 'insert'""".stripMargin).head.getLong(0) >= 1L)
+  }
+
   test("replica-sync law: applyChanges reproduces the source version over version") {
     import spark.implicits._
     val srcDir = freshDir(); val repDir = freshDir()
