@@ -1684,11 +1684,21 @@ object SnapshotLog {
     * this vacuum just dropped — are provably dead and reclaimed
     * immediately regardless of age. */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
-      orphanGraceMs: Long = 15L * 60 * 1000): (Int, Int) = {
+      orphanGraceMs: Long = 15L * 60 * 1000,
+      minAgeMs: Long = 0L): (Int, Int) = {
     require(keepLast >= 1, "must retain at least one version")
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
-    val (drop, keep) = vs.splitAt(math.max(vs.size - keepLast, 0))
+    val (drop0, keep0) = vs.splitAt(math.max(vs.size - keepLast, 0))
+    // age-based retention (the Delta `RETAIN n HOURS` rule): a version
+    // younger than minAgeMs survives even beyond keepLast, so readers
+    // and time-travelers inside the retention window never lose their
+    // snapshot to an eager vacuum. Age = the manifest's rename mtime,
+    // the commit point ([[versionAsOf]]'s clock).
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val (drop, young) = drop0.partition(v =>
+      f.getFileStatus(manifestPath(dir, v)).getModificationTime <= cutoff)
+    val keep = young ++ keep0
     // capture dropped manifests' references BEFORE deleting them: these
     // files are known-dead (their last referencing version is going away)
     // and exempt from the orphan grace period

@@ -159,6 +159,23 @@ class SnapshotCloneSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("time-travel before table creation"))
   }
 
+  test("vacuum minAgeMs: young versions survive beyond keepLast") {
+    import spark.implicits._
+    val dir = freshDir()
+    (1 to 3).foreach(i =>
+      SnapshotLog.commit(spark, dir, Seq((i.toLong, s"g$i")).toDF("k", "v")))
+    // everything is seconds old: with a 1-hour retention nothing drops
+    val (d0, _) = SnapshotLog.vacuum(spark, dir, keepLast = 1,
+      orphanGraceMs = 0L, minAgeMs = 3600L * 1000)
+    assert(d0 === 0)
+    assert(SnapshotLog.versions(spark, dir) === Seq(1L, 2L, 3L))
+    // with retention waived the same call drops the old tail
+    val (d1, _) = SnapshotLog.vacuum(spark, dir, keepLast = 1,
+      orphanGraceMs = 0L)
+    assert(d1 === 2)
+    assert(SnapshotLog.versions(spark, dir) === Seq(3L))
+  }
+
   test("guards: non-empty target and unknown version refuse") {
     import spark.implicits._
     val (src, dst) = (freshDir(), freshDir())
