@@ -1775,7 +1775,15 @@ object SnapshotLog {
       sum(when(coalesce(expr(s), lit(true)) === false, 1L)
         .otherwise(0L)).as(s"__c$i")
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row =
+      try df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"CHECK constraint references a column absent from $what — " +
+              "widen the batch or drop the constraint first: " +
+              e.getMessage)
+      }
     val viols = checks.zipWithIndex.flatMap { case ((n, s), i) =>
       val c = if (row.isNullAt(i)) 0L else row.getLong(i)
       if (c > 0) Some(s"$n ($s): $c row(s)") else None
@@ -1802,7 +1810,18 @@ object SnapshotLog {
       sum(when(coalesce(expr(s), lit(true)) === false, 1L)
         .otherwise(0L)).as(s"__c$i")
     }
-    val wired = df.observe(obs, aggs.head, aggs.tail: _*)
+    // a check referencing a column the batch LACKS must refuse here, not
+    // slip through: the batch's files would read typed nulls in that
+    // column after the schema merge, i.e. rows the constraint forbids
+    val wired =
+      try df.observe(obs, aggs.head, aggs.tail: _*)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"CHECK constraint references a column absent from $what — " +
+              "widen the batch or drop the constraint first: " +
+              e.getMessage)
+      }
     (wired, () => {
       val m = obs.get
       val viols = checks.zipWithIndex.flatMap { case ((n, s), i) =>

@@ -144,6 +144,23 @@ class SnapshotCheckSpec extends AnyFunSuite with SparkFixture {
       "the refused batch must not be visible in any version")
   }
 
+  test("a narrow batch cannot sneak typed nulls past a widened-column check") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, Seq((1L, "a", 5L)).toDF("k", "v", "w"))
+    SnapshotLog.addCheck(spark, dir, "w_set", "w IS NOT NULL")
+    // a (k, v)-only batch would read w as NULL after the schema merge —
+    // exactly what the constraint forbids; refused loudly at commit
+    val e = intercept[IllegalArgumentException](SnapshotLog.commitBatch(
+      spark, dir, Seq((2L, "b")).toDF("k", "v"), batchId = 0L))
+    assert(e.getMessage.contains("absent"), e.getMessage)
+    assert(SnapshotLog.versions(spark, dir).size === 2, "nothing committed")
+    // the widened batch passes
+    SnapshotLog.commitBatch(spark, dir,
+      Seq((2L, "b", 7L)).toDF("k", "v", "w"), batchId = 0L)
+    assert(SnapshotLog.read(spark, dir).count() === 2)
+  }
+
   test("multiple checks validate in one pass; failure names each") {
     import spark.implicits._
     val dir = freshDir()
