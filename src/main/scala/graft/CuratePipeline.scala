@@ -55,6 +55,10 @@ import scala.jdk.CollectionConverters._
   *     col: doc_id                    #   for debugging, unpublished)
   *   - check: min_rows
   *     n: 100
+  *   - check: predicate               # arbitrary single-line SQL row rule
+  *     label: chars_positive          #   (NULL counts as a violation in
+  *     sql: n_chars > 0               #   the gate; as a persisted table
+  *                                    #   CHECK it follows SQL NULL-passes)
   * }}}
   *
   * Execution model — why this composes well at 100 TB:
@@ -281,8 +285,24 @@ object CuratePipeline {
               intOf(p("hi")._1, "hi", pv("hi")).toDouble)
           case "min_rows" =>
             Expectations.MinRows(intOf(p("n")._1, "n", pv("n")).toLong)
+          case "predicate" =>
+            // arbitrary single-line SQL row rule; parse errors surface at
+            // load time (expr throws), not at run time
+            val sqlText = pv("sql")
+            val colP = org.apache.spark.sql.functions.expr(sqlText)
+            // functions.expr defers parsing to analysis time (Spark 4's
+            // connect-compatible Column nodes) — force it NOW so a typo
+            // fails at config load, naming the line, not mid-run
+            try org.apache.spark.sql.graftshim.ColumnBridge.sqlOf(colP)
+            catch {
+              case e: Exception =>
+                fail(p("sql")._1, s"unparseable predicate '$sqlText': " +
+                  e.getMessage)
+            }
+            Expectations.Predicate(pv("label"), colP)
           case other => fail(kindLi, s"unknown check '$other' (known: " +
-            "accepted_values, in_range, min_rows, not_null, unique)")
+            "accepted_values, in_range, min_rows, not_null, predicate, " +
+            "unique)")
         }
       }
     CurateConfig(

@@ -314,11 +314,18 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
       "  - check: accepted_values\n    col: lang\n    values: [en, de]\n" +
       "  - check: in_range\n    col: n_chars\n    lo: 0\n    hi: 100000\n" +
       "  - check: min_rows\n    n: 5\n" +
-      "  - check: unique\n    col: doc_id\n"
+      "  - check: unique\n    col: doc_id\n" +
+      "  - check: predicate\n    label: chars_pos\n    sql: n_chars > 0\n"
     val cfg = CuratePipeline.parse(text.linesIterator.toSeq, "t.yaml")
     assert(cfg.expect.map(_.name) === Seq("not_null(text)",
       "accepted_values(lang)", "in_range(n_chars)", "min_rows(5)",
-      "unique(doc_id)"))
+      "unique(doc_id)", "predicate(chars_pos)"))
+    val ep = intercept[IllegalArgumentException] {
+      CuratePipeline.parse((goodConfig.replace("OUT", "/tmp/x") +
+        "expect:\n  - check: predicate\n    label: x\n    sql: ((broken\n")
+        .linesIterator.toSeq, "t.yaml")
+    }
+    assert(ep.getMessage.contains("unparseable predicate"))
     assert(!cfg.persistChecks)
     // persist_checks is a curate-root key, not an expect-item key
     def withRoot(v: String) =
