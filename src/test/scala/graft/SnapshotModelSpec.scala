@@ -133,6 +133,58 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("branch isolation: independent random programs on source and clone") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1729)
+    val (src, dst) = (freshDir(), freshDir())
+    var mSrc = (1L to 6L).map(k => k -> (s"s$k", None: Option[Long])).toMap
+    SnapshotLog.commit(spark, src,
+      mSrc.toSeq.map { case (k, (v, _)) => (k, v) }.toDF("k", "v"))
+    SnapshotLog.shallowClone(spark, src, dst)
+    var mDst = mSrc
+    def snapOf(m: Map[Long, (String, Option[Long])]): Seq[Row3] =
+      m.toSeq.map { case (k, (v, w)) => (k, v, w) }.sorted
+    for (step <- 1 to 16) {
+      // pick a side, mutate it, then check BOTH sides every step — the
+      // invariant is that the other side never moves
+      val onSrc = rnd.nextBoolean()
+      val (dir, m) = if (onSrc) (src, mSrc) else (dst, mDst)
+      val m2 = rnd.nextInt(3) match {
+        case 0 =>
+          val rows = Seq((step * 10L + (if (onSrc) 0 else 5), s"a$step"))
+          SnapshotLog.commitBatch(spark, dir, rows.toDF("k", "v"), step.toLong)
+          m ++ rows.map { case (k, v) => k -> (v, None) }
+        case 1 =>
+          val (mm, r) = (3 + rnd.nextInt(3), rnd.nextInt(3))
+          val surv = m.filterNot { case (k, _) => k % mm == r }
+          if (surv.nonEmpty) {
+            SnapshotLog.deleteWhere(spark, dir, col("k") % mm === r); surv
+          } else m
+        case 2 =>
+          val (mm, r) = (3 + rnd.nextInt(3), rnd.nextInt(3))
+          if (m.exists { case (k, _) => k % mm == r }) {
+            SnapshotLog.updateWhere(spark, dir, col("k") % mm === r,
+              Map("v" -> lit(s"u$step")))
+            m.map { case (k, (_, w)) if k % mm == r => k -> (s"u$step", w)
+                    case kv => kv }
+          } else m
+      }
+      if (onSrc) mSrc = m2 else mDst = m2
+      assert(tableRows(src) === snapOf(mSrc),
+        s"[step $step] source diverged (mutated ${if (onSrc) "src" else "dst"})")
+      assert(tableRows(dst) === snapOf(mDst),
+        s"[step $step] branch diverged (mutated ${if (onSrc) "src" else "dst"})")
+    }
+    // each side's vacuum leaves the other intact; the branch must
+    // materialize before the SOURCE vacuums (the documented clone
+    // contract — src retention does not know about branches)
+    SnapshotLog.vacuum(spark, dst, keepLast = 1, orphanGraceMs = 0L)
+    SnapshotLog.materialize(spark, dst)
+    SnapshotLog.vacuum(spark, src, keepLast = 1, orphanGraceMs = 0L)
+    assert(tableRows(src) === snapOf(mSrc))
+    assert(tableRows(dst) === snapOf(mDst))
+  }
+
   test("random verb programs match the sequential model (seed 42)") {
     run(seed = 42, steps = 25)
   }
