@@ -97,15 +97,39 @@ object SnapshotLog {
       .collectFirst { case l if l.startsWith("#batch=") =>
         l.stripPrefix("#batch=").toLong }
 
-  /** The newest batch id committed ANYWHERE in the retained log — scans
-    * versions newest-first for a `#batch=` header. The replay guard must
-    * use this, not `batchOf(latest)`: a non-batch commit (deleteWhere,
-    * optimize, plain commit) landing between a batch commit and its
-    * at-least-once replay would otherwise blind the guard and the
-    * replayed batch's rows would be committed twice. */
-  def lastBatch(spark: SparkSession, dir: String): Option[Long] =
-    versions(spark, dir).reverseIterator
-      .flatMap(batchOf(spark, dir, _)).nextOption()
+  /** The replay high-water mark a non-batch commit carries forward
+    * (`#lastbatch=` header) so retention can never blind the guard. */
+  private def lastBatchHeaderOf(spark: SparkSession, dir: String,
+      v: Long): Option[Long] =
+    manifestLines(spark, dir, v)
+      .collectFirst { case l if l.startsWith("#lastbatch=") =>
+        l.stripPrefix("#lastbatch=").toLong }
+
+  /** The `#lastbatch=` header for a verb's commit: the current
+    * high-water mark, re-read inside the verb's retry loop. */
+  private def watermarkHeader(spark: SparkSession,
+      dir: String): Seq[String] =
+    lastBatch(spark, dir).map(b => s"#lastbatch=$b").toSeq
+
+  /** The newest batch id committed ANYWHERE in the retained log — the
+    * MAX over every retained version's `#batch=` (the ingesting commit)
+    * and `#lastbatch=` (the high-water mark every non-batch verb carries
+    * forward) headers. The replay guard must use this, not
+    * `batchOf(latest)`: a non-batch commit (deleteWhere, optimize, plain
+    * commit) landing between a batch commit and its at-least-once replay
+    * would otherwise blind the guard and the replayed batch's rows would
+    * be committed twice — and without the carried watermark, a vacuum
+    * that drops every `#batch=`-bearing version after a rewrite would do
+    * the same (ReplayGuardSpec pins it). Max, not newest-first: a
+    * RESTORE re-publishes an OLD `#batch=` header, and the mark must
+    * never move backwards. Cost: one tiny manifest read per retained
+    * version, the `history()` class. */
+  def lastBatch(spark: SparkSession, dir: String): Option[Long] = {
+    val vs = versions(spark, dir)
+    val ids = vs.flatMap(v => batchOf(spark, dir, v).toSeq ++
+      lastBatchHeaderOf(spark, dir, v).toSeq)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
 
   /** The table schema as of a version, if the manifest recorded one
     * (`#schema=` header; logs written before schema tracking have none). */
@@ -264,7 +288,8 @@ object SnapshotLog {
         validated = Some(checks)
       }
       commitFiles(spark, dir, files, commitId,
-        header = Seq(schemaHeader(df.schema)) ++ checkHeaders(checks),
+        header = Seq(schemaHeader(df.schema)) ++ checkHeaders(checks) ++
+          watermarkHeader(spark, dir),
         base = Some(latest)) match {
         case Some(v) => return v
         case None    => () // raced — re-read the carried metadata
@@ -507,7 +532,8 @@ object SnapshotLog {
       commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++
           propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
-          checkHeaders(checksOf(spark, dir, latest)),
+          checkHeaders(checksOf(spark, dir, latest)) ++
+          watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
         case Some(v) => return v
         case None    => () // raced — recompute against the new latest
@@ -584,7 +610,8 @@ object SnapshotLog {
       commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++
           propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
-          checkHeaders(checksOf(spark, dir, latest)),
+          checkHeaders(checksOf(spark, dir, latest)) ++
+          watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
         case Some(v) => return v
         case None    => () // raced — recompute against the new latest
@@ -716,7 +743,8 @@ object SnapshotLog {
           val commitId = java.util.UUID.randomUUID().toString
           commitFiles(spark, dir, writeData(spark, dir, upserts, commitId),
             commitId,
-            header = extraHeader :+ schemaHeader(upserts.schema),
+            header = (extraHeader :+ schemaHeader(upserts.schema)) ++
+              watermarkHeader(spark, dir),
             base = Some(None)) match {
             case Some(v) => return v
             case None    => () // raced a concurrent first commit — remerge
@@ -795,7 +823,8 @@ object SnapshotLog {
           commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
             header = extraHeader ++ Seq(schemaHeader(outSchema)) ++
               propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
-              checkHeaders(checksOf(spark, dir, latest)),
+              checkHeaders(checksOf(spark, dir, latest)) ++
+              watermarkHeader(spark, dir),
             base = Some(Some(latest))) match {
             case Some(v) => return v
             case None    => () // lost the race — recompute against new latest
@@ -885,7 +914,8 @@ object SnapshotLog {
       commitFiles(spark, dir, (large ++ fresh).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++
           propagatedStatHeaders(spark, dir, latest, large, fresh) ++
-          checkHeaders(checksOf(spark, dir, latest)),
+          checkHeaders(checksOf(spark, dir, latest)) ++
+          watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
         case Some(v) => return v
         case None    => () // raced — rebase (rewrite is vacuumable orphan)
@@ -1215,7 +1245,8 @@ object SnapshotLog {
       }
       commitFiles(spark, dir, files, commitId,
         header = Seq(schemaHeader(df.schema)) ++
-          statHeaders(spark, files, statCols) ++ checkHeaders(checks),
+          statHeaders(spark, files, statCols) ++ checkHeaders(checks) ++
+          watermarkHeader(spark, dir),
         base = Some(latest)) match {
         case Some(v) => return v
         case None    => () // raced — re-read the carried metadata
@@ -1245,7 +1276,8 @@ object SnapshotLog {
         l.startsWith("#dv=") || // dropping the DV would resurrect deletes
         l.startsWith("#check=")) // constraints travel with the table state
     commitFiles(spark, dir, files, java.util.UUID.randomUUID().toString,
-      header = header, base = Some(Some(latest)))
+      header = header ++ watermarkHeader(spark, dir),
+      base = Some(Some(latest)))
       .getOrElse(throw new IllegalStateException(
         s"restore to v$toV lost a race with a concurrent commit on $dir — " +
           "re-examine the new latest before retrying the rollback"))
@@ -1276,7 +1308,8 @@ object SnapshotLog {
       commitFiles(spark, dir, files, commitId,
         header = schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
           dvHeader ++ statHeaders(spark, files, statCols) ++
-          checkHeaders(checksOf(spark, dir, latest)),
+          checkHeaders(checksOf(spark, dir, latest)) ++
+          watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
         case Some(v) => return v
         case None    => () // raced — recompute over the new latest
@@ -1441,7 +1474,8 @@ object SnapshotLog {
       val header = Seq(s"#dv=$dvName") ++
         schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
         manifestLines(spark, dir, latest).filter(l =>
-          l.startsWith("#filestat=") || l.startsWith("#check="))
+          l.startsWith("#filestat=") || l.startsWith("#check=")) ++
+        watermarkHeader(spark, dir)
       commitFiles(spark, dir, current, dvName, header = header,
         base = Some(Some(latest))) match {
         case Some(v) => return v
@@ -1476,7 +1510,8 @@ object SnapshotLog {
       commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
         header = schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
           propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
-          checkHeaders(checksOf(spark, dir, latest)),
+          checkHeaders(checksOf(spark, dir, latest)) ++
+          watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
         case Some(v) => return v
         case None    => () // raced — recompute
@@ -1868,7 +1903,8 @@ object SnapshotLog {
           l.startsWith("#dv="))
       commitFiles(spark, dir, filesOf(spark, dir, latest),
         java.util.UUID.randomUUID().toString,
-        header = carried ++ checkHeaders(existing :+ (name -> sqlExpr)),
+        header = carried ++ checkHeaders(existing :+ (name -> sqlExpr)) ++
+          watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
         case Some(v) => return v
         case None    => () // raced — revalidate against the new latest
@@ -1893,7 +1929,9 @@ object SnapshotLog {
           l.startsWith("#dv="))
       commitFiles(spark, dir, filesOf(spark, dir, latest),
         java.util.UUID.randomUUID().toString,
-        header = carried ++ checkHeaders(existing.filterNot(_._1 == name)),
+        header = carried ++
+          checkHeaders(existing.filterNot(_._1 == name)) ++
+          watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
         case Some(v) => return v
         case None    => ()
@@ -1956,7 +1994,8 @@ object SnapshotLog {
         l.startsWith("#dv=") || l.startsWith("#batch=") ||
         l.startsWith("#check="))
     commitFiles(spark, dstDir, filesOf(spark, srcDir, v),
-      java.util.UUID.randomUUID().toString, header = header).get
+      java.util.UUID.randomUUID().toString,
+      header = header ++ watermarkHeader(spark, srcDir)).get
   }
 
   /** Break a clone's dependence on its source: rewrite every BORROWED
@@ -1993,7 +2032,8 @@ object SnapshotLog {
       commitFiles(spark, dir, (own ++ fresh).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++
           propagatedStatHeaders(spark, dir, latest, own, fresh) ++
-          checkHeaders(checksOf(spark, dir, latest)),
+          checkHeaders(checksOf(spark, dir, latest)) ++
+          watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
         case Some(v) => return v
         case None    => () // raced — recompute against the new latest
