@@ -1548,7 +1548,8 @@ object SnapshotLog {
     read(spark, dir, Some(versionAsOf(spark, dir, tsMillis)))
 
   /** DESCRIBE HISTORY for a snapshot log: one row per retained version —
-    * (version, batch_id, n_files, n_columns, has_dv, committed_at) —
+    * (version, batch_id, n_files, n_columns, has_dv, n_checks,
+    * replay_mark, committed_at) —
     * read from
     * manifests alone (no data file opens; committed_at = the manifest's
     * rename time, the commit point by construction). The operational
@@ -1561,11 +1562,13 @@ object SnapshotLog {
       val nCols = schemaOf(spark, dir, v).map(_.fields.length.toLong)
       val mtime = f.getFileStatus(manifestPath(dir, v)).getModificationTime
       (v, batch, nFiles, nCols, dvOf(spark, dir, v).isDefined,
+        checksOf(spark, dir, v).size.toLong,
+        lastBatchHeaderOf(spark, dir, v).orElse(batch),
         new java.sql.Timestamp(mtime))
     }
     import spark.implicits._
     rows.toDF("version", "batch_id", "n_files", "n_columns", "has_dv",
-      "committed_at")
+      "n_checks", "replay_mark", "committed_at")
   }
 
   // -------------------------------------------------------------------

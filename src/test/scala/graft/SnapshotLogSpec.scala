@@ -380,7 +380,12 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(h.forall(_.getLong(2) > 0))   // n_files
     assert(h.forall(r => r.getLong(3) === 2L)) // n_columns from #schema=
     assert(h.forall(!_.getBoolean(4)))   // no deletion vectors here
-    assert(h.forall(!_.isNullAt(5)))     // committed_at
+    assert(h.map(_.getLong(5)).toSeq === Seq(0L, 0L, 0L)) // n_checks
+    // replay_mark: the batch commit stamps itself; the rewrite carries
+    // the high-water mark forward
+    assert(h.map(r => Option(r.get(6))).toSeq ===
+      Seq(None, Some(7L), Some(7L)))
+    assert(h.forall(!_.isNullAt(7)))     // committed_at
   }
 
   test("SQL table functions: snapshot_of time travel and snapshot_history") {
