@@ -151,28 +151,63 @@ object CdcIndex {
       .limit(k)
   }
 
-  /** Physically apply the mask: rewrite live postings/doclens as the
-    * generation −1 partition set, then drop the old stores and the
-    * tombstones. Staged under `_compact_tmp` and swapped by rename
-    * (Maintenance's recipe); a crash before the swap leaves the live
-    * stores untouched. Returns (postings dropped, tombstones cleared). */
+  /** Physically apply the mask: rewrite live postings/doclens of every
+    * CHECKPOINT-SAFE batch as the generation −1 partition set, drop the
+    * applied tombstones — but keep the NEWEST batch's partitions and
+    * tombstones verbatim, because that one batch may still replay
+    * (at-least-once) and must overwrite exactly its own partitions.
+    * Staged under `_compact_tmp` and swapped by rename (Maintenance's
+    * recipe); a crash before the swap leaves the live stores untouched.
+    * Returns (postings dropped, tombstones cleared). */
   def compact(spark: SparkSession, dir: String): (Long, Long) = {
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mask = maskFrame(spark, dir)
     val nTomb = mask.count()
     if (nTomb == 0) return (0L, 0L)
     val postings = spark.read.parquet(postingsPath(dir))
+    val lens = spark.read.parquet(doclensPath(dir))
+    val tombs = readOrEmpty(spark, tombstonesPath(dir),
+      StructType(tombSchema.fields :+ StructField("batch_id", LongType)))
+    // The NEWEST stream batch may not have reached the sink checkpoint
+    // when the stream stopped — its at-least-once replay
+    // dynamic-overwrites its own partitions on resume. Those partitions
+    // must therefore survive compaction VERBATIM: folding them into
+    // generation −1 would leave the replayed copy duplicated beside the
+    // folded one, and a plain INSERT has no tombstone to heal it
+    // (CdcIndexSpec pins the replay-after-compact law). Every OLDER
+    // batch is checkpoint-committed by Spark's in-order batch contract
+    // and folds safely. Generation id −1: batch ids start at 0, so a
+    // replay can never overwrite the folded partitions.
+    val maxRow = postings.select(col("batch_id"))
+      .unionByName(lens.select(col("batch_id")))
+      .unionByName(tombs.select(col("batch_id")))
+      .agg(max("batch_id")).head
+    val maxBatch = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
     val before = postings.count()
-    // generation id -1: stream batch ids start at 0, so a replayed batch
-    // can never dynamic-overwrite the compacted generation's partitions
-    val livePost = maskedOut(postings, mask).withColumn("batch_id", lit(-1L))
-    val liveLens = maskedOut(spark.read.parquet(doclensPath(dir)), mask)
-      .withColumn("batch_id", lit(-1L))
+    def split(df: DataFrame): (DataFrame, DataFrame) =
+      (df.filter(col("batch_id") =!= maxBatch),
+        df.filter(col("batch_id") === maxBatch))
+    val (foldP, keepP) = split(postings)
+    val (foldL, keepL) = split(lens)
+    val livePost = maskedOut(foldP, mask).withColumn("batch_id", lit(-1L))
+      .unionByName(keepP)
+    val liveLens = maskedOut(foldL, mask).withColumn("batch_id", lit(-1L))
+      .unionByName(keepL)
+    // only the newest batch's tombstones remain live (they mask the
+    // folded −1 generation of their docs — which holds no rows for those
+    // docs, since the fold already applied them — and a replay rewrites
+    // exactly this partition); older tombstones are fully applied
+    val keptTombs = tombs.filter(col("batch_id") === maxBatch)
+    val nKeptTombRows = keptTombs.count()
+    val nTombRows = tombs.count() // before the swap deletes the old files
     val tmpP = s"$dir/_compact_tmp/postings"
     val tmpL = s"$dir/_compact_tmp/doclens"
+    val tmpT = s"$dir/_compact_tmp/tombstones"
     livePost.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("batch_id", "bucket").parquet(tmpP)
     liveLens.write.mode("overwrite").partitionBy("batch_id").parquet(tmpL)
+    if (nKeptTombRows > 0)
+      keptTombs.write.mode("overwrite").partitionBy("batch_id").parquet(tmpT)
     val after = spark.read.parquet(tmpP).count()
     // swap: the index is briefly absent, never half-old-half-new; a
     // crash mid-swap is healed by re-running compact's renames manually
@@ -182,8 +217,10 @@ object CdcIndex {
     f.delete(new Path(doclensPath(dir)), true)
     f.rename(new Path(tmpL), new Path(doclensPath(dir)))
     f.delete(new Path(tombstonesPath(dir)), true)
+    if (nKeptTombRows > 0)
+      f.rename(new Path(tmpT), new Path(tombstonesPath(dir)))
     f.delete(new Path(s"$dir/_compact_tmp"), true)
-    (before - after, nTomb)
+    (before - after, nTombRows - nKeptTombRows)
   }
 
   /** Wire a CDC change stream (op, doc_id, text) into the index. */

@@ -173,11 +173,17 @@ object CdcIvf {
       k, nProbe, excludeId = Some(probeId))
   }
 
-  /** Physically apply the mask: rewrite live vectors as the generation −1
-    * partition set, drop the old store and the tombstones (the
-    * [[CdcIndex.compact]] stage-then-swap recipe; generation −1 can never
-    * collide with a replayed stream batch id). Returns (rows dropped,
-    * tombstones cleared). */
+  /** Physically apply the mask: rewrite live vectors of every
+    * CHECKPOINT-SAFE batch as the generation −1 partition set and drop
+    * the applied tombstones — but keep the NEWEST batch's partitions and
+    * tombstones verbatim, because that one batch may still replay
+    * (at-least-once) and must dynamic-overwrite exactly its own
+    * partitions; folding it would leave the replayed copy duplicated
+    * beside the folded one, and a plain insert has no tombstone to heal
+    * it (the [[CdcIndex.compact]] replay-after-compact law; CdcIvfSpec
+    * pins it here). Stage-then-swap under `_compact_tmp`; generation −1
+    * can never collide with a replayed stream batch id. Returns (rows
+    * dropped, tombstones cleared). */
   def compact(spark: SparkSession, dir: String): (Long, Long) = {
     val f = fs(spark, dir)
     val mask = maskFrame(spark, dir)
@@ -185,17 +191,33 @@ object CdcIvf {
     if (nTomb == 0) return (0L, 0L)
     val vectors = spark.read.parquet(vectorsPath(dir))
       .withColumn("batch_id", col("batch_id").cast(LongType))
+    val tombs = readOrEmpty(spark, tombstonesPath(dir),
+      StructType(tombSchema.fields :+ StructField("batch_id", LongType)))
+    val maxRow = vectors.select(col("batch_id"))
+      .unionByName(tombs.select(col("batch_id")))
+      .agg(max("batch_id")).head
+    val maxBatch = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
     val before = vectors.count()
-    val live = maskedOut(vectors, mask).withColumn("batch_id", lit(-1L))
+    val live = maskedOut(vectors.filter(col("batch_id") =!= maxBatch), mask)
+      .withColumn("batch_id", lit(-1L))
+      .unionByName(vectors.filter(col("batch_id") === maxBatch))
+    val keptTombs = tombs.filter(col("batch_id") === maxBatch)
+    val nKeptTombRows = keptTombs.count()
+    val nTombRows = tombs.count() // before the swap deletes the old files
     val tmp = s"$dir/_compact_tmp/vectors"
+    val tmpT = s"$dir/_compact_tmp/tombstones"
     live.repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("batch_id", "list_id").parquet(tmp)
+    if (nKeptTombRows > 0)
+      keptTombs.write.mode("overwrite").partitionBy("batch_id").parquet(tmpT)
     val after = spark.read.parquet(tmp).count()
     f.delete(new Path(vectorsPath(dir)), true)
     f.rename(new Path(tmp), new Path(vectorsPath(dir)))
     f.delete(new Path(tombstonesPath(dir)), true)
+    if (nKeptTombRows > 0)
+      f.rename(new Path(tmpT), new Path(tombstonesPath(dir)))
     f.delete(new Path(s"$dir/_compact_tmp"), true)
-    (before - after, nTomb)
+    (before - after, nTombRows - nKeptTombRows)
   }
 
   /** Wire an embedding change stream (op, vec_id, embedding) into the

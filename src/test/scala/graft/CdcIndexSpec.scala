@@ -54,10 +54,12 @@ class CdcIndexSpec extends AnyFunSuite with SparkFixture {
     CdcIndex.applyChanges(spark, changes, 1L, dir)
     assert(indexTop10(dir) === expectTop10(current))
 
-    // compact: physical apply, tombstones cleared, same answer
+    // compact: physical apply of every CHECKPOINT-SAFE batch. The newest
+    // batch (1) may still replay, so its partitions and tombstones stay
+    // verbatim — cleared is 0 here, and the answer is unchanged
     val (dropped, cleared) = CdcIndex.compact(spark, dir)
-    assert(dropped > 0 && cleared === 2L)
-    assert(!new java.io.File(CdcIndex.tombstonesPath(dir)).exists())
+    assert(dropped > 0 && cleared === 0L)
+    assert(new java.io.File(CdcIndex.tombstonesPath(dir)).exists())
     assert(indexTop10(dir) === expectTop10(current))
 
     // post-compaction life continues: a new delete works on generation -1
@@ -66,6 +68,37 @@ class CdcIndexSpec extends AnyFunSuite with SparkFixture {
       2L, dir)
     val afterDel = current.filter(col("doc_id") =!= 7L)
     assert(indexTop10(dir) === expectTop10(afterDel))
+
+    // once batch 2 is the newest, a second compact folds batch 1 away and
+    // clears ITS tombstones, keeping only batch 2's
+    val (_, cleared2) = CdcIndex.compact(spark, dir)
+    assert(cleared2 === 2L)
+    assert(indexTop10(dir) === expectTop10(afterDel))
+  }
+
+  test("replay of the newest batch after compact does not duplicate inserts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdcidx").toString + "/idx"
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+    CdcIndex.applyChanges(spark,
+      docs.withColumn("op", lit("I")).select("op", "doc_id", "text"), 0L, dir)
+    // batch 1: a plain INSERT (no tombstone — the self-healing U/D mask
+    // cannot rescue a duplicated insert) plus a DELETE so compact has
+    // tombstones to apply and actually folds the store
+    val b1 = Seq(("I", 100000L, "join fast table join fast"),
+      ("D", 3L, null.asInstanceOf[String]))
+      .toDF("op", "doc_id", "text")
+    CdcIndex.applyChanges(spark, b1, 1L, dir)
+    val current = docs.filter(col("doc_id") =!= 3L).unionByName(
+      Seq((100000L, "join fast table join fast")).toDF("doc_id", "text"))
+    assert(indexTop10(dir) === expectTop10(current))
+    CdcIndex.compact(spark, dir)
+    // the stream crashed before its checkpoint committed batch 1: on
+    // resume, foreachBatch replays it (at-least-once). The index must
+    // still equal the corpus — no double-counted postings.
+    CdcIndex.applyChanges(spark, b1, 1L, dir)
+    assert(indexTop10(dir) === expectTop10(current),
+      "replayed insert duplicated against its own compacted copy")
   }
 
   test("update in the same batch as older postings masks old, keeps new") {

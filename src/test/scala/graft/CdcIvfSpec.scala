@@ -65,21 +65,42 @@ class CdcIvfSpec extends AnyFunSuite with SparkFixture {
     CdcIvf.applyChanges(spark, upd.unionByName(del), 1L, dir)
     assert(top10(dir) === expect1, "after replaying batch 1")
 
-    // compaction: physical apply, tombstones cleared, identical probes
+    // compaction folds every CHECKPOINT-SAFE batch; the newest (1) may
+    // still replay, so its partitions and tombstones survive verbatim —
+    // cleared is 0 here and probes are identical
     val (dropped, cleared) = CdcIvf.compact(spark, dir)
-    assert(dropped > 0 && cleared > 0)
-    assert(!new java.io.File(CdcIvf.tombstonesPath(dir)).exists())
+    assert(dropped > 0 && cleared === 0L)
+    assert(new java.io.File(CdcIvf.tombstonesPath(dir)).exists())
     assert(top10(dir) === expect1, "after compaction")
+    // replaying the kept newest batch is still a byte-identical no-op
+    CdcIvf.applyChanges(spark, upd.unionByName(del), 1L, dir)
+    assert(top10(dir) === expect1, "replay after compaction")
 
-    // post-compaction life continues on generation -1
+    // post-compaction life: batch 2 deletes the top hit AND inserts a
+    // fresh vector (an insert has no tombstone — the replay law's
+    // hardest case)
     val victim = expect1.head._1
-    CdcIvf.applyChanges(spark,
+    val fresh = e.filter(col("vec_id") % 7 === 0).limit(1)
+      .select(lit("I").as("op"), col("vec_id"), col("embedding"))
+    val freshId = fresh.select("vec_id").head.getLong(0)
+    val b2 = fresh.unionByName(
       spark.range(1).select(lit("D").as("op"), lit(victim).as("vec_id"),
-        lit(null).cast("array<float>").as("embedding")),
-      2L, dir)
+        lit(null).cast("array<float>").as("embedding")))
+    CdcIvf.applyChanges(spark, b2, 2L, dir)
     val cur2 = cur1.filter(col("vec_id") =!= victim)
-    assert(top10(dir) === rebuildTop10(cur2, cents), "delete after compaction")
+      .unionByName(e.filter(col("vec_id") === freshId))
+    val expect2 = rebuildTop10(cur2, cents)
+    assert(top10(dir) === expect2, "delete+insert after compaction")
     assert(!top10(dir).exists(_._1 === victim))
+
+    // second compact folds batch 1 (cleared now), keeps batch 2; a
+    // replay of batch 2 must not duplicate its INSERT against the fold
+    val (_, cleared2) = CdcIvf.compact(spark, dir)
+    assert(cleared2 > 0L)
+    assert(top10(dir) === expect2, "after second compaction")
+    CdcIvf.applyChanges(spark, b2, 2L, dir)
+    assert(top10(dir) === expect2,
+      "replayed insert duplicated against its own compacted copy")
   }
 
   test("same-batch insert-then-delete stays dead; queryById guards") {
