@@ -107,5 +107,58 @@ object VectorOps {
       .orderBy("label")
   }
 
-  val all: Seq[Q] = Seq(vecQuantize, embedNorm)
+  /** Embedding label-cohesion audit: mean cosine similarity of
+    * successor-id vector pairs, split by whether the pair shares a label
+    * — the "are my cluster labels real" gauge next to [[embedNorm]]'s
+    * magnitude pre-flight and q_embed_drift's distribution monitor. A
+    * healthy labeled space shows intra-label means well above
+    * cross-label means; a collapsed or shuffled space shows no gap.
+    *
+    * Scale discipline: pairing is the SUCCESSOR-ID equi-join
+    * (b.vec_id = a.vec_id + 1) — a deterministic O(n) sample of pairs
+    * with ZERO windows (a per-label rank window would sort each label's
+    * corpus in one task, the group-size cliff this repo eradicated).
+    * Every pair cosine snaps to integer micro-units (floor — identical
+    * both engines) BEFORE aggregation, so the per-group sums are
+    * fold-order-free; the mean is one terminal IEEE division of exact
+    * integers. Dot/norm fold order matches DuckDB's list_sum exactly
+    * (the q_sim_topk bit-identity recipe, native codegen'd loops). */
+  val labelCohesion: Q = Q.checked(
+    "q_label_cohesion",
+    """WITH p AS (
+      |  SELECT a.label AS label, (a.label = b.label) AS same_label,
+      |    CAST(floor(1000000 *
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> CAST(a.embedding[i] AS DOUBLE)
+      |           * CAST(b.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(a.embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(b.embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS BIGINT)
+      |      AS cos_micro
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
+      |SELECT label, same_label, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(cos_micro) AS DOUBLE) / count(*) AS mean_cos_micro
+      |FROM p GROUP BY label, same_label
+      |ORDER BY label, same_label""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.VectorExprs.{dotVec, norm2}
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+      col("label"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+      col("label").as("lb"))
+    a.join(b, col("idb") === col("ida") + 1)
+      .select(col("label"), (col("label") === col("lb")).as("same_label"),
+        floor(lit(1000000.0) * dotVec(col("ea"), col("eb"))
+          / (sqrt(norm2(col("ea"))) * sqrt(norm2(col("eb")))))
+          .cast(LongType).as("cos_micro"))
+      .groupBy("label", "same_label")
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum("cos_micro").cast(DoubleType) / count(lit(1)))
+          .as("mean_cos_micro"))
+      .orderBy("label", "same_label")
+  }
+
+  val all: Seq[Q] = Seq(vecQuantize, embedNorm, labelCohesion)
 }
