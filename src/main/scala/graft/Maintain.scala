@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions.expr
   * sbt "runMain graft.Maintain <tableDir> drop-check <name>"
   * sbt "runMain graft.Maintain <tableDir> delete-where <sqlPred>"
   * sbt "runMain graft.Maintain <tableDir> update-where <col> <valueExpr> <sqlPred>"
+  * sbt "runMain graft.Maintain <indexDir> compact-index bm25|ivf"
   * }}}
   *
   * Every verb is the library call a scheduler would script — this main
@@ -85,6 +86,15 @@ object Maintain {
           println(s"[maintain] update-where -> v${SnapshotLog.updateWhere(
             spark, dir, expr(rest.drop(2).mkString(" ")),
             Map(rest.head -> expr(rest(1))))}")
+        case "compact-index" => // bm25 | ivf — dir is the INDEX dir here
+          val (dropped, cleared) = rest.headOption match {
+            case Some("bm25") => graft.streaming.CdcIndex.compact(spark, dir)
+            case Some("ivf")  => graft.streaming.CdcIvf.compact(spark, dir)
+            case other => throw new IllegalArgumentException(
+              s"compact-index needs bm25|ivf, got $other")
+          }
+          println(s"[maintain] compact-index dropped $dropped row(s), " +
+            s"cleared $cleared tombstone(s)")
         case other =>
           throw new IllegalArgumentException(s"unknown verb '$other'")
     }

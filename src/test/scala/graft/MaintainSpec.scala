@@ -44,4 +44,23 @@ class MaintainSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](
       Maintain.run(spark, Seq(dir, "frobnicate")))
   }
+
+  test("compact-index drives the BM25 index compaction end-to-end") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("maintain").toString + "/idx"
+    graft.streaming.CdcIndex.applyChanges(spark,
+      Seq(("I", 1L, "alpha beta"), ("I", 2L, "beta gamma"))
+        .toDF("op", "doc_id", "text"), 0L, idx)
+    graft.streaming.CdcIndex.applyChanges(spark,
+      Seq(("D", 1L, null.asInstanceOf[String]), ("I", 3L, "gamma delta"))
+        .toDF("op", "doc_id", "text"), 1L, idx)
+    graft.streaming.CdcIndex.applyChanges(spark,
+      Seq(("I", 4L, "delta beta")).toDF("op", "doc_id", "text"), 2L, idx)
+    Maintain.run(spark, Seq(idx, "compact-index", "bm25"))
+    val hits = graft.streaming.CdcIndex.query(spark, idx, Seq("beta"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hits === Set(2L, 4L), "compacted index must serve live docs only")
+    intercept[IllegalArgumentException](
+      Maintain.run(spark, Seq(idx, "compact-index", "nope")))
+  }
 }
