@@ -54,9 +54,12 @@ object Maintain {
           require(rest.nonEmpty, "analyze needs at least one column")
           println(s"[maintain] analyze -> v${
             SnapshotLog.analyze(spark, dir, rest)}")
-        case "vacuum" =>
+        case "vacuum" => // [keepLast [minAgeHours]]
           val keep = rest.headOption.map(_.toInt).getOrElse(3)
-          val (vs, files) = SnapshotLog.vacuum(spark, dir, keepLast = keep)
+          val minAge = rest.lift(1).map(_.toDouble * 3600 * 1000)
+            .map(_.toLong).getOrElse(0L)
+          val (vs, files) = SnapshotLog.vacuum(spark, dir, keepLast = keep,
+            minAgeMs = minAge)
           println(s"[maintain] vacuum dropped $vs version(s), $files file(s)")
         case "restore" =>
           println(s"[maintain] restore -> v${

@@ -39,6 +39,9 @@ class MaintainSpec extends AnyFunSuite with SparkFixture {
     assert(SnapshotLog.read(spark, dir).count() === 20)
     assert(SnapshotLog.checksOf(spark, dir,
       SnapshotLog.versions(spark, dir).last).isEmpty)
+    // with a 24h retention nothing this young may drop
+    Maintain.run(spark, Seq(dir, "vacuum", "1", "24"))
+    assert(SnapshotLog.versions(spark, dir).size > 1)
     Maintain.run(spark, Seq(dir, "vacuum", "1"))
     assert(SnapshotLog.versions(spark, dir).size === 1)
     intercept[IllegalArgumentException](
