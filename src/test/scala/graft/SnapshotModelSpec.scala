@@ -56,7 +56,7 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
 
     while (step < steps) {
       step += 1
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 | 1 => // append a batch of fresh-keyed rows (base schema)
           val rows = (0 until 1 + rnd.nextInt(4))
             .map(j => (step * 100L + j, s"a$step-$j"))
@@ -117,7 +117,25 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
             record(SnapshotLog.updateWhere(spark, dir, col("k") % m === r,
               Map("v" -> concat(lit(s"U$step-"), col("k") % m))))
           }
-        case 9 => // timestamp time travel must resolve to the newest version
+        case 9 => // constraint toggle: metadata rides every other verb;
+          // while present, a violating append must refuse atomically
+          val latest = SnapshotLog.versions(spark, dir).last
+          if (SnapshotLog.checksOf(spark, dir, latest).isEmpty) {
+            record(SnapshotLog.addCheck(spark, dir, "k_floor", "k > -100"))
+            val vsBefore = SnapshotLog.versions(spark, dir)
+            val refused =
+              try {
+                SnapshotLog.commitBatch(spark, dir,
+                  Seq((-500L, "bad")).toDF("k", "v"), nextBatch)
+                false
+              } catch { case _: IllegalArgumentException => true }
+            assert(refused, s"[seed $seed step $step] violating batch landed")
+            assert(SnapshotLog.versions(spark, dir) === vsBefore,
+              s"[seed $seed step $step] refusal must commit nothing")
+          } else {
+            record(SnapshotLog.dropCheck(spark, dir, "k_floor"))
+          }
+        case 10 => // timestamp time travel must resolve to the newest version
           val v = SnapshotLog.versionAsOf(spark, dir, System.currentTimeMillis())
           assert(v === SnapshotLog.versions(spark, dir).last,
             s"[seed $seed step $step] asOf(now) must be the latest version")
