@@ -348,7 +348,45 @@ object AuditOps {
       .orderBy("source")
   }
 
+  /** Cross-source near-duplicate overlap matrix — which source PAIRS
+    * share content fingerprints, and how many: the companion table to
+    * [[datasetCard]]'s intra-source dup rate (a hot overlap cell means
+    * one source mirrors another — deduplicate ACROSS them before
+    * weighting the mix). The fingerprint is the 40-char prefix blocking
+    * key the near-dup clustering pillar already uses
+    * (q_cluster_canonical / q_split_leakfree), so a cell counts exactly
+    * the cross-source candidate edges that clustering would chase —
+    * the md5-exact grain shows empty on corpora whose copies are
+    * near-copies, which is the common 100 TB reality.
+    *
+    * Scale: the corpus collapses to DISTINCT (fingerprint, source)
+    * FIRST — the join runs at fingerprint grain, never document grain,
+    * and the pair fan-out per fingerprint is bounded by the SOURCE
+    * count (a key shared by all S sources yields C(S,2) pairs, S being
+    * tens, not rows). Exact BIGINT counts; ordered (source_a <
+    * source_b) cells. */
+  val sourceOverlap: Q = Q.checked(
+    "q_source_overlap",
+    """WITH t AS (SELECT DISTINCT substring(text, 1, 40) AS h, source
+      |           FROM documents)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared_keys
+      |FROM t a JOIN t b ON a.h = b.h AND a.source < b.source
+      |GROUP BY a.source, b.source
+      |ORDER BY source_a, source_b""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .select(substring(col("text"), 1, 40).as("h"), col("source"))
+      .distinct()
+    val a = t.select(col("h"), col("source").as("source_a"))
+    val b = t.select(col("h").as("hb"), col("source").as("source_b"))
+    a.join(b, col("h") === col("hb") && col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_keys"))
+      .orderBy("source_a", "source_b")
+  }
+
   val all: Seq[Q] =
     Seq(fkAudit, chisq, joinSizeEst, benford, skewReport, embedDrift,
-      datasetCard)
+      datasetCard, sourceOverlap)
 }
