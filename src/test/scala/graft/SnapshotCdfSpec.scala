@@ -73,6 +73,33 @@ class SnapshotCdfSpec extends AnyFunSuite with SparkFixture {
       "COW survivors rewritten verbatim must cancel out of the feed")
   }
 
+  test("a subscriber whose cursor fell behind retention fails loudly") {
+    import spark.implicits._
+    val dir = freshDir()
+    val cursor = dir + ".cursor"
+    SnapshotLog.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    // first poll + ack pins the cursor at v1
+    val (_, v1) = SnapshotLog.pollChanges(spark, dir, cursor).get
+    SnapshotLog.ackChanges(spark, dir, cursor, v1)
+    SnapshotLog.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    SnapshotLog.commit(spark, dir, Seq((3L, "c")).toDF("k", "v"))
+    // retention outruns the consumer: v1 is vacuumed away
+    SnapshotLog.vacuum(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    // the poll must fail LOUDLY — a silent skip would lose the v1→v2
+    // deletes and corrupt every replica downstream; the operator either
+    // re-seeds the consumer (delete the cursor → full re-poll) or
+    // widens retention (vacuum minAgeMs)
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.pollChanges(spark, dir, cursor))
+    assert(e.getMessage.contains("retained"), e.getMessage)
+    // re-seeding: a fresh cursor re-delivers the full current table
+    val f = new org.apache.hadoop.fs.Path(cursor)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(cursor), false)
+    val (feed, _) = SnapshotLog.pollChanges(spark, dir, cursor).get
+    assert(feed.count() === 1L) // the current table, as inserts
+  }
+
   test("snapshot_changes TVF: the feed is queryable from pure SQL") {
     import spark.implicits._
     val dir = freshDir()
