@@ -210,4 +210,8 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
   test("random verb programs match the sequential model (seed 271828)") {
     run(seed = 271828, steps = 25)
   }
+
+  test("random verb programs match the sequential model (seed 9001)") {
+    run(seed = 9001, steps = 25)
+  }
 }
