@@ -693,15 +693,35 @@ object SnapshotLog {
     * file-max); stat-less files are conservatively kept. Exposed for
     * the spec to hold the prune accountable. */
   private[graft] def pruneByStats(files: Seq[String],
-      stats: Map[String, Map[String, (Long, Long)]], k: String,
+      stats: Map[String, Map[String, ColStat]], k: String,
       ks: Array[Long]): Seq[String] =
     files.filter { p =>
       stats.get(p).flatMap(_.get(k)) match {
-        case Some((mn, mx)) =>
+        case Some(LongStat(mn, mx)) =>
           val i = java.util.Arrays.binarySearch(ks, mn)
           val from = if (i >= 0) i else -i - 1
           from < ks.length && ks(from) <= mx
-        case None => true
+        case _ => true // no stat, or a differently-typed one — keep
+      }
+    }
+
+  /** [[pruneByStats]] for string keys: same first-key-≥-file-min binary
+    * search, in UTF-8 order, against the truncated [[StrStat]] range
+    * (`hi` None = +∞ keeps the file for any key ≥ its min). */
+  private[graft] def pruneByStatsStr(files: Seq[String],
+      stats: Map[String, Map[String, ColStat]], k: String,
+      ks: Array[String]): Seq[String] =
+    files.filter { p =>
+      stats.get(p).flatMap(_.get(k)) match {
+        case Some(StrStat(mn, mxOpt)) =>
+          var lo = 0
+          var hi = ks.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (utf8Cmp(ks(mid), mn) < 0) lo = mid + 1 else hi = mid
+          }
+          lo < ks.length && mxOpt.forall(mx => utf8Cmp(ks(lo), mx) <= 0)
+        case _ => true
       }
     }
 
@@ -770,26 +790,42 @@ object SnapshotLog {
           // Cold files are never opened at all, versus the general
           // semi-join path whose join-shaped filter cannot skip files.
           val stats = fileStatsOf(spark, dir, latest)
-          // LongType only: an isin of Long literals against a Long
-          // column needs no cast, so parquet pushdown stays intact
+          // any stat-encodable single key qualifies: the isin literals
+          // keep the column's own type (no cast), so parquet row-group
+          // pushdown stays intact, and the planning-time prune runs on
+          // the matching stat domain (long encoding, or UTF-8-ordered
+          // truncated string ranges)
           val statKey = keys match {
             case Seq(k) if stats.nonEmpty && stats.values.exists(_.contains(k))
-              && changes.schema(k).dataType ==
-                org.apache.spark.sql.types.LongType => Some(k)
+              && statEncodable(changes.schema(k).dataType) => Some(k)
             case _ => None
           }
-          val sortedKeys: Option[Array[Long]] = statKey.flatMap { k =>
-            val n = keyFrame.limit(100001).count()
-            if (n > 100000) None // not sparse — use the general path
-            else Some(keyFrame.select(col(k)).collect()
-              .map(_.getLong(0)).sorted)
-          }
-          val affected = (statKey, sortedKeys) match {
-            case (Some(k), Some(ks)) =>
-              val candidates = pruneByStats(current, stats, k, ks)
+          // (candidate files, isin literals) — None when not sparse
+          val fastPath: Option[(Seq[String], Array[Any])] =
+            statKey.flatMap { k =>
+              val n = keyFrame.limit(100001).count()
+              if (n > 100000) None // not sparse — use the general path
+              else {
+                val vals = keyFrame.select(col(k)).collect().map(_.get(0))
+                val candidates = changes.schema(k).dataType match {
+                  case org.apache.spark.sql.types.StringType =>
+                    val ks = vals.map(_.asInstanceOf[String])
+                    java.util.Arrays.sort(ks,
+                      (a: String, b: String) => utf8Cmp(a, b))
+                    pruneByStatsStr(current, stats, k, ks)
+                  case _ =>
+                    pruneByStats(current, stats, k,
+                      vals.map(encodeStatLong).sorted)
+                }
+                Some((candidates, vals))
+              }
+            }
+          val affected = fastPath match {
+            case Some((candidates, ks)) =>
+              val k = statKey.get
               if (candidates.isEmpty) Set.empty[String]
               else readCur(candidates)
-                .filter(col(k).isin(ks.map(Long.box): _*))
+                .filter(col(k).isin(ks.toSeq: _*))
                 .select(input_file_name().as("__f"))
                 .distinct().collect().map(_.getString(0)).toSet
             case _ =>
@@ -1149,13 +1185,119 @@ object SnapshotLog {
   // Per-file column stats (zone maps) — planning-time file skipping
   // -------------------------------------------------------------------
 
-  /** Manifest stat header: `#filestat=<path>\t<col>:<min>:<max>[\t...]`.
-    * Integral columns only (exact compares, no float-rounding edge at
-    * the bounds); a column that is all-NULL in a file is omitted (the
-    * file is conservatively kept by every prune). */
-  private def statLine(path: String, stats: Seq[(String, Long, Long)]) =
-    s"#filestat=$path" + stats.map { case (c, lo, hi) => s"\t$c:$lo:$hi" }
-      .mkString
+  /** Typed per-file column statistic recorded in the manifest.
+    * [[LongStat]] is the ORDER-PRESERVING long encoding shared by every
+    * non-string orderable type (ints verbatim, dates as epoch days,
+    * timestamps as epoch micros, decimals p≤18 as the unscaled long —
+    * all strictly monotone in the column's SQL ordering, so long
+    * compares on the encoding decide range intersection exactly).
+    * [[StrStat]] is the Iceberg-style truncated string range: `lo` is a
+    * ≤[[StatTruncLen]]-codepoint PREFIX of the file minimum (a prefix
+    * is ≤ the full string, so always a valid lower bound); `hi` is the
+    * truncated maximum with its last code point incremented (strictly >
+    * anything sharing the prefix, so a valid upper bound), or None for
+    * "+∞" when every retained code point is already U+10FFFF. */
+  private[graft] sealed trait ColStat
+  private[graft] final case class LongStat(lo: Long, hi: Long) extends ColStat
+  private[graft] final case class StrStat(lo: String, hi: Option[String])
+    extends ColStat
+
+  private[graft] val StatTruncLen = 32
+
+  /** UTF-8 byte order — Spark's UTF8_BINARY string ordering, which the
+    * recorded min/max were computed under. Java's String.compareTo is
+    * UTF-16 order and disagrees for supplementary characters vs
+    * U+E000..U+FFFF, so driver-side prune compares must NOT use it. */
+  private[graft] def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Truncate a file-minimum to a valid (possibly shorter) lower bound:
+    * a prefix never exceeds the original in UTF-8 order. Never splits a
+    * surrogate pair (the dangling high surrogate would re-encode as a
+    * replacement char and break the bound). */
+  private[graft] def truncStatMin(s: String): String =
+    if (s.length <= StatTruncLen) s
+    else {
+      val cut = if (Character.isHighSurrogate(s.charAt(StatTruncLen - 1)))
+        StatTruncLen - 1 else StatTruncLen
+      s.substring(0, cut)
+    }
+
+  /** Truncate a file-maximum to a valid upper bound: take the prefix,
+    * then INCREMENT its last incrementable code point (skipping the
+    * surrogate gap upward — a larger bound is still a bound) and drop
+    * the tail. None = no incrementable code point remains ("+∞"). */
+  private[graft] def truncStatMax(s: String): Option[String] =
+    if (s.length <= StatTruncLen) Some(s)
+    else {
+      val cps = truncStatMin(s).codePoints().toArray
+      var i = cps.length - 1
+      while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
+      if (i < 0) None
+      else {
+        var next = cps(i) + 1
+        if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
+        Some(new String(cps, 0, i) + new String(Array(next), 0, 1))
+      }
+    }
+
+  /** Stat-domain membership: the orderable types whose per-file ranges
+    * the manifest can record. Floats/doubles are deliberately out (the
+    * bound itself rounds); unbounded decimals are out (no exact long). */
+  private[graft] def statEncodable(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | DateType |
+           TimestampType | TimestampNTZType | StringType => true
+      case d: DecimalType => d.precision <= 18
+      case _ => false
+    }
+  }
+
+  /** Order-preserving long encoding of a collected JVM value of a
+    * non-string stat-encodable column (see [[ColStat]]). Handles both
+    * the java.sql and java.time families (spark.sql.datetime.java8API
+    * flips which one `collect` returns). */
+  private[graft] def encodeStatLong(v: Any): Long = v match {
+    case d: java.sql.Date          => d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate    => d.toEpochDay
+    case t: java.sql.Timestamp     =>
+      Math.addExact(Math.multiplyExact(t.getTime, 1000L),
+        (t.getNanos / 1000) % 1000L)
+    case i: java.time.Instant      => java.time.temporal.ChronoUnit.MICROS
+      .between(java.time.Instant.EPOCH, i)
+    case l: java.time.LocalDateTime => java.time.temporal.ChronoUnit.MICROS
+      .between(java.time.Instant.EPOCH, l.toInstant(java.time.ZoneOffset.UTC))
+    case b: java.math.BigDecimal   => b.unscaledValue().longValueExact()
+    case b: scala.math.BigDecimal  => b.underlying.unscaledValue().longValueExact()
+    case n: java.lang.Number       => n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"no stat encoding for ${other.getClass.getName}")
+  }
+
+  // manifest-safe string escaping for StrStat bounds: URL-encode (covers
+  // '\t' entry separator, ':' field separator, newlines, '%'), then
+  // escape the one URL-safe char the format claims — '*' marks "+∞"
+  private def statEsc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("*", "%2A")
+  private def statUnesc(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Manifest stat header:
+    * `#filestat=<path>\t<col>:L:<min>:<max>` (long-encoded types) or
+    * `#filestat=<path>\t<col>:S:<esc(min)>:<esc(maxUpper)|*>` (strings).
+    * Legacy untagged `<col>:<min>:<max>` lines still parse as L. A
+    * column that is all-NULL in a file is omitted (the file is
+    * conservatively kept by every prune). */
+  private def statLine(path: String, stats: Seq[(String, ColStat)]) =
+    s"#filestat=$path" + stats.map {
+      case (c, LongStat(lo, hi)) => s"\t$c:L:$lo:$hi"
+      case (c, StrStat(lo, hi)) =>
+        s"\t$c:S:${statEsc(lo)}:${hi.map(statEsc).getOrElse("*")}"
+    }.mkString
 
   /** Compute per-file min/max for `statCols` over freshly written
     * `files` — ONE scan of the new files only (the Delta write-time
@@ -1168,14 +1310,12 @@ object SnapshotLog {
     val df = spark.read.parquet(files: _*)
     statCols.foreach { c =>
       val dt = df.schema(c).dataType
-      require(dt == org.apache.spark.sql.types.LongType ||
-        dt == org.apache.spark.sql.types.IntegerType ||
-        dt == org.apache.spark.sql.types.ShortType,
-        s"file stats support integral columns only; '$c' is ${dt.simpleString}")
+      require(statEncodable(dt),
+        s"file stats support integral/date/timestamp/decimal(p<=18)/" +
+          s"string columns; '$c' is ${dt.simpleString}")
     }
     val aggs = statCols.flatMap(c => Seq(
-      min(col(c)).cast(org.apache.spark.sql.types.LongType).as(s"__min_$c"),
-      max(col(c)).cast(org.apache.spark.sql.types.LongType).as(s"__max_$c")))
+      min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
     // input_file_name URIs vs manifest path strings: join on the
@@ -1183,10 +1323,16 @@ object SnapshotLog {
     val byPath = rows.map(r => new Path(r.getString(0)).toUri.getPath -> r).toMap
     files.flatMap { p =>
       byPath.get(new Path(p).toUri.getPath).map { r =>
-        val stats = statCols.flatMap { c =>
+        val stats: Seq[(String, ColStat)] = statCols.flatMap { c =>
           val (lo, hi) = (r.getAs[Any](s"__min_$c"), r.getAs[Any](s"__max_$c"))
           if (lo == null || hi == null) None
-          else Some((c, lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
+          else df.schema(c).dataType match {
+            case org.apache.spark.sql.types.StringType => Some(c ->
+              StrStat(truncStatMin(lo.asInstanceOf[String]),
+                truncStatMax(hi.asInstanceOf[String])))
+            case _ => Some(c ->
+              LongStat(encodeStatLong(lo), encodeStatLong(hi)))
+          }
         }
         statLine(p, stats)
       }
@@ -1209,8 +1355,7 @@ object SnapshotLog {
     val cols = prev.values.flatMap(_.keys).toSeq.distinct.sorted
     val carriedLines = carried.flatMap { p =>
       prev.get(p).filter(_.nonEmpty).map { st =>
-        statLine(p, cols.flatMap(c => st.get(c).map {
-          case (lo, hi) => (c, lo, hi) }))
+        statLine(p, cols.flatMap(c => st.get(c).map(c -> _)))
       }
     }
     carriedLines ++ statHeaders(spark, newFiles, cols)
@@ -1319,14 +1464,21 @@ object SnapshotLog {
   }
 
   private[graft] def fileStatsOf(spark: SparkSession, dir: String,
-      v: Long): Map[String, Map[String, (Long, Long)]] =
+      v: Long): Map[String, Map[String, ColStat]] =
     manifestLines(spark, dir, v)
       .filter(_.startsWith("#filestat="))
       .map { l =>
         val parts = l.stripPrefix("#filestat=").split("\t")
-        val stats = parts.tail.map { s =>
-          val Array(c, lo, hi) = s.split(":", 3)
-          c -> ((lo.toLong, hi.toLong))
+        val stats: Map[String, ColStat] = parts.tail.map { s =>
+          s.split(":", 4) match {
+            case Array(c, "L", lo, hi) => c -> LongStat(lo.toLong, hi.toLong)
+            case Array(c, "S", lo, hi) => c -> StrStat(statUnesc(lo),
+              if (hi == "*") None else Some(statUnesc(hi)))
+            case Array(c, lo, hi) => // legacy untagged long entry
+              c -> LongStat(lo.toLong, hi.toLong)
+            case bad => throw new IllegalStateException(
+              s"unparseable #filestat entry '${bad.mkString(":")}' in v$v")
+          }
         }.toMap
         parts.head -> stats
       }.toMap
@@ -1339,6 +1491,20 @@ object SnapshotLog {
     * hold the prune accountable. */
   def readBetween(spark: SparkSession, dir: String, column: String,
       lo: Long, hi: Long,
+      version: Option[Long] = None): (DataFrame, Int, Int) =
+    readBetweenValues(spark, dir, column, lo, hi, version)
+
+  /** [[readBetween]] over ANY stat-encodable bound type: pass the range
+    * as the column's natural JVM values — `java.sql.Date`/`LocalDate`,
+    * `Timestamp`/`Instant`, `BigDecimal`, `String`, or any integral.
+    * Non-string bounds prune through the order-preserving long
+    * encoding; string bounds compare in UTF-8 order against the
+    * truncated [[StrStat]] range (truncation only ever widens the kept
+    * set — the residual filter keeps the result exact). Decimal bounds
+    * are rescaled to the column's scale OUTWARD (lo floor, hi ceiling),
+    * again conservative. */
+  def readBetweenValues(spark: SparkSession, dir: String, column: String,
+      lo: Any, hi: Any,
       version: Option[Long] = None): (DataFrame, Int, Int) = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed snapshot under $dir")
@@ -1347,13 +1513,40 @@ object SnapshotLog {
       s"version $v of $dir does not exist (have ${vs.mkString(",")})")
     val files = filesOf(spark, dir, v)
     val stats = fileStatsOf(spark, dir, v)
+    val keep: ColStat => Boolean = (lo, hi) match {
+      case (l: String, h: String) => {
+        case StrStat(mn, mxOpt) =>
+          mxOpt.forall(mx => utf8Cmp(mx, l) >= 0) && utf8Cmp(mn, h) <= 0
+        case _ => true
+      }
+      case _ =>
+        // decimal bounds rescale outward to the column's scale so the
+        // unscaled-long compare never tightens the range
+        val scaleOf = schemaOf(spark, dir, v)
+          .map(_(column).dataType).collect {
+            case d: org.apache.spark.sql.types.DecimalType => d.scale
+          }
+        def enc(x: Any, rm: java.math.RoundingMode): Long = (x, scaleOf) match {
+          case (b: java.math.BigDecimal, Some(s)) =>
+            encodeStatLong(b.setScale(s, rm))
+          case (b: scala.math.BigDecimal, Some(s)) =>
+            encodeStatLong(b.underlying.setScale(s, rm))
+          case _ => encodeStatLong(x)
+        }
+        val el = enc(lo, java.math.RoundingMode.FLOOR)
+        val eh = enc(hi, java.math.RoundingMode.CEILING)
+        st => st match {
+          case LongStat(mn, mx) => mx >= el && mn <= eh
+          case _                => true
+        }
+    }
     val kept = files.filter { p =>
       stats.get(p).flatMap(_.get(column)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None           => true // no stats — cannot prune
+        case Some(st) => keep(st)
+        case None     => true // no stats — cannot prune
       }
     }
-    val pred = col(column).between(lo, hi)
+    val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
     val schema = schemaOf(spark, dir, v)
     val df =
       if (kept.nonEmpty) readFiles(spark, dir, v, kept).filter(pred)
@@ -1583,17 +1776,21 @@ object SnapshotLog {
   private def bloomPath(dir: String, v: Long) =
     new Path(logDir(dir), s"blooms/v$v.parquet")
 
-  /** Compute per-file bloom filters over `bloomCols` (BIGINT columns)
-    * for the LATEST version and write them as that version's sidecar —
-    * the point-lookup complement of [[analyze]]'s zone maps: min/max
-    * stats prune RANGE predicates on clustered layouts, blooms prune
-    * EQUALITY probes on high-cardinality columns under ANY layout
-    * (`fpp` trades sidecar size for false-positive file reads; skipping
-    * is planning-time, before any parquet footer opens). ONE
-    * column-pruned scan of the table. Blooms attach to the version —
-    * a later COW rewrite commits a new version without a sidecar, and
-    * [[readPoint]] degrades to conservative full planning until the
-    * next analyzeBlooms. */
+  /** Compute per-file bloom filters over `bloomCols` (any
+    * stat-encodable column — integrals, dates, timestamps,
+    * decimal(p≤18), strings) for the LATEST version and write them as
+    * that version's sidecar — the point-lookup complement of
+    * [[analyze]]'s zone maps: min/max stats prune RANGE predicates on
+    * clustered layouts, blooms prune EQUALITY probes on
+    * high-cardinality columns under ANY layout (`fpp` trades sidecar
+    * size for false-positive file reads; skipping is planning-time,
+    * before any parquet footer opens). Strings hash by UTF-8 bytes
+    * (`putString`); every other type hashes its order-preserving long
+    * encoding — [[readPoint]] probes through the same encoding so the
+    * pair can never disagree. ONE column-pruned scan of the table.
+    * Blooms attach to the version — a later COW rewrite commits a new
+    * version without a sidecar, and [[readPoint]] degrades to
+    * conservative full planning until the next analyzeBlooms. */
   def analyzeBlooms(spark: SparkSession, dir: String,
       bloomCols: Seq[String], expectedItems: Long = 100000L,
       fpp: Double = 0.01): Long = {
@@ -1604,10 +1801,12 @@ object SnapshotLog {
     val files = filesOf(spark, dir, latest)
     val df = spark.read.parquet(files: _*)
     bloomCols.foreach { c =>
-      require(df.schema(c).dataType == org.apache.spark.sql.types.LongType,
-        s"bloom columns must be BIGINT; '$c' is " +
-          df.schema(c).dataType.simpleString)
+      require(statEncodable(df.schema(c).dataType),
+        "bloom columns must be integral/date/timestamp/decimal(p<=18)/" +
+          s"string; '$c' is ${df.schema(c).dataType.simpleString}")
     }
+    val isStr = bloomCols.map(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType).toArray
     val n = expectedItems
     val items = df.select(
       (input_file_name().as("__f")) +: bloomCols.map(col): _*)
@@ -1620,7 +1819,10 @@ object SnapshotLog {
             org.apache.spark.util.sketch.BloomFilter.create(n, fpp)))
         var i = 0
         while (i < bloomCols.size) {
-          if (!r.isNullAt(i + 1)) bfs(i).putLong(r.getLong(i + 1))
+          if (!r.isNullAt(i + 1)) {
+            if (isStr(i)) bfs(i).putString(r.getString(i + 1))
+            else bfs(i).putLong(encodeStatLong(r.get(i + 1)))
+          }
           i += 1
         }
       }
@@ -1672,10 +1874,13 @@ object SnapshotLog {
     * at `version` (default latest), scanning only files whose bloom
     * might contain the probe (files without blooms — or versions without
     * a sidecar — are kept conservatively; the residual filter guarantees
-    * exactness). Returns (frame, filesScanned, filesTotal) for
-    * accountability, the [[readBetween]] contract. */
+    * exactness). `value` takes the column's natural JVM type — String
+    * probes hash by UTF-8 bytes, everything else through the same
+    * order-preserving long encoding [[analyzeBlooms]] hashed with.
+    * Returns (frame, filesScanned, filesTotal) for accountability, the
+    * [[readBetween]] contract. */
   def readPoint(spark: SparkSession, dir: String, column: String,
-      value: Long, version: Option[Long] = None): (DataFrame, Int, Int) = {
+      value: Any, version: Option[Long] = None): (DataFrame, Int, Int) = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed snapshot under $dir")
     val v = version.getOrElse(vs.last)
@@ -1690,10 +1895,16 @@ object SnapshotLog {
         .collect()
         .map(r => new Path(r.getString(0)).toUri.getPath ->
           r.getAs[Array[Byte]]("bloom")).toMap
+    val mightContain: org.apache.spark.util.sketch.BloomFilter => Boolean =
+      value match {
+        case s: String => _.mightContainString(s)
+        case other     => val enc = encodeStatLong(other)
+          _.mightContainLong(enc)
+      }
     val kept = files.filter { p =>
       blooms.get(new Path(p).toUri.getPath) match {
-        case Some(bytes) => org.apache.spark.util.sketch.BloomFilter
-          .readFrom(bytes).mightContainLong(value)
+        case Some(bytes) => mightContain(
+          org.apache.spark.util.sketch.BloomFilter.readFrom(bytes))
         case None => true // no bloom — cannot prune
       }
     }

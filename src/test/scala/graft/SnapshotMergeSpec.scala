@@ -188,7 +188,8 @@ class SnapshotMergeSpec extends AnyFunSuite with SparkFixture {
     assert(SnapshotLog.pruneByStats(normStats.keys.toSeq, normStats, "k",
       Array(100000L)).isEmpty)
     // boundary keys (exact file min / max) are candidates, never missed
-    val (mn, mx) = normStats.values.map(_("k")).minBy(_._1)
+    val (mn, mx) = normStats.values.map(_("k")).collect {
+      case SnapshotLog.LongStat(lo, hi) => (lo, hi) }.minBy(_._1)
     assert(SnapshotLog.pruneByStats(normStats.keys.toSeq, normStats, "k",
       Array(mn)).nonEmpty)
     assert(SnapshotLog.pruneByStats(normStats.keys.toSeq, normStats, "k",

@@ -1,0 +1,297 @@
+package graft
+
+import graft.sources.SnapshotLog
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Typed zone maps / blooms (round 8): manifest file skipping on the
+  * predicates real lake tables filter on first — dates, timestamps,
+  * decimals, strings — not just BIGINT. Every prune test holds BOTH
+  * properties: filesScanned < filesTotal (the prune is real) AND the
+  * pruned result equals the unpruned filter (the prune is exact).
+  * String bounds are Iceberg-style truncated; the truncation laws are
+  * property-tested directly. */
+class SnapshotTypedStatsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def freshDir() = Files.createTempDirectory("typed-stats").toString
+
+  // --- truncation laws -------------------------------------------------
+
+  test("truncStatMin is a lower bound, truncStatMax an upper bound (UTF-8 order)") {
+    val samples = Seq(
+      "a" * 100, "z" * 33, "short", "",
+      "prefix-" + "x" * 60,
+      // multi-byte and supplementary chars straddling the cut
+      "é" * 40, "中文" * 20, "ab" + "😀" * 20, // 😀 pairs
+      "x" * 31 + "😀" + "tail", // surrogate pair AT the boundary
+      "￿" * 40, "x" * 31 + "￿￿" * 5)
+    samples.foreach { s =>
+      val lo = SnapshotLog.truncStatMin(s)
+      assert(SnapshotLog.utf8Cmp(lo, s) <= 0, s"min bound broke for $s")
+      assert(lo.length <= 32)
+      SnapshotLog.truncStatMax(s) match {
+        case Some(hi) => assert(SnapshotLog.utf8Cmp(hi, s) >= 0,
+          s"max bound broke for ${s.take(40)}")
+        case None => () // +inf is trivially an upper bound
+      }
+    }
+    // the un-incrementable case: every retained code point is U+10FFFF
+    val top = new String(Array.fill(33)(0x10FFFF), 0, 33)
+    assert(SnapshotLog.truncStatMax(top).isEmpty)
+    // short strings pass through exactly
+    assert(SnapshotLog.truncStatMin("abc") === "abc")
+    assert(SnapshotLog.truncStatMax("abc") === Some("abc"))
+  }
+
+  // --- date zone maps ---------------------------------------------------
+
+  test("date-clustered table: a date range reads only matching files, exactly") {
+    val dir = freshDir()
+    val df = spark.range(0, 365)
+      .select(date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        col("id").cast("int")).as("d"), (col("id") * 3).as("v"))
+      .repartitionByRange(6, col("d"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("d"))
+    val lo = java.sql.Date.valueOf("2024-03-01")
+    val hi = java.sql.Date.valueOf("2024-03-31")
+    val (got, scanned, total) =
+      SnapshotLog.readBetweenValues(spark, dir, "d", lo, hi)
+    assert(total === 6)
+    assert(scanned < total, s"date prune scanned $scanned/$total")
+    val expect = df.filter(col("d").between(lo, hi))
+      .collect().map(_.toSeq).toSet
+    assert(got.collect().map(_.toSeq).toSet === expect)
+    assert(got.count() === 31)
+  }
+
+  test("timestamp zone maps prune and stay exact") {
+    val dir = freshDir()
+    val df = spark.range(0, 1000)
+      .select(timestamp_seconds(lit(1700000000L) + col("id") * 3600)
+        .as("ts"), col("id").as("v"))
+      .repartitionByRange(5, col("ts"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("ts"))
+    val lo = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L + 100 * 3600))
+    val hi = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L + 150 * 3600))
+    val (got, scanned, total) =
+      SnapshotLog.readBetweenValues(spark, dir, "ts", lo, hi)
+    assert(scanned < total)
+    assert(got.count() === 51)
+  }
+
+  // --- decimal zone maps -------------------------------------------------
+
+  test("decimal zone maps prune; off-scale bounds rescale outward (conservative)") {
+    val dir = freshDir()
+    val df = spark.range(0, 1000)
+      .select((col("id") * 25).cast("decimal(12,2)").as("amt"),
+        col("id").as("v"))
+      .repartitionByRange(5, col("amt"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("amt"))
+    val lo = new java.math.BigDecimal("100.00")
+    val hi = new java.math.BigDecimal("2000.00")
+    val (got, scanned, total) =
+      SnapshotLog.readBetweenValues(spark, dir, "amt", lo, hi)
+    assert(scanned < total)
+    val expect = df.filter(col("amt").between(lo, hi))
+      .collect().map(_.toSeq).toSet
+    assert(got.collect().map(_.toSeq).toSet === expect)
+    // a 3-dp bound on a 2-dp column must not lose boundary rows:
+    // [99.995, 2000.005] rescales outward to [99.99, 2000.01]
+    val (got2, _, _) = SnapshotLog.readBetweenValues(spark, dir, "amt",
+      new java.math.BigDecimal("99.995"), new java.math.BigDecimal("2000.005"))
+    assert(got2.count() === expect.size) // same multiples of 25 survive
+  }
+
+  // --- string zone maps ---------------------------------------------------
+
+  test("string-clustered table: a prefix range prunes files and stays exact") {
+    val dir = freshDir()
+    // keys aa000..zz999-ish, clustered so each file owns a letter range;
+    // values longer than 32 chars exercise truncated bounds
+    val df = spark.range(0, 2600)
+      .select(concat(
+        // 'a' + id/100 as a letter prefix
+        chr(lit(97) + (col("id") / 100).cast("int") % 26),
+        format_string("%04d", col("id")),
+        lit("-" + "pad" * 15)).as("k"), col("id").as("v"))
+      .repartitionByRange(6, col("k"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("k"))
+    // sanity: truncation actually engaged (keys are > 32 chars)
+    val stats = SnapshotLog.fileStatsOf(spark, dir, 1L)
+    assert(stats.values.flatMap(_.values).collect {
+      case SnapshotLog.StrStat(lo, _) => lo.length }.forall(_ <= 32))
+    val (got, scanned, total) =
+      SnapshotLog.readBetweenValues(spark, dir, "k", "c", "d")
+    assert(total === 6)
+    assert(scanned < total, s"string prune scanned $scanned/$total")
+    val expect = df.filter(col("k") >= "c" && col("k") <= "d")
+      .collect().map(_.toSeq).toSet
+    assert(got.collect().map(_.toSeq).toSet === expect)
+    assert(got.count() === 100) // the 'c' block
+  }
+
+  test("string stats survive manifest escaping: tabs, colons, '*', '%', newlines") {
+    val dir = freshDir()
+    val nasty = Seq("a\tb", "c:d", "e*f", "g%h", "i\nj", "plain", "%2A", "*")
+      .zipWithIndex
+    val df = nasty.toDF("k", "v").repartition(2, col("k"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("k"))
+    // roundtrip: recorded bounds must be real lower/upper bounds of the data
+    val stats = SnapshotLog.fileStatsOf(spark, dir, 1L)
+    assert(stats.nonEmpty)
+    stats.values.flatMap(_.get("k")).foreach {
+      case SnapshotLog.StrStat(lo, hiOpt) =>
+        assert(hiOpt.isDefined) // short strings never truncate to +inf
+        assert(hiOpt.forall(hi => SnapshotLog.utf8Cmp(lo, hi) <= 0))
+      case other => fail(s"expected StrStat, got $other")
+    }
+    // exactness end-to-end across the full range (no prune loss)
+    val (got, _, _) = SnapshotLog.readBetweenValues(spark, dir, "k", "", "~")
+    assert(got.count() === nasty.size)
+    // and a range probe that isolates the '*' / '%' keys exactly
+    val (star, _, _) = SnapshotLog.readBetweenValues(spark, dir, "k", "*", "*")
+    assert(star.as[(String, Int)].collect().toSet === Set(("*", 7)))
+  }
+
+  test("long readBetween delegates unchanged (legacy callers)") {
+    val dir = freshDir()
+    val df = spark.range(0, 400).select(col("id").as("k"), col("id").as("v"))
+      .repartitionByRange(4, col("k"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("k"))
+    val (got, scanned, total) = SnapshotLog.readBetween(spark, dir, "k", 0L, 99L)
+    assert(scanned < total && got.count() === 100)
+  }
+
+  test("legacy untagged #filestat lines still parse as long stats") {
+    val dir = freshDir()
+    val df = spark.range(0, 100).select(col("id").as("k"))
+      .repartitionByRange(2, col("k"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("k"))
+    // rewrite the manifest's tagged entries back to the pre-r8 untagged
+    // format and assert the reader still plans with them
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new org.apache.hadoop.fs.Path(dir, "_log/v1.manifest")
+    val lines = scala.io.Source.fromInputStream(f.open(mp)).getLines().toList
+    val legacy = lines.map(l =>
+      if (l.startsWith("#filestat=")) l.replaceAll(":L:", ":") else l)
+    assert(legacy != lines, "expected tagged entries to rewrite")
+    val out = f.create(mp, true)
+    out.write((legacy.mkString("\n") + "\n").getBytes("UTF-8")); out.close()
+    val stats = SnapshotLog.fileStatsOf(spark, dir, 1L)
+    assert(stats.values.exists(_.get("k").exists(
+      _.isInstanceOf[SnapshotLog.LongStat])))
+    val (got, scanned, total) = SnapshotLog.readBetween(spark, dir, "k", 0L, 10L)
+    assert(scanned < total && got.count() === 11)
+  }
+
+  // --- typed merge fast path ----------------------------------------------
+
+  test("string-keyed sparse merge: planning-time prune + exact COW semantics") {
+    val dir = freshDir()
+    val base = spark.range(0, 400)
+      .select(format_string("k%06d", col("id")).as("k"), col("id").as("v"))
+      .repartitionByRange(4, col("k"))
+    SnapshotLog.commitWithStats(spark, dir, base, Seq("k"))
+    val stats = SnapshotLog.fileStatsOf(spark, dir, 1L)
+    // the prune the fast path runs: two keys in the first range file
+    val files = SnapshotLog.read(spark, dir).inputFiles.toSeq
+    def norm = stats.map { case (p, m) =>
+      files.find(_.endsWith(p.split('/').last)).getOrElse(p) -> m }
+    val kept = SnapshotLog.pruneByStatsStr(norm.keys.toSeq.sorted, norm,
+      "k", Array("k000010", "k000017"))
+    assert(kept.size === 1, s"expected 1 candidate, got ${kept.size}")
+    // prune laws mirror the long domain
+    assert(SnapshotLog.pruneByStatsStr(Seq("nostats"), Map.empty, "k",
+      Array("x")) === Seq("nostats"))
+    assert(SnapshotLog.pruneByStatsStr(norm.keys.toSeq, norm, "k",
+      Array("zzzzzz")).isEmpty)
+    // end to end: update + insert + miss-delete, exact
+    val changes = Seq(("k000010", 999L, false), ("k000017", 888L, false),
+      ("new-key", 1L, false), ("k999999", -1L, true))
+      .toDF("k", "v", "is_del")
+    SnapshotLog.merge(spark, dir, changes, Seq("k"),
+      deleteWhen = Some(col("is_del")), dropCols = Seq("is_del"))
+    val got = SnapshotLog.read(spark, dir)
+    assert(got.count() === 401)
+    assert(got.filter(col("k") === "k000010").select("v")
+      .as[Long].head() === 999L)
+    assert(got.filter(col("k") === "new-key").count() === 1)
+    // zone maps survived the merge for the next prune
+    assert(SnapshotLog.fileStatsOf(spark, dir, 2L).nonEmpty)
+  }
+
+  test("date-keyed sparse merge prunes and matches general-path semantics") {
+    val dir = freshDir()
+    val base = spark.range(0, 365)
+      .select(date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        col("id").cast("int")).as("d"), col("id").as("v"))
+      .repartitionByRange(6, col("d"))
+    SnapshotLog.commitWithStats(spark, dir, base, Seq("d"))
+    val changes = Seq(
+      (java.sql.Date.valueOf("2024-02-01"), 999L, false),
+      (java.sql.Date.valueOf("2030-01-01"), 1L, false), // insert
+      (java.sql.Date.valueOf("2024-02-03"), -1L, true)) // delete
+      .toDF("d", "v", "is_del")
+    SnapshotLog.merge(spark, dir, changes, Seq("d"),
+      deleteWhen = Some(col("is_del")), dropCols = Seq("is_del"))
+    val got = SnapshotLog.read(spark, dir)
+    assert(got.count() === 365) // -1 delete +1 insert
+    assert(got.filter(col("d") === "2024-02-01").select("v")
+      .as[Long].head() === 999L)
+    assert(got.filter(col("d") === "2024-02-03").count() === 0)
+    assert(got.filter(col("d") === "2030-01-01").count() === 1)
+  }
+
+  // --- typed blooms ---------------------------------------------------------
+
+  test("string blooms: point lookups skip files, exact for present and absent") {
+    val dir = freshDir()
+    val df = spark.range(0, 4096)
+      .select(md5(col("id").cast("string")).as("k"), col("id").as("v"))
+      .repartition(8) // scattered: zone maps could not prune a point probe
+    SnapshotLog.commit(spark, dir, df)
+    SnapshotLog.analyzeBlooms(spark, dir, Seq("k"),
+      expectedItems = 1000, fpp = 0.01)
+    val probes = df.filter(col("v").isin(0L, 77L, 4095L))
+      .select("k").as[String].collect()
+    probes.foreach { p =>
+      val (got, scanned, total) = SnapshotLog.readPoint(spark, dir, "k", p)
+      assert(scanned < total, s"string probe pruned nothing")
+      assert(got.count() === 1)
+    }
+    val (absent, scanned, _) =
+      SnapshotLog.readPoint(spark, dir, "k", "not-a-real-hash")
+    assert(absent.count() === 0 && scanned <= 2)
+  }
+
+  test("date blooms prune point probes through the long encoding") {
+    val dir = freshDir()
+    val df = spark.range(0, 2048)
+      .select(date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+        col("id").cast("int")).as("d"), col("id").as("v"))
+      .repartition(8, col("v")) // scattered by v, not by date
+    SnapshotLog.commit(spark, dir, df)
+    SnapshotLog.analyzeBlooms(spark, dir, Seq("d"), expectedItems = 4000)
+    val probe = java.sql.Date.valueOf("2020-06-15")
+    val (got, scanned, total) = SnapshotLog.readPoint(spark, dir, "d", probe)
+    assert(got.count() === 1)
+    assert(scanned < total)
+    val (absent, _, _) = SnapshotLog.readPoint(spark, dir, "d",
+      java.sql.Date.valueOf("1999-01-01"))
+    assert(absent.count() === 0)
+  }
+
+  test("floats are rejected from the stat domain, loudly") {
+    val dir = freshDir()
+    val df = spark.range(0, 10).select(col("id").cast("double").as("x"))
+    intercept[IllegalArgumentException] {
+      SnapshotLog.commitWithStats(spark, dir, df, Seq("x"))
+    }
+  }
+}
