@@ -478,22 +478,50 @@ object CuratePipeline {
       case Some(n) => df.repartition(n, col(cfg.idCol))
       case None    => df
     }
-    sharded.write.mode("overwrite").parquet(cfg.outDir)
+    // PUBLISH GATE, part 1: every RIDABLE expectation (all but the
+    // distinct-shaped unique) attaches to the shard WRITE itself as an
+    // observed metric — the gate costs ZERO extra passes for row-scalar
+    // rules, exactly like the funnel counts. Only table-shaped checks
+    // pay a dedicated read of the written output below.
+    val (ridden, tableShaped) = cfg.expect.partition(Expectations.ridable)
+    val gateObs = if (ridden.isEmpty) None else {
+      val o = new org.apache.spark.sql.Observation(s"expect-$runTag")
+      Some(o)
+    }
+    val toWrite = gateObs match {
+      case Some(o) =>
+        val aggs = ridden.map(c =>
+          Expectations.violationAgg(c).cast("long").as(c.name))
+        sharded.observe(o, aggs.head, aggs.tail: _*)
+      case None => sharded
+    }
+    toWrite.write.mode("overwrite").parquet(cfg.outDir)
 
     val stageRows = observations.toSeq.map { case (t, o) =>
       t -> o.get("rows").asInstanceOf[Long]
     }
-    // PUBLISH GATE: declared expectations validate the WRITTEN output
-    // (one pass over the curated shards — post-funnel-sized, not the
-    // corpus) BEFORE any snapshot-log commit. On failure the shards
-    // stay on disk for debugging but the version is never published —
-    // a trainer reading the log can never see a slice that failed its
+    // PUBLISH GATE, part 2: assemble verdicts — ridden checks read off
+    // the completed write, table-shaped checks via one dedicated pass
+    // over the written shards (post-funnel-sized, not the corpus) —
+    // BEFORE any snapshot-log commit. On failure the shards stay on
+    // disk for debugging but the version is never published — a
+    // trainer reading the log can never see a slice that failed its
     // own quality contract.
-    val expectReport: Seq[(String, Long, Boolean)] =
-      if (cfg.expect.isEmpty) Seq.empty
-      else Expectations.run(spark.read.parquet(cfg.outDir), cfg.expect)
+    val riddenReport: Seq[(String, Long, Boolean)] = gateObs.map { o =>
+      val m = o.get
+      ridden.map { c =>
+        val v = m(c.name).asInstanceOf[Long]
+        (c.name, v, v == 0L)
+      }
+    }.getOrElse(Seq.empty)
+    val tableReport: Seq[(String, Long, Boolean)] =
+      if (tableShaped.isEmpty) Seq.empty
+      else Expectations.run(spark.read.parquet(cfg.outDir), tableShaped)
         .collect().toSeq
         .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val byName = (riddenReport ++ tableReport).map(r => r._1 -> r).toMap
+    val expectReport: Seq[(String, Long, Boolean)] =
+      cfg.expect.map(c => byName(c.name)) // declaration order preserved
     val failed = expectReport.filterNot(_._3)
     if (failed.nonEmpty)
       throw new IllegalStateException(

@@ -99,6 +99,21 @@ object Expectations {
         "RefIntegrity is join-shaped; handled in run()")
   }
 
+  /** Can this check RIDE an existing action as an observed metric?
+    * Everything but the distinct-shaped Unique (Spark forbids DISTINCT
+    * aggregates in observed metrics) and the join-shaped RefIntegrity.
+    * [[graft.CuratePipeline]]'s publish gate uses this split to attach
+    * the ridable checks to the shard WRITE itself — zero extra passes —
+    * keeping the dedicated output pass for table-shaped checks only. */
+  private[graft] def ridable(c: Check): Boolean = c match {
+    case _: Unique | _: RefIntegrity => false
+    case _                           => true
+  }
+
+  /** The violation-count aggregate of a ridable check, for callers
+    * wiring their own `Observation`. */
+  private[graft] def violationAgg(c: Check): Column = violations(c)
+
   /** Validate `df` against `checks` → report frame
     * `(check: string, violations: bigint, pass: boolean)` in the order
     * given. All scalar checks share ONE aggregation pass. */

@@ -144,6 +144,113 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.sources.SnapshotLog.checksOf(s, dir, latest)
           .toDF("name", "expr").queryExecution.analyzed
       }))
+    // ------------------------------------------------------------------
+    // SQL DML over the snapshot log (EXECUTE-style table functions) —
+    // the write-side twin of snapshot_of/snapshot_history: pure-SQL
+    // clients (Thrift/Connect) get DELETE / UPDATE / MERGE / OPTIMIZE
+    // without the Scala API or the Maintain CLI. Each function RUNS the
+    // verb when the statement resolves and returns a one-row report
+    // relation (verb, table, version) — SELECT it to see the committed
+    // version. Every library guard (NULL merge keys, duplicate keys,
+    // DV refusal, unknown SET columns) surfaces as the statement's
+    // error. The verbs are the library's own — same optimistic
+    // concurrency, stat/partition propagation and CHECK enforcement.
+    //
+    //   SELECT * FROM snapshot_delete_where('/t', 'k = 5');
+    //   SELECT * FROM snapshot_update_where('/t', 'k = 5', 'v', 'v + 1');
+    //   SELECT * FROM snapshot_merge_into('/t',
+    //     'SELECT * FROM changes', 'k');                -- upsert by k
+    //   SELECT * FROM snapshot_merge_into('/t',
+    //     'SELECT * FROM feed', 'k', 'op = ''D''', 'op'); -- CDC apply
+    //   SELECT * FROM snapshot_optimize('/t', 4, 'k');  -- cluster on k
+    def dmlReport(verb: String, dir: String, v: Long) = {
+      val s = org.apache.spark.sql.SparkSession.active
+      import s.implicits._
+      Seq((verb, dir, v)).toDF("verb", "table", "version")
+        .queryExecution.analyzed
+    }
+    ext.injectTableFunction((FunctionIdentifier("snapshot_delete_where"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_delete_where"),
+      (args: Seq[Expression]) => {
+        arity("snapshot_delete_where", args, 2)
+        val s = org.apache.spark.sql.SparkSession.active
+        val dir = strLit(args.head, "snapshot_delete_where")
+        val v = graft.sources.SnapshotLog.deleteWhere(s, dir,
+          org.apache.spark.sql.functions.expr(
+            strLit(args(1), "snapshot_delete_where")))
+        dmlReport("delete_where", dir, v)
+      }))
+    ext.injectTableFunction((FunctionIdentifier("snapshot_update_where"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_update_where"),
+      (args: Seq[Expression]) => {
+        // (path, pred, col1, expr1[, col2, expr2, ...]) — SET pairs as
+        // separate string args, never a comma-split of one string (an
+        // expression like f(a, b) would defeat any split)
+        if (args.length < 4 || args.length % 2 != 0)
+          throw new IllegalArgumentException("snapshot_update_where " +
+            "expects (path, predicate, col, expr[, col, expr ...]), " +
+            s"got ${args.length} args")
+        val s = org.apache.spark.sql.SparkSession.active
+        val dir = strLit(args.head, "snapshot_update_where")
+        val set = args.drop(2).grouped(2).map { p =>
+          strLit(p.head, "snapshot_update_where") ->
+            org.apache.spark.sql.functions.expr(
+              strLit(p(1), "snapshot_update_where"))
+        }.toMap
+        val v = graft.sources.SnapshotLog.updateWhere(s, dir,
+          org.apache.spark.sql.functions.expr(
+            strLit(args(1), "snapshot_update_where")), set)
+        dmlReport("update_where", dir, v)
+      }))
+    ext.injectTableFunction((FunctionIdentifier("snapshot_merge_into"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_merge_into"),
+      (args: Seq[Expression]) => {
+        // (path, sourceQuery, 'key,cols'[, deleteWhenExpr[, 'drop,cols']])
+        if (args.length < 3 || args.length > 5)
+          throw new IllegalArgumentException("snapshot_merge_into expects " +
+            "(path, sourceQuery, keyCols[, deleteWhen[, dropCols]]), " +
+            s"got ${args.length} args")
+        val s = org.apache.spark.sql.SparkSession.active
+        val dir = strLit(args.head, "snapshot_merge_into")
+        val source = s.sql(strLit(args(1), "snapshot_merge_into"))
+        val keys = strLit(args(2), "snapshot_merge_into")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val deleteWhen = args.lift(3).map(a =>
+          org.apache.spark.sql.functions.expr(
+            strLit(a, "snapshot_merge_into")))
+        val dropCols = args.lift(4)
+          .map(strLit(_, "snapshot_merge_into")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        val v = graft.sources.SnapshotLog.merge(s, dir, source, keys,
+          deleteWhen, dropCols)
+        dmlReport("merge_into", dir, v)
+      }))
+    ext.injectTableFunction((FunctionIdentifier("snapshot_optimize"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_optimize"),
+      (args: Seq[Expression]) => {
+        // (path[, targetFiles[, 'cluster,cols']]) — ≥2 cluster cols
+        // Z-order, matching the Maintain CLI's rule
+        if (args.isEmpty || args.length > 3)
+          throw new IllegalArgumentException("snapshot_optimize expects " +
+            s"(path[, targetFiles[, clusterCols]]), got ${args.length} args")
+        val s = org.apache.spark.sql.SparkSession.active
+        val dir = strLit(args.head, "snapshot_optimize")
+        val target = args.lift(1).map(longLit(_, "snapshot_optimize").toInt)
+          .getOrElse(1)
+        val cluster = args.lift(2)
+          .map(strLit(_, "snapshot_optimize")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        val v = graft.sources.SnapshotLog.optimize(s, dir,
+          targetFiles = target, clusterBy = cluster,
+          zorder = cluster.size >= 2)
+        dmlReport("optimize", dir, v)
+      }))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[HashExprs.MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => {

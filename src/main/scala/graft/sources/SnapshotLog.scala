@@ -162,15 +162,31 @@ object SnapshotLog {
 
   /** Write `df` into a fresh immutable commit directory; returns the
     * new part-file paths (not yet visible — nothing references them
-    * until a manifest names them). */
+    * until a manifest names them). With `partitionCols` the write is
+    * hive-layout partitioned (`data/<uuid>/c=v/part-*.parquet`) and
+    * every returned file is PARTITION-PURE — one tuple per file, the
+    * invariant [[readPartition]]'s manifest-level prune relies on. */
   private def writeData(spark: SparkSession, dir: String, df: DataFrame,
-      commitId: String): Seq[String] = {
+      commitId: String,
+      partitionCols: Seq[String] = Seq.empty): Seq[String] = {
     val f = fs(spark, dir)
     val dataDir = new Path(dir, s"data/$commitId")
-    df.write.parquet(dataDir.toString)
-    f.listStatus(dataDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString).sorted
+    if (partitionCols.isEmpty) {
+      df.write.parquet(dataDir.toString)
+      f.listStatus(dataDir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString).sorted
+    } else {
+      df.write.partitionBy(partitionCols: _*).parquet(dataDir.toString)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val it = f.listFiles(dataDir, true) // recursive: partition subdirs
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.startsWith("part-"))
+          out += s.getPath.toString
+      }
+      out.toSeq.sorted
+    }
   }
 
   /** Atomic create-exclusive — the one primitive the claim needs.
@@ -261,7 +277,11 @@ object SnapshotLog {
     * Data lands in a fresh uuid directory first; the manifest rename is
     * the only visible transition. Replace semantics — the body does not
     * depend on the previous version, so no base check is needed (two
-    * racing replaces serialize into two versions, either order valid). */
+    * racing replaces serialize into two versions, either order valid).
+    * A full replace RE-DECIDES the physical layout: committing plain
+    * over a partition-declared table writes unpartitioned and drops the
+    * declaration for the new version (use [[commitPartitioned]] to keep
+    * it); older versions read with their own layout unaffected. */
   def commit(spark: SparkSession, dir: String, df: DataFrame): Long = {
     val commitId = java.util.UUID.randomUUID().toString
     var files: Seq[String] = null
@@ -316,6 +336,7 @@ object SnapshotLog {
       batchId: Long): Long = {
     val commitId = java.util.UUID.randomUUID().toString
     var fresh: Seq[String] = null // batch data written once, on first need
+    var writtenPcs: Seq[String] = null // partition layout fresh was written in
     var validatedChecks: Option[Seq[(String, String)]] = None
     while (true) {
       val vs = versions(spark, dir)
@@ -323,15 +344,25 @@ object SnapshotLog {
         return vs.last // replayed batch: no-op (orphan data vacuumable)
       val latest = vs.lastOption
       val checks = latest.map(checksOf(spark, dir, _)).getOrElse(Seq.empty)
+      // a partition-declared table's appends stay partition-pure — the
+      // batch inherits the latest version's layout
+      val pcs = latest.map(partitionColsOf(spark, dir, _)).getOrElse(Seq.empty)
       if (fresh == null) {
         val (wired, assertChecks) =
           observedChecks(df, checks, commitId, s"batch $batchId into $dir")
-        fresh = writeData(spark, dir, wired, commitId)
+        fresh = writeData(spark, dir, wired, commitId, pcs)
+        writtenPcs = pcs
         assertChecks()
         validatedChecks = Some(checks)
-      } else if (!validatedChecks.contains(checks)) {
-        requireChecksPass(checks, df, s"batch $batchId into $dir")
-        validatedChecks = Some(checks)
+      } else {
+        require(writtenPcs == pcs,
+          s"partition layout of $dir changed concurrently (was " +
+            s"${writtenPcs.mkString(",")}, now ${pcs.mkString(",")}) — " +
+            "retry the batch")
+        if (!validatedChecks.contains(checks)) {
+          requireChecksPass(checks, df, s"batch $batchId into $dir")
+          validatedChecks = Some(checks)
+        }
       }
       val schema = latest.flatMap(schemaOf(spark, dir, _))
         .map(mergeSchemas(_, df.schema)).getOrElse(df.schema)
@@ -340,9 +371,11 @@ object SnapshotLog {
       // dropping the header here would resurrect MoR-deleted rows
       val dvHeader = latest.flatMap(dvOf(spark, dir, _))
         .map(n => s"#dv=$n").toSeq
+      val partLines = latest.map(l => partHeaders(pcs,
+        filePartsOf(spark, dir, l), prev, fresh)).getOrElse(Seq.empty)
       commitFiles(spark, dir, (prev ++ fresh).sorted, commitId,
         header = Seq(s"#batch=$batchId", schemaHeader(schema)) ++
-          dvHeader ++ checkHeaders(checks),
+          dvHeader ++ partLines ++ checkHeaders(checks),
         base = Some(latest)) match {
         case Some(v) => return v
         case None    => () // lost the race — rebase on the new latest
@@ -510,11 +543,9 @@ object SnapshotLog {
       val latest = vs.last
       requireNoDv(spark, dir, latest, "deleteWhere (COW)")
       val schema = schemaOf(spark, dir, latest)
+      val pcs = partitionColsOf(spark, dir, latest)
       val current = filesOf(spark, dir, latest)
-      def readCur(paths: Seq[String]) = schema match {
-        case Some(s) => spark.read.schema(s).parquet(paths: _*)
-        case None    => spark.read.parquet(paths: _*)
-      }
+      def readCur(paths: Seq[String]) = readFiles(spark, dir, latest, paths)
       val affected = readCur(current)
         .filter(pred).select(input_file_name().as("f"))
         .distinct().collect().map(_.getString(0)).toSet
@@ -528,10 +559,11 @@ object SnapshotLog {
       val survivors = readCur(rewrite).filter(!coalesce(pred, lit(false)))
       val newFiles =
         if (survivors.isEmpty) Seq.empty
-        else writeData(spark, dir, survivors, commitId)
+        else writeData(spark, dir, survivors, commitId, pcs)
       commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++
           propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
+          propagatedPartHeaders(spark, dir, latest, carry, newFiles) ++
           checkHeaders(checksOf(spark, dir, latest)) ++
           watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
@@ -566,11 +598,9 @@ object SnapshotLog {
       val latest = vs.last
       requireNoDv(spark, dir, latest, "updateWhere (COW)")
       val schema = schemaOf(spark, dir, latest)
+      val pcs = partitionColsOf(spark, dir, latest)
       val current = filesOf(spark, dir, latest)
-      def readCur(paths: Seq[String]) = schema match {
-        case Some(s) => spark.read.schema(s).parquet(paths: _*)
-        case None    => spark.read.parquet(paths: _*)
-      }
+      def readCur(paths: Seq[String]) = readFiles(spark, dir, latest, paths)
       val tableSchema = schema.getOrElse(readCur(current).schema)
       val unknown = set.keySet.diff(tableSchema.fieldNames.toSet)
       require(unknown.isEmpty,
@@ -606,10 +636,11 @@ object SnapshotLog {
       requireChecksPass(checksOf(spark, dir, latest),
         matchedPost, s"UPDATE post-images in $dir")
       val commitId = java.util.UUID.randomUUID().toString
-      val newFiles = writeData(spark, dir, rewritten, commitId)
+      val newFiles = writeData(spark, dir, rewritten, commitId, pcs)
       commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++
           propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
+          propagatedPartHeaders(spark, dir, latest, carry, newFiles) ++
           checkHeaders(checksOf(spark, dir, latest)) ++
           watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
@@ -773,11 +804,9 @@ object SnapshotLog {
           val latest = vs.last
           requireNoDv(spark, dir, latest, "merge")
           val tableSchema = schemaOf(spark, dir, latest)
+          val pcs = partitionColsOf(spark, dir, latest)
           val current = filesOf(spark, dir, latest)
-          def readCur(paths: Seq[String]) = tableSchema match {
-            case Some(s) => spark.read.schema(s).parquet(paths: _*)
-            case None    => spark.read.parquet(paths: _*)
-          }
+          def readCur(paths: Seq[String]) = readFiles(spark, dir, latest, paths)
           // ONE key-column-pruned scan finds the files that hold any
           // matched key; everything else is carried by reference. Fast
           // path: a SPARSE single-integer-key batch against a table with
@@ -855,10 +884,12 @@ object SnapshotLog {
           }
           val commitId = java.util.UUID.randomUUID().toString
           val newFiles =
-            if (body.isEmpty) Seq.empty else writeData(spark, dir, body, commitId)
+            if (body.isEmpty) Seq.empty
+            else writeData(spark, dir, body, commitId, pcs)
           commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
             header = extraHeader ++ Seq(schemaHeader(outSchema)) ++
               propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
+              propagatedPartHeaders(spark, dir, latest, carry, newFiles) ++
               checkHeaders(checksOf(spark, dir, latest)) ++
               watermarkHeader(spark, dir),
             base = Some(Some(latest))) match {
@@ -905,14 +936,12 @@ object SnapshotLog {
       val latest = vs.last
       requireNoDv(spark, dir, latest, "optimize")
       val schema = schemaOf(spark, dir, latest)
+      val pcs = partitionColsOf(spark, dir, latest)
       val current = filesOf(spark, dir, latest)
       val (small, large) = current.partition(p =>
         f.getFileStatus(new Path(p)).getLen < smallFileBytes)
       if (small.size < 2) return latest
-      val base = schema match {
-        case Some(s) => spark.read.schema(s).parquet(small: _*)
-        case None    => spark.read.parquet(small: _*)
-      }
+      val base = readFiles(spark, dir, latest, small)
       val clustered =
         if (clusterBy.isEmpty) base.repartition(targetFiles)
         else if (zorder && clusterBy.size >= 2) {
@@ -946,10 +975,11 @@ object SnapshotLog {
           .repartitionByRange(targetFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       val commitId = java.util.UUID.randomUUID().toString
-      val fresh = writeData(spark, dir, clustered, commitId)
+      val fresh = writeData(spark, dir, clustered, commitId, pcs)
       commitFiles(spark, dir, (large ++ fresh).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++
           propagatedStatHeaders(spark, dir, latest, large, fresh) ++
+          propagatedPartHeaders(spark, dir, latest, large, fresh) ++
           checkHeaders(checksOf(spark, dir, latest)) ++
           watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
@@ -1180,6 +1210,206 @@ object SnapshotLog {
         .drop("_change_type"),
       keys,
       deleteWhen = Some(col("__is_del")), dropCols = Seq("__is_del"))
+
+  // -------------------------------------------------------------------
+  // PARTITIONED TABLES — directory-level pruning inside the format
+  // -------------------------------------------------------------------
+
+  /** Declared partition columns of a version (`#partition=` header) —
+    * empty for an unpartitioned version. Partitioning is per-VERSION
+    * state like the schema: every mutating verb carries it forward;
+    * only a full-replace [[commit]]/[[commitPartitioned]] re-decides
+    * the layout. */
+  def partitionColsOf(spark: SparkSession, dir: String,
+      v: Long): Seq[String] =
+    manifestLines(spark, dir, v).collectFirst {
+      case l if l.startsWith("#partition=") =>
+        l.stripPrefix("#partition=").split(",").toSeq
+    }.getOrElse(Seq.empty)
+
+  /** Per-file partition tuples of a version (`#filepart=` lines):
+    * file path → (partition column → rendered value). Readers prune
+    * from THESE — never by re-parsing paths at read time. */
+  private[graft] def filePartsOf(spark: SparkSession, dir: String,
+      v: Long): Map[String, Map[String, String]] =
+    manifestLines(spark, dir, v)
+      .filter(_.startsWith("#filepart="))
+      .map { l =>
+        val parts = l.stripPrefix("#filepart=").split("\t")
+        parts.head -> parts.tail.map { kv =>
+          val i = kv.indexOf('=')
+          kv.take(i) -> statUnesc(kv.drop(i + 1))
+        }.toMap
+      }.toMap
+
+  /** Hive path-segment unescape (Spark percent-encodes `/:=%` etc. in
+    * partition dir names); values recorded in the manifest are the RAW
+    * values, so probes never need to know the path encoding. */
+  private def hiveUnescape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { // malformed escape passes through verbatim
+          case _: NumberFormatException => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The partition marker Spark writes for a NULL partition value. */
+  private[graft] val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Derive a freshly written file's partition tuple from its hive
+    * path segments — exact by construction: [[writeData]] wrote the
+    * layout one call ago. */
+  private def partTupleOfPath(path: String,
+      partCols: Seq[String]): Seq[(String, String)] = {
+    val kvs = path.split('/').dropRight(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0) Some(hiveUnescape(seg.take(i)) -> hiveUnescape(seg.drop(i + 1)))
+      else None
+    }.toMap
+    partCols.map(c => c -> kvs.getOrElse(c, throw new IllegalStateException(
+      s"partitioned data file lacks a '$c=' path segment: $path")))
+  }
+
+  private def filePartLine(path: String, tuple: Seq[(String, String)]) =
+    s"#filepart=$path" +
+      tuple.map { case (c, v) => s"\t$c=${statEsc(v)}" }.mkString
+
+  /** Partition headers for a commit: the declaration plus one
+    * `#filepart=` line per file — carried files verbatim from the
+    * previous version's recorded tuples, new files derived from their
+    * freshly written paths. Empty when the table is unpartitioned. */
+  private def partHeaders(partCols: Seq[String],
+      prevParts: Map[String, Map[String, String]],
+      carried: Seq[String], newFiles: Seq[String]): Seq[String] =
+    if (partCols.isEmpty) Seq.empty
+    else s"#partition=${partCols.mkString(",")}" +:
+      (carried.flatMap(p => prevParts.get(p).map(t =>
+        filePartLine(p, partCols.map(c => c -> t(c))))) ++
+        newFiles.map(p => filePartLine(p, partTupleOfPath(p, partCols))))
+
+  /** [[partHeaders]] reading the carried state from `prevV`. */
+  private def propagatedPartHeaders(spark: SparkSession, dir: String,
+      prevV: Long, carried: Seq[String],
+      newFiles: Seq[String]): Seq[String] = {
+    val pcs = partitionColsOf(spark, dir, prevV)
+    if (pcs.isEmpty) Seq.empty
+    else partHeaders(pcs, filePartsOf(spark, dir, prevV), carried, newFiles)
+  }
+
+  /** Render a probe value the way partition tuples are recorded:
+    * dates/ints/longs/strings by their canonical string form, null by
+    * the hive marker. Must match Spark's own partition-path rendering
+    * (which the tuples were derived from) — the types below are the
+    * ones that round-trip exactly; use a string probe for anything
+    * exotic. */
+  private def renderPartValue(v: Any): String = v match {
+    case null                    => NullPartition
+    case d: java.sql.Date        => d.toString
+    case d: java.time.LocalDate  => d.toString
+    case other                   => other.toString
+  }
+
+  /** [[commit]] with declared hive partitioning (and optionally
+    * zone-map stats): data lands partition-pure under per-tuple dirs,
+    * the manifest records the declaration and every file's tuple, and
+    * [[readPartition]] prunes at MANIFEST-PARSE time — the first-order
+    * prune at 100 TB, before zone maps and before any parquet footer
+    * opens. Every mutating verb (merge/deleteWhere/updateWhere/
+    * optimize/clone/restore/analyze/commitBatch) preserves the
+    * declaration and keeps rewritten files partition-pure. */
+  def commitPartitioned(spark: SparkSession, dir: String, df: DataFrame,
+      partitionCols: Seq[String],
+      statCols: Seq[String] = Seq.empty): Long = {
+    require(partitionCols.nonEmpty,
+      "commitPartitioned needs at least one partition column (plain " +
+        "commit() for an unpartitioned table)")
+    val missing = partitionCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"partition column(s) ${missing.mkString(",")} absent from the frame")
+    val commitId = java.util.UUID.randomUUID().toString
+    var files: Seq[String] = null
+    var validated: Option[Seq[(String, String)]] = None
+    while (true) {
+      val latest = versions(spark, dir).lastOption
+      val checks = latest.map(checksOf(spark, dir, _)).getOrElse(Seq.empty)
+      if (files == null) {
+        val (wired, assertChecks) =
+          observedChecks(df, checks, commitId, s"commit into $dir")
+        files = writeData(spark, dir, wired, commitId, partitionCols)
+        assertChecks()
+        validated = Some(checks)
+      } else if (!validated.contains(checks)) {
+        requireChecksPass(checks, df, s"commit into $dir")
+        validated = Some(checks)
+      }
+      commitFiles(spark, dir, files, commitId,
+        header = Seq(schemaHeader(df.schema)) ++
+          partHeaders(partitionCols, Map.empty, Seq.empty, files) ++
+          statHeaders(spark, files, statCols) ++ checkHeaders(checks) ++
+          watermarkHeader(spark, dir),
+        base = Some(latest)) match {
+        case Some(v) => return v
+        case None    => ()
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Partition-pruned read: rows where each `where` column equals the
+    * given value, planning ONLY the files whose RECORDED partition
+    * tuple matches — pruning happens while parsing the manifest,
+    * before zone maps, blooms, or any file open. Non-partition
+    * residual exactness: the equality predicate is applied to the kept
+    * rows too, so a stale or partial prune can only over-read, never
+    * fabricate. Returns (frame, filesScanned, filesTotal), the
+    * [[readBetween]] accountability contract. Probing a column the
+    * version is not partitioned by is loud — the caller expected a
+    * prune that cannot happen ([[readBetweenValues]] is the tool for
+    * value-range predicates). */
+  def readPartition(spark: SparkSession, dir: String, where: Map[String, Any],
+      version: Option[Long] = None): (DataFrame, Int, Int) = {
+    require(where.nonEmpty, "readPartition needs at least one column=value")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"version $v of $dir does not exist (have ${vs.mkString(",")})")
+    val pcs = partitionColsOf(spark, dir, v)
+    val notPart = where.keySet.filterNot(pcs.contains)
+    require(notPart.isEmpty,
+      s"version $v of $dir is not partitioned by ${notPart.mkString(",")} " +
+        s"(declared: ${if (pcs.isEmpty) "none" else pcs.mkString(",")})")
+    val rendered = where.map { case (c, x) => c -> renderPartValue(x) }
+    val parts = filePartsOf(spark, dir, v)
+    val files = filesOf(spark, dir, v)
+    val kept = files.filter { p =>
+      parts.get(p) match {
+        case Some(t) => rendered.forall { case (c, rv) => t.get(c).contains(rv) }
+        case None    => true // unrecorded file — conservative
+      }
+    }
+    val pred = where.map { case (c, x) =>
+      if (x == null) col(c).isNull else col(c) === lit(x)
+    }.reduce(_ && _)
+    val schema = schemaOf(spark, dir, v)
+    val df =
+      if (kept.nonEmpty) readFiles(spark, dir, v, kept).filter(pred)
+      else schema match {
+        case Some(s) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None => read(spark, dir, Some(v)).filter(pred).limit(0)
+      }
+    (df, kept.size, files.size)
+  }
 
   // -------------------------------------------------------------------
   // Per-file column stats (zone maps) — planning-time file skipping
@@ -1419,7 +1649,8 @@ object SnapshotLog {
     val header = manifestLines(spark, dir, toV)
       .filter(l => l.startsWith("#schema=") || l.startsWith("#filestat=") ||
         l.startsWith("#dv=") || // dropping the DV would resurrect deletes
-        l.startsWith("#check=")) // constraints travel with the table state
+        l.startsWith("#check=") || // constraints travel with the table state
+        l.startsWith("#partition=") || l.startsWith("#filepart="))
     commitFiles(spark, dir, files, java.util.UUID.randomUUID().toString,
       header = header ++ watermarkHeader(spark, dir),
       base = Some(Some(latest)))
@@ -1453,6 +1684,7 @@ object SnapshotLog {
       commitFiles(spark, dir, files, commitId,
         header = schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
           dvHeader ++ statHeaders(spark, files, statCols) ++
+          propagatedPartHeaders(spark, dir, latest, files, Seq.empty) ++
           checkHeaders(checksOf(spark, dir, latest)) ++
           watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
@@ -1583,7 +1815,23 @@ object SnapshotLog {
     * construction, so AQE broadcasts the DV side. */
   private def readFiles(spark: SparkSession, dir: String, v: Long,
       paths: Seq[String]): DataFrame = {
-    val base = schemaOf(spark, dir, v) match {
+    val pcs = partitionColsOf(spark, dir, v)
+    val base = if (pcs.nonEmpty) {
+      // hive-partitioned files carry the partition values in their DIR
+      // names, not in the parquet: re-attach them via basePath-scoped
+      // reads, grouped per commit dir (one group per contributing
+      // commit — bounded by history, not by files). The version schema
+      // types the partition columns; the final select restores its
+      // column order.
+      val s = schemaOf(spark, dir, v).getOrElse(throw new IllegalStateException(
+        s"partitioned version $v of $dir lacks a #schema header"))
+      paths.groupBy(commitRootOf).toSeq.sortBy(_._1)
+        .map { case (root, ps) =>
+          spark.read.schema(s).option("basePath", root).parquet(ps: _*)
+        }
+        .reduce(_.unionByName(_))
+        .select(s.fieldNames.toSeq.map(col): _*)
+    } else schemaOf(spark, dir, v) match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None    => spark.read.parquet(paths: _*)
     }
@@ -1599,6 +1847,16 @@ object SnapshotLog {
             col("__dv_i") === col("row_index"), "left_anti")
           .select(cols.map(col): _*)
     }
+  }
+
+  /** The `.../data/<commit-uuid>` prefix of a data-file path — the
+    * basePath partition discovery needs. Works for borrowed (cloned)
+    * files too: their root is the SOURCE table's commit dir. */
+  private def commitRootOf(p: String): String = {
+    val i = p.lastIndexOf("/data/")
+    require(i >= 0, s"not a snapshot-log data file: $p")
+    val j = p.indexOf('/', i + "/data/".length)
+    if (j < 0) p else p.substring(0, j)
   }
 
   private def requireNoDv(spark: SparkSession, dir: String, v: Long,
@@ -1699,10 +1957,12 @@ object SnapshotLog {
       val survivors = readFiles(spark, dir, latest, rewrite)
       val newFiles =
         if (survivors.isEmpty) Seq.empty
-        else writeData(spark, dir, survivors, commitId)
+        else writeData(spark, dir, survivors, commitId,
+          partitionColsOf(spark, dir, latest))
       commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
         header = schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
           propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
+          propagatedPartHeaders(spark, dir, latest, carry, newFiles) ++
           checkHeaders(checksOf(spark, dir, latest)) ++
           watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
@@ -1971,7 +2231,14 @@ object SnapshotLog {
     val now = System.currentTimeMillis()
     var removedFiles = 0
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { d =>
-      val parts = f.listStatus(d.getPath).toSeq.filter(_.isFile)
+      // recursive: partitioned commits nest files under c=v subdirs
+      val parts = {
+        val buf = scala.collection.mutable.ArrayBuffer[
+          org.apache.hadoop.fs.LocatedFileStatus]()
+        val it = f.listFiles(d.getPath, true)
+        while (it.hasNext) { val s = it.next(); if (s.isFile) buf += s }
+        buf.toSeq
+      }
       val (keepP, dropP) = parts.partition { s =>
         val p = s.getPath.toString
         live(p) ||
@@ -2114,7 +2381,8 @@ object SnapshotLog {
         read(spark, dir, Some(latest)), s"existing data of $dir")
       val carried = manifestLines(spark, dir, latest).filter(l =>
         l.startsWith("#schema=") || l.startsWith("#filestat=") ||
-          l.startsWith("#dv="))
+          l.startsWith("#dv=") || l.startsWith("#partition=") ||
+          l.startsWith("#filepart="))
       commitFiles(spark, dir, filesOf(spark, dir, latest),
         java.util.UUID.randomUUID().toString,
         header = carried ++ checkHeaders(existing :+ (name -> sqlExpr)) ++
@@ -2140,7 +2408,8 @@ object SnapshotLog {
           s"(have ${existing.map(_._1).mkString(",")})")
       val carried = manifestLines(spark, dir, latest).filter(l =>
         l.startsWith("#schema=") || l.startsWith("#filestat=") ||
-          l.startsWith("#dv="))
+          l.startsWith("#dv=") || l.startsWith("#partition=") ||
+          l.startsWith("#filepart="))
       commitFiles(spark, dir, filesOf(spark, dir, latest),
         java.util.UUID.randomUUID().toString,
         header = carried ++
@@ -2206,7 +2475,8 @@ object SnapshotLog {
     val header = manifestLines(spark, srcDir, v).filter(l =>
       l.startsWith("#schema=") || l.startsWith("#filestat=") ||
         l.startsWith("#dv=") || l.startsWith("#batch=") ||
-        l.startsWith("#check="))
+        l.startsWith("#check=") ||
+        l.startsWith("#partition=") || l.startsWith("#filepart="))
     commitFiles(spark, dstDir, filesOf(spark, srcDir, v),
       java.util.UUID.randomUUID().toString,
       header = header ++ watermarkHeader(spark, srcDir)).get
@@ -2237,15 +2507,14 @@ object SnapshotLog {
         f.makeQualified(new Path(p)).toString.startsWith(ownRoot))
       if (borrowed.isEmpty) return latest
       val schema = schemaOf(spark, dir, latest)
-      val base = schema match {
-        case Some(s) => spark.read.schema(s).parquet(borrowed: _*)
-        case None    => spark.read.parquet(borrowed: _*)
-      }
+      val base = readFiles(spark, dir, latest, borrowed)
       val commitId = java.util.UUID.randomUUID().toString
-      val fresh = writeData(spark, dir, base, commitId)
+      val fresh = writeData(spark, dir, base, commitId,
+        partitionColsOf(spark, dir, latest))
       commitFiles(spark, dir, (own ++ fresh).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++
           propagatedStatHeaders(spark, dir, latest, own, fresh) ++
+          propagatedPartHeaders(spark, dir, latest, own, fresh) ++
           checkHeaders(checksOf(spark, dir, latest)) ++
           watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {

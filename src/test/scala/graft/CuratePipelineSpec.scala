@@ -279,6 +279,57 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(graft.sources.SnapshotLog.versions(spark, log2).isEmpty)
   }
 
+  test("ridden gate == dedicated-pass verdicts, with no extra read of the output") {
+    // count completed actions whose plan SCANS the output dir — the
+    // zero-extra-pass claim, held accountable at the execution layer
+    val out = tmp("curate-out-ride")
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (qe.executedPlan.toString.contains(out)) { reads.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // all-ridable expect set: not_null + in-range + min_rows + predicate
+      val cfg = cfgWith(out).copy(expect = Seq(
+        Expectations.NotNull("text"),
+        Expectations.MinRows(5),
+        Expectations.Predicate("nonempty", length(col("text")) > 0)))
+      val r = CuratePipeline.run(spark, cfg, runId = 1L)
+      assert(r.expectations.map(_._1) === Seq("not_null(text)",
+        "min_rows(5)", "predicate(nonempty)"), "declaration order preserved")
+      // verdict equivalence: the ridden counts == a dedicated pass
+      val dedicated = Expectations.run(spark.read.parquet(out), cfg.expect)
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getBoolean(2)))
+      Thread.sleep(500) // drain async QueryExecutionListener events
+      assert(r.expectations === dedicated.toSeq)
+      // the dedicated pass above is OURS (1 plan reading out, plus its
+      // parquet schema-infer read); the pipeline itself contributed NONE
+      assert(reads.get() <= 2,
+        s"publish gate re-read the output: ${reads.get()} scans of $out")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("mixed gate: table-shaped checks still pay exactly one dedicated pass") {
+    val out = tmp("curate-out-mix")
+    val cfg = cfgWith(out).copy(expect = Seq(
+      Expectations.NotNull("text"),          // rides the write
+      Expectations.Unique(Seq("doc_id")),    // distinct-shaped: dedicated
+      Expectations.MinRows(5)))              // rides the write
+    val r = CuratePipeline.run(spark, cfg, runId = 1L)
+    assert(r.expectations.map(_._1) === Seq("not_null(text)",
+      "unique(doc_id)", "min_rows(5)"))
+    assert(r.expectations.forall(_._3))
+    val dedicated = Expectations.run(spark.read.parquet(out), cfg.expect)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getBoolean(2)))
+    assert(r.expectations === dedicated.toSeq)
+  }
+
   test("persist_checks installs row-scalar expectations as table CHECKs") {
     import spark.implicits._
     val out = tmp("curate-out-pc")

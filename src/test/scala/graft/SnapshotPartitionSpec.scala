@@ -1,0 +1,300 @@
+package graft
+
+import graft.sources.SnapshotLog
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Partition-aware manifests (round 8): a SnapshotLog table declares
+  * partition columns at creation, writers land partition-pure files
+  * under hive dirs recording each file's tuple in the manifest, and
+  * [[SnapshotLog.readPartition]] prunes at MANIFEST-PARSE time — the
+  * first-order prune at 100 TB, before zone maps and before any file
+  * opens. Every verb must preserve the declaration and the tuples. */
+class SnapshotPartitionSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def freshDir() = Files.createTempDirectory("part-log").toString
+
+  /** A 3-region, 400-row table partitioned by region. */
+  private def mkTable(dir: String): org.apache.spark.sql.DataFrame = {
+    val df = spark.range(0, 400).select(
+      element_at(array(lit("eu"), lit("us"), lit("ap")),
+        (col("id") % 3 + 1).cast("int")).as("region"),
+      col("id").as("k"), (col("id") * 7).as("v"))
+    SnapshotLog.commitPartitioned(spark, dir, df, Seq("region"))
+    df
+  }
+
+  test("commitPartitioned: read returns typed partition columns, full data") {
+    val dir = freshDir()
+    val df = mkTable(dir)
+    val got = SnapshotLog.read(spark, dir)
+    assert(got.schema.fieldNames.toSeq === Seq("region", "k", "v"))
+    assert(got.schema("region").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(got.collect().map(_.toSeq).toSet ===
+      df.collect().map(_.toSeq).toSet)
+    assert(SnapshotLog.partitionColsOf(spark, dir, 1L) === Seq("region"))
+    // every file carries a recorded tuple
+    val parts = SnapshotLog.filePartsOf(spark, dir, 1L)
+    val files = SnapshotLog.versions(spark, dir)
+    assert(parts.nonEmpty)
+    assert(parts.values.forall(_.keySet === Set("region")))
+  }
+
+  test("readPartition prunes at manifest-parse time and is exact") {
+    val dir = freshDir()
+    val df = mkTable(dir)
+    val (got, scanned, total) =
+      SnapshotLog.readPartition(spark, dir, Map("region" -> "eu"))
+    assert(scanned < total, s"partition prune scanned $scanned/$total")
+    // kept files are EXACTLY the eu files (tuples are exact, not ranges)
+    val parts = SnapshotLog.filePartsOf(spark, dir, 1L)
+    val euFiles = parts.count(_._2("region") == "eu")
+    assert(scanned === euFiles)
+    assert(got.collect().map(_.toSeq).toSet ===
+      df.filter(col("region") === "eu").collect().map(_.toSeq).toSet)
+    // absent partition: zero files planned, empty frame, correct schema
+    val (none, s2, _) =
+      SnapshotLog.readPartition(spark, dir, Map("region" -> "mars"))
+    assert(s2 === 0 && none.count() === 0)
+    assert(none.schema.fieldNames.toSeq === Seq("region", "k", "v"))
+  }
+
+  test("probing a non-partition column is loud") {
+    val dir = freshDir()
+    mkTable(dir)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.readPartition(spark, dir, Map("k" -> 5L))
+    }
+    assert(e.getMessage.contains("not partitioned by"))
+  }
+
+  test("merge preserves partitioning: rewrites stay partition-pure, prune survives") {
+    val dir = freshDir()
+    mkTable(dir)
+    val changes = Seq(
+      ("eu", 0L, 999L, false),   // update (id 0 is eu: 0%3=0 -> index 1 eu)
+      ("ap", 9999L, 1L, false),  // insert into ap
+      ("us", 1L, -1L, true))     // delete (id 1 -> us)
+      .toDF("region", "k", "v", "is_del")
+    SnapshotLog.merge(spark, dir, changes, Seq("k"),
+      deleteWhen = Some(col("is_del")), dropCols = Seq("is_del"))
+    val v2 = SnapshotLog.versions(spark, dir).last
+    assert(SnapshotLog.partitionColsOf(spark, dir, v2) === Seq("region"))
+    // every file of v2 still has a recorded tuple
+    val parts = SnapshotLog.filePartsOf(spark, dir, v2)
+    val files2 = SnapshotLog.read(spark, dir).inputFiles.length
+    assert(parts.size >= files2 - 1) // all manifest files recorded
+    val (eu, scanned, total) =
+      SnapshotLog.readPartition(spark, dir, Map("region" -> "eu"))
+    assert(scanned < total)
+    assert(eu.filter(col("k") === 0L).select("v").as[Long].head() === 999L)
+    val (ap, _, _) =
+      SnapshotLog.readPartition(spark, dir, Map("region" -> "ap"))
+    assert(ap.filter(col("k") === 9999L).count() === 1)
+    assert(SnapshotLog.read(spark, dir)
+      .filter(col("k") === 1L).count() === 0)
+  }
+
+  test("deleteWhere and updateWhere preserve partition metadata") {
+    val dir = freshDir()
+    mkTable(dir)
+    SnapshotLog.deleteWhere(spark, dir, col("k") === 3L)
+    var v = SnapshotLog.versions(spark, dir).last
+    assert(SnapshotLog.partitionColsOf(spark, dir, v) === Seq("region"))
+    assert(SnapshotLog.filePartsOf(spark, dir, v).nonEmpty)
+    SnapshotLog.updateWhere(spark, dir, col("k") === 6L,
+      Map("v" -> lit(-1L)))
+    v = SnapshotLog.versions(spark, dir).last
+    assert(SnapshotLog.partitionColsOf(spark, dir, v) === Seq("region"))
+    val (eu, scanned, total) =
+      SnapshotLog.readPartition(spark, dir, Map("region" -> "eu"))
+    assert(scanned < total)
+    assert(eu.filter(col("k") === 6L).select("v").as[Long].head() === -1L)
+    assert(eu.filter(col("k") === 3L).count() === 0)
+  }
+
+  test("updateWhere can MOVE a row across partitions (rewrite re-partitions)") {
+    val dir = freshDir()
+    val df = mkTable(dir)
+    SnapshotLog.updateWhere(spark, dir, col("k") === 0L,
+      Map("region" -> lit("ap")))
+    val (ap, _, _) =
+      SnapshotLog.readPartition(spark, dir, Map("region" -> "ap"))
+    assert(ap.filter(col("k") === 0L).count() === 1)
+    val (eu, _, _) =
+      SnapshotLog.readPartition(spark, dir, Map("region" -> "eu"))
+    assert(eu.filter(col("k") === 0L).count() === 0,
+      "moved row still visible under its OLD partition")
+    assert(SnapshotLog.read(spark, dir).count() === df.count())
+  }
+
+  test("optimize compacts within the partition layout; prune intact after") {
+    val dir = freshDir()
+    val df = mkTable(dir)
+    // force small-file sprawl inside each partition, then compact
+    SnapshotLog.commitPartitioned(spark, dir,
+      df.repartition(8), Seq("region"))
+    val before = SnapshotLog.read(spark, dir).inputFiles.length
+    SnapshotLog.optimize(spark, dir, targetFiles = 1)
+    val v = SnapshotLog.versions(spark, dir).last
+    assert(SnapshotLog.partitionColsOf(spark, dir, v) === Seq("region"))
+    val after = SnapshotLog.read(spark, dir).inputFiles.length
+    assert(after < before, s"compaction did not shrink: $before -> $after")
+    val (eu, scanned, total) =
+      SnapshotLog.readPartition(spark, dir, Map("region" -> "eu"))
+    assert(scanned < total)
+    assert(eu.count() ===
+      df.filter(col("region") === "eu").count())
+  }
+
+  test("commitBatch appends inherit the partition layout") {
+    val dir = freshDir()
+    mkTable(dir)
+    SnapshotLog.commitBatch(spark, dir,
+      Seq(("eu", 5000L, 1L)).toDF("region", "k", "v"), 0L)
+    val v = SnapshotLog.versions(spark, dir).last
+    assert(SnapshotLog.partitionColsOf(spark, dir, v) === Seq("region"))
+    val (eu, scanned, total) =
+      SnapshotLog.readPartition(spark, dir, Map("region" -> "eu"))
+    assert(scanned < total)
+    assert(eu.filter(col("k") === 5000L).count() === 1)
+  }
+
+  test("shallow clone and restore carry partition metadata") {
+    val src = freshDir(); val dst = freshDir()
+    mkTable(src)
+    SnapshotLog.shallowClone(spark, src, dst)
+    assert(SnapshotLog.partitionColsOf(spark, dst, 1L) === Seq("region"))
+    val (eu, scanned, total) =
+      SnapshotLog.readPartition(spark, dst, Map("region" -> "eu"))
+    assert(scanned < total && eu.count() > 0)
+    // materialize keeps the layout, rewriting borrowed files partitioned
+    SnapshotLog.materialize(spark, dst)
+    val v = SnapshotLog.versions(spark, dst).last
+    assert(SnapshotLog.partitionColsOf(spark, dst, v) === Seq("region"))
+    val (eu2, s2, t2) =
+      SnapshotLog.readPartition(spark, dst, Map("region" -> "eu"))
+    assert(s2 < t2 && eu2.count() === eu.count())
+    // restore on the source republishes the partition lines
+    SnapshotLog.deleteWhere(spark, src, col("k") === 0L)
+    SnapshotLog.restore(spark, src, 1L)
+    val rv = SnapshotLog.versions(spark, src).last
+    assert(SnapshotLog.partitionColsOf(spark, src, rv) === Seq("region"))
+    assert(SnapshotLog.readPartition(spark, src,
+      Map("region" -> "eu"))._1.filter(col("k") === 0L).count() === 1)
+  }
+
+  test("a plain commit replaces the layout; old versions keep theirs") {
+    val dir = freshDir()
+    val df = mkTable(dir)
+    SnapshotLog.commit(spark, dir, df) // unpartitioned replace
+    val v2 = SnapshotLog.versions(spark, dir).last
+    assert(SnapshotLog.partitionColsOf(spark, dir, v2).isEmpty)
+    assert(SnapshotLog.read(spark, dir).count() === 400)
+    // time travel to v1 still partition-prunes
+    val (eu, scanned, total) =
+      SnapshotLog.readPartition(spark, dir, Map("region" -> "eu"),
+        version = Some(1L))
+    assert(scanned < total && eu.count() > 0)
+    // probing v2 is loud — it is not partitioned
+    intercept[IllegalArgumentException] {
+      SnapshotLog.readPartition(spark, dir, Map("region" -> "eu"))
+    }
+  }
+
+  test("vacuum reclaims nested partitioned data files") {
+    val dir = freshDir()
+    val df = mkTable(dir)
+    SnapshotLog.commitPartitioned(spark, dir, df.limit(30), Seq("region"))
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (dropped, removed) =
+      SnapshotLog.vacuum(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    assert(dropped === 1 && removed > 0,
+      s"vacuum dropped $dropped versions, removed $removed files")
+    // survivor still reads fully
+    assert(SnapshotLog.read(spark, dir).count() === 30)
+    intercept[IllegalArgumentException] {
+      SnapshotLog.read(spark, dir, Some(1L))
+    }
+  }
+
+  test("special characters in partition values round-trip exactly") {
+    val dir = freshDir()
+    val df = Seq(("a/b", 1L), ("x=y", 2L), ("p q", 3L), ("t\tu", 4L),
+      ("pct%41", 5L), ("plain", 6L)).toDF("cat", "v")
+    SnapshotLog.commitPartitioned(spark, dir, df, Seq("cat"))
+    // tuples recorded as the RAW values (path escaping undone)
+    val parts = SnapshotLog.filePartsOf(spark, dir, 1L)
+    val recorded = parts.values.map(_("cat")).toSet
+    assert(recorded === Set("a/b", "x=y", "p q", "t\tu", "pct%41", "plain"))
+    df.collect().foreach { r =>
+      val (got, scanned, total) = SnapshotLog.readPartition(spark, dir,
+        Map("cat" -> r.getString(0)))
+      assert(scanned === 1 && total === 6)
+      assert(got.as[(String, Long)].collect().toSeq ===
+        Seq((r.getString(0), r.getLong(1))))
+    }
+  }
+
+  test("null partition values: recorded under the hive marker, probe-able") {
+    val dir = freshDir()
+    val df = Seq((Some("eu"), 1L), (None, 2L), (Some("us"), 3L))
+      .toDF("region", "v")
+    SnapshotLog.commitPartitioned(spark, dir, df, Seq("region"))
+    val (nulls, scanned, total) =
+      SnapshotLog.readPartition(spark, dir, Map("region" -> null))
+    assert(scanned === 1 && total === 3)
+    assert(nulls.select("v").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("date partition values prune via their canonical rendering") {
+    val dir = freshDir()
+    val df = spark.range(0, 90).select(
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("id") / 30).cast("int")).as("d"), col("id").as("v"))
+      .repartition(3, col("d")) // one file per date dir
+    SnapshotLog.commitPartitioned(spark, dir, df, Seq("d"))
+    val (got, scanned, total) = SnapshotLog.readPartition(spark, dir,
+      Map("d" -> java.sql.Date.valueOf("2024-01-02")))
+    assert(scanned === 1, s"scanned $scanned of $total")
+    assert(got.count() === 30)
+    assert(got.schema("d").dataType === org.apache.spark.sql.types.DateType)
+  }
+
+  test("partitioning composes with zone maps: tuple prune, then range prune") {
+    val dir = freshDir()
+    val df = spark.range(0, 600).select(
+      element_at(array(lit("eu"), lit("us"), lit("ap")),
+        (col("id") % 3 + 1).cast("int")).as("region"),
+      col("id").as("k"), (col("id") * 7).as("v"))
+      .repartitionByRange(6, col("k"))
+    SnapshotLog.commitPartitioned(spark, dir, df, Seq("region"), Seq("k"))
+    // zone maps recorded alongside partition tuples
+    assert(SnapshotLog.fileStatsOf(spark, dir, 1L).nonEmpty)
+    assert(SnapshotLog.filePartsOf(spark, dir, 1L).nonEmpty)
+    val (got, scanned, total) =
+      SnapshotLog.readBetween(spark, dir, "k", 0L, 50L)
+    assert(scanned < total)
+    assert(got.count() === 51)
+    assert(got.schema.fieldNames.contains("region"))
+  }
+
+  test("change data feed reads partitioned versions correctly") {
+    val dir = freshDir()
+    mkTable(dir)
+    SnapshotLog.merge(spark, dir,
+      Seq(("eu", 0L, 999L)).toDF("region", "k", "v"), Seq("k"))
+    val feed = SnapshotLog.changesBetween(spark, dir, 1L, 2L, keys = Seq("k"))
+    val byType = feed.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType.get("update_postimage").contains(1L))
+    assert(byType.get("update_preimage").contains(1L))
+    val post = feed.filter(col("_change_type") === "update_postimage")
+    assert(post.select("region").as[String].head() === "eu")
+    assert(post.select("v").as[Long].head() === 999L)
+  }
+}

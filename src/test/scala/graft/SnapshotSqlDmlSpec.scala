@@ -1,0 +1,136 @@
+package graft
+
+import graft.sources.SnapshotLog
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** SQL DML over the snapshot log (round 8): pure-SQL clients drive
+  * DELETE / UPDATE / MERGE / OPTIMIZE through the EXECUTE-style table
+  * functions, the full round trip runs through `spark.sql`, library
+  * guards surface as SQL-statement errors, and every statement commits
+  * exactly one version. */
+class SnapshotSqlDmlSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def freshDir() = Files.createTempDirectory("sql-dml").toString
+
+  test("full DML round trip through spark.sql") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir,
+      spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("v")))
+
+    // DELETE
+    val del = spark.sql(
+      s"SELECT * FROM snapshot_delete_where('$dir', 'k >= 90')").collect()(0)
+    assert(del.getString(0) === "delete_where" && del.getLong(2) === 2L)
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_of('$dir')")
+      .as[Long].head() === 90L)
+
+    // UPDATE with an expression referencing the row
+    val upd = spark.sql(s"SELECT * FROM snapshot_update_where('$dir', " +
+      "'k < 10', 'v', 'v + 1000')").collect()(0)
+    assert(upd.getLong(2) === 3L)
+    assert(spark.sql(
+      s"SELECT v FROM snapshot_of('$dir') WHERE k = 5").as[Long].head()
+      === 5L * 2 + 1000)
+    assert(spark.sql(
+      s"SELECT v FROM snapshot_of('$dir') WHERE k = 50").as[Long].head()
+      === 100L)
+
+    // MERGE: upsert + insert + tombstone delete through a source query
+    Seq((5L, -1L, false), (200L, 7L, false), (6L, 0L, true))
+      .toDF("k", "v", "is_del").createOrReplaceTempView("dml_changes")
+    val mrg = spark.sql(s"SELECT * FROM snapshot_merge_into('$dir', " +
+      "'SELECT * FROM dml_changes', 'k', 'is_del', 'is_del')").collect()(0)
+    assert(mrg.getLong(2) === 4L)
+    val now = spark.sql(s"SELECT * FROM snapshot_of('$dir')")
+    assert(now.filter(col("k") === 5L).select("v").as[Long].head() === -1L)
+    assert(now.filter(col("k") === 200L).count() === 1)
+    assert(now.filter(col("k") === 6L).count() === 0)
+    assert(now.count() === 90L) // 90 - 1 delete + 1 insert
+
+    // OPTIMIZE clustered on k; table content unchanged, history intact
+    val opt = spark.sql(
+      s"SELECT * FROM snapshot_optimize('$dir', 1, 'k')").collect()(0)
+    assert(opt.getString(0) === "optimize" && opt.getLong(2) === 5L)
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_of('$dir')")
+      .as[Long].head() === 90L)
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_history('$dir')")
+      .as[Long].head() === 5L)
+    // time travel still sees the pre-DML state
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_of('$dir', 1)")
+      .as[Long].head() === 100L)
+  }
+
+  test("each DML statement commits exactly one version (no re-execution)") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir,
+      spark.range(0, 10).select(col("id").as("k"), col("id").as("v")))
+    // updateWhere is NOT idempotent (v = v + 1): a double-run would show
+    val r = spark.sql(s"SELECT * FROM snapshot_update_where('$dir', " +
+      "'true', 'v', 'v + 1')")
+    r.collect(); r.collect() // extra action must not re-run the verb
+    assert(SnapshotLog.versions(spark, dir) === Seq(1L, 2L))
+    assert(SnapshotLog.read(spark, dir).agg(sum("v")).as[Long].head()
+      === (0 until 10).map(_ + 1).sum)
+  }
+
+  test("library guards surface as SQL errors") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir,
+      spark.range(0, 10).select(col("id").as("k"), col("id").as("v")))
+
+    // duplicate merge keys
+    Seq((1L, 10L), (1L, 20L)).toDF("k", "v")
+      .createOrReplaceTempView("dup_changes")
+    val dup = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_merge_into('$dir', " +
+        "'SELECT * FROM dup_changes', 'k')").collect()
+    }
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+
+    // NULL merge key
+    Seq((None: Option[Long], 10L)).toDF("k", "v")
+      .createOrReplaceTempView("null_changes")
+    val nul = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_merge_into('$dir', " +
+        "'SELECT * FROM null_changes', 'k')").collect()
+    }
+    assert(nul.getMessage.contains("NULL key"), nul.getMessage)
+
+    // unknown SET column
+    val unk = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_update_where('$dir', " +
+        "'k = 1', 'nope', '0')").collect()
+    }
+    assert(unk.getMessage.contains("unknown column"), unk.getMessage)
+
+    // DV refusal: a MoR delete blocks the COW verbs until applied
+    SnapshotLog.deleteWhereMoR(spark, dir, col("k") === 1L)
+    val dv = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_update_where('$dir', " +
+        "'k = 2', 'v', '0')").collect()
+    }
+    assert(dv.getMessage.contains("deletion vector"), dv.getMessage)
+
+    // nothing committed by the failed statements beyond the MoR version
+    assert(SnapshotLog.versions(spark, dir).size === 2)
+  }
+
+  test("SQL DML preserves partition metadata like the Scala verbs") {
+    val dir = freshDir()
+    val df = spark.range(0, 90).select(
+      element_at(array(lit("a"), lit("b"), lit("c")),
+        (col("id") % 3 + 1).cast("int")).as("g"), col("id").as("k"))
+    SnapshotLog.commitPartitioned(spark, dir, df, Seq("g"))
+    spark.sql(s"SELECT * FROM snapshot_delete_where('$dir', 'k = 0')")
+      .collect()
+    val v = SnapshotLog.versions(spark, dir).last
+    assert(SnapshotLog.partitionColsOf(spark, dir, v) === Seq("g"))
+    val (got, scanned, total) =
+      SnapshotLog.readPartition(spark, dir, Map("g" -> "a"))
+    assert(scanned < total)
+    assert(got.filter(col("k") === 0L).count() === 0)
+  }
+}
