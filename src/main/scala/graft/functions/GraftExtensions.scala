@@ -169,6 +169,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Seq((verb, dir, v)).toDF("verb", "table", "version")
         .queryExecution.analyzed
     }
+    // SELECT * FROM snapshot_partition('/t', 'region', 'eu'[, col, val…])
+    // — partition-pruned read: plans only the files whose RECORDED
+    // manifest tuple matches (readPartition semantics; values as their
+    // canonical string rendering, e.g. '2024-01-01' for a date column)
+    ext.injectTableFunction((FunctionIdentifier("snapshot_partition"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_partition"),
+      (args: Seq[Expression]) => {
+        if (args.length < 3 || args.length % 2 == 0)
+          throw new IllegalArgumentException("snapshot_partition expects " +
+            s"(path, col, value[, col, value ...]), got ${args.length} args")
+        val s = org.apache.spark.sql.SparkSession.active
+        val dir = strLit(args.head, "snapshot_partition")
+        val where: Map[String, Any] = args.tail.grouped(2).map { p =>
+          strLit(p.head, "snapshot_partition") ->
+            (strLit(p(1), "snapshot_partition"): Any)
+        }.toMap
+        graft.sources.SnapshotLog.readPartition(s, dir, where)
+          ._1.queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("snapshot_delete_where"),
       new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
         "snapshot_delete_where"),

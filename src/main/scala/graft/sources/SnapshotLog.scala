@@ -1305,6 +1305,27 @@ object SnapshotLog {
     else partHeaders(pcs, filePartsOf(spark, dir, prevV), carried, newFiles)
   }
 
+  /** Decode a RECORDED partition value string back to the column's JVM
+    * type, for range/point pruning on partition columns (their values
+    * live only in the manifest tuple — no in-file stats can exist).
+    * None = cannot decode under this type (conservative: keep the
+    * file), EXCEPT the hive null marker which every caller handles
+    * first. Timestamps are deliberately not decoded (their path
+    * rendering is timezone-shaped — conservative keep). */
+  private def decodePartValue(raw: String,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    try dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some(java.lang.Long.parseLong(raw))
+      case DateType    => Some(java.sql.Date.valueOf(raw))
+      case StringType  => Some(raw)
+      case d: DecimalType if d.precision <= 18 =>
+        Some(new java.math.BigDecimal(raw).setScale(d.scale))
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+
   /** Render a probe value the way partition tuples are recorded:
     * dates/ints/longs/strings by their canonical string form, null by
     * the hive marker. Must match Spark's own partition-path rendering
@@ -1772,11 +1793,31 @@ object SnapshotLog {
           case _                => true
         }
     }
+    // a PARTITION column's value lives only in the manifest tuple — no
+    // in-file stats can exist for it. Treat the recorded tuple as a
+    // degenerate [v, v] zone map: decode it under the column's type and
+    // run the same keep() test. A null-partition file is pruned EXACTLY
+    // (a BETWEEN predicate is never true on NULL); an undecodable value
+    // keeps the file conservatively.
+    val partVals: Map[String, String] =
+      if (!partitionColsOf(spark, dir, v).contains(column)) Map.empty
+      else filePartsOf(spark, dir, v).flatMap { case (p, t) =>
+        t.get(column).map(p -> _) }
+    val colDt = schemaOf(spark, dir, v).map(_(column).dataType)
+    def keepByPart(raw: String): Boolean =
+      if (raw == NullPartition) false
+      else colDt.flatMap(decodePartValue(raw, _)) match {
+        case Some(x: String) => keep(StrStat(x, Some(x)))
+        case Some(x)         =>
+          val e = encodeStatLong(x); keep(LongStat(e, e))
+        case None            => true // cannot decode — keep
+      }
     val kept = files.filter { p =>
-      stats.get(p).flatMap(_.get(column)) match {
+      val byStat = stats.get(p).flatMap(_.get(column)) match {
         case Some(st) => keep(st)
         case None     => true // no stats — cannot prune
       }
+      byStat && partVals.get(p).forall(keepByPart)
     }
     val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
     val schema = schemaOf(spark, dir, v)
@@ -2161,12 +2202,21 @@ object SnapshotLog {
         case other     => val enc = encodeStatLong(other)
           _.mightContainLong(enc)
       }
+    // a partition-column probe prunes by the manifest tuple (no bloom
+    // can exist for a column that lives only in directory names):
+    // rendered equality, the readPartition rule
+    val partVals: Map[String, String] =
+      if (!partitionColsOf(spark, dir, v).contains(column)) Map.empty
+      else filePartsOf(spark, dir, v).flatMap { case (p, t) =>
+        t.get(column).map(p -> _) }
+    val rendered = renderPartValue(value)
     val kept = files.filter { p =>
-      blooms.get(new Path(p).toUri.getPath) match {
+      val byBloom = blooms.get(new Path(p).toUri.getPath) match {
         case Some(bytes) => mightContain(
           org.apache.spark.util.sketch.BloomFilter.readFrom(bytes))
         case None => true // no bloom — cannot prune
       }
+      byBloom && partVals.get(p).forall(_ == rendered)
     }
     val schema = schemaOf(spark, dir, v)
     val pred = col(column) === value

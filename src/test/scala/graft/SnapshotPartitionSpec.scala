@@ -265,6 +265,57 @@ class SnapshotPartitionSpec extends AnyFunSuite with SparkFixture {
     assert(got.schema("d").dataType === org.apache.spark.sql.types.DateType)
   }
 
+  test("range and point reads prune on PARTITION columns via manifest tuples") {
+    val dir = freshDir()
+    // date-partitioned: the date value lives ONLY in directory names —
+    // zone maps/blooms cannot exist for it, the tuple is the one signal
+    val df = spark.range(0, 90).select(
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("id") / 30).cast("int")).as("d"), col("id").as("v"))
+      .repartition(3, col("d"))
+    SnapshotLog.commitPartitioned(spark, dir, df, Seq("d"))
+    val (got, scanned, total) = SnapshotLog.readBetweenValues(spark, dir, "d",
+      java.sql.Date.valueOf("2024-01-02"), java.sql.Date.valueOf("2024-01-03"))
+    assert(scanned === 2 && total === 3, s"ranged $scanned/$total")
+    assert(got.count() === 60)
+    // point read on the partition column: tuple equality, no bloom
+    val (pt, s2, t2) = SnapshotLog.readPoint(spark, dir, "d",
+      java.sql.Date.valueOf("2024-01-03"))
+    assert(s2 === 1 && t2 === 3)
+    assert(pt.count() === 30)
+    // a null-partition file is pruned EXACTLY by a range read (BETWEEN
+    // is never true on NULL)
+    val dir2 = freshDir()
+    SnapshotLog.commitPartitioned(spark, dir2,
+      Seq((Some(1L), "a"), (None, "b"), (Some(9L), "c")).toDF("k", "s")
+        .repartition(3, col("k")), Seq("k"))
+    val (r2, s3, t3) = SnapshotLog.readBetweenValues(spark, dir2, "k", 0L, 5L)
+    assert(r2.count() === 1 && s3 < t3, s"null-part prune: $s3/$t3")
+  }
+
+  test("SQL snapshot_partition: pure-SQL partition-pruned reads") {
+    val dir = freshDir()
+    mkTable(dir)
+    val got = spark.sql(
+      s"SELECT * FROM snapshot_partition('$dir', 'region', 'eu')")
+    assert(got.count() ===
+      SnapshotLog.read(spark, dir).filter(col("region") === "eu").count())
+    assert(got.filter(col("region") =!= "eu").count() === 0)
+    // date-rendered values resolve against a date partition column
+    val dir2 = freshDir()
+    val df = spark.range(0, 60).select(
+      date_add(lit(java.sql.Date.valueOf("2024-05-01")),
+        (col("id") / 30).cast("int")).as("d"), col("id").as("v"))
+    SnapshotLog.commitPartitioned(spark, dir2, df, Seq("d"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM snapshot_partition('$dir2', 'd', '2024-05-02')")
+      .as[Long].head() === 30L)
+    // bad arity is loud
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_partition('$dir', 'region')")
+    }
+  }
+
   test("partitioning composes with zone maps: tuple prune, then range prune") {
     val dir = freshDir()
     val df = spark.range(0, 600).select(
