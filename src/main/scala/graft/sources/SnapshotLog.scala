@@ -818,7 +818,35 @@ object SnapshotLog {
           // parquet row-group min/max pushdown then prunes inside them.
           // Cold files are never opened at all, versus the general
           // semi-join path whose join-shaped filter cannot skip files.
-          val stats = fileStatsOf(spark, dir, latest)
+          // effective per-file stats: recorded zone maps AUGMENTED with
+          // each file's partition tuple as a degenerate [v,v] stat
+          // (decoded under the table type) — so a partition-keyed merge
+          // prunes at planning time exactly like a clustered one.
+          // Null-partition entries are omitted (conservative keep; a
+          // change key is never NULL here — the guard above).
+          val stats = {
+            val recorded = fileStatsOf(spark, dir, latest)
+            if (pcs.isEmpty) recorded
+            else {
+              val dts = tableSchema.map(s =>
+                pcs.flatMap(c => s.find(_.name == c).map(c -> _.dataType))
+                  .toMap).getOrElse(Map.empty)
+              val parts = filePartsOf(spark, dir, latest).map { case (p, t) =>
+                p -> t.flatMap { case (c, raw) =>
+                  if (raw == NullPartition) None
+                  else dts.get(c).flatMap(decodePartValue(raw, _)).map {
+                    case s: String => c -> (StrStat(s, Some(s)): ColStat)
+                    case x =>
+                      val e = encodeStatLong(x)
+                      c -> (LongStat(e, e): ColStat)
+                  }
+                }
+              }
+              (recorded.keySet ++ parts.keySet).map(p => p ->
+                (recorded.getOrElse(p, Map.empty) ++
+                  parts.getOrElse(p, Map.empty))).toMap
+            }
+          }
           // any stat-encodable single key qualifies: the isin literals
           // keep the column's own type (no cast), so parquet row-group
           // pushdown stays intact, and the planning-time prune runs on
@@ -829,26 +857,40 @@ object SnapshotLog {
               && statEncodable(changes.schema(k).dataType) => Some(k)
             case _ => None
           }
+          // candidate prune on one key column: binary-searched range
+          // intersection against every file's recorded (or degenerate
+          // partition) stat
+          def pruneOn(k: String): Seq[String] = {
+            val vals = keyFrame.select(col(k)).distinct()
+              .collect().map(_.get(0))
+            changes.schema(k).dataType match {
+              case org.apache.spark.sql.types.StringType =>
+                val ks = vals.map(_.asInstanceOf[String])
+                java.util.Arrays.sort(ks,
+                  (a: String, b: String) => utf8Cmp(a, b))
+                pruneByStatsStr(current, stats, k, ks)
+              case _ =>
+                pruneByStats(current, stats, k,
+                  vals.map(encodeStatLong).sorted)
+            }
+          }
+          val sparse = keyFrame.limit(100001).count() <= 100000
           // (candidate files, isin literals) — None when not sparse
           val fastPath: Option[(Seq[String], Array[Any])] =
-            statKey.flatMap { k =>
-              val n = keyFrame.limit(100001).count()
-              if (n > 100000) None // not sparse — use the general path
-              else {
-                val vals = keyFrame.select(col(k)).collect().map(_.get(0))
-                val candidates = changes.schema(k).dataType match {
-                  case org.apache.spark.sql.types.StringType =>
-                    val ks = vals.map(_.asInstanceOf[String])
-                    java.util.Arrays.sort(ks,
-                      (a: String, b: String) => utf8Cmp(a, b))
-                    pruneByStatsStr(current, stats, k, ks)
-                  case _ =>
-                    pruneByStats(current, stats, k,
-                      vals.map(encodeStatLong).sorted)
-                }
-                Some((candidates, vals))
-              }
+            statKey.filter(_ => sparse).map { k =>
+              (pruneOn(k), keyFrame.select(col(k)).collect().map(_.get(0)))
             }
+          // COMPOSITE keys cannot take the isin fast path, but one
+          // stat-bearing key column still prunes the candidate set the
+          // general semi-join scans — a (region, id) merge against an
+          // id-clustered or region-partitioned table skips cold files
+          // instead of opening the whole table
+          val generalScan: Seq[String] =
+            if (statKey.isDefined) current
+            else keys.find(k => sparse &&
+              stats.values.exists(_.contains(k)) &&
+              statEncodable(changes.schema(k).dataType))
+              .map(pruneOn).getOrElse(current)
           val affected = fastPath match {
             case Some((candidates, ks)) =>
               val k = statKey.get
@@ -857,8 +899,9 @@ object SnapshotLog {
                 .filter(col(k).isin(ks.toSeq: _*))
                 .select(input_file_name().as("__f"))
                 .distinct().collect().map(_.getString(0)).toSet
+            case _ if generalScan.isEmpty => Set.empty[String]
             case _ =>
-              readCur(current)
+              readCur(generalScan)
                 .select((input_file_name().as("__f")) +: keys.map(col): _*)
                 .join(keyFrame, keys, "left_semi")
                 .select("__f").distinct().collect().map(_.getString(0)).toSet

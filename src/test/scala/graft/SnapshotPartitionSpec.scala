@@ -334,6 +334,59 @@ class SnapshotPartitionSpec extends AnyFunSuite with SparkFixture {
     assert(got.schema.fieldNames.contains("region"))
   }
 
+  test("composite-key merge prunes planning to the key's partition — proven by corrupting the others") {
+    // (g, k) composite key against a g-partitioned table: the general
+    // semi-join path must scan ONLY g='a' candidate files. Proof at the
+    // I/O layer: physically delete every other partition's data files —
+    // the merge succeeds iff planning never opens them.
+    val dir = freshDir()
+    val df = spark.range(0, 300).select(
+      element_at(array(lit("a"), lit("b"), lit("c")),
+        (col("id") % 3 + 1).cast("int")).as("g"), col("id").as("k"),
+      col("id").as("v"))
+    SnapshotLog.commitPartitioned(spark, dir, df, Seq("g"))
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotLog.filePartsOf(spark, dir, 1L).foreach { case (p, t) =>
+      if (t("g") != "a") f.delete(new org.apache.hadoop.fs.Path(p), false)
+    }
+    val changes = Seq(("a", 0L, 999L), ("a", 3L, 888L)).toDF("g", "k", "v")
+    SnapshotLog.merge(spark, dir, changes, Seq("g", "k"))
+    val (a, _, _) = SnapshotLog.readPartition(spark, dir, Map("g" -> "a"))
+    assert(a.filter(col("k") === 0L).select("v").as[Long].head() === 999L)
+    assert(a.filter(col("k") === 3L).select("v").as[Long].head() === 888L)
+    assert(a.count() === 100)
+  }
+
+  test("single-key merge on the partition column takes the degenerate-stat fast path") {
+    // a daily-rollup table keyed AND partitioned by day: the partition
+    // tuple is the [v,v] zone map the fast path prunes with. Same
+    // corruption proof: every other day's file is gone from disk.
+    val dir = freshDir()
+    val df = spark.range(0, 30).select(
+      date_add(lit(java.sql.Date.valueOf("2024-06-01")),
+        col("id").cast("int")).as("day"), (col("id") * 10).as("total"))
+      .repartition(30, col("day"))
+    SnapshotLog.commitPartitioned(spark, dir, df, Seq("day"))
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = Set("2024-06-05", "2024-06-20")
+    SnapshotLog.filePartsOf(spark, dir, 1L).foreach { case (p, t) =>
+      if (!keep(t("day"))) f.delete(new org.apache.hadoop.fs.Path(p), false)
+    }
+    val changes = Seq(
+      (java.sql.Date.valueOf("2024-06-05"), 555L),
+      (java.sql.Date.valueOf("2024-06-20"), 2020L)).toDF("day", "total")
+    SnapshotLog.merge(spark, dir, changes, Seq("day"))
+    keep.foreach { d =>
+      val (got, scanned, _) = SnapshotLog.readPartition(spark, dir,
+        Map("day" -> d))
+      assert(scanned === 1)
+      assert(got.select("total").as[Long].head() ===
+        (if (d == "2024-06-05") 555L else 2020L))
+    }
+  }
+
   test("change data feed reads partitioned versions correctly") {
     val dir = freshDir()
     mkTable(dir)
