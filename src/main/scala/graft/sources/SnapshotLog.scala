@@ -541,15 +541,19 @@ object SnapshotLog {
       val vs = versions(spark, dir)
       require(vs.nonEmpty, s"no committed snapshot under $dir")
       val latest = vs.last
-      requireNoDv(spark, dir, latest, "deleteWhere (COW)")
       val schema = schemaOf(spark, dir, latest)
       val pcs = partitionColsOf(spark, dir, latest)
       val current = filesOf(spark, dir, latest)
       def readCur(paths: Seq[String]) = readFiles(spark, dir, latest, paths)
-      val affected = readCur(current)
-        .filter(pred).select(input_file_name().as("f"))
+      // DV-composable: detection and the rewrite both read THROUGH the
+      // version's deletion vector (readFiles), so a MoR-dead row can
+      // neither mark a file affected nor resurrect in the rewrite; the
+      // new version carries the vector minus the rewritten files'
+      // entries (prunedDvHeader)
+      val affected = readFilesTagged(spark, dir, latest, current, Some("__f"))
+        .filter(pred).select("__f")
         .distinct().collect().map(_.getString(0)).toSet
-      // input_file_name returns URIs; manifests may store schemeless paths
+      // scan metadata reports URIs; manifests may store schemeless paths
       def hit(p: String) = affected.contains(p) ||
         affected.contains(new Path(p).toUri.toString) ||
         affected.exists(a => new Path(a).toUri.getPath == new Path(p).toUri.getPath)
@@ -562,6 +566,7 @@ object SnapshotLog {
         else writeData(spark, dir, survivors, commitId, pcs)
       commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++
+          prunedDvHeader(spark, dir, latest, rewrite) ++
           propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
           propagatedPartHeaders(spark, dir, latest, carry, newFiles) ++
           checkHeaders(checksOf(spark, dir, latest)) ++
@@ -587,8 +592,8 @@ object SnapshotLog {
     * (an UPDATE must never mutate the schema — that is [[merge]]'s
     * widening job). CHECK constraints validate the POST-IMAGES of
     * matched rows in one fused pass before anything commits. Returns
-    * the current version unchanged when nothing matches. Refuses on a
-    * DV-bearing version like every rewriting verb. */
+    * the current version unchanged when nothing matches. DV-composable
+    * like every rewriting verb (the [[deleteWhereMoR]] contract). */
   def updateWhere(spark: SparkSession, dir: String, pred: Column,
       set: Map[String, Column]): Long = {
     require(set.nonEmpty, "updateWhere needs at least one SET column")
@@ -596,7 +601,6 @@ object SnapshotLog {
       val vs = versions(spark, dir)
       require(vs.nonEmpty, s"no committed snapshot under $dir")
       val latest = vs.last
-      requireNoDv(spark, dir, latest, "updateWhere (COW)")
       val schema = schemaOf(spark, dir, latest)
       val pcs = partitionColsOf(spark, dir, latest)
       val current = filesOf(spark, dir, latest)
@@ -606,8 +610,10 @@ object SnapshotLog {
       require(unknown.isEmpty,
         s"UPDATE sets unknown column(s) ${unknown.mkString(",")} — " +
           "schema changes go through merge, not updateWhere")
-      val affected = readCur(current)
-        .filter(pred).select(input_file_name().as("f"))
+      // DV-composable (the deleteWhere rule): detection + rewrite read
+      // through the vector; the commit prunes rewritten files' entries
+      val affected = readFilesTagged(spark, dir, latest, current, Some("__f"))
+        .filter(pred).select("__f")
         .distinct().collect().map(_.getString(0)).toSet
       def hitF(p: String) = affected.contains(p) ||
         affected.contains(new Path(p).toUri.toString) ||
@@ -639,6 +645,7 @@ object SnapshotLog {
       val newFiles = writeData(spark, dir, rewritten, commitId, pcs)
       commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++
+          prunedDvHeader(spark, dir, latest, rewrite) ++
           propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
           propagatedPartHeaders(spark, dir, latest, carry, newFiles) ++
           checkHeaders(checksOf(spark, dir, latest)) ++
@@ -802,7 +809,6 @@ object SnapshotLog {
           }
         } else {
           val latest = vs.last
-          requireNoDv(spark, dir, latest, "merge")
           val tableSchema = schemaOf(spark, dir, latest)
           val pcs = partitionColsOf(spark, dir, latest)
           val current = filesOf(spark, dir, latest)
@@ -891,18 +897,23 @@ object SnapshotLog {
               stats.values.exists(_.contains(k)) &&
               statEncodable(changes.schema(k).dataType))
               .map(pruneOn).getOrElse(current)
+          // DV-composable detection: the tagged read applies the
+          // version's deletion vector, so a MoR-dead row cannot mark
+          // its file affected (its key is invisible — correctly so)
+          def readTagged(paths: Seq[String]) =
+            readFilesTagged(spark, dir, latest, paths, Some("__f"))
           val affected = fastPath match {
             case Some((candidates, ks)) =>
               val k = statKey.get
               if (candidates.isEmpty) Set.empty[String]
-              else readCur(candidates)
+              else readTagged(candidates)
                 .filter(col(k).isin(ks.toSeq: _*))
-                .select(input_file_name().as("__f"))
+                .select("__f")
                 .distinct().collect().map(_.getString(0)).toSet
             case _ if generalScan.isEmpty => Set.empty[String]
             case _ =>
-              readCur(generalScan)
-                .select((input_file_name().as("__f")) +: keys.map(col): _*)
+              readTagged(generalScan)
+                .select((col("__f")) +: keys.map(col): _*)
                 .join(keyFrame, keys, "left_semi")
                 .select("__f").distinct().collect().map(_.getString(0)).toSet
           }
@@ -931,6 +942,7 @@ object SnapshotLog {
             else writeData(spark, dir, body, commitId, pcs)
           commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
             header = extraHeader ++ Seq(schemaHeader(outSchema)) ++
+              prunedDvHeader(spark, dir, latest, rewrite) ++
               propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
               propagatedPartHeaders(spark, dir, latest, carry, newFiles) ++
               checkHeaders(checksOf(spark, dir, latest)) ++
@@ -977,13 +989,15 @@ object SnapshotLog {
       val vs = versions(spark, dir)
       require(vs.nonEmpty, s"no committed snapshot under $dir")
       val latest = vs.last
-      requireNoDv(spark, dir, latest, "optimize")
       val schema = schemaOf(spark, dir, latest)
       val pcs = partitionColsOf(spark, dir, latest)
       val current = filesOf(spark, dir, latest)
       val (small, large) = current.partition(p =>
         f.getFileStatus(new Path(p)).getLen < smallFileBytes)
       if (small.size < 2) return latest
+      // DV-composable: the compaction reads through the vector, so a
+      // MoR-dead row is physically absent from the rewrite; the commit
+      // carries the vector minus the compacted files' entries
       val base = readFiles(spark, dir, latest, small)
       val clustered =
         if (clusterBy.isEmpty) base.repartition(targetFiles)
@@ -1021,6 +1035,7 @@ object SnapshotLog {
       val fresh = writeData(spark, dir, clustered, commitId, pcs)
       commitFiles(spark, dir, (large ++ fresh).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++
+          prunedDvHeader(spark, dir, latest, small) ++
           propagatedStatHeaders(spark, dir, latest, large, fresh) ++
           propagatedPartHeaders(spark, dir, latest, large, fresh) ++
           checkHeaders(checksOf(spark, dir, latest)) ++
@@ -1898,7 +1913,27 @@ object SnapshotLog {
     * `_metadata` (file_path, row_index) — deletes are sparse by
     * construction, so AQE broadcasts the DV side. */
   private def readFiles(spark: SparkSession, dir: String, v: Long,
-      paths: Seq[String]): DataFrame = {
+      paths: Seq[String]): DataFrame =
+    readFilesTagged(spark, dir, v, paths, None)
+
+  /** [[readFiles]] optionally tagging each row with its source file
+    * path (`tag` column, from the scan's own `_metadata` — captured AT
+    * SCAN level, so it survives the DV anti-join where
+    * `input_file_name()` would not if the join shuffled). The affected-
+    * file detection of every rewrite verb uses the tag. */
+  private def readFilesTagged(spark: SparkSession, dir: String, v: Long,
+      paths: Seq[String], tag: Option[String]): DataFrame = {
+    val dvName = dvOf(spark, dir, v)
+    // metadata-derived columns must attach to each SCAN before any
+    // union/select hides the hidden _metadata struct
+    val extras: Seq[(String, String)] =
+      tag.map(_ -> "_metadata.file_path").toSeq ++
+        (if (dvName.isDefined)
+          Seq("__dv_f" -> "_metadata.file_path",
+            "__dv_i" -> "_metadata.row_index")
+        else Seq.empty)
+    def attach(df: DataFrame): DataFrame =
+      extras.foldLeft(df) { case (d, (n, m)) => d.withColumn(n, col(m)) }
     val pcs = partitionColsOf(spark, dir, v)
     val base = if (pcs.nonEmpty) {
       // hive-partitioned files carry the partition values in their DIR
@@ -1911,27 +1946,55 @@ object SnapshotLog {
         s"partitioned version $v of $dir lacks a #schema header"))
       paths.groupBy(commitRootOf).toSeq.sortBy(_._1)
         .map { case (root, ps) =>
-          spark.read.schema(s).option("basePath", root).parquet(ps: _*)
+          attach(spark.read.schema(s).option("basePath", root).parquet(ps: _*))
         }
         .reduce(_.unionByName(_))
-        .select(s.fieldNames.toSeq.map(col): _*)
-    } else schemaOf(spark, dir, v) match {
+        .select((s.fieldNames.toSeq ++ extras.map(_._1)).map(col): _*)
+    } else attach(schemaOf(spark, dir, v) match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None    => spark.read.parquet(paths: _*)
-    }
-    dvOf(spark, dir, v) match {
+    })
+    dvName match {
       case None => base
       case Some(name) =>
         val dv = spark.read.parquet(dvPath(dir, name).toString)
-        val cols = base.columns.toSeq
         base
-          .withColumn("__dv_f", col("_metadata.file_path"))
-          .withColumn("__dv_i", col("_metadata.row_index"))
           .join(dv, col("__dv_f") === col("path") &&
             col("__dv_i") === col("row_index"), "left_anti")
-          .select(cols.map(col): _*)
+          .drop("__dv_f", "__dv_i")
     }
   }
+
+  /** The `#dv=` header for a commit that REWROTE `rewritten` files of
+    * version `v`: the old vector minus every entry naming a rewritten
+    * file (those rows are gone physically — the rewrite read through
+    * the DV, so survivors never resurrect). Entries for CARRIED files
+    * stay live in a fresh uuid sidecar (the old one still serves older
+    * versions until vacuumed); an emptied vector drops the header
+    * entirely. Distinct DV paths are bounded by the table's file
+    * count — the collect is metadata-sized. */
+  private def prunedDvHeader(spark: SparkSession, dir: String, v: Long,
+      rewritten: Seq[String]): Seq[String] =
+    dvOf(spark, dir, v) match {
+      case None => Seq.empty
+      case Some(name) =>
+        val dv = spark.read.parquet(dvPath(dir, name).toString)
+        val gone = rewritten.map(p => new Path(p).toUri.getPath).toSet
+        val dropPaths = dv.select("path").distinct().collect()
+          .map(_.getString(0))
+          .filter(p => gone.contains(new Path(p).toUri.getPath))
+        val remaining =
+          if (dropPaths.isEmpty) dv
+          else dv.filter(!col("path").isin(dropPaths.toSeq: _*))
+        if (remaining.isEmpty) Seq.empty
+        else if (dropPaths.isEmpty) Seq(s"#dv=$name") // untouched: share it
+        else {
+          val newName = java.util.UUID.randomUUID().toString
+          remaining.coalesce(1).write
+            .parquet(dvPath(dir, newName).toString)
+          Seq(s"#dv=$newName")
+        }
+    }
 
   /** The `.../data/<commit-uuid>` prefix of a data-file path — the
     * basePath partition discovery needs. Works for borrowed (cloned)
@@ -1964,12 +2027,17 @@ object SnapshotLog {
     * churn; both share NULL semantics (rows where `pred` is NULL were
     * not matched and survive).
     *
-    * Composition contract (enforced loudly, never silently): APPEND
-    * commits ([[commitBatch]]) carry the DV forward; REWRITING verbs
-    * ([[deleteWhere]], [[merge]], [[optimize]]) refuse on a DV-bearing
-    * version until [[applyDeletionVectors]] runs — a rewrite would
-    * change row positions out from under the vector. Consecutive MoR
-    * deletes accumulate (new sidecar = old ∪ new matches). */
+    * Composition contract (round 8 — rewriting verbs now COMPOSE):
+    * APPEND commits ([[commitBatch]]) carry the DV forward untouched;
+    * the rewriting verbs ([[deleteWhere]], [[updateWhere]], [[merge]],
+    * [[optimize]]) read THROUGH the vector (detection and rewrite — a
+    * MoR-dead row can neither mark a file affected nor resurrect) and
+    * commit the vector MINUS the rewritten files' entries in a fresh
+    * sidecar ([[prunedDvHeader]]; the old sidecar keeps serving older
+    * versions until vacuumed, an emptied vector drops the header).
+    * Only [[materialize]] still refuses — run [[applyDeletionVectors]]
+    * before severing a clone. Consecutive MoR deletes accumulate (new
+    * sidecar = old ∪ new matches). */
   def deleteWhereMoR(spark: SparkSession, dir: String,
       pred: Column): Long = {
     while (true) {

@@ -77,7 +77,7 @@ class SnapshotDvSpec extends AnyFunSuite with SparkFixture {
     assert(point.count() === 0L, "readPoint resurrected a MoR-deleted row")
   }
 
-  test("appends carry the vector forward; rewriting verbs refuse until compaction") {
+  test("appends carry the vector; rewriting verbs COMPOSE with it (r8)") {
     val (dir, _) = mkLog()
     SnapshotLog.deleteWhereMoR(spark, dir, col("id") < 5L)
     SnapshotLog.commitBatch(spark, dir,
@@ -87,24 +87,52 @@ class SnapshotDvSpec extends AnyFunSuite with SparkFixture {
     assert(rows.filter(col("id") < 5L).count() === 0L,
       "an append resurrected MoR-deleted rows")
 
-    Seq[(String, () => Any)](
-      ("deleteWhere", () =>
-        SnapshotLog.deleteWhere(spark, dir, col("id") === 7L)),
-      ("merge", () => SnapshotLog.merge(spark, dir,
-        Seq((7L, 1L, Some("y"))).toDF("id", "grp", "email"), Seq("id"))),
-      ("optimize", () => SnapshotLog.optimize(spark, dir))
-    ).foreach { case (verb, run) =>
-      val e = intercept[IllegalArgumentException] { run() }
-      assert(e.getMessage.contains("deletion vector"), s"$verb: ${e.getMessage}")
-    }
-
-    val v = SnapshotLog.applyDeletionVectors(spark, dir)
-    val compacted = SnapshotLog.read(spark, dir, Some(v))
-    assert(compacted.count() === 996L)
-    assert(compacted.filter(col("id") < 5L).count() === 0L)
-    // verbs work again, and reads need no anti-join (no #dv header)
+    // COW delete on the DV-bearing version: the target dies, MoR-dead
+    // rows STAY dead (the rewrite read through the vector; the commit
+    // pruned only the rewritten files' entries)
     SnapshotLog.deleteWhere(spark, dir, col("id") === 7L)
-    assert(SnapshotLog.read(spark, dir).count() === 995L)
+    val afterDel = SnapshotLog.read(spark, dir)
+    assert(afterDel.count() === 995L)
+    assert(afterDel.filter(col("id") < 5L).count() === 0L,
+      "COW delete resurrected MoR-dead rows")
+
+    // merge: replaces a live row; a MoR-DEAD key is correctly ABSENT,
+    // so merging it INSERTS the new image (one visible row, new value)
+    SnapshotLog.merge(spark, dir,
+      Seq((8L, 77L, Some("y")), (3L, 33L, Some("z")))
+        .toDF("id", "grp", "email"), Seq("id"))
+    val afterMerge = SnapshotLog.read(spark, dir)
+    assert(afterMerge.filter(col("id") === 8L).select("grp")
+      .as[Long].head() === 77L)
+    assert(afterMerge.filter(col("id") === 3L).count() === 1L,
+      "a dead key's merge image must insert (the key is invisible)")
+    assert(afterMerge.filter(col("id") === 3L).select("grp")
+      .as[Long].head() === 33L)
+    assert(afterMerge.filter(col("id").isin(0L, 1L, 2L, 4L)).count() === 0L,
+      "untouched MoR-dead rows stayed dead through the merge")
+
+    // updateWhere composes the same way
+    SnapshotLog.updateWhere(spark, dir, col("id") === 9L,
+      Map("grp" -> lit(-1L)))
+    assert(SnapshotLog.read(spark, dir).filter(col("id") === 9L)
+      .select("grp").as[Long].head() === -1L)
+
+    // optimize compacts THROUGH the vector — every small file rewritten,
+    // so the vector empties and the header drops: applyDeletionVectors
+    // on the result is a no-op (nothing left to apply)
+    val optV = SnapshotLog.optimize(spark, dir)
+    val compacted = SnapshotLog.read(spark, dir, Some(optV))
+    // ids 0,1,2,4 are MoR-dead; id 3 is ALIVE again (the merge above
+    // legitimately re-inserted it)
+    assert(compacted.filter(col("id").isin(0L, 1L, 2L, 4L)).count() === 0L)
+    assert(compacted.filter(col("id") === 3L).count() === 1L)
+    assert(compacted.count() === 996L) // 995 +1 merge-insert(3)
+    assert(SnapshotLog.applyDeletionVectors(spark, dir) === optV,
+      "optimize left a vector behind despite rewriting every file")
+
+    // time travel: the ORIGINAL MoR version still reads DV-filtered
+    val mor = SnapshotLog.read(spark, dir, Some(2L))
+    assert(mor.count() === 995L && mor.filter(col("id") < 5L).count() === 0L)
   }
 
   test("vacuum reclaims sidecars no retained manifest references") {

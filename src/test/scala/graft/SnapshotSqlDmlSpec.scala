@@ -106,16 +106,18 @@ class SnapshotSqlDmlSpec extends AnyFunSuite with SparkFixture {
     }
     assert(unk.getMessage.contains("unknown column"), unk.getMessage)
 
-    // DV refusal: a MoR delete blocks the COW verbs until applied
-    SnapshotLog.deleteWhereMoR(spark, dir, col("k") === 1L)
-    val dv = intercept[Exception] {
-      spark.sql(s"SELECT * FROM snapshot_update_where('$dir', " +
-        "'k = 2', 'v', '0')").collect()
-    }
-    assert(dv.getMessage.contains("deletion vector"), dv.getMessage)
+    // nothing committed by the failed statements
+    assert(SnapshotLog.versions(spark, dir).size === 1)
 
-    // nothing committed by the failed statements beyond the MoR version
-    assert(SnapshotLog.versions(spark, dir).size === 2)
+    // a MoR delete COMPOSES with SQL DML (r8): the dead row neither
+    // updates nor resurrects
+    SnapshotLog.deleteWhereMoR(spark, dir, col("k") === 1L)
+    spark.sql(s"SELECT * FROM snapshot_update_where('$dir', " +
+      "'true', 'v', 'v + 100')").collect()
+    val after = spark.sql(s"SELECT * FROM snapshot_of('$dir')")
+    assert(after.filter(col("k") === 1L).count() === 0)
+    assert(after.filter(col("k") === 2L).select("v").as[Long].head() === 102L)
+    assert(after.count() === 9)
   }
 
   test("SQL DML preserves partition metadata like the Scala verbs") {

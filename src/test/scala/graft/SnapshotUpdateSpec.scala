@@ -101,14 +101,16 @@ class SnapshotUpdateSpec extends AnyFunSuite with SparkFixture {
       SnapshotLog.versions(spark, dir).last) === Seq("n_pos" -> "n > 0"))
   }
 
-  test("refuses on a deletion-vector-bearing version") {
+  test("composes with a deletion vector: dead rows neither update nor resurrect (r8)") {
     import spark.implicits._
     val dir = freshDir()
     SnapshotLog.commit(spark, dir,
-      Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("k", "v", "n"))
+      Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L)).toDF("k", "v", "n"))
     SnapshotLog.deleteWhereMoR(spark, dir, col("k") === 2L)
-    val e = intercept[IllegalArgumentException](SnapshotLog.updateWhere(
-      spark, dir, lit(true), Map("n" -> lit(0L))))
-    assert(e.getMessage.contains("deletion vector"))
+    SnapshotLog.updateWhere(spark, dir, lit(true), Map("n" -> lit(0L)))
+    val got = SnapshotLog.read(spark, dir).orderBy("k")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "a", 0L), (3L, "c", 0L)),
+      "MoR-dead row resurrected or survivors not updated")
   }
 }
