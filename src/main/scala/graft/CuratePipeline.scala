@@ -26,6 +26,11 @@ import scala.jdk.CollectionConverters._
   *                                   #   so the published table refuses ANY
   *                                   #   writer violating the contract
   *   shards: 8                       # optional: hash-sharded output
+  *   partition_by: [lang]            # optional: hive-layout shards; the
+  *                                   #   published snapshot-log version
+  *                                   #   records the layout + per-file
+  *                                   #   tuples, so readPartition prunes
+  *                                   #   the training table by slice
   * stages:
   *   - stage: lang_keep
   *     langs: [en, de]
@@ -95,6 +100,7 @@ object CuratePipeline {
       textCol: String = "text",
       logDir: Option[String] = None,
       shards: Option[Int] = None,
+      partitionBy: Seq[String] = Seq.empty,
       stages: Seq[Stage] = Seq.empty,
       expect: Seq[Expectations.Check] = Seq.empty,
       persistChecks: Boolean = false)
@@ -207,7 +213,7 @@ object CuratePipeline {
     if (section.isEmpty) fail(0, "missing 'curate:' root")
 
     val knownRoot = Set("input", "out_dir", "id_col", "text_col",
-      "log_dir", "shards", "persist_checks")
+      "log_dir", "shards", "persist_checks", "partition_by")
     root.foreach { case (k, (li, _)) =>
       if (!knownRoot(k)) fail(li,
         s"unknown key '$k' (known: ${knownRoot.toSeq.sorted.mkString(", ")})")
@@ -305,6 +311,13 @@ object CuratePipeline {
             "unique)")
         }
       }
+    // partition_by: [lang] or a single bare column — the published
+    // table's hive layout (the training-data reality: slices are read
+    // per lang/source; the snapshot log prunes them at manifest grain)
+    val partitionBy = root.get("partition_by").map { case (li, v) =>
+      val t = unquote(v)
+      if (t.trim.startsWith("[")) parseList2(li, t) else Seq(t.trim)
+    }.getOrElse(Seq.empty)
     CurateConfig(
       inputPath = req("input"),
       outDir = outDir,
@@ -312,6 +325,7 @@ object CuratePipeline {
       textCol = opt("text_col").getOrElse("text"),
       logDir = logDir,
       shards = shards,
+      partitionBy = partitionBy,
       stages = parsedStages,
       expect = parsedChecks,
       persistChecks = opt("persist_checks") match {
@@ -495,7 +509,17 @@ object CuratePipeline {
         sharded.observe(o, aggs.head, aggs.tail: _*)
       case None => sharded
     }
-    toWrite.write.mode("overwrite").parquet(cfg.outDir)
+    // partition_by: hive-layout shards (the lang/source slice layout a
+    // trainer reads); validated against the post-stage schema HERE —
+    // the input schema is unknowable at config load
+    cfg.partitionBy.foreach { c =>
+      require(sharded.columns.contains(c),
+        s"partition_by column '$c' absent from the curated output " +
+          s"(have ${sharded.columns.mkString(",")})")
+    }
+    val writer = toWrite.write.mode("overwrite")
+    (if (cfg.partitionBy.isEmpty) writer
+     else writer.partitionBy(cfg.partitionBy: _*)).parquet(cfg.outDir)
 
     val stageRows = observations.toSeq.map { case (t, o) =>
       t -> o.get("rows").asInstanceOf[Long]
@@ -532,11 +556,21 @@ object CuratePipeline {
     val version = cfg.logDir.map { ld =>
       val fs = new org.apache.hadoop.fs.Path(cfg.outDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val files = fs.listStatus(new org.apache.hadoop.fs.Path(cfg.outDir))
-        .toSeq.filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .map(_.getPath.toString).sorted
+      // recursive: partition_by nests shards under c=v dirs
+      val files = {
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(cfg.outDir), true)
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.isFile && s.getPath.getName.startsWith("part-"))
+            buf += s.getPath.toString
+        }
+        buf.toSeq.sorted
+      }
+      // the published version records the layout + per-file tuples, so
+      // SnapshotLog.readPartition prunes the training table by slice
       val v = SnapshotLog.commitBatchExternal(spark, ld, files,
-        sharded.schema, runId)
+        sharded.schema, runId, partitionCols = cfg.partitionBy)
       // persist_checks: install every ROW-SCALAR expectation as a table
       // CHECK constraint, so the table's own commit boundary re-enforces
       // the pipeline contract against ANY writer (a direct commitBatch

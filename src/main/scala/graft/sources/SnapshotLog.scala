@@ -441,8 +441,16 @@ object SnapshotLog {
     * caller-side retention with [[referencedFiles]] to know which
     * external files retained versions still need. */
   def commitBatchExternal(spark: SparkSession, dir: String,
-      files: Seq[String], schema: StructType, batchId: Long): Long = {
+      files: Seq[String], schema: StructType, batchId: Long,
+      partitionCols: Seq[String] = Seq.empty): Long = {
     var validated: Option[Seq[(String, String)]] = None
+    // externally-written hive-layout files: the caller declares the
+    // partition columns and the tuples derive from the paths it laid
+    // out — recorded in the manifest so readPartition prunes the
+    // published table exactly like a commitPartitioned one
+    val partLines =
+      if (partitionCols.isEmpty) Seq.empty
+      else partHeaders(partitionCols, Map.empty, Seq.empty, files)
     while (true) {
       val vs0 = versions(spark, dir)
       if (lastBatch(spark, dir).exists(batchId <= _)) return vs0.last
@@ -450,15 +458,23 @@ object SnapshotLog {
       val checks = vs0.lastOption.map(checksOf(spark, dir, _))
         .getOrElse(Seq.empty)
       if (checks.nonEmpty && files.nonEmpty && !validated.contains(checks)) {
-        requireChecksPass(checks,
-          spark.read.schema(schema).parquet(files: _*),
-          s"external batch $batchId into $dir")
+        // partitioned external files: the partition values live in the
+        // dirs — a flat explicit-schema read would validate NULLs there
+        val frame =
+          if (partitionCols.isEmpty)
+            spark.read.schema(schema).parquet(files: _*)
+          else files.groupBy(commitRootOf).toSeq.sortBy(_._1)
+            .map { case (root, ps) =>
+              spark.read.schema(schema).option("basePath", root)
+                .parquet(ps: _*)
+            }.reduce(_.unionByName(_))
+        requireChecksPass(checks, frame, s"external batch $batchId into $dir")
         validated = Some(checks)
       }
       commitFiles(spark, dir, files.sorted,
         java.util.UUID.randomUUID().toString,
         header = Seq(s"#batch=$batchId", schemaHeader(schema)) ++
-          checkHeaders(checks),
+          partLines ++ checkHeaders(checks),
         base = Some(vs0.lastOption)) match {
         case Some(v) => return v
         case None    => () // raced — re-read the carried metadata
@@ -1996,14 +2012,17 @@ object SnapshotLog {
         }
     }
 
-  /** The `.../data/<commit-uuid>` prefix of a data-file path — the
-    * basePath partition discovery needs. Works for borrowed (cloned)
-    * files too: their root is the SOURCE table's commit dir. */
+  /** The basePath partition discovery needs for a hive-layout file:
+    * the longest prefix above every `c=v` segment. Works for this
+    * table's own `data/<uuid>/c=v/part-*` files, for borrowed (cloned)
+    * files rooted in the SOURCE table, and for EXTERNAL layouts
+    * ([[commitBatchExternal]] with partitionCols) wherever the caller
+    * wrote them. */
   private def commitRootOf(p: String): String = {
-    val i = p.lastIndexOf("/data/")
-    require(i >= 0, s"not a snapshot-log data file: $p")
-    val j = p.indexOf('/', i + "/data/".length)
-    if (j < 0) p else p.substring(0, j)
+    val segs = p.split('/')
+    var end = segs.length - 1 // the filename
+    while (end > 0 && segs(end - 1).contains('=')) end -= 1
+    segs.take(end).mkString("/")
   }
 
   private def requireNoDv(spark: SparkSession, dir: String, v: Long,

@@ -330,6 +330,48 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(r.expectations === dedicated.toSeq)
   }
 
+  test("partition_by: hive-layout shards, published table prunes by slice") {
+    import spark.implicits._
+    val out = tmp("curate-out-part")
+    val log = tmp("curate-log-part")
+    val cfg = cfgWith(out, log = Some(log)).copy(
+      partitionBy = Seq("lang"),
+      expect = Seq(Expectations.NotNull("lang")))
+    val r = CuratePipeline.run(spark, cfg, runId = 1L)
+    assert(r.logVersion === Some(1L))
+    assert(r.expectations.forall(_._3),
+      "a partition column must not validate as NULL (basePath read)")
+    // the shards landed under lang=… dirs
+    assert(new java.io.File(out).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("lang=")))
+    // the published version declares the layout; reads re-attach lang
+    assert(SnapshotLog.partitionColsOf(spark, log, 1L) === Seq("lang"))
+    val full = SnapshotLog.read(spark, log)
+    assert(full.columns.contains("lang") && full.count() === r.finalRows)
+    // manifest-grain slice prune, exact content
+    val (en, scanned, total) =
+      SnapshotLog.readPartition(spark, log, Map("lang" -> "en"))
+    assert(scanned < total, s"slice prune scanned $scanned/$total")
+    assert(en.count() === full.filter(col("lang") === "en").count())
+    // equivalence with the unpartitioned run, content-wise
+    val out2 = tmp("curate-out-flat")
+    val flat = CuratePipeline.run(spark,
+      cfgWith(out2).copy(partitionBy = Seq.empty), runId = 0L)
+    assert(flat.finalRows === r.finalRows)
+    // config text round trip + load-time validation of the key shape
+    val cfgText = goodConfig.replace("OUT", tmp("x"))
+      .replace("stages:", "  partition_by: [lang]\nstages:")
+    assert(CuratePipeline.parse(cfgText.linesIterator.toSeq, "t.yaml")
+      .partitionBy === Seq("lang"))
+    // an absent partition column fails at RUN, named loudly
+    val bad = cfgWith(tmp("curate-out-badpart"))
+      .copy(partitionBy = Seq("nope"))
+    val e = intercept[IllegalArgumentException] {
+      CuratePipeline.run(spark, bad, runId = 1L)
+    }
+    assert(e.getMessage.contains("partition_by column 'nope'"))
+  }
+
   test("persist_checks installs row-scalar expectations as table CHECKs") {
     import spark.implicits._
     val out = tmp("curate-out-pc")

@@ -387,6 +387,25 @@ class SnapshotPartitionSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("an empty partitioned table pre-declares the layout; merges inherit it") {
+    // the CDC-replica bootstrap shape: create the table with its layout
+    // BEFORE any data arrives, so the first merge already lands
+    // partition-pure
+    val dir = freshDir()
+    val empty = Seq.empty[(String, Long, Long)].toDF("region", "k", "v")
+    SnapshotLog.commitPartitioned(spark, dir, empty, Seq("region"))
+    assert(SnapshotLog.partitionColsOf(spark, dir, 1L) === Seq("region"))
+    SnapshotLog.merge(spark, dir,
+      Seq(("eu", 1L, 10L), ("us", 2L, 20L)).toDF("region", "k", "v"),
+      Seq("k"))
+    val v = SnapshotLog.versions(spark, dir).last
+    assert(SnapshotLog.partitionColsOf(spark, dir, v) === Seq("region"))
+    val (eu, scanned, total) =
+      SnapshotLog.readPartition(spark, dir, Map("region" -> "eu"))
+    assert(scanned < total || total === 1)
+    assert(eu.select("k").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("change data feed reads partitioned versions correctly") {
     val dir = freshDir()
     mkTable(dir)
