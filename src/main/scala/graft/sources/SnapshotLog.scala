@@ -1832,7 +1832,21 @@ object SnapshotLog {
     * again conservative. */
   def readBetweenValues(spark: SparkSession, dir: String, column: String,
       lo: Any, hi: Any,
+      version: Option[Long] = None): (DataFrame, Int, Int) =
+    readWhere(spark, dir, Seq((column, lo, hi)), version)
+
+  /** Conjunctive multi-column pruned read — the realistic 100 TB scan
+    * predicate (a date range AND a region AND an amount band in ONE
+    * statement): every `(column, lo, hi)` range prunes independently
+    * at manifest-parse time and a file survives only if ALL ranges
+    * keep it (zone maps, truncated string ranges, and degenerate
+    * partition tuples all participate per column); the fused residual
+    * filter guarantees exactness. Returns (frame, filesScanned,
+    * filesTotal), the [[readBetween]] accountability contract. */
+  def readWhere(spark: SparkSession, dir: String,
+      ranges: Seq[(String, Any, Any)],
       version: Option[Long] = None): (DataFrame, Int, Int) = {
+    require(ranges.nonEmpty, "readWhere needs at least one (col, lo, hi)")
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed snapshot under $dir")
     val v = version.getOrElse(vs.last)
@@ -1840,61 +1854,72 @@ object SnapshotLog {
       s"version $v of $dir does not exist (have ${vs.mkString(",")})")
     val files = filesOf(spark, dir, v)
     val stats = fileStatsOf(spark, dir, v)
-    val keep: ColStat => Boolean = (lo, hi) match {
-      case (l: String, h: String) => {
-        case StrStat(mn, mxOpt) =>
-          mxOpt.forall(mx => utf8Cmp(mx, l) >= 0) && utf8Cmp(mn, h) <= 0
-        case _ => true
-      }
-      case _ =>
-        // decimal bounds rescale outward to the column's scale so the
-        // unscaled-long compare never tightens the range
-        val scaleOf = schemaOf(spark, dir, v)
-          .map(_(column).dataType).collect {
+    val schema = schemaOf(spark, dir, v)
+    val pcs = partitionColsOf(spark, dir, v)
+    val parts = if (ranges.exists(r => pcs.contains(r._1)))
+      filePartsOf(spark, dir, v) else Map.empty[String, Map[String, String]]
+
+    // per-column file predicate: recorded stat ∧ degenerate partition
+    // tuple, both conservative
+    def colKeep(column: String, lo: Any, hi: Any): String => Boolean = {
+      val keep: ColStat => Boolean = (lo, hi) match {
+        case (l: String, h: String) => {
+          case StrStat(mn, mxOpt) =>
+            mxOpt.forall(mx => utf8Cmp(mx, l) >= 0) && utf8Cmp(mn, h) <= 0
+          case _ => true
+        }
+        case _ =>
+          // decimal bounds rescale outward to the column's scale so the
+          // unscaled-long compare never tightens the range
+          val scaleOf = schema.map(_(column).dataType).collect {
             case d: org.apache.spark.sql.types.DecimalType => d.scale
           }
-        def enc(x: Any, rm: java.math.RoundingMode): Long = (x, scaleOf) match {
-          case (b: java.math.BigDecimal, Some(s)) =>
-            encodeStatLong(b.setScale(s, rm))
-          case (b: scala.math.BigDecimal, Some(s)) =>
-            encodeStatLong(b.underlying.setScale(s, rm))
-          case _ => encodeStatLong(x)
-        }
-        val el = enc(lo, java.math.RoundingMode.FLOOR)
-        val eh = enc(hi, java.math.RoundingMode.CEILING)
-        st => st match {
-          case LongStat(mn, mx) => mx >= el && mn <= eh
-          case _                => true
-        }
-    }
-    // a PARTITION column's value lives only in the manifest tuple — no
-    // in-file stats can exist for it. Treat the recorded tuple as a
-    // degenerate [v, v] zone map: decode it under the column's type and
-    // run the same keep() test. A null-partition file is pruned EXACTLY
-    // (a BETWEEN predicate is never true on NULL); an undecodable value
-    // keeps the file conservatively.
-    val partVals: Map[String, String] =
-      if (!partitionColsOf(spark, dir, v).contains(column)) Map.empty
-      else filePartsOf(spark, dir, v).flatMap { case (p, t) =>
-        t.get(column).map(p -> _) }
-    val colDt = schemaOf(spark, dir, v).map(_(column).dataType)
-    def keepByPart(raw: String): Boolean =
-      if (raw == NullPartition) false
-      else colDt.flatMap(decodePartValue(raw, _)) match {
-        case Some(x: String) => keep(StrStat(x, Some(x)))
-        case Some(x)         =>
-          val e = encodeStatLong(x); keep(LongStat(e, e))
-        case None            => true // cannot decode — keep
+          def enc(x: Any, rm: java.math.RoundingMode): Long =
+            (x, scaleOf) match {
+              case (b: java.math.BigDecimal, Some(s)) =>
+                encodeStatLong(b.setScale(s, rm))
+              case (b: scala.math.BigDecimal, Some(s)) =>
+                encodeStatLong(b.underlying.setScale(s, rm))
+              case _ => encodeStatLong(x)
+            }
+          val el = enc(lo, java.math.RoundingMode.FLOOR)
+          val eh = enc(hi, java.math.RoundingMode.CEILING)
+          st => st match {
+            case LongStat(mn, mx) => mx >= el && mn <= eh
+            case _                => true
+          }
       }
-    val kept = files.filter { p =>
-      val byStat = stats.get(p).flatMap(_.get(column)) match {
-        case Some(st) => keep(st)
-        case None     => true // no stats — cannot prune
+      // a PARTITION column's value lives only in the manifest tuple —
+      // treat it as a degenerate [v, v] zone map decoded under the
+      // column's type. A null-partition file is pruned EXACTLY (a
+      // BETWEEN predicate is never true on NULL); an undecodable value
+      // keeps the file conservatively.
+      val partVals: Map[String, String] =
+        if (!pcs.contains(column)) Map.empty
+        else parts.flatMap { case (p, t) => t.get(column).map(p -> _) }
+      val colDt = schema.map(_(column).dataType)
+      def keepByPart(raw: String): Boolean =
+        if (raw == NullPartition) false
+        else colDt.flatMap(decodePartValue(raw, _)) match {
+          case Some(x: String) => keep(StrStat(x, Some(x)))
+          case Some(x)         =>
+            val e = encodeStatLong(x); keep(LongStat(e, e))
+          case None            => true // cannot decode — keep
+        }
+      p => {
+        val byStat = stats.get(p).flatMap(_.get(column)) match {
+          case Some(st) => keep(st)
+          case None     => true // no stats — cannot prune
+        }
+        byStat && partVals.get(p).forall(keepByPart)
       }
-      byStat && partVals.get(p).forall(keepByPart)
     }
-    val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
-    val schema = schemaOf(spark, dir, v)
+
+    val keeps = ranges.map { case (c, lo, hi) => colKeep(c, lo, hi) }
+    val kept = files.filter(p => keeps.forall(_(p)))
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
     val df =
       if (kept.nonEmpty) readFiles(spark, dir, v, kept).filter(pred)
       else schema match {

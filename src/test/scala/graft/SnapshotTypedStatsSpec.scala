@@ -287,6 +287,33 @@ class SnapshotTypedStatsSpec extends AnyFunSuite with SparkFixture {
     assert(absent.count() === 0)
   }
 
+  test("readWhere: conjunctive ranges prune multiplicatively, stay exact") {
+    val dir = freshDir()
+    // region-partitioned AND k-clustered: the two prunes compose —
+    // each (partition tuple ∧ zone map) cuts files independently
+    val df = spark.range(0, 900).select(
+      element_at(array(lit("eu"), lit("us"), lit("ap")),
+        (col("id") % 3 + 1).cast("int")).as("region"),
+      col("id").as("k"), (col("id") * 3).as("v"))
+      .repartitionByRange(9, col("k"))
+    SnapshotLog.commitPartitioned(spark, dir, df, Seq("region"), Seq("k"))
+    val (both, sBoth, total) = SnapshotLog.readWhere(spark, dir,
+      Seq(("region", "eu", "eu"), ("k", 0L, 99L)))
+    val (kOnly, sK, _) = SnapshotLog.readWhere(spark, dir,
+      Seq(("k", 0L, 99L)))
+    assert(sK < total, "zone-map leg pruned nothing")
+    assert(sBoth < sK,
+      s"conjunction did not tighten: k-only $sK, both $sBoth of $total")
+    val expect = df.filter(col("region") === "eu" &&
+      col("k").between(0L, 99L)).collect().map(_.toSeq).toSet
+    assert(both.collect().map(_.toSeq).toSet === expect)
+    // all-pruned conjunction: disjoint ranges, empty exact frame
+    val (none, sNone, _) = SnapshotLog.readWhere(spark, dir,
+      Seq(("region", "mars", "mars"), ("k", 0L, 9L)))
+    assert(sNone === 0 && none.count() === 0)
+    assert(none.schema.fieldNames.toSeq === Seq("region", "k", "v"))
+  }
+
   test("floats are rejected from the stat domain, loudly") {
     val dir = freshDir()
     val df = spark.range(0, 10).select(col("id").cast("double").as("x"))
