@@ -94,9 +94,9 @@ object Bench {
     // it in the artifact itself so no human cross-read of BASELINE.md is
     // needed.
     val canaryBaseline = Seq(
-      "q_scan_project" -> 0.0906,
-      "q_agg_group"    -> 0.1709,
-      "q_topk"         -> 0.1011)
+      "q_scan_project" -> 0.0950,
+      "q_agg_group"    -> 0.1674,
+      "q_topk"         -> 0.1075)
     val resultMap = results.toMap
     val canaryPairs = canaryBaseline.flatMap { case (k, base) =>
       resultMap.get(k).filter(_ > 0).map(v => (k, v, v / base))

@@ -168,5 +168,43 @@ object OlapExtraOps {
       .orderBy(col("segment"), col("rnk"), col("c_custkey"))
   }
 
-  val all: Seq[Q] = Seq(gini, semiAdditive, mannKendall, topWithTies)
+  /** Prefix-duplicate detection over the document corpus — the crawl
+    * artifact exact-dedup misses: truncated re-crawls and boilerplate
+    * mirrors share an identical leading prefix while differing in the
+    * tail. Group by the 160-char prefix (hash-partitioned groupBy, one
+    * shuffle on the prefix — never all-pairs), elect the min-id
+    * canonical, report per lang: duplicate groups, surplus docs (beyond
+    * each canonical) and the surplus chars a cut would reclaim. */
+  val dedupPrefix: Q = Q.checked(
+    "q_dedup_prefix",
+    """WITH g AS (
+      |  SELECT lang, substr(text, 1, 160) AS pfx,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(min(doc_id) AS BIGINT) AS canonical,
+      |         CAST(sum(n_chars) AS BIGINT) AS chars,
+      |         CAST(max(n_chars) AS BIGINT) AS max_chars
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT lang,
+      |  CAST(count(*) FILTER (WHERE n > 1) AS BIGINT) AS dup_groups,
+      |  CAST(coalesce(sum(n - 1) FILTER (WHERE n > 1), 0) AS BIGINT)
+      |    AS surplus_docs,
+      |  CAST(coalesce(sum(chars - max_chars) FILTER (WHERE n > 1), 0)
+      |    AS BIGINT) AS surplus_chars
+      |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    val g = Tables.documents(s, dir)
+      .groupBy(col("lang"), substring(col("text"), 1, 160).as("pfx"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("canonical"),
+        sum(col("n_chars")).as("chars"), max(col("n_chars")).as("max_chars"))
+    g.groupBy("lang")
+      .agg(count_if(col("n") > 1).as("dup_groups"),
+        coalesce(sum(when(col("n") > 1, col("n") - 1)), lit(0L))
+          .as("surplus_docs"),
+        coalesce(sum(when(col("n") > 1, col("chars") - col("max_chars"))),
+          lit(0L)).as("surplus_chars"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] =
+    Seq(gini, semiAdditive, mannKendall, topWithTies, dedupPrefix)
 }
