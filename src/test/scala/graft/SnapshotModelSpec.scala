@@ -8,8 +8,8 @@ import java.nio.file.Files
 
 /** Model-based randomized testing of the snapshot log: a seeded random
   * program of table verbs (append / schema-widening append / COW delete /
-  * COW update / keyed merge with tombstones / compaction / restore /
-  * vacuum) runs
+  * MoR delete / DV compaction / COW update / keyed merge with tombstones /
+  * compaction / restore / vacuum) runs
   * against BOTH the log and a sequential in-memory model; after every
   * step the table must equal the model, and a randomly chosen RETAINED
   * version must equal the model's recorded history for that version —
@@ -56,7 +56,7 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
 
     while (step < steps) {
       step += 1
-      rnd.nextInt(11) match {
+      rnd.nextInt(13) match {
         case 0 | 1 => // append a batch of fresh-keyed rows (base schema)
           val rows = (0 until 1 + rnd.nextInt(4))
             .map(j => (step * 100L + j, s"a$step-$j"))
@@ -139,6 +139,19 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
           val v = SnapshotLog.versionAsOf(spark, dir, System.currentTimeMillis())
           assert(v === SnapshotLog.versions(spark, dir).last,
             s"[seed $seed step $step] asOf(now) must be the latest version")
+        case 11 => // MERGE-ON-READ delete of a residue class: the model
+          // cannot tell MoR from COW — exactly the r8 composition law.
+          // Every later verb in the program (append/merge/update/COW
+          // delete/optimize/restore) then runs against a possibly
+          // DV-bearing version and must still equal the model.
+          val (m, r) = (3 + rnd.nextInt(4), rnd.nextInt(3))
+          val survivors = model.filterNot { case (k, _) => k % m == r }
+          if (survivors.nonEmpty) {
+            model = survivors
+            record(SnapshotLog.deleteWhereMoR(spark, dir, col("k") % m === r))
+          }
+        case 12 => // DV compaction: a semantic no-op, like optimize
+          record(SnapshotLog.applyDeletionVectors(spark, dir))
       }
       // invariant 1: the table equals the model after every step
       assert(tableRows(dir) === snap,
