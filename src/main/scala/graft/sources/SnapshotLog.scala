@@ -1962,21 +1962,17 @@ object SnapshotLog {
     * SCAN level, so it survives the DV anti-join where
     * `input_file_name()` would not if the join shuffled). The affected-
     * file detection of every rewrite verb uses the tag. */
-  private def readFilesTagged(spark: SparkSession, dir: String, v: Long,
-      paths: Seq[String], tag: Option[String]): DataFrame = {
-    val dvName = dvOf(spark, dir, v)
-    // metadata-derived columns must attach to each SCAN before any
-    // union/select hides the hidden _metadata struct
-    val extras: Seq[(String, String)] =
-      tag.map(_ -> "_metadata.file_path").toSeq ++
-        (if (dvName.isDefined)
-          Seq("__dv_f" -> "_metadata.file_path",
-            "__dv_i" -> "_metadata.row_index")
-        else Seq.empty)
+  /** Scan `paths` under version `v`'s schema (partition columns
+    * re-attached on hive layouts) with `extras` metadata-derived
+    * columns — each `(name, _metadata field)` attaches AT SCAN level,
+    * before any union/select hides the hidden `_metadata` struct. The
+    * raw physical view: NO deletion vector applied. */
+  private def scanWithMeta(spark: SparkSession, dir: String, v: Long,
+      paths: Seq[String], extras: Seq[(String, String)]): DataFrame = {
     def attach(df: DataFrame): DataFrame =
       extras.foldLeft(df) { case (d, (n, m)) => d.withColumn(n, col(m)) }
     val pcs = partitionColsOf(spark, dir, v)
-    val base = if (pcs.nonEmpty) {
+    if (pcs.nonEmpty) {
       // hive-partitioned files carry the partition values in their DIR
       // names, not in the parquet: re-attach them via basePath-scoped
       // reads, grouped per commit dir (one group per contributing
@@ -1995,6 +1991,18 @@ object SnapshotLog {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None    => spark.read.parquet(paths: _*)
     })
+  }
+
+  private def readFilesTagged(spark: SparkSession, dir: String, v: Long,
+      paths: Seq[String], tag: Option[String]): DataFrame = {
+    val dvName = dvOf(spark, dir, v)
+    val extras: Seq[(String, String)] =
+      tag.map(_ -> "_metadata.file_path").toSeq ++
+        (if (dvName.isDefined)
+          Seq("__dv_f" -> "_metadata.file_path",
+            "__dv_i" -> "_metadata.row_index")
+        else Seq.empty)
+    val base = scanWithMeta(spark, dir, v, paths, extras)
     dvName match {
       case None => base
       case Some(name) =>
@@ -2091,14 +2099,12 @@ object SnapshotLog {
       val current = filesOf(spark, dir, latest)
       // matches are located on the DV-APPLIED view: a row already dead
       // in the current vector must not be re-matched (harmless but
-      // inflates the sidecar); metadata rides the same scan
-      val base = schemaOf(spark, dir, latest) match {
-        case Some(s) => spark.read.schema(s).parquet(current: _*)
-        case None    => spark.read.parquet(current: _*)
-      }
-      val withMeta = base
-        .withColumn("__dv_f", col("_metadata.file_path"))
-        .withColumn("__dv_i", col("_metadata.row_index"))
+      // inflates the sidecar); metadata rides the same scan — and the
+      // scan re-attaches partition values, so a predicate on a
+      // partition column matches real values, never schema-read NULLs
+      val withMeta = scanWithMeta(spark, dir, latest, current,
+        Seq("__dv_f" -> "_metadata.file_path",
+          "__dv_i" -> "_metadata.row_index"))
       val priorDv = dvOf(spark, dir, latest)
       val alive = priorDv match {
         case None => withMeta
@@ -2121,7 +2127,8 @@ object SnapshotLog {
       val header = Seq(s"#dv=$dvName") ++
         schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
         manifestLines(spark, dir, latest).filter(l =>
-          l.startsWith("#filestat=") || l.startsWith("#check=")) ++
+          l.startsWith("#filestat=") || l.startsWith("#check=") ||
+            l.startsWith("#partition=") || l.startsWith("#filepart=")) ++
         watermarkHeader(spark, dir)
       commitFiles(spark, dir, current, dvName, header = header,
         base = Some(Some(latest))) match {

@@ -36,7 +36,8 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
     }.toSeq.sorted
   }
 
-  private def run(seed: Int, steps: Int): Unit = {
+  private def run(seed: Int, steps: Int,
+      partitioned: Boolean = false): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
     val dir = freshDir()
@@ -50,9 +51,16 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
       model.toSeq.map { case (k, (v, w)) => (k, v, w) }.sorted
     def record(v: Long): Unit = history += v -> snap
 
-    // start non-empty so read() never hits the loud empty-table guard
+    // start non-empty so read() never hits the loud empty-table guard.
+    // Partitioned mode declares the layout on the MUTABLE value column
+    // at creation; every verb in the program must then preserve it
+    // (rewrites relocating rows whose v changed included).
     model = Map(1L -> ("seed", None))
-    record(SnapshotLog.commit(spark, dir, df2(Seq((1L, "seed")))))
+    record(
+      if (partitioned)
+        SnapshotLog.commitPartitioned(spark, dir, df2(Seq((1L, "seed"))),
+          Seq("v"))
+      else SnapshotLog.commit(spark, dir, df2(Seq((1L, "seed")))))
 
     while (step < steps) {
       step += 1
@@ -161,6 +169,26 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
       val probe = vs(rnd.nextInt(vs.size))
       assert(tableRows(dir, Some(probe)) === history(probe),
         s"[seed $seed step $step] time travel to v$probe diverged")
+      if (partitioned) {
+        // invariant 3: every verb preserved the declared layout
+        assert(SnapshotLog.partitionColsOf(spark, dir, vs.last) === Seq("v"),
+          s"[seed $seed step $step] partition declaration lost")
+        // invariant 4: a partition-pruned slice read equals the model's
+        // slice — against whatever file layout the verb history produced
+        if (model.nonEmpty) {
+          val vals = model.values.map(_._1).toSeq.distinct.sorted
+          val v0 = vals(rnd.nextInt(vals.size))
+          val (got, _, _) =
+            SnapshotLog.readPartition(spark, dir, Map("v" -> v0))
+          val gotRows = got.collect().map(r =>
+            (r.getLong(r.fieldIndex("k")), r.getString(r.fieldIndex("v"))))
+            .toSeq.sorted
+          val want = model.toSeq.collect {
+            case (k, (vv, _)) if vv == v0 => (k, vv) }.sorted
+          assert(gotRows === want,
+            s"[seed $seed step $step] partition slice '$v0' diverged")
+        }
+      }
     }
   }
 
@@ -226,5 +254,13 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
 
   test("random verb programs match the sequential model (seed 9001)") {
     run(seed = 9001, steps = 25)
+  }
+
+  test("random verb programs on a PARTITIONED table (seed 6174)") {
+    run(seed = 6174, steps = 25, partitioned = true)
+  }
+
+  test("random verb programs on a PARTITIONED table (seed 1001)") {
+    run(seed = 1001, steps = 25, partitioned = true)
   }
 }
