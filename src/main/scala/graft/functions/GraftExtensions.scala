@@ -189,6 +189,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.sources.SnapshotLog.readPartition(s, dir, where)
           ._1.queryExecution.analyzed
       }))
+    // SELECT * FROM snapshot_where('/t', 'd', '2024-03-01', '2024-03-31',
+    //                              'region', 'eu', 'eu', ...)
+    // — conjunctive multi-range pruned read (readWhere): each
+    // (col, lo, hi) triple prunes independently at manifest-parse time
+    // (zone maps, truncated string ranges, partition tuples); bounds are
+    // string literals parsed under the column's declared type
+    ext.injectTableFunction((FunctionIdentifier("snapshot_where"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_where"),
+      (args: Seq[Expression]) => {
+        if (args.length < 4 || (args.length - 1) % 3 != 0)
+          throw new IllegalArgumentException("snapshot_where expects " +
+            s"(path, col, lo, hi[, col, lo, hi ...]), got ${args.length} args")
+        val s = org.apache.spark.sql.SparkSession.active
+        val dir = strLit(args.head, "snapshot_where")
+        val vs = graft.sources.SnapshotLog.versions(s, dir)
+        if (vs.isEmpty) throw new IllegalArgumentException(
+          s"no committed snapshot under $dir")
+        val schema = graft.sources.SnapshotLog.schemaOf(s, dir, vs.last)
+        def typed(c: String, v: String): Any = {
+          import org.apache.spark.sql.types._
+          schema.flatMap(_.fields.find(_.name == c)).map(_.dataType) match {
+            case Some(LongType | IntegerType | ShortType | ByteType) =>
+              java.lang.Long.parseLong(v)
+            case Some(DateType)      => java.sql.Date.valueOf(v)
+            case Some(TimestampType) => java.sql.Timestamp.valueOf(v)
+            case Some(_: DecimalType) => new java.math.BigDecimal(v)
+            case _                   => v
+          }
+        }
+        val ranges = args.tail.grouped(3).map { g =>
+          val c = strLit(g(0), "snapshot_where")
+          (c, typed(c, strLit(g(1), "snapshot_where")),
+            typed(c, strLit(g(2), "snapshot_where")))
+        }.toSeq
+        graft.sources.SnapshotLog.readWhere(s, dir, ranges)
+          ._1.queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("snapshot_delete_where"),
       new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
         "snapshot_delete_where"),

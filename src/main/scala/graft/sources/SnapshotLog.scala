@@ -390,7 +390,11 @@ object SnapshotLog {
     * the shape a CDC merge wants — each micro-batch produces a complete
     * next state, not an increment — and is what
     * [[graft.streaming.CdcStream]] commits through to give the CDC
-    * pillar atomic versions, table-grain time travel and vacuum. */
+    * pillar atomic versions, table-grain time travel and vacuum.
+    * Replace semantics re-decide the physical layout per batch (the
+    * [[commit]] rule): the new version is unpartitioned regardless of
+    * the previous declaration — a partition-preserving stream goes
+    * through [[commitBatch]] or [[mergeBatch]] instead. */
   def commitBatchReplace(spark: SparkSession, dir: String, df: DataFrame,
       batchId: Long): Long = {
     val commitId = java.util.UUID.randomUUID().toString

@@ -120,6 +120,26 @@ class SnapshotSqlDmlSpec extends AnyFunSuite with SparkFixture {
     assert(after.count() === 9)
   }
 
+  test("snapshot_where: SQL conjunctive pruned reads, typed bounds") {
+    val dir = freshDir()
+    val df = spark.range(0, 365).select(
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        col("id").cast("int")).as("d"), (col("id") % 3).as("g"),
+      col("id").as("v")).repartitionByRange(6, col("d"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("d", "g"))
+    val got = spark.sql(s"SELECT * FROM snapshot_where('$dir', " +
+      "'d', '2024-03-01', '2024-03-31', 'g', '1', '1')")
+    val expect = df.filter(col("d").between("2024-03-01", "2024-03-31") &&
+      col("g") === 1L)
+    assert(got.collect().map(_.toSeq).toSet ===
+      expect.collect().map(_.toSeq).toSet)
+    assert(got.count() === expect.count() && got.count() > 0)
+    // bad arity is loud
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_where('$dir', 'd', '2024-03-01')")
+    }
+  }
+
   test("SQL DML preserves partition metadata like the Scala verbs") {
     val dir = freshDir()
     val df = spark.range(0, 90).select(
