@@ -1414,6 +1414,16 @@ object SnapshotLog {
     case null                    => NullPartition
     case d: java.sql.Date        => d.toString
     case d: java.time.LocalDate  => d.toString
+    // a timestamp's toString need not match Spark's partition-dir
+    // rendering, and THIS prune is an equality cut — a silent mismatch
+    // would return a wrong EMPTY result, not a conservative over-read.
+    // Loud beats wrong: probe with the exact recorded string instead.
+    case _: java.sql.Timestamp | _: java.time.Instant |
+         _: java.time.LocalDateTime =>
+      throw new IllegalArgumentException(
+        "timestamp partition probes must be passed as the exact recorded " +
+          "string (see filePartsOf) — a JVM timestamp's rendering need " +
+          "not match the partition-directory encoding")
     case other                   => other.toString
   }
 
@@ -2375,7 +2385,10 @@ object SnapshotLog {
       if (!partitionColsOf(spark, dir, v).contains(column)) Map.empty
       else filePartsOf(spark, dir, v).flatMap { case (p, t) =>
         t.get(column).map(p -> _) }
-    val rendered = renderPartValue(value)
+    // render lazily: only a PARTITION-column probe needs the rendering
+    // (and its loud timestamp guard) — a bloom probe on a data column
+    // never does
+    lazy val rendered = renderPartValue(value)
     val kept = files.filter { p =>
       val byBloom = blooms.get(new Path(p).toUri.getPath) match {
         case Some(bytes) => mightContain(

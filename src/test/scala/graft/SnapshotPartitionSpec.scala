@@ -240,6 +240,16 @@ class SnapshotPartitionSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("timestamp probes are refused loudly — equality pruning cannot be conservative") {
+    val dir = freshDir()
+    mkTable(dir)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.readPartition(spark, dir,
+        Map("region" -> new java.sql.Timestamp(0L)))
+    }
+    assert(e.getMessage.contains("exact recorded string"))
+  }
+
   test("null partition values: recorded under the hive marker, probe-able") {
     val dir = freshDir()
     val df = Seq((Some("eu"), 1L), (None, 2L), (Some("us"), 3L))
