@@ -23,9 +23,12 @@ object OlapExtraOps {
     * the source-mix concentration audit shape (who dominates a slice).
     * With per-customer revenue x(1..n) ascending (ties broken by key —
     * sum i·x is tie-order-invariant), Gini = (2·Σi·xᵢ − (n+1)·Σxᵢ) /
-    * (n·Σxᵢ); shipped as exact (num, den) DECIMAL(38,0) pair — the
-    * cleared-denominator BIGINT-statistics recipe. One partitioned
-    * window (per segment) over per-customer aggregates, never raw rows. */
+    * (n·Σxᵢ); shipped as exact (num, den) BIGINT pair — the
+    * cleared-denominator BIGINT-statistics recipe (values fit with ~5
+    * decimal orders of headroom at sf0.1: |num| ≲ 5e14, den ≲ 7e17 <
+    * 2^63; intermediate sums run at DECIMAL(38,0) before the final
+    * narrowing cast). One partitioned window (per segment) over
+    * per-customer aggregates, never raw rows. */
   val gini: Q = Q.checked(
     "q_gini",
     """WITH rev AS (
@@ -43,9 +46,9 @@ object OlapExtraOps {
       |  CAST(count(*) AS BIGINT) AS n_cust,
       |  CAST(2 * sum(CAST(i AS HUGEINT) * cents)
       |    - (count(*) + 1) * sum(CAST(cents AS HUGEINT))
-      |    AS DECIMAL(38,0)) AS gini_num,
+      |    AS BIGINT) AS gini_num,
       |  CAST(count(*) * sum(CAST(cents AS HUGEINT))
-      |    AS DECIMAL(38,0)) AS gini_den
+      |    AS BIGINT) AS gini_den
       |FROM ranked GROUP BY segment ORDER BY segment""".stripMargin
   ) { (s, dir) =>
     val rev = Tables.orders(s, dir)
@@ -60,9 +63,9 @@ object OlapExtraOps {
       .agg(count(lit(1)).as("n_cust"),
         (lit(2) * sum(big(col("i")) * big(col("cents"))) -
           (count(lit(1)) + 1) * sum(big(col("cents"))))
-          .cast("decimal(38,0)").as("gini_num"),
+          .cast("long").as("gini_num"),
         (count(lit(1)) * sum(big(col("cents"))))
-          .cast("decimal(38,0)").as("gini_den"))
+          .cast("long").as("gini_den"))
       .orderBy("segment")
   }
 
@@ -129,12 +132,15 @@ object OlapExtraOps {
       .agg(cents(sum(col("o_totalprice").cast("decimal(18,2)"))).as("cents"))
     val a = daily.alias("a")
     val b = daily.alias("b")
-    val nDays = lit(daily.count()) // bounded series: one tiny pre-count
+    // lazy 1-row count frame (no Spark job at registry construction):
+    // the pair agg cross-joins a broadcast single-row n_days frame.
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
     a.join(b, col("a.d") < col("b.d"))
-      .agg(nDays.as("n_days"),
-        count(lit(1)).as("n_pairs"),
+      .agg(count(lit(1)).as("n_pairs"),
         sum(signum(col("b.cents") - col("a.cents")).cast("long"))
           .as("s_stat"))
+      .crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("n_pairs"), col("s_stat"))
   }
 
   /** Top-3 customers per segment WITH TIES: rank() (not row_number)
