@@ -1583,17 +1583,34 @@ object SnapshotLog {
     }
 
   /** Stat-domain membership: the orderable types whose per-file ranges
-    * the manifest can record. Floats/doubles are deliberately out (the
-    * bound itself rounds); unbounded decimals are out (no exact long). */
+    * the manifest can record. Floats/doubles go through the IEEE-754
+    * order-preserving long encoding ([[encodeIeee]]) — the bound is the
+    * exact bit pattern, nothing rounds; unbounded decimals are out (no
+    * exact long). */
   private[graft] def statEncodable(
       dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
       case LongType | IntegerType | ShortType | ByteType | DateType |
-           TimestampType | TimestampNTZType | StringType => true
+           TimestampType | TimestampNTZType | StringType |
+           FloatType | DoubleType => true
       case d: DecimalType => d.precision <= 18
       case _ => false
     }
+  }
+
+  /** Order-preserving long encoding of an IEEE-754 double (the classic
+    * sign-flip trick: non-negative bit patterns already sort correctly;
+    * negative doubles have INVERTED bit order, so map them below zero
+    * monotonically). `-0.0` normalizes to `0.0` first (Spark's
+    * comparators treat them equal — an encoding that split them could
+    * tighten a bound past a matching row); NaN's canonical bit pattern
+    * lands above +Infinity, matching Spark's NaN-greatest sort order,
+    * so a NaN max bound stays conservative. Floats widen exactly. */
+  private[graft] def encodeIeee(d: Double): Long = {
+    val n = if (d == 0.0d) 0.0d else d // -0.0 == 0.0 → canonical zero
+    val bits = java.lang.Double.doubleToLongBits(n) // canonicalizes NaN
+    if (bits >= 0L) bits else java.lang.Long.MIN_VALUE - bits
   }
 
   /** Order-preserving long encoding of a collected JVM value of a
@@ -1612,10 +1629,101 @@ object SnapshotLog {
       .between(java.time.Instant.EPOCH, l.toInstant(java.time.ZoneOffset.UTC))
     case b: java.math.BigDecimal   => b.unscaledValue().longValueExact()
     case b: scala.math.BigDecimal  => b.underlying.unscaledValue().longValueExact()
+    case d: java.lang.Double       => encodeIeee(d.doubleValue())
+    case f: java.lang.Float        => encodeIeee(f.doubleValue())
     case n: java.lang.Number       => n.longValue()
     case other => throw new IllegalArgumentException(
       s"no stat encoding for ${other.getClass.getName}")
   }
+
+  /** Resolve a caller's range-probe bound into the stat-long domain of
+    * the column's DECLARED type — the domain [[encodeStatLong]] recorded
+    * at write time. This closes the silent prune-bug class where e.g. a
+    * `100L` probe against a `decimal(12,2)` column compared raw against
+    * unscaled-at-scale bounds (10000..) and pruned files that contain
+    * matching rows. Rules:
+    *  - decimal column: any numeric probe rescales to the column's
+    *    scale rounding OUTWARD via `rm` (never tightens);
+    *  - integral column: any numeric probe rounds outward to an exact
+    *    long;
+    *  - float/double column: a Float/Double probe encodes exactly; any
+    *    other numeric probe converts and then widens ONE ulp outward
+    *    when the conversion was inexact;
+    *  - date/timestamp column: the probe must be the matching temporal
+    *    family (loud beats silently-empty — the [[renderPartValue]]
+    *    rule); raw epoch numbers are ambiguous and rejected;
+    *  - unknown column type (legacy table without a #schema header):
+    *    the historical raw [[encodeStatLong]] fallback. */
+  private def probeLong(dt: Option[org.apache.spark.sql.types.DataType],
+      x: Any, rm: java.math.RoundingMode): Long = {
+    import org.apache.spark.sql.types._
+    def big: java.math.BigDecimal = x match {
+      case b: java.math.BigDecimal  => b
+      case b: scala.math.BigDecimal => b.underlying
+      // via toString: decimal-literal semantics (0.1 → 0.1, not the
+      // binary expansion), matching what a user means by the probe
+      case d: java.lang.Double      => new java.math.BigDecimal(d.toString)
+      case f: java.lang.Float       => new java.math.BigDecimal(f.toString)
+      case n: java.lang.Number      =>
+        java.math.BigDecimal.valueOf(n.longValue())
+      case other => throw new IllegalArgumentException(
+        s"cannot resolve a ${other.getClass.getName} probe against a " +
+          s"${dt.map(_.simpleString).getOrElse("?")} column")
+    }
+    dt match {
+      case Some(d: DecimalType) =>
+        big.setScale(d.scale, rm).unscaledValue().longValueExact()
+      case Some(LongType | IntegerType | ShortType | ByteType) =>
+        big.setScale(0, rm).longValueExact()
+      case Some(FloatType | DoubleType) => x match {
+        case d: java.lang.Double => encodeIeee(d.doubleValue())
+        case f: java.lang.Float  => encodeIeee(f.doubleValue())
+        case _ =>
+          val b = big
+          val d = b.doubleValue()
+          val exact = !d.isInfinite &&
+            new java.math.BigDecimal(d).compareTo(b) == 0
+          val widened =
+            if (exact) d
+            else if (rm == java.math.RoundingMode.UNNECESSARY)
+              throw new ArithmeticException(s"$b is not a double")
+            else if (rm == java.math.RoundingMode.FLOOR) Math.nextDown(d)
+            else Math.nextUp(d)
+          encodeIeee(widened)
+      }
+      case Some(DateType) => x match {
+        case _: java.sql.Date | _: java.time.LocalDate => encodeStatLong(x)
+        case _ => throw new IllegalArgumentException(
+          "date-column probes must be java.sql.Date/LocalDate (a raw " +
+            "number is ambiguous — epoch-day vs millis); got " +
+            x.getClass.getName)
+      }
+      case Some(TimestampType | TimestampNTZType) => x match {
+        case _: java.sql.Timestamp | _: java.time.Instant |
+             _: java.time.LocalDateTime => encodeStatLong(x)
+        case _ => throw new IllegalArgumentException(
+          "timestamp-column probes must be java.sql.Timestamp/Instant/" +
+            "LocalDateTime (a raw number is ambiguous — micros vs " +
+            "millis; a Date leaves the time-of-day bound unstated); " +
+            s"got ${x.getClass.getName}")
+      }
+      case Some(StringType) => throw new IllegalArgumentException(
+        s"string-column probes must be String; got ${x.getClass.getName}")
+      case Some(other) => throw new IllegalArgumentException(
+        s"no stat probes for ${other.simpleString} columns")
+      case None => encodeStatLong(x) // legacy: no #schema header
+    }
+  }
+
+  /** Equality-probe resolution: `Some(encoded)` when the probe is
+    * EXACTLY representable in the column's stat domain, `None` when it
+    * is not — in which case no stored value can compare equal under the
+    * stat encoding, so a point prune must fall back to keep-everything
+    * (the residual equality filter stays exact either way). */
+  private def probePoint(dt: Option[org.apache.spark.sql.types.DataType],
+      x: Any): Option[Long] =
+    try Some(probeLong(dt, x, java.math.RoundingMode.UNNECESSARY))
+    catch { case _: ArithmeticException => None }
 
   // manifest-safe string escaping for StrStat bounds: URL-encode (covers
   // '\t' entry separator, ':' field separator, newlines, '%'), then
@@ -1650,7 +1758,8 @@ object SnapshotLog {
     statCols.foreach { c =>
       val dt = df.schema(c).dataType
       require(statEncodable(dt),
-        s"file stats support integral/date/timestamp/decimal(p<=18)/" +
+        s"file stats support integral/float/double/date/timestamp/" +
+          s"decimal(p<=18)/" +
           s"string columns; '$c' is ${dt.simpleString}")
     }
     val aggs = statCols.flatMap(c => Seq(
@@ -1883,21 +1992,12 @@ object SnapshotLog {
           case _ => true
         }
         case _ =>
-          // decimal bounds rescale outward to the column's scale so the
-          // unscaled-long compare never tightens the range
-          val scaleOf = schema.map(_(column).dataType).collect {
-            case d: org.apache.spark.sql.types.DecimalType => d.scale
-          }
-          def enc(x: Any, rm: java.math.RoundingMode): Long =
-            (x, scaleOf) match {
-              case (b: java.math.BigDecimal, Some(s)) =>
-                encodeStatLong(b.setScale(s, rm))
-              case (b: scala.math.BigDecimal, Some(s)) =>
-                encodeStatLong(b.underlying.setScale(s, rm))
-              case _ => encodeStatLong(x)
-            }
-          val el = enc(lo, java.math.RoundingMode.FLOOR)
-          val eh = enc(hi, java.math.RoundingMode.CEILING)
+          // every bound resolves into the COLUMN's stat domain (outward
+          // rounding — never tightens); mismatched probe families throw
+          // loudly rather than silently mis-prune (probeLong scaladoc)
+          val colDt = schema.map(_(column).dataType)
+          val el = probeLong(colDt, lo, java.math.RoundingMode.FLOOR)
+          val eh = probeLong(colDt, hi, java.math.RoundingMode.CEILING)
           st => st match {
             case LongStat(mn, mx) => mx >= el && mn <= eh
             case _                => true
@@ -2279,7 +2379,8 @@ object SnapshotLog {
     val df = spark.read.parquet(files: _*)
     bloomCols.foreach { c =>
       require(statEncodable(df.schema(c).dataType),
-        "bloom columns must be integral/date/timestamp/decimal(p<=18)/" +
+        "bloom columns must be integral/float/double/date/timestamp/" +
+          "decimal(p<=18)/" +
           s"string; '$c' is ${df.schema(c).dataType.simpleString}")
     }
     val isStr = bloomCols.map(c =>
@@ -2352,10 +2453,17 @@ object SnapshotLog {
     * might contain the probe (files without blooms — or versions without
     * a sidecar — are kept conservatively; the residual filter guarantees
     * exactness). `value` takes the column's natural JVM type — String
-    * probes hash by UTF-8 bytes, everything else through the same
-    * order-preserving long encoding [[analyzeBlooms]] hashed with.
-    * Returns (frame, filesScanned, filesTotal) for accountability, the
-    * [[readBetween]] contract. */
+    * probes hash by UTF-8 bytes, everything else resolves into the
+    * COLUMN's stat domain ([[probeLong]]) — the domain
+    * [[analyzeBlooms]] hashed the stored values with — so e.g. a `100L`
+    * probe against a `decimal(12,2)` column hashes as unscaled `10000`,
+    * never as raw `100` (which would bloom-miss every file and silently
+    * return empty). A numerically INEXACT probe (`100.005` at scale 2)
+    * disables bloom pruning for the lookup — no stored value can hash
+    * equal, and the residual equality filter stays exact either way.
+    * Mismatched temporal/string probe families throw loudly, the
+    * [[readWhere]] rule. Returns (frame, filesScanned, filesTotal) for
+    * accountability, the [[readBetween]] contract. */
   def readPoint(spark: SparkSession, dir: String, column: String,
       value: Any, version: Option[Long] = None): (DataFrame, Int, Int) = {
     val vs = versions(spark, dir)
@@ -2372,11 +2480,15 @@ object SnapshotLog {
         .collect()
         .map(r => new Path(r.getString(0)).toUri.getPath ->
           r.getAs[Array[Byte]]("bloom")).toMap
+    val colDt = schemaOf(spark, dir, v)
+      .flatMap(_.fields.find(_.name == column)).map(_.dataType)
     val mightContain: org.apache.spark.util.sketch.BloomFilter => Boolean =
       value match {
         case s: String => _.mightContainString(s)
-        case other     => val enc = encodeStatLong(other)
-          _.mightContainLong(enc)
+        case other => probePoint(colDt, other) match {
+          case Some(enc) => _.mightContainLong(enc)
+          case None      => _ => true // inexact probe — bloom can't help
+        }
       }
     // a partition-column probe prunes by the manifest tuple (no bloom
     // can exist for a column that lives only in directory names):

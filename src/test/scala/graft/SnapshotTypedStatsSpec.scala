@@ -314,11 +314,108 @@ class SnapshotTypedStatsSpec extends AnyFunSuite with SparkFixture {
     assert(none.schema.fieldNames.toSeq === Seq("region", "k", "v"))
   }
 
-  test("floats are rejected from the stat domain, loudly") {
-    val dir = freshDir()
-    val df = spark.range(0, 10).select(col("id").cast("double").as("x"))
-    intercept[IllegalArgumentException] {
-      SnapshotLog.commitWithStats(spark, dir, df, Seq("x"))
+  // --- IEEE-754 float/double zone maps (round 9) -----------------------
+
+  test("encodeIeee preserves double order; -0.0 == 0.0; NaN above +Inf") {
+    val xs = Seq(Double.NegativeInfinity, -1.7e308, -42.5, -1e-300,
+      -Double.MinPositiveValue, -0.0, 0.0, Double.MinPositiveValue,
+      1e-300, 0.1, 42.5, 1.7e308, Double.PositiveInfinity)
+    xs.sliding(2).foreach { case Seq(a, b) =>
+      val (ea, eb) = (SnapshotLog.encodeIeee(a), SnapshotLog.encodeIeee(b))
+      if (a == b) assert(ea === eb, s"$a vs $b")
+      else assert(ea < eb, s"order broke: $a → $ea, $b → $eb")
     }
+    assert(SnapshotLog.encodeIeee(-0.0) === SnapshotLog.encodeIeee(0.0))
+    assert(SnapshotLog.encodeIeee(Double.NaN) >
+      SnapshotLog.encodeIeee(Double.PositiveInfinity))
+  }
+
+  test("double-clustered table: a score band reads fewer files, exactly") {
+    val dir = freshDir()
+    // scores straddle zero so the sign-flip leg of the encoding is live
+    val df = spark.range(0, 1000)
+      .select((col("id").cast("double") / 100.0 - 5.0).as("score"),
+        col("id").as("v"))
+      .repartitionByRange(8, col("score"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("score"))
+    val (got, scanned, total) =
+      SnapshotLog.readBetweenValues(spark, dir, "score", -1.25d, 0.75d)
+    assert(total === 8)
+    assert(scanned < total, s"double prune scanned $scanned/$total")
+    val expect = df.filter(col("score").between(-1.25d, 0.75d))
+      .collect().map(_.toSeq).toSet
+    assert(got.collect().map(_.toSeq).toSet === expect)
+    // integral probes against a double column resolve exactly
+    val (got2, s2, _) =
+      SnapshotLog.readBetweenValues(spark, dir, "score", -1L, 1L)
+    assert(s2 < total)
+    assert(got2.count() ===
+      df.filter(col("score").between(-1.0d, 1.0d)).count())
+  }
+
+  test("mismatched numeric probes resolve to the column's stat domain") {
+    val dir = freshDir()
+    val df = spark.range(0, 1000)
+      .select((col("id") * 25).cast("decimal(12,2)").as("amt"),
+        col("id").as("v"))
+      .repartitionByRange(5, col("amt"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("amt"))
+    // the silent-prune bug class: a raw Long probe against decimal(12,2)
+    // must compare at the column's scale (100 → unscaled 10000), not raw
+    val (got, scanned, total) =
+      SnapshotLog.readBetweenValues(spark, dir, "amt", 100L, 2000L)
+    assert(scanned < total)
+    val expect = df.filter(col("amt").between(100L, 2000L))
+      .collect().map(_.toSeq).toSet
+    assert(got.collect().map(_.toSeq).toSet === expect)
+    assert(got.count() === 77) // 100, 125, ..., 2000
+    // Double probes rescale outward too (100.001 floors to 100.00)
+    val (got2, _, _) =
+      SnapshotLog.readBetweenValues(spark, dir, "amt", 99.995d, 2000.005d)
+    assert(got2.count() === 77)
+  }
+
+  test("temporal columns reject raw numeric probes loudly") {
+    val dir = freshDir()
+    val df = spark.range(0, 100)
+      .select(date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        col("id").cast("int")).as("d"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("ts"), col("id").as("v"))
+      .repartitionByRange(4, col("d"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("d", "ts"))
+    intercept[IllegalArgumentException] {
+      SnapshotLog.readBetweenValues(spark, dir, "d", 0L, 100L)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLog.readBetweenValues(spark, dir, "ts",
+        java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-02-01"))
+    }
+  }
+
+  test("bloom point probes hash in the column's domain; inexact probes stay exact") {
+    val dir = freshDir()
+    val df = spark.range(0, 2048)
+      .select((col("id") * 25).cast("decimal(12,2)").as("amt"),
+        (col("id").cast("double") / 10.0).as("score"), col("id").as("v"))
+      .repartition(8, col("v"))
+    SnapshotLog.commit(spark, dir, df)
+    SnapshotLog.analyzeBlooms(spark, dir, Seq("amt", "score"),
+      expectedItems = 4000)
+    // a Long probe on the decimal column: hashes as unscaled 25000, finds
+    // the row (pre-fix it hashed raw 250 → bloom-missed EVERY file and
+    // silently returned empty)
+    val (eq, scanned, total) = SnapshotLog.readPoint(spark, dir, "amt", 250L)
+    assert(eq.count() === 1)
+    assert(scanned < total, "decimal bloom pruned nothing")
+    // a Double probe on the double column prunes through encodeIeee
+    val (eqD, sD, _) = SnapshotLog.readPoint(spark, dir, "score", 7.5d)
+    assert(eqD.count() === 1)
+    assert(sD < total)
+    // an inexact probe (no decimal(12,2) equals 100.005) cannot bloom-
+    // prune — all files kept, residual filter returns the exact empty
+    val (inexact, sI, tI) = SnapshotLog.readPoint(spark, dir, "amt",
+      new java.math.BigDecimal("100.005"))
+    assert(sI === tI)
+    assert(inexact.count() === 0)
   }
 }
