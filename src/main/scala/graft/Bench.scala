@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicLong
@@ -32,9 +32,18 @@ object Bench {
     // query's stages — the scale-discipline number (a query whose shuffle
     // grows superlinearly with SF is the one that dies at 100 TB)
     val shuffleBytes = new AtomicLong(0L)
+    // per-query JOB counts: a query whose wall time is mostly scheduler
+    // round-trips (many tiny jobs) spikes under host contention while the
+    // scan canaries stay clean — the job count is what lets a reader
+    // attribute such a spike to the scheduler, not the plan
+    val jobCount = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        jobCount.incrementAndGet()
         ()
       }
     })
@@ -58,9 +67,11 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val shuffles = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val jobs = scala.collection.mutable.LinkedHashMap[String, Long]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       Thread.sleep(50) // drain async listener events from the previous query
       val s0 = shuffleBytes.get()
+      val j0 = jobCount.get()
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
       var i = 0
@@ -76,13 +87,32 @@ object Bench {
         i += 1
       }
       Thread.sleep(50)
-      // shuffle bytes are deterministic per run — normalize to one run
+      // shuffle bytes and job counts are deterministic per run —
+      // normalize to one run
       shuffles(name) = math.round((shuffleBytes.get() - s0) / 1048576.0
         / times.size.max(1) * 1000) / 1000.0
+      jobs(name) = math.round(
+        (jobCount.get() - j0).toDouble / times.size.max(1))
       val median =
         if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
       name -> (if (failed) -1.0 else median)
     }
+    // Scheduler-bound canary: a fixed 20-job no-data loop (the
+    // q_eval_ann_recall cost class — wall time is ~all scheduler
+    // round-trips). The scan canaries below stay clean under CPU-fair
+    // contention while multi-job queries spike 5-8× (the r8 driver run);
+    // this canary spikes WITH them, making such runs machine-attributable
+    // from the artifact alone. Median of 3, like everything else.
+    val schedTimes = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      var k = 0
+      while (k < 20) { spark.range(1).count(); k += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    val schedSec = schedTimes(schedTimes.size / 2)
+    // pinned committed-snapshot baseline (update when re-snapshotting)
+    val schedBaseline = 0.55
+    val schedRatio = math.round(schedSec / schedBaseline * 1000) / 1000.0
     // Host-noise self-adjudication: three scan-shaped canary queries whose
     // code is frozen round-over-round. Their committed-snapshot medians are
     // pinned here (update alongside bench_out.json when re-snapshotting);
@@ -105,7 +135,9 @@ object Bench {
       if (canaryPairs.isEmpty) -1.0
       else math.exp(canaryPairs.map(p => math.log(p._3)).sum / canaryPairs.size)
     val canaryRatioR = math.round(canaryRatio * 1000) / 1000.0
-    val hostNoise = canaryRatio > 1.3
+    // scheduler noise swings wider than scan noise on a healthy box —
+    // flag at 2×; either canary firing marks the run contaminated
+    val hostNoise = canaryRatio > 1.3 || schedRatio > 2.0
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -117,6 +149,8 @@ object Bench {
       .mkString("{", ",", "}")
     val shfl = shuffles.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
+    val jbs = jobs.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // full detail (per-query shuffle bytes, error messages) → file only
     val canJson = canaryPairs
@@ -124,7 +158,7 @@ object Bench {
         s"${jstr(k)}:{\"sec\":$v,\"vs_baseline\":${math.round(r * 1000) / 1000.0}}" }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"shuffle_mb":$shfl,"canaries":$canJson,"canary_ratio":$canaryRatioR,"host_noise":$hostNoise,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"shuffle_mb":$shfl,"jobs":$jbs,"canaries":$canJson,"canary_ratio":$canaryRatioR,"sched_canary_sec":$schedSec,"sched_canary_ratio":$schedRatio,"host_noise":$hostNoise,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("bench_out.json"), fullJson + "\n")
     // stdout line: the driver keeps only a bounded tail of stdout (~2 KB —
     // round 2's full line overflowed it mid-JSON and parsed as null), so
@@ -149,7 +183,7 @@ object Bench {
         .collect { case (k, f) if f != "0" =>
           s"${jstr(k.stripPrefix("q_"))}:$f" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$qsShort,"n_queries":${results.size},"n_failed":${errors.size},"canary_ratio":$canaryRatioR,"host_noise":$hostNoise,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$qsShort,"n_queries":${results.size},"n_failed":${errors.size},"canary_ratio":$canaryRatioR,"sched_canary_ratio":$schedRatio,"host_noise":$hostNoise,"sf":${jstr(sfDir)}}"""
     }
     val json = (3 to 0 by -1).map(lineAt).find(_.length <= 1900)
       .getOrElse(lineAt(0))

@@ -16,7 +16,8 @@ object Registry {
       LayoutOps.all ++ GraphOps.all ++ SampleOps.all ++ SimJoinOps.all ++
       LmOps.all ++ AuditOps.all ++ ImplOps.all ++ BpeOps.all ++
       RetrievalOps.all ++ ClassifierOps.all ++ TpchOps.all ++
-      RecursiveOps.all ++ AnsiOps.all ++ OlapExtraOps.all
+      RecursiveOps.all ++ AnsiOps.all ++ OlapExtraOps.all ++
+      OlapStatOps.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

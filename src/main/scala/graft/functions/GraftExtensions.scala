@@ -145,16 +145,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toDF("name", "expr").queryExecution.analyzed
       }))
     // ------------------------------------------------------------------
-    // SQL DML over the snapshot log (EXECUTE-style table functions) —
-    // the write-side twin of snapshot_of/snapshot_history: pure-SQL
-    // clients (Thrift/Connect) get DELETE / UPDATE / MERGE / OPTIMIZE
-    // without the Scala API or the Maintain CLI. Each function RUNS the
-    // verb when the statement resolves and returns a one-row report
-    // relation (verb, table, version) — SELECT it to see the committed
-    // version. Every library guard (NULL merge keys, duplicate keys,
-    // DV refusal, unknown SET columns) surfaces as the statement's
-    // error. The verbs are the library's own — same optimistic
-    // concurrency, stat/partition propagation and CHECK enforcement.
+    // SQL DML over the snapshot log — the write-side twin of
+    // snapshot_of/snapshot_history: pure-SQL clients (Thrift/Connect)
+    // get DELETE / UPDATE / MERGE / OPTIMIZE without the Scala API or
+    // the Maintain CLI. Each function resolves to a LAZY command node
+    // ([[graft.plans.SnapshotDml]]): the verb runs when the statement
+    // EXECUTES — EXPLAIN and re-analysis never commit (the round-8
+    // shape ran at resolution; a re-analyzed merge with deleteWhen
+    // committed extra versions) — and returns a one-row report relation
+    // (verb, table, version). Every library guard (NULL merge keys,
+    // duplicate keys, DV refusal, unknown SET columns) surfaces as the
+    // statement's EXECUTION error. The verbs are the library's own —
+    // same optimistic concurrency, stat/partition propagation and
+    // CHECK enforcement.
     //
     //   SELECT * FROM snapshot_delete_where('/t', 'k = 5');
     //   SELECT * FROM snapshot_update_where('/t', 'k = 5', 'v', 'v + 1');
@@ -163,12 +166,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     //   SELECT * FROM snapshot_merge_into('/t',
     //     'SELECT * FROM feed', 'k', 'op = ''D''', 'op'); -- CDC apply
     //   SELECT * FROM snapshot_optimize('/t', 4, 'k');  -- cluster on k
-    def dmlReport(verb: String, dir: String, v: Long) = {
-      val s = org.apache.spark.sql.SparkSession.active
-      import s.implicits._
-      Seq((verb, dir, v)).toDF("verb", "table", "version")
-        .queryExecution.analyzed
-    }
+    ext.injectPlannerStrategy(_ => graft.plans.SnapshotDml.Strategy)
+    def dmlReport(verb: String, dir: String, v: () => Long) =
+      graft.plans.SnapshotDml.DmlPlan(verb, dir, v)
     // SELECT * FROM snapshot_partition('/t', 'region', 'eu'[, col, val…])
     // — partition-pruned read: plans only the files whose RECORDED
     // manifest tuple matches (readPartition semantics; values as their
@@ -227,6 +227,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.sources.SnapshotLog.readWhere(s, dir, ranges)
           ._1.queryExecution.analyzed
       }))
+    // SELECT * FROM snapshot_filter('/t',
+    //   'region IN (''EU'',''US'') AND d BETWEEN ''2024-03-01'' AND
+    //    ''2024-03-31'' AND note IS NULL'[, version])
+    // — general pruned read: the predicate's prunable conjuncts
+    // (ranges, IN, =, IS [NOT] NULL) skip files at manifest-parse time
+    // (zone maps, null-presence flags, bloom sidecars, partition
+    // tuples); the WHOLE predicate applies as the residual filter, so
+    // OR trees and arbitrary expressions stay exact — they just don't
+    // prune
+    ext.injectTableFunction((FunctionIdentifier("snapshot_filter"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_filter"),
+      (args: Seq[Expression]) => {
+        if (args.length < 2 || args.length > 3)
+          throw new IllegalArgumentException("snapshot_filter expects " +
+            s"(path, predicate[, version]), got ${args.length} args")
+        val s = org.apache.spark.sql.SparkSession.active
+        graft.sources.SnapshotLog.readFilterSql(s,
+          strLit(args.head, "snapshot_filter"),
+          strLit(args(1), "snapshot_filter"),
+          args.lift(2).map(longLit(_, "snapshot_filter")))
+          ._1.queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("snapshot_delete_where"),
       new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
         "snapshot_delete_where"),
@@ -234,10 +257,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("snapshot_delete_where", args, 2)
         val s = org.apache.spark.sql.SparkSession.active
         val dir = strLit(args.head, "snapshot_delete_where")
-        val v = graft.sources.SnapshotLog.deleteWhere(s, dir,
-          org.apache.spark.sql.functions.expr(
-            strLit(args(1), "snapshot_delete_where")))
-        dmlReport("delete_where", dir, v)
+        dmlReport("delete_where", dir, () =>
+          graft.sources.SnapshotLog.deleteWhere(s, dir,
+            org.apache.spark.sql.functions.expr(
+              strLit(args(1), "snapshot_delete_where"))))
       }))
     ext.injectTableFunction((FunctionIdentifier("snapshot_update_where"),
       new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
@@ -257,10 +280,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.functions.expr(
               strLit(p(1), "snapshot_update_where"))
         }.toMap
-        val v = graft.sources.SnapshotLog.updateWhere(s, dir,
-          org.apache.spark.sql.functions.expr(
-            strLit(args(1), "snapshot_update_where")), set)
-        dmlReport("update_where", dir, v)
+        dmlReport("update_where", dir, () =>
+          graft.sources.SnapshotLog.updateWhere(s, dir,
+            org.apache.spark.sql.functions.expr(
+              strLit(args(1), "snapshot_update_where")), set))
       }))
     ext.injectTableFunction((FunctionIdentifier("snapshot_merge_into"),
       new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
@@ -273,6 +296,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"got ${args.length} args")
         val s = org.apache.spark.sql.SparkSession.active
         val dir = strLit(args.head, "snapshot_merge_into")
+        // the source statement analyzes eagerly (malformed SQL is a
+        // resolution error, like any bad argument) — the merge runs
+        // at execution
         val source = s.sql(strLit(args(1), "snapshot_merge_into"))
         val keys = strLit(args(2), "snapshot_merge_into")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -283,9 +309,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .map(strLit(_, "snapshot_merge_into")
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
-        val v = graft.sources.SnapshotLog.merge(s, dir, source, keys,
-          deleteWhen, dropCols)
-        dmlReport("merge_into", dir, v)
+        dmlReport("merge_into", dir, () =>
+          graft.sources.SnapshotLog.merge(s, dir, source, keys,
+            deleteWhen, dropCols))
       }))
     ext.injectTableFunction((FunctionIdentifier("snapshot_optimize"),
       new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
@@ -304,10 +330,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .map(strLit(_, "snapshot_optimize")
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
-        val v = graft.sources.SnapshotLog.optimize(s, dir,
-          targetFiles = target, clusterBy = cluster,
-          zorder = cluster.size >= 2)
-        dmlReport("optimize", dir, v)
+        dmlReport("optimize", dir, () =>
+          graft.sources.SnapshotLog.optimize(s, dir,
+            targetFiles = target, clusterBy = cluster,
+            zorder = cluster.size >= 2))
       }))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[HashExprs.MinHashSig].getName, "minhash_sig"),

@@ -1,0 +1,251 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 OLAP/statistics additions: five more shapes the registry did
+  * not cover — market concentration (Herfindahl-Hirschman), serial
+  * correlation (lag-1 autocorrelation), a non-parametric randomness
+  * test (Wald-Wolfowitz runs), a contingency independence statistic
+  * (chi-square cells), and quantile banding (NTILE quartiles).
+  *
+  * Determinism (SURVEY §7.5): money flows through decimal(18,2) cents
+  * as BIGINT; every statistic ships as exact cleared-denominator
+  * integer pairs (DECIMAL(28,0) where squares exceed BIGINT — the
+  * widest dtype envelope the driver's hash has accepted; never
+  * DECIMAL(38,x), the q_gini lesson); every multi-row output carries a
+  * total ORDER BY. O(n²)-shaped statistics aggregate FIRST (daily
+  * series ≤366 rows, contingency cells ≤6) — the bounded-series
+  * discipline.
+  */
+object OlapStatOps {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    (c.cast("decimal(18,2)") * 100).cast("long")
+
+  // squares of cent-scale values exceed BIGINT — run products at
+  // decimal(14,0)² → decimal(29,0), sums widen to decimal(38,0)
+  // internally, outputs narrow to the proven decimal(28,0) envelope
+  private def d14(c: org.apache.spark.sql.Column) = c.cast("decimal(14,0)")
+  private def out28(c: org.apache.spark.sql.Column) = c.cast("decimal(28,0)")
+
+  /** Herfindahl-Hirschman concentration of customer revenue within each
+    * market segment: HHI = Σ shareᵢ² = Σ xᵢ² / (Σ xᵢ)², shipped as the
+    * exact (num, den) pair — num = Σ xᵢ² and den = (Σ xᵢ)² in cents².
+    * The monopoly audit twin of q_gini (HHI weights the TOP of the
+    * distribution; Gini the whole curve). One groupBy per grain, no
+    * window. */
+  val hhi: Q = Q.checked(
+    "q_hhi",
+    """WITH rev AS (
+      |  SELECT c_mktsegment AS segment,
+      |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+      |           AS DECIMAL(18,0)) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY segment, c_custkey)
+      |SELECT segment,
+      |  CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(sum(CAST(cents AS HUGEINT) * cents) AS DECIMAL(28,0))
+      |    AS hhi_num,
+      |  CAST(sum(CAST(cents AS HUGEINT)) * sum(CAST(cents AS HUGEINT))
+      |    AS DECIMAL(28,0)) AS hhi_den
+      |FROM rev GROUP BY segment ORDER BY segment""".stripMargin
+  ) { (s, dir) =>
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
+      .agg(cents(sum(col("o_totalprice").cast("decimal(18,2)"))).as("cents"))
+    rev.groupBy("segment")
+      .agg(count(lit(1)).as("n_cust"),
+        out28(sum(d14(col("cents")) * d14(col("cents")))).as("hhi_num"),
+        out28(sum(d14(col("cents"))) * sum(d14(col("cents")))).as("hhi_den"))
+      .orderBy("segment")
+  }
+
+  /** Lag-1 autocorrelation of 1996's daily revenue series, as the exact
+    * Pearson ingredients over consecutive-day pairs (aₜ, bₜ=xₜ₊₁):
+    * corr = N / sqrt(Da·Db) with N = m·Σab − Σa·Σb,
+    * Da = m·Σa² − (Σa)², Db = m·Σb² − (Σb)² — all exact integers in
+    * cents². The lead() window runs on the AGGREGATED ≤366-row series
+    * (parameter-bounded, never raw orders). */
+  val autocorr: Q = Q.checked(
+    "q_autocorr",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+      |           AS DECIMAL(28,0)) AS BIGINT) AS cents
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY 1),
+      |pairs AS (
+      |  SELECT cents AS a, lead(cents) OVER (ORDER BY d) AS b
+      |  FROM daily)
+      |SELECT CAST(count(*) AS BIGINT) AS m,
+      |  CAST(count(*) * sum(CAST(a AS HUGEINT) * b)
+      |    - sum(CAST(a AS HUGEINT)) * sum(CAST(b AS HUGEINT))
+      |    AS DECIMAL(28,0)) AS ac_num,
+      |  CAST(count(*) * sum(CAST(a AS HUGEINT) * a)
+      |    - sum(CAST(a AS HUGEINT)) * sum(CAST(a AS HUGEINT))
+      |    AS DECIMAL(28,0)) AS ac_den_a,
+      |  CAST(count(*) * sum(CAST(b AS HUGEINT) * b)
+      |    - sum(CAST(b AS HUGEINT)) * sum(CAST(b AS HUGEINT))
+      |    AS DECIMAL(28,0)) AS ac_den_b
+      |FROM pairs WHERE b IS NOT NULL""".stripMargin
+  ) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(cents(sum(col("o_totalprice").cast("decimal(18,2)"))).as("cents"))
+    val pairs = daily
+      .select(col("cents").as("a"),
+        lead(col("cents"), 1).over(Window.orderBy("d")).as("b"))
+      .filter(col("b").isNotNull)
+    pairs.agg(
+      count(lit(1)).as("m"),
+      out28(count(lit(1)) * sum(d14(col("a")) * d14(col("b"))) -
+        sum(d14(col("a"))) * sum(d14(col("b")))).as("ac_num"),
+      out28(count(lit(1)) * sum(d14(col("a")) * d14(col("a"))) -
+        sum(d14(col("a"))) * sum(d14(col("a")))).as("ac_den_a"),
+      out28(count(lit(1)) * sum(d14(col("b")) * d14(col("b"))) -
+        sum(d14(col("b"))) * sum(d14(col("b")))).as("ac_den_b"))
+  }
+
+  /** Wald-Wolfowitz runs test over 1996's daily revenue: each day is
+    * ABOVE or BELOW the year mean (exact integer cross-multiplication —
+    * cents·n vs total, no division), and a run is a maximal streak of
+    * one side. Too few runs = trend/clustering, too many = oscillation;
+    * (n_above, n_below, n_runs) feed the normal approximation
+    * off-engine. Lag window on the bounded daily series. */
+  val runsTest: Q = Q.checked(
+    "q_runs_test",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+      |           AS DECIMAL(28,0)) AS BIGINT) AS cents
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |               CAST(sum(CAST(cents AS HUGEINT)) AS DECIMAL(28,0))
+      |                 AS total FROM daily),
+      |sides AS (
+      |  SELECT d,
+      |    CASE WHEN CAST(cents AS DECIMAL(28,0)) * n > total
+      |      THEN 1 ELSE 0 END AS above
+      |  FROM daily, tot),
+      |flips AS (
+      |  SELECT above,
+      |    CASE WHEN lag(above) OVER (ORDER BY d) IS NULL THEN 1
+      |         WHEN lag(above) OVER (ORDER BY d) <> above THEN 1
+      |         ELSE 0 END AS run_start
+      |  FROM sides)
+      |SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(sum(above) AS BIGINT) AS n_above,
+      |  CAST(count(*) - sum(above) AS BIGINT) AS n_below,
+      |  CAST(sum(run_start) AS BIGINT) AS n_runs
+      |FROM flips""".stripMargin
+  ) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(cents(sum(col("o_totalprice").cast("decimal(18,2)"))).as("cents"))
+    // lazy 1-row count frame (the q_mann_kendall idiom: no Spark job at
+    // registry construction)
+    val tot = daily.agg(count(lit(1)).as("n"),
+      out28(sum(d14(col("cents")))).as("total"))
+    val sides = daily.crossJoin(broadcast(tot))
+      .select(col("d"),
+        when(out28(col("cents")) * col("n") > col("total"), lit(1))
+          .otherwise(lit(0)).as("above"))
+    val lagW = Window.orderBy("d")
+    val flips = sides.select(col("above"),
+      when(lag(col("above"), 1).over(lagW).isNull, lit(1))
+        .when(lag(col("above"), 1).over(lagW) =!= col("above"), lit(1))
+        .otherwise(lit(0)).as("run_start"))
+    flips.agg(count(lit(1)).as("n_days"),
+      sum(col("above")).cast("long").as("n_above"),
+      (count(lit(1)) - sum(col("above"))).cast("long").as("n_below"),
+      sum(col("run_start")).cast("long").as("n_runs"))
+  }
+
+  /** Chi-square independence cells for l_returnflag × l_linestatus:
+    * per cell, the exact pair chi_num = (N·obs − r·c)² and
+    * chi_den = N·r·c, so χ² = Σ num/(den·N)... computed off-engine
+    * from exact integers — no expected-count division on-engine. Row
+    * and column totals via window sums over the ≤9-cell contingency
+    * frame (parameter-bounded); the lineitem scan is ONE groupBy. */
+  val chiSquare: Q = Q.checked(
+    "q_chi_square",
+    """WITH cells AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         CAST(count(*) AS BIGINT) AS obs
+      |  FROM lineitem GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT l_returnflag, l_linestatus, obs,
+      |    sum(obs) OVER (PARTITION BY l_returnflag) AS r,
+      |    sum(obs) OVER (PARTITION BY l_linestatus) AS c,
+      |    sum(obs) OVER () AS n
+      |  FROM cells)
+      |SELECT l_returnflag, l_linestatus, obs,
+      |  CAST((CAST(n AS HUGEINT) * obs - CAST(r AS HUGEINT) * c)
+      |    * (CAST(n AS HUGEINT) * obs - CAST(r AS HUGEINT) * c)
+      |    AS DECIMAL(28,0)) AS chi_num,
+      |  CAST(CAST(n AS HUGEINT) * r * c AS DECIMAL(28,0)) AS chi_den
+      |FROM tot ORDER BY l_returnflag, l_linestatus""".stripMargin
+  ) { (s, dir) =>
+    val cells = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("obs"))
+    // window sums over the ≤9-row cell frame — parameter-bounded
+    val tot = cells
+      .withColumn("r", sum("obs").over(Window.partitionBy("l_returnflag")))
+      .withColumn("c", sum("obs").over(Window.partitionBy("l_linestatus")))
+      .withColumn("n", sum("obs").over(Window.partitionBy()))
+    val dev = d14(col("n")) * d14(col("obs")) - d14(col("r")) * d14(col("c"))
+    tot.select(col("l_returnflag"), col("l_linestatus"), col("obs"),
+      out28(dev * dev).as("chi_num"),
+      out28(d14(col("n")) * d14(col("r")) * d14(col("c"))).as("chi_den"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Customer account-balance quartiles per segment: NTILE(4) over
+    * (acctbal, custkey) — the tie-break makes band assignment total —
+    * then per band: population and the band's [min, max] in cents.
+    * Both engines share NTILE's floor-distribution semantics; the
+    * window partitions by segment (hash-distributed, scale-safe). */
+  val ntileBands: Q = Q.checked(
+    "q_ntile_bands",
+    """WITH banded AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+      |      AS DECIMAL(18,0)) AS BIGINT) AS bal_cents,
+      |    ntile(4) OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal, c_custkey) AS band
+      |  FROM customer)
+      |SELECT segment, CAST(band AS INT) AS band,
+      |  CAST(count(*) AS BIGINT) AS n_cust,
+      |  min(bal_cents) AS lo_cents,
+      |  max(bal_cents) AS hi_cents
+      |FROM banded GROUP BY segment, band
+      |ORDER BY segment, band""".stripMargin
+  ) { (s, dir) =>
+    val banded = Tables.customer(s, dir)
+      .select(col("c_mktsegment").as("segment"),
+        cents(col("c_acctbal")).as("bal_cents"),
+        ntile(4).over(Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal"), col("c_custkey"))).as("band"))
+    banded.groupBy("segment", "band")
+      .agg(count(lit(1)).as("n_cust"),
+        min("bal_cents").as("lo_cents"),
+        max("bal_cents").as("hi_cents"))
+      .orderBy("segment", "band")
+  }
+
+  val all: Seq[Q] =
+    Seq(hhi, autocorr, runsTest, chiSquare, ntileBands)
+}

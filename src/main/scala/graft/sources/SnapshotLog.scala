@@ -454,7 +454,25 @@ object SnapshotLog {
     // published table exactly like a commitPartitioned one
     val partLines =
       if (partitionCols.isEmpty) Seq.empty
-      else partHeaders(partitionCols, Map.empty, Seq.empty, files)
+      else {
+        // loud guard: a writer that percent-encoded multi-byte UTF-8 in
+        // a partition dir reads back MOJIBAKE under Spark's
+        // char-per-byte discovery — recording that tuple would make
+        // every equality probe on the real value silently miss. Refuse
+        // and tell the writer to lay out raw UTF-8 names (what Spark
+        // itself writes).
+        files.foreach { p =>
+          p.split('/').dropRight(1).filter(_.contains('=')).foreach { seg =>
+            val v = seg.drop(seg.indexOf('=') + 1)
+            require(hiveUnescape(v) == hiveUnescapeUtf8(v),
+              s"external partition segment '$seg' in $p percent-encodes " +
+                "multi-byte UTF-8 — Spark partition discovery decodes " +
+                "escapes char-per-byte, so this value cannot round-trip; " +
+                "publish the layout with raw (unescaped) UTF-8 dir names")
+          }
+        }
+        partHeaders(partitionCols, Map.empty, Seq.empty, files)
+      }
     while (true) {
       val vs0 = versions(spark, dir)
       if (lastBatch(spark, dir).exists(batchId <= _)) return vs0.last
@@ -755,7 +773,7 @@ object SnapshotLog {
       ks: Array[Long]): Seq[String] =
     files.filter { p =>
       stats.get(p).flatMap(_.get(k)) match {
-        case Some(LongStat(mn, mx)) =>
+        case Some(LongStat(mn, mx, _)) =>
           val i = java.util.Arrays.binarySearch(ks, mn)
           val from = if (i >= 0) i else -i - 1
           from < ks.length && ks(from) <= mx
@@ -771,7 +789,7 @@ object SnapshotLog {
       ks: Array[String]): Seq[String] =
     files.filter { p =>
       stats.get(p).flatMap(_.get(k)) match {
-        case Some(StrStat(mn, mxOpt)) =>
+        case Some(StrStat(mn, mxOpt, _)) =>
           var lo = 0
           var hi = ks.length
           while (lo < hi) {
@@ -1019,8 +1037,18 @@ object SnapshotLog {
       // MoR-dead row is physically absent from the rewrite; the commit
       // carries the vector minus the compacted files' entries
       val base = readFiles(spark, dir, latest, small)
+      // On a hive-partitioned table the writer fans each TASK out across
+      // every partition tuple it holds — repartition(targetFiles) would
+      // emit up to targetFiles × |touched tuples| files, INCREASING the
+      // small-file count compaction set out to reduce. Lead the
+      // partitioner with the partition columns so each task holds (at
+      // most a boundary-straddle of) one tuple and writes ~1 file into
+      // it; clusterBy/z-order then orders WITHIN the tuple.
       val clustered =
-        if (clusterBy.isEmpty) base.repartition(targetFiles)
+        if (clusterBy.isEmpty) {
+          if (pcs.isEmpty) base.repartition(targetFiles)
+          else base.repartition(pcs.map(col): _*) // ~1 file per tuple
+        }
         else if (zorder && clusterBy.size >= 2) {
           // bucket every dim into uniform cells off ONE bounded min/max
           // aggregate (2·ndims driver-side scalars, never a rank
@@ -1046,11 +1074,11 @@ object SnapshotLog {
           }
           val z = graft.functions.ZOrderExprs.zOrderN(cellCols, zbits)
           base.withColumn("__z", z)
-            .repartitionByRange(targetFiles, col("__z"))
-            .sortWithinPartitions("__z").drop("__z")
+            .repartitionByRange(targetFiles, (pcs.map(col) :+ col("__z")): _*)
+            .sortWithinPartitions((pcs :+ "__z").map(col): _*).drop("__z")
         } else base
-          .repartitionByRange(targetFiles, clusterBy.map(col): _*)
-          .sortWithinPartitions(clusterBy.map(col): _*)
+          .repartitionByRange(targetFiles, (pcs ++ clusterBy).map(col): _*)
+          .sortWithinPartitions((pcs ++ clusterBy).map(col): _*)
       val commitId = java.util.UUID.randomUUID().toString
       val fresh = writeData(spark, dir, clustered, commitId, pcs)
       commitFiles(spark, dir, (large ++ fresh).sorted, commitId,
@@ -1167,9 +1195,8 @@ object SnapshotLog {
       val fromDvName = dvOf(spark, dir, fromV)
       if (toDvName.isEmpty || toDvName == fromDvName) None
       else {
-        val toDv = spark.read.parquet(dvPath(dir, toDvName.get).toString)
-        val fromDv = fromDvName.map(n =>
-          spark.read.parquet(dvPath(dir, n).toString))
+        val toDv = dvPositions(spark, dir, toDvName.get)
+        val fromDv = fromDvName.map(dvPositions(spark, dir, _))
         val delta = fromDv.map(toDv.exceptAll).getOrElse(toDv)
         // only positions in files CARRIED across both versions: a row
         // tombstoned in a file that was itself added/removed within the
@@ -1322,7 +1349,16 @@ object SnapshotLog {
 
   /** Hive path-segment unescape (Spark percent-encodes `/:=%` etc. in
     * partition dir names); values recorded in the manifest are the RAW
-    * values, so probes never need to know the path encoding. */
+    * values, so probes never need to know the path encoding.
+    *
+    * Deliberately CHAR-PER-BYTE, matching Spark's own
+    * `unescapePathName` — the value partition discovery will attach to
+    * the column at read time. Spark's escaping is ASCII-only (non-ASCII
+    * values land RAW in dir names and round-trip exactly); a manifest
+    * that "fixed" a multi-byte escape to real UTF-8 would disagree with
+    * what the scan materializes — prune hits, residual filter misses.
+    * External writers that percent-encode UTF-8 are rejected loudly at
+    * [[commitBatchExternal]] instead (see [[hiveUnescapeUtf8]]). */
   private def hiveUnescape(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
@@ -1338,6 +1374,36 @@ object SnapshotLog {
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** The UTF-8 interpretation of a hive-escaped segment: escaped byte
+    * RUNS decode as UTF-8. Used ONLY to DETECT externally-published
+    * layouts whose writers percent-encoded multi-byte values — under
+    * Spark's char-per-byte discovery such a layout reads back mojibake
+    * in the partition column, so [[commitBatchExternal]] refuses it
+    * loudly (write raw UTF-8 dir names instead) rather than record a
+    * tuple every equality probe would silently miss. */
+  private def hiveUnescapeUtf8(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val bos = new java.io.ByteArrayOutputStream(s.length)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def hex(c: Char) = Character.digit(c, 16) >= 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
+        bos.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        val end = if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+          Character.isLowSurrogate(s.charAt(i + 1))) i + 2 else i + 1
+        val b = s.substring(i, end).getBytes(utf8)
+        bos.write(b, 0, b.length)
+        i = end
+      }
+    }
+    new String(bos.toByteArray, utf8)
   }
 
   /** The partition marker Spark writes for a NULL partition value. */
@@ -1536,10 +1602,16 @@ object SnapshotLog {
     * truncated maximum with its last code point incremented (strictly >
     * anything sharing the prefix, so a valid upper bound), or None for
     * "+∞" when every retained code point is already U+10FFFF. */
-  private[graft] sealed trait ColStat
-  private[graft] final case class LongStat(lo: Long, hi: Long) extends ColStat
-  private[graft] final case class StrStat(lo: String, hi: Option[String])
-    extends ColStat
+  private[graft] sealed trait ColStat {
+    /** Whether the file contains ANY null in this column — `Some(false)`
+      * lets an IS NULL probe prune the file EXACTLY; `None` (legacy
+      * stats written before the flag existed) keeps it conservatively. */
+    def nulls: Option[Boolean]
+  }
+  private[graft] final case class LongStat(lo: Long, hi: Long,
+    nulls: Option[Boolean] = None) extends ColStat
+  private[graft] final case class StrStat(lo: String, hi: Option[String],
+    nulls: Option[Boolean] = None) extends ColStat
 
   private[graft] val StatTruncLen = 32
 
@@ -1735,15 +1807,22 @@ object SnapshotLog {
 
   /** Manifest stat header:
     * `#filestat=<path>\t<col>:L:<min>:<max>` (long-encoded types) or
-    * `#filestat=<path>\t<col>:S:<esc(min)>:<esc(maxUpper)|*>` (strings).
-    * Legacy untagged `<col>:<min>:<max>` lines still parse as L. A
-    * column that is all-NULL in a file is omitted (the file is
-    * conservatively kept by every prune). */
+    * `#filestat=<path>\t<col>:S:<esc(min)>:<esc(maxUpper)|*>` (strings);
+    * the null-aware variants `LN`/`SN` append `:<0|1>` — whether the
+    * file holds any null in the column (IS NULL pruning). Legacy
+    * untagged `<col>:<min>:<max>` lines still parse as L. A column that
+    * is all-NULL in a file is omitted (the file is conservatively kept
+    * by every prune — correct: an IS NULL probe must keep it). */
   private def statLine(path: String, stats: Seq[(String, ColStat)]) =
     s"#filestat=$path" + stats.map {
-      case (c, LongStat(lo, hi)) => s"\t$c:L:$lo:$hi"
-      case (c, StrStat(lo, hi)) =>
+      case (c, LongStat(lo, hi, None)) => s"\t$c:L:$lo:$hi"
+      case (c, LongStat(lo, hi, Some(n))) =>
+        s"\t$c:LN:$lo:$hi:${if (n) 1 else 0}"
+      case (c, StrStat(lo, hi, None)) =>
         s"\t$c:S:${statEsc(lo)}:${hi.map(statEsc).getOrElse("*")}"
+      case (c, StrStat(lo, hi, Some(n))) =>
+        s"\t$c:SN:${statEsc(lo)}:${hi.map(statEsc).getOrElse("*")}:" +
+          s"${if (n) 1 else 0}"
     }.mkString
 
   /** Compute per-file min/max for `statCols` over freshly written
@@ -1763,7 +1842,10 @@ object SnapshotLog {
           s"string columns; '$c' is ${dt.simpleString}")
     }
     val aggs = statCols.flatMap(c => Seq(
-      min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+      min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+      // null PRESENCE (not count) per file — lets an IS NULL probe
+      // prune a no-null file exactly; same single scan
+      max(col(c).isNull).as(s"__nul_$c")))
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
     // input_file_name URIs vs manifest path strings: join on the
@@ -1773,13 +1855,14 @@ object SnapshotLog {
       byPath.get(new Path(p).toUri.getPath).map { r =>
         val stats: Seq[(String, ColStat)] = statCols.flatMap { c =>
           val (lo, hi) = (r.getAs[Any](s"__min_$c"), r.getAs[Any](s"__max_$c"))
+          val nul = Some(r.getAs[Boolean](s"__nul_$c"))
           if (lo == null || hi == null) None
           else df.schema(c).dataType match {
             case org.apache.spark.sql.types.StringType => Some(c ->
               StrStat(truncStatMin(lo.asInstanceOf[String]),
-                truncStatMax(hi.asInstanceOf[String])))
+                truncStatMax(hi.asInstanceOf[String]), nul))
             case _ => Some(c ->
-              LongStat(encodeStatLong(lo), encodeStatLong(hi)))
+              LongStat(encodeStatLong(lo), encodeStatLong(hi), nul))
           }
         }
         statLine(p, stats)
@@ -1919,11 +2002,17 @@ object SnapshotLog {
       .filter(_.startsWith("#filestat="))
       .map { l =>
         val parts = l.stripPrefix("#filestat=").split("\t")
+        // a full ':' split is safe: statEsc URL-encodes ':' inside
+        // string bounds, so field separators are unambiguous
         val stats: Map[String, ColStat] = parts.tail.map { s =>
-          s.split(":", 4) match {
+          s.split(":") match {
             case Array(c, "L", lo, hi) => c -> LongStat(lo.toLong, hi.toLong)
+            case Array(c, "LN", lo, hi, n) =>
+              c -> LongStat(lo.toLong, hi.toLong, Some(n == "1"))
             case Array(c, "S", lo, hi) => c -> StrStat(statUnesc(lo),
               if (hi == "*") None else Some(statUnesc(hi)))
+            case Array(c, "SN", lo, hi, n) => c -> StrStat(statUnesc(lo),
+              if (hi == "*") None else Some(statUnesc(hi)), Some(n == "1"))
             case Array(c, lo, hi) => // legacy untagged long entry
               c -> LongStat(lo.toLong, hi.toLong)
             case bad => throw new IllegalStateException(
@@ -1968,8 +2057,177 @@ object SnapshotLog {
     * filesTotal), the [[readBetween]] accountability contract. */
   def readWhere(spark: SparkSession, dir: String,
       ranges: Seq[(String, Any, Any)],
+      version: Option[Long] = None): (DataFrame, Int, Int) =
+    readFilter(spark, dir,
+      ranges.map { case (c, lo, hi) => Probe.Range(c, Some(lo), Some(hi)) },
+      version)
+
+  /** IN-list pruned read: rows where `column` equals ANY of `values`,
+    * planning only files whose zone map admits at least one value —
+    * and, when a bloom sidecar covers the version, whose bloom might
+    * contain at least one ([[readPoint]]'s skip, set-wise). */
+  def readIn(spark: SparkSession, dir: String, column: String,
+      values: Seq[Any],
+      version: Option[Long] = None): (DataFrame, Int, Int) =
+    readFilter(spark, dir, Seq(Probe.In(column, values)), version)
+
+  /** Manifest-prunable probes for [[readFilter]]. Semantics are SQL
+    * three-valued: [[Probe.Range]]/[[Probe.In]] are never true on NULL
+    * (a null-partition file is pruned exactly), [[Probe.IsNull]]/
+    * [[Probe.NotNull]] prune by the recorded null-presence flag or the
+    * partition tuple, and every stat-side decision is conservative —
+    * keep when unsure; the residual filter guarantees exactness. */
+  sealed trait Probe { def column: String }
+  object Probe {
+    /** Inclusive range; `None` = unbounded on that side (at least one
+      * bound required). */
+    final case class Range(column: String, lo: Option[Any], hi: Option[Any])
+      extends Probe { require(lo.nonEmpty || hi.nonEmpty,
+        s"range probe on '$column' needs at least one bound") }
+    /** Point-set membership (`col IN (v1, v2, …)`). */
+    final case class In(column: String, values: Seq[Any]) extends Probe {
+      require(values.nonEmpty, s"IN probe on '$column' needs values") }
+    final case class IsNull(column: String) extends Probe
+    final case class NotNull(column: String) extends Probe
+  }
+
+  /** General pruned read: a conjunction of [[Probe]]s, each pruning
+    * independently at manifest-parse time — range probes against zone
+    * maps, IN probes against zone maps AND bloom sidecars (a file is
+    * kept only if SOME value survives both), IS NULL against the
+    * recorded per-file null-presence flag, all four against the
+    * partition tuple. Files without the relevant stat are kept
+    * conservatively; the fused residual filter guarantees exactness.
+    * Returns (frame, filesScanned, filesTotal). */
+  def readFilter(spark: SparkSession, dir: String, probes: Seq[Probe],
+      version: Option[Long] = None): (DataFrame, Int, Int) =
+    readFilterImpl(spark, dir, probes, version, None)
+
+  /** [[readFilter]] from a SQL predicate string: the predicate is
+    * parsed, its prunable conjuncts (`BETWEEN`/comparisons, `IN`, `=`,
+    * `IS [NOT] NULL`) become [[Probe]]s — string literals coerced under
+    * each column's declared type — and the WHOLE original predicate
+    * (including conjuncts the planner cannot prune with, e.g. `OR`
+    * trees or expressions over two columns) applies as the residual
+    * filter, so the result is exact regardless of what pruned. */
+  def readFilterSql(spark: SparkSession, dir: String, predicate: String,
       version: Option[Long] = None): (DataFrame, Int, Int) = {
-    require(ranges.nonEmpty, "readWhere needs at least one (col, lo, hi)")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    val v = version.getOrElse(vs.last)
+    val schema = schemaOf(spark, dir, v)
+    val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
+    val probes = probesFromExpr(parsed, schema)
+    readFilterImpl(spark, dir, probes, version, Some(expr(predicate)))
+  }
+
+  /** Extract prunable [[Probe]]s from a parsed (unresolved) predicate:
+    * AND-split, then per conjunct map `IN`/`=`/`IS [NOT] NULL` and
+    * one-sided comparisons onto probes. Strict inequalities prune with
+    * inclusive bounds (conservative — never drops a matching file).
+    * Anything else — OR trees, function calls, column-to-column
+    * comparisons — contributes no probe; the caller's residual filter
+    * covers it. String literals against date/timestamp/decimal/integral
+    * columns coerce to the column's JVM probe family (the SQL-surface
+    * affordance; the typed Scala API stays loud on mismatches). */
+  private[graft] def probesFromExpr(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      schema: Option[StructType]): Seq[Probe] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def attrName(x: ce.Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case _ => None
+    }
+    // a literal (or foldable cast of one) as an external JVM value,
+    // coerced under the column's declared type when it arrives as a
+    // bare SQL string ('2024-03-01' against a date column)
+    def const(c: String, x: ce.Expression): Option[Any] =
+      if (!x.foldable) None
+      else Option(org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(x.eval(), x.dataType)).map(coerceProbe(c, _, schema))
+    def all(c: String, xs: Seq[ce.Expression]): Option[Seq[Any]] = {
+      val cs = xs.map(const(c, _))
+      if (cs.forall(_.isDefined)) Some(cs.map(_.get)) else None
+    }
+    def conjuncts(x: ce.Expression): Seq[ce.Expression] = x match {
+      case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other        => Seq(other)
+    }
+    conjuncts(e).flatMap {
+      case ce.In(a, vs) => for { c <- attrName(a); xs <- all(c, vs) }
+        yield Probe.In(c, xs)
+      // the parser leaves BETWEEN as the unresolved 'between' function
+      // (resolved later to the RuntimeReplaceable Between node) — both
+      // shapes map to an inclusive range
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+            f.arguments.length == 3 && attrName(f.arguments.head).isDefined =>
+        for { c <- attrName(f.arguments.head)
+              l <- const(c, f.arguments(1)); h <- const(c, f.arguments(2)) }
+          yield Probe.Range(c, Some(l), Some(h))
+      case ce.Between(a, lo, hi, _) if attrName(a).isDefined =>
+        for { c <- attrName(a); l <- const(c, lo); h <- const(c, hi) }
+          yield Probe.Range(c, Some(l), Some(h))
+      case ce.EqualTo(a, v) if attrName(a).isDefined =>
+        for { c <- attrName(a); x <- const(c, v) } yield Probe.In(c, Seq(x))
+      case ce.EqualTo(v, a) if attrName(a).isDefined =>
+        for { c <- attrName(a); x <- const(c, v) } yield Probe.In(c, Seq(x))
+      case ce.IsNull(a)    => attrName(a).map(Probe.IsNull)
+      case ce.IsNotNull(a) => attrName(a).map(Probe.NotNull)
+      case ce.GreaterThanOrEqual(a, v) if attrName(a).isDefined =>
+        for { c <- attrName(a); x <- const(c, v) }
+          yield Probe.Range(c, Some(x), None)
+      case ce.GreaterThan(a, v) if attrName(a).isDefined =>
+        for { c <- attrName(a); x <- const(c, v) }
+          yield Probe.Range(c, Some(x), None)
+      case ce.LessThanOrEqual(a, v) if attrName(a).isDefined =>
+        for { c <- attrName(a); x <- const(c, v) }
+          yield Probe.Range(c, None, Some(x))
+      case ce.LessThan(a, v) if attrName(a).isDefined =>
+        for { c <- attrName(a); x <- const(c, v) }
+          yield Probe.Range(c, None, Some(x))
+      // reversed one-sided comparisons: `lit OP col` flips the bound
+      case ce.GreaterThanOrEqual(v, a) if attrName(a).isDefined =>
+        for { c <- attrName(a); x <- const(c, v) }
+          yield Probe.Range(c, None, Some(x))
+      case ce.GreaterThan(v, a) if attrName(a).isDefined =>
+        for { c <- attrName(a); x <- const(c, v) }
+          yield Probe.Range(c, None, Some(x))
+      case ce.LessThanOrEqual(v, a) if attrName(a).isDefined =>
+        for { c <- attrName(a); x <- const(c, v) }
+          yield Probe.Range(c, Some(x), None)
+      case ce.LessThan(v, a) if attrName(a).isDefined =>
+        for { c <- attrName(a); x <- const(c, v) }
+          yield Probe.Range(c, Some(x), None)
+      case _ => None // unprunable conjunct — residual-only
+    }
+  }
+
+  /** SQL-surface string→typed coercion for [[probesFromExpr]]: a bare
+    * string literal against a non-string column parses under the
+    * column's declared type (ISO date/timestamp, decimal, integral);
+    * unparseable values throw loudly (never a silent empty result). */
+  private def coerceProbe(c: String, v: Any,
+      schema: Option[StructType]): Any = {
+    import org.apache.spark.sql.types._
+    (v, schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)) match {
+      case (s: String, Some(DateType)) => java.sql.Date.valueOf(s)
+      case (s: String, Some(TimestampType | TimestampNTZType)) =>
+        java.sql.Timestamp.valueOf(s)
+      case (s: String, Some(_: DecimalType)) => new java.math.BigDecimal(s)
+      case (s: String, Some(LongType | IntegerType | ShortType | ByteType)) =>
+        java.lang.Long.parseLong(s)
+      case (s: String, Some(FloatType | DoubleType)) =>
+        java.lang.Double.valueOf(s)
+      case _ => v
+    }
+  }
+
+  private def readFilterImpl(spark: SparkSession, dir: String,
+      probes: Seq[Probe], version: Option[Long],
+      residual: Option[Column]): (DataFrame, Int, Int) = {
+    require(probes.nonEmpty || residual.nonEmpty,
+      "readFilter needs at least one probe")
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed snapshot under $dir")
     val v = version.getOrElse(vs.last)
@@ -1979,61 +2237,172 @@ object SnapshotLog {
     val stats = fileStatsOf(spark, dir, v)
     val schema = schemaOf(spark, dir, v)
     val pcs = partitionColsOf(spark, dir, v)
-    val parts = if (ranges.exists(r => pcs.contains(r._1)))
+    val parts = if (probes.exists(pr => pcs.contains(pr.column)))
       filePartsOf(spark, dir, v) else Map.empty[String, Map[String, String]]
+    // bloom sidecars participate only for IN probes (point-set skipping,
+    // the readPoint rule set-wise) — one sidecar read, filtered to the
+    // probed columns
+    val inCols = probes.collect { case Probe.In(c, _) => c }.distinct
+    val blooms: Map[(String, String), Array[Byte]] =
+      if (inCols.isEmpty || !fs(spark, dir).exists(bloomPath(dir, v)))
+        Map.empty
+      else spark.read.parquet(bloomPath(dir, v).toString)
+        .filter(col("col").isin(inCols: _*))
+        .collect()
+        .map(r => (new Path(r.getString(0)).toUri.getPath, r.getString(1)) ->
+          r.getAs[Array[Byte]]("bloom")).toMap
 
-    // per-column file predicate: recorded stat ∧ degenerate partition
-    // tuple, both conservative
-    def colKeep(column: String, lo: Any, hi: Any): String => Boolean = {
-      val keep: ColStat => Boolean = (lo, hi) match {
-        case (l: String, h: String) => {
-          case StrStat(mn, mxOpt) =>
-            mxOpt.forall(mx => utf8Cmp(mx, l) >= 0) && utf8Cmp(mn, h) <= 0
-          case _ => true
-        }
-        case _ =>
-          // every bound resolves into the COLUMN's stat domain (outward
-          // rounding — never tightens); mismatched probe families throw
-          // loudly rather than silently mis-prune (probeLong scaladoc)
-          val colDt = schema.map(_(column).dataType)
-          val el = probeLong(colDt, lo, java.math.RoundingMode.FLOOR)
-          val eh = probeLong(colDt, hi, java.math.RoundingMode.CEILING)
-          st => st match {
-            case LongStat(mn, mx) => mx >= el && mn <= eh
-            case _                => true
+    def colDtOf(c: String) = schema.map(_(c).dataType)
+    def partValsOf(c: String): Map[String, String] =
+      if (!pcs.contains(c)) Map.empty
+      else parts.flatMap { case (p, t) => t.get(c).map(p -> _) }
+
+    // per-probe file predicate: recorded stat ∧ bloom ∧ degenerate
+    // partition tuple, each conservative
+    def probeKeep(probe: Probe): String => Boolean = probe match {
+      case Probe.Range(column, lo, hi) =>
+        val colDt = colDtOf(column)
+        val isStr = colDt.contains(org.apache.spark.sql.types.StringType) ||
+          lo.exists(_.isInstanceOf[String]) || hi.exists(_.isInstanceOf[String])
+        val keep: ColStat => Boolean =
+          if (isStr) {
+            def s(b: Option[Any], side: String): Option[String] = b.map {
+              case x: String => x
+              case other => throw new IllegalArgumentException(
+                s"string-column probes must be String; $side bound of " +
+                  s"'$column' is ${other.getClass.getName}")
+            }
+            val (l, h) = (s(lo, "lo"), s(hi, "hi"))
+            st => st match {
+              case StrStat(mn, mxOpt, _) =>
+                l.forall(lb => mxOpt.forall(mx => utf8Cmp(mx, lb) >= 0)) &&
+                h.forall(hb => utf8Cmp(mn, hb) <= 0)
+              case _ => true
+            }
+          } else {
+            // every bound resolves into the COLUMN's stat domain
+            // (outward rounding — never tightens); mismatched probe
+            // families throw loudly rather than silently mis-prune
+            val el = lo.map(probeLong(colDt, _, java.math.RoundingMode.FLOOR))
+            val eh = hi.map(probeLong(colDt, _, java.math.RoundingMode.CEILING))
+            st => st match {
+              case LongStat(mn, mx, _) =>
+                el.forall(mx >= _) && eh.forall(mn <= _)
+              case _ => true
+            }
           }
-      }
-      // a PARTITION column's value lives only in the manifest tuple —
-      // treat it as a degenerate [v, v] zone map decoded under the
-      // column's type. A null-partition file is pruned EXACTLY (a
-      // BETWEEN predicate is never true on NULL); an undecodable value
-      // keeps the file conservatively.
-      val partVals: Map[String, String] =
-        if (!pcs.contains(column)) Map.empty
-        else parts.flatMap { case (p, t) => t.get(column).map(p -> _) }
-      val colDt = schema.map(_(column).dataType)
-      def keepByPart(raw: String): Boolean =
-        if (raw == NullPartition) false
-        else colDt.flatMap(decodePartValue(raw, _)) match {
-          case Some(x: String) => keep(StrStat(x, Some(x)))
-          case Some(x)         =>
-            val e = encodeStatLong(x); keep(LongStat(e, e))
-          case None            => true // cannot decode — keep
+        // a PARTITION column's value is a degenerate [v, v] zone map
+        // decoded under the column's type; a null-partition file is
+        // pruned EXACTLY (a range predicate is never true on NULL); an
+        // undecodable value keeps the file conservatively
+        val partVals = partValsOf(column)
+        def keepByPart(raw: String): Boolean =
+          if (raw == NullPartition) false
+          else colDt.flatMap(decodePartValue(raw, _)) match {
+            case Some(x: String) => keep(StrStat(x, Some(x)))
+            case Some(x)         =>
+              val e = encodeStatLong(x); keep(LongStat(e, e))
+            case None            => true
+          }
+        p => {
+          val byStat = stats.get(p).flatMap(_.get(column)) match {
+            case Some(st) => keep(st)
+            case None     => true
+          }
+          byStat && partVals.get(p).forall(keepByPart)
         }
-      p => {
-        val byStat = stats.get(p).flatMap(_.get(column)) match {
-          case Some(st) => keep(st)
-          case None     => true // no stats — cannot prune
+
+      case Probe.In(column, values) =>
+        val colDt = colDtOf(column)
+        val isStr = colDt.contains(org.apache.spark.sql.types.StringType) ||
+          values.exists(_.isInstanceOf[String])
+        // stat keep: SOME value inside [min,max]. A value not EXACTLY
+        // representable in the column's stat domain might still compare
+        // equal under Spark's comparison coercion — it disables stat
+        // and bloom pruning (keep-everything, the readPoint rule).
+        val strVals: Seq[String] =
+          if (!isStr) Seq.empty
+          else values.map {
+            case s: String => s
+            case other => throw new IllegalArgumentException(
+              s"string-column probes must be String; IN value for " +
+                s"'$column' is ${other.getClass.getName}")
+          }
+        val encVals: Option[Seq[Long]] =
+          if (isStr) None
+          else {
+            val es = values.map(probePoint(colDt, _))
+            if (es.forall(_.isDefined)) Some(es.map(_.get)) else None
+          }
+        val statKeep: ColStat => Boolean =
+          if (isStr) {
+            case StrStat(mn, mxOpt, _) => strVals.exists(v =>
+              utf8Cmp(mn, v) <= 0 && mxOpt.forall(mx => utf8Cmp(mx, v) >= 0))
+            case _ => true
+          } else encVals match {
+            case Some(es) => {
+              case LongStat(mn, mx, _) => es.exists(e => e >= mn && e <= mx)
+              case _ => true
+            }
+            case None => _ => true // some value inexact — cannot prune
+          }
+        // bloom keep: SOME value might be contained (files without a
+        // bloom — or inexact values — keep conservatively)
+        val bloomKeep: String => Boolean =
+          if (blooms.isEmpty || (!isStr && encVals.isEmpty)) _ => true
+          else p => blooms.get((new Path(p).toUri.getPath, column)) match {
+            case Some(bytes) =>
+              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+              if (isStr) strVals.exists(bf.mightContainString)
+              else encVals.get.exists(bf.mightContainLong)
+            case None => true
+          }
+        // partition keep: rendered equality against ANY value (the
+        // readPoint rule); NullPartition never matches (IN is never
+        // true on NULL)
+        val partVals = partValsOf(column)
+        lazy val rendered = values.map(renderPartValue)
+        p => {
+          val byStat = stats.get(p).flatMap(_.get(column)) match {
+            case Some(st) => statKeep(st)
+            case None     => true
+          }
+          byStat && bloomKeep(p) &&
+            partVals.get(p).forall(raw => rendered.contains(raw))
         }
-        byStat && partVals.get(p).forall(keepByPart)
-      }
+
+      case Probe.IsNull(column) =>
+        // a recorded nulls=false flag prunes EXACTLY; legacy stats
+        // (no flag) and stat-less files keep. An all-NULL column has
+        // no stat line at all — kept, as it must be. A non-null
+        // partition tuple prunes exactly; the null partition keeps.
+        val partVals = partValsOf(column)
+        p => {
+          val byStat = stats.get(p).flatMap(_.get(column)) match {
+            case Some(st) => st.nulls.getOrElse(true)
+            case None     => true
+          }
+          byStat && partVals.get(p).forall(_ == NullPartition)
+        }
+
+      case Probe.NotNull(column) =>
+        // stats cannot distinguish an all-NULL column (line omitted)
+        // from an un-analyzed one — only the partition tuple prunes
+        // (exactly: every row of a null-partition file IS null here)
+        val partVals = partValsOf(column)
+        p => partVals.get(p).forall(_ != NullPartition)
     }
 
-    val keeps = ranges.map { case (c, lo, hi) => colKeep(c, lo, hi) }
+    val keeps = probes.map(probeKeep)
     val kept = files.filter(p => keeps.forall(_(p)))
-    val pred = ranges.map { case (c, lo, hi) =>
-      col(c) >= lit(lo) && col(c) <= lit(hi)
-    }.reduce(_ && _)
+    val pred = residual.getOrElse(probes.map {
+      case Probe.Range(c, lo, hi) =>
+        (lo.map(col(c) >= lit(_)) ++ hi.map(col(c) <= lit(_)))
+          .reduce(_ && _)
+      case Probe.In(c, vs)   => col(c).isin(vs: _*)
+      case Probe.IsNull(c)   => col(c).isNull
+      case Probe.NotNull(c)  => col(c).isNotNull
+    }.reduce(_ && _))
     val df =
       if (kept.nonEmpty) readFiles(spark, dir, v, kept).filter(pred)
       else schema match {
@@ -2060,6 +2429,85 @@ object SnapshotLog {
 
   private def dvPath(dir: String, name: String) =
     new Path(logDir(dir), s"dv/$name")
+
+  // --- DV sidecar format -----------------------------------------------
+  // Round 9 stores ONE 64-bit roaring bitmap per file — (path: string,
+  // bitmap: binary) — the Delta deletion-vector shape: a billion-row MoR
+  // delete serializes to KBs per file instead of a billion
+  // (path, row_index) parquet rows. The legacy row-per-position shape
+  // (path, row_index) stays readable: every consumer goes through
+  // [[dvRaw]] (path-grain work — prunes, compaction — needs no
+  // expansion) or [[dvPositions]] (join-grain work expands bitmaps in
+  // memory from KBs, never re-reading positions off disk).
+
+  private def rbmBytes(
+      bm: org.roaringbitmap.longlong.Roaring64NavigableMap): Array[Byte] = {
+    bm.runOptimize()
+    val bos = new java.io.ByteArrayOutputStream()
+    bm.serialize(new java.io.DataOutputStream(bos))
+    bos.toByteArray
+  }
+
+  private def rbmFrom(
+      bytes: Array[Byte]): org.roaringbitmap.longlong.Roaring64NavigableMap = {
+    val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+    bm.deserialize(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    bm
+  }
+
+  /** The sidecar as stored — bitmap-per-file (round 9) or
+    * row-per-position (legacy). Both carry a `path` column, so
+    * path-grain consumers need not care which. */
+  private def dvRaw(spark: SparkSession, dir: String, name: String) =
+    spark.read.parquet(dvPath(dir, name).toString)
+
+  /** The sidecar as the canonical positions relation
+    * (path, row_index) — bitmaps expand per partition in memory. */
+  private def dvPositions(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val raw = dvRaw(spark, dir, name)
+    if (raw.columns.contains("row_index")) raw.select("path", "row_index")
+    else {
+      import spark.implicits._
+      raw.select("path", "bitmap").as[(String, Array[Byte])]
+        .flatMap { case (p, b) =>
+          val it = rbmFrom(b).getLongIterator
+          new Iterator[(String, Long)] {
+            def hasNext = it.hasNext
+            def next() = (p, it.next())
+          }
+        }.toDF("path", "row_index")
+    }
+  }
+
+  /** Write `positions` (path, row_index) as a bitmap-per-file sidecar:
+    * per-partition partial bitmaps OR-merge by path (the analyzeBlooms
+    * pattern), so the build is one distributed pass with KB-scale
+    * shuffle. */
+  private def writeDvSidecar(spark: SparkSession, dir: String, name: String,
+      positions: DataFrame): Unit = {
+    import spark.implicits._
+    val merged = positions.select("path", "row_index").as[(String, Long)]
+      .rdd.mapPartitions { it =>
+        val per = scala.collection.mutable.Map[String,
+          org.roaringbitmap.longlong.Roaring64NavigableMap]()
+        it.foreach { case (p, i) => per.getOrElseUpdate(p,
+          new org.roaringbitmap.longlong.Roaring64NavigableMap()).addLong(i) }
+        per.iterator.map { case (p, bm) => (p, rbmBytes(bm)) }
+      }
+      .reduceByKey { (a, b) =>
+        val x = rbmFrom(a); x.or(rbmFrom(b)); rbmBytes(x)
+      }
+      .map { case (p, b) => org.apache.spark.sql.Row(p, b) }
+    spark.createDataFrame(merged, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bitmap",
+        org.apache.spark.sql.types.BinaryType))))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dvPath(dir, name).toString)
+  }
 
   /** Read `paths` under version `v`'s schema with that version's
     * deletion vector applied (if any) — THE single read primitive
@@ -2120,7 +2568,7 @@ object SnapshotLog {
     dvName match {
       case None => base
       case Some(name) =>
-        val dv = spark.read.parquet(dvPath(dir, name).toString)
+        val dv = dvPositions(spark, dir, name)
         base
           .join(dv, col("__dv_f") === col("path") &&
             col("__dv_i") === col("row_index"), "left_anti")
@@ -2141,7 +2589,9 @@ object SnapshotLog {
     dvOf(spark, dir, v) match {
       case None => Seq.empty
       case Some(name) =>
-        val dv = spark.read.parquet(dvPath(dir, name).toString)
+        // path-grain surgery — works on either sidecar shape verbatim,
+        // no bitmap expansion
+        val dv = dvRaw(spark, dir, name)
         val gone = rewritten.map(p => new Path(p).toUri.getPath).toSet
         val dropPaths = dv.select("path").distinct().collect()
           .map(_.getString(0))
@@ -2223,7 +2673,7 @@ object SnapshotLog {
       val alive = priorDv match {
         case None => withMeta
         case Some(name) =>
-          val dv = spark.read.parquet(dvPath(dir, name).toString)
+          val dv = dvPositions(spark, dir, name)
           withMeta.join(dv, col("__dv_f") === col("path") &&
             col("__dv_i") === col("row_index"), "left_anti")
       }
@@ -2232,12 +2682,11 @@ object SnapshotLog {
       if (newMatches.isEmpty) return latest
       val cumulative = priorDv match {
         case None => newMatches
-        case Some(name) => spark.read.parquet(dvPath(dir, name).toString)
+        case Some(name) => dvPositions(spark, dir, name)
           .unionByName(newMatches)
       }
       val dvName = s"${java.util.UUID.randomUUID().toString}.parquet"
-      cumulative.coalesce(1)
-        .write.mode("overwrite").parquet(dvPath(dir, dvName).toString)
+      writeDvSidecar(spark, dir, dvName, cumulative)
       val header = Seq(s"#dv=$dvName") ++
         schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
         manifestLines(spark, dir, latest).filter(l =>
@@ -2264,7 +2713,7 @@ object SnapshotLog {
       require(vs.nonEmpty, s"no committed snapshot under $dir")
       val latest = vs.last
       val name = dvOf(spark, dir, latest).getOrElse(return latest)
-      val dv = spark.read.parquet(dvPath(dir, name).toString)
+      val dv = dvRaw(spark, dir, name) // path-grain: either shape
       val dead = dv.select("path").distinct()
         .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
       val current = filesOf(spark, dir, latest)

@@ -180,6 +180,64 @@ class SnapshotDvSpec extends AnyFunSuite with SparkFixture {
       "restore dropped the deletion vector and resurrected rows")
   }
 
+  test("bitmap sidecars stay KB-scale on a wide delete (round 9)") {
+    val dir = Files.createTempDirectory("dv-wide").toString
+    val df = spark.range(0, 200000).select(col("id"), (col("id") % 7).as("grp"))
+    SnapshotLog.commit(spark, dir, df.repartition(4, col("id")))
+    // tombstone HALF the table: 100k positions — row-per-position
+    // parquet was ~MBs; one roaring bitmap per file is KBs
+    SnapshotLog.deleteWhereMoR(spark, dir, col("id") % 2 === 0)
+    assert(SnapshotLog.read(spark, dir).count() === 100000L)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val sidecarBytes = walk(new java.io.File(s"$dir/_log/dv"))
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    assert(sidecarBytes > 0)
+    assert(sidecarBytes < 256 * 1024,
+      s"100k-position sidecar should be KB-scale, was $sidecarBytes bytes")
+    // compaction applies the bitmap exactly
+    val v = SnapshotLog.applyDeletionVectors(spark, dir)
+    val after = SnapshotLog.read(spark, dir, Some(v))
+    assert(after.count() === 100000L)
+    assert(after.filter(col("id") % 2 === 0).count() === 0L)
+  }
+
+  test("legacy row-per-position sidecars stay readable (round 9)") {
+    val (dir, _) = mkLog()
+    SnapshotLog.deleteWhereMoR(spark, dir, col("id") < 10L)
+    // rewrite the bitmap sidecar into the pre-r9 positions shape IN
+    // PLACE — same name, old schema — and assert every consumer still
+    // reads through it
+    val dvDir = new java.io.File(s"$dir/_log/dv")
+    val sidecar = dvDir.listFiles().filter(_.isDirectory).head
+    val positions = (0L until 1000L).filter(_ < 10L) // ids 0..9
+    // locate each id's (file, row_index) from the raw physical scan
+    val phys = spark.read.parquet(s"$dir/data/*")
+      .withColumn("path", col("_metadata.file_path"))
+      .withColumn("row_index", col("_metadata.row_index"))
+      .filter(col("id") < 10L)
+      .select("path", "row_index")
+    val tmp = Files.createTempDirectory("dv-legacy").toString
+    phys.coalesce(1).write.mode("overwrite").parquet(tmp)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete() }
+    rmrf(sidecar)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      sidecar.toPath)
+    // reads, pruned reads and the CDF all honor the legacy shape
+    assert(SnapshotLog.read(spark, dir).count() === 990L)
+    assert(SnapshotLog.read(spark, dir).filter(col("id") < 10L).count() === 0L)
+    // a further MoR delete merges legacy positions into a new bitmap
+    SnapshotLog.deleteWhereMoR(spark, dir, col("id") === 500L)
+    val rows = SnapshotLog.read(spark, dir)
+    assert(rows.count() === 989L)
+    assert(rows.filter(col("id") < 10L).count() === 0L,
+      "legacy positions lost in the bitmap merge")
+    // compaction through the mixed lineage stays exact
+    val v = SnapshotLog.applyDeletionVectors(spark, dir)
+    assert(SnapshotLog.read(spark, dir, Some(v)).count() === 989L)
+  }
+
   test("the DV anti-join broadcasts the sparse vector (read-cost claim)") {
     val (dir, _) = mkLog()
     SnapshotLog.deleteWhereMoR(spark, dir, col("id") === 3L)

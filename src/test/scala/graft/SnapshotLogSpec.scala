@@ -357,12 +357,13 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(gone.count() === 0 && s2 < t2)
   }
 
-  test("commitWithStats rejects non-integral stat columns") {
+  test("commitWithStats rejects stat columns outside the encodable domain") {
     import spark.implicits._
     val dir = freshDir()
+    // arrays have no order-preserving long/string encoding
     val e = intercept[IllegalArgumentException](
       SnapshotLog.commitWithStats(spark, dir,
-        Seq((1L, 0.5)).toDF("k", "x"), Seq("x")))
+        Seq((1L, Seq(0.5))).toDF("k", "x"), Seq("x")))
     assert(e.getMessage.contains("integral"))
   }
   test("history(): one row per version from manifests alone") {

@@ -143,11 +143,37 @@ class SnapshotPartitionSpec extends AnyFunSuite with SparkFixture {
     assert(SnapshotLog.partitionColsOf(spark, dir, v) === Seq("region"))
     val after = SnapshotLog.read(spark, dir).inputFiles.length
     assert(after < before, s"compaction did not shrink: $before -> $after")
+    // the ~1-file-per-tuple law: a partitioned compaction must never fan
+    // out to targetFiles × |tuples| (the r8 shape netted MORE small
+    // files than it removed)
+    val tuples = df.select("region").distinct().count()
+    assert(after <= tuples, s"fan-out: $after files for $tuples tuples")
     val (eu, scanned, total) =
       SnapshotLog.readPartition(spark, dir, Map("region" -> "eu"))
     assert(scanned < total)
     assert(eu.count() ===
       df.filter(col("region") === "eu").count())
+  }
+
+  test("partitioned optimize with targetFiles > 1 still lands ~1 file per tuple") {
+    val dir = freshDir()
+    val df = mkTable(dir)
+    SnapshotLog.commitPartitioned(spark, dir, df.repartition(8), Seq("region"))
+    // pre-fix: repartition(4) × |tuples| partition dirs → up to 4 files
+    // in EVERY tuple — compaction that increases the small-file count
+    SnapshotLog.optimize(spark, dir, targetFiles = 4)
+    val tuples = df.select("region").distinct().count()
+    val after = SnapshotLog.read(spark, dir).inputFiles.length
+    assert(after <= tuples, s"fan-out: $after files for $tuples tuples")
+    // clustered variant: partition columns lead the range partitioner,
+    // so a task straddles at most a tuple boundary
+    val dir2 = freshDir()
+    SnapshotLog.commitPartitioned(spark, dir2, df.repartition(8), Seq("region"))
+    SnapshotLog.optimize(spark, dir2, targetFiles = 3, clusterBy = Seq("k"))
+    val after2 = SnapshotLog.read(spark, dir2).inputFiles.length
+    assert(after2 <= tuples + 3,
+      s"clustered fan-out: $after2 files for $tuples tuples")
+    assert(SnapshotLog.read(spark, dir2).count() === df.count())
   }
 
   test("commitBatch appends inherit the partition layout") {
@@ -220,6 +246,51 @@ class SnapshotPartitionSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException] {
       SnapshotLog.read(spark, dir, Some(1L))
     }
+  }
+
+  test("external layouts: percent-encoded UTF-8 refused loudly; ASCII escapes accepted") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cur",
+        org.apache.spark.sql.types.StringType)))
+    // a writer that percent-encoded the euro sign as %E2%82%AC reads
+    // back MOJIBAKE under Spark's char-per-byte partition discovery —
+    // the publish must refuse loudly (silently-empty probes are the bug)
+    val badRoot = java.nio.file.Files.createTempDirectory("ext-esc").toString
+    val badSub = s"$badRoot/cur=%E2%82%AC"
+    Seq((1L, 10L)).toDF("k", "v").coalesce(1).write.parquet(badSub)
+    val badFiles = new java.io.File(badSub).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getPath).toSeq
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.commitBatchExternal(spark,
+        java.nio.file.Files.createTempDirectory("ext-bad").toString,
+        badFiles, schema, batchId = 1L, partitionCols = Seq("cur"))
+    }
+    assert(e.getMessage.contains("multi-byte UTF-8"))
+    // ASCII escapes decode identically under both interpretations —
+    // accepted, recorded as the real value, and probe exactly (the
+    // '=' in the value MUST be escaped in the dir name; this is the
+    // hive shape Spark itself writes). Raw non-ASCII dir names (what
+    // Spark writes for a euro-sign value) also pass the guard
+    // trivially — untestable here only because this container's
+    // filesystem charset is ASCII.
+    val dir = freshDir()
+    val goodRoot = java.nio.file.Files.createTempDirectory("ext-raw").toString
+    val goodSub = s"$goodRoot/cur=a%3Db" // value "a=b"
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1).write.parquet(goodSub)
+    val files = new java.io.File(goodSub).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getPath).toSeq
+    SnapshotLog.commitBatchExternal(spark, dir, files, schema,
+      batchId = 1L, partitionCols = Seq("cur"))
+    val (got, scanned, total) =
+      SnapshotLog.readPartition(spark, dir, Map("cur" -> "a=b"))
+    assert(total === 1 && scanned === 1)
+    assert(got.count() === 2)
+    assert(got.select("cur").distinct().as[String].head() === "a=b")
   }
 
   test("special characters in partition values round-trip exactly") {

@@ -76,6 +76,31 @@ class SnapshotSqlDmlSpec extends AnyFunSuite with SparkFixture {
       === (0 until 10).map(_ + 1).sum)
   }
 
+  test("EXPLAIN and un-executed DML statements never commit (round 9)") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir,
+      spark.range(0, 10).select(col("id").as("k"), col("id").as("v")))
+    // building the DataFrame analyzes (and the r8 shape COMMITTED here);
+    // the lazy command node must not
+    val stmt = spark.sql(s"SELECT * FROM snapshot_update_where('$dir', " +
+      "'true', 'v', 'v + 1')")
+    assert(SnapshotLog.versions(spark, dir) === Seq(1L),
+      "analysis alone committed a version")
+    // EXPLAIN resolves AND plans — still no commit
+    stmt.explain()
+    spark.sql(s"EXPLAIN SELECT * FROM snapshot_delete_where('$dir', 'k = 0')")
+      .collect()
+    assert(SnapshotLog.versions(spark, dir) === Seq(1L),
+      "EXPLAIN committed a version")
+    // execution commits exactly once and reports it
+    val row = stmt.collect().head
+    assert(row.getString(0) === "update_where" && row.getLong(2) === 2L)
+    assert(SnapshotLog.versions(spark, dir) === Seq(1L, 2L))
+    import spark.implicits._
+    assert(SnapshotLog.read(spark, dir).agg(sum("v")).as[Long].head()
+      === (0 until 10).map(_ + 1).sum)
+  }
+
   test("library guards surface as SQL errors") {
     val dir = freshDir()
     SnapshotLog.commit(spark, dir,

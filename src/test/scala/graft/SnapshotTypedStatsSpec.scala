@@ -124,7 +124,7 @@ class SnapshotTypedStatsSpec extends AnyFunSuite with SparkFixture {
     // sanity: truncation actually engaged (keys are > 32 chars)
     val stats = SnapshotLog.fileStatsOf(spark, dir, 1L)
     assert(stats.values.flatMap(_.values).collect {
-      case SnapshotLog.StrStat(lo, _) => lo.length }.forall(_ <= 32))
+      case SnapshotLog.StrStat(lo, _, _) => lo.length }.forall(_ <= 32))
     val (got, scanned, total) =
       SnapshotLog.readBetweenValues(spark, dir, "k", "c", "d")
     assert(total === 6)
@@ -145,7 +145,7 @@ class SnapshotTypedStatsSpec extends AnyFunSuite with SparkFixture {
     val stats = SnapshotLog.fileStatsOf(spark, dir, 1L)
     assert(stats.nonEmpty)
     stats.values.flatMap(_.get("k")).foreach {
-      case SnapshotLog.StrStat(lo, hiOpt) =>
+      case SnapshotLog.StrStat(lo, hiOpt, _) =>
         assert(hiOpt.isDefined) // short strings never truncate to +inf
         assert(hiOpt.forall(hi => SnapshotLog.utf8Cmp(lo, hi) <= 0))
       case other => fail(s"expected StrStat, got $other")
@@ -179,7 +179,9 @@ class SnapshotTypedStatsSpec extends AnyFunSuite with SparkFixture {
     val mp = new org.apache.hadoop.fs.Path(dir, "_log/v1.manifest")
     val lines = scala.io.Source.fromInputStream(f.open(mp)).getLines().toList
     val legacy = lines.map(l =>
-      if (l.startsWith("#filestat=")) l.replaceAll(":L:", ":") else l)
+      if (l.startsWith("#filestat="))
+        l.replaceAll(":LN?:(-?\\d+):(-?\\d+)(:[01])?", ":$1:$2")
+      else l)
     assert(legacy != lines, "expected tagged entries to rewrite")
     val out = f.create(mp, true)
     out.write((legacy.mkString("\n") + "\n").getBytes("UTF-8")); out.close()
@@ -417,5 +419,236 @@ class SnapshotTypedStatsSpec extends AnyFunSuite with SparkFixture {
       new java.math.BigDecimal("100.005"))
     assert(sI === tI)
     assert(inexact.count() === 0)
+  }
+
+  // --- IN-list / point-set / IS NULL pruning (round 9) -------------------
+
+  test("IN probe: zone maps keep only files admitting SOME value, exactly") {
+    val dir = freshDir()
+    val df = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") * 3).as("v")).repartitionByRange(10, col("k"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("k"))
+    // three points in two distinct range files out of ten
+    val (got, scanned, total) =
+      SnapshotLog.readIn(spark, dir, "k", Seq(5L, 17L, 950L))
+    assert(total === 10)
+    assert(scanned <= 2, s"IN probe scanned $scanned/$total")
+    assert(got.select("k").as[Long].collect().sorted === Array(5L, 17L, 950L))
+    // a value set entirely outside every zone map: zero files, empty exact
+    val (none, sNone, _) = SnapshotLog.readIn(spark, dir, "k", Seq(-5L, 2000L))
+    assert(sNone === 0 && none.count() === 0)
+    assert(none.schema.fieldNames.toSeq === Seq("k", "v"))
+  }
+
+  test("IN probe on strings prunes via truncated bounds, exactly") {
+    val dir = freshDir()
+    val df = spark.range(0, 2600)
+      .select(concat(chr(lit(97) + (col("id") / 100).cast("int") % 26),
+        format_string("%04d", col("id"))).as("k"), col("id").as("v"))
+      .repartitionByRange(6, col("k"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("k"))
+    val (got, scanned, total) =
+      SnapshotLog.readIn(spark, dir, "k", Seq("c0200", "c0250"))
+    assert(scanned < total, s"string IN scanned $scanned/$total")
+    assert(got.count() === 2)
+  }
+
+  test("IN probe composes blooms: scattered layout still skips files") {
+    val dir = freshDir()
+    val df = spark.range(0, 4096)
+      .select(md5(col("id").cast("string")).as("k"), col("id").as("v"))
+      .repartition(8) // scattered — zone maps cannot prune
+    SnapshotLog.commit(spark, dir, df)
+    SnapshotLog.analyzeBlooms(spark, dir, Seq("k"),
+      expectedItems = 1000, fpp = 0.01)
+    val probes = df.filter(col("v").isin(0L, 4095L))
+      .select("k").as[String].collect().toSeq
+    val (got, scanned, total) = SnapshotLog.readIn(spark, dir, "k", probes)
+    assert(got.count() === 2)
+    assert(scanned < total, s"bloom IN scanned $scanned/$total")
+    // absent values bloom-reject nearly everything
+    val (absent, sA, _) =
+      SnapshotLog.readIn(spark, dir, "k", Seq("nope-1", "nope-2"))
+    assert(absent.count() === 0 && sA <= 2)
+  }
+
+  test("IN probe with an inexact value cannot prune but stays exact") {
+    val dir = freshDir()
+    val df = spark.range(0, 400)
+      .select((col("id") * 25).cast("decimal(12,2)").as("amt"),
+        col("id").as("v"))
+      .repartitionByRange(4, col("amt"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("amt"))
+    // 100.005 is unrepresentable at scale 2 — pruning must disable
+    // (conservative), the residual keeps the result exact
+    val (got, scanned, total) = SnapshotLog.readIn(spark, dir, "amt",
+      Seq(new java.math.BigDecimal("100.005"),
+        new java.math.BigDecimal("250.00")))
+    assert(scanned === total)
+    assert(got.count() === 1)
+    // all-exact values prune again
+    val (got2, s2, _) = SnapshotLog.readIn(spark, dir, "amt",
+      Seq(new java.math.BigDecimal("250.00")))
+    assert(s2 < total && got2.count() === 1)
+  }
+
+  test("IN probe on a partition column prunes by manifest tuple") {
+    val dir = freshDir()
+    val df = spark.range(0, 900).select(
+      element_at(array(lit("eu"), lit("us"), lit("ap")),
+        (col("id") % 3 + 1).cast("int")).as("region"),
+      col("id").as("k")).repartitionByRange(3, col("k"))
+    SnapshotLog.commitPartitioned(spark, dir, df, Seq("region"), Seq("k"))
+    val (got, scanned, total) =
+      SnapshotLog.readIn(spark, dir, "region", Seq("eu", "ap"))
+    assert(scanned < total, s"partition IN scanned $scanned/$total")
+    assert(got.filter(col("region") === "us").count() === 0)
+    assert(got.count() === 600)
+  }
+
+  test("IS NULL prunes no-null files via the recorded flag, exactly") {
+    val dir = freshDir()
+    // nulls live only in the high range — clustered so the flag varies
+    val df = spark.range(0, 1000).select(col("id").as("k"),
+      when(col("id") >= 900, lit(null).cast("long"))
+        .otherwise(col("id") * 2).as("v"))
+      .repartitionByRange(10, col("k"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("k", "v"))
+    val (got, scanned, total) = SnapshotLog.readFilter(spark, dir,
+      Seq(SnapshotLog.Probe.IsNull("v")))
+    assert(total === 10)
+    assert(scanned < total, s"IS NULL scanned $scanned/$total")
+    assert(got.count() === 100)
+    assert(got.filter(col("v").isNotNull).count() === 0)
+    // NOT NULL stays exact (stats cannot prune it; partition tuples can)
+    val (nn, _, _) = SnapshotLog.readFilter(spark, dir,
+      Seq(SnapshotLog.Probe.NotNull("v")))
+    assert(nn.count() === 900)
+  }
+
+  test("IS NULL / NOT NULL prune by partition tuple incl. the null partition") {
+    val dir = freshDir()
+    val df = spark.range(0, 300).select(
+      when(col("id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("r"), (col("id") % 3).cast("string")))
+        .as("region"),
+      col("id").as("k")).repartitionByRange(3, col("k"))
+    SnapshotLog.commitPartitioned(spark, dir, df, Seq("region"), Seq("k"))
+    val (nulls, sN, total) = SnapshotLog.readFilter(spark, dir,
+      Seq(SnapshotLog.Probe.IsNull("region")))
+    assert(sN < total, s"null-partition prune scanned $sN/$total")
+    assert(nulls.count() === 100)
+    val (notNulls, sNN, _) = SnapshotLog.readFilter(spark, dir,
+      Seq(SnapshotLog.Probe.NotNull("region")))
+    assert(sNN < total)
+    assert(notNulls.count() === 200)
+  }
+
+  test("one-sided ranges prune (>= lo only / <= hi only)") {
+    val dir = freshDir()
+    val df = spark.range(0, 1000).select(col("id").as("k"))
+      .repartitionByRange(10, col("k"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("k"))
+    val (ge, sGe, total) = SnapshotLog.readFilter(spark, dir,
+      Seq(SnapshotLog.Probe.Range("k", Some(900L), None)))
+    assert(sGe < total && ge.count() === 100)
+    val (le, sLe, _) = SnapshotLog.readFilter(spark, dir,
+      Seq(SnapshotLog.Probe.Range("k", None, Some(99L))))
+    assert(sLe < total && le.count() === 100)
+  }
+
+  test("readFilterSql: parsed predicate prunes ranges, IN, IS NULL; OR stays exact") {
+    val dir = freshDir()
+    val df = spark.range(0, 1000).select(
+      element_at(array(lit("eu"), lit("us"), lit("ap")),
+        (col("id") % 3 + 1).cast("int")).as("region"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("id") % 365).cast("int")).as("d"),
+      when(col("id") >= 900, lit(null).cast("long"))
+        .otherwise(col("id")).as("score"),
+      col("id").as("k"))
+      .repartitionByRange(10, col("k"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("k", "score"))
+    // conjunctive mixed predicate: range + IN (no region stats — the
+    // conjunct contributes nothing, stays residual-only) + bare-string
+    // coercion is NOT needed for k (long)
+    val (got, scanned, total) = SnapshotLog.readFilterSql(spark, dir,
+      "k >= 100 AND k <= 199 AND region IN ('eu','us')")
+    assert(scanned < total)
+    val expect = df.filter(col("k").between(100, 199) &&
+      col("region").isin("eu", "us")).collect().map(_.toSeq).toSet
+    assert(got.collect().map(_.toSeq).toSet === expect)
+    // IS NULL conjunct prunes via the flag
+    val (nulls, sNull, _) =
+      SnapshotLog.readFilterSql(spark, dir, "score IS NULL")
+    assert(sNull < total && nulls.count() === 100)
+    // an OR tree cannot prune — but the residual keeps it exact
+    val (ors, sOr, tOr) = SnapshotLog.readFilterSql(spark, dir,
+      "k = 5 OR k = 950")
+    assert(sOr === tOr)
+    assert(ors.select("k").as[Long].collect().sorted === Array(5L, 950L))
+  }
+
+  test("readFilterSql coerces string literals under the column's type") {
+    val dir = freshDir()
+    val df = spark.range(0, 365)
+      .select(date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        col("id").cast("int")).as("d"), col("id").as("v"))
+      .repartitionByRange(6, col("d"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("d"))
+    val (got, scanned, total) = SnapshotLog.readFilterSql(spark, dir,
+      "d BETWEEN '2024-03-01' AND '2024-03-31'")
+    assert(scanned < total, s"coerced date prune scanned $scanned/$total")
+    assert(got.count() === 31)
+    // equality through coercion also prunes
+    val (eq, sEq, _) = SnapshotLog.readFilterSql(spark, dir,
+      "d = '2024-06-15'")
+    assert(sEq < total && eq.count() === 1)
+  }
+
+  test("snapshot_filter TVF: pure-SQL pruned read matches the Scala API") {
+    val dir = freshDir()
+    val df = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") * 7).as("v")).repartitionByRange(10, col("k"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("k"))
+    val got = spark.sql(
+      s"SELECT * FROM snapshot_filter('$dir', 'k IN (3, 501, 998)')")
+    assert(got.select("k").as[Long].collect().sorted === Array(3L, 501L, 998L))
+    // version pinning arg
+    val v2 = SnapshotLog.commit(spark, dir,
+      spark.range(1000, 1100).select(col("id").as("k"), (col("id") * 7).as("v")))
+    val pinned = spark.sql(
+      s"SELECT * FROM snapshot_filter('$dir', 'k >= 990', 1)")
+    assert(pinned.count() === 10) // v1 stops at 999
+    val latest = spark.sql(
+      s"SELECT * FROM snapshot_filter('$dir', 'k >= 990', $v2)")
+    assert(latest.count() === 100) // commit REPLACES: v2 is 1000..1099
+  }
+
+  test("legacy stats (no null flag) keep IS NULL conservative") {
+    val dir = freshDir()
+    val df = spark.range(0, 100).select(col("id").as("k"))
+      .repartitionByRange(2, col("k"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("k"))
+    // strip the null flag back to the r8 format (LN:lo:hi:0 → L:lo:hi)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new org.apache.hadoop.fs.Path(dir, "_log/v1.manifest")
+    val lines = scala.io.Source.fromInputStream(f.open(mp)).getLines().toList
+    val legacy = lines.map(l =>
+      if (l.startsWith("#filestat="))
+        l.replaceAll(":LN:(-?\\d+):(-?\\d+):[01]", ":L:$1:$2")
+      else l)
+    assert(legacy != lines, "expected LN entries to rewrite")
+    val out = f.create(mp, true)
+    out.write((legacy.mkString("\n") + "\n").getBytes("UTF-8")); out.close()
+    // no flag — IS NULL cannot prune, result still exact (empty)
+    val (got, scanned, total) = SnapshotLog.readFilter(spark, dir,
+      Seq(SnapshotLog.Probe.IsNull("k")))
+    assert(scanned === total)
+    assert(got.count() === 0)
+    // and ranges still prune through the legacy entries
+    val (ranged, sR, _) = SnapshotLog.readBetween(spark, dir, "k", 0L, 10L)
+    assert(sR < total && ranged.count() === 11)
   }
 }

@@ -495,6 +495,72 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("stateful ops are RocksDB-portable: windowed agg + dedup + fMGWS under RocksDBStateStoreProvider") {
+    // At 100 TB the HDFS-backed in-memory provider is the first thing
+    // swapped (state no longer fits executor heaps); Spark 4 bundles
+    // RocksDB. Prove the SAME assertions hold for the stateful operators
+    // that default to the HDFS provider — windowed aggregation,
+    // watermark dedup, flatMapGroupsWithState — under RocksDB, so the
+    // swap is a config change, not a correctness gamble.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // windowed aggregation (complete mode)
+      val agg = MemoryStream[Ev]
+      val qa = StreamOps.tumblingCounts(agg.toDF)
+        .writeStream.format("memory").queryName("rocks_tumbling")
+        .outputMode("complete").start()
+      try {
+        agg.addData(Seq(
+          Ev(1, ts("2024-01-01 10:00:10"), 1, "a", 1.0),
+          Ev(2, ts("2024-01-01 10:00:20"), 2, "b", 1.0),
+          Ev(3, ts("2024-01-01 10:01:10"), 1, "a", 1.0)))
+        qa.processAllAvailable()
+      } finally qa.stop()
+      val counts = spark.table("rocks_tumbling")
+        .select("n").as[Long].collect().sorted.toSeq
+      assert(counts === Seq(1L, 2L))
+
+      // watermark dedup
+      val dd = MemoryStream[Ev]
+      val qd = StreamOps.dedupWithinWatermark(dd.toDF, "1 hour")
+        .writeStream.format("memory").queryName("rocks_dedup")
+        .outputMode("append").start()
+      try {
+        dd.addData(Seq(
+          Ev(7, ts("2024-01-01 10:00:00"), 1, "c", 1.0),
+          Ev(7, ts("2024-01-01 10:00:01"), 1, "c", 1.0), // replay
+          Ev(8, ts("2024-01-01 10:00:02"), 2, "c", 1.0)))
+        qd.processAllAvailable()
+      } finally qd.stop()
+      assert(spark.table("rocks_dedup").count() === 2)
+
+      // flatMapGroupsWithState milestones — same law as the HDFS run
+      val ms = MemoryStream[Ev]
+      val qm = StreamOps.milestones(ms.toDF, every = 2)
+        .writeStream.format("memory").queryName("rocks_milestones")
+        .outputMode("append").start()
+      try {
+        ms.addData((1 to 3).map(i =>
+          Ev(i, ts("2024-01-01 10:00:00"), 1, "c", 1.0)))
+        qm.processAllAvailable()
+        ms.addData((4 to 6).map(i =>
+          Ev(i, ts("2024-01-01 10:01:00"), 1, "c", 1.0)))
+        qm.processAllAvailable()
+      } finally qm.stop()
+      val got = spark.table("rocks_milestones").as[StreamOps.Milestone]
+        .collect().map(m => m.user_id -> m.milestone).toSet
+      assert(got === Set((1L, 2L), (1L, 4L), (1L, 6L)))
+    } finally prior match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("mapGroupsWithState: running totals match the batch aggregate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
