@@ -111,7 +111,7 @@ object Bench {
     }.sorted
     val schedSec = schedTimes(schedTimes.size / 2)
     // pinned committed-snapshot baseline (update when re-snapshotting)
-    val schedBaseline = 0.55
+    val schedBaseline = 0.539
     val schedRatio = math.round(schedSec / schedBaseline * 1000) / 1000.0
     // Host-noise self-adjudication: three scan-shaped canary queries whose
     // code is frozen round-over-round. Their committed-snapshot medians are

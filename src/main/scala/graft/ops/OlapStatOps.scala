@@ -64,7 +64,11 @@ object OlapStatOps {
   }
 
   /** Lag-1 autocorrelation of 1996's daily revenue series, as the exact
-    * Pearson ingredients over consecutive-day pairs (aₜ, bₜ=xₜ₊₁):
+    * Pearson ingredients over consecutive-day pairs (aₜ, bₜ=xₜ₊₁).
+    * Distinct from q_autocorr_daily (event COUNTS, rounded scalar
+    * output): this one runs on MONEY (cents) and ships the four exact
+    * cleared-denominator integers so no IEEE op ever touches the
+    * ledger — the caller takes N/√(Da·Db) off-engine:
     * corr = N / sqrt(Da·Db) with N = m·Σab − Σa·Σb,
     * Da = m·Σa² − (Σa)², Db = m·Σb² − (Σb)² — all exact integers in
     * cents². The lead() window runs on the AGGREGATED ≤366-row series
