@@ -17,6 +17,13 @@ import scala.jdk.CollectionConverters._
   * {{{
   * curate:
   *   input: /data/crawl/slice42      # parquet documents table
+  *   input_log: true                 # optional: input is a snapshot-log
+  *                                   #   TABLE (latest version, DV-applied)
+  *   input_filter: "lang IN ('en') AND quality IS NOT NULL"
+  *                                   # optional: SQL slice predicate —
+  *                                   #   against a snapshot log it prunes
+  *                                   #   at MANIFEST grain (readFilterSql);
+  *                                   #   against parquet, a pushed filter
   *   out_dir: /data/train/slice42
   *   id_col: doc_id                  # optional (default doc_id)
   *   text_col: text                  # optional (default text)
@@ -103,7 +110,17 @@ object CuratePipeline {
       partitionBy: Seq[String] = Seq.empty,
       stages: Seq[Stage] = Seq.empty,
       expect: Seq[Expectations.Check] = Seq.empty,
-      persistChecks: Boolean = false)
+      persistChecks: Boolean = false,
+      // input_log: true reads `input` as a snapshot-log TABLE (latest
+      // version, DV-applied); input_filter is a SQL predicate applied
+      // before stage 1 — against a snapshot log it plans through
+      // readFilterSql, so the slice prunes at MANIFEST grain (zone
+      // maps, IN-lists, null flags, partition tuples) before any
+      // footer opens; against plain parquet it is an ordinary pushed
+      // filter. The 100 TB re-curation reality: runs slice by
+      // lang/source/quality band, never full-table.
+      inputLog: Boolean = false,
+      inputFilter: Option[String] = None)
 
   /** Per-run report: the stage funnel (ordered, first entry = raw input)
     * and, when publishing through a snapshot log, the committed
@@ -213,7 +230,8 @@ object CuratePipeline {
     if (section.isEmpty) fail(0, "missing 'curate:' root")
 
     val knownRoot = Set("input", "out_dir", "id_col", "text_col",
-      "log_dir", "shards", "persist_checks", "partition_by")
+      "log_dir", "shards", "persist_checks", "partition_by",
+      "input_log", "input_filter")
     root.foreach { case (k, (li, _)) =>
       if (!knownRoot(k)) fail(li,
         s"unknown key '$k' (known: ${knownRoot.toSeq.sorted.mkString(", ")})")
@@ -334,6 +352,26 @@ object CuratePipeline {
         case Some("false") => false
         case Some(other) =>
           fail(0, s"persist_checks must be true/false, got '$other'")
+      },
+      inputLog = opt("input_log") match {
+        case None          => false
+        case Some("true")  => true
+        case Some("false") => false
+        case Some(other) =>
+          fail(0, s"input_log must be true/false, got '$other'")
+      },
+      inputFilter = root.get("input_filter").map { case (li, v) =>
+        val sql = unquote(v)
+        // parse NOW so a predicate typo fails at config load, naming
+        // the line, not mid-run (the expect-block discipline)
+        try {
+          org.apache.spark.sql.graftshim.ColumnBridge.sqlOf(
+            org.apache.spark.sql.functions.expr(sql))
+        } catch {
+          case e: Exception =>
+            fail(li, s"unparseable input_filter '$sql': ${e.getMessage}")
+        }
+        sql
       })
   }
 
@@ -468,7 +506,20 @@ object CuratePipeline {
         return CurateReport(Seq.empty, -1L, Some(v))
       }
     }
-    val input = spark.read.parquet(cfg.inputPath)
+    val input =
+      if (cfg.inputLog) cfg.inputFilter match {
+        // manifest-pruned slice read: zone maps / IN-lists / null flags
+        // / partition tuples skip files BEFORE any footer opens — the
+        // re-curation slice never pays for the other slices
+        case Some(p) => SnapshotLog.readFilterSql(spark, cfg.inputPath, p)._1
+        case None    => SnapshotLog.read(spark, cfg.inputPath)
+      }
+      else {
+        val raw = spark.read.parquet(cfg.inputPath)
+        cfg.inputFilter
+          .map(p => raw.filter(org.apache.spark.sql.functions.expr(p)))
+          .getOrElse(raw) // plain parquet: an ordinary pushed filter
+      }
     // a WRITE action runs under its own QueryExecution, so plan-side
     // observedMetrics (Observe.metricsOf — the aggregate-driven free
     // ride) never see it; the Observation listener API is the sanctioned

@@ -4,11 +4,12 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-9 OLAP/statistics additions: five more shapes the registry did
-  * not cover — market concentration (Herfindahl-Hirschman), serial
+/** Round-9 OLAP/statistics additions: eight more shapes the registry
+  * did not cover — market concentration (Herfindahl-Hirschman), serial
   * correlation (lag-1 autocorrelation), a non-parametric randomness
   * test (Wald-Wolfowitz runs), a contingency independence statistic
-  * (chi-square cells), and quantile banding (NTILE quartiles).
+  * (chi-square cells), quantile banding (NTILE quartiles), cohort
+  * retention, inter-order gap statistics, and RFM segmentation cells.
   *
   * Determinism (SURVEY §7.5): money flows through decimal(18,2) cents
   * as BIGINT; every statistic ships as exact cleared-denominator
@@ -250,6 +251,131 @@ object OlapStatOps {
       .orderBy("segment", "band")
   }
 
+  /** Cohort retention matrix — the classic product-analytics shape the
+    * registry lacked: customers cohorted by FIRST-order month, then for
+    * each (cohort, month-offset) the count of distinct customers active
+    * that many months later. Bounded output (first-year cohorts ×
+    * offsets 0..6); the per-customer first-order collapse is one groupBy and
+    * the activity join hits the small firsts side (broadcastable at any
+    * SF — customers ≪ orders). */
+  val cohortRetention: Q = Q.checked(
+    "q_cohort_retention",
+    """WITH firsts AS (
+      |  SELECT o_custkey,
+      |         CAST(min(date_trunc('month', o_orderdate)) AS DATE) AS cohort
+      |  FROM orders GROUP BY 1),
+      |acts AS (
+      |  SELECT DISTINCT o.o_custkey, f.cohort,
+      |    (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+      |    - (year(f.cohort) * 12 + month(f.cohort)) AS offs
+      |  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey)
+      |SELECT cohort, CAST(offs AS BIGINT) AS month_offset,
+      |  CAST(count(*) AS BIGINT) AS n_active
+      |FROM acts
+      |WHERE offs <= 6 AND cohort < DATE '1996-01-01'
+      |GROUP BY cohort, offs ORDER BY cohort, month_offset""".stripMargin
+  ) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val firsts = o.groupBy("o_custkey")
+      .agg(date_trunc("month", min(col("o_orderdate"))).cast("date")
+        .as("cohort"))
+    val acts = o.join(broadcast(firsts), "o_custkey")
+      .select(col("o_custkey"), col("cohort"),
+        ((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))) -
+          (year(col("cohort")) * 12 + month(col("cohort")))).as("offs"))
+      .distinct()
+    acts.filter(col("offs") <= 6 &&
+        col("cohort") < lit("1996-01-01").cast("date"))
+      .groupBy(col("cohort"), col("offs").cast("long").as("month_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort", "month_offset")
+  }
+
+  /** Inter-order gap statistics per segment: day gaps between each
+    * customer's consecutive orders ((o_orderdate, o_orderkey)-ordered
+    * lag window per customer — hash-distributed, scale-safe), then
+    * exact (count, min, max, sum) day integers per segment — the
+    * purchase-cadence screen without a float in sight. */
+  val orderGaps: Q = Q.checked(
+    "q_order_gaps",
+    """WITH gaps AS (
+      |  SELECT c_mktsegment AS segment,
+      |    date_diff('day',
+      |      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |      CAST(o_orderdate AS DATE)) AS gap
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |SELECT segment,
+      |  CAST(count(gap) AS BIGINT) AS n_gaps,
+      |  CAST(min(gap) AS BIGINT) AS min_gap,
+      |  CAST(max(gap) AS BIGINT) AS max_gap,
+      |  CAST(sum(gap) AS BIGINT) AS total_gap_days
+      |FROM gaps WHERE gap IS NOT NULL
+      |GROUP BY segment ORDER BY segment""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lag(col("o_orderdate"), 1).over(w))).as("gap"))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy("segment")
+      .agg(count(col("gap")).as("n_gaps"),
+        min("gap").cast("long").as("min_gap"),
+        max("gap").cast("long").as("max_gap"),
+        sum("gap").cast("long").as("total_gap_days"))
+      .orderBy("segment")
+  }
+
+  /** RFM segmentation cells: per segment, each customer banded into
+    * terciles of Recency (last order date), Frequency (order count) and
+    * Monetary (revenue cents) — NTILE(3) with custkey tie-breaks, all
+    * three windows per segment — then the population of every (r,f,m)
+    * cell. The marketing-segmentation shape; ≤27 cells per segment. */
+  val rfmCells: Q = Q.checked(
+    "q_rfm",
+    """WITH cust AS (
+      |  SELECT c_mktsegment AS segment, c_custkey,
+      |    CAST(max(o_orderdate) AS DATE) AS last_d,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+      |      AS DECIMAL(18,0)) AS BIGINT) AS mon
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |banded AS (
+      |  SELECT segment,
+      |    ntile(3) OVER (PARTITION BY segment
+      |      ORDER BY last_d, c_custkey) AS r_band,
+      |    ntile(3) OVER (PARTITION BY segment
+      |      ORDER BY freq, c_custkey) AS f_band,
+      |    ntile(3) OVER (PARTITION BY segment
+      |      ORDER BY mon, c_custkey) AS m_band
+      |  FROM cust)
+      |SELECT segment, CAST(r_band AS INT) AS r_band,
+      |  CAST(f_band AS INT) AS f_band, CAST(m_band AS INT) AS m_band,
+      |  CAST(count(*) AS BIGINT) AS n_cust
+      |FROM banded GROUP BY segment, r_band, f_band, m_band
+      |ORDER BY segment, r_band, f_band, m_band""".stripMargin
+  ) { (s, dir) =>
+    val cust = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
+      .agg(to_date(max(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("freq"),
+        cents(sum(col("o_totalprice").cast("decimal(18,2)"))).as("mon"))
+    def band(c: String) = ntile(3).over(Window.partitionBy("segment")
+      .orderBy(col(c), col("c_custkey")))
+    val banded = cust.select(col("segment"),
+      band("last_d").as("r_band"), band("freq").as("f_band"),
+      band("mon").as("m_band"))
+    banded.groupBy("segment", "r_band", "f_band", "m_band")
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy("segment", "r_band", "f_band", "m_band")
+  }
+
   val all: Seq[Q] =
-    Seq(hhi, autocorr, runsTest, chiSquare, ntileBands)
+    Seq(hhi, autocorr, runsTest, chiSquare, ntileBands,
+      cohortRetention, orderGaps, rfmCells)
 }

@@ -372,6 +372,63 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("partition_by column 'nope'"))
   }
 
+  test("input_log + input_filter: the run reads a manifest-pruned slice of a snapshot table") {
+    import spark.implicits._
+    // publish a lang-partitioned snapshot table, then re-curate ONE
+    // slice of it through the config surface — the 100 TB reality
+    val tableDir = tmp("curate-src-log") + "/tbl"
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    SnapshotLog.commitPartitioned(spark, tableDir, docs, Seq("lang"))
+    val out = tmp("curate-slice-out")
+    val cfgText =
+      s"""curate:
+         |  input: $tableDir
+         |  input_log: true
+         |  input_filter: "lang IN ('en')"
+         |  out_dir: $out
+         |stages:
+         |  - stage: dedup_exact
+         |""".stripMargin
+    val cfg = CuratePipeline.parse(cfgText.linesIterator.toSeq, "slice.yaml")
+    assert(cfg.inputLog && cfg.inputFilter === Some("lang IN ('en')"))
+    val report = CuratePipeline.run(spark, cfg)
+    // the input funnel row counts ONLY the slice
+    val enDocs = docs.filter(col("lang") === "en")
+    assert(report.stageRows.head._2 === enDocs.count())
+    val got = spark.read.parquet(out)
+    assert(got.select("lang").distinct().as[String].collect().toSeq ===
+      Seq("en"))
+    // and the slice read itself pruned at manifest grain (the partition
+    // tuple skip the pipeline is riding)
+    val (_, scanned, total) =
+      SnapshotLog.readFilterSql(spark, tableDir, "lang IN ('en')")
+    assert(scanned < total, s"slice read scanned $scanned/$total")
+    // same filter against plain parquet still works (ordinary pushdown)
+    val out2 = tmp("curate-slice-out2")
+    val cfg2 = CuratePipeline.parse(
+      s"""curate:
+         |  input: $Sf/documents.parquet
+         |  input_filter: "lang IN ('en')"
+         |  out_dir: $out2
+         |stages:
+         |  - stage: dedup_exact
+         |""".stripMargin.linesIterator.toSeq, "slice2.yaml")
+    val report2 = CuratePipeline.run(spark, cfg2)
+    assert(report2.stageRows.head._2 === enDocs.count())
+    // a predicate typo fails at LOAD, naming the line
+    val bad = intercept[IllegalArgumentException] {
+      CuratePipeline.parse(
+        s"""curate:
+           |  input: $Sf/documents.parquet
+           |  input_filter: "lang IIN ('en'"
+           |  out_dir: $out2
+           |stages:
+           |  - stage: dedup_exact
+           |""".stripMargin.linesIterator.toSeq, "bad.yaml")
+    }
+    assert(bad.getMessage.contains("input_filter"))
+  }
+
   test("persist_checks installs row-scalar expectations as table CHECKs") {
     import spark.implicits._
     val out = tmp("curate-out-pc")

@@ -169,6 +169,41 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
       val probe = vs(rnd.nextInt(vs.size))
       assert(tableRows(dir, Some(probe)) === history(probe),
         s"[seed $seed step $step] time travel to v$probe diverged")
+      // invariant 5 (r9): a random probe read (range / IN / IS [NOT]
+      // NULL) equals the model's filter — zone maps, null flags,
+      // partition tuples and deletion vectors composed under whatever
+      // file layout the verb history produced. Stats may or may not
+      // exist at any given step; the result must be exact either way.
+      if (model.nonEmpty) {
+        val keys = model.keys.toSeq.sorted
+        val hasW = SnapshotLog.read(spark, dir).columns.contains("w")
+        val kind = if (hasW) rnd.nextInt(4) else rnd.nextInt(2)
+        val (probes, keep): (Seq[SnapshotLog.Probe], Row3 => Boolean) =
+          kind match {
+            case 0 =>
+              val lo = keys(rnd.nextInt(keys.size))
+              val hi = lo + rnd.nextInt(300)
+              (Seq(SnapshotLog.Probe.Range("k", Some(lo), Some(hi))),
+                t => t._1 >= lo && t._1 <= hi)
+            case 1 =>
+              val vals = rnd.shuffle(keys).take(1 + rnd.nextInt(3))
+              (Seq(SnapshotLog.Probe.In("k", vals)),
+                t => vals.contains(t._1))
+            case 2 =>
+              (Seq(SnapshotLog.Probe.IsNull("w")), t => t._3.isEmpty)
+            case _ =>
+              (Seq(SnapshotLog.Probe.NotNull("w")), t => t._3.nonEmpty)
+          }
+        val (got, _, _) = SnapshotLog.readFilter(spark, dir, probes)
+        val hasWGot = got.columns.contains("w")
+        val gotRows = got.collect().map { r =>
+          (r.getLong(r.fieldIndex("k")), r.getString(r.fieldIndex("v")),
+            if (hasWGot && !r.isNullAt(r.fieldIndex("w")))
+              Some(r.getLong(r.fieldIndex("w"))) else None)
+        }.toSeq.sorted
+        assert(gotRows === snap.filter(keep),
+          s"[seed $seed step $step] probe read $probes diverged")
+      }
       if (partitioned) {
         // invariant 3: every verb preserved the declared layout
         assert(SnapshotLog.partitionColsOf(spark, dir, vs.last) === Seq("v"),
