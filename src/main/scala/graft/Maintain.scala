@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions.expr
   *
   * {{{
   * sbt "runMain graft.Maintain <tableDir> history"
-  * sbt "runMain graft.Maintain <tableDir> optimize [targetFiles [col...]]"
+  * sbt "runMain graft.Maintain <tableDir> optimize [targetFiles [col...] [where=pcol=val ...]]"
   * sbt "runMain graft.Maintain <tableDir> analyze <col> [col...]"
   * sbt "runMain graft.Maintain <tableDir> vacuum [keepLast]"
   * sbt "runMain graft.Maintain <tableDir> restore <version>"
@@ -45,10 +45,20 @@ object Maintain {
         case "history" =>
           SnapshotLog.history(spark, dir).show(100, false)
         case "optimize" =>
+          // [targetFiles [col... [where=pcol=val ...]]] — where= args
+          // scope the compaction to one partition's files (the daily-
+          // maintenance shape; values as their canonical rendering)
           val target = rest.headOption.map(_.toInt).getOrElse(1)
-          val cols = rest.drop(1)
+          val (scopes, cols) = rest.drop(1).partition(_.startsWith("where="))
+          val scope: Map[String, Any] = scopes.map { s =>
+            val kv = s.stripPrefix("where=")
+            val i = kv.indexOf('=')
+            require(i > 0, s"bad scope '$s' (want where=col=value)")
+            kv.take(i) -> (kv.drop(i + 1): Any)
+          }.toMap
           val v = SnapshotLog.optimize(spark, dir, targetFiles = target,
-            clusterBy = cols, zorder = cols.size >= 2)
+            clusterBy = cols, zorder = cols.size >= 2,
+            partitionScope = scope)
           println(s"[maintain] optimize -> v$v")
         case "analyze" =>
           require(rest.nonEmpty, "analyze needs at least one column")

@@ -317,11 +317,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
         "snapshot_optimize"),
       (args: Seq[Expression]) => {
-        // (path[, targetFiles[, 'cluster,cols']]) — ≥2 cluster cols
-        // Z-order, matching the Maintain CLI's rule
-        if (args.isEmpty || args.length > 3)
+        // (path[, targetFiles[, 'cluster,cols'[, col, val ...]]]) —
+        // ≥2 cluster cols Z-order, matching the Maintain CLI's rule;
+        // trailing (col, val) pairs scope the compaction to ONE
+        // partition's files (the daily-maintenance shape):
+        //   SELECT * FROM snapshot_optimize('/t', 4, '', 'day',
+        //                                   '2024-06-01')
+        if (args.isEmpty || (args.length > 3 && args.length % 2 == 0))
           throw new IllegalArgumentException("snapshot_optimize expects " +
-            s"(path[, targetFiles[, clusterCols]]), got ${args.length} args")
+            "(path[, targetFiles[, clusterCols[, col, val ...]]]), " +
+            s"got ${args.length} args")
         val s = org.apache.spark.sql.SparkSession.active
         val dir = strLit(args.head, "snapshot_optimize")
         val target = args.lift(1).map(longLit(_, "snapshot_optimize").toInt)
@@ -330,10 +335,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .map(strLit(_, "snapshot_optimize")
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
+        val scope: Map[String, Any] = args.drop(3).grouped(2).map { p =>
+          strLit(p.head, "snapshot_optimize") ->
+            (strLit(p(1), "snapshot_optimize"): Any)
+        }.toMap
         dmlReport("optimize", dir, () =>
           graft.sources.SnapshotLog.optimize(s, dir,
             targetFiles = target, clusterBy = cluster,
-            zorder = cluster.size >= 2))
+            zorder = cluster.size >= 2, partitionScope = scope))
       }))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[HashExprs.MinHashSig].getName, "minhash_sig"),

@@ -375,7 +375,65 @@ object OlapStatOps {
       .orderBy("segment", "r_band", "f_band", "m_band")
   }
 
+  /** Windowed event funnel (the ClickHouse-windowFunnel shape): per
+    * user, the deepest step of the ordered chain view → click →
+    * purchase reached such that each step happens strictly AFTER the
+    * previous matched step and within 7 days of the chain's anchor
+    * (the user's first view). Semantics are deterministic by
+    * construction: each step binds to the EARLIEST qualifying event
+    * (min-ts), so there is no greedy/backtrack ambiguity. Output is the
+    * depth histogram.
+    *
+    * Scale shape: each step is a user-grain min-aggregate joined on
+    * user_id — three same-key shuffles that co-partition, never a
+    * per-user sequence scan or a sort of the raw stream. */
+  val windowFunnel: Q = Q.checked(
+    "q_window_funnel",
+    Tables.EventsCte +
+      """,
+        |v AS (SELECT user_id, min(ts) AS t1 FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |        AND e.ts <= v.t1 + INTERVAL 7 DAY
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3
+        |      FROM ev e
+        |      JOIN c ON e.user_id = c.user_id
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= v.t1 + INTERVAL 7 DAY
+        |      GROUP BY 1)
+        |SELECT CAST(1 + (c.user_id IS NOT NULL)::INT
+        |         + (p.user_id IS NOT NULL)::INT AS INT) AS depth,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |GROUP BY 1 ORDER BY depth""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val week = expr("INTERVAL 7 DAYS")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = ev.filter(col("event_type") === "click").as("e")
+      .join(v, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + week)
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").as("e")
+      .join(c, "user_id").join(v, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t1") + week)
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    v.join(c.select(col("user_id"), lit(1).as("has2")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(1).as("has3")), Seq("user_id"), "left")
+      .select((lit(1) + coalesce(col("has2"), lit(0)) +
+        coalesce(col("has3"), lit(0))).cast("int").as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n_users"))
+      .orderBy("depth")
+  }
+
   val all: Seq[Q] =
     Seq(hhi, autocorr, runsTest, chiSquare, ntileBands,
-      cohortRetention, orderGaps, rfmCells)
+      cohortRetention, orderGaps, rfmCells, windowFunnel)
 }

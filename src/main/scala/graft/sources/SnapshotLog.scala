@@ -1015,12 +1015,21 @@ object SnapshotLog {
     * the replaced small files until [[vacuum]] reclaims them — compaction
     * never breaks time travel. Rows are bit-identical (a pure rewrite);
     * no `#batch=` header is stamped, and the replay guard scans the whole
-    * log, so compacting a streamed table never un-guards replays. */
+    * log, so compacting a streamed table never un-guards replays.
+    *
+    * `partitionScope` narrows the candidate set to files whose RECORDED
+    * manifest tuple equals the given values — the daily-maintenance
+    * shape at 100 TB (`OPTIMIZE t WHERE day = yesterday`): only the hot
+    * partition's small files rewrite; every other slice carries by
+    * reference, untouched on disk. Values render like [[readPartition]]
+    * probes (loud on timestamps); scoping a column the table is not
+    * partitioned by is an error. */
   def optimize(spark: SparkSession, dir: String,
       smallFileBytes: Long = 128L * 1024 * 1024,
       targetFiles: Int = 1,
       clusterBy: Seq[String] = Seq.empty,
-      zorder: Boolean = false): Long = {
+      zorder: Boolean = false,
+      partitionScope: Map[String, Any] = Map.empty): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val f = fs(spark, dir)
     while (true) {
@@ -1030,8 +1039,20 @@ object SnapshotLog {
       val schema = schemaOf(spark, dir, latest)
       val pcs = partitionColsOf(spark, dir, latest)
       val current = filesOf(spark, dir, latest)
+      val inScope: String => Boolean =
+        if (partitionScope.isEmpty) _ => true
+        else {
+          partitionScope.keys.foreach(c => require(pcs.contains(c),
+            s"table under $dir is not partitioned by '$c' " +
+              s"(partition cols: ${pcs.mkString(",")})"))
+          val rendered = partitionScope.map { case (c, v) =>
+            c -> renderPartValue(v) }
+          val tuples = filePartsOf(spark, dir, latest)
+          p => tuples.get(p).exists(t =>
+            rendered.forall { case (c, r) => t.get(c).contains(r) })
+        }
       val (small, large) = current.partition(p =>
-        f.getFileStatus(new Path(p)).getLen < smallFileBytes)
+        inScope(p) && f.getFileStatus(new Path(p)).getLen < smallFileBytes)
       if (small.size < 2) return latest
       // DV-composable: the compaction reads through the vector, so a
       // MoR-dead row is physically absent from the rewrite; the commit

@@ -248,6 +248,68 @@ class SnapshotPartitionSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("partition-scoped optimize compacts ONE slice; other slices untouched on disk") {
+    val dir = freshDir()
+    val df = mkTable(dir)
+    SnapshotLog.commitPartitioned(spark, dir, df.repartition(8), Seq("region"))
+    def filesByRegion(v: Long): Map[String, Set[String]] =
+      SnapshotLog.filePartsOf(spark, dir, v).toSeq
+        .groupBy(_._2("region")).map { case (r, fs) => r -> fs.map(_._1).toSet }
+    val v0 = SnapshotLog.versions(spark, dir).last
+    val before = filesByRegion(v0)
+    // compact ONLY the eu slice — the daily-maintenance shape
+    val v1 = SnapshotLog.optimize(spark, dir,
+      partitionScope = Map("region" -> "eu"))
+    assert(v1 > v0)
+    val after = filesByRegion(v1)
+    assert(after("eu").size < before("eu").size,
+      s"eu did not compact: ${before("eu").size} -> ${after("eu").size}")
+    assert(after("us") === before("us"), "us files were rewritten")
+    assert(after("ap") === before("ap"), "ap files were rewritten")
+    assert(SnapshotLog.read(spark, dir).collect().map(_.toSeq).toSet ===
+      df.collect().map(_.toSeq).toSet)
+    // scoping a non-partition column is loud
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.optimize(spark, dir, partitionScope = Map("k" -> 5L))
+    }
+    assert(e.getMessage.contains("not partitioned by"))
+    // the SQL surface drives the same scope (empty clusterCols slot)
+    val report = spark.sql(s"SELECT * FROM snapshot_optimize('$dir', " +
+      "1, '', 'region', 'ap')").collect().head
+    assert(report.getString(0) === "optimize")
+    val v2 = report.getLong(2)
+    val after2 = filesByRegion(v2)
+    assert(after2("ap").size === 1)
+    assert(after2("eu") === after("eu"), "eu rewritten by the ap scope")
+  }
+
+  test("z-order optimize on a partitioned table: bounded fan-out, prune intact, rows exact") {
+    val dir = freshDir()
+    val df = spark.range(0, 600).select(
+      element_at(array(lit("eu"), lit("us"), lit("ap")),
+        (col("id") % 3 + 1).cast("int")).as("region"),
+      col("id").as("k"), ((col("id") * 37) % 100).as("x"),
+      ((col("id") * 53) % 100).as("y"))
+    SnapshotLog.commitPartitioned(spark, dir, df.repartition(8),
+      Seq("region"))
+    SnapshotLog.optimize(spark, dir, targetFiles = 2,
+      clusterBy = Seq("x", "y"), zorder = true)
+    val v = SnapshotLog.versions(spark, dir).last
+    assert(SnapshotLog.partitionColsOf(spark, dir, v) === Seq("region"))
+    val tuples = df.select("region").distinct().count()
+    val after = SnapshotLog.read(spark, dir).inputFiles.length
+    // partition columns lead the z-range partitioner: each task holds at
+    // most a boundary-straddle of one tuple
+    assert(after <= tuples + 2,
+      s"z-order fan-out: $after files for $tuples tuples")
+    assert(SnapshotLog.read(spark, dir).collect().map(_.toSeq).toSet ===
+      df.collect().map(_.toSeq).toSet)
+    val (eu, scanned, total) =
+      SnapshotLog.readPartition(spark, dir, Map("region" -> "eu"))
+    assert(scanned < total)
+    assert(eu.count() === 200)
+  }
+
   test("external layouts: percent-encoded UTF-8 refused loudly; ASCII escapes accepted") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(
