@@ -433,7 +433,100 @@ object OlapStatOps {
       .orderBy("depth")
   }
 
+  /** Concatenate-and-chop sequence-packing audit (the GPT-style data
+    * loader shape): per source, docs concatenate in doc_id order into
+    * one token stream chopped into 512-token training sequences.
+    * Reports docs, tokens, sequence count, boundary-straddling docs (a
+    * doc whose span crosses a chop point — attention-mask leakage
+    * candidates) and pad tokens in the final sequence. Tokens are the
+    * house whitespace convention (q_token_budget); the prefix sum is
+    * one source-partitioned window with an explicit ROWS frame over a
+    * unique (doc_id) order — deterministic and hash-distributed. */
+  val seqPack: Q = Q.checked(
+    "q_seq_pack",
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |w AS (
+      |  SELECT source, doc_id, ntok,
+      |    sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+      |  CAST((max(cum) + 511) // 512 AS BIGINT) AS n_seqs,
+      |  CAST(sum(CASE WHEN (cum - ntok) // 512 <> (cum - 1) // 512
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+      |  CAST((max(cum) + 511) // 512 * 512 - max(cum) AS BIGINT)
+      |    AS pad_tokens
+      |FROM w GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = d.withColumn("cum", sum("ntok").over(w))
+    cum.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").cast("long").as("total_tokens"),
+        // integer division throughout ('div', never '/' — Column '/'
+        // is IEEE double division)
+        expr("CAST((max(cum) + 511) div 512 AS BIGINT)").as("n_seqs"),
+        expr("CAST(sum(CASE WHEN (cum - ntok) div 512 <> (cum - 1) div 512" +
+          " THEN 1 ELSE 0 END) AS BIGINT)").as("n_straddlers"),
+        expr("CAST((max(cum) + 511) div 512 * 512 - max(cum) AS BIGINT)")
+          .as("pad_tokens"))
+      .orderBy("source")
+  }
+
+  /** DAU/WAU stickiness per ISO week (both engines truncate weeks to
+    * Monday): average daily actives over weekly actives as an exact
+    * milli-ratio — 1000·Σdau // (n_days·wau), integer division only.
+    * The engagement one-number a metrics pipeline alarms on. One
+    * distinct-collapse to (day, user) grain, then day- and week-grain
+    * aggregates — bounded by the calendar, never the event stream. */
+  val stickiness: Q = Q.checked(
+    "q_stickiness",
+    Tables.EventsCte +
+      """,
+        |d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |        user_id FROM ev),
+        |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |          FROM d GROUP BY 1),
+        |wk AS (SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+        |         CAST(sum(dau) AS BIGINT) AS sum_dau,
+        |         CAST(count(*) AS BIGINT) AS n_days
+        |       FROM daily GROUP BY 1),
+        |wau AS (SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+        |          CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |        FROM d GROUP BY 1)
+        |SELECT wk.week, n_days, sum_dau, wau,
+        |  1000 * sum_dau // (n_days * wau) AS stickiness_milli
+        |FROM wk JOIN wau ON wk.week = wau.week
+        |ORDER BY wk.week""".stripMargin
+  ) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).cast("date").as("day"),
+        col("user_id"))
+      .distinct()
+    val daily = d.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wk = daily
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(sum("dau").cast("long").as("sum_dau"),
+        count(lit(1)).as("n_days"))
+    val wau = d
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(countDistinct("user_id").as("wau"))
+    wk.join(wau, "week")
+      .select(col("week"), col("n_days"), col("sum_dau"), col("wau"),
+        expr("1000 * sum_dau div (n_days * wau)").as("stickiness_milli"))
+      .orderBy("week")
+  }
+
   val all: Seq[Q] =
     Seq(hhi, autocorr, runsTest, chiSquare, ntileBands,
-      cohortRetention, orderGaps, rfmCells, windowFunnel)
+      cohortRetention, orderGaps, rfmCells, windowFunnel,
+      seqPack, stickiness)
 }
