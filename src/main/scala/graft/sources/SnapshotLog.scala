@@ -258,6 +258,7 @@ object SnapshotLog {
           require(f.rename(stage, manifestPath(dir, v)),
             s"manifest rename failed for v$v under $dir")
           f.delete(claim, false) // manifest is live; claim no longer needed
+          propagateBlooms(spark, dir, v, files)
           return Some(v)
         }
       }
@@ -271,6 +272,39 @@ object SnapshotLog {
       }
     }
     throw new IllegalStateException(s"snapshot commit livelock under $dir")
+  }
+
+  /** Carry the previous version's bloom sidecar forward for files the
+    * new version SHARES with it: data files are immutable (uuid-named,
+    * written once), so a carried file's bloom stays exactly valid —
+    * without this, ANY commit (one appended batch, one MoR tombstone)
+    * invalidated the whole table's point-lookup skipping until the next
+    * full [[analyzeBlooms]] scan. New/rewritten files simply have no
+    * entry (kept conservatively by [[readPoint]]/[[readFilter]]); the
+    * file-identity argument makes this correct even when the committed
+    * version was rebased past v−1. Best-effort by design: the sidecar
+    * is advisory (reads stay exact without it), so a failure here must
+    * never fail the already-visible commit. Runs AFTER the manifest
+    * rename — a reader racing the write sees no sidecar and plans
+    * conservatively. Vacuum reclaims per-version sidecars as before. */
+  private def propagateBlooms(spark: SparkSession, dir: String, v: Long,
+      files: Seq[String]): Unit = {
+    if (v <= 1 || files.isEmpty) return
+    try {
+      val f = fs(spark, dir)
+      val prev = bloomPath(dir, v - 1)
+      if (!f.exists(prev) || f.exists(bloomPath(dir, v))) return
+      val sidecar = spark.read.parquet(prev.toString)
+      val keep = files.map(p => new Path(p).toUri.getPath).toSet
+      // distinct sidecar paths are bounded by the table's file count
+      val carried = sidecar.select("path").distinct().collect()
+        .map(_.getString(0))
+        .filter(p => keep.contains(new Path(p).toUri.getPath))
+      if (carried.nonEmpty)
+        sidecar.filter(col("path").isin(carried.toSeq: _*))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(bloomPath(dir, v).toString)
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Commit `df` as the next version; returns the version number.

@@ -64,19 +64,47 @@ class SnapshotBloomSpec extends AnyFunSuite with SparkFixture {
       df.filter(col("id") === 7L).collect().map(_.toSeq).toSet)
   }
 
-  test("a COW rewrite degrades to conservative planning until re-analyzed") {
+  test("a COW rewrite keeps CARRIED files' blooms; only the rewritten file is conservative (r9)") {
     val (dir, _) = mkLog()
     SnapshotLog.analyzeBlooms(spark, dir, Seq("id"), expectedItems = 1000)
     SnapshotLog.deleteWhere(spark, dir, col("id") === 3L)
-    // the new version has no sidecar — full planning, exact rows
+    // carried files' blooms propagate to the new version — a probe into
+    // a carried file still skips the other carried files; only the
+    // rewritten (bloom-less) file is conservatively kept
     val (got, scanned, total) = SnapshotLog.readPoint(spark, dir, "id", 5L)
-    assert(scanned === total)
+    assert(scanned < total,
+      s"carried blooms did not propagate: scanned $scanned/$total")
     assert(got.count() === 1)
     // the PRIOR version's sidecar still serves time travel
     val vs = SnapshotLog.versions(spark, dir)
     val (old, oldScanned, oldTotal) =
       SnapshotLog.readPoint(spark, dir, "id", 5L, Some(vs.head))
     assert(oldScanned < oldTotal && old.count() === 1)
+  }
+
+  test("appends and MoR deletes carry the WHOLE sidecar forward (r9)") {
+    import spark.implicits._
+    val (dir, _) = mkLog()
+    SnapshotLog.analyzeBlooms(spark, dir, Seq("id"), expectedItems = 1000)
+    // an append changes no existing file: every bloom stays live
+    SnapshotLog.commitBatch(spark, dir,
+      Seq((5000L, 1L)).toDF("id", "grp"), batchId = 1L)
+    val (a, sA, tA) = SnapshotLog.readPoint(spark, dir, "id", 5L)
+    assert(sA < tA, s"append invalidated blooms: $sA/$tA")
+    assert(a.count() === 1)
+    // a MoR delete rewrites nothing: blooms stay live AND the dead row
+    // stays dead through the pruned read
+    SnapshotLog.deleteWhereMoR(spark, dir, col("id") === 5L)
+    val (m, sM, tM) = SnapshotLog.readPoint(spark, dir, "id", 5L)
+    assert(sM < tM, s"MoR delete invalidated blooms: $sM/$tM")
+    assert(m.count() === 0, "bloom-pruned read resurrected a MoR-dead row")
+    // another live key still resolves through the carried sidecar
+    val (l, sL, _) = SnapshotLog.readPoint(spark, dir, "id", 6L)
+    assert(sL < tM && l.count() === 1)
+    // a replace drops lineage: fresh files share nothing — no sidecar
+    SnapshotLog.commit(spark, dir, Seq((1L, 1L)).toDF("id", "grp"))
+    val (_, sR, tR) = SnapshotLog.readPoint(spark, dir, "id", 1L)
+    assert(sR === tR, "a replace must not inherit unrelated blooms")
   }
 
   test("vacuum reclaims dropped versions' bloom sidecars") {
