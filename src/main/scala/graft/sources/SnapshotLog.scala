@@ -2967,63 +2967,16 @@ object SnapshotLog {
     * equal, and the residual equality filter stays exact either way.
     * Mismatched temporal/string probe families throw loudly, the
     * [[readWhere]] rule. Returns (frame, filesScanned, filesTotal) for
-    * accountability, the [[readBetween]] contract. */
+    * accountability, the [[readBetween]] contract.
+    *
+    * Since round 9 this is the single-value case of [[readFilter]]'s
+    * IN probe, so a point lookup also prunes by ZONE MAPS (a clustered
+    * table skips on [min,max] even without a bloom sidecar) and the
+    * partition tuple — one planning path for every point-set read. */
   def readPoint(spark: SparkSession, dir: String, column: String,
-      value: Any, version: Option[Long] = None): (DataFrame, Int, Int) = {
-    val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"no committed snapshot under $dir")
-    val v = version.getOrElse(vs.last)
-    require(vs.contains(v),
-      s"version $v of $dir does not exist (have ${vs.mkString(",")})")
-    val files = filesOf(spark, dir, v)
-    val f = fs(spark, dir)
-    val blooms: Map[String, Array[Byte]] =
-      if (!f.exists(bloomPath(dir, v))) Map.empty
-      else spark.read.parquet(bloomPath(dir, v).toString)
-        .filter(col("col") === column)
-        .collect()
-        .map(r => new Path(r.getString(0)).toUri.getPath ->
-          r.getAs[Array[Byte]]("bloom")).toMap
-    val colDt = schemaOf(spark, dir, v)
-      .flatMap(_.fields.find(_.name == column)).map(_.dataType)
-    val mightContain: org.apache.spark.util.sketch.BloomFilter => Boolean =
-      value match {
-        case s: String => _.mightContainString(s)
-        case other => probePoint(colDt, other) match {
-          case Some(enc) => _.mightContainLong(enc)
-          case None      => _ => true // inexact probe — bloom can't help
-        }
-      }
-    // a partition-column probe prunes by the manifest tuple (no bloom
-    // can exist for a column that lives only in directory names):
-    // rendered equality, the readPartition rule
-    val partVals: Map[String, String] =
-      if (!partitionColsOf(spark, dir, v).contains(column)) Map.empty
-      else filePartsOf(spark, dir, v).flatMap { case (p, t) =>
-        t.get(column).map(p -> _) }
-    // render lazily: only a PARTITION-column probe needs the rendering
-    // (and its loud timestamp guard) — a bloom probe on a data column
-    // never does
-    lazy val rendered = renderPartValue(value)
-    val kept = files.filter { p =>
-      val byBloom = blooms.get(new Path(p).toUri.getPath) match {
-        case Some(bytes) => mightContain(
-          org.apache.spark.util.sketch.BloomFilter.readFrom(bytes))
-        case None => true // no bloom — cannot prune
-      }
-      byBloom && partVals.get(p).forall(_ == rendered)
-    }
-    val schema = schemaOf(spark, dir, v)
-    val pred = col(column) === value
-    val df =
-      if (kept.nonEmpty) readFiles(spark, dir, v, kept).filter(pred)
-      else schema match {
-        case Some(s) => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-        case None => read(spark, dir, Some(v)).filter(pred).limit(0)
-      }
-    (df, kept.size, files.size)
-  }
+      value: Any, version: Option[Long] = None): (DataFrame, Int, Int) =
+    readFilterImpl(spark, dir, Seq(Probe.In(column, Seq(value))), version,
+      Some(col(column) === value))
 
   /** Drop all but the newest `keepLast` versions and delete every data
     * file no retained manifest references (covers crash orphans too).
