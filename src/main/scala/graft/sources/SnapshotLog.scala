@@ -87,7 +87,7 @@ object SnapshotLog {
     finally in.close()
   }
 
-  private def filesOf(spark: SparkSession, dir: String, v: Long): Seq[String] =
+  private[sources] def filesOf(spark: SparkSession, dir: String, v: Long): Seq[String] =
     manifestLines(spark, dir, v).filterNot(_.startsWith("#"))
 
   /** The stream batch id a version was committed under, if any

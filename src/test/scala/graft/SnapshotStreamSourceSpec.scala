@@ -1,0 +1,182 @@
+package graft
+
+import graft.sources.SnapshotLog
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The DSv2 micro-batch SOURCE over snapshot-log tables
+  * ([[graft.sources.SnapshotStreamSource]]): versions are offsets, each
+  * batch reads exactly the files added in its version range, checkpoint
+  * recovery resumes from the committed version, and non-append history
+  * (COW rewrites, DV growth) fails LOUDLY instead of silently
+  * re-emitting or dropping rows. */
+class SnapshotStreamSourceSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.SnapshotStreamSource"
+
+  private def freshDir() =
+    Files.createTempDirectory("snapstream").toString + "/tbl"
+
+  private def rows(a: Long, b: Long) =
+    (a until b).map(i => (i, s"v$i")).toDF("k", "v")
+
+  test("appends stream as micro-batches; the initial snapshot is batch zero") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, rows(0, 10))
+    val q = spark.readStream.format(Fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("snap_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_stream").count() === 10)
+      // two appended batches arrive as new rows only
+      SnapshotLog.commitBatch(spark, dir, rows(10, 15), batchId = 1L)
+      SnapshotLog.commitBatch(spark, dir, rows(15, 18), batchId = 2L)
+      q.processAllAvailable()
+      val got = spark.table("snap_stream").as[(Long, String)].collect()
+      assert(got.length === 18, s"expected 18 rows, got ${got.length}")
+      assert(got.map(_._1).sorted === (0L until 18L).toArray)
+      assert(got.toMap.apply(17L) === "v17")
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes from the committed version (no re-emit, no loss)") {
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("snapstream-ckpt").toString
+    SnapshotLog.commit(spark, dir, rows(0, 5))
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    def start() = spark.readStream.format(Fmt).option("path", dir).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= df.select("k").as[Long].collect() }
+        ()
+      }.start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(out.sorted === (0L until 5L))
+    // rows committed while the stream is DOWN arrive exactly once on restart
+    SnapshotLog.commitBatch(spark, dir, rows(5, 9), batchId = 1L)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(out.sorted === (0L until 9L),
+      s"restart re-emitted or lost rows: ${out.sorted.mkString(",")}")
+  }
+
+  test("startingVersion=latest skips history; a numbered start replays from it") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, rows(0, 10))
+    SnapshotLog.commitBatch(spark, dir, rows(10, 12), batchId = 1L)
+    // latest: nothing until a NEW commit
+    val qL = spark.readStream.format(Fmt).option("path", dir)
+      .option("startingVersion", "latest").load()
+      .writeStream.format("memory").queryName("snap_latest")
+      .outputMode("append").start()
+    try {
+      qL.processAllAvailable()
+      assert(spark.table("snap_latest").count() === 0)
+      SnapshotLog.commitBatch(spark, dir, rows(12, 14), batchId = 2L)
+      qL.processAllAvailable()
+      assert(spark.table("snap_latest").select("k").as[Long].collect()
+        .sorted === Array(12L, 13L))
+    } finally qL.stop()
+    // numbered: version 2's delta only
+    val q2 = spark.readStream.format(Fmt).option("path", dir)
+      .option("startingVersion", "2").load()
+      .writeStream.format("memory").queryName("snap_from2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("snap_from2").select("k").as[Long].collect()
+        .sorted === (10L until 14L).toArray)
+    } finally q2.stop()
+  }
+
+  test("a COW rewrite in the version range fails the stream loudly") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, rows(0, 10))
+    SnapshotLog.deleteWhere(spark, dir, col("k") === 3L) // rewrites a file
+    val q = spark.readStream.format(Fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("snap_cow")
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("append-only"),
+      s"expected the append-only refusal, got: $msg")
+  }
+
+  test("deletion-vector growth in the range is refused (no silent retraction)") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, rows(0, 10))
+    SnapshotLog.deleteWhereMoR(spark, dir, col("k") === 3L)
+    val q = spark.readStream.format(Fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("snap_dv")
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("deletion vector"),
+      s"expected the DV refusal, got: $msg")
+  }
+
+  test("schema-evolution appends: pre-evolution files read the added column as null") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, rows(0, 4))
+    SnapshotLog.commitBatch(spark, dir,
+      (4L until 7L).map(i => (i, s"v$i", i * 10)).toDF("k", "v", "w"),
+      batchId = 1L)
+    val q = spark.readStream.format(Fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("snap_evolve")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("snap_evolve")
+      assert(got.columns.toSeq === Seq("k", "v", "w"))
+      assert(got.count() === 7)
+      assert(got.filter(col("w").isNull).select("k").as[Long].collect()
+        .sorted === (0L until 4L).toArray)
+      assert(got.filter(col("k") === 5L).select("w").as[Long].head() === 50L)
+    } finally q.stop()
+  }
+
+  test("unsupported shapes are rejected at planning: partitioned tables, complex types") {
+    val pdir = freshDir()
+    SnapshotLog.commitPartitioned(spark, pdir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "g"), Seq("g"))
+    val e1 = intercept[IllegalArgumentException] {
+      spark.readStream.format(Fmt).option("path", pdir).load()
+    }
+    assert(e1.getMessage.contains("partitioned"))
+    val cdir = freshDir()
+    SnapshotLog.commit(spark, cdir,
+      Seq((1L, Seq(1.0, 2.0))).toDF("k", "emb"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.readStream.format(Fmt).option("path", cdir).load()
+    }
+    assert(e2.getMessage.contains("streaming source supports"))
+  }
+
+  test("timestamps and dates round-trip through the executor-side decoder") {
+    val dir = freshDir()
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-03-01"),
+        java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789")),
+      (2L, java.sql.Date.valueOf("1999-12-31"),
+        java.sql.Timestamp.valueOf("1999-12-31 23:59:59.999")))
+      .toDF("k", "d", "ts")
+    SnapshotLog.commit(spark, dir, df)
+    val q = spark.readStream.format(Fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("snap_temporal")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("snap_temporal")
+        .orderBy("k").collect().map(_.toSeq)
+      assert(got === df.orderBy("k").collect().map(_.toSeq))
+    } finally q.stop()
+  }
+}
