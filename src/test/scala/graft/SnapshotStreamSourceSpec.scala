@@ -160,6 +160,40 @@ class SnapshotStreamSourceSpec extends AnyFunSuite with SparkFixture {
     assert(e2.getMessage.contains("streaming source supports"))
   }
 
+  test("composition: the source feeds streaming curation into a replica snapshot table") {
+    // snapshot table -> SnapshotStreamSource -> quality gate ->
+    // foreachBatch append into a SECOND snapshot table: streaming
+    // re-curation of a published corpus with no Kafka, no feed dir —
+    // and the replica advances atomically with the source's commits
+    val src = freshDir()
+    val dst = freshDir()
+    def docs(a: Long, b: Long) = (a until b)
+      .map(i => (i, ("tok" + i + " ") * (if (i % 3 == 0) 2 else 30), "en"))
+      .toDF("doc_id", "text", "lang")
+    SnapshotLog.commit(spark, src, docs(0, 6))
+    val gated = graft.streaming.CurateStream.qualityGate(
+      spark.readStream.format(Fmt).option("path", src).load(),
+      graft.streaming.CurateStream.Config(idCol = "doc_id",
+        textCol = "text", minTok = 10, maxTok = 1000, minTtr = 0.0))
+    val q = gated.writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("snapcur-ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        SnapshotLog.commitBatch(spark, dst,
+          df.select("doc_id", "text", "lang"), bid)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      SnapshotLog.commitBatch(spark, src, docs(6, 10), batchId = 1L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = SnapshotLog.read(spark, dst).select("doc_id").as[Long]
+      .collect().sorted
+    // short docs (doc_id % 3 == 0) fail the 10-token floor
+    assert(kept === (0L until 10L).filterNot(_ % 3 == 0).toArray)
+  }
+
   test("timestamps and dates round-trip through the executor-side decoder") {
     val dir = freshDir()
     val df = Seq(
