@@ -31,18 +31,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * predecessor's; the first streamed version contributes its full
   * snapshot).
   *
-  * Deliberate v1 scope — loud, never silently wrong:
+  * Deliberate scope — loud, never silently wrong:
   *  - APPEND-ONLY version ranges: a version that removed or rewrote a
   *    file (COW delete/update/merge/optimize/replace) fails the batch —
   *    rows already emitted cannot be retracted by a source (use
   *    [[SnapshotLog.changesBetween]] for CDC semantics). Deletion-vector
   *    growth is refused for the same reason.
-  *  - Unpartitioned tables (hive layouts keep partition values in dir
-  *    names, outside the files this source reads).
   *  - Flat schemas of long / int / short / byte / double / float /
-  *    boolean / string / date / timestamp_micros columns — the readers
-  *    decode parquet directly on executors ([[GroupReadSupport]],
-  *    public parquet-hadoop API) without a nested SparkSession.
+  *    boolean / string / date / timestamp columns — the readers decode
+  *    parquet directly on executors ([[GroupReadSupport]], public
+  *    parquet-hadoop API) without a nested SparkSession.
+  *  - Hive-partitioned tables ARE supported: each file's partition
+  *    tuple ships with its input partition (from the manifest — never
+  *    re-parsed from paths on executors) and the reader fills the
+  *    partition columns as constants, decoded under the declared type
+  *    (string / integral / date partition columns).
+  *
+  * Backpressure: `.option("maxVersionsPerTrigger", n)` caps each batch
+  * at n versions (admission control) — a stream starting from v1 of a
+  * long history catches up in bounded bites instead of one giant batch.
   *
   * Micro-batch planning costs one manifest read per version in the
   * range — metadata-sized, never data-sized; each added file becomes
@@ -65,17 +72,14 @@ private[sources] object SnapshotStreamSource {
     p
   }
 
-  /** Latest version's declared schema, validated against the v1 scope
-    * (decodable primitive types, unpartitioned). */
+  /** Latest version's declared schema, validated against the source's
+    * scope (decodable primitive types; typed-decodable partition
+    * columns). */
   def schemaFor(dir: String): StructType = {
     val spark = SparkSession.active
     val vs = SnapshotLog.versions(spark, dir)
     require(vs.nonEmpty, s"no committed snapshot under $dir")
     val latest = vs.last
-    require(SnapshotLog.partitionColsOf(spark, dir, latest).isEmpty,
-      s"streaming source does not support hive-partitioned tables yet " +
-        s"($dir is partitioned — partition values live in dir names, " +
-        "outside the data files)")
     val schema = SnapshotLog.schemaOf(spark, dir, latest).getOrElse(
       throw new IllegalArgumentException(
         s"$dir has no #schema header — streaming needs a declared schema"))
@@ -85,7 +89,18 @@ private[sources] object SnapshotStreamSource {
           s"boolean/string/date/timestamp columns; '${f.name}' is " +
           f.dataType.simpleString)
     }
+    SnapshotLog.partitionColsOf(spark, dir, latest).foreach { c =>
+      require(partDecodable(schema(c).dataType),
+        s"streaming source supports string/integral/date PARTITION " +
+          s"columns; '$c' is ${schema(c).dataType.simpleString}")
+    }
     schema
+  }
+
+  def partDecodable(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | ShortType | ByteType |
+         DateType => true
+    case _ => false
   }
 
   def decodable(dt: DataType): Boolean = dt match {
@@ -109,7 +124,8 @@ private[sources] class SnapshotStreamTable(schema0: StructType, dir: String)
         override def toMicroBatchStream(checkpointLocation: String)
             : MicroBatchStream =
           new SnapshotMicroBatchStream(dir, schema0,
-            Option(options.get("startingVersion")))
+            Option(options.get("startingVersion")),
+            Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
       }
     }
 }
@@ -120,8 +136,12 @@ private[sources] final case class VersionOffset(v: Long) extends Offset {
 }
 
 private[sources] class SnapshotMicroBatchStream(dir: String,
-    schema: StructType, startingVersion: Option[String])
-    extends MicroBatchStream {
+    schema: StructType, startingVersion: Option[String],
+    maxVersionsPerTrigger: Option[Long])
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  maxVersionsPerTrigger.foreach(m => require(m >= 1,
+    s"maxVersionsPerTrigger must be >= 1, got $m"))
   private def spark = SparkSession.active
 
   override def initialOffset(): Offset = {
@@ -135,7 +155,22 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
     VersionOffset(from - 1) // nothing emitted yet; first batch starts here
   }
 
-  override def latestOffset(): Offset =
+  // with SupportsAdmissionControl the engine drives the 2-arg form
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val latest = SnapshotLog.versions(spark, dir).last
+    val s = start.asInstanceOf[VersionOffset].v
+    VersionOffset(maxVersionsPerTrigger match {
+      case Some(m) => math.min(latest, s + m) // bounded catch-up bites
+      case None    => latest
+    })
+  }
+
+  override def reportLatestOffset(): Offset =
     VersionOffset(SnapshotLog.versions(spark, dir).last)
 
   override def deserializeOffset(json: String): Offset =
@@ -147,7 +182,8 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
       end.asInstanceOf[VersionOffset].v)
     if (e <= s) return Array.empty
     val vs = SnapshotLog.versions(spark, dir)
-    val newFiles = scala.collection.mutable.ArrayBuffer[String]()
+    val newFiles =
+      scala.collection.mutable.ArrayBuffer[(String, Map[String, String])]()
     ((s + 1) to e).foreach { v =>
       require(vs.contains(v),
         s"version $v of $dir is gone (vacuumed?) — the stream cannot " +
@@ -169,11 +205,19 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
          else None),
         s"version $v of $dir changed its deletion vector — MoR deletes " +
           "retract emitted rows; use changesBetween for CDC semantics")
+      // partition tuples ride with the files (from the MANIFEST — never
+      // re-parsed from paths on executors); readers fill the partition
+      // columns as typed constants
+      val parts = if (SnapshotLog.partitionColsOf(spark, dir, v).nonEmpty)
+        SnapshotLog.filePartsOf(spark, dir, v)
+      else Map.empty[String, Map[String, String]]
       newFiles ++= files.filterNot(p =>
         prevSet.contains(new Path(p).toUri.getPath))
+        .map(p => (p, parts.getOrElse(p, Map.empty[String, String])))
     }
-    newFiles.map(p =>
-      SnapshotFilePartition(p, schema.json): InputPartition).toArray
+    newFiles.map { case (p, t) =>
+      SnapshotFilePartition(p, schema.json, t): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -184,7 +228,8 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
 }
 
 private[sources] final case class SnapshotFilePartition(path: String,
-    schemaJson: String) extends InputPartition
+    schemaJson: String,
+    partTuple: Map[String, String]) extends InputPartition
 
 private[sources] class SnapshotFileReaderFactory
     extends PartitionReaderFactory {
@@ -192,16 +237,36 @@ private[sources] class SnapshotFileReaderFactory
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
     new GroupFileReader(p.path,
-      DataType.fromJson(p.schemaJson).asInstanceOf[StructType])
+      DataType.fromJson(p.schemaJson).asInstanceOf[StructType], p.partTuple)
   }
 }
 
 /** Executor-side parquet reader: one file → InternalRows through the
   * PUBLIC parquet-hadoop Group API (no SparkSession on executors).
   * Column order follows the DECLARED schema; a column missing from the
-  * file (pre-evolution data) reads as null. */
-private[sources] class GroupFileReader(path: String, schema: StructType)
+  * file reads its PARTITION-tuple constant when the file's manifest
+  * tuple carries one (hive layouts strip partition columns from the
+  * data files), else null (pre-evolution data). */
+private[sources] class GroupFileReader(path: String, schema: StructType,
+    partTuple: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
+  // typed constants for partition columns, decoded ONCE per file
+  private val partConsts: Map[String, Any] = partTuple.flatMap {
+    case (c, raw) => schema.fields.find(_.name == c).map { f =>
+      c -> (if (raw == "__HIVE_DEFAULT_PARTITION__") null
+        else f.dataType match {
+          case StringType  => UTF8String.fromString(raw)
+          case LongType    => java.lang.Long.parseLong(raw)
+          case IntegerType => java.lang.Integer.parseInt(raw)
+          case ShortType   => java.lang.Short.parseShort(raw)
+          case ByteType    => java.lang.Byte.parseByte(raw)
+          case DateType    =>
+            java.time.LocalDate.parse(raw).toEpochDay.toInt
+          case other => throw new IllegalStateException(
+            s"undecodable partition type ${other.simpleString} for '$c'")
+        })
+    }
+  }
   private val reader = {
     val conf = new org.apache.hadoop.conf.Configuration()
     org.apache.parquet.hadoop.ParquetReader
@@ -226,7 +291,8 @@ private[sources] class GroupFileReader(path: String, schema: StructType)
       val f = schema(i)
       val fi = if (gt.containsField(f.name)) gt.getFieldIndex(f.name) else -1
       vals(i) =
-        if (fi < 0 || g.getFieldRepetitionCount(fi) == 0) null
+        if (fi < 0 && partConsts.contains(f.name)) partConsts(f.name)
+        else if (fi < 0 || g.getFieldRepetitionCount(fi) == 0) null
         else f.dataType match {
           case LongType    => g.getLong(fi, 0)
           case IntegerType => g.getInteger(fi, 0)

@@ -143,14 +143,28 @@ class SnapshotStreamSourceSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
-  test("unsupported shapes are rejected at planning: partitioned tables, complex types") {
-    val pdir = freshDir()
-    SnapshotLog.commitPartitioned(spark, pdir,
-      Seq((1L, "a"), (2L, "b")).toDF("k", "g"), Seq("g"))
-    val e1 = intercept[IllegalArgumentException] {
-      spark.readStream.format(Fmt).option("path", pdir).load()
-    }
-    assert(e1.getMessage.contains("partitioned"))
+  test("hive-partitioned tables stream with typed partition constants from the manifest") {
+    val dir = freshDir()
+    val df = Seq((1L, "eu", "a"), (2L, "us", "b"), (3L, "eu", "c"))
+      .toDF("k", "region", "v")
+    SnapshotLog.commitPartitioned(spark, dir, df, Seq("region"))
+    val q = spark.readStream.format(Fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("snap_part")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the appended batch inherits the layout and streams too
+      SnapshotLog.commitBatch(spark, dir,
+        Seq((4L, "ap", "d")).toDF("k", "region", "v"), batchId = 1L)
+      q.processAllAvailable()
+      val got = spark.table("snap_part").as[(Long, String, String)]
+        .collect().sortBy(_._1)
+      assert(got === Array((1L, "eu", "a"), (2L, "us", "b"),
+        (3L, "eu", "c"), (4L, "ap", "d")))
+    } finally q.stop()
+  }
+
+  test("unsupported column types are rejected at planning") {
     val cdir = freshDir()
     SnapshotLog.commit(spark, cdir,
       Seq((1L, Seq(1.0, 2.0))).toDF("k", "emb"))
@@ -158,6 +172,28 @@ class SnapshotStreamSourceSpec extends AnyFunSuite with SparkFixture {
       spark.readStream.format(Fmt).option("path", cdir).load()
     }
     assert(e2.getMessage.contains("streaming source supports"))
+  }
+
+  test("maxVersionsPerTrigger bounds catch-up batches (admission control)") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, rows(0, 2))
+    (1L to 4L).foreach(b =>
+      SnapshotLog.commitBatch(spark, dir, rows(2 * b, 2 * b + 2), b))
+    // 5 versions of history; the stream must take them ≤2 at a time
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format(Fmt).option("path", dir)
+      .option("maxVersionsPerTrigger", "2").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += df.count() }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batchSizes.sum === 10, s"rows lost: ${batchSizes.mkString(",")}")
+    assert(batchSizes.forall(_ <= 4),
+      s"a batch exceeded 2 versions (4 rows): ${batchSizes.mkString(",")}")
+    assert(batchSizes.count(_ > 0) >= 3,
+      s"catch-up was not split: ${batchSizes.mkString(",")}")
   }
 
   test("composition: the source feeds streaming curation into a replica snapshot table") {
