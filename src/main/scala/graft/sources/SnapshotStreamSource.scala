@@ -55,7 +55,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * range — metadata-sized, never data-sized; each added file becomes
   * one input partition, so read parallelism tracks the commit's own
   * file layout. */
-class SnapshotStreamSource extends TableProvider {
+class SnapshotStreamSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  /** Registered via META-INF/services — `.format("graft-snapshot")`. */
+  override def shortName(): String = "graft-snapshot"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SnapshotStreamSource.schemaFor(SnapshotStreamSource.pathOf(options))
 

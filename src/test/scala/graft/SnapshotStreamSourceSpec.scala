@@ -230,6 +230,19 @@ class SnapshotStreamSourceSpec extends AnyFunSuite with SparkFixture {
     assert(kept === (0L until 10L).filterNot(_ % 3 == 0).toArray)
   }
 
+  test("the short format name resolves through DataSourceRegister") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, rows(0, 3))
+    val q = spark.readStream.format("graft-snapshot").option("path", dir)
+      .load()
+      .writeStream.format("memory").queryName("snap_short")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_short").count() === 3)
+    } finally q.stop()
+  }
+
   test("timestamps and dates round-trip through the executor-side decoder") {
     val dir = freshDir()
     val df = Seq(
