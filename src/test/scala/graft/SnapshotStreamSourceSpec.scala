@@ -230,6 +230,36 @@ class SnapshotStreamSourceSpec extends AnyFunSuite with SparkFixture {
     assert(kept === (0L until 10L).filterNot(_ % 3 == 0).toArray)
   }
 
+  test("column pruning pushes to the parquet projection (select k only)") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, rows(0, 5))
+    val q = spark.readStream.format("graft-snapshot").option("path", dir)
+      .load().select("k") // prune v away
+      .writeStream.format("memory").queryName("snap_pruned")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_pruned").columns.toSeq === Seq("k"))
+      assert(spark.table("snap_pruned").as[Long].collect().sorted ===
+        (0L until 5L).toArray)
+    } finally q.stop()
+    // projecting ONLY a partition column still counts rows correctly
+    // (the reader keeps one file anchor field to drive the row count)
+    val pdir = freshDir()
+    SnapshotLog.commitPartitioned(spark, pdir,
+      Seq((1L, "eu"), (2L, "us"), (3L, "eu")).toDF("k", "region"),
+      Seq("region"))
+    val q2 = spark.readStream.format("graft-snapshot").option("path", pdir)
+      .load().select("region")
+      .writeStream.format("memory").queryName("snap_pruned_part")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("snap_pruned_part").as[String].collect().sorted
+        === Array("eu", "eu", "us"))
+    } finally q2.stop()
+  }
+
   test("the short format name resolves through DataSourceRegister") {
     val dir = freshDir()
     SnapshotLog.commit(spark, dir, rows(0, 3))
