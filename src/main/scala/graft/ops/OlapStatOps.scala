@@ -525,8 +525,94 @@ object OlapStatOps {
       .orderBy("week")
   }
 
+  /** Decile lift/gains table — the classifier-evaluation shape: docs
+    * ranked by a deterministic quality score (TTR milli), NTILE(10)
+    * deciles, and per decile the cumulative positive rate against the
+    * base rate as an exact milli-lift (integer division only; label =
+    * lang='en' as the weak positive).
+    *
+    * The ORACLE states plain `ntile(10) OVER (ORDER BY score DESC,
+    * doc_id)`. The ENGINE refuses the global window (a corpus-scaled
+    * partition-less sort — the anti-pattern at 100 TB) and computes the
+    * SAME decile distributively: the score domain is bounded (0..1000
+    * milli), so a ≤1001-row histogram prefix gives each score's global
+    * offset, a score-partitioned row_number breaks ties by doc_id, and
+    * NTILE's floor-distribution formula maps the exact global position
+    * to its decile. The hash-compare proves the two formulations
+    * identical. */
+  val liftCurve: Q = Q.checked(
+    "q_lift_curve",
+    """WITH d AS (
+      |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS pos,
+      |    CAST(1000 * len(list_distinct(string_split(text, ' ')))
+      |      // len(string_split(text, ' ')) AS BIGINT) AS score
+      |  FROM documents),
+      |banded AS (
+      |  SELECT pos, ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile
+      |  FROM d),
+      |agg AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(pos) AS BIGINT) AS np
+      |  FROM banded GROUP BY 1),
+      |cum AS (
+      |  SELECT decile, n, np,
+      |    sum(n) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+      |    sum(np) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnp,
+      |    sum(n) OVER () AS tn, sum(np) OVER () AS tnp
+      |  FROM agg)
+      |SELECT CAST(decile AS INT) AS decile, n, np,
+      |  CAST(cn AS BIGINT) AS cum_n, CAST(cnp AS BIGINT) AS cum_pos,
+      |  CAST(1000 * cnp * tn // (cn * tnp) AS BIGINT) AS lift_milli
+      |FROM cum ORDER BY decile""".stripMargin
+  ) { (s, dir) =>
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      (col("lang") === "en").cast("long").as("pos"),
+      expr("CAST(1000 * size(array_distinct(split(text, ' '))) div " +
+        "size(split(text, ' ')) AS BIGINT)").as("score"))
+    // per-score tie rank: hash-distributed (bounded rows per score key)
+    val rn = row_number().over(
+      Window.partitionBy("score").orderBy("doc_id"))
+    val ranked = d.withColumn("rn", rn)
+    // histogram prefix over the BOUNDED score domain (≤1001 rows): how
+    // many docs carry a strictly higher score
+    val hist = d.groupBy("score").agg(count(lit(1)).as("cnt"))
+    val before = coalesce(sum("cnt").over(Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val pfx = hist.select(col("score"), before.as("before"))
+    val tot = d.agg(count(lit(1)).as("tn"), sum("pos").as("tnp"))
+    val positioned = ranked.join(broadcast(pfx), "score")
+      .withColumn("gpos", col("before") + col("rn"))
+      .crossJoin(broadcast(tot))
+    // exact NTILE(10) floor distribution from the global position:
+    // the first (tn mod 10) deciles hold (tn div 10 + 1) rows each
+    val banded = positioned.withColumn("decile",
+      expr("""CAST(CASE
+        | WHEN gpos <= (tn div 10 + 1) * (tn % 10)
+        |   THEN (gpos - 1) div (tn div 10 + 1) + 1
+        | ELSE tn % 10 + (gpos - (tn div 10 + 1) * (tn % 10) - 1)
+        |   div (tn div 10) + 1
+        |END AS INT)""".stripMargin.replace("\n", " ")))
+    val agg = banded.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("pos").as("np"))
+    // cumulative frame over the 10-row decile table (parameter-bounded)
+    val cw = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg.withColumn("cn", sum("n").over(cw))
+      .withColumn("cnp", sum("np").over(cw))
+      .crossJoin(broadcast(tot.select(col("tn").as("t_n"),
+        col("tnp").as("t_np"))))
+      .select(col("decile"), col("n"), col("np"),
+        col("cn").cast("long").as("cum_n"),
+        col("cnp").cast("long").as("cum_pos"),
+        expr("CAST(1000 * cnp * t_n div (cn * t_np) AS BIGINT)")
+          .as("lift_milli"))
+      .orderBy("decile")
+  }
+
   val all: Seq[Q] =
     Seq(hhi, autocorr, runsTest, chiSquare, ntileBands,
       cohortRetention, orderGaps, rfmCells, windowFunnel,
-      seqPack, stickiness)
+      seqPack, stickiness, liftCurve)
 }
