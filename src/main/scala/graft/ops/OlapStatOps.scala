@@ -12,13 +12,19 @@ import org.apache.spark.sql.functions._
   * retention, inter-order gap statistics, and RFM segmentation cells.
   *
   * Determinism (SURVEY §7.5): money flows through decimal(18,2) cents
-  * as BIGINT; every statistic ships as exact cleared-denominator
-  * integer pairs (DECIMAL(28,0) where squares exceed BIGINT — the
-  * widest dtype envelope the driver's hash has accepted; never
-  * DECIMAL(38,x), the q_gini lesson); every multi-row output carries a
-  * total ORDER BY. O(n²)-shaped statistics aggregate FIRST (daily
-  * series ≤366 rows, contingency cells ≤6) — the bounded-series
-  * discipline.
+  * as BIGINT; every multi-row output carries a total ORDER BY.
+  * O(n²)-shaped statistics aggregate FIRST (daily series ≤366 rows,
+  * contingency cells ≤6) — the bounded-series discipline.
+  *
+  * DTYPE RULE (verified r9 by scanning the arrow schema of every green
+  * oracle output): NO decimal of ANY precision may reach a checked
+  * output boundary — the driver hash accepts int32/int64/float64/
+  * string/date/timestamp/bool ONLY. q_gini failed at DECIMAL(38,0) in
+  * r8; q_hhi/q_autocorr/q_chi_square failed at DECIMAL(28,0) in r9
+  * with values proven bit-identical. Exact decimal arithmetic stays
+  * INTERNAL; boundaries ship BIGINT micro-ratios (`div`, never `/` —
+  * Column `/` is IEEE double division) or a terminal CAST of the
+  * exact integers to DOUBLE (precedent: CdcOps.scala, green).
   */
 object OlapStatOps {
 
@@ -27,16 +33,20 @@ object OlapStatOps {
 
   // squares of cent-scale values exceed BIGINT — run products at
   // decimal(14,0)² → decimal(29,0), sums widen to decimal(38,0)
-  // internally, outputs narrow to the proven decimal(28,0) envelope
+  // internally; outputs NEVER ship decimal (see the dtype rule above)
   private def d14(c: org.apache.spark.sql.Column) = c.cast("decimal(14,0)")
   private def out28(c: org.apache.spark.sql.Column) = c.cast("decimal(28,0)")
 
   /** Herfindahl-Hirschman concentration of customer revenue within each
-    * market segment: HHI = Σ shareᵢ² = Σ xᵢ² / (Σ xᵢ)², shipped as the
-    * exact (num, den) pair — num = Σ xᵢ² and den = (Σ xᵢ)² in cents².
-    * The monopoly audit twin of q_gini (HHI weights the TOP of the
-    * distribution; Gini the whole curve). One groupBy per grain, no
-    * window. */
+    * market segment: HHI = Σ shareᵢ² = Σ xᵢ² / (Σ xᵢ)², shipped as an
+    * exact BIGINT micro-ratio hhi_micro = num div (den div 10⁶) with
+    * num = Σ xᵢ² and den = (Σ xᵢ)² in cents² (den-first division keeps
+    * every intermediate ≤ den, so the exactness envelope runs to
+    * den < 10³⁸ — segment revenue < 10¹⁷ dollars, far beyond 100 TB;
+    * both engines state the IDENTICAL formula so the floor bias
+    * cancels). The monopoly audit twin of q_gini (HHI weights the TOP
+    * of the distribution; Gini the whole curve). One groupBy per
+    * grain, no window. */
   val hhi: Q = Q.checked(
     "q_hhi",
     """WITH rev AS (
@@ -47,10 +57,9 @@ object OlapStatOps {
       |  GROUP BY segment, c_custkey)
       |SELECT segment,
       |  CAST(count(*) AS BIGINT) AS n_cust,
-      |  CAST(sum(CAST(cents AS HUGEINT) * cents) AS DECIMAL(28,0))
-      |    AS hhi_num,
-      |  CAST(sum(CAST(cents AS HUGEINT)) * sum(CAST(cents AS HUGEINT))
-      |    AS DECIMAL(28,0)) AS hhi_den
+      |  CAST(sum(CAST(cents AS HUGEINT) * cents)
+      |    // (sum(CAST(cents AS HUGEINT)) * sum(CAST(cents AS HUGEINT))
+      |       // 1000000) AS BIGINT) AS hhi_micro
       |FROM rev GROUP BY segment ORDER BY segment""".stripMargin
   ) { (s, dir) =>
     val rev = Tables.orders(s, dir)
@@ -59,8 +68,10 @@ object OlapStatOps {
       .agg(cents(sum(col("o_totalprice").cast("decimal(18,2)"))).as("cents"))
     rev.groupBy("segment")
       .agg(count(lit(1)).as("n_cust"),
-        out28(sum(d14(col("cents")) * d14(col("cents")))).as("hhi_num"),
-        out28(sum(d14(col("cents"))) * sum(d14(col("cents")))).as("hhi_den"))
+        sum(d14(col("cents")) * d14(col("cents"))).as("num"),
+        (sum(d14(col("cents"))) * sum(d14(col("cents")))).as("den"))
+      .select(col("segment"), col("n_cust"),
+        expr("CAST(num div (den div 1000000) AS BIGINT)").as("hhi_micro"))
       .orderBy("segment")
   }
 
@@ -71,8 +82,12 @@ object OlapStatOps {
     * cleared-denominator integers so no IEEE op ever touches the
     * ledger — the caller takes N/√(Da·Db) off-engine:
     * corr = N / sqrt(Da·Db) with N = m·Σab − Σa·Σb,
-    * Da = m·Σa² − (Σa)², Db = m·Σb² − (Σb)² — all exact integers in
-    * cents². The lead() window runs on the AGGREGATED ≤366-row series
+    * Da = m·Σa² − (Σa)², Db = m·Σb² − (Σb)² — all computed as exact
+    * integers in cents², then shipped as a TERMINAL CAST to DOUBLE
+    * (the dtype rule: one round-to-nearest conversion of an exact
+    * integer, no IEEE arithmetic on-engine — both engines convert the
+    * identical integer so the float64 boundary hashes equal). The
+    * lead() window runs on the AGGREGATED ≤366-row series
     * (parameter-bounded, never raw orders). */
   val autocorr: Q = Q.checked(
     "q_autocorr",
@@ -90,13 +105,13 @@ object OlapStatOps {
       |SELECT CAST(count(*) AS BIGINT) AS m,
       |  CAST(count(*) * sum(CAST(a AS HUGEINT) * b)
       |    - sum(CAST(a AS HUGEINT)) * sum(CAST(b AS HUGEINT))
-      |    AS DECIMAL(28,0)) AS ac_num,
+      |    AS DOUBLE) AS ac_num,
       |  CAST(count(*) * sum(CAST(a AS HUGEINT) * a)
       |    - sum(CAST(a AS HUGEINT)) * sum(CAST(a AS HUGEINT))
-      |    AS DECIMAL(28,0)) AS ac_den_a,
+      |    AS DOUBLE) AS ac_den_a,
       |  CAST(count(*) * sum(CAST(b AS HUGEINT) * b)
       |    - sum(CAST(b AS HUGEINT)) * sum(CAST(b AS HUGEINT))
-      |    AS DECIMAL(28,0)) AS ac_den_b
+      |    AS DOUBLE) AS ac_den_b
       |FROM pairs WHERE b IS NOT NULL""".stripMargin
   ) { (s, dir) =>
     val daily = Tables.orders(s, dir)
@@ -110,12 +125,12 @@ object OlapStatOps {
       .filter(col("b").isNotNull)
     pairs.agg(
       count(lit(1)).as("m"),
-      out28(count(lit(1)) * sum(d14(col("a")) * d14(col("b"))) -
-        sum(d14(col("a"))) * sum(d14(col("b")))).as("ac_num"),
-      out28(count(lit(1)) * sum(d14(col("a")) * d14(col("a"))) -
-        sum(d14(col("a"))) * sum(d14(col("a")))).as("ac_den_a"),
-      out28(count(lit(1)) * sum(d14(col("b")) * d14(col("b"))) -
-        sum(d14(col("b"))) * sum(d14(col("b")))).as("ac_den_b"))
+      (count(lit(1)) * sum(d14(col("a")) * d14(col("b"))) -
+        sum(d14(col("a"))) * sum(d14(col("b")))).cast("double").as("ac_num"),
+      (count(lit(1)) * sum(d14(col("a")) * d14(col("a"))) -
+        sum(d14(col("a"))) * sum(d14(col("a")))).cast("double").as("ac_den_a"),
+      (count(lit(1)) * sum(d14(col("b")) * d14(col("b"))) -
+        sum(d14(col("b"))) * sum(d14(col("b")))).cast("double").as("ac_den_b"))
   }
 
   /** Wald-Wolfowitz runs test over 1996's daily revenue: each day is
@@ -179,11 +194,15 @@ object OlapStatOps {
   }
 
   /** Chi-square independence cells for l_returnflag × l_linestatus:
-    * per cell, the exact pair chi_num = (N·obs − r·c)² and
-    * chi_den = N·r·c, so χ² = Σ num/(den·N)... computed off-engine
-    * from exact integers — no expected-count division on-engine. Row
-    * and column totals via window sums over the ≤9-cell contingency
-    * frame (parameter-bounded); the lineitem scan is ONE groupBy. */
+    * per cell the exact BIGINT micro-contribution
+    * chi_micro = 10⁶·(N·obs − r·c)² div (N·r·c) — algebraically
+    * 10⁶·(obs−E)²/E with E = r·c/N, so Σ chi_micro/10⁶ = χ² — computed
+    * entirely in cleared-denominator integers (internal decimal; the
+    * 10⁶-scaled square stays within decimal(38) while N ≤ 10⁸ rows —
+    * the scan aggregates FIRST, so N is the table cardinality only in
+    * the statistic's value, never in intermediate row counts). Row and
+    * column totals via window sums over the ≤9-cell contingency frame
+    * (parameter-bounded); the lineitem scan is ONE groupBy. */
   val chiSquare: Q = Q.checked(
     "q_chi_square",
     """WITH cells AS (
@@ -197,10 +216,9 @@ object OlapStatOps {
       |    sum(obs) OVER () AS n
       |  FROM cells)
       |SELECT l_returnflag, l_linestatus, obs,
-      |  CAST((CAST(n AS HUGEINT) * obs - CAST(r AS HUGEINT) * c)
+      |  CAST(1000000 * (CAST(n AS HUGEINT) * obs - CAST(r AS HUGEINT) * c)
       |    * (CAST(n AS HUGEINT) * obs - CAST(r AS HUGEINT) * c)
-      |    AS DECIMAL(28,0)) AS chi_num,
-      |  CAST(CAST(n AS HUGEINT) * r * c AS DECIMAL(28,0)) AS chi_den
+      |    // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS chi_micro
       |FROM tot ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) { (s, dir) =>
     val cells = Tables.lineitem(s, dir)
@@ -213,8 +231,10 @@ object OlapStatOps {
       .withColumn("n", sum("obs").over(Window.partitionBy()))
     val dev = d14(col("n")) * d14(col("obs")) - d14(col("r")) * d14(col("c"))
     tot.select(col("l_returnflag"), col("l_linestatus"), col("obs"),
-      out28(dev * dev).as("chi_num"),
+      (lit(1000000) * out28(dev * dev)).as("chi_num"),
       out28(d14(col("n")) * d14(col("r")) * d14(col("c"))).as("chi_den"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("obs"),
+        expr("CAST(chi_num div chi_den AS BIGINT)").as("chi_micro"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -255,9 +275,12 @@ object OlapStatOps {
     * registry lacked: customers cohorted by FIRST-order month, then for
     * each (cohort, month-offset) the count of distinct customers active
     * that many months later. Bounded output (first-year cohorts ×
-    * offsets 0..6); the per-customer first-order collapse is one groupBy and
-    * the activity join hits the small firsts side (broadcastable at any
-    * SF — customers ≪ orders). */
+    * offsets 0..6); the per-customer first-order collapse is one
+    * groupBy. The activity join is a plain o_custkey equi-join — the
+    * firsts frame is PER-CUSTOMER and scales with the corpus, so no
+    * broadcast hint: AQE broadcasts it when small and shuffles when
+    * not (both sides hash on the same key, so the shuffle
+    * co-partitions). */
   val cohortRetention: Q = Q.checked(
     "q_cohort_retention",
     """WITH firsts AS (
@@ -279,7 +302,7 @@ object OlapStatOps {
     val firsts = o.groupBy("o_custkey")
       .agg(date_trunc("month", min(col("o_orderdate"))).cast("date")
         .as("cohort"))
-    val acts = o.join(broadcast(firsts), "o_custkey")
+    val acts = o.join(firsts, "o_custkey")
       .select(col("o_custkey"), col("cohort"),
         ((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))) -
           (year(col("cohort")) * 12 + month(col("cohort")))).as("offs"))

@@ -454,6 +454,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }.isEmpty, "q_kl_source planned a window")
   }
 
+  test("dtype envelope: no oracle query ships decimal at the checked boundary (global sweep)") {
+    // verified r9 by scanning every green output's arrow schema: the
+    // driver hash accepts int32/int64/float64/string/date/timestamp/bool
+    // ONLY. q_gini (decimal 38,0) and q_hhi/q_autocorr/q_chi_square
+    // (decimal 28,0) each shipped bit-identical VALUES and still failed
+    // the hash. Exact decimal arithmetic stays internal; boundaries ship
+    // BIGINT ratios or a terminal DOUBLE cast.
+    import org.apache.spark.sql.types.DecimalType
+    Registry.all.filter(_.oracle.isDefined).foreach { q =>
+      val bad = q.fn(spark, Sf).schema.fields
+        .filter(_.dataType.isInstanceOf[DecimalType])
+      assert(bad.isEmpty,
+        s"${q.name} ships decimal columns at the oracle boundary: " +
+          bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","))
+    }
+  }
+
   test("registry names are unique and entry returns rows") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
     assert(SparkEntry.entry(spark).count() > 0)
