@@ -27,8 +27,12 @@ object OlapExtraOps {
     * cleared-denominator BIGINT-statistics recipe (values fit with ~5
     * decimal orders of headroom at sf0.1: |num| ≲ 5e14, den ≲ 7e17 <
     * 2^63; intermediate sums run at DECIMAL(38,0) before the final
-    * narrowing cast). One partitioned window (per segment) over
-    * per-customer aggregates, never raw rows. */
+    * narrowing cast). den grows ~quadratically with SF (n_cust·Σcents),
+    * so the narrowing is GUARDED: past 2⁶³ the query raises instead of
+    * Spark's silent non-ANSI decimal→long NULL (DuckDB's HUGEINT→BIGINT
+    * cast already errors loudly — the guard keeps both engines loud).
+    * One partitioned window (per segment) over per-customer aggregates,
+    * never raw rows. */
   val gini: Q = Q.checked(
     "q_gini",
     """WITH rev AS (
@@ -59,13 +63,22 @@ object OlapExtraOps {
       row_number().over(Window.partitionBy("segment")
         .orderBy(col("cents"), col("c_custkey"))))
     val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    // loud BIGINT envelope: non-ANSI decimal→long overflow is a silent
+    // NULL, so guard the narrowing explicitly (conditional branches are
+    // lazy — raise_error fires only on actual overflow)
+    val guard = (c: org.apache.spark.sql.Column, name: String) =>
+      when(abs(c) <= lit(Long.MaxValue).cast("decimal(38,0)"),
+        c.cast("long"))
+        .otherwise(raise_error(lit(s"$name overflows BIGINT at this " +
+          "scale — recast the query to micro-ratio form")).cast("long"))
     ranked.groupBy("segment")
       .agg(count(lit(1)).as("n_cust"),
         (lit(2) * sum(big(col("i")) * big(col("cents"))) -
-          (count(lit(1)) + 1) * sum(big(col("cents"))))
-          .cast("long").as("gini_num"),
-        (count(lit(1)) * sum(big(col("cents"))))
-          .cast("long").as("gini_den"))
+          (count(lit(1)) + 1) * sum(big(col("cents")))).as("num0"),
+        (count(lit(1)) * sum(big(col("cents")))).as("den0"))
+      .select(col("segment"), col("n_cust"),
+        guard(col("num0"), "gini_num").as("gini_num"),
+        guard(col("den0"), "gini_den").as("gini_den"))
       .orderBy("segment")
   }
 

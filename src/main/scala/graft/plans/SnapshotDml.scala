@@ -23,11 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * This node closes that: the builder returns a RESOLVED leaf carrying
   * the verb as a thunk; [[Strategy]] plans it to [[DmlExec]], whose
   * `doExecute` runs the thunk — the RunnableCommand discipline. EXPLAIN
-  * shows the node without running anything; each EXECUTION of the
-  * statement runs the verb exactly once (re-collecting the SAME
-  * DataFrame reuses the materialized RDD and does not re-run). Verb
-  * errors (NULL merge keys, CHECK violations, DV refusals) surface at
-  * execution, as DML errors do everywhere else in SQL. */
+  * shows the node without running anything; the verb runs AT MOST ONCE
+  * per planned statement: SparkPlan.execute() re-invokes doExecute on
+  * every action over the same DataFrame (show() then collect() would
+  * otherwise commit twice), so [[DmlExec]] memoizes the verb's result
+  * in a lazy val — the second action re-reports the SAME new version
+  * without re-applying the verb. Verb errors (NULL merge keys, CHECK
+  * violations, DV refusals) surface at execution, as DML errors do
+  * everywhere else in SQL. */
 object SnapshotDml {
 
   /** The one-row report relation (verb, table, version); born resolved.
@@ -38,26 +41,46 @@ object SnapshotDml {
       output: Seq[Attribute] = Seq(
         AttributeReference("verb", StringType, nullable = false)(),
         AttributeReference("table", StringType, nullable = false)(),
-        AttributeReference("version", LongType, nullable = false)()))
+        AttributeReference("version", LongType, nullable = false)()),
+      memo: java.util.concurrent.atomic.AtomicReference[Option[Long]] =
+        new java.util.concurrent.atomic.AtomicReference(None))
       extends LeafNode {
     override def computeStats(): Statistics =
       Statistics(sizeInBytes = 64L) // one tiny row — always broadcastable
+    /** The verb's result, memoized in a box SHARED ACROSS PLAN COPIES:
+      * every action clones the logical plan (QueryExecution optimizes a
+      * clone(), and `stmt.show()` additionally derives a new Dataset),
+      * so neither a lazy val on this node nor one on [[DmlExec]]
+      * survives — makeCopy re-invokes the constructor, but copies the
+      * `memo` REFERENCE, so all clones of one statement share the box
+      * and the verb runs at most once per statement. */
+    def result: Long = memo.synchronized {
+      memo.get() match {
+        case Some(v) => v
+        case None    => val v = run(); memo.set(Some(v)); v
+      }
+    }
   }
 
   /** Plans [[DmlPlan]] as [[DmlExec]] — injected by
     * [[graft.functions.GraftExtensions]]. */
   object Strategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case DmlPlan(verb, table, run, output) =>
-        DmlExec(verb, table, run, output) :: Nil
+      case p: DmlPlan =>
+        DmlExec(p.verb, p.table, () => p.result, p.output) :: Nil
       case _ => Nil
     }
   }
 
   final case class DmlExec(verb: String, table: String, run: () => Long,
       output: Seq[Attribute]) extends LeafExecNode {
+    // the verb runs at EXECUTION time, never analysis — and at most
+    // once per plan instance: SparkPlan.execute() never memoizes
+    // doExecute, so without this guard a second action on the same
+    // DataFrame (show then collect) would apply the DML twice
+    @transient private lazy val result: Long = run()
     override protected def doExecute(): RDD[InternalRow] = {
-      val v = run() // the verb runs HERE — execution time, never analysis
+      val v = result
       val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
       val row = proj(new GenericInternalRow(Array[Any](
         UTF8String.fromString(verb), UTF8String.fromString(table), v)))

@@ -2058,9 +2058,13 @@ object SnapshotLog {
       .map { l =>
         val parts = l.stripPrefix("#filestat=").split("\t")
         // a full ':' split is safe: statEsc URL-encodes ':' inside
-        // string bounds, so field separators are unambiguous
+        // string bounds, so field separators are unambiguous. limit -1
+        // preserves TRAILING empty fields — an escaped empty-string
+        // bound ('c:S:lo:' or 'c:S::') must keep its arity, or the
+        // 4-ary S entry would collapse into the 3-ary legacy-long
+        // pattern and throw on "S".toLong
         val stats: Map[String, ColStat] = parts.tail.map { s =>
-          s.split(":") match {
+          s.split(":", -1) match {
             case Array(c, "L", lo, hi) => c -> LongStat(lo.toLong, hi.toLong)
             case Array(c, "LN", lo, hi, n) =>
               c -> LongStat(lo.toLong, hi.toLong, Some(n == "1"))
@@ -2162,9 +2166,18 @@ object SnapshotLog {
     * parsed, its prunable conjuncts (`BETWEEN`/comparisons, `IN`, `=`,
     * `IS [NOT] NULL`) become [[Probe]]s — string literals coerced under
     * each column's declared type — and the WHOLE original predicate
-    * (including conjuncts the planner cannot prune with, e.g. `OR`
-    * trees or expressions over two columns) applies as the residual
-    * filter, so the result is exact regardless of what pruned. */
+    * applies as the residual filter, so the result is exact regardless
+    * of what pruned.
+    *
+    * OR trees prune PER DISJUNCT (round 10): the predicate lowers to a
+    * conjunction of disjunctions of probe sets — a file survives when
+    * every top-level conjunct has SOME disjunct whose probes all keep
+    * it — so the retention-scan shape `day < a OR day > b` scans the
+    * union of the two ranges' file sets instead of everything, and
+    * `region = 'EU' AND (day < a OR day > b)` intersects on top.
+    * A disjunct yielding no probes (a function call, a two-column
+    * comparison) keeps all files for its conjunct — conservative, and
+    * the residual filter still guarantees exactness. */
   def readFilterSql(spark: SparkSession, dir: String, predicate: String,
       version: Option[Long] = None): (DataFrame, Int, Int) = {
     val vs = versions(spark, dir)
@@ -2172,8 +2185,27 @@ object SnapshotLog {
     val v = version.getOrElse(vs.last)
     val schema = schemaOf(spark, dir, v)
     val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
-    val probes = probesFromExpr(parsed, schema)
-    readFilterImpl(spark, dir, probes, version, Some(expr(predicate)))
+    readFilterCnf(spark, dir, cnfProbes(parsed, schema), version,
+      expr(predicate))
+  }
+
+  /** Lower a parsed predicate to pruning form: top-level AND-split,
+    * then each conjunct OR-split, then each disjunct through
+    * [[probesFromExpr]] — a conjunction of disjunctions of probe
+    * conjunctions. */
+  private[graft] def cnfProbes(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      schema: Option[StructType]): Seq[Seq[Seq[Probe]]] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def conjuncts(x: ce.Expression): Seq[ce.Expression] = x match {
+      case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other        => Seq(other)
+    }
+    def disjuncts(x: ce.Expression): Seq[ce.Expression] = x match {
+      case ce.Or(l, r) => disjuncts(l) ++ disjuncts(r)
+      case other       => Seq(other)
+    }
+    conjuncts(e).map(c => disjuncts(c).map(d => probesFromExpr(d, schema)))
   }
 
   /** Extract prunable [[Probe]]s from a parsed (unresolved) predicate:
@@ -2258,14 +2290,28 @@ object SnapshotLog {
     }
   }
 
+  /** Resolve a predicate/probe column against the declared schema under
+    * the session's resolver (case-INsensitive unless
+    * spark.sql.caseSensitive): returns the DECLARED field name — the
+    * key every stat/bloom/partition lookup uses — or None when the
+    * schema lacks the column (callers keep conservatively; the residual
+    * filter, which resolves under the same session rules, decides). */
+  private def resolveCol(schema: Option[StructType],
+      c: String): Option[String] = schema.flatMap { st =>
+    val res = org.apache.spark.sql.internal.SQLConf.get.resolver
+    st.fields.collectFirst { case f if res(f.name, c) => f.name }
+  }
+
   /** SQL-surface string→typed coercion for [[probesFromExpr]]: a bare
     * string literal against a non-string column parses under the
     * column's declared type (ISO date/timestamp, decimal, integral);
-    * unparseable values throw loudly (never a silent empty result). */
+    * unparseable values throw loudly (never a silent empty result).
+    * Column resolution follows the session's case-sensitivity rules. */
   private def coerceProbe(c: String, v: Any,
       schema: Option[StructType]): Any = {
     import org.apache.spark.sql.types._
-    (v, schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)) match {
+    (v, resolveCol(schema, c).flatMap(n =>
+      schema.flatMap(_.fields.find(_.name == n))).map(_.dataType)) match {
       case (s: String, Some(DateType)) => java.sql.Date.valueOf(s)
       case (s: String, Some(TimestampType | TimestampNTZType)) =>
         java.sql.Timestamp.valueOf(s)
@@ -2283,6 +2329,27 @@ object SnapshotLog {
       residual: Option[Column]): (DataFrame, Int, Int) = {
     require(probes.nonEmpty || residual.nonEmpty,
       "readFilter needs at least one probe")
+    val pred = residual.getOrElse(probes.map {
+      case Probe.Range(c, lo, hi) =>
+        (lo.map(col(c) >= lit(_)) ++ hi.map(col(c) <= lit(_)))
+          .reduce(_ && _)
+      case Probe.In(c, vs)   => col(c).isin(vs: _*)
+      case Probe.IsNull(c)   => col(c).isNull
+      case Probe.NotNull(c)  => col(c).isNotNull
+    }.reduce(_ && _))
+    // a plain conjunction is the 1-disjunct-per-conjunct CNF
+    readFilterCnf(spark, dir, probes.map(p => Seq(Seq(p))), version, pred)
+  }
+
+  /** Pruning core over a conjunction of disjunctions of probe
+    * conjunctions (see [[cnfProbes]]): a file is kept when EVERY
+    * top-level conjunct has SOME disjunct whose probes ALL keep it.
+    * An empty disjunct (unprunable expression) keeps all files for its
+    * conjunct; `residualPred` applies in full, so the result is exact
+    * regardless of what pruned. */
+  private def readFilterCnf(spark: SparkSession, dir: String,
+      cnf0: Seq[Seq[Seq[Probe]]], version: Option[Long],
+      residualPred: Column): (DataFrame, Int, Int) = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed snapshot under $dir")
     val v = version.getOrElse(vs.last)
@@ -2291,13 +2358,29 @@ object SnapshotLog {
     val files = filesOf(spark, dir, v)
     val stats = fileStatsOf(spark, dir, v)
     val schema = schemaOf(spark, dir, v)
+    // canonicalize probe columns to their DECLARED names under the
+    // session resolver (case-insensitive by default): stat, bloom and
+    // partition lookups key on the declared name, and a case-mismatched
+    // SQL predicate must PRUNE, not throw
+    val cnf: Seq[Seq[Seq[Probe]]] = cnf0.map(_.map(_.map { p =>
+      resolveCol(schema, p.column) match {
+        case Some(n) if n != p.column => p match {
+          case Probe.Range(_, lo, hi) => Probe.Range(n, lo, hi)
+          case Probe.In(_, xs)        => Probe.In(n, xs)
+          case Probe.IsNull(_)        => Probe.IsNull(n)
+          case Probe.NotNull(_)       => Probe.NotNull(n)
+        }
+        case _ => p
+      }
+    }))
+    val flatProbes = cnf.flatten.flatten
     val pcs = partitionColsOf(spark, dir, v)
-    val parts = if (probes.exists(pr => pcs.contains(pr.column)))
+    val parts = if (flatProbes.exists(pr => pcs.contains(pr.column)))
       filePartsOf(spark, dir, v) else Map.empty[String, Map[String, String]]
     // bloom sidecars participate only for IN probes (point-set skipping,
     // the readPoint rule set-wise) — one sidecar read, filtered to the
     // probed columns
-    val inCols = probes.collect { case Probe.In(c, _) => c }.distinct
+    val inCols = flatProbes.collect { case Probe.In(c, _) => c }.distinct
     val blooms: Map[(String, String), Array[Byte]] =
       if (inCols.isEmpty || !fs(spark, dir).exists(bloomPath(dir, v)))
         Map.empty
@@ -2307,7 +2390,10 @@ object SnapshotLog {
         .map(r => (new Path(r.getString(0)).toUri.getPath, r.getString(1)) ->
           r.getAs[Array[Byte]]("bloom")).toMap
 
-    def colDtOf(c: String) = schema.map(_(c).dataType)
+    // non-throwing: a column the schema lacks (or a legacy schemaless
+    // table) keeps files conservatively — the residual filter decides
+    def colDtOf(c: String) =
+      schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
     def partValsOf(c: String): Map[String, String] =
       if (!pcs.contains(c)) Map.empty
       else parts.flatMap { case (p, t) => t.get(c).map(p -> _) }
@@ -2448,16 +2534,15 @@ object SnapshotLog {
         p => partVals.get(p).forall(_ != NullPartition)
     }
 
-    val keeps = probes.map(probeKeep)
-    val kept = files.filter(p => keeps.forall(_(p)))
-    val pred = residual.getOrElse(probes.map {
-      case Probe.Range(c, lo, hi) =>
-        (lo.map(col(c) >= lit(_)) ++ hi.map(col(c) <= lit(_)))
-          .reduce(_ && _)
-      case Probe.In(c, vs)   => col(c).isin(vs: _*)
-      case Probe.IsNull(c)   => col(c).isNull
-      case Probe.NotNull(c)  => col(c).isNotNull
-    }.reduce(_ && _))
+    // CNF evaluation: ∀ conjunct ∃ disjunct ∀ probe — an empty
+    // disjunct list cannot occur (disjuncts of a conjunct are ≥1) and
+    // an empty PROBE list inside a disjunct keeps the file (vacuous
+    // forall), which is exactly the conservative semantics for an
+    // unprunable disjunct
+    val keeps: Seq[Seq[Seq[String => Boolean]]] =
+      cnf.map(_.map(_.map(probeKeep)))
+    val kept = files.filter(p => keeps.forall(_.exists(_.forall(_(p)))))
+    val pred = residualPred
     val df =
       if (kept.nonEmpty) readFiles(spark, dir, v, kept).filter(pred)
       else schema match {
@@ -2516,6 +2601,33 @@ object SnapshotLog {
     * path-grain consumers need not care which. */
   private def dvRaw(spark: SparkSession, dir: String, name: String) =
     spark.read.parquet(dvPath(dir, name).toString)
+
+  /** A version's DV as serialized per-file bitmaps, keyed by
+    * URI-normalized path — for consumers that skip positions
+    * file-locally without a SparkSession (the DSv2 batch scan ships
+    * these KB-scale blobs inside its input partitions). Legacy
+    * row-per-position sidecars fold into bitmaps here. Empty map when
+    * the version carries no DV. The collect is sidecar-bounded
+    * (KBs/file), never data-bounded. */
+  private[sources] def dvBitmapsOf(spark: SparkSession, dir: String,
+      v: Long): Map[String, Array[Byte]] =
+    dvOf(spark, dir, v) match {
+      case None => Map.empty
+      case Some(name) =>
+        val raw = dvRaw(spark, dir, name)
+        if (raw.columns.contains("bitmap"))
+          raw.select("path", "bitmap").collect()
+            .map(r => new Path(r.getString(0)).toUri.getPath ->
+              r.getAs[Array[Byte]](1)).toMap
+        else
+          raw.select("path", "row_index").collect()
+            .groupBy(r => new Path(r.getString(0)).toUri.getPath)
+            .map { case (p, rows) =>
+              val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+              rows.foreach(r => bm.addLong(r.getLong(1)))
+              p -> rbmBytes(bm)
+            }
+    }
 
   /** The sidecar as the canonical positions relation
     * (path, row_index) — bitmaps expand per partition in memory. */

@@ -4,43 +4,62 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Structured-Streaming SOURCE over a snapshot-log table — stream the
-  * table's committed versions without Kafka or a feed directory:
+/** DataSource-v2 table over a snapshot-log directory — BOTH halves of
+  * the read surface behind one format string:
   *
   * {{{
-  * spark.readStream
-  *   .format("graft.sources.SnapshotStreamSource")
-  *   .option("path", tableDir)
+  * // batch: the table as of its latest (or a named) version
+  * spark.read.format("graft-snapshot").option("path", tableDir).load()
+  * spark.read.format("graft-snapshot").option("path", tableDir)
+  *   .option("versionAsOf", "3").load()          // time travel
+  *
+  * // streaming: committed versions as micro-batches
+  * spark.readStream.format("graft-snapshot").option("path", tableDir)
   *   .option("startingVersion", "1")   // optional; default: earliest
   *   .load()                            //   retained, "latest" = new only
   * }}}
   *
-  * Offsets are VERSION NUMBERS (the manifest is already a totally
-  * ordered commit log), so checkpoint recovery replays exactly the
-  * un-committed version range — the same replay-safety argument as the
-  * CDC feed, with zero extra infrastructure. Each micro-batch reads the
-  * files ADDED in its version range (a version's files minus its
-  * predecessor's; the first streamed version contributes its full
-  * snapshot).
+  * The BATCH scan plans the version's exact manifest file list (same
+  * visibility rule as [[SnapshotLog.read]]), fills hive-partition
+  * columns from manifest tuples, and applies merge-on-read deletion
+  * vectors by shipping each file's serialized roaring bitmap inside its
+  * input partition (KB-scale) — readers skip tombstoned positions
+  * locally, so a DV-carrying table reads identically through SQL
+  * clients and the library API.
+  *
+  * STREAMING offsets are VERSION NUMBERS (the manifest is already a
+  * totally ordered commit log), so checkpoint recovery replays exactly
+  * the un-committed version range — the same replay-safety argument as
+  * the CDC feed, with zero extra infrastructure. Each micro-batch reads
+  * the files ADDED in its version range (a version's files minus its
+  * predecessor's; the stream's first version contributes its full
+  * snapshot). The offset JSON also records the stream's START version,
+  * so a vacuumed predecessor at recovery is DISTINGUISHABLE from the
+  * legitimate initial snapshot and fails loudly instead of silently
+  * re-emitting every carried file.
   *
   * Deliberate scope — loud, never silently wrong:
-  *  - APPEND-ONLY version ranges: a version that removed or rewrote a
-  *    file (COW delete/update/merge/optimize/replace) fails the batch —
-  *    rows already emitted cannot be retracted by a source (use
-  *    [[SnapshotLog.changesBetween]] for CDC semantics). Deletion-vector
-  *    growth is refused for the same reason.
+  *  - APPEND-ONLY version ranges for streaming: a version that removed
+  *    or rewrote a file (COW delete/update/merge/optimize/replace)
+  *    fails the batch — rows already emitted cannot be retracted by a
+  *    source (use [[SnapshotLog.changesBetween]] for CDC semantics).
+  *    Deletion-vector growth is refused for the same reason (batch
+  *    reads apply DVs; streams refuse their growth).
   *  - Flat schemas of long / int / short / byte / double / float /
-  *    boolean / string / date / timestamp columns — the readers decode
-  *    parquet directly on executors ([[GroupReadSupport]], public
-  *    parquet-hadoop API) without a nested SparkSession.
+  *    boolean / string / date / timestamp / decimal columns, plus
+  *    single-level arrays of those element types (the embeddings
+  *    corpus is array<float>) — the readers decode parquet directly on
+  *    executors ([[org.apache.parquet.hadoop.example.GroupReadSupport]],
+  *    public parquet-hadoop API) without a nested SparkSession.
   *  - Hive-partitioned tables ARE supported: each file's partition
   *    tuple ships with its input partition (from the manifest — never
   *    re-parsed from paths on executors) and the reader fills the
@@ -52,20 +71,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * long history catches up in bounded bites instead of one giant batch.
   *
   * Micro-batch planning costs one manifest read per version in the
-  * range — metadata-sized, never data-sized; each added file becomes
-  * one input partition, so read parallelism tracks the commit's own
-  * file layout. */
+  * range — metadata-sized, never data-sized, and O(files) per version
+  * (file-set membership via one prebuilt hash set); each added file
+  * becomes one input partition, so read parallelism tracks the
+  * commit's own file layout. */
 class SnapshotStreamSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   /** Registered via META-INF/services — `.format("graft-snapshot")`. */
   override def shortName(): String = "graft-snapshot"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SnapshotStreamSource.schemaFor(SnapshotStreamSource.pathOf(options))
+    SnapshotStreamSource.schemaFor(SnapshotStreamSource.pathOf(options),
+      Option(options.get("versionAsOf")).map(_.toLong))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new SnapshotStreamTable(schema, properties.get("path"))
+      properties: java.util.Map[String, String]): Table = {
+    def prop(k: String): Option[String] = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.collectFirst {
+        case (pk, pv) if pk.equalsIgnoreCase(k) => pv }
+    }
+    new SnapshotStreamTable(schema,
+      prop("path").getOrElse(throw new IllegalArgumentException(
+        "graft-snapshot needs .option(\"path\", <table dir>)")),
+      prop("versionAsOf").map(_.toLong))
+  }
 }
 
 private[sources] object SnapshotStreamSource {
@@ -76,24 +106,27 @@ private[sources] object SnapshotStreamSource {
     p
   }
 
-  /** Latest version's declared schema, validated against the source's
-    * scope (decodable primitive types; typed-decodable partition
+  /** The version's declared schema (default: latest), validated against
+    * the source's scope (decodable types; typed-decodable partition
     * columns). */
-  def schemaFor(dir: String): StructType = {
+  def schemaFor(dir: String, version: Option[Long] = None): StructType = {
     val spark = SparkSession.active
     val vs = SnapshotLog.versions(spark, dir)
     require(vs.nonEmpty, s"no committed snapshot under $dir")
-    val latest = vs.last
-    val schema = SnapshotLog.schemaOf(spark, dir, latest).getOrElse(
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"version $v of $dir does not exist (have ${vs.mkString(",")})")
+    val schema = SnapshotLog.schemaOf(spark, dir, v).getOrElse(
       throw new IllegalArgumentException(
-        s"$dir has no #schema header — streaming needs a declared schema"))
+        s"$dir has no #schema header — the DSv2 table needs a declared schema"))
     schema.fields.foreach { f =>
       require(decodable(f.dataType),
         s"streaming source supports long/int/short/byte/double/float/" +
-          s"boolean/string/date/timestamp columns; '${f.name}' is " +
+          s"boolean/string/date/timestamp/decimal columns and " +
+          s"single-level arrays of those; '${f.name}' is " +
           f.dataType.simpleString)
     }
-    SnapshotLog.partitionColsOf(spark, dir, latest).foreach { c =>
+    SnapshotLog.partitionColsOf(spark, dir, v).foreach { c =>
       require(partDecodable(schema(c).dataType),
         s"streaming source supports string/integral/date PARTITION " +
           s"columns; '$c' is ${schema(c).dataType.simpleString}")
@@ -111,23 +144,28 @@ private[sources] object SnapshotStreamSource {
     case LongType | IntegerType | ShortType | ByteType | DoubleType |
          FloatType | BooleanType | StringType | DateType |
          TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case ArrayType(et, _) if !et.isInstanceOf[ArrayType] => decodable(et)
     case _ => false
   }
 }
 
-private[sources] class SnapshotStreamTable(schema0: StructType, dir: String)
+private[sources] class SnapshotStreamTable(schema0: StructType, dir: String,
+    versionAsOf: Option[Long])
     extends Table with SupportsRead {
   override def name(): String = s"graft-snapshot($dir)"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       // column pruning pushes down to the PARQUET column chunks: the
       // reader requests only the projected fields from each file, so a
-      // 2-of-20-column streaming consumer skips ~90% of the bytes — the
-      // same discipline as the batch scan's ReadSchema
+      // 2-of-20-column consumer skips ~90% of the bytes — the same
+      // discipline as the batch scan's ReadSchema; applies to BOTH the
+      // batch and the streaming scan
       private var pruned: StructType = schema0
       override def pruneColumns(requiredSchema: StructType): Unit = {
         // preserve the DECLARED column order (parquet assembly order is
@@ -137,18 +175,65 @@ private[sources] class SnapshotStreamTable(schema0: StructType, dir: String)
       }
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = pruned
+        override def toBatch: Batch = new SnapshotBatch(dir, pruned,
+          versionAsOf.orElse(
+            Option(options.get("versionAsOf")).map(_.toLong)))
         override def toMicroBatchStream(checkpointLocation: String)
-            : MicroBatchStream =
+            : MicroBatchStream = {
+          require(versionAsOf.isEmpty && options.get("versionAsOf") == null,
+            "versionAsOf is a batch-read option; streams start from " +
+              "startingVersion instead")
           new SnapshotMicroBatchStream(dir, pruned,
             Option(options.get("startingVersion")),
             Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+        }
       }
     }
 }
 
-/** A stream position: "everything up to and including version v". */
-private[sources] final case class VersionOffset(v: Long) extends Offset {
-  override def json(): String = v.toString
+/** The batch half: one version's manifest file list (default latest),
+  * partition tuples from the manifest, deletion vector applied via
+  * per-file bitmaps shipped inside the partitions. */
+private[sources] class SnapshotBatch(dir: String, schema: StructType,
+    versionAsOf: Option[Long]) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val vs = SnapshotLog.versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    val v = versionAsOf.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"version $v of $dir does not exist (have ${vs.mkString(",")})")
+    val files = SnapshotLog.filesOf(spark, dir, v)
+    val parts = if (SnapshotLog.partitionColsOf(spark, dir, v).nonEmpty)
+      SnapshotLog.filePartsOf(spark, dir, v)
+    else Map.empty[String, Map[String, String]]
+    val dvs = SnapshotLog.dvBitmapsOf(spark, dir, v)
+    files.map { p =>
+      SnapshotFilePartition(p, schema.json,
+        parts.getOrElse(p, Map.empty[String, String]),
+        dvs.get(new Path(p).toUri.getPath)): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotFileReaderFactory
+}
+
+/** A stream position: "everything up to and including version v".
+  * `start` is the stream's FIRST emitted version, carried in the offset
+  * JSON so recovery can tell the legitimate initial snapshot apart from
+  * a vacuumed predecessor (legacy plain-long offsets parse with
+  * start = -1 = unknown → any snapshot boundary fails loudly). */
+private[sources] final case class VersionOffset(v: Long, start: Long = -1L)
+    extends Offset {
+  override def json(): String = s"""{"v":$v,"s":$start}"""
+}
+
+private[sources] object VersionOffset {
+  private val Shape = """\{"v":(-?\d+),"s":(-?\d+)\}""".r
+  def parse(json: String): VersionOffset = json.trim match {
+    case Shape(v, s) => VersionOffset(v.toLong, s.toLong)
+    case legacy      => VersionOffset(legacy.toLong) // pre-r10 plain long
+  }
 }
 
 private[sources] class SnapshotMicroBatchStream(dir: String,
@@ -168,7 +253,7 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
       case Some(s)        => s.toLong
       case None           => vs.head
     }
-    VersionOffset(from - 1) // nothing emitted yet; first batch starts here
+    VersionOffset(from - 1, from) // nothing emitted yet; first batch here
   }
 
   // with SupportsAdmissionControl the engine drives the 2-arg form
@@ -179,23 +264,23 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : Offset = {
     val latest = SnapshotLog.versions(spark, dir).last
-    val s = start.asInstanceOf[VersionOffset].v
+    val so = start.asInstanceOf[VersionOffset]
     VersionOffset(maxVersionsPerTrigger match {
-      case Some(m) => math.min(latest, s + m) // bounded catch-up bites
+      case Some(m) => math.min(latest, so.v + m) // bounded catch-up bites
       case None    => latest
-    })
+    }, so.start)
   }
 
   override def reportLatestOffset(): Offset =
     VersionOffset(SnapshotLog.versions(spark, dir).last)
 
   override def deserializeOffset(json: String): Offset =
-    VersionOffset(json.toLong)
+    VersionOffset.parse(json)
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[VersionOffset].v,
-      end.asInstanceOf[VersionOffset].v)
+    val so = start.asInstanceOf[VersionOffset]
+    val (s, e) = (so.v, end.asInstanceOf[VersionOffset].v)
     if (e <= s) return Array.empty
     val vs = SnapshotLog.versions(spark, dir)
     val newFiles =
@@ -208,10 +293,18 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
       val files = SnapshotLog.filesOf(spark, dir, v)
       val prev: Seq[String] =
         if (vs.contains(v - 1)) SnapshotLog.filesOf(spark, dir, v - 1)
-        else Seq.empty // first retained version: full snapshot
-      val prevSet = prev.map(p => new Path(p).toUri.getPath).toSet
-      val removed = prev.filterNot(p => files.map(x =>
-        new Path(x).toUri.getPath).toSet.contains(new Path(p).toUri.getPath))
+        else if (v == so.start) Seq.empty // the stream's initial snapshot
+        else throw new IllegalStateException(
+          s"version ${v - 1} of $dir (the predecessor of streamed " +
+            s"version $v) is gone (vacuumed?) — emitting v$v as a full " +
+            "snapshot would re-emit every carried file; restart the " +
+            "stream from a retained version")
+      // membership via prebuilt hash sets — O(|prev| + |files|), never
+      // the O(|prev|·|files|) rebuild-inside-the-lambda shape
+      def norm(p: String): String = new Path(p).toUri.getPath
+      val prevSet = prev.map(norm).toSet
+      val curSet = files.map(norm).toSet
+      val removed = prev.filterNot(p => curSet.contains(norm(p)))
       require(removed.isEmpty,
         s"version $v of $dir removed/rewrote ${removed.size} file(s) — " +
           "the streaming source is append-only (an emitted row cannot be " +
@@ -227,12 +320,11 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
       val parts = if (SnapshotLog.partitionColsOf(spark, dir, v).nonEmpty)
         SnapshotLog.filePartsOf(spark, dir, v)
       else Map.empty[String, Map[String, String]]
-      newFiles ++= files.filterNot(p =>
-        prevSet.contains(new Path(p).toUri.getPath))
+      newFiles ++= files.filterNot(p => prevSet.contains(norm(p)))
         .map(p => (p, parts.getOrElse(p, Map.empty[String, String])))
     }
     newFiles.map { case (p, t) =>
-      SnapshotFilePartition(p, schema.json, t): InputPartition
+      SnapshotFilePartition(p, schema.json, t, None): InputPartition
     }.toArray
   }
 
@@ -245,7 +337,8 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
 
 private[sources] final case class SnapshotFilePartition(path: String,
     schemaJson: String,
-    partTuple: Map[String, String]) extends InputPartition
+    partTuple: Map[String, String],
+    dvBitmap: Option[Array[Byte]]) extends InputPartition
 
 private[sources] class SnapshotFileReaderFactory
     extends PartitionReaderFactory {
@@ -253,7 +346,8 @@ private[sources] class SnapshotFileReaderFactory
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
     new GroupFileReader(p.path,
-      DataType.fromJson(p.schemaJson).asInstanceOf[StructType], p.partTuple)
+      DataType.fromJson(p.schemaJson).asInstanceOf[StructType], p.partTuple,
+      p.dvBitmap)
   }
 }
 
@@ -262,10 +356,17 @@ private[sources] class SnapshotFileReaderFactory
   * Column order follows the DECLARED schema; a column missing from the
   * file reads its PARTITION-tuple constant when the file's manifest
   * tuple carries one (hive layouts strip partition columns from the
-  * data files), else null (pre-evolution data). */
+  * data files), else null (pre-evolution data). Field indexes and
+  * per-column decoders resolve ONCE per file from the projected
+  * message type — the row loop does no name lookups. A deletion-vector
+  * bitmap, when shipped, suppresses tombstoned row positions. */
 private[sources] class GroupFileReader(path: String, schema: StructType,
-    partTuple: Map[String, String] = Map.empty)
+    partTuple: Map[String, String] = Map.empty,
+    dvBitmap: Option[Array[Byte]] = None)
     extends PartitionReader[InternalRow] {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
   // typed constants for partition columns, decoded ONCE per file
   private val partConsts: Map[String, Any] = partTuple.flatMap {
     case (c, raw) => schema.fields.find(_.name == c).map { f =>
@@ -283,83 +384,176 @@ private[sources] class GroupFileReader(path: String, schema: StructType,
         })
     }
   }
-  private val reader = {
+
+  private val projected: org.apache.parquet.schema.MessageType = {
     val conf = new org.apache.hadoop.conf.Configuration()
+    val footer = org.apache.parquet.hadoop.ParquetFileReader
+      .readFooter(conf, new Path(path),
+        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    val fileSchema = footer.getFileMetaData.getSchema
+    val want = schema.fieldNames.toSet
+    import scala.jdk.CollectionConverters._
     // parquet-level projection: request only the schema's fields that
     // exist in THIS file (typed from the file's own footer, so INT96 vs
     // INT64 timestamps always match) — unrequested column chunks are
     // never read. An all-partition/pre-evolution projection keeps one
     // anchor field purely to drive the row count.
-    val hp = new Path(path)
-    val footer = org.apache.parquet.hadoop.ParquetFileReader
-      .readFooter(conf, hp,
-        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-    val fileSchema = footer.getFileMetaData.getSchema
-    val want = schema.fieldNames.toSet
-    val projected = {
-      import scala.jdk.CollectionConverters._
-      val fields = fileSchema.getFields.asScala.filter(f =>
-        want(f.getName))
-      val anchor = if (fields.nonEmpty) fields
-        else Seq(fileSchema.getFields.get(0))
-      new org.apache.parquet.schema.MessageType(fileSchema.getName,
-        anchor.asJava)
-    }
+    val fields = fileSchema.getFields.asScala.filter(f => want(f.getName))
+    val anchor = if (fields.nonEmpty) fields
+      else Seq(fileSchema.getFields.get(0))
+    new org.apache.parquet.schema.MessageType(fileSchema.getName,
+      anchor.asJava)
+  }
+
+  private val reader = {
+    val conf = new org.apache.hadoop.conf.Configuration()
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       projected.toString)
     org.apache.parquet.hadoop.ParquetReader
       .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-        hp)
+        new Path(path))
       .withConf(conf)
       .build()
   }
-  private var current: org.apache.parquet.example.data.Group = _
+
+  /** A decoder for one primitive value at (fi, 0) of a group, chosen
+    * once from (spark type, parquet primitive). */
+  private def primDecoder(dt: DataType,
+      prim: PrimitiveTypeName, fi: Int): Group => Any = dt match {
+    case LongType    => g => g.getLong(fi, 0)
+    case IntegerType => g => g.getInteger(fi, 0)
+    case ShortType   => g => g.getInteger(fi, 0).toShort
+    case ByteType    => g => g.getInteger(fi, 0).toByte
+    case DoubleType  => g => g.getDouble(fi, 0)
+    case FloatType   => g => g.getFloat(fi, 0)
+    case BooleanType => g => g.getBoolean(fi, 0)
+    case StringType  => g => UTF8String.fromBytes(g.getBinary(fi, 0).getBytes)
+    case DateType    => g => g.getInteger(fi, 0) // epoch days, as stored
+    case dec: DecimalType => prim match {
+      // parquet physical form tracks precision: INT32 (≤9), INT64
+      // (≤18), fixed/variable binary beyond — decode whichever the
+      // file carries into an unscaled value at the DECLARED scale
+      case PrimitiveTypeName.INT32 =>
+        g => Decimal(g.getInteger(fi, 0).toLong, dec.precision, dec.scale)
+      case PrimitiveTypeName.INT64 =>
+        g => Decimal(g.getLong(fi, 0), dec.precision, dec.scale)
+      case _ =>
+        g => Decimal(BigDecimal(
+          BigInt(new java.math.BigInteger(g.getBinary(fi, 0).getBytes)),
+          dec.scale), dec.precision, dec.scale)
+    }
+    case TimestampType | TimestampNTZType => prim match {
+      // Spark writes INT96 by default (12 bytes: nanos-of-day LE ++
+      // julian-day LE) and TIMESTAMP_MICROS when configured — decode
+      // whichever the file carries
+      case PrimitiveTypeName.INT96 => g => {
+        val b = g.getInt96(fi, 0).getBytes
+        val buf = java.nio.ByteBuffer.wrap(b)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanosOfDay = buf.getLong
+        val julianDay = buf.getInt
+        (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+      }
+      case _ => g => g.getLong(fi, 0) // TIMESTAMP_MICROS
+    }
+    case other => throw new IllegalStateException(
+      s"undecodable type ${other.simpleString}")
+  }
+
+  /** Per-schema-field decoders, resolved ONCE from the projected
+    * message type (missing field → partition constant or null). */
+  private val decoders: Array[Group => Any] =
+    schema.fields.map { f =>
+      val fi = if (projected.containsField(f.name))
+        projected.getFieldIndex(f.name) else -1
+      if (fi < 0) {
+        if (partConsts.contains(f.name)) {
+          val c = partConsts(f.name); (_: Group) => c
+        } else (_: Group) => null
+      } else f.dataType match {
+        case ArrayType(et, _) =>
+          // Spark's standard 3-level list: optional group (LIST) {
+          //   repeated group list { optional <elem> element } };
+          // legacy 2-level (repeated <prim> directly) also decodes
+          val listGt = projected.getType(fi).asGroupType()
+          val inner = listGt.getType(0)
+          val threeLevel = !inner.isPrimitive
+          val elemPrim =
+            if (threeLevel)
+              inner.asGroupType().getType(0).asPrimitiveType()
+                .getPrimitiveTypeName
+            else inner.asPrimitiveType().getPrimitiveTypeName
+          val elemDec = primDecoder(et, elemPrim, 0)
+          g => {
+            if (g.getFieldRepetitionCount(fi) == 0) null
+            else {
+              val lg = g.getGroup(fi, 0)
+              val n = lg.getFieldRepetitionCount(0)
+              val arr = new Array[Any](n)
+              var j = 0
+              while (j < n) {
+                arr(j) =
+                  if (threeLevel) {
+                    val eg = lg.getGroup(0, j)
+                    if (eg.getFieldRepetitionCount(0) == 0) null
+                    else elemDec(eg)
+                  } else primDecoderAt(et, elemPrim, 0, j)(lg)
+                j += 1
+              }
+              new GenericArrayData(arr)
+            }
+          }
+        case dt =>
+          val prim = projected.getType(fi).asPrimitiveType()
+            .getPrimitiveTypeName
+          val dec = primDecoder(dt, prim, fi)
+          g => if (g.getFieldRepetitionCount(fi) == 0) null else dec(g)
+      }
+    }
+
+  /** [[primDecoder]] at an explicit repetition index (legacy 2-level
+    * lists repeat the primitive directly). */
+  private def primDecoderAt(dt: DataType, prim: PrimitiveTypeName,
+      fi: Int, idx: Int): Group => Any = dt match {
+    case LongType    => g => g.getLong(fi, idx)
+    case IntegerType => g => g.getInteger(fi, idx)
+    case DoubleType  => g => g.getDouble(fi, idx)
+    case FloatType   => g => g.getFloat(fi, idx)
+    case BooleanType => g => g.getBoolean(fi, idx)
+    case StringType  =>
+      g => UTF8String.fromBytes(g.getBinary(fi, idx).getBytes)
+    case other => throw new IllegalStateException(
+      s"undecodable legacy-list element ${other.simpleString}")
+  }
+
+  // tombstoned positions of THIS file (batch reads of DV-carrying
+  // versions); row index advances per parquet record read
+  private val dv: Option[org.roaringbitmap.longlong.Roaring64NavigableMap] =
+    dvBitmap.map { bytes =>
+      val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+      bm.deserialize(new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      bm
+    }
+  private var rowIdx: Long = -1L
+  private var current: Group = _
 
   override def next(): Boolean = {
     current = reader.read()
+    rowIdx += 1
+    while (current != null && dv.exists(_.contains(rowIdx))) {
+      current = reader.read()
+      rowIdx += 1
+    }
     current != null
   }
 
   override def get(): InternalRow = {
     val g = current
-    val gt = g.getType
     val vals = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
-      val f = schema(i)
-      val fi = if (gt.containsField(f.name)) gt.getFieldIndex(f.name) else -1
-      vals(i) =
-        if (fi < 0 && partConsts.contains(f.name)) partConsts(f.name)
-        else if (fi < 0 || g.getFieldRepetitionCount(fi) == 0) null
-        else f.dataType match {
-          case LongType    => g.getLong(fi, 0)
-          case IntegerType => g.getInteger(fi, 0)
-          case ShortType   => g.getInteger(fi, 0).toShort
-          case ByteType    => g.getInteger(fi, 0).toByte
-          case DoubleType  => g.getDouble(fi, 0)
-          case FloatType   => g.getFloat(fi, 0)
-          case BooleanType => g.getBoolean(fi, 0)
-          case StringType  =>
-            UTF8String.fromBytes(g.getBinary(fi, 0).getBytes)
-          case DateType    => g.getInteger(fi, 0) // epoch days, as stored
-          case TimestampType | TimestampNTZType =>
-            // Spark writes INT96 by default (12 bytes: nanos-of-day LE ++
-            // julian-day LE) and TIMESTAMP_MICROS when configured —
-            // decode whichever the file carries
-            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-            gt.getType(fi).asPrimitiveType().getPrimitiveTypeName match {
-              case PrimitiveTypeName.INT96 =>
-                val b = g.getInt96(fi, 0).getBytes
-                val buf = java.nio.ByteBuffer.wrap(b)
-                  .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-                val nanosOfDay = buf.getLong
-                val julianDay = buf.getInt
-                (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
-              case _ => g.getLong(fi, 0) // TIMESTAMP_MICROS
-            }
-          case other => throw new IllegalStateException(
-            s"undecodable type ${other.simpleString} for '${f.name}'")
-        }
+      vals(i) = decoders(i)(g)
       i += 1
     }
     new GenericInternalRow(vals)

@@ -67,10 +67,14 @@ class SnapshotSqlDmlSpec extends AnyFunSuite with SparkFixture {
     val dir = freshDir()
     SnapshotLog.commit(spark, dir,
       spark.range(0, 10).select(col("id").as("k"), col("id").as("v")))
-    // updateWhere is NOT idempotent (v = v + 1): a double-run would show
+    // updateWhere is NOT idempotent (v = v + 1): a double-run would show.
+    // show() is the hard case — it derives a NEW Dataset over the same
+    // logical statement, so the verb guard must live on the shared
+    // logical node, not the physical exec
     val r = spark.sql(s"SELECT * FROM snapshot_update_where('$dir', " +
       "'true', 'v', 'v + 1')")
-    r.collect(); r.collect() // extra action must not re-run the verb
+    r.show()
+    r.collect(); r.collect() // extra actions must not re-run the verb
     assert(SnapshotLog.versions(spark, dir) === Seq(1L, 2L))
     assert(SnapshotLog.read(spark, dir).agg(sum("v")).as[Long].head()
       === (0 until 10).map(_ + 1).sum)

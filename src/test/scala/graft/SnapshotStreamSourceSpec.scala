@@ -165,13 +165,160 @@ class SnapshotStreamSourceSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("unsupported column types are rejected at planning") {
+    // arrays of primitives stream since r10; nested arrays and maps
+    // stay out of scope — rejected LOUDLY at planning, never half-read
     val cdir = freshDir()
     SnapshotLog.commit(spark, cdir,
-      Seq((1L, Seq(1.0, 2.0))).toDF("k", "emb"))
+      Seq((1L, Seq(Seq(1.0), Seq(2.0)))).toDF("k", "nested"))
     val e2 = intercept[IllegalArgumentException] {
       spark.readStream.format(Fmt).option("path", cdir).load()
     }
     assert(e2.getMessage.contains("streaming source supports"))
+    val mdir = freshDir()
+    SnapshotLog.commit(spark, mdir,
+      Seq((1L, Map("a" -> 1L))).toDF("k", "m"))
+    val e3 = intercept[IllegalArgumentException] {
+      spark.readStream.format(Fmt).option("path", mdir).load()
+    }
+    assert(e3.getMessage.contains("streaming source supports"))
+  }
+
+  test("array<float> embeddings stream bit-identically to the batch read") {
+    // the LLM-pipeline boundary the r9 scope stopped at: vectors now
+    // flow through the streaming source — batch and stream agree cell
+    // for cell, including null elements and empty arrays
+    val dir = freshDir()
+    val df = Seq(
+      (1L, Seq(1.5f, -2.25f, 0.125f)),
+      (2L, Seq.empty[Float]),
+      (3L, Seq(Float.MinPositiveValue, Float.MaxValue)))
+      .toDF("k", "emb")
+    SnapshotLog.commit(spark, dir, df)
+    SnapshotLog.commitBatch(spark, dir,
+      Seq((4L, Seq(9.5f))).toDF("k", "emb"), batchId = 1L)
+    val q = spark.readStream.format(Fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("snap_emb")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("snap_emb").orderBy("k").collect().map(_.toSeq)
+      val want = SnapshotLog.read(spark, dir).orderBy("k").collect()
+        .map(_.toSeq)
+      assert(got === want)
+      assert(got.length === 4)
+    } finally q.stop()
+  }
+
+  test("decimal columns stream across all three parquet physical forms") {
+    // precision ≤9 → INT32, ≤18 → INT64, beyond → fixed binary; the
+    // executor-side decoder reads whichever the file carries
+    val dir = freshDir()
+    val df = Seq((1L, "123.45"), (2L, "-7.01"))
+      .toDF("k", "s")
+      .select(col("k"),
+        col("s").cast("decimal(9,2)").as("d9"),
+        col("s").cast("decimal(18,2)").as("d18"),
+        col("s").cast("decimal(28,4)").as("d28"))
+    SnapshotLog.commit(spark, dir, df)
+    val q = spark.readStream.format(Fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("snap_dec")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("snap_dec").orderBy("k").collect().map(_.toSeq)
+      val want = SnapshotLog.read(spark, dir).orderBy("k").collect()
+        .map(_.toSeq)
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("batch read: spark.read.format(graft-snapshot) matches SnapshotLog.read") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, rows(0, 10))
+    SnapshotLog.commitBatch(spark, dir, rows(10, 15), batchId = 1L)
+    val got = spark.read.format("graft-snapshot").option("path", dir).load()
+    val want = SnapshotLog.read(spark, dir)
+    // names+types match; the DSv2 path additionally KEEPS the declared
+    // non-null flags (parquet batch reads relax everything to nullable)
+    assert(got.schema.map(f => (f.name, f.dataType)) ===
+      want.schema.map(f => (f.name, f.dataType)))
+    assert(got.orderBy("k").collect().map(_.toSeq) ===
+      want.orderBy("k").collect().map(_.toSeq))
+    // column pruning reaches the reader (schema of the scan shrinks)
+    assert(got.select("v").columns.toSeq === Seq("v"))
+    assert(got.select("v").as[String].collect().sorted.head === "v0")
+  }
+
+  test("batch read: versionAsOf time travel matches the library read") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, rows(0, 5))
+    SnapshotLog.commitBatch(spark, dir, rows(5, 9), batchId = 1L)
+    val v1 = spark.read.format("graft-snapshot").option("path", dir)
+      .option("versionAsOf", "1").load()
+    assert(v1.select("k").as[Long].collect().sorted === (0L until 5L).toArray)
+    val bad = intercept[Exception] {
+      spark.read.format("graft-snapshot").option("path", dir)
+        .option("versionAsOf", "99").load().collect()
+    }
+    assert(bad.getMessage.contains("does not exist"))
+  }
+
+  test("batch read applies merge-on-read deletion vectors via shipped bitmaps") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, rows(0, 10))
+    SnapshotLog.deleteWhereMoR(spark, dir, col("k") % 3 === 0L)
+    val got = spark.read.format("graft-snapshot").option("path", dir).load()
+      .select("k").as[Long].collect().sorted
+    val want = SnapshotLog.read(spark, dir)
+      .select("k").as[Long].collect().sorted
+    assert(got === want)
+    assert(got === (0L until 10L).filter(_ % 3 != 0).toArray)
+  }
+
+  test("batch read: hive-partitioned tables fill typed partition constants") {
+    val dir = freshDir()
+    SnapshotLog.commitPartitioned(spark, dir,
+      Seq((1L, "eu", "a"), (2L, "us", "b"), (3L, "eu", "c"))
+        .toDF("k", "region", "v"), Seq("region"))
+    val got = spark.read.format("graft-snapshot").option("path", dir).load()
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got === Array((1L, "eu", "a"), (2L, "us", "b"), (3L, "eu", "c")))
+  }
+
+  test("recovery across a vacuumed boundary fails loudly instead of re-emitting") {
+    // the r9 hole: a checkpointed offset whose SUCCESSOR became the
+    // earliest retained version used to replay that version's full
+    // snapshot — duplicating every carried file. The offset now records
+    // the stream's true start version, so this boundary is
+    // distinguishable from the legitimate initial snapshot.
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("snapvac-ckpt").toString
+    SnapshotLog.commit(spark, dir, rows(0, 4))
+    SnapshotLog.commitBatch(spark, dir, rows(4, 6), batchId = 1L)
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    def start() = spark.readStream.format(Fmt).option("path", dir).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= df.select("k").as[Long].collect() }
+        ()
+      }.start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(out.sorted === (0L until 6L))
+    // while the stream is down: one more commit, then vacuum away all
+    // history — the new commit's PREDECESSOR is gone
+    SnapshotLog.commitBatch(spark, dir, rows(6, 8), batchId = 2L)
+    SnapshotLog.vacuum(spark, dir, keepLast = 1)
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("vacuumed"),
+      s"expected the vacuumed-boundary refusal, got: $msg")
+    // and nothing was re-emitted before the failure surfaced
+    assert(out.sorted === (0L until 6L),
+      s"recovery re-emitted rows: ${out.sorted.mkString(",")}")
   }
 
   test("maxVersionsPerTrigger bounds catch-up batches (admission control)") {

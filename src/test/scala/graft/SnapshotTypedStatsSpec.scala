@@ -582,11 +582,43 @@ class SnapshotTypedStatsSpec extends AnyFunSuite with SparkFixture {
     val (nulls, sNull, _) =
       SnapshotLog.readFilterSql(spark, dir, "score IS NULL")
     assert(sNull < total && nulls.count() === 100)
-    // an OR tree cannot prune — but the residual keeps it exact
+    // an OR tree prunes PER DISJUNCT (r10): union of the two point
+    // probes' file sets — far fewer than all files, still exact
     val (ors, sOr, tOr) = SnapshotLog.readFilterSql(spark, dir,
       "k = 5 OR k = 950")
-    assert(sOr === tOr)
+    assert(sOr < tOr, s"OR disjuncts did not prune: $sOr/$tOr")
     assert(ors.select("k").as[Long].collect().sorted === Array(5L, 950L))
+  }
+
+  test("readFilterSql: OR-of-ranges prunes to the union; AND-of-OR intersects; case-insensitive columns prune") {
+    val dir = freshDir()
+    val df = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") % 4).as("g"), (col("id") * 3).as("v"))
+      .repartitionByRange(10, col("k"))
+    SnapshotLog.commitWithStats(spark, dir, df, Seq("k", "g"))
+    // the retention-scan shape: day < a OR day > b — here k-bands
+    val (got, scanned, total) = SnapshotLog.readFilterSql(spark, dir,
+      "k < 100 OR k > 899")
+    assert(scanned < total, s"OR of ranges scanned $scanned/$total")
+    assert(got.select("k").as[Long].collect().sorted ===
+      ((0L until 100L) ++ (900L until 1000L)).toArray)
+    // a conjunct ANDed over the OR intersects on top of the union
+    val (both, sBoth, tBoth) = SnapshotLog.readFilterSql(spark, dir,
+      "(k < 100 OR k > 899) AND k >= 950")
+    assert(sBoth < scanned, s"AND-of-OR did not tighten: $sBoth vs $scanned")
+    assert(both.select("k").as[Long].collect().sorted ===
+      (950L until 1000L).toArray)
+    // an unprunable disjunct keeps its conjunct conservative but exact
+    val (loose, sLoose, tLoose) = SnapshotLog.readFilterSql(spark, dir,
+      "k < 10 OR v = k + 5000")
+    assert(sLoose === tLoose) // v = k + 5000 cannot prune — keep all
+    assert(loose.count() === 10)
+    // case-mismatched column names resolve under the session's default
+    // case-insensitive rules — they PRUNE instead of throwing
+    val (ci, sCi, tCi) = SnapshotLog.readFilterSql(spark, dir,
+      "K BETWEEN 100 AND 199")
+    assert(sCi < tCi, s"case-mismatched probe did not prune: $sCi/$tCi")
+    assert(ci.count() === 100)
   }
 
   test("readFilterSql coerces string literals under the column's type") {
