@@ -124,12 +124,22 @@ object CuratePipeline {
 
   /** Per-run report: the stage funnel (ordered, first entry = raw input)
     * and, when publishing through a snapshot log, the committed
-    * version. */
+    * version. `packAudit` carries the sequence-packing audit of every
+    * `pack_audit` stage: (stageTag, per-source packing rows). */
   final case class CurateReport(
       stageRows: Seq[(String, Long)],
       finalRows: Long,
       logVersion: Option[Long],
-      expectations: Seq[(String, Long, Boolean)] = Seq.empty)
+      expectations: Seq[(String, Long, Boolean)] = Seq.empty,
+      packAudit: Seq[(String, Seq[PackStat])] = Seq.empty)
+
+  /** One source's row of the sequence-packing audit (the q_seq_pack
+    * shape): how `nDocs`/`totalTokens` concatenate-and-chop into
+    * `seqTokens`-sized training sequences — `nStraddlers` docs cross a
+    * chop boundary (attention-mask leakage candidates), `padTokens`
+    * fill the final sequence. */
+  final case class PackStat(source: String, nDocs: Long, totalTokens: Long,
+      nSeqs: Long, nStraddlers: Long, padTokens: Long)
 
   // ------------------------------------------------------------------
   // config
@@ -150,7 +160,8 @@ object CuratePipeline {
     "decontaminate" -> ((Set("eval_path"), Set("gram"))),
     "pii_scrub" -> ((Set.empty[String], Set.empty[String])),
     "source_quota" -> ((Set("per_source"), Set.empty[String])),
-    "token_budget" -> ((Set("per_source_tokens"), Set.empty[String])))
+    "token_budget" -> ((Set("per_source_tokens"), Set.empty[String])),
+    "pack_audit" -> ((Set("seq_tokens"), Set.empty[String])))
 
   private[graft] def parse(rawLines: Seq[String],
       where: String): CurateConfig = {
@@ -535,9 +546,21 @@ object CuratePipeline {
       df.observe(o, count(lit(1)).as("rows"))
     }
     var df = tagged(input, "s00_input")
+    // pack_audit stages REPORT, never transform: each captures a lazy
+    // audit frame over the pipeline AT ITS POSITION (post-chunk vs
+    // post-budget audits differ — that's the point); collected after
+    // the write, costing one dedicated slice pass each, like
+    // table-shaped expectation checks
+    val packAudits =
+      scala.collection.mutable.ArrayBuffer[(String, DataFrame)]()
     cfg.stages.zipWithIndex.foreach { case (st, i) =>
-      df = tagged(applyStage(spark, df, st, cfg),
-        f"s${i + 1}%02d_${st.name}")
+      val tag = f"s${i + 1}%02d_${st.name}"
+      if (st.name == "pack_audit") {
+        require(df.columns.contains("source"),
+          "pack_audit needs a 'source' column in the curated frame")
+        packAudits += tag -> packAudit(df, "source", cfg.idCol,
+          cfg.textCol, st.params("seq_tokens").toInt)
+      } else df = tagged(applyStage(spark, df, st, cfg), tag)
     }
     val sharded = cfg.shards match {
       case Some(n) => df.repartition(n, col(cfg.idCol))
@@ -645,7 +668,44 @@ object CuratePipeline {
       }
       v
     }
-    CurateReport(stageRows, stageRows.last._2, version, expectReport)
+    // source-count-bounded collects; the frames are lazy until here so
+    // a failed publish gate above never pays for audits
+    val packReport = packAudits.toSeq.map { case (tag, adf) =>
+      tag -> adf.collect().toSeq.map(r => PackStat(r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    }
+    CurateReport(stageRows, stageRows.last._2, version, expectReport,
+      packReport)
+  }
+
+  /** The sequence-packing audit frame — the q_seq_pack recipe as a
+    * library call (OlapStatOps.seqPack delegates here): per `srcCol`,
+    * docs concatenate in `idCol` order into one token stream chopped
+    * into `seqTokens`-sized training sequences; reports docs, tokens,
+    * sequence count, boundary-straddling docs (attention-mask leakage
+    * candidates) and pad tokens in the final sequence. Tokens are the
+    * house whitespace convention; ONE source-partitioned prefix window
+    * with an explicit ROWS frame over the unique id order; integer
+    * division throughout (`div`, never `/`). */
+  def packAudit(df: DataFrame, srcCol: String, idCol: String,
+      textCol: String, seqTokens: Int): DataFrame = {
+    require(seqTokens >= 1, s"seq_tokens must be >= 1, got $seqTokens")
+    val n = seqTokens
+    val d = df.select(col(srcCol).as("source"), col(idCol).as("_pa_id"),
+      size(split(col(textCol), " ")).cast("long").as("ntok"))
+    val w = Window.partitionBy("source").orderBy("_pa_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = d.withColumn("cum", sum("ntok").over(w))
+    cum.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").cast("long").as("total_tokens"),
+        expr(s"CAST((max(cum) + ${n - 1}) div $n AS BIGINT)").as("n_seqs"),
+        expr(s"CAST(sum(CASE WHEN (cum - ntok) div $n <> (cum - 1) div $n" +
+          " THEN 1 ELSE 0 END) AS BIGINT)").as("n_straddlers"),
+        expr(s"CAST((max(cum) + ${n - 1}) div $n * $n - max(cum) AS BIGINT)")
+          .as("pad_tokens"))
+      .orderBy("source")
   }
 
   /** Load + run in one call — the scheduled-deployment entry. */

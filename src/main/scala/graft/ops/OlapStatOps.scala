@@ -464,7 +464,9 @@ object OlapStatOps {
     * candidates) and pad tokens in the final sequence. Tokens are the
     * house whitespace convention (q_token_budget); the prefix sum is
     * one source-partitioned window with an explicit ROWS frame over a
-    * unique (doc_id) order — deterministic and hash-distributed. */
+    * unique (doc_id) order — deterministic and hash-distributed. The
+    * engine side IS [[graft.CuratePipeline.packAudit]] — the same
+    * audit runs as a `pack_audit` pipeline report stage. */
   val seqPack: Q = Q.checked(
     "q_seq_pack",
     """WITH d AS (
@@ -485,23 +487,8 @@ object OlapStatOps {
       |    AS pad_tokens
       |FROM w GROUP BY source ORDER BY source""".stripMargin
   ) { (s, dir) =>
-    val d = Tables.documents(s, dir)
-      .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("ntok"))
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = d.withColumn("cum", sum("ntok").over(w))
-    cum.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("ntok").cast("long").as("total_tokens"),
-        // integer division throughout ('div', never '/' — Column '/'
-        // is IEEE double division)
-        expr("CAST((max(cum) + 511) div 512 AS BIGINT)").as("n_seqs"),
-        expr("CAST(sum(CASE WHEN (cum - ntok) div 512 <> (cum - 1) div 512" +
-          " THEN 1 ELSE 0 END) AS BIGINT)").as("n_straddlers"),
-        expr("CAST((max(cum) + 511) div 512 * 512 - max(cum) AS BIGINT)")
-          .as("pad_tokens"))
-      .orderBy("source")
+    graft.CuratePipeline.packAudit(Tables.documents(s, dir),
+      "source", "doc_id", "text", 512)
   }
 
   /** DAU/WAU stickiness per ISO week (both engines truncate weeks to

@@ -527,4 +527,61 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("log_dir must differ"))
   }
+
+  test("pack_audit stage: reports the q_seq_pack audit at its pipeline position, transforms nothing") {
+    val out = tmp("curate-pack")
+    val config =
+      s"""curate:
+         |  input: $Sf/documents.parquet
+         |  out_dir: $out
+         |stages:
+         |  - stage: lang_keep
+         |    langs: [en, de]
+         |  - stage: pack_audit
+         |    seq_tokens: 128
+         |  - stage: source_quota
+         |    per_source: 8
+         |  - stage: pack_audit
+         |    seq_tokens: 128
+         |""".stripMargin
+    val cfg = CuratePipeline.parse(config.linesIterator.toSeq, "t.yaml")
+    val report = CuratePipeline.run(spark, cfg)
+
+    // the audit stage is a REPORT: the funnel skips it and the row
+    // counts are untouched by it
+    assert(report.stageRows.map(_._1) ===
+      Seq("s00_input", "s01_lang_keep", "s03_source_quota"))
+    assert(report.packAudit.map(_._1) ===
+      Seq("s02_pack_audit", "s04_pack_audit"))
+
+    // each audit equals the library call over the hand-composed frame
+    // AT THAT POSITION (they differ — that's the point of positioning)
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val afterLang = CuratePipeline.applyStage(spark, docs,
+      cfg.stages.head, cfg)
+    val afterQuota = CuratePipeline.applyStage(spark, afterLang,
+      cfg.stages(2), cfg)
+    def statsOf(df: org.apache.spark.sql.DataFrame) =
+      CuratePipeline.packAudit(df, "source", "doc_id", "text", 128)
+        .collect().toSeq.map(r => CuratePipeline.PackStat(r.getString(0),
+          r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))
+    assert(report.packAudit.head._2 === statsOf(afterLang))
+    assert(report.packAudit(1)._2 === statsOf(afterQuota))
+    assert(report.packAudit.head._2 !== report.packAudit(1)._2)
+
+    // the written output is the transform-only composition
+    assert(spark.read.parquet(out).count() === afterQuota.count())
+
+    // q_seq_pack delegates to the same helper: identical output shape
+    val q = ops.OlapStatOps.seqPack.fn(spark, Sf)
+    assert(q.columns.toSeq === Seq("source", "n_docs", "total_tokens",
+      "n_seqs", "n_straddlers", "pad_tokens"))
+
+    // config validation: seq_tokens required and integer
+    intercept[IllegalArgumentException] {
+      CuratePipeline.parse(config.replace("    seq_tokens: 128\n", "")
+        .linesIterator.toSeq, "t.yaml")
+    }
+  }
 }
