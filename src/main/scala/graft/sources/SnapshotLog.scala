@@ -367,15 +367,31 @@ object SnapshotLog {
     * table as of batch k"), [[vacuum]] retention and [[deleteWhere]] —
     * none of which a plain parquet append sink has. */
   def commitBatch(spark: SparkSession, dir: String, df: DataFrame,
-      batchId: Long): Long = {
+      batchId: Long): Long =
+    appendImpl(spark, dir, df, Some(batchId))
+
+  /** Plain APPEND commit — [[commitBatch]] without the `#batch=` replay
+    * header (the DSv2/v1 batch-write path): a one-off batch append must
+    * NOT stamp a batch id, or a streaming sink later checkpointed at a
+    * smaller epoch would silently skip its first batches against this
+    * table. Everything else (carried files, DV, partition purity,
+    * schema merge, CHECK validation, race rebase) is identical. */
+  def append(spark: SparkSession, dir: String, df: DataFrame): Long =
+    appendImpl(spark, dir, df, None)
+
+  private def appendImpl(spark: SparkSession, dir: String, df: DataFrame,
+      batchId: Option[Long]): Long = {
+    val what = batchId.map(b => s"batch $b").getOrElse("append")
     val commitId = java.util.UUID.randomUUID().toString
     var fresh: Seq[String] = null // batch data written once, on first need
     var writtenPcs: Seq[String] = null // partition layout fresh was written in
     var validatedChecks: Option[Seq[(String, String)]] = None
     while (true) {
       val vs = versions(spark, dir)
-      if (lastBatch(spark, dir).exists(batchId <= _))
-        return vs.last // replayed batch: no-op (orphan data vacuumable)
+      batchId.foreach { b =>
+        if (lastBatch(spark, dir).exists(b <= _))
+          return vs.last // replayed batch: no-op (orphan data vacuumable)
+      }
       val latest = vs.lastOption
       val checks = latest.map(checksOf(spark, dir, _)).getOrElse(Seq.empty)
       // a partition-declared table's appends stay partition-pure — the
@@ -383,7 +399,7 @@ object SnapshotLog {
       val pcs = latest.map(partitionColsOf(spark, dir, _)).getOrElse(Seq.empty)
       if (fresh == null) {
         val (wired, assertChecks) =
-          observedChecks(df, checks, commitId, s"batch $batchId into $dir")
+          observedChecks(df, checks, commitId, s"$what into $dir")
         fresh = writeData(spark, dir, wired, commitId, pcs)
         writtenPcs = pcs
         assertChecks()
@@ -394,7 +410,7 @@ object SnapshotLog {
             s"${writtenPcs.mkString(",")}, now ${pcs.mkString(",")}) — " +
             "retry the batch")
         if (!validatedChecks.contains(checks)) {
-          requireChecksPass(checks, df, s"batch $batchId into $dir")
+          requireChecksPass(checks, df, s"$what into $dir")
           validatedChecks = Some(checks)
         }
       }
@@ -408,7 +424,8 @@ object SnapshotLog {
       val partLines = latest.map(l => partHeaders(pcs,
         filePartsOf(spark, dir, l), prev, fresh)).getOrElse(Seq.empty)
       commitFiles(spark, dir, (prev ++ fresh).sorted, commitId,
-        header = Seq(s"#batch=$batchId", schemaHeader(schema)) ++
+        header = batchId.map(b => s"#batch=$b").toSeq ++
+          Seq(schemaHeader(schema)) ++
           dvHeader ++ partLines ++ checkHeaders(checks),
         base = Some(latest)) match {
         case Some(v) => return v

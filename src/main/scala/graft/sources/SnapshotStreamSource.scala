@@ -76,13 +76,78 @@ import org.apache.spark.unsafe.types.UTF8String
   * becomes one input partition, so read parallelism tracks the
   * commit's own file layout. */
 class SnapshotStreamSource extends TableProvider
-    with org.apache.spark.sql.sources.DataSourceRegister {
+    with org.apache.spark.sql.sources.DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   /** Registered via META-INF/services — `.format("graft-snapshot")`. */
   override def shortName(): String = "graft-snapshot"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SnapshotStreamSource.schemaFor(SnapshotStreamSource.pathOf(options),
       Option(options.get("versionAsOf")).map(_.toLong))
+
+  /** The BATCH write half (`df.write.format("graft-snapshot")`), routed
+    * through the library's commit verbs so CHECK constraints, schema
+    * merge, DV carry, partition purity and race rebase all apply. The
+    * table deliberately declares NO v2 write capability: Spark then
+    * plans writes through THIS v1 path, whose driver-side DataFrame is
+    * exactly what the commit verbs want — and a first write to a fresh
+    * directory needs no pre-existing schema. Append does NOT stamp a
+    * `#batch=` header ([[SnapshotLog.append]]): a one-off batch append
+    * must never make a later streaming sink's epoch replay skip. */
+  override def createRelation(ctx: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-snapshot write needs .option(\"path\", <table dir>)"))
+    val spark = data.sparkSession
+    val exists = SnapshotLog.versions(spark, dir).nonEmpty
+    mode match {
+      case SaveMode.Append    => SnapshotLog.append(spark, dir, data)
+      case SaveMode.Overwrite => SnapshotLog.commit(spark, dir, data)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"$dir already has committed versions (SaveMode.ErrorIfExists)")
+        SnapshotLog.commit(spark, dir, data)
+      case SaveMode.Ignore =>
+        if (!exists) SnapshotLog.commit(spark, dir, data)
+    }
+    val schema0 = data.schema
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = schema0
+    }
+  }
+
+  /** The STREAMING sink half (`df.writeStream.format("graft-snapshot")`)
+    * — exactly-once by construction: each epoch commits through
+    * [[SnapshotLog.commitBatch]] (Append) or
+    * [[SnapshotLog.commitBatchReplace]] (Complete), whose `#batch=`
+    * replay idempotence makes a restarted query's re-delivered epoch a
+    * no-op. Update mode is refused: a snapshot append cannot retract.
+    * partitionBy is refused too — a partition-DECLARED table already
+    * drives the layout of every appended batch. */
+  override def createSink(ctx: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-snapshot sink: the table's DECLARED layout drives batch " +
+        "partitioning (commitPartitioned declares it) — drop partitionBy")
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Update(),
+      "graft-snapshot sink supports Append (commitBatch) and Complete " +
+        "(commitBatchReplace); Update retracts rows a snapshot append " +
+        "cannot express")
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-snapshot sink needs .option(\"path\", <table dir>)"))
+    new SnapshotSink(dir,
+      outputMode == org.apache.spark.sql.streaming.OutputMode.Complete())
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
@@ -98,6 +163,29 @@ class SnapshotStreamSource extends TableProvider
   }
 }
 
+/** V1 micro-batch sink over a snapshot-log table (the same shape as
+  * Spark's own FileStreamSink). The incoming frame is the incremental
+  * execution's streaming-marked plan, which a fresh `.write` analysis
+  * refuses — so the planned rows rebind as a plain batch frame first
+  * (one InternalRow→Row conversion; the batch executes once, inside the
+  * commit's own write action). */
+private[sources] class SnapshotSink(dir: String, complete: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = data.sparkSession
+    val schema = data.schema
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(schema)
+    val rowRdd = data.queryExecution.toRdd
+      .map(ir => conv(ir.copy()).asInstanceOf[org.apache.spark.sql.Row])
+    val fresh = spark.createDataFrame(rowRdd, schema)
+    if (complete) SnapshotLog.commitBatchReplace(spark, dir, fresh, batchId)
+    else SnapshotLog.commitBatch(spark, dir, fresh, batchId)
+  }
+  override def toString: String = s"SnapshotSink($dir)"
+}
+
 private[sources] object SnapshotStreamSource {
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -108,10 +196,14 @@ private[sources] object SnapshotStreamSource {
 
   /** The version's declared schema (default: latest), validated against
     * the source's scope (decodable types; typed-decodable partition
-    * columns). */
+    * columns). A table with NO committed versions infers as the empty
+    * schema — the WRITE path needs getTable to succeed on a fresh
+    * directory (Spark infers before deciding read vs write); reads of
+    * such a table still fail loudly, at scan planning / stream start. */
   def schemaFor(dir: String, version: Option[Long] = None): StructType = {
     val spark = SparkSession.active
     val vs = SnapshotLog.versions(spark, dir)
+    if (vs.isEmpty && version.isEmpty) return new StructType()
     require(vs.nonEmpty, s"no committed snapshot under $dir")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v),
