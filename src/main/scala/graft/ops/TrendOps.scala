@@ -1,0 +1,319 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-10 (second batch) trend / lifecycle / audit analytics:
+  * customer win-back reactivation, open-order backlog balance, monthly
+  * return-rate trend, per-nation trade balance, inter-order gap
+  * percentiles, and the embedding sign-bucket skew audit (the LSH
+  * hot-bucket screen).
+  *
+  * Determinism (SURVEY §7.5): money flows through decimal(18,2) cents
+  * as BIGINT; ratios ship as BIGINT milli/micro integer divisions
+  * (`div`, never `/`); NO decimal at any output boundary; every output
+  * carries a total ORDER BY. Scale discipline: per-customer lag windows
+  * ride the orders/customer ≈ 25 scale-stable partition; every
+  * partition-less cumulative window here runs over a BOUNDED domain —
+  * the ≤~84-row calendar-month series (q_backlog) or the ≤256-row sign
+  * bucket frame (q_embed_sign_buckets) — never doc/order-grain rows. */
+object TrendOps {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    (c.cast("decimal(18,2)") * 100).cast("long")
+
+  /** Customer win-back: an order is a REACTIVATION when the same
+    * customer's previous order was ≥ 180 days earlier (first orders
+    * never qualify — no previous). Per month the reactivated order
+    * count, distinct customers won back, and the win-back revenue in
+    * cents — the lapsed-customer recovery trend, the retention-ops
+    * complement of q_new_vs_returning (which only splits on the FIRST
+    * month). The lag window is customer-partitioned (scale-stable
+    * frame); the rest is one month-grain hash aggregate. */
+  val reactivation: Q = Q.checked(
+    "q_reactivation",
+    """WITH seq AS (
+      |  SELECT o_custkey, o_orderdate, o_totalprice,
+      |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders)
+      |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  CAST(count(*) AS BIGINT) AS n_reactivated,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+      |  CAST(sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |    AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS winback_cents
+      |FROM seq
+      |WHERE prev IS NOT NULL
+      |  AND date_diff('day', CAST(prev AS DATE),
+      |    CAST(o_orderdate AS DATE)) >= 180
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("c"),
+        lag(col("o_orderdate"), 1).over(w).as("prev"))
+      .where(col("prev").isNotNull &&
+        datediff(to_date(col("o_orderdate")), to_date(col("prev"))) >= 180)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("month"))
+      .agg(count(lit(1)).as("n_reactivated"),
+        countDistinct("o_custkey").as("n_customers"),
+        sum("c").cast("long").as("winback_cents"))
+      .orderBy("month")
+  }
+
+  /** Open-order backlog: per month the orders PLACED, the orders
+    * COMPLETED (an order completes in the month of its LAST line's
+    * shipdate) and the running placed−completed balance — the
+    * fulfillment-pressure curve an ops dashboard watches. Both monthly
+    * series are hash aggregates; the cumulative window runs over the
+    * BOUNDED calendar-month frame (≤ ~84 rows at any SF — the dataset
+    * spans fixed years), never order-grain rows. */
+  val backlog: Q = Q.checked(
+    "q_backlog",
+    """WITH placed AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |done AS (
+      |  SELECT CAST(date_trunc('month', mx) AS DATE) AS m,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT l_orderkey, max(l_shipdate) AS mx
+      |        FROM lineitem GROUP BY 1)
+      |  GROUP BY 1),
+      |months AS (SELECT m FROM placed UNION SELECT m FROM done)
+      |SELECT months.m AS month,
+      |  CAST(coalesce(placed.c, 0) AS BIGINT) AS n_placed,
+      |  CAST(coalesce(done.c, 0) AS BIGINT) AS n_completed,
+      |  CAST(sum(coalesce(placed.c, 0) - coalesce(done.c, 0))
+      |    OVER (ORDER BY months.m
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS backlog
+      |FROM months
+      |LEFT JOIN placed ON months.m = placed.m
+      |LEFT JOIN done ON months.m = done.m
+      |ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val placed = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(count(lit(1)).as("pc"))
+    val done = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey").agg(max("l_shipdate").as("mx"))
+      .groupBy(date_trunc("month", col("mx")).cast("date").as("m"))
+      .agg(count(lit(1)).as("dc"))
+    val months = placed.select("m").union(done.select("m")).distinct()
+    // the cumulative frame is the calendar-month series — bounded, so a
+    // partition-less running sum is parameter-bounded (house rule)
+    months
+      .join(placed, Seq("m"), "left")
+      .join(done, Seq("m"), "left")
+      .select(col("m").as("month"),
+        coalesce(col("pc"), lit(0L)).as("n_placed"),
+        coalesce(col("dc"), lit(0L)).as("n_completed"))
+      .withColumn("backlog",
+        sum(col("n_placed") - col("n_completed"))
+          .over(Window.orderBy("month")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .orderBy("month")
+  }
+
+  /** Monthly return-rate trend (ship month): returned-line count, the
+    * exact milli-share of lines returned, and the returned revenue in
+    * cents — the quality/refund pressure curve. One month-grain hash
+    * aggregate over lineitem, no join. */
+  val returnRate: Q = Q.checked(
+    "q_return_rate",
+    """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+      |    AS n_returned,
+      |  CAST(1000 * count(*) FILTER (WHERE l_returnflag = 'R')
+      |    // count(*) AS BIGINT) AS ret_milli,
+      |  CAST(coalesce(sum(CAST(CAST(CAST(l_extendedprice
+      |      AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS BIGINT))
+      |    FILTER (WHERE l_returnflag = 'R'), 0) AS BIGINT) AS ret_cents
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(date_trunc("month", col("l_shipdate")).cast("date")
+          .as("month"),
+        (col("l_returnflag") === "R").cast("long").as("r"),
+        cents(col("l_extendedprice")).as("c"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("r").as("n_returned"),
+        coalesce(sum(when(col("r") === 1L, col("c"))), lit(0L))
+          .as("ret_cents"))
+      .select(col("month"), col("n_lines"), col("n_returned"),
+        expr("CAST(1000 * n_returned div n_lines AS BIGINT)")
+          .as("ret_milli"),
+        col("ret_cents"))
+      .orderBy("month")
+  }
+
+  /** Per-nation trade balance: revenue its SUPPLIERS earn
+    * (Σ extendedprice·(1−discount) over their lines) vs revenue its
+    * CUSTOMERS spend (Σ order totals), and the earn−spend balance —
+    * the two independent fact aggregations joined back on the ≤25-row
+    * nation dimension. Both facts collapse to nation grain BEFORE the
+    * dimension join, so the joins are bounded-small on both sides. */
+  val nationBalance: Q = Q.checked(
+    "q_nation_balance",
+    """WITH earn AS (
+      |  SELECT s_nationkey AS nk,
+      |    CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(24,6))) * 100) AS BIGINT) AS cents
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1),
+      |spend AS (
+      |  SELECT c_nationkey AS nk,
+      |    sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS DECIMAL(18,0)) AS BIGINT)) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1)
+      |SELECT n_name AS nation,
+      |  CAST(coalesce(earn.cents, 0) AS BIGINT) AS earn_cents,
+      |  CAST(coalesce(spend.cents, 0) AS BIGINT) AS spend_cents,
+      |  CAST(coalesce(earn.cents, 0) - coalesce(spend.cents, 0)
+      |    AS BIGINT) AS balance_cents
+      |FROM nation
+      |LEFT JOIN earn ON n_nationkey = earn.nk
+      |LEFT JOIN spend ON n_nationkey = spend.nk
+      |ORDER BY nation""".stripMargin
+  ) { (s, dir) =>
+    val earn = Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nk"))
+      // one IEEE multiply snapped to DECIMAL(24,6) per row (identical
+      // cross-engine — the TpchOps revTerm recipe), exact decimal sum,
+      // then a floor to cents: never a per-row 2dp rounding of a double
+      .agg(floor(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(24,6)")) * 100)
+        .cast("long").as("earn_cents"))
+    val spend = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(sum(cents(col("o_totalprice"))).cast("long").as("spend_cents"))
+    Tables.nation(s, dir)
+      .join(earn, col("n_nationkey") === earn("nk"), "left")
+      .drop(earn("nk"))
+      .join(spend, col("n_nationkey") === spend("nk"), "left")
+      .select(col("n_name").as("nation"),
+        coalesce(col("earn_cents"), lit(0L)).as("earn_cents"),
+        coalesce(col("spend_cents"), lit(0L)).as("spend_cents"),
+        (coalesce(col("earn_cents"), lit(0L)) -
+          coalesce(col("spend_cents"), lit(0L))).as("balance_cents"))
+      .orderBy("nation")
+  }
+
+  /** Inter-order gap-day percentiles per market segment (nearest-rank
+    * p50/p90/p99) — the purchase-cadence distribution q_order_gaps'
+    * min/max/sum summary cannot show. Same histogram-percentile recipe
+    * as q_doc_len_pctl: the cumulative window runs over the bounded GAP
+    * DOMAIN per segment (≤ a few thousand distinct day-counts — the
+    * dataset's date span, fixed at any SF), never order-grain rows. */
+  val gapPctl: Q = Q.checked(
+    "q_gap_pctl",
+    """WITH gaps AS (
+      |  SELECT c_mktsegment AS segment,
+      |    date_diff('day',
+      |      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |      CAST(o_orderdate AS DATE)) AS gap
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |h AS (SELECT segment, CAST(gap AS BIGINT) AS gap,
+      |        CAST(count(*) AS BIGINT) AS c
+      |      FROM gaps WHERE gap IS NOT NULL GROUP BY 1, 2),
+      |w AS (
+      |  SELECT segment, gap, c,
+      |    sum(c) OVER (PARTITION BY segment ORDER BY gap
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY segment) AS n
+      |  FROM h)
+      |SELECT segment, CAST(max(n) AS BIGINT) AS n_gaps,
+      |  CAST(min(CASE WHEN 100 * cum >= 50 * n THEN gap END) AS BIGINT)
+      |    AS p50,
+      |  CAST(min(CASE WHEN 100 * cum >= 90 * n THEN gap END) AS BIGINT)
+      |    AS p90,
+      |  CAST(min(CASE WHEN 100 * cum >= 99 * n THEN gap END) AS BIGINT)
+      |    AS p99
+      |FROM w GROUP BY segment ORDER BY segment""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lag(col("o_orderdate"), 1).over(w))).as("gap"))
+      .where(col("gap").isNotNull)
+    val h = gaps.groupBy(col("segment"), col("gap").cast("long").as("gap"))
+      .agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("segment").orderBy("gap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nW = Window.partitionBy("segment")
+    h.withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(nW))
+      .groupBy("segment")
+      .agg(max("n").cast("long").as("n_gaps"),
+        min(when(lit(100) * col("cum") >= lit(50) * col("n"), col("gap")))
+          .cast("long").as("p50"),
+        min(when(lit(100) * col("cum") >= lit(90) * col("n"), col("gap")))
+          .cast("long").as("p90"),
+        min(when(lit(100) * col("cum") >= lit(99) * col("n"), col("gap")))
+          .cast("long").as("p99"))
+      .orderBy("segment")
+  }
+
+  /** Embedding sign-bucket skew — the LSH hot-bucket audit: SimHash's
+    * first 8 hyperplanes degenerate-specialized to coordinate planes
+    * (bucket = Σ 2^i·[e_i > 0], deterministic across engines — no
+    * seeded hashing), per bucket the population and exact micro-share.
+    * A skewed table (one bucket holding ≫ 1/256 of the corpus) predicts
+    * hot-bucket blowup in any sign-based LSH join; the fix (salting /
+    * hot-list splitting, dedup/SemDedup.scala) starts from this report.
+    * Aggregation is bucket-grain (≤256 rows); the share window rides
+    * that bounded frame. */
+  val embedSignBuckets: Q = Q.checked(
+    "q_embed_sign_buckets",
+    """WITH b AS (
+      |  SELECT CAST(
+      |      (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+      |    + 2 * (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END)
+      |    + 4 * (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END)
+      |    + 8 * (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)
+      |    + 16 * (CASE WHEN embedding[5] > 0 THEN 1 ELSE 0 END)
+      |    + 32 * (CASE WHEN embedding[6] > 0 THEN 1 ELSE 0 END)
+      |    + 64 * (CASE WHEN embedding[7] > 0 THEN 1 ELSE 0 END)
+      |    + 128 * (CASE WHEN embedding[8] > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS bucket
+      |  FROM embeddings),
+      |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+      |      FROM b GROUP BY 1)
+      |SELECT bucket, n,
+      |  CAST(1000000 * n // sum(n) OVER () AS BIGINT) AS share_micro
+      |FROM g ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    val bucket = (0 until 8).map { i =>
+      when(element_at(col("embedding"), i + 1) > lit(0f), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val g = Tables.embeddings(s, dir)
+      .select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    // the share window rides the ≤256-row bucket frame — bounded
+    g.withColumn("total", sum("n").over(Window.partitionBy()))
+      .select(col("bucket"), col("n"),
+        expr("CAST(1000000 * n div total AS BIGINT)").as("share_micro"))
+      .orderBy("bucket")
+  }
+
+  val all: Seq[Q] =
+    Seq(reactivation, backlog, returnRate, nationBalance, gapPctl,
+      embedSignBuckets)
+}

@@ -475,4 +475,49 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("TrendOps windows: lag frames customer-partitioned; cumulative " +
+      "frames bounded") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // q_reactivation / q_gap_pctl: every order-grain window must be
+    // partitioned by the customer key (scale-stable ~25-row frames)
+    Seq(ops.TrendOps.reactivation, ops.TrendOps.gapPctl).foreach { q =>
+      val qe = q.fn(spark, Sf).queryExecution
+      val wins = qe.sparkPlan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"${q.name}: missing lag window")
+      wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+        val cols = w.child.output.map(_.name).toSet
+        assert(!cols.contains("o_orderkey") && !cols.contains("o_custkey"),
+          s"${q.name}: partition-less window over order-grain rows:\n" +
+            qe.sparkPlan)
+      }
+      assert(wins.exists(_.partitionSpec.exists(
+          _.toString.contains("o_custkey"))),
+        s"${q.name}: lag window not customer-partitioned:\n${qe.sparkPlan}")
+    }
+    // q_backlog: the only partition-less window rides the calendar-month
+    // frame (month-grain columns), never order/line-grain rows
+    locally {
+      val qe = ops.TrendOps.backlog.fn(spark, Sf).queryExecution
+      qe.sparkPlan.collect { case w: WindowExec => w }
+        .filter(_.partitionSpec.isEmpty).foreach { w =>
+          val cols = w.child.output.map(_.name).toSet
+          assert(cols.contains("n_placed") && !cols.contains("o_orderkey"),
+            s"q_backlog: cumulative window not on the month frame:\n" +
+              qe.sparkPlan)
+        }
+    }
+    // q_embed_sign_buckets: the share window rides the ≤256-row bucket
+    // frame, never vector-grain rows
+    locally {
+      val qe = ops.TrendOps.embedSignBuckets.fn(spark, Sf).queryExecution
+      qe.sparkPlan.collect { case w: WindowExec => w }
+        .filter(_.partitionSpec.isEmpty).foreach { w =>
+          val cols = w.child.output.map(_.name).toSet
+          assert(cols.contains("n") && !cols.contains("embedding"),
+            s"q_embed_sign_buckets: share window over vector-grain rows:\n" +
+              qe.sparkPlan)
+        }
+    }
+  }
 }
