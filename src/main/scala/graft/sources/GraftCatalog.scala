@@ -1,0 +1,270 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DSv2 [[TableCatalog]] over a directory tree of snapshot-log
+  * tables — the full SQL DDL/DML surface without a metastore:
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.root = /warehouse
+  *
+  *   CREATE NAMESPACE graft.gold
+  *   CREATE TABLE graft.gold.events (day DATE, k BIGINT, v STRING)
+  *     PARTITIONED BY (day)
+  *   INSERT INTO graft.gold.events SELECT ...
+  *   INSERT OVERWRITE graft.gold.events SELECT ...
+  *   CREATE TABLE graft.gold.top AS SELECT ...          -- CTAS
+  *   SELECT * FROM graft.gold.events VERSION AS OF 3
+  *   SELECT * FROM graft.gold.events TIMESTAMP AS OF '...'
+  *   SHOW TABLES IN graft.gold / DROP TABLE / ALTER ... RENAME
+  * }}}
+  *
+  * Layout is self-describing: `<root>/<ns...>/<table>` IS the snapshot
+  * log directory — a namespace is a plain directory, a table is a
+  * directory with committed versions, and the MANIFEST is the catalog
+  * entry (schema, partition columns, CHECK constraints, stats all live
+  * in commit headers already). Nothing here adds driver state, so a
+  * thousand concurrent writers coordinate exactly as the commit
+  * protocol does ([[SnapshotLog.commitFiles]] claim/rebase) — the
+  * catalog is a NAMING layer, not a lock service.
+  *
+  * Writes route through [[V1Write]]/[[InsertableRelation]] — the
+  * supported v2 fallback that hands the committed plan back as a
+  * driver-side DataFrame, which is exactly the shape the library's
+  * commit verbs want (CHECK validation, schema merge, partition
+  * purity, DV carry, race rebase). INSERT INTO appends WITHOUT a
+  * `#batch=` header ([[SnapshotLog.append]]); INSERT OVERWRITE
+  * replaces, re-declaring the table's partition layout via
+  * [[SnapshotLog.commitPartitioned]] when one exists. Time-traveled
+  * relations are read-only. alterTable is refused loudly: schema
+  * changes ride data commits (the log's schema-merge rules), not
+  * metadata edits. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null && r.nonEmpty,
+      s"GraftCatalog '$name' needs spark.sql.catalog.$name.root=<dir>")
+    root = r.stripSuffix("/")
+  }
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+  private def nsPath(ns: Seq[String]): Path =
+    new Path((root +: ns).mkString("/"))
+  private def dirOf(ident: Identifier): String =
+    ((root +: ident.namespace().toSeq) :+ ident.name()).mkString("/")
+  private def isTable(dir: String): Boolean =
+    SnapshotLog.versions(spark, dir).nonEmpty
+
+  // ---- tables -----------------------------------------------------------
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(dirOf(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace.toSeq)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+      .filter(n => isTable((root +: namespace.toSeq :+ n).mkString("/")))
+      .map(n => Identifier.of(namespace, n)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    loadAt(ident, None)
+
+  /** `VERSION AS OF <v>` — the version string is the snapshot-log
+    * version number. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$catalogName versions are snapshot-log version numbers; " +
+          s"got '$version'")
+    }
+    loadAt(ident, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <t>` — micros since epoch, resolved to the
+    * newest version committed at or before that instant. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    loadAt(ident, Some(
+      SnapshotLog.versionAsOf(spark, dir, timestampMicros / 1000L)))
+  }
+
+  private def loadAt(ident: Identifier, versionAsOf: Option[Long]): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val schema = SnapshotStreamSource.schemaFor(dir, versionAsOf)
+    new SnapshotCatalogTable(schema, dir,
+      s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
+      versionAsOf)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val nsp = nsPath(ident.namespace().toSeq)
+    if (!fs.exists(nsp)) throw new NoSuchNamespaceException(ident.namespace())
+    val pcs = partitions.toSeq.map { t =>
+      require(t.name == "identity",
+        s"snapshot tables partition by plain columns (identity " +
+          s"transforms); got ${t.describe()}")
+      val refs = t.references()
+      require(refs.length == 1 && refs.head.fieldNames().length == 1,
+        s"unsupported partition reference ${t.describe()}")
+      refs.head.fieldNames().head
+    }
+    // the empty commit DECLARES the table: schema (+ layout) live in the
+    // version-1 manifest headers, the same bootstrap shape the CDC
+    // replica uses (SnapshotPartitionSpec "pre-declares the layout")
+    val empty = spark.createDataFrame(
+      util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    if (pcs.isEmpty) SnapshotLog.commit(spark, dir, empty)
+    else SnapshotLog.commitPartitioned(spark, dir, empty, pcs)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "snapshot-table schema evolves through data commits (the log's " +
+        "schema-merge rules) and constraints through " +
+        "SnapshotLog.addCheck — not ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) false
+    else fs.delete(new Path(dir), true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val to = nsPath(newIdent.namespace().toSeq)
+    if (!fs.exists(to)) throw new NoSuchNamespaceException(
+      newIdent.namespace())
+    require(fs.rename(new Path(dirOf(oldIdent)), new Path(dirOf(newIdent))),
+      s"rename ${dirOf(oldIdent)} -> ${dirOf(newIdent)} failed")
+  }
+
+  // ---- namespaces -------------------------------------------------------
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (fs.exists(nsPath(namespace.toSeq)) &&
+        !isTable(nsPath(namespace.toSeq).toString))
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] = {
+    val p = nsPath(namespace.toSeq)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+      .filterNot(n => isTable((root +: namespace.toSeq :+ n).mkString("/")))
+      .map(n => (namespace :+ n)).toArray
+  }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map("location" -> nsPath(namespace.toSeq).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsPath(namespace.toSeq))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces are plain directories; nothing to alter")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    val p = nsPath(namespace.toSeq)
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw NonEmptyNamespaceException(namespace, "namespace not empty",
+        None)
+    fs.delete(p, true)
+  }
+}
+
+/** A catalog-loaded snapshot table: everything the path-based DSv2
+  * table does (pruned batch scan, micro-batch stream) PLUS the v2
+  * write surface — [[V1Write]] handing the planned rows back as a
+  * driver DataFrame for the commit verbs. Declared V1_BATCH_WRITE (not
+  * BATCH_WRITE): Spark then plans INSERT/CTAS through the v1-fallback
+  * writer exec, which is exactly this shape. */
+private[sources] class SnapshotCatalogTable(schema0: StructType,
+    dir: String, qualified: String, versionAsOf: Option[Long])
+    extends SnapshotStreamTable(schema0, dir, versionAsOf)
+    with SupportsWrite {
+  override def name(): String = qualified
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAsOf.isEmpty,
+      s"$qualified VERSION/TIMESTAMP AS OF is a read-only relation")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                ovr: Boolean): Unit = {
+              val spark = data.sparkSession
+              if (overwrite || ovr) {
+                // re-declare the layout an existing table carries — a
+                // plain commit() would silently flatten it
+                val pcs = SnapshotLog.versions(spark, dir).lastOption
+                  .map(SnapshotLog.partitionColsOf(spark, dir, _))
+                  .getOrElse(Seq.empty)
+                if (pcs.isEmpty) SnapshotLog.commit(spark, dir, data)
+                else SnapshotLog.commitPartitioned(spark, dir, data, pcs)
+              } else SnapshotLog.append(spark, dir, data)
+              ()
+            }
+          }
+      }
+    }
+  }
+}

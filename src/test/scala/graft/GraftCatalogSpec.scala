@@ -1,0 +1,135 @@
+package graft
+
+import graft.sources.SnapshotLog
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** [[graft.sources.GraftCatalog]] — the DSv2 TableCatalog over a
+  * directory tree of snapshot-log tables: SQL DDL (CREATE/DROP/RENAME
+  * TABLE, namespaces), DML (INSERT INTO/OVERWRITE, CTAS), catalog
+  * reads incl. VERSION/TIMESTAMP AS OF, and the invariants the SQL
+  * surface must keep (partition layout across INSERT OVERWRITE, CHECK
+  * constraints on INSERT, read-only time travel, loud alterTable). */
+class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val root = Files.createTempDirectory("graftcat").toString
+  spark.conf.set("spark.sql.catalog.g", "graft.sources.GraftCatalog")
+  spark.conf.set("spark.sql.catalog.g.root", root)
+  spark.sql("CREATE NAMESPACE IF NOT EXISTS g.gold")
+
+  test("CREATE TABLE + INSERT INTO + SELECT round-trips; appends stack " +
+      "versions") {
+    spark.sql("CREATE TABLE g.gold.kv (k BIGINT, v STRING)")
+    val dir = s"$root/gold/kv"
+    assert(SnapshotLog.versions(spark, dir) === Seq(1L)) // declared empty
+    assert(spark.table("g.gold.kv").count() === 0)
+    spark.sql("INSERT INTO g.gold.kv VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO g.gold.kv VALUES (3, 'c')")
+    assert(SnapshotLog.versions(spark, dir) === Seq(1L, 2L, 3L))
+    assert(spark.sql("SELECT k FROM g.gold.kv ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    // INSERT must not stamp a #batch header (stream-replay poisoning)
+    assert(SnapshotLog.lastBatch(spark, dir).isEmpty)
+  }
+
+  test("PARTITIONED BY declares the layout; INSERT OVERWRITE keeps it") {
+    spark.sql("CREATE TABLE g.gold.pt (region STRING, k BIGINT) " +
+      "PARTITIONED BY (region)")
+    val dir = s"$root/gold/pt"
+    assert(SnapshotLog.partitionColsOf(spark, dir, 1L) === Seq("region"))
+    spark.sql("INSERT INTO g.gold.pt VALUES ('eu', 1), ('us', 2)")
+    spark.sql("INSERT OVERWRITE g.gold.pt VALUES ('eu', 10), ('ap', 30)")
+    val v = SnapshotLog.versions(spark, dir).last
+    assert(SnapshotLog.partitionColsOf(spark, dir, v) === Seq("region"),
+      "INSERT OVERWRITE flattened the declared partition layout")
+    assert(spark.sql("SELECT k FROM g.gold.pt ORDER BY k")
+      .as[Long].collect().toSeq === Seq(10L, 30L))
+    // the layout is real: a partition-scoped read prunes
+    val (euRows, scanned, total) =
+      SnapshotLog.readPartition(spark, dir, Map("region" -> "eu"))
+    assert(scanned < total || total === 1)
+    assert(euRows.select("k").as[Long].collect().toSeq === Seq(10L))
+  }
+
+  test("CTAS materializes the query as a snapshot table") {
+    spark.sql("CREATE TABLE g.gold.squares AS " +
+      "SELECT id AS k, id * id AS sq FROM range(5)")
+    assert(spark.sql("SELECT sum(sq) FROM g.gold.squares")
+      .as[Long].head() === 30L)
+    assert(SnapshotLog.versions(spark, s"$root/gold/squares").nonEmpty)
+  }
+
+  test("VERSION AS OF reads history; time-traveled relations are " +
+      "read-only") {
+    spark.sql("CREATE TABLE g.gold.hist (k BIGINT)")
+    spark.sql("INSERT INTO g.gold.hist VALUES (1)")        // v2
+    spark.sql("INSERT INTO g.gold.hist VALUES (2)")        // v3
+    assert(spark.sql("SELECT * FROM g.gold.hist VERSION AS OF 2")
+      .count() === 1)
+    assert(spark.sql("SELECT * FROM g.gold.hist VERSION AS OF 3")
+      .count() === 2)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO g.gold.hist VERSION AS OF 2 VALUES (9)")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("TIMESTAMP AS OF resolves to the newest version at the instant") {
+    spark.sql("CREATE TABLE g.gold.tt (k BIGINT)")
+    spark.sql("INSERT INTO g.gold.tt VALUES (1)")
+    val afterV2 = java.time.Instant.now().plusSeconds(1)
+    Thread.sleep(1100) // manifest mtimes are second-grain on some FS
+    spark.sql("INSERT INTO g.gold.tt VALUES (2)")
+    val got = spark.sql(
+      s"SELECT * FROM g.gold.tt TIMESTAMP AS OF '${afterV2}'").count()
+    assert(got === 1, s"expected the v2 snapshot at $afterV2, got $got rows")
+  }
+
+  test("SHOW TABLES / DROP / RENAME; alterTable refused") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.tmp")
+    spark.sql("CREATE TABLE g.tmp.a (k BIGINT)")
+    assert(spark.sql("SHOW TABLES IN g.tmp").select("tableName")
+      .as[String].collect().toSeq === Seq("a"))
+    // the RENAME TO target is catalog-relative (repeating the catalog
+    // name would read as namespace ["g","tmp"])
+    spark.sql("ALTER TABLE g.tmp.a RENAME TO tmp.b")
+    assert(spark.sql("SHOW TABLES IN g.tmp").select("tableName")
+      .as[String].collect().toSeq === Seq("b"))
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE g.tmp.b ADD COLUMN extra STRING")
+    }
+    assert(e.getMessage.contains("schema evolves through data commits"),
+      s"unexpected alterTable error: ${e.getMessage}")
+    spark.sql("DROP TABLE g.tmp.b")
+    assert(spark.sql("SHOW TABLES IN g.tmp").count() === 0)
+  }
+
+  test("CHECK constraints gate SQL INSERT like the library verbs") {
+    spark.sql("CREATE TABLE g.gold.gated (k BIGINT)")
+    SnapshotLog.addCheck(spark, s"$root/gold/gated", "pos", "k > 0")
+    spark.sql("INSERT INTO g.gold.gated VALUES (5)") // passes
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO g.gold.gated VALUES (-1)")
+    }
+    assert(e.getMessage.toLowerCase.contains("check") ||
+      e.getCause != null, s"violating INSERT not refused: ${e.getMessage}")
+    assert(spark.sql("SELECT k FROM g.gold.gated").as[Long].collect()
+      .toSeq === Seq(5L), "the failed INSERT half-landed")
+  }
+
+  test("catalog tables stream: the table written by SQL feeds " +
+      "readStream") {
+    spark.sql("CREATE TABLE g.gold.feed (k BIGINT)")
+    spark.sql("INSERT INTO g.gold.feed VALUES (1), (2)")
+    val out = Files.createTempDirectory("catstream")
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", s"$root/gold/feed").load()
+      .writeStream.format("memory").queryName("cat_feed")
+      .option("checkpointLocation", out.toString + "/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table("cat_feed").count() === 2)
+  }
+}
