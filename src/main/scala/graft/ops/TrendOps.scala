@@ -313,7 +313,96 @@ object TrendOps {
       .orderBy("bucket")
   }
 
+  /** Exact-duplicate FAMILY-SIZE histogram — the dedup capacity audit
+    * (how much of the corpus is k-way duplicated, and what a keep-one
+    * pass reclaims): per family size k the family count, doc count,
+    * surplus docs and surplus chars (keeping each family's smallest
+    * copy). Same synthetic duplicate feed as q_dedup_exact (docs with
+    * id % 10 == 0 re-ingested); where that query reports PER-FAMILY
+    * rows, this is the aggregate-of-aggregates summary a curation
+    * dashboard plots. Two hash aggregates (family grain, then k
+    * grain) — never a window, never a join. */
+  val dupFamilyHist: Q = Q.checked(
+    "q_dup_family_hist",
+    """WITH feed AS (
+      |  SELECT doc_id, text, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, n_chars FROM documents
+      |  WHERE doc_id % 10 = 0),
+      |fam AS (
+      |  SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars,
+      |    CAST(min(n_chars) AS BIGINT) AS keep_chars
+      |  FROM feed GROUP BY 1)
+      |SELECT k, CAST(count(*) AS BIGINT) AS n_families,
+      |  CAST(sum(k) AS BIGINT) AS n_docs,
+      |  CAST(sum(k - 1) AS BIGINT) AS surplus_docs,
+      |  CAST(sum(chars - keep_chars) AS BIGINT) AS surplus_chars
+      |FROM fam GROUP BY k ORDER BY k""".stripMargin
+  ) { (s, dir) =>
+    val d = Tables.documents(s, dir).select("doc_id", "text", "n_chars")
+    val feed = d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+          col("n_chars")))
+    feed.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("k"),
+        sum("n_chars").cast("long").as("chars"),
+        min("n_chars").cast("long").as("keep_chars"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_families"),
+        sum("k").cast("long").as("n_docs"),
+        sum(col("k") - 1).cast("long").as("surplus_docs"),
+        sum(col("chars") - col("keep_chars")).cast("long")
+          .as("surplus_chars"))
+      .orderBy("k")
+  }
+
+  /** Per-dimension embedding moments — the dimension-health audit
+    * (dead dimensions, scale outliers, saturation): per dim the count,
+    * integer-snapped micro mean, min/max and zero count. Values snap
+    * to micro units BEFORE aggregating (float→double widening and the
+    * ×1e6 product are bit-identical cross-engine; the exact integer
+    * sum makes the mean order-independent — a raw float sum would be
+    * partitioning-dependent). posexplode keeps positions; the
+    * aggregate is dim-grain (64 rows). */
+  val embedDimStats: Q = Q.checked(
+    "q_embed_dim_stats",
+    """WITH d AS (
+      |  SELECT t.i AS dim,
+      |    CAST(round(CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE)
+      |      * 1000000) AS BIGINT) AS xm
+      |  FROM embeddings CROSS JOIN range(64) AS t(i)),
+      |s AS (
+      |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(xm) AS BIGINT) AS sum_micro,
+      |    CAST(min(xm) AS BIGINT) AS min_micro,
+      |    CAST(max(xm) AS BIGINT) AS max_micro,
+      |    CAST(sum(CASE WHEN xm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_zero
+      |  FROM d GROUP BY dim)
+      |SELECT CAST(dim AS BIGINT) AS dim, n,
+      |  CAST(sum_micro // n AS BIGINT) AS mean_micro,
+      |  min_micro, max_micro, n_zero
+      |FROM s ORDER BY dim""".stripMargin
+  ) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1000000).cast("long").as("xm"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum("xm").cast("long").as("sum_micro"),
+        min("xm").as("min_micro"),
+        max("xm").as("max_micro"),
+        sum(when(col("xm") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("dim"), col("n"),
+        expr("CAST(sum_micro div n AS BIGINT)").as("mean_micro"),
+        col("min_micro"), col("max_micro"), col("n_zero"))
+      .orderBy("dim")
+  }
+
   val all: Seq[Q] =
     Seq(reactivation, backlog, returnRate, nationBalance, gapPctl,
-      embedSignBuckets)
+      embedSignBuckets, dupFamilyHist, embedDimStats)
 }

@@ -232,13 +232,68 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 private[sources] class SnapshotCatalogTable(schema0: StructType,
     dir: String, qualified: String, versionAsOf: Option[Long])
     extends SnapshotStreamTable(schema0, dir, versionAsOf)
-    with SupportsWrite {
+    with SupportsWrite with SupportsDelete {
   override def name(): String = qualified
+
+  /** `DELETE FROM cat.ns.t WHERE ...` — the pushed filters convert to
+    * one Column predicate and run through the library's copy-on-write
+    * [[SnapshotLog.deleteWhere]] (commit-protocol atomicity, DV carry,
+    * untouched files by reference). `DELETE FROM t` with no WHERE goes
+    * through the inherited truncateTable() = deleteWhere(AlwaysTrue).
+    * canDeleteWhere declines (→ loud analysis error, not silent
+    * partial delete) when a filter has no Column translation or the
+    * relation is time-traveled. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    versionAsOf.isEmpty && filters.forall(filterToColumn(_).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(versionAsOf.isEmpty,
+      s"$qualified VERSION/TIMESTAMP AS OF is a read-only relation")
+    val cond = filters.toSeq.map(f => filterToColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"cannot push DELETE filter $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    SnapshotLog.deleteWhere(SparkSession.active, dir, cond)
+    ()
+  }
+
+  private def filterToColumn(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(a, v)            => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v)           => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case In(a, vs)                => Some(col(a).isin(vs.toSeq: _*))
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+      case StringContains(a, v)     => Some(col(a).contains(v))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+          yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+          yield lc || rc
+      case Not(c)        => filterToColumn(c).map(!_)
+      case AlwaysTrue()  => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _             => None
+    }
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(versionAsOf.isEmpty,
@@ -247,6 +302,15 @@ private[sources] class SnapshotCatalogTable(schema0: StructType,
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): V1Write = new V1Write {
+        /** `writeStream.toTable(...)` — the executor-side v2 write:
+          * tasks stream parquet files, the epoch commit registers the
+          * list (appendExternal / commitBatchExternal for Complete).
+          * Spark's micro-batch planner reaches streaming writes via
+          * `build().toStreaming`, so the override lives HERE, not on
+          * the builder's deprecated buildForStreaming. */
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new SnapshotStreamingWrite(dir, info.schema(), overwrite)
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
 
 /** A minimal multi-version table format: atomic snapshot commits with
   * file-level time travel, no metastore, no dependencies — the property
@@ -145,15 +145,37 @@ object SnapshotLog {
     * keep their type (a silent type change would corrupt every older
     * file's read); added columns are nullable — older files lack them
     * and read as typed nulls. */
+  /** Same type up to NESTED nullability (array containsNull) — an
+    * `array<float>` built by `array(...)` (containsNull=false) must
+    * insert into a declared `array<float>` column (containsNull=true)
+    * and vice versa; element nullability widens, it never "changes the
+    * type". */
+  private def sameTypeIgnoreNull(a: DataType, b: DataType): Boolean =
+    (a, b) match {
+      case (ArrayType(ae, _), ArrayType(be, _)) =>
+        sameTypeIgnoreNull(ae, be)
+      case _ => a == b
+    }
+
+  /** The union type: `a` with nested nullability widened by `b`'s. */
+  private def widenNulls(a: DataType, b: DataType): DataType =
+    (a, b) match {
+      case (ArrayType(ae, an), ArrayType(be, bn)) =>
+        ArrayType(widenNulls(ae, be), an || bn)
+      case _ => a
+    }
+
   private[sources] def mergeSchemas(prev: StructType, next: StructType): StructType = {
     val byName = next.fields.map(f => f.name -> f).toMap
     val kept = prev.fields.map { pf =>
-      byName.get(pf.name).foreach { nf =>
-        require(nf.dataType == pf.dataType,
-          s"schema evolution cannot change column '${pf.name}' from " +
-            s"${pf.dataType.simpleString} to ${nf.dataType.simpleString}")
+      byName.get(pf.name) match {
+        case Some(nf) =>
+          require(sameTypeIgnoreNull(nf.dataType, pf.dataType),
+            s"schema evolution cannot change column '${pf.name}' from " +
+              s"${pf.dataType.simpleString} to ${nf.dataType.simpleString}")
+          pf.copy(dataType = widenNulls(pf.dataType, nf.dataType))
+        case None => pf
       }
-      pf
     }
     val added = next.fields.filterNot(f => prev.fieldNames.contains(f.name))
       .map(_.copy(nullable = true))
@@ -549,6 +571,56 @@ object SnapshotLog {
         header = Seq(s"#batch=$batchId", schemaHeader(schema)) ++
           partLines ++ checkHeaders(checks),
         base = Some(vs0.lastOption)) match {
+        case Some(v) => return v
+        case None    => () // raced — re-read the carried metadata
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** APPEND commit of externally-written parquet files — the executor-
+    * side streaming-write registration: version N = the previous
+    * version's files by reference PLUS `files` (already on disk, laid
+    * out by the caller's own writers), stamped `#batch=` for replay
+    * idempotence exactly like [[commitBatch]]. The append twin of
+    * [[commitBatchExternal]] (which REPLACES). CHECK constraints
+    * validate by reading the files back (one pass, only when checks
+    * exist); schema merges under the log's evolution rules; a replayed
+    * batch registers nothing (the files become vacuumable orphans —
+    * the same contract external replace commits have). Partition-
+    * DECLARED tables are refused loudly: a flat external file list
+    * cannot be partition-pure, and silently dropping the layout would
+    * break every partition-scoped read after it. */
+  def appendExternal(spark: SparkSession, dir: String,
+      files: Seq[String], schema: StructType, batchId: Long): Long = {
+    var validated: Option[Seq[(String, String)]] = None
+    while (true) {
+      val vs = versions(spark, dir)
+      if (lastBatch(spark, dir).exists(batchId <= _)) return vs.last
+      val latest = vs.lastOption
+      val pcs = latest.map(partitionColsOf(spark, dir, _))
+        .getOrElse(Seq.empty)
+      require(pcs.isEmpty,
+        s"$dir declares partition columns (${pcs.mkString(",")}); " +
+          "external appends are flat — stream through " +
+          "format(\"graft-snapshot\")'s v1 sink (commitBatch lays out " +
+          "partition-pure files) instead")
+      val checks = latest.map(checksOf(spark, dir, _)).getOrElse(Seq.empty)
+      if (checks.nonEmpty && files.nonEmpty && !validated.contains(checks)) {
+        requireChecksPass(checks, spark.read.schema(schema).parquet(files: _*),
+          s"external batch $batchId into $dir")
+        validated = Some(checks)
+      }
+      val merged = latest.flatMap(schemaOf(spark, dir, _))
+        .map(mergeSchemas(_, schema)).getOrElse(schema)
+      val prev = latest.map(filesOf(spark, dir, _)).getOrElse(Seq.empty)
+      val dvHeader = latest.flatMap(dvOf(spark, dir, _))
+        .map(n => s"#dv=$n").toSeq
+      commitFiles(spark, dir, (prev ++ files).sorted,
+        java.util.UUID.randomUUID().toString,
+        header = Seq(s"#batch=$batchId", schemaHeader(merged)) ++
+          dvHeader ++ checkHeaders(checks),
+        base = Some(latest)) match {
         case Some(v) => return v
         case None    => () // raced — re-read the carried metadata
       }

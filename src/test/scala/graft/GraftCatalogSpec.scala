@@ -118,6 +118,109 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       .toSeq === Seq(5L), "the failed INSERT half-landed")
   }
 
+  test("writeStream.toTable: executor-written epochs register " +
+      "exactly-once; files read back bit-identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("CREATE TABLE g.gold.sunk (k BIGINT, v STRING, " +
+      "d DATE, ts TIMESTAMP, m DECIMAL(28,2), e ARRAY<FLOAT>)")
+    val dir = s"$root/gold/sunk"
+    val ckpt = Files.createTempDirectory("cat-sink-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Long]
+    def frame = ms.toDF().toDF("k").selectExpr("k",
+      "concat('v', k) AS v",
+      "date_add(DATE'2024-01-01', CAST(k AS INT)) AS d",
+      "timestamp_micros(k * 1000000) AS ts",
+      "CAST(CAST(k AS DECIMAL(28,2)) / 3 AS DECIMAL(28,2)) AS m",
+      "array(CAST(k AS FLOAT), CAST(-k AS FLOAT)) AS e")
+    def start() = frame.writeStream
+      .option("checkpointLocation", ckpt).toTable("g.gold.sunk")
+    val q1 = start()
+    try {
+      ms.addData(0L, 1L); q1.processAllAvailable()
+      ms.addData(2L); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(SnapshotLog.lastBatch(spark, dir).nonEmpty,
+      "executor-side epochs must stamp #batch replay headers")
+    val before = SnapshotLog.versions(spark, dir).size
+    val q2 = start() // restart: committed epochs must not re-register
+    try { ms.addData(3L); q2.processAllAvailable() } finally q2.stop()
+    assert(SnapshotLog.versions(spark, dir).size === before + 1)
+    // the executor-written files round-trip through BOTH readers
+    val viaCatalog = spark.table("g.gold.sunk")
+    val expected = spark.range(4).toDF("k").selectExpr("k",
+      "concat('v', k) AS v",
+      "date_add(DATE'2024-01-01', CAST(k AS INT)) AS d",
+      "timestamp_micros(k * 1000000) AS ts",
+      "CAST(CAST(k AS DECIMAL(28,2)) / 3 AS DECIMAL(28,2)) AS m",
+      "array(CAST(k AS FLOAT), CAST(-k AS FLOAT)) AS e")
+    assert(viaCatalog.exceptAll(expected).isEmpty &&
+      expected.exceptAll(viaCatalog).isEmpty,
+      "catalog read of executor-written files diverged")
+    val files = SnapshotLog.read(spark, dir) // library reader
+    assert(files.exceptAll(expected).isEmpty &&
+      expected.exceptAll(files).isEmpty,
+      "library read of executor-written files diverged")
+  }
+
+  test("toTable Complete mode replaces; partition-declared tables " +
+      "refuse flat external appends") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE TABLE g.gold.cagg (parity BIGINT, n BIGINT)")
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().toDF("k")
+      .groupBy((col("k") % 2).as("parity")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("cat-cagg").toString)
+      .toTable("g.gold.cagg")
+    try {
+      ms.addData(0L, 1L, 2L); q.processAllAvailable()
+      ms.addData(3L, 4L); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("g.gold.cagg").as[(Long, Long)].collect()
+      .toMap === Map(0L -> 3L, 1L -> 2L))
+    assert(spark.table("g.gold.cagg").count() === 2,
+      "Complete epochs must replace, not accumulate")
+
+    spark.sql("CREATE TABLE g.gold.partsunk (region STRING, k BIGINT) " +
+      "PARTITIONED BY (region)")
+    val ms2 = MemoryStream[(String, Long)]
+    val q2 = ms2.toDF().toDF("region", "k").writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("cat-part").toString)
+      .toTable("g.gold.partsunk")
+    val e = intercept[Exception] {
+      ms2.addData(("eu", 1L)); q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(e.getMessage.contains("partition") ||
+      (e.getCause != null && e.getCause.getMessage.contains("partition")),
+      s"flat external append into a partitioned table not refused: $e")
+  }
+
+  test("DELETE FROM prunes rows through the copy-on-write verb; " +
+      "truncate empties") {
+    spark.sql("CREATE TABLE g.gold.del (k BIGINT, tag STRING)")
+    spark.sql("INSERT INTO g.gold.del VALUES (1,'keep'), (2,'drop'), " +
+      "(3,'drop'), (4,'keep')")
+    spark.sql("DELETE FROM g.gold.del WHERE tag = 'drop' AND k > 2")
+    assert(spark.sql("SELECT k FROM g.gold.del ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 4L))
+    spark.sql("DELETE FROM g.gold.del WHERE k IN (1, 4)")
+    assert(spark.sql("SELECT k FROM g.gold.del").as[Long].collect()
+      .toSeq === Seq(2L))
+    // versions stack: every DELETE is one atomic commit, history intact
+    val dir = s"$root/gold/del"
+    assert(spark.sql("SELECT * FROM g.gold.del VERSION AS OF 2")
+      .count() === 4)
+    spark.sql("DELETE FROM g.gold.del") // no WHERE -> truncateTable
+    assert(spark.table("g.gold.del").count() === 0)
+    assert(SnapshotLog.versions(spark, dir).size >= 5)
+  }
+
   test("catalog tables stream: the table written by SQL feeds " +
       "readStream") {
     spark.sql("CREATE TABLE g.gold.feed (k BIGINT)")
