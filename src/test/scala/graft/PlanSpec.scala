@@ -476,6 +476,30 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q_decile_spend / q_abc_class: global rank rides a RANGE " +
+      "exchange, never a partition-less data-scaled window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq(ops.OlapRankOps.decileSpend -> "o_custkey",
+        ops.OlapRankOps.abcClass -> "l_partkey").foreach {
+      case (q, grainCol) =>
+        val qe = q.fn(spark, Sf).queryExecution
+        val plan = qe.executedPlan.toString
+        assert(plan.contains("rangepartitioning"),
+          s"${q.name}: the distributed sort-rank's range exchange is " +
+            s"missing:\n$plan")
+        // any partition-less window must ride a frame that has already
+        // shed the data grain (the per-range-partition offsets frame or
+        // the bounded prefix frame), never customer/part-grain rows
+        qe.sparkPlan.collect { case w: WindowExec => w }
+          .filter(_.partitionSpec.isEmpty).foreach { w =>
+            val cols = w.child.output.map(_.name).toSet
+            assert(!cols.contains(grainCol),
+              s"${q.name}: partition-less window over $grainCol-grain " +
+                s"rows:\n${qe.sparkPlan}")
+          }
+    }
+  }
+
   test("TrendOps windows: lag frames customer-partitioned; cumulative " +
       "frames bounded") {
     import org.apache.spark.sql.execution.window.WindowExec
