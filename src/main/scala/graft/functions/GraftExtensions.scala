@@ -70,11 +70,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // history from pure SQL clients (Thrift/Connect), no Scala API
     // needed: SELECT * FROM snapshot_of('/path'[, version]);
     //         SELECT * FROM snapshot_history('/path')
-    def strLit(e: Expression, fn: String): String = e match {
+    def strLit0(e: Expression, fn: String): String = e match {
       case Literal(v: org.apache.spark.unsafe.types.UTF8String,
         org.apache.spark.sql.types.StringType) => v.toString
       case other => throw new IllegalArgumentException(
         s"$fn: path must be a string literal, got $other")
+    }
+    /** TVF table reference: a filesystem path ('/...' or scheme://) is
+      * used as-is; otherwise `cat.ns....table` resolves through a
+      * registered [[graft.sources.GraftCatalog]]'s root — ONE naming
+      * scheme across the whole SQL surface, so
+      * `snapshot_history('g.gold.events')` and
+      * `SELECT * FROM g.gold.events` name the same table. */
+    def strLit(e: Expression, fn: String): String = {
+      val s = strLit0(e, fn)
+      if (s.startsWith("/") || s.contains(":/") || !s.contains(".")) s
+      else {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val parts = s.split('.')
+        val impl = spark.conf.getOption(s"spark.sql.catalog.${parts.head}")
+        if (!impl.contains(classOf[graft.sources.GraftCatalog].getName)) s
+        else {
+          val root = spark.conf.get(s"spark.sql.catalog.${parts.head}.root")
+            .stripSuffix("/")
+          (root +: parts.tail.toSeq).mkString("/")
+        }
+      }
     }
     def longLit(e: Expression, fn: String): Long = e match {
       case Literal(v: Int, IntegerType) => v.toLong

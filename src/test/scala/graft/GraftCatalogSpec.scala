@@ -201,6 +201,25 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       s"flat external append into a partitioned table not refused: $e")
   }
 
+  test("snapshot TVFs accept catalog identifiers: one naming scheme " +
+      "across the SQL surface") {
+    spark.sql("CREATE TABLE g.gold.tvf (k BIGINT)")
+    spark.sql("INSERT INTO g.gold.tvf VALUES (1)")
+    spark.sql("INSERT INTO g.gold.tvf VALUES (2)")
+    // history via the catalog ident == history via the path
+    assert(spark.sql("SELECT * FROM snapshot_history('g.gold.tvf')")
+      .count() === spark.sql(
+        s"SELECT * FROM snapshot_history('$root/gold/tvf')").count())
+    // time travel through the TVF on the ident
+    assert(spark.sql("SELECT * FROM snapshot_of('g.gold.tvf', 2)")
+      .count() === 1)
+    // DML TVF on the ident; its SQL-condition arg is NOT mis-resolved
+    spark.sql("SELECT * FROM snapshot_update_where('g.gold.tvf', " +
+      "'k = CAST(1.0 AS BIGINT)', 'k', 'k + 10')").collect()
+    assert(spark.sql("SELECT k FROM g.gold.tvf ORDER BY k")
+      .as[Long].collect().toSeq === Seq(2L, 11L))
+  }
+
   test("DELETE FROM prunes rows through the copy-on-write verb; " +
       "truncate empties") {
     spark.sql("CREATE TABLE g.gold.del (k BIGINT, tag STRING)")
@@ -234,5 +253,13 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       .start()
     q.awaitTermination(60000)
     assert(spark.table("cat_feed").count() === 2)
+    // the IDENT route too: readStream.table resolves through the catalog
+    val q2 = spark.readStream.table("g.gold.feed")
+      .writeStream.format("memory").queryName("cat_feed_ident")
+      .option("checkpointLocation", out.toString + "/cp2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    assert(spark.table("cat_feed_ident").count() === 2)
   }
 }
