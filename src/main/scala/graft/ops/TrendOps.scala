@@ -402,7 +402,201 @@ object TrendOps {
       .orderBy("dim")
   }
 
+  /** Fulfillment-latency percentiles per order priority (order date →
+    * FIRST ship date, nearest-rank p50/p90/p99) — the SLA audit. Same
+    * bounded-domain histogram recipe as q_gap_pctl: the cumulative
+    * window rides the day-count domain per priority, never order rows.
+    * (The synthetic generator ships lines before their order date, so
+    * negative latencies appear — the statistic is still exact.) */
+  val shipLatency: Q = Q.checked(
+    "q_ship_latency",
+    """WITH lat AS (
+      |  SELECT o_orderpriority AS priority,
+      |    date_diff('day', CAST(o_orderdate AS DATE),
+      |      CAST(mn AS DATE)) AS days
+      |  FROM orders JOIN (SELECT l_orderkey, min(l_shipdate) AS mn
+      |                    FROM lineitem GROUP BY 1) f
+      |    ON o_orderkey = l_orderkey),
+      |h AS (SELECT priority, CAST(days AS BIGINT) AS days,
+      |        CAST(count(*) AS BIGINT) AS c
+      |      FROM lat GROUP BY 1, 2),
+      |w AS (
+      |  SELECT priority, days, c,
+      |    sum(c) OVER (PARTITION BY priority ORDER BY days
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY priority) AS n
+      |  FROM h)
+      |SELECT priority, CAST(max(n) AS BIGINT) AS n_orders,
+      |  CAST(min(CASE WHEN 100 * cum >= 50 * n THEN days END) AS BIGINT)
+      |    AS p50,
+      |  CAST(min(CASE WHEN 100 * cum >= 90 * n THEN days END) AS BIGINT)
+      |    AS p90,
+      |  CAST(min(CASE WHEN 100 * cum >= 99 * n THEN days END) AS BIGINT)
+      |    AS p99
+      |FROM w GROUP BY priority ORDER BY priority""".stripMargin
+  ) { (s, dir) =>
+    val firstShip = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey").agg(min("l_shipdate").as("mn"))
+    val h = Tables.orders(s, dir)
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("mn")), to_date(col("o_orderdate")))
+          .cast("long").as("days"))
+      .groupBy("priority", "days").agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("priority").orderBy("days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(Window.partitionBy("priority")))
+      .groupBy("priority")
+      .agg(max("n").cast("long").as("n_orders"),
+        min(when(lit(100) * col("cum") >= lit(50) * col("n"), col("days")))
+          .cast("long").as("p50"),
+        min(when(lit(100) * col("cum") >= lit(90) * col("n"), col("days")))
+          .cast("long").as("p90"),
+        min(when(lit(100) * col("cum") >= lit(99) * col("n"), col("days")))
+          .cast("long").as("p99"))
+      .orderBy("priority")
+  }
+
+  /** Revenue response by discount band (whole percent points, the
+    * bounded 0–10 domain): line count, quantity, gross vs net cents —
+    * the price-elasticity table. One scan-side hash aggregate; the net
+    * term uses the DECIMAL(24,6)-snap + exact-sum + floor recipe
+    * (q_nation_balance's lesson). */
+  val discountLift: Q = Q.checked(
+    "q_discount_lift",
+    """SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |    AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS gross_cents,
+      |  CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(24,6))) * 100) AS BIGINT) AS net_cents
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(round(col("l_discount") * 100).cast("long").as("disc_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        sum(cents(col("l_extendedprice"))).cast("long").as("gross_cents"),
+        floor(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(24,6)")) * 100)
+          .cast("long").as("net_cents"))
+      .orderBy("disc_pct")
+  }
+
+  /** Repeat-purchase CDF per market segment: buyers and the exact
+    * milli-shares with ≥2 / ≥5 / ≥10 lifetime orders — the loyalty
+    * screen. Customer-grain count, then one segment-grain aggregate. */
+  val repeatRate: Q = Q.checked(
+    "q_repeat_rate",
+    """WITH oc AS (
+      |  SELECT c_mktsegment AS segment, o_custkey,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT segment, CAST(count(*) AS BIGINT) AS n_buyers,
+      |  CAST(1000 * sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) // count(*)
+      |    AS BIGINT) AS rep2_milli,
+      |  CAST(1000 * sum(CASE WHEN n >= 5 THEN 1 ELSE 0 END) // count(*)
+      |    AS BIGINT) AS rep5_milli,
+      |  CAST(1000 * sum(CASE WHEN n >= 10 THEN 1 ELSE 0 END) // count(*)
+      |    AS BIGINT) AS rep10_milli
+      |FROM oc GROUP BY segment ORDER BY segment""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_buyers"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("r2"),
+        sum(when(col("n") >= 5, 1L).otherwise(0L)).as("r5"),
+        sum(when(col("n") >= 10, 1L).otherwise(0L)).as("r10"))
+      .select(col("segment"), col("n_buyers"),
+        expr("CAST(1000 * r2 div n_buyers AS BIGINT)").as("rep2_milli"),
+        expr("CAST(1000 * r5 div n_buyers AS BIGINT)").as("rep5_milli"),
+        expr("CAST(1000 * r10 div n_buyers AS BIGINT)").as("rep10_milli"))
+      .orderBy("segment")
+  }
+
+  /** Whale concentration per year: revenue share of each year's top-20
+    * customers in exact milli units. The oracle states the per-year
+    * rank window; the ENGINE computes the same top-20 with the
+    * k-bounded [[graft.functions.TopKAgg]] (identical total order:
+    * cents DESC, custkey ASC — cents ≤ ~1e9 per customer-year are
+    * exact doubles) so the shuffle carries 20 rows per year per map
+    * partition, never a per-year sort of the whole customer frame —
+    * the fat-partition window this query must NOT plan at 100 TB. */
+  val topCustomerShare: Q = Q.checked(
+    "q_top_customer_share",
+    """WITH cy AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_custkey,
+      |    CAST(sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (SELECT yr, cents,
+      |        row_number() OVER (PARTITION BY yr
+      |          ORDER BY cents DESC, o_custkey) AS rk
+      |      FROM cy)
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(sum(CASE WHEN rk <= 20 THEN cents ELSE 0 END) AS BIGINT)
+      |    AS top20_cents,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents,
+      |  CAST(1000 * sum(CASE WHEN rk <= 20 THEN cents ELSE 0 END)
+      |    // sum(cents) AS BIGINT) AS top20_milli
+      |FROM r GROUP BY yr ORDER BY yr""".stripMargin
+  ) { (s, dir) =>
+    val top20 = udaf(new graft.functions.TopKAgg(20))
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).cast("long").as("cents"))
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n_cust"),
+        top20(col("cents").cast("double"), col("o_custkey")).as("top"),
+        sum("cents").cast("long").as("total_cents"))
+      .select(col("yr"), col("n_cust"),
+        expr("CAST(aggregate(top, 0L, (acc, t) -> " +
+          "acc + CAST(t._1 AS BIGINT)) AS BIGINT)").as("top20_cents"),
+        col("total_cents"))
+      .select(col("yr"), col("n_cust"), col("top20_cents"),
+        col("total_cents"),
+        expr("CAST(1000 * top20_cents div total_cents AS BIGINT)")
+          .as("top20_milli"))
+      .orderBy("yr")
+  }
+
+  /** Language × source contingency with both row-share views (share of
+    * the language coming from each source, share of the source in each
+    * language) in exact milli units — the corpus-mix table a curation
+    * rebalance starts from. The share windows ride the lang×source
+    * GRAIN frame (≤ |langs|·|sources| rows), never documents. */
+  val langSourceMix: Q = Q.checked(
+    "q_lang_source_mix",
+    """WITH g AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT lang, source, n,
+      |  CAST(1000 * n // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+      |    AS lang_share_milli,
+      |  CAST(1000 * n // sum(n) OVER (PARTITION BY source) AS BIGINT)
+      |    AS source_share_milli
+      |FROM g ORDER BY lang, source""".stripMargin
+  ) { (s, dir) =>
+    val g = Tables.documents(s, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    g.withColumn("ln", sum("n").over(Window.partitionBy("lang")))
+      .withColumn("sn", sum("n").over(Window.partitionBy("source")))
+      .select(col("lang"), col("source"), col("n"),
+        expr("CAST(1000 * n div ln AS BIGINT)").as("lang_share_milli"),
+        expr("CAST(1000 * n div sn AS BIGINT)").as("source_share_milli"))
+      .orderBy("lang", "source")
+  }
+
   val all: Seq[Q] =
     Seq(reactivation, backlog, returnRate, nationBalance, gapPctl,
-      embedSignBuckets, dupFamilyHist, embedDimStats)
+      embedSignBuckets, dupFamilyHist, embedDimStats,
+      shipLatency, discountLift, repeatRate, topCustomerShare,
+      langSourceMix)
 }

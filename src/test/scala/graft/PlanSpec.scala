@@ -500,6 +500,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_top_customer_share: k-bounded aggregator, NO per-year rank " +
+      "window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = ops.TrendOps.topCustomerShare.fn(spark, Sf).queryExecution
+    val wins = qe.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.isEmpty,
+      s"top-20-per-year must ride TopKAgg, not a fat per-year rank " +
+        s"window:\n${qe.sparkPlan}")
+  }
+
   test("TrendOps windows: lag frames customer-partitioned; cumulative " +
       "frames bounded") {
     import org.apache.spark.sql.execution.window.WindowExec
