@@ -365,6 +365,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             targetFiles = target, clusterBy = cluster,
             zorder = cluster.size >= 2, partitionScope = scope))
       }))
+    // SELECT * FROM snapshot_vacuum('<table>'[, keepLast[, minAgeHours]])
+    // — retention from SQL (Delta's VACUUM ... RETAIN n HOURS shape):
+    // drops history beyond keepLast versions, but never a version
+    // younger than minAgeHours. EXECUTE-at-execution like the other
+    // write TVFs (EXPLAIN never reclaims); the report's `version`
+    // column is the new history FLOOR — the oldest version still
+    // time-travelable after the vacuum.
+    ext.injectTableFunction((FunctionIdentifier("snapshot_vacuum"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_vacuum"),
+      (args: Seq[Expression]) => {
+        if (args.isEmpty || args.length > 3)
+          throw new IllegalArgumentException("snapshot_vacuum expects " +
+            s"(path[, keepLast[, minAgeHours]]), got ${args.length} args")
+        val s = org.apache.spark.sql.SparkSession.active
+        val dir = strLit(args.head, "snapshot_vacuum")
+        val keep = args.lift(1).map(longLit(_, "snapshot_vacuum").toInt)
+          .getOrElse(1)
+        val minAgeMs = args.lift(2)
+          .map(longLit(_, "snapshot_vacuum") * 3600L * 1000L)
+          .getOrElse(0L)
+        dmlReport("vacuum", dir, () => {
+          graft.sources.SnapshotLog.vacuum(s, dir, keepLast = keep,
+            minAgeMs = minAgeMs)
+          graft.sources.SnapshotLog.versions(s, dir).head
+        })
+      }))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[HashExprs.MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => {

@@ -220,6 +220,48 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       .as[Long].collect().toSeq === Seq(2L, 11L))
   }
 
+  test("concurrent SQL INSERTs both land: claim/rebase holds through " +
+      "the catalog surface") {
+    spark.sql("CREATE TABLE g.gold.conc (k BIGINT)")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 4).map { i =>
+      Future { spark.sql(s"INSERT INTO g.gold.conc VALUES ($i)") }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    // no lost update: all four rows present, four append commits landed
+    assert(spark.sql("SELECT k FROM g.gold.conc ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(SnapshotLog.versions(spark, s"$root/gold/conc") ===
+      (1L to 5L))
+  }
+
+  test("snapshot_vacuum TVF: SQL retention, EXPLAIN never reclaims") {
+    spark.sql("CREATE TABLE g.gold.vac (k BIGINT)")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO g.gold.vac VALUES ($i)"))
+    val dir = s"$root/gold/vac"
+    assert(SnapshotLog.versions(spark, dir) === (1L to 5L))
+    // EXPLAIN resolves the TVF without reclaiming anything
+    spark.sql("EXPLAIN SELECT * FROM snapshot_vacuum('g.gold.vac', 2)")
+      .collect()
+    assert(SnapshotLog.versions(spark, dir) === (1L to 5L),
+      "EXPLAIN of snapshot_vacuum reclaimed history")
+    val report = spark.sql(
+      "SELECT * FROM snapshot_vacuum('g.gold.vac', 2)")
+      .as[(String, String, Long)].head()
+    assert(report._1 === "vacuum" && report._3 === 4L,
+      s"expected history floor 4, got $report")
+    assert(SnapshotLog.versions(spark, dir) === Seq(4L, 5L))
+    // a min-age guard keeps young versions beyond keepLast
+    val r2 = spark.sql(
+      "SELECT version FROM snapshot_vacuum('g.gold.vac', 1, 1000)")
+      .as[Long].head()
+    assert(r2 === 4L && SnapshotLog.versions(spark, dir) === Seq(4L, 5L),
+      "minAgeHours did not protect young versions")
+  }
+
   test("DELETE FROM prunes rows through the copy-on-write verb; " +
       "truncate empties") {
     spark.sql("CREATE TABLE g.gold.del (k BIGINT, tag STRING)")
