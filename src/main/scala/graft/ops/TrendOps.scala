@@ -594,9 +594,117 @@ object TrendOps {
       .orderBy("lang", "source")
   }
 
+  /** Basket-size mix per year: order count and exact milli-share per
+    * lines-per-order band — the order-shape trend. The share window
+    * rides the (year × band) grain frame (bands ≤ max lines/order, a
+    * generator constant), never orders. */
+  val basketSizeMix: Q = Q.checked(
+    "q_basket_size_mix",
+    """WITH sz AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+      |  FROM lineitem GROUP BY 1),
+      |oy AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, n_lines
+      |  FROM orders JOIN sz ON o_orderkey = l_orderkey)
+      |SELECT yr, n_lines, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(1000 * count(*) // sum(count(*)) OVER (PARTITION BY yr)
+      |    AS BIGINT) AS share_milli
+      |FROM oy GROUP BY yr, n_lines ORDER BY yr, n_lines""".stripMargin
+  ) { (s, dir) =>
+    val sz = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n_lines"))
+    val g = Tables.orders(s, dir)
+      .join(sz, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"))
+    g.withColumn("yt", sum("n_orders").over(Window.partitionBy("yr")))
+      .select(col("yr"), col("n_lines"), col("n_orders"),
+        expr("CAST(1000 * n_orders div yt AS BIGINT)").as("share_milli"))
+      .orderBy("yr", "n_lines")
+  }
+
+  /** Supplier-concentration risk: per part the top supplier's revenue
+    * share, banded to tenths, then the band histogram — which slice of
+    * the catalog is one supplier failure away from an outage. Three
+    * hash aggregates (part×supplier → part → band), no window, no
+    * top-k machinery (max == top-1). */
+  val supplierDependency: Q = Q.checked(
+    "q_supplier_dependency",
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * 100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (
+      |  SELECT l_partkey, max(cents) AS top_cents,
+      |    sum(cents) AS tot_cents, CAST(count(*) AS BIGINT) AS n_supp
+      |  FROM ps GROUP BY 1),
+      |b AS (
+      |  SELECT CAST(10 * top_cents // tot_cents AS BIGINT) AS band,
+      |    n_supp
+      |  FROM p)
+      |SELECT band, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(n_supp) AS BIGINT) AS total_suppliers
+      |FROM b GROUP BY band ORDER BY band""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(cents(col("l_extendedprice"))).cast("long").as("cents"))
+      .groupBy("l_partkey")
+      .agg(max("cents").as("top_cents"), sum("cents").as("tot_cents"),
+        count(lit(1)).as("n_supp"))
+      .select(expr("CAST(10 * top_cents div tot_cents AS BIGINT)")
+        .as("band"), col("n_supp"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("n_supp").cast("long").as("total_suppliers"))
+      .orderBy("band")
+  }
+
+  /** Brand share shift: each brand's revenue micro-share per ship year
+    * and the year-over-year shift — the competitive-drift table. Both
+    * windows ride BOUNDED frames: the share over the ≤|brands| rows of
+    * one year, the lag over one brand's ≤|years| rows. First-year
+    * shift coalesces to 0 (no prior year). */
+  val brandShareShift: Q = Q.checked(
+    "q_brand_share_shift",
+    """WITH by_ AS (
+      |  SELECT p_brand AS brand, CAST(year(l_shipdate) AS BIGINT) AS yr,
+      |    CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * 100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT brand, yr, cents,
+      |    CAST(1000000 * cents // sum(cents) OVER (PARTITION BY yr)
+      |      AS BIGINT) AS share_micro
+      |  FROM by_)
+      |SELECT brand, yr, cents, share_micro,
+      |  CAST(coalesce(share_micro - lag(share_micro)
+      |    OVER (PARTITION BY brand ORDER BY yr), 0) AS BIGINT)
+      |    AS shift_micro
+      |FROM sh ORDER BY brand, yr""".stripMargin
+  ) { (s, dir) =>
+    val by = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        year(col("l_shipdate")).cast("long").as("yr"))
+      .agg(sum(cents(col("l_extendedprice"))).cast("long").as("cents"))
+    val sh = by
+      .withColumn("yt", sum("cents").over(Window.partitionBy("yr")))
+      .select(col("brand"), col("yr"), col("cents"),
+        expr("CAST(1000000 * cents div yt AS BIGINT)").as("share_micro"))
+    sh.withColumn("shift_micro",
+        coalesce(col("share_micro") -
+          lag("share_micro", 1).over(
+            Window.partitionBy("brand").orderBy("yr")), lit(0L))
+          .cast("long"))
+      .orderBy("brand", "yr")
+  }
+
   val all: Seq[Q] =
     Seq(reactivation, backlog, returnRate, nationBalance, gapPctl,
       embedSignBuckets, dupFamilyHist, embedDimStats,
       shipLatency, discountLift, repeatRate, topCustomerShare,
-      langSourceMix)
+      langSourceMix, basketSizeMix, supplierDependency, brandShareShift)
 }
