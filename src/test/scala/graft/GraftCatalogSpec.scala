@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.SnapshotLog
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -218,6 +219,38 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       "'k = CAST(1.0 AS BIGINT)', 'k', 'k + 10')").collect()
     assert(spark.sql("SELECT k FROM g.gold.tvf ORDER BY k")
       .as[Long].collect().toSeq === Seq(2L, 11L))
+  }
+
+  test("toTable volume: 100k executor-written rows round-trip with " +
+      "write parallelism = plan partitioning") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("CREATE TABLE g.gold.vol (k BIGINT, payload STRING)")
+    val dir = s"$root/gold/vol"
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().toDF("seed")
+      .selectExpr("explode(sequence(seed * 25000, seed * 25000 + 24999)) AS k")
+      .selectExpr("k", "repeat(concat('p', k % 97), 3) AS payload")
+      .repartition(8, col("k"))
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("cat-vol").toString)
+      .toTable("g.gold.vol")
+    try {
+      ms.addData(0L, 1L, 2L, 3L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("g.gold.vol")
+    assert(got.count() === 100000L)
+    assert(got.agg(sum("k")).as[Long].head() ===
+      (0L until 100000L).sum)
+    // one file per task per epoch: parallelism tracked the plan
+    // (history's n_files column — filesOf is package-private)
+    val nFiles = SnapshotLog.history(spark, dir)
+      .orderBy(col("version").desc).select("n_files")
+      .as[Long].head()
+    assert(nFiles > 1,
+      "volume epoch wrote a single file — executor parallelism lost")
   }
 
   test("concurrent SQL INSERTs both land: claim/rebase holds through " +
