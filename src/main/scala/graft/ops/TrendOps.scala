@@ -702,9 +702,89 @@ object TrendOps {
       .orderBy("brand", "yr")
   }
 
+  /** Character-class mix per language (alpha/digit/whitespace/other
+    * milli-shares of all characters) — the OCR-noise / template-spam
+    * screen q_text_quality's token ratios cannot see. Class counts by
+    * subtraction (chars − chars-with-class-removed): one scan-side
+    * aggregate, regexes are the codegen'd built-in. */
+  val charClassMix: Q = Q.checked(
+    "q_char_class_mix",
+    """WITH c AS (
+      |  SELECT lang,
+      |    CAST(sum(length(text)) AS BIGINT) AS chars,
+      |    CAST(sum(length(text) - length(regexp_replace(text,
+      |      '[a-zA-Z]', '', 'g'))) AS BIGINT) AS alpha,
+      |    CAST(sum(length(text) - length(regexp_replace(text,
+      |      '[0-9]', '', 'g'))) AS BIGINT) AS digit,
+      |    CAST(sum(length(text) - length(replace(text, ' ', '')))
+      |      AS BIGINT) AS space
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, chars,
+      |  CAST(1000 * alpha // chars AS BIGINT) AS alpha_milli,
+      |  CAST(1000 * digit // chars AS BIGINT) AS digit_milli,
+      |  CAST(1000 * space // chars AS BIGINT) AS space_milli,
+      |  CAST(1000 * (chars - alpha - digit - space) // chars AS BIGINT)
+      |    AS other_milli
+      |FROM c ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    val t = col("text")
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(sum(length(t)).cast("long").as("chars"),
+        sum(length(t) - length(regexp_replace(t, "[a-zA-Z]", "")))
+          .cast("long").as("alpha"),
+        sum(length(t) - length(regexp_replace(t, "[0-9]", "")))
+          .cast("long").as("digit"),
+        sum(length(t) - length(regexp_replace(t, " ", "")))
+          .cast("long").as("space"))
+      .select(col("lang"), col("chars"),
+        expr("CAST(1000 * alpha div chars AS BIGINT)").as("alpha_milli"),
+        expr("CAST(1000 * digit div chars AS BIGINT)").as("digit_milli"),
+        expr("CAST(1000 * space div chars AS BIGINT)").as("space_milli"),
+        expr("CAST(1000 * (chars - alpha - digit - space) div chars " +
+          "AS BIGINT)").as("other_milli"))
+      .orderBy("lang")
+  }
+
+  /** Return rate per brand — the product-quality ranking
+    * (q_return_rate's monthly trend sliced the other way): returned
+    * lines, exact milli-rate and returned cents per brand. One
+    * fact-side aggregate after the part dimension join (AQE
+    * broadcasts the dimension). */
+  val returnsByBrand: Q = Q.checked(
+    "q_returns_by_brand",
+    """SELECT p_brand AS brand,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+      |    AS n_returned,
+      |  CAST(1000 * count(*) FILTER (WHERE l_returnflag = 'R')
+      |    // count(*) AS BIGINT) AS ret_milli,
+      |  CAST(coalesce(sum(CAST(CAST(CAST(l_extendedprice
+      |      AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS BIGINT))
+      |    FILTER (WHERE l_returnflag = 'R'), 0) AS BIGINT) AS ret_cents
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        (col("l_returnflag") === "R").cast("long").as("r"),
+        cents(col("l_extendedprice")).as("c"))
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n_lines"), sum("r").as("n_returned"),
+        coalesce(sum(when(col("r") === 1L, col("c"))), lit(0L))
+          .as("ret_cents"))
+      .select(col("brand"), col("n_lines"), col("n_returned"),
+        expr("CAST(1000 * n_returned div n_lines AS BIGINT)")
+          .as("ret_milli"),
+        col("ret_cents"))
+      .orderBy("brand")
+  }
+
   val all: Seq[Q] =
     Seq(reactivation, backlog, returnRate, nationBalance, gapPctl,
       embedSignBuckets, dupFamilyHist, embedDimStats,
       shipLatency, discountLift, repeatRate, topCustomerShare,
-      langSourceMix, basketSizeMix, supplierDependency, brandShareShift)
+      langSourceMix, basketSizeMix, supplierDependency, brandShareShift,
+      charClassMix, returnsByBrand)
 }
