@@ -93,7 +93,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         else {
           val root = spark.conf.get(s"spark.sql.catalog.${parts.head}.root")
             .stripSuffix("/")
-          (root +: parts.tail.toSeq).mkString("/")
+          val resolved = (root +: parts.tail.toSeq).mkString("/")
+          // a dotted literal names a CATALOG table only if the resolved
+          // directory actually holds committed versions — a genuine
+          // relative path like 'g.backup' (file name with a dot) must
+          // not silently resolve to <root>/backup, the wrong table.
+          // Both viable → refuse: for snapshot_vacuum a wrong guess is
+          // destructive, so ambiguity is the caller's to break with an
+          // absolute path.
+          val asCatalog =
+            graft.sources.SnapshotLog.versions(spark, resolved).nonEmpty
+          val asLiteral =
+            graft.sources.SnapshotLog.versions(spark, s).nonEmpty
+          if (asCatalog && asLiteral) throw new IllegalArgumentException(
+            s"$fn: '$s' is ambiguous — both the catalog table at " +
+              s"'$resolved' and the relative path '$s' hold committed " +
+              "versions; pass an absolute path to pick one")
+          else if (asCatalog) resolved
+          else s
         }
       }
     }

@@ -445,8 +445,16 @@ object SnapshotLog {
         .map(n => s"#dv=$n").toSeq
       val partLines = latest.map(l => partHeaders(pcs,
         filePartsOf(spark, dir, l), prev, fresh)).getOrElse(Seq.empty)
+      // a plain append (no batchId) is a non-batch verb like every
+      // other: it must carry the #lastbatch high-water mark forward, or
+      // a vacuum retaining only appends would blind the replay guard
+      // and a restarted sink's replayed epoch would re-apply
+      val replayHeader = batchId.map(b => s"#batch=$b").toSeq match {
+        case Seq() => watermarkHeader(spark, dir)
+        case bh    => bh
+      }
       commitFiles(spark, dir, (prev ++ fresh).sorted, commitId,
-        header = batchId.map(b => s"#batch=$b").toSeq ++
+        header = replayHeader ++
           Seq(schemaHeader(schema)) ++
           dvHeader ++ partLines ++ checkHeaders(checks),
         base = Some(latest)) match {
@@ -626,6 +634,23 @@ object SnapshotLog {
       }
     }
     -1L // unreachable
+  }
+
+  /** Loud guard for streaming Complete-mode sinks (v1 [[SnapshotSink]]
+    * and the v2 [[SnapshotStreamingWrite]]): their replace commits carry
+    * FLAT file sets, so replacing a partition-DECLARED table would
+    * silently drop its layout from the manifest — every subsequent
+    * readPartition prune and partition-pure append would break. Refuse
+    * with guidance instead (the [[appendExternal]] precedent). */
+  private[sources] def requireUnpartitionedForReplace(spark: SparkSession,
+      dir: String, what: String): Unit = {
+    val pcs = versions(spark, dir).lastOption
+      .map(partitionColsOf(spark, dir, _)).getOrElse(Seq.empty)
+    require(pcs.isEmpty,
+      s"$dir declares partition columns (${pcs.mkString(",")}); $what " +
+        "replaces the table with a FLAT snapshot, which would silently " +
+        "drop the declared layout — stream in Append mode (partition-" +
+        "pure commitBatch) or re-publish via commitPartitioned instead")
   }
 
   /** Every file any RETAINED manifest references — the caller-side

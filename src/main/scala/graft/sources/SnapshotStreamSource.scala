@@ -180,8 +180,11 @@ private[sources] class SnapshotSink(dir: String, complete: Boolean)
     val rowRdd = data.queryExecution.toRdd
       .map(ir => conv(ir.copy()).asInstanceOf[org.apache.spark.sql.Row])
     val fresh = spark.createDataFrame(rowRdd, schema)
-    if (complete) SnapshotLog.commitBatchReplace(spark, dir, fresh, batchId)
-    else SnapshotLog.commitBatch(spark, dir, fresh, batchId)
+    if (complete) {
+      SnapshotLog.requireUnpartitionedForReplace(spark, dir,
+        "the graft-snapshot Complete-mode sink")
+      SnapshotLog.commitBatchReplace(spark, dir, fresh, batchId)
+    } else SnapshotLog.commitBatch(spark, dir, fresh, batchId)
   }
   override def toString: String = s"SnapshotSink($dir)"
 }
@@ -576,6 +579,9 @@ private[sources] class GroupFileReader(path: String, schema: StructType,
                 .getPrimitiveTypeName
             else inner.asPrimitiveType().getPrimitiveTypeName
           val elemDec = primDecoder(et, elemPrim, 0)
+          // both decoders resolve ONCE per file — the element loop is
+          // allocation-free (the 2-level one takes the index at runtime)
+          val legacyDec = if (threeLevel) null else primDecoderAt(et, elemPrim, 0)
           g => {
             if (g.getFieldRepetitionCount(fi) == 0) null
             else {
@@ -589,7 +595,7 @@ private[sources] class GroupFileReader(path: String, schema: StructType,
                     val eg = lg.getGroup(0, j)
                     if (eg.getFieldRepetitionCount(0) == 0) null
                     else elemDec(eg)
-                  } else primDecoderAt(et, elemPrim, 0, j)(lg)
+                  } else legacyDec(lg, j)
                 j += 1
               }
               new GenericArrayData(arr)
@@ -603,17 +609,18 @@ private[sources] class GroupFileReader(path: String, schema: StructType,
       }
     }
 
-  /** [[primDecoder]] at an explicit repetition index (legacy 2-level
-    * lists repeat the primitive directly). */
+  /** [[primDecoder]] with the repetition index as a RUNTIME argument
+    * (legacy 2-level lists repeat the primitive directly) — resolved
+    * once per file, so the element loop allocates nothing. */
   private def primDecoderAt(dt: DataType, prim: PrimitiveTypeName,
-      fi: Int, idx: Int): Group => Any = dt match {
-    case LongType    => g => g.getLong(fi, idx)
-    case IntegerType => g => g.getInteger(fi, idx)
-    case DoubleType  => g => g.getDouble(fi, idx)
-    case FloatType   => g => g.getFloat(fi, idx)
-    case BooleanType => g => g.getBoolean(fi, idx)
+      fi: Int): (Group, Int) => Any = dt match {
+    case LongType    => (g, idx) => g.getLong(fi, idx)
+    case IntegerType => (g, idx) => g.getInteger(fi, idx)
+    case DoubleType  => (g, idx) => g.getDouble(fi, idx)
+    case FloatType   => (g, idx) => g.getFloat(fi, idx)
+    case BooleanType => (g, idx) => g.getBoolean(fi, idx)
     case StringType  =>
-      g => UTF8String.fromBytes(g.getBinary(fi, idx).getBytes)
+      (g, idx) => UTF8String.fromBytes(g.getBinary(fi, idx).getBytes)
     case other => throw new IllegalStateException(
       s"undecodable legacy-list element ${other.simpleString}")
   }

@@ -50,8 +50,21 @@ private[sources] class SnapshotStreamingWrite(dir: String,
   }
 
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GroupWriterFactory(s"$dir/data/$commitId", schema.json)
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    // ship the SESSION's effective Hadoop conf (s3a credentials, HA HDFS
+    // nameservices, ...) to executors as plain entries — a bare
+    // `new Configuration()` on the executor would misroute any
+    // filesystem that needs config, and the driver-side abort already
+    // uses the session conf; the write path must match
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val props = {
+      val it = conf.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    new GroupWriterFactory(s"$dir/data/$commitId", schema.json, props)
+  }
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -59,9 +72,14 @@ private[sources] class SnapshotStreamingWrite(dir: String,
     val files = messages.collect {
       case FilesWritten(paths) => paths
     }.flatten.toSeq.sorted
-    if (complete)
+    if (complete) {
+      // replacing a partition-DECLARED table with this epoch's flat file
+      // set would silently drop its layout from the manifest — refuse
+      // loudly (appendExternal already does for the Append path)
+      SnapshotLog.requireUnpartitionedForReplace(spark, dir,
+        "the v2 Complete-mode streaming write")
       SnapshotLog.commitBatchExternal(spark, dir, files, schema, epochId)
-    else SnapshotLog.appendExternal(spark, dir, files, schema, epochId)
+    } else SnapshotLog.appendExternal(spark, dir, files, schema, epochId)
     ()
   }
 
@@ -81,23 +99,34 @@ private[sources] case class FilesWritten(paths: Seq[String])
     extends WriterCommitMessage
 
 private[sources] class GroupWriterFactory(dataDir: String,
-    schemaJson: String) extends StreamingDataWriterFactory {
+    schemaJson: String, confProps: Array[(String, String)])
+    extends StreamingDataWriterFactory {
+  // rebuild the shipped session conf ONCE per deserialized factory —
+  // Configuration itself is not serializable
+  @transient private lazy val hadoopConf = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    confProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GroupFileWriter(
       s"$dataDir/part-$epochId-$partitionId-${UUID.randomUUID()}.parquet",
-      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], hadoopConf)
 }
 
 /** One task's parquet writer: InternalRow → example-API Group →
   * columnar pages, streaming (bounded memory per row group). Encoders
   * resolve ONCE per (field, type) — the hot loop is array-indexed. */
-private[sources] class GroupFileWriter(path: String, schema: StructType)
+private[sources] class GroupFileWriter(path: String, schema: StructType,
+    baseConf: org.apache.hadoop.conf.Configuration)
     extends DataWriter[InternalRow] {
   private val message = GroupFileWriter.toMessageType(schema)
   private val factory = new SimpleGroupFactory(message)
   private val writer = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // copy: setSchema mutates, and the factory's conf is shared
+    val conf = new org.apache.hadoop.conf.Configuration(baseConf)
     GroupWriteSupport.setSchema(message, conf)
     ExampleParquetWriter.builder(new Path(path))
       .withConf(conf)
@@ -128,8 +157,7 @@ private[sources] class GroupFileWriter(path: String, schema: StructType)
   override def abort(): Unit = {
     try writer.close() catch { case _: Exception => () }
     val hp = new Path(path)
-    hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      .delete(hp, false)
+    hp.getFileSystem(baseConf).delete(hp, false)
     ()
   }
 
