@@ -66,6 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // transparent materialized-view rollup rewrite (no-op while the
     // MvRewrite registry is empty)
     ext.injectOptimizerRule(s => new graft.plans.MvRewrite.RewriteRule(s))
+    // native SQL UPDATE / MERGE INTO over GraftCatalog tables — resolved
+    // plans translate onto SnapshotLog.updateWhere / merge (one version
+    // per statement, library guards surface as SQL errors)
+    ext.injectResolutionRule(s => new graft.plans.SqlDml.ResolveDml(s))
     // SQL TABLE functions over the snapshot log — time travel and table
     // history from pure SQL clients (Thrift/Connect), no Scala API
     // needed: SELECT * FROM snapshot_of('/path'[, version]);

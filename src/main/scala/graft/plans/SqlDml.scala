@@ -1,0 +1,269 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, CaseWhen, Cast, EqualTo, Expression, Literal, Or, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.DataType
+
+import graft.sources.{SnapshotCatalogTable, SnapshotLog}
+
+/** Native SQL `UPDATE` and `MERGE INTO` for [[graft.sources.GraftCatalog]]
+  * tables — the last DML verbs the SQL surface lacked (DELETE FROM
+  * already plans through `SupportsDelete`).
+  *
+  * Spark's own row-level path requires `SupportsRowLevelOperations`
+  * (a scan+replace write pair). The snapshot log already HAS that whole
+  * machinery as library verbs — [[SnapshotLog.updateWhere]] (file-grain
+  * copy-on-write with DV composition) and [[SnapshotLog.merge]] (keyed
+  * COW upsert with NULL/duplicate-key guards and the claim/rebase commit
+  * protocol) — so instead of re-implementing the rewrite we translate
+  * the RESOLVED logical plans onto those verbs with one analyzer rule:
+  *
+  *  - `UPDATE t SET ... WHERE ...` → [[GraftUpdateCommand]] →
+  *    `updateWhere(dir, pred, set)`. Expressions are re-bound BY NAME
+  *    (single table — unambiguous), so the verb's internal file-grain
+  *    scans resolve them against each rewrite frame.
+  *  - `MERGE INTO t USING s ON ... WHEN ...` → [[GraftMergeCommand]]:
+  *    the rule compiles the action clauses into ONE keyed change-set
+  *    plan (matched inner join / not-matched anti join / not-matched-by-
+  *    source anti join, each projecting full target-schema post-image
+  *    rows plus a `__graft_op` tombstone marker, first-match-wins via
+  *    `CaseWhen`, rows matching no clause filtered out = untouched), and
+  *    the verb merges it at file grain. Attribute references stay
+  *    RESOLVED here — target and source may share column names, so the
+  *    joins are built as logical plans over the original relations.
+  *
+  * Both commit exactly ONE snapshot version through the library verb —
+  * time travel, CHECK constraints, DV carry, `#lastbatch` watermark and
+  * concurrency rebase all apply to SQL DML for free, and the verbs'
+  * loud guards (NULL/duplicate merge keys, unknown SET columns) surface
+  * as SQL errors.
+  *
+  * Scale shape (the verbs' cost model): UPDATE/MERGE rewrite only files
+  * containing a matched row — located by ONE column-pruned scan — and
+  * carry the rest by reference; the MERGE change-set joins are planned
+  * by Catalyst (broadcast when the source is small). Non-equality ON
+  * clauses, nested-field SET targets and subqueries are refused loudly
+  * rather than silently mistranslated. */
+object SqlDml {
+  private[plans] val OpCol = "__graft_op"
+
+  /** The catalog table a DML statement targets, if it is ours and
+    * writable (not time-traveled). */
+  private def targetOf(plan: LogicalPlan): Option[SnapshotCatalogTable] =
+    plan match {
+      case SubqueryAlias(_, child) => targetOf(child)
+      case r: DataSourceV2Relation => r.table match {
+        case t: SnapshotCatalogTable => Some(t)
+        case _                       => None
+      }
+      case _ => None
+    }
+
+  private def refuseSubqueries(e: Expression, what: String): Unit =
+    e.foreach {
+      case _: SubqueryExpression => throw new UnsupportedOperationException(
+        s"graft SQL DML: subqueries in $what are not supported — " +
+          "pre-compute the subquery into the source frame")
+      case _ => ()
+    }
+
+  /** Re-bind a resolved single-table expression BY NAME so the library
+    * verb can resolve it against its own internal scans. */
+  private def byName(e: Expression, what: String): Column = {
+    refuseSubqueries(e, what)
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+  }
+
+  private def castTo(e: Expression, dt: DataType): Expression =
+    if (e.dataType == dt) e else Cast(e, dt)
+
+  /** Analyzer rule: rewrite resolved UPDATE/MERGE over snapshot-catalog
+    * tables into runnable commands on the library verbs. Runs inside the
+    * resolution fixed point, so Spark's "table does not support row-level
+    * operations" rejection never sees the plan. */
+  class ResolveDml(spark: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperatorsDown {
+        case u @ UpdateTable(table, _, _) if u.resolved =>
+          targetOf(table).map(rewriteUpdate(_, u)).getOrElse(u)
+        case m: MergeIntoTable if m.resolved =>
+          targetOf(m.targetTable).map(rewriteMerge(_, m)).getOrElse(m)
+      }
+  }
+
+  private def requireWritable(t: SnapshotCatalogTable): Unit =
+    require(t.versionAsOf.isEmpty,
+      s"${t.name()} VERSION/TIMESTAMP AS OF is a read-only relation")
+
+  private def rewriteUpdate(t: SnapshotCatalogTable,
+      u: UpdateTable): LogicalPlan = {
+    requireWritable(t)
+    val set = u.assignments.map { a =>
+      a.key match {
+        case k: AttributeReference => k.name -> byName(a.value, "SET")
+        case other => throw new UnsupportedOperationException(
+          "graft UPDATE sets top-level columns; nested-field target " +
+            s"'${other.sql}' is not supported")
+      }
+    }
+    GraftUpdateCommand(t.dir, set, u.condition.map(byName(_, "WHERE")))
+  }
+
+  private def rewriteMerge(t: SnapshotCatalogTable,
+      m: MergeIntoTable): LogicalPlan = {
+    requireWritable(t)
+    require(!m.withSchemaEvolution,
+      "graft MERGE: WITH SCHEMA EVOLUTION is not supported — the log " +
+        "widens schemas on data commits (SnapshotLog.merge) instead")
+    val target = m.targetTable
+    val source = m.sourceTable
+    val tOut = target.output
+    require(!tOut.exists(_.name == OpCol),
+      s"graft MERGE reserves the column name $OpCol")
+    refuseSubqueries(m.mergeCondition, "ON")
+    (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+      .foreach { a =>
+        a.condition.foreach(refuseSubqueries(_, "WHEN ... AND"))
+        a match {
+          case UpdateAction(_, as, _) =>
+            as.foreach(x => refuseSubqueries(x.value, "UPDATE SET"))
+          case InsertAction(_, as) =>
+            as.foreach(x => refuseSubqueries(x.value, "INSERT VALUES"))
+          case _ => ()
+        }
+      }
+
+    // merge keys: the ON clause must be an equality conjunction pairing
+    // one target COLUMN with a source-side expression — that is the keyed
+    // contract SnapshotLog.merge locates files by
+    def keysOf(e: Expression): Seq[String] = e match {
+      case And(l, r) => keysOf(l) ++ keysOf(r)
+      case EqualTo(l: AttributeReference, r)
+        if target.outputSet.contains(l) &&
+          r.references.subsetOf(source.outputSet) => Seq(l.name)
+      case EqualTo(l, r: AttributeReference)
+        if target.outputSet.contains(r) &&
+          l.references.subsetOf(source.outputSet) => Seq(r.name)
+      case other => throw new UnsupportedOperationException(
+        "graft MERGE needs ON as a conjunction of target.col = " +
+          s"<source expr> equalities; cannot translate '${other.sql}'")
+    }
+    val keys = keysOf(m.mergeCondition).distinct
+
+    /** One change-set leg: project every action-hit row of `rows` to a
+      * full target-schema post-image + op marker; rows hitting no action
+      * clause are filtered out (left untouched by the merge). */
+    def leg(rows: LogicalPlan, actions: Seq[MergeAction],
+        valueFor: (MergeAction, Attribute) => Expression)
+        : Option[LogicalPlan] =
+      if (actions.isEmpty) None
+      else {
+        val conds = actions.map(_.condition.getOrElse(Literal(true)))
+        val cols = tOut.map { attr =>
+          val branches = actions.zip(conds).map { case (a, c) =>
+            c -> castTo(valueFor(a, attr), attr.dataType)
+          }
+          Alias(CaseWhen(branches, None), attr.name)()
+        }
+        val op = Alias(CaseWhen(actions.zip(conds).map { case (a, c) =>
+          c -> Literal(a match {
+            case _: DeleteAction => "D"
+            case _               => "U"
+          })
+        }, None), OpCol)()
+        Some(Project(cols :+ op, Filter(conds.reduce(Or), rows)))
+      }
+
+    def assigned(assignments: Seq[Assignment], attr: Attribute)
+        : Option[Expression] =
+      assignments.collectFirst {
+        case Assignment(k: AttributeReference, v)
+          if k.exprId == attr.exprId || k.name == attr.name => v
+      }
+
+    // WHEN MATCHED: inner join carries both sides; UPDATE keeps
+    // unassigned columns at their target value, DELETE keeps the
+    // pre-image (only the key + op marker matter)
+    val matched = leg(
+      Join(target, source, Inner, Some(m.mergeCondition), JoinHint.NONE),
+      m.matchedActions,
+      (a, attr) => a match {
+        case UpdateAction(_, as, _) => assigned(as, attr).getOrElse(attr)
+        case _: DeleteAction     => attr
+        case other => throw new UnsupportedOperationException(
+          s"graft MERGE: unsupported matched action $other")
+      })
+
+    // WHEN NOT MATCHED: source rows with no target match; unassigned
+    // insert columns become typed NULLs (the SQL default)
+    val notMatched = leg(
+      Join(source, target, LeftAnti, Some(m.mergeCondition), JoinHint.NONE),
+      m.notMatchedActions,
+      (a, attr) => a match {
+        case InsertAction(_, as) =>
+          assigned(as, attr).getOrElse(Literal.create(null, attr.dataType))
+        case other => throw new UnsupportedOperationException(
+          s"graft MERGE: unsupported not-matched action $other")
+      })
+
+    // WHEN NOT MATCHED BY SOURCE: target rows with no source match
+    // (expressions reference the target only)
+    val notMatchedBySource = leg(
+      Join(target, source, LeftAnti, Some(m.mergeCondition), JoinHint.NONE),
+      m.notMatchedBySourceActions,
+      (a, attr) => a match {
+        case UpdateAction(_, as, _) => assigned(as, attr).getOrElse(attr)
+        case _: DeleteAction     => attr
+        case other => throw new UnsupportedOperationException(
+          s"graft MERGE: unsupported not-matched-by-source action $other")
+      })
+
+    val legs = Seq(matched, notMatched, notMatchedBySource).flatten
+    require(legs.nonEmpty, "MERGE needs at least one WHEN clause")
+    val changes =
+      if (legs.length == 1) legs.head else Union(legs, false, false)
+    GraftMergeCommand(t.dir, keys, changes)
+  }
+}
+
+/** `UPDATE <catalog table> SET ... WHERE ...` → one
+  * [[SnapshotLog.updateWhere]] commit (file-grain copy-on-write). */
+case class GraftUpdateCommand(dir: String, set: Seq[(String, Column)],
+    cond: Option[Column]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotLog.updateWhere(spark, dir, cond.getOrElse(lit(true)),
+      set.toMap)
+    Seq.empty
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftUpdateCommand $dir [${set.map(_._1).mkString(", ")}]"
+}
+
+/** `MERGE INTO <catalog table>` → one [[SnapshotLog.merge]] commit of
+  * the compiled change-set plan: matched keys replaced (or tombstoned
+  * when the op marker says delete), unmatched inserted, untouched files
+  * carried by reference. The verb's guards (one row per key, no NULL
+  * keys) surface MERGE cardinality violations loudly. */
+case class GraftMergeCommand(dir: String, keys: Seq[String],
+    changes: LogicalPlan) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(changes)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = ColumnBridge.ofRows(spark, changes)
+    SnapshotLog.merge(spark, dir, df, keys,
+      deleteWhen = Some(col(SqlDml.OpCol) === lit("D")),
+      dropCols = Seq(SqlDml.OpCol))
+    Seq.empty
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftMergeCommand $dir keys=[${keys.mkString(", ")}]"
+}

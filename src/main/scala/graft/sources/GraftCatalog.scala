@@ -229,7 +229,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * driver DataFrame for the commit verbs. Declared V1_BATCH_WRITE (not
   * BATCH_WRITE): Spark then plans INSERT/CTAS through the v1-fallback
   * writer exec, which is exactly this shape. */
-private[sources] class SnapshotCatalogTable(schema0: StructType,
+private[graft] class SnapshotCatalogTable(schema0: StructType,
     dir: String, qualified: String, versionAsOf: Option[Long])
     extends SnapshotStreamTable(schema0, dir, versionAsOf)
     with SupportsWrite with SupportsDelete {

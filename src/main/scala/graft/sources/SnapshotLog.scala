@@ -1286,6 +1286,29 @@ object SnapshotLog {
     readFiles(spark, dir, v, files)
   }
 
+  /** The batch-scan substitution [[graft.plans.SnapshotBatchRead]]
+    * plans DSv2 relations through: version `v`'s surviving files via
+    * Spark's native VECTORIZED parquet scan ([[readFiles]] — deletion
+    * vector anti-applied, hive partition values re-attached), instead
+    * of the row-at-a-time Group reader the streaming feed uses. None
+    * when the substitution does not apply (no committed versions, a
+    * version the relation names that does not exist — let the v2 scan
+    * surface its own error — or a declared-empty file list, which the
+    * v2 scan already reads as zero rows for free). */
+  private[graft] def readForScan(spark: SparkSession, dir: String,
+      version: Option[Long]): Option[DataFrame] = {
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) None
+    else {
+      val v = version.getOrElse(vs.last)
+      if (!vs.contains(v)) None
+      else {
+        val files = filesOf(spark, dir, v)
+        if (files.isEmpty) None else Some(readFiles(spark, dir, v, files))
+      }
+    }
+  }
+
   // -------------------------------------------------------------------
   // Change data feed — row-level diffs between versions at file grain
   // -------------------------------------------------------------------

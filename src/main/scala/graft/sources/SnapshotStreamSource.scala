@@ -245,8 +245,9 @@ private[sources] object SnapshotStreamSource {
   }
 }
 
-private[sources] class SnapshotStreamTable(schema0: StructType, dir: String,
-    versionAsOf: Option[Long])
+private[graft] class SnapshotStreamTable(schema0: StructType,
+    private[graft] val dir: String,
+    private[graft] val versionAsOf: Option[Long])
     extends Table with SupportsRead {
   override def name(): String = s"graft-snapshot($dir)"
   override def schema(): StructType = schema0

@@ -337,4 +337,127 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     q2.awaitTermination(60000)
     assert(spark.table("cat_feed_ident").count() === 2)
   }
+
+  test("SQL UPDATE plans onto updateWhere: one version, self-referencing " +
+      "SET, time travel intact") {
+    spark.sql("CREATE TABLE g.gold.upd (k BIGINT, v STRING, n BIGINT)")
+    spark.sql(
+      "INSERT INTO g.gold.upd VALUES (1,'a',10),(2,'b',20),(3,'c',30)")
+    val dir = s"$root/gold/upd"
+    val before = SnapshotLog.versions(spark, dir).last
+    spark.sql("UPDATE g.gold.upd SET n = n + 100, v = upper(v) WHERE k >= 2")
+    assert(SnapshotLog.versions(spark, dir).last === before + 1,
+      "UPDATE must commit exactly one version")
+    assert(spark.sql("SELECT k, v, n FROM g.gold.upd ORDER BY k")
+      .as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "a", 10L), (2L, "B", 120L), (3L, "C", 130L)))
+    // library-verb parity on a twin table
+    spark.sql("CREATE TABLE g.gold.updtwin (k BIGINT, v STRING, n BIGINT)")
+    spark.sql(
+      "INSERT INTO g.gold.updtwin VALUES (1,'a',10),(2,'b',20),(3,'c',30)")
+    SnapshotLog.updateWhere(spark, s"$root/gold/updtwin", col("k") >= 2,
+      Map("n" -> (col("n") + 100),
+        "v" -> org.apache.spark.sql.functions.upper(col("v"))))
+    assert(spark.table("g.gold.upd").orderBy("k").collect().toSeq ===
+      spark.table("g.gold.updtwin").orderBy("k").collect().toSeq)
+    // the pre-image survives as history
+    assert(spark.sql(
+      s"SELECT n FROM g.gold.upd VERSION AS OF $before ORDER BY n")
+      .as[Long].collect().toSeq === Seq(10L, 20L, 30L))
+    // unconditional UPDATE hits every row
+    spark.sql("UPDATE g.gold.upd SET n = 0")
+    assert(spark.sql("SELECT sum(n) FROM g.gold.upd").as[Long].head() === 0L)
+    // a time-traveled relation stays read-only
+    val e = intercept[Exception] {
+      spark.sql("UPDATE g.gold.upd VERSION AS OF 2 SET n = 1")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("SQL MERGE INTO: CDC-shaped matched update + delete + not-matched " +
+      "insert commits ONE version with library-verb parity") {
+    spark.sql("CREATE TABLE g.gold.mrg (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.gold.mrg VALUES (1,'a'),(2,'b'),(3,'c')")
+    val dir = s"$root/gold/mrg"
+    val before = SnapshotLog.versions(spark, dir).last
+    spark.sql("""
+      MERGE INTO g.gold.mrg t
+      USING (SELECT * FROM VALUES
+               (2, 'B', 'U'), (3, CAST(NULL AS STRING), 'D'), (4, 'd', 'U')
+             AS s(k, v, op)) s
+      ON t.k = s.k
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+    """)
+    assert(SnapshotLog.versions(spark, dir).last === before + 1,
+      "MERGE must commit exactly one version")
+    assert(spark.sql("SELECT k, v FROM g.gold.mrg ORDER BY k")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "B"), (4L, "d")))
+    // parity with the library verb fed the same change set
+    spark.sql("CREATE TABLE g.gold.mrgtwin (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.gold.mrgtwin VALUES (1,'a'),(2,'b'),(3,'c')")
+    val changes = Seq((2L, Option("B"), "U"), (3L, Option.empty[String], "D"),
+      (4L, Option("d"), "U")).toDF("k", "v", "op")
+    SnapshotLog.merge(spark, s"$root/gold/mrgtwin", changes, Seq("k"),
+      deleteWhen = Some(col("op") === "D"), dropCols = Seq("op"))
+    assert(spark.table("g.gold.mrg").orderBy("k").collect().toSeq ===
+      spark.table("g.gold.mrgtwin").orderBy("k").collect().toSeq)
+    // pre-merge state is still time-travelable
+    assert(spark.sql(
+      s"SELECT v FROM g.gold.mrg VERSION AS OF $before ORDER BY v")
+      .as[String].collect().toSeq === Seq("a", "b", "c"))
+  }
+
+  test("SQL MERGE semantics: target-referencing SET, unmatched-by-any-" +
+      "clause rows untouched, NOT MATCHED BY SOURCE, loud guards") {
+    spark.sql("CREATE TABLE g.gold.mrg2 (k BIGINT, v STRING, n BIGINT)")
+    spark.sql(
+      "INSERT INTO g.gold.mrg2 VALUES (1,'a',1),(2,'b',2),(3,'c',3)")
+    // matched-but-no-clause rows (op='X') must stay untouched; UPDATE may
+    // reference BOTH sides (t.n + s.delta); partial SET keeps other cols
+    spark.sql("""
+      MERGE INTO g.gold.mrg2 t
+      USING (SELECT * FROM VALUES (1, 10, 'U'), (2, 20, 'X')
+             AS s(k, delta, op)) s
+      ON t.k = s.k
+      WHEN MATCHED AND s.op = 'U' THEN UPDATE SET n = t.n + s.delta
+    """)
+    assert(spark.sql("SELECT k, v, n FROM g.gold.mrg2 ORDER BY k")
+      .as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "a", 11L), (2L, "b", 2L), (3L, "c", 3L)))
+    // NOT MATCHED BY SOURCE deletes target rows the source doesn't carry
+    spark.sql("""
+      MERGE INTO g.gold.mrg2 t
+      USING (SELECT * FROM VALUES (1), (2) AS s(k)) s
+      ON t.k = s.k
+      WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """)
+    assert(spark.sql("SELECT k FROM g.gold.mrg2 ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    // duplicate source keys = ambiguous merge -> the verb's guard
+    // surfaces as a SQL error, never a silent double-apply
+    val dup = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO g.gold.mrg2 t
+        USING (SELECT * FROM VALUES (1, 'x'), (1, 'y') AS s(k, v)) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+      """)
+    }
+    assert(dup.getMessage.toLowerCase.contains("duplicate"),
+      s"expected the duplicate-key guard, got: ${dup.getMessage}")
+    // non-equality ON is refused loudly, not mistranslated
+    val rng = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO g.gold.mrg2 t
+        USING (SELECT * FROM VALUES (1, 'x') AS s(k, v)) s
+        ON t.k >= s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+      """)
+    }
+    assert(rng.getMessage.contains("equalit"),
+      s"expected the equality-ON refusal, got: ${rng.getMessage}")
+  }
 }
