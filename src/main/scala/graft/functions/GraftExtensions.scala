@@ -70,6 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plans translate onto SnapshotLog.updateWhere / merge (one version
     // per statement, library guards surface as SQL errors)
     ext.injectResolutionRule(s => new graft.plans.SqlDml.ResolveDml(s))
+    // batch SELECTs over snapshot/catalog tables re-plan onto Spark's
+    // vectorized parquet file scan (manifest file list, DV applied);
+    // the Group reader stays the streaming-feed engine
+    ext.injectOptimizerRule(s => new graft.plans.SnapshotBatchRead(s))
     // SQL TABLE functions over the snapshot log — time travel and table
     // history from pure SQL clients (Thrift/Connect), no Scala API
     // needed: SELECT * FROM snapshot_of('/path'[, version]);

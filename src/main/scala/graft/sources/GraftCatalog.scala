@@ -148,12 +148,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** `ALTER TABLE ... ADD COLUMNS (...)` → one metadata-only
+    * schema-widening commit ([[SnapshotLog.addColumns]]): older versions
+    * read the new columns as typed NULLs, new writes carry them, stats/
+    * DV/layout/constraints ride along. Every other change is refused
+    * loudly — schema evolves through data commits (the log's
+    * schema-merge rules), constraints through SnapshotLog.addCheck. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "snapshot-table schema evolves through data commits (the log's " +
-        "schema-merge rules) and constraints through " +
-        "SnapshotLog.addCheck — not ALTER TABLE")
+      changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val cols = changes.map {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "snapshot tables add TOP-LEVEL columns only; got " +
+            add.fieldNames().mkString("."))
+        require(add.isNullable,
+          s"added column '${add.fieldNames().head}' must be nullable — " +
+            "existing rows can only read it as NULL")
+        org.apache.spark.sql.types.StructField(
+          add.fieldNames().head, add.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE supports ADD COLUMNS only on snapshot tables " +
+          s"(got ${other.getClass.getSimpleName}); schema otherwise " +
+          "evolves through data commits and constraints through " +
+          "SnapshotLog.addCheck")
+    }
+    SnapshotLog.addColumns(spark, dir, cols)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
 
 /** A minimal multi-version table format: atomic snapshot commits with
   * file-level time travel, no metastore, no dependencies — the property
@@ -3411,6 +3411,52 @@ object SnapshotLog {
     * [[restore]] rolls back table STATE — data and metadata together —
     * so restoring to a pre-constraint version drops the constraint
     * (Delta semantics; MaintainSpec pins it). */
+  /** `ALTER TABLE ... ADD COLUMNS` as a METADATA-ONLY commit: the new
+    * version carries the latest file list unchanged under a WIDENED
+    * schema header — no data is written or rewritten. Older files (and
+    * every older version) simply lack the columns, so they read back as
+    * typed NULLs (the same [[mergeSchemas]] evolution rule a widening
+    * data commit uses); the next write carries them for real. Added
+    * columns must be nullable for exactly that reason, names must be
+    * fresh, and everything else the manifest tracks (stats, DV,
+    * partition layout, CHECK constraints, replay watermark) is carried
+    * forward verbatim — the [[addCheck]] metadata-commit discipline.
+    * Cost at 100 TB: one manifest write; zero data bytes. */
+  def addColumns(spark: SparkSession, dir: String,
+      cols: Seq[StructField]): Long = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    while (true) {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"no committed snapshot under $dir")
+      val latest = vs.last
+      val schema = schemaOf(spark, dir, latest).getOrElse(
+        read(spark, dir, Some(latest)).schema)
+      cols.foreach { f =>
+        require(!schema.fieldNames.contains(f.name),
+          s"column '${f.name}' already exists on $dir")
+        require(f.nullable,
+          s"added column '${f.name}' must be nullable — existing rows " +
+            "can only read it as NULL")
+      }
+      require(cols.map(_.name).distinct.length == cols.length,
+        s"duplicate column names in ${cols.map(_.name).mkString(",")}")
+      val widened = StructType(schema.fields ++ cols)
+      val carried = manifestLines(spark, dir, latest).filter(l =>
+        l.startsWith("#filestat=") || l.startsWith("#dv=") ||
+          l.startsWith("#partition=") || l.startsWith("#filepart=") ||
+          l.startsWith("#check="))
+      commitFiles(spark, dir, filesOf(spark, dir, latest),
+        java.util.UUID.randomUUID().toString,
+        header = Seq(schemaHeader(widened)) ++ carried ++
+          watermarkHeader(spark, dir),
+        base = Some(Some(latest))) match {
+        case Some(v) => return v
+        case None    => () // raced — recompute against the new latest
+      }
+    }
+    -1L // unreachable
+  }
+
   def addCheck(spark: SparkSession, dir: String, name: String,
       sqlExpr: String): Long = {
     require(name.nonEmpty && !name.contains('=') && !name.contains('\n'),

@@ -69,6 +69,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Backpressure: `.option("maxVersionsPerTrigger", n)` caps each batch
   * at n versions (admission control) — a stream starting from v1 of a
   * long history catches up in bounded bites instead of one giant batch.
+  * `.option("maxBytesPerTrigger", b)` bounds each batch by the NEW
+  * bytes its versions add instead (versions admitted until the budget
+  * is crossed; the first pending version always rides, so a single fat
+  * version is admitted alone rather than wedging the stream). Both
+  * compose: versions cap first, bytes tighten.
   *
   * Micro-batch planning costs one manifest read per version in the
   * range — metadata-sized, never data-sized, and O(files) per version
@@ -281,7 +286,8 @@ private[graft] class SnapshotStreamTable(schema0: StructType,
               "startingVersion instead")
           new SnapshotMicroBatchStream(dir, pruned,
             Option(options.get("startingVersion")),
-            Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+            Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+            Option(options.get("maxBytesPerTrigger")).map(_.toLong))
         }
       }
     }
@@ -334,12 +340,35 @@ private[sources] object VersionOffset {
 
 private[sources] class SnapshotMicroBatchStream(dir: String,
     schema: StructType, startingVersion: Option[String],
-    maxVersionsPerTrigger: Option[Long])
+    maxVersionsPerTrigger: Option[Long],
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   maxVersionsPerTrigger.foreach(m => require(m >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $m"))
+  maxBytesPerTrigger.foreach(m => require(m >= 1,
+    s"maxBytesPerTrigger must be >= 1, got $m"))
   private def spark = SparkSession.active
+
+  /** Bytes version `v` would ADD to the stream: sizes of its files not
+    * carried from `v-1` (for the stream's initial snapshot, every
+    * file). Driver-side `getFileStatus` over the NEW files only — the
+    * same listing class FileStreamSource pays per trigger. */
+  private def newFileBytes(vs: Seq[Long], v: Long): Long = {
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val prevSet =
+      if (vs.contains(v - 1))
+        SnapshotLog.filesOf(spark, dir, v - 1).map(norm).toSet
+      else Set.empty[String]
+    val fresh = SnapshotLog.filesOf(spark, dir, v)
+      .filterNot(p => prevSet.contains(norm(p)))
+    if (fresh.isEmpty) 0L
+    else {
+      val f = new Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fresh.map(p => f.getFileStatus(new Path(p)).getLen).sum
+    }
+  }
 
   override def initialOffset(): Offset = {
     val vs = SnapshotLog.versions(spark, dir)
@@ -359,12 +388,31 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : Offset = {
-    val latest = SnapshotLog.versions(spark, dir).last
+    val vs = SnapshotLog.versions(spark, dir)
+    val latest = vs.last
     val so = start.asInstanceOf[VersionOffset]
-    VersionOffset(maxVersionsPerTrigger match {
-      case Some(m) => math.min(latest, so.v + m) // bounded catch-up bites
+    // version cap first (bounded catch-up bites), then the byte budget
+    // tightens it: admit versions until their NEW bytes cross the
+    // budget — the crossing version is included, and the FIRST pending
+    // version is always admitted (a single fat version rides alone,
+    // never wedges the stream). Offsets stay version-grain, so
+    // exactly-once replay is untouched.
+    val vCap = maxVersionsPerTrigger match {
+      case Some(m) => math.min(latest, so.v + m)
       case None    => latest
-    }, so.start)
+    }
+    val end = maxBytesPerTrigger match {
+      case None => vCap
+      case Some(budget) =>
+        var v = so.v
+        var bytes = 0L
+        while (v < vCap && bytes < budget) {
+          v += 1
+          bytes += newFileBytes(vs, v)
+        }
+        v
+    }
+    VersionOffset(end, so.start)
   }
 
   override def reportLatestOffset(): Offset =

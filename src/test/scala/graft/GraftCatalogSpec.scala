@@ -97,13 +97,53 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("ALTER TABLE g.tmp.a RENAME TO tmp.b")
     assert(spark.sql("SHOW TABLES IN g.tmp").select("tableName")
       .as[String].collect().toSeq === Seq("b"))
+    // non-ADD changes are still refused loudly
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE g.tmp.b ADD COLUMN extra STRING")
+      spark.sql("ALTER TABLE g.tmp.b RENAME COLUMN k TO kk")
     }
-    assert(e.getMessage.contains("schema evolves through data commits"),
+    assert(e.getMessage.contains("ADD COLUMNS only"),
       s"unexpected alterTable error: ${e.getMessage}")
     spark.sql("DROP TABLE g.tmp.b")
     assert(spark.sql("SHOW TABLES IN g.tmp").count() === 0)
+  }
+
+  test("ALTER TABLE ADD COLUMNS: metadata-only widening — old versions " +
+      "backfill NULL, new writes carry it, constraints preserved") {
+    spark.sql("CREATE TABLE g.gold.evo (k BIGINT)")
+    spark.sql("INSERT INTO g.gold.evo VALUES (1), (2)") // v2
+    val dir = s"$root/gold/evo"
+    SnapshotLog.addCheck(spark, dir, "pos", "k > 0")    // v3
+    val before = SnapshotLog.versions(spark, dir).last
+    val filesBefore = SnapshotLog.history(spark, dir)
+      .filter(col("version") === before).select("n_files").as[Long].head()
+    spark.sql("ALTER TABLE g.gold.evo ADD COLUMNS (tag STRING, w DOUBLE)")
+    assert(SnapshotLog.versions(spark, dir).last === before + 1,
+      "ADD COLUMNS must commit exactly one version")
+    // metadata-only: same file count, no data written
+    assert(SnapshotLog.history(spark, dir)
+      .filter(col("version") === before + 1).select("n_files").as[Long]
+      .head() === filesBefore)
+    // existing rows read the new columns as typed NULLs
+    assert(spark.sql("SELECT k, tag, w FROM g.gold.evo ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2)))
+      .toSeq === Seq((1L, true, true), (2L, true, true)))
+    // new writes carry the columns; the carried CHECK still gates
+    spark.sql("INSERT INTO g.gold.evo VALUES (3, 'x', 1.5)")
+    assert(spark.sql(
+      "SELECT tag FROM g.gold.evo WHERE k = 3").as[String].head() === "x")
+    val chk = intercept[Exception] {
+      spark.sql("INSERT INTO g.gold.evo VALUES (-9, 'y', 0.0)")
+    }
+    assert(chk.getMessage.toLowerCase.contains("check") ||
+      chk.getCause != null)
+    // pre-ALTER versions read their own (narrow) schema
+    assert(spark.sql(s"SELECT * FROM g.gold.evo VERSION AS OF $before")
+      .columns.toSeq === Seq("k"))
+    // duplicate / non-nullable adds are refused
+    val dup = intercept[Exception] {
+      spark.sql("ALTER TABLE g.gold.evo ADD COLUMNS (tag STRING)")
+    }
+    assert(dup.getMessage.contains("already exists"))
   }
 
   test("CHECK constraints gate SQL INSERT like the library verbs") {
@@ -408,6 +448,23 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql(
       s"SELECT v FROM g.gold.mrg VERSION AS OF $before ORDER BY v")
       .as[String].collect().toSeq === Seq("a", "b", "c"))
+  }
+
+  test("SQL MERGE star actions: UPDATE SET * / INSERT * (the CDC " +
+      "apply-changes shape)") {
+    spark.sql("CREATE TABLE g.gold.star (k BIGINT, v STRING, n BIGINT)")
+    spark.sql("INSERT INTO g.gold.star VALUES (1,'a',1),(2,'b',2)")
+    spark.sql("""
+      MERGE INTO g.gold.star t
+      USING (SELECT * FROM VALUES (2, 'B', 20), (3, 'c', 30)
+             AS s(k, v, n)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert(spark.sql("SELECT k, v, n FROM g.gold.star ORDER BY k")
+      .as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "a", 1L), (2L, "B", 20L), (3L, "c", 30L)))
   }
 
   test("SQL MERGE semantics: target-referencing SET, unmatched-by-any-" +

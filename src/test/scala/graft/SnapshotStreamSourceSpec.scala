@@ -343,6 +343,51 @@ class SnapshotStreamSourceSpec extends AnyFunSuite with SparkFixture {
       s"catch-up was not split: ${batchSizes.mkString(",")}")
   }
 
+  test("maxBytesPerTrigger bounds catch-up batches by NEW bytes; a fat " +
+      "version is admitted alone, exactly-once intact") {
+    val dir = freshDir()
+    import spark.implicits._
+    // v1 small (2 rows), v2 FAT (5000 rows of padded strings), v3 small
+    SnapshotLog.commit(spark, dir, rows(0, 2))
+    SnapshotLog.commitBatch(spark, dir,
+      (100L until 5100L).map(i => (i, s"pad-$i-" * 50)).toDF("k", "v"), 1L)
+    SnapshotLog.commitBatch(spark, dir, rows(2, 4), 2L)
+    // tiny budget: every trigger crosses it on its FIRST version, so the
+    // catch-up splits one version per batch — the fat one rides alone
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format(Fmt).option("path", dir)
+      .option("maxBytesPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += df.count() }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val sizes = batchSizes.filter(_ > 0)
+    assert(batchSizes.sum === 5004,
+      s"rows lost/duplicated: ${batchSizes.mkString(",")}")
+    assert(sizes.toSeq === Seq(2L, 5000L, 2L),
+      s"1-byte budget must split one version per trigger: " +
+        s"${batchSizes.mkString(",")}")
+    // a budget bigger than v1+v2's bytes but smaller than +v3: the
+    // first trigger carries v1 and v2 (the crossing version rides),
+    // then v3 follows — still exactly-once
+    val batchSizes2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = spark.readStream.format(Fmt).option("path", dir)
+      .option("maxBytesPerTrigger", (20 * 1024).toString).load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes2.synchronized { batchSizes2 += df.count() }
+        ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batchSizes2.sum === 5004,
+      s"rows lost/duplicated: ${batchSizes2.mkString(",")}")
+    assert(batchSizes2.filter(_ > 0).head === 5002,
+      "the byte budget must admit versions until crossed (v1+v2 " +
+        s"together), got ${batchSizes2.mkString(",")}")
+  }
+
   test("composition: the source feeds streaming curation into a replica snapshot table") {
     // snapshot table -> SnapshotStreamSource -> quality gate ->
     // foreachBatch append into a SECOND snapshot table: streaming
