@@ -17,7 +17,7 @@ object Registry {
       LmOps.all ++ AuditOps.all ++ ImplOps.all ++ BpeOps.all ++
       RetrievalOps.all ++ ClassifierOps.all ++ TpchOps.all ++
       RecursiveOps.all ++ AnsiOps.all ++ OlapExtraOps.all ++
-      OlapStatOps.all ++ OlapRankOps.all ++ TrendOps.all
+      OlapStatOps.all ++ OlapRankOps.all ++ TrendOps.all ++ EngageOps.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")
