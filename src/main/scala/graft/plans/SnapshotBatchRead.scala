@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, DeleteFromTable, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -50,6 +50,9 @@ class SnapshotBatchRead(spark: SparkSession) extends Rule[LogicalPlan] {
     // the DELETE target must stay a DSv2 relation: canDeleteWhere /
     // deleteWhere plan against the table, not against a file scan
     case d: DeleteFromTable => d
+    // ADD CONSTRAINT ... CHECK validates through a v2 scan of the table
+    // — the strategy pattern-matches DataSourceV2ScanRelation under it
+    case a: AddCheckConstraint => a
     case r: DataSourceV2Relation => r.table match {
       case t: SnapshotStreamTable => substitute(r, t)
       case _                      => r

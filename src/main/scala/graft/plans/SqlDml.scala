@@ -160,6 +160,47 @@ object SqlDml {
     }
     val keys = keysOf(m.mergeCondition).distinct
 
+    // FAST PATH — the pure upsert shape (`WHEN MATCHED THEN UPDATE SET *
+    // / WHEN NOT MATCHED THEN INSERT *`, or explicit assignments that
+    // agree leg-to-leg), with every value referencing ONLY the source:
+    // the change-set is a plain PROJECTION of the source — no join
+    // against the target at all. The verb's own file-grain key join is
+    // then the ONLY target read, so a sparse CDC batch against a 100 TB
+    // table scans the target once (key-pruned), not twice. Conditional
+    // clauses, target-referencing SETs, deletes and NOT MATCHED BY
+    // SOURCE keep the exact general path below.
+    def sourceOnly(e: Expression): Boolean =
+      e.references.subsetOf(source.outputSet)
+    def assigned(assignments: Seq[Assignment], attr: Attribute)
+        : Option[Expression] =
+      assignments.collectFirst {
+        case Assignment(k: AttributeReference, v)
+          if k.exprId == attr.exprId || k.name == attr.name => v
+      }
+    val fastUpsert: Option[LogicalPlan] =
+      (m.matchedActions, m.notMatchedActions,
+        m.notMatchedBySourceActions) match {
+        case (Seq(UpdateAction(None, us, _)), Seq(InsertAction(None, is_)),
+            Seq()) =>
+          val cols = tOut.map { attr =>
+            (assigned(us, attr), assigned(is_, attr)) match {
+              case (Some(u), Some(i))
+                if sourceOnly(u) && sourceOnly(i) &&
+                  u.canonicalized == i.canonicalized =>
+                Some(Alias(castTo(u, attr.dataType), attr.name)())
+              case _ => None
+            }
+          }
+          if (cols.forall(_.isDefined))
+            Some(Project(cols.flatten :+
+              Alias(Literal("U"), OpCol)(), source))
+          else None
+        case _ => None
+      }
+    fastUpsert.foreach { changes =>
+      return GraftMergeCommand(t.dir, keys, changes)
+    }
+
     /** One change-set leg: project every action-hit row of `rows` to a
       * full target-schema post-image + op marker; rows hitting no action
       * clause are filtered out (left untouched by the merge). */
@@ -182,13 +223,6 @@ object SqlDml {
           })
         }, None), OpCol)()
         Some(Project(cols :+ op, Filter(conds.reduce(Or), rows)))
-      }
-
-    def assigned(assignments: Seq[Assignment], attr: Attribute)
-        : Option[Expression] =
-      assignments.collectFirst {
-        case Assignment(k: AttributeReference, v)
-          if k.exprId == attr.exprId || k.name == attr.name => v
       }
 
     // WHEN MATCHED: inner join carries both sides; UPDATE keeps

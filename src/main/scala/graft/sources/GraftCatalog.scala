@@ -66,6 +66,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
   override def name(): String = catalogName
 
+  /** Constraint DDL (`ALTER TABLE ... ADD CONSTRAINT ... CHECK`) is
+    * supported — it rides the manifest's `#check=` headers. */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def spark: SparkSession = SparkSession.active
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -151,14 +156,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   /** `ALTER TABLE ... ADD COLUMNS (...)` → one metadata-only
     * schema-widening commit ([[SnapshotLog.addColumns]]): older versions
     * read the new columns as typed NULLs, new writes carry them, stats/
-    * DV/layout/constraints ride along. Every other change is refused
-    * loudly — schema evolves through data commits (the log's
-    * schema-merge rules), constraints through SnapshotLog.addCheck. */
+    * DV/layout/constraints ride along. `ADD CONSTRAINT <n> CHECK (...)`
+    * / `DROP CONSTRAINT <n>` route to [[SnapshotLog.addCheck]] /
+    * [[SnapshotLog.dropCheck]] (addCheck validates existing data in one
+    * pass and every subsequent write re-validates — the enforced-CHECK
+    * contract). Every other change is refused loudly — schema otherwise
+    * evolves through data commits (the log's schema-merge rules). */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val cols = changes.map {
+    val cols = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "snapshot tables add TOP-LEVEL columns only; got " +
@@ -166,15 +175,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(add.isNullable,
           s"added column '${add.fieldNames().head}' must be nullable — " +
             "existing rows can only read it as NULL")
-        org.apache.spark.sql.types.StructField(
+        cols += org.apache.spark.sql.types.StructField(
           add.fieldNames().head, add.dataType(), nullable = true)
+      case ac: TableChange.AddConstraint => ac.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          SnapshotLog.addCheck(spark, dir, c.name(), c.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"snapshot tables enforce CHECK constraints only; got " +
+            other.toDDL)
+      }
+      case dc: TableChange.DropConstraint =>
+        val known = SnapshotLog.versions(spark, dir).lastOption
+          .map(SnapshotLog.checksOf(spark, dir, _)).getOrElse(Seq.empty)
+        if (known.exists(_._1 == dc.name()))
+          SnapshotLog.dropCheck(spark, dir, dc.name())
+        else require(dc.ifExists(),
+          s"no CHECK constraint '${dc.name()}' on $dir")
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE supports ADD COLUMNS only on snapshot tables " +
-          s"(got ${other.getClass.getSimpleName}); schema otherwise " +
-          "evolves through data commits and constraints through " +
-          "SnapshotLog.addCheck")
+        s"ALTER TABLE supports ADD COLUMNS / ADD CONSTRAINT ... CHECK / " +
+          s"DROP CONSTRAINT on snapshot tables (got " +
+          s"${other.getClass.getSimpleName}); schema otherwise evolves " +
+          "through data commits")
     }
-    SnapshotLog.addColumns(spark, dir, cols)
+    val added = cols.result()
+    if (added.nonEmpty) SnapshotLog.addColumns(spark, dir, added)
     loadTable(ident)
   }
 
@@ -257,6 +281,21 @@ private[graft] class SnapshotCatalogTable(schema0: StructType,
     extends SnapshotStreamTable(schema0, dir, versionAsOf)
     with SupportsWrite with SupportsDelete {
   override def name(): String = qualified
+
+  /** The manifest's CHECK constraints as catalog constraints (DESCRIBE
+    * and the ALTER CONSTRAINT surface read these). They are ENFORCED:
+    * every commit verb validates them on the write path. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    val spark = SparkSession.active
+    val v = versionAsOf.orElse(SnapshotLog.versions(spark, dir).lastOption)
+    v.map(SnapshotLog.checksOf(spark, dir, _)).getOrElse(Seq.empty)
+      .map { case (n, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(n).predicateSql(sql).enforced(true).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.toArray
+  }
 
   /** `DELETE FROM cat.ns.t WHERE ...` — the pushed filters convert to
     * one Column predicate and run through the library's copy-on-write

@@ -101,7 +101,7 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     val e = intercept[Exception] {
       spark.sql("ALTER TABLE g.tmp.b RENAME COLUMN k TO kk")
     }
-    assert(e.getMessage.contains("ADD COLUMNS only"),
+    assert(e.getMessage.contains("got RenameColumn"),
       s"unexpected alterTable error: ${e.getMessage}")
     spark.sql("DROP TABLE g.tmp.b")
     assert(spark.sql("SHOW TABLES IN g.tmp").count() === 0)
@@ -144,6 +144,36 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       spark.sql("ALTER TABLE g.gold.evo ADD COLUMNS (tag STRING)")
     }
     assert(dup.getMessage.contains("already exists"))
+  }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT ... CHECK: SQL constraint DDL " +
+      "rides the manifest check headers") {
+    spark.sql("CREATE TABLE g.gold.cons (k BIGINT)")
+    spark.sql("INSERT INTO g.gold.cons VALUES (5)")
+    spark.sql("ALTER TABLE g.gold.cons ADD CONSTRAINT pos CHECK (k > 0)")
+    val dir = s"$root/gold/cons"
+    assert(SnapshotLog.checksOf(spark, dir,
+      SnapshotLog.versions(spark, dir).last) === Seq("pos" -> "k > 0"))
+    // enforced on the write path like the library verb's checks
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO g.gold.cons VALUES (-1)")
+    }
+    assert(e.getMessage.toLowerCase.contains("check") ||
+      e.getCause != null, s"violating INSERT not refused: ${e.getMessage}")
+    // adding a constraint existing data violates is refused
+    val bad = intercept[Exception] {
+      spark.sql("ALTER TABLE g.gold.cons ADD CONSTRAINT big CHECK (k > 100)")
+    }
+    assert(bad.getMessage != null)
+    // DROP lifts the gate
+    spark.sql("ALTER TABLE g.gold.cons DROP CONSTRAINT pos")
+    spark.sql("INSERT INTO g.gold.cons VALUES (-1)")
+    assert(spark.sql("SELECT count(*) FROM g.gold.cons").as[Long]
+      .head() === 2L)
+    val gone = intercept[Exception] {
+      spark.sql("ALTER TABLE g.gold.cons DROP CONSTRAINT pos")
+    }
+    assert(gone.getMessage != null)
   }
 
   test("CHECK constraints gate SQL INSERT like the library verbs") {
@@ -310,6 +340,33 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       (1L to 5L))
   }
 
+  test("concurrent SQL MERGEs on disjoint keys both land: the verb's " +
+      "claim/rebase holds through the DML translation") {
+    spark.sql("CREATE TABLE g.gold.mconc (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.gold.mconc VALUES (1,'a'),(2,'b')")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = Seq(
+      (1L, "A1", 11L), (2L, "B2", 12L)).map { case (mk, mv, nk) =>
+      Future {
+        spark.sql(s"""
+          MERGE INTO g.gold.mconc t
+          USING (SELECT * FROM VALUES ($mk, '$mv'), ($nk, 'n$nk')
+                 AS s(k, v)) s
+          ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *
+        """)
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    // no lost update: both merges' post-images and inserts present
+    assert(spark.sql("SELECT k, v FROM g.gold.mconc ORDER BY k")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "A1"), (2L, "B2"), (11L, "n11"), (12L, "n12")))
+  }
+
   test("snapshot_vacuum TVF: SQL retention, EXPLAIN never reclaims") {
     spark.sql("CREATE TABLE g.gold.vac (k BIGINT)")
     (1 to 4).foreach(i =>
@@ -465,6 +522,43 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql("SELECT k, v, n FROM g.gold.star ORDER BY k")
       .as[(Long, String, Long)].collect().toSeq ===
       Seq((1L, "a", 1L), (2L, "B", 20L), (3L, "c", 30L)))
+  }
+
+  test("SQL MERGE fast path: pure upsert compiles to a source-only " +
+      "change set (no target join); EXPLAIN never commits") {
+    spark.sql("CREATE TABLE g.gold.fast (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.gold.fast VALUES (1,'a'),(2,'b')")
+    val dir = s"$root/gold/fast"
+    val upsert = """
+      MERGE INTO g.gold.fast t
+      USING (SELECT * FROM VALUES (2,'B'), (3,'c') AS s(k, v)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """
+    val before = SnapshotLog.versions(spark, dir).last
+    val plan = spark.sql(s"EXPLAIN $upsert").collect()(0).getString(0)
+    assert(plan.contains("GraftMergeCommand"), s"unexpected plan:\n$plan")
+    assert(!plan.contains("Join"),
+      s"pure upsert must not join the target in its change set:\n$plan")
+    assert(SnapshotLog.versions(spark, dir).last === before,
+      "EXPLAIN MERGE must not commit")
+    // conditional clauses keep the exact general path (change-set joins)
+    val general = spark.sql("""
+      EXPLAIN
+      MERGE INTO g.gold.fast t
+      USING (SELECT * FROM VALUES (2,'B','U') AS s(k, v, op)) s
+      ON t.k = s.k
+      WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v
+    """).collect()(0).getString(0)
+    assert(general.contains("Join"),
+      s"conditional merge must use the general change-set path:\n$general")
+    // and the fast path is CORRECT
+    spark.sql(upsert)
+    assert(spark.sql("SELECT k, v FROM g.gold.fast ORDER BY k")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    assert(SnapshotLog.versions(spark, dir).last === before + 1)
   }
 
   test("SQL MERGE semantics: target-referencing SET, unmatched-by-any-" +
