@@ -98,6 +98,18 @@ object SqlDml {
           targetOf(table).map(rewriteUpdate(_, u)).getOrElse(u)
         case m: MergeIntoTable if m.resolved =>
           targetOf(m.targetTable).map(rewriteMerge(_, m)).getOrElse(m)
+        // dynamic partition overwrite: Spark has no V1-fallback exec for
+        // OverwritePartitionsDynamic, so the resolved plan translates
+        // onto the library verb instead (one atomic manifest-surgery
+        // commit). The analyzer has already aligned `query`'s output to
+        // the table's columns (o.resolved requires it).
+        case o: OverwritePartitionsDynamic if o.resolved =>
+          targetOf(o.table) match {
+            case Some(t) =>
+              requireWritable(t)
+              GraftDynamicOverwriteCommand(t.dir, o.query)
+            case None => o
+          }
       }
   }
 
@@ -281,6 +293,23 @@ case class GraftUpdateCommand(dir: String, set: Seq[(String, Column)],
   }
   override def simpleString(maxFields: Int): String =
     s"GraftUpdateCommand $dir [${set.map(_._1).mkString(", ")}]"
+}
+
+/** Dynamic `INSERT OVERWRITE` (partitionOverwriteMode=dynamic /
+  * `writeTo(...).overwritePartitions()`) → one
+  * [[SnapshotLog.overwritePartitions]] commit: replace exactly the
+  * partitions the incoming data touches, carry the rest by reference —
+  * O(manifest) planning, no old data read. */
+case class GraftDynamicOverwriteCommand(dir: String,
+    query: LogicalPlan) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotLog.overwritePartitions(spark, dir,
+      ColumnBridge.ofRows(spark, query))
+    Seq.empty
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftDynamicOverwriteCommand $dir"
 }
 
 /** `MERGE INTO <catalog table>` → one [[SnapshotLog.merge]] commit of

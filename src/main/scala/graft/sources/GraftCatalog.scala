@@ -353,16 +353,54 @@ private[graft] class SnapshotCatalogTable(schema0: StructType,
   }
 
   override def capabilities(): util.Set[TableCapability] =
+    // no OVERWRITE_DYNAMIC: Spark has no V1-fallback exec for dynamic
+    // overwrite, so graft.plans.SqlDml rewrites the logical plan onto
+    // SnapshotLog.overwritePartitions during analysis instead
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(versionAsOf.isEmpty,
       s"$qualified VERSION/TIMESTAMP AS OF is a read-only relation")
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+      // Append (default) | Truncate (full overwrite) | Where(cond:
+      // REPLACE WHERE / static partition overwrite) | Dynamic (replace
+      // only the partitions the data touches)
+      private sealed trait Mode
+      private case object Append extends Mode
+      private case object Truncate extends Mode
+      private case class Where(cond: org.apache.spark.sql.Column)
+          extends Mode
+      private case object Dynamic extends Mode
+      private var mode: Mode = Append
+
+      override def truncate(): WriteBuilder = { mode = Truncate; this }
+
+      override def canOverwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+        filters.forall(filterToColumn(_).isDefined)
+
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : WriteBuilder = {
+        import org.apache.spark.sql.sources.AlwaysTrue
+        mode =
+          if (filters.isEmpty || filters.forall(_ == AlwaysTrue)) Truncate
+          else Where(filters.toSeq.map(f => filterToColumn(f).getOrElse(
+              throw new UnsupportedOperationException(
+                s"cannot push REPLACE WHERE filter $f")))
+            .reduce(_ && _))
+        this
+      }
+
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        mode = Dynamic; this
+      }
+
       override def build(): V1Write = new V1Write {
         /** `writeStream.toTable(...)` — the executor-side v2 write:
           * tasks stream parquet files, the epoch commit registers the
@@ -371,22 +409,38 @@ private[graft] class SnapshotCatalogTable(schema0: StructType,
           * `build().toStreaming`, so the override lives HERE, not on
           * the builder's deprecated buildForStreaming. */
         override def toStreaming
-            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new SnapshotStreamingWrite(dir, info.schema(), overwrite)
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(mode == Append || mode == Truncate,
+            s"$qualified: streaming writes support Append and Complete " +
+              "only")
+          new SnapshotStreamingWrite(dir, info.schema(), mode == Truncate)
+        }
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                 ovr: Boolean): Unit = {
               val spark = data.sparkSession
-              if (overwrite || ovr) {
-                // re-declare the layout an existing table carries — a
-                // plain commit() would silently flatten it
-                val pcs = SnapshotLog.versions(spark, dir).lastOption
-                  .map(SnapshotLog.partitionColsOf(spark, dir, _))
-                  .getOrElse(Seq.empty)
-                if (pcs.isEmpty) SnapshotLog.commit(spark, dir, data)
-                else SnapshotLog.commitPartitioned(spark, dir, data, pcs)
-              } else SnapshotLog.append(spark, dir, data)
+              mode match {
+                case Where(cond) =>
+                  SnapshotLog.replaceWhere(spark, dir, data, cond)
+                case Dynamic =>
+                  SnapshotLog.overwritePartitions(spark, dir, data)
+                case Truncate => fullOverwrite(spark, data)
+                case Append =>
+                  if (ovr) fullOverwrite(spark, data)
+                  else SnapshotLog.append(spark, dir, data)
+              }
+              ()
+            }
+            private def fullOverwrite(spark: SparkSession,
+                data: org.apache.spark.sql.DataFrame): Unit = {
+              // re-declare the layout an existing table carries — a
+              // plain commit() would silently flatten it
+              val pcs = SnapshotLog.versions(spark, dir).lastOption
+                .map(SnapshotLog.partitionColsOf(spark, dir, _))
+                .getOrElse(Seq.empty)
+              if (pcs.isEmpty) SnapshotLog.commit(spark, dir, data)
+              else SnapshotLog.commitPartitioned(spark, dir, data, pcs)
               ()
             }
           }

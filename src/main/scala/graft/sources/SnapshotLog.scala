@@ -765,6 +765,184 @@ object SnapshotLog {
     -1L // unreachable
   }
 
+  /** `INSERT INTO ... REPLACE WHERE <pred>` as ONE atomic commit (the
+    * Delta replaceWhere shape): the predicate's region is deleted
+    * ([[deleteWhere]]'s COW machinery — only files holding a matched
+    * row rewrite, survivors kept, DV composed) and `df`'s rows land as
+    * fresh files, all in a single version — a reader never sees the
+    * region empty. Contract guard (loud, Delta-style): every incoming
+    * row must SATISFY the predicate — a row outside the region would
+    * make the statement not an overwrite of that region; the guard
+    * rides the fresh write as one more observed aggregate (zero extra
+    * passes). CHECK constraints validate the same way; partition
+    * layouts stay declared and partition-pure; three-valued logic
+    * follows [[deleteWhere]] (NULL-pred rows survive). This is the
+    * "reload a date range" ETL verb: cost = files intersecting the
+    * region + the new data, never the table. */
+  def replaceWhere(spark: SparkSession, dir: String, df: DataFrame,
+      pred: Column): Long = {
+    val commitId = java.util.UUID.randomUUID().toString
+    var fresh: Seq[String] = null
+    var writtenPcs: Seq[String] = null
+    var validated: Option[Seq[(String, String)]] = None
+    while (true) {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"no committed snapshot under $dir")
+      val latest = vs.last
+      val schema = schemaOf(spark, dir, latest)
+      val pcs = partitionColsOf(spark, dir, latest)
+      val current = filesOf(spark, dir, latest)
+      def readCur(paths: Seq[String]) = readFiles(spark, dir, latest, paths)
+      val checks = checksOf(spark, dir, latest)
+      if (fresh == null) {
+        val (wired, assertChecks) =
+          observedChecks(df, checks, commitId, s"REPLACE WHERE into $dir")
+        val obs = new org.apache.spark.sql.Observation(
+          s"graft-replwhere-$commitId")
+        val guarded =
+          try wired.observe(obs,
+            sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L))
+              .as("__outside"))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                "REPLACE WHERE predicate must be evaluable on the " +
+                  s"incoming rows: ${e.getMessage}")
+          }
+        fresh = writeData(spark, dir, guarded, commitId, pcs)
+        writtenPcs = pcs
+        assertChecks()
+        val outside = Option(obs.get("__outside"))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        require(outside == 0L,
+          s"REPLACE WHERE into $dir: $outside incoming row(s) do NOT " +
+            "match the predicate — the statement would write outside " +
+            "the replaced region; fix the query or widen the predicate")
+        validated = Some(checks)
+      } else {
+        require(writtenPcs == pcs,
+          s"partition layout of $dir changed concurrently (was " +
+            s"${writtenPcs.mkString(",")}, now ${pcs.mkString(",")}) — " +
+            "retry the statement")
+        if (!validated.contains(checks)) {
+          requireChecksPass(checks, df, s"REPLACE WHERE into $dir")
+          validated = Some(checks)
+        }
+      }
+      // region rewrite — the deleteWhere recipe, same DV composition
+      val affected = readFilesTagged(spark, dir, latest, current, Some("__f"))
+        .filter(pred).select("__f")
+        .distinct().collect().map(_.getString(0)).toSet
+      def hit(p: String) = affected.contains(p) ||
+        affected.contains(new Path(p).toUri.toString) ||
+        affected.exists(a =>
+          new Path(a).toUri.getPath == new Path(p).toUri.getPath)
+      val (rewrite, carry) = current.partition(hit)
+      val rewritten =
+        if (rewrite.isEmpty) Seq.empty
+        else {
+          val survivors = readCur(rewrite)
+            .filter(!coalesce(pred, lit(false)))
+          if (survivors.isEmpty) Seq.empty
+          // own commit dir: the fresh files already claimed
+          // data/<commitId>, and a rebase retry re-rewrites anyway
+          else writeData(spark, dir, survivors,
+            java.util.UUID.randomUUID().toString, pcs)
+        }
+      val merged = schema.map(mergeSchemas(_, df.schema))
+        .getOrElse(df.schema)
+      commitFiles(spark, dir, (carry ++ rewritten ++ fresh).sorted, commitId,
+        header = Seq(schemaHeader(merged)) ++
+          prunedDvHeader(spark, dir, latest, rewrite) ++
+          propagatedStatHeaders(spark, dir, latest, carry,
+            rewritten ++ fresh) ++
+          propagatedPartHeaders(spark, dir, latest, carry,
+            rewritten ++ fresh) ++
+          checkHeaders(checks) ++
+          watermarkHeader(spark, dir),
+        base = Some(Some(latest))) match {
+        case Some(v) => return v
+        case None    => () // raced — recompute against the new latest
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** DYNAMIC partition overwrite (`INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`): replace
+    * exactly the partitions the incoming data TOUCHES, atomically, and
+    * carry every other partition by reference. Pure MANIFEST surgery on
+    * a partition-declared table: the incoming tuples derive from the
+    * fresh files' own partition-pure paths (no second evaluation of
+    * `df`), dropped files are the current files whose RECORDED tuple is
+    * in that set (partition purity means no row survives them), and no
+    * old data is read at all — O(manifest) planning cost regardless of
+    * table size, the dynamic-overwrite twin of [[readPartition]]'s
+    * manifest-grain prune. CHECK constraints ride the fresh write;
+    * DV entries of dropped files are pruned; stats/layout carried. */
+  def overwritePartitions(spark: SparkSession, dir: String,
+      df: DataFrame): Long = {
+    val commitId = java.util.UUID.randomUUID().toString
+    var fresh: Seq[String] = null
+    var writtenPcs: Seq[String] = null
+    var validated: Option[Seq[(String, String)]] = None
+    while (true) {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"no committed snapshot under $dir")
+      val latest = vs.last
+      val schema = schemaOf(spark, dir, latest)
+      val pcs = partitionColsOf(spark, dir, latest)
+      require(pcs.nonEmpty,
+        s"$dir declares no partition columns — dynamic partition " +
+          "overwrite needs a declared layout (a plain INSERT OVERWRITE " +
+          "replaces the whole table)")
+      val checks = checksOf(spark, dir, latest)
+      if (fresh == null) {
+        val (wired, assertChecks) = observedChecks(df, checks, commitId,
+          s"dynamic partition overwrite into $dir")
+        fresh = writeData(spark, dir, wired, commitId, pcs)
+        writtenPcs = pcs
+        assertChecks()
+        validated = Some(checks)
+      } else {
+        require(writtenPcs == pcs,
+          s"partition layout of $dir changed concurrently (was " +
+            s"${writtenPcs.mkString(",")}, now ${pcs.mkString(",")}) — " +
+            "retry the statement")
+        if (!validated.contains(checks)) {
+          requireChecksPass(checks, df,
+            s"dynamic partition overwrite into $dir")
+          validated = Some(checks)
+        }
+      }
+      val incoming = fresh.map(p => partTupleOfPath(p, pcs)).toSet
+      val parts = filePartsOf(spark, dir, latest)
+      val current = filesOf(spark, dir, latest)
+      val unrecorded = current.filterNot(parts.contains)
+      require(unrecorded.isEmpty,
+        s"$dir has ${unrecorded.size} file(s) without recorded partition " +
+          "tuples — dynamic overwrite decides at manifest grain and " +
+          "cannot prove them disjoint from the replaced partitions; " +
+          "re-publish the table via commitPartitioned first")
+      val (dropped, carried) = current.partition(p =>
+        incoming.contains(pcs.map(c => c -> parts(p)(c))))
+      val merged = schema.map(mergeSchemas(_, df.schema))
+        .getOrElse(df.schema)
+      commitFiles(spark, dir, (carried ++ fresh).sorted, commitId,
+        header = Seq(schemaHeader(merged)) ++
+          prunedDvHeader(spark, dir, latest, dropped) ++
+          propagatedStatHeaders(spark, dir, latest, carried, fresh) ++
+          propagatedPartHeaders(spark, dir, latest, carried, fresh) ++
+          checkHeaders(checks) ++
+          watermarkHeader(spark, dir),
+        base = Some(Some(latest))) match {
+        case Some(v) => return v
+        case None    => () // raced — recompute against the new latest
+      }
+    }
+    -1L // unreachable
+  }
+
   /** UPDATE ... SET ... WHERE as a copy-on-write commit — the third
     * row-level verb beside [[deleteWhere]] and [[merge]]: every row
     * where `pred` is definitely TRUE gets each `set` column replaced by

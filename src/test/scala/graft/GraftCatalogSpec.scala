@@ -340,6 +340,68 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       (1L to 5L))
   }
 
+  test("INSERT INTO ... REPLACE WHERE: atomic region reload with a " +
+      "loud outside-the-region guard") {
+    spark.sql("CREATE TABLE g.gold.rw (day STRING, k BIGINT)")
+    spark.sql(
+      "INSERT INTO g.gold.rw VALUES ('d1',1),('d1',2),('d2',3)")
+    val dir = s"$root/gold/rw"
+    val before = SnapshotLog.versions(spark, dir).last
+    spark.sql(
+      "INSERT INTO g.gold.rw REPLACE WHERE day = 'd1' VALUES ('d1', 10)")
+    assert(SnapshotLog.versions(spark, dir).last === before + 1,
+      "REPLACE WHERE must be ONE atomic commit")
+    assert(spark.sql("SELECT day, k FROM g.gold.rw ORDER BY k")
+      .as[(String, Long)].collect().toSeq ===
+      Seq(("d2", 3L), ("d1", 10L)))
+    // contract guard: a row outside the region refuses the statement
+    val e = intercept[Exception] {
+      spark.sql(
+        "INSERT INTO g.gold.rw REPLACE WHERE day = 'd1' VALUES ('d2', 9)")
+    }
+    assert(e.getMessage.contains("do NOT match") ||
+      (e.getCause != null && e.getCause.getMessage.contains("do NOT match")),
+      s"outside-region rows not refused: ${e.getMessage}")
+    assert(spark.table("g.gold.rw").count() === 2,
+      "a refused REPLACE WHERE must not half-land")
+    // pre-replace history intact
+    assert(spark.sql(
+      s"SELECT k FROM g.gold.rw VERSION AS OF $before ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("dynamic partition overwrite replaces ONLY the partitions the " +
+      "data touches — manifest surgery, untouched files carried") {
+    spark.sql("CREATE TABLE g.gold.dyn (region STRING, k BIGINT) " +
+      "PARTITIONED BY (region)")
+    spark.sql(
+      "INSERT INTO g.gold.dyn VALUES ('eu',1),('us',2),('ap',3)")
+    val dir = s"$root/gold/dyn"
+    val before = SnapshotLog.versions(spark, dir).last
+    val filesBefore = SnapshotLog.filePartsOf(spark, dir, before)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(
+      "INSERT OVERWRITE g.gold.dyn VALUES ('eu', 10), ('eu', 11)")
+    finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    val after = SnapshotLog.versions(spark, dir).last
+    assert(after === before + 1, "dynamic overwrite must be ONE commit")
+    assert(spark.sql("SELECT region, k FROM g.gold.dyn ORDER BY k")
+      .as[(String, Long)].collect().toSeq ===
+      Seq(("us", 2L), ("ap", 3L), ("eu", 10L), ("eu", 11L)))
+    // untouched partitions' files carried BY REFERENCE (no rewrite)
+    val filesAfter = SnapshotLog.filePartsOf(spark, dir, after)
+    val untouchedBefore = filesBefore.collect {
+      case (p, t) if t("region") != "eu" => p }.toSet
+    assert(untouchedBefore.subsetOf(filesAfter.keySet),
+      "dynamic overwrite rewrote partitions the data never touched")
+    // the declared layout survives and still prunes
+    assert(SnapshotLog.partitionColsOf(spark, dir, after) === Seq("region"))
+    // static mode (the default) still replaces the WHOLE table
+    spark.sql("INSERT OVERWRITE g.gold.dyn VALUES ('eu', 99)")
+    assert(spark.table("g.gold.dyn").count() === 1)
+  }
+
   test("concurrent SQL MERGEs on disjoint keys both land: the verb's " +
       "claim/rebase holds through the DML translation") {
     spark.sql("CREATE TABLE g.gold.mconc (k BIGINT, v STRING)")

@@ -249,4 +249,30 @@ class SnapshotDvSpec extends AnyFunSuite with SparkFixture {
       s"sparse DV must broadcast, not shuffle the table:\n$plan")
   }
 
+
+  test("replaceWhere composes with a live deletion vector: MoR-dead " +
+      "rows neither mark files affected nor resurrect; vector pruned") {
+    val (dir, _) = mkLog()
+    // MoR-kill grp 3 entirely, then REPLACE the grp 5 region
+    SnapshotLog.deleteWhereMoR(spark, dir, col("grp") === 3)
+    val fresh = (0L until 10L).map(i => (10000L + i, 5L, Some(s"n$i")))
+      .toDF("id", "grp", "email")
+    val v = SnapshotLog.replaceWhere(spark, dir, fresh, col("grp") === 5)
+    val got = SnapshotLog.read(spark, dir, Some(v))
+    // grp 3 stays dead (the rewrite read THROUGH the vector), grp 5 is
+    // exactly the fresh rows, everything else intact
+    assert(got.filter(col("grp") === 3).count() === 0,
+      "MoR-deleted rows resurrected through replaceWhere")
+    assert(got.filter(col("grp") === 5).count() === 10)
+    assert(got.filter(col("grp") === 5 && col("id") < 10000L).count() === 0)
+    val others = got.filter(col("grp") =!= 3 && col("grp") =!= 5).count()
+    assert(others === (0L until 1000L).count(i => i % 7 != 3 && i % 7 != 5))
+    // the incoming-rows contract still guards under a live DV
+    val bad = (0L until 3L).map(i => (20000L + i, 6L, Option.empty[String]))
+      .toDF("id", "grp", "email")
+    val e = intercept[Exception] {
+      SnapshotLog.replaceWhere(spark, dir, bad, col("grp") === 5)
+    }
+    assert(e.getMessage.contains("do NOT match"))
+  }
 }
