@@ -282,6 +282,18 @@ private[graft] class SnapshotCatalogTable(schema0: StructType,
     with SupportsWrite with SupportsDelete {
   override def name(): String = qualified
 
+  /** The manifest's DECLARED partition layout as identity transforms —
+    * what `INSERT OVERWRITE ... PARTITION (col = v)` static specs and
+    * DESCRIBE resolve against. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val spark = SparkSession.active
+    val v = versionAsOf.orElse(SnapshotLog.versions(spark, dir).lastOption)
+    v.map(SnapshotLog.partitionColsOf(spark, dir, _)).getOrElse(Seq.empty)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions
+        .identity(c)).toArray
+  }
+
   /** The manifest's CHECK constraints as catalog constraints (DESCRIBE
     * and the ALTER CONSTRAINT surface read these). They are ENFORCED:
     * every commit verb validates them on the write path. */

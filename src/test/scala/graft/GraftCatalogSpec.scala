@@ -397,7 +397,20 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       "dynamic overwrite rewrote partitions the data never touched")
     // the declared layout survives and still prunes
     assert(SnapshotLog.partitionColsOf(spark, dir, after) === Seq("region"))
-    // static mode (the default) still replaces the WHOLE table
+    // the DataFrame API route plans the same verb
+    Seq(("us", 20L)).toDF("region", "k")
+      .writeTo("g.gold.dyn").overwritePartitions()
+    assert(spark.sql("SELECT region, k FROM g.gold.dyn ORDER BY k")
+      .as[(String, Long)].collect().toSeq ===
+      Seq(("ap", 3L), ("eu", 10L), ("eu", 11L), ("us", 20L)))
+    // a STATIC partition spec routes through REPLACE WHERE: only that
+    // partition replaced
+    spark.sql(
+      "INSERT OVERWRITE g.gold.dyn PARTITION (region = 'ap') VALUES (30)")
+    assert(spark.sql("SELECT region, k FROM g.gold.dyn ORDER BY k")
+      .as[(String, Long)].collect().toSeq ===
+      Seq(("eu", 10L), ("eu", 11L), ("us", 20L), ("ap", 30L)))
+    // static mode without a spec still replaces the WHOLE table
     spark.sql("INSERT OVERWRITE g.gold.dyn VALUES ('eu', 99)")
     assert(spark.table("g.gold.dyn").count() === 1)
   }
