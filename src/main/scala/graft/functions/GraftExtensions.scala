@@ -359,6 +359,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.sources.SnapshotLog.merge(s, dir, source, keys,
             deleteWhen, dropCols))
       }))
+    // SELECT * FROM snapshot_replace_where('/t',
+    //   'SELECT ... fresh rows ...', 'day = ''2024-06-01''')
+    // — atomic region reload ([[SnapshotLog.replaceWhere]]): the
+    // predicate's region is deleted and the source query's rows land in
+    // the SAME commit; every incoming row must match the predicate
+    // (loud guard riding the write). EXECUTE-at-execution like every
+    // DML TVF — EXPLAIN never commits.
+    ext.injectTableFunction((FunctionIdentifier("snapshot_replace_where"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_replace_where"),
+      (args: Seq[Expression]) => {
+        arity("snapshot_replace_where", args, 3)
+        val s = org.apache.spark.sql.SparkSession.active
+        val dir = strLit(args.head, "snapshot_replace_where")
+        val source = s.sql(strLit(args(1), "snapshot_replace_where"))
+        val pred = org.apache.spark.sql.functions.expr(
+          strLit(args(2), "snapshot_replace_where"))
+        dmlReport("replace_where", dir, () =>
+          graft.sources.SnapshotLog.replaceWhere(s, dir, source, pred))
+      }))
     ext.injectTableFunction((FunctionIdentifier("snapshot_optimize"),
       new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
         "snapshot_optimize"),

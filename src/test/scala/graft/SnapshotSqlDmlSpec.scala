@@ -63,6 +63,36 @@ class SnapshotSqlDmlSpec extends AnyFunSuite with SparkFixture {
       .as[Long].head() === 100L)
   }
 
+  test("snapshot_replace_where TVF: atomic region reload from SQL, " +
+      "outside-region guard, EXPLAIN never commits") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir,
+      spark.range(0, 100).select((col("id") % 10).as("grp"),
+        col("id").as("k")))
+    val before = SnapshotLog.versions(spark, dir).last
+    spark.sql(s"SELECT * FROM snapshot_replace_where('$dir', " +
+      "'SELECT 3L AS grp, id + 1000 AS k FROM range(5)', " +
+      "'grp = 3')").collect()
+    assert(SnapshotLog.versions(spark, dir).last === before + 1,
+      "replace_where must commit exactly one version")
+    val grp3 = SnapshotLog.read(spark, dir).filter(col("grp") === 3)
+    assert(grp3.count() === 5)
+    assert(grp3.select(min("k")).as[Long].head() === 1000L)
+    assert(SnapshotLog.read(spark, dir).count() === 95L)
+    // outside-region rows refuse the statement
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_replace_where('$dir', " +
+        "'SELECT 4L AS grp, 1L AS k', 'grp = 3')").collect()
+    }
+    assert(e.getMessage.contains("do NOT match"))
+    // EXPLAIN resolves but never runs the verb
+    val v = SnapshotLog.versions(spark, dir).last
+    spark.sql(s"EXPLAIN SELECT * FROM snapshot_replace_where('$dir', " +
+      "'SELECT 3L AS grp, 1L AS k', 'grp = 3')").collect()
+    assert(SnapshotLog.versions(spark, dir).last === v,
+      "EXPLAIN must not commit")
+  }
+
   test("each DML statement commits exactly one version (no re-execution)") {
     val dir = freshDir()
     SnapshotLog.commit(spark, dir,
