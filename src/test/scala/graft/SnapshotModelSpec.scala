@@ -64,7 +64,7 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
 
     while (step < steps) {
       step += 1
-      rnd.nextInt(13) match {
+      rnd.nextInt(15) match {
         case 0 | 1 => // append a batch of fresh-keyed rows (base schema)
           val rows = (0 until 1 + rnd.nextInt(4))
             .map(j => (step * 100L + j, s"a$step-$j"))
@@ -160,6 +160,38 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
           }
         case 12 => // DV compaction: a semantic no-op, like optimize
           record(SnapshotLog.applyDeletionVectors(spark, dir))
+        case 13 => // REPLACE WHERE a residue class: region delete + fresh
+          // rows in ONE commit; fresh keys constructed ≡ r (mod m) so
+          // the incoming-rows contract holds by construction
+          val (m, r) = (3 + rnd.nextInt(4), rnd.nextInt(3))
+          val fresh = (0 until 1 + rnd.nextInt(3))
+            .map(j => ((step * 1000L + j) * m + r, s"r$step-$j"))
+          model = model.filterNot { case (k, _) => k % m == r } ++
+            fresh.map { case (k, v) => k -> (v, None: Option[Long]) }
+          record(SnapshotLog.replaceWhere(spark, dir, df2(fresh),
+            col("k") % m === r))
+        case 14 => // dynamic partition overwrite: replace every row of
+          // one (possibly existing) value-partition with fresh rows;
+          // refused loudly on the unpartitioned layout
+          val v0 = rnd.shuffle(model.values.map(_._1).toSeq).headOption
+            .getOrElse(s"p$step")
+          val fresh = (0 until 1 + rnd.nextInt(3))
+            .map(j => (step * 100L + 70 + j, v0))
+          if (partitioned) {
+            model = model.filterNot { case (_, (v, _)) => v == v0 } ++
+              fresh.map { case (k, v) => k -> (v, None: Option[Long]) }
+            record(SnapshotLog.overwritePartitions(spark, dir, df2(fresh)))
+          } else {
+            val vsBefore = SnapshotLog.versions(spark, dir)
+            val refused =
+              try { SnapshotLog.overwritePartitions(spark, dir, df2(fresh))
+                false }
+              catch { case _: IllegalArgumentException => true }
+            assert(refused, s"[seed $seed step $step] dynamic overwrite " +
+              "must refuse an unpartitioned table")
+            assert(SnapshotLog.versions(spark, dir) === vsBefore,
+              s"[seed $seed step $step] refusal must commit nothing")
+          }
       }
       // invariant 1: the table equals the model after every step
       assert(tableRows(dir) === snap,
