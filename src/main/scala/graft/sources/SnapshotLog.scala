@@ -735,10 +735,15 @@ object SnapshotLog {
       // version's deletion vector (readFiles), so a MoR-dead row can
       // neither mark a file affected nor resurrect in the rewrite; the
       // new version carries the vector minus the rewritten files'
-      // entries (prunedDvHeader)
-      val affected = readFilesTagged(spark, dir, latest, current, Some("__f"))
-        .filter(pred).select("__f")
-        .distinct().collect().map(_.getString(0)).toSet
+      // entries (prunedDvHeader). Detection pre-prunes at MANIFEST grain
+      // (zone maps/blooms/partition tuples) — files the stats prove
+      // unaffected never open a footer.
+      val candidates = detectionCandidates(spark, dir, latest, pred)
+      val affected =
+        if (candidates.isEmpty) Set.empty[String]
+        else readFilesTagged(spark, dir, latest, candidates, Some("__f"))
+          .filter(pred).select("__f")
+          .distinct().collect().map(_.getString(0)).toSet
       // scan metadata reports URIs; manifests may store schemeless paths
       def hit(p: String) = affected.contains(p) ||
         affected.contains(new Path(p).toUri.toString) ||
@@ -830,9 +835,13 @@ object SnapshotLog {
         }
       }
       // region rewrite — the deleteWhere recipe, same DV composition
-      val affected = readFilesTagged(spark, dir, latest, current, Some("__f"))
-        .filter(pred).select("__f")
-        .distinct().collect().map(_.getString(0)).toSet
+      // and the same manifest-grain detection pre-prune
+      val candidates = detectionCandidates(spark, dir, latest, pred)
+      val affected =
+        if (candidates.isEmpty) Set.empty[String]
+        else readFilesTagged(spark, dir, latest, candidates, Some("__f"))
+          .filter(pred).select("__f")
+          .distinct().collect().map(_.getString(0)).toSet
       def hit(p: String) = affected.contains(p) ||
         affected.contains(new Path(p).toUri.toString) ||
         affected.exists(a =>
@@ -975,10 +984,14 @@ object SnapshotLog {
         s"UPDATE sets unknown column(s) ${unknown.mkString(",")} — " +
           "schema changes go through merge, not updateWhere")
       // DV-composable (the deleteWhere rule): detection + rewrite read
-      // through the vector; the commit prunes rewritten files' entries
-      val affected = readFilesTagged(spark, dir, latest, current, Some("__f"))
-        .filter(pred).select("__f")
-        .distinct().collect().map(_.getString(0)).toSet
+      // through the vector; the commit prunes rewritten files' entries.
+      // Manifest-grain pre-prune like deleteWhere's.
+      val candidates = detectionCandidates(spark, dir, latest, pred)
+      val affected =
+        if (candidates.isEmpty) Set.empty[String]
+        else readFilesTagged(spark, dir, latest, candidates, Some("__f"))
+          .filter(pred).select("__f")
+          .distinct().collect().map(_.getString(0)).toSet
       def hitF(p: String) = affected.contains(p) ||
         affected.contains(new Path(p).toUri.toString) ||
         affected.exists(a =>
@@ -2670,6 +2683,29 @@ object SnapshotLog {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v),
       s"version $v of $dir does not exist (have ${vs.mkString(",")})")
+    val schema = schemaOf(spark, dir, v)
+    val files = filesOf(spark, dir, v)
+    val kept = pruneFilesCnf(spark, dir, v, cnf0)
+    val pred = residualPred
+    val df =
+      if (kept.nonEmpty) readFiles(spark, dir, v, kept).filter(pred)
+      else schema match {
+        // every file pruned: an empty frame with the version's schema
+        case Some(s) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None => read(spark, dir, Some(v)).filter(pred).limit(0)
+      }
+    (df, kept.size, files.size)
+  }
+
+  /** The manifest-grain KEEP decision alone: the subset of version `v`'s
+    * files some row of which COULD satisfy the CNF (zone maps ∧ bloom
+    * sidecars ∧ partition tuples ∧ null-presence flags, each
+    * conservative). This is [[readFilterCnf]]'s core without the read —
+    * what the rewriting verbs use to pre-prune their affected-file
+    * detection scans. */
+  private[graft] def pruneFilesCnf(spark: SparkSession, dir: String,
+      v: Long, cnf0: Seq[Seq[Seq[Probe]]]): Seq[String] = {
     val files = filesOf(spark, dir, v)
     val stats = fileStatsOf(spark, dir, v)
     val schema = schemaOf(spark, dir, v)
@@ -2856,18 +2892,53 @@ object SnapshotLog {
     // unprunable disjunct
     val keeps: Seq[Seq[Seq[String => Boolean]]] =
       cnf.map(_.map(_.map(probeKeep)))
-    val kept = files.filter(p => keeps.forall(_.exists(_.forall(_(p)))))
-    val pred = residualPred
-    val df =
-      if (kept.nonEmpty) readFiles(spark, dir, v, kept).filter(pred)
-      else schema match {
-        // every file pruned: an empty frame with the version's schema
-        case Some(s) => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-        case None => read(spark, dir, Some(v)).filter(pred).limit(0)
-      }
-    (df, kept.size, files.size)
+    files.filter(p => keeps.forall(_.exists(_.forall(_(p)))))
   }
+
+  /** Manifest-grain pre-prune for the rewriting verbs' affected-file
+    * DETECTION scans: the subset of `v`'s files that could hold a row
+    * matching `pred` (everything else is provably carry-by-reference
+    * without opening a footer). Strictly an OPTIMIZATION: any failure
+    * to lower the predicate — unprunable shapes, probe-family
+    * mismatches the SQL surface would refuse loudly — falls back to
+    * all files, never fails the verb. */
+  private[graft] def detectionCandidates(spark: SparkSession, dir: String,
+      v: Long, pred: Column): Seq[String] =
+    try {
+      import org.apache.spark.sql.catalyst.{expressions => ce}
+      import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+      // a Column-DSL tree carries its operators as UnresolvedFunctions
+      // (`>=`('k, 3500)) until ANALYSIS — normalize the comparison /
+      // boolean shells to the catalyst nodes the probe lowering
+      // matches; anything unmapped stays opaque = unprunable =
+      // conservative. Resolved attribute refs re-bind by name.
+      val e = org.apache.spark.sql.graftshim.ColumnBridge
+        .eagerExpression(pred).transformUp {
+          case a: ce.AttributeReference => UnresolvedAttribute.quoted(a.name)
+          case f: UnresolvedFunction if f.nameParts.length == 1 =>
+            (f.nameParts.head.toLowerCase(java.util.Locale.ROOT),
+              f.arguments) match {
+              case (">=", Seq(l, r))       => ce.GreaterThanOrEqual(l, r)
+              case ("<=", Seq(l, r))       => ce.LessThanOrEqual(l, r)
+              case (">", Seq(l, r))        => ce.GreaterThan(l, r)
+              case ("<", Seq(l, r))        => ce.LessThan(l, r)
+              case ("=" | "==", Seq(l, r)) => ce.EqualTo(l, r)
+              case ("and", Seq(l, r))      => ce.And(l, r)
+              case ("or", Seq(l, r))       => ce.Or(l, r)
+              case ("not", Seq(x))         => ce.Not(x)
+              case ("isnull", Seq(x))      => ce.IsNull(x)
+              case ("isnotnull", Seq(x))   => ce.IsNotNull(x)
+              case ("in", l +: rest) if rest.nonEmpty => ce.In(l, rest)
+              case _                       => f
+            }
+        }
+      val cnf = cnfProbes(e, schemaOf(spark, dir, v))
+      // nothing prunable anywhere → skip the stat parse entirely
+      if (cnf.forall(_.exists(_.isEmpty))) filesOf(spark, dir, v)
+      else pruneFilesCnf(spark, dir, v, cnf)
+    } catch {
+      case scala.util.control.NonFatal(_) => filesOf(spark, dir, v)
+    }
 
   // -------------------------------------------------------------------
   // Merge-on-read DELETION VECTORS — O(matches) deletes, no file rewrite

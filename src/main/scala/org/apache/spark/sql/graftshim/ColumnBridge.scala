@@ -21,6 +21,13 @@ object ColumnBridge {
   def sqlOf(c: Column): String =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node).sql
 
+  /** The EAGERLY-converted expression tree of a Column — what callers
+    * that pattern-match the tree (e.g. predicate lowering to manifest
+    * probes) need; the lazy [[expression]] wrapper is one opaque leaf
+    * until analysis. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap a (resolved) logical plan as a DataFrame — the `Dataset.ofRows`
     * bridge custom operators need to hand their plan node back to the
     * public API ([[graft.plans.AsOfJoin]]). Same visibility-only
