@@ -102,13 +102,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           val root = spark.conf.get(s"spark.sql.catalog.${parts.head}.root")
             .stripSuffix("/")
           val resolved = (root +: parts.tail.toSeq).mkString("/")
-          // a dotted literal names a CATALOG table only if the resolved
-          // directory actually holds committed versions — a genuine
-          // relative path like 'g.backup' (file name with a dot) must
-          // not silently resolve to <root>/backup, the wrong table.
+          // a dotted literal that names a registered catalog resolves to
+          // the catalog table UNLESS only the relative path holds
+          // committed versions — a genuine file name like 'g.backup'
+          // must not silently point at <root>/backup, the wrong table.
           // Both viable → refuse: for snapshot_vacuum a wrong guess is
           // destructive, so ambiguity is the caller's to break with an
-          // absolute path.
+          // absolute path. NEITHER viable → the catalog path (the
+          // bootstrap case: snapshot_merge_into on a not-yet-committed
+          // catalog table must create it under the catalog root, and a
+          // typo'd name should error with the catalog path, not a
+          // confusing relative one).
           val asCatalog =
             graft.sources.SnapshotLog.versions(spark, resolved).nonEmpty
           val asLiteral =
@@ -117,8 +121,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"$fn: '$s' is ambiguous — both the catalog table at " +
               s"'$resolved' and the relative path '$s' hold committed " +
               "versions; pass an absolute path to pick one")
-          else if (asCatalog) resolved
-          else s
+          else if (asLiteral) s
+          else resolved
         }
       }
     }

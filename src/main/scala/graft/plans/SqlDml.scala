@@ -158,19 +158,80 @@ object SqlDml {
     // merge keys: the ON clause must be an equality conjunction pairing
     // one target COLUMN with a source-side expression — that is the keyed
     // contract SnapshotLog.merge locates files by
-    def keysOf(e: Expression): Seq[String] = e match {
-      case And(l, r) => keysOf(l) ++ keysOf(r)
+    def keyPairs(e: Expression): Seq[(String, Expression)] = e match {
+      case And(l, r) => keyPairs(l) ++ keyPairs(r)
       case EqualTo(l: AttributeReference, r)
         if target.outputSet.contains(l) &&
-          r.references.subsetOf(source.outputSet) => Seq(l.name)
+          r.references.subsetOf(source.outputSet) => Seq(l.name -> r)
       case EqualTo(l, r: AttributeReference)
         if target.outputSet.contains(r) &&
-          l.references.subsetOf(source.outputSet) => Seq(r.name)
+          l.references.subsetOf(source.outputSet) => Seq(r.name -> l)
       case other => throw new UnsupportedOperationException(
         "graft MERGE needs ON as a conjunction of target.col = " +
           s"<source expr> equalities; cannot translate '${other.sql}'")
     }
-    val keys = keysOf(m.mergeCondition).distinct
+    val pairs = keyPairs(m.mergeCondition)
+    val keys = pairs.map(_._1).distinct
+    // the source expression each key column was matched on
+    val keyExpr: Map[String, Expression] =
+      pairs.groupBy(_._1).map { case (k, ps) => k -> ps.head._2 }
+
+    def stripCast(e: Expression): Expression = e match {
+      case c: Cast => stripCast(c.child)
+      case other   => other
+    }
+    def sameExpr(a: Expression, b: Expression): Boolean =
+      stripCast(a).canonicalized == stripCast(b).canonicalized
+
+    // KEY-CONSISTENCY contract (loud, never silent): the verb locates
+    // target rows by the change row's KEY VALUES, so a post-image whose
+    // key differs from what the ON clause matched (or failed to match)
+    // on would silently rewrite/replace the WRONG rows. Key columns may
+    // only keep their target value or carry the ON clause's own source
+    // expression; re-keying rows through MERGE is refused.
+    def requireKeysConsistent(as: Seq[Assignment], what: String,
+        allowOnExpr: Boolean): Unit =
+      keys.foreach { k =>
+        tOut.find(_.name == k).foreach { attr =>
+          assigned(as, attr).foreach { v =>
+            val ok = sameExpr(v, attr) ||
+              (allowOnExpr && keyExpr.get(k).exists(sameExpr(v, _)))
+            require(ok,
+              s"graft MERGE: $what assigns key column '$k' a value other " +
+                "than the ON clause's own match expression — re-keying " +
+                "rows through MERGE would silently target the wrong rows " +
+                "and is refused; update non-key columns, or delete+insert")
+          }
+        }
+      }
+    m.matchedActions.foreach {
+      case UpdateAction(_, as, _) =>
+        requireKeysConsistent(as, "WHEN MATCHED UPDATE", allowOnExpr = true)
+      case _ => ()
+    }
+    m.notMatchedBySourceActions.foreach {
+      case UpdateAction(_, as, _) =>
+        requireKeysConsistent(as, "WHEN NOT MATCHED BY SOURCE UPDATE",
+          allowOnExpr = false) // no source row exists for these
+      case _ => ()
+    }
+    m.notMatchedActions.foreach {
+      case InsertAction(_, as) =>
+        keys.foreach { k =>
+          tOut.find(_.name == k).foreach { attr =>
+            val v = assigned(as, attr).getOrElse(
+              throw new UnsupportedOperationException(
+                s"graft MERGE: WHEN NOT MATCHED INSERT must assign key " +
+                  s"column '$k' (a NULL key can never match)"))
+            require(keyExpr.get(k).exists(sameExpr(v, _)),
+              s"graft MERGE: INSERT assigns key column '$k' a value other " +
+                "than the ON clause's match expression — the inserted row " +
+                "would silently replace an unrelated existing row with " +
+                "that key; insert exactly the key the row failed to match on")
+          }
+        }
+      case _ => ()
+    }
 
     // FAST PATH — the pure upsert shape (`WHEN MATCHED THEN UPDATE SET *
     // / WHEN NOT MATCHED THEN INSERT *`, or explicit assignments that

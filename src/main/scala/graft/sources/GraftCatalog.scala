@@ -175,8 +175,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(add.isNullable,
           s"added column '${add.fieldNames().head}' must be nullable — " +
             "existing rows can only read it as NULL")
-        cols += org.apache.spark.sql.types.StructField(
+        // loud, not silently dropped: the widened schema always APPENDS
+        require(add.position() == null,
+          s"added column '${add.fieldNames().head}' specifies a position " +
+            "(FIRST/AFTER) — snapshot schemas only widen at the end")
+        val field = org.apache.spark.sql.types.StructField(
           add.fieldNames().head, add.dataType(), nullable = true)
+        cols += Option(add.comment()).map(field.withComment)
+          .getOrElse(field)
       case ac: TableChange.AddConstraint => ac.constraint() match {
         case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
           SnapshotLog.addCheck(spark, dir, c.name(), c.predicateSql())
@@ -284,8 +290,10 @@ private[graft] class SnapshotCatalogTable(schema0: StructType,
 
   /** The manifest's DECLARED partition layout as identity transforms —
     * what `INSERT OVERWRITE ... PARTITION (col = v)` static specs and
-    * DESCRIBE resolve against. */
-  override def partitioning()
+    * DESCRIBE resolve against. Resolved ONCE per loaded table instance
+    * (Spark calls these Table methods repeatedly per statement; the
+    * table object is already a point-in-time view, like schema0). */
+  override lazy val partitioning
       : Array[org.apache.spark.sql.connector.expressions.Transform] = {
     val spark = SparkSession.active
     val v = versionAsOf.orElse(SnapshotLog.versions(spark, dir).lastOption)
@@ -296,8 +304,9 @@ private[graft] class SnapshotCatalogTable(schema0: StructType,
 
   /** The manifest's CHECK constraints as catalog constraints (DESCRIBE
     * and the ALTER CONSTRAINT surface read these). They are ENFORCED:
-    * every commit verb validates them on the write path. */
-  override def constraints()
+    * every commit verb validates them on the write path. Same
+    * once-per-instance resolution as [[partitioning]]. */
+  override lazy val constraints
       : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
     val spark = SparkSession.active
     val v = versionAsOf.orElse(SnapshotLog.versions(spark, dir).lastOption)

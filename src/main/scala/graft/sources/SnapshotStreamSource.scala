@@ -408,7 +408,11 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
         var bytes = 0L
         while (v < vCap && bytes < budget) {
           v += 1
-          bytes += newFileBytes(vs, v)
+          // a vacuumed version in the walk contributes no bytes — the
+          // admission must not die on a raw manifest-open error;
+          // planInputPartitions raises the GUIDED replay-gap message
+          // for the same range
+          if (vs.contains(v)) bytes += newFileBytes(vs, v)
         }
         v
     }

@@ -340,6 +340,61 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       (1L to 5L))
   }
 
+  test("SQL MERGE key-consistency contract: re-keying is refused " +
+      "loudly, never silently mistargeted") {
+    spark.sql("CREATE TABLE g.gold.keyc (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.gold.keyc VALUES (1,'a'),(2,'b')")
+    // UPDATE reassigning the key would make the verb target the wrong row
+    val rekey = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO g.gold.keyc t
+        USING (SELECT * FROM VALUES (1,'x') AS s(k, v)) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET k = t.k + 10
+      """)
+    }
+    assert(rekey.getMessage.contains("re-keying"),
+      s"key reassignment not refused: ${rekey.getMessage}")
+    // INSERT keyed differently from the ON match would silently replace
+    // an unrelated row
+    val insKey = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO g.gold.keyc t
+        USING (SELECT * FROM VALUES (9, 1, 'x') AS s(k, j, v)) s
+        ON t.k = s.j
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+      """)
+    }
+    assert(insKey.getMessage.contains("ON clause's match expression"),
+      s"mismatched insert key not refused: ${insKey.getMessage}")
+    // the LEGITIMATE different-name shape works: key from the ON expr
+    spark.sql("""
+      MERGE INTO g.gold.keyc t
+      USING (SELECT * FROM VALUES (1, 'A'), (3, 'c') AS s(j, v)) s
+      ON t.k = s.j
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.j, s.v)
+    """)
+    assert(spark.sql("SELECT k, v FROM g.gold.keyc ORDER BY k")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "A"), (2L, "b"), (3L, "c")))
+    assert(spark.table("g.gold.keyc").count() === 3)
+  }
+
+  test("dotted TVF idents bootstrap NOT-YET-COMMITTED catalog tables " +
+      "under the catalog root, never a relative path") {
+    val tvf = spark.sql("SELECT * FROM snapshot_merge_into(" +
+      "'g.gold.boot', 'SELECT 1L AS k, ''a'' AS v', 'k')")
+    tvf.collect()
+    assert(SnapshotLog.versions(spark, s"$root/gold/boot").nonEmpty,
+      "bootstrap must land under the catalog root")
+    assert(!new java.io.File("g.gold.boot").exists(),
+      "bootstrap must never create a relative-path table")
+    assert(spark.sql("SELECT v FROM g.gold.boot").as[String]
+      .head() === "a")
+  }
+
   test("INSERT INTO ... REPLACE WHERE: atomic region reload with a " +
       "loud outside-the-region guard") {
     spark.sql("CREATE TABLE g.gold.rw (day STRING, k BIGINT)")

@@ -388,6 +388,34 @@ class SnapshotStreamSourceSpec extends AnyFunSuite with SparkFixture {
         s"together), got ${batchSizes2.mkString(",")}")
   }
 
+  test("maxBytesPerTrigger admission survives a vacuumed catch-up range: " +
+      "the GUIDED replay-gap error, not a raw manifest-open failure") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, rows(0, 2))
+    (1L to 3L).foreach(b =>
+      SnapshotLog.commitBatch(spark, dir, rows(2 * b, 2 * b + 2), b))
+    SnapshotLog.vacuum(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    // checkpoint-free restart from v1 (vacuumed) with the byte budget:
+    // the admission walk must not die opening a missing manifest
+    val q = spark.readStream.format(Fmt).option("path", dir)
+      .option("startingVersion", "1")
+      .option("maxBytesPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("vac_bytes")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("vacb").toString)
+      .start()
+    val e = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val all = messages(e).mkString(" | ")
+    assert(all.contains("vacuumed") || all.contains("gone"),
+      s"expected the guided replay-gap error, got: $all")
+    assert(!all.contains("FileNotFoundException"),
+      s"raw manifest-open failure leaked: $all")
+  }
+
   test("composition: the source feeds streaming curation into a replica snapshot table") {
     // snapshot table -> SnapshotStreamSource -> quality gate ->
     // foreachBatch append into a SECOND snapshot table: streaming
