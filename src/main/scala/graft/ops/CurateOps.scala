@@ -998,9 +998,58 @@ object CurateOps {
       .orderBy("source")
   }
 
+  /** Readability profile per language (round 11): exact word /
+    * vowel-cluster-"syllable" / sentence counts over the corpus plus
+    * integer milli-ratios (words-per-sentence, syllables-per-word) —
+    * the Flesch-style complexity screen a curation pipeline applies
+    * beside [[textQuality]]'s length/punctuation signals (which see
+    * none of sentence structure). Counting is regex-cluster based and
+    * engine-exact: `regexp_extract_all` match COUNTS, never float
+    * scores; ratios ship as corpus-level milli integers (`div`). One
+    * scan-side aggregate, ≤|langs| rows. Spark needs the explicit
+    * group-0 index (its default extracts group 1); DuckDB's default is
+    * already the whole match. */
+  val readability: Q = Q.checked(
+    "q_readability",
+    """WITH m AS (
+      |  SELECT lang,
+      |    length(regexp_extract_all(text, '[A-Za-z]+')) AS words,
+      |    length(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl,
+      |    greatest(length(regexp_extract_all(text, '[.!?]+')), 1) AS sents
+      |  FROM documents)
+      |SELECT lang,
+      |  count(*) AS docs,
+      |  CAST(sum(words) AS BIGINT) AS words,
+      |  CAST(sum(syl) AS BIGINT) AS syllables,
+      |  CAST(sum(sents) AS BIGINT) AS sentences,
+      |  CAST(sum(words) * 1000 // sum(sents) AS BIGINT)
+      |    AS words_per_sent_milli,
+      |  CAST(sum(syl) * 1000 // sum(words) AS BIGINT)
+      |    AS syl_per_word_milli
+      |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    val m = Tables.documents(s, dir).select(col("lang"),
+      size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)"))
+        .cast(LongType).as("words"),
+      size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast(LongType).as("syl"),
+      greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+        .cast(LongType).as("sents"))
+    m.groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("words")).cast(LongType).as("words"),
+        sum(col("syl")).cast(LongType).as("syllables"),
+        sum(col("sents")).cast(LongType).as("sentences"))
+      .select(col("lang"), col("docs"), col("words"), col("syllables"),
+        col("sentences"),
+        expr("words * 1000 div sentences").as("words_per_sent_milli"),
+        expr("syllables * 1000 div words").as("syl_per_word_milli"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(sampleSplit, sampleQuota, vocabTopk, tfidf,
     ngramCounts, packBins, curate, quantileDisc, winCume, dedupComponents,
     profile, fuzzyMatch, mixWeights, clusterCanonical, qualityCut,
     mixSchedule, filterFunnel, tokenBudget, splitLeakfree,
-    splitContamination)
+    splitContamination, readability)
 }
