@@ -78,11 +78,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // history from pure SQL clients (Thrift/Connect), no Scala API
     // needed: SELECT * FROM snapshot_of('/path'[, version]);
     //         SELECT * FROM snapshot_history('/path')
+    // plain string-literal arg — used DIRECTLY for every non-path
+    // argument (partition values, predicates, column lists, source
+    // SQL): those must NEVER go through catalog-identifier resolution,
+    // or a value like 'g.example.com' would silently rewrite to a path
     def strLit0(e: Expression, fn: String): String = e match {
       case Literal(v: org.apache.spark.unsafe.types.UTF8String,
         org.apache.spark.sql.types.StringType) => v.toString
       case other => throw new IllegalArgumentException(
-        s"$fn: path must be a string literal, got $other")
+        s"$fn: argument must be a string literal, got $other")
     }
     /** TVF table reference: a filesystem path ('/...' or scheme://) is
       * used as-is; otherwise `cat.ns....table` resolves through a
@@ -171,7 +175,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException("snapshot_changes expects " +
             s"(path, fromVersion, toVersion[, 'key,cols']), got ${args.length} args")
         val keys = args.lift(3)
-          .map(strLit(_, "snapshot_changes").split(",").map(_.trim).toSeq)
+          .map(strLit0(_, "snapshot_changes").split(",").map(_.trim).toSeq)
           .getOrElse(Seq.empty)
         graft.sources.SnapshotLog.changesBetween(
           org.apache.spark.sql.SparkSession.active,
@@ -233,8 +237,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val s = org.apache.spark.sql.SparkSession.active
         val dir = strLit(args.head, "snapshot_partition")
         val where: Map[String, Any] = args.tail.grouped(2).map { p =>
-          strLit(p.head, "snapshot_partition") ->
-            (strLit(p(1), "snapshot_partition"): Any)
+          strLit0(p.head, "snapshot_partition") ->
+            (strLit0(p(1), "snapshot_partition"): Any)
         }.toMap
         graft.sources.SnapshotLog.readPartition(s, dir, where)
           ._1.queryExecution.analyzed
@@ -296,7 +300,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val s = org.apache.spark.sql.SparkSession.active
         graft.sources.SnapshotLog.readFilterSql(s,
           strLit(args.head, "snapshot_filter"),
-          strLit(args(1), "snapshot_filter"),
+          strLit0(args(1), "snapshot_filter"),
           args.lift(2).map(longLit(_, "snapshot_filter")))
           ._1.queryExecution.analyzed
       }))
@@ -310,7 +314,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         dmlReport("delete_where", dir, () =>
           graft.sources.SnapshotLog.deleteWhere(s, dir,
             org.apache.spark.sql.functions.expr(
-              strLit(args(1), "snapshot_delete_where"))))
+              strLit0(args(1), "snapshot_delete_where"))))
       }))
     ext.injectTableFunction((FunctionIdentifier("snapshot_update_where"),
       new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
@@ -326,14 +330,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val s = org.apache.spark.sql.SparkSession.active
         val dir = strLit(args.head, "snapshot_update_where")
         val set = args.drop(2).grouped(2).map { p =>
-          strLit(p.head, "snapshot_update_where") ->
+          strLit0(p.head, "snapshot_update_where") ->
             org.apache.spark.sql.functions.expr(
-              strLit(p(1), "snapshot_update_where"))
+              strLit0(p(1), "snapshot_update_where"))
         }.toMap
         dmlReport("update_where", dir, () =>
           graft.sources.SnapshotLog.updateWhere(s, dir,
             org.apache.spark.sql.functions.expr(
-              strLit(args(1), "snapshot_update_where")), set))
+              strLit0(args(1), "snapshot_update_where")), set))
       }))
     ext.injectTableFunction((FunctionIdentifier("snapshot_merge_into"),
       new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
@@ -349,14 +353,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // the source statement analyzes eagerly (malformed SQL is a
         // resolution error, like any bad argument) — the merge runs
         // at execution
-        val source = s.sql(strLit(args(1), "snapshot_merge_into"))
-        val keys = strLit(args(2), "snapshot_merge_into")
+        val source = s.sql(strLit0(args(1), "snapshot_merge_into"))
+        val keys = strLit0(args(2), "snapshot_merge_into")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val deleteWhen = args.lift(3).map(a =>
           org.apache.spark.sql.functions.expr(
-            strLit(a, "snapshot_merge_into")))
+            strLit0(a, "snapshot_merge_into")))
         val dropCols = args.lift(4)
-          .map(strLit(_, "snapshot_merge_into")
+          .map(strLit0(_, "snapshot_merge_into")
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
         dmlReport("merge_into", dir, () =>
@@ -377,9 +381,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("snapshot_replace_where", args, 3)
         val s = org.apache.spark.sql.SparkSession.active
         val dir = strLit(args.head, "snapshot_replace_where")
-        val source = s.sql(strLit(args(1), "snapshot_replace_where"))
+        val source = s.sql(strLit0(args(1), "snapshot_replace_where"))
         val pred = org.apache.spark.sql.functions.expr(
-          strLit(args(2), "snapshot_replace_where"))
+          strLit0(args(2), "snapshot_replace_where"))
         dmlReport("replace_where", dir, () =>
           graft.sources.SnapshotLog.replaceWhere(s, dir, source, pred))
       }))
@@ -402,12 +406,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val target = args.lift(1).map(longLit(_, "snapshot_optimize").toInt)
           .getOrElse(1)
         val cluster = args.lift(2)
-          .map(strLit(_, "snapshot_optimize")
+          .map(strLit0(_, "snapshot_optimize")
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
         val scope: Map[String, Any] = args.drop(3).grouped(2).map { p =>
-          strLit(p.head, "snapshot_optimize") ->
-            (strLit(p(1), "snapshot_optimize"): Any)
+          strLit0(p.head, "snapshot_optimize") ->
+            (strLit0(p(1), "snapshot_optimize"): Any)
         }.toMap
         dmlReport("optimize", dir, () =>
           graft.sources.SnapshotLog.optimize(s, dir,

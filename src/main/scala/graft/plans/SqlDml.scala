@@ -172,9 +172,6 @@ object SqlDml {
     }
     val pairs = keyPairs(m.mergeCondition)
     val keys = pairs.map(_._1).distinct
-    // the source expression each key column was matched on
-    val keyExpr: Map[String, Expression] =
-      pairs.groupBy(_._1).map { case (k, ps) => k -> ps.head._2 }
 
     def stripCast(e: Expression): Expression = e match {
       case c: Cast => stripCast(c.child)
@@ -182,6 +179,23 @@ object SqlDml {
     }
     def sameExpr(a: Expression, b: Expression): Boolean =
       stripCast(a).canonicalized == stripCast(b).canonicalized
+
+    // the source expression each key column was matched on — a key
+    // constrained by TWO different source expressions (t.k = s.a AND
+    // t.k = s.b) is refused: neither is THE key of an unmatched row,
+    // so the key-consistency guard below could not be sound
+    val keyExpr: Map[String, Expression] =
+      pairs.groupBy(_._1).map { case (k, ps) =>
+        val distinctExprs = ps.map(_._2).foldLeft(Seq.empty[Expression]) {
+          (acc, e) => if (acc.exists(sameExpr(_, e))) acc else acc :+ e
+        }
+        require(distinctExprs.length == 1,
+          s"graft MERGE: ON constrains key column '$k' with " +
+            s"${distinctExprs.length} different source expressions — " +
+            "an unmatched row has no single key value to insert under; " +
+            "use one equality per key column")
+        k -> distinctExprs.head
+      }
 
     // KEY-CONSISTENCY contract (loud, never silent): the verb locates
     // target rows by the change row's KEY VALUES, so a post-image whose

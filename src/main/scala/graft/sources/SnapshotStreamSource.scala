@@ -354,7 +354,7 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
     * carried from `v-1` (for the stream's initial snapshot, every
     * file). Driver-side `getFileStatus` over the NEW files only — the
     * same listing class FileStreamSource pays per trigger. */
-  private def newFileBytes(vs: Seq[Long], v: Long): Long = {
+  private def newFileBytes(vs: Set[Long], v: Long): Long = {
     def norm(p: String): String = new Path(p).toUri.getPath
     val prevSet =
       if (vs.contains(v - 1))
@@ -404,6 +404,7 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
     val end = maxBytesPerTrigger match {
       case None => vCap
       case Some(budget) =>
+        val vset = vs.toSet // O(1) membership across the whole walk
         var v = so.v
         var bytes = 0L
         while (v < vCap && bytes < budget) {
@@ -412,7 +413,7 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
           // admission must not die on a raw manifest-open error;
           // planInputPartitions raises the GUIDED replay-gap message
           // for the same range
-          if (vs.contains(v)) bytes += newFileBytes(vs, v)
+          if (vset.contains(v)) bytes += newFileBytes(vset, v)
         }
         v
     }
@@ -431,16 +432,17 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
     val (s, e) = (so.v, end.asInstanceOf[VersionOffset].v)
     if (e <= s) return Array.empty
     val vs = SnapshotLog.versions(spark, dir)
+    val vset = vs.toSet // O(1) membership across the whole version range
     val newFiles =
       scala.collection.mutable.ArrayBuffer[(String, Map[String, String])]()
     ((s + 1) to e).foreach { v =>
-      require(vs.contains(v),
+      require(vset.contains(v),
         s"version $v of $dir is gone (vacuumed?) — the stream cannot " +
           s"replay it; restart from a retained version " +
           s"(have ${vs.mkString(",")})")
       val files = SnapshotLog.filesOf(spark, dir, v)
       val prev: Seq[String] =
-        if (vs.contains(v - 1)) SnapshotLog.filesOf(spark, dir, v - 1)
+        if (vset.contains(v - 1)) SnapshotLog.filesOf(spark, dir, v - 1)
         else if (v == so.start) Seq.empty // the stream's initial snapshot
         else throw new IllegalStateException(
           s"version ${v - 1} of $dir (the predecessor of streamed " +
@@ -458,7 +460,7 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
           "the streaming source is append-only (an emitted row cannot be " +
           "retracted); use SnapshotLog.changesBetween for CDC semantics")
       require(SnapshotLog.dvOf(spark, dir, v) ==
-        (if (vs.contains(v - 1)) SnapshotLog.dvOf(spark, dir, v - 1)
+        (if (vset.contains(v - 1)) SnapshotLog.dvOf(spark, dir, v - 1)
          else None),
         s"version $v of $dir changed its deletion vector — MoR deletes " +
           "retract emitted rows; use changesBetween for CDC semantics")

@@ -368,6 +368,18 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     }
     assert(insKey.getMessage.contains("ON clause's match expression"),
       s"mismatched insert key not refused: ${insKey.getMessage}")
+    // a key constrained by TWO different source expressions has no
+    // single insert key — refused
+    val twoOn = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO g.gold.keyc t
+        USING (SELECT * FROM VALUES (1, 2, 'x') AS s(a, b, v)) s
+        ON t.k = s.a AND t.k = s.b
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.a, s.v)
+      """)
+    }
+    assert(twoOn.getMessage.contains("different source expressions"),
+      s"duplicate key conjuncts not refused: ${twoOn.getMessage}")
     // the LEGITIMATE different-name shape works: key from the ON expr
     spark.sql("""
       MERGE INTO g.gold.keyc t
@@ -393,6 +405,20 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       "bootstrap must never create a relative-path table")
     assert(spark.sql("SELECT v FROM g.gold.boot").as[String]
       .head() === "a")
+  }
+
+  test("non-path TVF string arguments are NEVER catalog-resolved: a " +
+      "dotted partition VALUE stays a value") {
+    spark.sql("CREATE TABLE g.gold.hosts (host STRING, k BIGINT) " +
+      "PARTITIONED BY (host)")
+    // the value's first dot-segment ('g') names a registered catalog —
+    // it must still probe as the literal string, not rewrite to a path
+    spark.sql(
+      "INSERT INTO g.gold.hosts VALUES ('g.example.com', 1), ('other', 2)")
+    val got = spark.sql("SELECT k FROM snapshot_partition(" +
+      "'g.gold.hosts', 'host', 'g.example.com')")
+    assert(got.as[Long].collect().toSeq === Seq(1L),
+      "dotted partition value was mangled by catalog resolution")
   }
 
   test("INSERT INTO ... REPLACE WHERE: atomic region reload with a " +

@@ -404,16 +404,18 @@ class SnapshotStreamSourceSpec extends AnyFunSuite with SparkFixture {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("vacb").toString)
       .start()
-    val e = intercept[Exception] { q.processAllAvailable() }
-    q.stop()
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    val all = messages(e).mkString(" | ")
+    val e = try intercept[Exception] { q.processAllAvailable() }
+      finally q.stop() // never leak the stream, even on assertion failure
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    val chain = causes(e)
+    val all = chain.flatMap(t => Option(t.getMessage)).mkString(" | ")
     assert(all.contains("vacuumed") || all.contains("gone"),
       s"expected the guided replay-gap error, got: $all")
-    assert(!all.contains("FileNotFoundException"),
-      s"raw manifest-open failure leaked: $all")
+    // the regression shape was a raw manifest-open failure — check the
+    // exception CLASSES, not messages (FNF messages never name the class)
+    assert(!chain.exists(_.isInstanceOf[java.io.FileNotFoundException]),
+      s"raw manifest-open failure leaked: ${chain.map(_.getClass.getName)}")
   }
 
   test("composition: the source feeds streaming curation into a replica snapshot table") {
