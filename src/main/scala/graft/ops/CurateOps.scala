@@ -1024,7 +1024,7 @@ object CurateOps {
       |  CAST(sum(sents) AS BIGINT) AS sentences,
       |  CAST(sum(words) * 1000 // sum(sents) AS BIGINT)
       |    AS words_per_sent_milli,
-      |  CAST(sum(syl) * 1000 // sum(words) AS BIGINT)
+      |  CAST(sum(syl) * 1000 // greatest(sum(words), 1) AS BIGINT)
       |    AS syl_per_word_milli
       |FROM m GROUP BY lang ORDER BY lang""".stripMargin
   ) { (s, dir) =>
@@ -1043,7 +1043,13 @@ object CurateOps {
       .select(col("lang"), col("docs"), col("words"), col("syllables"),
         col("sentences"),
         expr("words * 1000 div sentences").as("words_per_sent_milli"),
-        expr("syllables * 1000 div words").as("syl_per_word_milli"))
+        // the per-row sentence count is greatest(...,1)-floored, so
+        // sum(sents) >= docs >= 1; words has no such row floor — an
+        // all-CJK corpus (zero [A-Za-z] runs) sums to 0, and the same
+        // explicit floor keeps the ratio integral instead of relying on
+        // both engines agreeing that x div 0 is NULL
+        expr("syllables * 1000 div greatest(words, 1)")
+          .as("syl_per_word_milli"))
       .orderBy("lang")
   }
 

@@ -48,17 +48,28 @@ class SnapshotBatchRead(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(p: LogicalPlan): LogicalPlan = p match {
     // the DELETE target must stay a DSv2 relation: canDeleteWhere /
-    // deleteWhere plan against the table, not against a file scan
-    case d: DeleteFromTable => d
+    // deleteWhere plan against the table, not against a file scan —
+    // but the node's own expressions (a condition's subquery reads of
+    // OTHER snapshot tables) still vectorize
+    case d: DeleteFromTable => rewriteSubqueries(d)
     // ADD CONSTRAINT ... CHECK validates through a v2 scan of the table
     // — the strategy pattern-matches DataSourceV2ScanRelation under it
-    case a: AddCheckConstraint => a
+    case a: AddCheckConstraint => rewriteSubqueries(a)
     case r: DataSourceV2Relation => r.table match {
       case t: SnapshotStreamTable => substitute(r, t)
       case _                      => r
     }
     case other => other.mapChildren(rewrite)
   }
+
+  /** Rewrite the subquery PLANS carried by this node's own expressions
+    * (they are not children, so [[rewrite]]'s child recursion never
+    * reaches them), leaving the node and its child subtree intact. */
+  private def rewriteSubqueries(p: LogicalPlan): LogicalPlan =
+    p.transformExpressions {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        s.withNewPlan(rewrite(s.plan))
+    }
 
   private def substitute(rel: DataSourceV2Relation,
       t: SnapshotStreamTable): LogicalPlan =

@@ -49,9 +49,12 @@ import graft.sources.{SnapshotCatalogTable, SnapshotLog}
   * Scale shape (the verbs' cost model): UPDATE/MERGE rewrite only files
   * containing a matched row — located by ONE column-pruned scan — and
   * carry the rest by reference; the MERGE change-set joins are planned
-  * by Catalyst (broadcast when the source is small). Non-equality ON
-  * clauses, nested-field SET targets and subqueries are refused loudly
-  * rather than silently mistranslated. */
+  * by Catalyst (broadcast when the source is small). UNCORRELATED
+  * subqueries are supported in UPDATE/DELETE WHERE, MERGE WHEN
+  * conditions and action values (the inner plan rides resolved and
+  * Catalyst plans the extra join); non-equality ON clauses,
+  * nested-field SET targets and CORRELATED subqueries are refused
+  * loudly rather than silently mistranslated. */
 object SqlDml {
   private[plans] val OpCol = "__graft_op"
 
@@ -67,18 +70,32 @@ object SqlDml {
       case _ => None
     }
 
-  private def refuseSubqueries(e: Expression, what: String): Unit =
+  /** Subqueries in DML predicates/values are supported when
+    * UNCORRELATED: the inner plan is self-contained (already resolved —
+    * Catalyst plans it like any read, seeing the pre-statement table
+    * state), so it survives the by-name re-bind and the verb's internal
+    * re-analysis untouched. A CORRELATED subquery carries outer
+    * attribute ids that would dangle once the outer frame re-binds —
+    * refused loudly instead of silently mis-resolving. */
+  private def refuseCorrelated(e: Expression, what: String): Unit =
     e.foreach {
-      case _: SubqueryExpression => throw new UnsupportedOperationException(
-        s"graft SQL DML: subqueries in $what are not supported — " +
-          "pre-compute the subquery into the source frame")
+      case s: SubqueryExpression if s.isCorrelated ||
+          s.plan.expressions.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.OuterReference])) =>
+        throw new UnsupportedOperationException(
+          s"graft SQL DML: CORRELATED subqueries in $what are not " +
+            "supported — pre-compute the subquery into the source frame")
       case _ => ()
     }
 
   /** Re-bind a resolved single-table expression BY NAME so the library
-    * verb can resolve it against its own internal scans. */
+    * verb can resolve it against its own internal scans. Uncorrelated
+    * subquery plans ride along resolved (`Expression.transform` never
+    * descends into a [[SubqueryExpression]]'s plan — exactly the
+    * behavior wanted here: outer references re-bind, the inner plan
+    * stays bound to its own relations). */
   private def byName(e: Expression, what: String): Column = {
-    refuseSubqueries(e, what)
+    refuseCorrelated(e, what)
     ColumnBridge.column(e.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
@@ -96,6 +113,19 @@ object SqlDml {
       plan.resolveOperatorsDown {
         case u @ UpdateTable(table, _, _) if u.resolved =>
           targetOf(table).map(rewriteUpdate(_, u)).getOrElse(u)
+        // DELETE normally plans through SupportsDelete (pushed filters);
+        // a subquery-bearing condition has no filter translation and
+        // Spark refuses it at physical planning — route it onto the
+        // library verb instead, where the subquery plans like any read
+        // (seeing the pre-statement table state, as SQL requires)
+        case d @ DeleteFromTable(table, condition) if d.resolved &&
+            SubqueryExpression.hasSubquery(condition) =>
+          targetOf(table) match {
+            case Some(t) =>
+              requireWritable(t)
+              GraftDeleteCommand(t.dir, byName(condition, "DELETE WHERE"))
+            case None => d
+          }
         case m: MergeIntoTable if m.resolved =>
           targetOf(m.targetTable).map(rewriteMerge(_, m)).getOrElse(m)
         // dynamic partition overwrite: Spark has no V1-fallback exec for
@@ -134,23 +164,30 @@ object SqlDml {
   private def rewriteMerge(t: SnapshotCatalogTable,
       m: MergeIntoTable): LogicalPlan = {
     requireWritable(t)
-    require(!m.withSchemaEvolution,
-      "graft MERGE: WITH SCHEMA EVOLUTION is not supported — the log " +
-        "widens schemas on data commits (SnapshotLog.merge) instead")
+    // WITH SCHEMA EVOLUTION arrives here ALREADY APPLIED: the table
+    // declares AUTOMATIC_SCHEMA_EVOLUTION, so Spark's
+    // ResolveMergeIntoSchemaEvolution widened the target (one
+    // alterCommit metadata version) and re-resolved every action —
+    // star expansion included — against the widened relation before
+    // this rule matched the resolved plan. Nothing left to special-case.
     val target = m.targetTable
     val source = m.sourceTable
     val tOut = target.output
     require(!tOut.exists(_.name == OpCol),
       s"graft MERGE reserves the column name $OpCol")
-    refuseSubqueries(m.mergeCondition, "ON")
+    // WHEN conditions and action values may carry UNCORRELATED
+    // subqueries: they stay RESOLVED inside the compiled change-set
+    // plan (no re-bind happens on this path at all) and Catalyst plans
+    // them as ordinary subquery joins. ON stays the keyed-equality
+    // contract (keyPairs refuses anything else below).
     (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
       .foreach { a =>
-        a.condition.foreach(refuseSubqueries(_, "WHEN ... AND"))
+        a.condition.foreach(refuseCorrelated(_, "WHEN ... AND"))
         a match {
           case UpdateAction(_, as, _) =>
-            as.foreach(x => refuseSubqueries(x.value, "UPDATE SET"))
+            as.foreach(x => refuseCorrelated(x.value, "UPDATE SET"))
           case InsertAction(_, as) =>
-            as.foreach(x => refuseSubqueries(x.value, "INSERT VALUES"))
+            as.foreach(x => refuseCorrelated(x.value, "INSERT VALUES"))
           case _ => ()
         }
       }
@@ -368,6 +405,20 @@ case class GraftUpdateCommand(dir: String, set: Seq[(String, Column)],
   }
   override def simpleString(maxFields: Int): String =
     s"GraftUpdateCommand $dir [${set.map(_._1).mkString(", ")}]"
+}
+
+/** `DELETE FROM <catalog table> WHERE <subquery-bearing cond>` → one
+  * [[SnapshotLog.deleteWhere]] commit. Only subquery-bearing conditions
+  * land here ([[SqlDml.ResolveDml]]); plain ones keep the
+  * `SupportsDelete` pushdown path. */
+case class GraftDeleteCommand(dir: String, cond: Column)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotLog.deleteWhere(spark, dir, cond)
+    Seq.empty
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftDeleteCommand $dir"
 }
 
 /** Dynamic `INSERT OVERWRITE` (partitionOverwriteMode=dynamic /

@@ -166,7 +166,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
+    // stage EVERY change of the statement, then commit once — a
+    // multi-change ALTER is all-or-nothing and lands as exactly ONE
+    // version (SnapshotLog.alterCommit); a failing piece refuses the
+    // whole statement with nothing applied
     val cols = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    val addChecks = Seq.newBuilder[(String, String)]
+    val dropChecks = Seq.newBuilder[String]
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -185,7 +191,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           .getOrElse(field)
       case ac: TableChange.AddConstraint => ac.constraint() match {
         case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
-          SnapshotLog.addCheck(spark, dir, c.name(), c.predicateSql())
+          addChecks += (c.name() -> c.predicateSql())
         case other => throw new UnsupportedOperationException(
           s"snapshot tables enforce CHECK constraints only; got " +
             other.toDDL)
@@ -193,8 +199,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case dc: TableChange.DropConstraint =>
         val known = SnapshotLog.versions(spark, dir).lastOption
           .map(SnapshotLog.checksOf(spark, dir, _)).getOrElse(Seq.empty)
-        if (known.exists(_._1 == dc.name()))
-          SnapshotLog.dropCheck(spark, dir, dc.name())
+        if (known.exists(_._1 == dc.name())) dropChecks += dc.name()
         else require(dc.ifExists(),
           s"no CHECK constraint '${dc.name()}' on $dir")
       case other => throw new UnsupportedOperationException(
@@ -203,8 +208,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"${other.getClass.getSimpleName}); schema otherwise evolves " +
           "through data commits")
     }
-    val added = cols.result()
-    if (added.nonEmpty) SnapshotLog.addColumns(spark, dir, added)
+    val (ac, ak, dk) = (cols.result(), addChecks.result(),
+      dropChecks.result())
+    if (ac.nonEmpty || ak.nonEmpty || dk.nonEmpty)
+      SnapshotLog.alterCommit(spark, dir, ac, ak, dk)
     loadTable(ident)
   }
 
@@ -376,11 +383,17 @@ private[graft] class SnapshotCatalogTable(schema0: StructType,
   override def capabilities(): util.Set[TableCapability] =
     // no OVERWRITE_DYNAMIC: Spark has no V1-fallback exec for dynamic
     // overwrite, so graft.plans.SqlDml rewrites the logical plan onto
-    // SnapshotLog.overwritePartitions during analysis instead
+    // SnapshotLog.overwritePartitions during analysis instead.
+    // AUTOMATIC_SCHEMA_EVOLUTION enables `MERGE ... WITH SCHEMA
+    // EVOLUTION`: Spark's ResolveMergeIntoSchemaEvolution widens the
+    // table through alterTable (one SnapshotLog.alterCommit metadata
+    // version) and re-resolves the merge — including star expansion —
+    // against the widened schema before the merge's own data commit.
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(versionAsOf.isEmpty,

@@ -55,7 +55,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
   * reads); and retention is an explicit, crash-safe operation instead
   * of "hope nobody reads while we delete".
   */
-object SnapshotLog {
+object SnapshotLog extends org.apache.spark.internal.Logging {
+
+  /** Eagerly reclaim `data/<commitId>` after a LOST commit race: the
+    * directory's files were written for an attempt that never
+    * manifested, so nothing references them (the retry rewrites under a
+    * fresh UUID). Best-effort — a failure here just leaves ordinary
+    * grace-period-vacuum orphans, the lost-race contract. */
+  private def dropOrphanedCommitDir(spark: SparkSession, dir: String,
+      commitId: String): Unit =
+    try {
+      val p = new Path(dir, s"data/$commitId")
+      val f = fs(spark, dir)
+      if (f.exists(p)) { f.delete(p, true); () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -140,6 +153,119 @@ object SnapshotLog {
           .fromJson(l.stripPrefix("#schema=")).asInstanceOf[StructType] }
 
   private def schemaHeader(s: StructType): String = s"#schema=${s.json}"
+
+  // -------------------------------------------------------------------
+  // COLUMN MAPPING — metadata-only RENAME/DROP COLUMN (round 12)
+  // -------------------------------------------------------------------
+  // The `#schema=` header names columns LOGICALLY (what readers see);
+  // parquet files store PHYSICAL names, immutable once a column first
+  // materializes. `#colmap=` records every logical→physical pair that
+  // differs (RENAME keeps the physical name, so old files need no
+  // rewrite), and `#dropped=` records BURNED physical names (a DROP
+  // hides the column; its bytes stay in old files, so the name can
+  // never be re-used — the Delta column-mapping discipline, with loud
+  // refusal where Delta mints fresh ids). Both headers are carried
+  // forward by EVERY commit ([[commitFiles]] auto-carries them when the
+  // verb's own header doesn't set them), versioned like the schema so
+  // time travel across chained renames reads each version under its own
+  // names. Names are stat-escaped (the `#filestat=` recipe), pairs
+  // tab-separated.
+
+  /** Version `v`'s logical→physical column mapping (empty = identity). */
+  def colmapOf(spark: SparkSession, dir: String,
+      v: Long): Map[String, String] =
+    manifestLines(spark, dir, v)
+      .collectFirst { case l if l.startsWith("#colmap=") =>
+        val body = l.stripPrefix("#colmap=")
+        if (body.isEmpty) Map.empty[String, String]
+        else body.split("\t").map { pair =>
+          val i = pair.indexOf(':')
+          statUnesc(pair.take(i)) -> statUnesc(pair.drop(i + 1))
+        }.toMap
+      }.getOrElse(Map.empty)
+
+  /** Version `v`'s burned physical names (dropped columns' storage
+    * names — reserved forever, see [[dropColumn]]). */
+  def droppedOf(spark: SparkSession, dir: String, v: Long): Set[String] =
+    manifestLines(spark, dir, v)
+      .collectFirst { case l if l.startsWith("#dropped=") =>
+        val body = l.stripPrefix("#dropped=")
+        if (body.isEmpty) Set.empty[String]
+        else body.split("\t").map(statUnesc).toSet
+      }.getOrElse(Set.empty)
+
+  /** The two mapping headers — ALWAYS emitted together (an explicitly
+    * empty header suppresses [[commitFiles]]' auto-carry, which
+    * [[restore]] needs to roll a mapping back). */
+  private def colmapHeaders(cm: Map[String, String],
+      dropped: Set[String]): Seq[String] = Seq(
+    "#colmap=" + cm.toSeq.sortBy(_._1)
+      .map { case (l, p) => s"${statEsc(l)}:${statEsc(p)}" }
+      .mkString("\t"),
+    "#dropped=" + dropped.toSeq.sorted.map(statEsc).mkString("\t"))
+
+  /** `schema` with every field under its PHYSICAL name — what the
+    * parquet layer sees on both the read and the write path. */
+  private def physicalSchema(cm: Map[String, String],
+      schema: StructType): StructType =
+    if (cm.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = cm.getOrElse(f.name, f.name))))
+
+  /** Rename `df`'s columns logical→physical for a write into `dir`,
+    * refusing (loudly) any NEW column whose name is already a physical
+    * name another column owns or a burned dropped name — re-using it
+    * would make old files' bytes resurrect under the new column. */
+  private def toPhysical(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    val vOpt = versions(spark, dir).lastOption
+    val cm = vOpt.map(colmapOf(spark, dir, _))
+      .getOrElse(Map.empty[String, String])
+    val burned = vOpt.map(droppedOf(spark, dir, _))
+      .getOrElse(Set.empty[String])
+    if (cm.isEmpty && burned.isEmpty) df
+    else {
+      val owned = cm.values.toSet
+      df.columns.foreach { c =>
+        if (!cm.contains(c))
+          require(!owned.contains(c) && !burned.contains(c),
+            s"column name '$c' is reserved by an earlier RENAME/DROP " +
+              s"COLUMN on $dir (it is a physical storage name old files " +
+              "still carry); pick a different name")
+      }
+      df.select(df.columns.toSeq.map(c =>
+        col(s"`$c`").as(cm.getOrElse(c, c))): _*)
+    }
+  }
+
+  /** Remap RAW (physical-keyed) per-file stats to version `v`'s LOGICAL
+    * names: renamed columns' stats follow the rename, burned columns'
+    * stats drop (a stale stat attributed to a re-used name would prune
+    * WRONGLY — though re-use is refused anyway), untouched names pass
+    * through. */
+  private def logicalStats(cm: Map[String, String], dropped: Set[String],
+      raw: Map[String, Map[String, ColStat]])
+      : Map[String, Map[String, ColStat]] =
+    if (cm.isEmpty && dropped.isEmpty) raw
+    else {
+      val inv = cm.map(_.swap) // physical → logical (injective: owners are unique)
+      raw.map { case (p, st) =>
+        p -> st.flatMap { case (c, s) =>
+          inv.get(c) match {
+            case Some(l)                      => Some(l -> s)
+            case None if dropped.contains(c)  => None
+            case None                         => Some(c -> s)
+          }
+        }
+      }
+    }
+
+  /** [[fileStatsOf]] under version `v`'s LOGICAL column names — what
+    * every pruning consumer keys by. */
+  private[graft] def fileStatsLogicalOf(spark: SparkSession, dir: String,
+      v: Long): Map[String, Map[String, ColStat]] =
+    logicalStats(colmapOf(spark, dir, v), droppedOf(spark, dir, v),
+      fileStatsOf(spark, dir, v))
 
   /** Widen `prev` with any columns `next` adds. Existing columns must
     * keep their type (a silent type change would corrupt every older
@@ -764,7 +890,9 @@ object SnapshotLog {
           watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
         case Some(v) => return v
-        case None    => () // raced — recompute against the new latest
+        case None    => // raced — recompute against the new latest; this
+          // attempt's survivor rewrite is unreferenced, reclaim eagerly
+          if (newFiles.nonEmpty) dropOrphanedCommitDir(spark, dir, commitId)
       }
     }
     -1L // unreachable
@@ -847,16 +975,19 @@ object SnapshotLog {
         affected.exists(a =>
           new Path(a).toUri.getPath == new Path(p).toUri.getPath)
       val (rewrite, carry) = current.partition(hit)
+      var survivorId: String = null
       val rewritten =
         if (rewrite.isEmpty) Seq.empty
         else {
           val survivors = readCur(rewrite)
             .filter(!coalesce(pred, lit(false)))
           if (survivors.isEmpty) Seq.empty
-          // own commit dir: the fresh files already claimed
-          // data/<commitId>, and a rebase retry re-rewrites anyway
-          else writeData(spark, dir, survivors,
-            java.util.UUID.randomUUID().toString, pcs)
+          else {
+            // own commit dir: the fresh files already claimed
+            // data/<commitId>, and a rebase retry re-rewrites anyway
+            survivorId = java.util.UUID.randomUUID().toString
+            writeData(spark, dir, survivors, survivorId, pcs)
+          }
         }
       val merged = schema.map(mergeSchemas(_, df.schema))
         .getOrElse(df.schema)
@@ -871,7 +1002,11 @@ object SnapshotLog {
           watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
         case Some(v) => return v
-        case None    => () // raced — recompute against the new latest
+        case None    => // raced — recompute against the new latest. The
+          // fresh files are REUSED next attempt, but this attempt's
+          // survivor rewrite is unreferenced garbage — reclaim eagerly
+          // instead of leaving it to the grace-period vacuum
+          if (survivorId != null) dropOrphanedCommitDir(spark, dir, survivorId)
       }
     }
     -1L // unreachable
@@ -1029,7 +1164,9 @@ object SnapshotLog {
           watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
         case Some(v) => return v
-        case None    => () // raced — recompute against the new latest
+        case None    => // raced — recompute against the new latest;
+          // this attempt's rewrite files are unreferenced, reclaim
+          dropOrphanedCommitDir(spark, dir, commitId)
       }
     }
     -1L // unreachable
@@ -1182,7 +1319,9 @@ object SnapshotLog {
               watermarkHeader(spark, dir),
             base = Some(None)) match {
             case Some(v) => return v
-            case None    => () // raced a concurrent first commit — remerge
+            case None    => // raced a concurrent first commit — remerge;
+              // the bootstrap write is recomputed next attempt
+              dropOrphanedCommitDir(spark, dir, commitId)
           }
         } else {
           val latest = vs.last
@@ -1326,7 +1465,10 @@ object SnapshotLog {
               watermarkHeader(spark, dir),
             base = Some(Some(latest))) match {
             case Some(v) => return v
-            case None    => () // lost the race — recompute against new latest
+            case None    => // lost the race — recompute against new
+              // latest; this attempt's body files are unreferenced
+              if (newFiles.nonEmpty)
+                dropOrphanedCommitDir(spark, dir, commitId)
           }
         }
       }
@@ -2937,7 +3079,14 @@ object SnapshotLog {
       if (cnf.forall(_.exists(_.isEmpty))) filesOf(spark, dir, v)
       else pruneFilesCnf(spark, dir, v, cnf)
     } catch {
-      case scala.util.control.NonFatal(_) => filesOf(spark, dir, v)
+      case scala.util.control.NonFatal(e) =>
+        // conservative fallback is CORRECT (full detection scan), but a
+        // systematically failing probe lowering must not hide as a
+        // permanent full-detection slowdown — say so once per call
+        logWarning("detectionCandidates: probe lowering failed for " +
+          s"$dir v$v — falling back to full detection scan " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+        filesOf(spark, dir, v)
     }
 
   // -------------------------------------------------------------------
@@ -3701,6 +3850,83 @@ object SnapshotLog {
         base = Some(Some(latest))) match {
         case Some(v) => return v
         case None    => () // raced — recompute against the new latest
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** One `ALTER TABLE` statement as ONE atomic metadata commit: added
+    * columns widen the schema (the [[addColumns]] rules), added CHECKs
+    * validate the existing data under the WIDENED schema (a check
+    * referencing a column added by the same statement sees typed NULLs
+    * there — and passes or fails by SQL three-valued logic, exactly as
+    * future reads will), dropped CHECKs leave. All-or-nothing: any
+    * refused piece fails the whole statement before a single header is
+    * staged, and the statement lands as exactly ONE version — never a
+    * one-commit-per-change split whose partial failure leaves earlier
+    * changes applied ([[graft.sources.GraftCatalog]] routes every
+    * `alterTable` here). Zero data written, base-checked like every
+    * metadata commit. */
+  def alterCommit(spark: SparkSession, dir: String,
+      addCols: Seq[StructField],
+      addChecks: Seq[(String, String)],
+      dropChecks: Seq[String]): Long = {
+    require(addCols.nonEmpty || addChecks.nonEmpty || dropChecks.nonEmpty,
+      "alterCommit needs at least one change")
+    addChecks.foreach { case (name, sqlExpr) =>
+      require(name.nonEmpty && !name.contains('=') && !name.contains('\n'),
+        s"check name '$name' must be non-empty without '=' or newline")
+      require(!sqlExpr.contains('\n'),
+        "check expression must be a single line")
+    }
+    require(addChecks.map(_._1).distinct.length == addChecks.length,
+      s"duplicate check names in ${addChecks.map(_._1).mkString(",")}")
+    require(addCols.map(_.name).distinct.length == addCols.length,
+      s"duplicate column names in ${addCols.map(_.name).mkString(",")}")
+    while (true) {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"no committed snapshot under $dir")
+      val latest = vs.last
+      val schema = schemaOf(spark, dir, latest).getOrElse(
+        read(spark, dir, Some(latest)).schema)
+      addCols.foreach { f =>
+        require(!schema.fieldNames.contains(f.name),
+          s"column '${f.name}' already exists on $dir")
+        require(f.nullable,
+          s"added column '${f.name}' must be nullable — existing rows " +
+            "can only read it as NULL")
+      }
+      val widened =
+        if (addCols.isEmpty) schema
+        else StructType(schema.fields ++ addCols)
+      val existing = checksOf(spark, dir, latest)
+      dropChecks.foreach { n =>
+        require(existing.exists(_._1 == n),
+          s"no check named '$n' on $dir " +
+            s"(have ${existing.map(_._1).mkString(",")})")
+      }
+      val kept = existing.filterNot(c => dropChecks.contains(c._1))
+      addChecks.foreach { case (n, _) =>
+        require(!kept.exists(_._1 == n),
+          s"check '$n' already exists on $dir")
+      }
+      // a declared-empty table (CREATE TABLE before any INSERT) has no
+      // rows to validate — the check starts enforced on the first write
+      if (addChecks.nonEmpty && filesOf(spark, dir, latest).nonEmpty)
+        requireChecksPass(addChecks,
+          alignTo(read(spark, dir, Some(latest)), widened),
+          s"existing data of $dir")
+      val carried = manifestLines(spark, dir, latest).filter(l =>
+        l.startsWith("#filestat=") || l.startsWith("#dv=") ||
+          l.startsWith("#partition=") || l.startsWith("#filepart="))
+      commitFiles(spark, dir, filesOf(spark, dir, latest),
+        java.util.UUID.randomUUID().toString,
+        header = Seq(schemaHeader(widened)) ++ carried ++
+          checkHeaders(kept ++ addChecks) ++
+          watermarkHeader(spark, dir),
+        base = Some(Some(latest))) match {
+        case Some(v) => return v
+        case None    => () // raced — revalidate against the new latest
       }
     }
     -1L // unreachable

@@ -343,12 +343,29 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
     maxVersionsPerTrigger: Option[Long],
     maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   maxVersionsPerTrigger.foreach(m => require(m >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $m"))
   maxBytesPerTrigger.foreach(m => require(m >= 1,
     s"maxBytesPerTrigger must be >= 1, got $m"))
   private def spark = SparkSession.active
+
+  /** `Trigger.AvailableNow` drain target: the latest version AT TRIGGER
+    * START, pinned once per run. [[latestOffset(Offset,ReadLimit)*]]
+    * then never plans past it — versions committed mid-drain wait for
+    * the next scheduled run (the contract's "available now") — while
+    * maxVersionsPerTrigger / maxBytesPerTrigger admission still bounds
+    * each catch-up bite; the engine stops once the offset reaches the
+    * target. Offsets stay version-grain, so a mid-drain restart resumes
+    * exactly-once from the checkpoint like any other run. */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val vs = SnapshotLog.versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    availableNowTarget = Some(vs.last)
+  }
 
   /** Bytes version `v` would ADD to the stream: sizes of its files not
     * carried from `v-1` (for the stream's initial snapshot, every
@@ -389,7 +406,11 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : Offset = {
     val vs = SnapshotLog.versions(spark, dir)
-    val latest = vs.last
+    // under Trigger.AvailableNow the drain never passes the pinned
+    // target (min guards the degenerate restored-log case — the target
+    // was a real version when pinned, and commits only append)
+    val latest = availableNowTarget
+      .map(t => math.min(t, vs.last)).getOrElse(vs.last)
     val so = start.asInstanceOf[VersionOffset]
     // version cap first (bounded catch-up bites), then the byte budget
     // tightens it: admit versions until their NEW bytes cross the

@@ -20,10 +20,12 @@ import org.apache.spark.sql.types._
 /** The EXECUTOR-SIDE v2 streaming write for snapshot-log tables —
   * what `df.writeStream.toTable("graft_cat.ns.t")` plans through.
   *
-  * Data never moves through the driver: each task's [[GroupFileWriter]]
-  * streams its partition straight to a parquet file under
-  * `<table>/data/<commitId>/` (the public parquet Group API — the
-  * symmetric twin of the source's GroupFileReader, same type scope),
+  * Data never moves through the driver: each task's writer streams its
+  * partition straight to a parquet file under `<table>/data/<commitId>/`
+  * — by default through Spark's own InternalRow encoder
+  * ([[InternalRowFileWriter]], no per-value boxing; kill switch
+  * `spark.graft.streamWrite.nativeEncode=false` restores the
+  * [[GroupFileWriter]] example-API twin, byte-layout-compatible) —
   * and the driver's epoch commit registers the finished file LIST
   * through [[SnapshotLog.appendExternal]] (Append) or
   * [[SnapshotLog.commitBatchExternal]] (Complete) — so CHECK
@@ -56,14 +58,20 @@ private[sources] class SnapshotStreamingWrite(dir: String,
     // `new Configuration()` on the executor would misroute any
     // filesystem that needs config, and the driver-side abort already
     // uses the session conf; the write path must match
-    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
     val props = {
       val it = conf.iterator()
       val b = Array.newBuilder[(String, String)]
       while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
       b.result()
     }
-    new GroupWriterFactory(s"$dir/data/$commitId", schema.json, props)
+    // kill switch (parity-spec'd both ways): false restores the Group
+    // encoder everywhere
+    val native = spark.conf
+      .get("spark.graft.streamWrite.nativeEncode", "true").toBoolean
+    new GroupWriterFactory(s"$dir/data/$commitId", schema.json, props,
+      native)
   }
 
   override def commit(epochId: Long,
@@ -99,7 +107,8 @@ private[sources] case class FilesWritten(paths: Seq[String])
     extends WriterCommitMessage
 
 private[sources] class GroupWriterFactory(dataDir: String,
-    schemaJson: String, confProps: Array[(String, String)])
+    schemaJson: String, confProps: Array[(String, String)],
+    nativeEncode: Boolean = true)
     extends StreamingDataWriterFactory {
   // rebuild the shipped session conf ONCE per deserialized factory —
   // Configuration itself is not serializable
@@ -110,10 +119,84 @@ private[sources] class GroupWriterFactory(dataDir: String,
   }
 
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
-    new GroupFileWriter(
-      s"$dataDir/part-$epochId-$partitionId-${UUID.randomUUID()}.parquet",
-      DataType.fromJson(schemaJson).asInstanceOf[StructType], hadoopConf)
+      epochId: Long): DataWriter[InternalRow] = {
+    val path =
+      s"$dataDir/part-$epochId-$partitionId-${UUID.randomUUID()}.parquet"
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    if (nativeEncode) new InternalRowFileWriter(path, schema, hadoopConf)
+    else new GroupFileWriter(path, schema, hadoopConf)
+  }
+}
+
+/** One task's parquet writer through Spark's OWN row encoder
+  * ([[org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport]]
+  * — the engine every native parquet write uses): InternalRow in, no
+  * intermediate Group materialization, per-field codegen'd value
+  * writers resolved once from the schema. This is the throughput twin
+  * of the batch-read fix — the Group example API decodes/encodes one
+  * boxed object per value, the native WriteSupport streams primitives
+  * straight into the column writers. File layout is pinned to the
+  * Group writer's output (standard 3-level lists, INT64 micro
+  * timestamps, INT32/INT64/FIXED decimals by precision, snappy), so
+  * both engines' files interleave freely inside one table. */
+private[sources] class InternalRowFileWriter(path: String,
+    schema: StructType, baseConf: org.apache.hadoop.conf.Configuration)
+    extends DataWriter[InternalRow] {
+  import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+
+  private val writer = {
+    val conf = new org.apache.hadoop.conf.Configuration(baseConf)
+    ParquetWriteSupport.setSchema(schema, conf)
+    // pin the physical layout the Group writer produces, independent of
+    // session defaults: modern list/timestamp encodings, no rebase
+    // (micros since epoch are written as stored)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    // the schema converter reads these with a bare .toBoolean — absent
+    // keys (the shipped conf carries only EXPLICITLY-set session conf)
+    // would throw, so pin their defaults (field ids only write when the
+    // schema carries id metadata; ours never does)
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
+      "false")
+    new InternalRowFileWriter.Builder(new Path(path))
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+  }
+
+  override def write(row: InternalRow): Unit = writer.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    FilesWritten(Seq(path))
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Exception => () }
+    val hp = new Path(path)
+    hp.getFileSystem(baseConf).delete(hp, false)
+    ()
+  }
+
+  override def close(): Unit = ()
+}
+
+private[sources] object InternalRowFileWriter {
+  /** parquet-hadoop's public builder hook: hand the file writer Spark's
+    * InternalRow WriteSupport (it reads its schema from the conf —
+    * [[org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport.setSchema]]). */
+  private class Builder(p: Path) extends org.apache.parquet.hadoop
+      .ParquetWriter.Builder[InternalRow, Builder](p) {
+    override def self(): Builder = this
+    override def getWriteSupport(
+        conf: org.apache.hadoop.conf.Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetWriteSupport()
+  }
 }
 
 /** One task's parquet writer: InternalRow → example-API Group →

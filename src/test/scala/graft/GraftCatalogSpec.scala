@@ -767,4 +767,205 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(rng.getMessage.contains("equalit"),
       s"expected the equality-ON refusal, got: ${rng.getMessage}")
   }
+
+  test("v2 streaming write: native InternalRow encode is content- AND " +
+      "file-layout-equivalent to the Group engine (round 12)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ddl = "(k BIGINT, i INT, s SMALLINT, b TINYINT, f FLOAT, " +
+      "x DOUBLE, bo BOOLEAN, v STRING, d DATE, ts TIMESTAMP, " +
+      "m9 DECIMAL(9,2), m18 DECIMAL(18,4), m28 DECIMAL(28,2), " +
+      "e ARRAY<FLOAT>)"
+    def writeVia(table: String, native: Boolean): String = {
+      spark.sql(s"CREATE TABLE g.gold.$table $ddl")
+      val ckpt = Files.createTempDirectory(s"enc-$table").toString
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[Long]
+      spark.conf.set("spark.graft.streamWrite.nativeEncode",
+        native.toString)
+      val q = try ms.toDF().toDF("k").selectExpr("k",
+        "CAST(k AS INT) AS i", "CAST(k % 100 AS SMALLINT) AS s",
+        "CAST(k % 100 AS TINYINT) AS b", "CAST(k AS FLOAT) AS f",
+        "k / 7 AS x", "k % 2 = 0 AS bo", "concat('v', k) AS v",
+        "date_add(DATE'2024-01-01', CAST(k % 1000 AS INT)) AS d",
+        "timestamp_micros(k * 1000 + 123) AS ts",
+        "CAST(CAST(k AS DECIMAL(9,2)) / 3 AS DECIMAL(9,2)) AS m9",
+        "CAST(CAST(k AS DECIMAL(18,4)) / 7 AS DECIMAL(18,4)) AS m18",
+        "CAST(CAST(k AS DECIMAL(28,2)) / 3 AS DECIMAL(28,2)) AS m28",
+        "CASE WHEN k % 10 = 0 THEN NULL ELSE " +
+          "array(CAST(k AS FLOAT), NULL, CAST(-k AS FLOAT)) END AS e")
+        .writeStream.option("checkpointLocation", ckpt)
+        .toTable(s"g.gold.$table")
+      finally spark.conf.unset("spark.graft.streamWrite.nativeEncode")
+      try { ms.addData(0L until 2000L: _*); q.processAllAvailable() }
+      finally q.stop()
+      s"$root/gold/$table"
+    }
+    val groupDir = writeVia("encg", native = false)
+    val nativeDir = writeVia("encn", native = true)
+    // logical parity: both engines produce the same table
+    val g = SnapshotLog.read(spark, groupDir)
+    val n = SnapshotLog.read(spark, nativeDir)
+    assert(g.exceptAll(n).isEmpty && n.exceptAll(g).isEmpty,
+      "native-encoded rows diverged from the Group engine's")
+    assert(n.count() === 2000L)
+    // physical parity: identical parquet message types (so files from
+    // either engine interleave freely inside one table's history)
+    def footer(dir: String): String = {
+      val p = new org.apache.hadoop.fs.Path(
+        SnapshotLog.read(spark, dir).inputFiles.head)
+      org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        new org.apache.hadoop.conf.Configuration(), p,
+        org.apache.parquet.format.converter.ParquetMetadataConverter
+          .NO_FILTER).getFileMetaData.getSchema.toString
+    }
+    assert(footer(nativeDir) === footer(groupDir),
+      s"physical schemas diverged:\n${footer(nativeDir)}\nvs\n" +
+        footer(groupDir))
+  }
+
+  test("mixed-change ALTER is atomic: one statement = one version, " +
+      "all-or-nothing on failure (round 12)") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    spark.sql("CREATE TABLE g.gold.mixalter (k BIGINT)")
+    spark.sql("INSERT INTO g.gold.mixalter VALUES (1), (2)")
+    val dir = s"$root/gold/mixalter"
+    val cat = spark.sessionState.catalogManager.catalog("g")
+      .asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array("gold"), "mixalter")
+    val before = SnapshotLog.versions(spark, dir).last
+    // AddColumn + AddConstraint in ONE change set (only reachable
+    // programmatically — SQL parses one kind per statement): exactly
+    // one new version carrying BOTH changes. The CHECK references the
+    // column added by the same statement — existing rows read it as
+    // NULL, which passes by SQL three-valued logic.
+    cat.alterTable(ident,
+      TableChange.addColumn(Array("score"), org.apache.spark.sql.types
+        .LongType),
+      TableChange.addConstraint(
+        Constraint.check("score_pos").predicateSql("score > 0")
+          .enforced(true).build(), null))
+    assert(SnapshotLog.versions(spark, dir).last === before + 1,
+      "a mixed ALTER must land as exactly ONE version")
+    val v = SnapshotLog.versions(spark, dir).last
+    assert(SnapshotLog.schemaOf(spark, dir, v).get.fieldNames
+      .contains("score"))
+    assert(SnapshotLog.checksOf(spark, dir, v)
+      === Seq("score_pos" -> "score > 0"))
+    // all-or-nothing: a failing piece (constraint violated by existing
+    // data) applies NOTHING — no version, no column, no constraint
+    val bad = intercept[Exception] {
+      cat.alterTable(ident,
+        TableChange.addColumn(Array("extra"),
+          org.apache.spark.sql.types.LongType),
+        TableChange.addConstraint(
+          Constraint.check("k_big").predicateSql("k > 100")
+            .enforced(true).build(), null))
+    }
+    assert(bad.getMessage.toLowerCase.contains("check"),
+      s"expected the CHECK validation failure, got: ${bad.getMessage}")
+    val after = SnapshotLog.versions(spark, dir).last
+    assert(after === v, "a failing mixed ALTER committed a version")
+    assert(!SnapshotLog.schemaOf(spark, dir, after).get.fieldNames
+      .contains("extra"),
+      "a failing mixed ALTER left its column applied")
+    assert(!SnapshotLog.checksOf(spark, dir, after).exists(_._1 == "k_big"),
+      "a failing mixed ALTER left its constraint applied")
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens the target; old rows read " +
+      "typed NULLs, CHECKs preserved; non-evolving MERGE refuses " +
+      "unknown columns (round 12)") {
+    spark.sql("CREATE TABLE g.gold.mevo (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO g.gold.mevo VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE g.gold.mevo ADD CONSTRAINT vpos CHECK (v > 0)")
+    val dir = s"$root/gold/mevo"
+    // non-evolving MERGE naming an unknown column refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO g.gold.mevo t
+        USING (SELECT * FROM VALUES (3L, 30L, 'x') AS s(k, v, tag)) s
+        ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.v, s.tag)
+      """)
+    }
+    assert(e.getMessage != null)
+    assert(!SnapshotLog.schemaOf(spark, dir,
+      SnapshotLog.versions(spark, dir).last).get.fieldNames.contains("tag"),
+      "a refused MERGE must not evolve the schema")
+    // WITH SCHEMA EVOLUTION: source-only column widens the target
+    // (Spark's AUTOMATIC_SCHEMA_EVOLUTION contract: one alterCommit
+    // metadata version, then the merge's own data commit)
+    spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO g.gold.mevo t
+      USING (SELECT * FROM VALUES (2L, 21L, 'new2'), (3L, 30L, 'new3')
+             AS s(k, v, tag)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val got = spark.sql(
+      "SELECT k, v, tag FROM g.gold.mevo ORDER BY k").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(got.map(_.getLong(1)).toSeq === Seq(10L, 21L, 30L))
+    // the pre-evolution row reads the added column as a typed NULL
+    assert(got(0).isNullAt(2), "old rows must read the new column as NULL")
+    assert(got(1).getString(2) === "new2" && got(2).getString(2) === "new3")
+    val v = SnapshotLog.versions(spark, dir).last
+    assert(SnapshotLog.checksOf(spark, dir, v)
+      === Seq("vpos" -> "v > 0"), "evolution dropped the CHECKs")
+    assert(SnapshotLog.schemaOf(spark, dir, v).get("tag").dataType
+      === org.apache.spark.sql.types.StringType)
+  }
+
+  test("UPDATE / DELETE / MERGE with UNCORRELATED subqueries compile " +
+      "onto the library verbs; correlated refused loudly (round 12)") {
+    spark.sql("CREATE TABLE g.gold.subq (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO g.gold.subq " +
+      "SELECT id, id * 10 FROM range(10)")
+    spark.sql("CREATE TABLE g.gold.subref (k BIGINT)")
+    spark.sql("INSERT INTO g.gold.subref VALUES (2), (3), (7)")
+    val dir = s"$root/gold/subq"
+    val v0 = SnapshotLog.versions(spark, dir).last
+    // UPDATE ... WHERE k IN (subquery over ANOTHER catalog table)
+    spark.sql("UPDATE g.gold.subq SET v = v + 1000 " +
+      "WHERE k IN (SELECT k FROM g.gold.subref)")
+    assert(SnapshotLog.versions(spark, dir).last === v0 + 1,
+      "subquery UPDATE must commit exactly one version")
+    assert(spark.sql("SELECT sum(v) FROM g.gold.subq WHERE v >= 1000")
+      .as[Long].head() === (2L * 10 + 3 * 10 + 7 * 10) + 3000L)
+    // EXPLAIN never commits
+    spark.sql("EXPLAIN UPDATE g.gold.subq SET v = 0 " +
+      "WHERE k IN (SELECT k FROM g.gold.subref)").collect()
+    assert(SnapshotLog.versions(spark, dir).last === v0 + 1)
+    // DELETE with a subquery condition routes through the library verb
+    // (Spark's SupportsDelete path refuses subqueries outright)
+    spark.sql("DELETE FROM g.gold.subq " +
+      "WHERE k IN (SELECT k FROM g.gold.subref WHERE k > 2)")
+    assert(spark.sql("SELECT k FROM g.gold.subq ORDER BY k")
+      .as[Long].collect().toSeq ===
+      Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 9L))
+    assert(SnapshotLog.versions(spark, dir).last === v0 + 2)
+    // MERGE: scalar subquery in a WHEN condition. Remaining rows are
+    // (0,0),(1,10),(2,1020),(4,40),(5,50),(6,60),(8,80),(9,90) —
+    // avg(v) = 168.75, so of the two matched keys only k=2 clears it.
+    spark.sql("""
+      MERGE INTO g.gold.subq t
+      USING (SELECT * FROM VALUES (2L, 1L), (9L, 2L) AS s(k, nv)) s
+      ON t.k = s.k
+      WHEN MATCHED AND t.v >= (SELECT avg(v) FROM g.gold.subq)
+        THEN UPDATE SET v = s.nv
+    """)
+    assert(spark.sql("SELECT v FROM g.gold.subq WHERE k = 2")
+      .as[Long].head() === 1L)
+    assert(spark.sql("SELECT v FROM g.gold.subq WHERE k = 9")
+      .as[Long].head() === 90L)
+    // CORRELATED subqueries are refused loudly, never mis-resolved
+    val corr = intercept[Exception] {
+      spark.sql("UPDATE g.gold.subq SET v = 0 WHERE EXISTS " +
+        "(SELECT 1 FROM g.gold.subref r WHERE r.k = g.gold.subq.k)")
+    }
+    assert(corr.getMessage.contains("CORRELATED"),
+      s"expected the correlated refusal, got: ${corr.getMessage}")
+  }
 }

@@ -222,6 +222,48 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
       s"lost update: got ${ks.size} rows, missing=${(10L until 200L).toSet.diff(ks).take(5)}")
   }
 
+  test("lost-race rewrite attempts reclaim their files eagerly: no " +
+      "unreferenced data dirs accumulate on contended tables (round 12)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir,
+      spark.range(0, 100).select(col("id").as("k")).coalesce(1))
+    // contended rewrites of the SAME file: every lost race used to
+    // orphan that attempt's survivor files under a dead uuid dir
+    val deleters = (0 until 4).map(i =>
+      Future(SnapshotLog.deleteWhere(spark, dir, col("k") === i.toLong)))
+    deleters.foreach(Await.result(_, Duration("120s")))
+    assert(SnapshotLog.read(spark, dir).count() === 96L)
+    // replaceWhere has its own survivor-rewrite dir per attempt — race
+    // two disjoint regions living in the same file
+    val repl = Seq((10L, 20L), (20L, 30L)).map { case (lo, hi) =>
+      Future(SnapshotLog.replaceWhere(spark, dir,
+        Seq(lo, lo + 1).toDF("k"), col("k") >= lo && col("k") < hi))
+    }
+    repl.foreach(Await.result(_, Duration("120s")))
+    assert(SnapshotLog.read(spark, dir).count() === 80L) // 96 - 20 + 4
+    // every data file on disk must be referenced by SOME retained
+    // manifest — raced attempts clean up after themselves now
+    val f = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val referenced = SnapshotLog.referencedFiles(spark, dir)
+      .map(p => new Path(p).toUri.getPath)
+    val onDisk = scala.collection.mutable.ArrayBuffer[String]()
+    val it = f.listFiles(new Path(dir, "data"), true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.startsWith("part-"))
+        onDisk += s.getPath.toUri.getPath
+    }
+    val orphans = onDisk.filterNot(referenced.contains)
+    assert(orphans.isEmpty,
+      s"raced rewrite attempts left ${orphans.size} orphan file(s): " +
+        orphans.take(3).mkString(", "))
+  }
+
   test("schema evolution: old versions read with typed nulls in added columns") {
     import spark.implicits._
     val dir = freshDir()

@@ -343,6 +343,70 @@ class SnapshotStreamSourceSpec extends AnyFunSuite with SparkFixture {
       s"catch-up was not split: ${batchSizes.mkString(",")}")
   }
 
+  test("Trigger.AvailableNow drains pending versions in bounded batches, " +
+      "then terminates") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, rows(0, 2))
+    (1L to 3L).foreach(b =>
+      SnapshotLog.commitBatch(spark, dir, rows(2 * b, 2 * b + 2), b))
+    // 4 versions pending; one version per trigger → ≥4 bounded batches,
+    // and the query STOPS by itself (the scheduled catch-up contract)
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format(Fmt).option("path", dir)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += df.count() }
+        ()
+      }.start()
+    try assert(q.awaitTermination(120000L),
+      "AvailableNow query did not terminate on its own")
+    finally q.stop()
+    assert(batchSizes.sum === 8, s"rows lost: ${batchSizes.mkString(",")}")
+    assert(batchSizes.forall(_ <= 2),
+      s"a batch exceeded 1 version (2 rows): ${batchSizes.mkString(",")}")
+    assert(batchSizes.count(_ > 0) === 4,
+      s"drain was not one-version bites: ${batchSizes.mkString(",")}")
+  }
+
+  test("Trigger.AvailableNow pins the drain target at start: mid-drain " +
+      "commits wait for the NEXT run, exactly-once across runs") {
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("availnow-ckpt").toString
+    SnapshotLog.commit(spark, dir, rows(0, 2))
+    (1L to 2L).foreach(b =>
+      SnapshotLog.commitBatch(spark, dir, rows(2 * b, 2 * b + 2), b))
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    val committedMidDrain = new java.util.concurrent.atomic.AtomicBoolean
+    def run(onBatch: () => Unit) = {
+      val q = spark.readStream.format(Fmt).option("path", dir)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          out.synchronized { out ++= df.select("k").as[Long].collect() }
+          onBatch()
+          ()
+        }.start()
+      try assert(q.awaitTermination(120000L),
+        "AvailableNow query did not terminate on its own")
+      finally q.stop()
+    }
+    // first run: v4 lands DURING the drain (from the first batch's own
+    // callback) — the pinned target must exclude it
+    run { () =>
+      if (committedMidDrain.compareAndSet(false, true))
+        SnapshotLog.commitBatch(spark, dir, rows(100, 102), 3L)
+    }
+    assert(out.sorted === (0L until 6L),
+      s"mid-drain commit leaked into the pinned run: ${out.sorted.mkString(",")}")
+    // second scheduled run: exactly the held-back version, nothing twice
+    run(() => ())
+    assert(out.sorted === ((0L until 6L) ++ Seq(100L, 101L)),
+      s"exactly-once broke across runs: ${out.sorted.mkString(",")}")
+  }
+
   test("maxBytesPerTrigger bounds catch-up batches by NEW bytes; a fat " +
       "version is admitted alone, exactly-once intact") {
     val dir = freshDir()
