@@ -517,7 +517,44 @@ object TextSimOps {
       .orderBy("delta_doc", "corpus_doc")
   }
 
+  /** Token-LENGTH histogram per language (round 12): whitespace-token
+    * lengths bucketed 1..9 with a ≥10 cap, counts plus per-language
+    * milli shares — the tokenizer-diagnostics view ([[q_text_tokens]]
+    * counts tokens, this profiles their SHAPE: a language whose mass
+    * sits in the cap bucket needs byte-level pre-splitting; a spike at
+    * 1 flags tokenization debris). Exact integers end to end. Scale:
+    * the explode is map-side (one pass over text), the aggregate
+    * map-side-combines onto ≤ |langs|×10 groups, and the share window
+    * runs over that same bounded frame — never token-grain rows. */
+  val tokenLenHist: Q = Q.checked(
+    "q_token_len_hist",
+    """WITH t AS (
+      |  SELECT lang, least(length(tok), 10) AS len
+      |  FROM (SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS tok
+      |        FROM documents) u
+      |  WHERE length(tok) > 0)
+      |SELECT lang, CAST(len AS BIGINT) AS len, count(*) AS n_tokens,
+      |  CAST(count(*) * 1000 //
+      |    sum(count(*)) OVER (PARTITION BY lang) AS BIGINT) AS share_milli
+      |FROM t GROUP BY lang, len ORDER BY lang, len""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir).select(col("lang"),
+      explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("lang"),
+        least(length(col("tok")), lit(10)).cast(LongType).as("len"))
+    toks.groupBy("lang", "len")
+      .agg(count(lit(1)).as("n_tokens"))
+      .withColumn("__tot", sum(col("n_tokens"))
+        .over(Window.partitionBy("lang")))
+      .withColumn("share_milli", expr("n_tokens * 1000 div __tot"))
+      .drop("__tot")
+      .orderBy("lang", "len")
+  }
+
   val all: Seq[Q] = Seq(textStats, textQuality, textLangid, textFingerprint,
     textTokens, dedupExact, dedupNear, dedupNgram, dedupEmbed, simTopk,
-    simCentroid, multimodalJoin, multimodalProfile, boilerplate, dedupIncr)
+    simCentroid, multimodalJoin, multimodalProfile, boilerplate, dedupIncr,
+    tokenLenHist)
 }

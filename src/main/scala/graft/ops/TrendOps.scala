@@ -781,10 +781,64 @@ object TrendOps {
       .orderBy("brand")
   }
 
+  /** Effective tax burden per SUPPLIER nation (round 12): discounted
+    * revenue, tax collected (cents), and the revenue-weighted effective
+    * tax rate as a milli integer — the fiscal-exposure view on the only
+    * money column the engine had not yet queried (`l_tax`). Money
+    * follows the TpchOps determinism recipe: each per-row product is a
+    * single left-to-right IEEE double chain snapped ONCE to
+    * decimal(24,6), summed fold-order-free as decimals; the rate clears
+    * denominators into exact micro-unit BIGINTs (no float division).
+    * Scale: supplier and nation broadcast; ONE lineitem-grain shuffle
+    * onto ≤ |nations| groups with map-side partials. */
+  val taxBurden: Q = Q.checked(
+    "q_tax_burden",
+    """WITH terms AS (
+      |  SELECT n_name,
+      |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)) AS rev,
+      |    CAST(l_extendedprice * (1 - l_discount) * l_tax
+      |      AS DECIMAL(24,6)) AS tax_amt
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey)
+      |SELECT n_name, count(*) AS n_lines,
+      |  CAST(floor(sum(rev) * 100) AS BIGINT) AS revenue_cents,
+      |  CAST(floor(sum(tax_amt) * 100) AS BIGINT) AS tax_cents,
+      |  CAST(sum(CAST(tax_amt * 1000000 AS BIGINT)) * 1000 //
+      |    sum(CAST(rev * 1000000 AS BIGINT)) AS BIGINT) AS tax_rate_milli
+      |FROM terms GROUP BY n_name ORDER BY n_name""".stripMargin
+  ) { (s, dir) =>
+    val d246 = "decimal(24,6)"
+    val terms = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(d246).as("rev"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          col("l_tax")).cast(d246).as("tax_amt"))
+    // micro units snap PER ROW (decimal(24,6) × 1e6 is an exact
+    // integral decimal(32,6) — no precision loss) so the rate divides
+    // exact BIGINTs; a sum-then-scale would cross Spark's 38-digit
+    // precision cap and silently reduce scale
+    terms.groupBy("n_name")
+      .agg(count(lit(1)).as("n_lines"),
+        floor(sum(col("rev")) * 100).cast("long").as("revenue_cents"),
+        floor(sum(col("tax_amt")) * 100).cast("long").as("tax_cents"),
+        sum((col("tax_amt") * 1000000).cast("long")).as("__tax_u"),
+        sum((col("rev") * 1000000).cast("long")).as("__rev_u"))
+      .select(col("n_name"), col("n_lines"), col("revenue_cents"),
+        col("tax_cents"),
+        expr("__tax_u * 1000 div __rev_u").as("tax_rate_milli"))
+      .orderBy("n_name")
+  }
+
   val all: Seq[Q] =
     Seq(reactivation, backlog, returnRate, nationBalance, gapPctl,
       embedSignBuckets, dupFamilyHist, embedDimStats,
       shipLatency, discountLift, repeatRate, topCustomerShare,
       langSourceMix, basketSizeMix, supplierDependency, brandShareShift,
-      charClassMix, returnsByBrand)
+      charClassMix, returnsByBrand, taxBurden)
 }

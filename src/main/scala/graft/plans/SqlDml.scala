@@ -316,8 +316,12 @@ object SqlDml {
             }
           }
           if (cols.forall(_.isDefined))
+            // "I": every fast-path row is insert-ELIGIBLE (pure upsert —
+            // a NULL-keyed source row matches nothing and plainly
+            // inserts, the SQL MERGE contract), which relaxes the verb's
+            // NULL-key guard for exactly these rows
             Some(Project(cols.flatten :+
-              Alias(Literal("U"), OpCol)(), source))
+              Alias(Literal("I"), OpCol)(), source))
           else None
         case _ => None
       }
@@ -343,6 +347,7 @@ object SqlDml {
         val op = Alias(CaseWhen(actions.zip(conds).map { case (a, c) =>
           c -> Literal(a match {
             case _: DeleteAction => "D"
+            case _: InsertAction => "I" // not-matched: NULL keys allowed
             case _               => "U"
           })
         }, None), OpCol)()
@@ -450,7 +455,11 @@ case class GraftMergeCommand(dir: String, keys: Seq[String],
     val df = ColumnBridge.ofRows(spark, changes)
     SnapshotLog.merge(spark, dir, df, keys,
       deleteWhen = Some(col(SqlDml.OpCol) === lit("D")),
-      dropCols = Seq(SqlDml.OpCol))
+      dropCols = Seq(SqlDml.OpCol),
+      // NOT MATCHED INSERT rows may carry NULL keys (SQL: NULL matches
+      // nothing, the row just inserts) — the verb's guard still refuses
+      // NULL keys on every other leg
+      insertOnlyWhen = Some(col(SqlDml.OpCol) === lit("I")))
     Seq.empty
   }
   override def simpleString(maxFields: Int): String =

@@ -173,7 +173,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val cols = Seq.newBuilder[org.apache.spark.sql.types.StructField]
     val addChecks = Seq.newBuilder[(String, String)]
     val dropChecks = Seq.newBuilder[String]
+    val renames = Seq.newBuilder[(String, String)]
+    val dropCols = Seq.newBuilder[String]
     changes.foreach {
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          "snapshot tables rename TOP-LEVEL columns only; got " +
+            rn.fieldNames().mkString("."))
+        renames += (rn.fieldNames().head -> rn.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "snapshot tables drop TOP-LEVEL columns only; got " +
+            del.fieldNames().mkString("."))
+        val name = del.fieldNames().head
+        val known = SnapshotLog.versions(spark, dir).lastOption
+          .flatMap(SnapshotLog.schemaOf(spark, dir, _))
+          .exists(_.fieldNames.contains(name))
+        if (known) dropCols += name
+        else require(del.ifExists(), s"no column '$name' on $dir")
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "snapshot tables add TOP-LEVEL columns only; got " +
@@ -203,15 +220,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         else require(dc.ifExists(),
           s"no CHECK constraint '${dc.name()}' on $dir")
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE supports ADD COLUMNS / ADD CONSTRAINT ... CHECK / " +
-          s"DROP CONSTRAINT on snapshot tables (got " +
-          s"${other.getClass.getSimpleName}); schema otherwise evolves " +
-          "through data commits")
+        s"ALTER TABLE supports ADD COLUMNS / RENAME COLUMN / " +
+          s"DROP COLUMN / ADD CONSTRAINT ... CHECK / DROP CONSTRAINT " +
+          s"on snapshot tables (got ${other.getClass.getSimpleName}); " +
+          "schema otherwise evolves through data commits")
     }
     val (ac, ak, dk) = (cols.result(), addChecks.result(),
       dropChecks.result())
-    if (ac.nonEmpty || ak.nonEmpty || dk.nonEmpty)
-      SnapshotLog.alterCommit(spark, dir, ac, ak, dk)
+    val (rn, dc) = (renames.result(), dropCols.result())
+    if (ac.nonEmpty || ak.nonEmpty || dk.nonEmpty || rn.nonEmpty ||
+      dc.nonEmpty)
+      SnapshotLog.alterCommit(spark, dir, ac, ak, dk, rn, dc)
     loadTable(ident)
   }
 

@@ -238,6 +238,31 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** [[toPhysical]] for a write SCHEMA (the executor-side v2 streaming
+    * write maps before encoding): renames apply, reserved-name re-use
+    * refuses loudly. Identity (and validation-free) on unmapped
+    * tables. */
+  private[sources] def physicalWriteSchema(spark: SparkSession,
+      dir: String, schema: StructType): StructType = {
+    val vOpt = versions(spark, dir).lastOption
+    val cm = vOpt.map(colmapOf(spark, dir, _))
+      .getOrElse(Map.empty[String, String])
+    val burned = vOpt.map(droppedOf(spark, dir, _))
+      .getOrElse(Set.empty[String])
+    if (cm.isEmpty && burned.isEmpty) schema
+    else {
+      val owned = cm.values.toSet
+      schema.fieldNames.foreach { c =>
+        if (!cm.contains(c))
+          require(!owned.contains(c) && !burned.contains(c),
+            s"column name '$c' is reserved by an earlier RENAME/DROP " +
+              s"COLUMN on $dir (it is a physical storage name old files " +
+              "still carry); pick a different name")
+      }
+      physicalSchema(cm, schema)
+    }
+  }
+
   /** Remap RAW (physical-keyed) per-file stats to version `v`'s LOGICAL
     * names: renamed columns' stats follow the rename, burned columns'
     * stats drop (a stale stat attributed to a re-used name would prune
@@ -314,11 +339,24 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     * hive-layout partitioned (`data/<uuid>/c=v/part-*.parquet`) and
     * every returned file is PARTITION-PURE — one tuple per file, the
     * invariant [[readPartition]]'s manifest-level prune relies on. */
-  private def writeData(spark: SparkSession, dir: String, df: DataFrame,
+  private def writeData(spark: SparkSession, dir: String, df0: DataFrame,
       commitId: String,
       partitionCols: Seq[String] = Seq.empty): Seq[String] = {
     val f = fs(spark, dir)
     val dataDir = new Path(dir, s"data/$commitId")
+    // files always store PHYSICAL names (no-op on never-renamed tables);
+    // partition columns are un-renameable, so the hive layout below
+    // stays literal — and a NEW layout may only be declared on
+    // storage-named columns (a renamed column's dir names would
+    // diverge from the tuples every manifest consumer parses)
+    val df = toPhysical(spark, dir, df0)
+    if (partitionCols.nonEmpty) {
+      val cmP = versions(spark, dir).lastOption
+        .map(colmapOf(spark, dir, _)).getOrElse(Map.empty[String, String])
+      partitionCols.foreach(c => require(!cmP.contains(c),
+        s"partition column '$c' is a RENAMED column on $dir — declare " +
+          "partition layouts on storage-named columns only"))
+    }
     if (partitionCols.isEmpty) {
       df.write.parquet(dataDir.toString)
       f.listStatus(dataDir).toSeq
@@ -382,7 +420,22 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       base: Option[Option[Long]] = None): Option[Long] = {
     val f = fs(spark, dir)
     f.mkdirs(logDir(dir))
-    val body = (header ++ files).mkString("\n").getBytes("UTF-8")
+    // COLUMN-MAPPING CARRY: rename/drop state is table metadata every
+    // commit must keep alive, and this is the one choke point every
+    // verb goes through — auto-carry the latest version's #colmap= /
+    // #dropped= headers unless the caller set its own (renameColumn /
+    // dropColumn / restore do; an explicitly EMPTY header is how
+    // restore suppresses the carry). For base-checked verbs a raced
+    // carry is impossible (base mismatch aborts before manifesting).
+    val mapCarry: Seq[String] = {
+      val has = header.exists(l => l.startsWith("#colmap=") ||
+        l.startsWith("#dropped="))
+      if (has) Seq.empty
+      else versions(spark, dir).lastOption.toSeq.flatMap(prev =>
+        manifestLines(spark, dir, prev).filter(l =>
+          l.startsWith("#colmap=") || l.startsWith("#dropped=")))
+    }
+    val body = (header ++ mapCarry ++ files).mkString("\n").getBytes("UTF-8")
     var attempt = 0
     while (attempt < 1000) {
       attempt += 1
@@ -688,15 +741,24 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
         .getOrElse(Seq.empty)
       if (checks.nonEmpty && files.nonEmpty && !validated.contains(checks)) {
         // partitioned external files: the partition values live in the
-        // dirs — a flat explicit-schema read would validate NULLs there
-        val frame =
+        // dirs — a flat explicit-schema read would validate NULLs there.
+        // External files carry PHYSICAL names (the v2 streaming write
+        // maps before encoding); alias back for the logical checks.
+        val cmX = vs0.lastOption.map(colmapOf(spark, dir, _))
+          .getOrElse(Map.empty[String, String])
+        val phys = physicalSchema(cmX, schema)
+        val raw =
           if (partitionCols.isEmpty)
-            spark.read.schema(schema).parquet(files: _*)
+            spark.read.schema(phys).parquet(files: _*)
           else files.groupBy(commitRootOf).toSeq.sortBy(_._1)
             .map { case (root, ps) =>
-              spark.read.schema(schema).option("basePath", root)
+              spark.read.schema(phys).option("basePath", root)
                 .parquet(ps: _*)
             }.reduce(_.unionByName(_))
+        val frame =
+          if (cmX.isEmpty) raw
+          else raw.select(schema.fields.toSeq.map(f =>
+            col(s"`${cmX.getOrElse(f.name, f.name)}`").as(f.name)): _*)
         requireChecksPass(checks, frame, s"external batch $batchId into $dir")
         validated = Some(checks)
       }
@@ -741,7 +803,16 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
           "partition-pure files) instead")
       val checks = latest.map(checksOf(spark, dir, _)).getOrElse(Seq.empty)
       if (checks.nonEmpty && files.nonEmpty && !validated.contains(checks)) {
-        requireChecksPass(checks, spark.read.schema(schema).parquet(files: _*),
+        // external files carry PHYSICAL names; alias back for checks
+        val cmX = latest.map(colmapOf(spark, dir, _))
+          .getOrElse(Map.empty[String, String])
+        val raw = spark.read.schema(physicalSchema(cmX, schema))
+          .parquet(files: _*)
+        val frame =
+          if (cmX.isEmpty) raw
+          else raw.select(schema.fields.toSeq.map(f =>
+            col(s"`${cmX.getOrElse(f.name, f.name)}`").as(f.name)): _*)
+        requireChecksPass(checks, frame,
           s"external batch $batchId into $dir")
         validated = Some(checks)
       }
@@ -1194,11 +1265,19 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     * a sparse CDC batch against a huge table rewrites a handful of
     * files, not the table.
     *
-    * Contract guards (both Delta-style loud failures, never silent):
+    * Contract guards (Delta-style loud failures, never silent):
     * `changes` must have no NULL merge key (NULL never equals anything
     * under SQL semantics — such a row could only ever insert, which is
     * almost always an upstream bug) and no duplicate key (two change
     * rows matching one target row make the merge ambiguous).
+    * `insertOnlyWhen` RELAXES the NULL-key guard for rows it marks:
+    * rows the caller can prove are pure inserts (SQL MERGE's
+    * `WHEN NOT MATCHED THEN INSERT` leg — a NULL key there is standard
+    * SQL, the row simply never matches) ride the insert path with NULL
+    * keys intact; NULL-keyed rows NOT so marked (or marked and
+    * tombstoned) still refuse loudly. Duplicate-key ambiguity does not
+    * exist among NULL-keyed inserts (they match nothing), so two of
+    * them are fine.
     *
     * `dropCols` names control columns of `changes` (e.g. a CDC `op`
     * flag) that `deleteWhen` may reference but that must not be stored.
@@ -1212,8 +1291,10 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     * and inserted files get fresh ones over the same columns. */
   def merge(spark: SparkSession, dir: String, changes: DataFrame,
       keys: Seq[String], deleteWhen: Option[Column] = None,
-      dropCols: Seq[String] = Seq.empty): Long =
-    mergeImpl(spark, dir, changes, keys, deleteWhen, dropCols, Seq.empty)
+      dropCols: Seq[String] = Seq.empty,
+      insertOnlyWhen: Option[Column] = None): Long =
+    mergeImpl(spark, dir, changes, keys, deleteWhen, dropCols, Seq.empty,
+      insertOnlyWhen)
 
   /** [[merge]] stamped with a `#batch=` header — the replay-idempotent
     * form for at-least-once stream feeds ([[commitBatch]] semantics): a
@@ -1224,11 +1305,12 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
   def mergeBatch(spark: SparkSession, dir: String, changes: DataFrame,
       keys: Seq[String], batchId: Long,
       deleteWhen: Option[Column] = None,
-      dropCols: Seq[String] = Seq.empty): Long = {
+      dropCols: Seq[String] = Seq.empty,
+      insertOnlyWhen: Option[Column] = None): Long = {
     val vs = versions(spark, dir)
     if (lastBatch(spark, dir).exists(batchId <= _)) return vs.last
     mergeImpl(spark, dir, changes, keys, deleteWhen, dropCols,
-      Seq(s"#batch=$batchId"))
+      Seq(s"#batch=$batchId"), insertOnlyWhen)
   }
 
   /** Project `df` onto `schema`: present columns cast-free, absent ones
@@ -1279,27 +1361,41 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
 
   private def mergeImpl(spark: SparkSession, dir: String,
       changes0: DataFrame, keys: Seq[String], deleteWhen: Option[Column],
-      dropCols: Seq[String], extraHeader: Seq[String]): Long = {
+      dropCols: Seq[String], extraHeader: Seq[String],
+      insertOnlyWhen: Option[Column] = None): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val isDelete = deleteWhen.map(c => coalesce(c, lit(false)))
+      .getOrElse(lit(false))
+    val isInsertOnly = insertOnlyWhen.map(c => coalesce(c, lit(false)))
       .getOrElse(lit(false))
     // one materialization of the (small) change side; reused across the
     // affected-file scan, the rewrite and any rebase retries
     val changes = changes0.withColumn("__del", isDelete)
+      .withColumn("__ins", isInsertOnly)
       .drop(dropCols: _*).persist()
     try {
+      val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
+      // NULL keys: allowed ONLY on rows the caller declared pure inserts
+      // (SQL MERGE's not-matched leg — NULL matches nothing, so the row
+      // inserts); everywhere else they are an upstream bug, loudly
       val nullKeyed = changes
-        .filter(keys.map(col(_).isNull).reduce(_ || _)).limit(1).count()
+        .filter(anyKeyNull && (!col("__ins") || col("__del")))
+        .limit(1).count()
       require(nullKeyed == 0,
         s"merge changes carry a NULL key in (${keys.mkString(",")}) — " +
-          "NULL matches nothing under SQL equality; fix the feed")
-      val dup = changes.groupBy(keys.map(col): _*)
+          "NULL matches nothing under SQL equality; only rows marked by " +
+          "insertOnlyWhen (SQL's NOT MATCHED INSERT leg) may carry one")
+      // ambiguity needs a key two rows could both MATCH — NULL-keyed
+      // inserts match nothing, so they are excluded (SQL inserts both)
+      val dup = changes.filter(!anyKeyNull).groupBy(keys.map(col): _*)
         .count().filter(col("count") > 1).limit(1).count()
       require(dup == 0,
         "merge changes carry duplicate keys — ambiguous merge " +
           "(collapse the batch to one winning row per key first)")
-      val upserts = changes.filter(!col("__del")).drop("__del")
-      val keyFrame = changes.select(keys.map(col): _*)
+      val upserts = changes.filter(!col("__del")).drop("__del", "__ins")
+      // detection/survivor key set: NULL-keyed rows match nothing and
+      // must not reach the stat prune's literal encoding
+      val keyFrame = changes.filter(!anyKeyNull).select(keys.map(col): _*)
       while (true) {
         val vs = versions(spark, dir)
         // incoming post-images must honor the table's checks (tombstones
@@ -1347,7 +1443,7 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
           // Null-partition entries are omitted (conservative keep; a
           // change key is never NULL here — the guard above).
           val stats = {
-            val recorded = fileStatsOf(spark, dir, latest)
+            val recorded = fileStatsLogicalOf(spark, dir, latest)
             if (pcs.isEmpty) recorded
             else {
               val dts = tableSchema.map(s =>
@@ -1686,6 +1782,19 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     require(fromV <= toV, s"fromV $fromV must not exceed toV $toV")
     val outSchema = schemaOf(spark, dir, toV)
       .orElse(schemaOf(spark, dir, fromV))
+    // a column RENAMED inside the span keeps its physical name — route
+    // each side's logical names through it into toV's, or alignTo would
+    // treat the renamed column as absent and null it out of the feed
+    val cmTo = colmapOf(spark, dir, toV)
+    val physToTo = cmTo.map(_.swap)
+    def toEndNames(v: Long, df: DataFrame): DataFrame = {
+      val cmV = colmapOf(spark, dir, v)
+      if (cmV == cmTo) df
+      else df.select(df.columns.toSeq.map { c =>
+        val phys = cmV.getOrElse(c, c)
+        col(s"`$c`").as(physToTo.getOrElse(phys, phys))
+      }: _*)
+    }
     def readSide(v: Long, paths: Seq[String]): DataFrame = {
       val raw =
         if (paths.isEmpty) {
@@ -1694,7 +1803,8 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
         } else readFiles(spark, dir, v, paths) // applies v's deletion vector
-      outSchema.map(alignTo(raw, _)).getOrElse(raw)
+      val named = toEndNames(v, raw)
+      outSchema.map(alignTo(named, _)).getOrElse(named)
     }
     val before = filesOf(spark, dir, fromV)
     val after = filesOf(spark, dir, toV)
@@ -1734,8 +1844,12 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
           .filter(p => carried.contains(new Path(p).toUri.getPath))
         if (paths.isEmpty) None
         else {
+          // files carry PHYSICAL names; alias straight to toV's logical
+          // (the feed's output names), same translation as readSide
+          val cmF = colmapOf(spark, dir, fromV)
           val raw = schemaOf(spark, dir, fromV) match {
-            case Some(s0) => spark.read.schema(s0).parquet(paths: _*)
+            case Some(s0) => spark.read
+              .schema(physicalSchema(cmF, s0)).parquet(paths: _*)
             case None     => spark.read.parquet(paths: _*)
           }
           val cols = raw.columns.toSeq
@@ -1744,7 +1858,8 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
             .withColumn("__dv_i", col("_metadata.row_index"))
             .join(delta, col("__dv_f") === col("path") &&
               col("__dv_i") === col("row_index"), "left_semi")
-            .select(cols.map(col): _*)
+            .select(cols.map(c =>
+              col(s"`$c`").as(physToTo.getOrElse(c, c))): _*)
           Some(outSchema.map(alignTo(rows, _)).getOrElse(rows)
             .withColumn("_change_type", lit("delete")))
         }
@@ -2054,7 +2169,7 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       commitFiles(spark, dir, files, commitId,
         header = Seq(schemaHeader(df.schema)) ++
           partHeaders(partitionCols, Map.empty, Seq.empty, files) ++
-          statHeaders(spark, files, statCols) ++ checkHeaders(checks) ++
+          statHeaders(spark, dir, files, statCols) ++ checkHeaders(checks) ++
           watermarkHeader(spark, dir),
         base = Some(latest)) match {
         case Some(v) => return v
@@ -2355,9 +2470,18 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     * stats rule: cost ∝ the commit, never the table). The collected
     * frame is bounded by the commit's file count (≤ shuffle
     * partitions per write), not by rows. */
-  private def statHeaders(spark: SparkSession, files: Seq[String],
-      statCols: Seq[String]): Seq[String] = {
-    if (statCols.isEmpty || files.isEmpty) return Seq.empty
+  private def statHeaders(spark: SparkSession, dir: String,
+      files: Seq[String], statCols0: Seq[String]): Seq[String] = {
+    if (statCols0.isEmpty || files.isEmpty) return Seq.empty
+    // stat lines record PHYSICAL names (what the files carry; identical
+    // to logical on never-renamed tables) — consumers remap back
+    // through fileStatsLogicalOf. Callers may pass either form: a
+    // logical name maps through the colmap, a physical one is its own
+    // fixed point (logical names can never shadow a physical name —
+    // the toPhysical/renameColumn refusals).
+    val cm = versions(spark, dir).lastOption
+      .map(colmapOf(spark, dir, _)).getOrElse(Map.empty[String, String])
+    val statCols = statCols0.map(c => cm.getOrElse(c, c))
     val df = spark.read.parquet(files: _*)
     statCols.foreach { c =>
       val dt = df.schema(c).dataType
@@ -2414,7 +2538,7 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
         statLine(p, cols.flatMap(c => st.get(c).map(c -> _)))
       }
     }
-    carriedLines ++ statHeaders(spark, newFiles, cols)
+    carriedLines ++ statHeaders(spark, dir, newFiles, cols)
   }
 
   /** [[commit]] with per-file zone-map stats for `statCols` recorded in
@@ -2446,7 +2570,7 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       }
       commitFiles(spark, dir, files, commitId,
         header = Seq(schemaHeader(df.schema)) ++
-          statHeaders(spark, files, statCols) ++ checkHeaders(checks) ++
+          statHeaders(spark, dir, files, statCols) ++ checkHeaders(checks) ++
           watermarkHeader(spark, dir),
         base = Some(latest)) match {
         case Some(v) => return v
@@ -2477,8 +2601,17 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
         l.startsWith("#dv=") || // dropping the DV would resurrect deletes
         l.startsWith("#check=") || // constraints travel with the table state
         l.startsWith("#partition=") || l.startsWith("#filepart="))
+    // column mapping rolls back WITH the state (the restored version's
+    // schema names need the restored colmap — chained renames would
+    // otherwise mis-resolve), emitted EXPLICITLY (possibly empty) so
+    // commitFiles' auto-carry of the newer mapping is suppressed.
+    // Burned physical names are MONOTONE: later drops' storage names
+    // stay reserved even after the rollback (their bytes are still in
+    // files other retained versions reference).
+    val mapHeader = colmapHeaders(colmapOf(spark, dir, toV),
+      droppedOf(spark, dir, toV) ++ droppedOf(spark, dir, latest))
     commitFiles(spark, dir, files, java.util.UUID.randomUUID().toString,
-      header = header ++ watermarkHeader(spark, dir),
+      header = header ++ mapHeader ++ watermarkHeader(spark, dir),
       base = Some(Some(latest)))
       .getOrElse(throw new IllegalStateException(
         s"restore to v$toV lost a race with a concurrent commit on $dir — " +
@@ -2509,7 +2642,7 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       val dvHeader = dvOf(spark, dir, latest).map(n => s"#dv=$n").toSeq
       commitFiles(spark, dir, files, commitId,
         header = schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
-          dvHeader ++ statHeaders(spark, files, statCols) ++
+          dvHeader ++ statHeaders(spark, dir, files, statCols) ++
           propagatedPartHeaders(spark, dir, latest, files, Seq.empty) ++
           checkHeaders(checksOf(spark, dir, latest)) ++
           watermarkHeader(spark, dir),
@@ -2849,7 +2982,7 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
   private[graft] def pruneFilesCnf(spark: SparkSession, dir: String,
       v: Long, cnf0: Seq[Seq[Seq[Probe]]]): Seq[String] = {
     val files = filesOf(spark, dir, v)
-    val stats = fileStatsOf(spark, dir, v)
+    val stats = fileStatsLogicalOf(spark, dir, v) // probes use logical names
     val schema = schemaOf(spark, dir, v)
     // canonicalize probe columns to their DECLARED names under the
     // session resolver (case-insensitive by default): stat, bloom and
@@ -3235,6 +3368,16 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       paths: Seq[String], extras: Seq[(String, String)]): DataFrame = {
     def attach(df: DataFrame): DataFrame =
       extras.foldLeft(df) { case (d, (n, m)) => d.withColumn(n, col(m)) }
+    // files store PHYSICAL column names; the scan requests those and
+    // aliases back to the version's LOGICAL names (identity — and
+    // alias-free — on never-renamed tables). Partition columns cannot
+    // be renamed, so hive dir names and manifest tuples stay literal.
+    val cm = colmapOf(spark, dir, v)
+    def relogical(df: DataFrame, s: StructType): DataFrame =
+      if (cm.isEmpty) df
+      else df.select(s.fields.toSeq.map(f =>
+        col(s"`${cm.getOrElse(f.name, f.name)}`").as(f.name)) ++
+        extras.map(e => col(s"`${e._1}`")): _*)
     val pcs = partitionColsOf(spark, dir, v)
     if (pcs.nonEmpty) {
       // hive-partitioned files carry the partition values in their DIR
@@ -3245,16 +3388,21 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       // column order.
       val s = schemaOf(spark, dir, v).getOrElse(throw new IllegalStateException(
         s"partitioned version $v of $dir lacks a #schema header"))
-      paths.groupBy(commitRootOf).toSeq.sortBy(_._1)
+      val phys = physicalSchema(cm, s)
+      val raw = paths.groupBy(commitRootOf).toSeq.sortBy(_._1)
         .map { case (root, ps) =>
-          attach(spark.read.schema(s).option("basePath", root).parquet(ps: _*))
+          attach(spark.read.schema(phys).option("basePath", root)
+            .parquet(ps: _*))
         }
         .reduce(_.unionByName(_))
-        .select((s.fieldNames.toSeq ++ extras.map(_._1)).map(col): _*)
-    } else attach(schemaOf(spark, dir, v) match {
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
-      case None    => spark.read.parquet(paths: _*)
-    })
+      if (cm.isEmpty)
+        raw.select((s.fieldNames.toSeq ++ extras.map(_._1)).map(col): _*)
+      else relogical(raw, s)
+    } else schemaOf(spark, dir, v) match {
+      case Some(s) => relogical(attach(
+        spark.read.schema(physicalSchema(cm, s)).parquet(paths: _*)), s)
+      case None    => attach(spark.read.parquet(paths: _*))
+    }
   }
 
   private def readFilesTagged(spark: SparkSession, dir: String, v: Long,
@@ -3527,7 +3675,14 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     require(vs.nonEmpty, s"no committed snapshot under $dir")
     val latest = vs.last
     val files = filesOf(spark, dir, latest)
-    val df = spark.read.parquet(files: _*)
+    // files carry PHYSICAL names; alias the probed columns back so the
+    // sidecar records LOGICAL names (what readPoint/readFilter probe by)
+    val cmB = colmapOf(spark, dir, latest)
+    val raw = spark.read.parquet(files: _*)
+    val df =
+      if (cmB.isEmpty) raw
+      else raw.select(bloomCols.map(c =>
+        col(s"`${cmB.getOrElse(c, c)}`").as(c)): _*)
     bloomCols.foreach { c =>
       require(statEncodable(df.schema(c).dataType),
         "bloom columns must be integral/float/double/date/timestamp/" +
@@ -3823,36 +3978,9 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
   def addColumns(spark: SparkSession, dir: String,
       cols: Seq[StructField]): Long = {
     require(cols.nonEmpty, "addColumns needs at least one column")
-    while (true) {
-      val vs = versions(spark, dir)
-      require(vs.nonEmpty, s"no committed snapshot under $dir")
-      val latest = vs.last
-      val schema = schemaOf(spark, dir, latest).getOrElse(
-        read(spark, dir, Some(latest)).schema)
-      cols.foreach { f =>
-        require(!schema.fieldNames.contains(f.name),
-          s"column '${f.name}' already exists on $dir")
-        require(f.nullable,
-          s"added column '${f.name}' must be nullable — existing rows " +
-            "can only read it as NULL")
-      }
-      require(cols.map(_.name).distinct.length == cols.length,
-        s"duplicate column names in ${cols.map(_.name).mkString(",")}")
-      val widened = StructType(schema.fields ++ cols)
-      val carried = manifestLines(spark, dir, latest).filter(l =>
-        l.startsWith("#filestat=") || l.startsWith("#dv=") ||
-          l.startsWith("#partition=") || l.startsWith("#filepart=") ||
-          l.startsWith("#check="))
-      commitFiles(spark, dir, filesOf(spark, dir, latest),
-        java.util.UUID.randomUUID().toString,
-        header = Seq(schemaHeader(widened)) ++ carried ++
-          watermarkHeader(spark, dir),
-        base = Some(Some(latest))) match {
-        case Some(v) => return v
-        case None    => () // raced — recompute against the new latest
-      }
-    }
-    -1L // unreachable
+    // one path for every schema-changing statement: alterCommit owns
+    // the guards (fresh names, nullability, burned physical names)
+    alterCommit(spark, dir, cols, Seq.empty, Seq.empty)
   }
 
   /** One `ALTER TABLE` statement as ONE atomic metadata commit: added
@@ -3870,8 +3998,11 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
   def alterCommit(spark: SparkSession, dir: String,
       addCols: Seq[StructField],
       addChecks: Seq[(String, String)],
-      dropChecks: Seq[String]): Long = {
-    require(addCols.nonEmpty || addChecks.nonEmpty || dropChecks.nonEmpty,
+      dropChecks: Seq[String],
+      renameCols: Seq[(String, String)] = Seq.empty,
+      dropCols: Seq[String] = Seq.empty): Long = {
+    require(addCols.nonEmpty || addChecks.nonEmpty || dropChecks.nonEmpty ||
+      renameCols.nonEmpty || dropCols.nonEmpty,
       "alterCommit needs at least one change")
     addChecks.foreach { case (name, sqlExpr) =>
       require(name.nonEmpty && !name.contains('=') && !name.contains('\n'),
@@ -3883,22 +4014,18 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       s"duplicate check names in ${addChecks.map(_._1).mkString(",")}")
     require(addCols.map(_.name).distinct.length == addCols.length,
       s"duplicate column names in ${addCols.map(_.name).mkString(",")}")
+    (renameCols.flatMap(r => Seq(r._1, r._2)) ++ dropCols).foreach { n =>
+      require(n.nonEmpty && !n.contains(':') && !n.contains('\t') &&
+        !n.contains('\n') && !n.contains('%'),
+        s"column name '$n' cannot carry ':', tab, newline or '%' " +
+          "through a RENAME/DROP (the #colmap header encoding)")
+    }
     while (true) {
       val vs = versions(spark, dir)
       require(vs.nonEmpty, s"no committed snapshot under $dir")
       val latest = vs.last
       val schema = schemaOf(spark, dir, latest).getOrElse(
         read(spark, dir, Some(latest)).schema)
-      addCols.foreach { f =>
-        require(!schema.fieldNames.contains(f.name),
-          s"column '${f.name}' already exists on $dir")
-        require(f.nullable,
-          s"added column '${f.name}' must be nullable — existing rows " +
-            "can only read it as NULL")
-      }
-      val widened =
-        if (addCols.isEmpty) schema
-        else StructType(schema.fields ++ addCols)
       val existing = checksOf(spark, dir, latest)
       dropChecks.foreach { n =>
         require(existing.exists(_._1 == n),
@@ -3906,22 +4033,101 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
             s"(have ${existing.map(_._1).mkString(",")})")
       }
       val kept = existing.filterNot(c => dropChecks.contains(c._1))
+
+      // ---- RENAME / DROP COLUMN: metadata-only, against the column
+      // mapping (statement order: renames, then drops, then adds) ----
+      val pcsA = partitionColsOf(spark, dir, latest)
+      // columns the SURVIVING checks reference (dropped-in-this-
+      // statement checks release their columns); unparseable check SQL
+      // refuses conservatively
+      lazy val keptRefs: Set[String] = kept.flatMap { case (_, sql) =>
+        spark.sessionState.sqlParser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head
+        }
+      }.toSet
+      var schema2 = schema
+      var cm2 = colmapOf(spark, dir, latest)
+      var burned2 = droppedOf(spark, dir, latest)
+      renameCols.foreach { case (from, to) =>
+        require(schema2.fieldNames.contains(from),
+          s"no column '$from' on $dir")
+        require(!schema2.fieldNames.contains(to),
+          s"column '$to' already exists on $dir")
+        require(!pcsA.contains(from),
+          s"'$from' is a partition column of $dir — partition columns " +
+            "cannot be renamed (hive dir names and manifest tuples are " +
+            "literal)")
+        require(!keptRefs.contains(from),
+          s"column '$from' is referenced by a CHECK constraint on $dir " +
+            "— drop the constraint first (its SQL stores the name)")
+        val phys = cm2.getOrElse(from, from)
+        // '$to' may be a burned/owned physical name ONLY when it is
+        // this very column's own (renaming back — a plain identity)
+        require(to == phys ||
+          (!cm2.removed(from).values.toSet.contains(to) &&
+            !burned2.contains(to)),
+          s"'$to' is a physical storage name old files of $dir still " +
+            "carry — pick a different name")
+        cm2 = if (to == phys) cm2 - from
+          else (cm2 - from) + (to -> phys)
+        schema2 = StructType(schema2.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+      }
+      dropCols.foreach { n =>
+        require(schema2.fieldNames.contains(n), s"no column '$n' on $dir")
+        require(!pcsA.contains(n),
+          s"'$n' is a partition column of $dir — partition columns " +
+            "cannot be dropped")
+        require(!keptRefs.contains(n),
+          s"column '$n' is referenced by a CHECK constraint on $dir — " +
+            "drop the constraint first")
+        require(schema2.fields.length > 1,
+          s"cannot drop the last column of $dir")
+        burned2 = burned2 + cm2.getOrElse(n, n) // the physical name burns
+        cm2 = cm2 - n
+        schema2 = StructType(schema2.fields.filterNot(_.name == n))
+      }
+      addCols.foreach { f =>
+        require(!schema2.fieldNames.contains(f.name),
+          s"column '${f.name}' already exists on $dir")
+        require(!cm2.values.toSet.contains(f.name) &&
+          !burned2.contains(f.name),
+          s"column name '${f.name}' is reserved by an earlier " +
+            s"RENAME/DROP COLUMN on $dir (old files still carry it " +
+            "physically); pick a different name")
+        require(f.nullable,
+          s"added column '${f.name}' must be nullable — existing rows " +
+            "can only read it as NULL")
+      }
+      val widened =
+        if (addCols.isEmpty) schema2
+        else StructType(schema2.fields ++ addCols)
       addChecks.foreach { case (n, _) =>
         require(!kept.exists(_._1 == n),
           s"check '$n' already exists on $dir")
       }
       // a declared-empty table (CREATE TABLE before any INSERT) has no
-      // rows to validate — the check starts enforced on the first write
-      if (addChecks.nonEmpty && filesOf(spark, dir, latest).nonEmpty)
+      // rows to validate — the check starts enforced on the first write.
+      // Validation sees the POST-statement view: renames applied (so a
+      // check on a just-renamed column reads its real data, never a
+      // NULL backfill), added columns as typed NULLs.
+      if (addChecks.nonEmpty && filesOf(spark, dir, latest).nonEmpty) {
+        val renameTo = renameCols.toMap
+        val renamed = read(spark, dir, Some(latest)).select(
+          schema.fields.toSeq.map(f =>
+            col(s"`${f.name}`").as(renameTo.getOrElse(f.name, f.name))): _*)
         requireChecksPass(addChecks,
-          alignTo(read(spark, dir, Some(latest)), widened),
+          alignTo(renamed.drop(dropCols: _*), widened),
           s"existing data of $dir")
+      }
       val carried = manifestLines(spark, dir, latest).filter(l =>
         l.startsWith("#filestat=") || l.startsWith("#dv=") ||
           l.startsWith("#partition=") || l.startsWith("#filepart="))
       commitFiles(spark, dir, filesOf(spark, dir, latest),
         java.util.UUID.randomUUID().toString,
         header = Seq(schemaHeader(widened)) ++ carried ++
+          colmapHeaders(cm2, burned2) ++
           checkHeaders(kept ++ addChecks) ++
           watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
@@ -3931,6 +4137,30 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     }
     -1L // unreachable
   }
+
+  /** `ALTER TABLE ... RENAME COLUMN from TO to` as ONE metadata-only
+    * commit: the logical name changes in the `#schema=` header, the
+    * PHYSICAL name stays (recorded in `#colmap=`), so zero data moves —
+    * old versions time-travel under their own names, stats/DV/layout
+    * carry verbatim. Refused for partition columns (hive dir names are
+    * literal), CHECK-referenced columns (the constraint SQL stores the
+    * name), and targets colliding with any live logical or reserved
+    * physical name. */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String): Long =
+    alterCommit(spark, dir, Seq.empty, Seq.empty, Seq.empty,
+      renameCols = Seq(from -> to))
+
+  /** `ALTER TABLE ... DROP COLUMN` as ONE metadata-only commit: the
+    * column leaves the `#schema=` header; its bytes stay in old files
+    * (invisible — reads project by schema), so its PHYSICAL name is
+    * BURNED into `#dropped=` forever and can never be re-used (loud
+    * refusal where Delta would mint a fresh mapping id). Old versions
+    * still show the column via time travel. Refused for partition and
+    * CHECK-referenced columns, and for the last column. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long =
+    alterCommit(spark, dir, Seq.empty, Seq.empty, Seq.empty,
+      dropCols = Seq(name))
 
   def addCheck(spark: SparkSession, dir: String, name: String,
       sqlExpr: String): Long = {
@@ -4044,6 +4274,7 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       l.startsWith("#schema=") || l.startsWith("#filestat=") ||
         l.startsWith("#dv=") || l.startsWith("#batch=") ||
         l.startsWith("#check=") ||
+        l.startsWith("#colmap=") || l.startsWith("#dropped=") ||
         l.startsWith("#partition=") || l.startsWith("#filepart="))
     commitFiles(spark, dstDir, filesOf(spark, srcDir, v),
       java.util.UUID.randomUUID().toString,

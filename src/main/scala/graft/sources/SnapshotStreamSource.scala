@@ -248,6 +248,15 @@ private[sources] object SnapshotStreamSource {
     case ArrayType(et, _) if !et.isInstanceOf[ArrayType] => decodable(et)
     case _ => false
   }
+
+  /** `schema` with fields under their PHYSICAL (storage) names per the
+    * column mapping — what the executor-side readers resolve footers
+    * by. Identity on never-renamed tables. */
+  private[sources] def physicalFields(cm: Map[String, String],
+      schema: StructType): StructType =
+    if (cm.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = cm.getOrElse(f.name, f.name))))
 }
 
 private[graft] class SnapshotStreamTable(schema0: StructType,
@@ -310,8 +319,14 @@ private[sources] class SnapshotBatch(dir: String, schema: StructType,
       SnapshotLog.filePartsOf(spark, dir, v)
     else Map.empty[String, Map[String, String]]
     val dvs = SnapshotLog.dvBitmapsOf(spark, dir, v)
+    // ship the pruned schema under PHYSICAL names: the executor reader
+    // resolves footer fields by name, rows are positional, and renamed
+    // columns keep their storage name (partition-tuple keys are
+    // un-renameable, so partConsts lookups stay literal)
+    val phys = SnapshotStreamSource
+      .physicalFields(SnapshotLog.colmapOf(spark, dir, v), schema)
     files.map { p =>
-      SnapshotFilePartition(p, schema.json,
+      SnapshotFilePartition(p, phys.json,
         parts.getOrElse(p, Map.empty[String, String]),
         dvs.get(new Path(p).toUri.getPath)): InputPartition
     }.toArray
@@ -494,8 +509,14 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
       newFiles ++= files.filterNot(p => prevSet.contains(norm(p)))
         .map(p => (p, parts.getOrElse(p, Map.empty[String, String])))
     }
+    // physical names for footer lookup, via the LATEST colmap: a name
+    // this stream bound BEFORE a later rename is already the storage
+    // name (identity fallback); a post-rename stream's new name maps —
+    // both directions land on the immutable physical name
+    val phys = SnapshotStreamSource.physicalFields(
+      SnapshotLog.colmapOf(spark, dir, vs.last), schema)
     newFiles.map { case (p, t) =>
-      SnapshotFilePartition(p, schema.json, t, None): InputPartition
+      SnapshotFilePartition(p, phys.json, t, None): InputPartition
     }.toArray
   }
 

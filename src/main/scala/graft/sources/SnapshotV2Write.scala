@@ -70,7 +70,10 @@ private[sources] class SnapshotStreamingWrite(dir: String,
     // encoder everywhere
     val native = spark.conf
       .get("spark.graft.streamWrite.nativeEncode", "true").toBoolean
-    new GroupWriterFactory(s"$dir/data/$commitId", schema.json, props,
+    // files store PHYSICAL column names (identity on unmapped tables);
+    // the epoch commit registers under the LOGICAL schema
+    val phys = SnapshotLog.physicalWriteSchema(spark, dir, schema)
+    new GroupWriterFactory(s"$dir/data/$commitId", phys.json, props,
       native)
   }
 

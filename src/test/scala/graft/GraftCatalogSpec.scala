@@ -97,11 +97,11 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("ALTER TABLE g.tmp.a RENAME TO tmp.b")
     assert(spark.sql("SHOW TABLES IN g.tmp").select("tableName")
       .as[String].collect().toSeq === Seq("b"))
-    // non-ADD changes are still refused loudly
+    // unsupported change kinds are still refused loudly
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE g.tmp.b RENAME COLUMN k TO kk")
+      spark.sql("ALTER TABLE g.tmp.b SET TBLPROPERTIES ('x' = 'y')")
     }
-    assert(e.getMessage.contains("got RenameColumn"),
+    assert(e.getMessage.contains("got SetProperty"),
       s"unexpected alterTable error: ${e.getMessage}")
     spark.sql("DROP TABLE g.tmp.b")
     assert(spark.sql("SHOW TABLES IN g.tmp").count() === 0)
@@ -916,6 +916,41 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       === Seq("vpos" -> "v > 0"), "evolution dropped the CHECKs")
     assert(SnapshotLog.schemaOf(spark, dir, v).get("tag").dataType
       === org.apache.spark.sql.types.StringType)
+  }
+
+  test("SQL MERGE inserts NULL-keyed not-matched rows (standard SQL: " +
+      "NULL matches nothing); NULL keys on other legs still refuse " +
+      "(round 12)") {
+    spark.sql("CREATE TABLE g.gold.nullk (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.gold.nullk VALUES (1, 'a')")
+    // a CDC batch carrying NULL-keyed rows: both are plain inserts
+    spark.sql("""
+      MERGE INTO g.gold.nullk t
+      USING (SELECT * FROM VALUES (1L, 'a2'), (CAST(NULL AS BIGINT), 'n1'),
+             (CAST(NULL AS BIGINT), 'n2') AS s(k, v)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val rows = spark.sql("SELECT k, v FROM g.gold.nullk ORDER BY v")
+      .collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getString(1)).toSeq === Seq("a2", "n1", "n2"))
+    assert(rows.count(_.isNullAt(0)) === 2,
+      "both NULL-keyed source rows must insert (SQL semantics)")
+    // the guard still protects legs where a NULL key is ambiguous:
+    // NOT MATCHED BY SOURCE UPDATE would address NULL-keyed target rows
+    // by a key that matches nothing
+    val e = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO g.gold.nullk t
+        USING (SELECT * FROM VALUES (1L, 'x') AS s(k, v)) s
+        ON t.k = s.k
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'
+      """)
+    }
+    assert(e.getMessage.contains("NULL"),
+      s"expected the NULL-key guard, got: ${e.getMessage}")
   }
 
   test("UPDATE / DELETE / MERGE with UNCORRELATED subqueries compile " +
