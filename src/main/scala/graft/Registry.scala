@@ -17,7 +17,8 @@ object Registry {
       LmOps.all ++ AuditOps.all ++ ImplOps.all ++ BpeOps.all ++
       RetrievalOps.all ++ ClassifierOps.all ++ TpchOps.all ++
       RecursiveOps.all ++ AnsiOps.all ++ OlapExtraOps.all ++
-      OlapStatOps.all ++ OlapRankOps.all ++ TrendOps.all ++ EngageOps.all
+      OlapStatOps.all ++ OlapRankOps.all ++ TrendOps.all ++ EngageOps.all ++
+      AssocOps.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

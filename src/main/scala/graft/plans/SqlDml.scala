@@ -368,13 +368,24 @@ object SqlDml {
       })
 
     // WHEN NOT MATCHED: source rows with no target match; unassigned
-    // insert columns become typed NULLs (the SQL default)
+    // insert columns evaluate the column's CURRENT_DEFAULT when one is
+    // declared (the SQL INSERT contract — the analyzer does the same
+    // for the explicit DEFAULT keyword), else typed NULLs
+    def insertDefault(attr: Attribute): Expression = {
+      val f = org.apache.spark.sql.types.StructField(attr.name,
+        attr.dataType, attr.nullable, attr.metadata)
+      if (f.metadata.contains(org.apache.spark.sql.catalyst.util
+          .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY))
+        org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          .analyze(f, "MERGE INSERT")
+      else Literal.create(null, attr.dataType)
+    }
     val notMatched = leg(
       Join(source, target, LeftAnti, Some(m.mergeCondition), JoinHint.NONE),
       m.notMatchedActions,
       (a, attr) => a match {
         case InsertAction(_, as) =>
-          assigned(as, attr).getOrElse(Literal.create(null, attr.dataType))
+          assigned(as, attr).getOrElse(insertDefault(attr))
         case other => throw new UnsupportedOperationException(
           s"graft MERGE: unsupported not-matched action $other")
       })

@@ -66,10 +66,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
   override def name(): String = catalogName
 
-  /** Constraint DDL (`ALTER TABLE ... ADD CONSTRAINT ... CHECK`) is
-    * supported — it rides the manifest's `#check=` headers. */
+  /** Constraint DDL (`ALTER TABLE ... ADD CONSTRAINT ... CHECK`) rides
+    * the manifest's `#check=` headers; column DEFAULT values
+    * (`CREATE TABLE (c INT DEFAULT 5)` / `ADD COLUMN ... DEFAULT` /
+    * `ALTER COLUMN ... SET DEFAULT`) ride the `#schema=` header's field
+    * metadata — Spark's analyzer fills omitted INSERT columns from
+    * CURRENT_DEFAULT, and every scan fills file-missing columns from
+    * the frozen EXISTS_DEFAULT. */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
-    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def spark: SparkSession = SparkSession.active
   private def fs: FileSystem =
@@ -150,6 +156,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     if (pcs.isEmpty) SnapshotLog.commit(spark, dir, empty)
     else SnapshotLog.commitPartitioned(spark, dir, empty, pcs)
+    // TBLPROPERTIES: user properties (Spark's own bookkeeping keys
+    // excluded) land as one more metadata commit riding every later
+    // version via the #tblprop auto-carry
+    val userProps = properties.asScala.toMap.filter { case (k, _) =>
+      !GraftCatalog.ReservedProps(k) && !k.startsWith("option.")
+    }
+    if (userProps.nonEmpty)
+      SnapshotLog.setTableProperties(spark, dir, userProps)
     loadTable(ident)
   }
 
@@ -175,6 +189,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dropChecks = Seq.newBuilder[String]
     val renames = Seq.newBuilder[(String, String)]
     val dropCols = Seq.newBuilder[String]
+    val setDefaults = Seq.newBuilder[(String, Option[String])]
+    val setProps = scala.collection.mutable.LinkedHashMap[String, String]()
+    val unsetProps = Seq.newBuilder[String]
     changes.foreach {
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames().length == 1,
@@ -197,15 +214,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             add.fieldNames().mkString("."))
         require(add.isNullable,
           s"added column '${add.fieldNames().head}' must be nullable — " +
-            "existing rows can only read it as NULL")
+            "existing rows read it as its DEFAULT (NULL when none)")
         // loud, not silently dropped: the widened schema always APPENDS
         require(add.position() == null,
           s"added column '${add.fieldNames().head}' specifies a position " +
             "(FIRST/AFTER) — snapshot schemas only widen at the end")
-        val field = org.apache.spark.sql.types.StructField(
+        val field0 = org.apache.spark.sql.types.StructField(
           add.fieldNames().head, add.dataType(), nullable = true)
+        // DEFAULT <expr>: record the SQL text as CURRENT_DEFAULT —
+        // alterCommit validates it and freezes the folded literal as
+        // EXISTS_DEFAULT (what pre-existing rows read)
+        val field = Option(add.defaultValue()) match {
+          case None => field0
+          case Some(d) => field0.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(org.apache.spark.sql.catalyst.util
+                .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+                defaultSqlOf(d)).build())
+        }
         cols += Option(add.comment()).map(field.withComment)
           .getOrElse(field)
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        require(ud.fieldNames().length == 1,
+          "snapshot tables default TOP-LEVEL columns only; got " +
+            ud.fieldNames().mkString("."))
+        // SET DEFAULT carries the new expression; DROP DEFAULT arrives
+        // as an empty default — map it to None (future inserts fill
+        // NULL again; existing rows keep their frozen EXISTS_DEFAULT)
+        val sqlTxt = Option(ud.newCurrentDefault()).map(defaultSqlOf)
+          .filter(_.nonEmpty)
+        setDefaults += (ud.fieldNames().head -> sqlTxt)
       case ac: TableChange.AddConstraint => ac.constraint() match {
         case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
           addChecks += (c.name() -> c.predicateSql())
@@ -219,20 +257,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         if (known.exists(_._1 == dc.name())) dropChecks += dc.name()
         else require(dc.ifExists(),
           s"no CHECK constraint '${dc.name()}' on $dir")
+      case sp: TableChange.SetProperty =>
+        setProps += (sp.property() -> sp.value())
+      case rp: TableChange.RemoveProperty =>
+        unsetProps += rp.property()
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE supports ADD COLUMNS / RENAME COLUMN / " +
-          s"DROP COLUMN / ADD CONSTRAINT ... CHECK / DROP CONSTRAINT " +
+          s"DROP COLUMN / ALTER COLUMN SET|DROP DEFAULT / " +
+          s"ADD CONSTRAINT ... CHECK / DROP CONSTRAINT " +
           s"on snapshot tables (got ${other.getClass.getSimpleName}); " +
           "schema otherwise evolves through data commits")
     }
     val (ac, ak, dk) = (cols.result(), addChecks.result(),
       dropChecks.result())
-    val (rn, dc) = (renames.result(), dropCols.result())
+    val (rn, dc, sd) = (renames.result(), dropCols.result(),
+      setDefaults.result())
     if (ac.nonEmpty || ak.nonEmpty || dk.nonEmpty || rn.nonEmpty ||
-      dc.nonEmpty)
-      SnapshotLog.alterCommit(spark, dir, ac, ak, dk, rn, dc)
+      dc.nonEmpty || sd.nonEmpty)
+      SnapshotLog.alterCommit(spark, dir, ac, ak, dk, rn, dc, sd)
+    // SET/UNSET TBLPROPERTIES arrive as their own statements from SQL —
+    // one metadata commit per statement
+    if (setProps.nonEmpty || unsetProps.result().nonEmpty)
+      SnapshotLog.setTableProperties(spark, dir, setProps.toMap,
+        unsetProps.result())
     loadTable(ident)
   }
+
+  /** The DEFAULT expression's SQL text: DDL always carries it; a
+    * programmatic connector default may carry only a literal. */
+  private def defaultSqlOf(
+      d: org.apache.spark.sql.connector.catalog.DefaultValue): String =
+    Option(d.getSql).getOrElse {
+      d.getExpression match {
+        case lv: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          org.apache.spark.sql.catalyst.expressions
+            .Literal(lv.value, lv.dataType).sql
+        case other => throw new UnsupportedOperationException(
+          s"graft DEFAULT needs a SQL text or a literal; got $other")
+      }
+    }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
@@ -302,6 +365,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
+private[graft] object GraftCatalog {
+  /** Spark's own catalog bookkeeping keys — never stored as user
+    * table properties. */
+  val ReservedProps: Set[String] = Set("provider", "location", "owner",
+    "comment", "external", "is_managed_location", "path")
+}
+
 /** A catalog-loaded snapshot table: everything the path-based DSv2
   * table does (pruned batch scan, micro-batch stream) PLUS the v2
   * write surface — [[V1Write]] handing the planned rows back as a
@@ -313,6 +383,15 @@ private[graft] class SnapshotCatalogTable(schema0: StructType,
     extends SnapshotStreamTable(schema0, dir, versionAsOf)
     with SupportsWrite with SupportsDelete {
   override def name(): String = qualified
+
+  /** Stored TBLPROPERTIES as of this (point-in-time) table instance —
+    * what DESCRIBE EXTENDED and SHOW TBLPROPERTIES read. */
+  override lazy val properties: java.util.Map[String, String] = {
+    val spark = SparkSession.active
+    val v = versionAsOf.orElse(SnapshotLog.versions(spark, dir).lastOption)
+    v.map(SnapshotLog.tablePropertiesOf(spark, dir, _))
+      .getOrElse(Map.empty[String, String]).asJava
+  }
 
   /** The manifest's DECLARED partition layout as identity transforms —
     * what `INSERT OVERWRITE ... PARTITION (col = v)` static specs and

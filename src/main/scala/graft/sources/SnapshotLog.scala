@@ -204,6 +204,142 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       .mkString("\t"),
     "#dropped=" + dropped.toSeq.sorted.map(statEsc).mkString("\t"))
 
+  // -------------------------------------------------------------------
+  // TABLE PROPERTIES — versioned key/value metadata (round 12)
+  // -------------------------------------------------------------------
+  // `#tblprop=` records the table's properties (stat-escaped k:v tab
+  // pairs, the #colmap encoding), auto-carried by every commit at the
+  // [[commitFiles]] choke point and rolled back by [[restore]] with the
+  // rest of the state. The one property the engine itself reads is
+  // [[ChangeFeedProperty]].
+
+  /** The property that turns on the RECORDED change feed: when
+    * `graft.changeFeed=true`, every row-rewriting verb writes its exact
+    * row-level changes (`_change_type` ∈ insert | delete |
+    * update_preimage | update_postimage) as parquet change files under
+    * `changes/<uuid>/`, registered in the commit's manifest — the Delta
+    * CDF design: writers pay the (opt-in) write amplification so
+    * readers get exact, survivor-cancelled changes at file grain with
+    * no diffing. `readStream.option("readChangeFeed", "true")` then
+    * streams them (appends derive their inserts at file grain for
+    * free). */
+  val ChangeFeedProperty = "graft.changeFeed"
+
+  /** Version `v`'s table properties (empty when none were ever set). */
+  def tablePropertiesOf(spark: SparkSession, dir: String,
+      v: Long): Map[String, String] =
+    manifestLines(spark, dir, v)
+      .collectFirst { case l if l.startsWith("#tblprop=") =>
+        val body = l.stripPrefix("#tblprop=")
+        if (body.isEmpty) Map.empty[String, String]
+        else body.split("\t").map { pair =>
+          val i = pair.indexOf(':')
+          statUnesc(pair.take(i)) -> statUnesc(pair.drop(i + 1))
+        }.toMap
+      }.getOrElse(Map.empty)
+
+  private def tblpropHeader(props: Map[String, String]): String =
+    "#tblprop=" + props.toSeq.sortBy(_._1)
+      .map { case (k, value) => s"${statEsc(k)}:${statEsc(value)}" }
+      .mkString("\t")
+
+  /** `ALTER TABLE ... SET TBLPROPERTIES (...)` / `UNSET TBLPROPERTIES`
+    * as ONE metadata-only commit (set wins over unset on the same key;
+    * unset of an absent key is a no-op, the SQL contract). Everything
+    * else the manifest tracks carries forward verbatim. */
+  def setTableProperties(spark: SparkSession, dir: String,
+      set: Map[String, String], unset: Seq[String] = Seq.empty): Long = {
+    require(set.nonEmpty || unset.nonEmpty,
+      "setTableProperties needs at least one change")
+    (set.keys ++ set.values ++ unset).foreach(s =>
+      require(!s.contains('\n') && !s.contains('\t'),
+        s"property part '$s' cannot carry a tab or newline"))
+    while (true) {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"no committed snapshot under $dir")
+      val latest = vs.last
+      val props = tablePropertiesOf(spark, dir, latest) -- unset ++ set
+      val carried = manifestLines(spark, dir, latest).filter(l =>
+        l.startsWith("#schema=") || l.startsWith("#filestat=") ||
+          l.startsWith("#dv=") || l.startsWith("#check=") ||
+          l.startsWith("#partition=") || l.startsWith("#filepart="))
+      commitFiles(spark, dir, filesOf(spark, dir, latest),
+        java.util.UUID.randomUUID().toString,
+        header = Seq(tblpropHeader(props)) ++ carried ++
+          watermarkHeader(spark, dir),
+        base = Some(Some(latest))) match {
+        case Some(v) => return v
+        case None    => () // raced — recompute against the new latest
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Is the recorded change feed on for the table as of version `v`? */
+  private def cdfEnabled(spark: SparkSession, dir: String,
+      v: Long): Boolean =
+    tablePropertiesOf(spark, dir, v)
+      .get(ChangeFeedProperty).exists(_.equalsIgnoreCase("true"))
+
+  /** Version `v`'s RECORDED change files: `Some(paths)` iff the commit
+    * declared its row-level changes (`#cdf=1` — possibly zero files for
+    * a net-zero rewrite like [[optimize]]); `None` for ordinary commits
+    * (pure appends derive their inserts at file grain; anything else is
+    * not CDF-readable). */
+  def changeFilesOf(spark: SparkSession, dir: String,
+      v: Long): Option[Seq[String]] = {
+    val lines = manifestLines(spark, dir, v)
+    if (!lines.contains("#cdf=1")) None
+    else Some(lines.filter(_.startsWith("#changefile="))
+      .map(_.stripPrefix("#changefile=")))
+  }
+
+  private def cdfHeaders(changeFiles: Seq[String]): Seq[String] =
+    "#cdf=1" +: changeFiles.map(p => s"#changefile=$p")
+
+  /** Write `df` (table columns + `_change_type`) as this commit's
+    * change files under `changes/<changeId>/` — physical column names
+    * like every data file (rename-immune), plain layout (change files
+    * are read whole, never pruned). */
+  private def writeChangeFiles(spark: SparkSession, dir: String,
+      df: DataFrame, changeId: String): Seq[String] = {
+    val f = fs(spark, dir)
+    val cdir = new Path(dir, s"changes/$changeId")
+    toPhysical(spark, dir, df).write.parquet(cdir.toString)
+    f.listStatus(cdir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+  }
+
+  private def dropOrphanedChangeDir(spark: SparkSession, dir: String,
+      changeId: String): Unit =
+    try {
+      val p = new Path(dir, s"changes/$changeId")
+      val f = fs(spark, dir)
+      if (f.exists(p)) { f.delete(p, true); () }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Read freshly written (not yet committed) data files back under
+    * `outSchema`'s LOGICAL names — what [[replaceWhere]] records as its
+    * insert change rows without re-evaluating the incoming plan.
+    * Hive-partitioned files re-attach their partition values via
+    * basePath; physical→logical renaming mirrors [[scanWithMeta]]. */
+  private def readBackWritten(spark: SparkSession, dir: String,
+      latest: Long, paths: Seq[String], pcs: Seq[String],
+      outSchema: StructType): DataFrame = {
+    val cm = colmapOf(spark, dir, latest)
+    val phys = physicalSchema(cm, outSchema)
+    val raw =
+      if (pcs.isEmpty) spark.read.schema(phys).parquet(paths: _*)
+      else paths.groupBy(commitRootOf).toSeq.sortBy(_._1)
+        .map { case (root, ps) =>
+          spark.read.schema(phys).option("basePath", root).parquet(ps: _*)
+        }.reduce(_.unionByName(_))
+    if (cm.isEmpty) raw
+    else raw.select(outSchema.fields.toSeq.map(f =>
+      col(s"`${cm.getOrElse(f.name, f.name)}`").as(f.name)): _*)
+  }
+
   /** `schema` with every field under its PHYSICAL name — what the
     * parquet layer sees on both the read and the write path. */
   private def physicalSchema(cm: Map[String, String],
@@ -435,7 +571,15 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
         manifestLines(spark, dir, prev).filter(l =>
           l.startsWith("#colmap=") || l.startsWith("#dropped=")))
     }
-    val body = (header ++ mapCarry ++ files).mkString("\n").getBytes("UTF-8")
+    // table properties carry the same way (setTableProperties / restore
+    // suppress the carry with their own — possibly empty — header)
+    val propCarry: Seq[String] =
+      if (header.exists(_.startsWith("#tblprop="))) Seq.empty
+      else versions(spark, dir).lastOption.toSeq.flatMap(prev =>
+        manifestLines(spark, dir, prev)
+          .filter(_.startsWith("#tblprop=")))
+    val body = (header ++ mapCarry ++ propCarry ++ files)
+      .mkString("\n").getBytes("UTF-8")
     var attempt = 0
     while (attempt < 1000) {
       attempt += 1
@@ -952,8 +1096,16 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       val newFiles =
         if (survivors.isEmpty) Seq.empty
         else writeData(spark, dir, survivors, commitId, pcs)
+      // recorded change feed: the deleted pre-images ARE the commit's
+      // exact row-level changes — write them as change files
+      val cfiles =
+        if (!cdfEnabled(spark, dir, latest)) None
+        else Some(writeChangeFiles(spark, dir,
+          readCur(rewrite).filter(coalesce(pred, lit(false)))
+            .withColumn("_change_type", lit("delete")), commitId))
       commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++
+          cfiles.map(cdfHeaders).getOrElse(Seq.empty) ++
           prunedDvHeader(spark, dir, latest, rewrite) ++
           propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
           propagatedPartHeaders(spark, dir, latest, carry, newFiles) ++
@@ -964,6 +1116,7 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
         case None    => // raced — recompute against the new latest; this
           // attempt's survivor rewrite is unreferenced, reclaim eagerly
           if (newFiles.nonEmpty) dropOrphanedCommitDir(spark, dir, commitId)
+          if (cfiles.isDefined) dropOrphanedChangeDir(spark, dir, commitId)
       }
     }
     -1L // unreachable
@@ -1062,8 +1215,28 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
         }
       val merged = schema.map(mergeSchemas(_, df.schema))
         .getOrElse(df.schema)
+      // recorded change feed: the replaced region's pre-images are the
+      // deletes; the incoming rows are the inserts — read BACK from the
+      // fresh files (never a second evaluation of the incoming plan).
+      // Fresh files persist across rebase retries, change dirs don't —
+      // one uuid per attempt, reclaimed on a lost race.
+      val changeId = java.util.UUID.randomUUID().toString
+      val cfiles =
+        if (!cdfEnabled(spark, dir, latest)) None
+        else {
+          val ins = readBackWritten(spark, dir, latest, fresh,
+            writtenPcs, merged).withColumn("_change_type", lit("insert"))
+          val rows =
+            if (rewrite.isEmpty) ins
+            else alignTo(readCur(rewrite)
+              .filter(coalesce(pred, lit(false))), merged)
+              .withColumn("_change_type", lit("delete"))
+              .unionByName(ins)
+          Some(writeChangeFiles(spark, dir, rows, changeId))
+        }
       commitFiles(spark, dir, (carry ++ rewritten ++ fresh).sorted, commitId,
         header = Seq(schemaHeader(merged)) ++
+          cfiles.map(cdfHeaders).getOrElse(Seq.empty) ++
           prunedDvHeader(spark, dir, latest, rewrite) ++
           propagatedStatHeaders(spark, dir, latest, carry,
             rewritten ++ fresh) ++
@@ -1078,6 +1251,7 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
           // survivor rewrite is unreferenced garbage — reclaim eagerly
           // instead of leaving it to the grace-period vacuum
           if (survivorId != null) dropOrphanedCommitDir(spark, dir, survivorId)
+          if (cfiles.isDefined) dropOrphanedChangeDir(spark, dir, changeId)
       }
     }
     -1L // unreachable
@@ -1226,8 +1400,19 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
         matchedPost, s"UPDATE post-images in $dir")
       val commitId = java.util.UUID.randomUUID().toString
       val newFiles = writeData(spark, dir, rewritten, commitId, pcs)
+      // recorded change feed: matched pre-images + their post-images
+      // (both frames the verb already has — checks validate matchedPost)
+      val cfiles =
+        if (!cdfEnabled(spark, dir, latest)) None
+        else Some(writeChangeFiles(spark, dir,
+          readCur(rewrite).filter(hit)
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(matchedPost
+              .withColumn("_change_type", lit("update_postimage"))),
+          commitId))
       commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++
+          cfiles.map(cdfHeaders).getOrElse(Seq.empty) ++
           prunedDvHeader(spark, dir, latest, rewrite) ++
           propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
           propagatedPartHeaders(spark, dir, latest, carry, newFiles) ++
@@ -1238,6 +1423,7 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
         case None    => // raced — recompute against the new latest;
           // this attempt's rewrite files are unreferenced, reclaim
           dropOrphanedCommitDir(spark, dir, commitId)
+          if (cfiles.isDefined) dropOrphanedChangeDir(spark, dir, commitId)
       }
     }
     -1L // unreachable
@@ -1552,8 +1738,48 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
           val newFiles =
             if (body.isEmpty) Seq.empty
             else writeData(spark, dir, body, commitId, pcs)
+          // recorded change feed — the verb knows its exact changes:
+          // matched target rows are pre-images ("delete" when the change
+          // row tombstones, else "update_preimage"), upserts whose key
+          // exists in the rewritten files are post-images, the rest are
+          // inserts (NULL-keyed insert-only rows match nothing → insert)
+          val cfiles =
+            if (!cdfEnabled(spark, dir, latest)) None
+            else {
+              require(!outSchema.fieldNames.contains("_change_type") &&
+                !outSchema.fieldNames.contains("__del"),
+                s"$dir: the change feed reserves column names " +
+                  "_change_type and __del")
+              def tag(df: DataFrame): DataFrame = df.select(
+                (outSchema.fields.toSeq.map(fld =>
+                  if (df.columns.contains(fld.name)) col(s"`${fld.name}`")
+                  else lit(null).cast(fld.dataType).as(fld.name)) :+
+                  col("_change_type")): _*)
+              val legs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+              if (rewrite.nonEmpty) {
+                val flags = changes.filter(!anyKeyNull)
+                  .select((keys.map(col) :+ col("__del")): _*)
+                legs += tag(readCur(rewrite).join(flags, keys, "inner")
+                  .withColumn("_change_type",
+                    when(col("__del"), lit("delete"))
+                      .otherwise(lit("update_preimage"))))
+                val tk = readCur(rewrite)
+                  .select(keys.map(col): _*).distinct()
+                val upA = alignTo(upserts, outSchema)
+                legs += tag(upA.join(tk, keys, "left_semi")
+                  .withColumn("_change_type", lit("update_postimage")))
+                legs += tag(upA.join(tk, keys, "left_anti")
+                  .withColumn("_change_type", lit("insert")))
+              } else {
+                legs += tag(alignTo(upserts, outSchema)
+                  .withColumn("_change_type", lit("insert")))
+              }
+              Some(writeChangeFiles(spark, dir,
+                legs.reduce(_.unionByName(_)), commitId))
+            }
           commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
             header = extraHeader ++ Seq(schemaHeader(outSchema)) ++
+              cfiles.map(cdfHeaders).getOrElse(Seq.empty) ++
               prunedDvHeader(spark, dir, latest, rewrite) ++
               propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
               propagatedPartHeaders(spark, dir, latest, carry, newFiles) ++
@@ -1565,6 +1791,8 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
               // latest; this attempt's body files are unreferenced
               if (newFiles.nonEmpty)
                 dropOrphanedCommitDir(spark, dir, commitId)
+              if (cfiles.isDefined)
+                dropOrphanedChangeDir(spark, dir, commitId)
           }
         }
       }
@@ -1679,8 +1907,14 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
           .sortWithinPartitions((pcs ++ clusterBy).map(col): _*)
       val commitId = java.util.UUID.randomUUID().toString
       val fresh = writeData(spark, dir, clustered, commitId, pcs)
+      // compaction changes ZERO logical rows: with the change feed on,
+      // declare that (an EMPTY recorded change set) so CDF streams ride
+      // across it instead of refusing the file rewrite
+      val cdfMark =
+        if (cdfEnabled(spark, dir, latest)) cdfHeaders(Seq.empty)
+        else Seq.empty
       commitFiles(spark, dir, (large ++ fresh).sorted, commitId,
-        header = schema.map(schemaHeader).toSeq ++
+        header = schema.map(schemaHeader).toSeq ++ cdfMark ++
           prunedDvHeader(spark, dir, latest, small) ++
           propagatedStatHeaders(spark, dir, latest, large, fresh) ++
           propagatedPartHeaders(spark, dir, latest, large, fresh) ++
@@ -2610,8 +2844,12 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     // files other retained versions reference).
     val mapHeader = colmapHeaders(colmapOf(spark, dir, toV),
       droppedOf(spark, dir, toV) ++ droppedOf(spark, dir, latest))
+    // table properties roll back with the state — explicit (possibly
+    // empty) header suppresses the auto-carry of newer properties
+    val propHeader = tblpropHeader(tablePropertiesOf(spark, dir, toV))
     commitFiles(spark, dir, files, java.util.UUID.randomUUID().toString,
-      header = header ++ mapHeader ++ watermarkHeader(spark, dir),
+      header = header ++ mapHeader ++ Seq(propHeader) ++
+        watermarkHeader(spark, dir),
       base = Some(Some(latest)))
       .getOrElse(throw new IllegalStateException(
         s"restore to v$toV lost a race with a concurrent commit on $dir — " +
@@ -3537,7 +3775,18 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       }
       val dvName = s"${java.util.UUID.randomUUID().toString}.parquet"
       writeDvSidecar(spark, dir, dvName, cumulative)
+      // recorded change feed: the newly tombstoned rows are this
+      // commit's exact deletes (the DV-growth commit the append-only
+      // stream must otherwise refuse)
+      val changeId = java.util.UUID.randomUUID().toString
+      val cfiles =
+        if (!cdfEnabled(spark, dir, latest)) None
+        else Some(writeChangeFiles(spark, dir,
+          alive.filter(coalesce(pred, lit(false)))
+            .drop("__dv_f", "__dv_i")
+            .withColumn("_change_type", lit("delete")), changeId))
       val header = Seq(s"#dv=$dvName") ++
+        cfiles.map(cdfHeaders).getOrElse(Seq.empty) ++
         schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
         manifestLines(spark, dir, latest).filter(l =>
           l.startsWith("#filestat=") || l.startsWith("#check=") ||
@@ -3546,7 +3795,8 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       commitFiles(spark, dir, current, dvName, header = header,
         base = Some(Some(latest))) match {
         case Some(v) => return v
-        case None    => () // raced — recompute (orphan sidecar vacuumable)
+        case None    => // raced — recompute (orphan sidecar vacuumable)
+          if (cfiles.isDefined) dropOrphanedChangeDir(spark, dir, changeId)
       }
     }
     -1L // unreachable
@@ -3575,8 +3825,14 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
         if (survivors.isEmpty) Seq.empty
         else writeData(spark, dir, survivors, commitId,
           partitionColsOf(spark, dir, latest))
+      // physically dropping already-tombstoned rows changes ZERO
+      // logical rows — declare the empty change set for CDF streams
+      val cdfMark =
+        if (cdfEnabled(spark, dir, latest)) cdfHeaders(Seq.empty)
+        else Seq.empty
       commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
         header = schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
+          cdfMark ++
           propagatedStatHeaders(spark, dir, latest, carry, newFiles) ++
           propagatedPartHeaders(spark, dir, latest, carry, newFiles) ++
           checkHeaders(checksOf(spark, dir, latest)) ++
@@ -3812,6 +4068,11 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     // files are known-dead (their last referencing version is going away)
     // and exempt from the orphan grace period
     val droppedRefs = drop.flatMap(filesOf(spark, dir, _)).toSet
+    // dropped versions' RECORDED change files — captured before their
+    // manifests go away, known-dead like droppedRefs
+    val droppedChangeRefs = drop
+      .flatMap(v => changeFilesOf(spark, dir, v).getOrElse(Seq.empty))
+      .toSet
     drop.foreach { v =>
       f.delete(manifestPath(dir, v), false)
       f.delete(bloomPath(dir, v), true) // version-scoped bloom sidecar
@@ -3846,6 +4107,25 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       }
       dropP.foreach { s => f.delete(s.getPath, false); removedFiles += 1 }
       if (keepP.isEmpty) f.delete(d.getPath, true) // whole commit dead
+    }
+    // recorded change files follow the same rule: referenced by a
+    // RETAINED manifest → keep; referenced only by dropped versions →
+    // dead now; unreferenced (lost commit races) → grace period
+    val changesRoot = new Path(dir, "changes")
+    if (f.exists(changesRoot)) {
+      val liveChanges = keep
+        .flatMap(v => changeFilesOf(spark, dir, v).getOrElse(Seq.empty))
+        .toSet
+      f.listStatus(changesRoot).foreach { d =>
+        val parts = f.listStatus(d.getPath).toSeq.filter(_.isFile)
+        val (keepC, dropC) = parts.partition { s =>
+          val p = s.getPath.toString
+          liveChanges(p) || (!droppedChangeRefs(p) &&
+            now - s.getModificationTime <= orphanGraceMs)
+        }
+        dropC.foreach { s => f.delete(s.getPath, false); removedFiles += 1 }
+        if (keepC.isEmpty) f.delete(d.getPath, true)
+      }
     }
     (drop.size, removedFiles)
   }
@@ -3969,11 +4249,14 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     * schema header — no data is written or rewritten. Older files (and
     * every older version) simply lack the columns, so they read back as
     * typed NULLs (the same [[mergeSchemas]] evolution rule a widening
-    * data commit uses); the next write carries them for real. Added
-    * columns must be nullable for exactly that reason, names must be
-    * fresh, and everything else the manifest tracks (stats, DV,
-    * partition layout, CHECK constraints, replay watermark) is carried
-    * forward verbatim — the [[addCheck]] metadata-commit discipline.
+    * data commit uses) — or, when a field carries `CURRENT_DEFAULT`
+    * metadata (`ADD COLUMN ... DEFAULT <expr>`), as the frozen folded
+    * EXISTS_DEFAULT ([[alterCommit]]'s validation + every scan path's
+    * file-missing-column fill); the next write carries them for real.
+    * Added columns must be nullable, names must be fresh, and
+    * everything else the manifest tracks (stats, DV, partition layout,
+    * CHECK constraints, replay watermark) is carried forward verbatim —
+    * the [[addCheck]] metadata-commit discipline.
     * Cost at 100 TB: one manifest write; zero data bytes. */
   def addColumns(spark: SparkSession, dir: String,
       cols: Seq[StructField]): Long = {
@@ -3994,16 +4277,31 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     * one-commit-per-change split whose partial failure leaves earlier
     * changes applied ([[graft.sources.GraftCatalog]] routes every
     * `alterTable` here). Zero data written, base-checked like every
-    * metadata commit. */
+    * metadata commit.
+    *
+    * DEFAULT values: an added column may carry a `CURRENT_DEFAULT`
+    * metadata entry (the `ALTER TABLE ADD COLUMN ... DEFAULT <expr>`
+    * SQL text). The statement VALIDATES it (constant-foldable, castable
+    * to the column type — refused loudly otherwise) and freezes the
+    * folded literal as the column's `EXISTS_DEFAULT`: pre-existing rows
+    * read THAT value (every scan path fills file-missing columns from
+    * it), while future inserts that omit the column evaluate
+    * `CURRENT_DEFAULT`. `setDefaults` re-points `CURRENT_DEFAULT` only
+    * (`ALTER COLUMN ... SET/DROP DEFAULT` — `None` drops): existing
+    * rows keep reading the EXISTS_DEFAULT frozen when the column was
+    * added, the standard Delta/Spark split. */
   def alterCommit(spark: SparkSession, dir: String,
       addCols: Seq[StructField],
       addChecks: Seq[(String, String)],
       dropChecks: Seq[String],
       renameCols: Seq[(String, String)] = Seq.empty,
-      dropCols: Seq[String] = Seq.empty): Long = {
+      dropCols: Seq[String] = Seq.empty,
+      setDefaults: Seq[(String, Option[String])] = Seq.empty): Long = {
     require(addCols.nonEmpty || addChecks.nonEmpty || dropChecks.nonEmpty ||
-      renameCols.nonEmpty || dropCols.nonEmpty,
+      renameCols.nonEmpty || dropCols.nonEmpty || setDefaults.nonEmpty,
       "alterCommit needs at least one change")
+    require(setDefaults.map(_._1).distinct.length == setDefaults.length,
+      s"duplicate SET DEFAULT columns in ${setDefaults.map(_._1).mkString(",")}")
     addChecks.foreach { case (name, sqlExpr) =>
       require(name.nonEmpty && !name.contains('=') && !name.contains('\n'),
         s"check name '$name' must be non-empty without '=' or newline")
@@ -4098,11 +4396,52 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
             "physically); pick a different name")
         require(f.nullable,
           s"added column '${f.name}' must be nullable — existing rows " +
-            "can only read it as NULL")
+            "read it as its DEFAULT (NULL when none is declared)")
       }
-      val widened =
-        if (addCols.isEmpty) schema2
-        else StructType(schema2.fields ++ addCols)
+      // DEFAULT <expr> on an added column: validate (constant-foldable,
+      // castable — Spark's own analyzer check, loud on failure) and
+      // freeze the FOLDED literal as EXISTS_DEFAULT — the value every
+      // pre-existing row reads, immune to later SET DEFAULT re-points.
+      // Folded over the ADDED fields only: re-folding existing columns
+      // would overwrite their frozen EXISTS_DEFAULT with today's
+      // CURRENT_DEFAULT and silently rewrite history.
+      import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      val addCols2 =
+        if (addCols.exists(_.metadata.contains(
+          ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY)))
+          ResolveDefaultColumns.constantFoldCurrentDefaultsToExistDefaults(
+            StructType(addCols), "ALTER TABLE ADD COLUMNS").fields.toSeq
+        else addCols
+      var widened =
+        if (addCols2.isEmpty) schema2
+        else StructType(schema2.fields ++ addCols2)
+      // SET/DROP DEFAULT: re-point CURRENT_DEFAULT (future inserts)
+      // only; EXISTS_DEFAULT — what old rows read — stays frozen
+      setDefaults.foreach { case (n, sqlOpt) =>
+        require(widened.fieldNames.contains(n), s"no column '$n' on $dir")
+        widened = StructType(widened.fields.map { f =>
+          if (f.name != n) f
+          else sqlOpt match {
+            case None => f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .remove(ResolveDefaultColumns
+                  .CURRENT_DEFAULT_COLUMN_METADATA_KEY).build())
+            case Some(sqlTxt) =>
+              require(!sqlTxt.contains('\n'),
+                "DEFAULT expression must be a single line")
+              val f2 = f.copy(metadata =
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putString(ResolveDefaultColumns
+                    .CURRENT_DEFAULT_COLUMN_METADATA_KEY, sqlTxt).build())
+              // loud validation: foldable + type-castable, or refused
+              ResolveDefaultColumns.analyze(f2,
+                "ALTER TABLE ALTER COLUMN SET DEFAULT")
+              f2
+          }
+        })
+      }
       addChecks.foreach { case (n, _) =>
         require(!kept.exists(_._1 == n),
           s"check '$n' already exists on $dir")
@@ -4161,6 +4500,19 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
   def dropColumn(spark: SparkSession, dir: String, name: String): Long =
     alterCommit(spark, dir, Seq.empty, Seq.empty, Seq.empty,
       dropCols = Seq(name))
+
+  /** `ALTER TABLE ... ALTER COLUMN <col> SET DEFAULT <sql>` /
+    * `DROP DEFAULT` (`None`) as ONE metadata-only commit. Re-points
+    * what FUTURE inserts fill when they omit the column; rows already
+    * on disk keep reading the `EXISTS_DEFAULT` frozen when the column
+    * was added (or NULL for columns that never had one) — the standard
+    * Delta/Spark current-vs-exists split. The expression must be
+    * constant-foldable and castable to the column type (refused
+    * loudly otherwise). */
+  def setColumnDefault(spark: SparkSession, dir: String, name: String,
+      defaultSql: Option[String]): Long =
+    alterCommit(spark, dir, Seq.empty, Seq.empty, Seq.empty,
+      setDefaults = Seq(name -> defaultSql))
 
   def addCheck(spark: SparkSession, dir: String, name: String,
       sqlExpr: String): Long = {

@@ -54,6 +54,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    source (use [[SnapshotLog.changesBetween]] for CDC semantics).
   *    Deletion-vector growth is refused for the same reason (batch
   *    reads apply DVs; streams refuse their growth).
+  *  - EXCEPT under `.option("readChangeFeed", "true")`: rows carry a
+  *    `_change_type` marker (insert | delete | update_preimage |
+  *    update_postimage), appends derive their inserts at file grain,
+  *    and rewrite commits are read through their RECORDED change files
+  *    ([[SnapshotLog.ChangeFeedProperty]] — the rewrite verbs write
+  *    their exact, survivor-cancelled changes when the table property
+  *    is on; a rewrite that ran without it still refuses loudly). The
+  *    replay law: (inserts ∪ postimages) exceptAll (deletes ∪
+  *    preimages) over the feed reconstructs the table content.
   *  - Flat schemas of long / int / short / byte / double / float /
   *    boolean / string / date / timestamp / decimal columns, plus
   *    single-level arrays of those element types (the embeddings
@@ -87,9 +96,20 @@ class SnapshotStreamSource extends TableProvider
   /** Registered via META-INF/services — `.format("graft-snapshot")`. */
   override def shortName(): String = "graft-snapshot"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SnapshotStreamSource.schemaFor(SnapshotStreamSource.pathOf(options),
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = SnapshotStreamSource.schemaFor(
+      SnapshotStreamSource.pathOf(options),
       Option(options.get("versionAsOf")).map(_.toLong))
+    // readChangeFeed streams append the change-type marker column
+    if (java.lang.Boolean.parseBoolean(
+        options.getOrDefault("readChangeFeed", "false"))) {
+      require(!base.fieldNames.contains("_change_type"),
+        "the table already has a _change_type column — readChangeFeed " +
+          "reserves that name")
+      base.add("_change_type", org.apache.spark.sql.types.StringType,
+        nullable = true)
+    } else base
+  }
 
   /** The BATCH write half (`df.write.format("graft-snapshot")`), routed
     * through the library's commit verbs so CHECK constraints, schema
@@ -293,10 +313,21 @@ private[graft] class SnapshotStreamTable(schema0: StructType,
           require(versionAsOf.isEmpty && options.get("versionAsOf") == null,
             "versionAsOf is a batch-read option; streams start from " +
               "startingVersion instead")
+          val cdf = java.lang.Boolean.parseBoolean(
+            options.getOrDefault("readChangeFeed", "false"))
+          // the marker column must be IN the relation schema — catalog
+          // tables declare the plain schema, so CDF reads go through
+          // the path-based format whose inferSchema appends it
+          require(!cdf || schema0.fieldNames.contains("_change_type"),
+            "readChangeFeed streams carry a _change_type column; read " +
+              "via spark.readStream.format(\"graft-snapshot\")" +
+              ".option(\"path\", <table dir>)" +
+              ".option(\"readChangeFeed\", \"true\")")
           new SnapshotMicroBatchStream(dir, pruned,
             Option(options.get("startingVersion")),
             Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
-            Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+            Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+            changeFeed = cdf)
         }
       }
     }
@@ -356,7 +387,8 @@ private[sources] object VersionOffset {
 private[sources] class SnapshotMicroBatchStream(dir: String,
     schema: StructType, startingVersion: Option[String],
     maxVersionsPerTrigger: Option[Long],
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    changeFeed: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -471,11 +503,24 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
     val vset = vs.toSet // O(1) membership across the whole version range
     val newFiles =
       scala.collection.mutable.ArrayBuffer[(String, Map[String, String])]()
+    // RECORDED change files ([[SnapshotLog.ChangeFeedProperty]]): the
+    // commit's exact row-level rows, `_change_type` materialized inside
+    val recordedFiles = scala.collection.mutable.ArrayBuffer[String]()
     ((s + 1) to e).foreach { v =>
       require(vset.contains(v),
         s"version $v of $dir is gone (vacuumed?) — the stream cannot " +
           s"replay it; restart from a retained version " +
           s"(have ${vs.mkString(",")})")
+      // a recorded commit (rewrite verb under graft.changeFeed=true) is
+      // described ONLY by its change files — never by its file diff,
+      // whose added files mix COW survivors with real changes. The
+      // stream's INITIAL snapshot stays the full state regardless.
+      val recorded =
+        if (changeFeed && v != so.start)
+          SnapshotLog.changeFilesOf(spark, dir, v)
+        else None
+      if (recorded.isDefined) { recordedFiles ++= recorded.get }
+      else {
       val files = SnapshotLog.filesOf(spark, dir, v)
       val prev: Seq[String] =
         if (vset.contains(v - 1)) SnapshotLog.filesOf(spark, dir, v - 1)
@@ -491,15 +536,23 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
       val prevSet = prev.map(norm).toSet
       val curSet = files.map(norm).toSet
       val removed = prev.filterNot(p => curSet.contains(norm(p)))
+      val cdfHint =
+        if (changeFeed) "this commit predates the table's change feed " +
+          s"(or ran without it) — set TBLPROPERTIES ('" +
+          s"${SnapshotLog.ChangeFeedProperty}'='true') so rewrite verbs " +
+          "record their changes, or restart past it"
+        else "the streaming source is append-only (an emitted row " +
+          "cannot be retracted); use SnapshotLog.changesBetween for " +
+          "CDC semantics, or readChangeFeed with " +
+          s"TBLPROPERTIES ('${SnapshotLog.ChangeFeedProperty}'='true')"
       require(removed.isEmpty,
         s"version $v of $dir removed/rewrote ${removed.size} file(s) — " +
-          "the streaming source is append-only (an emitted row cannot be " +
-          "retracted); use SnapshotLog.changesBetween for CDC semantics")
+          cdfHint)
       require(SnapshotLog.dvOf(spark, dir, v) ==
         (if (vset.contains(v - 1)) SnapshotLog.dvOf(spark, dir, v - 1)
          else None),
         s"version $v of $dir changed its deletion vector — MoR deletes " +
-          "retract emitted rows; use changesBetween for CDC semantics")
+          s"retract emitted rows; $cdfHint")
       // partition tuples ride with the files (from the MANIFEST — never
       // re-parsed from paths on executors); readers fill the partition
       // columns as typed constants
@@ -508,6 +561,7 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
       else Map.empty[String, Map[String, String]]
       newFiles ++= files.filterNot(p => prevSet.contains(norm(p)))
         .map(p => (p, parts.getOrElse(p, Map.empty[String, String])))
+      }
     }
     // physical names for footer lookup, via the LATEST colmap: a name
     // this stream bound BEFORE a later rename is already the storage
@@ -515,9 +569,15 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
     // both directions land on the immutable physical name
     val phys = SnapshotStreamSource.physicalFields(
       SnapshotLog.colmapOf(spark, dir, vs.last), schema)
-    newFiles.map { case (p, t) =>
-      SnapshotFilePartition(p, phys.json, t, None): InputPartition
-    }.toArray
+    // CDF mode: plain data files are pure-append rows — the reader
+    // fills `_change_type` as the constant "insert" via the partition-
+    // tuple mechanism; recorded change files carry the column for real
+    (newFiles.map { case (p, t) =>
+      val tuple = if (changeFeed) t + ("_change_type" -> "insert") else t
+      SnapshotFilePartition(p, phys.json, tuple, None): InputPartition
+    } ++ recordedFiles.map(p =>
+      SnapshotFilePartition(p, phys.json, Map.empty,
+        None): InputPartition)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -653,7 +713,9 @@ private[sources] class GroupFileReader(path: String, schema: StructType,
   }
 
   /** Per-schema-field decoders, resolved ONCE from the projected
-    * message type (missing field → partition constant or null). */
+    * message type (missing field → partition constant, the column's
+    * frozen EXISTS_DEFAULT when one is declared — the same fill the
+    * vectorized batch scan applies — else null). */
   private val decoders: Array[Group => Any] =
     schema.fields.map { f =>
       val fi = if (projected.containsField(f.name))
@@ -661,7 +723,13 @@ private[sources] class GroupFileReader(path: String, schema: StructType,
       if (fi < 0) {
         if (partConsts.contains(f.name)) {
           val c = partConsts(f.name); (_: Group) => c
-        } else (_: Group) => null
+        } else {
+          // internal-format constant (UTF8String/Int days/Long micros),
+          // resolved ONCE per file — null when no default is declared
+          val d = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .getExistenceDefaultValue(f)
+          (_: Group) => d
+        }
       } else f.dataType match {
         case ArrayType(et, _) =>
           // Spark's standard 3-level list: optional group (LIST) {

@@ -97,11 +97,15 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("ALTER TABLE g.tmp.a RENAME TO tmp.b")
     assert(spark.sql("SHOW TABLES IN g.tmp").select("tableName")
       .as[String].collect().toSeq === Seq("b"))
+    // SET TBLPROPERTIES is supported (one metadata commit, round 12)
+    spark.sql("ALTER TABLE g.tmp.b SET TBLPROPERTIES ('x' = 'y')")
+    assert(spark.sql("SHOW TBLPROPERTIES g.tmp.b")
+      .as[(String, String)].collect().toMap.get("x") === Some("y"))
     // unsupported change kinds are still refused loudly
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE g.tmp.b SET TBLPROPERTIES ('x' = 'y')")
+      spark.sql("ALTER TABLE g.tmp.b ALTER COLUMN k COMMENT 'nope'")
     }
-    assert(e.getMessage.contains("got SetProperty"),
+    assert(e.getMessage.contains("UpdateColumnComment"),
       s"unexpected alterTable error: ${e.getMessage}")
     spark.sql("DROP TABLE g.tmp.b")
     assert(spark.sql("SHOW TABLES IN g.tmp").count() === 0)
@@ -1002,5 +1006,125 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     }
     assert(corr.getMessage.contains("CORRELATED"),
       s"expected the correlated refusal, got: ${corr.getMessage}")
+  }
+
+  test("column DEFAULT values: CREATE TABLE defaults fill omitted " +
+      "INSERT columns and the DEFAULT keyword") {
+    spark.sql("CREATE TABLE g.gold.defc " +
+      "(k BIGINT, v STRING DEFAULT 'none', n INT DEFAULT 7)")
+    // omitted columns evaluate CURRENT_DEFAULT at insert
+    spark.sql("INSERT INTO g.gold.defc (k) VALUES (1)")
+    // the explicit DEFAULT keyword does too
+    spark.sql("INSERT INTO g.gold.defc VALUES (2, DEFAULT, 9)")
+    spark.sql("INSERT INTO g.gold.defc VALUES (3, 'x', DEFAULT)")
+    val rows = spark.sql(
+      "SELECT k, v, n FROM g.gold.defc ORDER BY k")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(rows === Seq((1L, "none", 7), (2L, "none", 9), (3L, "x", 7)))
+  }
+
+  test("ADD COLUMN ... DEFAULT backfills old rows from the FROZEN " +
+      "exists-default; SET/DROP DEFAULT re-point future inserts only") {
+    spark.sql("CREATE TABLE g.gold.defa (k BIGINT, v STRING)")
+    val dir = s"$root/gold/defa"
+    spark.sql("INSERT INTO g.gold.defa VALUES (1, 'a'), (2, 'b')")
+    val preAlter = SnapshotLog.versions(spark, dir).last
+    // metadata-only widening: old files lack the column, reads fill
+    // the frozen default — both the vectorized batch path and rewrites
+    spark.sql("ALTER TABLE g.gold.defa ADD COLUMN score INT DEFAULT 42")
+    assert(SnapshotLog.versions(spark, dir).last === preAlter + 1,
+      "ADD COLUMN DEFAULT must be one metadata-only commit")
+    assert(spark.sql("SELECT score FROM g.gold.defa WHERE k = 1")
+      .as[Int].head() === 42)
+    // future inserts omitting the column evaluate CURRENT_DEFAULT
+    spark.sql("INSERT INTO g.gold.defa (k, v) VALUES (3, 'c')")
+    assert(spark.sql("SELECT score FROM g.gold.defa WHERE k = 3")
+      .as[Int].head() === 42)
+    // SET DEFAULT: future inserts change; rows already on disk keep
+    // reading the EXISTS_DEFAULT frozen at ADD COLUMN time
+    spark.sql(
+      "ALTER TABLE g.gold.defa ALTER COLUMN score SET DEFAULT 7")
+    spark.sql("INSERT INTO g.gold.defa (k, v) VALUES (4, 'd')")
+    assert(spark.sql("SELECT score FROM g.gold.defa WHERE k = 4")
+      .as[Int].head() === 7)
+    assert(spark.sql("SELECT score FROM g.gold.defa WHERE k = 1")
+      .as[Int].head() === 42,
+      "SET DEFAULT must not rewrite what pre-existing rows read")
+    // DROP DEFAULT: inserts fill NULL again; old rows untouched
+    spark.sql(
+      "ALTER TABLE g.gold.defa ALTER COLUMN score DROP DEFAULT")
+    spark.sql("INSERT INTO g.gold.defa (k, v) VALUES (5, 'e')")
+    assert(spark.sql("SELECT score FROM g.gold.defa WHERE k = 5")
+      .head().isNullAt(0))
+    assert(spark.sql("SELECT score FROM g.gold.defa WHERE k = 1")
+      .as[Int].head() === 42)
+    // time travel: the pre-ALTER version has no such column at all
+    assert(!spark.sql(
+      s"SELECT * FROM g.gold.defa VERSION AS OF $preAlter")
+      .columns.contains("score"))
+    // a copy-on-write rewrite of an old file MATERIALIZES the frozen
+    // default for its rows (the scan fill feeds the rewrite)
+    spark.sql("UPDATE g.gold.defa SET v = 'A' WHERE k = 1")
+    assert(spark.sql("SELECT score, v FROM g.gold.defa WHERE k = 1")
+      .as[(Int, String)].head() === ((42, "A")))
+  }
+
+  test("non-constant DEFAULT expressions are refused loudly") {
+    spark.sql("CREATE TABLE g.gold.defr (k BIGINT, v BIGINT)")
+    val bad = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE g.gold.defr ADD COLUMN x BIGINT DEFAULT k + 1")
+    }
+    assert(bad.getMessage.toLowerCase.contains("default"),
+      s"expected a loud DEFAULT refusal, got: ${bad.getMessage}")
+    // constant EXPRESSIONS (not just literals) fold fine
+    spark.sql(
+      "ALTER TABLE g.gold.defr ADD COLUMN y BIGINT DEFAULT 6 * 7")
+    spark.sql("INSERT INTO g.gold.defr (k, v) VALUES (1, 1)")
+    assert(spark.sql("SELECT y FROM g.gold.defr WHERE k = 1")
+      .as[Long].head() === 42L)
+  }
+
+  test("DML honors defaults: MERGE INSERT omitting a defaulted column " +
+      "fills it; UPDATE SET c = DEFAULT and VALUES(DEFAULT) resolve") {
+    spark.sql("CREATE TABLE g.gold.defm " +
+      "(k BIGINT, v STRING, n INT DEFAULT 5)")
+    spark.sql("INSERT INTO g.gold.defm VALUES (1, 'a', 1)")
+    // omitted insert column → CURRENT_DEFAULT (the SQL INSERT contract)
+    spark.sql("MERGE INTO g.gold.defm t " +
+      "USING (SELECT CAST(2 AS BIGINT) AS k, 'b' AS v) s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+    assert(spark.sql("SELECT n FROM g.gold.defm WHERE k = 2")
+      .as[Int].head() === 5)
+    // the explicit DEFAULT keyword resolves through the analyzer
+    spark.sql("MERGE INTO g.gold.defm t " +
+      "USING (SELECT CAST(3 AS BIGINT) AS k, 'c' AS v) s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k, s.v, DEFAULT)")
+    assert(spark.sql("SELECT n FROM g.gold.defm WHERE k = 3")
+      .as[Int].head() === 5)
+    spark.sql("UPDATE g.gold.defm SET n = DEFAULT WHERE k = 1")
+    assert(spark.sql("SELECT n FROM g.gold.defm WHERE k = 1")
+      .as[Int].head() === 5)
+  }
+
+  test("the micro-batch stream fills file-missing columns from the " +
+      "frozen default (GroupFileReader parity with the batch scan)") {
+    spark.sql("CREATE TABLE g.gold.defs (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.gold.defs VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE g.gold.defs ADD COLUMN tag STRING " +
+      "DEFAULT 'legacy'")
+    spark.sql("INSERT INTO g.gold.defs VALUES (3, 'c', 'fresh')")
+    val out = Files.createTempDirectory("defstream").toString
+    val q = spark.readStream.table("g.gold.defs").writeStream
+      .format("memory").queryName("defs_stream")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      "SELECT k, tag FROM defs_stream ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "legacy"), (2L, "legacy"), (3L, "fresh")),
+      s"stream read must fill the frozen default; got $got")
   }
 }

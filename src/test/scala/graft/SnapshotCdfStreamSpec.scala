@@ -1,0 +1,218 @@
+package graft
+
+import graft.sources.SnapshotLog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The RECORDED change feed (`graft.changeFeed=true` +
+  * `readStream.option("readChangeFeed", "true")`): rewrite verbs write
+  * their exact row-level changes as change files, appends derive their
+  * inserts at file grain, and the stream delivers the union with a
+  * `_change_type` marker — the Delta-CDF design on the snapshot log.
+  *
+  * The load-bearing law is REPLAY: because each commit's recorded
+  * changes are exact and survivor-cancelled,
+  * `(inserts ∪ update_postimages) exceptAll (deletes ∪
+  * update_preimages)` over the whole feed reconstructs the table's
+  * final content as a multiset, from nothing. */
+class SnapshotCdfStreamSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.SnapshotStreamSource"
+
+  private def freshDir() =
+    Files.createTempDirectory("snapcdf").toString + "/tbl"
+
+  private def drain(dir: String, sink: String): Unit = {
+    val ckpt = Files.createTempDirectory("snapcdf-ckpt").toString
+    val q = spark.readStream.format(Fmt).option("path", dir)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+  }
+
+  /** The replay law as signed counts: per full row, (#insert +
+    * #update_postimage − #delete − #update_preimage) over the feed must
+    * equal the row's multiplicity in the final table. */
+  private def assertFeedReplaysTo(feed: DataFrame, table: DataFrame,
+      cols: Seq[String], what: String): Unit = {
+    val net = feed.groupBy(cols.map(col): _*)
+      .agg(sum(when(col("_change_type")
+        .isin("insert", "update_postimage"), 1L).otherwise(-1L))
+        .as("__net"))
+    val want = table.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val off = net.join(want, cols, "full_outer")
+      .filter(coalesce(col("__net"), lit(0L)) =!=
+        coalesce(col("__cnt"), lit(0L)))
+    assert(off.isEmpty,
+      s"$what: replayed feed diverges from the table on " +
+        s"${off.count()} row(s): ${off.collect().mkString("; ")}")
+  }
+
+  test("replay law: the recorded feed reconstructs the table through " +
+      "append, merge (update/insert/delete), UPDATE, DELETE and " +
+      "REPLACE WHERE") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("k", "v", "n"))
+    SnapshotLog.setTableProperties(spark, dir,
+      Map(SnapshotLog.ChangeFeedProperty -> "true"))
+    // append (inserts derive at file grain — no change files needed)
+    SnapshotLog.append(spark, dir,
+      Seq((4L, "d", 40L), (5L, "e", 50L)).toDF("k", "v", "n"))
+    // merge: update k=1, delete k=2, insert k=6
+    SnapshotLog.merge(spark, dir,
+      Seq((1L, "A", 11L, false), (2L, "b", 20L, true),
+        (6L, "f", 60L, false)).toDF("k", "v", "n", "del"),
+      keys = Seq("k"), deleteWhen = Some(col("del")),
+      dropCols = Seq("del"))
+    // targeted UPDATE and DELETE
+    SnapshotLog.updateWhere(spark, dir, col("k") === 3L,
+      Map("n" -> (col("n") + 300L)))
+    SnapshotLog.deleteWhere(spark, dir, col("k") === 4L)
+    // REPLACE WHERE: reload the k >= 5 region
+    SnapshotLog.replaceWhere(spark, dir,
+      Seq((5L, "E", 55L), (7L, "g", 70L)).toDF("k", "v", "n"),
+      col("k") >= 5L)
+    drain(dir, "cdf_replay")
+    val feed = spark.table("cdf_replay")
+    // every row carries a marker; the four types all occur
+    assert(feed.filter(col("_change_type").isNull).isEmpty)
+    val types = feed.select("_change_type").distinct()
+      .as[String].collect().toSet
+    assert(types === Set("insert", "delete", "update_preimage",
+      "update_postimage"), s"got $types")
+    assertFeedReplaysTo(feed, SnapshotLog.read(spark, dir),
+      Seq("k", "v", "n"), "replayed feed vs table")
+    // exact shape spot-checks: k=1 merged update → pre 10, post 11;
+    // k=2 delete pre-image; k=5 replace = delete(50) + insert(55)
+    assert(feed.filter(col("k") === 1L &&
+      col("_change_type") === "update_preimage")
+      .select("n").as[Long].collect().toSeq === Seq(10L))
+    assert(feed.filter(col("k") === 1L &&
+      col("_change_type") === "update_postimage")
+      .select("n").as[Long].collect().toSeq === Seq(11L))
+    // k=2: initial-snapshot insert, then the merge's tombstone
+    assert(feed.filter(col("k") === 2L)
+      .select("_change_type").as[String].collect().sorted.toSeq ===
+      Seq("delete", "insert"))
+    // k=5: initial insert(50), then REPLACE WHERE = delete(50)+insert(55)
+    assert(feed.filter(col("k") === 5L)
+      .select(col("_change_type"), col("n")).as[(String, Long)]
+      .collect().toSet ===
+      Set(("insert", 50L), ("delete", 50L), ("insert", 55L)))
+  }
+
+  test("MoR deletes (DV growth) record their tombstoned rows; optimize " +
+      "declares a zero-change commit and the stream rides across both") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir,
+      (0L until 20L).map(i => (i, s"v$i")).toDF("k", "v"))
+    SnapshotLog.setTableProperties(spark, dir,
+      Map(SnapshotLog.ChangeFeedProperty -> "true"))
+    SnapshotLog.deleteWhereMoR(spark, dir, col("k") < 3L)
+    SnapshotLog.append(spark, dir, Seq((100L, "x")).toDF("k", "v"))
+    SnapshotLog.optimize(spark, dir, smallFileBytes = Long.MaxValue,
+      targetFiles = 1)
+    drain(dir, "cdf_mor")
+    val feed = spark.table("cdf_mor")
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().sorted.toSeq === Seq(0L, 1L, 2L))
+    // initial 20 inserts + 1 append insert + 3 deletes; optimize adds 0
+    assert(feed.count() === 24)
+    assertFeedReplaysTo(feed, SnapshotLog.read(spark, dir),
+      Seq("k", "v"), "MoR feed vs table")
+  }
+
+  test("a rewrite WITHOUT recorded changes refuses loudly, naming the " +
+      "property; plain streams keep their append-only refusal") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir,
+      (0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"))
+    SnapshotLog.deleteWhere(spark, dir, col("k") === 1L) // not recorded
+    val ckpt = Files.createTempDirectory("snapcdf-ckpt").toString
+    val q = spark.readStream.format(Fmt).option("path", dir)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("cdf_refuse")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains(SnapshotLog.ChangeFeedProperty),
+      s"refusal must name the property; got: $msgs")
+  }
+
+  test("SQL surface: TBLPROPERTIES create/show/unset, CDF rides SQL " +
+      "DML, restore rolls properties back") {
+    val root = Files.createTempDirectory("cdfcat").toString
+    spark.conf.set("spark.sql.catalog.gcdf", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcdf.root", root)
+    spark.sql("CREATE NAMESPACE gcdf.ns")
+    spark.sql("CREATE TABLE gcdf.ns.t (k BIGINT, v STRING) " +
+      s"TBLPROPERTIES ('${SnapshotLog.ChangeFeedProperty}'='true')")
+    val dir = s"$root/ns/t"
+    assert(SnapshotLog.tablePropertiesOf(spark, dir,
+      SnapshotLog.versions(spark, dir).last) ===
+      Map(SnapshotLog.ChangeFeedProperty -> "true"))
+    // SHOW TBLPROPERTIES reads them
+    val shown = spark.sql("SHOW TBLPROPERTIES gcdf.ns.t")
+      .as[(String, String)].collect().toMap
+    assert(shown.get(SnapshotLog.ChangeFeedProperty) === Some("true"))
+    spark.sql("INSERT INTO gcdf.ns.t VALUES (1, 'a'), (2, 'b')")
+    // SQL DML records its changes (UPDATE plans onto updateWhere)
+    spark.sql("UPDATE gcdf.ns.t SET v = 'A' WHERE k = 1")
+    drain(dir, "cdf_sql")
+    val feed = spark.table("cdf_sql")
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .select("v").as[String].collect().toSeq === Seq("A"))
+    // property survives data commits via the auto-carry
+    val vLatest = SnapshotLog.versions(spark, dir).last
+    assert(SnapshotLog.tablePropertiesOf(spark, dir, vLatest)
+      .get(SnapshotLog.ChangeFeedProperty) === Some("true"))
+    // UNSET drops it; restore to a propertied version brings it back
+    spark.sql("ALTER TABLE gcdf.ns.t UNSET TBLPROPERTIES " +
+      s"('${SnapshotLog.ChangeFeedProperty}')")
+    val vUnset = SnapshotLog.versions(spark, dir).last
+    assert(SnapshotLog.tablePropertiesOf(spark, dir, vUnset).isEmpty)
+    SnapshotLog.restore(spark, dir, vLatest)
+    assert(SnapshotLog.tablePropertiesOf(spark, dir,
+      SnapshotLog.versions(spark, dir).last)
+      .get(SnapshotLog.ChangeFeedProperty) === Some("true"))
+  }
+
+  test("vacuum reclaims change files of dropped versions, keeps the " +
+      "retained versions' files") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir,
+      (0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"))
+    SnapshotLog.setTableProperties(spark, dir,
+      Map(SnapshotLog.ChangeFeedProperty -> "true"))
+    SnapshotLog.deleteWhere(spark, dir, col("k") === 0L) // recorded
+    val vOld = SnapshotLog.versions(spark, dir).last
+    val oldChanges = SnapshotLog.changeFilesOf(spark, dir, vOld).get
+    assert(oldChanges.nonEmpty)
+    SnapshotLog.deleteWhere(spark, dir, col("k") === 1L) // recorded
+    val vNew = SnapshotLog.versions(spark, dir).last
+    val newChanges = SnapshotLog.changeFilesOf(spark, dir, vNew).get
+    SnapshotLog.vacuum(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    oldChanges.foreach(p => assert(
+      !f.exists(new org.apache.hadoop.fs.Path(p)),
+      s"dropped version's change file survived vacuum: $p"))
+    newChanges.foreach(p => assert(
+      f.exists(new org.apache.hadoop.fs.Path(p)),
+      s"retained version's change file was vacuumed: $p"))
+  }
+}

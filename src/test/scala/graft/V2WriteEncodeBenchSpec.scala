@@ -55,10 +55,16 @@ class V2WriteEncodeBenchSpec extends AnyFunSuite with SparkFixture {
       } finally q.stop()
     }
     run("warm", native = true, 20000L) // JIT/classload warmup epoch
-    val groupSec = run("encg", native = false, 150000L)
-    val nativeSec = run("encn", native = true, 150000L)
+    // best-of-2 per engine: a full `sbt test` runs this spec alongside
+    // 80 other suites on the same 32 threads, and a single scheduling
+    // spike flipped the one-shot comparison — min damps host noise
+    // while keeping the regression guard real
+    val groupSec = math.min(run("encg", native = false, 150000L),
+      run("encg2", native = false, 150000L))
+    val nativeSec = math.min(run("encn", native = true, 150000L),
+      run("encn2", native = true, 150000L))
     assert(SnapshotLog.read(spark, s"$root/ns/encn").count() === 150000L)
-    info(f"wide-row 150k×22-col epoch: group=$groupSec%.2fs " +
+    info(f"wide-row 150k×22-col epoch (best of 2): group=$groupSec%.2fs " +
       f"native=$nativeSec%.2fs speedup=${groupSec / nativeSec}%.2fx")
     assert(nativeSec <= groupSec * 1.2,
       f"native encode regressed vs the Group engine: " +
