@@ -256,5 +256,89 @@ object AssocOps {
       .orderBy("dow", "hr")
   }
 
-  val all: Seq[Q] = Seq(spearman, theil, orderValueCv, dowHourHeatmap)
+  /** Lagged cross-correlation between the DAILY click and purchase
+    * series (lags 0..7): does click volume lead purchase volume, and by
+    * how many days — the lead/lag diagnostic next to q_autocorr (one
+    * series against itself) and q_conversion_lag (per-user latency).
+    * The corpus collapses to day grain FIRST (≤ |calendar| rows), the
+    * day spine gap-fills missing days with 0 (so the lag join is over
+    * a complete, deterministic calendar), and each lag's Pearson folds
+    * exact integer day-counts — one hash aggregate over ≤ 8·|days|
+    * spine rows, one terminal IEEE tree per lag. */
+  val crossCorr: Q = Q.checked(
+    "q_cross_corr",
+    Tables.EventsCte +
+      """,
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) d,
+        |    count(*) FILTER (WHERE event_type = 'click') c,
+        |    count(*) FILTER (WHERE event_type = 'purchase') p
+        |  FROM ev WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    (SELECT min(d) FROM daily), (SELECT max(d) FROM daily),
+        |    INTERVAL 1 DAY)) AS DATE) AS d),
+        |filled AS (
+        |  SELECT s.d, coalesce(daily.c, 0) c, coalesce(daily.p, 0) p
+        |  FROM spine s LEFT JOIN daily ON daily.d = s.d),
+        |lags AS (SELECT unnest(generate_series(0, 7)) AS lag),
+        |pairs AS (
+        |  SELECT l.lag, f1.c x, f2.p y
+        |  FROM lags l
+        |  JOIN filled f1 ON true
+        |  JOIN filled f2 ON f2.d = f1.d + CAST(l.lag AS INTEGER)),
+        |st AS (
+        |  SELECT lag, count(*) n,
+        |    sum(CAST(x AS BIGINT)) sx, sum(CAST(y AS BIGINT)) sy,
+        |    sum(CAST(x * y AS BIGINT)) sxy,
+        |    sum(CAST(x * x AS BIGINT)) sxx,
+        |    sum(CAST(y * y AS BIGINT)) syy
+        |  FROM pairs GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n,
+        |  round(
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  , 9) AS xcorr
+        |FROM st ORDER BY lag""".stripMargin
+  ) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("ts").cast(org.apache.spark.sql.types.DateType)
+        .as("d"))
+      .agg(count(when(col("event_type") === "click", 1)).as("c"),
+        count(when(col("event_type") === "purchase", 1)).as("p"))
+    val spine = daily.agg(min("d").as("lo"), max("d").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("d"))
+    val filled = spine.join(daily, Seq("d"), "left")
+      .select(col("d"), coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("p"), lit(0L)).as("p"))
+    val lags = s.range(0, 8).select(col("id").as("lag"))
+    val f1 = filled.select(col("d").as("d1"), col("c").as("x"))
+    val f2 = filled.select(col("d").as("d2"), col("p").as("y"))
+    val pairs = lags.join(f1)
+      .join(f2, col("d2") === date_add(col("d1"),
+        col("lag").cast(org.apache.spark.sql.types.IntegerType)))
+    val st = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    st.select(col("lag"), col("n"),
+      round(
+        (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+            sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))),
+        9).as("xcorr"))
+      .orderBy("lag")
+  }
+
+  val all: Seq[Q] =
+    Seq(spearman, theil, orderValueCv, dowHourHeatmap, crossCorr)
 }

@@ -2190,6 +2190,66 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       keys,
       deleteWhen = Some(col("__is_del")), dropCols = Seq("__is_del"))
 
+  /** CDC REPLICATION between snapshot tables, end to end over the
+    * engine's own machinery: stream `srcDir`'s recorded change feed
+    * (`readChangeFeed` — the source table needs
+    * [[ChangeFeedProperty]]=true for any rewriting history) and apply
+    * each micro-batch to `dstDir` as ONE keyed [[mergeBatch]] commit.
+    * Exactly-once end to end: the stream's version-grain offsets replay
+    * un-committed ranges, and the `#batch=` header makes the replayed
+    * apply a no-op. Default `Trigger.AvailableNow` gives the scheduled
+    * "catch up, then exit" job; pass a processing-time trigger for a
+    * continuous replica.
+    *
+    * A batch may span VERSIONS, so same-key changes collapse to the
+    * newest `_commit_version` first (within one version a REPLACE WHERE
+    * can delete and re-insert a key — the insert is the final state, so
+    * deletes order below). NULL-keyed inserts match nothing and all
+    * apply. Scale: the collapse window is keyed on the CHANGES, never
+    * the table; the apply rewrites only replica files holding a changed
+    * key (the merge cost model). */
+  def replicate(spark: SparkSession, srcDir: String, dstDir: String,
+      keys: Seq[String], checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keys.nonEmpty, "replicate needs at least one key column")
+    spark.readStream.format("graft.sources.SnapshotStreamSource")
+      .option("path", srcDir).option("readChangeFeed", "true").load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyChangeBatch(batch.sparkSession, dstDir, batch, keys, id)
+        ()
+      }
+      .start()
+  }
+
+  /** One replicated micro-batch: collapse to the newest action per key,
+    * then one replay-guarded keyed merge commit ([[replicate]]'s apply
+    * half, separable for foreachBatch composition and the spec). */
+  def applyChangeBatch(spark: SparkSession, dstDir: String,
+      batch: DataFrame, keys: Seq[String], batchId: Long): Long = {
+    // pre-images are informational for a keyed applier
+    val acts = batch.filter(col("_change_type") =!= "update_preimage")
+    val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
+    // NULL-keyed inserts match nothing and ALL apply — never collapsed
+    // (a key-partitioned window would wrongly fold them into one)
+    val nullIns = acts.filter(anyKeyNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "delete", 0).otherwise(1).desc)
+    val winners = acts.filter(!anyKeyNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    mergeBatch(spark, dstDir, winners.unionByName(nullIns), keys, batchId,
+      deleteWhen = Some(col("_change_type") === lit("delete")),
+      dropCols = Seq("_change_type", "_commit_version"),
+      insertOnlyWhen = Some(col("_change_type") === lit("insert")))
+  }
+
   // -------------------------------------------------------------------
   // PARTITIONED TABLES — directory-level pruning inside the format
   // -------------------------------------------------------------------

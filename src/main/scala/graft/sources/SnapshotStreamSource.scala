@@ -100,14 +100,19 @@ class SnapshotStreamSource extends TableProvider
     val base = SnapshotStreamSource.schemaFor(
       SnapshotStreamSource.pathOf(options),
       Option(options.get("versionAsOf")).map(_.toLong))
-    // readChangeFeed streams append the change-type marker column
+    // readChangeFeed streams append the change-type marker and the
+    // commit version (the Delta-CDF _commit_version: what a keyed
+    // applier orders same-key changes by when one batch spans versions)
     if (java.lang.Boolean.parseBoolean(
         options.getOrDefault("readChangeFeed", "false"))) {
-      require(!base.fieldNames.contains("_change_type"),
-        "the table already has a _change_type column — readChangeFeed " +
-          "reserves that name")
+      Seq("_change_type", "_commit_version").foreach(c =>
+        require(!base.fieldNames.contains(c),
+          s"the table already has a $c column — readChangeFeed " +
+            "reserves that name"))
       base.add("_change_type", org.apache.spark.sql.types.StringType,
         nullable = true)
+        .add("_commit_version", org.apache.spark.sql.types.LongType,
+          nullable = true)
     } else base
   }
 
@@ -501,11 +506,11 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
     if (e <= s) return Array.empty
     val vs = SnapshotLog.versions(spark, dir)
     val vset = vs.toSet // O(1) membership across the whole version range
-    val newFiles =
-      scala.collection.mutable.ArrayBuffer[(String, Map[String, String])]()
+    val newFiles = scala.collection.mutable
+      .ArrayBuffer[(String, Map[String, String], Long)]()
     // RECORDED change files ([[SnapshotLog.ChangeFeedProperty]]): the
     // commit's exact row-level rows, `_change_type` materialized inside
-    val recordedFiles = scala.collection.mutable.ArrayBuffer[String]()
+    val recordedFiles = scala.collection.mutable.ArrayBuffer[(String, Long)]()
     ((s + 1) to e).foreach { v =>
       require(vset.contains(v),
         s"version $v of $dir is gone (vacuumed?) — the stream cannot " +
@@ -519,7 +524,7 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
         if (changeFeed && v != so.start)
           SnapshotLog.changeFilesOf(spark, dir, v)
         else None
-      if (recorded.isDefined) { recordedFiles ++= recorded.get }
+      if (recorded.isDefined) { recordedFiles ++= recorded.get.map(_ -> v) }
       else {
       val files = SnapshotLog.filesOf(spark, dir, v)
       val prev: Seq[String] =
@@ -560,7 +565,7 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
         SnapshotLog.filePartsOf(spark, dir, v)
       else Map.empty[String, Map[String, String]]
       newFiles ++= files.filterNot(p => prevSet.contains(norm(p)))
-        .map(p => (p, parts.getOrElse(p, Map.empty[String, String])))
+        .map(p => (p, parts.getOrElse(p, Map.empty[String, String]), v))
       }
     }
     // physical names for footer lookup, via the LATEST colmap: a name
@@ -570,14 +575,19 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
     val phys = SnapshotStreamSource.physicalFields(
       SnapshotLog.colmapOf(spark, dir, vs.last), schema)
     // CDF mode: plain data files are pure-append rows — the reader
-    // fills `_change_type` as the constant "insert" via the partition-
-    // tuple mechanism; recorded change files carry the column for real
-    (newFiles.map { case (p, t) =>
-      val tuple = if (changeFeed) t + ("_change_type" -> "insert") else t
+    // fills `_change_type` ("insert") and `_commit_version` as typed
+    // constants via the partition-tuple mechanism; recorded change
+    // files carry the type column for real and the version as constant
+    (newFiles.map { case (p, t, v) =>
+      val tuple =
+        if (changeFeed) t ++ Map("_change_type" -> "insert",
+          "_commit_version" -> v.toString)
+        else t
       SnapshotFilePartition(p, phys.json, tuple, None): InputPartition
-    } ++ recordedFiles.map(p =>
-      SnapshotFilePartition(p, phys.json, Map.empty,
-        None): InputPartition)).toArray
+    } ++ recordedFiles.map { case (p, v) =>
+      SnapshotFilePartition(p, phys.json,
+        Map("_commit_version" -> v.toString), None): InputPartition
+    }).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

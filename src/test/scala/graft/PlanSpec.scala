@@ -436,6 +436,30 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"partition-less window in the budget fill:\n${qe.sparkPlan}")
   }
 
+  test("q_spearman: no corpus window hangs off the 3-value flag alone — " +
+      "ranks come from the qty grid and (flag, price-bucket) partitions") {
+    val qe = ops.AssocOps.spearman.fn(spark, Sf).queryExecution
+    val wins = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "missing rank windows")
+    // the row-grain rank window must partition by MORE than the return
+    // flag (the price bucket bounds each partition's share of the
+    // corpus — the range-partitioned global-sort discipline); the
+    // single-key windows are the domain-bounded GRID cumsums, which
+    // must sit above an aggregate, never the raw scan
+    wins.foreach { w =>
+      if (w.partitionSpec.size < 2) {
+        val overAgg = w.find {
+          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+          case _ => false
+        }.isDefined
+        assert(overAgg,
+          s"single-key window over a non-aggregated frame:\n${qe.sparkPlan}")
+      }
+    }
+  }
+
   test("q_regr_slope / q_bit_ops / q_kl_source: single-pass shapes — no windows, no sorts before the output ORDER BY") {
     for (q <- Seq(ops.StatOps.regrSlope, ops.ScalarOps.bitOps)) {
       val plan = q.fn(spark, Sf).queryExecution.sparkPlan

@@ -191,6 +191,76 @@ class SnapshotCdfStreamSpec extends AnyFunSuite with SparkFixture {
       .get(SnapshotLog.ChangeFeedProperty) === Some("true"))
   }
 
+  test("column rename mid-feed: change files are rename-immune — they " +
+      "store physical names, the stream reads them under current names") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir,
+      Seq((0L, "v0"), (1L, "v1"), (2L, "v2")).toDF("k", "v"))
+    SnapshotLog.setTableProperties(spark, dir,
+      Map(SnapshotLog.ChangeFeedProperty -> "true"))
+    // a change file written BEFORE the rename...
+    SnapshotLog.deleteWhere(spark, dir, col("k") === 0L)
+    SnapshotLog.renameColumn(spark, dir, "v", "label")
+    // ...and one written AFTER it
+    SnapshotLog.updateWhere(spark, dir, col("k") === 1L,
+      Map("label" -> lit("X")))
+    drain(dir, "cdf_rename")
+    val feed = spark.table("cdf_rename")
+    assert(feed.columns.toSeq ===
+      Seq("k", "label", "_change_type", "_commit_version"))
+    assert(feed.filter(col("k") === 0L &&
+      col("_change_type") === "delete")
+      .select("label").as[String].collect().toSeq === Seq("v0"),
+      "pre-rename change file must read under the CURRENT logical name")
+    assert(feed.filter(col("k") === 1L &&
+      col("_change_type") === "update_postimage")
+      .select("label").as[String].collect().toSeq === Seq("X"))
+    assertFeedReplaysTo(feed, SnapshotLog.read(spark, dir),
+      Seq("k", "label"), "renamed feed vs table")
+  }
+
+  test("replicate: a keyed replica follows the source through mixed " +
+      "history; repeated drains are exactly-once no-ops") {
+    val src = freshDir()
+    val dst = freshDir()
+    val ckpt = Files.createTempDirectory("repl-ckpt").toString
+    SnapshotLog.commit(spark, src,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("k", "v", "n"))
+    SnapshotLog.setTableProperties(spark, src,
+      Map(SnapshotLog.ChangeFeedProperty -> "true"))
+    SnapshotLog.append(spark, src, Seq((4L, "d", 40L)).toDF("k", "v", "n"))
+    SnapshotLog.merge(spark, src,
+      Seq((1L, "A", 11L, false), (2L, "b", 20L, true),
+        (5L, "e", 50L, false)).toDF("k", "v", "n", "del"),
+      keys = Seq("k"), deleteWhen = Some(col("del")),
+      dropCols = Seq("del"))
+    def drainReplica(): Unit = {
+      val q = SnapshotLog.replicate(spark, src, dst, Seq("k"), ckpt)
+      q.awaitTermination(120000)
+    }
+    def sorted(dir: String) = SnapshotLog.read(spark, dir)
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    drainReplica()
+    assert(sorted(dst) === sorted(src))
+    // the source moves on: a targeted UPDATE, a region reload touching
+    // an existing key, a plain delete — drain again on the SAME
+    // checkpoint and the replica converges
+    SnapshotLog.updateWhere(spark, src, col("k") === 3L,
+      Map("n" -> (col("n") + 300L)))
+    SnapshotLog.replaceWhere(spark, src,
+      Seq((5L, "E", 55L), (6L, "f", 60L)).toDF("k", "v", "n"),
+      col("k") >= 5L)
+    SnapshotLog.deleteWhere(spark, src, col("k") === 4L)
+    drainReplica()
+    assert(sorted(dst) === sorted(src))
+    // nothing new: the drain commits nothing (exactly-once replay guard)
+    val vBefore = SnapshotLog.versions(spark, dst).last
+    drainReplica()
+    assert(SnapshotLog.versions(spark, dst).last === vBefore,
+      "an empty drain must not commit new replica versions")
+  }
+
   test("vacuum reclaims change files of dropped versions, keeps the " +
       "retained versions' files") {
     val dir = freshDir()
