@@ -184,6 +184,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           longLit(args(2), "snapshot_changes"), keys)
           .queryExecution.analyzed
       }))
+    // SELECT * FROM snapshot_change_feed('/path', fromV, toV) — the
+    // RECORDED change feed (per-version accumulated changes with
+    // _change_type + _commit_version, the Delta table_changes shape);
+    // differs from snapshot_changes' endpoint diff by design
+    ext.injectTableFunction((FunctionIdentifier("snapshot_change_feed"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_change_feed"),
+      (args: Seq[Expression]) => {
+        arity("snapshot_change_feed", args, 3)
+        graft.sources.SnapshotLog.changeFeed(
+          org.apache.spark.sql.SparkSession.active,
+          strLit(args.head, "snapshot_change_feed"),
+          longLit(args(1), "snapshot_change_feed"),
+          longLit(args(2), "snapshot_change_feed"))
+          .queryExecution.analyzed
+      }))
     // SELECT * FROM snapshot_checks('/path') — the table's CHECK
     // constraints as a relation (name, expr), latest version's state
     ext.injectTableFunction((FunctionIdentifier("snapshot_checks"),

@@ -1224,15 +1224,19 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       val cfiles =
         if (!cdfEnabled(spark, dir, latest)) None
         else {
-          val ins = readBackWritten(spark, dir, latest, fresh,
-            writtenPcs, merged).withColumn("_change_type", lit("insert"))
-          val rows =
-            if (rewrite.isEmpty) ins
-            else alignTo(readCur(rewrite)
+          val legs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+          if (rewrite.nonEmpty)
+            legs += alignTo(readCur(rewrite)
               .filter(coalesce(pred, lit(false))), merged)
               .withColumn("_change_type", lit("delete"))
-              .unionByName(ins)
-          Some(writeChangeFiles(spark, dir, rows, changeId))
+          // an empty incoming frame (delete-the-region idiom) writes no
+          // data files — and must not try to read them back
+          if (fresh.nonEmpty)
+            legs += readBackWritten(spark, dir, latest, fresh,
+              writtenPcs, merged).withColumn("_change_type", lit("insert"))
+          Some(if (legs.isEmpty) Seq.empty
+          else writeChangeFiles(spark, dir,
+            legs.reduce(_.unionByName(_)), changeId))
         }
       commitFiles(spark, dir, (carry ++ rewritten ++ fresh).sorted, commitId,
         header = Seq(schemaHeader(merged)) ++
@@ -1506,6 +1510,27 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       if (df.columns.contains(fld.name)) col(fld.name)
       else lit(null).cast(fld.dataType).as(fld.name)
     }: _*)
+
+  /** [[alignTo]] with READ semantics for the absent columns: a
+    * pre-evolution row acquires an added column's frozen EXISTS_DEFAULT
+    * when one is declared (exactly what the table scan fills for it),
+    * NULL otherwise. Change-feed legs use this so the feed never shows
+    * NULL where the table shows the default. */
+  private def alignToRead(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.toSeq.map { fld =>
+      if (df.columns.contains(fld.name)) col(fld.name)
+      else readFill(fld)
+    }: _*)
+
+  /** An absent column under READ semantics: the frozen EXISTS_DEFAULT
+    * when declared, a typed NULL otherwise. */
+  private def readFill(fld: StructField): Column = {
+    val key = org.apache.spark.sql.catalyst.util
+      .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY
+    if (fld.metadata.contains(key))
+      expr(fld.metadata.getString(key)).cast(fld.dataType).as(fld.name)
+    else lit(null).cast(fld.dataType).as(fld.name)
+  }
 
   /** [[merge]]'s planning-time candidate prune: keep a file iff its
     * recorded zone map for `k` could contain ANY of the sorted change
@@ -2038,7 +2063,9 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
         } else readFiles(spark, dir, v, paths) // applies v's deletion vector
       val named = toEndNames(v, raw)
-      outSchema.map(alignTo(named, _)).getOrElse(named)
+      // READ fill: a column added after v reads its frozen default here
+      // exactly as the toV table scan would (never NULL-vs-default skew)
+      outSchema.map(alignToRead(named, _)).getOrElse(named)
     }
     val before = filesOf(spark, dir, fromV)
     val after = filesOf(spark, dir, toV)
@@ -2094,7 +2121,7 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
               col("__dv_i") === col("row_index"), "left_semi")
             .select(cols.map(c =>
               col(s"`$c`").as(physToTo.getOrElse(c, c))): _*)
-          Some(outSchema.map(alignTo(rows, _)).getOrElse(rows)
+          Some(outSchema.map(alignToRead(rows, _)).getOrElse(rows)
             .withColumn("_change_type", lit("delete")))
         }
       }
@@ -2248,6 +2275,105 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       deleteWhen = Some(col("_change_type") === lit("delete")),
       dropCols = Seq("_change_type", "_commit_version"),
       insertOnlyWhen = Some(col("_change_type") === lit("insert")))
+  }
+
+  /** The RECORDED change feed as one BATCH DataFrame over versions
+    * `[fromV, toV]` (both inclusive) — the Delta `table_changes` shape
+    * and the batch twin of `readStream.option("readChangeFeed")`:
+    * per-version accumulated changes, columns = toV's schema +
+    * `_change_type` + `_commit_version`. Per version: a RECORDED commit
+    * ([[ChangeFeedProperty]]) contributes exactly its change files, a
+    * pure append its added files as inserts, the table's FIRST version
+    * its full file list; any other shape refuses loudly. This view
+    * differs from [[changesBetween]] by design: changesBetween is an
+    * ENDPOINT diff (intra-span churn cancels — the replica-sync view),
+    * changeFeed shows every commit's changes (the audit/stream-parity
+    * view). Plan size grows with the span — long spans belong on the
+    * streaming source. */
+  def changeFeed(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long): DataFrame = {
+    val vs = versions(spark, dir)
+    require(fromV <= toV, s"fromV $fromV must not exceed toV $toV")
+    require(vs.contains(fromV) && vs.contains(toV),
+      s"changeFeed needs both versions retained; have ${vs.mkString(",")}")
+    val vset = vs.toSet
+    val outSchema = schemaOf(spark, dir, toV)
+      .getOrElse(read(spark, dir, Some(toV)).schema)
+    val cmTo = colmapOf(spark, dir, toV)
+    val physToTo = cmTo.map(_.swap)
+    // outSchema + the two feed columns, read-filled (defaults, not NULL)
+    def shape(df: DataFrame, v: Long): DataFrame =
+      df.select(outSchema.fields.toSeq.map { fld =>
+        if (df.columns.contains(fld.name)) col(s"`${fld.name}`")
+        else readFill(fld)
+      } :+ col("_change_type"): _*)
+        .withColumn("_commit_version", lit(v))
+    // walk the RANGE, not the retained list: a vacuumed mid-span
+    // version must refuse loudly, never silently drop its changes
+    val legs = (fromV to toV).flatMap { v =>
+      require(vset.contains(v),
+        s"version $v of $dir is gone (vacuumed?) — its changes cannot " +
+          s"be served; narrow the span (have ${vs.mkString(",")})")
+      changeFilesOf(spark, dir, v) match {
+        case Some(cfs) if cfs.isEmpty => None // recorded zero changes
+        case Some(cfs) =>
+          val cmV = colmapOf(spark, dir, v)
+          val sV = schemaOf(spark, dir, v).getOrElse(outSchema)
+          val physChange = StructType(physicalSchema(cmV, sV).fields :+
+            StructField("_change_type",
+              org.apache.spark.sql.types.StringType))
+          val raw = spark.read.schema(physChange).parquet(cfs: _*)
+          // physical → v's logical → toV's logical names
+          val logical = raw.select(sV.fields.toSeq.map { f =>
+            val phys = cmV.getOrElse(f.name, f.name)
+            col(s"`$phys`").as(physToTo.getOrElse(phys, f.name))
+          } :+ col("_change_type"): _*)
+          Some(shape(logical, v))
+        case None =>
+          val files = filesOf(spark, dir, v)
+          def norm(p: String): String = new Path(p).toUri.getPath
+          val prev: Seq[String] =
+            if (vset.contains(v - 1)) filesOf(spark, dir, v - 1)
+            else if (v == vs.head) Seq.empty // the table's first version
+            else throw new IllegalStateException(
+              s"version ${v - 1} of $dir (the predecessor of feed " +
+                s"version $v) is gone (vacuumed?) — its inserts cannot " +
+                "be derived; narrow the span to retained versions")
+          val prevSet = prev.map(norm).toSet
+          val curSet = files.map(norm).toSet
+          require(prev.forall(p => curSet.contains(norm(p))),
+            s"version $v of $dir rewrote files without recording its " +
+              s"changes — set TBLPROPERTIES ('$ChangeFeedProperty'=" +
+              "'true') so rewrite verbs record them")
+          require(dvOf(spark, dir, v) ==
+            (if (vset.contains(v - 1)) dvOf(spark, dir, v - 1) else None),
+            s"version $v of $dir grew its deletion vector without " +
+              s"recording its changes — set TBLPROPERTIES " +
+              s"('$ChangeFeedProperty'='true')")
+          val added = files.filterNot(p => prevSet.contains(norm(p)))
+          if (added.isEmpty) None
+          else {
+            val raw = readFiles(spark, dir, v, added)
+            val cmV = colmapOf(spark, dir, v)
+            val named =
+              if (cmV == cmTo) raw
+              else raw.select(raw.columns.toSeq.map { c =>
+                val phys = cmV.getOrElse(c, c)
+                col(s"`$c`").as(physToTo.getOrElse(phys, phys))
+              }: _*)
+            Some(shape(named.withColumn("_change_type", lit("insert")), v))
+          }
+      }
+    }
+    if (legs.isEmpty) {
+      val s = StructType(outSchema.fields :+
+        StructField("_change_type",
+          org.apache.spark.sql.types.StringType) :+
+        StructField("_commit_version",
+          org.apache.spark.sql.types.LongType))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    } else legs.reduce(_.unionByName(_))
   }
 
   // -------------------------------------------------------------------

@@ -310,9 +310,18 @@ private[graft] class SnapshotStreamTable(schema0: StructType,
       }
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = pruned
-        override def toBatch: Batch = new SnapshotBatch(dir, pruned,
-          versionAsOf.orElse(
-            Option(options.get("versionAsOf")).map(_.toLong)))
+        override def toBatch: Batch = {
+          // loud, never silently NULL-marked: batch change feeds go
+          // through SnapshotLog.changeFeed / the TVF
+          require(!java.lang.Boolean.parseBoolean(
+            options.getOrDefault("readChangeFeed", "false")),
+            "readChangeFeed is a streaming read option; for a batch " +
+              "change feed use snapshot_change_feed(path, fromV, toV) " +
+              "or SnapshotLog.changeFeed")
+          new SnapshotBatch(dir, pruned,
+            versionAsOf.orElse(
+              Option(options.get("versionAsOf")).map(_.toLong)))
+        }
         override def toMicroBatchStream(checkpointLocation: String)
             : MicroBatchStream = {
           require(versionAsOf.isEmpty && options.get("versionAsOf") == null,

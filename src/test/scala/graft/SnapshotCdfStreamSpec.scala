@@ -261,6 +261,72 @@ class SnapshotCdfStreamSpec extends AnyFunSuite with SparkFixture {
       "an empty drain must not commit new replica versions")
   }
 
+  test("batch changeFeed == streamed feed (multisets, versions " +
+      "included); TVF serves it in SQL; batch scans refuse the option") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    SnapshotLog.setTableProperties(spark, dir,
+      Map(SnapshotLog.ChangeFeedProperty -> "true"))
+    SnapshotLog.append(spark, dir, Seq((4L, "d")).toDF("k", "v"))
+    SnapshotLog.merge(spark, dir,
+      Seq((1L, "A", false), (2L, "b", true)).toDF("k", "v", "del"),
+      keys = Seq("k"), deleteWhen = Some(col("del")),
+      dropCols = Seq("del"))
+    // REPLACE WHERE with an EMPTY incoming frame = delete-the-region:
+    // records deletes only, no insert read-back of nonexistent files
+    SnapshotLog.replaceWhere(spark, dir,
+      Seq.empty[(Long, String)].toDF("k", "v"), col("k") === 3L)
+    drain(dir, "cdf_batch_parity")
+    val streamed = spark.table("cdf_batch_parity")
+    val vs = SnapshotLog.versions(spark, dir)
+    val batch = SnapshotLog.changeFeed(spark, dir, vs.head, vs.last)
+    assert(batch.exceptAll(streamed).isEmpty &&
+      streamed.exceptAll(batch).isEmpty,
+      s"batch feed diverges from the stream: batch-only=" +
+        s"${batch.exceptAll(streamed).collect().mkString(";")} " +
+        s"stream-only=${streamed.exceptAll(batch).collect().mkString(";")}")
+    // the TVF serves the same relation to SQL
+    val tvf = spark.sql(s"SELECT * FROM snapshot_change_feed('$dir', " +
+      s"${vs.head}, ${vs.last})")
+    assert(tvf.exceptAll(batch).isEmpty && batch.exceptAll(tvf).isEmpty)
+    // a BATCH load with the streaming option refuses loudly
+    val e = intercept[Exception] {
+      spark.read.format(Fmt).option("path", dir)
+        .option("readChangeFeed", "true").load().collect()
+    }
+    assert(e.getMessage.contains("snapshot_change_feed"),
+      s"expected the batch refusal, got: ${e.getMessage}")
+  }
+
+  test("feeds across an ADD COLUMN ... DEFAULT read the frozen default " +
+      "for pre-add rows, never NULL (table/feed consistency)") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val v1 = SnapshotLog.versions(spark, dir).last
+    SnapshotLog.setTableProperties(spark, dir,
+      Map(SnapshotLog.ChangeFeedProperty -> "true"))
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("CURRENT_DEFAULT", "42").build()
+    SnapshotLog.addColumns(spark, dir,
+      Seq(org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.IntegerType, nullable = true, md)))
+    SnapshotLog.deleteWhere(spark, dir, col("k") === 1L)
+    val vLast = SnapshotLog.versions(spark, dir).last
+    // endpoint diff: the deleted pre-add row shows the default the
+    // table would have shown for it — never a NULL-vs-default skew
+    val diff = SnapshotLog.changesBetween(spark, dir, v1, vLast)
+    assert(diff.filter(col("k") === 1L &&
+      col("_change_type") === "delete")
+      .select("score").as[Int].collect().toSeq === Seq(42))
+    // per-version feed: the recorded delete pre-image reads it too
+    val feed = SnapshotLog.changeFeed(spark, dir, v1, vLast)
+    assert(feed.filter(col("k") === 1L &&
+      col("_change_type") === "delete")
+      .select("score").as[Int].collect().toSeq === Seq(42))
+  }
+
   test("vacuum reclaims change files of dropped versions, keeps the " +
       "retained versions' files") {
     val dir = freshDir()
