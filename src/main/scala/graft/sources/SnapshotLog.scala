@@ -563,22 +563,22 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     // dropColumn / restore do; an explicitly EMPTY header is how
     // restore suppresses the carry). For base-checked verbs a raced
     // carry is impossible (base mismatch aborts before manifesting).
-    val mapCarry: Seq[String] = {
-      val has = header.exists(l => l.startsWith("#colmap=") ||
+    // ONE listing + ONE read of the previous manifest serves both
+    // carries — this is the hot commit path, and each call is an
+    // object-store round trip
+    val metaCarry: Seq[String] = {
+      val hasMap = header.exists(l => l.startsWith("#colmap=") ||
         l.startsWith("#dropped="))
-      if (has) Seq.empty
-      else versions(spark, dir).lastOption.toSeq.flatMap(prev =>
+      val hasProp = header.exists(_.startsWith("#tblprop="))
+      if (hasMap && hasProp) Seq.empty
+      else versions(spark, dir).lastOption.toSeq.flatMap { prev =>
         manifestLines(spark, dir, prev).filter(l =>
-          l.startsWith("#colmap=") || l.startsWith("#dropped=")))
+          (!hasMap && (l.startsWith("#colmap=") ||
+            l.startsWith("#dropped="))) ||
+            (!hasProp && l.startsWith("#tblprop=")))
+      }
     }
-    // table properties carry the same way (setTableProperties / restore
-    // suppress the carry with their own — possibly empty — header)
-    val propCarry: Seq[String] =
-      if (header.exists(_.startsWith("#tblprop="))) Seq.empty
-      else versions(spark, dir).lastOption.toSeq.flatMap(prev =>
-        manifestLines(spark, dir, prev)
-          .filter(_.startsWith("#tblprop=")))
-    val body = (header ++ mapCarry ++ propCarry ++ files)
+    val body = (header ++ metaCarry ++ files)
       .mkString("\n").getBytes("UTF-8")
     var attempt = 0
     while (attempt < 1000) {
@@ -1321,8 +1321,32 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
         incoming.contains(pcs.map(c => c -> parts(p)(c))))
       val merged = schema.map(mergeSchemas(_, df.schema))
         .getOrElse(df.schema)
+      // recorded change feed: replaced partitions' rows (partition-pure
+      // dropped files, DV-applied) are the deletes, the fresh files the
+      // inserts — without this, a dynamic INSERT OVERWRITE on a CDF
+      // table would wedge every feed reader with a misleading refusal.
+      // This is the one cost CDF adds here: the verb stays O(manifest)
+      // with the feed off, and pays one read of the REPLACED partitions
+      // (never the table) when it is on.
+      val changeId = java.util.UUID.randomUUID().toString
+      val cfiles =
+        if (!cdfEnabled(spark, dir, latest)) None
+        else {
+          val legs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+          if (dropped.nonEmpty)
+            legs += alignToRead(readFiles(spark, dir, latest, dropped),
+              merged).withColumn("_change_type", lit("delete"))
+          if (fresh.nonEmpty)
+            legs += readBackWritten(spark, dir, latest, fresh,
+              writtenPcs, merged)
+              .withColumn("_change_type", lit("insert"))
+          Some(if (legs.isEmpty) Seq.empty
+          else writeChangeFiles(spark, dir,
+            legs.reduce(_.unionByName(_)), changeId))
+        }
       commitFiles(spark, dir, (carried ++ fresh).sorted, commitId,
         header = Seq(schemaHeader(merged)) ++
+          cfiles.map(cdfHeaders).getOrElse(Seq.empty) ++
           prunedDvHeader(spark, dir, latest, dropped) ++
           propagatedStatHeaders(spark, dir, latest, carried, fresh) ++
           propagatedPartHeaders(spark, dir, latest, carried, fresh) ++
@@ -1330,7 +1354,9 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
           watermarkHeader(spark, dir),
         base = Some(Some(latest))) match {
         case Some(v) => return v
-        case None    => () // raced — recompute against the new latest
+        case None    => // raced — recompute against the new latest; the
+          // fresh files are reused, this attempt's change dir is not
+          if (cfiles.isDefined) dropOrphanedChangeDir(spark, dir, changeId)
       }
     }
     -1L // unreachable
@@ -2261,6 +2287,18 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     // pre-images are informational for a keyed applier
     val acts = batch.filter(col("_change_type") =!= "update_preimage")
     val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
+    // a NULL-keyed DELETE/UPDATE cannot be applied BY KEY (NULL matches
+    // nothing) — silently skipping it would quietly diverge the
+    // replica, so it refuses loudly: replication keys must identify
+    // every row the source ever rewrites
+    val badNull = acts
+      .filter(anyKeyNull && col("_change_type") =!= "insert")
+      .limit(1).count()
+    require(badNull == 0,
+      "change feed carries a delete/update with a NULL key in " +
+        s"(${keys.mkString(",")}) — NULL matches nothing, so the change " +
+        "cannot be applied by key; replicate on columns the source " +
+        "never rewrites under NULL")
     // NULL-keyed inserts match nothing and ALL apply — never collapsed
     // (a key-partitioned window would wrongly fold them into one)
     val nullIns = acts.filter(anyKeyNull)
@@ -2334,7 +2372,11 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
           def norm(p: String): String = new Path(p).toUri.getPath
           val prev: Seq[String] =
             if (vset.contains(v - 1)) filesOf(spark, dir, v - 1)
-            else if (v == vs.head) Seq.empty // the table's first version
+            // versions are claimed densely from 1, so ONLY v1 is the
+            // table's genuine first version — an oldest-RETAINED v>1
+            // after a prefix vacuum must refuse, or its accumulated
+            // file list would masquerade as that version's inserts
+            else if (v == 1L) Seq.empty
             else throw new IllegalStateException(
               s"version ${v - 1} of $dir (the predecessor of feed " +
                 s"version $v) is gone (vacuumed?) — its inserts cannot " +
@@ -4455,9 +4497,10 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
   /** One `ALTER TABLE` statement as ONE atomic metadata commit: added
     * columns widen the schema (the [[addColumns]] rules), added CHECKs
     * validate the existing data under the WIDENED schema (a check
-    * referencing a column added by the same statement sees typed NULLs
-    * there — and passes or fails by SQL three-valued logic, exactly as
-    * future reads will), dropped CHECKs leave. All-or-nothing: any
+    * referencing a column added by the same statement sees exactly what
+    * future reads will return there — the frozen DEFAULT when one is
+    * declared, else typed NULLs under SQL three-valued logic), dropped
+    * CHECKs leave. All-or-nothing: any
     * refused piece fails the whole statement before a single header is
     * staged, and the statement lands as exactly ONE version — never a
     * one-commit-per-change split whose partial failure leaves earlier
@@ -4524,10 +4567,13 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       // columns the SURVIVING checks reference (dropped-in-this-
       // statement checks release their columns); unparseable check SQL
       // refuses conservatively
+      // lower-cased: Spark resolves CHECK SQL case-insensitively by
+      // default, so 'Price > 0' pins column 'price' — a case-sensitive
+      // guard would let the rename through and wedge every later write
       lazy val keptRefs: Set[String] = kept.flatMap { case (_, sql) =>
         spark.sessionState.sqlParser.parseExpression(sql).collect {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-            a.nameParts.head
+            a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
         }
       }.toSet
       var schema2 = schema
@@ -4542,7 +4588,7 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
           s"'$from' is a partition column of $dir — partition columns " +
             "cannot be renamed (hive dir names and manifest tuples are " +
             "literal)")
-        require(!keptRefs.contains(from),
+        require(!keptRefs.contains(from.toLowerCase(java.util.Locale.ROOT)),
           s"column '$from' is referenced by a CHECK constraint on $dir " +
             "— drop the constraint first (its SQL stores the name)")
         val phys = cm2.getOrElse(from, from)
@@ -4563,7 +4609,7 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
         require(!pcsA.contains(n),
           s"'$n' is a partition column of $dir — partition columns " +
             "cannot be dropped")
-        require(!keptRefs.contains(n),
+        require(!keptRefs.contains(n.toLowerCase(java.util.Locale.ROOT)),
           s"column '$n' is referenced by a CHECK constraint on $dir — " +
             "drop the constraint first")
         require(schema2.fields.length > 1,
@@ -4642,8 +4688,12 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
         val renamed = read(spark, dir, Some(latest)).select(
           schema.fields.toSeq.map(f =>
             col(s"`${f.name}`").as(renameTo.getOrElse(f.name, f.name))): _*)
+        // READ-semantics fill: a CHECK declared alongside an
+        // ADD COLUMN ... DEFAULT must validate against the frozen
+        // default the scans will actually return, never a NULL the
+        // three-valued logic would wave through
         requireChecksPass(addChecks,
-          alignTo(renamed.drop(dropCols: _*), widened),
+          alignToRead(renamed.drop(dropCols: _*), widened),
           s"existing data of $dir")
       }
       val carried = manifestLines(spark, dir, latest).filter(l =>
@@ -4813,6 +4863,7 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
         l.startsWith("#dv=") || l.startsWith("#batch=") ||
         l.startsWith("#check=") ||
         l.startsWith("#colmap=") || l.startsWith("#dropped=") ||
+        l.startsWith("#tblprop=") || // properties ARE table state
         l.startsWith("#partition=") || l.startsWith("#filepart="))
     commitFiles(spark, dstDir, filesOf(spark, srcDir, v),
       java.util.UUID.randomUUID().toString,
@@ -4848,8 +4899,14 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       val commitId = java.util.UUID.randomUUID().toString
       val fresh = writeData(spark, dir, base, commitId,
         partitionColsOf(spark, dir, latest))
+      // copying borrowed files changes ZERO logical rows — declare the
+      // empty recorded change set so CDF feeds ride across it (the
+      // optimize/applyDeletionVectors rule)
+      val cdfMark =
+        if (cdfEnabled(spark, dir, latest)) cdfHeaders(Seq.empty)
+        else Seq.empty
       commitFiles(spark, dir, (own ++ fresh).sorted, commitId,
-        header = schema.map(schemaHeader).toSeq ++
+        header = schema.map(schemaHeader).toSeq ++ cdfMark ++
           propagatedStatHeaders(spark, dir, latest, own, fresh) ++
           propagatedPartHeaders(spark, dir, latest, own, fresh) ++
           checkHeaders(checksOf(spark, dir, latest)) ++

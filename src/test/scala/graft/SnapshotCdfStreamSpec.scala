@@ -327,6 +327,97 @@ class SnapshotCdfStreamSpec extends AnyFunSuite with SparkFixture {
       .select("score").as[Int].collect().toSeq === Seq(42))
   }
 
+  test("dynamic partition overwrite records its changes: replaced " +
+      "partitions delete, incoming rows insert — feeds ride across") {
+    val dir = freshDir()
+    SnapshotLog.commitPartitioned(spark, dir,
+      Seq(("eu", 1L), ("eu", 2L), ("us", 3L)).toDF("region", "k"),
+      Seq("region"))
+    SnapshotLog.setTableProperties(spark, dir,
+      Map(SnapshotLog.ChangeFeedProperty -> "true"))
+    SnapshotLog.overwritePartitions(spark, dir,
+      Seq(("eu", 10L), ("eu", 11L)).toDF("region", "k"))
+    val vs = SnapshotLog.versions(spark, dir)
+    val feed = SnapshotLog.changeFeed(spark, dir, vs.head, vs.last)
+      .filter(col("_commit_version") === vs.last)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().sorted.toSeq === Seq(1L, 2L),
+      "replaced partition's rows must record as deletes")
+    assert(feed.filter(col("_change_type") === "insert")
+      .select("k").as[Long].collect().sorted.toSeq === Seq(10L, 11L))
+    assert(feed.filter(col("region") =!= "eu").isEmpty,
+      "untouched partitions must not appear in the change set")
+    drain(dir, "cdf_dynovr")
+    assertFeedReplaysTo(spark.table("cdf_dynovr"),
+      SnapshotLog.read(spark, dir), Seq("region", "k"),
+      "dynamic-overwrite feed vs table")
+  }
+
+  test("ADD COLUMN ... DEFAULT + CHECK in one statement validates " +
+      "against the frozen default, not a NULL wave-through") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("CURRENT_DEFAULT", "5").build()
+    val field = org.apache.spark.sql.types.StructField("c",
+      org.apache.spark.sql.types.IntegerType, nullable = true, md)
+    // existing rows will READ c = 5, which violates c < 3 — the
+    // statement must refuse (NULL three-valued logic would pass it)
+    val e = intercept[Exception] {
+      SnapshotLog.alterCommit(spark, dir, Seq(field),
+        Seq(("chk_small", "c < 3")), Seq.empty)
+    }
+    assert(e.getMessage.contains("chk_small"),
+      s"expected the CHECK refusal, got: ${e.getMessage}")
+    // and the consistent CHECK commits fine
+    SnapshotLog.alterCommit(spark, dir, Seq(field),
+      Seq(("chk_big", "c > 3")), Seq.empty)
+    assert(SnapshotLog.read(spark, dir).select("c")
+      .as[Int].collect().toSeq === Seq(5))
+  }
+
+  test("changeFeed refuses a vacuumed prefix instead of misattributing " +
+      "the accumulated table as that version's inserts") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    SnapshotLog.append(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    SnapshotLog.append(spark, dir, Seq((3L, "c")).toDF("k", "v"))
+    SnapshotLog.vacuum(spark, dir, keepLast = 2, orphanGraceMs = 0L)
+    val vs = SnapshotLog.versions(spark, dir)
+    assert(vs.head > 1L, "vacuum should have dropped the prefix")
+    val e = intercept[Exception] {
+      SnapshotLog.changeFeed(spark, dir, vs.head, vs.last).collect()
+    }
+    assert(e.getMessage.contains("vacuumed"),
+      s"expected the vacuumed-prefix refusal, got: ${e.getMessage}")
+  }
+
+  test("shallowClone carries TBLPROPERTIES; NULL-keyed deletes refuse " +
+      "in the replication apply") {
+    val src = freshDir()
+    SnapshotLog.commit(spark, src, Seq((1L, "a")).toDF("k", "v"))
+    SnapshotLog.setTableProperties(spark, src,
+      Map(SnapshotLog.ChangeFeedProperty -> "true", "team" -> "data"))
+    val dst = freshDir()
+    SnapshotLog.shallowClone(spark, src, dst)
+    assert(SnapshotLog.tablePropertiesOf(spark, dst,
+      SnapshotLog.versions(spark, dst).last) ===
+      Map(SnapshotLog.ChangeFeedProperty -> "true", "team" -> "data"),
+      "clone must carry table properties (they are table state)")
+    // a NULL-keyed delete cannot be applied by key — loud, not silent
+    val replica = freshDir()
+    SnapshotLog.commit(spark, replica, Seq((1L, "a")).toDF("k", "v"))
+    val badBatch = Seq(
+      (Option.empty[Long], "x", "delete", 3L))
+      .toDF("k", "v", "_change_type", "_commit_version")
+    val e = intercept[Exception] {
+      SnapshotLog.applyChangeBatch(spark, replica, badBatch,
+        Seq("k"), batchId = 1L)
+    }
+    assert(e.getMessage.contains("NULL key"),
+      s"expected the NULL-key refusal, got: ${e.getMessage}")
+  }
+
   test("vacuum reclaims change files of dropped versions, keeps the " +
       "retained versions' files") {
     val dir = freshDir()
