@@ -418,6 +418,31 @@ class SnapshotCdfStreamSpec extends AnyFunSuite with SparkFixture {
       s"expected the NULL-key refusal, got: ${e.getMessage}")
   }
 
+  test("a schema-WIDENING merge records changes under the widened " +
+      "schema: pre-images carry typed NULLs, post-images the new column") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    SnapshotLog.setTableProperties(spark, dir,
+      Map(SnapshotLog.ChangeFeedProperty -> "true"))
+    // the change frame carries a NEW column n — the merge widens the
+    // table, and the recorded changes must align to the widened schema
+    SnapshotLog.merge(spark, dir,
+      Seq((1L, "A", 11L), (2L, "b", 22L)).toDF("k", "v", "n"),
+      keys = Seq("k"))
+    val vs = SnapshotLog.versions(spark, dir)
+    val feed = SnapshotLog.changeFeed(spark, dir, vs.head, vs.last)
+    assert(feed.columns.toSeq ===
+      Seq("k", "v", "n", "_change_type", "_commit_version"))
+    assert(feed.filter(col("k") === 1L &&
+      col("_change_type") === "update_preimage")
+      .select("n").head().isNullAt(0),
+      "the pre-widening pre-image reads a typed NULL in the new column")
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .select("n").as[Long].collect().toSeq === Seq(11L))
+    assert(feed.filter(col("_change_type") === "insert" &&
+      col("k") === 2L).select("n").as[Long].collect().toSeq === Seq(22L))
+  }
+
   test("vacuum reclaims change files of dropped versions, keeps the " +
       "retained versions' files") {
     val dir = freshDir()
