@@ -339,6 +339,95 @@ object AssocOps {
       .orderBy("lag")
   }
 
-  val all: Seq[Q] =
-    Seq(spearman, theil, orderValueCv, dowHourHeatmap, crossCorr)
+  /** Cohort lifetime value: customers grouped by FIRST-ORDER quarter,
+    * cumulative revenue per quarter offset — the money companion to
+    * q_cohort_retention's headcounts (marketing's payback-curve view).
+    * Cohort/offset are exact integer quarter indexes (year·4+q), money
+    * snaps once to cents, and the cumulative window runs over the
+    * (cohort × offset) GRID — ≤ |quarters|² rows, never the corpus.
+    * Plan: one customer-grain min-aggregate, one join back by custkey
+    * (both sides shuffle on the same key), one grid aggregate. */
+  val clvCohort: Q = Q.checked(
+    "q_clv_cohort",
+    """WITH firsts AS (
+      |  SELECT o_custkey,
+      |    min(year(o_orderdate) * 4 + quarter(o_orderdate) - 1) AS cq
+      |  FROM orders GROUP BY 1),
+      |rev AS (
+      |  SELECT f.cq,
+      |    (year(o.o_orderdate) * 4 + quarter(o.o_orderdate) - 1) - f.cq
+      |      AS off,
+      |    CAST(floor(o.o_totalprice * 100 + 5.0e-1) AS BIGINT) AS c
+      |  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey),
+      |grid AS (
+      |  SELECT cq, off, count(*) n_orders,
+      |    sum(CAST(c AS DECIMAL(38,0))) AS rev_c
+      |  FROM rev GROUP BY 1, 2)
+      |SELECT cq AS cohort_q, off AS offset_q, n_orders,
+      |  round(CAST(sum(rev_c) OVER (PARTITION BY cq ORDER BY off
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1.0e2, 2)
+      |    AS cum_revenue
+      |FROM grid ORDER BY cohort_q, offset_q""".stripMargin
+  ) { (s, dir) =>
+    val qIdx = (year(col("o_orderdate")) * 4 +
+      quarter(col("o_orderdate")) - 1).cast(LongType)
+    val orders = Tables.orders(s, dir)
+    val firsts = orders.groupBy("o_custkey").agg(min(qIdx).as("cq"))
+    val rev = orders.join(firsts, "o_custkey")
+      .select(col("cq"), (qIdx - col("cq")).as("off"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast(LongType).as("c"))
+    val grid = rev.groupBy("cq", "off").agg(
+      count(lit(1)).as("n_orders"), sum(col("c").cast(D38)).as("rev_c"))
+    val w = Window.partitionBy("cq").orderBy("off")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.select(col("cq").as("cohort_q"), col("off").as("offset_q"),
+      col("n_orders"),
+      round(d(sum("rev_c").over(w)) / lit(1.0e2), 2).as("cum_revenue"))
+      .orderBy("cohort_q", "offset_q")
+  }
+
+  /** Revenue share by UNIT-price band ($100 bands of extendedprice per
+    * unit): where the money concentrates along the price axis — the
+    * merchandising mix diagnostic next to q_decile_spend (customer
+    * axis) and q_hist2d (qty × price counts). The band is one fixed
+    * IEEE division + floor (identical cross-engine on identical
+    * doubles); revenue folds as exact cents; the share clears its
+    * denominator in integer milli before the single publish division.
+    * One hash aggregate, output ≤ price-domain/100 rows. */
+  val priceBandShare: Q = Q.checked(
+    "q_price_band_share",
+    """WITH b AS (
+      |  SELECT CAST(floor((l_extendedprice / l_quantity) / 100) AS
+      |    BIGINT) AS band,
+      |    CAST(floor(l_extendedprice * 100 + 5.0e-1) AS BIGINT) AS c
+      |  FROM lineitem),
+      |st AS (
+      |  SELECT band, count(*) n, sum(CAST(c AS DECIMAL(38,0))) rev_c
+      |  FROM b GROUP BY 1),
+      |tot AS (SELECT sum(rev_c) t FROM st)
+      |SELECT band, n,
+      |  round(CAST(rev_c AS DOUBLE) / 1.0e2, 2) AS revenue,
+      |  CAST(rev_c AS BIGINT) * 1000 // CAST(t AS BIGINT)
+      |    AS share_milli
+      |FROM st, tot ORDER BY band""".stripMargin
+  ) { (s, dir) =>
+    val b = Tables.lineitem(s, dir).select(
+      floor((col("l_extendedprice") / col("l_quantity")) / 100)
+        .cast(LongType).as("band"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast(LongType)
+        .as("c"))
+    val st = b.groupBy("band").agg(count(lit(1)).as("n"),
+      sum(col("c").cast(D38)).as("rev_c"))
+    val tot = st.agg(sum("rev_c").as("t"))
+    st.crossJoin(tot).select(col("band"), col("n"),
+      round(d(col("rev_c")) / lit(1.0e2), 2).as("revenue"),
+      // INTEGER division on exact BIGINTs — decimal '/' rounds and its
+      // cross-engine rounding disagrees at band boundaries
+      expr("CAST(rev_c AS BIGINT) * 1000L div CAST(t AS BIGINT)")
+        .as("share_milli"))
+      .orderBy("band")
+  }
+
+  val all: Seq[Q] = Seq(spearman, theil, orderValueCv, dowHourHeatmap,
+    crossCorr, clvCohort, priceBandShare)
 }
