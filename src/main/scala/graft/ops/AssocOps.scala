@@ -80,9 +80,12 @@ object AssocOps {
       |  SELECT pr.f, count(*) n,
       |    sum(CAST(qr.r AS DECIMAL(38,0))) sx,
       |    sum(CAST(pr.ry AS DECIMAL(38,0))) sy,
-      |    sum(CAST(qr.r * pr.ry AS DECIMAL(38,0))) sxy,
-      |    sum(CAST(qr.r * qr.r AS DECIMAL(38,0))) sxx,
-      |    sum(CAST(pr.ry * pr.ry AS DECIMAL(38,0))) syy
+      |    sum(CAST(qr.r AS DECIMAL(38,0)) * CAST(pr.ry AS DECIMAL(38,0)))
+      |      sxy,
+      |    sum(CAST(qr.r AS DECIMAL(38,0)) * CAST(qr.r AS DECIMAL(38,0)))
+      |      sxx,
+      |    sum(CAST(pr.ry AS DECIMAL(38,0)) * CAST(pr.ry AS DECIMAL(38,0)))
+      |      syy
       |  FROM pr JOIN qr ON qr.f = pr.f AND qr.v = pr.q
       |  GROUP BY 1)
       |SELECT f AS l_returnflag, n,
@@ -127,9 +130,9 @@ object AssocOps {
       count(lit(1)).as("n"),
       sum(col("rx").cast(D38)).as("sx"),
       sum(col("ry").cast(D38)).as("sy"),
-      sum((col("rx") * col("ry")).cast(D38)).as("sxy"),
-      sum((col("rx") * col("rx")).cast(D38)).as("sxx"),
-      sum((col("ry") * col("ry")).cast(D38)).as("syy"))
+      sum(col("rx").cast(D38) * col("ry").cast(D38)).as("sxy"),
+      sum(col("rx").cast(D38) * col("rx").cast(D38)).as("sxx"),
+      sum(col("ry").cast(D38) * col("ry").cast(D38)).as("syy"))
     st.select(col("f").as("l_returnflag"), col("n"),
       round(
         (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
@@ -419,7 +422,7 @@ object AssocOps {
     val st = b.groupBy("band").agg(count(lit(1)).as("n"),
       sum(col("c").cast(D38)).as("rev_c"))
     val tot = st.agg(sum("rev_c").as("t"))
-    st.crossJoin(tot).select(col("band"), col("n"),
+    st.crossJoin(broadcast(tot)).select(col("band"), col("n"),
       round(d(col("rev_c")) / lit(1.0e2), 2).as("revenue"),
       // INTEGER division on exact BIGINTs — decimal '/' rounds and its
       // cross-engine rounding disagrees at band boundaries

@@ -309,7 +309,9 @@ object GraphOps {
     * Scale: itemsets collapse to DISTINCT (order, part) grain first;
     * the pair generation is an equi-join on o_orderkey (ONE shuffle —
     * never a cartesian: pairs per order ~ C(items,2) with items ~4),
-    * per-item supports are a part-grain aggregate BROADCAST back, and
+    * per-item supports are a part-grain aggregate joined back hint-free
+    * (stats/AQE broadcast it while it fits; part-grain outgrows the
+    * driver at large SF), and
     * the top-15 plans as TakeOrdered. At 100 TB the (a,b) pair space is
     * bounded by |parts|², and the hot path (pair counting) is one
     * map-side-combined hash aggregation. */
@@ -342,10 +344,10 @@ object GraphOps {
     val b = items.select(col("ok").as("ok_b"), col("pk").as("p_b"))
     a.join(b, col("ok") === col("ok_b") && col("p_a") < col("p_b"))
       .groupBy("p_a", "p_b").agg(count(lit(1)).as("n_ab"))
-      .join(broadcast(supp.select(col("pk").as("pk_a"),
-        col("n_p").as("n_a"))), col("p_a") === col("pk_a"))
-      .join(broadcast(supp.select(col("pk").as("pk_b"),
-        col("n_p").as("n_b"))), col("p_b") === col("pk_b"))
+      .join(supp.select(col("pk").as("pk_a"),
+        col("n_p").as("n_a")), col("p_a") === col("pk_a"))
+      .join(supp.select(col("pk").as("pk_b"),
+        col("n_p").as("n_b")), col("p_b") === col("pk_b"))
       .crossJoin(broadcast(nOrders))
       .select(col("p_a"), col("p_b"), col("n_ab"), col("n_a"), col("n_b"),
         (col("n_ab").cast(DoubleType) / col("n_a").cast(DoubleType))

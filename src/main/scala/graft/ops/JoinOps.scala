@@ -7,10 +7,14 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampType}
 
 /** Join surface (SURVEY.md §2.2-C).
   *
-  * Scale notes: fact⋈fact joins shuffle on the key and lean on AQE;
-  * dim-table joins are explicitly `broadcast()`-hinted so no shuffle of
-  * the fact side ever happens for them; the as-of join is a single
-  * window pass (one shuffle by user_id), never an O(n²) range probe.
+  * Scale notes: fact⋈fact joins shuffle on the key and lean on AQE.
+  * BOUNDED dims (nation/region, 1-row aggregates) are explicitly
+  * `broadcast()`-hinted; SF-SCALED sides (customer, supplier, part and
+  * frames derived from them) are hint-free — stats/AQE broadcast them
+  * while they fit and fall back to a partitioned join when, at large SF,
+  * a forced hint would pin billions of rows to the driver. The as-of
+  * join is a single window pass (one shuffle by user_id), never an
+  * O(n²) range probe.
   */
 object JoinOps {
 
@@ -372,7 +376,8 @@ object JoinOps {
     * of BUILDING-segment orders placed before the cutoff, top 10 by
     * revenue. The benchmark-classic 3-table join exercising the whole
     * plan stack at once: both date filters push to the parquet scans,
-    * the filtered customer side broadcasts (≈1/5 of a dim table), the
+    * the filtered customer side (≈1/5 of a dim table) joins hint-free
+    * (stats/AQE broadcast it while it fits), the
     * lineitem⋈orders join is the one real shuffle, revenue partials
     * aggregate map-side, and the top-10 plans as TakeOrderedAndProject.
     *
@@ -404,7 +409,7 @@ object JoinOps {
       .filter(col("l_shipdate") >
         lit("1997-01-01 00:00:00").cast(TimestampType))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -417,10 +422,11 @@ object JoinOps {
     * where the supplier sits in the customer's own nation, by nation,
     * for two regions and a two-year order window — the deepest join tree
     * in the inventory (6 tables, one of them via a second condition on
-    * the fact row). Plan shape: region→nation→customer collapse into
-    * broadcast dims; supplier broadcasts against the lineitem scan; the
-    * single real shuffle is lineitem⋈orders; the same-nation predicate
-    * rides the supplier join, so no post-join filter pass exists.
+    * the fact row). Plan shape: region→nation (bounded, hinted) collapse
+    * into customer; customer and supplier join the fact scan hint-free
+    * (SF-scaled — stats/AQE broadcast while they fit); the single real
+    * shuffle is lineitem⋈orders; the same-nation predicate rides the
+    * supplier join, so no post-join filter pass exists.
     * Revenue per §7.5 rule 2 (decimal partials). */
   val localSupplier: Q = Q.checked(
     "q_local_supplier",
@@ -457,8 +463,8 @@ object JoinOps {
     Tables.lineitem(s, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey")
         && col("s_nationkey") === col("c_nationkey"))
       .groupBy("n_name")
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))

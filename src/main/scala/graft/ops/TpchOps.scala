@@ -150,9 +150,9 @@ object TpchOps {
         && col("l_shipdate") < ts("1997-01-01 00:00:00"))
       .select("l_orderkey", "l_suppkey", "l_shipdate",
         "l_extendedprice", "l_discount")
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .filter((col("supp_nation") === "NATION_1"
           && col("cust_nation") === "NATION_2")
         || (col("supp_nation") === "NATION_2"
@@ -168,8 +168,10 @@ object TpchOps {
     * a ratio of two decimal-exact sums — both sides fold to exact
     * decimals, so the single terminal IEEE division is identical
     * cross-engine with no rounding needed. Five dims (part, supplier,
-    * customer→nation→region) all broadcast; lineitem⋈orders is again the
-    * one shuffle. */
+    * customer→nation→region) are hint-free: the SF-scaled dims broadcast
+    * under stats/AQE sizing at small SF and shuffle-partition at large SF
+    * (a forced hint would pin billions of rows to the driver);
+    * lineitem⋈orders is again the one unavoidable shuffle. */
   val marketShare: Q = Q.checked(
     "q_market_share",
     s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -208,10 +210,10 @@ object TpchOps {
     Tables.lineitem(s, dir)
       .select("l_orderkey", "l_partkey", "l_suppkey",
         "l_extendedprice", "l_discount")
-      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
       .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
       .agg((sum(when(col("supp_nation") === "NATION_3", revTerm)
           .otherwise(lit(0).cast(D246))).cast(DoubleType)
@@ -224,8 +226,9 @@ object TpchOps {
     * named like "%bolt%" by supplier nation and order year. The profit
     * term is a DIFFERENCE of two decimal-snapped products — each product
     * is one IEEE multiply (identical cross-engine), the subtraction and
-    * sum are exact decimal. LIKE-filtered part and supplier→nation both
-    * broadcast against the fact scan. */
+    * sum are exact decimal. LIKE-filtered part and supplier→nation join
+    * the fact scan hint-free — stats/AQE broadcast them while they fit,
+    * shuffle them when (at large SF) they don't. */
   val productProfit: Q = Q.checked(
     "q_product_profit",
     """SELECT n_name AS nation,
@@ -253,8 +256,8 @@ object TpchOps {
     Tables.lineitem(s, dir)
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount")
-      .join(broadcast(boltParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .join(boltParts, col("l_partkey") === col("p_partkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).cast(LongType).as("o_year"))
@@ -264,7 +267,8 @@ object TpchOps {
   }
 
   /** TPC-H Q10 (returned-item reporting): top 20 customers by revenue
-    * lost to returns in one quarter. Customer+nation broadcast; the
+    * lost to returns in one quarter. Nation (bounded) is hinted;
+    * customer+nation joins hint-free (SF-scaled — AQE sizes it); the
     * orderdate filter cuts orders to a quarter BEFORE the lineitem join;
     * top-20 plans as TakeOrderedAndProject, never a global sort. */
   val returnedItems: Q = Q.checked(
@@ -294,7 +298,7 @@ object TpchOps {
       .filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_extendedprice", "l_discount")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
       .agg(sum(revTerm).cast(DoubleType).as("revenue"))
       .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -336,7 +340,7 @@ object TpchOps {
     * denominator fold to exact decimals over the SAME month-filtered
     * join (one pass — the CASE puts the branch inside the aggregate,
     * never a second scan); 100 * exact / exact is two IEEE ops,
-    * identical cross-engine. Part dim broadcasts. */
+    * identical cross-engine. Part joins hint-free (SF-scaled). */
   val promoShare: Q = Q.checked(
     "q_promo_share",
     s"""SELECT
@@ -352,7 +356,7 @@ object TpchOps {
       .filter(col("l_shipdate") >= ts("1996-03-01 00:00:00")
         && col("l_shipdate") < ts("1996-04-01 00:00:00"))
       .select("l_partkey", "l_extendedprice", "l_discount")
-      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+      .join(Tables.part(s, dir).select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .agg(
         (lit(100.0) * sum(when(col("p_type") === "PROMO", revTerm)
@@ -367,7 +371,8 @@ object TpchOps {
     * exact, and only the published revenue column is cast to double —
     * so "ties with the max by one ulp" cannot differ between engines.
     * The revenue view is supplier-grain (bounded by |supplier|), its max
-    * is a 1-row broadcast, and the name join broadcasts the dim. */
+    * is a 1-row broadcast; the supplier name join is hint-free (the dim
+    * is SF-scaled — stats/AQE broadcast it while it fits). */
   val topSupplier: Q = Q.checked(
     "q_top_supplier",
     s"""WITH rev AS (
@@ -388,8 +393,8 @@ object TpchOps {
       .agg(sum(revTerm).as("total_rev"))
     val mx = rev.agg(max(col("total_rev")).as("mx"))
     rev.join(broadcast(mx), col("total_rev") === col("mx"))
-      .join(broadcast(Tables.supplier(s, dir)
-          .select("s_suppkey", "s_name")),
+      .join(Tables.supplier(s, dir)
+          .select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_rev").cast(DoubleType).as("total_revenue"))
@@ -407,7 +412,8 @@ object TpchOps {
     * representable integer-valued double: the arithmetic is exact and
     * fold-order-free without any decimal cast, in both engines. Per-part
     * stats are computed over the brand-filtered join output (bounded by
-    * that brand's parts) and broadcast back — two passes over a slice,
+    * that brand's parts) and joined back hint-free (AQE broadcasts the
+    * part-grain frame while it fits) — two passes over a slice,
     * zero window. */
   val smallQtyRevenue: Q = Q.checked(
     "q_small_qty_revenue",
@@ -429,12 +435,12 @@ object TpchOps {
   ) { (s, dir) =>
     val brandLi = Tables.lineitem(s, dir)
       .select("l_partkey", "l_quantity", "l_extendedprice")
-      .join(broadcast(Tables.part(s, dir)
-          .filter(col("p_brand") === "Brand#23").select("p_partkey")),
+      .join(Tables.part(s, dir)
+          .filter(col("p_brand") === "Brand#23").select("p_partkey"),
         col("l_partkey") === col("p_partkey"))
     val perPart = brandLi.groupBy(col("l_partkey").as("pk"))
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
-    brandLi.join(broadcast(perPart), col("pk") === col("l_partkey"))
+    brandLi.join(perPart, col("pk") === col("l_partkey"))
       .filter(col("l_quantity") * lit(5) * col("n") < col("sum_qty"))
       .agg(
         (sum(col("l_extendedprice").cast(D246)).cast(DoubleType) / 7.0)
@@ -446,7 +452,7 @@ object TpchOps {
     * exceeds 300, with their customer, top 100 by order value. The
     * HAVING-on-group filter runs at order grain BEFORE any dim join —
     * the agg output (a handful of qualifying orders) then joins orders
-    * and broadcast customer. Quantity sums are integral doubles well
+    * and customer hint-free. Quantity sums are integral doubles well
     * under 2^53 (see q_small_qty_revenue) — exact and fold-order-free,
     * so the >300 membership test cannot float-flip. */
   val largeOrders: Q = Q.checked(
@@ -467,8 +473,8 @@ object TpchOps {
     big.join(Tables.orders(s, dir)
           .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
         col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)
-          .select("c_custkey", "c_name")),
+      .join(Tables.customer(s, dir)
+          .select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"),
@@ -480,9 +486,9 @@ object TpchOps {
   /** TPC-H Q19 (discounted revenue, disjunctive predicates): revenue
     * from three brand/size/quantity bands OR-ed together. The plan
     * point: all three branches share the p_partkey equi-join, so
-    * Catalyst plans ONE broadcast hash join with the OR-of-ANDs as a
-    * residual filter — never a union of three scans, never a nested
-    * loop. */
+    * Catalyst plans ONE hash join (broadcast under AQE sizing at small
+    * SF) with the OR-of-ANDs as a residual filter — never a union of
+    * three scans, never a nested loop. */
   val disjunctiveRev: Q = Q.checked(
     "q_disjunctive_rev",
     s"""SELECT CAST(sum($revSql) AS DOUBLE) AS revenue,
@@ -498,7 +504,7 @@ object TpchOps {
     val li = Tables.lineitem(s, dir)
       .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
     val part = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
           && col("l_quantity") >= 1 && col("l_quantity") <= 11)
@@ -550,8 +556,8 @@ object TpchOps {
       .agg(max(col("m")).as("big_m"), count(lit(1)).as("n_supp"))
     os.join(perOrder, col("ok") === col("ok2"))
       .filter(col("n_supp") >= 2 && col("m") === col("big_m"))
-      .join(broadcast(Tables.supplier(s, dir)
-          .select("s_suppkey", "s_name")),
+      .join(Tables.supplier(s, dir)
+          .select("s_suppkey", "s_name"),
         col("sk") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))

@@ -534,6 +534,46 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         s"window:\n${qe.sparkPlan}")
   }
 
+  test("no static broadcast hint on SF-scaled frames; AQE/stats still " +
+      "broadcast them at small SF") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hints(df: DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    // these queries join customer/supplier/part-scaled sides and must be
+    // completely hint-free: a forced broadcast() on an SF-scaled frame is
+    // the plan that dies at the driver at 100 TB (billions of rows), while
+    // stats/AQE pick broadcast-hash for free while the side actually fits
+    val hintFree = Seq(ops.TpchOps.volumeShipping, ops.TpchOps.marketShare,
+      ops.TpchOps.productProfit, ops.TpchOps.promoShare,
+      ops.TpchOps.smallQtyRevenue, ops.TpchOps.largeOrders,
+      ops.TpchOps.disjunctiveRev, ops.TpchOps.waitingSupplier,
+      ops.JoinOps.shipPriority)
+    hintFree.foreach { q =>
+      assert(hints(q.fn(spark, Sf)) === 0,
+        s"${q.name}: static broadcast hint on an SF-scaled side")
+    }
+    // these keep hints ONLY on bounded frames (nation/region dims, 1-row
+    // aggregates) — pin the exact count so a hint on a scaled side cannot
+    // sneak back in
+    val bounded = Seq(
+      ops.TpchOps.returnedItems -> 1, // nation (25 rows)
+      ops.TpchOps.topSupplier -> 1,   // 1-row max frame
+      ops.JoinOps.localSupplier -> 2, // region filter + 25-row nation dim
+      ops.GraphOps.basketPairs -> 1)  // 1-row order-count frame
+    bounded.foreach { case (q, n) =>
+      assert(hints(q.fn(spark, Sf)) === n,
+        s"${q.name}: expected $n bounded-dim hints only")
+    }
+    // and dropping the hints must NOT cost the local plan its broadcasts:
+    // at this SF the dims fit comfortably, so stats/AQE still pick
+    // broadcast-hash for the representative deep join tree
+    val df = ops.JoinOps.localSupplier.fn(spark, Sf)
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hint-free dims no longer broadcast at small SF:\n$plan")
+  }
+
   test("TrendOps windows: lag frames customer-partitioned; cumulative " +
       "frames bounded") {
     import org.apache.spark.sql.execution.window.WindowExec
