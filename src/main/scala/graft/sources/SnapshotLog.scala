@@ -36,7 +36,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
   * clobbering (SnapshotLogSpec races real concurrent committers). A
   * crash before the rename leaves only unreferenced data files (and a
   * claim that goes stale and is adopted); readers are unaffected and
-  * [[vacuum]] reclaims the orphans.
+  * [[vacuum]] reclaims the orphans. Both primitives (and the cursor
+  * overwrite) run through the pluggable [[LogStore]] seam — default
+  * Hadoop FS semantics, with a loud refusal on object-store schemes
+  * whose rename is copy+delete ([[HadoopFsLogStore]]); S3-class stores
+  * plug a conditional-PUT implementation via [[setLogStore]].
   *
   * Commits whose body DEPENDS on the previous version ([[commitBatch]]
   * append, [[deleteWhere]], [[optimize]]) are optimistic-concurrency
@@ -511,23 +515,14 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     }
   }
 
-  /** Atomic create-exclusive — the one primitive the claim needs.
-    * Local paths go through NIO (POSIX O_CREAT|O_EXCL, genuinely
-    * atomic; Hadoop's RawLocalFileSystem create(overwrite=false) is a
-    * racy exists-then-create). Remote schemes use the filesystem's own
-    * exclusive create, which HDFS enforces at the namenode. */
-  private def atomicClaim(f: org.apache.hadoop.fs.FileSystem,
-      p: Path): Boolean =
-    if (f.getScheme == "file") {
-      try {
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(p.toUri.getPath))
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else {
-      try { f.create(p, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    }
+  /** The pluggable commit-primitive seam ([[LogStore]]): claim
+    * create-exclusive, manifest publish, cursor overwrite. Default =
+    * Hadoop FS semantics with a loud refusal on object-store schemes
+    * whose rename is not atomic; swap in a conditional-PUT
+    * implementation for S3-class stores BEFORE the first commit. */
+  @volatile private var store: LogStore = HadoopFsLogStore
+  def setLogStore(ls: LogStore): Unit = { store = ls }
+  def logStore: LogStore = store
 
   /** Claim the next version for an explicit file list; returns the
     * version won, or None when `base` is given and the latest version is
@@ -585,7 +580,7 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       attempt += 1
       val v = versions(spark, dir).lastOption.getOrElse(0L) + 1
       val claim = new Path(logDir(dir), s".claim.v$v")
-      if (atomicClaim(f, claim)) {
+      if (store.claimExclusive(f, claim)) {
         // the claim can be WON STALE: the true owner manifested v and
         // dropped its claim before our (older) version listing caught
         // up, and we just re-created the claim file. The owner's
@@ -598,10 +593,11 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
             if (latestNow != expected) { f.delete(claim, false); return None }
           }
           val stage = new Path(logDir(dir), s".v$v.$commitId.staging")
-          val out = f.create(stage, true)
-          try out.write(body) finally out.close()
-          require(f.rename(stage, manifestPath(dir, v)),
-            s"manifest rename failed for v$v under $dir")
+          // publish failure must not strand the claim: the version slot
+          // stays immediately re-claimable instead of waiting out the
+          // 60 s stale-claim adoption
+          try store.publishAtomic(f, stage, manifestPath(dir, v), body)
+          catch { case e: Throwable => f.delete(claim, false); throw e }
           f.delete(claim, false) // manifest is live; claim no longer needed
           propagateBlooms(spark, dir, v, files)
           return Some(v)
@@ -2202,10 +2198,27 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     val from: Option[Long] =
       if (!f.exists(cp)) None
       else {
-        val in = f.open(cp)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().next().trim.toLong)
-        finally in.close()
+        // a garbled cursor (external truncation/edit, checksum mismatch —
+        // ackChanges itself writes temp-then-rename) must fail
+        // ACTIONABLY, not with a bare NumberFormatException or
+        // ChecksumException that names nothing
+        def unreadable(detail: String, cause: Throwable = null) =
+          new IllegalStateException(
+            s"subscription cursor $cursorFile is unreadable ($detail) — " +
+              "it should hold one version number. Recover by writing " +
+              "the last version this subscriber durably APPLIED, or " +
+              "delete the file to restart the subscription from a full " +
+              "initial feed.", cause)
+        val txt =
+          try {
+            val in = f.open(cp)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          } catch { case scala.util.control.NonFatal(e) =>
+            throw unreadable(e.toString, e)
+          }
+        Some(txt.toLongOption
+          .getOrElse(throw unreadable(s"content: '${txt.take(40)}'")))
       }
     from match {
       case Some(v) if v == latest => None // caught up
@@ -2219,14 +2232,14 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
   }
 
   /** Advance the subscriber's cursor to `version` — call AFTER the
-    * polled batch is durably applied. Overwrite-then-rename would be
-    * nicer, but a cursor is single-writer by contract. */
+    * polled batch is durably applied. Temp-write-then-rename (the
+    * [[LogStore]] overwrite primitive): a crash mid-ack leaves the OLD
+    * cursor intact — the next poll re-delivers (at-least-once, the
+    * subscription's contract) — never an empty or torn file. */
   def ackChanges(spark: SparkSession, dir: String, cursorFile: String,
-      version: Long): Unit = {
-    val f = fs(spark, dir)
-    val out = f.create(new Path(cursorFile), true)
-    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-  }
+      version: Long): Unit =
+    store.overwriteAtomic(fs(spark, dir), new Path(cursorFile),
+      version.toString.getBytes("UTF-8"))
 
   /** Apply a keyed [[changesBetween]] feed to ANOTHER snapshot log — the
     * replica-sync verb. Post-images and inserts upsert, deletes delete,
@@ -2287,21 +2300,21 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     // pre-images are informational for a keyed applier
     val acts = batch.filter(col("_change_type") =!= "update_preimage")
     val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
-    // a NULL-keyed DELETE/UPDATE cannot be applied BY KEY (NULL matches
-    // nothing) — silently skipping it would quietly diverge the
-    // replica, so it refuses loudly: replication keys must identify
-    // every row the source ever rewrites
-    val badNull = acts
-      .filter(anyKeyNull && col("_change_type") =!= "insert")
-      .limit(1).count()
-    require(badNull == 0,
-      "change feed carries a delete/update with a NULL key in " +
-        s"(${keys.mkString(",")}) — NULL matches nothing, so the change " +
-        "cannot be applied by key; replicate on columns the source " +
-        "never rewrites under NULL")
     // NULL-keyed inserts match nothing and ALL apply — never collapsed
-    // (a key-partitioned window would wrongly fold them into one)
+    // (a key-partitioned window would wrongly fold them into one). A
+    // NULL-keyed DELETE/UPDATE cannot be applied BY KEY (NULL matches
+    // nothing) — silently skipping it would quietly diverge the
+    // replica — so the guard rides THIS slice's evaluation inside the
+    // merge's own pass (raise_error, zero dedicated jobs): any
+    // non-insert reaching it aborts the batch before anything commits
     val nullIns = acts.filter(anyKeyNull)
+      .withColumn("_change_type",
+        when(col("_change_type") === "insert", col("_change_type"))
+          .otherwise(raise_error(lit(
+            "change feed carries a delete/update with a NULL key in " +
+              s"(${keys.mkString(",")}) — NULL matches nothing, so the " +
+              "change cannot be applied by key; replicate on columns " +
+              "the source never rewrites under NULL"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("_commit_version").desc,

@@ -1,0 +1,188 @@
+package graft
+
+import graft.sources.{HadoopFsLogStore, LogStore, SnapshotLog}
+import org.apache.hadoop.fs.{FileSystem, Path, RawLocalFileSystem}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The commit-primitive seam's contract (SnapshotLog ↔ LogStore):
+  * object-store schemes refuse loudly instead of silently weakening the
+  * protocol, a failed manifest publish leaves NO half-visible version
+  * and no stranded claim, the cursor overwrite survives a crash
+  * mid-ack, and a garbled cursor fails actionably. */
+class LogStoreSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshDir() =
+    Files.createTempDirectory("logstore").toString + "/tbl"
+
+  /** A local filesystem masquerading as an object store. */
+  private class FakeSchemeFs(scheme: String) extends RawLocalFileSystem {
+    initialize(java.net.URI.create("file:///"), spark.sparkContext
+      .hadoopConfiguration)
+    override def getScheme: String = scheme
+  }
+
+  /** A filesystem whose rename quietly reports failure — the shape an
+    * unhealthy store (quota, permissions, consistency lag) presents. */
+  private class RenameFailsFs extends RawLocalFileSystem {
+    initialize(java.net.URI.create("file:///"), spark.sparkContext
+      .hadoopConfiguration)
+    override def rename(src: Path, dst: Path): Boolean = false
+  }
+
+  test("object-store schemes refuse loudly on every primitive") {
+    val fake: FileSystem = new FakeSchemeFs("s3a")
+    val p = new Path(freshDir(), "claim")
+    for (op <- Seq[() => Any](
+        () => HadoopFsLogStore.claimExclusive(fake, p),
+        () => HadoopFsLogStore.publishAtomic(fake, new Path(p, "s"),
+          new Path(p, "d"), Array[Byte](1)),
+        () => HadoopFsLogStore.overwriteAtomic(fake, p, Array[Byte](1)))) {
+      val e = intercept[IllegalStateException](op())
+      assert(e.getMessage.contains("s3a") &&
+        e.getMessage.contains("setLogStore"),
+        s"refusal must name the scheme and the seam: ${e.getMessage}")
+    }
+  }
+
+  test("publish whose rename returns false: loud failure, stage cleaned, " +
+      "no destination") {
+    val fs: FileSystem = new RenameFailsFs
+    val base = new Path(freshDir())
+    fs.mkdirs(base)
+    val stage = new Path(base, ".v1.staging")
+    val dest = new Path(base, "v1.manifest")
+    val e = intercept[IllegalStateException](
+      HadoopFsLogStore.publishAtomic(fs, stage, dest, "body".getBytes))
+    assert(e.getMessage.contains("NOT committed"))
+    assert(!fs.exists(dest), "failed publish left a visible destination")
+    assert(!fs.exists(stage), "failed publish left its staging file")
+  }
+
+  test("commit through a failing LogStore: no half-visible version, no " +
+      "stranded claim — the same slot commits cleanly afterwards") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    val failing = new LogStore {
+      def claimExclusive(f: FileSystem, p: Path): Boolean =
+        HadoopFsLogStore.claimExclusive(f, p)
+      def publishAtomic(f: FileSystem, stage: Path, dest: Path,
+          body: Array[Byte]): Unit =
+        throw new IllegalStateException(
+          "atomic publish failed: rename returned false — the version " +
+            "was NOT committed")
+      def overwriteAtomic(f: FileSystem, dest: Path,
+          body: Array[Byte]): Unit =
+        HadoopFsLogStore.overwriteAtomic(f, dest, body)
+    }
+    SnapshotLog.setLogStore(failing)
+    try {
+      val e = intercept[IllegalStateException](
+        SnapshotLog.commit(spark, dir, Seq((2L, "b")).toDF("k", "v")))
+      assert(e.getMessage.contains("NOT committed"))
+    } finally SnapshotLog.setLogStore(HadoopFsLogStore)
+    // nothing half-visible: still one version, reads serve v1 only
+    assert(SnapshotLog.versions(spark, dir) === Seq(1L))
+    assert(SnapshotLog.read(spark, dir).count() === 1)
+    // the claim was not stranded: v2 commits immediately (no 60 s
+    // stale-claim adoption wait on this path)
+    val t0 = System.nanoTime()
+    val v2 = SnapshotLog.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(v2 === 2L)
+    assert(elapsedMs < 30000L, s"v2 waited ${elapsedMs}ms — stranded claim?")
+    // replace semantics: the latest version is exactly the v2 body
+    assert(SnapshotLog.read(spark, dir).count() === 1)
+  }
+
+  test("crash mid-ack: the old cursor survives; a completed ack is the " +
+      "new value; a garbled cursor fails actionably") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    SnapshotLog.commit(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    val cursor = Files.createTempDirectory("cursor").toString + "/cur"
+    // subscribe + ack v1
+    SnapshotLog.ackChanges(spark, dir, cursor, 1L)
+    // crash mid-ack == the temp file was written but never renamed:
+    // simulate by dropping a temp next to the cursor — the cursor itself
+    // must still read as v1 and the next poll re-delivers from v1
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(cursor + ".tmp"), "2".getBytes)
+    val polled = SnapshotLog.pollChanges(spark, dir, cursor, Seq("k"))
+    assert(polled.isDefined && polled.get._2 === 2L,
+      "old cursor must survive a crashed ack (at-least-once re-delivery)")
+    // completed ack: cursor advances atomically, poll says caught-up
+    SnapshotLog.ackChanges(spark, dir, cursor, 2L)
+    assert(SnapshotLog.pollChanges(spark, dir, cursor, Seq("k")).isEmpty)
+    // ackChanges never leaves its own temp behind
+    val dirList = new java.io.File(cursor).getParentFile.list().toSeq
+    assert(!dirList.exists(n => n.startsWith(".cur.") && n.endsWith(".tmp")),
+      s"ack left a temp file: $dirList")
+    // garbled cursor (external truncation): loud, names the file, says how
+    // to recover
+    java.nio.file.Files.write(java.nio.file.Paths.get(cursor),
+      "not-a-version".getBytes)
+    val e = intercept[IllegalStateException](
+      SnapshotLog.pollChanges(spark, dir, cursor, Seq("k")))
+    assert(e.getMessage.contains(cursor) && e.getMessage.contains("Recover"))
+  }
+
+  test("applyChangeBatch: NULL-keyed delete refuses inside the merge " +
+      "pass (no dedicated guard job); clean batches lose the extra job") {
+    import spark.implicits._
+    val src = freshDir()
+    val dst = freshDir()
+    SnapshotLog.commit(spark, dst,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // a NULL-keyed delete must still refuse loudly
+    val badFeed = Seq((Option.empty[Long], "x", "delete", 2L))
+      .toDF("k", "v", "_change_type", "_commit_version")
+    val e = intercept[Exception](
+      SnapshotLog.applyChangeBatch(spark, dst, badFeed, Seq("k"), 7L))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("NULL key")),
+      s"guard lost its message: ${messages(e)}")
+    // and the refusal happened BEFORE anything committed
+    assert(SnapshotLog.read(spark, dst).count() === 2)
+    // job-count: a clean batch costs no dedicated guard action — count
+    // Spark jobs across the apply and pin the budget (was +1 before the
+    // guard rode the merge's own pass)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val goodFeed = Seq(
+      (Option(1L), "a2", "update_postimage", 2L),
+      (Option(2L), "b", "delete", 2L),
+      (Option(3L), "c", "insert", 2L))
+      .toDF("k", "v", "_change_type", "_commit_version")
+    spark.sparkContext.addSparkListener(listener)
+    val counted =
+      try {
+        SnapshotLog.applyChangeBatch(spark, dst, goodFeed, Seq("k"), 8L)
+        // listener events are async: wait until the count stabilizes
+        var last = -1; var stable = 0; var waited = 0
+        while (stable < 3 && waited < 5000) {
+          Thread.sleep(100); waited += 100
+          if (jobs.get() == last) stable += 1 else { stable = 0; last = jobs.get() }
+        }
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val applied = SnapshotLog.read(spark, dst).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(applied === Seq((1L, "a2"), (3L, "c")))
+    // merge's own cost class (measured: 15 jobs — detection, winners,
+    // rewrite, bookkeeping): the old dedicated guard action made it 16,
+    // so the pin catches the extra job coming back
+    assert(counted <= 15, s"apply cost $counted jobs — guard job back?")
+  }
+}
