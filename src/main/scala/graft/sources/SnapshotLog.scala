@@ -2277,11 +2277,19 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,
       keys: Seq[String], checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxBytesPerTrigger: Option[Long] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(keys.nonEmpty, "replicate needs at least one key column")
-    spark.readStream.format("graft.sources.SnapshotStreamSource")
-      .option("path", srcDir).option("readChangeFeed", "true").load()
+    val reader = spark.readStream
+      .format("graft.sources.SnapshotStreamSource")
+      .option("path", srcDir).option("readChangeFeed", "true")
+    // bounds every bite INCLUDING the bootstrap: the initial snapshot
+    // splits at file grain under this budget, so a 100 TB source
+    // becomes a sequence of bounded merge commits, not one
+    maxBytesPerTrigger.foreach(b =>
+      reader.option("maxBytesPerTrigger", b.toString))
+    reader.load()
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -384,17 +384,33 @@ private[sources] class SnapshotBatch(dir: String, schema: StructType,
   * `start` is the stream's FIRST emitted version, carried in the offset
   * JSON so recovery can tell the legitimate initial snapshot apart from
   * a vacuumed predecessor (legacy plain-long offsets parse with
-  * start = -1 = unknown → any snapshot boundary fails loudly). */
-private[sources] final case class VersionOffset(v: Long, start: Long = -1L)
-    extends Offset {
-  override def json(): String = s"""{"v":$v,"s":$start}"""
+  * start = -1 = unknown → any snapshot boundary fails loudly).
+  *
+  * `files` is the INITIAL-SNAPSHOT file cursor: while the stream's
+  * first version is a genuine full snapshot (no retained predecessor)
+  * and a byte budget is set, the snapshot drains in file-grain bites —
+  * `files = k ≥ 0` means "k files of version `start` emitted, snapshot
+  * incomplete". Everywhere else `files = -1` (complete / not in the
+  * snapshot phase) and offsets stay version-grain exactly as before;
+  * the field is omitted from the JSON, so old checkpoints parse and
+  * new post-snapshot checkpoints stay readable by old code. */
+private[sources] final case class VersionOffset(v: Long, start: Long = -1L,
+    files: Long = -1L) extends Offset {
+  override def json(): String =
+    if (files >= 0) s"""{"v":$v,"s":$start,"f":$files}"""
+    else s"""{"v":$v,"s":$start}"""
+  /** Total order over stream positions: a version with an in-flight
+    * file cursor sorts below the same version completed. */
+  def pos: (Long, Long) = (v, if (files < 0) Long.MaxValue else files)
 }
 
 private[sources] object VersionOffset {
   private val Shape = """\{"v":(-?\d+),"s":(-?\d+)\}""".r
+  private val ShapeF = """\{"v":(-?\d+),"s":(-?\d+),"f":(-?\d+)\}""".r
   def parse(json: String): VersionOffset = json.trim match {
-    case Shape(v, s) => VersionOffset(v.toLong, s.toLong)
-    case legacy      => VersionOffset(legacy.toLong) // pre-r10 plain long
+    case ShapeF(v, s, f) => VersionOffset(v.toLong, s.toLong, f.toLong)
+    case Shape(v, s)     => VersionOffset(v.toLong, s.toLong)
+    case legacy          => VersionOffset(legacy.toLong) // pre-r10 plain long
   }
 }
 
@@ -473,6 +489,52 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
     val latest = availableNowTarget
       .map(t => math.min(t, vs.last)).getOrElse(vs.last)
     val so = start.asInstanceOf[VersionOffset]
+    // INITIAL-SNAPSHOT admission at FILE grain: the stream's first
+    // version IS the whole table when no predecessor is retained — for
+    // a 100 TB replica bootstrap, "admit ≥1 version per trigger" means
+    // one table-sized batch no matter the byte budget. While that
+    // snapshot is draining (and only then — afterwards versions stay
+    // the offset grain), split its manifest file list across bites:
+    // admit files until the budget is crossed, carry the file cursor in
+    // the offset, and resume exactly-once from it after a mid-snapshot
+    // restart (manifests are immutable, so the file order is stable).
+    // engages only under a byte budget (budget-less streams keep the
+    // one-bite snapshot) or when resuming an in-flight file cursor
+    // (the budget option may have been dropped across the restart)
+    val vset = vs.toSet
+    val midSnapshot = so.v == so.start && so.files >= 0
+    val snapshotPhase =
+      (maxBytesPerTrigger.isDefined || midSnapshot) &&
+        vset.contains(so.start) && !vset.contains(so.start - 1) &&
+        (so.v < so.start || midSnapshot)
+    // bytes the snapshot's own files contribute to THIS bite (a
+    // snapshot that completes under budget lets later versions ride in
+    // the same batch, exactly like any other admitted version)
+    var snapBytes = 0L
+    if (snapshotPhase) {
+      val files = SnapshotLog.filesOf(spark, dir, so.start)
+      val from = if (so.v < so.start) 0L else so.files
+      maxBytesPerTrigger match {
+        case None => // budget dropped across a restart: finish in one bite
+          return VersionOffset(so.start, so.start)
+        case Some(budget) =>
+          val f = new Path(dir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          var i = from
+          // the first pending file always rides (a single fat file is
+          // admitted alone rather than wedging the stream)
+          while (i < files.length && snapBytes < budget) {
+            snapBytes += f.getFileStatus(new Path(files(i.toInt))).getLen
+            i += 1
+          }
+          if (i < files.length)
+            return VersionOffset(so.start, so.start, i)
+          if (snapBytes >= budget)
+            return VersionOffset(so.start, so.start)
+        // else: snapshot completed with budget to spare — fall through
+        // and admit versions after it in the same batch
+      }
+    }
     // version cap first (bounded catch-up bites), then the byte budget
     // tightens it: admit versions until their NEW bytes cross the
     // budget — the crossing version is included, and the FIRST pending
@@ -483,12 +545,12 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
       case Some(m) => math.min(latest, so.v + m)
       case None    => latest
     }
+    val walkFrom = if (snapshotPhase) so.start else so.v
     val end = maxBytesPerTrigger match {
       case None => vCap
       case Some(budget) =>
-        val vset = vs.toSet // O(1) membership across the whole walk
-        var v = so.v
-        var bytes = 0L
+        var v = walkFrom
+        var bytes = snapBytes
         while (v < vCap && bytes < budget) {
           v += 1
           // a vacuumed version in the walk contributes no bytes — the
@@ -499,7 +561,7 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
         }
         v
     }
-    VersionOffset(end, so.start)
+    VersionOffset(math.max(end, walkFrom), so.start)
   }
 
   override def reportLatestOffset(): Offset =
@@ -511,16 +573,49 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val so = start.asInstanceOf[VersionOffset]
-    val (s, e) = (so.v, end.asInstanceOf[VersionOffset].v)
-    if (e <= s) return Array.empty
+    val eo = end.asInstanceOf[VersionOffset]
+    val (s, e) = (so.v, eo.v)
+    if (Ordering[(Long, Long)].lteq(eo.pos, so.pos)) return Array.empty
     val vs = SnapshotLog.versions(spark, dir)
     val vset = vs.toSet // O(1) membership across the whole version range
     val newFiles = scala.collection.mutable
       .ArrayBuffer[(String, Map[String, String], Long)]()
+    // The GENUINE initial snapshot (stream start with no retained
+    // predecessor) plans as a slice of the start version's manifest:
+    // the whole list in one batch without a byte budget, or the
+    // [so.files, eo.files) file-cursor window of a budgeted bootstrap
+    // bite (latestOffset's file-grain admission). Manifest order is
+    // immutable, so the slice replays exactly-once across restarts.
+    val genuineSnapshot = vset.contains(so.start) &&
+      !vset.contains(so.start - 1)
+    val slice: Option[(Int, Int)] =
+      if (genuineSnapshot &&
+          (so.v < so.start || (so.v == so.start && so.files >= 0)) &&
+          eo.v >= so.start) {
+        val total = SnapshotLog.filesOf(spark, dir, so.start).length
+        val from = if (so.v < so.start) 0 else so.files.toInt
+        val until = if (eo.v == so.start && eo.files >= 0) eo.files.toInt
+          else total
+        Some((from, until))
+      } else None
+    slice.foreach { case (from, until) =>
+      val v = so.start
+      require(SnapshotLog.dvOf(spark, dir, v).isEmpty,
+        s"version $v of $dir (the stream's initial snapshot) carries a " +
+          "deletion vector — MoR positions cannot be applied by an " +
+          "append-only stream; compact (optimize) first")
+      val files = SnapshotLog.filesOf(spark, dir, v)
+      val parts = if (SnapshotLog.partitionColsOf(spark, dir, v).nonEmpty)
+        SnapshotLog.filePartsOf(spark, dir, v)
+      else Map.empty[String, Map[String, String]]
+      newFiles ++= files.slice(from, until)
+        .map(p => (p, parts.getOrElse(p, Map.empty[String, String]), v))
+    }
     // RECORDED change files ([[SnapshotLog.ChangeFeedProperty]]): the
     // commit's exact row-level rows, `_change_type` materialized inside
     val recordedFiles = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-    ((s + 1) to e).foreach { v =>
+    val loopFrom = if (slice.isDefined) so.start + 1 else s + 1
+    (loopFrom to e).foreach { v =>
       require(vset.contains(v),
         s"version $v of $dir is gone (vacuumed?) — the stream cannot " +
           s"replay it; restart from a retained version " +
@@ -528,9 +623,12 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
       // a recorded commit (rewrite verb under graft.changeFeed=true) is
       // described ONLY by its change files — never by its file diff,
       // whose added files mix COW survivors with real changes. The
-      // stream's INITIAL snapshot stays the full state regardless.
+      // stream's initial version reads its recorded changes too when
+      // its predecessor is retained (span-start parity with the batch
+      // changeFeed(fromV, toV) view); only a GENUINE initial snapshot
+      // (no predecessor — handled by the slice above) is full state.
       val recorded =
-        if (changeFeed && v != so.start)
+        if (changeFeed && (v != so.start || vset.contains(v - 1)))
           SnapshotLog.changeFilesOf(spark, dir, v)
         else None
       if (recorded.isDefined) { recordedFiles ++= recorded.get.map(_ -> v) }
