@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions.expr
   * sbt "runMain graft.Maintain <tableDir> delete-where <sqlPred>"
   * sbt "runMain graft.Maintain <tableDir> update-where <col> <valueExpr> <sqlPred>"
   * sbt "runMain graft.Maintain <indexDir> compact-index bm25|ivf"
+  * sbt "runMain graft.Maintain <srcDir> replicate <dstDir> <key,cols> <ckptDir> [maxBytes]"
+  * sbt "runMain graft.Maintain <tableDir> poll-changes <cursorFile> [key,cols]"
+  * sbt "runMain graft.Maintain <tableDir> ack-changes <cursorFile> <version>"
   * }}}
   *
   * Every verb is the library call a scheduler would script — this main
@@ -108,6 +111,32 @@ object Maintain {
           }
           println(s"[maintain] compact-index dropped $dropped row(s), " +
             s"cleared $cleared tombstone(s)")
+        case "replicate" => // <dstDir> <key,cols> <ckptDir> [maxBytes]
+          require(rest.length >= 3,
+            "replicate needs <dstDir> <key,cols> <checkpointDir> [maxBytes]")
+          val keys = rest(1).split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          SnapshotLog.replicate(spark, dir, rest.head, keys, rest(2),
+            maxBytesPerTrigger = rest.lift(3).map(_.toLong))
+            .awaitTermination() // AvailableNow: catch up, then exit
+          println(s"[maintain] replicate -> ${rest.head} v${
+            SnapshotLog.versions(spark, rest.head).lastOption.getOrElse(0L)}")
+        case "poll-changes" => // <cursorFile> [key,cols]
+          require(rest.nonEmpty, "poll-changes needs <cursorFile> [key,cols]")
+          val keys = rest.lift(1)
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty)
+          SnapshotLog.pollChanges(spark, dir, rest.head, keys) match {
+            case None => println("[maintain] poll-changes: caught up")
+            case Some((feed, latest)) =>
+              feed.show(100, false)
+              println(s"[maintain] poll-changes -> ack version $latest " +
+                "after applying")
+          }
+        case "ack-changes" => // <cursorFile> <version>
+          require(rest.length >= 2, "ack-changes needs <cursorFile> <version>")
+          SnapshotLog.ackChanges(spark, dir, rest.head, rest(1).toLong)
+          println(s"[maintain] ack-changes -> ${rest(1)}")
         case other =>
           throw new IllegalArgumentException(s"unknown verb '$other'")
     }

@@ -403,6 +403,85 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         dmlReport("replace_where", dir, () =>
           graft.sources.SnapshotLog.replaceWhere(s, dir, source, pred))
       }))
+    // SELECT * FROM snapshot_poll_changes('/t', '/cursors/app1'[, 'k'])
+    // — the SUBSCRIPTION read half: the change feed since this
+    // subscriber's last acknowledged version, plus a _poll_version
+    // column carrying the version to acknowledge once the batch is
+    // durably applied. Caught-up polls return an EMPTY relation of the
+    // same shape. Read-only (the cursor advances only via
+    // snapshot_ack_changes), so re-analysis is harmless.
+    ext.injectTableFunction((FunctionIdentifier("snapshot_poll_changes"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_poll_changes"),
+      (args: Seq[Expression]) => {
+        if (args.length < 2 || args.length > 3)
+          throw new IllegalArgumentException("snapshot_poll_changes " +
+            "expects (path, cursorFile[, 'key,cols']), " +
+            s"got ${args.length} args")
+        val s = org.apache.spark.sql.SparkSession.active
+        val dir = strLit(args.head, "snapshot_poll_changes")
+        val cursor = strLit0(args(1), "snapshot_poll_changes")
+        val keys = args.lift(2)
+          .map(strLit0(_, "snapshot_poll_changes")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        import org.apache.spark.sql.functions.lit
+        (graft.sources.SnapshotLog.pollChanges(s, dir, cursor, keys) match {
+          case Some((feed, latest)) =>
+            feed.withColumn("_poll_version", lit(latest))
+          case None => // caught up: empty, same shape as a live poll
+            val latest = graft.sources.SnapshotLog.versions(s, dir).last
+            graft.sources.SnapshotLog.read(s, dir, Some(latest))
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_poll_version", lit(latest)).limit(0)
+        }).queryExecution.analyzed
+      }))
+    // SELECT * FROM snapshot_ack_changes('/t', '/cursors/app1', 7) —
+    // the SUBSCRIPTION write half: advance the cursor AFTER the polled
+    // batch is durably applied (crash-safe temp-then-rename). Lazy like
+    // every DML TVF — EXPLAIN never moves the cursor.
+    ext.injectTableFunction((FunctionIdentifier("snapshot_ack_changes"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_ack_changes"),
+      (args: Seq[Expression]) => {
+        arity("snapshot_ack_changes", args, 3)
+        val s = org.apache.spark.sql.SparkSession.active
+        val dir = strLit(args.head, "snapshot_ack_changes")
+        val cursor = strLit0(args(1), "snapshot_ack_changes")
+        val v = longLit(args(2), "snapshot_ack_changes")
+        dmlReport("ack_changes", dir, () => {
+          graft.sources.SnapshotLog.ackChanges(s, dir, cursor, v); v
+        })
+      }))
+    // SELECT * FROM snapshot_replicate('/src', '/replica', 'k',
+    //   '/ckpt/replica'[, maxBytesPerTrigger]) — one catch-up drain of
+    // the CDC replication loop (AvailableNow): stream the source's
+    // recorded change feed from the checkpoint and apply each bite as
+    // one keyed merge commit on the replica; the byte budget bounds
+    // every bite INCLUDING a bootstrap's initial snapshot. Returns the
+    // replica's resulting version. Lazy — EXPLAIN never replicates.
+    ext.injectTableFunction((FunctionIdentifier("snapshot_replicate"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_replicate"),
+      (args: Seq[Expression]) => {
+        if (args.length < 4 || args.length > 5)
+          throw new IllegalArgumentException("snapshot_replicate expects " +
+            "(srcPath, dstPath, 'key,cols', checkpointDir" +
+            s"[, maxBytesPerTrigger]), got ${args.length} args")
+        val s = org.apache.spark.sql.SparkSession.active
+        val src = strLit(args.head, "snapshot_replicate")
+        val dst = strLit(args(1), "snapshot_replicate")
+        val keys = strLit0(args(2), "snapshot_replicate")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val ckpt = strLit0(args(3), "snapshot_replicate")
+        val maxBytes = args.lift(4).map(longLit(_, "snapshot_replicate"))
+        dmlReport("replicate", dst, () => {
+          graft.sources.SnapshotLog.replicate(s, src, dst, keys, ckpt,
+            maxBytesPerTrigger = maxBytes).awaitTermination()
+          graft.sources.SnapshotLog.versions(s, dst).lastOption
+            .getOrElse(0L)
+        })
+      }))
     ext.injectTableFunction((FunctionIdentifier("snapshot_optimize"),
       new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
         "snapshot_optimize"),

@@ -66,4 +66,41 @@ class MaintainSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](
       Maintain.run(spark, Seq(idx, "compact-index", "nope")))
   }
+
+  test("replicate / poll-changes / ack-changes: a replica follows the " +
+      "source across two CLI drains; the cursor protocol round-trips") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val src = Files.createTempDirectory("maintain").toString + "/src"
+    val dst = Files.createTempDirectory("maintain").toString + "/dst"
+    val ckpt = Files.createTempDirectory("maintain-ckpt").toString
+    SnapshotLog.commit(spark, src,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    SnapshotLog.setTableProperties(spark, src,
+      Map(SnapshotLog.ChangeFeedProperty -> "true"))
+    def srcRows() = SnapshotLog.read(spark, src).orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    def dstRows() = SnapshotLog.read(spark, dst).orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    // drain 1: bootstrap
+    Maintain.run(spark, Seq(src, "replicate", dst, "k", ckpt))
+    assert(dstRows() === srcRows())
+    // the source rewrites; drain 2 (same checkpoint) converges
+    SnapshotLog.merge(spark, src,
+      Seq((1L, "A", false), (2L, "b", true), (4L, "d", false))
+        .toDF("k", "v", "del"),
+      keys = Seq("k"), deleteWhen = Some(col("del")),
+      dropCols = Seq("del"))
+    Maintain.run(spark, Seq(src, "replicate", dst, "k", ckpt))
+    assert(dstRows() === srcRows())
+    // cursor protocol: poll prints the pending feed, ack retires it
+    val cursor = Files.createTempDirectory("maintain-cur").toString + "/c"
+    Maintain.run(spark, Seq(src, "poll-changes", cursor, "k"))
+    val latest = SnapshotLog.versions(spark, src).last
+    Maintain.run(spark, Seq(src, "ack-changes", cursor, latest.toString))
+    assert(SnapshotLog.pollChanges(spark, src, cursor, Seq("k")).isEmpty,
+      "acked subscription must read as caught-up")
+    intercept[IllegalArgumentException](
+      Maintain.run(spark, Seq(src, "replicate", dst)))
+  }
 }

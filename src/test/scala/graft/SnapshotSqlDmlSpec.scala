@@ -63,6 +63,62 @@ class SnapshotSqlDmlSpec extends AnyFunSuite with SparkFixture {
       .as[Long].head() === 100L)
   }
 
+  test("subscription TVFs: the poll/ack cursor loop and " +
+      "snapshot_replicate drive a replica from pure SQL; EXPLAIN " +
+      "never moves state") {
+    val src = freshDir()
+    SnapshotLog.commit(spark, src,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    SnapshotLog.setTableProperties(spark, src,
+      Map(SnapshotLog.ChangeFeedProperty -> "true"))
+    val cursor = Files.createTempDirectory("sqlcur").toString + "/cur"
+    // first poll: the whole table as inserts, _poll_version = latest
+    val p1 = spark.sql(
+      s"SELECT * FROM snapshot_poll_changes('$src', '$cursor')")
+    assert(p1.columns.toSeq ===
+      Seq("k", "v", "_change_type", "_poll_version"))
+    assert(p1.count() === 2)
+    val ackV = p1.select("_poll_version").distinct().as[Long].head()
+    // EXPLAIN of the ack must not move the cursor...
+    spark.sql(s"EXPLAIN SELECT * FROM snapshot_ack_changes('$src', " +
+      s"'$cursor', $ackV)").collect()
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_poll_changes(" +
+      s"'$src', '$cursor')").as[Long].head() === 2,
+      "EXPLAIN advanced the cursor")
+    // ...executing it does
+    val ack = spark.sql(s"SELECT * FROM snapshot_ack_changes('$src', " +
+      s"'$cursor', $ackV)").collect()(0)
+    assert(ack.getString(0) === "ack_changes" && ack.getLong(2) === ackV)
+    // caught up: empty relation, same shape as a live poll
+    val p2 = spark.sql(
+      s"SELECT * FROM snapshot_poll_changes('$src', '$cursor', 'k')")
+    assert(p2.count() === 0 &&
+      p2.columns.toSeq === p1.columns.toSeq)
+    // the source moves on; the keyed poll serves the delta
+    SnapshotLog.append(spark, src, Seq((3L, "c")).toDF("k", "v"))
+    val p3 = spark.sql(
+      s"SELECT * FROM snapshot_poll_changes('$src', '$cursor', 'k')")
+    assert(p3.select("k", "_change_type").as[(Long, String)]
+      .collect().toSeq === Seq((3L, "insert")))
+    // snapshot_replicate: a replica bootstraps and follows from SQL
+    val dst = freshDir() + "/replica"
+    val ckpt = Files.createTempDirectory("sqlrepl").toString
+    def srcRows() = SnapshotLog.read(spark, src).orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    def dstRows() = SnapshotLog.read(spark, dst).orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    val rep = spark.sql(s"SELECT * FROM snapshot_replicate('$src', " +
+      s"'$dst', 'k', '$ckpt')").collect()(0)
+    assert(rep.getString(0) === "replicate")
+    assert(dstRows() === srcRows())
+    // a second drain (same checkpoint) converges after a source rewrite
+    SnapshotLog.updateWhere(spark, src, col("k") === 1L,
+      Map("v" -> lit("A")))
+    spark.sql(s"SELECT * FROM snapshot_replicate('$src', '$dst', 'k', " +
+      s"'$ckpt')").collect()
+    assert(dstRows() === srcRows())
+  }
+
   test("snapshot_replace_where TVF: atomic region reload from SQL, " +
       "outside-region guard, EXPLAIN never commits") {
     val dir = freshDir()
