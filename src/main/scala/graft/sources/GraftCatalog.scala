@@ -257,8 +257,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         if (known.exists(_._1 == dc.name())) dropChecks += dc.name()
         else require(dc.ifExists(),
           s"no CHECK constraint '${dc.name()}' on $dir")
-      case sp: TableChange.SetProperty =>
+      // create/alter symmetry: Spark's own bookkeeping keys (COMMENT ON
+      // TABLE arrives as SetProperty("comment"), plus provider/location/
+      // owner/option.*) must not persist into #tblprop= and surface in
+      // SHOW TBLPROPERTIES — the same ReservedProps filter createTable
+      // applies
+      case sp: TableChange.SetProperty
+          if !GraftCatalog.ReservedProps(sp.property()) &&
+            !sp.property().startsWith("option.") =>
         setProps += (sp.property() -> sp.value())
+      case _: TableChange.SetProperty => () // reserved: ignore, like create
       case rp: TableChange.RemoveProperty =>
         unsetProps += rp.property()
       case other => throw new UnsupportedOperationException(

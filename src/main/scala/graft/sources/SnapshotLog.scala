@@ -262,6 +262,10 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       val vs = versions(spark, dir)
       require(vs.nonEmpty, s"no committed snapshot under $dir")
       val latest = vs.last
+      // fail at ENABLE time when a user column collides with the feed's
+      // marker names — not on the first rewrite that records changes
+      if (set.get(ChangeFeedProperty).exists(_.equalsIgnoreCase("true")))
+        requireCdfNamesFree(spark, dir, latest)
       val props = tablePropertiesOf(spark, dir, latest) -- unset ++ set
       val carried = manifestLines(spark, dir, latest).filter(l =>
         l.startsWith("#schema=") || l.startsWith("#filestat=") ||
@@ -279,11 +283,37 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     -1L // unreachable
   }
 
-  /** Is the recorded change feed on for the table as of version `v`? */
+  /** Column names the recorded change feed owns in change files and
+    * merge frames. A user column under one of these names would be
+    * silently OVERWRITTEN by the feed's own markers (corrupting every
+    * recorded commit), so every change-recording verb — not just merge
+    * — refuses through the central [[cdfEnabled]] check. */
+  private[sources] val CdfReservedNames = Seq("_change_type", "__del")
+
+  private def requireCdfNamesFree(spark: SparkSession, dir: String,
+      v: Long): Unit = {
+    val clash = schemaOf(spark, dir, v)
+      .map(_.fieldNames.toSeq.filter(CdfReservedNames.contains))
+      .getOrElse(Seq.empty)
+    require(clash.isEmpty,
+      s"$dir: the recorded change feed reserves column name(s) " +
+        s"${clash.mkString(", ")} — rename the column(s) or keep " +
+        s"$ChangeFeedProperty off")
+  }
+
+  /** Is the recorded change feed on for the table as of version `v`?
+    * When it is, the reserved marker names must be free — checked HERE
+    * (the one gate every recording verb passes) so deleteWhere /
+    * updateWhere / replaceWhere / overwritePartitions / tombstoneWhere
+    * refuse exactly like merge instead of silently overwriting the
+    * user's column in their recorded change rows. */
   private def cdfEnabled(spark: SparkSession, dir: String,
-      v: Long): Boolean =
-    tablePropertiesOf(spark, dir, v)
+      v: Long): Boolean = {
+    val on = tablePropertiesOf(spark, dir, v)
       .get(ChangeFeedProperty).exists(_.equalsIgnoreCase("true"))
+    if (on) requireCdfNamesFree(spark, dir, v)
+    on
+  }
 
   /** Version `v`'s RECORDED change files: `Some(paths)` iff the commit
     * declared its row-level changes (`#cdf=1` — possibly zero files for

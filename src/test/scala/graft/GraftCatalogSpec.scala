@@ -1127,4 +1127,26 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(got === Seq((1L, "legacy"), (2L, "legacy"), (3L, "fresh")),
       s"stream read must fill the frozen default; got $got")
   }
+
+  test("alterTable filters Spark bookkeeping keys like createTable: " +
+      "COMMENT ON never lands in TBLPROPERTIES, user keys still do") {
+    import graft.sources.SnapshotLog
+    spark.sql("CREATE TABLE g.gold.propfilter (k BIGINT) " +
+      "TBLPROPERTIES ('team'='data')")
+    val dir = s"$root/gold/propfilter"
+    // COMMENT ON TABLE arrives as SetProperty("comment") — a reserved
+    // bookkeeping key that must not persist as a user property
+    spark.sql("COMMENT ON TABLE g.gold.propfilter IS 'hello'")
+    val props = SnapshotLog.tablePropertiesOf(spark, dir,
+      SnapshotLog.versions(spark, dir).last)
+    assert(!props.contains("comment"),
+      s"bookkeeping key persisted as a user property: $props")
+    assert(props.get("team") === Some("data"))
+    // plain SET TBLPROPERTIES still persists user keys
+    spark.sql("ALTER TABLE g.gold.propfilter SET TBLPROPERTIES ('tier'='gold')")
+    val props2 = SnapshotLog.tablePropertiesOf(spark, dir,
+      SnapshotLog.versions(spark, dir).last)
+    assert(props2.get("tier") === Some("gold") &&
+      props2.get("team") === Some("data") && !props2.contains("comment"))
+  }
 }

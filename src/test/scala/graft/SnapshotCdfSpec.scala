@@ -263,4 +263,40 @@ class SnapshotCdfSpec extends AnyFunSuite with SparkFixture {
     assertParity()
   }
 
+  test("reserved marker names are guarded CENTRALLY: enabling the feed " +
+      "on a clashing schema refuses, and every recording verb — not " +
+      "just merge — refuses when the clash arrives later") {
+    import spark.implicits._
+    // enable-time refusal: the table already owns _change_type
+    val clash = freshDir()
+    SnapshotLog.commit(spark, clash,
+      Seq((1L, "user-owned")).toDF("k", "_change_type"))
+    val e1 = intercept[IllegalArgumentException](
+      SnapshotLog.setTableProperties(spark, clash,
+        Map(SnapshotLog.ChangeFeedProperty -> "true")))
+    assert(e1.getMessage.contains("_change_type"))
+    // post-enable clash (ADD COLUMN after the feed is on): the next
+    // recording verb refuses instead of silently overwriting the user
+    // column in its recorded change rows
+    val late = freshDir()
+    SnapshotLog.commit(spark, late, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    SnapshotLog.setTableProperties(spark, late,
+      Map(SnapshotLog.ChangeFeedProperty -> "true"))
+    SnapshotLog.addColumns(spark, late,
+      Seq(org.apache.spark.sql.types.StructField("__del",
+        org.apache.spark.sql.types.BooleanType)))
+    for ((name, op) <- Seq[(String, () => Any)](
+        "deleteWhere" -> (() =>
+          SnapshotLog.deleteWhere(spark, late, col("k") === 1L)),
+        "updateWhere" -> (() => SnapshotLog.updateWhere(spark, late,
+          col("k") === 1L, Map("v" -> lit("x")))),
+        "replaceWhere" -> (() => SnapshotLog.replaceWhere(spark, late,
+          Seq((9L, "z", false)).toDF("k", "v", "__del"), col("k") >= 9L)))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("__del"),
+        s"$name must refuse on the reserved-name clash: ${e.getMessage}")
+    }
+    // the table itself is untouched and still readable
+    assert(SnapshotLog.read(spark, late).count() === 2)
+  }
 }
