@@ -111,7 +111,7 @@ object Bench {
     }.sorted
     val schedSec = schedTimes(schedTimes.size / 2)
     // pinned committed-snapshot baseline (update when re-snapshotting)
-    val schedBaseline = 0.539
+    val schedBaseline = 0.565
     val schedRatio = math.round(schedSec / schedBaseline * 1000) / 1000.0
     // Host-noise self-adjudication: three scan-shaped canary queries whose
     // code is frozen round-over-round. Their committed-snapshot medians are
@@ -124,9 +124,9 @@ object Bench {
     // it in the artifact itself so no human cross-read of BASELINE.md is
     // needed.
     val canaryBaseline = Seq(
-      "q_scan_project" -> 0.0950,
-      "q_agg_group"    -> 0.1674,
-      "q_topk"         -> 0.1075)
+      "q_scan_project" -> 0.1108,
+      "q_agg_group"    -> 0.1905,
+      "q_topk"         -> 0.1351)
     val resultMap = results.toMap
     val canaryPairs = canaryBaseline.flatMap { case (k, base) =>
       resultMap.get(k).filter(_ > 0).map(v => (k, v, v / base))

@@ -18,7 +18,7 @@ object Registry {
       RetrievalOps.all ++ ClassifierOps.all ++ TpchOps.all ++
       RecursiveOps.all ++ AnsiOps.all ++ OlapExtraOps.all ++
       OlapStatOps.all ++ OlapRankOps.all ++ TrendOps.all ++ EngageOps.all ++
-      AssocOps.all
+      AssocOps.all ++ SnapshotSqlOps.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")
