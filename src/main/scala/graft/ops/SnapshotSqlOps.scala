@@ -138,5 +138,131 @@ object SnapshotSqlOps {
       |ORDER BY commit_version, change_type""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(snapshotDefault, changefeedHistory)
+  /** The ENDPOINT diff (`snapshot_changes` / `changesBetween`) with
+    * keyed update labeling, hash-checked: two successive cents+50
+    * updates collapse to ONE pre/post pair (intra-span churn cancels —
+    * the replica-sync view, deliberately unlike q_changefeed_history's
+    * per-commit audit view), COW-carried unchanged rows cancel out of
+    * the diff entirely, and a later delete shows the SPAN-START image.
+    * No change-feed property needed — the endpoint diff reads two
+    * manifests' file sets, which is why it stays O(churn) at any
+    * history length. */
+  val changesBetween: Q = Q.checked(
+    "q_changes_between",
+    s"""$baseCte,
+      |v1 AS (SELECT k, cents FROM base WHERE k % 2 = 0),
+      |d AS (
+      |  SELECT 'delete' AS ct, cents FROM v1 WHERE k % 20 = 0
+      |  UNION ALL
+      |  SELECT 'update_preimage', cents FROM v1
+      |  WHERE k % 4 = 0 AND k % 20 <> 0
+      |  UNION ALL
+      |  SELECT 'update_postimage', cents + 100 FROM v1
+      |  WHERE k % 4 = 0 AND k % 20 <> 0)
+      |SELECT ct AS change_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM d GROUP BY ct ORDER BY change_type""".stripMargin
+  ) { (s, dir) =>
+    val tbl = java.nio.file.Files.createTempDirectory("graft_diff")
+      .toString + "/tbl"
+    val base = centsBase(s, dir)
+    SnapshotLog.commit(s, tbl,
+      base.filter(col("k") % 2 === 0).select("k", "cents"))          // v1
+    SnapshotLog.updateWhere(s, tbl, col("k") % 4 === 0,
+      Map("cents" -> (col("cents") + 50)))                           // v2
+    SnapshotLog.updateWhere(s, tbl, col("k") % 4 === 0,
+      Map("cents" -> (col("cents") + 50)))                           // v3
+    SnapshotLog.deleteWhere(s, tbl, col("k") % 20 === 0)             // v4
+    s.sql(s"""SELECT _change_type AS change_type, count(*) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM snapshot_changes('$tbl', 1, 4, 'k')
+      |GROUP BY _change_type ORDER BY change_type""".stripMargin)
+  }
+
+  /** Partition-declared snapshot table read through the
+    * `snapshot_partition` TVF: the plan opens ONLY the files whose
+    * recorded manifest tuple matches (manifest-grain pruning — at
+    * 100 TB the skipped partitions are never listed, let alone read),
+    * and the partition column comes back as a typed constant from the
+    * manifest, never re-parsed from paths. Values are hash-checked
+    * against DuckDB filtering the raw table. */
+  val snapshotPartitionRead: Q = Q.checked(
+    "q_snapshot_partition_read",
+    """WITH o AS (
+      |  SELECT o_orderpriority,
+      |    CAST(floor(o_totalprice * 100 + 5.0e-1) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 4 = 0)
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM o WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  ) { (s, dir) =>
+    val tbl = java.nio.file.Files.createTempDirectory("graft_part")
+      .toString + "/tbl"
+    SnapshotLog.commitPartitioned(s, tbl,
+      Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast(LongType)
+            .as("cents")),
+      Seq("o_orderpriority"))
+    s.sql(s"""SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM (
+      |  SELECT * FROM snapshot_partition('$tbl', 'o_orderpriority',
+      |    '1-URGENT')
+      |  UNION ALL
+      |  SELECT * FROM snapshot_partition('$tbl', 'o_orderpriority',
+      |    '3-MEDIUM')
+      |) GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** SQL MERGE through the `snapshot_merge_into` DML TVF, final state
+    * hash-checked: a CDC-shaped change view (updates cents+9 on
+    * matched thirds, tombstones on twelfths, inserts for odd thirds)
+    * applies as ONE keyed merge commit; the read-back through
+    * `snapshot_of` must equal DuckDB replaying the upsert algebra.
+    * The merge rewrites only files holding a matched key — the
+    * library's cost model, exercised here via the pure-SQL client
+    * path. */
+  val mergeSql: Q = Q.checked(
+    "q_merge_sql",
+    s"""$baseCte,
+      |v1 AS (SELECT k, cents FROM base WHERE k % 2 = 0),
+      |merged AS (
+      |  SELECT k, CASE WHEN k % 3 = 0 THEN cents + 9 ELSE cents END
+      |    AS cents
+      |  FROM v1 WHERE NOT (k % 12 = 0)
+      |  UNION ALL
+      |  SELECT k, cents + 7 FROM base WHERE k % 2 = 1 AND k % 3 = 0)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(sum(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_thirds
+      |FROM merged""".stripMargin
+  ) { (s, dir) =>
+    val tbl = java.nio.file.Files.createTempDirectory("graft_mrg")
+      .toString + "/tbl"
+    val base = centsBase(s, dir)
+    SnapshotLog.commit(s, tbl,
+      base.filter(col("k") % 2 === 0).select("k", "cents"))
+    val view = s"mrg_changes_${java.util.UUID.randomUUID().toString
+      .replace("-", "")}"
+    base.filter(col("k") % 3 === 0).select(
+      col("k"),
+      when(col("k") % 2 === 1, col("cents") + 7)
+        .otherwise(col("cents") + 9).as("cents"),
+      (col("k") % 12 === 0).as("is_del"))
+      .createOrReplaceTempView(view)
+    try {
+      s.sql(s"SELECT * FROM snapshot_merge_into('$tbl', " +
+        s"'SELECT * FROM $view', 'k', 'is_del', 'is_del')").collect()
+      s.sql(s"""SELECT count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  sum(CASE WHEN k % 3 = 0 THEN 1L ELSE 0L END) AS n_thirds
+        |FROM snapshot_of('$tbl')""".stripMargin)
+    } finally { s.catalog.dropTempView(view); () }
+  }
+
+  val all: Seq[Q] = Seq(snapshotDefault, changefeedHistory,
+    changesBetween, snapshotPartitionRead, mergeSql)
 }
