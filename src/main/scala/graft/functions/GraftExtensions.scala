@@ -426,14 +426,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
         import org.apache.spark.sql.functions.lit
-        (graft.sources.SnapshotLog.pollChanges(s, dir, cursor, keys) match {
-          case Some((feed, latest)) =>
+        (graft.sources.SnapshotLog
+          .pollChangesWithLatest(s, dir, cursor, keys) match {
+          case (Some(feed), latest) =>
             feed.withColumn("_poll_version", lit(latest))
-          case None => // caught up: empty, same shape as a live poll
-            val latest = graft.sources.SnapshotLog.versions(s, dir).last
-            graft.sources.SnapshotLog.read(s, dir, Some(latest))
-              .withColumn("_change_type", lit("insert"))
-              .withColumn("_poll_version", lit(latest)).limit(0)
+          case (None, latest) =>
+            // caught up: empty, same shape as a live poll — built from
+            // the version's schema header (one manifest read, no
+            // second listing: the idle poll is the common case)
+            val schema = graft.sources.SnapshotLog.schemaOf(s, dir, latest)
+              .getOrElse(graft.sources.SnapshotLog
+                .read(s, dir, Some(latest)).schema)
+              .add("_change_type", org.apache.spark.sql.types.StringType)
+              .add("_poll_version", org.apache.spark.sql.types.LongType,
+                nullable = false)
+            s.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              schema)
         }).queryExecution.analyzed
       }))
     // SELECT * FROM snapshot_ack_changes('/t', '/cursors/app1', 7) —

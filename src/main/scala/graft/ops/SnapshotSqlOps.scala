@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import graft.sources.SnapshotLog
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, MetadataBuilder, StructField}
 
@@ -19,10 +20,23 @@ import org.apache.spark.sql.types.{IntegerType, LongType, MetadataBuilder, Struc
   * fact tables); the verbs exercised (metadata-only ADD COLUMN,
   * keyed merge, predicate delete) each carry the library's own cost
   * model — one manifest commit plus rewrites proportional to touched
-  * files. Temp-dir tables are rebuilt per invocation (cheap at
-  * dimension grain) so Verify and Bench stay self-contained.
+  * files. Each query executes eagerly, pins its (≤7-row) result as a
+  * local relation and DELETES its fixture table, so repeated Verify /
+  * Bench invocations never accumulate table copies in /tmp.
   */
 object SnapshotSqlOps {
+
+  /** Run the fixture query now, keep only the tiny result, reclaim the
+    * fixture. The collect is bounded by construction (every query here
+    * is a ≤7-row aggregate). */
+  private def localized(s: org.apache.spark.sql.SparkSession,
+      tmpRoot: String, df: DataFrame): DataFrame = {
+    val rows = df.collect().toSeq
+    try org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmpRoot))
+    catch { case scala.util.control.NonFatal(_) => () }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
 
   private def centsBase(s: org.apache.spark.sql.SparkSession,
       dir: String) =
@@ -61,8 +75,9 @@ object SnapshotSqlOps {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM v GROUP BY view, score ORDER BY view, score""".stripMargin
   ) { (s, dir) =>
-    val tbl = java.nio.file.Files.createTempDirectory("graft_ddl")
-      .toString + "/tbl"
+    val root = java.nio.file.Files.createTempDirectory("graft_ddl")
+      .toString
+    val tbl = root + "/tbl"
     val base = centsBase(s, dir)
     SnapshotLog.commit(s, tbl,
       base.filter(col("k") % 3 =!= 0).select("k", "cents"))
@@ -72,13 +87,14 @@ object SnapshotSqlOps {
     SnapshotLog.append(s, tbl,
       base.filter(col("k") % 3 === 0).select(col("k"), col("cents"),
         (col("c_nationkey") % 5).cast(IntegerType).as("score")))
-    s.sql(s"""SELECT view, CAST(score AS BIGINT) AS score,
+    localized(s, root, s.sql(s"""SELECT view,
+      |  CAST(score AS BIGINT) AS score,
       |  count(*) AS n_cust, CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM (
       |  SELECT 'latest' AS view, score, cents FROM snapshot_of('$tbl')
       |  UNION ALL
       |  SELECT 'v2' AS view, score, cents FROM snapshot_of('$tbl', 2)
-      |) GROUP BY view, score ORDER BY view, score""".stripMargin)
+      |) GROUP BY view, score ORDER BY view, score""".stripMargin))
   }
 
   /** The RECORDED change feed's arithmetic, oracle-checked: v1 commits
@@ -113,8 +129,9 @@ object SnapshotSqlOps {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM feed GROUP BY v, ct ORDER BY commit_version, change_type""".stripMargin
   ) { (s, dir) =>
-    val tbl = java.nio.file.Files.createTempDirectory("graft_cdf")
-      .toString + "/tbl"
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf")
+      .toString
+    val tbl = root + "/tbl"
     val base = centsBase(s, dir)
     SnapshotLog.commit(s, tbl,
       base.filter(col("k") % 2 === 0).select("k", "cents"))         // v1
@@ -130,12 +147,13 @@ object SnapshotSqlOps {
     SnapshotLog.merge(s, tbl, changes, keys = Seq("k"),
       deleteWhen = Some(col("is_del")), dropCols = Seq("is_del"))   // v3
     SnapshotLog.deleteWhere(s, tbl, col("k") % 30 === 2)            // v4
-    s.sql(s"""SELECT _commit_version AS commit_version,
+    localized(s, root, s.sql(s"""SELECT
+      |  _commit_version AS commit_version,
       |  _change_type AS change_type, count(*) AS n,
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM snapshot_change_feed('$tbl', 1, 4)
       |GROUP BY _commit_version, _change_type
-      |ORDER BY commit_version, change_type""".stripMargin)
+      |ORDER BY commit_version, change_type""".stripMargin))
   }
 
   /** The ENDPOINT diff (`snapshot_changes` / `changesBetween`) with
@@ -163,8 +181,9 @@ object SnapshotSqlOps {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM d GROUP BY ct ORDER BY change_type""".stripMargin
   ) { (s, dir) =>
-    val tbl = java.nio.file.Files.createTempDirectory("graft_diff")
-      .toString + "/tbl"
+    val root = java.nio.file.Files.createTempDirectory("graft_diff")
+      .toString
+    val tbl = root + "/tbl"
     val base = centsBase(s, dir)
     SnapshotLog.commit(s, tbl,
       base.filter(col("k") % 2 === 0).select("k", "cents"))          // v1
@@ -173,10 +192,11 @@ object SnapshotSqlOps {
     SnapshotLog.updateWhere(s, tbl, col("k") % 4 === 0,
       Map("cents" -> (col("cents") + 50)))                           // v3
     SnapshotLog.deleteWhere(s, tbl, col("k") % 20 === 0)             // v4
-    s.sql(s"""SELECT _change_type AS change_type, count(*) AS n,
+    localized(s, root, s.sql(
+      s"""SELECT _change_type AS change_type, count(*) AS n,
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM snapshot_changes('$tbl', 1, 4, 'k')
-      |GROUP BY _change_type ORDER BY change_type""".stripMargin)
+      |GROUP BY _change_type ORDER BY change_type""".stripMargin))
   }
 
   /** Partition-declared snapshot table read through the
@@ -188,32 +208,32 @@ object SnapshotSqlOps {
     * against DuckDB filtering the raw table. */
   val snapshotPartitionRead: Q = Q.checked(
     "q_snapshot_partition_read",
-    """WITH o AS (
-      |  SELECT o_orderpriority,
-      |    CAST(floor(o_totalprice * 100 + 5.0e-1) AS BIGINT) AS cents
-      |  FROM orders WHERE o_orderkey % 4 = 0)
-      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+    """WITH c AS (
+      |  SELECT c_mktsegment,
+      |    CAST(floor(c_acctbal * 100 + 5.0e-1) AS BIGINT) AS cents
+      |  FROM customer)
+      |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
-      |FROM o WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
-      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+      |FROM c WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   ) { (s, dir) =>
-    val tbl = java.nio.file.Files.createTempDirectory("graft_part")
-      .toString + "/tbl"
+    val root = java.nio.file.Files.createTempDirectory("graft_part")
+      .toString
+    val tbl = root + "/tbl"
     SnapshotLog.commitPartitioned(s, tbl,
-      Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
-        .select(col("o_orderpriority"),
-          floor(col("o_totalprice") * 100 + lit(0.5)).cast(LongType)
-            .as("cents")),
-      Seq("o_orderpriority"))
-    s.sql(s"""SELECT o_orderpriority, count(*) AS n,
+      Tables.customer(s, dir).select(col("c_mktsegment"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast(LongType)
+          .as("cents")),
+      Seq("c_mktsegment"))
+    localized(s, root, s.sql(s"""SELECT c_mktsegment, count(*) AS n,
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM (
-      |  SELECT * FROM snapshot_partition('$tbl', 'o_orderpriority',
-      |    '1-URGENT')
+      |  SELECT * FROM snapshot_partition('$tbl', 'c_mktsegment',
+      |    'BUILDING')
       |  UNION ALL
-      |  SELECT * FROM snapshot_partition('$tbl', 'o_orderpriority',
-      |    '3-MEDIUM')
-      |) GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      |  SELECT * FROM snapshot_partition('$tbl', 'c_mktsegment',
+      |    'MACHINERY')
+      |) GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   }
 
   /** SQL MERGE through the `snapshot_merge_into` DML TVF, final state
@@ -240,8 +260,9 @@ object SnapshotSqlOps {
       |    AS n_thirds
       |FROM merged""".stripMargin
   ) { (s, dir) =>
-    val tbl = java.nio.file.Files.createTempDirectory("graft_mrg")
-      .toString + "/tbl"
+    val root = java.nio.file.Files.createTempDirectory("graft_mrg")
+      .toString
+    val tbl = root + "/tbl"
     val base = centsBase(s, dir)
     SnapshotLog.commit(s, tbl,
       base.filter(col("k") % 2 === 0).select("k", "cents"))
@@ -256,10 +277,10 @@ object SnapshotSqlOps {
     try {
       s.sql(s"SELECT * FROM snapshot_merge_into('$tbl', " +
         s"'SELECT * FROM $view', 'k', 'is_del', 'is_del')").collect()
-      s.sql(s"""SELECT count(*) AS n,
+      localized(s, root, s.sql(s"""SELECT count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  sum(CASE WHEN k % 3 = 0 THEN 1L ELSE 0L END) AS n_thirds
-        |FROM snapshot_of('$tbl')""".stripMargin)
+        |FROM snapshot_of('$tbl')""".stripMargin))
     } finally { s.catalog.dropTempView(view); () }
   }
 

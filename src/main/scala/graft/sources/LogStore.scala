@@ -107,8 +107,17 @@ object HadoopFsLogStore extends LogStore
   def publishAtomic(f: FileSystem, stage: Path, dest: Path,
       body: Array[Byte]): Unit = {
     checkScheme(f)
-    val out = f.create(stage, true)
-    try out.write(body) finally out.close()
+    // EVERY failure path cleans the stage file — a disk-full write, a
+    // rename exception, a rename that reports false: none may leave a
+    // partially-written dot-file to confuse a later listing
+    try {
+      val out = f.create(stage, true)
+      try out.write(body) finally out.close()
+    } catch { case e: Throwable =>
+      try f.delete(stage, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw e
+    }
     val ok =
       try f.rename(stage, dest)
       catch { case e: Throwable => f.delete(stage, false); throw e }
@@ -123,7 +132,17 @@ object HadoopFsLogStore extends LogStore
 
   /** Temp-write then rename-with-OVERWRITE (atomic on POSIX and HDFS
     * via FileContext): a crash before the rename leaves the old file
-    * intact, after it the new one — never an empty or torn cursor. */
+    * intact, after it the new one — never an empty or torn cursor.
+    *
+    * The rename deliberately goes through FileContext resolved from
+    * the FileSystem's URI rather than `f` itself: `FileSystem.rename`
+    * has no overwrite mode (it fails when dest exists on most
+    * implementations), and delete-then-rename would open exactly the
+    * missing-cursor window this primitive exists to close —
+    * `Options.Rename.OVERWRITE` is the one atomic-overwrite rename
+    * Hadoop exposes. Consequence: a wrapping/instrumented FileSystem
+    * instance sees the write but not the rename; scheme-level
+    * semantics are identical for real filesystems. */
   def overwriteAtomic(f: FileSystem, dest: Path,
       body: Array[Byte]): Unit = {
     checkScheme(f)

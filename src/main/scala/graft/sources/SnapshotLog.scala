@@ -306,12 +306,18 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     * (the one gate every recording verb passes) so deleteWhere /
     * updateWhere / replaceWhere / overwritePartitions / tombstoneWhere
     * refuse exactly like merge instead of silently overwriting the
-    * user's column in their recorded change rows. */
+    * user's column in their recorded change rows. The creation paths
+    * (enabling the feed, ADD/RENAME COLUMN) refuse up front, so this
+    * fires only for clashes smuggled past them (a full-replace commit
+    * with a clashing schema). Zero-change verbs (optimize /
+    * applyDeletionVectors / materialize) pass `requireNamesFree =
+    * false`: they record an EMPTY change set and write no marker
+    * column, so a clash must not block table maintenance. */
   private def cdfEnabled(spark: SparkSession, dir: String,
-      v: Long): Boolean = {
+      v: Long, requireNamesFree: Boolean = true): Boolean = {
     val on = tablePropertiesOf(spark, dir, v)
       .get(ChangeFeedProperty).exists(_.equalsIgnoreCase("true"))
-    if (on) requireCdfNamesFree(spark, dir, v)
+    if (on && requireNamesFree) requireCdfNamesFree(spark, dir, v)
     on
   }
 
@@ -1988,7 +1994,8 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       // declare that (an EMPTY recorded change set) so CDF streams ride
       // across it instead of refusing the file rewrite
       val cdfMark =
-        if (cdfEnabled(spark, dir, latest)) cdfHeaders(Seq.empty)
+        if (cdfEnabled(spark, dir, latest,
+            requireNamesFree = false)) cdfHeaders(Seq.empty)
         else Seq.empty
       commitFiles(spark, dir, (large ++ fresh).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++ cdfMark ++
@@ -2219,7 +2226,19 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     * retained ([[vacuum]] keepLast ≥ the subscriber's lag) or the poll
     * fails loudly rather than emit an unsound diff. */
   def pollChanges(spark: SparkSession, dir: String, cursorFile: String,
-      keys: Seq[String] = Seq.empty): Option[(DataFrame, Long)] = {
+      keys: Seq[String] = Seq.empty): Option[(DataFrame, Long)] =
+    pollChangesWithLatest(spark, dir, cursorFile, keys) match {
+      case (Some(feed), latest) => Some((feed, latest))
+      case (None, _)            => None
+    }
+
+  /** [[pollChanges]] that also returns the log's latest version when
+    * CAUGHT UP — a SQL/TVF caller building an empty same-shape
+    * response must not pay a second version listing for it (the idle
+    * poll is the scheduler-loop common case). */
+  def pollChangesWithLatest(spark: SparkSession, dir: String,
+      cursorFile: String,
+      keys: Seq[String] = Seq.empty): (Option[DataFrame], Long) = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed snapshot under $dir")
     val latest = vs.last
@@ -2251,13 +2270,13 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
           .getOrElse(throw unreadable(s"content: '${txt.take(40)}'")))
       }
     from match {
-      case Some(v) if v == latest => None // caught up
+      case Some(v) if v == latest => (None, latest) // caught up
       case Some(v) =>
-        Some((changesBetween(spark, dir, v, latest, keys), latest))
+        (Some(changesBetween(spark, dir, v, latest, keys)), latest)
       case None =>
         // first poll: the whole current table is the initial feed
-        Some((read(spark, dir, Some(latest))
-          .withColumn("_change_type", lit("insert")), latest))
+        (Some(read(spark, dir, Some(latest))
+          .withColumn("_change_type", lit("insert"))), latest)
     }
   }
 
@@ -4107,7 +4126,8 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       // physically dropping already-tombstoned rows changes ZERO
       // logical rows — declare the empty change set for CDF streams
       val cdfMark =
-        if (cdfEnabled(spark, dir, latest)) cdfHeaders(Seq.empty)
+        if (cdfEnabled(spark, dir, latest,
+            requireNamesFree = false)) cdfHeaders(Seq.empty)
         else Seq.empty
       commitFiles(spark, dir, (carry ++ newFiles).sorted, commitId,
         header = schemaOf(spark, dir, latest).map(schemaHeader).toSeq ++
@@ -4598,6 +4618,18 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
         s"column name '$n' cannot carry ':', tab, newline or '%' " +
           "through a RENAME/DROP (the #colmap header encoding)")
     }
+    // the recorded change feed owns the marker names — with the feed
+    // ON, creating such a column via ADD/RENAME refuses HERE (the
+    // creation path), so later recording verbs never meet the clash
+    val reservedNew = (addCols.map(_.name) ++ renameCols.map(_._2))
+      .filter(CdfReservedNames.contains)
+    if (reservedNew.nonEmpty)
+      versions(spark, dir).lastOption.foreach { latest =>
+        require(!cdfEnabled(spark, dir, latest, requireNamesFree = false),
+          s"$dir: the recorded change feed reserves column name(s) " +
+            s"${reservedNew.mkString(", ")} — pick another name or keep " +
+            s"$ChangeFeedProperty off")
+      }
     while (true) {
       val vs = versions(spark, dir)
       require(vs.nonEmpty, s"no committed snapshot under $dir")
@@ -4954,7 +4986,8 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       // empty recorded change set so CDF feeds ride across it (the
       // optimize/applyDeletionVectors rule)
       val cdfMark =
-        if (cdfEnabled(spark, dir, latest)) cdfHeaders(Seq.empty)
+        if (cdfEnabled(spark, dir, latest,
+            requireNamesFree = false)) cdfHeaders(Seq.empty)
         else Seq.empty
       commitFiles(spark, dir, (own ++ fresh).sorted, commitId,
         header = schema.map(schemaHeader).toSeq ++ cdfMark ++

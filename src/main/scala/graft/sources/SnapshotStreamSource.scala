@@ -444,6 +444,53 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
     availableNowTarget = Some(vs.last)
   }
 
+  /** The initial-snapshot version's (file list, per-file bytes),
+    * cached once per stream instance: manifests are immutable, and the
+    * budgeted bootstrap re-enters the admission walk once per bite —
+    * without the cache a 10^6-file snapshot re-parses its manifest and
+    * re-stats every file O(bites) times (pure driver-side waste). Size
+    * stats load lazily (only the byte-budget path needs them). */
+  @volatile private var snapshotCache: Option[(Long, Seq[String])] = None
+  @volatile private var snapshotSizes: Option[(Long, Array[Long])] = None
+
+  private def snapshotFilesOf(v: Long): Seq[String] =
+    snapshotCache match {
+      case Some((cv, fs)) if cv == v => fs
+      case _ =>
+        val fs = SnapshotLog.filesOf(spark, dir, v)
+        snapshotCache = Some((v, fs))
+        fs
+    }
+
+  private def snapshotSizesOf(v: Long): Array[Long] =
+    snapshotSizes match {
+      case Some((cv, sz)) if cv == v => sz
+      case _ =>
+        val f = new Path(dir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val sz = snapshotFilesOf(v)
+          .map(p => f.getFileStatus(new Path(p)).getLen).toArray
+        snapshotSizes = Some((v, sz))
+        sz
+    }
+
+  /** Loud guard for the one hole the version-range checks miss: the
+    * stream is MID-FILE-CURSOR inside its initial snapshot (some files
+    * emitted) and the snapshot version was vacuumed — silently falling
+    * through to the version walk would skip the un-emitted tail of the
+    * table forever. The not-yet-emitted cases stay with the existing
+    * guards: a vacuumed pending start raises the version loop's
+    * replay-gap error, and `startingVersion=latest` legitimately
+    * points start PAST the log until the next commit arrives. */
+  private def requireSnapshotRetained(so: VersionOffset,
+      vset: Set[Long]): Unit =
+    require(!(so.v == so.start && so.files >= 0) ||
+        vset.contains(so.start),
+      s"version ${so.start} of $dir (the stream's initial snapshot, " +
+        "still draining) is gone (vacuumed?) — continuing would " +
+        "silently skip the snapshot's un-emitted files; restart the " +
+        "stream from a retained version")
+
   /** Bytes version `v` would ADD to the stream: sizes of its files not
     * carried from `v-1` (for the stream's initial snapshot, every
     * file). Driver-side `getFileStatus` over the NEW files only — the
@@ -503,6 +550,7 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
     // (the budget option may have been dropped across the restart)
     val vset = vs.toSet
     val midSnapshot = so.v == so.start && so.files >= 0
+    requireSnapshotRetained(so, vset)
     val snapshotPhase =
       (maxBytesPerTrigger.isDefined || midSnapshot) &&
         vset.contains(so.start) && !vset.contains(so.start - 1) &&
@@ -512,19 +560,18 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
     // the same batch, exactly like any other admitted version)
     var snapBytes = 0L
     if (snapshotPhase) {
-      val files = SnapshotLog.filesOf(spark, dir, so.start)
+      val files = snapshotFilesOf(so.start)
       val from = if (so.v < so.start) 0L else so.files
       maxBytesPerTrigger match {
         case None => // budget dropped across a restart: finish in one bite
           return VersionOffset(so.start, so.start)
         case Some(budget) =>
-          val f = new Path(dir)
-            .getFileSystem(spark.sessionState.newHadoopConf())
+          val sizes = snapshotSizesOf(so.start)
           var i = from
           // the first pending file always rides (a single fat file is
           // admitted alone rather than wedging the stream)
           while (i < files.length && snapBytes < budget) {
-            snapBytes += f.getFileStatus(new Path(files(i.toInt))).getLen
+            snapBytes += sizes(i.toInt)
             i += 1
           }
           if (i < files.length)
@@ -586,13 +633,19 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
     // [so.files, eo.files) file-cursor window of a budgeted bootstrap
     // bite (latestOffset's file-grain admission). Manifest order is
     // immutable, so the slice replays exactly-once across restarts.
+    // checkpoint recovery replays a stored range through THIS method
+    // without a latestOffset call first, so the vacuumed-mid-snapshot
+    // guard must live here too — a mid-cursor offset whose snapshot
+    // version is gone would otherwise fall through to the version loop
+    // and silently skip the snapshot's un-emitted tail
+    requireSnapshotRetained(so, vset)
     val genuineSnapshot = vset.contains(so.start) &&
       !vset.contains(so.start - 1)
     val slice: Option[(Int, Int)] =
       if (genuineSnapshot &&
           (so.v < so.start || (so.v == so.start && so.files >= 0)) &&
           eo.v >= so.start) {
-        val total = SnapshotLog.filesOf(spark, dir, so.start).length
+        val total = snapshotFilesOf(so.start).length
         val from = if (so.v < so.start) 0 else so.files.toInt
         val until = if (eo.v == so.start && eo.files >= 0) eo.files.toInt
           else total
@@ -604,7 +657,7 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
         s"version $v of $dir (the stream's initial snapshot) carries a " +
           "deletion vector — MoR positions cannot be applied by an " +
           "append-only stream; compact (optimize) first")
-      val files = SnapshotLog.filesOf(spark, dir, v)
+      val files = snapshotFilesOf(v)
       val parts = if (SnapshotLog.partitionColsOf(spark, dir, v).nonEmpty)
         SnapshotLog.filePartsOf(spark, dir, v)
       else Map.empty[String, Map[String, String]]

@@ -275,27 +275,32 @@ class SnapshotCdfSpec extends AnyFunSuite with SparkFixture {
       SnapshotLog.setTableProperties(spark, clash,
         Map(SnapshotLog.ChangeFeedProperty -> "true")))
     assert(e1.getMessage.contains("_change_type"))
-    // post-enable clash (ADD COLUMN after the feed is on): the next
-    // recording verb refuses instead of silently overwriting the user
-    // column in its recorded change rows
+    // post-enable clash refuses at the CREATION path (ADD/RENAME), so
+    // recording verbs never meet it
     val late = freshDir()
     SnapshotLog.commit(spark, late, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
     SnapshotLog.setTableProperties(spark, late,
       Map(SnapshotLog.ChangeFeedProperty -> "true"))
-    SnapshotLog.addColumns(spark, late,
-      Seq(org.apache.spark.sql.types.StructField("__del",
-        org.apache.spark.sql.types.BooleanType)))
-    for ((name, op) <- Seq[(String, () => Any)](
-        "deleteWhere" -> (() =>
-          SnapshotLog.deleteWhere(spark, late, col("k") === 1L)),
-        "updateWhere" -> (() => SnapshotLog.updateWhere(spark, late,
-          col("k") === 1L, Map("v" -> lit("x")))),
-        "replaceWhere" -> (() => SnapshotLog.replaceWhere(spark, late,
-          Seq((9L, "z", false)).toDF("k", "v", "__del"), col("k") >= 9L)))) {
-      val e = intercept[IllegalArgumentException](op())
-      assert(e.getMessage.contains("__del"),
-        s"$name must refuse on the reserved-name clash: ${e.getMessage}")
-    }
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotLog.addColumns(spark, late,
+        Seq(org.apache.spark.sql.types.StructField("__del",
+          org.apache.spark.sql.types.BooleanType))))
+    assert(e2.getMessage.contains("__del"))
+    val e3 = intercept[IllegalArgumentException](
+      SnapshotLog.renameColumn(spark, late, "v", "_change_type"))
+    assert(e3.getMessage.contains("_change_type"))
+    // a clash smuggled past the creation guards (full-replace commit
+    // carries its own schema) still refuses at the next RECORDING verb
+    // — while zero-change maintenance (optimize) keeps working, since
+    // it writes no marker column
+    SnapshotLog.commit(spark, late,
+      Seq((1L, "a", false), (2L, "b", false)).toDF("k", "v", "__del"))
+    SnapshotLog.optimize(spark, late, smallFileBytes = Long.MaxValue,
+      targetFiles = 1)
+    val e4 = intercept[IllegalArgumentException](
+      SnapshotLog.deleteWhere(spark, late, col("k") === 1L))
+    assert(e4.getMessage.contains("__del"),
+      s"recording verb must refuse the smuggled clash: ${e4.getMessage}")
     // the table itself is untouched and still readable
     assert(SnapshotLog.read(spark, late).count() === 2)
   }

@@ -143,6 +143,34 @@ class SnapshotBootstrapSpec extends AnyFunSuite with SparkFixture {
     assert(SnapshotLog.versions(spark, dst).last === before)
   }
 
+  test("a vacuumed mid-snapshot bootstrap refuses loudly instead of " +
+      "silently skipping the un-emitted tail") {
+    val dir = freshDir()
+    seed(dir, nFiles = 4, rows = 400)
+    SnapshotLog.append(spark, dir, Seq((1000L, "x")).toDF("k", "v"))
+    val s1 = mkStream(dir, maxBytes = Some(1L))
+    val first = s1.initialOffset().asInstanceOf[VersionOffset]
+    val mid = s1.latestOffset(first, ReadLimit.allAvailable())
+      .asInstanceOf[VersionOffset]
+    assert(mid.files === 1L)
+    // the snapshot version disappears while the bootstrap is mid-cursor
+    SnapshotLog.vacuum(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    assert(!SnapshotLog.versions(spark, dir).contains(1L))
+    val s2 = mkStream(dir, maxBytes = Some(1L))
+    val resumed = s2.deserializeOffset(mid.json())
+      .asInstanceOf[VersionOffset]
+    // both the admission walk and checkpoint-recovery planning refuse
+    val e1 = intercept[IllegalArgumentException](
+      s2.latestOffset(resumed, ReadLimit.allAvailable()))
+    assert(e1.getMessage.contains("initial snapshot"),
+      s"admission must refuse: ${e1.getMessage}")
+    val e2 = intercept[IllegalArgumentException](
+      s2.planInputPartitions(resumed,
+        VersionOffset(2L, resumed.start)))
+    assert(e2.getMessage.contains("initial snapshot"),
+      s"recovery planning must refuse: ${e2.getMessage}")
+  }
+
   test("CDF stream starting ON a recorded rewrite commit (predecessor " +
       "retained) serves its recorded changes — span-start parity with " +
       "the batch changeFeed view") {
