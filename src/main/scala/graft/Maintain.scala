@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions.expr
   *
   * {{{
   * sbt "runMain graft.Maintain <tableDir> history"
+  * sbt "runMain graft.Maintain <tableDir> plan [smallFileBytes]"
   * sbt "runMain graft.Maintain <tableDir> optimize [targetFiles [col...] [where=pcol=val ...]]"
   * sbt "runMain graft.Maintain <tableDir> analyze <col> [col...]"
   * sbt "runMain graft.Maintain <tableDir> vacuum [keepLast]"
@@ -47,6 +48,10 @@ object Maintain {
     verb match {
         case "history" =>
           SnapshotLog.history(spark, dir).show(100, false)
+        case "plan" => // [smallFileBytes] — the compaction advisor
+          SnapshotLog.compactionReport(spark, dir,
+            rest.headOption.map(_.toLong)
+              .getOrElse(128L * 1024 * 1024)).show(1000, false)
         case "optimize" =>
           // [targetFiles [col... [where=pcol=val ...]]] — where= args
           // scope the compaction to one partition's files (the daily-

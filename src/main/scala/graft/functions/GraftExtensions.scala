@@ -403,6 +403,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         dmlReport("replace_where", dir, () =>
           graft.sources.SnapshotLog.replaceWhere(s, dir, source, pred))
       }))
+    // SELECT * FROM snapshot_compaction_report('/t'[, smallFileBytes])
+    // — the metadata-only maintenance advisor as a relation: per
+    // partition (n_files, bytes, n_small, recommend); each recommended
+    // row maps onto one scoped snapshot_optimize call
+    ext.injectTableFunction((FunctionIdentifier("snapshot_compaction_report"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_compaction_report"),
+      (args: Seq[Expression]) => {
+        if (args.isEmpty || args.length > 2)
+          throw new IllegalArgumentException(
+            "snapshot_compaction_report expects " +
+              s"(path[, smallFileBytes]), got ${args.length} args")
+        graft.sources.SnapshotLog.compactionReport(
+          org.apache.spark.sql.SparkSession.active,
+          strLit(args.head, "snapshot_compaction_report"),
+          args.lift(1).map(longLit(_, "snapshot_compaction_report"))
+            .getOrElse(128L * 1024 * 1024))
+          .queryExecution.analyzed
+      }))
     // SELECT * FROM snapshot_poll_changes('/t', '/cursors/app1'[, 'k'])
     // — the SUBSCRIPTION read half: the change feed since this
     // subscriber's last acknowledged version, plus a _poll_version

@@ -4195,6 +4195,45 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       "n_checks", "replay_mark", "committed_at")
   }
 
+  /** Metadata-only maintenance ADVISOR: the latest version's
+    * per-partition file census — file count, total bytes, small-file
+    * count under `smallFileBytes` — with a `recommend` flag where a
+    * compaction would actually act (≥2 small files to fold). One
+    * manifest read plus a driver-side file-status pass over the
+    * version's file list (the cost class [[optimize]]'s own detection
+    * pays), zero data bytes. At 100 TB this is what a scheduler greps
+    * BEFORE spending optimize passes: each recommended row maps
+    * one-to-one onto a scoped `optimize(partitionScope)` / Maintain
+    * `optimize ... where=col=value` invocation, so the expensive verb
+    * runs only where the report says it pays. */
+  def compactionReport(spark: SparkSession, dir: String,
+      smallFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    val latest = vs.last
+    val f = fs(spark, dir)
+    val pcs = partitionColsOf(spark, dir, latest)
+    val parts = if (pcs.nonEmpty) filePartsOf(spark, dir, latest)
+      else Map.empty[String, Map[String, String]]
+    val byPart = filesOf(spark, dir, latest)
+      .map { p =>
+        val key =
+          if (pcs.isEmpty) ""
+          else {
+            val t = parts.getOrElse(p, Map.empty[String, String])
+            pcs.map(c => s"$c=${t.getOrElse(c, "")}").mkString("/")
+          }
+        key -> f.getFileStatus(new Path(p)).getLen
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (k, sized) =>
+        val nSmall = sized.count(_._2 < smallFileBytes).toLong
+        (k, sized.size.toLong, sized.map(_._2).sum, nSmall, nSmall >= 2)
+      }
+    import spark.implicits._
+    byPart.toDF("partition", "n_files", "bytes", "n_small", "recommend")
+  }
+
   // -------------------------------------------------------------------
   // Per-file bloom filters (sidecar) — point-lookup file skipping
   // -------------------------------------------------------------------

@@ -194,4 +194,43 @@ class MaintenanceSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("dynamicpruning"),
       s"fact scan has no runtime partition filter (DPP did not fire):\n$plan")
   }
+
+  test("compactionReport: per-partition small-file census recommends " +
+      "exactly where a scoped optimize would act, and clears after it") {
+    import graft.sources.SnapshotLog
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("advisor")
+      .toString + "/tbl"
+    // region 'a' fragmented (4 files), region 'b' compact (1 file)
+    SnapshotLog.commitPartitioned(spark, dir,
+      (0L until 40L).map(i => ("a", i)).toDF("region", "k")
+        .repartition(4), Seq("region"))
+    SnapshotLog.append(spark, dir,
+      (100L until 110L).map(i => ("b", i)).toDF("region", "k")
+        .coalesce(1))
+    val rep = SnapshotLog.compactionReport(spark, dir)
+      .orderBy("partition")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(rep.map(_._1) === Seq("region=a", "region=b"))
+    val Seq(a, b) = rep
+    assert(a._2 === 4 && a._5, s"fragmented partition must recommend: $a")
+    assert(b._2 === 1 && !b._5, s"compact partition must not: $b")
+    // the SQL surface serves the same relation
+    val viaSql = spark.sql(
+      s"SELECT * FROM snapshot_compaction_report('$dir') " +
+        "WHERE recommend ORDER BY partition")
+      .select("partition").as[String].collect().toSeq
+    assert(viaSql === Seq("region=a"))
+    // act on the report: scoped optimize on exactly the flagged
+    // partition; the advisor goes quiet, rows are untouched
+    SnapshotLog.optimize(spark, dir, targetFiles = 1,
+      partitionScope = Map("region" -> "a"))
+    val after = SnapshotLog.compactionReport(spark, dir)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(after.forall(!_._5), s"nothing should remain flagged: $after")
+    assert(SnapshotLog.read(spark, dir).count() === 50)
+    // the CLI verb prints it (arg parsing only — same library call)
+    Maintain.run(spark, Seq(dir, "plan"))
+  }
 }

@@ -143,6 +143,52 @@ class SnapshotBootstrapSpec extends AnyFunSuite with SparkFixture {
     assert(SnapshotLog.versions(spark, dst).last === before)
   }
 
+  test("randomized drains: any (file count, budget, restart point) " +
+      "sequence covers the snapshot + tail exactly once, in order") {
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 6).foreach { trial =>
+      val dir = freshDir()
+      val nFiles = 1 + rnd.nextInt(6)
+      seed(dir, nFiles, rows = 100L * nFiles)
+      val nAppends = rnd.nextInt(3)
+      (0 until nAppends).foreach(i =>
+        SnapshotLog.append(spark, dir,
+          Seq((5000L + i, s"a$i")).toDF("k", "v")))
+      val manifest = SnapshotLog.filesOf(spark, dir, 1L)
+      // drain with a fresh stream instance after EVERY bite (the
+      // harshest restart schedule), under a random byte budget that
+      // may or may not split the snapshot
+      val budget = if (rnd.nextBoolean()) Some(1L + rnd.nextInt(2000).toLong)
+        else Some(1L)
+      val emitted = scala.collection.mutable.ArrayBuffer[String]()
+      var cur = mkStream(dir, budget).initialOffset()
+        .asInstanceOf[VersionOffset]
+      var spins = 0
+      while (spins < 50) {
+        spins += 1
+        val st = mkStream(dir, budget) // restart: new instance each bite
+        val resumed = st.deserializeOffset(cur.json())
+          .asInstanceOf[VersionOffset]
+        val next = st.latestOffset(resumed, ReadLimit.allAvailable())
+          .asInstanceOf[VersionOffset]
+        if (next == resumed) spins = 50
+        else {
+          emitted ++= st.planInputPartitions(resumed, next)
+            .map(_.asInstanceOf[SnapshotFilePartition].path)
+          cur = next
+        }
+      }
+      assert(emitted.take(manifest.size).toSeq === manifest,
+        s"trial $trial (files=$nFiles budget=$budget): snapshot not " +
+          "covered exactly once in manifest order")
+      assert(emitted.size === manifest.size + nAppends,
+        s"trial $trial: appended versions must follow, one file each " +
+          s"(got ${emitted.size}, want ${manifest.size + nAppends})")
+      assert(emitted.distinct.size === emitted.size,
+        s"trial $trial: a file was emitted twice")
+    }
+  }
+
   test("a vacuumed mid-snapshot bootstrap refuses loudly instead of " +
       "silently skipping the un-emitted tail") {
     val dir = freshDir()
