@@ -422,20 +422,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             .getOrElse(128L * 1024 * 1024))
           .queryExecution.analyzed
       }))
-    // SELECT * FROM snapshot_poll_changes('/t', '/cursors/app1'[, 'k'])
+    // SELECT * FROM snapshot_poll_changes('/t', '/cursors/app1'
+    //   [, 'k'[, maxVersions]])
     // — the SUBSCRIPTION read half: the change feed since this
     // subscriber's last acknowledged version, plus a _poll_version
     // column carrying the version to acknowledge once the batch is
-    // durably applied. Caught-up polls return an EMPTY relation of the
-    // same shape. Read-only (the cursor advances only via
-    // snapshot_ack_changes), so re-analysis is harmless.
+    // durably applied. `maxVersions` bounds each catch-up bite (ack
+    // the returned _poll_version and poll again — the loop converges).
+    // Caught-up polls return an EMPTY relation of the same shape.
+    // Read-only (the cursor advances only via snapshot_ack_changes),
+    // so re-analysis is harmless.
     ext.injectTableFunction((FunctionIdentifier("snapshot_poll_changes"),
       new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
         "snapshot_poll_changes"),
       (args: Seq[Expression]) => {
-        if (args.length < 2 || args.length > 3)
+        if (args.length < 2 || args.length > 4)
           throw new IllegalArgumentException("snapshot_poll_changes " +
-            "expects (path, cursorFile[, 'key,cols']), " +
+            "expects (path, cursorFile[, 'key,cols'[, maxVersions]]), " +
             s"got ${args.length} args")
         val s = org.apache.spark.sql.SparkSession.active
         val dir = strLit(args.head, "snapshot_poll_changes")
@@ -444,9 +447,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .map(strLit0(_, "snapshot_poll_changes")
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
+        val maxV = args.lift(3).map(longLit(_, "snapshot_poll_changes"))
         import org.apache.spark.sql.functions.lit
         (graft.sources.SnapshotLog
-          .pollChangesWithLatest(s, dir, cursor, keys) match {
+          .pollChangesWithLatest(s, dir, cursor, keys, maxV) match {
           case (Some(feed), latest) =>
             feed.withColumn("_poll_version", lit(latest))
           case (None, latest) =>

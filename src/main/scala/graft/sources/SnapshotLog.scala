@@ -2226,8 +2226,9 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     * retained ([[vacuum]] keepLast ≥ the subscriber's lag) or the poll
     * fails loudly rather than emit an unsound diff. */
   def pollChanges(spark: SparkSession, dir: String, cursorFile: String,
-      keys: Seq[String] = Seq.empty): Option[(DataFrame, Long)] =
-    pollChangesWithLatest(spark, dir, cursorFile, keys) match {
+      keys: Seq[String] = Seq.empty,
+      maxVersions: Option[Long] = None): Option[(DataFrame, Long)] =
+    pollChangesWithLatest(spark, dir, cursorFile, keys, maxVersions) match {
       case (Some(feed), latest) => Some((feed, latest))
       case (None, _)            => None
     }
@@ -2235,10 +2236,20 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
   /** [[pollChanges]] that also returns the log's latest version when
     * CAUGHT UP — a SQL/TVF caller building an empty same-shape
     * response must not pay a second version listing for it (the idle
-    * poll is the scheduler-loop common case). */
+    * poll is the scheduler-loop common case).
+    *
+    * `maxVersions` is the cursor protocol's ADMISSION control (the
+    * poll/ack twin of the stream's maxVersionsPerTrigger): a
+    * subscriber far behind catches up in bounded bites of ≤ m versions
+    * per poll instead of one span-sized diff — the returned ack
+    * version is the BITE's end, so the loop converges ack by ack. The
+    * first poll of a bounded subscription serves the table AS OF the
+    * earliest retained version + m − 1 (a bounded initial snapshot),
+    * and later polls diff forward from the cursor. */
   def pollChangesWithLatest(spark: SparkSession, dir: String,
       cursorFile: String,
-      keys: Seq[String] = Seq.empty): (Option[DataFrame], Long) = {
+      keys: Seq[String] = Seq.empty,
+      maxVersions: Option[Long] = None): (Option[DataFrame], Long) = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed snapshot under $dir")
     val latest = vs.last
@@ -2269,14 +2280,23 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
         Some(txt.toLongOption
           .getOrElse(throw unreadable(s"content: '${txt.take(40)}'")))
       }
+    maxVersions.foreach(m => require(m >= 1,
+      s"maxVersions must be >= 1, got $m"))
     from match {
       case Some(v) if v == latest => (None, latest) // caught up
       case Some(v) =>
-        (Some(changesBetween(spark, dir, v, latest, keys)), latest)
+        val target = maxVersions
+          .fold(latest)(m => math.min(latest, v + m))
+        (Some(changesBetween(spark, dir, v, target, keys)), target)
       case None =>
-        // first poll: the whole current table is the initial feed
-        (Some(read(spark, dir, Some(latest))
-          .withColumn("_change_type", lit("insert"))), latest)
+        // first poll: the current table is the initial feed — under
+        // admission, the table AS OF a bounded early version instead,
+        // so the bootstrap bite is proportional to history's start,
+        // not to the whole accumulated table
+        val v0 = maxVersions
+          .fold(latest)(m => math.min(latest, vs.head + m - 1))
+        (Some(read(spark, dir, Some(v0))
+          .withColumn("_change_type", lit("insert"))), v0)
     }
   }
 

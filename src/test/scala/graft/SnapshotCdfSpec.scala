@@ -263,6 +263,50 @@ class SnapshotCdfSpec extends AnyFunSuite with SparkFixture {
     assertParity()
   }
 
+  test("bounded catch-up: pollChanges maxVersions admission — a lagging " +
+      "subscriber converges ack by ack with replica parity") {
+    import spark.implicits._
+    val src = freshDir()
+    val rep = freshDir()
+    SnapshotLog.commit(spark, src,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "n"))       // v1
+    SnapshotLog.append(spark, src, Seq((4L, 40L)).toDF("k", "n")) // v2
+    SnapshotLog.updateWhere(spark, src, col("k") === 1L,
+      Map("n" -> (col("n") + 1L)))                                // v3
+    SnapshotLog.deleteWhere(spark, src, col("k") === 2L)          // v4
+    SnapshotLog.append(spark, src, Seq((5L, 50L)).toDF("k", "n")) // v5
+    val cursor = Files.createTempDirectory("bounded-cur").toString + "/c"
+    var polls = 0
+    var acked = Seq.empty[Long]
+    var done = false
+    while (!done && polls < 10) {
+      SnapshotLog.pollChanges(spark, src, cursor, Seq("k"),
+        maxVersions = Some(1L)) match {
+        case None => done = true
+        case Some((feed, upTo)) =>
+          polls += 1
+          SnapshotLog.applyChanges(spark, rep, feed, Seq("k"))
+          SnapshotLog.ackChanges(spark, src, cursor, upTo)
+          acked :+= upTo
+      }
+    }
+    // m=1: the bootstrap bite is the table AS OF v1, then one version
+    // per poll — five bounded bites, acks climbing 1,2,3,4,5
+    assert(polls === 5 && acked === Seq(1L, 2L, 3L, 4L, 5L),
+      s"expected 5 single-version bites, got $polls acks=$acked")
+    val got = SnapshotLog.read(spark, rep).orderBy("k")
+      .as[(Long, Long)].collect().toSeq
+    val want = SnapshotLog.read(spark, src).orderBy("k")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === want, s"replica diverged: $got vs $want")
+    // the TVF speaks the same admission: reset cursor, poll bounded
+    val c2 = Files.createTempDirectory("bounded-cur").toString + "/c"
+    val p1 = spark.sql(s"SELECT * FROM snapshot_poll_changes('$src', " +
+      s"'$c2', 'k', 1)")
+    assert(p1.select("_poll_version").distinct().as[Long].head() === 1L)
+    assert(p1.count() === 3, "bounded first bite must be the v1 table")
+  }
+
   test("reserved marker names are guarded CENTRALLY: enabling the feed " +
       "on a clashing schema refuses, and every recording verb — not " +
       "just merge — refuses when the clash arrives later") {
