@@ -120,5 +120,54 @@ object EngageOps {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(conversionLag, burstiness)
+  /** Pairwise event-type CO-ENGAGEMENT: for each unordered type pair,
+    * how many users did both, each side's reach, and the cleared-
+    * denominator Jaccard (users-doing-both / users-doing-either, in
+    * exact milli-units via integer `div` — decimal '/' rounds and its
+    * cross-engine rounding flips at boundaries). The "do clickers also
+    * purchase" audience-overlap matrix the funnel/retention suite
+    * never asks.
+    *
+    * Scale: the corpus collapses to DISTINCT (user, type) FIRST — user
+    * grain, bounded by |users|·|types| — then the pair build is a
+    * self-equi-join on user_id (one shuffle, ≤C(|types|,2) rows out
+    * per user, |types| is a domain constant) and two ≤|types|-row
+    * reach joins. Never a window, never user×user. */
+  val crossEngagement: Q = Q.checked(
+    "q_cross_engagement",
+    Tables.EventsCte +
+      """,
+        |ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM ev),
+        |tot AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM ut
+        |        GROUP BY t),
+        |pairs AS (
+        |  SELECT a.t AS t_a, b.t AS t_b, CAST(count(*) AS BIGINT)
+        |    AS n_both
+        |  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY a.t, b.t)
+        |SELECT t_a, t_b, n_both, ta.n AS n_a, tb.n AS n_b,
+        |  n_both * 1000 // (ta.n + tb.n - n_both) AS jaccard_milli
+        |FROM pairs JOIN tot ta ON ta.t = t_a JOIN tot tb ON tb.t = t_b
+        |ORDER BY t_a, t_b""".stripMargin
+  ) { (s, dir) =>
+    val ut = Tables.events(s, dir)
+      .select(col("user_id").as("u"), col("event_type").as("t"))
+      .distinct()
+    val tot = ut.groupBy("t").agg(count(lit(1)).as("n"))
+    val pairs = ut.alias("a")
+      .join(ut.alias("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("t_a"), col("b.t").as("t_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(tot.select(col("t").as("t_a"), col("n").as("n_a")), "t_a")
+      .join(tot.select(col("t").as("t_b"), col("n").as("n_b")), "t_b")
+      .select(col("t_a"), col("t_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        expr("n_both * 1000L div (n_a + n_b - n_both)")
+          .as("jaccard_milli"))
+      .orderBy("t_a", "t_b")
+  }
+
+  val all: Seq[Q] = Seq(conversionLag, burstiness, crossEngagement)
 }

@@ -307,6 +307,70 @@ class SnapshotCdfSpec extends AnyFunSuite with SparkFixture {
     assert(p1.count() === 3, "bounded first bite must be the v1 table")
   }
 
+  test("randomized subscription: arbitrary verb histories drain through " +
+      "bounded poll/ack loops with replica parity at every convergence") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    (1 to 3).foreach { trial =>
+      val src = freshDir()
+      val rep = freshDir()
+      val cursor = Files.createTempDirectory("rand-cur").toString + "/c"
+      var nextKey = 100L
+      SnapshotLog.commit(spark, src,
+        (0L until 10L).map(k => (k, k * 10)).toDF("k", "n"))
+      def randomVerb(): Unit = rnd.nextInt(4) match {
+        case 0 =>
+          SnapshotLog.append(spark, src,
+            Seq((nextKey, nextKey)).toDF("k", "n")); nextKey += 1
+        case 1 =>
+          val keys = SnapshotLog.read(spark, src)
+            .select("k").as[Long].collect()
+          if (keys.nonEmpty)
+            SnapshotLog.updateWhere(spark, src,
+              col("k") === keys(rnd.nextInt(keys.length)),
+              Map("n" -> (col("n") + 1000L)))
+        case 2 =>
+          val keys = SnapshotLog.read(spark, src)
+            .select("k").as[Long].collect()
+          if (keys.length > 2)
+            SnapshotLog.deleteWhere(spark, src,
+              col("k") === keys(rnd.nextInt(keys.length)))
+        case 3 =>
+          SnapshotLog.merge(spark, src,
+            Seq((nextKey, nextKey * 2L, false), (0L, -1L, false))
+              .toDF("k", "n", "is_del"),
+            keys = Seq("k"), deleteWhen = Some(col("is_del")),
+            dropCols = Seq("is_del")); nextKey += 1
+      }
+      def drainAndCheck(): Unit = {
+        val m = 1L + rnd.nextInt(3)
+        var spins = 0
+        var done = false
+        while (!done && spins < 40) {
+          spins += 1
+          SnapshotLog.pollChanges(spark, src, cursor, Seq("k"),
+            maxVersions = Some(m)) match {
+            case None => done = true
+            case Some((feed, upTo)) =>
+              SnapshotLog.applyChanges(spark, rep, feed, Seq("k"))
+              SnapshotLog.ackChanges(spark, src, cursor, upTo)
+          }
+        }
+        assert(done, s"trial $trial: poll loop did not converge")
+        val got = SnapshotLog.read(spark, rep).orderBy("k")
+          .as[(Long, Long)].collect().toSeq
+        val want = SnapshotLog.read(spark, src).orderBy("k")
+          .as[(Long, Long)].collect().toSeq
+        assert(got === want,
+          s"trial $trial: replica diverged (maxVersions=$m)")
+      }
+      (1 to 3).foreach { _ =>
+        randomVerb(); randomVerb()
+        drainAndCheck()
+      }
+    }
+  }
+
   test("reserved marker names are guarded CENTRALLY: enabling the feed " +
       "on a clashing schema refuses, and every recording verb — not " +
       "just merge — refuses when the clash arrives later") {
