@@ -158,9 +158,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else SnapshotLog.commitPartitioned(spark, dir, empty, pcs)
     // TBLPROPERTIES: user properties (Spark's own bookkeeping keys
     // excluded) land as one more metadata commit riding every later
-    // version via the #tblprop auto-carry
-    val userProps = properties.asScala.toMap.filter { case (k, _) =>
-      !GraftCatalog.ReservedProps(k) && !k.startsWith("option.")
+    // version via the #tblprop auto-carry. CREATE TABLE ... COMMENT
+    // persists too (under PROP_COMMENT, like ALTER's COMMENT ON TABLE).
+    val userProps = properties.asScala.toMap.filter { case (k, v) =>
+      (k == "comment" && v != null) ||
+        (!GraftCatalog.ReservedProps(k) && !k.startsWith("option."))
     }
     if (userProps.nonEmpty)
       SnapshotLog.setTableProperties(spark, dir, userProps)
@@ -257,11 +259,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         if (known.exists(_._1 == dc.name())) dropChecks += dc.name()
         else require(dc.ifExists(),
           s"no CHECK constraint '${dc.name()}' on $dir")
-      // create/alter symmetry: Spark's own bookkeeping keys (COMMENT ON
-      // TABLE arrives as SetProperty("comment"), plus provider/location/
-      // owner/option.*) must not persist into #tblprop= and surface in
-      // SHOW TBLPROPERTIES — the same ReservedProps filter createTable
-      // applies
+      // COMMENT ON TABLE arrives as SetProperty("comment") — a
+      // user-visible statement that must PERSIST, not no-op. It lands in
+      // the #tblprop map under Spark's own PROP_COMMENT key: DESCRIBE
+      // EXTENDED surfaces it as the table comment, while SHOW
+      // TBLPROPERTIES hides it (Spark filters TABLE_RESERVED_PROPERTIES
+      // from v2 property listings).
+      case sp: TableChange.SetProperty if sp.property() == "comment" =>
+        // COMMENT ... IS NULL arrives as SetProperty("comment", "")
+        if (sp.value() == null || sp.value().isEmpty)
+          unsetProps += "comment"
+        else setProps += ("comment" -> sp.value())
+      // create/alter symmetry: Spark's other bookkeeping keys (provider/
+      // location/owner/option.*) must not persist into #tblprop= and
+      // surface in SHOW TBLPROPERTIES — the same ReservedProps filter
+      // createTable applies
       case sp: TableChange.SetProperty
           if !GraftCatalog.ReservedProps(sp.property()) &&
             !sp.property().startsWith("option.") =>

@@ -148,12 +148,19 @@ object HadoopFsLogStore extends LogStore
     checkScheme(f)
     val tmp = new Path(dest.getParent,
       s".${dest.getName}.${java.util.UUID.randomUUID().toString}.tmp")
-    val out = f.create(tmp, true)
-    try out.write(body) finally out.close()
     try {
+      val out = f.create(tmp, true)
+      try out.write(body) finally out.close()
       val fc = FileContext.getFileContext(f.getUri, f.getConf)
       fc.rename(fc.makeQualified(tmp), fc.makeQualified(dest),
         Options.Rename.OVERWRITE)
-    } catch { case e: Throwable => f.delete(tmp, false); throw e }
+    } catch {
+      // write OR rename failure: remove the staged temp so a disk-full
+      // loop never strands .<cursor>.<uuid>.tmp litter (mirrors
+      // publishAtomic's write-failure cleanup)
+      case e: Throwable =>
+        try f.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
+    }
   }
 }

@@ -283,12 +283,17 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     -1L // unreachable
   }
 
-  /** Column names the recorded change feed owns in change files and
-    * merge frames. A user column under one of these names would be
-    * silently OVERWRITTEN by the feed's own markers (corrupting every
-    * recorded commit), so every change-recording verb — not just merge
-    * — refuses through the central [[cdfEnabled]] check. */
-  private[sources] val CdfReservedNames = Seq("_change_type", "__del")
+  /** Column names the recorded change feed owns in change files, merge
+    * frames, and feed OUTPUT. A user column under one of these names
+    * would be silently OVERWRITTEN — `_change_type`/`__del` by the
+    * recording verbs (corrupting every recorded commit),
+    * `_commit_version` by [[changeFeed]]'s shape() and the CDF stream's
+    * constant-fill, `_poll_version` by the poll TVF — so every
+    * change-recording verb refuses through the central [[cdfEnabled]]
+    * check, matching the upstream change-feed convention of reserving
+    * the marker names outright. */
+  private[sources] val CdfReservedNames =
+    Seq("_change_type", "__del", "_commit_version", "_poll_version")
 
   private def requireCdfNamesFree(spark: SparkSession, dir: String,
       v: Long): Unit = {

@@ -1128,25 +1128,39 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       s"stream read must fill the frozen default; got $got")
   }
 
-  test("alterTable filters Spark bookkeeping keys like createTable: " +
-      "COMMENT ON never lands in TBLPROPERTIES, user keys still do") {
+  test("COMMENT ON TABLE persists (DESCRIBE surfaces it, SHOW " +
+      "TBLPROPERTIES hides it); IS NULL removes; other bookkeeping " +
+      "keys stay filtered") {
     import graft.sources.SnapshotLog
     spark.sql("CREATE TABLE g.gold.propfilter (k BIGINT) " +
-      "TBLPROPERTIES ('team'='data')")
+      "COMMENT 'born documented' TBLPROPERTIES ('team'='data')")
     val dir = s"$root/gold/propfilter"
-    // COMMENT ON TABLE arrives as SetProperty("comment") — a reserved
-    // bookkeeping key that must not persist as a user property
-    spark.sql("COMMENT ON TABLE g.gold.propfilter IS 'hello'")
-    val props = SnapshotLog.tablePropertiesOf(spark, dir,
+    def props() = SnapshotLog.tablePropertiesOf(spark, dir,
       SnapshotLog.versions(spark, dir).last)
-    assert(!props.contains("comment"),
-      s"bookkeeping key persisted as a user property: $props")
-    assert(props.get("team") === Some("data"))
+    // CREATE TABLE ... COMMENT lands in metadata, not lost
+    assert(props().get("comment") === Some("born documented"))
+    // COMMENT ON TABLE replaces it — a user-visible statement that must
+    // persist, never silently no-op
+    spark.sql("COMMENT ON TABLE g.gold.propfilter IS 'hello'")
+    assert(props().get("comment") === Some("hello"))
+    assert(props().get("team") === Some("data"))
+    // DESCRIBE EXTENDED surfaces the comment (DSv2 reads it from the
+    // table's properties under PROP_COMMENT)
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED g.gold.propfilter")
+      .collect().map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("hello"), s"comment missing from DESCRIBE:\n$desc")
+    // ...but SHOW TBLPROPERTIES hides it (Spark filters reserved keys)
+    val shown = spark.sql("SHOW TBLPROPERTIES g.gold.propfilter")
+      .collect().map(_.getString(0)).toSet
+    assert(!shown.contains("comment"),
+      s"reserved key leaked into SHOW TBLPROPERTIES: $shown")
+    assert(shown.contains("team"))
+    // COMMENT ... IS NULL removes it
+    spark.sql("COMMENT ON TABLE g.gold.propfilter IS NULL")
+    assert(!props().contains("comment"), s"IS NULL left: ${props()}")
     // plain SET TBLPROPERTIES still persists user keys
     spark.sql("ALTER TABLE g.gold.propfilter SET TBLPROPERTIES ('tier'='gold')")
-    val props2 = SnapshotLog.tablePropertiesOf(spark, dir,
-      SnapshotLog.versions(spark, dir).last)
-    assert(props2.get("tier") === Some("gold") &&
-      props2.get("team") === Some("data") && !props2.contains("comment"))
+    assert(props().get("tier") === Some("gold") &&
+      props().get("team") === Some("data"))
   }
 }

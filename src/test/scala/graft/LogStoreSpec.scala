@@ -32,6 +32,35 @@ class LogStoreSpec extends AnyFunSuite with SparkFixture {
     override def rename(src: Path, dst: Path): Boolean = false
   }
 
+  /** A filesystem whose writes fail after the file opens — disk full. */
+  private class WriteFailsFs extends RawLocalFileSystem {
+    initialize(java.net.URI.create("file:///"), spark.sparkContext
+      .hadoopConfiguration)
+    private def failing(real: org.apache.hadoop.fs.FSDataOutputStream) =
+      new org.apache.hadoop.fs.FSDataOutputStream(
+        new java.io.OutputStream {
+          override def write(b: Int): Unit =
+            throw new java.io.IOException("No space left on device")
+          override def write(b: Array[Byte], off: Int, len: Int): Unit =
+            throw new java.io.IOException("No space left on device")
+          override def close(): Unit = real.close()
+        }, null)
+    override def create(f: Path,
+        permission: org.apache.hadoop.fs.permission.FsPermission,
+        overwrite: Boolean, bufferSize: Int, replication: Short,
+        blockSize: Long,
+        progress: org.apache.hadoop.util.Progressable)
+        : org.apache.hadoop.fs.FSDataOutputStream =
+      failing(super.create(f, permission, overwrite, bufferSize,
+        replication, blockSize, progress))
+    override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+        replication: Short, blockSize: Long,
+        progress: org.apache.hadoop.util.Progressable)
+        : org.apache.hadoop.fs.FSDataOutputStream =
+      failing(super.create(f, overwrite, bufferSize, replication,
+        blockSize, progress))
+  }
+
   test("object-store schemes refuse loudly on every primitive") {
     val fake: FileSystem = new FakeSchemeFs("s3a")
     val p = new Path(freshDir(), "claim")
@@ -59,6 +88,29 @@ class LogStoreSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("NOT committed"))
     assert(!fs.exists(dest), "failed publish left a visible destination")
     assert(!fs.exists(stage), "failed publish left its staging file")
+  }
+
+  test("overwrite whose WRITE fails (disk full): loud failure, temp " +
+      "cleaned, old cursor intact") {
+    val fs: FileSystem = new WriteFailsFs
+    val baseDir = freshDir()
+    val base = new Path(baseDir)
+    fs.mkdirs(base)
+    val dest = new Path(base, "cur")
+    // seed an existing cursor through the healthy primitive
+    HadoopFsLogStore.overwriteAtomic(
+      FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .getRawFileSystem, dest, "1".getBytes)
+    val e = intercept[java.io.IOException](
+      HadoopFsLogStore.overwriteAtomic(fs, dest, "2".getBytes))
+    assert(e.getMessage.contains("No space left"))
+    // the old cursor value survives, and the failed write strands NO
+    // .cur.<uuid>.tmp next to it (a disk-full retry loop must not litter)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(baseDir, "cur"))) === "1")
+    val left = new java.io.File(baseDir).list().toSeq
+    assert(!left.exists(n => n.endsWith(".tmp")),
+      s"failed write stranded a temp file: $left")
   }
 
   test("commit through a failing LogStore: no half-visible version, no " +

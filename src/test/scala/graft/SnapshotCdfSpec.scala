@@ -412,4 +412,38 @@ class SnapshotCdfSpec extends AnyFunSuite with SparkFixture {
     // the table itself is untouched and still readable
     assert(SnapshotLog.read(spark, late).count() === 2)
   }
+
+  test("the feed reserves its OUTPUT marker names too: _commit_version " +
+      "(changeFeed/CDF-stream fill) and _poll_version (poll TVF) refuse " +
+      "at enable time and at ADD/RENAME") {
+    import spark.implicits._
+    // enable-time refusal: a user column named _commit_version would be
+    // silently clobbered by shape()'s withColumn in every feed read
+    val clash = freshDir()
+    SnapshotLog.commit(spark, clash,
+      Seq((1L, 7L)).toDF("k", "_commit_version"))
+    val e1 = intercept[IllegalArgumentException](
+      SnapshotLog.setTableProperties(spark, clash,
+        Map(SnapshotLog.ChangeFeedProperty -> "true")))
+    assert(e1.getMessage.contains("_commit_version"))
+    // post-enable: ADD/RENAME of either output marker refuses
+    val late = freshDir()
+    SnapshotLog.commit(spark, late, Seq((1L, "a")).toDF("k", "v"))
+    SnapshotLog.setTableProperties(spark, late,
+      Map(SnapshotLog.ChangeFeedProperty -> "true"))
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotLog.addColumns(spark, late,
+        Seq(org.apache.spark.sql.types.StructField("_poll_version",
+          org.apache.spark.sql.types.LongType))))
+    assert(e2.getMessage.contains("_poll_version"))
+    val e3 = intercept[IllegalArgumentException](
+      SnapshotLog.renameColumn(spark, late, "v", "_commit_version"))
+    assert(e3.getMessage.contains("_commit_version"))
+    // with the feed OFF the names stay ordinary columns
+    val plain = freshDir()
+    SnapshotLog.commit(spark, plain,
+      Seq((1L, 7L)).toDF("k", "_commit_version"))
+    assert(SnapshotLog.read(spark, plain)
+      .select("_commit_version").as[Long].head() === 7L)
+  }
 }
