@@ -35,16 +35,40 @@ object SimHash {
   /** Pairs with Hamming(simhash_a, simhash_b) ≤ maxDist, blocked by
     * 16-bit bands. Output: (id_a, id_b, hamming). */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                     maxDist: Int = 3): DataFrame = {
-    val h = signatures(docs, idCol, textCol)
-    val banded = h.select(col(idCol),
-      col("simhash"),
+                     maxDist: Int = 3): DataFrame =
+    bandedHammingPairs(signatures(docs, idCol, textCol), idCol, "simhash",
+      maxDist, bands = 4)
+
+  /** The banded multi-index Hamming join over ANY 64-bit fingerprint
+    * column (SimHash text signatures, dHash image fingerprints, …):
+    * split the 64 bits into `bands` equal slices, equi-join on
+    * (band_id, slice value), verify with one codegen'd `bit_count` on
+    * the survivors. By pigeonhole, recall is EXACT for Hamming distance
+    * ≤ bands − 1 (pairs farther apart may still share a band —
+    * candidates, filtered by the verify). More bands buy a larger exact
+    * radius at the cost of more candidate collisions (shorter slices);
+    * 4×16 suits text near-dups (r ≤ 3), 8×8 the wider perceptual-hash
+    * radius (r ≤ 7). NEVER all-pairs: the only join is an equi-join,
+    * shuffle-partitioned on the band key — at 100 TB the candidate
+    * volume is governed by slice width, not corpus size².
+    * Output: (id_a, id_b, hamming) with id_a < id_b. */
+  def bandedHammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                         maxDist: Int, bands: Int): DataFrame = {
+    require(bands > 0 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    require(maxDist >= 0 && maxDist < 64, s"bad maxDist $maxDist")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    // reference the INPUT column inside the transform (an alias in the
+    // same select would be a lateral column reference)
+    val banded = sigs.select(col(idCol), col(sigCol).as("sig"),
       posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)"))
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> shiftright(`$sigCol`, b * $width) & $mask)"))
         .as(Seq("band_id", "band_val")))
-    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sh_a"),
       col("band_id"), col("band_val"))
-    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sh_b"),
       col("band_id").as("band_id_b"), col("band_val").as("band_val_b"))
     a.join(b, col("band_id") === col("band_id_b")
         && col("band_val") === col("band_val_b")

@@ -33,6 +33,44 @@ object ImplOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Raster leg of the dedup matrix: perceptual (dHash) image near-dup
+    * detection over a deterministic synthetic PNG corpus — one smooth
+    * 32×32 raster per embedding row, with every third image also
+    * present as a RE-ENCODED copy (±1-level codec jitter) and a
+    * box-RESIZED 16×16 copy, the two transforms a byte/pixel hash
+    * misses. [[graft.dedup.ImageDedup]]: per-partition decode → 9×8
+    * box-resize → 64-bit gradient-sign fingerprint, then the 8×8-band
+    * multi-index Hamming join (exact recall ≤ 7, never all-pairs —
+    * ImageDedupSpec plan-asserts no cartesian and pins a sequential
+    * all-pairs reference). Rows-only by design (DuckDB has no PNG
+    * codec); media_id = vec_id·10 + {0 orig, 1 re-encode, 2 resize}. */
+  val dedupImage: Q = Q.implOnly("q_dedup_image") { (s, dir) =>
+    import s.implicits._
+    import graft.dedup.ImageDedup
+    import graft.multimodal.Png
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id")).limit(200).as[Long]
+      .flatMap { id =>
+        val base = ImageDedup.testRaster(id, 32, 32)
+        val orig = (id * 10, Png.encode(32, 32, 1, base.pixels))
+        if (id % 3 != 0) Seq(orig)
+        else {
+          val jittered = base.pixels.zipWithIndex.map { case (p, i) =>
+            val x = i % 32; val y = i / 32
+            math.min(255, (p & 0xff) + (x + y) % 2).toByte
+          }
+          val small = Png.resizeBox(base, 16, 16)
+          Seq(orig,
+            (id * 10 + 1, Png.encode(32, 32, 1, jittered)),
+            (id * 10 + 2, Png.encode(16, 16, 1, small.pixels)))
+        }
+      }
+      .toDF("media_id", "payload")
+    ImageDedup.nearDuplicates(corpus, "media_id", "payload", maxDist = 6)
+      .withColumn("same_source", expr("id_a div 10 = id_b div 10"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** LSH-bucketed ANN top-10 for probe vec_id=0 (brute-force twin:
     * q_sim_topk). */
   val simAnn: Q = Q.implOnly("q_sim_ann") { (s, dir) =>
@@ -218,8 +256,14 @@ object ImplOps {
     * chain semantic re-opens the gate 6 h after the last SURVIVOR, so a
     * steady drizzle of sub-6 h events still yields one kept event per
     * 6 h instead of one per burst. Greedy chains are inherently
-    * sequential — no window/prefix-sum expresses them (and no ANSI
-    * oracle: rows-only by design; ThrottleSpec carries the laws).
+    * sequential — no window/prefix-sum expresses them — but they ARE
+    * recursively SQL-expressible: the successor of a kept event is a
+    * STATIC function of the data (first same-key event ≥ 6 h later), so
+    * the oracle precomputes per-event `next` pointers with one range
+    * join and walks them from each key's first event with WITH
+    * RECURSIVE — hash-checked, not rows-only (r14, retiring the largest
+    * unchecked relational surface). ThrottleSpec still carries the
+    * path-equivalence laws.
     * Routed via [[ThrottleScale.guardedChain]]: per-user keys take the
     * sanctioned `flatMapGroups` shape (hash-shuffle on the key, one
     * in-group sort, linear scan); a pathological hot key whose event
@@ -227,7 +271,31 @@ object ImplOps {
     * [[ThrottleScale.bucketedChain]] — gap-width time buckets + pointer
     * doubling, exact, with no task ever holding more than one bucket of
     * one key (ThrottleSpec proves both paths identical). */
-  val throttleChain: Q = Q.implOnly("q_throttle_chain") { (s, dir) =>
+  val throttleChain: Q = Q.checked(
+    "q_throttle_chain",
+    "WITH RECURSIVE " + Tables.EventsCte.stripPrefix("WITH ") +
+      """,
+        |o AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY epoch_us(ts), event_id) AS rn
+        |      FROM ev),
+        |nxt AS (
+        |  SELECT a.user_id, a.event_type, a.rn, min(b.rn) AS next_rn
+        |  FROM o a JOIN o b
+        |    ON b.user_id = a.user_id AND b.event_type = a.event_type
+        |   AND b.us >= a.us + 21600000000
+        |  GROUP BY a.user_id, a.event_type, a.rn),
+        |kept(user_id, event_type, rn) AS (
+        |  SELECT user_id, event_type, rn FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT k.user_id, k.event_type, n.next_rn
+        |  FROM kept k JOIN nxt n ON n.user_id = k.user_id
+        |    AND n.event_type = k.event_type AND n.rn = k.rn)
+        |SELECT o.event_id, o.user_id, o.event_type
+        |FROM kept k JOIN o ON o.user_id = k.user_id
+        |  AND o.event_type = k.event_type AND o.rn = k.rn
+        |ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
     val gapUs = 21600000000L // 6 h
     ThrottleScale.guardedChain(
       Tables.events(s, dir)
@@ -418,7 +486,8 @@ object ImplOps {
       .orderBy("label")
   }
 
-  val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, simAnn, simIvf,
+  val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, dedupImage, simAnn,
+    simIvf,
     multimodalFeatures, approxDistinct, topkGroupAgg, multimodalDecode,
     throttleChain, multimodalVideo, simPq, dedupSemantic, dedupSemanticIncr,
     multimodalAudio, evalAnnRecall, embedPca, multimodalResize)

@@ -1,0 +1,119 @@
+package graft
+
+import graft.dedup.ImageDedup
+import graft.multimodal.Png
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Perceptual image near-dup (q_dedup_image): the dHash fingerprint
+  * must be stable under the two transforms a byte hash misses
+  * (re-encode with ±1 jitter, box-resize), planted near-dup rasters
+  * must pair while distinct rasters must not, the banded join must
+  * equal a sequential all-pairs reference inside its exact-recall
+  * radius, and the candidate join must stay BANDED (equi-join — never a
+  * cartesian/all-pairs plan). */
+class ImageDedupSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  /** The registered query's corpus shape, small: ids 0..19, every third
+    * id with a jittered re-encode (+1) and a 16×16 resize (+2). */
+  private def corpus(n: Int) = (0L until n.toLong).flatMap { id =>
+    val base = ImageDedup.testRaster(id, 32, 32)
+    val orig = (id * 10, Png.encode(32, 32, 1, base.pixels))
+    if (id % 3 != 0) Seq(orig)
+    else {
+      val jittered = base.pixels.zipWithIndex.map { case (p, i) =>
+        val x = i % 32; val y = i / 32
+        math.min(255, (p & 0xff) + (x + y) % 2).toByte
+      }
+      val small = Png.resizeBox(base, 16, 16)
+      Seq(orig, (id * 10 + 1, Png.encode(32, 32, 1, jittered)),
+        (id * 10 + 2, Png.encode(16, 16, 1, small.pixels)))
+    }
+  }
+
+  test("dHash is invariant to the decode path and survives re-encode " +
+      "jitter and box-resize with small Hamming distance") {
+    (0L until 30L).foreach { id =>
+      val base = ImageDedup.testRaster(id, 32, 32)
+      val viaPng = ImageDedup.dHash64(
+        Png.decode(Png.encode(32, 32, 1, base.pixels)))
+      assert(viaPng === ImageDedup.dHash64(base),
+        s"id $id: PNG round-trip changed the fingerprint")
+      val jittered = Png.Image(32, 32, 1,
+        base.pixels.zipWithIndex.map { case (p, i) =>
+          val x = i % 32; val y = i / 32
+          math.min(255, (p & 0xff) + (x + y) % 2).toByte
+        })
+      val dJit = java.lang.Long.bitCount(
+        ImageDedup.dHash64(base) ^ ImageDedup.dHash64(jittered))
+      assert(dJit <= 6, s"id $id: jitter moved dHash by $dJit bits")
+      val dRes = java.lang.Long.bitCount(
+        ImageDedup.dHash64(base) ^
+          ImageDedup.dHash64(Png.resizeBox(base, 16, 16)))
+      assert(dRes <= 6, s"id $id: 16x16 resize moved dHash by $dRes bits")
+    }
+  }
+
+  test("distinct rasters are FAR apart (no accidental near-dups in the " +
+      "planted corpus)") {
+    val hs = (0L until 30L)
+      .map(id => id -> ImageDedup.dHash64(ImageDedup.testRaster(id, 32, 32)))
+    for ((ia, ha) <- hs; (ib, hb) <- hs if ia < ib) {
+      val d = java.lang.Long.bitCount(ha ^ hb)
+      assert(d > 12, s"ids $ia/$ib collide at Hamming $d")
+    }
+  }
+
+  test("banded near-dup pairs == sequential all-pairs reference within " +
+      "the exact-recall radius; planted variants all pair; no " +
+      "cross-source pairs") {
+    val df = corpus(20).toDF("media_id", "payload")
+    val got = ImageDedup.nearDuplicates(df, "media_id", "payload",
+        maxDist = 6)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    // sequential reference: brute-force all pairs over the same corpus
+    val fps = corpus(20).map { case (id, png) =>
+      id -> ImageDedup.dHash64(Png.decode(png))
+    }
+    val ref = (for {
+      (ia, ha) <- fps; (ib, hb) <- fps if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (ia, ib, d)).toSet
+    assert(got === ref,
+      s"banded != reference; missing=${ref -- got} extra=${got -- ref}")
+    // every planted variant group pairs completely (orig/reenc/resize)
+    val grouped = (0L until 20L).filter(_ % 3 == 0)
+    grouped.foreach { id =>
+      val expect = Set((id * 10, id * 10 + 1), (id * 10, id * 10 + 2),
+        (id * 10 + 1, id * 10 + 2))
+      val present = got.map(p => (p._1, p._2)).filter(expect)
+      assert(present === expect,
+        s"id $id: planted variants missing pairs ${expect -- present}")
+    }
+    // and nothing pairs across source images
+    assert(got.forall(p => p._1 / 10 == p._2 / 10),
+      s"cross-source false pair: ${got.filterNot(p => p._1 / 10 == p._2 / 10)}")
+  }
+
+  test("the candidate join is BANDED: equi-join on the band key, never " +
+      "a cartesian / nested-loop all-pairs plan") {
+    val df = corpus(20).toDF("media_id", "payload")
+    val plan = ImageDedup.nearDuplicates(df, "media_id", "payload")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"image dedup planned a CartesianProduct:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"image dedup planned a nested-loop join:\n$plan")
+  }
+
+  test("registered q_dedup_image runs on the sf corpus and flags only " +
+      "same-source pairs") {
+    val out = Registry.all.find(_.name == "q_dedup_image").get
+      .fn(spark, Sf).collect()
+    assert(out.nonEmpty, "q_dedup_image returned no pairs")
+    assert(out.forall(_.getAs[Boolean]("same_source")),
+      "q_dedup_image paired images from different sources")
+  }
+}
