@@ -757,6 +757,84 @@ object CuratePipeline {
     CurateStream.run(gated, cfg.outDir, checkpointDir, scfg, evalGrams)
   }
 
+  /** Curation DRIVEN BY a snapshot-log subscription — training shards
+    * that FOLLOW an upstream table through churn (the composition of
+    * the CDC pillar's poll/ack cursor protocol with the curation
+    * pillar's stage vocabulary). Each drain iteration polls the changes
+    * since the subscriber's cursor, curates the changed documents
+    * through the config's PER-DOCUMENT stages, and commits ONE keyed
+    * merge into the published shard table (`cfg.outDir`, itself a
+    * snapshot log):
+    *
+    *  - inserts / update post-images that SURVIVE curation upsert;
+    *  - upstream DELETES delete the shard row;
+    *  - a changed doc that FAILS curation (or leaves `input_filter`'s
+    *    slice) is EVICTED — an update that degrades a doc below the
+    *    quality bar must remove the stale curated copy, not leave it.
+    *
+    * Only per-document stages are allowed (lang_keep / quality /
+    * decontaminate / pii_scrub): corpus-grain stages (dedup_*, quotas,
+    * chunk) over a changed-rows slice would judge against the slice,
+    * not the corpus — silently different semantics, so they refuse
+    * loudly (dedup across churn is CurateStream's signature-store job).
+    *
+    * Replay-idempotent end to end: the output merge is stamped
+    * `#batch=<ack version>` ([[SnapshotLog.mergeBatch]]), so a crash
+    * between commit and ack re-polls the same span and the replayed
+    * merge is a no-op; the ack then advances and the loop converges.
+    * Cost ∝ churn: a poll reads only changed files (manifest-pruned),
+    * curation maps only changed docs, the merge rewrites only shard
+    * files holding a changed key. Returns the committed output versions
+    * (empty when already caught up). */
+  def runSubscription(spark: SparkSession, cfg: CurateConfig,
+      cursorFile: String,
+      maxVersionsPerPoll: Option[Long] = None): Seq[Long] = {
+    require(cfg.inputLog,
+      "subscription curation follows a snapshot-log table — set " +
+        "input_log true (plain parquet has no change feed to subscribe to)")
+    val perDoc = Set("lang_keep", "quality", "decontaminate", "pii_scrub")
+    val bad = cfg.stages.map(_.name).filterNot(perDoc)
+    require(bad.isEmpty,
+      s"stages [${bad.mkString(", ")}] are corpus-grain — over a " +
+        "changed-rows slice they would judge against the slice, not the " +
+        "corpus; runSubscription supports lang_keep/quality/" +
+        "decontaminate/pii_scrub")
+    val committed = Seq.newBuilder[Long]
+    var draining = true
+    while (draining) {
+      SnapshotLog.pollChanges(spark, cfg.inputPath, cursorFile,
+        keys = Seq(cfg.idCol), maxVersions = maxVersionsPerPoll) match {
+        case None => draining = false // caught up
+        case Some((feed, ackV)) =>
+          val changed = feed
+            .filter(col("_change_type") =!= "update_preimage")
+          val upserts0 = changed
+            .filter(col("_change_type") =!= "delete").drop("_change_type")
+          val upserts = cfg.inputFilter.fold(upserts0)(upserts0.filter)
+          val survivors = cfg.stages
+            .foldLeft(upserts)((df, st) => applyStage(spark, df, st, cfg))
+          // evict every changed key with no surviving curated row:
+          // upstream deletes AND curation/slice failures
+          val evict = changed.select(cfg.idCol).distinct()
+            .join(survivors.select(cfg.idCol), Seq(cfg.idCol), "left_anti")
+          val delta = survivors.withColumn("__evict", lit(false))
+            .unionByName(evict.withColumn("__evict", lit(true)),
+              allowMissingColumns = true)
+          committed +=
+            (if (SnapshotLog.versions(spark, cfg.outDir).isEmpty)
+              // bootstrap: the shard table doesn't exist yet — declare
+              // it with the first curated batch (evictions are no-ops
+              // against an empty table)
+              SnapshotLog.commitBatch(spark, cfg.outDir, survivors, ackV)
+            else SnapshotLog.mergeBatch(spark, cfg.outDir, delta,
+              keys = Seq(cfg.idCol), batchId = ackV,
+              deleteWhen = Some(col("__evict")), dropCols = Seq("__evict")))
+          SnapshotLog.ackChanges(spark, cfg.inputPath, cursorFile, ackV)
+      }
+    }
+    committed.result()
+  }
+
   private def parseLangs(v: String): Seq[String] = {
     val t = v.trim
     require(t.startsWith("[") && t.endsWith("]"),

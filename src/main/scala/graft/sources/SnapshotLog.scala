@@ -2290,6 +2290,21 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     from match {
       case Some(v) if v == latest => (None, latest) // caught up
       case Some(v) =>
+        // retention raced past this subscriber: the diff since v cannot
+        // be served soundly (deletes between v and the earliest retained
+        // version are gone). Refuse HERE, naming the cursor and the
+        // recovery path — never a silent empty poll, and never the bare
+        // changesBetween message that names neither.
+        if (!vs.contains(v)) throw new IllegalStateException(
+          s"subscription cursor $cursorFile acknowledges version $v of " +
+            s"$dir, which retention has dropped (retained: " +
+            s"${vs.mkString(",")}) — the changes since it cannot be " +
+            "served soundly (deletes in the vacuumed span are " +
+            "unrecoverable). Resync the subscriber: clear/rebuild the " +
+            "replica and delete the cursor file to restart from a full " +
+            "initial feed (a re-bootstrap over a STALE replica would " +
+            "miss those deletes), then vacuum with keepLast >= the " +
+            "slowest subscriber's lag to prevent recurrence.")
         val target = maxVersions
           .fold(latest)(m => math.min(latest, v + m))
         (Some(changesBetween(spark, dir, v, target, keys)), target)

@@ -234,6 +234,79 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("batch-only"))
   }
 
+  test("runSubscription: shards FOLLOW the upstream table through churn " +
+      "— deletes/degrades/slice-exits evict within one drain, inserts " +
+      "curate in, replay is a no-op, corpus-grain stages refuse") {
+    import spark.implicits._
+    val root = tmp("curate-sub")
+    val up = s"$root/up"; val outd = s"$root/shards"
+    val cur = s"$root/cursor"
+    def doc(id: Long, lang: String, words: Int) =
+      (id, lang, (1 to words).map(i => s"w$i$id").mkString(" "))
+    SnapshotLog.commit(spark, up,
+      Seq(doc(1, "en", 5), doc(2, "en", 1), doc(3, "de", 5),
+        doc(4, "en", 6)).toDF("doc_id", "lang", "text"))
+    val cfg = CuratePipeline.CurateConfig(
+      inputPath = up, outDir = outd, inputLog = true,
+      stages = Seq(
+        CuratePipeline.Stage("lang_keep", Map("langs" -> "[en]")),
+        CuratePipeline.Stage("quality", Map("min_tok" -> "3",
+          "max_tok" -> "100", "min_ttr_milli" -> "0"))))
+    def shardIds() = SnapshotLog.read(spark, outd)
+      .select("doc_id").as[Long].collect().toSet
+    // drain 1 (bootstrap): only en docs above the quality bar publish
+    assert(CuratePipeline.runSubscription(spark, cfg, cur).size === 1)
+    assert(shardIds() === Set(1L, 4L)) // 2 fails quality, 3 fails lang
+    // caught up: an idle drain commits nothing
+    assert(CuratePipeline.runSubscription(spark, cfg, cur).isEmpty)
+    // upstream churn in one commit: 1 deleted, 4 degraded below the
+    // bar, 3 flips de→en (now eligible), 5 inserts clean
+    SnapshotLog.merge(spark, up, Seq(
+        (1L, "en", "x", true),              // delete
+        (4L, "en", "tiny", false),          // update: degrades 4
+        (3L, "en", doc(3, "en", 5)._3, false), // update: enters slice
+        (5L, "en", doc(5, "en", 7)._3, false)) // insert: curates in
+        .toDF("doc_id", "lang", "text", "del"),
+      keys = Seq("doc_id"), deleteWhen = Some(col("del")),
+      dropCols = Seq("del"))
+    // ONE drain propagates all four: delete evicts, degrade evicts,
+    // slice-entry publishes, insert publishes
+    assert(CuratePipeline.runSubscription(spark, cfg, cur).size === 1)
+    assert(shardIds() === Set(3L, 5L),
+      "published shard set must mirror upstream churn after one drain")
+    // replay idempotence: crash between merge and ack == cursor rolled
+    // back; the re-drain replays the span as a #batch no-op
+    val nVersionsBefore = SnapshotLog.versions(spark, outd).size
+    SnapshotLog.ackChanges(spark, up, cur, 1L)
+    CuratePipeline.runSubscription(spark, cfg, cur)
+    assert(SnapshotLog.versions(spark, outd).size === nVersionsBefore,
+      "replayed drain must not stack a new output version")
+    assert(shardIds() === Set(3L, 5L))
+    // bounded admission: two more upstream commits drain in two bites
+    SnapshotLog.merge(spark, up,
+      Seq(doc(6, "en", 5)).toDF("doc_id", "lang", "text"),
+      keys = Seq("doc_id"))
+    SnapshotLog.merge(spark, up,
+      Seq(doc(7, "en", 5)).toDF("doc_id", "lang", "text"),
+      keys = Seq("doc_id"))
+    val bitten = CuratePipeline.runSubscription(spark, cfg, cur,
+      maxVersionsPerPoll = Some(1L))
+    assert(bitten.size === 2, s"expected 2 bites, got $bitten")
+    assert(shardIds() === Set(3L, 5L, 6L, 7L))
+    // corpus-grain stages refuse loudly: a per-slice dedup would judge
+    // against the batch, not the corpus
+    val e = intercept[IllegalArgumentException](
+      CuratePipeline.runSubscription(spark,
+        cfg.copy(stages = cfg.stages :+
+          CuratePipeline.Stage("dedup_near", Map.empty)), cur))
+    assert(e.getMessage.contains("corpus-grain"))
+    // and a non-log input has no feed to subscribe to
+    val e2 = intercept[IllegalArgumentException](
+      CuratePipeline.runSubscription(spark,
+        cfg.copy(inputLog = false), cur))
+    assert(e2.getMessage.contains("input_log"))
+  }
+
   test("pii_scrub: emails, IPs and number runs redact; clean text untouched") {
     import spark.implicits._
     val cfg = CuratePipeline.CurateConfig(inputPath = "unused",

@@ -86,12 +86,23 @@ class SnapshotCdfSpec extends AnyFunSuite with SparkFixture {
     // retention outruns the consumer: v1 is vacuumed away
     SnapshotLog.vacuum(spark, dir, keepLast = 1, orphanGraceMs = 0L)
     // the poll must fail LOUDLY — a silent skip would lose the v1→v2
-    // deletes and corrupt every replica downstream; the operator either
-    // re-seeds the consumer (delete the cursor → full re-poll) or
-    // widens retention (vacuum minAgeMs)
-    val e = intercept[IllegalArgumentException](
+    // deletes and corrupt every replica downstream. The refusal names
+    // the CURSOR FILE (which subscriber is stuck), the retained range,
+    // and the recovery path (clear the replica + delete the cursor →
+    // full re-bootstrap; widen retention to prevent recurrence) — not
+    // the bare changesBetween message that names neither.
+    val e = intercept[IllegalStateException](
       SnapshotLog.pollChanges(spark, dir, cursor))
+    assert(e.getMessage.contains(cursor),
+      s"refusal must name the cursor file: ${e.getMessage}")
     assert(e.getMessage.contains("retained"), e.getMessage)
+    assert(e.getMessage.contains("delete the cursor file") &&
+      e.getMessage.contains("keepLast"),
+      s"refusal must state the recovery path: ${e.getMessage}")
+    // bounded admission changes nothing: the span is gone either way
+    val eAdm = intercept[IllegalStateException](
+      SnapshotLog.pollChanges(spark, dir, cursor, maxVersions = Some(1L)))
+    assert(eAdm.getMessage.contains(cursor))
     // re-seeding: a fresh cursor re-delivers the full current table
     val f = new org.apache.hadoop.fs.Path(cursor)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
