@@ -311,6 +311,88 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
     assert(tableRows(dst) === snapOf(mDst))
   }
 
+  test("genuinely CONCURRENT committers linearize: 3 threads of " +
+      "append/merge/delete on one table; every retained version equals " +
+      "the version-ordered replay of the committed ops (seed 7717)") {
+    import spark.implicits._
+    import java.util.concurrent.ConcurrentLinkedQueue
+    val dir = freshDir()
+    // shared key space 0..29 — the serial-order check is vacuous on
+    // disjoint keys; contention is the point
+    SnapshotLog.commit(spark, dir,
+      (0L until 30L).map(k => (k, "init")).toDF("k", "v"))
+    sealed trait Op { def version: Long }
+    case class Merged(version: Long, rows: Map[Long, String]) extends Op
+    case class Deleted(version: Long, keys: Set[Long]) extends Op
+    case class Appended(version: Long, rows: Map[Long, String]) extends Op
+    val log = new ConcurrentLinkedQueue[Op]()
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    val opsPerThread = 5
+    val threads = (0 until 3).map { t =>
+      new Thread(() => {
+        try {
+          val rnd = new scala.util.Random(7717 + t)
+          var fresh = 1000L * (t + 1) // thread-unique append keys
+          for (i <- 0 until opsPerThread) rnd.nextInt(3) match {
+            case 0 => // keyed merge over shared keys (upsert)
+              val rows = (0 until 4).map(_ =>
+                rnd.nextLong(30) -> s"m$t-$i").distinct.toMap
+              val v = SnapshotLog.merge(spark, dir,
+                rows.toSeq.toDF("k", "v"), keys = Seq("k"))
+              log.add(Merged(v, rows)); ()
+            case 1 => // COW delete of a shared-key slice
+              val ks = (0 until 3).map(_ => rnd.nextLong(30)).toSet
+              val v = SnapshotLog.deleteWhere(spark, dir,
+                col("k").isin(ks.toSeq: _*))
+              log.add(Deleted(v, ks)); ()
+            case 2 => // append of fresh keys
+              val rows = (0 until 2).map { _ =>
+                fresh += 1; fresh -> s"a$t-$i"
+              }.toMap
+              val v = SnapshotLog.append(spark, dir,
+                rows.toSeq.toDF("k", "v"))
+              log.add(Appended(v, rows)); ()
+          }
+        } catch { case e: Throwable => failures.add(e); () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    // every committer finished every op: losers of a commit race RETRY
+    // internally (rebase) — none may strand an exception or hang
+    assert(failures.isEmpty,
+      s"concurrent committer failed: ${failures.peek()}")
+    val ops = {
+      import scala.jdk.CollectionConverters._
+      log.asScala.toSeq.sortBy(_.version)
+    }
+    assert(ops.size === 3 * opsPerThread, "an op vanished without error")
+    // versions are the serialization: all distinct, and the table's
+    // committed history is exactly init + one version per op
+    assert(ops.map(_.version).distinct.size === ops.size,
+      s"two ops claim one version: ${ops.map(_.version)}")
+    val vs = SnapshotLog.versions(spark, dir)
+    assert(vs.size === ops.size + 1,
+      s"history ${vs.size} != 1 + ${ops.size} committed ops")
+    // linearizability: EVERY retained version equals the version-ordered
+    // prefix replay of the committed ops (not just the final state)
+    var model = (0L until 30L).map(_ -> "init").toMap
+    def check(v: Long): Unit = {
+      val got = SnapshotLog.read(spark, dir, Some(v))
+        .as[(Long, String)].collect().toMap
+      assert(got === model, s"version $v diverges from the serial replay")
+    }
+    check(vs.head)
+    ops.foreach { op =>
+      model = op match {
+        case Merged(_, rows)   => model ++ rows
+        case Deleted(_, keys)  => model -- keys
+        case Appended(_, rows) => model ++ rows
+      }
+      check(op.version)
+    }
+  }
+
   test("random verb programs match the sequential model (seed 42)") {
     run(seed = 42, steps = 25)
   }
