@@ -78,4 +78,38 @@ object SimHash {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** TWO-SIDED banded Hamming join — the incremental-screen shape: each
+    * LEFT fingerprint against the STANDING right set (daily ingest vs
+    * corpus), never left×left or right×right. Same banding algebra as
+    * [[bandedHammingPairs]] (exact recall ≤ bands − 1); the standing
+    * side bands once per screen and in production lives bucketed by
+    * (band_id, band_val) so a screen prunes to matched buckets — the
+    * ShingleStore pattern at fingerprint grain.
+    * Output: (id_a from left, id_b from right, hamming). */
+  def bandedHammingJoin(left: DataFrame, leftId: String,
+      right: DataFrame, rightId: String, sigCol: String,
+      maxDist: Int, bands: Int): DataFrame = {
+    require(bands > 0 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    require(maxDist >= 0 && maxDist < 64, s"bad maxDist $maxDist")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    def banded(df: DataFrame, id: String, idAs: String, sigAs: String,
+        bandAs: (String, String)) =
+      df.select(col(id).as(idAs), col(sigCol).as(sigAs),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), " +
+            s"b -> shiftright(`$sigCol`, b * $width) & $mask)"))
+          .as(Seq(bandAs._1, bandAs._2)))
+    val a = banded(left, leftId, "id_a", "sh_a", ("band_id", "band_val"))
+    val b = banded(right, rightId, "id_b", "sh_b",
+      ("band_id_b", "band_val_b"))
+    a.join(b, col("band_id") === col("band_id_b")
+        && col("band_val") === col("band_val_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
 }

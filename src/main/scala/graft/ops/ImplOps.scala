@@ -71,6 +71,55 @@ object ImplOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** INCREMENTAL image screen — the daily-ingest twin of
+    * [[dedupImage]] (the shape q_dedup_passage_incr establishes): the
+    * deterministic mod-5 "incoming batch" of rasters is fingerprinted
+    * and screened against the STANDING corpus only (two-sided banded
+    * join — incoming never votes against incoming), emitting per
+    * incoming image its standing near-dup count, nearest distance and
+    * the accept/reject verdict an ingest gate acts on. Scale: the
+    * standing side collapses to 16-byte fingerprints once; per-batch
+    * cost is O(batch + matched candidates), never standing² — in
+    * production the standing fingerprints live bucketed by band
+    * (ShingleStore pattern) so a screen prunes to matched buckets.
+    * Rows-only by design (no PNG codec in DuckDB); ImageDedupSpec pins
+    * the two-sided join against a sequential reference. */
+  val dedupImageIncr: Q = Q.implOnly("q_dedup_image_incr") { (s, dir) =>
+    import s.implicits._
+    import graft.dedup.{ImageDedup, SimHash}
+    import graft.multimodal.Png
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id")).limit(200).as[Long]
+      .map { id =>
+        // every 5th source image arrives as a RESIZED re-ingest of a
+        // standing image (id-4): the screen must catch it
+        val srcId = if (id % 5 == 4) id - 4 else id
+        val base = ImageDedup.testRaster(srcId, 32, 32)
+        val png =
+          if (id % 5 == 4)
+            Png.encode(16, 16, 1, Png.resizeBox(base, 16, 16).pixels)
+          else Png.encode(32, 32, 1, base.pixels)
+        (id, png, id % 5 == 4)
+      }
+      .toDF("media_id", "payload", "incoming")
+    val fps = ImageDedup.fingerprints(
+      all.select("media_id", "payload"), "media_id", "payload")
+      .join(all.select("media_id", "incoming"), "media_id")
+    val incoming = fps.filter(col("incoming"))
+    val standing = fps.filter(!col("incoming"))
+    val hits = SimHash.bandedHammingJoin(incoming, "media_id",
+      standing, "media_id", "dhash", maxDist = 6, bands = 8)
+    incoming.select(col("media_id"))
+      .join(hits.groupBy("id_a").agg(
+        count(lit(1)).as("n_dups"), min("hamming").as("nearest")),
+        col("media_id") === col("id_a"), "left_outer")
+      .select(col("media_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("nearest"), lit(64)).as("nearest"),
+        (coalesce(col("n_dups"), lit(0L)) === 0L).as("accept"))
+      .orderBy("media_id")
+  }
+
   /** LSH-bucketed ANN top-10 for probe vec_id=0 (brute-force twin:
     * q_sim_topk). */
   val simAnn: Q = Q.implOnly("q_sim_ann") { (s, dir) =>
@@ -486,8 +535,8 @@ object ImplOps {
       .orderBy("label")
   }
 
-  val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, dedupImage, simAnn,
-    simIvf,
+  val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, dedupImage,
+    dedupImageIncr, simAnn, simIvf,
     multimodalFeatures, approxDistinct, topkGroupAgg, multimodalDecode,
     throttleChain, multimodalVideo, simPq, dedupSemantic, dedupSemanticIncr,
     multimodalAudio, evalAnnRecall, embedPca, multimodalResize)

@@ -293,7 +293,8 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     * check, matching the upstream change-feed convention of reserving
     * the marker names outright. */
   private[sources] val CdfReservedNames =
-    Seq("_change_type", "__del", "_commit_version", "_poll_version")
+    Seq("_change_type", "__del", "_commit_version", "_commit_timestamp",
+      "_poll_version")
 
   private def requireCdfNamesFree(spark: SparkSession, dir: String,
       v: Long): Unit = {
@@ -2421,7 +2422,8 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       .filter(col("__rn") === 1).drop("__rn")
     mergeBatch(spark, dstDir, winners.unionByName(nullIns), keys, batchId,
       deleteWhen = Some(col("_change_type") === lit("delete")),
-      dropCols = Seq("_change_type", "_commit_version"),
+      dropCols = Seq("_change_type", "_commit_version",
+        "_commit_timestamp"),
       insertOnlyWhen = Some(col("_change_type") === lit("insert")))
   }
 
@@ -2429,7 +2431,8 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     * `[fromV, toV]` (both inclusive) — the Delta `table_changes` shape
     * and the batch twin of `readStream.option("readChangeFeed")`:
     * per-version accumulated changes, columns = toV's schema +
-    * `_change_type` + `_commit_version`. Per version: a RECORDED commit
+    * `_change_type` + `_commit_version` + `_commit_timestamp`. Per
+    * version: a RECORDED commit
     * ([[ChangeFeedProperty]]) contributes exactly its change files, a
     * pure append its added files as inserts, the table's FIRST version
     * its full file list; any other shape refuses loudly. This view
@@ -2449,13 +2452,18 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       .getOrElse(read(spark, dir, Some(toV)).schema)
     val cmTo = colmapOf(spark, dir, toV)
     val physToTo = cmTo.map(_.swap)
-    // outSchema + the two feed columns, read-filled (defaults, not NULL)
+    // outSchema + the three feed columns, read-filled (defaults, not
+    // NULL). _commit_timestamp = the version's commit point (manifest
+    // rename mtime, the same clock history()/TIMESTAMP AS OF read) —
+    // the Delta table_changes shape's third marker.
     def shape(df: DataFrame, v: Long): DataFrame =
       df.select(outSchema.fields.toSeq.map { fld =>
         if (df.columns.contains(fld.name)) col(s"`${fld.name}`")
         else readFill(fld)
       } :+ col("_change_type"): _*)
         .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp",
+          lit(new java.sql.Timestamp(commitTimeMillis(spark, dir, v))))
     // walk the RANGE, not the retained list: a vacuumed mid-span
     // version must refuse loudly, never silently drop its changes
     val legs = (fromV to toV).flatMap { v =>
@@ -2522,11 +2530,20 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
         StructField("_change_type",
           org.apache.spark.sql.types.StringType) :+
         StructField("_commit_version",
-          org.apache.spark.sql.types.LongType))
+          org.apache.spark.sql.types.LongType) :+
+        StructField("_commit_timestamp",
+          org.apache.spark.sql.types.TimestampType))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     } else legs.reduce(_.unionByName(_))
   }
+
+  /** Version `v`'s commit point in epoch millis — the manifest's rename
+    * mtime, the atomic visibility transition (the clock history(),
+    * TIMESTAMP AS OF and the feed's `_commit_timestamp` all share). */
+  private[sources] def commitTimeMillis(spark: SparkSession, dir: String,
+      v: Long): Long =
+    fs(spark, dir).getFileStatus(manifestPath(dir, v)).getModificationTime
 
   // -------------------------------------------------------------------
   // PARTITIONED TABLES — directory-level pruning inside the format

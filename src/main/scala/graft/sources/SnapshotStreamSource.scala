@@ -105,14 +105,16 @@ class SnapshotStreamSource extends TableProvider
     // applier orders same-key changes by when one batch spans versions)
     if (java.lang.Boolean.parseBoolean(
         options.getOrDefault("readChangeFeed", "false"))) {
-      Seq("_change_type", "_commit_version").foreach(c =>
-        require(!base.fieldNames.contains(c),
+      Seq("_change_type", "_commit_version", "_commit_timestamp")
+        .foreach(c => require(!base.fieldNames.contains(c),
           s"the table already has a $c column — readChangeFeed " +
             "reserves that name"))
       base.add("_change_type", org.apache.spark.sql.types.StringType,
         nullable = true)
         .add("_commit_version", org.apache.spark.sql.types.LongType,
           nullable = true)
+        .add("_commit_timestamp",
+          org.apache.spark.sql.types.TimestampType, nullable = true)
     } else base
   }
 
@@ -735,18 +737,22 @@ private[sources] class SnapshotMicroBatchStream(dir: String,
     val phys = SnapshotStreamSource.physicalFields(
       SnapshotLog.colmapOf(spark, dir, vs.last), schema)
     // CDF mode: plain data files are pure-append rows — the reader
-    // fills `_change_type` ("insert") and `_commit_version` as typed
-    // constants via the partition-tuple mechanism; recorded change
-    // files carry the type column for real and the version as constant
+    // fills `_change_type` ("insert"), `_commit_version` and
+    // `_commit_timestamp` (commit-point micros) as typed constants via
+    // the partition-tuple mechanism; recorded change files carry the
+    // type column for real and version/timestamp as constants
+    def cdfConsts(v: Long): Map[String, String] = Map(
+      "_commit_version" -> v.toString,
+      "_commit_timestamp" ->
+        (SnapshotLog.commitTimeMillis(spark, dir, v) * 1000L).toString)
     (newFiles.map { case (p, t, v) =>
       val tuple =
-        if (changeFeed) t ++ Map("_change_type" -> "insert",
-          "_commit_version" -> v.toString)
+        if (changeFeed) t ++ cdfConsts(v) + ("_change_type" -> "insert")
         else t
       SnapshotFilePartition(p, phys.json, tuple, None): InputPartition
     } ++ recordedFiles.map { case (p, v) =>
-      SnapshotFilePartition(p, phys.json,
-        Map("_commit_version" -> v.toString), None): InputPartition
+      SnapshotFilePartition(p, phys.json, cdfConsts(v), None)
+        : InputPartition
     }).toArray
   }
 
@@ -801,6 +807,9 @@ private[sources] class GroupFileReader(path: String, schema: StructType,
           case ByteType    => java.lang.Byte.parseByte(raw)
           case DateType    =>
             java.time.LocalDate.parse(raw).toEpochDay.toInt
+          // constant-fill only (the CDF _commit_timestamp): raw is
+          // epoch MICROS, the InternalRow timestamp representation
+          case TimestampType => java.lang.Long.parseLong(raw)
           case other => throw new IllegalStateException(
             s"undecodable partition type ${other.simpleString} for '$c'")
         })

@@ -108,6 +108,49 @@ class ImageDedupSpec extends AnyFunSuite with SparkFixture {
       s"image dedup planned a nested-loop join:\n$plan")
   }
 
+  test("two-sided banded screen == sequential cross reference; incoming " +
+      "never votes against incoming; planted re-ingests are caught") {
+    import graft.dedup.SimHash
+    // standing = ids 0..14; incoming = resized copies of 0,5,10 plus
+    // two genuinely new images 100,101
+    val standing = (0L until 15L).map(id =>
+      id -> ImageDedup.dHash64(ImageDedup.testRaster(id, 32, 32)))
+    val incoming = (Seq(0L, 5L, 10L).map { id =>
+      (1000 + id) -> ImageDedup.dHash64(
+        Png.resizeBox(ImageDedup.testRaster(id, 32, 32), 16, 16))
+    } ++ Seq(100L, 101L).map(id =>
+      (1000 + id) -> ImageDedup.dHash64(ImageDedup.testRaster(id, 32, 32))))
+    val got = SimHash.bandedHammingJoin(
+      incoming.toDF("media_id", "dhash"), "media_id",
+      standing.toDF("media_id", "dhash"), "media_id",
+      "dhash", maxDist = 6, bands = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val ref = (for {
+      (ia, ha) <- incoming; (ib, hb) <- standing
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (ia, ib, d)).toSet
+    assert(got === ref,
+      s"screen != reference; missing=${ref -- got} extra=${got -- ref}")
+    // the three re-ingests hit their source; the two new images pass
+    val hitBy = got.groupBy(_._1)
+    Seq(0L, 5L, 10L).foreach(id => assert(
+      hitBy.get(1000 + id).exists(_.exists(_._2 == id)),
+      s"re-ingest of $id not caught"))
+    Seq(1100L, 1101L).foreach(id =>
+      assert(!hitBy.contains(id), s"fresh image $id falsely flagged"))
+    // registered incremental query: every planted re-ingest rejects,
+    // everything else accepts
+    val out = Registry.all.find(_.name == "q_dedup_image_incr").get
+      .fn(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val accept = r.getAs[Boolean]("accept")
+      assert(accept === (id % 5 != 4),
+        s"media $id: accept=$accept (re-ingests must reject, fresh pass)")
+    }
+  }
+
   test("registered q_dedup_image runs on the sf corpus and flags only " +
       "same-source pairs") {
     val out = Registry.all.find(_.name == "q_dedup_image").get

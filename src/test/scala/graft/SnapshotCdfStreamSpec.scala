@@ -55,6 +55,48 @@ class SnapshotCdfStreamSpec extends AnyFunSuite with SparkFixture {
         s"${off.count()} row(s): ${off.collect().mkString("; ")}")
   }
 
+  test("_commit_timestamp rides the feed (batch AND stream), equals " +
+      "history()'s commit point per version, and is a reserved name") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    SnapshotLog.setTableProperties(spark, dir,
+      Map(SnapshotLog.ChangeFeedProperty -> "true"))
+    SnapshotLog.merge(spark, dir,
+      Seq((1L, "A"), (2L, "b")).toDF("k", "v"), keys = Seq("k"))
+    SnapshotLog.deleteWhere(spark, dir, col("k") === 2L)
+    val vs = SnapshotLog.versions(spark, dir)
+    val hist = SnapshotLog.history(spark, dir)
+      .select("version", "committed_at")
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    // batch feed: one timestamp per version, exactly the commit point
+    val batch = SnapshotLog.changeFeed(spark, dir, vs.head, vs.last)
+      .select("_commit_version", "_commit_timestamp").distinct()
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    batch.foreach { case (v, ts) =>
+      assert(ts === hist(v),
+        s"batch feed v$v timestamp $ts != history ${hist(v)}")
+    }
+    // stream feed: same constant per version through the
+    // partition-tuple fill
+    drain(dir, "cdf_ts")
+    val streamed = spark.table("cdf_ts")
+      .select("_commit_version", "_commit_timestamp").distinct()
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    streamed.foreach { case (v, ts) =>
+      assert(ts === hist(v),
+        s"stream feed v$v timestamp $ts != history ${hist(v)}")
+    }
+    // reserved: enabling the feed on a table owning the name refuses
+    val clash = freshDir()
+    SnapshotLog.commit(spark, clash,
+      Seq((1L, new java.sql.Timestamp(0L)))
+        .toDF("k", "_commit_timestamp"))
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.setTableProperties(spark, clash,
+        Map(SnapshotLog.ChangeFeedProperty -> "true")))
+    assert(e.getMessage.contains("_commit_timestamp"))
+  }
+
   test("replay law: the recorded feed reconstructs the table through " +
       "append, merge (update/insert/delete), UPDATE, DELETE and " +
       "REPLACE WHERE") {
@@ -207,7 +249,8 @@ class SnapshotCdfStreamSpec extends AnyFunSuite with SparkFixture {
     drain(dir, "cdf_rename")
     val feed = spark.table("cdf_rename")
     assert(feed.columns.toSeq ===
-      Seq("k", "label", "_change_type", "_commit_version"))
+      Seq("k", "label", "_change_type", "_commit_version",
+        "_commit_timestamp"))
     assert(feed.filter(col("k") === 0L &&
       col("_change_type") === "delete")
       .select("label").as[String].collect().toSeq === Seq("v0"),
@@ -432,7 +475,8 @@ class SnapshotCdfStreamSpec extends AnyFunSuite with SparkFixture {
     val vs = SnapshotLog.versions(spark, dir)
     val feed = SnapshotLog.changeFeed(spark, dir, vs.head, vs.last)
     assert(feed.columns.toSeq ===
-      Seq("k", "v", "n", "_change_type", "_commit_version"))
+      Seq("k", "v", "n", "_change_type", "_commit_version",
+        "_commit_timestamp"))
     assert(feed.filter(col("k") === 1L &&
       col("_change_type") === "update_preimage")
       .select("n").head().isNullAt(0),
