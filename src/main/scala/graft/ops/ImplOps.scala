@@ -80,10 +80,13 @@ object ImplOps {
     * the accept/reject verdict an ingest gate acts on. Scale: the
     * standing side collapses to 16-byte fingerprints once; per-batch
     * cost is O(batch + matched candidates), never standing² — in
-    * production the standing fingerprints live bucketed by band
-    * (ShingleStore pattern) so a screen prunes to matched buckets.
-    * Rows-only by design (no PNG codec in DuckDB); ImageDedupSpec pins
-    * the two-sided join against a sequential reference. */
+    * production the standing fingerprints are the PERSISTED
+    * band-bucketed store of [[graft.dedup.FingerprintStore]] (appended
+    * per accepted batch; screen reads prune to the ≤ 2048 touched
+    * band-buckets; FingerprintStoreSpec proves the store-backed screen
+    * row-identical to this formulation). Rows-only by design (no PNG
+    * codec in DuckDB); ImageDedupSpec pins the two-sided join against a
+    * sequential reference. */
   val dedupImageIncr: Q = Q.implOnly("q_dedup_image_incr") { (s, dir) =>
     import s.implicits._
     import graft.dedup.{ImageDedup, SimHash}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.dedup.{FingerprintStore, ImageDedup, SimHash}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The persisted fingerprint store (band-bucketed standing corpus for
+  * incremental image dedup): the store-backed screen must be
+  * row-identical to the two-sided banded recompute
+  * ([[graft.ops.ImplOps.dedupImageIncr]]'s formulation), appends must
+  * be replay-idempotent, as-of reads must see only earlier batches, the
+  * screen scan must partition-prune to the incoming batch's buckets,
+  * and an over-radius screen must refuse (recall is a LAYOUT property,
+  * not a parameter). */
+class FingerprintStoreSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  /** Batch b = fingerprints of test rasters [20b, 20b+20); batch 1 also
+    * re-ingests resized copies of batch 0's first three images. */
+  private def fpsOf(b: Long) = {
+    val base = (b * 20 until b * 20 + 20).map(id =>
+      id -> ImageDedup.dHash64(ImageDedup.testRaster(id, 32, 32)))
+    val reingest =
+      if (b == 1L) (0L until 3L).map(id => (9000 + id) ->
+        ImageDedup.dHash64(graft.multimodal.Png.resizeBox(
+          ImageDedup.testRaster(id, 32, 32), 16, 16)))
+      else Seq.empty
+    (base ++ reingest).toDF("media_id", "dhash")
+  }
+
+  test("store-backed screen == two-sided banded recompute over 3 " +
+      "batches; re-ingests are caught, fresh images accepted") {
+    val dir = Files.createTempDirectory("fpstore1").toString + "/fps"
+    FingerprintStore.append(spark, dir, fpsOf(0), batchId = 0L)
+    FingerprintStore.append(spark, dir, fpsOf(1), batchId = 1L)
+    val incoming = fpsOf(2)
+    val got = FingerprintStore.screen(spark, dir, incoming, asOfBatch = 2L)
+      .as[(Long, Long, Int, Boolean)].collect().toSeq
+    // recompute twin: the standing set read whole, screened via the
+    // two-sided banded join
+    val standingAll = fpsOf(0).unionByName(fpsOf(1))
+    val hits = SimHash.bandedHammingJoin(incoming, "media_id",
+      standingAll.withColumnRenamed("media_id", "sid"), "sid",
+      "dhash", maxDist = 6, bands = 8)
+    val want = incoming.select(col("media_id"))
+      .join(hits.groupBy("id_a").agg(count(lit(1)).as("n_dups"),
+        min("hamming").as("nearest")),
+        col("media_id") === col("id_a"), "left_outer")
+      .select(col("media_id"), coalesce(col("n_dups"), lit(0L)),
+        coalesce(col("nearest"), lit(64)),
+        coalesce(col("n_dups"), lit(0L)) === 0L)
+      .as[(Long, Long, Int, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got === want, "store screen diverges from the recompute twin")
+    // batch 1's re-ingests screen AGAINST batch 0 at as-of 1
+    val r = FingerprintStore.screen(spark, dir, fpsOf(1), asOfBatch = 1L)
+      .as[(Long, Long, Int, Boolean)].collect()
+    r.foreach { case (id, _, _, accept) =>
+      assert(accept === (id < 9000),
+        s"media $id: accept=$accept (re-ingests reject, fresh pass)")
+    }
+  }
+
+  test("as-of semantics: batch 0 screened at as-of 0 sees an empty " +
+      "standing set; appends are replay-idempotent") {
+    val dir = Files.createTempDirectory("fpstore2").toString + "/fps"
+    val n0 = FingerprintStore.append(spark, dir, fpsOf(0), batchId = 0L)
+    assert(n0 === 20L * 8, "one row per band per fingerprint")
+    assert(FingerprintStore.screen(spark, dir, fpsOf(0), asOfBatch = 0L)
+      .filter(!col("accept")).count() === 0L,
+      "as-of 0 must see no standing fingerprints")
+    // replay: same batch id re-appended → identical store content
+    val before = spark.read.parquet(dir)
+      .select(col("batch_id").cast("long"), col("bucket").cast("long"),
+        col("media_id"), col("dhash"))
+      .collect().map(_.toSeq).toSet
+    assert(FingerprintStore.append(spark, dir, fpsOf(0), 0L) === n0)
+    val after = spark.read.parquet(dir)
+      .select(col("batch_id").cast("long"), col("bucket").cast("long"),
+        col("media_id"), col("dhash"))
+      .collect().map(_.toSeq).toSet
+    assert(after === before, "replayed append changed the store")
+  }
+
+  test("screen scan prunes to the incoming batch's buckets; over-radius " +
+      "screens refuse") {
+    val dir = Files.createTempDirectory("fpstore3").toString + "/fps"
+    FingerprintStore.append(spark, dir, fpsOf(0), batchId = 0L)
+    FingerprintStore.append(spark, dir, fpsOf(1), batchId = 1L)
+    val totalFiles = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    assert(totalFiles > 16, s"need a multi-file store, got $totalFiles")
+    // ONE incoming fingerprint touches exactly 8 buckets of 2048
+    val one = fpsOf(2).limit(1)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = FingerprintStore.screen(spark, dir, one, asOfBatch = 2L)
+      val scan = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(
+              _.toString.contains("/fps")) => f
+        }.getOrElse(fail("no store FileSourceScanExec in plan"))
+      assert(scan.partitionFilters.nonEmpty,
+        "bucket/batch filters did not become partition filters")
+      q.collect()
+      assert(scan.metrics("numFiles").value <= 8L * 2,
+        s"read ${scan.metrics("numFiles").value} of $totalFiles store " +
+          "files — no bucket pruning")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val e = intercept[IllegalArgumentException](
+      FingerprintStore.screen(spark, dir, fpsOf(2), 2L, maxDist = 12))
+    assert(e.getMessage.contains("recall"),
+      s"over-radius screen must refuse: ${e.getMessage}")
+  }
+}
