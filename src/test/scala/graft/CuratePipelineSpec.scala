@@ -307,6 +307,78 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(e2.getMessage.contains("input_log"))
   }
 
+  test("runSubscription property: under a seeded random churn program " +
+      "(merges, deletes, full replaces, batched drains, random " +
+      "admission), the shard table ALWAYS equals the batch recompute " +
+      "of the upstream latest (seed 5309)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5309)
+    val root = tmp("curate-sub-prop")
+    val up = s"$root/up"; val outd = s"$root/shards"
+    val cur = s"$root/cursor"
+    val langs = Seq("en", "de", "fr")
+    def text(id: Long, words: Int) =
+      (1 to words).map(i => s"w$i-$id").mkString(" ")
+    def randDoc(id: Long) =
+      (id, langs(rnd.nextInt(3)), text(id, 1 + rnd.nextInt(8)))
+    // model of the upstream table
+    var model = Map.empty[Long, (String, String)]
+    def commitModel(rows: Seq[(Long, String, String)]): Unit = {
+      model = rows.map(r => r._1 -> (r._2, r._3)).toMap
+      SnapshotLog.commit(spark, up, rows.toDF("doc_id", "lang", "text"))
+    }
+    commitModel((0L until 10L).map(randDoc))
+    val cfg = CuratePipeline.CurateConfig(
+      inputPath = up, outDir = outd, inputLog = true,
+      stages = Seq(
+        CuratePipeline.Stage("lang_keep", Map("langs" -> "[en, de]")),
+        CuratePipeline.Stage("quality", Map("min_tok" -> "4",
+          "max_tok" -> "100", "min_ttr_milli" -> "0"))))
+    // expected shard set = per-doc stages over the model (pointwise:
+    // lang in {en,de} AND >= 4 tokens)
+    def expected = model.collect {
+      case (id, (lang, txt))
+        if Seq("en", "de").contains(lang) &&
+          txt.split(" ").length >= 4 => id
+    }.toSet
+    def drained(): Unit = {
+      val adm = if (rnd.nextBoolean()) None else Some(1L + rnd.nextInt(3))
+      CuratePipeline.runSubscription(spark, cfg, cur,
+        maxVersionsPerPoll = adm.map(_.toLong))
+      val got = SnapshotLog.read(spark, outd)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === expected,
+        s"shards diverge from batch recompute: missing=" +
+          s"${expected -- got} extra=${got -- expected} model=$model")
+    }
+    drained() // bootstrap
+    for (step <- 0 until 12) {
+      rnd.nextInt(3) match {
+        case 0 => // keyed merge: upserts over ids 0..19
+          val rows = (0 until 1 + rnd.nextInt(4))
+            .map(_ => randDoc(rnd.nextLong(20))).distinctBy(_._1)
+          model ++= rows.map(r => r._1 -> (r._2, r._3))
+          SnapshotLog.merge(spark, up,
+            rows.toDF("doc_id", "lang", "text"), keys = Seq("doc_id"))
+        case 1 => // keyed delete of existing ids
+          val ks = rnd.shuffle(model.keys.toSeq)
+            .take(1 + rnd.nextInt(2)).toSet
+          if (ks.nonEmpty) {
+            model --= ks
+            SnapshotLog.deleteWhere(spark, up,
+              col("doc_id").isin(ks.toSeq: _*))
+          }
+        case 2 => // FULL REPLACE: a new corpus slice entirely
+          commitModel((0L until (5L + rnd.nextInt(10)))
+            .map(i => randDoc(100 * (step + 1) + i)))
+      }
+      // drain only sometimes: spans of several upstream versions must
+      // collapse correctly through changesBetween's endpoint diff
+      if (rnd.nextInt(3) != 0) drained()
+    }
+    drained() // final catch-up
+  }
+
   test("pii_scrub: emails, IPs and number runs redact; clean text untouched") {
     import spark.implicits._
     val cfg = CuratePipeline.CurateConfig(inputPath = "unused",
