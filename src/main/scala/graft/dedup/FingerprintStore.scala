@@ -60,13 +60,17 @@ object FingerprintStore {
         StructType(Seq(StructField("bucket", LongType),
           StructField("media_id", LongType),
           StructField("dhash", LongType))))
-    else spark.read.parquet(dir)
-      // partition-column read-back infers INT while the writer stamped
-      // LONG (the CdcStream round-3 gotcha)
-      .withColumn("batch_id", col("batch_id").cast(LongType))
+    // explicit schema: partition columns typed LONG as the writer
+    // stamped them (the CdcStream round-3 gotcha), and a dir an
+    // all-rejected first batch left file-less still reads
+    else spark.read.schema(StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("dhash", LongType),
+        StructField("batch_id", LongType),
+        StructField("bucket", LongType))))
+      .parquet(dir)
       .filter(col("batch_id") < asOfBatch)
-      .select(col("bucket").cast(LongType).as("bucket"),
-        col("media_id"), col("dhash"))
+      .select(col("bucket"), col("media_id"), col("dhash"))
   }
 
   /** Ingest one ACCEPTED batch of fingerprints (media_id, dhash): each
@@ -75,13 +79,23 @@ object FingerprintStore {
     * partitions in place. Returns rows written (8 × accepted). */
   def append(spark: SparkSession, dir: String, fps: DataFrame,
       batchId: Long): Long = {
-    banded(fps).withColumn("batch_id", lit(batchId))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("batch_id", "bucket")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(dir)
-    spark.read.parquet(dir)
-      .filter(col("batch_id").cast(LongType) === batchId).count()
+    val rows = banded(fps).withColumn("batch_id", lit(batchId))
+      .persist()
+    try {
+      // an empty batch writes nothing: a zero-partition dynamic
+      // overwrite would still create a file-less dir that later reads
+      // must special-case — skip it instead (replay-safe: a replayed
+      // empty batch is still empty)
+      if (rows.isEmpty) 0L
+      else {
+        rows.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("batch_id", "bucket")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(dir)
+        spark.read.parquet(dir)
+          .filter(col("batch_id").cast(LongType) === batchId).count()
+      }
+    } finally { rows.unpersist(); () }
   }
 
   /** Screen an incoming fingerprint batch against the store (batches
