@@ -108,6 +108,47 @@ class ImageDedupSpec extends AnyFunSuite with SparkFixture {
       s"image dedup planned a nested-loop join:\n$plan")
   }
 
+  test("banding law on RANDOM fingerprints (seed 4242): inside the " +
+      "exact-recall radius (Hamming <= bands-1) both the self-join and " +
+      "the two-sided join equal brute force EXACTLY") {
+    import graft.dedup.SimHash
+    val rnd = new scala.util.Random(4242)
+    // random base fingerprints + planted variants <= 7 bit-flips away
+    val sigs: Seq[(Long, Long)] = (0 until 60).flatMap { i =>
+      val h = rnd.nextLong()
+      val variants = (0 until rnd.nextInt(3)).map { j =>
+        var v = h
+        (0 until rnd.nextInt(8)).foreach(_ => v ^= 1L << rnd.nextInt(64))
+        (i * 10L + j + 1, v)
+      }
+      (i * 10L, h) +: variants
+    }
+    val df = sigs.toDF("media_id", "dhash")
+    for (maxDist <- Seq(0, 3, 7)) {
+      val got = SimHash.bandedHammingPairs(df, "media_id", "dhash",
+          maxDist, bands = 8)
+        .as[(Long, Long, Int)].collect().toSet
+      val ref = (for {
+        (ia, ha) <- sigs; (ib, hb) <- sigs if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= maxDist
+      } yield (ia, ib, d)).toSet
+      assert(got === ref, s"self-join diverges at maxDist=$maxDist: " +
+        s"missing=${ref -- got} extra=${got -- ref}")
+    }
+    // two-sided: split the corpus in half, screen one against the other
+    val (l, r) = sigs.partition(_._1 % 20 < 10)
+    val got2 = SimHash.bandedHammingJoin(
+        l.toDF("media_id", "dhash"), "media_id",
+        r.toDF("sid", "dhash"), "sid", "dhash", maxDist = 7, bands = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val ref2 = (for {
+      (ia, ha) <- l; (ib, hb) <- r
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (ia, ib, d)).toSet
+    assert(got2 === ref2,
+      s"two-sided diverges: missing=${ref2 -- got2} extra=${got2 -- ref2}")
+  }
+
   test("two-sided banded screen == sequential cross reference; incoming " +
       "never votes against incoming; planted re-ingests are caught") {
     import graft.dedup.SimHash
