@@ -788,7 +788,8 @@ object CuratePipeline {
     * (empty when already caught up). */
   def runSubscription(spark: SparkSession, cfg: CurateConfig,
       cursorFile: String,
-      maxVersionsPerPoll: Option[Long] = None): Seq[Long] = {
+      maxVersionsPerPoll: Option[Long] = None,
+      maxBytesPerPoll: Option[Long] = None): Seq[Long] = {
     require(cfg.inputLog,
       "subscription curation follows a snapshot-log table — set " +
         "input_log true (plain parquet has no change feed to subscribe to)")
@@ -803,7 +804,8 @@ object CuratePipeline {
     var draining = true
     while (draining) {
       SnapshotLog.pollChanges(spark, cfg.inputPath, cursorFile,
-        keys = Seq(cfg.idCol), maxVersions = maxVersionsPerPoll) match {
+        keys = Seq(cfg.idCol), maxVersions = maxVersionsPerPoll,
+        maxBytes = maxBytesPerPoll) match {
         case None => draining = false // caught up
         case Some((feed, ackV)) =>
           val changed = feed

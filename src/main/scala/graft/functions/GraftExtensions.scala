@@ -423,12 +423,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.analyzed
       }))
     // SELECT * FROM snapshot_poll_changes('/t', '/cursors/app1'
-    //   [, 'k'[, maxVersions]])
+    //   [, 'k'[, maxVersions[, maxBytes]]])
     // — the SUBSCRIPTION read half: the change feed since this
     // subscriber's last acknowledged version, plus a _poll_version
     // column carrying the version to acknowledge once the batch is
-    // durably applied. `maxVersions` bounds each catch-up bite (ack
-    // the returned _poll_version and poll again — the loop converges).
+    // durably applied. `maxVersions` bounds each catch-up bite by
+    // version count, `maxBytes` by NEW data-file bytes (ack the
+    // returned _poll_version and poll again — the loop converges).
     // Caught-up polls return an EMPTY relation of the same shape.
     // Read-only (the cursor advances only via snapshot_ack_changes),
     // so re-analysis is harmless.
@@ -436,10 +437,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
         "snapshot_poll_changes"),
       (args: Seq[Expression]) => {
-        if (args.length < 2 || args.length > 4)
+        if (args.length < 2 || args.length > 5)
           throw new IllegalArgumentException("snapshot_poll_changes " +
-            "expects (path, cursorFile[, 'key,cols'[, maxVersions]]), " +
-            s"got ${args.length} args")
+            "expects (path, cursorFile[, 'key,cols'[, maxVersions" +
+            s"[, maxBytes]]]), got ${args.length} args")
         val s = org.apache.spark.sql.SparkSession.active
         val dir = strLit(args.head, "snapshot_poll_changes")
         val cursor = strLit0(args(1), "snapshot_poll_changes")
@@ -448,9 +449,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
         val maxV = args.lift(3).map(longLit(_, "snapshot_poll_changes"))
+        val maxB = args.lift(4).map(longLit(_, "snapshot_poll_changes"))
         import org.apache.spark.sql.functions.lit
         (graft.sources.SnapshotLog
-          .pollChangesWithLatest(s, dir, cursor, keys, maxV) match {
+          .pollChangesWithLatest(s, dir, cursor, keys, maxV, maxB) match {
           case (Some(feed), latest) =>
             feed.withColumn("_poll_version", lit(latest))
           case (None, latest) =>

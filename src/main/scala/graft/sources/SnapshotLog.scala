@@ -2233,8 +2233,10 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     * fails loudly rather than emit an unsound diff. */
   def pollChanges(spark: SparkSession, dir: String, cursorFile: String,
       keys: Seq[String] = Seq.empty,
-      maxVersions: Option[Long] = None): Option[(DataFrame, Long)] =
-    pollChangesWithLatest(spark, dir, cursorFile, keys, maxVersions) match {
+      maxVersions: Option[Long] = None,
+      maxBytes: Option[Long] = None): Option[(DataFrame, Long)] =
+    pollChangesWithLatest(spark, dir, cursorFile, keys, maxVersions,
+      maxBytes) match {
       case (Some(feed), latest) => Some((feed, latest))
       case (None, _)            => None
     }
@@ -2251,11 +2253,22 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     * version is the BITE's end, so the loop converges ack by ack. The
     * first poll of a bounded subscription serves the table AS OF the
     * earliest retained version + m − 1 (a bounded initial snapshot),
-    * and later polls diff forward from the cursor. */
+    * and later polls diff forward from the cursor.
+    *
+    * `maxBytes` is the BYTE-grain twin (the stream's
+    * maxBytesPerTrigger): admit versions until their NEW data-file
+    * bytes cross the budget — the crossing version rides (a single fat
+    * version is served alone rather than wedging the loop), and the
+    * first pending version is always admitted. On the FIRST poll the
+    * budget bounds the initial snapshot instead: the bite serves the
+    * table AS OF the newest early version whose TOTAL bytes still fit
+    * (at least the earliest retained). Both caps compose — versions
+    * first, bytes tighten. */
   def pollChangesWithLatest(spark: SparkSession, dir: String,
       cursorFile: String,
       keys: Seq[String] = Seq.empty,
-      maxVersions: Option[Long] = None): (Option[DataFrame], Long) = {
+      maxVersions: Option[Long] = None,
+      maxBytes: Option[Long] = None): (Option[DataFrame], Long) = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed snapshot under $dir")
     val latest = vs.last
@@ -2288,6 +2301,19 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       }
     maxVersions.foreach(m => require(m >= 1,
       s"maxVersions must be >= 1, got $m"))
+    maxBytes.foreach(b => require(b >= 1,
+      s"maxBytes must be >= 1, got $b"))
+    val vset = vs.toSet
+    def bytesOf(paths: Seq[String]): Long =
+      paths.map(p => f.getFileStatus(new Path(p)).getLen).sum
+    // NEW data-file bytes version v contributes over its predecessor
+    def newBytesOf(v: Long): Long = {
+      def norm(p: String) = new Path(p).toUri.getPath
+      val prev =
+        if (vset.contains(v - 1)) filesOf(spark, dir, v - 1).map(norm).toSet
+        else Set.empty[String]
+      bytesOf(filesOf(spark, dir, v).filterNot(p => prev.contains(norm(p))))
+    }
     from match {
       case Some(v) if v == latest => (None, latest) // caught up
       case Some(v) =>
@@ -2306,16 +2332,43 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
             "initial feed (a re-bootstrap over a STALE replica would " +
             "miss those deletes), then vacuum with keepLast >= the " +
             "slowest subscriber's lag to prevent recurrence.")
-        val target = maxVersions
+        val vCap = maxVersions
           .fold(latest)(m => math.min(latest, v + m))
+        // byte budget tightens the version cap: the crossing version is
+        // included, the first pending version always rides
+        val target = maxBytes match {
+          case None => vCap
+          case Some(budget) =>
+            var cur = v; var bytes = 0L
+            while (cur < vCap && bytes < budget) {
+              cur += 1
+              bytes += newBytesOf(cur)
+            }
+            cur
+        }
         (Some(changesBetween(spark, dir, v, target, keys)), target)
       case None =>
         // first poll: the current table is the initial feed — under
         // admission, the table AS OF a bounded early version instead,
         // so the bootstrap bite is proportional to history's start,
         // not to the whole accumulated table
-        val v0 = maxVersions
+        val vCap0 = maxVersions
           .fold(latest)(m => math.min(latest, vs.head + m - 1))
+        // byte budget bounds the initial SNAPSHOT: the newest early
+        // version whose total bytes still fit, at least the earliest
+        // retained (a single fat first version serves alone)
+        val v0 = maxBytes match {
+          case None => vCap0
+          case Some(budget) =>
+            var cur = vs.head
+            var next = vs.find(_ > cur)
+            while (next.exists(_ <= vCap0) &&
+                bytesOf(filesOf(spark, dir, next.get)) <= budget) {
+              cur = next.get
+              next = vs.find(_ > cur)
+            }
+            cur
+        }
         (Some(read(spark, dir, Some(v0))
           .withColumn("_change_type", lit("insert"))), v0)
     }

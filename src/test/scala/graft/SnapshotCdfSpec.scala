@@ -318,6 +318,66 @@ class SnapshotCdfSpec extends AnyFunSuite with SparkFixture {
     assert(p1.count() === 3, "bounded first bite must be the v1 table")
   }
 
+  test("byte-bounded catch-up: pollChanges maxBytes admission — tiny " +
+      "budgets bite version by version (first pending always rides), " +
+      "big budgets serve the span, bytes tighten maxVersions") {
+    import spark.implicits._
+    val src = freshDir()
+    val rep = freshDir()
+    SnapshotLog.commit(spark, src,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "n"))                   // v1
+    SnapshotLog.append(spark, src, Seq((3L, 30L)).toDF("k", "n")) // v2
+    SnapshotLog.append(spark, src, Seq((4L, 40L)).toDF("k", "n")) // v3
+    SnapshotLog.append(spark, src, Seq((5L, 50L)).toDF("k", "n")) // v4
+    // budget=1 byte: bootstrap serves the table AS OF the EARLIEST
+    // version (a fat first version rides alone), then one version per
+    // poll — the crossing version is always included
+    val cursor = Files.createTempDirectory("bytes-cur").toString + "/c"
+    var acked = Seq.empty[Long]
+    var done = false
+    while (!done && acked.size < 10) {
+      SnapshotLog.pollChanges(spark, src, cursor, Seq("k"),
+        maxBytes = Some(1L)) match {
+        case None => done = true
+        case Some((feed, upTo)) =>
+          SnapshotLog.applyChanges(spark, rep, feed, Seq("k"))
+          SnapshotLog.ackChanges(spark, src, cursor, upTo)
+          acked :+= upTo
+      }
+    }
+    assert(acked === Seq(1L, 2L, 3L, 4L),
+      s"expected four 1-byte-budget bites, got $acked")
+    assert(SnapshotLog.read(spark, rep).orderBy("k")
+      .as[(Long, Long)].collect().toSeq ===
+      SnapshotLog.read(spark, src).orderBy("k")
+        .as[(Long, Long)].collect().toSeq)
+    // a huge budget serves the remaining span in one bite
+    val c2 = Files.createTempDirectory("bytes-cur").toString + "/c"
+    SnapshotLog.ackChanges(spark, src, c2, 1L)
+    val (_, upTo) = SnapshotLog.pollChanges(spark, src, c2, Seq("k"),
+      maxBytes = Some(Long.MaxValue / 2)).get
+    assert(upTo === 4L, s"big budget must reach latest, got $upTo")
+    // bytes TIGHTEN the version cap (never widen it)
+    val c3 = Files.createTempDirectory("bytes-cur").toString + "/c"
+    SnapshotLog.ackChanges(spark, src, c3, 1L)
+    val (_, upTo3) = SnapshotLog.pollChanges(spark, src, c3, Seq("k"),
+      maxVersions = Some(3L), maxBytes = Some(1L)).get
+    assert(upTo3 === 2L,
+      s"1-byte budget under maxVersions=3 must stop at v2, got $upTo3")
+    // the TVF speaks the same admission (5th arg)
+    val c4 = Files.createTempDirectory("bytes-cur").toString + "/c"
+    spark.sql(s"SELECT * FROM snapshot_poll_changes('$src', '$c4', " +
+      "'k', 10, 1)")
+      .select("_poll_version").distinct().as[Long].head() match {
+      case v => assert(v === 1L, s"TVF byte budget ignored: $v")
+    }
+    // and refuses a nonsense budget loudly
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.pollChanges(spark, src, c4, Seq("k"),
+        maxBytes = Some(0L)))
+    assert(e.getMessage.contains("maxBytes"))
+  }
+
   test("randomized subscription: arbitrary verb histories drain through " +
       "bounded poll/ack loops with replica parity at every convergence") {
     import spark.implicits._
