@@ -186,19 +186,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // SELECT * FROM snapshot_change_feed('/path', fromV, toV) — the
     // RECORDED change feed (per-version accumulated changes with
-    // _change_type + _commit_version, the Delta table_changes shape);
-    // differs from snapshot_changes' endpoint diff by design
+    // _change_type + _commit_version + _commit_timestamp, the Delta
+    // table_changes shape); differs from snapshot_changes' endpoint
+    // diff by design. Bounds are version integers OR two TIMESTAMP
+    // literals (the snapshot_of dual convention): timestamps resolve
+    // via changeFeedBetweenTimestamps — earliest-at-or-after /
+    // newest-at-or-before, empty same-shape feed for a commit-less
+    // window.
     ext.injectTableFunction((FunctionIdentifier("snapshot_change_feed"),
       new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
         "snapshot_change_feed"),
       (args: Seq[Expression]) => {
         arity("snapshot_change_feed", args, 3)
-        graft.sources.SnapshotLog.changeFeed(
-          org.apache.spark.sql.SparkSession.active,
-          strLit(args.head, "snapshot_change_feed"),
-          longLit(args(1), "snapshot_change_feed"),
-          longLit(args(2), "snapshot_change_feed"))
-          .queryExecution.analyzed
+        val s = org.apache.spark.sql.SparkSession.active
+        val dir = strLit(args.head, "snapshot_change_feed")
+        ((args(1), args(2)) match {
+          case (Literal(fm: Long,
+              _: org.apache.spark.sql.types.TimestampType),
+            Literal(tm: Long,
+              _: org.apache.spark.sql.types.TimestampType)) =>
+            graft.sources.SnapshotLog.changeFeedBetweenTimestamps(
+              s, dir, fm / 1000L, tm / 1000L)
+          case _ =>
+            graft.sources.SnapshotLog.changeFeed(s, dir,
+              longLit(args(1), "snapshot_change_feed"),
+              longLit(args(2), "snapshot_change_feed"))
+        }).queryExecution.analyzed
       }))
     // SELECT * FROM snapshot_checks('/path') — the table's CHECK
     // constraints as a relation (name, expr), latest version's state

@@ -2598,6 +2598,40 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
       v: Long): Long =
     fs(spark, dir).getFileStatus(manifestPath(dir, v)).getModificationTime
 
+  /** [[changeFeed]] with TIMESTAMP bounds — the Delta CDF
+    * startingTimestamp/endingTimestamp form: `fromTsMillis` resolves to
+    * the EARLIEST version committed at or after it, `toTsMillis` to the
+    * NEWEST at or before it ([[versionAsOf]] — a pre-creation instant
+    * still refuses loudly: serving history from before the table
+    * existed would fabricate it). A window that spans NO commit returns
+    * the EMPTY same-shape feed (the caught-up-poll convention): "what
+    * changed between 2pm and 3pm" legitimately answers "nothing". Both
+    * bounds read the same clock the feed's own `_commit_timestamp`
+    * carries. */
+  def changeFeedBetweenTimestamps(spark: SparkSession, dir: String,
+      fromTsMillis: Long, toTsMillis: Long): DataFrame = {
+    require(fromTsMillis <= toTsMillis,
+      s"fromTs $fromTsMillis must not exceed toTs $toTsMillis")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    val to = versionAsOf(spark, dir, toTsMillis)
+    vs.find(v => commitTimeMillis(spark, dir, v) >= fromTsMillis) match {
+      case Some(from) if from <= to => changeFeed(spark, dir, from, to)
+      case _ => // no commit inside the window: empty, same shape
+        val base = schemaOf(spark, dir, to)
+          .getOrElse(read(spark, dir, Some(to)).schema)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(base.fields :+
+            StructField("_change_type",
+              org.apache.spark.sql.types.StringType) :+
+            StructField("_commit_version",
+              org.apache.spark.sql.types.LongType) :+
+            StructField("_commit_timestamp",
+              org.apache.spark.sql.types.TimestampType)))
+    }
+  }
+
   // -------------------------------------------------------------------
   // PARTITIONED TABLES — directory-level pruning inside the format
   // -------------------------------------------------------------------

@@ -97,6 +97,51 @@ class SnapshotCdfStreamSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("_commit_timestamp"))
   }
 
+  test("TIMESTAMP-bounded change feed: earliest-at-or-after / " +
+      "newest-at-or-before resolution, empty same-shape commit-less " +
+      "window, pre-creation refusal, and the TVF timestamp form") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    SnapshotLog.setTableProperties(spark, dir,
+      Map(SnapshotLog.ChangeFeedProperty -> "true"))
+    Thread.sleep(60) // distinct manifest mtimes (ms clock)
+    SnapshotLog.merge(spark, dir, Seq((2L, "b")).toDF("k", "v"),
+      keys = Seq("k"))
+    Thread.sleep(60)
+    SnapshotLog.deleteWhere(spark, dir, col("k") === 1L)
+    val ts = SnapshotLog.history(spark, dir)
+      .select("version", "committed_at")
+      .as[(Long, java.sql.Timestamp)].collect()
+      .map { case (v, t) => v -> t.getTime }.toMap
+    // [ts(v2), ts(v4)] covers v2..v4; v2 (the property commit) recorded
+    // zero changes, so the feed emits v3 (merge) and v4 (delete)
+    val feed = SnapshotLog.changeFeedBetweenTimestamps(spark, dir,
+      ts(2L), ts(4L))
+    assert(feed.select("_commit_version").distinct()
+      .as[Long].collect().sorted.toSeq === Seq(3L, 4L))
+    // a window strictly between two commits is EMPTY but same-shape
+    assert(ts(4L) - ts(3L) >= 2, "need a gap between commits")
+    val mid = (ts(3L) + ts(4L)) / 2
+    val empty = SnapshotLog.changeFeedBetweenTimestamps(spark, dir,
+      ts(3L) + 1, mid)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("k", "v", "_change_type",
+      "_commit_version", "_commit_timestamp"))
+    // pre-creation instants refuse loudly (fabricated history)
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.changeFeedBetweenTimestamps(spark, dir,
+        ts(1L) - 7200000L, ts(1L) - 3600000L))
+    assert(e.getMessage.contains("time-travel"))
+    // the TVF speaks both forms: version ints and TIMESTAMP literals
+    val fromLit = new java.sql.Timestamp(ts(2L))
+    val toLit = new java.sql.Timestamp(ts(4L))
+    val viaTvf = spark.sql(
+      s"""SELECT DISTINCT _commit_version FROM snapshot_change_feed(
+         |'$dir', TIMESTAMP '$fromLit', TIMESTAMP '$toLit')""".stripMargin)
+      .as[Long].collect().sorted.toSeq
+    assert(viaTvf === Seq(3L, 4L), s"TVF timestamp form: $viaTvf")
+  }
+
   test("replay law: the recorded feed reconstructs the table through " +
       "append, merge (update/insert/delete), UPDATE, DELETE and " +
       "REPLACE WHERE") {
