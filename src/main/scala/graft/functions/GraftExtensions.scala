@@ -435,6 +435,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             .getOrElse(128L * 1024 * 1024))
           .queryExecution.analyzed
       }))
+    // SELECT * FROM snapshot_vacuum_plan('/t'[, keepLast[, graceMs
+    //   [, minAgeMs]]]) — DRY-RUN retention: one row per artifact a
+    // vacuum with these knobs would reclaim (kind, path, bytes);
+    // read-only, the blast-radius report an operator sums BEFORE
+    // committing to retention (VacuumPlanSpec holds it in lockstep
+    // with vacuum itself).
+    ext.injectTableFunction((FunctionIdentifier("snapshot_vacuum_plan"),
+      new ExpressionInfo(graft.sources.SnapshotLog.getClass.getName,
+        "snapshot_vacuum_plan"),
+      (args: Seq[Expression]) => {
+        if (args.isEmpty || args.length > 4)
+          throw new IllegalArgumentException(
+            "snapshot_vacuum_plan expects " +
+              s"(path[, keepLast[, graceMs[, minAgeMs]]]), got " +
+              s"${args.length} args")
+        graft.sources.SnapshotLog.vacuumPlan(
+          org.apache.spark.sql.SparkSession.active,
+          strLit(args.head, "snapshot_vacuum_plan"),
+          args.lift(1).map(longLit(_, "snapshot_vacuum_plan").toInt)
+            .getOrElse(1),
+          args.lift(2).map(longLit(_, "snapshot_vacuum_plan"))
+            .getOrElse(15L * 60 * 1000),
+          args.lift(3).map(longLit(_, "snapshot_vacuum_plan"))
+            .getOrElse(0L))
+          .queryExecution.analyzed
+      }))
     // SELECT * FROM snapshot_poll_changes('/t', '/cursors/app1'
     //   [, 'k'[, maxVersions[, maxBytes]]])
     // — the SUBSCRIPTION read half: the change feed since this

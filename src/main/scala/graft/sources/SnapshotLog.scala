@@ -4530,6 +4530,82 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     * retention-window rule); files that WERE referenced — by a manifest
     * this vacuum just dropped — are provably dead and reclaimed
     * immediately regardless of age. */
+  /** DRY-RUN [[vacuum]]: the point-in-time report of what a vacuum with
+    * the same knobs would reclaim — one row per doomed artifact,
+    * (kind, path, bytes), kind ∈ {version_manifest, bloom_sidecar,
+    * dv_sidecar, data_file, change_file}. Read-only: nothing is
+    * deleted, no state changes; the operator reads the blast radius
+    * (and sums the bytes) BEFORE committing to retention. Mirrors
+    * vacuum's decision rules exactly — VacuumPlanSpec holds the two in
+    * lockstep (plan paths == the set vacuum then removes), so the
+    * mirror cannot drift silently. Races: artifacts created after the
+    * plan are not in it; re-plan after churn. */
+  def vacuumPlan(spark: SparkSession, dir: String, keepLast: Int = 1,
+      orphanGraceMs: Long = 15L * 60 * 1000,
+      minAgeMs: Long = 0L): DataFrame = {
+    require(keepLast >= 1, "must retain at least one version")
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    val (drop0, keep0) = vs.splitAt(math.max(vs.size - keepLast, 0))
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val (drop, young) = drop0.partition(v =>
+      f.getFileStatus(manifestPath(dir, v)).getModificationTime <= cutoff)
+    val keep = young ++ keep0
+    val droppedRefs = drop.flatMap(filesOf(spark, dir, _)).toSet
+    val droppedChangeRefs = drop
+      .flatMap(v => changeFilesOf(spark, dir, v).getOrElse(Seq.empty))
+      .toSet
+    val out = Seq.newBuilder[(String, String, Long)]
+    def len(p: Path): Long =
+      try f.getFileStatus(p).getLen catch { case _: Throwable => 0L }
+    drop.foreach { v =>
+      out += (("version_manifest", manifestPath(dir, v).toString,
+        len(manifestPath(dir, v))))
+      if (f.exists(bloomPath(dir, v)))
+        out += (("bloom_sidecar", bloomPath(dir, v).toString,
+          len(bloomPath(dir, v))))
+    }
+    val dvRoot = new Path(logDir(dir), "dv")
+    if (f.exists(dvRoot)) {
+      val referenced = keep.flatMap(dvOf(spark, dir, _)).toSet
+      f.listStatus(dvRoot).foreach { st =>
+        if (!referenced(st.getPath.getName))
+          out += (("dv_sidecar", st.getPath.toString, st.getLen))
+      }
+    }
+    val live = keep.flatMap(filesOf(spark, dir, _)).toSet
+    val now = System.currentTimeMillis()
+    val dataRoot = new Path(dir, "data")
+    if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { d =>
+      val it = f.listFiles(d.getPath, true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile) {
+          val p = s.getPath.toString
+          val doomed = !live(p) && (droppedRefs(p) ||
+            now - s.getModificationTime > orphanGraceMs)
+          if (doomed) out += (("data_file", p, s.getLen))
+        }
+      }
+    }
+    val changesRoot = new Path(dir, "changes")
+    if (f.exists(changesRoot)) {
+      val liveChanges = keep
+        .flatMap(v => changeFilesOf(spark, dir, v).getOrElse(Seq.empty))
+        .toSet
+      f.listStatus(changesRoot).foreach { d =>
+        f.listStatus(d.getPath).toSeq.filter(_.isFile).foreach { s =>
+          val p = s.getPath.toString
+          val doomed = !liveChanges(p) && (droppedChangeRefs(p) ||
+            now - s.getModificationTime > orphanGraceMs)
+          if (doomed) out += (("change_file", p, s.getLen))
+        }
+      }
+    }
+    import spark.implicits._
+    out.result().toDF("kind", "path", "bytes")
+  }
+
   def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
       orphanGraceMs: Long = 15L * 60 * 1000,
       minAgeMs: Long = 0L): (Int, Int) = {
