@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions.expr
   * sbt "runMain graft.Maintain <tableDir> optimize [targetFiles [col...] [where=pcol=val ...]]"
   * sbt "runMain graft.Maintain <tableDir> analyze <col> [col...]"
   * sbt "runMain graft.Maintain <tableDir> vacuum [keepLast]"
+  * sbt "runMain graft.Maintain <tableDir> vacuum-plan [keepLast]"
   * sbt "runMain graft.Maintain <tableDir> restore <version>"
   * sbt "runMain graft.Maintain <tableDir> clone <dstDir> [version]"
   * sbt "runMain graft.Maintain <tableDir> materialize"
@@ -22,7 +23,7 @@ import org.apache.spark.sql.functions.expr
   * sbt "runMain graft.Maintain <tableDir> update-where <col> <valueExpr> <sqlPred>"
   * sbt "runMain graft.Maintain <indexDir> compact-index bm25|ivf"
   * sbt "runMain graft.Maintain <srcDir> replicate <dstDir> <key,cols> <ckptDir> [maxBytes]"
-  * sbt "runMain graft.Maintain <tableDir> poll-changes <cursorFile> [key,cols]"
+  * sbt "runMain graft.Maintain <tableDir> poll-changes <cursorFile> [key,cols [maxVersions [maxBytes]]]"
   * sbt "runMain graft.Maintain <tableDir> ack-changes <cursorFile> <version>"
   * }}}
   *
@@ -79,6 +80,18 @@ object Maintain {
           val (vs, files) = SnapshotLog.vacuum(spark, dir, keepLast = keep,
             minAgeMs = minAge)
           println(s"[maintain] vacuum dropped $vs version(s), $files file(s)")
+        case "vacuum-plan" => // [keepLast [minAgeHours]] — dry run
+          val keep = rest.headOption.map(_.toInt).getOrElse(3)
+          val minAge = rest.lift(1).map(_.toDouble * 3600 * 1000)
+            .map(_.toLong).getOrElse(0L)
+          val plan = SnapshotLog.vacuumPlan(spark, dir, keepLast = keep,
+            minAgeMs = minAge)
+          plan.groupBy("kind")
+            .agg(org.apache.spark.sql.functions.count("*").as("n"),
+              org.apache.spark.sql.functions.sum("bytes").as("bytes"))
+            .orderBy("kind").show(truncate = false)
+          println(s"[maintain] vacuum-plan: ${plan.count()} artifact(s) " +
+            "would be reclaimed (nothing deleted)")
         case "restore" =>
           println(s"[maintain] restore -> v${
             SnapshotLog.restore(spark, dir, rest.head.toLong)}")
@@ -126,12 +139,15 @@ object Maintain {
             .awaitTermination() // AvailableNow: catch up, then exit
           println(s"[maintain] replicate -> ${rest.head} v${
             SnapshotLog.versions(spark, rest.head).lastOption.getOrElse(0L)}")
-        case "poll-changes" => // <cursorFile> [key,cols]
-          require(rest.nonEmpty, "poll-changes needs <cursorFile> [key,cols]")
+        case "poll-changes" => // <cursorFile> [key,cols [maxV [maxBytes]]]
+          require(rest.nonEmpty,
+            "poll-changes needs <cursorFile> [key,cols [maxV [maxBytes]]]")
           val keys = rest.lift(1)
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Seq.empty)
-          SnapshotLog.pollChanges(spark, dir, rest.head, keys) match {
+          SnapshotLog.pollChanges(spark, dir, rest.head, keys,
+            maxVersions = rest.lift(2).map(_.toLong),
+            maxBytes = rest.lift(3).map(_.toLong)) match {
             case None => println("[maintain] poll-changes: caught up")
             case Some((feed, latest)) =>
               feed.show(100, false)

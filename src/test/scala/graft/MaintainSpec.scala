@@ -42,6 +42,11 @@ class MaintainSpec extends AnyFunSuite with SparkFixture {
     // with a 24h retention nothing this young may drop
     Maintain.run(spark, Seq(dir, "vacuum", "1", "24"))
     assert(SnapshotLog.versions(spark, dir).size > 1)
+    // dry run first: the plan prints but deletes nothing
+    val vsBeforePlan = SnapshotLog.versions(spark, dir)
+    Maintain.run(spark, Seq(dir, "vacuum-plan", "1"))
+    assert(SnapshotLog.versions(spark, dir) === vsBeforePlan,
+      "vacuum-plan must be read-only")
     Maintain.run(spark, Seq(dir, "vacuum", "1"))
     assert(SnapshotLog.versions(spark, dir).size === 1)
     intercept[IllegalArgumentException](
