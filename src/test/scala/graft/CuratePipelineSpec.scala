@@ -293,6 +293,18 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
       maxVersionsPerPoll = Some(1L))
     assert(bitten.size === 2, s"expected 2 bites, got $bitten")
     assert(shardIds() === Set(3L, 5L, 6L, 7L))
+    // byte-bounded admission threads through too: two more upstream
+    // commits drain in two 1-byte bites
+    SnapshotLog.merge(spark, up,
+      Seq(doc(8, "en", 5)).toDF("doc_id", "lang", "text"),
+      keys = Seq("doc_id"))
+    SnapshotLog.merge(spark, up,
+      Seq(doc(9, "en", 5)).toDF("doc_id", "lang", "text"),
+      keys = Seq("doc_id"))
+    val byteBitten = CuratePipeline.runSubscription(spark, cfg, cur,
+      maxBytesPerPoll = Some(1L))
+    assert(byteBitten.size === 2, s"expected 2 byte-bites, got $byteBitten")
+    assert(shardIds() === Set(3L, 5L, 6L, 7L, 8L, 9L))
     // corpus-grain stages refuse loudly: a per-slice dedup would judge
     // against the batch, not the corpus
     val e = intercept[IllegalArgumentException](
