@@ -38,7 +38,7 @@ object ImplOps {
     * 32×32 raster per embedding row, with every third image also
     * present as a RE-ENCODED copy (±1-level codec jitter) and a
     * box-RESIZED 16×16 copy, the two transforms a byte/pixel hash
-    * misses. [[graft.dedup.ImageDedup]]: per-partition decode → 9×8
+    * misses. [[graft.dedup.ImageDedup]]: per-partition decode → 8×8
     * box-resize → 64-bit gradient-sign fingerprint, then the 8×8-band
     * multi-index Hamming join (exact recall ≤ 7, never all-pairs —
     * ImageDedupSpec plan-asserts no cartesian and pins a sequential

@@ -2304,15 +2304,29 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     maxBytes.foreach(b => require(b >= 1,
       s"maxBytes must be >= 1, got $b"))
     val vset = vs.toSet
+    // Byte-budget admission's metadata cost is bounded PER POLL, not
+    // per (version × file): file LISTS cache per version (newBytesOf
+    // visits v and v−1, and the admission loop walks consecutive
+    // versions — each manifest reads once) and file SIZES cache per
+    // path (consecutive versions share most data files — each file
+    // stats at most once per poll, not once per referencing version).
+    // On a long-history table the bounded bootstrap is O(distinct
+    // files) getFileStatus calls instead of O(versions × files).
+    val fileListCache =
+      scala.collection.mutable.HashMap.empty[Long, Seq[String]]
+    def filesCached(v: Long): Seq[String] =
+      fileListCache.getOrElseUpdate(v, filesOf(spark, dir, v))
+    val sizeCache = scala.collection.mutable.HashMap.empty[String, Long]
     def bytesOf(paths: Seq[String]): Long =
-      paths.map(p => f.getFileStatus(new Path(p)).getLen).sum
+      paths.map(p => sizeCache.getOrElseUpdate(p,
+        f.getFileStatus(new Path(p)).getLen)).sum
     // NEW data-file bytes version v contributes over its predecessor
     def newBytesOf(v: Long): Long = {
       def norm(p: String) = new Path(p).toUri.getPath
       val prev =
-        if (vset.contains(v - 1)) filesOf(spark, dir, v - 1).map(norm).toSet
+        if (vset.contains(v - 1)) filesCached(v - 1).map(norm).toSet
         else Set.empty[String]
-      bytesOf(filesOf(spark, dir, v).filterNot(p => prev.contains(norm(p))))
+      bytesOf(filesCached(v).filterNot(p => prev.contains(norm(p))))
     }
     from match {
       case Some(v) if v == latest => (None, latest) // caught up
@@ -2360,14 +2374,13 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
         val v0 = maxBytes match {
           case None => vCap0
           case Some(budget) =>
-            var cur = vs.head
-            var next = vs.find(_ > cur)
-            while (next.exists(_ <= vCap0) &&
-                bytesOf(filesOf(spark, dir, next.get)) <= budget) {
-              cur = next.get
-              next = vs.find(_ > cur)
-            }
-            cur
+            // index walk over the (sorted) retained versions — never an
+            // O(n) vs.find per admitted version; file lists/sizes come
+            // from the per-poll caches above
+            var i = 0 // vs(i) = admitted so far; the head always rides
+            while (i + 1 < vs.length && vs(i + 1) <= vCap0 &&
+                bytesOf(filesCached(vs(i + 1))) <= budget) i += 1
+            vs(i)
         }
         (Some(read(spark, dir, Some(v0))
           .withColumn("_change_type", lit("insert"))), v0)
@@ -2607,7 +2620,16 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     * the EMPTY same-shape feed (the caught-up-poll convention): "what
     * changed between 2pm and 3pm" legitimately answers "nothing". Both
     * bounds read the same clock the feed's own `_commit_timestamp`
-    * carries. */
+    * carries.
+    *
+    * Vacuumed-prefix soundness: when retention has dropped the table's
+    * early versions (`vs.head > 1`), a from-bound that predates the
+    * earliest RETAINED commit spans changes that no longer exist — the
+    * retained head still has recorded change files, so serving from it
+    * would silently omit the vacuumed versions' changes. That window
+    * REFUSES loudly instead (the same rule [[pollChanges]] applies to a
+    * vacuumed cursor and [[changeFeed]] to a vacuumed mid-span), the
+    * Delta CDF out-of-range discipline. */
   def changeFeedBetweenTimestamps(spark: SparkSession, dir: String,
       fromTsMillis: Long, toTsMillis: Long): DataFrame = {
     require(fromTsMillis <= toTsMillis,
@@ -2615,6 +2637,15 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed snapshot under $dir")
     val to = versionAsOf(spark, dir, toTsMillis)
+    if (vs.head > 1L && fromTsMillis < commitTimeMillis(spark, dir, vs.head))
+      throw new IllegalStateException(
+        s"timestamp window [fromTs=$fromTsMillis] starts before the " +
+          s"earliest retained commit of $dir (v${vs.head}; versions " +
+          "before it were vacuumed) — the window may span vacuumed " +
+          "commits whose changes cannot be served soundly. Move fromTs " +
+          s"to >= ${commitTimeMillis(spark, dir, vs.head)} (v${vs.head}'s " +
+          "commit time) to read retained history, or vacuum with a " +
+          "longer retention to keep the span.")
     vs.find(v => commitTimeMillis(spark, dir, v) >= fromTsMillis) match {
       case Some(from) if from <= to => changeFeed(spark, dir, from, to)
       case _ => // no commit inside the window: empty, same shape
@@ -4518,18 +4549,6 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     readFilterImpl(spark, dir, Seq(Probe.In(column, Seq(value))), version,
       Some(col(column) === value))
 
-  /** Drop all but the newest `keepLast` versions and delete every data
-    * file no retained manifest references (covers crash orphans too).
-    * Deletion order is crash-safe: manifests first (a version stops
-    * being readable before its files vanish), then unreferenced data.
-    *
-    * In-flight-commit safety: a committer writes data files BEFORE its
-    * manifest rename, so a file referenced by NO manifest at all may be
-    * a commit in flight, not garbage. Such never-referenced files are
-    * only reclaimed once older than `orphanGraceMs` (the Delta/Iceberg
-    * retention-window rule); files that WERE referenced — by a manifest
-    * this vacuum just dropped — are provably dead and reclaimed
-    * immediately regardless of age. */
   /** DRY-RUN [[vacuum]]: the point-in-time report of what a vacuum with
     * the same knobs would reclaim — one row per doomed artifact,
     * (kind, path, bytes), kind ∈ {version_manifest, bloom_sidecar,
@@ -4606,6 +4625,18 @@ object SnapshotLog extends org.apache.spark.internal.Logging {
     out.result().toDF("kind", "path", "bytes")
   }
 
+  /** Drop all but the newest `keepLast` versions and delete every data
+    * file no retained manifest references (covers crash orphans too).
+    * Deletion order is crash-safe: manifests first (a version stops
+    * being readable before its files vanish), then unreferenced data.
+    *
+    * In-flight-commit safety: a committer writes data files BEFORE its
+    * manifest rename, so a file referenced by NO manifest at all may be
+    * a commit in flight, not garbage. Such never-referenced files are
+    * only reclaimed once older than `orphanGraceMs` (the Delta/Iceberg
+    * retention-window rule); files that WERE referenced — by a manifest
+    * this vacuum just dropped — are provably dead and reclaimed
+    * immediately regardless of age. */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
       orphanGraceMs: Long = 15L * 60 * 1000,
       minAgeMs: Long = 0L): (Int, Int) = {

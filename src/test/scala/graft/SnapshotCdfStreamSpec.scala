@@ -142,6 +142,43 @@ class SnapshotCdfStreamSpec extends AnyFunSuite with SparkFixture {
     assert(viaTvf === Seq(3L, 4L), s"TVF timestamp form: $viaTvf")
   }
 
+  test("TIMESTAMP-bounded feed after a prefix vacuum: a from-bound " +
+      "before the earliest retained commit refuses loudly; a window " +
+      "inside retained history still serves") {
+    val dir = freshDir()
+    SnapshotLog.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    SnapshotLog.setTableProperties(spark, dir,
+      Map(SnapshotLog.ChangeFeedProperty -> "true"))
+    Thread.sleep(60)
+    SnapshotLog.merge(spark, dir, Seq((2L, "b")).toDF("k", "v"),
+      keys = Seq("k"))
+    Thread.sleep(60)
+    SnapshotLog.merge(spark, dir, Seq((3L, "c")).toDF("k", "v"),
+      keys = Seq("k"))
+    Thread.sleep(60)
+    SnapshotLog.deleteWhere(spark, dir, col("k") === 1L)
+    val tsAll = SnapshotLog.history(spark, dir)
+      .select("version", "committed_at")
+      .as[(Long, java.sql.Timestamp)].collect()
+      .map { case (v, t) => v -> t.getTime }.toMap
+    SnapshotLog.vacuum(spark, dir, keepLast = 2)
+    val vs = SnapshotLog.versions(spark, dir)
+    assert(vs.head > 1L, s"expected a vacuumed prefix, got $vs")
+    // fromTs predating the earliest RETAINED commit would span vacuumed
+    // changes (v3's merge is gone) — the retained head still HAS change
+    // files, so without the guard this would silently omit them
+    val e = intercept[IllegalStateException](
+      SnapshotLog.changeFeedBetweenTimestamps(spark, dir,
+        tsAll(2L), tsAll(vs.last)))
+    assert(e.getMessage.contains("vacuumed"),
+      s"wrong refusal: ${e.getMessage}")
+    // a window starting AT the retained head's commit is sound
+    val ok = SnapshotLog.changeFeedBetweenTimestamps(spark, dir,
+      tsAll(vs.head), tsAll(vs.last))
+    assert(ok.select("_commit_version").distinct()
+      .as[Long].collect().sorted.toSeq === vs)
+  }
+
   test("replay law: the recorded feed reconstructs the table through " +
       "append, merge (update/insert/delete), UPDATE, DELETE and " +
       "REPLACE WHERE") {
