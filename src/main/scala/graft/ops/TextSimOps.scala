@@ -330,6 +330,48 @@ object TextSimOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The banded multi-index Hamming join's ARITHMETIC, oracle-pinned:
+    * [[graft.dedup.SimHash.bandedHammingPairs]] is the one join
+    * primitive behind the SimHash text leg AND the dHash image leg, but
+    * its production inputs are hash-seed/codec-derived, so those
+    * queries are rows-only. Here the 64-bit fingerprints are
+    * synthesized IN-QUERY from md5(doc_id) — 15 hex chars = 60 bits,
+    * engine-portable with no overflow — and the exact production join
+    * path runs over them (8×8-bit bands, the image geometry): banding
+    * by shiftright/&, candidate equi-join on (band_id, band_val),
+    * bit_count(xor) verify. maxDist 20 > bands−1 deliberately: recall
+    * beyond the pigeonhole radius is a property of the BANDING, so the
+    * DuckDB oracle spells the same banding algebra (not an all-pairs
+    * distance scan) — any drift in the slice/shift/mask arithmetic
+    * between the two engines breaks the hash match. */
+  val dedupBanded: Q = Q.checked(
+    "q_dedup_banded",
+    """WITH sigs AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS sig
+      |  FROM documents),
+      |banded AS (
+      |  SELECT doc_id, sig, b AS band_id, (sig >> (b*8)) & 255 AS band_val
+      |  FROM sigs, range(8) t(b))
+      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |FROM banded a JOIN banded b
+      |  ON a.band_id = b.band_id AND a.band_val = b.band_val
+      |  AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 20
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) =>
+    val sigs = Tables.documents(s, dir).select(col("doc_id"),
+      expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), " +
+        "16, 10) as bigint)").as("sig"))
+    graft.dedup.SimHash
+      .bandedHammingPairs(sigs, "doc_id", "sig", maxDist = 20, bands = 8)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast(LongType).as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Embedding-cosine near-dup over a sorted-neighborhood candidate window:
     * only pairs within W = 200 of each other on vec_id (and sharing a
     * label) are compared — the classic bounded-blocking dedup move. Pair
@@ -554,7 +596,8 @@ object TextSimOps {
   }
 
   val all: Seq[Q] = Seq(textStats, textQuality, textLangid, textFingerprint,
-    textTokens, dedupExact, dedupNear, dedupNgram, dedupEmbed, simTopk,
+    textTokens, dedupExact, dedupNear, dedupNgram, dedupBanded, dedupEmbed,
+    simTopk,
     simCentroid, multimodalJoin, multimodalProfile, boilerplate, dedupIncr,
     tokenLenHist)
 }
