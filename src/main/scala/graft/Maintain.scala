@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions.expr
   * sbt "runMain graft.Maintain <tableDir> drop-check <name>"
   * sbt "runMain graft.Maintain <tableDir> delete-where <sqlPred>"
   * sbt "runMain graft.Maintain <tableDir> update-where <col> <valueExpr> <sqlPred>"
-  * sbt "runMain graft.Maintain <indexDir> compact-index bm25|ivf"
+  * sbt "runMain graft.Maintain <indexDir> compact-index bm25|ivf|fingerprint"
   * sbt "runMain graft.Maintain <srcDir> replicate <dstDir> <key,cols> <ckptDir> [maxBytes]"
   * sbt "runMain graft.Maintain <tableDir> poll-changes <cursorFile> [key,cols [maxVersions [maxBytes]]]"
   * sbt "runMain graft.Maintain <tableDir> ack-changes <cursorFile> <version>"
@@ -120,15 +120,27 @@ object Maintain {
           println(s"[maintain] update-where -> v${SnapshotLog.updateWhere(
             spark, dir, expr(rest.drop(2).mkString(" ")),
             Map(rest.head -> expr(rest(1))))}")
-        case "compact-index" => // bm25 | ivf — dir is the INDEX dir here
-          val (dropped, cleared) = rest.headOption match {
-            case Some("bm25") => graft.streaming.CdcIndex.compact(spark, dir)
-            case Some("ivf")  => graft.streaming.CdcIvf.compact(spark, dir)
+        case "compact-index" =>
+          // bm25 | ivf | fingerprint — dir is the INDEX/STORE dir here
+          rest.headOption match {
+            case Some("bm25") =>
+              val (dropped, cleared) =
+                graft.streaming.CdcIndex.compact(spark, dir)
+              println(s"[maintain] compact-index dropped $dropped " +
+                s"row(s), cleared $cleared tombstone(s)")
+            case Some("ivf") =>
+              val (dropped, cleared) =
+                graft.streaming.CdcIvf.compact(spark, dir)
+              println(s"[maintain] compact-index dropped $dropped " +
+                s"row(s), cleared $cleared tombstone(s)")
+            case Some("fingerprint") =>
+              val (folded, files) =
+                graft.dedup.FingerprintStore.compact(spark, dir)
+              println(s"[maintain] compact-index folded $folded row(s), " +
+                s"reclaimed $files file(s)")
             case other => throw new IllegalArgumentException(
-              s"compact-index needs bm25|ivf, got $other")
+              s"compact-index needs bm25|ivf|fingerprint, got $other")
           }
-          println(s"[maintain] compact-index dropped $dropped row(s), " +
-            s"cleared $cleared tombstone(s)")
         case "replicate" => // <dstDir> <key,cols> <ckptDir> [maxBytes]
           require(rest.length >= 3,
             "replicate needs <dstDir> <key,cols> <checkpointDir> [maxBytes]")

@@ -31,6 +31,19 @@ import org.apache.spark.sql.types._
   * Geometry is FIXED at 8×8-bit bands — a store is laid out once; the
   * exact-recall radius (Hamming ≤ 7) is a property of the layout, so
   * screens refuse a larger maxDist instead of silently losing recall.
+  *
+  * Retention: at daily cadence the per-batch layout is 365 batch dirs ×
+  * up to 2048 bucket dirs a year of small files, and every screen lists
+  * every batch partition under each touched bucket. [[compact]] folds
+  * all checkpoint-committed batches into generation −1 (the
+  * CdcIndex/CdcIvf recipe: batch ids start at 0, so a replayed batch
+  * can never overwrite the folded partitions), keeping the NEWEST batch
+  * verbatim — it may still replay. The fold records its high-water mark
+  * in `_compaction_watermark`; replayed appends at or below it are
+  * no-ops (their rows already live in the folded generation) and as-of
+  * reads at or below it REFUSE loudly (per-batch provenance below the
+  * watermark is gone — serving them would silently include later
+  * fingerprints).
   */
 object FingerprintStore {
 
@@ -47,13 +60,45 @@ object FingerprintStore {
     fps.select(col("media_id"), col("dhash"),
       explode(bucketsOf("dhash")).as("bucket"))
 
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def watermarkPath(dir: String) =
+    new Path(dir, "_compaction_watermark")
+
+  /** The highest batch id [[compact]] has folded into generation −1 —
+    * None for a never-compacted store. */
+  def compactionWatermark(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    val p = watermarkPath(dir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
   /** The standing fingerprints from every batch strictly before
-    * `asOfBatch`, as (bucket, media_id, dhash). Empty for a fresh dir. */
+    * `asOfBatch`, as (bucket, media_id, dhash). Empty for a fresh dir.
+    * Refuses an `asOfBatch` at or below the compaction watermark:
+    * those batches' provenance was folded away, so the read would
+    * silently include fingerprints from LATER batches. */
   def standing(spark: SparkSession, dir: String,
       asOfBatch: Long): DataFrame = {
     val p = new Path(dir)
     val exists =
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    if (exists) compactionWatermark(spark, dir).foreach { w =>
+      require(asOfBatch > w,
+        s"as-of batch $asOfBatch is at or below the compaction " +
+          s"watermark $w of $dir — batches <= $w were folded into the " +
+          "compacted generation and their per-batch provenance is gone; " +
+          "an as-of read there would silently include later " +
+          "fingerprints. Screen against a later as-of, or rebuild the " +
+          "store if historical screens are required.")
+    }
     if (!exists)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -76,9 +121,17 @@ object FingerprintStore {
   /** Ingest one ACCEPTED batch of fingerprints (media_id, dhash): each
     * lands once per band under its bucket. Idempotent under
     * at-least-once replay: dynamic overwrite rewrites the batch's own
-    * partitions in place. Returns rows written (8 × accepted). */
+    * partitions in place. Returns rows written (8 × accepted).
+    *
+    * A batch at or below the compaction watermark is a REPLAY of a
+    * batch [[compact]] already folded — its rows live in generation −1,
+    * so re-writing `batch_id=<b>` partitions would duplicate them
+    * beside the fold. Such appends are no-ops (0 returned): only
+    * checkpoint-committed batches fold, so the replayed content is
+    * byte-identical to what the fold absorbed. */
   def append(spark: SparkSession, dir: String, fps: DataFrame,
       batchId: Long): Long = {
+    if (compactionWatermark(spark, dir).exists(batchId <= _)) return 0L
     val rows = banded(fps).withColumn("batch_id", lit(batchId))
       .persist()
     try {
@@ -132,5 +185,76 @@ object FingerprintStore {
         coalesce(col("nearest"), lit(64)).as("nearest"),
         (coalesce(col("n_dups"), lit(0L)) === 0L).as("accept"))
       .orderBy("media_id")
+  }
+
+  /** Fold every batch EXCEPT the newest (plus any prior fold) into
+    * generation −1, one file per touched bucket — the CdcIndex/CdcIvf
+    * retention recipe at fingerprint grain. The newest batch survives
+    * VERBATIM: its stream sink checkpoint may not have committed when
+    * the stream stopped, so an at-least-once replay dynamic-overwrites
+    * its own partitions on resume — folding it would leave the replayed
+    * copy duplicated beside the fold. Every older batch is
+    * checkpoint-committed by Spark's in-order batch contract and folds
+    * safely; its replay becomes [[append]]'s watermark no-op. Duplicate
+    * (bucket, media_id, dhash) rows ACROSS folded batches collapse —
+    * screens join per distinct fingerprint row, so the collapse is
+    * row-identical for every later screen. Swap is whole-store
+    * (tmp-write + rename, the index-compaction convention): briefly
+    * absent, never half-old-half-new; the watermark file rides inside
+    * the tmp dir so the rename publishes fold and guard atomically.
+    * Returns (rows folded away, files reclaimed); (0, 0) when there is
+    * nothing to fold. */
+  def compact(spark: SparkSession, dir: String): (Long, Long) = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir))) return (0L, 0L)
+    val all = spark.read.schema(StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("dhash", LongType),
+        StructField("batch_id", LongType),
+        StructField("bucket", LongType))))
+      .parquet(dir)
+    val real = all.filter(col("batch_id") >= 0L)
+      .agg(max("batch_id")).head
+    if (real.isNullAt(0)) return (0L, 0L) // only a fold, or empty
+    val maxBatch = real.getLong(0)
+    val foldSrc = all.filter(col("batch_id") =!= maxBatch)
+    val foldBatches = foldSrc.filter(col("batch_id") >= 0L)
+      .select("batch_id").distinct().collect().map(_.getLong(0))
+    if (foldBatches.isEmpty) return (0L, 0L) // one batch + prior fold
+    val rowsBefore = all.count()
+    val filesBefore = countFiles(f, new Path(dir))
+    val folded = foldSrc
+      .select(col("bucket"), col("media_id"), col("dhash")).distinct()
+      .withColumn("batch_id", lit(-1L))
+    val kept = all.filter(col("batch_id") === maxBatch)
+    val newWatermark = math.max(
+      compactionWatermark(spark, dir).getOrElse(-1L), foldBatches.max)
+    val tmp = new Path(dir + "__compact_tmp")
+    f.delete(tmp, true)
+    folded.unionByName(kept)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("batch_id", "bucket")
+      .parquet(tmp.toString)
+    // watermark INSIDE tmp: the swap rename publishes fold + replay
+    // guard in one atomic visibility transition (underscore-prefixed,
+    // so parquet readers ignore it)
+    val out = f.create(new Path(tmp, "_compaction_watermark"), true)
+    try out.write(newWatermark.toString.getBytes("UTF-8"))
+    finally out.close()
+    val rowsAfter = spark.read.parquet(tmp.toString).count()
+    f.delete(new Path(dir), true)
+    require(f.rename(tmp, new Path(dir)),
+      s"compaction swap rename failed for $dir — re-run compact")
+    (rowsBefore - rowsAfter, filesBefore - countFiles(f, new Path(dir)))
+  }
+
+  private def countFiles(f: org.apache.hadoop.fs.FileSystem,
+      root: Path): Long = {
+    var n = 0L
+    val it = f.listFiles(root, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.startsWith("part-")) n += 1
+    }
+    n
   }
 }

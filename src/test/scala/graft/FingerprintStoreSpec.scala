@@ -83,6 +83,78 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkFixture {
     assert(after === before, "replayed append changed the store")
   }
 
+  test("compaction: post-compaction screens are row-identical, folded " +
+      "batches' replays are no-ops, the newest batch still replays " +
+      "idempotently, file count drops, and as-of reads below the " +
+      "watermark refuse") {
+    val dir = Files.createTempDirectory("fpstore4").toString + "/fps"
+    FingerprintStore.append(spark, dir, fpsOf(0), batchId = 0L)
+    FingerprintStore.append(spark, dir, fpsOf(1), batchId = 1L)
+    FingerprintStore.append(spark, dir, fpsOf(2), batchId = 2L)
+    val incoming = fpsOf(3)
+    val before = FingerprintStore.screen(spark, dir, incoming, 3L)
+      .as[(Long, Long, Int, Boolean)].collect().toSeq
+    def nFiles() = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    val filesBefore = nFiles()
+    val (folded, reclaimed) = FingerprintStore.compact(spark, dir)
+    assert(folded === 0L,
+      s"no duplicate fingerprints across these batches, yet $folded " +
+        "rows vanished in the fold")
+    assert(reclaimed > 0L, "compaction reclaimed no files")
+    assert(nFiles() === filesBefore - reclaimed,
+      "reported file reclaim diverges from the directory census")
+    assert(nFiles() < filesBefore, "file count did not drop")
+    assert(FingerprintStore.compactionWatermark(spark, dir) === Some(1L),
+      "watermark must be the highest FOLDED batch (newest kept verbatim)")
+    // law 1: the screen reads row-identically through the fold
+    val after = FingerprintStore.screen(spark, dir, incoming, 3L)
+      .as[(Long, Long, Int, Boolean)].collect().toSeq
+    assert(after === before, "compaction changed a screen's rows")
+    // law 2: a FOLDED batch's replay is a no-op (its rows live in the
+    // compacted generation; rewriting batch_id=0 would duplicate them)
+    val content = () => spark.read.parquet(dir)
+      .select(col("batch_id").cast("long"), col("bucket").cast("long"),
+        col("media_id"), col("dhash")).collect().map(_.toSeq).toSet
+    val snap = content()
+    assert(FingerprintStore.append(spark, dir, fpsOf(0), 0L) === 0L)
+    assert(content() === snap, "replayed folded batch changed the store")
+    // law 3: the NEWEST batch (kept verbatim) replays idempotently —
+    // the at-least-once stream-resume path compaction must not break
+    assert(FingerprintStore.append(spark, dir, fpsOf(2), 2L) === 20L * 8)
+    assert(content() === snap, "newest-batch replay changed the store")
+    assert(FingerprintStore.screen(spark, dir, incoming, 3L)
+      .as[(Long, Long, Int, Boolean)].collect().toSeq === before)
+    // law 4: as-of reads at or below the watermark refuse loudly
+    val e = intercept[IllegalArgumentException](
+      FingerprintStore.screen(spark, dir, fpsOf(1), asOfBatch = 1L))
+    assert(e.getMessage.contains("watermark"), e.getMessage)
+    // ingest continues after the fold; a second compact folds batch 2
+    FingerprintStore.append(spark, dir, fpsOf(3), batchId = 3L)
+    val (_, r2) = FingerprintStore.compact(spark, dir)
+    assert(r2 > 0L, "second compaction reclaimed nothing")
+    assert(FingerprintStore.compactionWatermark(spark, dir) === Some(2L))
+    val incoming4 = fpsOf(4)
+    val want4 = FingerprintStore.screen(spark, dir, incoming4, 4L)
+      .as[(Long, Long, Int, Boolean)].collect().toSeq
+    // recompute twin over ALL four batches confirms nothing was lost
+    val standingAll = fpsOf(0).unionByName(fpsOf(1))
+      .unionByName(fpsOf(2)).unionByName(fpsOf(3))
+    val hits = SimHash.bandedHammingJoin(incoming4, "media_id",
+      standingAll.withColumnRenamed("media_id", "sid"), "sid",
+      "dhash", maxDist = 6, bands = 8)
+    val recompute = incoming4.select(col("media_id"))
+      .join(hits.groupBy("id_a").agg(count(lit(1)).as("n_dups"),
+        min("hamming").as("nearest")),
+        col("media_id") === col("id_a"), "left_outer")
+      .select(col("media_id"), coalesce(col("n_dups"), lit(0L)),
+        coalesce(col("nearest"), lit(64)),
+        coalesce(col("n_dups"), lit(0L)) === 0L)
+      .as[(Long, Long, Int, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(want4 === recompute,
+      "twice-compacted store diverges from the full recompute")
+  }
+
   test("screen scan prunes to the incoming batch's buckets; over-radius " +
       "screens refuse") {
     val dir = Files.createTempDirectory("fpstore3").toString + "/fps"

@@ -72,6 +72,26 @@ class MaintainSpec extends AnyFunSuite with SparkFixture {
       Maintain.run(spark, Seq(idx, "compact-index", "nope")))
   }
 
+  test("compact-index fingerprint drives the fingerprint-store fold " +
+      "end-to-end") {
+    import spark.implicits._
+    import graft.dedup.{FingerprintStore, ImageDedup}
+    val store = Files.createTempDirectory("maintain").toString + "/fps"
+    def fps(b: Long) = (b * 10 until b * 10 + 10)
+      .map(id => id -> ImageDedup.dHash64(ImageDedup.testRaster(id, 32, 32)))
+      .toDF("media_id", "dhash")
+    FingerprintStore.append(spark, store, fps(0), 0L)
+    FingerprintStore.append(spark, store, fps(1), 1L)
+    FingerprintStore.append(spark, store, fps(2), 2L)
+    val before = FingerprintStore.screen(spark, store, fps(3), 3L)
+      .collect().map(_.toSeq).toSeq
+    Maintain.run(spark, Seq(store, "compact-index", "fingerprint"))
+    assert(FingerprintStore.compactionWatermark(spark, store) === Some(1L))
+    assert(FingerprintStore.screen(spark, store, fps(3), 3L)
+      .collect().map(_.toSeq).toSeq === before,
+      "CLI-driven fold changed a screen's rows")
+  }
+
   test("replicate / poll-changes / ack-changes: a replica follows the " +
       "source across two CLI drains; the cursor protocol round-trips") {
     import org.apache.spark.sql.functions._
