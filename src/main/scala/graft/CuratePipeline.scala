@@ -17,6 +17,15 @@ import scala.jdk.CollectionConverters._
   * {{{
   * curate:
   *   input: /data/crawl/slice42      # parquet documents table
+  *   modality: image                 # optional (default text): an IMAGE
+  *                                   #   corpus curates by a binary
+  *                                   #   payload column; the stage
+  *                                   #   vocabulary narrows to the
+  *                                   #   raster-valid stages (dedup_image,
+  *                                   #   dedup_exact, source_quota) and
+  *                                   #   text stages refuse at load
+  *   payload_col: payload            # optional (default payload): the
+  *                                   #   image-modality binary column
   *   input_log: true                 # optional: input is a snapshot-log
   *                                   #   TABLE (latest version, DV-applied)
   *   input_filter: "lang IN ('en') AND quality IS NOT NULL"
@@ -60,6 +69,12 @@ import scala.jdk.CollectionConverters._
   *     per_source: 100
   *   - stage: token_budget           # greedy per-source token-budget fill
   *     per_source_tokens: 5000
+  *   - stage: dedup_image            # image modality only: perceptual
+  *     max_dist: 6                   #   near-dup election (dHash + banded
+  *     store_dir: /data/fps          #   Hamming); optional store_dir also
+  *                                   #   screens against the persisted
+  *                                   #   standing corpus and appends the
+  *                                   #   published run's fingerprints
   * expect:                            # publish gate: the OUTPUT must pass
   *   - check: not_null                #   every declared expectation or the
   *     col: text                      #   snapshot-log version is never
@@ -120,7 +135,13 @@ object CuratePipeline {
       // filter. The 100 TB re-curation reality: runs slice by
       // lang/source/quality band, never full-table.
       inputLog: Boolean = false,
-      inputFilter: Option[String] = None)
+      inputFilter: Option[String] = None,
+      // modality: "text" (default) curates by textCol; "image" curates
+      // by payloadCol (a binary raster column) and narrows the stage
+      // vocabulary to the raster-valid stages — a text stage over an
+      // image corpus (or vice versa) is a config error, caught at load
+      modality: String = "text",
+      payloadCol: String = "payload")
 
   /** Per-run report: the stage funnel (ordered, first entry = raw input)
     * and, when publishing through a snapshot log, the committed
@@ -161,7 +182,14 @@ object CuratePipeline {
     "pii_scrub" -> ((Set.empty[String], Set.empty[String])),
     "source_quota" -> ((Set("per_source"), Set.empty[String])),
     "token_budget" -> ((Set("per_source_tokens"), Set.empty[String])),
-    "pack_audit" -> ((Set("seq_tokens"), Set.empty[String])))
+    "pack_audit" -> ((Set("seq_tokens"), Set.empty[String])),
+    "dedup_image" -> ((Set.empty[String], Set("max_dist", "store_dir"))))
+
+  /** Stages valid over an IMAGE corpus (modality: image): the raster
+    * dedup leg, byte-exact dedup (md5 of the payload), and the
+    * modality-agnostic per-source quota. Everything else reads textCol
+    * and refuses at load. */
+  private val ImageStages = Set("dedup_image", "dedup_exact", "source_quota")
 
   private[graft] def parse(rawLines: Seq[String],
       where: String): CurateConfig = {
@@ -242,7 +270,7 @@ object CuratePipeline {
 
     val knownRoot = Set("input", "out_dir", "id_col", "text_col",
       "log_dir", "shards", "persist_checks", "partition_by",
-      "input_log", "input_filter")
+      "input_log", "input_filter", "modality", "payload_col")
     root.foreach { case (k, (li, _)) =>
       if (!knownRoot(k)) fail(li,
         s"unknown key '$k' (known: ${knownRoot.toSeq.sorted.mkString(", ")})")
@@ -277,11 +305,39 @@ object CuratePipeline {
       params.foreach { case (k, (li, v)) =>
         if (Set("min_tok", "max_tok", "min_ttr_milli", "gram",
             "per_source", "threshold_milli", "shingle", "chunk_tokens",
-            "per_source_tokens")(k)) { intOf(li, k, unquote(v)); () }
+            "per_source_tokens", "max_dist")(k)) { intOf(li, k, unquote(v)); () }
+      }
+      params.get("max_dist").foreach { case (li, v) =>
+        val d = intOf(li, "max_dist", unquote(v))
+        // the 8×8-band store/join layout guarantees recall only to 7 —
+        // a larger radius must re-shard, not silently lose recall
+        if (d < 0 || d > 7)
+          fail(li, s"max_dist must be in [0, 7] (the 8-band layout's " +
+            s"exact-recall radius), got $d")
       }
       Stage(name, params.map { case (k, (_, v)) => k -> unquote(v) })
     }
     if (parsedStages.isEmpty) fail(0, "config declares no stages")
+    // modality gates the stage vocabulary at LOAD: a text stage would
+    // read textCol off an image corpus (and dedup_image would decode
+    // text bytes as a raster) — both are config mistakes, not run-time
+    // surprises
+    val modality = root.get("modality").map { case (li, v) =>
+      val m = unquote(v)
+      if (m != "text" && m != "image")
+        fail(li, s"modality must be text or image, got '$m'")
+      m
+    }.getOrElse("text")
+    stages.toSeq.zip(parsedStages).foreach { case ((itemLine, _), st) =>
+      if (modality == "image" && !ImageStages(st.name))
+        fail(itemLine, s"stage '${st.name}' reads text — an image-" +
+          s"modality run supports ${ImageStages.toSeq.sorted.mkString(", ")}")
+      if (modality == "text" && st.name == "dedup_image")
+        fail(itemLine,
+          "stage 'dedup_image' decodes a binary raster payload — " +
+            "declare 'modality: image' (and payload_col if not " +
+            "'payload') under curate:")
+    }
 
     val shards = root.get("shards").map { case (li, v) =>
       val n = intOf(li, "shards", unquote(v))
@@ -383,7 +439,9 @@ object CuratePipeline {
             fail(li, s"unparseable input_filter '$sql': ${e.getMessage}")
         }
         sql
-      })
+      },
+      modality = modality,
+      payloadCol = opt("payload_col").getOrElse("payload"))
   }
 
   // ------------------------------------------------------------------
@@ -401,7 +459,8 @@ object CuratePipeline {
   }
 
   private[graft] def applyStage(spark: SparkSession, df: DataFrame,
-      st: Stage, cfg: CurateConfig): DataFrame = st.name match {
+      st: Stage, cfg: CurateConfig, runId: Long = 0L): DataFrame =
+    st.name match {
     case "lang_keep" =>
       df.filter(col("lang").isin(parseLangs(st.params("langs")): _*))
     case "quality" =>
@@ -411,7 +470,51 @@ object CuratePipeline {
         maxTok = st.params("max_tok").toInt,
         minTtr = st.params("min_ttr_milli").toInt / 1000.0))
     case "dedup_exact" =>
-      electMin(df, md5(col(cfg.textCol)), cfg.idCol)
+      // byte-exact election: over an image corpus the key is the raw
+      // payload's md5 (re-uploads of identical bytes), over text the
+      // text's — same min-id survivor rule either way
+      val key = if (cfg.modality == "image") md5(col(cfg.payloadCol))
+                else md5(col(cfg.textCol))
+      electMin(df, key, cfg.idCol)
+    case "dedup_image" =>
+      // the raster leg as a declarable stage: (1) with store_dir, screen
+      // the batch against the PERSISTED standing corpus first — an image
+      // near a published fingerprint (Hamming <= max_dist) drops, the
+      // FingerprintStore incremental-ingest gate; (2) elect one
+      // canonical (min id) per in-batch near-dup component — dHash
+      // fingerprints, banded Hamming pairs (exact recall <= 7, never
+      // all-pairs), transitive closure, exactly dedup_jaccard's shape at
+      // raster grain. The published run's fingerprints append to the
+      // store AFTER the publish gate (see run()), so a failed gate never
+      // pollutes the standing corpus. Screen note: building this stage's
+      // plan collects the <= 2048 touched band-buckets driver-side (the
+      // store's partition-prune contract), which pays one early
+      // fingerprint pass over the batch at plan time.
+      require(df.columns.contains(cfg.payloadCol),
+        s"dedup_image needs binary column '${cfg.payloadCol}' " +
+          s"(have ${df.columns.mkString(",")})")
+      val maxDist = st.params.get("max_dist").map(_.toInt).getOrElse(6)
+      val screened = st.params.get("store_dir") match {
+        case Some(sd) =>
+          val fps = graft.dedup.ImageDedup.fingerprints(
+              df.select(col(cfg.idCol), col(cfg.payloadCol)),
+              cfg.idCol, cfg.payloadCol)
+            .withColumnRenamed(cfg.idCol, "media_id")
+          val accepted = graft.dedup.FingerprintStore
+            .screen(spark, sd, fps, asOfBatch = runId, maxDist = maxDist)
+            .filter(col("accept"))
+            .select(col("media_id").as(cfg.idCol))
+          df.join(accepted, Seq(cfg.idCol), "left_semi")
+        case None => df
+      }
+      val pairs = graft.dedup.ImageDedup.nearDuplicates(
+        screened.select(col(cfg.idCol), col(cfg.payloadCol)),
+        cfg.idCol, cfg.payloadCol, maxDist)
+      val comps = graft.dedup.Components.connectedComponents(
+        graft.dedup.Components.symmetrize(pairs, "id_a", "id_b"))
+      val losers = comps.filter(col("id") =!= col("comp")).select("id")
+      screened.join(losers, screened(cfg.idCol) === losers("id"),
+        "left_anti")
     case "dedup_near" =>
       electMin(df,
         graft.functions.HashExprs.simHash64(split(col(cfg.textCol), " ")),
@@ -560,7 +663,7 @@ object CuratePipeline {
           "pack_audit needs a 'source' column in the curated frame")
         packAudits += tag -> packAudit(df, "source", cfg.idCol,
           cfg.textCol, st.params("seq_tokens").toInt)
-      } else df = tagged(applyStage(spark, df, st, cfg), tag)
+      } else df = tagged(applyStage(spark, df, st, cfg, runId), tag)
     }
     val sharded = cfg.shards match {
       case Some(n) => df.repartition(n, col(cfg.idCol))
@@ -627,6 +730,25 @@ object CuratePipeline {
           s"${cfg.outDir} but NOT published: " +
           failed.map { case (n, v, _) => s"$n ($v violations)" }
             .mkString(", "))
+    // dedup_image with store_dir: the PUBLISHED corpus' fingerprints
+    // enter the standing store, stamped with this runId (which the
+    // stage's own screen excluded via as-of) — AFTER the gate, so a
+    // quarantined run never pollutes the store, and BEFORE the log
+    // commit, so a crash between them replays the whole run and the
+    // re-append dynamic-overwrites its own batch idempotently. One
+    // dedicated fingerprint pass over the written shards (post-funnel
+    // sized), the table-shaped-check cost class. Daily runs must carry
+    // increasing runIds, the same contract the log replay guard keys on.
+    cfg.stages.filter(st => st.name == "dedup_image" &&
+        st.params.contains("store_dir")).foreach { st =>
+      val outFps = graft.dedup.ImageDedup.fingerprints(
+          spark.read.parquet(cfg.outDir)
+            .select(col(cfg.idCol), col(cfg.payloadCol)),
+          cfg.idCol, cfg.payloadCol)
+        .withColumnRenamed(cfg.idCol, "media_id")
+      graft.dedup.FingerprintStore.append(spark, st.params("store_dir"),
+        outFps, batchId = runId)
+    }
     val version = cfg.logDir.map { ld =>
       val fs = new org.apache.hadoop.fs.Path(cfg.outDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -728,6 +850,11 @@ object CuratePipeline {
   def runStream(spark: SparkSession, cfg: CurateConfig, docs: DataFrame,
       checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(cfg.modality == "text",
+      "runStream drives the TEXT streaming engine (CurateStream's " +
+        "signature store) — cross-batch image dedup is " +
+        "graft.streaming.ImageDedupStream's job (foreachBatch over the " +
+        "fingerprint store)")
     val streamable = Set("lang_keep", "quality", "dedup_exact",
       "dedup_near", "decontaminate")
     val bad = cfg.stages.map(_.name).filterNot(streamable)
@@ -793,6 +920,10 @@ object CuratePipeline {
     require(cfg.inputLog,
       "subscription curation follows a snapshot-log table — set " +
         "input_log true (plain parquet has no change feed to subscribe to)")
+    require(cfg.modality == "text",
+      "subscription curation's per-document stages are text-shaped; an " +
+        "image corpus following churn dedups through " +
+        "graft.streaming.ImageDedupStream instead")
     val perDoc = Set("lang_keep", "quality", "decontaminate", "pii_scrub")
     val bad = cfg.stages.map(_.name).filterNot(perDoc)
     require(bad.isEmpty,
@@ -814,7 +945,8 @@ object CuratePipeline {
             .filter(col("_change_type") =!= "delete").drop("_change_type")
           val upserts = cfg.inputFilter.fold(upserts0)(upserts0.filter)
           val survivors = cfg.stages
-            .foldLeft(upserts)((df, st) => applyStage(spark, df, st, cfg))
+            .foldLeft(upserts)((df, st) =>
+              applyStage(spark, df, st, cfg, ackV))
           // evict every changed key with no surviving curated row:
           // upstream deletes AND curation/slice failures
           val evict = changed.select(cfg.idCol).distinct()

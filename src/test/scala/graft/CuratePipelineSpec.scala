@@ -391,6 +391,143 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     drained() // final catch-up
   }
 
+  test("dedup_image stage: planted re-encode/resize dups drop to one " +
+      "canonical; the store-backed second run screens against the " +
+      "published corpus; funnel == recounts; replay is a no-op") {
+    import graft.dedup.{FingerprintStore, ImageDedup}
+    import graft.multimodal.Png
+    import spark.implicits._
+    def corpus(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.flatMap { id =>
+        val base = ImageDedup.testRaster(id, 32, 32)
+        val orig = (id * 10, Png.encode(32, 32, 1, base.pixels),
+          s"src${id % 2}")
+        if (id % 3 != 0) Seq(orig)
+        else {
+          val jit = base.pixels.zipWithIndex.map { case (p, i) =>
+            math.min(255, (p & 0xff) + (i % 32 + i / 32) % 2).toByte
+          }
+          Seq(orig,
+            (id * 10 + 1, Png.encode(32, 32, 1, jit), s"src${id % 2}"),
+            (id * 10 + 2,
+              Png.encode(16, 16, 1, Png.resizeBox(base, 16, 16).pixels),
+              s"src${id % 2}"))
+        }
+      }.toDF("media_id", "payload", "source")
+    val in1 = tmp("curate-img-in1")
+    corpus(0L until 12L).write.mode("overwrite").parquet(in1)
+    val out1 = tmp("curate-img-out1")
+    val log = tmp("curate-img-log")
+    val store = tmp("curate-img-store") + "/fps"
+    def cfgText(in: String, out: String) =
+      s"""curate:
+         |  input: $in
+         |  out_dir: $out
+         |  modality: image
+         |  id_col: media_id
+         |  log_dir: $log
+         |stages:
+         |  - stage: dedup_image
+         |    max_dist: 6
+         |    store_dir: $store
+         |""".stripMargin
+    val cfg1 = CuratePipeline.parse(
+      cfgText(in1, out1).linesIterator.toSeq, "img.yaml")
+    val r1 = CuratePipeline.run(spark, cfg1, runId = 1L)
+    // every planted trio collapses to its min id; singles survive
+    val survivors = spark.read.parquet(out1)
+      .select("media_id").as[Long].collect().toSet
+    assert(survivors === (0L until 12L).map(_ * 10).toSet,
+      s"wrong canonicals: $survivors")
+    // funnel == recounts (the zero-extra-pass audit law, image leg)
+    val handIn = spark.read.parquet(in1)
+    val hand = CuratePipeline.applyStage(spark, handIn,
+      cfg1.stages.head, cfg1, runId = 1L)
+    assert(r1.stageRows === Seq("s00_input" -> handIn.count(),
+      "s01_dedup_image" -> hand.count()))
+    assert(r1.logVersion === Some(1L))
+    // the store holds exactly the PUBLISHED fingerprints (batch 1)
+    assert(FingerprintStore.standing(spark, store, asOfBatch = 2L)
+      .select("media_id").distinct().count() === 12L)
+    // run 2: a resize of published image 5 (must screen out against the
+    // store), an in-batch near-dup pair of fresh 100 (min id wins), and
+    // fresh 101
+    val in2 = tmp("curate-img-in2")
+    val resize5 = Png.encode(16, 16, 1,
+      Png.resizeBox(ImageDedup.testRaster(5L, 32, 32), 16, 16).pixels)
+    val f100 = ImageDedup.testRaster(100L, 32, 32)
+    val jit100 = f100.pixels.zipWithIndex.map { case (p, i) =>
+      math.min(255, (p & 0xff) + (i % 32 + i / 32) % 2).toByte
+    }
+    Seq(
+      (9001L, resize5, "src0"),
+      (1000L, Png.encode(32, 32, 1, f100.pixels), "src0"),
+      (1001L, Png.encode(32, 32, 1, jit100), "src0"),
+      (1010L, Png.encode(32, 32, 1,
+        ImageDedup.testRaster(101L, 32, 32).pixels), "src1"))
+      .toDF("media_id", "payload", "source")
+      .write.mode("overwrite").parquet(in2)
+    val out2 = tmp("curate-img-out2")
+    val cfg2 = CuratePipeline.parse(
+      cfgText(in2, out2).linesIterator.toSeq, "img.yaml")
+    val r2 = CuratePipeline.run(spark, cfg2, runId = 2L)
+    val s2 = spark.read.parquet(out2)
+      .select("media_id").as[Long].collect().toSet
+    assert(s2 === Set(1000L, 1010L),
+      s"run 2: store screen + in-batch election wrong: $s2")
+    assert(r2.logVersion === Some(2L))
+    // replay of run 2: early return, store unchanged
+    val storeSnap = spark.read.parquet(store)
+      .select(col("batch_id").cast("long"), col("bucket").cast("long"),
+        col("media_id"), col("dhash")).collect().map(_.toSeq).toSet
+    val r2b = CuratePipeline.run(spark, cfg2, runId = 2L)
+    assert(r2b.finalRows === -1L && r2b.logVersion === Some(2L))
+    assert(spark.read.parquet(store)
+      .select(col("batch_id").cast("long"), col("bucket").cast("long"),
+        col("media_id"), col("dhash")).collect().map(_.toSeq).toSet
+      === storeSnap, "replay polluted the fingerprint store")
+  }
+
+  test("modality gates the stage vocabulary at load; image configs " +
+      "refuse runStream/runSubscription") {
+    def bad(text: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        CuratePipeline.parse(text.linesIterator.toSeq, "t.yaml"))
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    // dedup_image without modality: image
+    bad(goodConfig.replace("OUT", "/tmp/x") +
+      "  - stage: dedup_image\n", "modality: image")
+    val imgCfg =
+      """curate:
+        |  input: /tmp/in
+        |  out_dir: /tmp/out
+        |  modality: image
+        |stages:
+        |  - stage: dedup_image
+        |""".stripMargin
+    // a text stage over an image corpus
+    bad(imgCfg.replace("- stage: dedup_image",
+      "- stage: quality\n    min_tok: 1\n    max_tok: 9\n" +
+        "    min_ttr_milli: 0"), "reads text")
+    // modality typo; over-radius max_dist
+    bad(imgCfg.replace("modality: image", "modality: audio"),
+      "must be text or image")
+    bad(imgCfg.replace("- stage: dedup_image",
+      "- stage: dedup_image\n    max_dist: 9"), "max_dist must be in")
+    // image configs refuse the text streaming/subscription engines
+    val parsed = CuratePipeline.parse(imgCfg.linesIterator.toSeq, "t.yaml")
+    val e1 = intercept[IllegalArgumentException](
+      CuratePipeline.runStream(spark, parsed,
+        spark.readStream.format("rate").load(), tmp("img-ckpt")))
+    assert(e1.getMessage.contains("ImageDedupStream"))
+    val e2 = intercept[IllegalArgumentException](
+      CuratePipeline.runSubscription(spark,
+        parsed.copy(inputLog = true), tmp("img-cur") + "/c"))
+    assert(e2.getMessage.contains("ImageDedupStream"))
+  }
+
   test("pii_scrub: emails, IPs and number runs redact; clean text untouched") {
     import spark.implicits._
     val cfg = CuratePipeline.CurateConfig(inputPath = "unused",
