@@ -66,12 +66,12 @@ class ScaleGrowthSpec extends AnyFunSuite with SparkFixture {
   })
 
   /** Run to completion; return (shuffle bytes, final physical plan
-    * string, optimized logical plan). */
-  private def measure(df: DataFrame): (Long, String) = {
+    * string, result row count). */
+  private def measure(df: DataFrame): (Long, String, Long) = {
     val s0 = { Thread.sleep(200); shuffleBytes.get() }
-    df.collect()
+    val n = df.collect().length.toLong
     Thread.sleep(400) // listener events drain async
-    (shuffleBytes.get() - s0, df.queryExecution.executedPlan.toString)
+    (shuffleBytes.get() - s0, df.queryExecution.executedPlan.toString, n)
   }
 
   private def opCount(plan: String, op: String): Int =
@@ -98,8 +98,8 @@ class ScaleGrowthSpec extends AnyFunSuite with SparkFixture {
       assert(windows.forall(_.nonEmpty),
         s"$name@$tag has a partition-less window")
     }
-    val (b1, p1) = measure(dfX1)
-    val (b10, p10) = measure(dfX10)
+    val (b1, p1, _) = measure(dfX1)
+    val (b10, p10, _) = measure(dfX10)
     // shuffle growth ≤ ~linear (10× data, ≤ 15× bytes: headroom for
     // per-partition framing amortizing differently at tiny scale)
     assert(b10 <= b1 * 15,
@@ -121,5 +121,105 @@ class ScaleGrowthSpec extends AnyFunSuite with SparkFixture {
     assert(opCount(p10, "BroadcastExchange") <=
       opCount(p1, "BroadcastExchange"),
       s"$name broadcasts MORE at 10x (scaled side broadcast?):\n$p10")
+  }
+
+  // -------------------------------------------------------------------
+  // the IMAGE leg — the same law over the raster dedup primitives
+  // -------------------------------------------------------------------
+
+  /** Seeded raster corpus at constant near-dup density: every 10th
+    * image is a box-RESIZE of the previous one (the transform a
+    * byte/pixel hash misses), all others distinct test rasters. */
+  private def rasterFrame(n: Long): DataFrame = {
+    import graft.dedup.ImageDedup
+    import graft.multimodal.Png
+    import spark.implicits._
+    spark.range(n).as[Long].map { i =>
+      val srcId = if (i % 10 == 9) i - 1 else i
+      val img = ImageDedup.testRaster(srcId, 32, 32)
+      val png =
+        if (i % 10 == 9)
+          Png.encode(16, 16, 1, Png.resizeBox(img, 16, 16).pixels)
+        else Png.encode(32, 32, 1, img.pixels)
+      (i, png)
+    }.toDF("media_id", "payload")
+  }
+
+  test("image banded pair join: 10x raster corpus => <= ~linear shuffle " +
+      "growth, same plan shape, never cartesian, planted near-dups found") {
+    import graft.dedup.ImageDedup
+    val dfX1 = ImageDedup.nearDuplicates(rasterFrame(2000L),
+      "media_id", "payload", maxDist = 6)
+    val dfX10 = ImageDedup.nearDuplicates(rasterFrame(20000L),
+      "media_id", "payload", maxDist = 6)
+    val (b1, p1, n1) = measure(dfX1)
+    val (b10, p10, n10) = measure(dfX10)
+    // recall anchor: every planted (orig, resize) pair is found; extra
+    // pairs (coincidentally near rasters) only ever ADD rows
+    assert(n1 >= 200L && n10 >= 2000L,
+      s"planted near-dups missed: x1=$n1 (want >= 200), " +
+        s"x10=$n10 (want >= 2000)")
+    assert(b10 <= b1 * 15,
+      s"image pair join shuffle grew superlinearly: x1=$b1 B, " +
+        s"x10=$b10 B (${b10.toDouble / math.max(b1, 1)}x for 10x data)")
+    for ((p, tag) <- Seq((p1, "x1"), (p10, "x10"))) {
+      assert(!p.contains("CartesianProduct"),
+        s"image pair join@$tag plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"image pair join@$tag plans a nested-loop join")
+    }
+    assert(opCount(p10, "Exchange") <= opCount(p1, "Exchange"),
+      s"image pair join grew a NEW exchange at 10x:\n$p10")
+  }
+
+  test("store-backed image screen: a FIXED daily batch against a 10x " +
+      "standing store reads the same bucket-pruned file set and its " +
+      "shuffle grows <= ~linearly") {
+    import graft.dedup.{FingerprintStore, ImageDedup}
+    val root = Files.createTempDirectory("scalegrow-img").toString
+    val (storeX1, storeX10) = (s"$root/fps-x1", s"$root/fps-x10")
+    FingerprintStore.append(spark, storeX1,
+      ImageDedup.fingerprints(rasterFrame(2000L), "media_id", "payload"),
+      batchId = 0L)
+    FingerprintStore.append(spark, storeX10,
+      ImageDedup.fingerprints(rasterFrame(20000L), "media_id", "payload"),
+      batchId = 0L)
+    // the daily reality: the BATCH stays constant while the standing
+    // corpus grows 10x — screen cost must track the batch, not the store
+    val incoming = ImageDedup.fingerprints(
+      rasterFrame(64L).withColumn("media_id", col("media_id") + 1000000L),
+      "media_id", "payload")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def run(store: String): (Long, Long, Long) = {
+        val q = FingerprintStore.screen(spark, store, incoming,
+          asOfBatch = 1L)
+        val scan = q.queryExecution.executedPlan.collectLeaves()
+          .collectFirst {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(
+                _.toString.contains(store)) => f
+          }.getOrElse(fail(s"no store scan in plan for $store"))
+        val (bytes, _, _) = measure(q)
+        val total = spark.read.parquet(store)
+          .select(input_file_name()).distinct().count()
+        (bytes, scan.metrics("numFiles").value, total)
+      }
+      val (b1, files1, total1) = run(storeX1)
+      val (b10, files10, total10) = run(storeX10)
+      assert(files10 < total10,
+        s"10x screen read the whole store ($files10 of $total10 files)")
+      // the touched-bucket set is a function of the INCOMING batch, so
+      // the pruned file count must not grow with the store (+8: the
+      // x1 store may leave a handful of its 2048 buckets empty)
+      assert(files10 <= files1 + 8,
+        s"screen file reads grew with the store: x1=$files1/$total1, " +
+          s"x10=$files10/$total10 — bucket pruning lost")
+      // candidate volume inside touched buckets IS data-proportional;
+      // superlinear means the prune (not the data) broke
+      assert(b10 <= math.max(b1, 1024L) * 15,
+        s"screen shuffle grew superlinearly: x1=$b1 B, x10=$b10 B")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
