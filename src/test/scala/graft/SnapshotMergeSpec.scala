@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.SnapshotLog
+import graft.sources.{LongStat, Probe, SnapshotLog, StrStat}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -189,7 +189,7 @@ class SnapshotMergeSpec extends AnyFunSuite with SparkFixture {
       Array(100000L)).isEmpty)
     // boundary keys (exact file min / max) are candidates, never missed
     val (mn, mx) = normStats.values.map(_("k")).collect {
-      case SnapshotLog.LongStat(lo, hi, _) => (lo, hi) }.minBy(_._1)
+      case LongStat(lo, hi, _) => (lo, hi) }.minBy(_._1)
     assert(SnapshotLog.pruneByStats(normStats.keys.toSeq, normStats, "k",
       Array(mn)).nonEmpty)
     assert(SnapshotLog.pruneByStats(normStats.keys.toSeq, normStats, "k",

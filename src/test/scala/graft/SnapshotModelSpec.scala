@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.SnapshotLog
+import graft.sources.{LongStat, Probe, SnapshotLog, StrStat}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -210,21 +210,21 @@ class SnapshotModelSpec extends AnyFunSuite with SparkFixture {
         val keys = model.keys.toSeq.sorted
         val hasW = SnapshotLog.read(spark, dir).columns.contains("w")
         val kind = if (hasW) rnd.nextInt(4) else rnd.nextInt(2)
-        val (probes, keep): (Seq[SnapshotLog.Probe], Row3 => Boolean) =
+        val (probes, keep): (Seq[Probe], Row3 => Boolean) =
           kind match {
             case 0 =>
               val lo = keys(rnd.nextInt(keys.size))
               val hi = lo + rnd.nextInt(300)
-              (Seq(SnapshotLog.Probe.Range("k", Some(lo), Some(hi))),
+              (Seq(Probe.Range("k", Some(lo), Some(hi))),
                 t => t._1 >= lo && t._1 <= hi)
             case 1 =>
               val vals = rnd.shuffle(keys).take(1 + rnd.nextInt(3))
-              (Seq(SnapshotLog.Probe.In("k", vals)),
+              (Seq(Probe.In("k", vals)),
                 t => vals.contains(t._1))
             case 2 =>
-              (Seq(SnapshotLog.Probe.IsNull("w")), t => t._3.isEmpty)
+              (Seq(Probe.IsNull("w")), t => t._3.isEmpty)
             case _ =>
-              (Seq(SnapshotLog.Probe.NotNull("w")), t => t._3.nonEmpty)
+              (Seq(Probe.NotNull("w")), t => t._3.nonEmpty)
           }
         val (got, _, _) = SnapshotLog.readFilter(spark, dir, probes)
         val hasWGot = got.columns.contains("w")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.SnapshotLog
+import graft.sources.{LongStat, Probe, SnapshotLog, StrStat}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -124,7 +124,7 @@ class SnapshotTypedStatsSpec extends AnyFunSuite with SparkFixture {
     // sanity: truncation actually engaged (keys are > 32 chars)
     val stats = SnapshotLog.fileStatsOf(spark, dir, 1L)
     assert(stats.values.flatMap(_.values).collect {
-      case SnapshotLog.StrStat(lo, _, _) => lo.length }.forall(_ <= 32))
+      case StrStat(lo, _, _) => lo.length }.forall(_ <= 32))
     val (got, scanned, total) =
       SnapshotLog.readBetweenValues(spark, dir, "k", "c", "d")
     assert(total === 6)
@@ -145,7 +145,7 @@ class SnapshotTypedStatsSpec extends AnyFunSuite with SparkFixture {
     val stats = SnapshotLog.fileStatsOf(spark, dir, 1L)
     assert(stats.nonEmpty)
     stats.values.flatMap(_.get("k")).foreach {
-      case SnapshotLog.StrStat(lo, hiOpt, _) =>
+      case StrStat(lo, hiOpt, _) =>
         assert(hiOpt.isDefined) // short strings never truncate to +inf
         assert(hiOpt.forall(hi => SnapshotLog.utf8Cmp(lo, hi) <= 0))
       case other => fail(s"expected StrStat, got $other")
@@ -187,7 +187,7 @@ class SnapshotTypedStatsSpec extends AnyFunSuite with SparkFixture {
     out.write((legacy.mkString("\n") + "\n").getBytes("UTF-8")); out.close()
     val stats = SnapshotLog.fileStatsOf(spark, dir, 1L)
     assert(stats.values.exists(_.get("k").exists(
-      _.isInstanceOf[SnapshotLog.LongStat])))
+      _.isInstanceOf[LongStat])))
     val (got, scanned, total) = SnapshotLog.readBetween(spark, dir, "k", 0L, 10L)
     assert(scanned < total && got.count() === 11)
   }
@@ -515,14 +515,14 @@ class SnapshotTypedStatsSpec extends AnyFunSuite with SparkFixture {
       .repartitionByRange(10, col("k"))
     SnapshotLog.commitWithStats(spark, dir, df, Seq("k", "v"))
     val (got, scanned, total) = SnapshotLog.readFilter(spark, dir,
-      Seq(SnapshotLog.Probe.IsNull("v")))
+      Seq(Probe.IsNull("v")))
     assert(total === 10)
     assert(scanned < total, s"IS NULL scanned $scanned/$total")
     assert(got.count() === 100)
     assert(got.filter(col("v").isNotNull).count() === 0)
     // NOT NULL stays exact (stats cannot prune it; partition tuples can)
     val (nn, _, _) = SnapshotLog.readFilter(spark, dir,
-      Seq(SnapshotLog.Probe.NotNull("v")))
+      Seq(Probe.NotNull("v")))
     assert(nn.count() === 900)
   }
 
@@ -535,11 +535,11 @@ class SnapshotTypedStatsSpec extends AnyFunSuite with SparkFixture {
       col("id").as("k")).repartitionByRange(3, col("k"))
     SnapshotLog.commitPartitioned(spark, dir, df, Seq("region"), Seq("k"))
     val (nulls, sN, total) = SnapshotLog.readFilter(spark, dir,
-      Seq(SnapshotLog.Probe.IsNull("region")))
+      Seq(Probe.IsNull("region")))
     assert(sN < total, s"null-partition prune scanned $sN/$total")
     assert(nulls.count() === 100)
     val (notNulls, sNN, _) = SnapshotLog.readFilter(spark, dir,
-      Seq(SnapshotLog.Probe.NotNull("region")))
+      Seq(Probe.NotNull("region")))
     assert(sNN < total)
     assert(notNulls.count() === 200)
   }
@@ -550,10 +550,10 @@ class SnapshotTypedStatsSpec extends AnyFunSuite with SparkFixture {
       .repartitionByRange(10, col("k"))
     SnapshotLog.commitWithStats(spark, dir, df, Seq("k"))
     val (ge, sGe, total) = SnapshotLog.readFilter(spark, dir,
-      Seq(SnapshotLog.Probe.Range("k", Some(900L), None)))
+      Seq(Probe.Range("k", Some(900L), None)))
     assert(sGe < total && ge.count() === 100)
     val (le, sLe, _) = SnapshotLog.readFilter(spark, dir,
-      Seq(SnapshotLog.Probe.Range("k", None, Some(99L))))
+      Seq(Probe.Range("k", None, Some(99L))))
     assert(sLe < total && le.count() === 100)
   }
 
@@ -676,7 +676,7 @@ class SnapshotTypedStatsSpec extends AnyFunSuite with SparkFixture {
     out.write((legacy.mkString("\n") + "\n").getBytes("UTF-8")); out.close()
     // no flag — IS NULL cannot prune, result still exact (empty)
     val (got, scanned, total) = SnapshotLog.readFilter(spark, dir,
-      Seq(SnapshotLog.Probe.IsNull("k")))
+      Seq(Probe.IsNull("k")))
     assert(scanned === total)
     assert(got.count() === 0)
     // and ranges still prune through the legacy entries
