@@ -69,6 +69,10 @@ import scala.jdk.CollectionConverters._
   *     per_source: 100
   *   - stage: token_budget           # greedy per-source token-budget fill
   *     per_source_tokens: 5000
+  *   - stage: quality_image          # image modality only: decodable
+  *     min_w: 16                     #   payloads within dimension
+  *     min_h: 16                     #   floors (corrupt rasters drop
+  *     max_bytes: 1048576            #   here, never reaching dedup)
   *   - stage: dedup_image            # image modality only: perceptual
   *     max_dist: 6                   #   near-dup election (dHash + banded
   *     store_dir: /data/fps          #   Hamming); optional store_dir also
@@ -183,13 +187,19 @@ object CuratePipeline {
     "source_quota" -> ((Set("per_source"), Set.empty[String])),
     "token_budget" -> ((Set("per_source_tokens"), Set.empty[String])),
     "pack_audit" -> ((Set("seq_tokens"), Set.empty[String])),
-    "dedup_image" -> ((Set.empty[String], Set("max_dist", "store_dir"))))
+    "dedup_image" -> ((Set.empty[String], Set("max_dist", "store_dir"))),
+    "quality_image" -> ((Set("min_w", "min_h"), Set("max_bytes"))))
 
   /** Stages valid over an IMAGE corpus (modality: image): the raster
-    * dedup leg, byte-exact dedup (md5 of the payload), and the
-    * modality-agnostic per-source quota. Everything else reads textCol
-    * and refuses at load. */
-  private val ImageStages = Set("dedup_image", "dedup_exact", "source_quota")
+    * quality gate and dedup leg, byte-exact dedup (md5 of the payload),
+    * and the modality-agnostic per-source quota. Everything else reads
+    * textCol and refuses at load. */
+  private val ImageStages =
+    Set("quality_image", "dedup_image", "dedup_exact", "source_quota")
+
+  /** Stages that DECODE the binary payload — meaningless over text, so
+    * a text-modality config declaring one refuses at load. */
+  private val ImageOnlyStages = Set("quality_image", "dedup_image")
 
   private[graft] def parse(rawLines: Seq[String],
       where: String): CurateConfig = {
@@ -305,7 +315,8 @@ object CuratePipeline {
       params.foreach { case (k, (li, v)) =>
         if (Set("min_tok", "max_tok", "min_ttr_milli", "gram",
             "per_source", "threshold_milli", "shingle", "chunk_tokens",
-            "per_source_tokens", "max_dist")(k)) { intOf(li, k, unquote(v)); () }
+            "per_source_tokens", "max_dist", "min_w", "min_h",
+            "max_bytes")(k)) { intOf(li, k, unquote(v)); () }
       }
       params.get("max_dist").foreach { case (li, v) =>
         val d = intOf(li, "max_dist", unquote(v))
@@ -332,9 +343,9 @@ object CuratePipeline {
       if (modality == "image" && !ImageStages(st.name))
         fail(itemLine, s"stage '${st.name}' reads text — an image-" +
           s"modality run supports ${ImageStages.toSeq.sorted.mkString(", ")}")
-      if (modality == "text" && st.name == "dedup_image")
+      if (modality == "text" && ImageOnlyStages(st.name))
         fail(itemLine,
-          "stage 'dedup_image' decodes a binary raster payload — " +
+          s"stage '${st.name}' decodes a binary raster payload — " +
             "declare 'modality: image' (and payload_col if not " +
             "'payload') under curate:")
     }
@@ -476,6 +487,33 @@ object CuratePipeline {
       val key = if (cfg.modality == "image") md5(col(cfg.payloadCol))
                 else md5(col(cfg.textCol))
       electMin(df, key, cfg.idCol)
+    case "quality_image" =>
+      // per-image quality gate, the raster twin of the text `quality`
+      // stage: keep payloads that DECODE (a crawl slice's truncated /
+      // corrupt rasters must never reach dedup — a fingerprint of
+      // garbage is garbage) and meet the declared dimension floors;
+      // max_bytes cuts oversize payloads as a pure pushed filter before
+      // any decode. Decode runs once per image in a per-partition map
+      // (no UDF, no shuffle); the verdict joins back left-semi on id so
+      // every other column rides through untouched.
+      require(df.columns.contains(cfg.payloadCol),
+        s"quality_image needs binary column '${cfg.payloadCol}' " +
+          s"(have ${df.columns.mkString(",")})")
+      val minW = st.params("min_w").toInt
+      val minH = st.params("min_h").toInt
+      val sized = st.params.get("max_bytes").map(_.toLong)
+        .fold(df)(b => df.filter(length(col(cfg.payloadCol)) <= b))
+      val s2 = df.sparkSession
+      import s2.implicits._
+      val decodable = sized
+        .select(col(cfg.idCol).cast("long"), col(cfg.payloadCol))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, png) =>
+          scala.util.Try(graft.multimodal.Png.decode(png)).toOption
+            .filter(img => img.width >= minW && img.height >= minH)
+            .map(_ => id)
+        }.toDF(cfg.idCol)
+      sized.join(decodable, Seq(cfg.idCol), "left_semi")
     case "dedup_image" =>
       // the raster leg as a declarable stage: (1) with store_dir, screen
       // the batch against the PERSISTED standing corpus first — an image

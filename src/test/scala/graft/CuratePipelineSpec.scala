@@ -488,6 +488,68 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
       === storeSnap, "replay polluted the fingerprint store")
   }
 
+  test("quality_image: corrupt payloads and under-floor rasters drop, " +
+      "oversize payloads cut before decode, survivors ride untouched") {
+    import graft.dedup.ImageDedup
+    import graft.multimodal.Png
+    import spark.implicits._
+    val in = tmp("curate-imgq-in")
+    def png(id: Long, w: Int, h: Int) =
+      Png.encode(w, h, 1, ImageDedup.testRaster(id, w, h).pixels)
+    Seq(
+      (1L, png(1, 32, 32), "src0"),              // keeps
+      (2L, png(2, 8, 32), "src0"),               // under min_w
+      (3L, png(3, 32, 8), "src0"),               // under min_h
+      (4L, "not a png".getBytes("UTF-8"), "src0"), // corrupt
+      (5L, png(5, 16, 16), "src1"),              // keeps (at floor)
+      (6L, png(6, 32, 32).take(20), "src1"))     // truncated stream
+      .toDF("media_id", "payload", "source")
+      .write.mode("overwrite").parquet(in)
+    val out = tmp("curate-imgq-out")
+    val cfg = CuratePipeline.parse(
+      s"""curate:
+         |  input: $in
+         |  out_dir: $out
+         |  modality: image
+         |  id_col: media_id
+         |stages:
+         |  - stage: quality_image
+         |    min_w: 16
+         |    min_h: 16
+         |""".stripMargin.linesIterator.toSeq, "imgq.yaml")
+    val r = CuratePipeline.run(spark, cfg)
+    val kept = spark.read.parquet(out)
+    assert(kept.select("media_id").as[Long].collect().toSet
+      === Set(1L, 5L), "wrong quality survivors")
+    assert(kept.columns.toSet === Set("media_id", "payload", "source"),
+      "columns must ride through the gate")
+    assert(r.stageRows === Seq("s00_input" -> 6L,
+      "s01_quality_image" -> 2L))
+    // max_bytes cuts BEFORE decode: the 32x32 image exceeds the cap
+    val out2 = tmp("curate-imgq-out2")
+    val cfg2 = CuratePipeline.parse(
+      s"""curate:
+         |  input: $in
+         |  out_dir: $out2
+         |  modality: image
+         |  id_col: media_id
+         |stages:
+         |  - stage: quality_image
+         |    min_w: 16
+         |    min_h: 16
+         |    max_bytes: ${png(5, 16, 16).length}
+         |""".stripMargin.linesIterator.toSeq, "imgq.yaml")
+    CuratePipeline.run(spark, cfg2)
+    assert(spark.read.parquet(out2).select("media_id").as[Long]
+      .collect().toSet === Set(5L))
+    // text modality refuses the stage at load
+    val e = intercept[IllegalArgumentException](
+      CuratePipeline.parse(goodConfig.replace("OUT", "/tmp/x")
+        .concat("  - stage: quality_image\n    min_w: 1\n    min_h: 1\n")
+        .linesIterator.toSeq, "t.yaml"))
+    assert(e.getMessage.contains("modality: image"))
+  }
+
   test("modality gates the stage vocabulary at load; image configs " +
       "refuse runStream/runSubscription") {
     def bad(text: String, needle: String): Unit = {
