@@ -958,17 +958,22 @@ object CuratePipeline {
     require(cfg.inputLog,
       "subscription curation follows a snapshot-log table — set " +
         "input_log true (plain parquet has no change feed to subscribe to)")
-    require(cfg.modality == "text",
-      "subscription curation's per-document stages are text-shaped; an " +
-        "image corpus following churn dedups through " +
-        "graft.streaming.ImageDedupStream instead")
-    val perDoc = Set("lang_keep", "quality", "decontaminate", "pii_scrub")
+    // per-document stages only, per modality: an image corpus following
+    // churn re-gates changed images through quality_image (decode +
+    // dimension floors are per-doc); dedup_image stays corpus-grain —
+    // its in-batch election over a churn slice would judge against the
+    // slice (cross-batch image dedup is ImageDedupStream's job)
+    val perDoc =
+      if (cfg.modality == "image") Set("quality_image")
+      else Set("lang_keep", "quality", "decontaminate", "pii_scrub")
     val bad = cfg.stages.map(_.name).filterNot(perDoc)
     require(bad.isEmpty,
-      s"stages [${bad.mkString(", ")}] are corpus-grain — over a " +
-        "changed-rows slice they would judge against the slice, not the " +
-        "corpus; runSubscription supports lang_keep/quality/" +
-        "decontaminate/pii_scrub")
+      s"stages [${bad.mkString(", ")}] are corpus-grain (or the wrong " +
+        "modality) — over a changed-rows slice they would judge against " +
+        "the slice, not the corpus; runSubscription supports " +
+        s"${perDoc.toSeq.sorted.mkString("/")} for modality " +
+        s"'${cfg.modality}' (cross-batch image dedup is " +
+        "graft.streaming.ImageDedupStream's job)")
     val committed = Seq.newBuilder[Long]
     var draining = true
     while (draining) {

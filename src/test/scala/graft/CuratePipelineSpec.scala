@@ -319,6 +319,56 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(e2.getMessage.contains("input_log"))
   }
 
+  test("runSubscription over an IMAGE table: changed images re-gate " +
+      "through quality_image — degrades to corrupt/undersized evict, " +
+      "good inserts publish, replay is a no-op, dedup_image refuses") {
+    import graft.dedup.ImageDedup
+    import graft.multimodal.Png
+    import spark.implicits._
+    val root = tmp("curate-sub-img")
+    val up = s"$root/up"; val outd = s"$root/shards"
+    val cur = s"$root/cursor"
+    def png(id: Long, w: Int, h: Int) =
+      Png.encode(w, h, 1, ImageDedup.testRaster(id, w, h).pixels)
+    SnapshotLog.commit(spark, up, Seq(
+      (1L, png(1, 32, 32)), (2L, png(2, 8, 8)),   // 2 under the floor
+      (3L, png(3, 16, 16))).toDF("media_id", "payload"))
+    val cfg = CuratePipeline.CurateConfig(
+      inputPath = up, outDir = outd, inputLog = true,
+      idCol = "media_id", modality = "image",
+      stages = Seq(CuratePipeline.Stage("quality_image",
+        Map("min_w" -> "16", "min_h" -> "16"))))
+    def shardIds() = SnapshotLog.read(spark, outd)
+      .select("media_id").as[Long].collect().toSet
+    assert(CuratePipeline.runSubscription(spark, cfg, cur).size === 1)
+    assert(shardIds() === Set(1L, 3L))
+    // churn: 1 degrades to a corrupt payload (evict), 2 upgrades above
+    // the floor (publish), 4 inserts good, 3 deletes
+    SnapshotLog.merge(spark, up, Seq(
+        (1L, "corrupt".getBytes("UTF-8"), false),
+        (2L, png(2, 32, 32), false),
+        (4L, png(4, 16, 16), false),
+        (3L, Array.empty[Byte], true))
+        .toDF("media_id", "payload", "del"),
+      keys = Seq("media_id"), deleteWhen = Some(col("del")),
+      dropCols = Seq("del"))
+    assert(CuratePipeline.runSubscription(spark, cfg, cur).size === 1)
+    assert(shardIds() === Set(2L, 4L),
+      "image shard table must mirror the churn after one drain")
+    // replay: rolled-back cursor re-delivers; merge is a #batch no-op
+    val nV = SnapshotLog.versions(spark, outd).size
+    SnapshotLog.ackChanges(spark, up, cur, 1L)
+    CuratePipeline.runSubscription(spark, cfg, cur)
+    assert(SnapshotLog.versions(spark, outd).size === nV)
+    assert(shardIds() === Set(2L, 4L))
+    // dedup_image is corpus-grain over a slice: refuse
+    val e = intercept[IllegalArgumentException](
+      CuratePipeline.runSubscription(spark,
+        cfg.copy(stages = cfg.stages :+
+          CuratePipeline.Stage("dedup_image", Map.empty)), cur))
+    assert(e.getMessage.contains("ImageDedupStream"))
+  }
+
   test("runSubscription property: under a seeded random churn program " +
       "(merges, deletes, full replaces, batched drains, random " +
       "admission), the shard table ALWAYS equals the batch recompute " +
