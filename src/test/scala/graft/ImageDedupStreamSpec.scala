@@ -91,6 +91,51 @@ class ImageDedupStreamSpec extends AnyFunSuite with SparkFixture {
       Set("media_id", "dhash", "batch_id", "bucket"))
   }
 
+  test("resume across a store compaction: the newest batch still " +
+      "replays idempotently, new batches screen identically to an " +
+      "uncompacted twin, and a folded batch's replay refuses loudly") {
+    import graft.dedup.FingerprintStore
+    val out = Files.createTempDirectory("imgstream-c").toString
+    val twin = Files.createTempDirectory("imgstream-t").toString
+    for (o <- Seq(out, twin); (b, i) <- batches.zipWithIndex)
+      ImageDedupStream.mergeBatch(spark,
+        b.toDF("media_id", "payload"), i.toLong, o)
+    val store = ImageDedupStream.storePath(out)
+    // (file reclaim on this tiny fixture can be 0 — batches barely
+    // share buckets; FingerprintStoreSpec/ScaleGrowthSpec prove the
+    // reclaim at size. Here the law under test is RESUME semantics.)
+    FingerprintStore.compact(spark, store)
+    assert(FingerprintStore.compactionWatermark(spark, store) === Some(1L))
+    // the newest batch (2, kept verbatim by the fold) is the one an
+    // at-least-once resume may replay: byte-identical store after
+    val content = () => spark.read.parquet(store)
+      .select(col("batch_id").cast("long"), col("bucket").cast("long"),
+        col("media_id"), col("dhash")).collect().map(_.toSeq).toSet
+    val snap = content()
+    ImageDedupStream.mergeBatch(spark,
+      batches(2).toDF("media_id", "payload"), 2L, out)
+    assert(content() === snap,
+      "newest-batch replay after compaction changed the store")
+    // a NEW batch screens identically through the fold: the compacted
+    // store and the uncompacted twin accept the same ids
+    val b3 = Seq(300L -> png(0, resized = true), // dup of accepted 0
+      301L -> png(500))                          // fresh
+    val k1 = ImageDedupStream.mergeBatch(spark,
+      b3.toDF("media_id", "payload"), 3L, out)
+    val k2 = ImageDedupStream.mergeBatch(spark,
+      b3.toDF("media_id", "payload"), 3L, twin)
+    assert(k1 === k2 && k1 === 1L,
+      s"compacted ($k1) vs uncompacted ($k2) stores accept differently")
+    // a FOLDED batch's replay cannot be served soundly (its as-of
+    // provenance is gone) — the stream's contract is that only
+    // checkpoint-committed batches fold, so this refuses loudly rather
+    // than silently re-screening against later fingerprints
+    val e = intercept[IllegalArgumentException](
+      ImageDedupStream.mergeBatch(spark,
+        batches(0).toDF("media_id", "payload"), 0L, out))
+    assert(e.getMessage.contains("watermark"), e.getMessage)
+  }
+
   test("the streaming wire-up drains a memory feed through the same " +
       "merge (foreachBatch)") {
     implicit val sqlCtx = spark.sqlContext
