@@ -62,6 +62,8 @@ import scala.jdk.CollectionConverters._
   *   - stage: pii_scrub              # email/IP/number-run redaction
   *   - stage: chunk                  # re-grain into fixed-token chunks
   *     chunk_tokens: 64
+  *     stride_tokens: 48             # optional: overlapping windows
+  *                                   #   (new chunk every stride tokens)
   *   - stage: decontaminate          # drop docs sharing an n-gram w/ eval
   *     eval_path: /data/benchmarks
   *     gram: 4
@@ -181,7 +183,7 @@ object CuratePipeline {
     "dedup_exact" -> ((Set.empty[String], Set.empty[String])),
     "dedup_near" -> ((Set.empty[String], Set.empty[String])),
     "dedup_jaccard" -> ((Set("threshold_milli"), Set("shingle"))),
-    "chunk" -> ((Set("chunk_tokens"), Set.empty[String])),
+    "chunk" -> ((Set("chunk_tokens"), Set("stride_tokens"))),
     "decontaminate" -> ((Set("eval_path"), Set("gram"))),
     "pii_scrub" -> ((Set.empty[String], Set.empty[String])),
     "source_quota" -> ((Set("per_source"), Set.empty[String])),
@@ -316,7 +318,7 @@ object CuratePipeline {
         if (Set("min_tok", "max_tok", "min_ttr_milli", "gram",
             "per_source", "threshold_milli", "shingle", "chunk_tokens",
             "per_source_tokens", "max_dist", "min_w", "min_h",
-            "max_bytes")(k)) { intOf(li, k, unquote(v)); () }
+            "max_bytes", "stride_tokens")(k)) { intOf(li, k, unquote(v)); () }
       }
       params.get("max_dist").foreach { case (li, v) =>
         val d = intOf(li, "max_dist", unquote(v))
@@ -573,22 +575,33 @@ object CuratePipeline {
       val losers = comps.filter(col("id") =!= col("comp")).select("id")
       df.join(losers, df(cfg.idCol) === losers("id"), "left_anti")
     case "chunk" =>
-      // re-grain documents into fixed-size non-overlapping token chunks
-      // (the tokenize-and-pack ingest shape): text becomes the chunk,
-      // id becomes doc_id * 100000 + chunk_ix (ids stay unique while a
+      // re-grain documents into fixed-size token chunks (the
+      // tokenize-and-pack ingest shape): text becomes the chunk, id
+      // becomes doc_id * 100000 + chunk_ix (ids stay unique while a
       // doc has < 100000 chunks — 2M-token docs at 20-token chunks;
       // longer docs should chunk upstream), all other columns ride
-      // along. Map-side only — one explode, no shuffle.
+      // along. Optional stride_tokens < chunk_tokens makes the windows
+      // OVERLAP (the q_chunk_docs sliding-context shape a retrieval
+      // ingest feeds from): a new chunk starts every stride tokens,
+      // n_starts = ceil(max(n_tok − chunk, 0)/stride) + 1, so every
+      // token is covered and consecutive chunks share chunk − stride
+      // tokens. Default stride = chunk_tokens (non-overlapping, token-
+      // conserving). Map-side only — one explode, no shuffle.
       val n = st.params("chunk_tokens").toInt
       require(n >= 1, s"chunk_tokens must be >= 1, got $n")
+      val stride = st.params.get("stride_tokens").map(_.toInt).getOrElse(n)
+      require(stride >= 1 && stride <= n,
+        s"stride_tokens must be in [1, chunk_tokens=$n], got $stride")
       val others = df.columns.toSeq
         .filterNot(c => c == cfg.idCol || c == cfg.textCol)
       df.withColumn("__toks", split(col(cfg.textCol), " "))
         .withColumn("__ix", explode(sequence(lit(0L),
-          greatest(expr(s"(size(__toks) - 1) div $n"), lit(0L)))))
+          expr(s"(greatest(size(__toks) - $n, 0) + ${stride - 1}) " +
+            s"div $stride"))))
         .select(
           (col(cfg.idCol) * 100000L + col("__ix")).as(cfg.idCol) +:
-          array_join(expr(s"slice(__toks, int(__ix) * $n + 1, $n)"), " ")
+          array_join(
+            expr(s"slice(__toks, int(__ix) * $stride + 1, $n)"), " ")
             .as(cfg.textCol) +:
           others.map(col): _*)
     case "token_budget" =>

@@ -8,7 +8,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
 /** A minimal multi-version table format: atomic snapshot commits with
   * file-level time travel, no metastore, no dependencies — the property
   * Maintenance's stage-then-swap gives a SINGLE generation, extended to
-  * a retained history (the Iceberg/Delta essence in one file).
+  * a retained history (the Iceberg/Delta essence, one object). The
+  * implementation lives in the `snapshot/` trait files this object
+  * mixes in (meta/commit/dml/feed/partitions/stats/dv/maintenance/
+  * evolve/clone — one concern per file); every member still resolves
+  * as `SnapshotLog.<member>`.
   *
   * Layout under the table root:
   * {{{

@@ -173,6 +173,42 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
       .join(docs.select(col("doc_id").as("orig")),
         expr("CAST(parent AS BIGINT) = orig"), "left_anti").count()
     assert(badParent === 0)
+
+    // OVERLAPPING windows (stride < chunk): per doc, chunks == the
+    // q_chunk_docs start rule, every full window carries exactly
+    // chunk_tokens, and consecutive windows share chunk − stride tokens
+    import spark.implicits._
+    val ov = CuratePipeline.applyStage(spark, docs,
+      CuratePipeline.Stage("chunk",
+        Map("chunk_tokens" -> "16", "stride_tokens" -> "8")), cfg)
+    val perDoc = ov
+      .select((col("doc_id") / 100000L).cast("long").as("parent"))
+      .groupBy("parent").count()
+      .join(docs.select(col("doc_id").as("parent"),
+        size(split(col("text"), " ")).cast("long").as("n")), Seq("parent"))
+      .as[(Long, Long, Long)].collect()
+    perDoc.foreach { case (id, got, n) =>
+      val want = (math.max(n - 16, 0) + 7) / 8 + 1
+      assert(got === want, s"doc $id: $got windows, want $want (n=$n)")
+    }
+    // overlap law on one concrete doc: window k starts at token k*8+1
+    val one = docs.orderBy("doc_id").limit(1)
+    val chunks = CuratePipeline.applyStage(spark, one,
+      CuratePipeline.Stage("chunk",
+        Map("chunk_tokens" -> "16", "stride_tokens" -> "8")), cfg)
+      .orderBy("doc_id")
+      .select("text").as[String].collect().map(_.split(" ").toSeq)
+    val toks = one.select("text").as[String].head.split(" ").toSeq
+    chunks.zipWithIndex.foreach { case (c, k) =>
+      assert(c === toks.slice(k * 8, k * 8 + 16),
+        s"window $k is not toks[${k * 8} ..)")
+    }
+    // stride > chunk refuses (a gap would silently drop tokens)
+    val e = intercept[IllegalArgumentException](
+      CuratePipeline.applyStage(spark, docs,
+        CuratePipeline.Stage("chunk",
+          Map("chunk_tokens" -> "8", "stride_tokens" -> "9")), cfg))
+    assert(e.getMessage.contains("stride_tokens"))
   }
 
   test("token_budget: per-source budget respected, kept set is an id-prefix") {
