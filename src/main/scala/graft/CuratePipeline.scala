@@ -190,7 +190,8 @@ object CuratePipeline {
     "token_budget" -> ((Set("per_source_tokens"), Set.empty[String])),
     "pack_audit" -> ((Set("seq_tokens"), Set.empty[String])),
     "dedup_image" -> ((Set.empty[String], Set("max_dist", "store_dir"))),
-    "quality_image" -> ((Set("min_w", "min_h"), Set("max_bytes"))))
+    "quality_image" -> ((Set("min_w", "min_h"),
+      Set("max_bytes", "max_w", "max_h"))))
 
   /** Stages valid over an IMAGE corpus (modality: image): the raster
     * quality gate and dedup leg, byte-exact dedup (md5 of the payload),
@@ -318,7 +319,9 @@ object CuratePipeline {
         if (Set("min_tok", "max_tok", "min_ttr_milli", "gram",
             "per_source", "threshold_milli", "shingle", "chunk_tokens",
             "per_source_tokens", "max_dist", "min_w", "min_h",
-            "max_bytes", "stride_tokens")(k)) { intOf(li, k, unquote(v)); () }
+            "max_bytes", "stride_tokens", "max_w", "max_h")(k)) {
+          intOf(li, k, unquote(v)); ()
+        }
       }
       params.get("max_dist").foreach { case (li, v) =>
         val d = intOf(li, "max_dist", unquote(v))
@@ -495,14 +498,23 @@ object CuratePipeline {
       // corrupt rasters must never reach dedup — a fingerprint of
       // garbage is garbage) and meet the declared dimension floors;
       // max_bytes cuts oversize payloads as a pure pushed filter before
-      // any decode. Decode runs once per image in a per-partition map
-      // (no UDF, no shuffle); the verdict joins back left-semi on id so
-      // every other column rides through untouched.
+      // any decode. Admission order is cheapest-first: byte cap
+      // (pushed), then the IHDR header alone ([[graft.multimodal.Png
+      // .dims]] — 8 bytes, no inflate) decides floors AND the dimension
+      // CEILING (max_w/max_h, default 16384), so a decompression bomb
+      // (tiny stream declaring a huge raster) is rejected before any
+      // raster allocation and an undersized thumbnail never pays a full
+      // decode just to be dropped; only header-admitted payloads pay
+      // the integrity decode. Per-partition map, no UDF, no shuffle;
+      // the verdict joins back left-semi on id so every other column
+      // rides through untouched.
       require(df.columns.contains(cfg.payloadCol),
         s"quality_image needs binary column '${cfg.payloadCol}' " +
           s"(have ${df.columns.mkString(",")})")
       val minW = st.params("min_w").toInt
       val minH = st.params("min_h").toInt
+      val maxW = st.params.get("max_w").map(_.toInt).getOrElse(16384)
+      val maxH = st.params.get("max_h").map(_.toInt).getOrElse(16384)
       val sized = st.params.get("max_bytes").map(_.toLong)
         .fold(df)(b => df.filter(length(col(cfg.payloadCol)) <= b))
       val s2 = df.sparkSession
@@ -511,8 +523,12 @@ object CuratePipeline {
         .select(col(cfg.idCol).cast("long"), col(cfg.payloadCol))
         .as[(Long, Array[Byte])]
         .flatMap { case (id, png) =>
-          scala.util.Try(graft.multimodal.Png.decode(png)).toOption
-            .filter(img => img.width >= minW && img.height >= minH)
+          scala.util.Try(graft.multimodal.Png.dims(png)).toOption
+            .filter { case (w, h) =>
+              w >= minW && h >= minH && w <= maxW && h <= maxH
+            }
+            .flatMap(_ =>
+              scala.util.Try(graft.multimodal.Png.decode(png)).toOption)
             .map(_ => id)
         }.toDF(cfg.idCol)
       sized.join(decodable, Seq(cfg.idCol), "left_semi")

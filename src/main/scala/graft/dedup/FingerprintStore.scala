@@ -66,9 +66,30 @@ object FingerprintStore {
   private def watermarkPath(dir: String) =
     new Path(dir, "_compaction_watermark")
 
+  private def swapTmpPath(dir: String) = new Path(dir + "__compact_tmp")
+
+  /** Complete a crashed [[compact]] swap: between its delete(dir) and
+    * rename(tmp → dir) the store is ABSENT while the tmp dir is already
+    * COMPLETE (parquet + watermark written before the delete). Without
+    * this, a screen against the half-swapped store would read an empty
+    * standing set and silently accept everything — so every entry point
+    * adopts the finished tmp first. Idempotent and race-benign: only a
+    * crashed compact leaves this exact (no dir, tmp present) shape. */
+  private def healSwap(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val tmp = swapTmpPath(dir)
+    if (!f.exists(new Path(dir)) && f.exists(tmp)) {
+      require(f.rename(tmp, new Path(dir)),
+        s"adopting crashed compaction swap failed for $dir — " +
+          s"manually rename $tmp to $dir")
+      ()
+    }
+  }
+
   /** The highest batch id [[compact]] has folded into generation −1 —
     * None for a never-compacted store. */
   def compactionWatermark(spark: SparkSession, dir: String): Option[Long] = {
+    healSwap(spark, dir)
     val f = fs(spark, dir)
     val p = watermarkPath(dir)
     if (!f.exists(p)) None
@@ -87,6 +108,7 @@ object FingerprintStore {
     * silently include fingerprints from LATER batches. */
   def standing(spark: SparkSession, dir: String,
       asOfBatch: Long): DataFrame = {
+    healSwap(spark, dir)
     val p = new Path(dir)
     val exists =
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -205,6 +227,7 @@ object FingerprintStore {
     * Returns (rows folded away, files reclaimed); (0, 0) when there is
     * nothing to fold. */
   def compact(spark: SparkSession, dir: String): (Long, Long) = {
+    healSwap(spark, dir)
     val f = fs(spark, dir)
     if (!f.exists(new Path(dir))) return (0L, 0L)
     val all = spark.read.schema(StructType(Seq(
@@ -229,7 +252,7 @@ object FingerprintStore {
     val kept = all.filter(col("batch_id") === maxBatch)
     val newWatermark = math.max(
       compactionWatermark(spark, dir).getOrElse(-1L), foldBatches.max)
-    val tmp = new Path(dir + "__compact_tmp")
+    val tmp = swapTmpPath(dir)
     f.delete(tmp, true)
     folded.unionByName(kept)
       .repartition(col("bucket"))

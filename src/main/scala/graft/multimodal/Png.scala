@@ -82,6 +82,24 @@ object Png {
     * IDAT inflate, scanline unfilter. Throws IllegalArgumentException on
     * anything that is not a supported PNG — a decoder must be loud about
     * payloads it would silently misread. */
+  /** (width, height) from the IHDR alone — constant work, no inflate,
+    * no raster allocation: the pre-decode ADMISSION read. A quality
+    * gate rejects under-floor and over-ceiling payloads from these 8
+    * header bytes, so a decompression bomb (tiny IDAT declaring a huge
+    * raster) never reaches [[decode]]'s allocation, and an undersized
+    * thumbnail never pays an inflate just to be dropped. The IHDR is
+    * REQUIRED to be the first chunk by the PNG spec, so offsets are
+    * fixed; integrity of the pixel stream is still [[decode]]'s job. */
+  def dims(bytes: Array[Byte]): (Int, Int) = {
+    require(bytes.length >= 24 &&
+      (0 until 8).forall(i => bytes(i) == Signature(i)),
+      "not a PNG payload (bad signature)")
+    require(new String(bytes, 12, 4, US_ASCII) == "IHDR",
+      "first chunk is not IHDR")
+    val bb = ByteBuffer.wrap(bytes)
+    (bb.getInt(16), bb.getInt(20))
+  }
+
   def decode(bytes: Array[Byte]): Image = {
     require(bytes.length >= 8 && (0 until 8).forall(i => bytes(i) == Signature(i)),
       "not a PNG payload (bad signature)")

@@ -582,13 +582,20 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     val in = tmp("curate-imgq-in")
     def png(id: Long, w: Int, h: Int) =
       Png.encode(w, h, 1, ImageDedup.testRaster(id, w, h).pixels)
+    // decompression bomb: a tiny stream whose IHDR declares a huge
+    // raster — the header admission must drop it BEFORE any decode
+    // allocation (the patched dims break the IHDR CRC too, but the
+    // gate never gets that far)
+    val bomb = png(7, 2, 2)
+    java.nio.ByteBuffer.wrap(bomb).putInt(16, 60000).putInt(20, 60000)
     Seq(
       (1L, png(1, 32, 32), "src0"),              // keeps
       (2L, png(2, 8, 32), "src0"),               // under min_w
       (3L, png(3, 32, 8), "src0"),               // under min_h
       (4L, "not a png".getBytes("UTF-8"), "src0"), // corrupt
       (5L, png(5, 16, 16), "src1"),              // keeps (at floor)
-      (6L, png(6, 32, 32).take(20), "src1"))     // truncated stream
+      (6L, png(6, 32, 32).take(20), "src1"),     // truncated stream
+      (7L, bomb, "src1"))                        // over-ceiling header
       .toDF("media_id", "payload", "source")
       .write.mode("overwrite").parquet(in)
     val out = tmp("curate-imgq-out")
@@ -609,7 +616,7 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
       === Set(1L, 5L), "wrong quality survivors")
     assert(kept.columns.toSet === Set("media_id", "payload", "source"),
       "columns must ride through the gate")
-    assert(r.stageRows === Seq("s00_input" -> 6L,
+    assert(r.stageRows === Seq("s00_input" -> 7L,
       "s01_quality_image" -> 2L))
     // max_bytes cuts BEFORE decode: the 32x32 image exceeds the cap
     val out2 = tmp("curate-imgq-out2")

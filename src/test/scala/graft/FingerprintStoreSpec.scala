@@ -155,6 +155,34 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkFixture {
       "twice-compacted store diverges from the full recompute")
   }
 
+  test("a crashed compaction swap (store absent, tmp complete) heals on " +
+      "the next entry — screens never see an empty standing set") {
+    val root = Files.createTempDirectory("fpstore5").toString
+    val dir = root + "/fps"
+    FingerprintStore.append(spark, dir, fpsOf(0), batchId = 0L)
+    FingerprintStore.append(spark, dir, fpsOf(1), batchId = 1L)
+    FingerprintStore.compact(spark, dir) // folds batch 0, watermark 0
+    // batch 1's re-ingests reject against the FOLDED batch 0 — at least
+    // one rejection, so the heal visibly matters (an empty store would
+    // accept them)
+    val want = FingerprintStore.screen(spark, dir, fpsOf(1), 1L)
+      .collect().map(_.toSeq).toSeq
+    assert(want.exists(r => r(3) == false),
+      "fixture needs at least one rejection to prove the heal matters")
+    // manufacture the exact crash shape: compact deleted the store but
+    // died before renaming the (complete) tmp into place
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__compact_tmp")))
+    // the next screen adopts the tmp and answers row-identically —
+    // without the heal it would read an EMPTY store and accept all
+    assert(FingerprintStore.screen(spark, dir, fpsOf(1), 1L)
+      .collect().map(_.toSeq).toSeq === want)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(dir + "__compact_tmp")),
+      "adoption must consume the tmp dir")
+  }
+
   test("screen scan prunes to the incoming batch's buckets; over-radius " +
       "screens refuse") {
     val dir = Files.createTempDirectory("fpstore3").toString + "/fps"

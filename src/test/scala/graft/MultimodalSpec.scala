@@ -250,6 +250,28 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(feats(2).features(4) - 1.0 / math.sqrt(12.0)) < 0.01)
   }
 
+  test("PNG dims: header-only read matches decode, rejects non-PNG, " +
+      "never inflates") {
+    import graft.multimodal.Png
+    for ((w, h, c) <- Seq((9, 5, 4), (16, 16, 1), (1, 1, 2))) {
+      val bytes = Png.encode(w, h, c,
+        Array.tabulate[Byte](w * h * c)(i => (i * 73 % 256).toByte))
+      assert(Png.dims(bytes) === (w, h))
+      val img = Png.decode(bytes)
+      assert((img.width, img.height) === Png.dims(bytes))
+    }
+    intercept[IllegalArgumentException](
+      Png.dims("not a png".getBytes("UTF-8")))
+    intercept[IllegalArgumentException](Png.dims(Array.empty[Byte]))
+    // a decompression bomb's declared dims read in constant work — the
+    // admission answer a gate acts on BEFORE decode's allocation (the
+    // patched header breaks the CRC, which dims deliberately ignores:
+    // integrity stays decode's job)
+    val bomb = Png.encode(2, 2, 1, Array[Byte](1, 2, 3, 4))
+    java.nio.ByteBuffer.wrap(bomb).putInt(16, 60000).putInt(20, 60000)
+    assert(Png.dims(bomb) === (60000, 60000))
+  }
+
   test("PNG decoder: corrupt inputs fail loudly, ancillary chunks skipped") {
     import graft.multimodal.Png
     val base = Png.encode(9, 5, 4,
