@@ -191,8 +191,13 @@ object FingerprintStore {
         col("dhash").as("sh_in"))
     val touched = in.select("bucket").distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ 2048 — driver-bounded
-    val cand = standing(spark, dir, asOfBatch)
-      .filter(col("bucket").isin(touched: _*)) // partition-pruned read
+    // an EMPTY batch (a drained stream's idle micro-batch) touches no
+    // buckets: short-circuit rather than hand isin() an empty value
+    // list — the verdict frame is empty either way
+    val cand =
+      if (touched.isEmpty) standing(spark, dir, asOfBatch).limit(0)
+      else standing(spark, dir, asOfBatch)
+        .filter(col("bucket").isin(touched: _*)) // partition-pruned read
     val hits = in.join(cand, "bucket")
       .select(col("id_in"), col("media_id").as("id_std"),
         expr("bit_count(sh_in ^ dhash)").as("hamming"))

@@ -155,6 +155,20 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkFixture {
       "twice-compacted store diverges from the full recompute")
   }
 
+  test("empty-batch screens and appends are no-ops (the idle stream " +
+      "micro-batch shape)") {
+    val dir = Files.createTempDirectory("fpstore6").toString + "/fps"
+    FingerprintStore.append(spark, dir, fpsOf(0), batchId = 0L)
+    val empty = fpsOf(0).limit(0)
+    val r = FingerprintStore.screen(spark, dir, empty, asOfBatch = 1L)
+    assert(r.count() === 0L)
+    assert(r.columns.toSeq === Seq("media_id", "n_dups", "nearest",
+      "accept"))
+    assert(FingerprintStore.append(spark, dir, empty, batchId = 1L) === 0L)
+    assert(spark.read.parquet(dir)
+      .filter(col("batch_id").cast("long") === 1L).count() === 0L)
+  }
+
   test("a crashed compaction swap (store absent, tmp complete) heals on " +
       "the next entry — screens never see an empty standing set") {
     val root = Files.createTempDirectory("fpstore5").toString
