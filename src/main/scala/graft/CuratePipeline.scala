@@ -917,11 +917,20 @@ object CuratePipeline {
   def runStream(spark: SparkSession, cfg: CurateConfig, docs: DataFrame,
       checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(cfg.modality == "text",
-      "runStream drives the TEXT streaming engine (CurateStream's " +
-        "signature store) — cross-batch image dedup is " +
-        "graft.streaming.ImageDedupStream's job (foreachBatch over the " +
-        "fingerprint store)")
+    if (cfg.modality == "image") {
+      val allowed = Set("quality_image", "dedup_image")
+      val bad = cfg.stages.map(_.name).filterNot(allowed)
+      require(bad.isEmpty,
+        s"stages [${bad.mkString(", ")}] are not streamable over an " +
+          "image corpus — runStream supports quality_image/dedup_image " +
+          "(per-batch gate + store-screened dedup)")
+      return docs.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          runImageBatch(batch.sparkSession, batch, id, cfg); ()
+        }
+        .start()
+    }
     val streamable = Set("lang_keep", "quality", "dedup_exact",
       "dedup_near", "decontaminate")
     val bad = cfg.stages.map(_.name).filterNot(streamable)
@@ -949,6 +958,43 @@ object CuratePipeline {
       case None => docs
     }
     CurateStream.run(gated, cfg.outDir, checkpointDir, scfg, evalGrams)
+  }
+
+  /** One STREAMING image-curation micro-batch — the foreachBatch body
+    * [[runStream]] wires for image-modality configs, callable directly
+    * for batch backfills and replay tests (the [[graft.streaming
+    * .ImageDedupStream.mergeBatch]] design). Gate + dedup run the same
+    * [[applyStage]] code the batch pipeline uses (runId = the stream
+    * batch id, so the store screen reads strictly-earlier batches);
+    * survivors' fingerprints append to the stage's store and the
+    * surviving IMAGES commit to `cfg.outDir` as one snapshot-log
+    * version stamped `#batch=<id>` — downstream trainers read a real
+    * table, not a side effect. Idempotent under at-least-once replay
+    * END TO END: the screen excludes the replayed batch's own
+    * fingerprints, the election is deterministic, the store append
+    * dynamic-overwrites its own partitions, and the `#batch=` header
+    * makes the replayed table commit a no-op. The fingerprint append
+    * deliberately lands BEFORE the table commit: a crash between them
+    * replays the batch, which rewrites the append byte-identically and
+    * then commits — whereas the opposite order would let the replay
+    * guard skip the whole batch with the append missing. Returns the
+    * number of published images. */
+  private[graft] def runImageBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, cfg: CurateConfig): Long = {
+    val survivors = cfg.stages
+      .foldLeft(batch)((df, st) => applyStage(spark, df, st, cfg, batchId))
+      .localCheckpoint(true) // feeds fps append + table commit + count
+    cfg.stages.filter(st => st.name == "dedup_image" &&
+        st.params.contains("store_dir")).foreach { st =>
+      val fps = graft.dedup.ImageDedup.fingerprints(
+          survivors.select(col(cfg.idCol), col(cfg.payloadCol)),
+          cfg.idCol, cfg.payloadCol)
+        .withColumnRenamed(cfg.idCol, "media_id")
+      graft.dedup.FingerprintStore.append(spark, st.params("store_dir"),
+        fps, batchId)
+    }
+    SnapshotLog.commitBatch(spark, cfg.outDir, survivors, batchId)
+    survivors.count()
   }
 
   /** Curation DRIVEN BY a snapshot-log subscription — training shards

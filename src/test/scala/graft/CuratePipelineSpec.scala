@@ -671,16 +671,94 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
       "must be text or image")
     bad(imgCfg.replace("- stage: dedup_image",
       "- stage: dedup_image\n    max_dist: 9"), "max_dist must be in")
-    // image configs refuse the text streaming/subscription engines
-    val parsed = CuratePipeline.parse(imgCfg.linesIterator.toSeq, "t.yaml")
+    // image runStream supports the per-batch stages only: a quota over
+    // a stream slice would judge the slice, not the corpus
+    val quotaCfg = CuratePipeline.parse(imgCfg
+      .replace("- stage: dedup_image",
+        "- stage: source_quota\n    per_source: 3")
+      .linesIterator.toSeq, "t.yaml")
     val e1 = intercept[IllegalArgumentException](
-      CuratePipeline.runStream(spark, parsed,
+      CuratePipeline.runStream(spark, quotaCfg,
         spark.readStream.format("rate").load(), tmp("img-ckpt")))
-    assert(e1.getMessage.contains("ImageDedupStream"))
+    assert(e1.getMessage.contains("not streamable"))
+    // and the subscription engine stays per-doc only
+    val parsed = CuratePipeline.parse(imgCfg.linesIterator.toSeq, "t.yaml")
     val e2 = intercept[IllegalArgumentException](
       CuratePipeline.runSubscription(spark,
         parsed.copy(inputLog = true), tmp("img-cur") + "/c"))
     assert(e2.getMessage.contains("ImageDedupStream"))
+  }
+
+  test("runStream over an IMAGE feed: per-batch gate + store-screened " +
+      "dedup + replay-idempotent snapshot publish; wire-up drains a " +
+      "memory stream") {
+    import graft.dedup.{FingerprintStore, ImageDedup}
+    import graft.multimodal.Png
+    import spark.implicits._
+    def png(id: Long, w: Int = 32, h: Int = 32, resized: Boolean = false) = {
+      val base = ImageDedup.testRaster(id, 32, 32)
+      if (resized) Png.encode(16, 16, 1, Png.resizeBox(base, 16, 16).pixels)
+      else Png.encode(w, h, 1, ImageDedup.testRaster(id, w, h).pixels)
+    }
+    val root = tmp("curate-imgstream")
+    val outd = s"$root/table"; val store = s"$root/fps"
+    val cfg = CuratePipeline.CurateConfig(
+      inputPath = "unused", outDir = outd,
+      idCol = "media_id", modality = "image",
+      stages = Seq(
+        CuratePipeline.Stage("quality_image",
+          Map("min_w" -> "16", "min_h" -> "16")),
+        CuratePipeline.Stage("dedup_image",
+          Map("max_dist" -> "6", "store_dir" -> store))))
+    // batch 0: good 1, undersized 2, in-batch dup pair 3/4 (4 = resize
+    // of 3 — only min id 3 survives)
+    val b0 = Seq((1L, png(1)), (2L, png(2, 8, 8)),
+      (3L, png(3)), (4L, png(3, resized = true)))
+      .toDF("media_id", "payload")
+    assert(CuratePipeline.runImageBatch(spark, b0, 0L, cfg) === 2L)
+    def published() = SnapshotLog.read(spark, outd)
+      .select("media_id").as[Long].collect().toSet
+    assert(published() === Set(1L, 3L))
+    // batch 1: re-ingest of published 1 (store screen drops), fresh 6
+    val b1 = Seq((5L, png(1, resized = true)), (6L, png(6)))
+      .toDF("media_id", "payload")
+    assert(CuratePipeline.runImageBatch(spark, b1, 1L, cfg) === 1L)
+    assert(published() === Set(1L, 3L, 6L))
+    // at-least-once replay of batch 1: table version count and store
+    // content both unchanged
+    val nV = SnapshotLog.versions(spark, outd).size
+    val storeSnap = spark.read.parquet(store)
+      .select(col("batch_id").cast("long"), col("bucket").cast("long"),
+        col("media_id"), col("dhash")).collect().map(_.toSeq).toSet
+    CuratePipeline.runImageBatch(spark, b1, 1L, cfg)
+    assert(SnapshotLog.versions(spark, outd).size === nV,
+      "replayed stream batch stacked a table version")
+    assert(spark.read.parquet(store)
+      .select(col("batch_id").cast("long"), col("bucket").cast("long"),
+        col("media_id"), col("dhash")).collect().map(_.toSeq).toSet
+      === storeSnap, "replayed stream batch changed the store")
+    assert(published() === Set(1L, 3L, 6L))
+    // the streaming wire-up drives the same body
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val root2 = tmp("curate-imgstream2")
+    val cfg2 = cfg.copy(outDir = s"$root2/table",
+      stages = Seq(
+        CuratePipeline.Stage("quality_image",
+          Map("min_w" -> "16", "min_h" -> "16")),
+        CuratePipeline.Stage("dedup_image",
+          Map("max_dist" -> "6", "store_dir" -> s"$root2/fps"))))
+    val q = CuratePipeline.runStream(spark, cfg2,
+      ms.toDF.toDF("media_id", "payload"), s"$root2/ckpt")
+    try {
+      ms.addData(Seq(1L -> png(1), 2L -> png(2, 8, 8)))
+      q.processAllAvailable()
+      ms.addData(Seq(5L -> png(1, resized = true), 6L -> png(6)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(SnapshotLog.read(spark, cfg2.outDir)
+      .select("media_id").as[Long].collect().toSet === Set(1L, 6L))
   }
 
   test("pii_scrub: emails, IPs and number runs redact; clean text untouched") {
