@@ -464,6 +464,28 @@ object CuratePipeline {
   // stages
   // ------------------------------------------------------------------
 
+  /** One TOLERANT fingerprint pass over (id, payload): dims-admitted
+    * (IHDR read only — a decompression bomb's declared raster never
+    * allocates) and decodable payloads emit (media_id, dhash); corrupt
+    * or over-ceiling payloads emit nothing. Shared by the dedup_image
+    * stage and both store-append sites, so an undecodable payload that
+    * rode through the stage can never poison the append either. */
+  private def tolerantFps(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val s2 = df.sparkSession
+    import s2.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, png) =>
+        scala.util.Try {
+          val (w, h) = graft.multimodal.Png.dims(png)
+          require(w <= 16384 && h <= 16384) // bomb: never allocate
+          (id, graft.dedup.ImageDedup.dHash64(
+            graft.multimodal.Png.decode(png)))
+        }.toOption
+      }.toDF("media_id", "dhash")
+  }
+
   /** Minimum-id survivor election per `key` — the engine's one dedup
     * rule (CurateStream / Components / exact dedup all use it):
     * deterministic under any partitioning, key-partitioned window. */
@@ -537,39 +559,47 @@ object CuratePipeline {
       // the batch against the PERSISTED standing corpus first — an image
       // near a published fingerprint (Hamming <= max_dist) drops, the
       // FingerprintStore incremental-ingest gate; (2) elect one
-      // canonical (min id) per in-batch near-dup component — dHash
-      // fingerprints, banded Hamming pairs (exact recall <= 7, never
-      // all-pairs), transitive closure, exactly dedup_jaccard's shape at
-      // raster grain. The published run's fingerprints append to the
-      // store AFTER the publish gate (see run()), so a failed gate never
-      // pollutes the standing corpus. Screen note: building this stage's
-      // plan collects the <= 2048 touched band-buckets driver-side (the
-      // store's partition-prune contract), which pays one early
-      // fingerprint pass over the batch at plan time.
+      // canonical (min id) per in-batch near-dup component AMONG THE
+      // SCREEN SURVIVORS — banded Hamming pairs (exact recall <= 7,
+      // never all-pairs), transitive closure, exactly dedup_jaccard's
+      // shape at raster grain. The published run's fingerprints append
+      // to the store AFTER the publish gate (see run()), so a failed
+      // gate never pollutes the standing corpus.
+      //
+      // Decode discipline: fingerprints compute in ONE tolerant
+      // per-partition pass, eagerly materialized (16 bytes/row) so the
+      // screen's touched-bucket collect, the accept join and the
+      // in-batch pairing all reuse it — never a second decode of the
+      // payloads. Tolerant: a payload whose IHDR exceeds the decoder
+      // ceiling or that fails to decode CANNOT be fingerprinted — it
+      // rides through un-deduplicated rather than poisoning the batch
+      // (a crawl slice always contains some corrupt bytes; gate them
+      // out with quality_image — this stage's contract is dedup, and
+      // silently DROPPING undecodables here would make dedup also a
+      // quality gate nobody declared).
       require(df.columns.contains(cfg.payloadCol),
         s"dedup_image needs binary column '${cfg.payloadCol}' " +
           s"(have ${df.columns.mkString(",")})")
       val maxDist = st.params.get("max_dist").map(_.toInt).getOrElse(6)
-      val screened = st.params.get("store_dir") match {
+      val fps = tolerantFps(df, cfg.idCol, cfg.payloadCol)
+        .localCheckpoint(true) // decode ONCE; three consumers below
+      val storeRejected = st.params.get("store_dir") match {
         case Some(sd) =>
-          val fps = graft.dedup.ImageDedup.fingerprints(
-              df.select(col(cfg.idCol), col(cfg.payloadCol)),
-              cfg.idCol, cfg.payloadCol)
-            .withColumnRenamed(cfg.idCol, "media_id")
-          val accepted = graft.dedup.FingerprintStore
+          graft.dedup.FingerprintStore
             .screen(spark, sd, fps, asOfBatch = runId, maxDist = maxDist)
-            .filter(col("accept"))
-            .select(col("media_id").as(cfg.idCol))
-          df.join(accepted, Seq(cfg.idCol), "left_semi")
-        case None => df
+            .filter(!col("accept")).select(col("media_id"))
+        case None => fps.select("media_id").limit(0)
       }
-      val pairs = graft.dedup.ImageDedup.nearDuplicates(
-        screened.select(col(cfg.idCol), col(cfg.payloadCol)),
-        cfg.idCol, cfg.payloadCol, maxDist)
+      val screenedFps =
+        fps.join(storeRejected, Seq("media_id"), "left_anti")
+      val pairs = graft.dedup.SimHash.bandedHammingPairs(
+        screenedFps, "media_id", "dhash", maxDist, bands = 8)
       val comps = graft.dedup.Components.connectedComponents(
         graft.dedup.Components.symmetrize(pairs, "id_a", "id_b"))
       val losers = comps.filter(col("id") =!= col("comp")).select("id")
-      screened.join(losers, screened(cfg.idCol) === losers("id"),
+      val rejected = storeRejected
+        .unionByName(losers.select(col("id").as("media_id")))
+      df.join(rejected, df(cfg.idCol) === rejected("media_id"),
         "left_anti")
     case "dedup_near" =>
       electMin(df,
@@ -610,10 +640,23 @@ object CuratePipeline {
         s"stride_tokens must be in [1, chunk_tokens=$n], got $stride")
       val others = df.columns.toSeq
         .filterNot(c => c == cfg.idCol || c == cfg.textCol)
+      // the id scheme (doc_id*100000 + ix) holds only while a doc
+      // yields < 100000 windows; past that, ids silently collide
+      // across documents and corrupt every id-keyed consumer. Guard the
+      // sequence UPPER BOUND (once per doc, not per chunk): the explode
+      // determines the row count, so even a fully column-pruned count()
+      // must evaluate it — the guard cannot be optimized away.
       df.withColumn("__toks", split(col(cfg.textCol), " "))
-        .withColumn("__ix", explode(sequence(lit(0L),
+        .withColumn("__hi",
           expr(s"(greatest(size(__toks) - $n, 0) + ${stride - 1}) " +
-            s"div $stride"))))
+            s"div $stride"))
+        .withColumn("__ix", explode(sequence(lit(0L),
+          expr("IF(__hi < 100000, __hi, raise_error(" +
+            s"concat('chunk: document ', CAST(${cfg.idCol} AS STRING), " +
+            "' yields >= 100000 windows at chunk_tokens/stride_tokens " +
+            s"= $n/$stride — chunk ids (doc_id*100000+ix) would " +
+            "collide across documents; re-grain upstream or raise " +
+            "the stride')))"))))
         .select(
           (col(cfg.idCol) * 100000L + col("__ix")).as(cfg.idCol) +:
           array_join(
@@ -808,13 +851,21 @@ object CuratePipeline {
     // increasing runIds, the same contract the log replay guard keys on.
     cfg.stages.filter(st => st.name == "dedup_image" &&
         st.params.contains("store_dir")).foreach { st =>
-      val outFps = graft.dedup.ImageDedup.fingerprints(
-          spark.read.parquet(cfg.outDir)
-            .select(col(cfg.idCol), col(cfg.payloadCol)),
-          cfg.idCol, cfg.payloadCol)
-        .withColumnRenamed(cfg.idCol, "media_id")
+      // run-id monotonicity: an append whose id is BEHIND the store's
+      // newest batch would dynamic-overwrite a newer batch's partitions
+      // with unrelated content — refuse loudly (equality is the legal
+      // same-run replay; the screen's as-of already excludes it)
+      graft.dedup.FingerprintStore
+        .maxBatchId(spark, st.params("store_dir")).foreach { m =>
+          require(runId >= m,
+            s"run id $runId is behind the fingerprint store's newest " +
+              s"batch $m (${st.params("store_dir")}) — daily runs must " +
+              "carry increasing run ids; an older id would overwrite " +
+              "newer fingerprints")
+        }
       graft.dedup.FingerprintStore.append(spark, st.params("store_dir"),
-        outFps, batchId = runId)
+        tolerantFps(spark.read.parquet(cfg.outDir), cfg.idCol,
+          cfg.payloadCol), batchId = runId)
     }
     val version = cfg.logDir.map { ld =>
       val fs = new org.apache.hadoop.fs.Path(cfg.outDir)
@@ -986,12 +1037,8 @@ object CuratePipeline {
       .localCheckpoint(true) // feeds fps append + table commit + count
     cfg.stages.filter(st => st.name == "dedup_image" &&
         st.params.contains("store_dir")).foreach { st =>
-      val fps = graft.dedup.ImageDedup.fingerprints(
-          survivors.select(col(cfg.idCol), col(cfg.payloadCol)),
-          cfg.idCol, cfg.payloadCol)
-        .withColumnRenamed(cfg.idCol, "media_id")
       graft.dedup.FingerprintStore.append(spark, st.params("store_dir"),
-        fps, batchId)
+        tolerantFps(survivors, cfg.idCol, cfg.payloadCol), batchId)
     }
     SnapshotLog.commitBatch(spark, cfg.outDir, survivors, batchId)
     survivors.count()

@@ -66,7 +66,15 @@ object FingerprintStore {
   private def watermarkPath(dir: String) =
     new Path(dir, "_compaction_watermark")
 
-  private def swapTmpPath(dir: String) = new Path(dir + "__compact_tmp")
+  /** The swap-staging SIBLING of the store dir. Built from the
+    * normalized Path, never by string concatenation: a trailing slash
+    * in `dir` would otherwise nest the tmp INSIDE the store, and
+    * compact's delete(dir) would destroy the freshly written fold
+    * before its rename. */
+  private def swapTmpPath(dir: String) = {
+    val p = new Path(dir)
+    new Path(p.getParent, p.getName + "__compact_tmp")
+  }
 
   /** Complete a crashed [[compact]] swap: between its delete(dir) and
     * rename(tmp → dir) the store is ABSENT while the tmp dir is already
@@ -84,6 +92,24 @@ object FingerprintStore {
           s"manually rename $tmp to $dir")
       ()
     }
+  }
+
+  /** Newest REAL batch id in the store (the folded −1 generation
+    * excluded) — None for a fresh/empty store. Directory-listing only,
+    * no data read: callers use it to validate run-id monotonicity
+    * before an append can dynamic-overwrite an older batch's
+    * partitions with different content. */
+  def maxBatchId(spark: SparkSession, dir: String): Option[Long] = {
+    healSwap(spark, dir)
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) None
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).filter(_ >= 0L) match {
+        case Seq() => None
+        case xs    => Some(xs.max)
+      }
   }
 
   /** The highest batch id [[compact]] has folded into generation −1 —
@@ -271,8 +297,14 @@ object FingerprintStore {
     finally out.close()
     val rowsAfter = spark.read.parquet(tmp.toString).count()
     f.delete(new Path(dir), true)
-    require(f.rename(tmp, new Path(dir)),
-      s"compaction swap rename failed for $dir — re-run compact")
+    if (!f.rename(tmp, new Path(dir))) {
+      // a concurrent reader's healSwap may adopt the finished tmp inside
+      // our delete→rename window (another JVM screening the store) —
+      // same end state, not a failure. Anything else IS one.
+      require(f.exists(new Path(dir)) && !f.exists(tmp),
+        s"compaction swap rename failed for $dir — the fold is intact " +
+          s"at $tmp; re-run compact (it adopts the finished tmp)")
+    }
     (rowsBefore - rowsAfter, filesBefore - countFiles(f, new Path(dir)))
   }
 

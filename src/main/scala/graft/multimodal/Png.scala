@@ -78,10 +78,6 @@ object Png {
     case t => throw new IllegalArgumentException(s"bad PNG color type $t")
   }
 
-  /** Parse a PNG byte payload: chunk walk (CRC-verified), concatenated
-    * IDAT inflate, scanline unfilter. Throws IllegalArgumentException on
-    * anything that is not a supported PNG — a decoder must be loud about
-    * payloads it would silently misread. */
   /** (width, height) from the IHDR alone — constant work, no inflate,
     * no raster allocation: the pre-decode ADMISSION read. A quality
     * gate rejects under-floor and over-ceiling payloads from these 8
@@ -100,6 +96,10 @@ object Png {
     (bb.getInt(16), bb.getInt(20))
   }
 
+  /** Parse a PNG byte payload: chunk walk (CRC-verified), concatenated
+    * IDAT inflate, scanline unfilter. Throws IllegalArgumentException on
+    * anything that is not a supported PNG — a decoder must be loud about
+    * payloads it would silently misread. */
   def decode(bytes: Array[Byte]): Image = {
     require(bytes.length >= 8 && (0 until 8).forall(i => bytes(i) == Signature(i)),
       "not a PNG payload (bad signature)")

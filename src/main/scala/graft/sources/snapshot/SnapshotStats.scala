@@ -1001,8 +1001,9 @@ private[sources] trait SnapshotStats { this: SnapshotLog.type =>
   * valid lower bound) and `hi` the truncated maximum with its last code
   * point incremented (strictly > anything sharing the prefix), or None
   * for "+∞". Package-level (not nested in [[SnapshotLog]]) so the case
-  * classes are outer-free in pattern matches; SnapshotStats aliases keep
-  * the `SnapshotLog.LongStat` spelling working. */
+  * classes are outer-free in pattern matches — spell them
+  * `graft.sources.LongStat` / `graft.sources.StrStat` (the pre-split
+  * `SnapshotLog.LongStat` spelling no longer resolves). */
 private[graft] sealed trait ColStat {
   /** Whether the file contains ANY null in this column — `Some(false)`
     * lets an IS NULL probe prune the file EXACTLY; `None` (legacy

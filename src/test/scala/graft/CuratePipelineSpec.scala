@@ -209,6 +209,19 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
         CuratePipeline.Stage("chunk",
           Map("chunk_tokens" -> "8", "stride_tokens" -> "9")), cfg))
     assert(e.getMessage.contains("stride_tokens"))
+    // >= 100000 windows for one doc would collide chunk ids across
+    // documents — the plan-side guard fails loudly, never silently
+    val giant = Seq((1L, (1 to 100001).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val boom = intercept[Exception](
+      CuratePipeline.applyStage(spark, giant,
+        CuratePipeline.Stage("chunk",
+          Map("chunk_tokens" -> "1", "stride_tokens" -> "1")), cfg)
+        .count())
+    assert(boom.getMessage != null &&
+      (boom.getMessage.contains("collide") ||
+        Option(boom.getCause).exists(_.getMessage.contains("collide"))),
+      s"wrong failure: ${boom.getMessage}")
   }
 
   test("token_budget: per-source budget respected, kept set is an id-prefix") {
@@ -572,6 +585,62 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
       .select(col("batch_id").cast("long"), col("bucket").cast("long"),
         col("media_id"), col("dhash")).collect().map(_.toSeq).toSet
       === storeSnap, "replay polluted the fingerprint store")
+    // a run id BEHIND the store's newest batch refuses before any
+    // append could overwrite newer fingerprints (no log replay guard
+    // here: logDir unset, the misuse shape)
+    val in3 = tmp("curate-img-in3")
+    Seq((3000L, Png.encode(32, 32, 1,
+        ImageDedup.testRaster(300L, 32, 32).pixels), "src0"))
+      .toDF("media_id", "payload", "source")
+      .write.mode("overwrite").parquet(in3)
+    val cfg3 = CuratePipeline.parse(
+      cfgText(in3, tmp("curate-img-out3")).linesIterator.toSeq,
+      "img.yaml").copy(logDir = None)
+    val eBehind = intercept[IllegalArgumentException](
+      CuratePipeline.run(spark, cfg3, runId = 1L))
+    assert(eBehind.getMessage.contains("behind the fingerprint store"),
+      eBehind.getMessage)
+    assert(spark.read.parquet(store)
+      .select(col("batch_id").cast("long"), col("bucket").cast("long"),
+        col("media_id"), col("dhash")).collect().map(_.toSeq).toSet
+      === storeSnap, "refused run still touched the store")
+  }
+
+  test("dedup_image tolerates undecodable payloads: they ride through " +
+      "unfingerprinted and never poison the batch") {
+    import graft.dedup.ImageDedup
+    import graft.multimodal.Png
+    import spark.implicits._
+    val in = tmp("curate-img-tol")
+    val base = ImageDedup.testRaster(1L, 32, 32)
+    // a decompression bomb (huge declared raster) must also ride
+    // through without any decode allocation
+    val bomb = Png.encode(2, 2, 1, Array[Byte](1, 2, 3, 4))
+    java.nio.ByteBuffer.wrap(bomb).putInt(16, 60000).putInt(20, 60000)
+    Seq(
+      (1L, Png.encode(32, 32, 1, base.pixels), "s"),
+      (11L, Png.encode(16, 16, 1, Png.resizeBox(base, 16, 16).pixels), "s"),
+      (3L, "junk".getBytes("UTF-8"), "s"),
+      (4L, bomb, "s"))
+      .toDF("media_id", "payload", "source")
+      .write.mode("overwrite").parquet(in)
+    val out = tmp("curate-img-tol-out")
+    val cfg = CuratePipeline.parse(
+      s"""curate:
+         |  input: $in
+         |  out_dir: $out
+         |  modality: image
+         |  id_col: media_id
+         |stages:
+         |  - stage: dedup_image
+         |    max_dist: 6
+         |""".stripMargin.linesIterator.toSeq, "tol.yaml")
+    CuratePipeline.run(spark, cfg, runId = 1L)
+    val kept = spark.read.parquet(out)
+      .select("media_id").as[Long].collect().toSet
+    // the near-dup pair elects min id 1; the corrupt and bomb payloads
+    // cannot fingerprint and ride through (quality_image is the gate)
+    assert(kept === Set(1L, 3L, 4L), s"wrong survivors: $kept")
   }
 
   test("quality_image: corrupt payloads and under-floor rasters drop, " +

@@ -155,6 +155,33 @@ class FingerprintStoreSpec extends AnyFunSuite with SparkFixture {
       "twice-compacted store diverges from the full recompute")
   }
 
+  test("compact with a trailing-slash dir stages the swap OUTSIDE the " +
+      "store (a nested tmp would be destroyed by the swap's delete)") {
+    val dir = Files.createTempDirectory("fpstore7").toString + "/fps"
+    FingerprintStore.append(spark, dir, fpsOf(0), batchId = 0L)
+    FingerprintStore.append(spark, dir, fpsOf(1), batchId = 1L)
+    val want = FingerprintStore.screen(spark, dir, fpsOf(2), 2L)
+      .collect().map(_.toSeq).toSeq
+    FingerprintStore.compact(spark, dir + "/") // tab-completion shape
+    assert(FingerprintStore.compactionWatermark(spark, dir) === Some(0L))
+    assert(FingerprintStore.screen(spark, dir, fpsOf(2), 2L)
+      .collect().map(_.toSeq).toSeq === want,
+      "trailing-slash compact lost store content")
+  }
+
+  test("maxBatchId lists the newest real batch; fresh and fold-only " +
+      "stores answer None-consistent") {
+    val dir = Files.createTempDirectory("fpstore8").toString + "/fps"
+    assert(FingerprintStore.maxBatchId(spark, dir) === None)
+    FingerprintStore.append(spark, dir, fpsOf(0), batchId = 3L)
+    assert(FingerprintStore.maxBatchId(spark, dir) === Some(3L))
+    FingerprintStore.append(spark, dir, fpsOf(1), batchId = 7L)
+    assert(FingerprintStore.maxBatchId(spark, dir) === Some(7L))
+    FingerprintStore.compact(spark, dir) // folds 3, keeps 7 verbatim
+    assert(FingerprintStore.maxBatchId(spark, dir) === Some(7L),
+      "the folded generation must not count as a real batch")
+  }
+
   test("empty-batch screens and appends are no-ops (the idle stream " +
       "micro-batch shape)") {
     val dir = Files.createTempDirectory("fpstore6").toString + "/fps"
