@@ -59,6 +59,11 @@ import scala.jdk.CollectionConverters._
   *   - stage: dedup_jaccard          # MinHash-LSH + exact-Jaccard verify,
   *     threshold_milli: 800          #   component closure, min-id canonical
   *     shingle: 4                    #   (optional, default 4)
+  *   - stage: dedup_semantic         # SemDeDup: k-means-blocked cosine,
+  *     tau_milli: 950                #   drop iff a lower-id cluster-mate
+  *     clusters: 64                  #   has cosine >= tau; clusters is
+  *     embed_col: embedding          #   the scale knob (optional:
+  *                                   #   embed_col, iters, max_list_size)
   *   - stage: pii_scrub              # email/IP/number-run redaction
   *   - stage: chunk                  # re-grain into fixed-token chunks
   *     chunk_tokens: 64
@@ -183,6 +188,8 @@ object CuratePipeline {
     "dedup_exact" -> ((Set.empty[String], Set.empty[String])),
     "dedup_near" -> ((Set.empty[String], Set.empty[String])),
     "dedup_jaccard" -> ((Set("threshold_milli"), Set("shingle"))),
+    "dedup_semantic" -> ((Set("tau_milli", "clusters"),
+      Set("embed_col", "iters", "max_list_size"))),
     "chunk" -> ((Set("chunk_tokens"), Set("stride_tokens"))),
     "decontaminate" -> ((Set("eval_path"), Set("gram"))),
     "pii_scrub" -> ((Set.empty[String], Set.empty[String])),
@@ -195,10 +202,13 @@ object CuratePipeline {
 
   /** Stages valid over an IMAGE corpus (modality: image): the raster
     * quality gate and dedup leg, byte-exact dedup (md5 of the payload),
-    * and the modality-agnostic per-source quota. Everything else reads
-    * textCol and refuses at load. */
+    * and the modality-agnostic per-source quota and embedding dedup
+    * (SemDeDup's original domain WAS image embeddings — the stage reads
+    * embed_col, never the payload). Everything else reads textCol and
+    * refuses at load. */
   private val ImageStages =
-    Set("quality_image", "dedup_image", "dedup_exact", "source_quota")
+    Set("quality_image", "dedup_image", "dedup_exact", "source_quota",
+      "dedup_semantic")
 
   /** Stages that DECODE the binary payload — meaningless over text, so
     * a text-modality config declaring one refuses at load. */
@@ -319,7 +329,8 @@ object CuratePipeline {
         if (Set("min_tok", "max_tok", "min_ttr_milli", "gram",
             "per_source", "threshold_milli", "shingle", "chunk_tokens",
             "per_source_tokens", "max_dist", "min_w", "min_h",
-            "max_bytes", "stride_tokens", "max_w", "max_h")(k)) {
+            "max_bytes", "stride_tokens", "max_w", "max_h",
+            "tau_milli", "clusters", "iters", "max_list_size")(k)) {
           intOf(li, k, unquote(v)); ()
         }
       }
@@ -330,6 +341,28 @@ object CuratePipeline {
         if (d < 0 || d > 7)
           fail(li, s"max_dist must be in [0, 7] (the 8-band layout's " +
             s"exact-recall radius), got $d")
+      }
+      if (name == "dedup_semantic") {
+        params.get("tau_milli").foreach { case (li, v) =>
+          val t = intOf(li, "tau_milli", unquote(v))
+          // τ ≤ 0 marks EVERYTHING in a cluster as duplicate (cosine of
+          // unrelated vectors hovers near 0) — always a config mistake
+          if (t <= 0 || t > 1000)
+            fail(li, s"tau_milli must be in (0, 1000] (cosine in " +
+              s"milli-units), got $t")
+        }
+        params.get("clusters").foreach { case (li, v) =>
+          if (intOf(li, "clusters", unquote(v)) < 1)
+            fail(li, "clusters must be >= 1")
+        }
+        params.get("iters").foreach { case (li, v) =>
+          if (intOf(li, "iters", unquote(v)) < 1)
+            fail(li, "iters must be >= 1")
+        }
+        params.get("max_list_size").foreach { case (li, v) =>
+          if (intOf(li, "max_list_size", unquote(v)) < 0)
+            fail(li, "max_list_size must be >= 0 (0 = no hot-list split)")
+        }
       }
       Stage(name, params.map { case (k, (_, v)) => k -> unquote(v) })
     }
@@ -620,6 +653,36 @@ object CuratePipeline {
         graft.dedup.Components.symmetrize(pairs, "id_a", "id_b"))
       val losers = comps.filter(col("id") =!= col("comp")).select("id")
       df.join(losers, df(cfg.idCol) === losers("id"), "left_anti")
+    case "dedup_semantic" =>
+      // SemDeDup (Abbas et al. 2023) as config surface: "these two
+      // documents say the same thing in different words" — k-means
+      // coarse quantizer, cosine compares ONLY within a cluster, a
+      // vector drops iff a LOWER-id cluster-mate lies within τ. The
+      // quantizer seeds from pmod(xxhash64(id), clusters) — `clusters`
+      // is the declared SCALE KNOB (k grows with the corpus so clusters
+      // stay constant-sized; the per-cluster pair stage is the
+      // quadratic term the caller bounds), deterministic with no RNG
+      // and no dependence on any label column the corpus may not have.
+      // Modality-agnostic: reads embed_col (array<float>), never
+      // textCol or the payload — SemDeDup's original domain was image
+      // embeddings. Optional max_list_size runs one hot-list split
+      // round over lists the seeding left oversized.
+      val embCol = st.params.getOrElse("embed_col", "embedding")
+      require(df.columns.contains(embCol),
+        s"dedup_semantic needs embedding column '$embCol' " +
+          s"(have ${df.columns.mkString(",")}) — set embed_col if the " +
+          "corpus spells it differently")
+      val k = st.params("clusters").toLong
+      graft.dedup.SemDedup.verdicts(
+          df.withColumn("__seed",
+            pmod(xxhash64(col(cfg.idCol)), lit(k))),
+          cfg.idCol, embCol, "__seed",
+          tauMicro = st.params("tau_milli").toLong * 1000L,
+          iters = st.params.get("iters").map(_.toInt).getOrElse(2),
+          maxListSize =
+            st.params.get("max_list_size").map(_.toInt).getOrElse(0))
+        .filter(!col("is_dup"))
+        .drop("is_dup", "list_id", "__seed")
     case "chunk" =>
       // re-grain documents into fixed-size token chunks (the
       // tokenize-and-pack ingest shape): text becomes the chunk, id

@@ -372,6 +372,139 @@ object TextSimOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** The MinHash-LSH ALGEBRA, oracle-pinned — the q_dedup_banded move
+    * applied to the other production near-dup primitive. The production
+    * path ([[graft.dedup.MinHashLsh.nearDuplicates]], q_dedup_minhash)
+    * is rows-only because its signature hash is the xxhash64 family
+    * Spark codegens; here the per-shingle hash is swapped for an
+    * engine-portable family built from ONE md5 per shingle
+    * (Kirsch–Mitzenmacher double hashing: h1/h2 = the digest's two
+    * 15-hex-char halves, h_j = h1 + j·(h2 mod 2^58) — k draws for one
+    * digest, j·h2 ≤ 15·2^58 < 2^62 so ANSI arithmetic never
+    * overflows), and everything AROUND the hash is the production
+    * algebra under a cross-engine hash check: the production
+    * [[graft.dedup.MinHashLsh.shingleExpr]] tokenize/slice/distinct
+    * arithmetic, min-over-shingles per permutation, banded bucket keys
+    * (md5 over the band's signature slice), the production
+    * [[graft.dedup.MinHashLsh.candidatePairs]] grouping join (never
+    * all-pairs), and an exact-Jaccard verify over the once-materialized
+    * shingle arrays, in INTEGER form (2·|∩| ≥ |∪| ⟺
+    * J ≥ 0.5 — no float compare to flake). A drift in shingle windows,
+    * band slicing, candidate dedup or the Jaccard denominator between
+    * the engines breaks a hash-checked row. k=16 hashes in 4 bands of
+    * 4 rows — the production [[graft.dedup.MinHashLsh.Config]] default
+    * geometry: r=4 bands are SELECTIVE (band-collision ≈ j⁴), which is
+    * what keeps the candidate set (and the per-candidate verify)
+    * data-proportional on a template-heavy corpus — an r=2 draft of
+    * this query ground the sf0.1 bench to 12 s on candidate blow-up. */
+  val minhashLsh: Q = Q.checked(
+    "q_minhash_lsh",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
+      |  FROM toks),
+      |hs AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(d, 1, 15)) AS BIGINT) AS h1,
+      |    CAST(concat('0x', substr(d, 17, 15)) AS BIGINT)
+      |      % 288230376151711744 AS h2
+      |  FROM (SELECT doc_id, md5(unnest(shingles)) AS d FROM sh)),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    min(h1 + 0 * h2) AS m0, min(h1 + 1 * h2) AS m1,
+      |    min(h1 + 2 * h2) AS m2, min(h1 + 3 * h2) AS m3,
+      |    min(h1 + 4 * h2) AS m4, min(h1 + 5 * h2) AS m5,
+      |    min(h1 + 6 * h2) AS m6, min(h1 + 7 * h2) AS m7,
+      |    min(h1 + 8 * h2) AS m8, min(h1 + 9 * h2) AS m9,
+      |    min(h1 + 10 * h2) AS m10, min(h1 + 11 * h2) AS m11,
+      |    min(h1 + 12 * h2) AS m12, min(h1 + 13 * h2) AS m13,
+      |    min(h1 + 14 * h2) AS m14, min(h1 + 15 * h2) AS m15
+      |  FROM hs GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, b AS band_id,
+      |    CASE b
+      |      WHEN 0 THEN CAST(concat('0x', substr(md5(
+      |        concat_ws(',', m0, m1, m2, m3)), 1, 15)) AS BIGINT)
+      |      WHEN 1 THEN CAST(concat('0x', substr(md5(
+      |        concat_ws(',', m4, m5, m6, m7)), 1, 15)) AS BIGINT)
+      |      WHEN 2 THEN CAST(concat('0x', substr(md5(
+      |        concat_ws(',', m8, m9, m10, m11)), 1, 15)) AS BIGINT)
+      |      ELSE CAST(concat('0x', substr(md5(
+      |        concat_ws(',', m12, m13, m14, m15)), 1, 15)) AS BIGINT)
+      |    END AS band_hash
+      |  FROM sigs, range(4) tb(b)),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+      |    AND a.doc_id < b.doc_id)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+      |    AS inter,
+      |  CAST(len(sa.shingles) + len(sb.shingles)
+      |    - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+      |    AS uni
+      |FROM cands c
+      |JOIN sh sa ON sa.doc_id = c.id_a
+      |JOIN sh sb ON sb.doc_id = c.id_b
+      |WHERE 2 * len(list_intersect(sa.shingles, sb.shingles))
+      |  >= len(sa.shingles) + len(sb.shingles)
+      |    - len(list_intersect(sa.shingles, sb.shingles))
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) =>
+    import graft.dedup.MinHashLsh
+    val n = 3; val k = 16; val bands = 4; val r = 4
+    val eligible = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= n)
+    // the shingle arrays come from an interpreted HOF
+    // (MinHashLsh.shingleExpr's own caveat) and feed FOUR consumers —
+    // the signature pass plus both sides of the candidate self-join's
+    // verify — so materialize them ONCE: without the checkpoint each
+    // consumer re-evaluates the HOF over the corpus (or worse,
+    // per candidate pair — a per-pair-eval draft of this query cost
+    // 2.5 HOF evals per corpus row on a dup-dense corpus)
+    val sh = MinHashLsh.withShingles(eligible, "text", n)
+      .select(col("doc_id"), col("shingles"))
+      .localCheckpoint(false)
+    // one md5 per shingle; the k draws are arithmetic over its halves
+    val hashed = sh
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("d", md5(col("s")))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(d, 1, 15), 16, 10) as bigint)").as("h1"),
+        (expr("cast(conv(substring(d, 17, 15), 16, 10) as bigint)")
+          % 288230376151711744L).as("h2"))
+    val aggs = (0 until k).map(j =>
+      min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j"))
+    val sigs = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bandKeys = (0 until bands).map { b =>
+      val slice = (0 until r).map(i => s"m${b * r + i}").mkString(", ")
+      expr(s"cast(conv(substring(md5(concat_ws(',', $slice)), " +
+        "1, 15), 16, 10) as bigint)")
+    }
+    val buckets = sigs.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_hash")))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      .cast(LongType)
+    MinHashLsh.candidatePairs(buckets, "doc_id")
+      .join(sh.select(col("doc_id").as("id_a"),
+        col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"),
+        col("shingles").as("sh_b")), "id_b")
+      .withColumn("inter", inter)
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast(LongType)
+          - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Embedding-cosine near-dup over a sorted-neighborhood candidate window:
     * only pairs within W = 200 of each other on vec_id (and sharing a
     * label) are compared — the classic bounded-blocking dedup move. Pair
@@ -596,7 +729,8 @@ object TextSimOps {
   }
 
   val all: Seq[Q] = Seq(textStats, textQuality, textLangid, textFingerprint,
-    textTokens, dedupExact, dedupNear, dedupNgram, dedupBanded, dedupEmbed,
+    textTokens, dedupExact, dedupNear, dedupNgram, dedupBanded, minhashLsh,
+    dedupEmbed,
     simTopk,
     simCentroid, multimodalJoin, multimodalProfile, boilerplate, dedupIncr,
     tokenLenHist)

@@ -152,6 +152,83 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dedup_semantic: planted identical-embedding groups elect the " +
+      "min id; distinct vectors all survive; config surface validates") {
+    import spark.implicits._
+    // 10 seeded random 16-dim bases, base i duplicated as ids
+    // 10i .. 10i+(i%3) with IDENTICAL embeddings (identical vectors
+    // always co-cluster — the expected answer is quantizer-independent)
+    val rnd = new scala.util.Random(42)
+    val bases = Vector.fill(10)(Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    val rows = for (i <- 0 until 10; j <- 0 to i % 3)
+      yield (i * 10L + j, bases(i), s"src${i % 3}")
+    // premise: cross-base snapped cosines sit below τ=950000 — every
+    // dup pair is identical, every non-pair is far
+    def cos6(a: Array[Float], b: Array[Float]): Long = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      math.floor(dot(a, b) / math.sqrt(dot(a, a) * dot(b, b)) * 1e6
+        + 0.5).toLong
+    }
+    for (i <- 0 until 10; k <- i + 1 until 10)
+      assert(cos6(bases(i), bases(k)) < 950000L,
+        s"test premise broken: bases $i,$k too close")
+    val docs = rows.toDF("vec_id", "embedding", "source")
+    val cfg = CuratePipeline.CurateConfig(
+      inputPath = "unused", outDir = "unused", idCol = "vec_id")
+    val st = CuratePipeline.Stage("dedup_semantic",
+      Map("tau_milli" -> "950", "clusters" -> "4"))
+    val out = CuratePipeline.applyStage(spark, docs, st, cfg)
+    // survivors: exactly the min id of each identity group, original
+    // columns only (working columns must not leak)
+    assert(out.columns.toSet === docs.columns.toSet)
+    assert(out.select("vec_id").as[Long].collect().toSet
+      === (0 until 10).map(_ * 10L).toSet)
+    // embed_col aliasing follows the corpus' spelling
+    val out2 = CuratePipeline.applyStage(spark,
+      docs.withColumnRenamed("embedding", "emb"),
+      CuratePipeline.Stage("dedup_semantic",
+        Map("tau_milli" -> "950", "clusters" -> "4",
+          "embed_col" -> "emb")), cfg)
+    assert(out2.select("vec_id").as[Long].collect().toSet
+      === (0 until 10).map(_ * 10L).toSet)
+    // a corpus without the embedding column names the fix
+    val eCol = intercept[IllegalArgumentException](
+      CuratePipeline.applyStage(spark, docs.drop("embedding"), st, cfg))
+    assert(eCol.getMessage.contains("embed_col"))
+    // config text parses for BOTH modalities (SemDeDup's original
+    // domain was image embeddings)
+    def cfgText(modality: String) =
+      s"""curate:
+         |  input: in
+         |  out_dir: out
+         |  id_col: vec_id
+         |  modality: $modality
+         |stages:
+         |  - stage: dedup_semantic
+         |    tau_milli: 950
+         |    clusters: 4
+         |""".stripMargin.linesIterator.toSeq
+    assert(CuratePipeline.parse(cfgText("text"), "t.yaml")
+      .stages.head.name === "dedup_semantic")
+    assert(CuratePipeline.parse(cfgText("image"), "t.yaml")
+      .stages.head.name === "dedup_semantic")
+    // load-time validation: τ outside (0, 1000] and clusters < 1 refuse
+    def bad(k: String, v: String) = intercept[IllegalArgumentException](
+      CuratePipeline.parse(
+        s"""curate:
+           |  input: in
+           |  out_dir: out
+           |stages:
+           |  - stage: dedup_semantic
+           |    tau_milli: ${if (k == "tau_milli") v else "950"}
+           |    clusters: ${if (k == "clusters") v else "4"}
+           |""".stripMargin.linesIterator.toSeq, "t.yaml"))
+    assert(bad("tau_milli", "0").getMessage.contains("tau_milli"))
+    assert(bad("tau_milli", "1001").getMessage.contains("tau_milli"))
+    assert(bad("clusters", "0").getMessage.contains("clusters"))
+  }
+
   test("chunk: token conservation, bounded chunk size, unique ids, columns ride along") {
     val cfg = CuratePipeline.CurateConfig(
       inputPath = s"$Sf/documents.parquet", outDir = "unused")
