@@ -63,7 +63,10 @@ import scala.jdk.CollectionConverters._
   *     tau_milli: 950                #   drop iff a lower-id cluster-mate
   *     clusters: 64                  #   has cosine >= tau; clusters is
   *     embed_col: embedding          #   the scale knob (optional:
-  *                                   #   embed_col, iters, max_list_size)
+  *     embed_path: /data/embs        #   embed_col, iters, max_list_size;
+  *     embed_key: vec_id             #   embed_path/embed_key join a
+  *                                   #   sidecar embedding table — docs
+  *                                   #   with no sidecar row ride through)
   *   - stage: pii_scrub              # email/IP/number-run redaction
   *   - stage: chunk                  # re-grain into fixed-token chunks
   *     chunk_tokens: 64
@@ -189,7 +192,8 @@ object CuratePipeline {
     "dedup_near" -> ((Set.empty[String], Set.empty[String])),
     "dedup_jaccard" -> ((Set("threshold_milli"), Set("shingle"))),
     "dedup_semantic" -> ((Set("tau_milli", "clusters"),
-      Set("embed_col", "iters", "max_list_size"))),
+      Set("embed_col", "iters", "max_list_size", "embed_path",
+        "embed_key"))),
     "chunk" -> ((Set("chunk_tokens"), Set("stride_tokens"))),
     "decontaminate" -> ((Set("eval_path"), Set("gram"))),
     "pii_scrub" -> ((Set.empty[String], Set.empty[String])),
@@ -665,24 +669,61 @@ object CuratePipeline {
       // and no dependence on any label column the corpus may not have.
       // Modality-agnostic: reads embed_col (array<float>), never
       // textCol or the payload — SemDeDup's original domain was image
-      // embeddings. Optional max_list_size runs one hot-list split
-      // round over lists the seeding left oversized.
+      // embeddings. Optional max_list_size splits hot lists to the
+      // FIXPOINT: every cluster ends within the bound except
+      // exact-duplicate clumps no plane can cut.
+      //
+      // embed_path: the realistic sidecar shape — embeddings computed
+      // by a separate job into their own table, keyed by `embed_key`
+      // (default: the corpus id column). The sidecar equi-joins on, the
+      // stage judges, and the embedding column never reaches the
+      // output. A doc with NO sidecar row rides through
+      // un-deduplicated, the image leg's tolerant convention: this
+      // stage's contract is dedup, and silently dropping
+      // not-yet-embedded docs would make it an embedding-coverage gate
+      // nobody declared.
       val embCol = st.params.getOrElse("embed_col", "embedding")
-      require(df.columns.contains(embCol),
-        s"dedup_semantic needs embedding column '$embCol' " +
-          s"(have ${df.columns.mkString(",")}) — set embed_col if the " +
-          "corpus spells it differently")
+      val (frame, joined) = st.params.get("embed_path") match {
+        case Some(p) =>
+          require(!df.columns.contains(embCol),
+            s"dedup_semantic: the corpus already has '$embCol' AND " +
+              "embed_path is set — ambiguous; drop one of them")
+          val key = st.params.getOrElse("embed_key", cfg.idCol)
+          val sidecar = spark.read.parquet(p)
+          require(sidecar.columns.contains(key) &&
+            sidecar.columns.contains(embCol),
+            s"dedup_semantic: sidecar $p needs columns '$key' and " +
+              s"'$embCol' (have ${sidecar.columns.mkString(",")}) — " +
+              "set embed_key/embed_col to its spelling")
+          (df.join(sidecar.select(col(key).as(cfg.idCol), col(embCol)),
+            Seq(cfg.idCol), "left"), true)
+        case None =>
+          require(df.columns.contains(embCol),
+            s"dedup_semantic needs embedding column '$embCol' " +
+              s"(have ${df.columns.mkString(",")}) — set embed_col if " +
+              "the corpus spells it differently, or embed_path if " +
+              "embeddings live in a sidecar table")
+          (df, false)
+      }
+      val unjudgeable = frame.filter(col(embCol).isNull)
       val k = st.params("clusters").toLong
-      graft.dedup.SemDedup.verdicts(
-          df.withColumn("__seed",
-            pmod(xxhash64(col(cfg.idCol)), lit(k))),
+      val kept = graft.dedup.SemDedup.verdicts(
+          frame.filter(col(embCol).isNotNull)
+            .withColumn("__seed",
+              pmod(xxhash64(col(cfg.idCol)), lit(k))),
           cfg.idCol, embCol, "__seed",
           tauMicro = st.params("tau_milli").toLong * 1000L,
           iters = st.params.get("iters").map(_.toInt).getOrElse(2),
           maxListSize =
-            st.params.get("max_list_size").map(_.toInt).getOrElse(0))
+            st.params.get("max_list_size").map(_.toInt).getOrElse(0),
+          // config-declared bounds run to the split FIXPOINT: a stage
+          // that promises max_list_size must deliver it even when one
+          // halving round is not enough (adversarial blob corpora)
+          splitRounds = 16)
         .filter(!col("is_dup"))
         .drop("is_dup", "list_id", "__seed")
+      val out = kept.unionByName(unjudgeable)
+      if (joined) out.drop(embCol) else out
     case "chunk" =>
       // re-grain documents into fixed-size token chunks (the
       // tokenize-and-pack ingest shape): text becomes the chunk, id

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions.expr
   * sbt "runMain graft.Maintain <tableDir> drop-check <name>"
   * sbt "runMain graft.Maintain <tableDir> delete-where <sqlPred>"
   * sbt "runMain graft.Maintain <tableDir> update-where <col> <valueExpr> <sqlPred>"
-  * sbt "runMain graft.Maintain <indexDir> compact-index bm25|ivf|fingerprint"
+  * sbt "runMain graft.Maintain <indexDir> compact-index bm25|ivf|fingerprint|semvec"
   * sbt "runMain graft.Maintain <srcDir> replicate <dstDir> <key,cols> <ckptDir> [maxBytes]"
   * sbt "runMain graft.Maintain <tableDir> poll-changes <cursorFile> [key,cols [maxVersions [maxBytes]]]"
   * sbt "runMain graft.Maintain <tableDir> ack-changes <cursorFile> <version>"
@@ -138,8 +138,14 @@ object Maintain {
                 graft.dedup.FingerprintStore.compact(spark, dir)
               println(s"[maintain] compact-index folded $folded row(s), " +
                 s"reclaimed $files file(s)")
+            case Some("semvec") =>
+              // dir = the SemDedupStream outDir (accepted_vecs inside)
+              val (folded, files) =
+                graft.streaming.SemDedupStream.compact(spark, dir)
+              println(s"[maintain] compact-index folded $folded row(s), " +
+                s"reclaimed $files file(s)")
             case other => throw new IllegalArgumentException(
-              s"compact-index needs bm25|ivf|fingerprint, got $other")
+              s"compact-index needs bm25|ivf|fingerprint|semvec, got $other")
           }
         case "replicate" => // <dstDir> <key,cols> <ckptDir> [maxBytes]
           require(rest.length >= 3,

@@ -60,39 +60,15 @@ object FingerprintStore {
     fps.select(col("media_id"), col("dhash"),
       explode(bucketsOf("dhash")).as("bucket"))
 
+  // filesystem choreography (swap staging, heal, watermark file) is the
+  // shared [[StoreCompaction]] mechanics; the POLICY below stays here
   private def fs(spark: SparkSession, dir: String) =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreCompaction.fs(spark, dir)
 
-  private def watermarkPath(dir: String) =
-    new Path(dir, "_compaction_watermark")
+  private def swapTmpPath(dir: String) = StoreCompaction.swapTmpPath(dir)
 
-  /** The swap-staging SIBLING of the store dir. Built from the
-    * normalized Path, never by string concatenation: a trailing slash
-    * in `dir` would otherwise nest the tmp INSIDE the store, and
-    * compact's delete(dir) would destroy the freshly written fold
-    * before its rename. */
-  private def swapTmpPath(dir: String) = {
-    val p = new Path(dir)
-    new Path(p.getParent, p.getName + "__compact_tmp")
-  }
-
-  /** Complete a crashed [[compact]] swap: between its delete(dir) and
-    * rename(tmp → dir) the store is ABSENT while the tmp dir is already
-    * COMPLETE (parquet + watermark written before the delete). Without
-    * this, a screen against the half-swapped store would read an empty
-    * standing set and silently accept everything — so every entry point
-    * adopts the finished tmp first. Idempotent and race-benign: only a
-    * crashed compact leaves this exact (no dir, tmp present) shape. */
-  private def healSwap(spark: SparkSession, dir: String): Unit = {
-    val f = fs(spark, dir)
-    val tmp = swapTmpPath(dir)
-    if (!f.exists(new Path(dir)) && f.exists(tmp)) {
-      require(f.rename(tmp, new Path(dir)),
-        s"adopting crashed compaction swap failed for $dir — " +
-          s"manually rename $tmp to $dir")
-      ()
-    }
-  }
+  private def healSwap(spark: SparkSession, dir: String): Unit =
+    StoreCompaction.healSwap(spark, dir)
 
   /** Newest REAL batch id in the store (the folded −1 generation
     * excluded) — None for a fresh/empty store. Directory-listing only,
@@ -114,18 +90,8 @@ object FingerprintStore {
 
   /** The highest batch id [[compact]] has folded into generation −1 —
     * None for a never-compacted store. */
-  def compactionWatermark(spark: SparkSession, dir: String): Option[Long] = {
-    healSwap(spark, dir)
-    val f = fs(spark, dir)
-    val p = watermarkPath(dir)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim.toLong)
-      finally in.close()
-    }
-  }
+  def compactionWatermark(spark: SparkSession, dir: String): Option[Long] =
+    StoreCompaction.watermark(spark, dir)
 
   /** The standing fingerprints from every batch strictly before
     * `asOfBatch`, as (bucket, media_id, dhash). Empty for a fresh dir.
@@ -290,31 +256,14 @@ object FingerprintStore {
       .write.mode("overwrite").partitionBy("batch_id", "bucket")
       .parquet(tmp.toString)
     // watermark INSIDE tmp: the swap rename publishes fold + replay
-    // guard in one atomic visibility transition (underscore-prefixed,
-    // so parquet readers ignore it)
-    val out = f.create(new Path(tmp, "_compaction_watermark"), true)
-    try out.write(newWatermark.toString.getBytes("UTF-8"))
-    finally out.close()
+    // guard in one atomic visibility transition
+    StoreCompaction.writeWatermarkInto(f, tmp, newWatermark)
     val rowsAfter = spark.read.parquet(tmp.toString).count()
-    f.delete(new Path(dir), true)
-    if (!f.rename(tmp, new Path(dir))) {
-      // a concurrent reader's healSwap may adopt the finished tmp inside
-      // our delete→rename window (another JVM screening the store) —
-      // same end state, not a failure. Anything else IS one.
-      require(f.exists(new Path(dir)) && !f.exists(tmp),
-        s"compaction swap rename failed for $dir — the fold is intact " +
-          s"at $tmp; re-run compact (it adopts the finished tmp)")
-    }
-    (rowsBefore - rowsAfter, filesBefore - countFiles(f, new Path(dir)))
+    StoreCompaction.swapInto(spark, dir, tmp)
+    (rowsBefore - rowsAfter,
+      filesBefore - StoreCompaction.countFiles(f, new Path(dir)))
   }
 
   private def countFiles(f: org.apache.hadoop.fs.FileSystem,
-      root: Path): Long = {
-    var n = 0L
-    val it = f.listFiles(root, true)
-    while (it.hasNext) {
-      if (it.next().getPath.getName.startsWith("part-")) n += 1
-    }
-    n
-  }
+      root: Path): Long = StoreCompaction.countFiles(f, root)
 }

@@ -69,16 +69,21 @@ object SemDedup {
     * `tauMicro` is the cosine threshold in 1e-6 units (e.g. 950000 =
     * 0.95). A vector is a dup iff a lower-`idCol` member of its cluster
     * has snapped cosine ≥ tauMicro — the deterministic "keep the
-    * smallest id per semantic ball" election. `maxListSize` > 0 runs one
-    * hot-list split round before pairing (call sites with adversarial
-    * skew should loop until the quantizer reaches its fixpoint). */
+    * smallest id per semantic ball" election. `maxListSize` > 0 splits
+    * hot lists before pairing: `splitRounds` = 1 (default) runs the
+    * single halving round, larger values iterate toward the fixpoint
+    * ([[graft.sim.Ivf.splitHotListsToFixpoint]]) — the adversarial-skew
+    * setting, bounding every cluster (and so the quadratic pair term)
+    * at maxListSize except exact-duplicate clumps no plane can cut. */
   def verdicts(df: DataFrame, idCol: String, embCol: String,
                seedCol: String, tauMicro: Long, iters: Int = 2,
-               maxListSize: Int = 0): DataFrame = {
+               maxListSize: Int = 0, splitRounds: Int = 1): DataFrame = {
     requireCleanColumns(df, "SemDedup.verdicts")
     val cents0 = Ivf.centroidsIter(df, embCol, seedCol, iters)
     val cents =
-      if (maxListSize > 0) Ivf.splitHotLists(df, cents0, embCol, maxListSize)
+      if (maxListSize > 0)
+        Ivf.splitHotListsToFixpoint(df, cents0, embCol, maxListSize,
+          maxRounds = splitRounds)
       else cents0
     val assigned = assignNormed(df, cents, idCol, embCol)
     // equi-join on the cluster id; the id inequality only prunes pairs.

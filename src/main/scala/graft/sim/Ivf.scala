@@ -121,6 +121,31 @@ object Ivf {
       .unionByName(hotChildren)
   }
 
+  /** [[splitHotLists]] iterated to its FIXPOINT (bounded by `maxRounds`):
+    * the loop the single-round scaladoc tells adversarial-skew call
+    * sites to run, packaged so they cannot get the termination test
+    * wrong. Each round halves the worst hot list, so rounds needed ≈
+    * log2(hottest/maxListSize); the fixpoint signal is splitHotLists
+    * returning its INPUT (same reference — no frame comparison needed),
+    * which covers both "nothing hot" and "hot but degenerate"
+    * (all-identical members, unsplittable by any plane). On return,
+    * every list is either within `maxListSize` or an exact-duplicate
+    * clump no plane can cut (and splitting exact duplicates would not
+    * reduce pair cost anyway). Per round: one assignment pass + a
+    * lists-sized collect — bounded model state, the Ivf contract. */
+  def splitHotListsToFixpoint(df: DataFrame, cents: DataFrame,
+      embCol: String, maxListSize: Long, maxRounds: Int = 16): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var cur = cents
+    var i = 0
+    while (i < maxRounds) {
+      val next = splitHotLists(df, cur, embCol, maxListSize)
+      if (next eq cur) return cur
+      cur = next; i += 1
+    }
+    cur
+  }
+
   /** Materialize the (tiny, bounded) quantizer: (list_id, centroid) sorted
     * by list_id. */
   private def collectCentroids(cents: DataFrame): Seq[(Long, Array[Double])] =

@@ -48,6 +48,7 @@ object SemDedupStream {
 
   private def readStore(spark: SparkSession, dir: String,
                         cfg: Config): DataFrame = {
+    graft.dedup.StoreCompaction.healSwap(spark, dir)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) spark.read.schema(storeSchema(cfg)).parquet(dir)
@@ -62,6 +63,15 @@ object SemDedupStream {
   def mergeBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                  outDir: String, cents: DataFrame,
                  cfg: Config = Config()): Long = {
+    // a batch at or below the compaction watermark is a REPLAY of a
+    // batch [[compact]] already folded into generation −1 — rewriting
+    // its batch_id partition would duplicate its vectors beside the
+    // fold (only checkpoint-committed batches fold, so the replayed
+    // content is exactly what the fold absorbed). No-op, like
+    // FingerprintStore.append.
+    if (graft.dedup.StoreCompaction
+        .watermark(spark, storePath(outDir)).exists(batchId <= _))
+      return 0L
     val da = SemDedup.assignForStore(batch, cents, cfg.idCol, cfg.embCol)
       .localCheckpoint(true) // feeds both verdict-join sides + the write
     val seen = readStore(spark, storePath(outDir), cfg)
@@ -79,6 +89,67 @@ object SemDedupStream {
       .parquet(storePath(outDir))
     kept.count()
   }
+
+  /** Fold every accepted-vector batch EXCEPT the newest (plus any prior
+    * fold) into generation −1 — the [[graft.dedup.FingerprintStore]]
+    * retention treatment at embedding grain. At daily cadence the
+    * per-batch layout accumulates one small-file dir per day and every
+    * micro-batch's state read lists all of them; the fold collapses
+    * history to one generation clustered by list_id (the join key every
+    * verdict uses). The newest batch survives VERBATIM — its stream
+    * checkpoint may not have committed, so an at-least-once replay
+    * dynamic-overwrites its own partition on resume; every older batch
+    * is checkpoint-committed by Spark's in-order batch contract and its
+    * replay becomes [[mergeBatch]]'s watermark no-op. Generation −1
+    * sorts below every real batch id, so `batch_id < current` state
+    * reads keep working unchanged. Whole-store swap via the shared
+    * [[graft.dedup.StoreCompaction]] choreography (staging sibling +
+    * watermark riding the rename + crashed-swap self-heal on every
+    * entry point). Returns (rows deduped away, files reclaimed);
+    * (0, 0) when there is nothing to fold. */
+  def compact(spark: SparkSession, outDir: String): (Long, Long) = {
+    import graft.dedup.StoreCompaction
+    val dir = storePath(outDir)
+    StoreCompaction.healSwap(spark, dir)
+    val f = StoreCompaction.fs(spark, dir)
+    if (!f.exists(new Path(dir))) return (0L, 0L)
+    // name-agnostic read (the store's data columns are cfg-named): only
+    // batch_id matters here, cast to LONG against partition inference
+    val all = spark.read.parquet(dir)
+      .withColumn("batch_id", col("batch_id").cast(LongType))
+    val real = all.filter(col("batch_id") >= 0L).agg(max("batch_id")).head
+    if (real.isNullAt(0)) return (0L, 0L) // only a fold, or empty
+    val maxBatch = real.getLong(0)
+    val foldSrc = all.filter(col("batch_id") =!= maxBatch)
+    val foldBatches = foldSrc.filter(col("batch_id") >= 0L)
+      .select("batch_id").distinct().collect().map(_.getLong(0))
+    if (foldBatches.isEmpty) return (0L, 0L) // one batch + prior fold
+    val rowsBefore = all.count()
+    val filesBefore = StoreCompaction.countFiles(f, new Path(dir))
+    val folded = foldSrc.drop("batch_id").distinct()
+      .withColumn("batch_id", lit(-1L))
+    val kept = all.filter(col("batch_id") === maxBatch)
+    val newWatermark = math.max(
+      StoreCompaction.watermark(spark, dir).getOrElse(-1L),
+      foldBatches.max)
+    val tmp = StoreCompaction.swapTmpPath(dir)
+    f.delete(tmp, true)
+    folded.unionByName(kept)
+      .repartition(col("list_id")) // fold files cluster on the join key
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(tmp.toString)
+    StoreCompaction.writeWatermarkInto(f, tmp, newWatermark)
+    val rowsAfter = spark.read.parquet(tmp.toString).count()
+    StoreCompaction.swapInto(spark, dir, tmp)
+    (rowsBefore - rowsAfter,
+      filesBefore - StoreCompaction.countFiles(f, new Path(dir)))
+  }
+
+  /** The watermark [[compact]] recorded — None for a never-compacted
+    * store (see [[graft.dedup.StoreCompaction.watermark]]). */
+  def compactionWatermark(spark: SparkSession,
+      outDir: String): Option[Long] =
+    graft.dedup.StoreCompaction.watermark(spark, storePath(outDir))
 
   /** Wire a streaming embedding feed into the semantic-dedup merge. The
     * tiny quantizer frame is cached once at stream start (its centroids

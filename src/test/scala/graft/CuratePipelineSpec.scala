@@ -229,6 +229,49 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(bad("clusters", "0").getMessage.contains("clusters"))
   }
 
+  test("dedup_semantic embed_path: sidecar embeddings join by " +
+      "embed_key, unembedded docs ride through, the joined column " +
+      "never reaches the output") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val bases = Vector.fill(6)(Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    // docs 0..6; sidecar covers 0..5 (6 has NO embedding and must ride
+    // through); 4 and 5 share base(4) — the planted dup pair
+    val docs = (0L to 6L).map(i => (i, s"text $i", "s"))
+      .toDF("doc_id", "text", "source")
+    val side = (0L to 5L)
+      .map(i => (i, bases(math.min(i, 4L).toInt)))
+      .toDF("vid", "embedding")
+    val sideDir = tmp("semdedup-side")
+    side.write.mode("overwrite").parquet(sideDir)
+    val cfg = CuratePipeline.CurateConfig(
+      inputPath = "unused", outDir = "unused")
+    val out = CuratePipeline.applyStage(spark, docs,
+      CuratePipeline.Stage("dedup_semantic",
+        Map("tau_milli" -> "950", "clusters" -> "3",
+          "embed_path" -> sideDir, "embed_key" -> "vid")), cfg)
+    assert(out.columns.toSet === docs.columns.toSet,
+      s"embedding column leaked: ${out.columns.mkString(",")}")
+    assert(out.select("doc_id").as[Long].collect().toSet
+      === Set(0L, 1L, 2L, 3L, 4L, 6L), // 5 drops (dup of 4); 6 rides
+      "wrong survivors")
+    // ambiguity refuses: corpus already embedded AND embed_path set
+    val eAmb = intercept[IllegalArgumentException](
+      CuratePipeline.applyStage(spark,
+        docs.withColumn("embedding", lit(null).cast("array<float>")),
+        CuratePipeline.Stage("dedup_semantic",
+          Map("tau_milli" -> "950", "clusters" -> "3",
+            "embed_path" -> sideDir, "embed_key" -> "vid")), cfg))
+    assert(eAmb.getMessage.contains("ambiguous"))
+    // a sidecar missing the declared key names the fix
+    val eKey = intercept[IllegalArgumentException](
+      CuratePipeline.applyStage(spark, docs,
+        CuratePipeline.Stage("dedup_semantic",
+          Map("tau_milli" -> "950", "clusters" -> "3",
+            "embed_path" -> sideDir, "embed_key" -> "nope")), cfg))
+    assert(eKey.getMessage.contains("embed_key"))
+  }
+
   test("chunk: token conservation, bounded chunk size, unique ids, columns ride along") {
     val cfg = CuratePipeline.CurateConfig(
       inputPath = s"$Sf/documents.parquet", outDir = "unused")

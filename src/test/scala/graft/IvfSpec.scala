@@ -104,6 +104,33 @@ class IvfSpec extends AnyFunSuite with SparkFixture {
       .collect().toSet === c1.collect().toSet)
   }
 
+  test("splitHotListsToFixpoint: one call bounds EVERY list (the " +
+      "multi-round adversarial-blob case); degenerate corpora terminate") {
+    import spark.implicits._
+    // one maximally hot list needing > 1 halving round to reach 20
+    val one = clustered.withColumn("label", lit(0))
+    val c0 = Ivf.centroids(one, "embedding", "label")
+    val cFix = Ivf.splitHotListsToFixpoint(one, c0, "embedding",
+      maxListSize = 20)
+    val sizes = Ivf.assign(one, cFix, "vec_id", "embedding")
+      .groupBy("list_id").count().collect().map(_.getLong(1))
+    assert(sizes.max <= 20,
+      s"fixpoint left a hot list: max=${sizes.max}")
+    assert(sizes.sum === 150, "membership not conserved")
+    // degenerate: identical vectors can never split — the fixpoint
+    // returns after ONE probe round instead of spinning to maxRounds
+    val dup = (0 until 100)
+      .map(i => (i.toLong, Array(1.0f, 2.0f, 3.0f, 4.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val d0 = Ivf.centroids(dup, "embedding", "label")
+    assert(Ivf.splitHotListsToFixpoint(dup, d0, "embedding", 10)
+      .collect().toSet === d0.collect().toSet)
+    // maxRounds = 1 is exactly one splitHotLists round
+    assert(Ivf.splitHotListsToFixpoint(one, c0, "embedding", 60,
+        maxRounds = 1).collect().toSet
+      === Ivf.splitHotLists(one, c0, "embedding", 60).collect().toSet)
+  }
+
   test("splitHotLists: all-duplicate hot list is a fixpoint, not an infinite loop") {
     import spark.implicits._
     // 100 identical vectors: no plane can separate them — the documented

@@ -92,6 +92,30 @@ class MaintainSpec extends AnyFunSuite with SparkFixture {
       "CLI-driven fold changed a screen's rows")
   }
 
+  test("compact-index semvec drives the accepted-vector fold " +
+      "end-to-end") {
+    import graft.sim.Ivf
+    import graft.streaming.SemDedupStream
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, Sf)
+    val cents = Ivf.centroidsIter(e, "embedding", "label", iters = 1)
+    val outDir = Files.createTempDirectory("maintain").toString + "/sem"
+    val base = e.select("vec_id", "embedding")
+    SemDedupStream.mergeBatch(spark,
+      base.filter(col("vec_id") < 50), 0L, outDir, cents)
+    SemDedupStream.mergeBatch(spark,
+      base.filter(col("vec_id") >= 50 && col("vec_id") < 100), 1L,
+      outDir, cents)
+    val before = spark.read
+      .parquet(SemDedupStream.storePath(outDir))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    Maintain.run(spark, Seq(outDir, "compact-index", "semvec"))
+    assert(SemDedupStream.compactionWatermark(spark, outDir) === Some(0L))
+    assert(spark.read.parquet(SemDedupStream.storePath(outDir))
+      .select("vec_id").collect().map(_.getLong(0)).toSet === before,
+      "CLI-driven fold changed the accepted set")
+  }
+
   test("replicate / poll-changes / ack-changes: a replica follows the " +
       "source across two CLI drains; the cursor protocol round-trips") {
     import org.apache.spark.sql.functions._

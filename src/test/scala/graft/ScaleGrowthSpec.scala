@@ -222,4 +222,60 @@ class ScaleGrowthSpec extends AnyFunSuite with SparkFixture {
         s"screen shuffle grew superlinearly: x1=$b1 B, x10=$b10 B")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  // -------------------------------------------------------------------
+  // the EMBEDDING leg — the same law for the dedup_semantic stage
+  // -------------------------------------------------------------------
+
+  /** Seeded embedding corpus at constant dup density: every 10th vector
+    * is an IDENTICAL copy of the previous one (same cluster under any
+    * quantizer, cosine exactly 1), all others id-salted pseudo-random
+    * 16-dim — near-orthogonal, far below τ. */
+  private def embFrame(n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(1, 16),
+        j -> cast((abs(xxhash64(if(id % 10 = 9, id - 1, id), j)) % 1000)
+          / 500.0 - 1.0 as float))""").as("embedding"))
+
+  test("dedup_semantic stage: 10x corpus with clusters scaled as " +
+      "declared => <= ~linear shuffle (training included), same plan " +
+      "shape, never cartesian, planted dups all drop") {
+    // the config contract at 100 TB: `clusters` grows with the corpus
+    // so per-cluster size (the quadratic pair term) stays CONSTANT —
+    // this gate measures exactly that promise, training shuffles
+    // included (applyStage trains the quantizer while building)
+    def runScale(n: Long): (Long, String, Long) = {
+      val cfg = CuratePipeline.CurateConfig(
+        inputPath = "unused", outDir = "unused", idCol = "vec_id")
+      val st = CuratePipeline.Stage("dedup_semantic",
+        Map("tau_milli" -> "950", "clusters" -> (n / 100).toString))
+      val in = embFrame(n)
+      Thread.sleep(200); val s0 = shuffleBytes.get()
+      val out = CuratePipeline.applyStage(spark, in, st, cfg)
+      val cnt = out.collect().length.toLong
+      Thread.sleep(400) // listener events drain async
+      (shuffleBytes.get() - s0,
+        out.queryExecution.executedPlan.toString, cnt)
+    }
+    val (b1, p1, n1) = runScale(3000L)
+    val (b10, p10, n10) = runScale(30000L)
+    // recall anchor: every planted identical pair collapses (identical
+    // vectors co-cluster under ANY quantizer and cosine 1 >= τ);
+    // coincidental extra drops can only push the count lower
+    assert(n1 <= 3000L - 300L && n10 <= 30000L - 3000L,
+      s"planted dups survived: x1 kept $n1 (want <= 2700), " +
+        s"x10 kept $n10 (want <= 27000)")
+    assert(b10 <= b1 * 15,
+      s"dedup_semantic shuffle grew superlinearly: x1=$b1 B, " +
+        s"x10=$b10 B (${b10.toDouble / math.max(b1, 1)}x for 10x data)")
+    for ((p, tag) <- Seq((p1, "x1"), (p10, "x10"))) {
+      assert(!p.contains("CartesianProduct"),
+        s"dedup_semantic@$tag plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"dedup_semantic@$tag plans a nested-loop join")
+    }
+    assert(opCount(p10, "Exchange") <= opCount(p1, "Exchange"),
+      s"dedup_semantic grew a NEW exchange at 10x:\n$p10")
+  }
 }

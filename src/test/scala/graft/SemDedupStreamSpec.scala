@@ -112,4 +112,67 @@ class SemDedupStreamSpec extends AnyFunSuite with SparkFixture {
       .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
     assert(n1 === n2 && snap1 === snap2)
   }
+
+  test("compaction folds history to generation -1: later batches " +
+      "screen identically to an uncompacted twin, folded replays " +
+      "no-op, the newest batch still replays") {
+    val cents = Ivf.centroidsIter(e, "embedding", "label", iters = 2)
+    val base = e.select("vec_id", "embedding")
+    val b0 = base.filter(col("vec_id") < 100)
+    // b1 plants exact copies of two b0 vectors under new ids — verdicts
+    // that depend on the FOLDED generation being read correctly
+    val b1 = base.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+      .unionByName(base.filter(col("vec_id") < 2)
+        .withColumn("vec_id", col("vec_id") + 50000L))
+    val b2 = base.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+      .unionByName(base.filter(col("vec_id") < 1)
+        .withColumn("vec_id", col("vec_id") + 60000L))
+    val dirA = Files.createTempDirectory("semdedup_cp_a").toString
+    val dirB = Files.createTempDirectory("semdedup_cp_b").toString
+    def content(d: String) =
+      spark.read.parquet(SemDedupStream.storePath(d))
+        .select("vec_id", "list_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (d <- Seq(dirA, dirB)) {
+      SemDedupStream.mergeBatch(spark, b0, 0L, d, cents)
+      SemDedupStream.mergeBatch(spark, b1, 1L, d, cents)
+    }
+    // b0/b1 hold disjoint rows, so the fold dedups nothing: folded = 0
+    // (file-count reclaim is the production win at daily cadence — at
+    // two-batch test scale the fold's task count can even exceed the
+    // input's, so the reclaim sign is not a law here)
+    val (folded, _) = SemDedupStream.compact(spark, dirA)
+    assert(folded === 0L, s"disjoint batches folded $folded rows away")
+    assert(SemDedupStream.compactionWatermark(spark, dirA) === Some(0L))
+    assert(content(dirA) === content(dirB),
+      "compaction changed store content")
+    // folded-batch replay is a no-op (its rows live in generation -1)
+    val snap = content(dirA)
+    assert(SemDedupStream.mergeBatch(spark, b0, 0L, dirA, cents) === 0L)
+    assert(content(dirA) === snap, "folded replay polluted the store")
+    // the newest (possibly uncommitted) batch still replays in place
+    val rB1 = SemDedupStream.mergeBatch(spark, b1, 1L, dirA, cents)
+    assert(rB1 > 0L && content(dirA) === snap,
+      "newest-batch replay diverged through the fold")
+    // a NEW batch screens identically against fold vs per-batch layout
+    val nA = SemDedupStream.mergeBatch(spark, b2, 2L, dirA, cents)
+    val nB = SemDedupStream.mergeBatch(spark, b2, 2L, dirB, cents)
+    assert(nA === nB, s"fold changed a later verdict: $nA vs $nB")
+    assert(content(dirA) === content(dirB))
+    // planted cross-batch dup from generation -1 must still reject
+    assert(!content(dirA).exists(_._1 >= 60000L),
+      "a dup of a FOLDED vector was accepted — the fold lost recall")
+    // second fold absorbs batch 1; content is stable, files shrink
+    val filesBefore = spark.read
+      .parquet(SemDedupStream.storePath(dirA))
+      .select(input_file_name()).distinct().count()
+    SemDedupStream.compact(spark, dirA)
+    assert(SemDedupStream.compactionWatermark(spark, dirA) === Some(1L))
+    assert(content(dirA) === content(dirB))
+    val filesAfter = spark.read
+      .parquet(SemDedupStream.storePath(dirA))
+      .select(input_file_name()).distinct().count()
+    assert(filesAfter <= filesBefore,
+      s"second fold grew the file count: $filesBefore -> $filesAfter")
+  }
 }
