@@ -272,6 +272,42 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(eKey.getMessage.contains("embed_key"))
   }
 
+  test("dedup_semantic end-to-end: a config-text run over the sf " +
+      "corpus with the embeddings table as sidecar — funnel == " +
+      "hand-composed, publish carries no embedding column") {
+    val out = tmp("curate-sem-out")
+    val cfg = CuratePipeline.parse(
+      s"""curate:
+         |  input: $Sf/documents.parquet
+         |  out_dir: $out
+         |stages:
+         |  - stage: quality
+         |    min_tok: 5
+         |    max_tok: 100000
+         |    min_ttr_milli: 0
+         |  - stage: dedup_semantic
+         |    tau_milli: 350
+         |    clusters: 5
+         |    embed_path: $Sf/embeddings.parquet
+         |    embed_key: vec_id
+         |""".stripMargin.linesIterator.toSeq, "sem.yaml")
+    val report = CuratePipeline.run(spark, cfg)
+    var df = spark.read.parquet(s"$Sf/documents.parquet")
+    val expected = scala.collection.mutable.ArrayBuffer[Long](df.count())
+    cfg.stages.foreach { st =>
+      df = CuratePipeline.applyStage(spark, df, st, cfg)
+      expected += df.count()
+    }
+    assert(report.stageRows.map(_._2) === expected.toSeq,
+      "funnel != hand-composed recounts")
+    assert(report.stageRows.last._2 < report.stageRows.head._2,
+      "the semantic stage dropped nothing on this corpus")
+    val written = spark.read.parquet(out)
+    assert(written.count() === report.finalRows)
+    assert(!written.columns.contains("embedding"),
+      "the sidecar embedding column leaked into the published shard")
+  }
+
   test("chunk: token conservation, bounded chunk size, unique ids, columns ride along") {
     val cfg = CuratePipeline.CurateConfig(
       inputPath = s"$Sf/documents.parquet", outDir = "unused")
