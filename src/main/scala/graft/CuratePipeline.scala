@@ -66,7 +66,11 @@ import scala.jdk.CollectionConverters._
   *     embed_path: /data/embs        #   embed_col, iters, max_list_size;
   *     embed_key: vec_id             #   embed_path/embed_key join a
   *                                   #   sidecar embedding table — docs
-  *                                   #   with no sidecar row ride through)
+  *                                   #   with no sidecar row ride through;
+  *                                   #   quantizer_path INSTEAD of
+  *                                   #   clusters loads a frozen Maintain
+  *                                   #   train-quantizer artifact — also
+  *                                   #   the streaming form via runStream)
   *   - stage: pii_scrub              # email/IP/number-run redaction
   *   - stage: chunk                  # re-grain into fixed-token chunks
   *     chunk_tokens: 64
@@ -191,9 +195,9 @@ object CuratePipeline {
     "dedup_exact" -> ((Set.empty[String], Set.empty[String])),
     "dedup_near" -> ((Set.empty[String], Set.empty[String])),
     "dedup_jaccard" -> ((Set("threshold_milli"), Set("shingle"))),
-    "dedup_semantic" -> ((Set("tau_milli", "clusters"),
-      Set("embed_col", "iters", "max_list_size", "embed_path",
-        "embed_key"))),
+    "dedup_semantic" -> ((Set("tau_milli"),
+      Set("clusters", "embed_col", "iters", "max_list_size",
+        "embed_path", "embed_key", "quantizer_path"))),
     "chunk" -> ((Set("chunk_tokens"), Set("stride_tokens"))),
     "decontaminate" -> ((Set("eval_path"), Set("gram"))),
     "pii_scrub" -> ((Set.empty[String], Set.empty[String])),
@@ -347,6 +351,13 @@ object CuratePipeline {
             s"exact-recall radius), got $d")
       }
       if (name == "dedup_semantic") {
+        // the quantizer comes from exactly ONE place: clusters trains
+        // in-run; quantizer_path loads a frozen artifact (the Maintain
+        // train-quantizer output). Neither → no quantizer; both →
+        // ambiguous which one judges.
+        if (params.contains("clusters") == params.contains("quantizer_path"))
+          fail(nameLi, "dedup_semantic needs exactly one of 'clusters' " +
+            "(train in-run) or 'quantizer_path' (frozen artifact)")
         params.get("tau_milli").foreach { case (li, v) =>
           val t = intOf(li, "tau_milli", unquote(v))
           // τ ≤ 0 marks EVERYTHING in a cluster as duplicate (cosine of
@@ -706,22 +717,36 @@ object CuratePipeline {
           (df, false)
       }
       val unjudgeable = frame.filter(col(embCol).isNull)
-      val k = st.params("clusters").toLong
-      val kept = graft.dedup.SemDedup.verdicts(
-          frame.filter(col(embCol).isNotNull)
-            .withColumn("__seed",
+      val judgeable = frame.filter(col(embCol).isNotNull)
+      val tauMicro = st.params("tau_milli").toLong * 1000L
+      val maxList =
+        st.params.get("max_list_size").map(_.toInt).getOrElse(0)
+      // config-declared bounds run to the split FIXPOINT: a stage that
+      // promises max_list_size must deliver it even when one halving
+      // round is not enough (adversarial blob corpora)
+      val verdicts = st.params.get("quantizer_path") match {
+        case Some(qp) =>
+          // frozen artifact (Maintain train-quantizer): daily batch
+          // verdicts stay stable across runs, the same reason the
+          // incremental/streaming paths freeze theirs
+          val cents = spark.read.parquet(qp)
+          require(Seq("list_id", "centroid")
+              .forall(cents.columns.contains),
+            s"dedup_semantic: quantizer $qp needs columns " +
+              s"(list_id, centroid), have ${cents.columns.mkString(",")}")
+          graft.dedup.SemDedup.verdictsWith(judgeable, cents,
+            cfg.idCol, embCol, tauMicro, maxList, splitRounds = 16)
+        case None =>
+          val k = st.params("clusters").toLong
+          graft.dedup.SemDedup.verdicts(
+            judgeable.withColumn("__seed",
               pmod(xxhash64(col(cfg.idCol)), lit(k))),
-          cfg.idCol, embCol, "__seed",
-          tauMicro = st.params("tau_milli").toLong * 1000L,
-          iters = st.params.get("iters").map(_.toInt).getOrElse(2),
-          maxListSize =
-            st.params.get("max_list_size").map(_.toInt).getOrElse(0),
-          // config-declared bounds run to the split FIXPOINT: a stage
-          // that promises max_list_size must deliver it even when one
-          // halving round is not enough (adversarial blob corpora)
-          splitRounds = 16)
-        .filter(!col("is_dup"))
-        .drop("is_dup", "list_id", "__seed")
+            cfg.idCol, embCol, "__seed", tauMicro,
+            iters = st.params.get("iters").map(_.toInt).getOrElse(2),
+            maxListSize = maxList, splitRounds = 16)
+            .drop("__seed")
+      }
+      val kept = verdicts.filter(!col("is_dup")).drop("is_dup", "list_id")
       val out = kept.unionByName(unjudgeable)
       if (joined) out.drop(embCol) else out
     case "chunk" =>
@@ -1086,13 +1111,45 @@ object CuratePipeline {
         }
         .start()
     }
+    // a dedup_semantic config drives the EMBEDDING stream engine
+    // (SemDedupStream): the docs frame is (id, embedding) vectors, the
+    // quantizer is the frozen train-quantizer artifact (training on a
+    // stream would re-cluster history batch by batch), and the accepted
+    // vectors land under out_dir/accepted_vecs — the standing corpus
+    // every later batch screens against
+    val semantic = cfg.stages.find(_.name == "dedup_semantic")
+    if (semantic.isDefined) {
+      val st = semantic.get
+      require(cfg.stages.size == 1,
+        "a dedup_semantic stream is single-stage (the text gates read " +
+          s"textCol, the vector feed has none) — got " +
+          s"[${cfg.stages.map(_.name).mkString(", ")}]")
+      require(st.params.contains("quantizer_path"),
+        "streaming dedup_semantic needs quantizer_path (a frozen " +
+          "Maintain train-quantizer artifact) — in-run training would " +
+          "re-cluster history batch by batch")
+      require(!st.params.contains("embed_path"),
+        "streaming dedup_semantic reads the embedding column inline — " +
+          "a sidecar join has no arrival-order contract on a stream")
+      val cents = spark.read.parquet(st.params("quantizer_path"))
+      require(Seq("list_id", "centroid").forall(cents.columns.contains),
+        s"quantizer ${st.params("quantizer_path")} needs columns " +
+          s"(list_id, centroid), have ${cents.columns.mkString(",")}")
+      return graft.streaming.SemDedupStream.run(docs, cfg.outDir,
+        checkpointDir, cents,
+        graft.streaming.SemDedupStream.Config(
+          idCol = cfg.idCol,
+          embCol = st.params.getOrElse("embed_col", "embedding"),
+          tauMicro = st.params("tau_milli").toLong * 1000L))
+    }
     val streamable = Set("lang_keep", "quality", "dedup_exact",
       "dedup_near", "decontaminate")
     val bad = cfg.stages.map(_.name).filterNot(streamable)
     require(bad.isEmpty,
       s"stages [${bad.mkString(", ")}] are batch-only — " +
         "runStream supports lang_keep/quality/dedup_exact/dedup_near/" +
-        "decontaminate (the CurateStream vocabulary)")
+        "decontaminate (the CurateStream vocabulary), or a single " +
+        "dedup_semantic stage for an embedding feed")
     val quality = cfg.stages.find(_.name == "quality")
     val scfg = CurateStream.Config(
       idCol = cfg.idCol, textCol = cfg.textCol,

@@ -79,13 +79,27 @@ object SemDedup {
                seedCol: String, tauMicro: Long, iters: Int = 2,
                maxListSize: Int = 0, splitRounds: Int = 1): DataFrame = {
     requireCleanColumns(df, "SemDedup.verdicts")
-    val cents0 = Ivf.centroidsIter(df, embCol, seedCol, iters)
-    val cents =
+    verdictsWith(df, Ivf.centroidsIter(df, embCol, seedCol, iters),
+      idCol, embCol, tauMicro, maxListSize, splitRounds)
+  }
+
+  /** [[verdicts]] under a CALLER-SUPPLIED quantizer (list_id, centroid)
+    * — the frozen-quantizer path: a quantizer trained once (e.g. the
+    * `Maintain train-quantizer` artifact) makes daily batch verdicts
+    * stable across runs, exactly the reason the incremental/streaming
+    * paths freeze theirs. Training determinism makes the two entry
+    * points interchangeable: verdicts(df, …) ==
+    * verdictsWith(df, centroidsIter(df, …), …) by construction. */
+  def verdictsWith(df: DataFrame, cents: DataFrame, idCol: String,
+                   embCol: String, tauMicro: Long, maxListSize: Int = 0,
+                   splitRounds: Int = 1): DataFrame = {
+    requireCleanColumns(df, "SemDedup.verdictsWith")
+    val cents2 =
       if (maxListSize > 0)
-        Ivf.splitHotListsToFixpoint(df, cents0, embCol, maxListSize,
+        Ivf.splitHotListsToFixpoint(df, cents, embCol, maxListSize,
           maxRounds = splitRounds)
-      else cents0
-    val assigned = assignNormed(df, cents, idCol, embCol)
+      else cents
+    val assigned = assignNormed(df, cents2, idCol, embCol)
     // equi-join on the cluster id; the id inequality only prunes pairs.
     // Snap BEFORE the threshold so the verdict is an integer compare.
     val dupIds = aProjection(assigned, idCol, embCol)

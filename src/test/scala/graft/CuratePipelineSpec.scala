@@ -227,6 +227,99 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(bad("tau_milli", "0").getMessage.contains("tau_milli"))
     assert(bad("tau_milli", "1001").getMessage.contains("tau_milli"))
     assert(bad("clusters", "0").getMessage.contains("clusters"))
+    // the quantizer comes from exactly one place: clusters XOR
+    // quantizer_path — neither and both refuse at load
+    def qCfg(extra: String) = CuratePipeline.parse(
+      s"""curate:
+         |  input: in
+         |  out_dir: out
+         |stages:
+         |  - stage: dedup_semantic
+         |    tau_milli: 950
+         |$extra""".stripMargin.linesIterator.toSeq.filter(_.nonEmpty),
+      "t.yaml")
+    val eNeither = intercept[IllegalArgumentException](qCfg(""))
+    assert(eNeither.getMessage.contains("exactly one of"))
+    val eBoth = intercept[IllegalArgumentException](
+      qCfg("    clusters: 4\n    quantizer_path: /q"))
+    assert(eBoth.getMessage.contains("exactly one of"))
+    assert(qCfg("    quantizer_path: /q").stages.head
+      .params("quantizer_path") === "/q")
+  }
+
+  test("runStream routes a dedup_semantic config to the embedding " +
+      "stream engine; in-run training and extra stages refuse") {
+    import graft.sim.Ivf
+    import graft.streaming.SemDedupStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = Tables.embeddings(spark, Sf)
+    val qdir = tmp("curate-semq")
+    Ivf.centroidsIter(e, "embedding", "label", iters = 2)
+      .write.mode("overwrite").parquet(qdir)
+    val outA = tmp("curate-semstream-a") // config-driven
+    val outB = tmp("curate-semstream-b") // direct mergeBatch twin
+    def cfgText(stage: String) =
+      s"""curate:
+         |  input: unused
+         |  out_dir: $outA
+         |  id_col: vec_id
+         |stages:
+         |$stage""".stripMargin.linesIterator.toSeq
+    val cfg = CuratePipeline.parse(cfgText(
+      s"""  - stage: dedup_semantic
+         |    tau_milli: 350
+         |    quantizer_path: $qdir""".stripMargin), "s.yaml")
+    val base = e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val b0 = base.take(120)
+    // batch 1 re-sends two batch-0 vectors under new ids — must reject
+    val b1 = base.slice(120, 240) ++
+      b0.take(2).map { case (id, v) => (90000L + id, v) }
+    val ms = MemoryStream[Vec]
+    val q = CuratePipeline.runStream(spark, cfg, ms.toDF,
+      tmp("curate-semstream-ckpt"))
+    try {
+      ms.addData(b0.map { case (id, v) => Vec(id, v) })
+      q.processAllAvailable()
+      ms.addData(b1.map { case (id, v) => Vec(id, v) })
+      q.processAllAvailable()
+    } finally q.stop()
+    // twin: the same batches through mergeBatch directly
+    val cents = spark.read.parquet(qdir)
+    SemDedupStream.mergeBatch(spark,
+      b0.toSeq.toDF("vec_id", "embedding"), 0L, outB, cents,
+      SemDedupStream.Config(tauMicro = 350000L))
+    SemDedupStream.mergeBatch(spark,
+      b1.toSeq.toDF("vec_id", "embedding"), 1L, outB, cents,
+      SemDedupStream.Config(tauMicro = 350000L))
+    def accepted(d: String) =
+      spark.read.parquet(SemDedupStream.storePath(d))
+        .select("vec_id").as[Long].collect().toSet
+    assert(accepted(outA) === accepted(outB),
+      "config-driven stream diverged from the direct engine")
+    assert(!accepted(outA).exists(_ >= 90000L),
+      "a cross-batch duplicate was accepted")
+    // in-run training on a stream refuses (quantizer must be frozen)
+    val eTrain = intercept[IllegalArgumentException](
+      CuratePipeline.runStream(spark,
+        CuratePipeline.parse(cfgText(
+          s"""  - stage: dedup_semantic
+             |    tau_milli: 350
+             |    clusters: 4""".stripMargin), "s.yaml"),
+        ms.toDF, tmp("curate-semstream-ckpt2")))
+    assert(eTrain.getMessage.contains("quantizer_path"))
+    // extra text stages refuse: the vector feed has no textCol
+    val eMulti = intercept[IllegalArgumentException](
+      CuratePipeline.runStream(spark,
+        CuratePipeline.parse(cfgText(
+          s"""  - stage: dedup_exact
+             |  - stage: dedup_semantic
+             |    tau_milli: 350
+             |    quantizer_path: $qdir""".stripMargin), "s.yaml"),
+        ms.toDF, tmp("curate-semstream-ckpt3")))
+    assert(eMulti.getMessage.contains("single-stage"))
   }
 
   test("dedup_semantic embed_path: sidecar embeddings join by " +

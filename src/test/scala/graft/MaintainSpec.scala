@@ -116,6 +116,46 @@ class MaintainSpec extends AnyFunSuite with SparkFixture {
       "CLI-driven fold changed the accepted set")
   }
 
+  test("train-quantizer: a reproducible artifact the batch stage's " +
+      "quantizer_path judges IDENTICALLY to in-run training") {
+    val e = Tables.embeddings(spark, Sf)
+    val corpus = Files.createTempDirectory("maintain").toString + "/emb"
+    e.select("vec_id", "embedding").write.parquet(corpus)
+    val qdir = Files.createTempDirectory("maintain").toString + "/q"
+    Maintain.run(spark, Seq(corpus, "train-quantizer", qdir,
+      "vec_id", "embedding", "5", "2"))
+    val cents = spark.read.parquet(qdir)
+    assert(cents.columns.toSet === Set("list_id", "centroid"))
+    assert(cents.count() >= 1L && cents.count() <= 5L)
+    // determinism makes the artifact and in-run training interchange:
+    // same corpus, same k, same iters => identical survivors
+    val cfg = CuratePipeline.CurateConfig(
+      inputPath = "unused", outDir = "unused", idCol = "vec_id")
+    val docs = spark.read.parquet(corpus)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val inline = CuratePipeline.applyStage(spark, docs,
+      CuratePipeline.Stage("dedup_semantic",
+        Map("tau_milli" -> "350", "clusters" -> "5", "iters" -> "2")),
+      cfg)
+    val frozen = CuratePipeline.applyStage(spark, docs,
+      CuratePipeline.Stage("dedup_semantic",
+        Map("tau_milli" -> "350", "quantizer_path" -> qdir)), cfg)
+    assert(ids(inline) === ids(frozen),
+      "frozen-artifact verdicts diverged from in-run training")
+    assert(ids(frozen).size < docs.count(),
+      "the stage dropped nothing on this corpus")
+    // a quantizer dir missing the contract columns names the fix
+    val bad = Files.createTempDirectory("maintain").toString + "/badq"
+    docs.limit(1).write.parquet(bad)
+    val eCols = intercept[IllegalArgumentException](
+      CuratePipeline.applyStage(spark, docs,
+        CuratePipeline.Stage("dedup_semantic",
+          Map("tau_milli" -> "350", "quantizer_path" -> bad)), cfg)
+        .count())
+    assert(eCols.getMessage.contains("list_id"))
+  }
+
   test("replicate / poll-changes / ack-changes: a replica follows the " +
       "source across two CLI drains; the cursor protocol round-trips") {
     import org.apache.spark.sql.functions._
