@@ -79,6 +79,12 @@ import scala.jdk.CollectionConverters._
   *   - stage: decontaminate          # drop docs sharing an n-gram w/ eval
   *     eval_path: /data/benchmarks
   *     gram: 4
+  *   - stage: decontaminate_fuzzy    # NEAR-dup decontamination: drop
+  *     eval_path: /data/benchmarks   #   docs whose Jaccard to any eval
+  *     threshold_milli: 700          #   doc clears the threshold (the
+  *     shingle: 4                    #   lightly-edited-leak catcher;
+  *                                   #   optional bands/num_hashes tune
+  *                                   #   LSH recall, default 8x2)
   *   - stage: source_quota           # keep first N docs per source
   *     per_source: 100
   *   - stage: token_budget           # greedy per-source token-budget fill
@@ -200,6 +206,8 @@ object CuratePipeline {
         "embed_path", "embed_key", "quantizer_path"))),
     "chunk" -> ((Set("chunk_tokens"), Set("stride_tokens"))),
     "decontaminate" -> ((Set("eval_path"), Set("gram"))),
+    "decontaminate_fuzzy" -> ((Set("eval_path", "threshold_milli"),
+      Set("shingle", "bands", "num_hashes"))),
     "pii_scrub" -> ((Set.empty[String], Set.empty[String])),
     "source_quota" -> ((Set("per_source"), Set.empty[String])),
     "token_budget" -> ((Set("per_source_tokens"), Set.empty[String])),
@@ -338,7 +346,8 @@ object CuratePipeline {
             "per_source", "threshold_milli", "shingle", "chunk_tokens",
             "per_source_tokens", "max_dist", "min_w", "min_h",
             "max_bytes", "stride_tokens", "max_w", "max_h",
-            "tau_milli", "clusters", "iters", "max_list_size")(k)) {
+            "tau_milli", "clusters", "iters", "max_list_size",
+            "bands", "num_hashes")(k)) {
           intOf(li, k, unquote(v)); ()
         }
       }
@@ -349,6 +358,17 @@ object CuratePipeline {
         if (d < 0 || d > 7)
           fail(li, s"max_dist must be in [0, 7] (the 8-band layout's " +
             s"exact-recall radius), got $d")
+      }
+      if (name == "decontaminate_fuzzy") {
+        val nh = params.get("num_hashes")
+          .map { case (li, v) => intOf(li, "num_hashes", unquote(v)) }
+          .getOrElse(16)
+        val nb = params.get("bands")
+          .map { case (li, v) => intOf(li, "bands", unquote(v)) }
+          .getOrElse(8)
+        if (nb < 1 || nh < 1 || nh % nb != 0)
+          fail(nameLi, s"decontaminate_fuzzy: bands ($nb) must divide " +
+            s"num_hashes ($nh) — the signature slices into equal bands")
       }
       if (name == "dedup_semantic") {
         // the quantizer comes from exactly ONE place: clusters trains
@@ -809,6 +829,42 @@ object CuratePipeline {
         decontGram = st.params.get("gram").map(_.toInt).getOrElse(4))
       val eval = spark.read.parquet(st.params("eval_path"))
       CurateStream.decontGate(df, CurateStream.evalGramSet(eval, scfg), scfg)
+    case "decontaminate_fuzzy" =>
+      // NEAR-dup decontamination: drop docs whose n-gram Jaccard to any
+      // eval doc clears the threshold — catches the lightly-edited eval
+      // leaks exact-gram `decontaminate` misses (a benchmark answer with
+      // three words swapped shares almost no exact n-gram but ~0.8
+      // Jaccard). Scale shape is [[graft.dedup.MinHashLsh
+      // .crossNearDuplicates]]'s: the eval set's band buckets BROADCAST,
+      // the corpus side is map-only probed — never shuffled — and the
+      // verify join touches only candidate rows. Per-document semantics
+      // (the verdict depends on the doc and the static eval set alone),
+      // so runSubscription accepts it alongside exact decontaminate.
+      // Banding default is 8 bands × 2 rows — MORE permissive than
+      // dedup_jaccard's 4×4: decontamination thresholds sit lower
+      // (0.5–0.7) than near-dup thresholds, and at J=0.6 an r=4 band
+      // collides with only p≈34% while r=2 reaches ≈95% — a gate that
+      // silently misses most leaks at its own declared threshold would
+      // be worse than no gate.
+      val fuzzyCfg = graft.dedup.MinHashLsh.Config(
+        numHashes = st.params.get("num_hashes").map(_.toInt).getOrElse(16),
+        bands = st.params.get("bands").map(_.toInt).getOrElse(8),
+        shingleSize = st.params.get("shingle").map(_.toInt).getOrElse(4),
+        threshold = st.params("threshold_milli").toInt / 1000.0)
+      val evalDocs = spark.read.parquet(st.params("eval_path"))
+      require(evalDocs.columns.contains(cfg.textCol),
+        s"decontaminate_fuzzy: eval set ${st.params("eval_path")} " +
+          s"needs a '${cfg.textCol}' column " +
+          s"(have ${evalDocs.columns.mkString(",")})")
+      // the probe id only labels report rows — synthesize a stable one
+      // from the text so the eval set needs no id contract
+      val probe = evalDocs.select(
+        xxhash64(col(cfg.textCol)).as(cfg.idCol), col(cfg.textCol))
+      val flagged = graft.dedup.MinHashLsh.crossNearDuplicates(
+          df.select(col(cfg.idCol), col(cfg.textCol)), probe,
+          cfg.idCol, cfg.textCol, fuzzyCfg)
+        .select(col("id_a")).distinct()
+      df.join(flagged, df(cfg.idCol) === flagged("id_a"), "left_anti")
     case "pii_scrub" =>
       // deterministic map-only redaction of the PII shapes a crawl-slice
       // ingest must not train on: emails, long digit runs (phone/card/
@@ -1221,7 +1277,8 @@ object CuratePipeline {
     *    quality bar must remove the stale curated copy, not leave it.
     *
     * Only per-document stages are allowed (lang_keep / quality /
-    * decontaminate / pii_scrub): corpus-grain stages (dedup_*, quotas,
+    * decontaminate / decontaminate_fuzzy / pii_scrub): corpus-grain
+    * stages (dedup_*, quotas,
     * chunk) over a changed-rows slice would judge against the slice,
     * not the corpus — silently different semantics, so they refuse
     * loudly (dedup across churn is CurateStream's signature-store job).
@@ -1248,7 +1305,8 @@ object CuratePipeline {
     // slice (cross-batch image dedup is ImageDedupStream's job)
     val perDoc =
       if (cfg.modality == "image") Set("quality_image")
-      else Set("lang_keep", "quality", "decontaminate", "pii_scrub")
+      else Set("lang_keep", "quality", "decontaminate",
+        "decontaminate_fuzzy", "pii_scrub")
     val bad = cfg.stages.map(_.name).filterNot(perDoc)
     require(bad.isEmpty,
       s"stages [${bad.mkString(", ")}] are corpus-grain (or the wrong " +

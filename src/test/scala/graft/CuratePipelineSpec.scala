@@ -322,6 +322,77 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(eMulti.getMessage.contains("single-stage"))
   }
 
+  test("decontaminate_fuzzy: a lightly-edited eval leak the exact " +
+      "gram gate misses drops; clean docs survive; subscription " +
+      "accepts the stage; bad banding refuses at load") {
+    import spark.implicits._
+    def words(n: Int, tag: String) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val evalText = words(60, "w")
+    // the leak: every 15th token swapped — longest unchanged run is 14
+    // tokens, so exact decontamination at gram 16 shares NOTHING, while
+    // 4-shingle Jaccard stays ~0.56
+    val leak = evalText.split(" ").zipWithIndex.map { case (w, i) =>
+      if ((i + 1) % 15 == 0) s"zz$i" else w }.mkString(" ")
+    val clean = words(60, "q")
+    val evalDir = tmp("fuzzy-eval")
+    Seq((999L, evalText)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(evalDir)
+    val docs = Seq((1L, leak, "s"), (2L, clean, "s"))
+      .toDF("doc_id", "text", "source")
+    val cfg = CuratePipeline.CurateConfig(
+      inputPath = "unused", outDir = "unused")
+    // premise: the exact gate at gram 16 keeps BOTH docs
+    val exactKept = CuratePipeline.applyStage(spark, docs,
+      CuratePipeline.Stage("decontaminate",
+        Map("eval_path" -> evalDir, "gram" -> "16")), cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactKept === Set(1L, 2L),
+      "test premise broken: exact gram-16 gate caught the edited leak")
+    // the fuzzy gate drops the leak, keeps the clean doc
+    val fuzzyKept = CuratePipeline.applyStage(spark, docs,
+      CuratePipeline.Stage("decontaminate_fuzzy",
+        Map("eval_path" -> evalDir, "threshold_milli" -> "400",
+          "shingle" -> "4")), cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fuzzyKept === Set(2L),
+      s"fuzzy gate wrong survivors: $fuzzyKept (want only the clean doc)")
+    // per-document semantics: runSubscription's vocabulary accepts it
+    // (refusal message would name it corpus-grain otherwise)
+    val root = tmp("fuzzy-sub")
+    graft.sources.SnapshotLog.commit(spark, s"$root/up", docs)
+    val subCfg = cfg.copy(inputPath = s"$root/up",
+      outDir = s"$root/shards", inputLog = true,
+      stages = Seq(CuratePipeline.Stage("decontaminate_fuzzy",
+        Map("eval_path" -> evalDir, "threshold_milli" -> "400"))))
+    assert(CuratePipeline.runSubscription(spark, subCfg,
+      s"$root/cursor").size === 1)
+    assert(graft.sources.SnapshotLog.read(spark, s"$root/shards")
+      .select("doc_id").as[Long].collect().toSet === Set(2L),
+      "subscription drain let the leak through")
+    // an eval set without the text column names the fix
+    val wrongDir = tmp("fuzzy-wrong")
+    Seq((1L, 2L)).toDF("a", "b").write.mode("overwrite").parquet(wrongDir)
+    val eCol2 = intercept[IllegalArgumentException](
+      CuratePipeline.applyStage(spark, docs,
+        CuratePipeline.Stage("decontaminate_fuzzy",
+          Map("eval_path" -> wrongDir, "threshold_milli" -> "400")), cfg))
+    assert(eCol2.getMessage.contains("text"))
+    // bands must divide num_hashes — refused at LOAD
+    val eBand = intercept[IllegalArgumentException](
+      CuratePipeline.parse(
+        s"""curate:
+           |  input: in
+           |  out_dir: out
+           |stages:
+           |  - stage: decontaminate_fuzzy
+           |    eval_path: $evalDir
+           |    threshold_milli: 400
+           |    bands: 3
+           |""".stripMargin.linesIterator.toSeq, "t.yaml"))
+    assert(eBand.getMessage.contains("divide"))
+  }
+
   test("dedup_semantic embed_path: sidecar embeddings join by " +
       "embed_key, unembedded docs ride through, the joined column " +
       "never reaches the output") {
