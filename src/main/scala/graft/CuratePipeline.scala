@@ -93,6 +93,10 @@ import scala.jdk.CollectionConverters._
   *     min_w: 16                     #   payloads within dimension
   *     min_h: 16                     #   floors (corrupt rasters drop
   *     max_bytes: 1048576            #   here, never reaching dedup)
+  *   - stage: quality_audio          # audio modality only: PCM-WAV
+  *     min_ms: 500                   #   parse + duration floor/ceiling
+  *     min_rate: 8000                #   and sample-rate floor, all from
+  *     max_bytes: 10485760           #   the chunk walk alone
   *   - stage: dedup_image            # image modality only: perceptual
   *     max_dist: 6                   #   near-dup election (dHash + banded
   *     store_dir: /data/fps          #   Hamming); optional store_dir also
@@ -214,7 +218,9 @@ object CuratePipeline {
     "pack_audit" -> ((Set("seq_tokens"), Set.empty[String])),
     "dedup_image" -> ((Set.empty[String], Set("max_dist", "store_dir"))),
     "quality_image" -> ((Set("min_w", "min_h"),
-      Set("max_bytes", "max_w", "max_h"))))
+      Set("max_bytes", "max_w", "max_h"))),
+    "quality_audio" -> ((Set("min_ms"),
+      Set("max_bytes", "max_ms", "min_rate"))))
 
   /** Stages valid over an IMAGE corpus (modality: image): the raster
     * quality gate and dedup leg, byte-exact dedup (md5 of the payload),
@@ -229,6 +235,16 @@ object CuratePipeline {
   /** Stages that DECODE the binary payload — meaningless over text, so
     * a text-modality config declaring one refuses at load. */
   private val ImageOnlyStages = Set("quality_image", "dedup_image")
+
+  /** Stages valid over an AUDIO corpus (modality: audio): the waveform
+    * quality gate, byte-exact dedup, the per-source quota, and
+    * embedding dedup over an audio-embedding column. No perceptual
+    * audio fingerprint ships yet (dHash is raster geometry), so
+    * near-dedup at waveform grain is dedup_semantic's job. */
+  private val AudioStages =
+    Set("quality_audio", "dedup_exact", "source_quota", "dedup_semantic")
+
+  private val AudioOnlyStages = Set("quality_audio")
 
   private[graft] def parse(rawLines: Seq[String],
       where: String): CurateConfig = {
@@ -347,7 +363,7 @@ object CuratePipeline {
             "per_source_tokens", "max_dist", "min_w", "min_h",
             "max_bytes", "stride_tokens", "max_w", "max_h",
             "tau_milli", "clusters", "iters", "max_list_size",
-            "bands", "num_hashes")(k)) {
+            "bands", "num_hashes", "min_ms", "max_ms", "min_rate")(k)) {
           intOf(li, k, unquote(v)); ()
         }
       }
@@ -408,18 +424,27 @@ object CuratePipeline {
     // surprises
     val modality = root.get("modality").map { case (li, v) =>
       val m = unquote(v)
-      if (m != "text" && m != "image")
-        fail(li, s"modality must be text or image, got '$m'")
+      if (m != "text" && m != "image" && m != "audio")
+        fail(li, s"modality must be text, image or audio, got '$m'")
       m
     }.getOrElse("text")
     stages.toSeq.zip(parsedStages).foreach { case ((itemLine, _), st) =>
       if (modality == "image" && !ImageStages(st.name))
         fail(itemLine, s"stage '${st.name}' reads text — an image-" +
           s"modality run supports ${ImageStages.toSeq.sorted.mkString(", ")}")
-      if (modality == "text" && ImageOnlyStages(st.name))
+      if (modality == "audio" && !AudioStages(st.name))
+        fail(itemLine, s"stage '${st.name}' is not audio-valid — an " +
+          s"audio-modality run supports " +
+          s"${AudioStages.toSeq.sorted.mkString(", ")}")
+      if (modality != "image" && ImageOnlyStages(st.name))
         fail(itemLine,
           s"stage '${st.name}' decodes a binary raster payload — " +
             "declare 'modality: image' (and payload_col if not " +
+            "'payload') under curate:")
+      if (modality != "audio" && AudioOnlyStages(st.name))
+        fail(itemLine,
+          s"stage '${st.name}' decodes a binary waveform payload — " +
+            "declare 'modality: audio' (and payload_col if not " +
             "'payload') under curate:")
     }
 
@@ -622,6 +647,42 @@ object CuratePipeline {
             .map(_ => id)
         }.toDF(cfg.idCol)
       sized.join(decodable, Seq(cfg.idCol), "left_semi")
+    case "quality_audio" =>
+      // per-clip quality gate, the waveform twin of quality_image: keep
+      // payloads that parse as PCM WAV and meet the declared duration
+      // floor (optional ceiling and sample-rate floor). Admission order
+      // is cheapest-first: byte cap (pushed filter), then the chunk
+      // walk ALONE ([[graft.multimodal.WavPcm.info]] — fmt + data
+      // size, no sample allocation) decides everything. Unlike PNG
+      // there is no second integrity pass: PCM carries no checksums or
+      // compressed stream, so the chunk walk IS the full structural
+      // validation, and nFrames counts bytes actually present
+      // (truncation clamped) — a hostile declared size cannot fake
+      // duration. Per-partition map, no UDF, no shuffle; verdict joins
+      // back left-semi so every other column rides through untouched.
+      require(df.columns.contains(cfg.payloadCol),
+        s"quality_audio needs binary column '${cfg.payloadCol}' " +
+          s"(have ${df.columns.mkString(",")})")
+      val minMs = st.params("min_ms").toLong
+      val maxMs = st.params.get("max_ms").map(_.toLong)
+        .getOrElse(Long.MaxValue)
+      val minRate = st.params.get("min_rate").map(_.toInt).getOrElse(1)
+      val sizedA = st.params.get("max_bytes").map(_.toLong)
+        .fold(df)(b => df.filter(length(col(cfg.payloadCol)) <= b))
+      val s3 = df.sparkSession
+      import s3.implicits._
+      val admissible = sizedA
+        .select(col(cfg.idCol).cast("long"), col(cfg.payloadCol))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, wav) =>
+          scala.util.Try(graft.multimodal.WavPcm.info(wav)).toOption
+            .filter { case (_, rate, _, frames) =>
+              val ms = frames * 1000L / rate
+              rate >= minRate && ms >= minMs && ms <= maxMs
+            }
+            .map(_ => id)
+        }.toDF(cfg.idCol)
+      sizedA.join(admissible, Seq(cfg.idCol), "left_semi")
     case "dedup_image" =>
       // the raster leg as a declarable stage: (1) with store_dir, screen
       // the batch against the PERSISTED standing corpus first — an image
@@ -1305,6 +1366,7 @@ object CuratePipeline {
     // slice (cross-batch image dedup is ImageDedupStream's job)
     val perDoc =
       if (cfg.modality == "image") Set("quality_image")
+      else if (cfg.modality == "audio") Set("quality_audio")
       else Set("lang_keep", "quality", "decontaminate",
         "decontaminate_fuzzy", "pii_scrub")
     val bad = cfg.stages.map(_.name).filterNot(perDoc)

@@ -85,6 +85,57 @@ object WavPcm {
     Wav(channels, rate, bits, samples)
   }
 
+  /** (channels, sampleRateHz, bitsPerSample, nFrames) from the chunk
+    * walk ALONE — constant work, no sample allocation: the pre-decode
+    * ADMISSION read (the [[Png.dims]] analogue). A quality gate rejects
+    * under-floor durations and over-ceiling payloads from these four
+    * numbers before paying a full sample parse. nFrames counts the
+    * frames actually PRESENT (truncation clamped, like [[decode]]), so
+    * duration = nFrames / rate reflects the bytes on disk, not a
+    * hostile declared size. Throws on anything that is not a PCM WAV —
+    * same loudness contract as the decoder. */
+  def info(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+    require(bytes.length >= 12, "payload shorter than a RIFF header")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, US_ASCII)
+    require(tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"not a RIFF/WAVE payload (got '${tag(0)}'/'${tag(8)}')")
+    var pos = 12
+    var fmt = Option.empty[(Int, Int, Int, Int)]
+    var data = Option.empty[(Int, Int)]
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos)
+      val size = bb.getInt(pos + 4)
+      require(size >= 0, s"negative chunk size in '$id'")
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          require(size >= 16 && body + 16 <= bytes.length,
+            "truncated fmt chunk")
+          fmt = Some((bb.getShort(body) & 0xffff,
+            bb.getShort(body + 2) & 0xffff,
+            bb.getInt(body + 4),
+            bb.getShort(body + 14) & 0xffff))
+        case "data" => data = Some((body, size))
+        case _ =>
+          require(size <= bytes.length - body,
+            s"chunk '$id' overruns payload ($size > ${bytes.length - body})")
+      }
+      pos = math.min(body.toLong + size.toLong + (size & 1),
+        bytes.length.toLong).toInt
+    }
+    val (audioFormat, channels, rate, bits) =
+      fmt.getOrElse(throw new IllegalArgumentException("no fmt chunk"))
+    require(audioFormat == 1, s"only linear PCM (format 1), got $audioFormat")
+    require(bits == 8 || bits == 16, s"only 8/16-bit PCM, got $bits-bit")
+    require(channels > 0 && rate > 0, s"bad fmt: channels=$channels rate=$rate")
+    val (off, declared) =
+      data.getOrElse(throw new IllegalArgumentException("no data chunk"))
+    val end = math.min(off.toLong + declared.toLong, bytes.length.toLong)
+    val nSamples = math.max(end - off, 0L) / (bits / 8)
+    (channels, rate, bits, nSamples / channels)
+  }
+
   /** Write a 16-bit PCM WAV (canonical 44-byte header) — the encode half
     * that makes the decoder round-trip-testable and gives pipelines a
     * way to materialize audio columns. Samples are clamped to [-1, 1]. */

@@ -963,6 +963,84 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(kept === Set(1L, 3L, 4L), s"wrong survivors: $kept")
   }
 
+  test("quality_audio: corrupt, short, low-rate and oversize clips " +
+      "drop; survivors ride untouched; modality gates the vocabulary; " +
+      "subscription re-gates churned clips") {
+    import graft.multimodal.WavPcm
+    import spark.implicits._
+    def tone(n: Int, rate: Int, ch: Int = 1) = WavPcm.encodePcm16(
+      Array.tabulate(n * ch)(i => (i % 32) / 32.0f), rate, ch)
+    val rows = Seq(
+      (1L, tone(8000, 8000), "s"),        // 1000 ms @ 8k — keeps
+      (2L, tone(2000, 8000), "s"),        // 250 ms — under floor
+      (3L, "noise".getBytes("UTF-8"), "s"), // not a WAV
+      (4L, tone(8000, 4000), "s"),        // 2000 ms but 4 kHz — low rate
+      (5L, tone(96000, 8000), "s"))       // 12 s — over ceiling
+    val in = tmp("curate-audio-in")
+    rows.toDF("media_id", "payload", "source")
+      .write.mode("overwrite").parquet(in)
+    val out = tmp("curate-audio-out")
+    val cfg = CuratePipeline.parse(
+      s"""curate:
+         |  input: $in
+         |  out_dir: $out
+         |  modality: audio
+         |  id_col: media_id
+         |stages:
+         |  - stage: quality_audio
+         |    min_ms: 500
+         |    max_ms: 10000
+         |    min_rate: 8000
+         |""".stripMargin.linesIterator.toSeq, "aud.yaml")
+    CuratePipeline.run(spark, cfg, runId = 1L)
+    assert(spark.read.parquet(out).select("media_id").as[Long]
+      .collect().toSet === Set(1L), "wrong survivors")
+    // survivor bytes are untouched
+    assert(spark.read.parquet(out).select("payload")
+      .as[Array[Byte]].head.toSeq === rows.head._2.toSeq)
+    // modality gates: a text stage refuses under audio, quality_audio
+    // refuses under text, dedup_image refuses under audio
+    def cfgFor(modality: String, stage: String) = {
+      val p = if (stage == "quality_audio") "    min_ms: 500" else ""
+      s"""curate:
+         |  input: $in
+         |  out_dir: $out
+         |  modality: $modality
+         |stages:
+         |  - stage: $stage
+         |$p""".stripMargin.linesIterator.toSeq.filter(_.nonEmpty)
+    }
+    assert(intercept[IllegalArgumentException](CuratePipeline.parse(
+      cfgFor("audio", "pii_scrub"), "t.yaml"))
+      .getMessage.contains("audio-valid"))
+    assert(intercept[IllegalArgumentException](CuratePipeline.parse(
+      cfgFor("text", "quality_audio"), "t.yaml"))
+      .getMessage.contains("waveform"))
+    assert(intercept[IllegalArgumentException](CuratePipeline.parse(
+      cfgFor("audio", "dedup_image"), "t.yaml"))
+      .getMessage.contains("audio-valid"))
+    // subscription: an audio shard table follows upstream churn — a
+    // degrade to a sub-floor clip evicts, a good insert publishes
+    val root = tmp("curate-audio-sub")
+    graft.sources.SnapshotLog.commit(spark, s"$root/up",
+      Seq((1L, tone(8000, 8000), "s"), (2L, tone(9000, 8000), "s"))
+        .toDF("media_id", "payload", "source"))
+    val subCfg = cfg.copy(inputPath = s"$root/up",
+      outDir = s"$root/shards", inputLog = true)
+    assert(CuratePipeline.runSubscription(spark, subCfg,
+      s"$root/cursor").size === 1)
+    def shardIds() = graft.sources.SnapshotLog.read(spark, s"$root/shards")
+      .select("media_id").as[Long].collect().toSet
+    assert(shardIds() === Set(1L, 2L))
+    graft.sources.SnapshotLog.merge(spark, s"$root/up",
+      Seq((2L, tone(100, 8000), "s"))
+        .toDF("media_id", "payload", "source"), Seq("media_id"))
+    assert(CuratePipeline.runSubscription(spark, subCfg,
+      s"$root/cursor").size === 1)
+    assert(shardIds() === Set(1L),
+      "degraded clip was not evicted from the shard table")
+  }
+
   test("quality_image: corrupt payloads and under-floor rasters drop, " +
       "oversize payloads cut before decode, survivors ride untouched") {
     import graft.dedup.ImageDedup

@@ -118,6 +118,28 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       WavPcm.decode("RIFFxxxxWAVE".getBytes ++ Array[Byte](1, 2, 3)))
   }
 
+  test("WAV info: the chunk-walk admission read agrees with the full " +
+      "decode, clamps truncation, and is loud on non-WAV") {
+    import graft.multimodal.WavPcm
+    val samples = Array.tabulate(1600)(i => (i % 64) / 64.0f)
+    val base = WavPcm.encodePcm16(samples, 16000, 2)
+    val (ch, rate, bits, frames) = WavPcm.info(base)
+    val wav = WavPcm.decode(base)
+    assert((ch, rate, bits) === (wav.channels, wav.sampleRateHz,
+      wav.bitsPerSample))
+    assert(frames === wav.samples.length / wav.channels,
+      "info frame count != decoded frame count")
+    // truncation clamps identically to decode — duration from info
+    // reflects bytes present, never the hostile declared size
+    val cut = base.take(44 + 100)
+    val (_, _, _, fCut) = WavPcm.info(cut)
+    assert(fCut === WavPcm.decode(cut).samples.length / 2)
+    // same loudness contract as the decoder
+    intercept[IllegalArgumentException](WavPcm.info("junk".getBytes))
+    intercept[IllegalArgumentException](
+      WavPcm.info("RIFFxxxxWAVE".getBytes ++ Array[Byte](1, 2, 3)))
+  }
+
   test("WAV decoder: corrupt inputs fail loudly, truncated data decodes bounded") {
     import graft.multimodal.WavPcm
     val base = WavPcm.encodePcm16(Array.tabulate(64)(i => i / 64.0f), 8000, 1)
