@@ -62,6 +62,9 @@ class CurateScaleCompositionSpec extends AnyFunSuite with SparkFixture {
          |  - stage: decontaminate
          |    eval_path: $evalDir
          |    gram: 6
+         |  - stage: decontaminate_fuzzy
+         |    eval_path: $evalDir
+         |    threshold_milli: 600
          |  - stage: pii_scrub
          |  - stage: source_quota
          |    per_source: 200
@@ -92,7 +95,7 @@ class CurateScaleCompositionSpec extends AnyFunSuite with SparkFixture {
     assert(preChunk.map(_._2).sliding(2).forall(p => p(1) <= p(0)),
       s"a filter stage ADDED rows: ${report.stageRows}")
     assert(preChunk.last._2 > 100L, "the funnel emptied before chunk")
-    assert(byTag("s11_chunk") >= preChunk.last._2,
+    assert(byTag("s12_chunk") >= preChunk.last._2,
       "chunk re-grain lost documents")
     // each dedup grain did real work at this volume
     for (st <- Seq("s03_dedup_exact", "s04_dedup_near",
