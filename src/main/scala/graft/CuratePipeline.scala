@@ -775,7 +775,7 @@ object CuratePipeline {
       // not-yet-embedded docs would make it an embedding-coverage gate
       // nobody declared.
       val embCol = st.params.getOrElse("embed_col", "embedding")
-      val (frame, joined) = st.params.get("embed_path") match {
+      val frame = st.params.get("embed_path") match {
         case Some(p) =>
           require(!df.columns.contains(embCol),
             s"dedup_semantic: the corpus already has '$embCol' AND " +
@@ -787,17 +787,16 @@ object CuratePipeline {
             s"dedup_semantic: sidecar $p needs columns '$key' and " +
               s"'$embCol' (have ${sidecar.columns.mkString(",")}) — " +
               "set embed_key/embed_col to its spelling")
-          (df.join(sidecar.select(col(key).as(cfg.idCol), col(embCol)),
-            Seq(cfg.idCol), "left"), true)
+          df.join(sidecar.select(col(key).as(cfg.idCol), col(embCol)),
+            Seq(cfg.idCol), "left")
         case None =>
           require(df.columns.contains(embCol),
             s"dedup_semantic needs embedding column '$embCol' " +
               s"(have ${df.columns.mkString(",")}) — set embed_col if " +
               "the corpus spells it differently, or embed_path if " +
               "embeddings live in a sidecar table")
-          (df, false)
+          df
       }
-      val unjudgeable = frame.filter(col(embCol).isNull)
       val judgeable = frame.filter(col(embCol).isNotNull)
       val tauMicro = st.params("tau_milli").toLong * 1000L
       val maxList =
@@ -827,9 +826,14 @@ object CuratePipeline {
             maxListSize = maxList, splitRounds = 16)
             .drop("__seed")
       }
-      val kept = verdicts.filter(!col("is_dup")).drop("is_dup", "list_id")
-      val out = kept.unionByName(unjudgeable)
-      if (joined) out.drop(embCol) else out
+      // ONE anti-join of the dup ids against the ORIGINAL frame: docs
+      // without an embedding are never in the dup set so they ride
+      // through, the sidecar column never touches the output, and the
+      // (possibly sidecar-joined) frame is evaluated exactly once —
+      // a null-split + union formulation would pay the join twice
+      val dropped = verdicts.filter(col("is_dup"))
+        .select(col(cfg.idCol).as("__dup_id"))
+      df.join(dropped, df(cfg.idCol) === col("__dup_id"), "left_anti")
     case "chunk" =>
       // re-grain documents into fixed-size token chunks (the
       // tokenize-and-pack ingest shape): text becomes the chunk, id

@@ -1133,9 +1133,12 @@ class CuratePipelineSpec extends AnyFunSuite with SparkFixture {
     bad(imgCfg.replace("- stage: dedup_image",
       "- stage: quality\n    min_tok: 1\n    max_tok: 9\n" +
         "    min_ttr_milli: 0"), "reads text")
-    // modality typo; over-radius max_dist
+    // modality typo; a raster stage over an audio corpus; over-radius
+    // max_dist
+    bad(imgCfg.replace("modality: image", "modality: video"),
+      "must be text, image or audio")
     bad(imgCfg.replace("modality: image", "modality: audio"),
-      "must be text or image")
+      "audio-valid")
     bad(imgCfg.replace("- stage: dedup_image",
       "- stage: dedup_image\n    max_dist: 9"), "max_dist must be in")
     // image runStream supports the per-batch stages only: a quota over
