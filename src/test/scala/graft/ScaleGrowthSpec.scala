@@ -238,6 +238,74 @@ class ScaleGrowthSpec extends AnyFunSuite with SparkFixture {
         j -> cast((abs(xxhash64(if(id % 10 = 9, id - 1, id), j)) % 1000)
           / 500.0 - 1.0 as float))""").as("embedding"))
 
+  test("decontaminate_fuzzy stage: 10x corpus against a FIXED eval " +
+      "set => <= ~linear shuffle, eval side stays broadcast, planted " +
+      "leaks all drop") {
+    // the decontamination reality at 100 TB: the eval set is fixed and
+    // tiny while the corpus grows — cost must track the corpus scan,
+    // with the eval band-buckets broadcast (map-only probe), never a
+    // corpus-side shuffle against the eval set
+    val evalDir = {
+      val d = Files.createTempDirectory("fuzzy-scale").toString + "/eval"
+      spark.range(20).select(
+        col("id").as("doc_id"),
+        expr("""concat_ws(' ', transform(sequence(1, 50),
+                 j -> concat('e', id, 'x', j)))""").as("text"))
+        .write.parquet(d)
+      d
+    }
+    def corpus(n: Long): DataFrame = spark.range(n).select(
+      col("id").as("doc_id"),
+      // every 100th doc is a LEAK: eval doc (id/100 % 20)'s text with
+      // every 15th token swapped — J ~ 0.59, p(band hit) ~ 99.7% under
+      // the 8x2 banding (LSH recall is probabilistic BY DESIGN; the
+      // assertion below is the recall bound, not an exact count)
+      expr("""CASE WHEN id % 100 = 0 THEN
+               concat_ws(' ', transform(sequence(1, 50),
+                 j -> IF(j % 15 = 0, concat('zz', j),
+                   concat('e', (id div 100) % 20, 'x', j))))
+             ELSE concat_ws(' ', transform(sequence(1, 50),
+               j -> concat('t', abs(xxhash64(id, j)) % 100000)))
+             END""").as("text"),
+      lit("s").as("source"))
+    val cfg = CuratePipeline.CurateConfig(
+      inputPath = "unused", outDir = "unused")
+    val st = CuratePipeline.Stage("decontaminate_fuzzy",
+      Map("eval_path" -> evalDir, "threshold_milli" -> "400"))
+    def runScale(n: Long): (Long, String, Long) = {
+      val in = corpus(n)
+      Thread.sleep(200); val s0 = shuffleBytes.get()
+      val out = CuratePipeline.applyStage(spark, in, st, cfg)
+      val cnt = out.collect().length.toLong
+      Thread.sleep(400)
+      (shuffleBytes.get() - s0,
+        out.queryExecution.executedPlan.toString, cnt)
+    }
+    val (b1, p1, n1) = runScale(3000L)
+    val (b10, p10, n10) = runScale(30000L)
+    // recall bound: >= 90% of planted leaks drop (banding is
+    // probabilistic but deterministic for a fixed corpus + hash seeds);
+    // NO clean doc ever drops (the dropped count never exceeds planted)
+    val (d1, d10) = (3000L - n1, 30000L - n10)
+    assert(d1 >= 27L && d1 <= 30L,
+      s"x1 dropped $d1 of 30 planted leaks (want 27..30, 0 false drops)")
+    assert(d10 >= 270L && d10 <= 300L,
+      s"x10 dropped $d10 of 300 planted (want 270..300, 0 false drops)")
+    assert(b10 <= b1 * 15,
+      s"fuzzy decontamination shuffle grew superlinearly: x1=$b1 B, " +
+        s"x10=$b10 B (${b10.toDouble / math.max(b1, 1)}x for 10x data)")
+    for ((p, tag) <- Seq((p1, "x1"), (p10, "x10"))) {
+      assert(!p.contains("CartesianProduct"),
+        s"decontaminate_fuzzy@$tag plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"decontaminate_fuzzy@$tag plans a nested-loop join")
+      assert(p.contains("BroadcastExchange"),
+        s"decontaminate_fuzzy@$tag lost the eval-side broadcast")
+    }
+    assert(opCount(p10, "Exchange") <= opCount(p1, "Exchange"),
+      s"decontaminate_fuzzy grew a NEW exchange at 10x:\n$p10")
+  }
+
   test("dedup_semantic stage: 10x corpus with clusters scaled as " +
       "declared => <= ~linear shuffle (training included), same plan " +
       "shape, never cartesian, planted dups all drop") {
