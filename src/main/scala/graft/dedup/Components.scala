@@ -41,6 +41,21 @@ object Components {
       .localCheckpoint(true)
     var round = 0
     var converged = false
+    // Convergence probe state: comp is MONOTONE NON-INCREASING per node
+    // per round (every update is a least(...)), so the label frame
+    // changed iff Σ comp strictly decreased — one map-side-combined
+    // aggregate over the just-materialized checkpoint replaces the r14
+    // probe (a full node-frame equi-join of next against labels, one
+    // extra shuffle join per round). DECIMAL(38,0) keeps the sum exact
+    // far past any realistic |nodes|·max(id) product, so equal sums ⟺
+    // no node changed — the loop exits at exactly the same round with
+    // exactly the same labels.
+    def compSum(df: DataFrame): java.math.BigDecimal = Option(
+      df.agg(sum(col("comp").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+        .head.getDecimal(0))
+      .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = compSum(labels)
     while (!converged && round < maxIter) {
       val nbrMin = e.join(labels, e("e_dst") === labels("id"))
         .groupBy(col("e_src").as("id"))
@@ -62,12 +77,10 @@ object Components {
           least(col("x.comp"), coalesce(col("y.ccomp"), col("x.comp")))
             .as("comp"))
         .localCheckpoint(true) // eager: truncate lineage every round
-      // existence check, not a count: isEmpty stops at the first changed row
-      val anyChanged = !next.as("a")
-        .join(labels.as("b"), col("a.id") === col("b.id"))
-        .filter(col("a.comp") =!= col("b.comp")).isEmpty
+      val curSum = compSum(next)
       labels = next
-      converged = !anyChanged
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

@@ -359,12 +359,15 @@ object AuditOps {
     * the md5-exact grain shows empty on corpora whose copies are
     * near-copies, which is the common 100 TB reality.
     *
-    * Scale: the corpus collapses to DISTINCT (fingerprint, source)
-    * FIRST — the join runs at fingerprint grain, never document grain,
-    * and the pair fan-out per fingerprint is bounded by the SOURCE
-    * count (a key shared by all S sources yields C(S,2) pairs, S being
-    * tens, not rows). Exact BIGINT counts; ordered (source_a <
-    * source_b) cells. */
+    * Scale: the corpus collapses to fingerprint grain in ONE aggregate —
+    * collect_set(source) per fingerprint subsumes the r14 DISTINCT, and
+    * the source set per key is bounded by the SOURCE count (tens), so
+    * the map-side partials never grow even on a key every document
+    * shares. Pairs come out of an index HOF over the sorted set (a key
+    * shared by all S sources yields C(S,2) pairs map-side) — the r14
+    * self-join on h evaluated the distinct subtree twice and shuffled
+    * both sides. Exact BIGINT counts; ordered (source_a < source_b)
+    * cells. */
   val sourceOverlap: Q = Q.checked(
     "q_source_overlap",
     """WITH t AS (SELECT DISTINCT substring(text, 1, 40) AS h, source
@@ -375,12 +378,17 @@ object AuditOps {
       |GROUP BY a.source, b.source
       |ORDER BY source_a, source_b""".stripMargin
   ) { (s, dir) =>
-    val t = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(substring(col("text"), 1, 40).as("h"), col("source"))
-      .distinct()
-    val a = t.select(col("h"), col("source").as("source_a"))
-    val b = t.select(col("h").as("hb"), col("source").as("source_b"))
-    a.join(b, col("h") === col("hb") && col("source_a") < col("source_b"))
+      .groupBy("h")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .select(explode(expr(
+        """flatten(transform(srcs,
+          |  (a, i) -> transform(slice(srcs, i + 2, size(srcs)),
+          |    b -> named_struct('source_a', a, 'source_b', b))))"""
+          .stripMargin)).as("pr"))
+      .select(col("pr.source_a").as("source_a"),
+        col("pr.source_b").as("source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_shared_keys"))
       .orderBy("source_a", "source_b")

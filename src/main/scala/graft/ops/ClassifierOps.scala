@@ -106,7 +106,24 @@ object ClassifierOps {
     * token buckets plus a bias feature (j = B, x = 1), y = 1 iff the doc's
     * type-token ratio ≥ 0.5 (a deterministic integer label rule — in
     * production y comes from human/LLM labels; the training path is
-    * identical). One explode + two hash aggregates; ≤ B+1 rows per doc. */
+    * identical). ONE linear pipeline — one corpus scan, zero joins,
+    * zero unions:
+    *  - a token determines its bucket, so per-doc distinct types =
+    *    Σ_j per-(doc, j) distinct types: the label's corpus-grain
+    *    countDistinct pass (a second explode + token-grain shuffle of
+    *    the whole corpus in the r14 shape) collapses into the same
+    *    (doc, j) aggregate that counts tf;
+    *  - y is attached by a window sum over the ≤ B+1 bucket rows per
+    *    doc (the r14 shape joined a separate label aggregate back,
+    *    duplicating the explode subtree — Catalyst prunes differently
+    *    per consumer, so the branches shared no exchange and the corpus
+    *    was exploded once per branch);
+    *  - the bias feature rides a conditional array explode on each
+    *    doc's first bucket row instead of a unioned third branch.
+    * The r14 plan scanned documents 3× with 4 exchanges (one at corpus
+    * token-type grain) and a join; this plan scans once, with a cascade
+    * of 3 exchanges of strictly shrinking grain (type → bucket → doc)
+    * and no join. ≤ B+2 rows per doc come out, identical to r14's. */
   private[ops] def featureFrame(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -114,18 +131,23 @@ object ClassifierOps {
         explode(col("toks")).as("token"))
       .select(col("doc_id"), col("dl"), col("token"),
         bucketCol(col("token")))
-    val lab = tok.groupBy("doc_id")
-      .agg(max("dl").as("dl"), countDistinct("token").as("types"))
-      .select(col("doc_id"), col("dl"),
-        when(col("types") * 2 >= col("dl"), 1).otherwise(0).as("y"))
-    val feats = tok.groupBy("doc_id", "dl", "j")
-      .agg(count(lit(1)).as("tf"))
-      .select(col("doc_id"), col("j"),
-        (col("tf").cast(DoubleType) / col("dl").cast(DoubleType)).as("x"))
-    val bias = lab.select(col("doc_id"), lit(B.toLong).as("j"),
-      lit(1.0).as("x"))
-    feats.unionByName(bias)
-      .join(lab.select("doc_id", "y"), "doc_id")
+    val base = tok.groupBy("doc_id", "dl", "j")
+      .agg(count(lit(1)).as("tf"), countDistinct("token").as("types_j"))
+    val wDoc = Window.partitionBy("doc_id")
+    val xCol = (col("tf").cast(DoubleType) / col("dl").cast(DoubleType))
+      .as("x")
+    base
+      .withColumn("y",
+        when(sum(col("types_j")).over(wDoc) * 2 >= col("dl"), 1)
+          .otherwise(0))
+      .withColumn("rn", row_number().over(wDoc.orderBy("j")))
+      .select(col("doc_id"), col("y"),
+        explode(when(col("rn") === 1,
+          array(struct(col("j"), xCol),
+            struct(lit(B.toLong).as("j"), lit(1.0).as("x"))))
+          .otherwise(array(struct(col("j"), xCol)))).as("f"))
+      .select(col("doc_id"), col("f.j").as("j"), col("f.x").as("x"),
+        col("y"))
   }
 
   /** One GD step: margin per doc (decimal-exact window sum of snapped

@@ -306,13 +306,15 @@ object GraphOps {
     * Ranking is by the exact pair count with (p_a, p_b) tie-break — no
     * float ever decides membership.
     *
-    * Scale: itemsets collapse to DISTINCT (order, part) grain first;
-    * the pair generation is an equi-join on o_orderkey (ONE shuffle —
-    * never a cartesian: pairs per order ~ C(items,2) with items ~4),
-    * per-item supports are a part-grain aggregate joined back hint-free
-    * (stats/AQE broadcast it while it fits; part-grain outgrows the
-    * driver at large SF), and
-    * the top-15 plans as TakeOrdered. At 100 TB the (a,b) pair space is
+    * Scale: itemsets collapse to the per-order sorted DISTINCT item SET
+    * in one map-side-combined aggregate (the only corpus-grain
+    * shuffle); pair generation is a per-row HOF over that set — never a
+    * join, never a cartesian: pairs per order ~ C(items,2) with items
+    * ~4 (a generator constant, so per-order fan-out does not grow with
+    * SF) — and per-item supports re-derive from the same order-grain
+    * frame by explode, joined back hint-free (stats/AQE broadcast them
+    * while they fit; part-grain outgrows the driver at large SF). The
+    * top-15 plans as TakeOrdered. At 100 TB the (a,b) pair space is
     * bounded by |parts|², and the hot path (pair counting) is one
     * map-side-combined hash aggregation. */
   val basketPairs: Q = Q.checked(
@@ -335,14 +337,33 @@ object GraphOps {
       |  JOIN supp sb ON sb.pk = p_b, n_orders
       |ORDER BY n_ab DESC, p_a, p_b LIMIT 15""".stripMargin
   ) { (s, dir) =>
-    val items = Tables.lineitem(s, dir)
+    // ONE corpus-grain pass, not five: the r14 shape built a DISTINCT
+    // (ok, pk) frame and self-joined it on ok — the initial plan scanned
+    // lineitem five times (pair sides, two support lookups, the order
+    // count) with a corpus-grain distinct exchange under each, and the
+    // pair join moved both item sides through an ok-keyed join (at small
+    // SF that even BROADCASTS the corpus-grain items frame). The order's
+    // distinct item set is instead collected in a single aggregate
+    // (collect_set subsumes DISTINCT, combines map-side), and everything
+    // downstream re-derives from that order-grain frame map-side: the
+    // a<b pairs via an index HOF over the sorted set (each pair emitted
+    // exactly once — no join, no second corpus exchange), the per-item
+    // supports via explode, the order count via count(*). Per-order
+    // fan-out is C(items, 2) exactly as the join produced.
+    val byOrder = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val nOrders = items.agg(countDistinct("ok").as("n"))
-    val supp = items.groupBy("pk").agg(count(lit(1)).as("n_p"))
-    val a = items.select(col("ok"), col("pk").as("p_a"))
-    val b = items.select(col("ok").as("ok_b"), col("pk").as("p_b"))
-    a.join(b, col("ok") === col("ok_b") && col("p_a") < col("p_b"))
+      .groupBy("ok")
+      .agg(sort_array(collect_set(col("pk"))).as("pks"))
+    val nOrders = byOrder.agg(count(lit(1)).as("n"))
+    val supp = byOrder.select(explode(col("pks")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n_p"))
+    byOrder
+      .select(explode(expr(
+        """flatten(transform(pks,
+          |  (x, i) -> transform(slice(pks, i + 2, size(pks)),
+          |            y -> named_struct('p_a', x, 'p_b', y))))""".stripMargin))
+        .as("pr"))
+      .select(col("pr.p_a").as("p_a"), col("pr.p_b").as("p_b"))
       .groupBy("p_a", "p_b").agg(count(lit(1)).as("n_ab"))
       .join(supp.select(col("pk").as("pk_a"),
         col("n_p").as("n_a")), col("p_a") === col("pk_a"))

@@ -133,11 +133,25 @@ object LmOps {
       .limit(100).select("token", "df")
     val dv = dtok.join(broadcast(voc), "token")
     val n = docs.agg(count(lit(1)).as("n"))
-    val a = dv.select(col("doc_id"), col("token").as("tok_a"),
-      col("df").as("df_a"))
-    val b = dv.select(col("doc_id").as("doc_b"), col("token").as("tok_b"),
-      col("df").as("df_b"))
-    a.join(b, col("doc_id") === col("doc_b") && col("tok_a") < col("tok_b"))
+    // pair generation WITHOUT the doc_id self-join: each doc's surviving
+    // vocab tokens (≤ 100 by the cap) are collected into one sorted set
+    // and the a<b pairs come out of an index HOF map-side — the r14
+    // self-join evaluated the dtok⋈voc subtree twice (each side carrying
+    // its own copy of the vocab build) and moved both through a doc_id
+    // join; this shape pays one doc_id-keyed exchange of ≤100-element
+    // arrays and nothing else. df rides inside the struct, so max(df) is
+    // the same per-token constant the join carried.
+    dv.groupBy("doc_id")
+      .agg(sort_array(collect_set(struct(col("token"), col("df"))))
+        .as("ts"))
+      .select(explode(expr(
+        """flatten(transform(ts,
+          |  (a, i) -> transform(slice(ts, i + 2, size(ts)),
+          |    b -> named_struct('tok_a', a.token, 'df_a', a.df,
+          |                      'tok_b', b.token, 'df_b', b.df))))"""
+          .stripMargin)).as("pr"))
+      .select(col("pr.tok_a").as("tok_a"), col("pr.tok_b").as("tok_b"),
+        col("pr.df_a").as("df_a"), col("pr.df_b").as("df_b"))
       .groupBy("tok_a", "tok_b")
       .agg(max(col("df_a")).as("df_a"), max(col("df_b")).as("df_b"),
         count(lit(1)).as("c_ab"))

@@ -416,12 +416,17 @@ object RetrievalOps {
     * into a training set (the passage-grain sibling of document-grain
     * decontamination).
     *
-    * Scale: distinct (source, h) collapses the corpus to shingle-type
-    * grain per source FIRST (hash aggregate, map-side combined); the
-    * self-join on h then produces at most |sources|² rows per shingle
-    * type — bounded by the source count, not the corpus, so the
-    * notorious all-pairs blowup cannot occur. Output is |sources|²/2
-    * rows. */
+    * Scale: the corpus collapses straight to shingle-type grain in ONE
+    * aggregate — collect_set(source) per shingle subsumes the r14
+    * DISTINCT (source, h) step, and the per-key set is bounded by the
+    * source count (tens), so map-side partials never grow even on a
+    * boilerplate shingle every document shares. Source pairs come out
+    * of an index HOF over the sorted set map-side (at most C(S,2) per
+    * type — the all-pairs blowup cannot occur), where the r14 shape
+    * self-joined the type frame on h, evaluating the shingle explode +
+    * distinct three times (both join sides + the per-source totals)
+    * and shuffling two of them. The totals re-derive from the same
+    * grouped frame by explode. Output is |sources|²/2 rows. */
   val crossSource: Q = Q.checked(
     "q_dedup_cross_source",
     """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
@@ -455,11 +460,17 @@ object RetrievalOps {
       .select(col("source"),
         unhex(md5(array_join(slice(col("t"), col("i") + 1, lit(8)), " ")
           .cast(BinaryType))).as("h"))
-      .distinct()
-    val tot = sh.groupBy("source").agg(count(lit(1)).as("n_types"))
-    val a = sh.toDF("src_a", "h")
-    val b = sh.toDF("src_b", "h2")
-    a.join(b, col("h") === col("h2") && col("src_a") < col("src_b"))
+    val byType = sh.groupBy("h")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+    val tot = byType.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_types"))
+    byType
+      .select(explode(expr(
+        """flatten(transform(srcs,
+          |  (a, i) -> transform(slice(srcs, i + 2, size(srcs)),
+          |    b -> named_struct('src_a', a, 'src_b', b))))"""
+          .stripMargin)).as("pr"))
+      .select(col("pr.src_a").as("src_a"), col("pr.src_b").as("src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
       .join(tot.toDF("src_a", "types_a"), "src_a")
       .join(tot.toDF("src_b", "types_b"), "src_b")
