@@ -7,10 +7,34 @@ import org.apache.spark.sql.functions._
   *
   * All queries read only `$sfDir/<table>.parquet` — never absolute sf paths —
   * so the driver can vary the scale factor (SURVEY.md §7.5 rule 7).
+  *
+  * The resolved relation is MEMOIZED per (session, dir, table) — the
+  * catalog role: a bare `spark.read.parquet(path)` re-lists the
+  * directory and re-reads parquet footers on EVERY call (~120 ms of
+  * driver time per table here; at 100 TB, minutes of file listing —
+  * guide-class driver stall §7.3), which a `spark.table(...)` through
+  * any real metastore/manifest catalog never re-pays. Only the LAZY
+  * DataFrame (logical plan + file index) is cached — never data, never
+  * results: every action still scans the parquet inputs. The memo is
+  * keyed on the session and dropped wholesale when a different session
+  * appears (specs build sessions serially; holding plans of a stopped
+  * session would leak it), so cross-session reuse can never occur.
   */
 object Tables {
-  private def read(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  @volatile private var memoSession: SparkSession = null
+
+  private def read(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (memoSession ne s) synchronized {
+      if (memoSession ne s) { memo.clear(); memoSession = s }
+    }
+    val df = memo.computeIfAbsent(s"$dir/$name.parquet",
+      p => s.read.parquet(p))
+    // belt-and-braces against a concurrent session swap racing the
+    // clear(): never hand out a plan bound to a different session
+    if (df.sparkSession eq s) df else s.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, dir: String): DataFrame   = read(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame   = read(s, dir, "nation")

@@ -41,11 +41,23 @@ class LateQueryPlanSpec extends AnyFunSuite with SparkFixture {
       "top-100 degenerated to a global sort")
   }
 
-  test("q_waiting_supplier: two key-grain aggregations, no window, TakeOrdered") {
+  test("q_waiting_supplier: one (ok,sk) collapse, ok-PARTITIONED window, single lineitem scan, TakeOrdered") {
     val plan = ops.TpchOps.waitingSupplier.fn(spark, Sf)
       .queryExecution.sparkPlan.toString
-    assert(!plan.contains("Window"),
-      s"waiting-supplier must not plan a window:\n$plan")
+    // r15: the per-order max/count ride a window over the ok partition
+    // (bounded — suppliers per order is a generator constant), replacing
+    // the r14 order-grain aggregate joined back, which evaluated the
+    // (ok, sk) collapse twice. The window must be PARTITIONED (a
+    // partition-less window here would be the single-task cliff) and
+    // lineitem must be scanned exactly once.
+    assert(plan.contains("windowspecdefinition(ok#"),
+      s"waiting-supplier's window must partition by ok:\n$plan")
+    assert(!plan.contains("windowspecdefinition(,")
+      && !plan.contains("windowspecdefinition( "),
+      s"partition-less window:\n$plan")
+    assert(plan.linesIterator
+      .count(_.contains("lineitem.parquet")) == 1,
+      s"lineitem scanned more than once:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
