@@ -36,6 +36,57 @@ object Tables {
     if (df.sparkSession eq s) df else s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Scale-adaptive fan-out for explode-heavy map stages (guide §2/§6).
+    *
+    * A parquet input smaller than one scan split
+    * (`spark.sql.files.maxPartitionBytes`) is read by a SINGLE task, so
+    * every narrow operation fused into the scan stage — tokenize,
+    * explode, shingle, vector fold, partial aggregate — runs on one core
+    * no matter how many the session has. (Split configs cannot fix this
+    * here: the driver's testdata files are single-row-group, and a
+    * row group is parquet's parallelism floor.) For operators whose
+    * map-side work fans out 10-100× per input row, that one task IS the
+    * query's wall clock.
+    *
+    * `fanned` repartitions the table by `keys` to the session's shuffle
+    * parallelism ONLY in that sub-split case. The predicate derives from
+    * input size, not from a local tuning constant: at production scale
+    * (file count × row groups ≥ parallelism) it is the identity and no
+    * extra exchange ever appears in the plan. When it does fire, the
+    * exchange moves the RAW column-pruned rows (predicate pushdown and
+    * column pruning both pass through a repartition) — strictly fewer
+    * bytes than the post-explode exchange the consumer pays anyway —
+    * and hash-partitioning by the consumer's grouping prefix lets the
+    * downstream aggregate reuse the exchange (ClusteredDistribution is
+    * satisfied by a subset of the grouping keys), so the net exchange
+    * count is unchanged: the one shuffle just happens BEFORE the
+    * fan-out instead of after it, on 32 cores instead of 1.
+    *
+    * Keys must be deterministic columns (retry-safe row placement,
+    * SPARK-38388) with enough distinct values to spread — every caller
+    * uses its row-identity key (doc_id / vec_id / orderkey). */
+  def fanned(s: SparkSession, dir: String, name: String, keys: String*): DataFrame = {
+    val df = read(s, dir, name)
+    val f = new java.io.File(s"$dir/$name.parquet")
+    // a directory-shaped table: sum the leaf files (0 on list failure
+    // keeps fanned a no-op rather than a wrong-way repartition)
+    val bytes =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.filter(_.isFile).map(_.length).sum)
+          .getOrElse(0L)
+      else f.length
+    fanBySize(s, df, bytes, keys)
+  }
+
+  private[graft] def fanBySize(s: SparkSession, df: DataFrame, bytes: Long,
+      keys: Seq[String]): DataFrame = {
+    val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+    if (bytes > 0 && bytes < maxSplit) {
+      val n = s.sessionState.conf.numShufflePartitions
+      df.repartition(n, keys.map(col): _*)
+    } else df
+  }
+
   def region(s: SparkSession, dir: String): DataFrame   = read(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame   = read(s, dir, "nation")
   def customer(s: SparkSession, dir: String): DataFrame = read(s, dir, "customer")

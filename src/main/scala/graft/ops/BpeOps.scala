@@ -56,7 +56,9 @@ object BpeOps {
     * pair_count). Deterministic: ties on pair count break on (left,
     * right) lexicographically. */
   def trainMerges(s: SparkSession, dir: String, k: Int): DataFrame =
-    trainMergesFrom(s, Tables.documents(s, dir), k)
+    // fanned: the corpus→word-freq collapse otherwise tokenizes inside a
+    // single-task scan stage on sub-split input (Tables.fanned)
+    trainMergesFrom(s, Tables.fanned(s, dir, "documents", "doc_id"), k)
 
   /** [[trainMerges]] over an arbitrary documents frame (text column) —
     * the testable seam: results must not depend on the input's physical
@@ -160,7 +162,7 @@ object BpeOps {
   val bpeEncode: Q = Q.implOnly("q_bpe_encode") { (s, dir) =>
     val merges = trainMerges(s, dir, 8).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    encodeReport(s, Tables.documents(s, dir), merges)
+    encodeReport(s, Tables.fanned(s, dir, "documents", "doc_id"), merges)
   }
 
   val all: Seq[Q] = Seq(bpeTrain, bpeEncode)

@@ -78,7 +78,10 @@ object ClassifierOps {
       |       THEN 1 ELSE 0 END AS BIGINT) AS label
       |FROM b GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    Tables.documents(s, dir)
+    // fanned: tokenize otherwise fused into a single-task scan stage on
+    // sub-split input (Tables.fanned); doc_id keying feeds the
+    // (doc_id, dl) aggregate
+    Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
         explode(col("toks")).as("token"))
@@ -200,7 +203,7 @@ object ClassifierOps {
     * No SQL oracle — 4 GD iterations are not ANSI-expressible; the
     * ground truth is ClassifierSpec's sequential reference. */
   val qualityTrain: Q = Q.implOnly("q_quality_train") { (s, dir) =>
-    val w = train(Tables.documents(s, dir))
+    val w = train(Tables.fanned(s, dir, "documents", "doc_id"))
     import s.implicits._
     w.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toSeq
       .toDF("j", "w_micro").orderBy("j")
@@ -216,7 +219,10 @@ object ClassifierOps {
     * is iterative); ClassifierSpec pins the numbers against a
     * sequential train+apply reference. */
   val qualityEval: Q = Q.implOnly("q_quality_eval") { (s, dir) =>
-    val docs = Tables.documents(s, dir)
+    // fanned BEFORE the parity split: both halves' featureFrame builds
+    // (train + held-out apply) tokenize 32-way; the parity filter pushes
+    // below the repartition so each half still prunes pre-shuffle
+    val docs = Tables.fanned(s, dir, "documents", "doc_id")
     val inTrain = substring(md5(col("doc_id").cast(StringType)), 1, 1) < "8"
     val w = train(docs.filter(inTrain))
     val wLit = array(w.map(v => lit(v.toDouble / 1e6)): _*)

@@ -77,7 +77,11 @@ object GraphOps {
     // rank frame stays a bare (node, r) pair; the damped division
     // happens edge-side; each round is ONE join + one partial-aggregated
     // groupBy (r4's shape paid a node-sized deg re-join per round).
-    val edgesD = Tables.lineitem(s, dir)
+    // fanned: sub-split input otherwise runs the partial-distinct scan
+    // stage on ONE task; keyed by l_partkey so the (partkey, suppkey)
+    // distinct reuses the fan-out exchange (subset clustering) —
+    // Tables.fanned, identity at production scale
+    val edgesD = Tables.fanned(s, dir, "lineitem", "l_partkey")
       .select("l_partkey", "l_suppkey").distinct()
       .select(explode(array(
         struct((col("l_partkey") * 2).as("src"),
@@ -350,7 +354,9 @@ object GraphOps {
     // exactly once — no join, no second corpus exchange), the per-item
     // supports via explode, the order count via count(*). Per-order
     // fan-out is C(items, 2) exactly as the join produced.
-    val byOrder = Tables.lineitem(s, dir)
+    // fanned by ok: the collect_set partial otherwise runs in a single
+    // scan task on sub-split input, and groupBy(ok) reuses the exchange
+    val byOrder = Tables.fanned(s, dir, "lineitem", "l_orderkey")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok")
       .agg(sort_array(collect_set(col("pk"))).as("pks"))

@@ -60,7 +60,10 @@ object LmOps {
       |FROM doc, tot
       |ORDER BY nll_per_tok DESC, doc_id LIMIT 20""".stripMargin
   ) { (s, dir) =>
-    val tf = Tables.documents(s, dir)
+    // fanned: the tokenize+explode otherwise runs inside a single-task
+    // scan stage on sub-split input (see Tables.fanned); keyed by doc_id
+    // so the (doc_id, token) aggregate reuses the fan-out exchange
+    val tf = Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val gf = tf.groupBy("token").agg(sum(col("tf")).as("f"))
@@ -120,7 +123,9 @@ object LmOps {
       |ORDER BY pmi10 DESC, tok_a, tok_b LIMIT 20""".stripMargin
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val dtok = docs
+    // fanned tokenize (single-task scan stage otherwise — Tables.fanned);
+    // the (doc_id, token) distinct reuses the doc_id fan-out exchange
+    val dtok = Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .distinct()
     val df = dtok.groupBy("token").agg(count(lit(1)).as("df"))
@@ -193,7 +198,7 @@ object LmOps {
       |FROM toks t LEFT JOIN voc v ON t.token = v.token
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
   ) { (s, dir) =>
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("doc_id"), col("lang"), col("source"),
         explode(split(col("text"), " ")).as("token"))
     val gf = toks.groupBy("token").agg(count(lit(1)).as("f"))
@@ -254,7 +259,7 @@ object LmOps {
       |    AS zipf_slope
       |FROM mo ORDER BY lang""".stripMargin
   ) { (s, dir) =>
-    val tf = Tables.documents(s, dir)
+    val tf = Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("lang"), explode(split(col("text"), " ")).as("token"))
       .groupBy("lang", "token").agg(count(lit(1)).as("f"))
     def snap(c: org.apache.spark.sql.Column) =
@@ -318,7 +323,7 @@ object LmOps {
       |FROM pairs JOIN spread USING (bigram)
       |GROUP BY source ORDER BY source""".stripMargin
   ) { (s, dir) =>
-    Tables.documents(s, dir)
+    Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("source"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("source"), explode(expr(
@@ -377,7 +382,7 @@ object LmOps {
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     val tot = docs.agg(count(lit(1)).as("n_docs"))
-    val bg = docs
+    val bg = Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -450,7 +455,7 @@ object LmOps {
   ) { (s, dir) =>
     def snap10(c: org.apache.spark.sql.Column) =
       floor(log2(c.cast(DoubleType)) * lit(1e10) + lit(0.5)).cast(LongType)
-    val tok = Tables.documents(s, dir)
+    val tok = Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
     val st = tok.groupBy("source", "token").agg(count(lit(1)).as("f_st"))
     val t = tok.groupBy("token").agg(count(lit(1)).as("f_t"))
@@ -529,7 +534,7 @@ object LmOps {
   ) { (s, dir) =>
     def snapLog2(c: org.apache.spark.sql.Column) =
       floor(log2(c.cast(DoubleType)) * lit(1e10) + lit(0.5)).cast(LongType)
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
     val big = toks.withColumn("w1",

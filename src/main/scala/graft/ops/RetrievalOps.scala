@@ -74,7 +74,9 @@ object RetrievalOps {
       |  (count(*) FILTER (WHERE n_docs >= 2)) * 1000 // count(*) AS dup_milli
       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val sh = Tables.documents(s, dir)
+    // fanned: the shingle explode + md5 otherwise runs in a single scan
+    // task on sub-split input (Tables.fanned; identity at scale)
+    val sh = Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 8)
       .select(col("doc_id"), col("t"),
@@ -135,7 +137,7 @@ object RetrievalOps {
       |    AS novel_milli
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val sh = Tables.documents(s, dir)
+    val sh = Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 8)
       .select(col("doc_id"), col("t"),
@@ -198,7 +200,7 @@ object RetrievalOps {
       |             FILTER (WHERE covered = 0), '') AS clean_text
       |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val pos = Tables.documents(s, dir)
+    val pos = Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("p", "token")))
       .select(col("doc_id"), col("p"), col("token"),
@@ -292,7 +294,8 @@ object RetrievalOps {
     // partial top-50 (TakeOrderedAndProject), then ranks on the 50-row
     // stage frame — the partition-less window is bounded by the LIMIT
     val lexr = TextRankOps
-      .bm25DocScores(Tables.documents(s, dir), Seq("join", "fast", "table"))
+      .bm25DocScores(Tables.fanned(s, dir, "documents", "doc_id"),
+        Seq("join", "fast", "table"))
       .orderBy(col("score_dec").desc, col("doc_id")).limit(50)
       .withColumn("lex_rank", row_number()
         .over(Window.orderBy(col("score_dec").desc, col("doc_id")))
@@ -389,7 +392,8 @@ object RetrievalOps {
         when(col("rnk") === (i + 1), lit(v)).otherwise(acc)
       }
       val ranked = TextRankOps
-        .bm25DocScores(Tables.documents(s, dir), Seq("join", "fast", "table"))
+        .bm25DocScores(Tables.fanned(s, dir, "documents", "doc_id"),
+          Seq("join", "fast", "table"))
         .orderBy(col("score_dec").desc, col("doc_id")).limit(10)
         .withColumn("rnk", row_number()
           .over(Window.orderBy(col("score_dec").desc, col("doc_id")))
@@ -451,7 +455,7 @@ object RetrievalOps {
       |JOIN tot tb ON tb.source = src_b
       |ORDER BY src_a, src_b""".stripMargin
   ) { (s, dir) =>
-    val sh = Tables.documents(s, dir)
+    val sh = Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("source"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 8)
       .select(col("source"),

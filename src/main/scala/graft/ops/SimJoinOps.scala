@@ -72,7 +72,10 @@ object SimJoinOps {
     // output is order-invariant; (b) set sizes/intersections are over
     // hashed shingles, exact up to xxhash64 collisions (~|V|²/2⁶⁵
     // ≈ 4e-10 at sf0.1 — far below any operational noise floor).
-    val toks = Tables.documents(s, dir)
+    // fanned: the shingle explode otherwise runs in ONE scan task on
+    // sub-split input, and the localCheckpoint below would freeze that
+    // single partition for all five downstream consumers (Tables.fanned)
+    val toks = Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(

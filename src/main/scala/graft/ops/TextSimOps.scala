@@ -28,7 +28,11 @@ object TextSimOps {
       |  count(DISTINCT source) AS n_sources
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   ) { (s, dir) =>
-    Tables.documents(s, dir)
+    // fanned (here and in the other tokenize/shingle-heavy queries
+    // below): sub-split input reads as ONE scan task, serializing the
+    // per-row split/explode/regex work — see Tables.fanned; identity at
+    // production scale
+    Tables.fanned(s, dir, "documents", "doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
@@ -133,7 +137,7 @@ object TextSimOps {
       |FROM means GROUP BY label ORDER BY label""".stripMargin
   ) { (s, dir) =>
     val D8 = DecimalType(18, 8)
-    Tables.embeddings(s, dir)
+    Tables.fanned(s, dir, "embeddings", "vec_id")
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "val")))
       .select(col("label"), (col("pos0") + 1).cast(LongType).as("pos"), col("val"))
       .groupBy("label", "pos")
@@ -183,7 +187,7 @@ object TextSimOps {
   ) { (s, dir) =>
     val toks = split(col("text"), " ")
     val nTok = size(toks).cast(LongType)
-    Tables.documents(s, dir)
+    Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("doc_id"),
         length(col("text")).cast(LongType).as("n_chars"),
         nTok.as("n_tokens"),
@@ -225,7 +229,7 @@ object TextSimOps {
     val toks = split(col("text"), " ")
     def score(markers: Seq[String]) =
       size(filter(toks, t => markers.map(t === _).reduce(_ || _))).cast(LongType)
-    Tables.documents(s, dir)
+    Tables.fanned(s, dir, "documents", "doc_id")
       .withColumn("s_de", score(Seq("agg", "table", "hash")))
       .withColumn("s_en", score(Seq("scan", "row", "slow")))
       .withColumn("s_es", score(Seq("stream", "batch", "group")))
@@ -260,7 +264,7 @@ object TextSimOps {
     val shingleHashes = expr(
       """transform(sequence(1, size(split(text, ' ')) - 2),
         |i -> md5(concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin)
-    Tables.documents(s, dir)
+    Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("doc_id"),
         (size(toks) - 2).cast(LongType).as("n_shingles"),
         array_min(shingleHashes).as("fingerprint"))
@@ -279,7 +283,7 @@ object TextSimOps {
       |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
       |FROM documents ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    Tables.documents(s, dir)
+    Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("doc_id"),
         size(expr("""regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)"""))
           .cast(LongType).as("n_tokens_bpe"),
@@ -311,7 +315,7 @@ object TextSimOps {
       |FROM sh a JOIN sh b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
-    val sh = Tables.documents(s, dir)
+    val sh = Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"),
         expr(
           """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
@@ -459,7 +463,11 @@ object TextSimOps {
   ) { (s, dir) =>
     import graft.dedup.MinHashLsh
     val n = 3; val k = 16; val bands = 4; val r = 4
-    val eligible = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // fanned BEFORE the shingle checkpoint: the checkpointed RDD keeps
+    // its input partitioning, so an unfanned (single-task) scan would
+    // serialize every downstream HOF/md5 pass over it as well
+    val eligible = Tables.fanned(s, dir, "documents", "doc_id")
+      .select(col("doc_id"), col("text"))
       .filter(size(split(col("text"), " ")) >= n)
     // the shingle arrays come from an interpreted HOF
     // (MinHashLsh.shingleExpr's own caveat) and feed FOUR consumers —
@@ -619,7 +627,7 @@ object TextSimOps {
       |FROM s GROUP BY shingle HAVING count(DISTINCT doc_id) >= 3
       |ORDER BY n_total DESC, n_docs DESC, shingle LIMIT 50""".stripMargin
   ) { (s, dir) =>
-    Tables.documents(s, dir)
+    Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
       .select(col("doc_id"), explode(expr(
@@ -669,7 +677,7 @@ object TextSimOps {
       |  ON d.prefix = c.prefix AND d.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
       |ORDER BY delta_doc, corpus_doc""".stripMargin
   ) { (s, dir) =>
-    val sh = Tables.documents(s, dir)
+    val sh = Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"),
         expr(
           """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
@@ -714,7 +722,7 @@ object TextSimOps {
       |FROM t GROUP BY lang, len ORDER BY lang, len""".stripMargin
   ) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, dir).select(col("lang"),
+    val toks = Tables.fanned(s, dir, "documents", "doc_id").select(col("lang"),
       explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col("lang"),
