@@ -28,6 +28,19 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE partition coalescing targets BYTES, but this engine's hot
+      // stages are CPU-dense per byte (HOF pair generators, shingle
+      // explodes over zstd-compact rows): the default 1 MB
+      // minPartitionSize coalesced a 17 MB pair-generation shuffle to 4
+      // tasks (432 ms/task measured) while 28 cores idled. Lowering the
+      // floor is scale-SAFE, not a local tune: with parallelismFirst
+      // (default true) the coalesce target is max(bytes/parallelism,
+      // minPartitionSize), so at production shuffle sizes
+      // bytes/parallelism dominates and this floor never binds — it
+      // only stops byte-targeting from serializing small CPU-heavy
+      // stages. Env-overridable for IO-bound deployments.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
 

@@ -354,8 +354,12 @@ object GraphOps {
     // exactly once — no join, no second corpus exchange), the per-item
     // supports via explode, the order count via count(*). Per-order
     // fan-out is C(items, 2) exactly as the join produced.
-    // fanned by ok: the collect_set partial otherwise runs in a single
-    // scan task on sub-split input, and groupBy(ok) reuses the exchange
+    // NOT fanned (measured): a doc-style fan by ok shuffles the RAW
+    // (ok, pk) rows (23 MB) where the scan-fused collect_set partial
+    // ships pre-collapsed sets (17 MB) — unlike the text ops, the
+    // map work here is O(rows), not O(rows × fan-out), so the extra
+    // bytes cost more than the single-task partial saves (bench:
+    // 1.30 s unfanned vs 2.24 s fanned at sf0.1)
     val byOrder = Tables.fanned(s, dir, "lineitem", "l_orderkey")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok")

@@ -130,8 +130,8 @@ object ImplOps {
   /** LSH-bucketed ANN top-10 for probe vec_id=0 (brute-force twin:
     * q_sim_topk). */
   val simAnn: Q = Q.implOnly("q_sim_ann") { (s, dir) =>
-    Ann.annTopK(Tables.fanned(s, dir, "embeddings", "vec_id"),
-      "vec_id", "embedding", probeId = 0L, k = 10, nBits = 4)
+    Ann.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      probeId = 0L, k = 10, nBits = 4)
   }
 
   /** Binary-payload feature extraction through the stubbed decoder —
@@ -148,8 +148,8 @@ object ImplOps {
   /** IVF-style ANN top-10 for the same probe (label-seeded coarse
     * quantizer, nProbe=3 of 10 lists; brute-force twin: q_sim_topk). */
   val simIvf: Q = Q.implOnly("q_sim_ivf") { (s, dir) =>
-    graft.sim.Ivf.probeTopK(Tables.fanned(s, dir, "embeddings", "vec_id"),
-      "vec_id", "embedding", "label", probeId = 0L, k = 10, nProbe = 3)
+    graft.sim.Ivf.probeTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      "label", probeId = 0L, k = 10, nProbe = 3)
   }
 
   /** PQ/ADC ANN top-10 for the same probe (m=8 one-byte codes per
@@ -157,8 +157,8 @@ object ImplOps {
     * brute-force twin: q_sim_topk). Snapped to integer 1e6-units for a
     * byte-stable rows-only dump. */
   val simPq: Q = Q.implOnly("q_sim_pq") { (s, dir) =>
-    graft.sim.Pq.probeTopK(Tables.fanned(s, dir, "embeddings", "vec_id"),
-        "vec_id", "embedding", probeId = 0L, k = 10, refine = 50)
+    graft.sim.Pq.probeTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        probeId = 0L, k = 10, refine = 50)
       .select(col("vec_id"),
         floor(col("approx_cos") * 1e6 + 0.5).cast(LongType).as("cos6"))
   }
@@ -402,8 +402,7 @@ object ImplOps {
     * express; SemDedupSpec pins verdicts against a sequential
     * reference. */
   val dedupSemantic: Q = Q.implOnly("q_dedup_semantic") { (s, dir) =>
-    graft.dedup.SemDedup.report(
-      Tables.fanned(s, dir, "embeddings", "vec_id"), "vec_id",
+    graft.dedup.SemDedup.report(Tables.embeddings(s, dir), "vec_id",
       "embedding", "label", tauMicro = 350000L, iters = 2)
   }
 
@@ -413,7 +412,7 @@ object ImplOps {
     * corpus-trained frozen quantizer, O(Δ·cluster) per batch. Corpus
     * members always win; within the batch, lowest id wins. */
   val dedupSemanticIncr: Q = Q.implOnly("q_dedup_semantic_incr") { (s, dir) =>
-    val e = Tables.fanned(s, dir, "embeddings", "vec_id")
+    val e = Tables.embeddings(s, dir)
     graft.dedup.SemDedup.incrementalReport(
       e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
       "vec_id", "embedding", "label", tauMicro = 350000L, iters = 2)
@@ -433,7 +432,7 @@ object ImplOps {
     * legs are iterative model state no SQL oracle can express (their
     * bounds live in IvfSpec/PqSpec/AnnSpec). */
   val evalAnnRecall: Q = Q.implOnly("q_eval_ann_recall") { (s, dir) =>
-    val e = Tables.fanned(s, dir, "embeddings", "vec_id")
+    val e = Tables.embeddings(s, dir)
     val probes = e.select("vec_id")
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(8).collect().map(_.getLong(0)).toSeq.sorted
@@ -527,7 +526,7 @@ object ImplOps {
     * projection is map-only literal dots; per-label means go through
     * per-row 1e6 snapping so the distributed sums are order-free. */
   val embedPca: Q = Q.implOnly("q_embed_pca") { (s, dir) =>
-    val emb = Tables.fanned(s, dir, "embeddings", "vec_id")
+    val emb = Tables.embeddings(s, dir)
     val model = graft.sim.Pca.fit(emb, "embedding", k = 8)
     val evr = model.explainedVarianceRatio
     graft.sim.Pca.project(emb, "embedding", model)
