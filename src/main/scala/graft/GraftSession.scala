@@ -41,6 +41,17 @@ object GraftSession {
       // stages. Env-overridable for IO-bound deployments.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
+      // let AQE re-plan (and in particular COALESCE) the plan fragments
+      // under .persist(): with the default (false), a cached frame
+      // freezes at the static shuffle-partition count, so a vocab-sized
+      // persisted frame caches as `spark.sql.shuffle.partitions` tiny
+      // partitions and every iterative consumer (BPE training rounds)
+      // schedules that many tasks per pass. Scale-neutral: AQE targets
+      // bytes, so big cached frames keep their parallelism; only
+      // sub-advisory fragments coalesce. Output is partitioning-
+      // independent everywhere (the engine's determinism discipline).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
 

@@ -16,24 +16,40 @@ import org.apache.spark.sql.functions._
   * any real metastore/manifest catalog never re-pays. Only the LAZY
   * DataFrame (logical plan + file index) is cached — never data, never
   * results: every action still scans the parquet inputs. The memo is
-  * keyed on the session and dropped wholesale when a different session
-  * appears (specs build sessions serially; holding plans of a stopped
-  * session would leak it), so cross-session reuse can never occur.
+  * keyed PER SESSION (weak keys, bounded session count) so plans never
+  * cross sessions and two concurrently-live sessions (parallel suites,
+  * streaming clones) can never invalidate each other's entries — the
+  * r15 single-slot design cleared the whole memo on every session
+  * alternation, which made concurrent sessions thrash and was the prime
+  * suspect for a parallel-suite flake.
+  *
+  * CONTRACT: table directories under `dir` are immutable for the life
+  * of the session — the memo pins the resolved file listing on first
+  * read (exactly like any manifest catalog). A writer that rewrites a
+  * table path in-session must use a fresh session (no current caller
+  * writes under a data dir; snapshot/streaming fixtures live in their
+  * own temp roots).
   */
 object Tables {
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  @volatile private var memoSession: SparkSession = null
+  // weak keys: a dropped session's plans become collectable with it.
+  // A DataFrame value does reference its own session (key), which would
+  // pin the entry; the size bound below caps that at a handful of
+  // logical plans — never data — and clears wholesale past the bound.
+  private val memos = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private val MaxSessions = 4
 
   private def read(s: SparkSession, dir: String, name: String): DataFrame = {
-    if (memoSession ne s) synchronized {
-      if (memoSession ne s) { memo.clear(); memoSession = s }
+    val m = memos.synchronized {
+      var mm = memos.get(s)
+      if (mm == null) {
+        if (memos.size >= MaxSessions) memos.clear()
+        mm = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        memos.put(s, mm)
+      }
+      mm
     }
-    val df = memo.computeIfAbsent(s"$dir/$name.parquet",
-      p => s.read.parquet(p))
-    // belt-and-braces against a concurrent session swap racing the
-    // clear(): never hand out a plan bound to a different session
-    if (df.sparkSession eq s) df else s.read.parquet(s"$dir/$name.parquet")
+    m.computeIfAbsent(s"$dir/$name.parquet", p => s.read.parquet(p))
   }
 
   /** Scale-adaptive fan-out for explode-heavy map stages (guide §2/§6).

@@ -34,11 +34,14 @@ object Components {
                           dstCol: String = "dst", maxIter: Int = 50): DataFrame = {
     // materialize the edge list ONCE — it may be an arbitrary upstream
     // derivation (blocking self-joins here), and every round joins it
+    // LAZY checkpoints: the pre-loop convergence probe (or the string-id
+    // path's first-round join) materializes both in ONE job — the r15
+    // eager pair cost two extra sequential jobs before round 1
     val e = edges.select(col(srcCol).as("e_src"), col(dstCol).as("e_dst"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = e.select(col("e_src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var round = 0
     var converged = false
     // Convergence probe state: comp is MONOTONE NON-INCREASING per node
@@ -50,12 +53,29 @@ object Components {
     // far past any realistic |nodes|·max(id) product, so equal sums ⟺
     // no node changed — the loop exits at exactly the same round with
     // exactly the same labels.
+    //
+    // The sum probe requires a NUMERIC id domain: a non-numeric comp
+    // (string doc ids are a legal idCol upstream) casts to NULL and
+    // every round's sum would read 0 — instant false convergence. For
+    // those, fall back to the r14 changed-row probe (one extra
+    // node-frame equi-join per round, correct on any orderable type).
+    val numericIds = labels.schema("comp").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
     def compSum(df: DataFrame): java.math.BigDecimal = Option(
       df.agg(sum(col("comp").cast(
         org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
         .head.getDecimal(0))
       .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = compSum(labels)
+    def unchangedVs(next: DataFrame, prev: DataFrame): Boolean =
+      next.as("a")
+        .join(prev.as("b"), col("a.id") === col("b.id"))
+        .filter(col("a.comp") =!= col("b.comp"))
+        .isEmpty
+    var prevSum = if (numericIds) compSum(labels) else null
     while (!converged && round < maxIter) {
       val nbrMin = e.join(labels, e("e_dst") === labels("id"))
         .groupBy(col("e_src").as("id"))
@@ -76,11 +96,19 @@ object Components {
         .select(col("x.id").as("id"),
           least(col("x.comp"), coalesce(col("y.ccomp"), col("x.comp")))
             .as("comp"))
-        .localCheckpoint(true) // eager: truncate lineage every round
-      val curSum = compSum(next)
+        // LAZY: the convergence probe below is the round's next action,
+        // so it materializes this checkpoint as part of its own job —
+        // one job per round instead of two (eager checkpoint + probe).
+        // Safe: `next` has exactly one consumer before materialization
+        // (the probe), then the following round's two joins read the
+        // already-cached RDD.
+        .localCheckpoint(false)
+      if (numericIds) {
+        val curSum = compSum(next)
+        converged = curSum.compareTo(prevSum) == 0
+        prevSum = curSum
+      } else converged = unchangedVs(next, labels)
       labels = next
-      converged = curSum.compareTo(prevSum) == 0
-      prevSum = curSum
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

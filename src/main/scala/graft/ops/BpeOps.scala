@@ -56,9 +56,14 @@ object BpeOps {
     * pair_count). Deterministic: ties on pair count break on (left,
     * right) lexicographically. */
   def trainMerges(s: SparkSession, dir: String, k: Int): DataFrame =
-    // fanned: the corpus→word-freq collapse otherwise tokenizes inside a
-    // single-task scan stage on sub-split input (Tables.fanned)
-    trainMergesFrom(s, Tables.fanned(s, dir, "documents", "doc_id"), k)
+    // NOT fanned (re-measured r16): the fan's pre-shuffle parallelizes
+    // only the tokenize→word-freq partial, but it also leaves the
+    // persisted vocab frame at shuffle-parallelism partition count, and
+    // the k training rounds then each schedule that many tasks over a
+    // vocab-sized frame — k× the scheduler overhead for a one-time
+    // partial-agg win. The r15 driver bench recorded the fanned shape
+    // at 2× the unfanned wall (q_bpe_encode 1 s → 2 s).
+    trainMergesFrom(s, Tables.documents(s, dir), k)
 
   /** [[trainMerges]] over an arbitrary documents frame (text column) —
     * the testable seam: results must not depend on the input's physical
@@ -162,7 +167,10 @@ object BpeOps {
   val bpeEncode: Q = Q.implOnly("q_bpe_encode") { (s, dir) =>
     val merges = trainMerges(s, dir, 8).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    encodeReport(s, Tables.fanned(s, dir, "documents", "doc_id"), merges)
+    // NOT fanned: same rule as trainMerges — the encode fold runs on the
+    // DISTINCT-word vocab frame (post-shuffle, already parallel), so the
+    // corpus side only tokenizes and joins; O(rows) map work
+    encodeReport(s, Tables.documents(s, dir), merges)
   }
 
   val all: Seq[Q] = Seq(bpeTrain, bpeEncode)

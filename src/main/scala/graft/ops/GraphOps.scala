@@ -77,11 +77,14 @@ object GraphOps {
     // rank frame stays a bare (node, r) pair; the damped division
     // happens edge-side; each round is ONE join + one partial-aggregated
     // groupBy (r4's shape paid a node-sized deg re-join per round).
-    // fanned: sub-split input otherwise runs the partial-distinct scan
-    // stage on ONE task; keyed by l_partkey so the (partkey, suppkey)
-    // distinct reuses the fan-out exchange (subset clustering) —
-    // Tables.fanned, identity at production scale
-    val edgesD = Tables.fanned(s, dir, "lineitem", "l_partkey")
+    // NOT fanned (re-measured r16): the map work before the distinct is
+    // O(rows) — project two ints, no fan-out — so a pre-shuffle of the
+    // raw (partkey, suppkey) rows costs more than the single-task
+    // partial-distinct saves (the q_basket_pairs rule; the r15 driver
+    // bench recorded the fanned shape at 2 s vs 1 s unfanned, scaling
+    // ratio 1.0 — the fan bought no parallelism because the distinct's
+    // own exchange already spreads the reduce side)
+    val edgesD = Tables.lineitem(s, dir)
       .select("l_partkey", "l_suppkey").distinct()
       .select(explode(array(
         struct((col("l_partkey") * 2).as("src"),
@@ -359,8 +362,9 @@ object GraphOps {
     // ships pre-collapsed sets (17 MB) — unlike the text ops, the
     // map work here is O(rows), not O(rows × fan-out), so the extra
     // bytes cost more than the single-task partial saves (bench:
-    // 1.30 s unfanned vs 2.24 s fanned at sf0.1)
-    val byOrder = Tables.fanned(s, dir, "lineitem", "l_orderkey")
+    // 1.30 s unfanned vs 2.24 s fanned at sf0.1; the r15 driver run
+    // confirmed the fanned shape at 3 s vs 2 s)
+    val byOrder = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok")
       .agg(sort_array(collect_set(col("pk"))).as("pks"))

@@ -74,9 +74,9 @@ object RecursiveOps {
     *  (a) Spark re-evaluates a plain CTE under EVERY recursive step, so
     *      leaving `ranked` (a window over the fact table) inline costs
     *      one re-window of the corpus per iteration (7.3 s / 65 MB
-    *      shuffle at sf0.1). The engine side materializes `ranked` ONCE
-    *      (localCheckpoint — orders-sized, 3 columns) and recurses over
-    *      the materialized relation.
+    *      shuffle at sf0.1). The recursive twin ([[streakRecursive]])
+    *      materializes `ranked` ONCE (localCheckpoint — orders-sized,
+    *      3 columns) and recurses over the materialized relation.
     *  (b) Even with cached inputs, each iteration pays a fixed
     *      driver-side replan/codegen/schedule cost (~200 ms here) — so
     *      UNCAPPED depth means data-dependent driver time, the real
@@ -90,6 +90,39 @@ object RecursiveOps {
   val reorderStreak: Q = Q.checked(
     "q_reorder_streak", streakSql("orders")
   ) { (s, dir) =>
+    // ENGINE PATH (r16): the gaps-and-islands WINDOW twin of the
+    // recursion — RecursiveSpec pins the two strategies row-identical
+    // under the len-8 cap. The recursive execution, even over a
+    // materialized `ranked`, pays 8 sequential replan/codegen/schedule
+    // round-trips (~200 ms each — the whole 2 s of wall, scaling ratio
+    // 1.0 at 8→32 cores because driver time doesn't parallelize); the
+    // window twin is ONE o_custkey shuffle whose (ck, island) and (ck)
+    // aggregates reuse the window's partitioning (subset clustering),
+    // then a ≤8-row histogram. The WITH RECURSIVE strategy stays the
+    // oracle text and the spec's cross-check ([[streakRecursive]]).
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val byCk = Window.partitionBy("ck").orderBy("d", "o_orderkey")
+    Tables.orders(s, dir)
+      .select(col("o_custkey").as("ck"), col("o_orderdate").as("d"),
+        col("o_orderkey"))
+      .withColumn("prev_d", lag("d", 1).over(byCk))
+      .withColumn("starts", when(col("prev_d").isNull ||
+        col("d") > col("prev_d") + expr("INTERVAL 180 DAYS"), 1L)
+        .otherwise(0L))
+      .withColumn("island", sum("starts").over(
+        byCk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("ck", "island").agg(count(lit(1)).as("len"))
+      .groupBy("ck").agg(least(max("len"), lit(8L)).as("max_len"))
+      .groupBy("max_len").agg(count(lit(1)).as("n_customers"))
+      .select(col("max_len").as("streak_len"), col("n_customers"))
+      .orderBy("streak_len")
+  }
+
+  /** The WITH RECURSIVE execution strategy (the r15 engine path) — kept
+    * as RecursiveSpec's independent cross-check twin so the recursion
+    * surface stays exercised end-to-end against the window formulation. */
+  private[graft] def streakRecursive(s: SparkSession, dir: String): DataFrame = {
     val ranked = Tables.orders(s, dir)
       .selectExpr("o_custkey AS ck", "o_orderdate AS d",
         """row_number() OVER (PARTITION BY o_custkey

@@ -85,6 +85,11 @@ object RetrievalOps {
         unhex(md5(array_join(slice(col("t"), col("i") + 1, lit(8)), " ")
           .cast(BinaryType))).as("h"))
       .distinct() // (doc, shingle) grain: one vote per doc per shingle
+      // ONE evaluation feeds both the h-grain count and the join probe —
+      // without this the tokenize+explode+md5+distinct subtree (the
+      // query's entire compute cost) runs twice (the simjoin_prefix
+      // recipe; within-query, rebuilt per invocation)
+      .localCheckpoint(false)
     // #docs containing h: an AGGREGATE + equi-join back, deliberately NOT
     // a count-over-Window.partitionBy(h). A boilerplate shingle present
     // in 1% of a 100 TB corpus puts every copy in ONE window task with no
@@ -146,6 +151,8 @@ object RetrievalOps {
         unhex(md5(array_join(slice(col("t"), col("i") + 1, lit(8)), " ")
           .cast(BinaryType))).as("h"))
       .distinct()
+      // one evaluation feeds standing + incoming (passageDedup recipe)
+      .localCheckpoint(false)
     val standing = sh.filter(col("doc_id") % 5 =!= 0)
       .select(col("h").as("sh_h")).distinct()
     sh.filter(col("doc_id") % 5 === 0)
@@ -207,6 +214,10 @@ object RetrievalOps {
         when(col("p") <= size(col("t")) - 8,
           unhex(md5(array_join(slice(col("t"), col("p") + 1, lit(8)), " ")
             .cast(BinaryType)))).as("h"))
+      // one evaluation feeds owners + the marked probe + the tail union —
+      // without this the posexplode+md5 subtree runs THREE times
+      // (passageDedup recipe; within-query, rebuilt per invocation)
+      .localCheckpoint(false)
     // canonical owner per shingle: aggregate + equi-join back (not a
     // min-over-Window.partitionBy(h) — see passageDedup's hot-shingle
     // note: the aggregate combines map-side, the join AQE-skew-splits),

@@ -80,6 +80,18 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("string node ids: the changed-row probe converges to the min label " +
+      "(the sum probe would cast to NULL and exit after round 1)") {
+    import spark.implicits._
+    // a 6-node chain of string ids: false round-1 convergence would leave
+    // the far end labelled by its neighbor, not the global min "a"
+    val pairs = (0 until 5).map(i => (s"n${('a' + i).toChar}", s"n${('a' + i + 1).toChar}"))
+    val edges = Components.symmetrize(pairs.toDF("a", "b"), "a", "b")
+    val got = Components.connectedComponents(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === (0 to 5).map(i => s"n${('a' + i).toChar}" -> "na").toMap)
+  }
+
   test("q_dedup_components matches a driver-side union-find on the same edges") {
     val out = graft.ops.CurateOps.dedupComponents.fn(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -15,8 +15,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class RecursiveSpec extends AnyFunSuite with SparkFixture {
 
   test("q_reorder_streak == gaps-and-islands window formulation") {
-    val rec = ops.RecursiveOps.reorderStreak.fn(spark, Sf)
+    // r16: the ENGINE path is now the window twin; the WITH RECURSIVE
+    // strategy (streakRecursive) is run here as the independent
+    // cross-check, so both strategies stay exercised and pinned equal.
+    val rec = ops.RecursiveOps.streakRecursive(spark, Sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val eng = ops.RecursiveOps.reorderStreak.fn(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(eng === rec)
 
     // islands: a new island starts where the gap to the previous order
     // exceeds 180 days; island id = running count of starts; streak len
