@@ -18,9 +18,14 @@ object Explain {
     val names =
       if (args.nonEmpty) args.toSeq
       else Registry.all.filter(_.oracle.isDefined).map(_.name)
+    // SPARK_GRAFT_EXPLAIN_FINAL=1: execute the query first and print the
+    // FINAL adaptive plan (AQE re-optimized — ReusedExchange / coalesced
+    // reads visible), which the initial plan cannot show
+    val finalPlan = sys.env.get("SPARK_GRAFT_EXPLAIN_FINAL").contains("1")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
       println(s"\n========== $n ==========")
+      if (finalPlan) df.collect()
       println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
     }
     spark.stop()

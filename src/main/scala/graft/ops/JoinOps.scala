@@ -460,6 +460,11 @@ object JoinOps {
           lit("1997-01-01 00:00:00").cast(TimestampType))
       .select("o_orderkey", "o_custkey")
     val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    // NOT fanned (measured r16): the n_name partial aggregate collapses
+    // the broadcast-join chain to ≤|nations| rows inside the scan stage,
+    // so a fan adds a raw-row exchange nothing reuses — measured 0.73 s
+    // unfanned vs 0.66 s fanned at sf0.1 c8 (inside noise) but 0.67 vs
+    // 0.93 s at c32: net loss
     Tables.lineitem(s, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(ord, col("l_orderkey") === col("o_orderkey"))

@@ -648,7 +648,15 @@ object TrendOps {
       |  CAST(sum(n_supp) AS BIGINT) AS total_suppliers
       |FROM b GROUP BY band ORDER BY band""".stripMargin
   ) { (s, dir) =>
-    Tables.lineitem(s, dir)
+    // fanned by the grouping PREFIX: the (pk, sk) partial aggregate
+    // barely collapses lineitem (pairs are near-unique), so the
+    // single-task scan stage otherwise does ALL the per-row cents
+    // arithmetic on one core while the exchange ships partials the same
+    // size as the raw rows. Hash-partitioning by l_partkey satisfies the
+    // (pk, sk) aggregate's ClusteredDistribution (subset clustering), so
+    // the fan REPLACES the aggregate's exchange rather than adding one —
+    // net exchange count unchanged, map work 32-way. Identity at scale.
+    Tables.fanned(s, dir, "lineitem", "l_partkey")
       .groupBy("l_partkey", "l_suppkey")
       .agg(sum(cents(col("l_extendedprice"))).cast("long").as("cents"))
       .groupBy("l_partkey")
@@ -809,6 +817,12 @@ object TrendOps {
       |FROM terms GROUP BY n_name ORDER BY n_name""".stripMargin
   ) { (s, dir) =>
     val d246 = "decimal(24,6)"
+    // NOT fanned (measured r16): the ≤|nations| partial aggregate
+    // collapses the scan stage's output to ~25 rows, so a fan would ADD
+    // a raw-row exchange that no downstream operator reuses (group key
+    // n_name ≠ any row-identity fan key) — measured 0.42 s unfanned vs
+    // 1.23 s fanned at sf0.1 c8 (0.54 vs 0.79 at c32): the basket_pairs
+    // rule, partials smaller than raw rows
     val terms = Tables.lineitem(s, dir)
       .join(broadcast(Tables.supplier(s, dir)),
         col("l_suppkey") === col("s_suppkey"))
