@@ -85,11 +85,12 @@ object RetrievalOps {
         unhex(md5(array_join(slice(col("t"), col("i") + 1, lit(8)), " ")
           .cast(BinaryType))).as("h"))
       .distinct() // (doc, shingle) grain: one vote per doc per shingle
-      // ONE evaluation feeds both the h-grain count and the join probe —
-      // without this the tokenize+explode+md5+distinct subtree (the
-      // query's entire compute cost) runs twice (the simjoin_prefix
-      // recipe; within-query, rebuilt per invocation)
-      .localCheckpoint(false)
+    // NO checkpoint (measured r16): both consumers (h-grain count + join
+    // probe) sit directly above the distinct's exchange, whose two plan
+    // copies are canonically identical — AQE ReusedExchange already
+    // computes the tokenize+explode+md5 map side ONCE (visible in the
+    // final adaptive plan, plans/r16). A localCheckpoint here measured
+    // 0.75 → 1.21 s at sf0.1 c32: pure added materialization.
     // #docs containing h: an AGGREGATE + equi-join back, deliberately NOT
     // a count-over-Window.partitionBy(h). A boilerplate shingle present
     // in 1% of a 100 TB corpus puts every copy in ONE window task with no
@@ -151,8 +152,11 @@ object RetrievalOps {
         unhex(md5(array_join(slice(col("t"), col("i") + 1, lit(8)), " ")
           .cast(BinaryType))).as("h"))
       .distinct()
-      // one evaluation feeds standing + incoming (passageDedup recipe)
-      .localCheckpoint(false)
+    // NO checkpoint (measured r16): the %5 filters push below the
+    // explode into each branch's scan, so the two "duplicate"
+    // evaluations actually PARTITION the corpus (4/5 + 1/5 ≈ one full
+    // pass, each branch pruning pre-explode); a checkpoint materializes
+    // the full shingle grain first and measured 0.18 → 0.30 s
     val standing = sh.filter(col("doc_id") % 5 =!= 0)
       .select(col("h").as("sh_h")).distinct()
     sh.filter(col("doc_id") % 5 === 0)
@@ -214,9 +218,12 @@ object RetrievalOps {
         when(col("p") <= size(col("t")) - 8,
           unhex(md5(array_join(slice(col("t"), col("p") + 1, lit(8)), " ")
             .cast(BinaryType)))).as("h"))
-      // one evaluation feeds owners + the marked probe + the tail union —
-      // without this the posexplode+md5 subtree runs THREE times
-      // (passageDedup recipe; within-query, rebuilt per invocation)
+      // one evaluation feeds owners + the marked probe + the tail union.
+      // UNLIKE passageDedup, no common exchange sits above this explode
+      // (each consumer filters h differently BEFORE its own exchange),
+      // so AQE ReusedExchange cannot dedup it — without the checkpoint
+      // the posexplode+md5 subtree genuinely runs THREE times
+      // (within-query materialization, rebuilt per invocation)
       .localCheckpoint(false)
     // canonical owner per shingle: aggregate + equi-join back (not a
     // min-over-Window.partitionBy(h) — see passageDedup's hot-shingle
