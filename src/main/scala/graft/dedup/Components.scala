@@ -39,8 +39,15 @@ object Components {
     // eager pair cost two extra sequential jobs before round 1
     val e = edges.select(col(srcCol).as("e_src"), col(dstCol).as("e_dst"))
       .localCheckpoint(false)
-    var labels = e.select(col("e_src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Label build FOLDS IN round 1: comp₀ = min(id, min neighbor id) is
+    // exactly what one propagate round from comp=id computes, and the
+    // min-neighbor aggregate costs the SAME single exchange the r15
+    // node-distinct did — one full round (join + halving + probe jobs)
+    // disappears. The fixpoint is unique (min is idempotent/assoc/comm),
+    // so starting one step ahead cannot change the result.
+    var labels = e.groupBy(col("e_src").as("id"))
+      .agg(min(col("e_dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("comp"))
       .localCheckpoint(false)
     var round = 0
     var converged = false

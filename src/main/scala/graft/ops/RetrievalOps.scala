@@ -494,8 +494,14 @@ object RetrievalOps {
           .stripMargin)).as("pr"))
       .select(col("pr.src_a").as("src_a"), col("pr.src_b").as("src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
-      .join(tot.toDF("src_a", "types_a"), "src_a")
-      .join(tot.toDF("src_b", "types_b"), "src_b")
+      // tot is |sources| rows — a domain constant (tens), never
+      // data-scaled — so broadcast it DELIBERATELY (guide §3.1): without
+      // the hint AQE picks the build side from runtime bytes and, both
+      // frames being tiny, sometimes builds the PAIR side instead, which
+      // breaks the second join's broadcast reuse (one extra stage) and
+      // flips the plan shape run-to-run
+      .join(broadcast(tot.toDF("src_a", "types_a")), "src_a")
+      .join(broadcast(tot.toDF("src_b", "types_b")), "src_b")
       .select(col("src_a"), col("src_b"), col("n_shared"),
         col("types_a"), col("types_b"),
         expr("n_shared * 1000 div least(types_a, types_b)")

@@ -622,21 +622,28 @@ private[sources] trait SnapshotDml { this: SnapshotLog.type =>
       .drop(dropCols: _*).persist()
     try {
       val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
-      // NULL keys: allowed ONLY on rows the caller declared pure inserts
-      // (SQL MERGE's not-matched leg — NULL matches nothing, so the row
-      // inserts); everywhere else they are an upstream bug, loudly
-      val nullKeyed = changes
-        .filter(anyKeyNull && (!col("__ins") || col("__del")))
-        .limit(1).count()
-      require(nullKeyed == 0,
+      // BOTH batch validations in ONE pass over the persisted change
+      // side (r16 — was two sequential count jobs): group by the keys
+      // (NULLs group together but only count toward the null-rule tally,
+      // never the dup tally) and fold to two scalars.
+      // - NULL keys: allowed ONLY on rows the caller declared pure
+      //   inserts (SQL MERGE's not-matched leg — NULL matches nothing,
+      //   so the row inserts); everywhere else an upstream bug, loudly.
+      // - duplicates: ambiguity needs a key two rows could both MATCH —
+      //   NULL-keyed inserts match nothing, so they are excluded (SQL
+      //   inserts both).
+      val violations = changes.groupBy(keys.map(col): _*)
+        .agg(
+          count(when(anyKeyNull && (!col("__ins") || col("__del")), 1))
+            .as("nullbad"),
+          count(when(!anyKeyNull, 1)).as("nk"))
+        .agg(sum(col("nullbad")).as("nullbad"), max(col("nk")).as("maxnk"))
+        .head
+      require(violations.isNullAt(0) || violations.getLong(0) == 0,
         s"merge changes carry a NULL key in (${keys.mkString(",")}) — " +
           "NULL matches nothing under SQL equality; only rows marked by " +
           "insertOnlyWhen (SQL's NOT MATCHED INSERT leg) may carry one")
-      // ambiguity needs a key two rows could both MATCH — NULL-keyed
-      // inserts match nothing, so they are excluded (SQL inserts both)
-      val dup = changes.filter(!anyKeyNull).groupBy(keys.map(col): _*)
-        .count().filter(col("count") > 1).limit(1).count()
-      require(dup == 0,
+      require(violations.isNullAt(1) || violations.getLong(1) <= 1,
         "merge changes carry duplicate keys — ambiguous merge " +
           "(collapse the batch to one winning row per key first)")
       val upserts = changes.filter(!col("__del")).drop("__del", "__ins")

@@ -87,12 +87,25 @@ class LateQueryPlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("q_reorder_streak: the recursion reads the materialized ranked relation, not re-windows") {
+  test("q_reorder_streak: engine path is the one-shuffle window twin; " +
+      "the recursive twin reads the materialized ranked relation") {
+    // r16: the ENGINE path is the gaps-and-islands window formulation —
+    // every window must partition by ck (one o_custkey exchange, no
+    // recursion, no partition-less window), and no join remains
     val df = ops.RecursiveOps.reorderStreak.fn(spark, Sf)
-    val plan = df.queryExecution.optimizedPlan.toString
-    // exactly ONE Window may appear (none — ranked was materialized
-    // before the SQL ran); a window inside the recursive plan would be
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"window twin must ride ck-partitioned windows:\n${df.queryExecution.sparkPlan}")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "window twin must not join")
+    // the RECURSIVE twin (spec cross-check) still materializes `ranked`
+    // BEFORE the SQL runs — a window inside the recursive plan would be
     // re-evaluated once per iteration
+    val rec = ops.RecursiveOps.streakRecursive(spark, Sf)
+    val plan = rec.queryExecution.optimizedPlan.toString
     assert(!plan.contains("windowspecdefinition"),
       s"a window leaked inside the recursion (re-evaluated per step):\n$plan")
   }
