@@ -432,6 +432,12 @@ object ImplOps {
     * legs are iterative model state no SQL oracle can express (their
     * bounds live in IvfSpec/PqSpec/AnnSpec). */
   val evalAnnRecall: Q = Q.implOnly("q_eval_ann_recall") { (s, dir) =>
+    // NOT fanned (measured r16): this dashboard is ~20 short JOBS
+    // (model-state collects across 4 concurrent legs), and a fan
+    // exchange re-executes in EVERY one of them — one extra stage per
+    // job outweighs parallelizing the 100-600 ms single-task corpus
+    // passes, which already overlap across the concurrent legs
+    // (measured 3.7-4.2 s unfanned vs 5.4-7.4 s fanned at sf0.1 c32)
     val e = Tables.embeddings(s, dir)
     val probes = e.select("vec_id")
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
