@@ -650,6 +650,19 @@ private[sources] trait SnapshotDml { this: SnapshotLog.type =>
       // detection/survivor key set: NULL-keyed rows match nothing and
       // must not reach the stat prune's literal encoding
       val keyFrame = changes.filter(!anyKeyNull).select(keys.map(col): _*)
+      // ONE bounded driver job per prunable key column (r16 — was three:
+      // a row-count density probe, a distinct collect for the stat
+      // prune, and a second full collect for the isin literals): the
+      // duplicate guard above makes non-NULL change keys unique, so a
+      // column's distinct value set IS the key set. Collected once,
+      // capped one past the density bound so sparseness is decided from
+      // the same collect; memoized across rebase retries (the change
+      // side is persisted and fixed for the call).
+      val keyValsMemo = scala.collection.mutable.Map[String, Array[Any]]()
+      def valsOf(k: String): Array[Any] = keyValsMemo.getOrElseUpdate(k,
+        keyFrame.select(col(k)).distinct().limit(100001)
+          .collect().map(_.get(0)))
+      def sparseOn(k: String): Boolean = valsOf(k).length <= 100000
       while (true) {
         val vs = versions(spark, dir)
         // incoming post-images must honor the table's checks (tombstones
@@ -733,8 +746,7 @@ private[sources] trait SnapshotDml { this: SnapshotLog.type =>
           // intersection against every file's recorded (or degenerate
           // partition) stat
           def pruneOn(k: String): Seq[String] = {
-            val vals = keyFrame.select(col(k)).distinct()
-              .collect().map(_.get(0))
+            val vals = valsOf(k)
             changes.schema(k).dataType match {
               case org.apache.spark.sql.types.StringType =>
                 val ks = vals.map(_.asInstanceOf[String])
@@ -746,22 +758,23 @@ private[sources] trait SnapshotDml { this: SnapshotLog.type =>
                   vals.map(encodeStatLong).sorted)
             }
           }
-          val sparse = keyFrame.limit(100001).count() <= 100000
-          // (candidate files, isin literals) — None when not sparse
+          // (candidate files, isin literals) — None when not sparse on
+          // the stat key (single key ⇒ distinct values == key rows, so
+          // the isin literal set is unchanged from the r15 full collect)
           val fastPath: Option[(Seq[String], Array[Any])] =
-            statKey.filter(_ => sparse).map { k =>
-              (pruneOn(k), keyFrame.select(col(k)).collect().map(_.get(0)))
-            }
+            statKey.filter(sparseOn).map(k => (pruneOn(k), valsOf(k)))
           // COMPOSITE keys cannot take the isin fast path, but one
           // stat-bearing key column still prunes the candidate set the
           // general semi-join scans — a (region, id) merge against an
           // id-clustered or region-partitioned table skips cold files
-          // instead of opening the whole table
+          // instead of opening the whole table. Density is per-COLUMN
+          // here (distinct values of k, not total rows) — the prune is
+          // value-conservative either way and the literal count stays
+          // bounded by the same 100k cap.
           val generalScan: Seq[String] =
             if (statKey.isDefined) current
-            else keys.find(k => sparse &&
-              stats.values.exists(_.contains(k)) &&
-              statEncodable(changes.schema(k).dataType))
+            else keys.find(k => stats.values.exists(_.contains(k)) &&
+              statEncodable(changes.schema(k).dataType) && sparseOn(k))
               .map(pruneOn).getOrElse(current)
           // DV-composable detection: the tagged read applies the
           // version's deletion vector, so a MoR-dead row cannot mark
